@@ -1,0 +1,124 @@
+"""Join operators beyond plain equi-joins (SURVEY.md §2.3 J4-J11).
+
+Equi-joins (J1/J2/J3/J5) need no helper -- ``df.join`` with Catalyst
+choosing broadcast-hash for small dims is the whole story. The
+helpers here cover the patterns the reference builds by hand:
+
+- interval (range) join: tariff summer-period lookup
+  (reference: jobs/staging_to_app.py:129-140)
+- as-of (nearest <=) join: latest guideline_date per area
+  (reference: jobs/staging_to_app.py:104-116)
+- coalescing outer join: source-priority merge CSR-over-ESGI
+  (reference: jobs/fix_data.py:351-359 -- a row loop there; a single
+  ``coalesce`` projection here)
+- anti/semi joins via key-set difference / isin
+  (reference: jobs/fix_data.py:65,137; jobs/staging_to_app.py:449)
+- cross-join scalar broadcast (reference: jobs/staging_cal.py:17-18)
+
+Scale notes: the as-of join is expressed as equi-join on the keys +
+range filter + window top-1 -- one shuffle on the join keys, and when
+the right side (tariff/guideline dims) is small Catalyst broadcasts
+it so only the window shuffles. Skewed left keys are handled by AQE
+skew-join splitting (on by default in session.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def interval_join(left: DataFrame, right: DataFrame, on: Sequence[str] | Column,
+                  point_col: str, lo_col: str, hi_col: str,
+                  how: str = "inner") -> DataFrame:
+    """Equi-join + BETWEEN range predicate in one join condition (J6).
+
+    Catalyst evaluates the band predicate inside the hash join, so no
+    post-join filter blowup; with a broadcast right side this is a
+    broadcast-nested-band probe, the plan you want for tariff lookups
+    at any scale.
+    """
+    if isinstance(on, Column):
+        cond = on
+    else:
+        cond = None
+        for k in on:
+            c = left[k] == right[k]
+            cond = c if cond is None else (cond & c)
+    band = left[point_col].between(right[lo_col], right[hi_col])
+    cond = band if cond is None else (cond & band)
+    return left.join(right, cond, how)
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
+              left_time: str, right_time: str,
+              tiebreak: Sequence[Column] | None = None) -> DataFrame:
+    """As-of join: for each left row, the single right row with the
+    greatest ``right_time`` <= ``left_time`` within equal ``on`` keys
+    (J7). Left rows with no match are kept (nulls on right columns).
+
+    Pass ``tiebreak`` ordering columns to make the pick deterministic
+    when several right rows share the max ``right_time``.
+
+    Implementation: equi-join + range filter + row_number top-1 per
+    left row (surrogate id, so no natural unique key is required).
+    One shuffle on the join keys; a small right side broadcasts so
+    only the window shuffles.
+    """
+    lid = "__asof_lid"
+    left = left.withColumn(lid, F.monotonically_increasing_id())
+    r = right
+    for k in on:
+        r = r.withColumnRenamed(k, f"__r_{k}")
+    cond = None
+    for k in on:
+        c = left[k] == r[f"__r_{k}"]
+        cond = c if cond is None else (cond & c)
+    time_ok = r[right_time] <= left[left_time]
+    cond = time_ok if cond is None else (cond & time_ok)
+    joined = left.join(r, cond, "left").drop(*[f"__r_{k}" for k in on])
+    order = [F.col(right_time).desc_nulls_last()]
+    if tiebreak:
+        order += list(tiebreak)
+    w = Window.partitionBy(lid).orderBy(*order)
+    return (joined.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1)
+                  .drop("__rn", lid))
+
+
+def coalescing_outer_join(left: DataFrame, right: DataFrame, on: Sequence[str],
+                          coalesce_cols: Sequence[str],
+                          how: str = "full_outer") -> DataFrame:
+    """Outer join where shared value columns merge with left priority
+    (J11). Replaces the reference's per-row ``if isna(x): x = y``
+    loop with a single vectorized ``coalesce`` projection.
+    """
+    on = list(on)
+    lsel = left.select(*on, *[F.col(c).alias(f"__l_{c}") for c in coalesce_cols])
+    rsel = right.select(*on, *[F.col(c).alias(f"__r_{c}") for c in coalesce_cols])
+    out = lsel.join(rsel, on, how)
+    for c in coalesce_cols:
+        out = out.withColumn(c, F.coalesce(F.col(f"__l_{c}"), F.col(f"__r_{c}")))
+    return out.drop(*[f"__l_{c}" for c in coalesce_cols],
+                    *[f"__r_{c}" for c in coalesce_cols])
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """Rows of left whose keys do not appear in right (J9/U2)."""
+    return left.join(right, list(on), "left_anti")
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """Rows of left whose keys appear in right (J10/U3); no right columns."""
+    return left.join(right, list(on), "left_semi")
+
+
+def attach_scalar(df: DataFrame, scalar_df: DataFrame) -> DataFrame:
+    """Cross-join a 1-row aggregate onto every row (J4).
+
+    The reference uses ``merge(how='cross')`` to attach base-year
+    totals (jobs/staging_cal.py:17-18,177). Broadcast makes this a
+    map-side literal attach -- zero shuffle.
+    """
+    return df.crossJoin(F.broadcast(scalar_df))

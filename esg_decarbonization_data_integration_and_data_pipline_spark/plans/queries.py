@@ -1,0 +1,645 @@
+"""Declared-query registry: one query per operator family of SURVEY.md §2.
+
+Every entry pairs a Spark DataFrame program with an ANSI-SQL oracle
+that DuckDB runs over the same parquet tables; the driver hash-compares
+the two at sf=0.01 (CORRECTNESS gate). Column names are aliased
+identically on both sides; doubles are rounded at aggregation
+boundaries on BOTH sides so the hash is stable against sum-order
+float noise (SURVEY.md §5.2.4 determinism rule).
+
+Queries run over the driver's TPC-H-ish tables (TESTDATA.md); each
+docstring cites the reference pattern (file:line) it re-expresses.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from esg_decarbonization_data_integration_and_data_pipline_spark.tables import table, events_table
+from esg_decarbonization_data_integration_and_data_pipline_spark.operators.windows import (
+    ytm_cumsum, rank_in_group, top1_per_group, share_of_total, latest_version,
+)
+from esg_decarbonization_data_integration_and_data_pipline_spark.operators.rollup import rollup_all
+from esg_decarbonization_data_integration_and_data_pipline_spark.operators.joins import (
+    interval_join, asof_join, coalescing_outer_join, anti_join, semi_join,
+    attach_scalar,
+)
+from esg_decarbonization_data_integration_and_data_pipline_spark.operators.reshape import melt, pivot_wide
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
+    family: str         # SURVEY.md §2 operator row ids this covers
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, family: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, family=family)
+        return fn
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Aggregations (A1-A3, A10) -- the group-by-sum workhorse
+# --------------------------------------------------------------------------
+
+@register("pricing_summary", "A1,A2,A10,F9,P3", oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4)                                     AS sum_qty,
+       round(sum(l_extendedprice), 4)                                AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4)             AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       round(avg(l_quantity), 4)                                     AS avg_qty,
+       round(avg(l_extendedprice), 4)                                AS avg_price,
+       round(avg(l_discount), 6)                                     AS avg_disc,
+       count(*)                                                      AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""")
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship hash-agg: the reference's groupby-sum workhorse
+    (reference: jobs/raw_to_staging.py:44-52 and ~40 call sites),
+    TPC-H-Q1-shaped. Single shuffle, map-side partial agg."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.groupBy("l_returnflag", "l_linestatus")
+              .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                   F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+                   F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+                   F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+                   F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                   F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+                   F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                   F.count(F.lit(1)).alias("count_order")))
+
+
+@register("global_total_share", "A3,J4,F9", oracle="""
+WITH t AS (SELECT sum(o_totalprice) AS grand_total FROM orders)
+SELECT o.o_orderpriority,
+       round(sum(o.o_totalprice), 4)                        AS prio_total,
+       round(sum(o.o_totalprice) / max(t.grand_total), 9)   AS prio_share
+FROM orders o CROSS JOIN t
+GROUP BY o.o_orderpriority
+""")
+def global_total_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grand-total scalar attached via broadcast cross join (J4), the
+    reference's 1-row-aggregate merge(how='cross')
+    (reference: jobs/staging_cal.py:17-18,636-637)."""
+    o = table(spark, sf_dir, "orders")
+    total = o.agg(F.sum("o_totalprice").alias("grand_total"))
+    return (attach_scalar(o, total)
+            .groupBy("o_orderpriority")
+            .agg(F.round(F.sum("o_totalprice"), 4).alias("prio_total"),
+                 F.round(F.sum("o_totalprice") / F.max("grand_total"), 9).alias("prio_share")))
+
+
+@register("distinct_projection", "A4,P1", oracle="""
+SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+""")
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT after projection (reference: drop_duplicates,
+    jobs/staging_cal.py:36; SELECT DISTINCT fem_ratio.py:13)."""
+    return table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+# --------------------------------------------------------------------------
+# Rollup with 'ALL' labels (A6)
+# --------------------------------------------------------------------------
+
+@register("rollup_region_nation", "A6,J1", oracle="""
+SELECT CASE WHEN GROUPING(r.r_name) = 1 THEN 'ALL' ELSE r.r_name END AS r_name,
+       CASE WHEN GROUPING(n.n_name) = 1 THEN 'ALL' ELSE n.n_name END AS n_name,
+       count(*)                    AS n_customers,
+       round(sum(c.c_acctbal), 4)  AS total_acctbal
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""")
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy rollup emitting literal 'ALL' rows, the reference's
+    hand-built union-of-groupbys (reference: jobs/raw_to_staging.py:
+    14-59 cal_bo_site, :61-86 cal_site) as ONE native rollup pass."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    joined = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+               .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return rollup_all(joined, ["r_name", "n_name"], [],
+                      [F.count(F.lit(1)).alias("n_customers"),
+                       F.round(F.sum("c_acctbal"), 4).alias("total_acctbal")])
+
+
+# --------------------------------------------------------------------------
+# Windows (W1, W2, W5 / A5, A7)
+# --------------------------------------------------------------------------
+
+@register("ytm_running_sum", "W1,O1,F2", oracle="""
+WITH m AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) AS INT)  AS o_year,
+         CAST(month(o_orderdate) AS INT) AS o_month,
+         round(sum(o_totalprice), 4)     AS month_amount
+  FROM orders GROUP BY 1, 2, 3
+)
+SELECT o_custkey, o_year, o_month, month_amount,
+       round(sum(month_amount) OVER (
+         PARTITION BY o_custkey, o_year ORDER BY o_month
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS ytm_amount
+FROM m
+""")
+def ytm_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE signature reference computation: YTM partitioned running
+    sum (reference: jobs/raw_to_staging.py:172-178 and 7 more sites).
+    Pre-aggregate to one row per (cust, year, month) -- exactly as the
+    reference groups before cumsum -- then a frame-bounded window."""
+    o = table(spark, sf_dir, "orders")
+    m = (o.select("o_custkey",
+                  F.year("o_orderdate").cast("int").alias("o_year"),
+                  F.month("o_orderdate").cast("int").alias("o_month"),
+                  "o_totalprice")
+          .groupBy("o_custkey", "o_year", "o_month")
+          .agg(F.round(F.sum("o_totalprice"), 4).alias("month_amount")))
+    out = ytm_cumsum(m, ["o_custkey", "o_year"], "o_month", "month_amount")
+    return out.withColumn("ytm_amount", F.round("ytm_amount", 4))
+
+
+@register("rank_top_orders_per_year", "W2,O1", oracle="""
+WITH r AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY year(o_orderdate)
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+)
+SELECT o_year, o_orderkey, o_totalprice, rk FROM r WHERE rk <= 5
+""")
+def rank_top_orders_per_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-within-group ('first' rank = row_number), the greedy
+    allocator's ordering primitive (reference:
+    Model/RE_purpose_optimizer.py:190-191,280-281)."""
+    o = table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("int"))
+    ranked = rank_in_group(o, ["o_year"],
+                           [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+                           out_col="rk")
+    return ranked.filter(F.col("rk") <= 5).select(
+        "o_year", "o_orderkey", "o_totalprice", "rk")
+
+
+@register("latest_order_per_customer", "W3,A5", oracle="""
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM r WHERE rn = 1
+""")
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped argmax / latest-version selection (reference: scalar
+    MAX(version) subqueries jobs/raw_to_staging.py:697 and per-area
+    idxmax jobs/staging_to_app.py:112-113)."""
+    o = table(spark, sf_dir, "orders")
+    return top1_per_group(
+        o, ["o_custkey"],
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()],
+    ).select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+
+
+@register("share_of_nation_acctbal", "A7,W5,F9", oracle="""
+SELECT c_custkey, c_nationkey,
+       round(c_acctbal / nullif(sum(c_acctbal) OVER (PARTITION BY c_nationkey), 0),
+             6) AS nation_share
+FROM customer
+""")
+def share_of_nation_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-group-total via window sum, the reference's
+    transform('sum') ratio (reference: jobs/source_to_raw/
+    fem_ratio.py:16-19; Model/Factory_elect_simulator_update.py:309-313)."""
+    c = table(spark, sf_dir, "customer")
+    out = share_of_total(c, ["c_nationkey"], "c_acctbal", out_col="nation_share")
+    return out.select("c_custkey", "c_nationkey",
+                      F.round("nation_share", 6).alias("nation_share"))
+
+
+@register("latest_status_version", "A5", oracle="""
+SELECT o_custkey, o_orderstatus, o_orderkey, o_totalprice
+FROM orders o
+WHERE o_orderkey = (SELECT max(o2.o_orderkey) FROM orders o2
+                    WHERE o2.o_custkey = o.o_custkey
+                      AND o2.o_orderstatus = o.o_orderstatus)
+""")
+def latest_status_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-version selection per (key, status) expressed as a
+    window-max filter instead of the reference's correlated scalar
+    subquery (reference: jobs/raw_to_staging.py:697,755;
+    jobs/fix_data.py:366)."""
+    o = table(spark, sf_dir, "orders")
+    return latest_version(
+        o, ["o_custkey", "o_orderstatus"], [F.col("o_orderkey").desc()],
+    ).select("o_custkey", "o_orderstatus", "o_orderkey", "o_totalprice")
+
+
+# --------------------------------------------------------------------------
+# Joins (J1, J6, J7, J9, J10, J11)
+# --------------------------------------------------------------------------
+
+@register("brand_revenue", "J1,J2,A1", oracle="""
+SELECT p.p_brand,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY p.p_brand
+""")
+def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dim enrich join; dim is broadcast so the fact table
+    never shuffles for the join (reference merge-enrich:
+    jobs/source_to_raw/fem_ratio.py:15; jobs/raw_to_staging.py:180-186)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+              .groupBy("p_brand")
+              .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                    .alias("revenue"),
+                   F.count(F.lit(1)).alias("n_items")))
+
+
+@register("interval_size_bands", "J6", oracle="""
+SELECT b.band,
+       count(*)                       AS n_parts,
+       round(avg(p.p_retailprice), 4) AS avg_price
+FROM part p
+JOIN (VALUES ('small', 1, 10), ('medium', 11, 25), ('large', 26, 50))
+     AS b(band, lo, hi)
+  ON p.p_size BETWEEN b.lo AND b.hi
+GROUP BY b.band
+""")
+def interval_size_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join against a banding dim, the reference's
+    summer-tariff period lookup (reference:
+    jobs/staging_to_app.py:129-140). Broadcast band table => no
+    shuffle of the probe side."""
+    p = table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("small", 1, 10), ("medium", 11, 25), ("large", 26, 50)],
+        "band string, lo int, hi int")
+    joined = interval_join(p, F.broadcast(bands), [], "p_size", "lo", "hi")
+    return (joined.groupBy("band")
+                  .agg(F.count(F.lit(1)).alias("n_parts"),
+                       F.round(F.avg("p_retailprice"), 4).alias("avg_price")))
+
+
+@register("asof_latest_order_at_event", "J7,UD2", oracle="""
+WITH j AS (
+  SELECT e.event_id, e.user_id, epoch_ns(e.ts) // 1000 AS ts_us,
+         o.o_orderkey, o.o_orderdate,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e
+  LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT event_id, user_id, ts_us, o_orderkey, o_orderdate FROM j WHERE rn = 1
+""")
+def asof_latest_order_at_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (nearest <=) join: each event picks the user's most
+    recent order as of the event time -- the reference's per-area
+    latest-guideline tariff pick (reference:
+    jobs/staging_to_app.py:104-116). The event time is emitted as
+    epoch microseconds (bigint) because the source carries nanosecond
+    precision that Spark timestamps cannot represent."""
+    e = events_table(spark, sf_dir)
+    o = table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "user_id")
+    out = asof_join(e, o, ["user_id"], "ts", "o_orderdate",
+                    tiebreak=[F.col("o_orderkey").desc()])
+    return out.select(
+        "event_id", "user_id",
+        # NTZ-safe epoch micros (no session-timezone dependency)
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+         .alias("ts_us"),
+        "o_orderkey", "o_orderdate")
+
+
+@register("customers_without_orders", "J9,U2", oracle="""
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join, replacing the reference's set-difference loop
+    (reference: jobs/fix_data.py:65,137)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return anti_join(c, o, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+@register("customers_with_open_orders", "J10,U3", oracle="""
+SELECT c.c_custkey, c.c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+""")
+def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join whitelist filter (reference isin-filter:
+    jobs/staging_to_app.py:449,568)."""
+    c = table(spark, sf_dir, "customer")
+    o = (table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderstatus") == "O")
+         .select(F.col("o_custkey").alias("c_custkey")))
+    return semi_join(c, o, ["c_custkey"]).select("c_custkey", "c_mktsegment")
+
+
+@register("coalescing_nation_balance", "J3,J11,F12", oracle="""
+WITH cu AS (SELECT c_nationkey AS n_nationkey, round(avg(c_acctbal), 4) AS avg_balance
+            FROM customer GROUP BY 1),
+     su AS (SELECT s_nationkey AS n_nationkey, round(avg(s_acctbal), 4) AS avg_balance
+            FROM supplier GROUP BY 1)
+SELECT coalesce(cu.n_nationkey, su.n_nationkey) AS n_nationkey,
+       coalesce(cu.avg_balance, su.avg_balance) AS avg_balance
+FROM cu FULL OUTER JOIN su ON cu.n_nationkey = su.n_nationkey
+""")
+def coalescing_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer source-priority merge: customer balances win,
+    supplier balances fill gaps -- the reference's CSR-over-ESGI
+    row loop collapsed to one coalesce projection
+    (reference: jobs/fix_data.py:351-359)."""
+    cu = (table(spark, sf_dir, "customer")
+          .groupBy(F.col("c_nationkey").alias("n_nationkey"))
+          .agg(F.round(F.avg("c_acctbal"), 4).alias("avg_balance")))
+    su = (table(spark, sf_dir, "supplier")
+          .groupBy(F.col("s_nationkey").alias("n_nationkey"))
+          .agg(F.round(F.avg("s_acctbal"), 4).alias("avg_balance")))
+    return coalescing_outer_join(cu, su, ["n_nationkey"], ["avg_balance"])
+
+
+@register("multi_key_order_lines", "J5,J2,A1", oracle="""
+WITH lag AS (
+  SELECT l_orderkey, l_returnflag,
+         round(sum(l_quantity), 4) AS qty,
+         round(sum(l_extendedprice), 4) AS price
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT o.o_orderkey, o.o_orderstatus, l.l_returnflag, l.qty, l.price
+FROM orders o
+JOIN lag l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'F'
+""")
+def multi_key_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key inner join after partial aggregation (reference
+    multi-key merges: jobs/staging_to_app.py:87-88,232-233)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    lag = (li.groupBy("l_orderkey", "l_returnflag")
+             .agg(F.round(F.sum("l_quantity"), 4).alias("qty"),
+                  F.round(F.sum("l_extendedprice"), 4).alias("price")))
+    return (o.join(lag, o.o_orderkey == lag.l_orderkey)
+             .select("o_orderkey", "o_orderstatus", "l_returnflag", "qty", "price"))
+
+
+# --------------------------------------------------------------------------
+# Set ops / reshape (U1, R1, R2)
+# --------------------------------------------------------------------------
+
+@register("union_balance_sources", "U1,P9", oracle="""
+SELECT c_custkey AS entity_key, c_acctbal AS balance, 'customer' AS source
+FROM customer
+UNION ALL
+SELECT s_suppkey AS entity_key, s_acctbal AS balance, 'supplier' AS source
+FROM supplier
+""")
+def union_balance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL by name, the reference's df.append chains
+    (reference: jobs/staging_cal.py:591-592; solar.py:60-61)."""
+    c = (table(spark, sf_dir, "customer")
+         .select(F.col("c_custkey").alias("entity_key"),
+                 F.col("c_acctbal").alias("balance"),
+                 F.lit("customer").alias("source")))
+    s = (table(spark, sf_dir, "supplier")
+         .select(F.col("s_suppkey").alias("entity_key"),
+                 F.col("s_acctbal").alias("balance"),
+                 F.lit("supplier").alias("source")))
+    return c.unionByName(s)
+
+
+@register("pivot_priority_counts", "R2", oracle="""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)        AS urgent,
+       count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END)          AS high,
+       count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END)        AS medium,
+       count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS not_specified,
+       count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END)           AS low
+FROM orders
+GROUP BY 1
+""")
+def pivot_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long->wide pivot with an explicit value list (no distinct-scan
+    job), the reference's account_name pivot (reference:
+    Model/Factory_elect_simulator_update.py:47-48,65-66)."""
+    o = table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("int"))
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    wide = pivot_wide(o, ["o_year"], "o_orderpriority",
+                      F.count(F.lit(1)), values=prios)
+    renames = dict(zip(prios, ["urgent", "high", "medium", "not_specified", "low"]))
+    out = wide
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    # pivot emits null for empty cells; the oracle's conditional count
+    # emits 0 -- align on 0.
+    return out.na.fill(0, list(renames.values()))
+
+
+@register("unpivot_lineitem_measures", "R1", oracle="""
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+""")
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long melt, the reference's month-column unpivot
+    (reference: jobs/staging_cal.py:263-265; raw_to_staging.py:495-517).
+    Narrow transform: zero shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    return melt(li, ["l_orderkey", "l_linenumber"],
+                ["l_quantity", "l_extendedprice", "l_discount"],
+                var_name="measure", value_name="value")
+
+
+# --------------------------------------------------------------------------
+# Scalar-function families (P6, P7, F1-F4, F5/F6, F12, F14)
+# --------------------------------------------------------------------------
+
+@register("case_when_size_class", "P6,P8", oracle="""
+SELECT CASE WHEN p_size <= 10 THEN 'small'
+            WHEN p_size <= 25 THEN CASE WHEN p_type = 'ECONOMY'
+                                        THEN 'medium-economy' ELSE 'medium' END
+            ELSE 'large' END AS size_class,
+       count(*) AS n_parts,
+       round(sum(p_retailprice), 4) AS total_price
+FROM part
+GROUP BY 1
+""")
+def case_when_size_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested CASE WHEN (3-deep np.where in the reference:
+    Model/Factory_elect_simulator_update.py:837-839,588-604)."""
+    p = table(spark, sf_dir, "part")
+    size_class = (
+        F.when(F.col("p_size") <= 10, F.lit("small"))
+         .when(F.col("p_size") <= 25,
+               F.when(F.col("p_type") == "ECONOMY", F.lit("medium-economy"))
+                .otherwise(F.lit("medium")))
+         .otherwise(F.lit("large")))
+    return (p.withColumn("size_class", size_class)
+             .groupBy("size_class")
+             .agg(F.count(F.lit(1)).alias("n_parts"),
+                  F.round(F.sum("p_retailprice"), 4).alias("total_price")))
+
+
+@register("recode_region_names", "P7,P2", oracle="""
+SELECT CASE r_name WHEN 'AMERICA' THEN 'AM' WHEN 'ASIA' THEN 'AS'
+                   WHEN 'EUROPE' THEN 'EU' ELSE 'OTHER' END AS region_code,
+       count(*) AS n_nations
+FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+GROUP BY 1
+""")
+def recode_region_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dict recode / value mapping (reference: df.replace maps,
+    jobs/raw_to_staging.py:131,136; jobs/staging_to_app.py:60-61)."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    mapping = {"AMERICA": "AM", "ASIA": "AS", "EUROPE": "EU"}
+    code = reduce(lambda acc, kv: acc.when(F.col("r_name") == kv[0], F.lit(kv[1])),
+                  mapping.items(),
+                  F.when(F.lit(False), F.lit(None)))
+    return (r.join(n, n.n_regionkey == r.r_regionkey)
+             .withColumn("region_code", code.otherwise(F.lit("OTHER")))
+             .groupBy("region_code").agg(F.count(F.lit(1)).alias("n_nations")))
+
+
+@register("monthly_order_calendar", "F1,F2,F3", oracle="""
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')                    AS order_month,
+       strftime(date_trunc('month', o_orderdate) + INTERVAL 1 MONTH, '%Y-%m-%d') AS next_month,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')                 AS month_end,
+       count(*)                                                                  AS n_orders,
+       round(sum(o_totalprice), 4)                                               AS month_total
+FROM orders
+GROUP BY 1, 2, 3
+""")
+def monthly_order_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-start construction + month arithmetic + month-end, the
+    reference's period_start building and calendar.mdays month ends
+    (reference: jobs/raw_to_staging.py:165-168,106-124; csr_etl.py:119).
+    Calendar outputs are emitted as 'yyyy-MM-dd' strings -- the
+    reference's own period_start representation -- which also keeps
+    the oracle comparison date-type-agnostic."""
+    o = table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate")).cast("date")
+    return (o.withColumn("order_month", F.date_format(month, "yyyy-MM-dd"))
+             .withColumn("next_month",
+                         F.date_format(F.add_months(month, 1), "yyyy-MM-dd"))
+             .withColumn("month_end",
+                         F.date_format(F.last_day(F.col("o_orderdate").cast("date")),
+                                       "yyyy-MM-dd"))
+             .groupBy("order_month", "next_month", "month_end")
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  F.round(F.sum("o_totalprice"), 4).alias("month_total")))
+
+
+@register("quarterly_shipments", "F4,F2", oracle="""
+SELECT CAST(year(l_shipdate) AS INT)    AS ship_year,
+       CAST(quarter(l_shipdate) AS INT) AS ship_quarter,
+       round(sum(l_quantity), 4)        AS total_qty
+FROM lineitem
+GROUP BY 1, 2
+""")
+def quarterly_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarter bucketing (reference REC quarter ladders:
+    jobs/renew_green_energy.py:67-104; staging_cal.py:794-869)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (li.groupBy(F.year("l_shipdate").cast("int").alias("ship_year"),
+                       F.quarter("l_shipdate").cast("int").alias("ship_quarter"))
+              .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty")))
+
+
+@register("string_slice_like", "F5,F6,F14", oracle="""
+SELECT p_partkey,
+       substring(p_name, 1, 4)                            AS name_prefix,
+       split_part(p_name, ' ', 1)                         AS first_word,
+       CAST(instr(p_name, 'e') AS BIGINT)                 AS first_e,
+       CAST(CAST(substring(p_brand, 7) AS INTEGER) AS INT) AS brand_num
+FROM part
+WHERE p_type LIKE '%ECO%'
+""")
+def string_slice_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String find/slice/LIKE + version-number parse ('Brand#17' ->
+    17, mirroring the reference's 'V5' -> 5 parse:
+    macc_summary/macc_input_to_summary.py:27-30; site-from-plant-code
+    slicing Model/Factory_elect_simulator_update.py:275-276)."""
+    p = table(spark, sf_dir, "part")
+    return (p.filter(F.col("p_type").like("%ECO%"))
+             .select("p_partkey",
+                     F.substring("p_name", 1, 4).alias("name_prefix"),
+                     F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+                     F.instr(F.col("p_name"), "e").cast("bigint").alias("first_e"),
+                     F.substring("p_brand", 7, 10).cast("int").alias("brand_num")))
+
+
+@register("fill_missing_part_revenue", "F12,J1", oracle="""
+SELECT p.p_partkey,
+       round(coalesce(sum(l.l_extendedprice * (1 - l.l_discount)), 0), 4) AS revenue,
+       count(l.l_orderkey) AS n_lines
+FROM part p LEFT JOIN lineitem l ON l.l_partkey = p.p_partkey
+GROUP BY p.p_partkey
+""")
+def fill_missing_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join + fillna(0) null handling (reference:
+    jobs/raw_to_staging.py:309 and pervasive fillna)."""
+    p = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem")
+    return (p.join(li, li.l_partkey == p.p_partkey, "left")
+             .groupBy("p_partkey")
+             .agg(F.round(F.coalesce(
+                      F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                      F.lit(0.0)), 4).alias("revenue"),
+                  F.count("l_orderkey").alias("n_lines")))
+
+
+@register("pow_floor_round_pricing", "F9,F10,F11", oracle="""
+SELECT p_partkey,
+       round(p_retailprice * power(1.05, CAST(p_size AS DOUBLE) / 10), 4) AS compounded,
+       floor(p_retailprice / 100) * 100                                    AS price_lot,
+       round((p_retailprice / nullif(p_size, 0) - 1) * 100, 4)             AS unit_pct
+FROM part
+""")
+def pow_floor_round_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power/compounding, floor-to-lot, pct-change arithmetic
+    (reference: macc discounting macc_input_to_summary.py:219-220;
+    REC 1000-lot floor Model/RE_purpose_optimizer.py:284-285;
+    pct change jobs/staging_cal.py:47-50)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice")
+                * F.pow(F.lit(1.05), F.col("p_size").cast("double") / 10), 4)
+         .alias("compounded"),
+        (F.floor(F.col("p_retailprice") / 100) * 100).alias("price_lot"),
+        F.round((F.col("p_retailprice") / F.nullif(F.col("p_size"), F.lit(0)) - 1) * 100, 4)
+         .alias("unit_pct"))
+
+
+QUERY_FNS: dict[str, QueryFn] = {name: spec.fn for name, spec in REGISTRY.items()}
+ORACLES: dict[str, str] = {
+    name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+}
