@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full execution,
+no driver-side collect bottleneck) -- the honest way to time a
+distributed plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from esg_decarbonization_data_integration_and_data_pipline_spark.session import get_spark  # noqa: E402
+from esg_decarbonization_data_integration_and_data_pipline_spark.plans.queries import REGISTRY  # noqa: E402
+
+HEADLINE = [
+    "pricing_summary",
+    "ytm_running_sum",
+    "rollup_region_nation",
+    "brand_revenue",
+    "asof_latest_order_at_event",
+    "latest_order_per_customer",
+    "unpivot_lineitem_measures",
+    "fill_missing_part_revenue",
+    "multi_key_order_lines",
+    "monthly_order_calendar",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("decarb-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen path once so timings measure the plans,
+    # not first-query classloading
+    REGISTRY["pricing_summary"].fn(spark, sf_dir).write.format("noop") \
+        .mode("overwrite").save()
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+    extra = os.environ.get("BENCH_QUERIES")
+    if extra:
+        names = [n for n in extra.split(",") if n in REGISTRY]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        REGISTRY[name].fn(spark, sf_dir).write.format("noop") \
+            .mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }))
+
+
+if __name__ == "__main__":
+    main()
