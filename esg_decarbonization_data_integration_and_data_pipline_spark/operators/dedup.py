@@ -1,0 +1,161 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families over ``documents``, each designed for the 100 TB
+path (BASELINE.json north-star):
+
+- exact: md5 hash-groupBy -- one shuffle on the hash, scales linearly.
+- n-gram Jaccard: word-bigram shingle sets compared pairwise WITHIN a
+  blocking key (language/source). Blocking bounds the quadratic term;
+  at scale the blocks come from MinHash bands below, never a global
+  cross join.
+- MinHash + banding (LSH): K engine-independent minhashes from the
+  polynomial shingle hash, banded so candidate pairs emerge from an
+  equi-join on (band, signature) -- the classic shuffle-friendly
+  near-dup plan: no pairwise work outside buckets.
+- SimHash: 32-bit signature from token hashes; near-dups share a
+  signature (or differ in few bits).
+- embedding cosine: same-label blocking + exact double-precision
+  cosine; the brute-force verifier for the ANN path in similarity.py.
+
+All signatures use exact integer arithmetic reproducible in ANSI SQL
+(see plans/queries.py oracles) -- no engine-private hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import (
+    POLY_MOD, POLY_POWERS,
+)
+
+# multipliers for the K minhash permutations h_a(x) = (a*x + a*7 + 13) mod p
+MINHASH_AS = [31, 37, 41, 43, 47, 53, 59, 61]
+MINHASH_P = 2147483647
+
+
+def bigram_shingles(text_col: str = "text") -> Column:
+    """Distinct lowercase word-bigram shingles ('w1 w2')."""
+    return F.expr(
+        f"array_distinct(transform(sequence(1, size(filter(split(lower({text_col}), '\\\\s+'), t -> t != '')) - 1), "
+        f"i -> concat(element_at(filter(split(lower({text_col}), '\\\\s+'), t -> t != ''), i), ' ', "
+        f"element_at(filter(split(lower({text_col}), '\\\\s+'), t -> t != ''), i + 1))))")
+
+
+def shingle_hashes(shingles_col: str) -> Column:
+    """Polynomial hash per shingle (engine-independent)."""
+    return F.expr(
+        f"transform({shingles_col}, g -> aggregate(sequence(1, length(g)), 0L, "
+        f"(acc, k) -> acc + ascii(substring(g, k, 1)) * "
+        f"element_at({POLY_POWERS}, ((k-1) % 8) + 1)) % {POLY_MOD}L)")
+
+
+def minhash_signature(hashes_col: str) -> Column:
+    """K minhash values as an array<long> over the shingle hashes."""
+    mins = [
+        f"array_min(transform({hashes_col}, h -> (h * {a}L + {a * 7 + 13}L) % {MINHASH_P}L))"
+        for a in MINHASH_AS
+    ]
+    return F.expr(f"array({', '.join(mins)})")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: min id per md5(text); one hash shuffle."""
+    return (df.withColumn("text_md5", F.md5(F.col(text_col)))
+              .groupBy("text_md5")
+              .agg(F.min(id_col).alias("keep_id"),
+                   F.count(F.lit(1)).alias("n_dups")))
+
+
+def jaccard_pairs(df: DataFrame, block_col: str, threshold: float,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Pairwise word-bigram Jaccard within a blocking key.
+
+    Output: (block, id_a, id_b, jaccard) for rounded jaccard >=
+    threshold, id_a < id_b. The threshold filter runs on ROUNDED
+    values so the decision is float-noise-proof against the oracle.
+    """
+    sh = df.select(F.col(block_col).alias("block"),
+                   F.col(id_col).alias("id"),
+                   bigram_shingles(text_col).alias("sh"))
+    a = sh.select("block", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select("block", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = a.join(b, ["block"]).filter(F.col("id_a") < F.col("id_b"))
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.nullif(F.size(F.array_union("sh_a", "sh_b")), F.lit(0)).cast("double"),
+        6)
+    return (pairs.withColumn("jaccard", jac)
+                 .filter(F.col("jaccard") >= threshold)
+                 .select("block", "id_a", "id_b", "jaccard"))
+
+
+def minhash_band_pairs(df: DataFrame, n_bands: int = 4,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """MinHash-LSH candidate pairs: docs sharing any band signature.
+
+    K=8 minhashes split into ``n_bands`` bands; band signature =
+    concatenated minhash values. Pairs come from a self-equi-join on
+    (band, signature) -- a plain shuffle join, linear in data size
+    plus the (tiny) bucket-pair term. This is the plan that holds at
+    100 TB; the pairwise Jaccard verifier then runs only on
+    candidates.
+    """
+    rows_per_band = len(MINHASH_AS) // n_bands
+    sig = (df.select(F.col(id_col).alias("id"),
+                     bigram_shingles(text_col).alias("sh"))
+             .withColumn("hs", shingle_hashes("sh"))
+             .withColumn("mh", minhash_signature("hs")))
+    bands = sig.select(
+        "id",
+        F.explode(F.expr(
+            f"transform(sequence(0, {n_bands - 1}), b -> struct(b AS band, "
+            f"concat_ws(',', slice(mh, b * {rows_per_band} + 1, {rows_per_band})) AS sig))"
+        )).alias("bs")).select("id", "bs.band", "bs.sig")
+    a = bands.select("band", "sig", F.col("id").alias("id_a"))
+    b = bands.select("band", "sig", F.col("id").alias("id_b"))
+    return (a.join(b, ["band", "sig"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
+
+
+def simhash32(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over distinct lowercase tokens.
+
+    bit b of the signature is 1 iff sum over token hashes of
+    (((h >> b) & 1) * 2 - 1) is positive -- exact integer arithmetic,
+    reproducible in SQL.
+    """
+    toks_hashes = (
+        f"transform(array_distinct(filter(split(lower({text_col}), '\\\\s+'), t -> t != '')), "
+        f"g -> aggregate(sequence(1, length(g)), 0L, "
+        f"(acc, k) -> acc + ascii(substring(g, k, 1)) * "
+        f"element_at({POLY_POWERS}, ((k-1) % 8) + 1)) % {POLY_MOD}L)")
+    sim = (f"aggregate(sequence(0, 31), 0L, (acc, b) -> acc + "
+           f"IF(aggregate({toks_hashes}, 0L, "
+           f"(a2, h) -> a2 + (shiftright(h, b) & 1) * 2 - 1) > 0, shiftleft(1L, b), 0L))")
+    return df.select(F.col(id_col).alias("doc_id"),
+                     F.expr(sim).alias("simhash"))
+
+
+def embedding_dup_pairs(df: DataFrame, threshold: float,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        block_col: str = "label") -> DataFrame:
+    """Near-duplicate pairs by double-precision cosine within a
+    blocking key. The exact verifier behind the LSH/ANN plans."""
+    v = df.select(F.col(block_col).alias("block"),
+                  F.col(id_col).alias("id"),
+                  F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"))
+    a = v.select("block", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = v.select("block", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    pairs = a.join(b, ["block"]).filter(F.col("id_a") < F.col("id_b"))
+    dot = F.expr("aggregate(zip_with(v_a, v_b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    na = F.sqrt(F.expr("aggregate(v_a, 0D, (acc, x) -> acc + x * x)"))
+    nb = F.sqrt(F.expr("aggregate(v_b, 0D, (acc, x) -> acc + x * x)"))
+    cos = F.round(dot / F.nullif(na * nb, F.lit(0.0)), 6)
+    return (pairs.withColumn("cosine", cos)
+                 .filter(F.col("cosine") >= threshold)
+                 .select("block", "id_a", "id_b", "cosine"))

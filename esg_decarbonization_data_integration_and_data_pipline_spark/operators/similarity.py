@@ -1,0 +1,85 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, per the 100 TB design brief:
+
+- brute-force cosine top-k: exact, one narrow pass + a k-row top-k
+  (Spark's TakeOrderedAndProject -- no global sort materialization).
+  The correctness baseline and the right plan when the query set is
+  small.
+- LSH-bucketed ANN: deterministic integer random-projection
+  hyperplanes -> sign bits -> bucket id. Bucketing is a narrow
+  transform; candidate generation is an equi-join on bucket id, so
+  the quadratic term collapses to per-bucket work. Multi-probe =
+  join on bucket OR neighbor buckets.
+
+All math is double-precision JVM arithmetic via higher-order
+functions -- no UDFs in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# deterministic integer hyperplane weights: w[h][d] =
+# ((1 + h*DIM + d) * 2654435761) % 1001 - 500  (Knuth multiplicative
+# hash -> pseudo-random in [-500, 500], exact in any engine)
+N_PLANES = 8
+
+
+def _as_double(vec_col: str) -> Column:
+    return F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
+
+
+def cosine_topk(df: DataFrame, query_df: DataFrame, k: int,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine against a 1-row query frame (broadcast).
+
+    Ranking happens on cosine ROUNDED to 6 digits with the id as
+    tiebreak, so the k-set is deterministic and oracle-stable.
+    """
+    q = query_df.select(_as_double(vec_col).alias("q_v"))
+    v = df.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v"))
+    joined = v.crossJoin(F.broadcast(q))
+    dot = F.expr("aggregate(zip_with(v, q_v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    nv = F.sqrt(F.expr("aggregate(v, 0D, (acc, x) -> acc + x * x)"))
+    nq = F.sqrt(F.expr("aggregate(q_v, 0D, (acc, x) -> acc + x * x)"))
+    cos = F.round(dot / F.nullif(nv * nq, F.lit(0.0)), 6)
+    return (joined.withColumn("cosine", cos)
+                  .select("vec_id", "cosine")
+                  .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+                  .limit(k))
+
+
+def lsh_bucket(df: DataFrame, dim: int, id_col: str = "vec_id",
+               vec_col: str = "embedding", n_planes: int = N_PLANES) -> DataFrame:
+    """Sign-random-projection bucket id (0..2^n_planes-1) per vector.
+
+    Hyperplane weights are exact integers from a multiplicative hash,
+    so any engine reproduces the same buckets (up to sign ties, which
+    are resolved as >= 0 -> bit set).
+    """
+    v = df.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v"))
+    bucket = F.expr(
+        f"aggregate(sequence(0, {n_planes - 1}), 0L, (acc, h) -> acc + "
+        f"IF(aggregate(sequence(0, {dim - 1}), 0D, (s, d) -> s + "
+        f"element_at(v, d + 1) * CAST((1 + h * {dim} + d) * 2654435761L % 1001 - 500 AS DOUBLE)"
+        f") >= 0, shiftleft(1L, h), 0L))")
+    return v.withColumn("bucket", bucket).select("vec_id", "bucket")
+
+
+def ann_candidates(df: DataFrame, dim: int, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """ANN candidate pairs = vectors sharing an LSH bucket, with the
+    exact cosine attached -- the scale path (equi-join on bucket)."""
+    b = lsh_bucket(df, dim, id_col, vec_col)
+    v = df.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v"))
+    bv = b.join(v, "vec_id")
+    a = bv.select("bucket", F.col("vec_id").alias("id_a"), F.col("v").alias("v_a"))
+    c = bv.select("bucket", F.col("vec_id").alias("id_b"), F.col("v").alias("v_b"))
+    pairs = a.join(c, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    dot = F.expr("aggregate(zip_with(v_a, v_b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    na = F.sqrt(F.expr("aggregate(v_a, 0D, (acc, x) -> acc + x * x)"))
+    nb = F.sqrt(F.expr("aggregate(v_b, 0D, (acc, x) -> acc + x * x)"))
+    return (pairs.withColumn("cosine",
+                             F.round(dot / F.nullif(na * nb, F.lit(0.0)), 6))
+                 .select("bucket", "id_a", "id_b", "cosine"))

@@ -1,0 +1,128 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north-star): language
+identification, quality scoring, token counting and document
+fingerprinting over a ``documents(doc_id, text, lang, source,
+n_chars)`` table. Everything is expressed with built-in higher-order
+functions (``transform``/``aggregate``/``filter``) so it runs inside
+whole-stage codegen on the JVM -- no Python in the hot path -- and is
+embarrassingly parallel (narrow transforms, zero shuffles).
+
+All hashes are engine-independent polynomial hashes over code points
+(exact 64-bit integer arithmetic), so DuckDB oracles can reproduce
+them bit-for-bit; see plans/queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# base-17 polynomial coefficients (17^0..17^7); small enough that
+# codepoint * coeff stays far below 2^63 even for CJK planes
+POLY_POWERS = "array(1L, 17L, 289L, 4913L, 83521L, 1419857L, 24137569L, 410338673L)"
+POLY_MOD = 1000000007
+
+EN_STOP = ["the", "a", "of", "and", "to", "in", "is"]
+DE_STOP = ["der", "die", "das", "und", "ist", "nicht", "ein"]
+ES_STOP = ["el", "la", "de", "y", "que", "los", "una"]
+FR_STOP = ["le", "la", "et", "les", "des", "est", "une"]
+
+
+def tokens(text_col: str = "text") -> Column:
+    """Lowercased whitespace tokens, empties removed (deterministic)."""
+    return F.expr(
+        f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')")
+
+
+def char_polyhash(expr: str) -> str:
+    """SQL expr: exact integer polynomial hash of a string, coeffs
+    cycling every 8 chars, mod 1e9+7. Engine-independent (document
+    fingerprinting primitive)."""
+    return (f"aggregate(sequence(1, length({expr})), 0L, "
+            f"(acc, k) -> acc + ascii(substring({expr}, k, 1)) * "
+            f"element_at({POLY_POWERS}, ((k-1) % 8) + 1)) % {POLY_MOD}L")
+
+
+def fingerprint(text_col: str = "text") -> Column:
+    """Rolling-hash document fingerprint: min over all 8-char shingles
+    of the polynomial hash (winnowing-style min-sampling). Null for
+    texts shorter than 8 chars."""
+    shingle = f"substring({text_col}, i, 8)"
+    return F.expr(
+        f"array_min(transform(sequence(1, length({text_col}) - 7), "
+        f"i -> aggregate(sequence(0, 7), 0L, "
+        f"(acc, j) -> acc + ascii(substring({text_col}, i + j, 1)) * "
+        f"element_at({POLY_POWERS}, j + 1)) % {POLY_MOD}L))")
+
+
+def _stop_count(toks: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.array_intersect(toks, arr))
+
+
+def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language-ID heuristic with a CJK character check.
+
+    Adds s_en/s_de/s_es/s_fr scores (distinct stopword hits), n_cjk,
+    and ``predicted_lang`` via a deterministic priority cascade.
+    """
+    toks = tokens(text_col)
+    df = (df.withColumn("s_en", _stop_count(toks, EN_STOP))
+            .withColumn("s_de", _stop_count(toks, DE_STOP))
+            .withColumn("s_es", _stop_count(toks, ES_STOP))
+            .withColumn("s_fr", _stop_count(toks, FR_STOP))
+            .withColumn("n_cjk", F.length(F.regexp_replace(
+                F.col(text_col), "[^\\x{4e00}-\\x{9fff}]", ""))))
+    predicted = (
+        F.when(F.col("n_cjk") > 0, F.lit("zh"))
+         .when((F.col("s_en") >= F.col("s_de")) & (F.col("s_en") >= F.col("s_es"))
+               & (F.col("s_en") >= F.col("s_fr")), F.lit("en"))
+         .when((F.col("s_de") >= F.col("s_es")) & (F.col("s_de") >= F.col("s_fr")),
+               F.lit("de"))
+         .when(F.col("s_es") >= F.col("s_fr"), F.lit("es"))
+         .otherwise(F.lit("fr")))
+    return df.withColumn("predicted_lang", predicted)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality signals plus a
+    composite score in [0, 1] -- the standard pre-training corpus
+    filter features, all JVM-side."""
+    toks = tokens(text_col)
+    # raw (unrounded) ratios feed the composite score -- rounding
+    # first would park score values exactly on .5 rounding boundaries
+    punct_raw = ((F.length(text_col)
+                  - F.length(F.regexp_replace(F.col(text_col), "[.,!?;:]", "")))
+                 / F.nullif(F.length(text_col), F.lit(0)).cast("double"))
+    stop_raw = (_stop_count(toks, EN_STOP)
+                / F.nullif(F.size(toks), F.lit(0)).cast("double"))
+    df = (df.withColumn("length_chars", F.length(text_col).cast("bigint"))
+            .withColumn("n_tokens", F.size(toks).cast("bigint"))
+            .withColumn("avg_token_len",
+                        F.round(F.expr("aggregate(filter(split(lower(text), '\\\\s+'), t -> t != ''), 0L, (acc, t) -> acc + length(t))")
+                                / F.nullif(F.size(toks), F.lit(0)), 4))
+            .withColumn("punct_ratio", F.round(punct_raw, 6))
+            .withColumn("stopword_ratio", F.round(stop_raw, 6)))
+    score = (
+        F.when(F.col("n_tokens") < 5, F.lit(0.0))
+         .otherwise(
+             F.least(F.lit(1.0), F.col("n_tokens") / F.lit(100.0)) * 0.5
+             + F.least(F.lit(1.0), stop_raw * 5) * 0.3
+             + (1 - F.least(F.lit(1.0), punct_raw * 10)) * 0.2))
+    return df.withColumn("quality_score", F.round(score, 6))
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count, regex word-ish token count, and a
+    BPE-ish estimate (ceil(len/4) per word -- the usual chars/4
+    heuristic), all exact integers."""
+    toks = tokens(text_col)
+    return (df.withColumn("n_ws_tokens", F.size(toks).cast("bigint"))
+              .withColumn("n_regex_tokens",
+                          F.size(F.regexp_extract_all(
+                              F.col(text_col),
+                              F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"),
+                              0)).cast("bigint"))
+              .withColumn("n_bpe_est",
+                          F.expr("aggregate(filter(split(lower(text), '\\\\s+'), t -> t != ''), 0L, "
+                                 "(acc, t) -> acc + CAST(ceil(length(t) / 4.0) AS LONG))")))

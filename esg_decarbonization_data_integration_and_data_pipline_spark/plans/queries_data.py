@@ -1,0 +1,433 @@
+"""Declared queries, part 2: training-data-pipeline operators
+(dedup, similarity search, text analysis, multimodal) plus the
+remaining relational families (quantiles, CAGR/IRR UDAFs, streaming
+analog, JSON extraction).
+
+Registered into the same REGISTRY as plans/queries.py; oracles use
+only engine-independent arithmetic (polynomial hashes, md5/sha256,
+double-precision cosine) so DuckDB reproduces values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from esg_decarbonization_data_integration_and_data_pipline_spark.tables import (
+    events_table, table,
+)
+from esg_decarbonization_data_integration_and_data_pipline_spark.plans.queries import register
+from esg_decarbonization_data_integration_and_data_pipline_spark.operators import dedup as D
+from esg_decarbonization_data_integration_and_data_pipline_spark.operators import text as T
+from esg_decarbonization_data_integration_and_data_pipline_spark.operators import similarity as S
+from esg_decarbonization_data_integration_and_data_pipline_spark.operators.multimodal import (
+    extract_features, with_binary_payload,
+)
+
+# shared SQL fragments for the oracles ------------------------------------
+
+_SQL_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
+_SQL_POWERS = "[1,17,289,4913,83521,1419857,24137569,410338673]"
+
+
+def _sql_polyhash(var: str) -> str:
+    """DuckDB expr: same base-17 polynomial hash as operators/text.py."""
+    return (f"list_sum([CAST(unicode(substr({var}, CAST(k AS INT), 1)) AS BIGINT) * "
+            f"{_SQL_POWERS}[CAST(((k-1) % 8) + 1 AS INT)] "
+            f"FOR k IN range(1, length({var}) + 1)]) % 1000000007")
+
+
+_SQL_BIGRAMS = (
+    "list_distinct([__t[CAST(i AS INT)] || ' ' || __t[CAST(i + 1 AS INT)] "
+    "FOR i IN range(1, len(__t))])")
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+@register("text_fingerprint", "ext:fingerprint,F5", oracle=f"""
+SELECT doc_id,
+       CAST(list_min([list_sum([CAST(unicode(substr(text, CAST(i + j AS INT), 1)) AS BIGINT)
+                                * {_SQL_POWERS}[CAST(j + 1 AS INT)]
+                                FOR j IN range(0, 8)]) % 1000000007
+                      FOR i IN range(1, length(text) - 6)]) AS BIGINT) AS fingerprint
+FROM documents
+""")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (winnowing-style min) document fingerprint, exact
+    integer arithmetic, zero shuffles."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint("text").alias("fingerprint"))
+
+
+@register("text_lang_id", "ext:lang-id", oracle="""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(list_filter(['the','a','of','and','to','in','is'],
+             s -> list_contains(""" + _SQL_TOKS + """, s))) AS s_en,
+         len(list_filter(['der','die','das','und','ist','nicht','ein'],
+             s -> list_contains(""" + _SQL_TOKS + """, s))) AS s_de,
+         len(list_filter(['el','la','de','y','que','los','una'],
+             s -> list_contains(""" + _SQL_TOKS + """, s))) AS s_es,
+         len(list_filter(['le','la','et','les','des','est','une'],
+             s -> list_contains(""" + _SQL_TOKS + """, s))) AS s_fr,
+         length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS n_cjk
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(s_en AS INT) AS s_en, CAST(s_de AS INT) AS s_de,
+       CAST(s_es AS INT) AS s_es, CAST(s_fr AS INT) AS s_fr,
+       CAST(n_cjk AS BIGINT) AS n_cjk,
+       CASE WHEN n_cjk > 0 THEN 'zh'
+            WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS predicted_lang
+FROM t
+""")
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit + CJK-char language-ID heuristic (JVM-side)."""
+    d = table(spark, sf_dir, "documents")
+    out = T.lang_scores(d)
+    return out.select("doc_id", "lang", "s_en", "s_de", "s_es", "s_fr",
+                      F.col("n_cjk").cast("bigint").alias("n_cjk"),
+                      "predicted_lang")
+
+
+@register("text_quality", "ext:quality-score,F9,F12", oracle="""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS length_chars,
+         CAST(len(""" + _SQL_TOKS + """) AS BIGINT) AS n_tokens,
+         CAST(list_sum([length(x) FOR x IN """ + _SQL_TOKS + """]) AS BIGINT) AS tok_chars,
+         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(len(list_filter(['the','a','of','and','to','in','is'],
+              s -> list_contains(""" + _SQL_TOKS + """, s))) AS BIGINT) AS n_stop
+  FROM documents
+)
+SELECT doc_id, length_chars, n_tokens,
+       round(tok_chars / nullif(n_tokens, 0), 4) AS avg_token_len,
+       round(n_punct / CAST(nullif(length_chars, 0) AS DOUBLE), 6) AS punct_ratio,
+       round(n_stop / CAST(nullif(n_tokens, 0) AS DOUBLE), 6) AS stopword_ratio,
+       round(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+         least(1.0, n_tokens / 100.0) * 0.5
+         + least(1.0, (n_stop / CAST(nullif(n_tokens, 0) AS DOUBLE)) * 5) * 0.3
+         + (1 - least(1.0, (n_punct / CAST(nullif(length_chars, 0) AS DOUBLE)) * 10)) * 0.2
+       END, 6) AS quality_score
+FROM t
+""")
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality features + composite score."""
+    d = table(spark, sf_dir, "documents")
+    return T.quality_features(d).select(
+        "doc_id", "length_chars", "n_tokens", "avg_token_len",
+        "punct_ratio", "stopword_ratio", "quality_score")
+
+
+@register("text_token_counts", "ext:token-count", oracle="""
+SELECT doc_id,
+       CAST(len(""" + _SQL_TOKS + """) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+         AS n_regex_tokens,
+       CAST(list_sum([CAST(ceil(length(x) / 4.0) AS BIGINT)
+                      FOR x IN """ + _SQL_TOKS + """]) AS BIGINT) AS n_bpe_est
+FROM documents
+""")
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace / regex / BPE-ish token counting."""
+    d = table(spark, sf_dir, "documents")
+    return T.token_counts(d).select(
+        "doc_id", "n_ws_tokens", "n_regex_tokens", "n_bpe_est")
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+@register("dedup_exact", "ext:dedup-exact,A1,A4", oracle="""
+SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents
+GROUP BY md5(text)
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via md5 hash-groupBy (single shuffle, linear)."""
+    return D.exact_dedup(table(spark, sf_dir, "documents"))
+
+
+@register("dedup_jaccard_pairs", "ext:dedup-ngram-jaccard", oracle="""
+WITH s AS (
+  SELECT lang AS block, doc_id AS id,
+         (SELECT """ + _SQL_BIGRAMS + """ FROM (SELECT """ + _SQL_TOKS + """ AS __t)) AS sh
+  FROM documents
+)
+SELECT a.block, a.id AS id_a, b.id AS id_b,
+       round(len(list_intersect(a.sh, b.sh))
+             / CAST(nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0) AS DOUBLE),
+             6) AS jaccard
+FROM s a JOIN s b ON a.block = b.block AND a.id < b.id
+WHERE round(len(list_intersect(a.sh, b.sh))
+            / CAST(nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0) AS DOUBLE),
+            6) >= 0.05
+""")
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard near-dup pairs, blocked by language."""
+    d = table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(d, block_col="lang", threshold=0.05)
+
+
+@register("dedup_minhash_candidates", "ext:dedup-minhash-lsh", oracle="""
+WITH s AS (
+  SELECT doc_id AS id,
+         (SELECT [""" + _sql_polyhash("g") + """ FOR g IN __sh]
+          FROM (SELECT (SELECT """ + _SQL_BIGRAMS + """
+                        FROM (SELECT """ + _SQL_TOKS + """ AS __t)) AS __sh)) AS hs
+  FROM documents
+),
+mh AS (
+  SELECT id, [list_min([(h * a + a * 7 + 13) % 2147483647 FOR h IN hs])
+              FOR a IN [31, 37, 41, 43, 47, 53, 59, 61]] AS m
+  FROM s
+),
+bands AS (
+  SELECT id, b.band,
+         m[b.band * 2 + 1] || ',' || m[b.band * 2 + 2] AS sig
+  FROM mh, (SELECT unnest(range(0, 4)) AS band) b
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+""")
+def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: 8 minhashes, 4 bands of 2; pairs
+    from an equi-join on (band, signature) -- the 100 TB dedup plan."""
+    d = table(spark, sf_dir, "documents")
+    return D.minhash_band_pairs(d, n_bands=4)
+
+
+@register("dedup_simhash", "ext:dedup-simhash", oracle="""
+WITH t AS (
+  SELECT doc_id, list_distinct(""" + _SQL_TOKS + """) AS dt FROM documents
+),
+h AS (
+  SELECT doc_id, [""" + _sql_polyhash("g") + """ FOR g IN dt] AS hs FROM t
+)
+SELECT doc_id,
+       CAST(list_sum([
+         CASE WHEN list_sum([((hh >> CAST(b AS INT)) & 1) * 2 - 1 FOR hh IN hs]) > 0
+              THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END
+         FOR b IN range(0, 32)]) AS BIGINT) AS simhash
+FROM h
+""")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signature per document (exact integer bit
+    arithmetic; near-dups differ in few bits)."""
+    return D.simhash32(table(spark, sf_dir, "documents"))
+
+
+@register("dedup_embedding_pairs", "ext:dedup-embedding-cosine", oracle="""
+WITH v AS (SELECT label AS block, vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings)
+SELECT a.block, a.id AS id_a, b.id AS id_b,
+       round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+FROM v a JOIN v b ON a.block = b.block AND a.id < b.id
+WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.35
+""")
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label, exact
+    double-precision math."""
+    e = table(spark, sf_dir, "embeddings")
+    return D.embedding_dup_pairs(e, threshold=0.35)
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+@register("similarity_topk", "ext:ann-brute-force", oracle="""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+r AS (
+  SELECT e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine
+  FROM embeddings e, q
+)
+SELECT vec_id, cosine FROM r
+ORDER BY cosine DESC, vec_id
+LIMIT 20
+""")
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (TakeOrderedAndProject -- no global
+    sort) against the vec_id=0 query vector."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    return S.cosine_topk(e, q, k=20)
+
+
+@register("similarity_lsh_buckets", "ext:ann-lsh", oracle="""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT vec_id,
+       CAST(list_sum([
+         CASE WHEN list_sum([e[CAST(d + 1 AS INT)] *
+                             CAST((1 + h * 64 + d) * 2654435761 % 1001 - 500 AS DOUBLE)
+                             FOR d IN range(0, 64)]) >= 0
+              THEN (CAST(1 AS BIGINT) << CAST(h AS INT)) ELSE 0 END
+         FOR h IN range(0, 8)]) AS BIGINT) AS bucket
+FROM v
+""")
+def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH bucketing (deterministic integer
+    hyperplanes) -- the ANN scale path's bucketing stage."""
+    e = table(spark, sf_dir, "embeddings")
+    return S.lsh_bucket(e, dim=64)
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing
+# --------------------------------------------------------------------------
+
+@register("multimodal_features", "ext:multimodal,UD5", oracle="""
+SELECT doc_id,
+       'text/plain' AS media_type,
+       CAST(strlen(text) AS BIGINT) AS payload_bytes,
+       sha256(text) AS payload_sha,
+       CAST(strlen(text) % 640 + 1 AS BIGINT) AS width,
+       CAST(strlen(text) % 480 + 1 AS BIGINT) AS height
+FROM documents
+""")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata extraction via Arrow-batched
+    mapInPandas (decode kernel stubbed deterministically; plumbing --
+    schema, batching, hashing -- real)."""
+    d = with_binary_payload(table(spark, sf_dir, "documents"))
+    return extract_features(d)
+
+
+# --------------------------------------------------------------------------
+# Remaining relational families: quantile (A9), CAGR (A8-ish), IRR
+# UDAF (A8/UD3), streaming-analog windowed agg, JSON extract (F13)
+# --------------------------------------------------------------------------
+
+@register("quantile_acctbal", "A9", oracle="""
+SELECT c_nationkey,
+       round(quantile_cont(c_acctbal, 0.25), 4) AS q25,
+       round(quantile_cont(c_acctbal, 0.50), 4) AS q50,
+       round(quantile_cont(c_acctbal, 0.75), 4) AS q75
+FROM customer
+GROUP BY c_nationkey
+""")
+def quantile_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (reference clamps via
+    np.quantile: Model/Factory_elect_simulator_update.py:220,233)."""
+    c = table(spark, sf_dir, "customer")
+    return (c.groupBy("c_nationkey")
+             .agg(F.round(F.expr("percentile(c_acctbal, 0.25)"), 4).alias("q25"),
+                  F.round(F.expr("percentile(c_acctbal, 0.50)"), 4).alias("q50"),
+                  F.round(F.expr("percentile(c_acctbal, 0.75)"), 4).alias("q75")))
+
+
+@register("cagr_nation_revenue", "A8,F10", oracle="""
+WITH y AS (
+  SELECT c.c_nationkey, CAST(year(o.o_orderdate) AS INT) AS yr,
+         round(sum(o.o_totalprice), 4) AS total
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+)
+SELECT c_nationkey,
+       min(yr) AS first_year, max(yr) AS last_year,
+       round(power(arg_max(total, yr) / arg_min(total, yr),
+             1.0 / nullif(max(yr) - min(yr), 0)) - 1, 6) AS cagr
+FROM y
+GROUP BY c_nationkey
+""")
+def cagr_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAGR over yearly revenue series per nation -- the reference's
+    cagr_func UDAF (Model/Factory_elect_simulator_update.py:205-211)
+    expressed with min_by/max_by instead of Python."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    y = (o.join(c, c.c_custkey == o.o_custkey)
+          .groupBy("c_nationkey", F.year("o_orderdate").cast("int").alias("yr"))
+          .agg(F.round(F.sum("o_totalprice"), 4).alias("total")))
+    return (y.groupBy("c_nationkey")
+             .agg(F.min("yr").alias("first_year"),
+                  F.max("yr").alias("last_year"),
+                  F.round(
+                      F.pow(F.expr("max_by(total, yr)") / F.expr("min_by(total, yr)"),
+                            1.0 / F.nullif(F.max("yr") - F.min("yr"), F.lit(0))) - 1,
+                      6).alias("cagr")))
+
+
+@register("irr_by_brand", "A8,UD3,UD2")
+def irr_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IRR of each brand's yearly revenue treated as a cashflow series
+    (first year negated as the outlay) -- the reference's irr_func
+    grouped UDAF (Model/Factory_elect_simulator_update.py:194-203),
+    as an Arrow-batched applyInPandas with bisection NPV root-finding.
+    Not SQL-expressible => rows-only correctness check.
+    """
+    import pandas as pd
+
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    y = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+           .groupBy("p_brand", F.year("l_shipdate").cast("int").alias("yr"))
+           .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("revenue")))
+
+    def irr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("yr")
+        cf = pdf["revenue"].to_numpy().copy()
+        cf[0] = -abs(cf[0]) * float(len(cf))  # synthetic outlay
+        lo, hi = -0.99, 10.0
+
+        def npv(r: float) -> float:
+            return sum(c / (1 + r) ** t for t, c in enumerate(cf))
+
+        for _ in range(80):  # deterministic bisection
+            mid = (lo + hi) / 2
+            if npv(lo) * npv(mid) <= 0:
+                hi = mid
+            else:
+                lo = mid
+        return pd.DataFrame({"p_brand": [pdf["p_brand"].iloc[0]],
+                             "n_years": [len(cf)],
+                             "irr": [round((lo + hi) / 2, 6)]})
+
+    return y.groupBy("p_brand").applyInPandas(
+        irr, "p_brand string, n_years bigint, irr double")
+
+
+@register("events_tumbling_agg", "ext:streaming-analog,F8", oracle="""
+SELECT make_timestamp((epoch_ns(ts) // 600000000000) * 600000000) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+""")
+def events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling-window aggregate over the event stream --
+    the BATCH expression of the Structured Streaming job in
+    streaming/events.py (same plan shape, same results on a static
+    read)."""
+    e = events_table(spark, sf_dir)
+    return (e.groupBy(F.window("ts", "10 minutes").getField("start")
+                       .alias("window_start"),
+                      "event_type")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.round(F.sum("value"), 4).alias("total_value")))
+
+
+@register("events_json_extract", "F13", oracle="""
+SELECT event_type,
+       round(avg(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)), 4) AS avg_k,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+""")
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the props payload (reference JSON
+    I/O: jobs/source_to_raw/solar.py:98,114-117)."""
+    e = events_table(spark, sf_dir)
+    return (e.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+             .groupBy("event_type")
+             .agg(F.round(F.avg("k"), 4).alias("avg_k"),
+                  F.count(F.lit(1)).alias("n")))
