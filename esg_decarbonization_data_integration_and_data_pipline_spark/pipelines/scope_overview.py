@@ -1,0 +1,69 @@
+"""KPI layer: carbon-scope accounting (the decarb_elec_overview calc).
+
+Semantics (reference: jobs/staging_cal.py:41-139,386-922):
+- location-based scope 2 = total electricity x grid coefficient / 1000
+- market-based scope 2   = (total - green - solar) x coefficient / 1000
+- scope 1                = location x 0.06 / (1 - 0.06)
+  (reference: jobs/staging_cal.py:92-106)
+- renewable ratio        = (green + solar) / total
+- base-year comparison   = cross-join of the base-year scalar onto
+  every row (J4, reference: jobs/staging_cal.py:17-18,221-246)
+
+Spark shape: one groupBy per source table, broadcast coef dim, J4 as
+a broadcast cross join; everything else is column arithmetic in
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from esg_decarbonization_data_integration_and_data_pipline_spark.operators.joins import attach_scalar
+
+SCOPE1_FACTOR = 0.06 / (1 - 0.06)
+
+
+def scope_overview(tables: dict[str, DataFrame], base_year: int) -> DataFrame:
+    """tables:
+    elect_total(site, amount, period_start) -- total consumption,
+    green(site, amount, period_start)       -- purchased green power,
+    solar(site, amount, period_start)       -- self-generated solar,
+    carbon_coef(site, year, coef).
+
+    Output per (site, year): totals, scopes, renewable ratio, and
+    pct-vs-base-year for market-based scope 2.
+    """
+    def yearly(name: str, df: DataFrame) -> DataFrame:
+        return (df.groupBy("site", F.year("period_start").alias("year"))
+                  .agg(F.sum("amount").alias(name)))
+
+    y = (yearly("total", tables["elect_total"])
+         .join(yearly("green", tables["green"]), ["site", "year"], "left")
+         .join(yearly("solar", tables["solar"]), ["site", "year"], "left")
+         .na.fill({"green": 0.0, "solar": 0.0}))
+
+    coef = tables["carbon_coef"].select("site", "year", "coef")
+    y = y.join(F.broadcast(coef), ["site", "year"], "left")
+
+    out = (y.withColumn("scope2_location",
+                        F.round(F.col("total") * F.col("coef") / 1000, 6))
+            .withColumn("scope2_market",
+                        F.round(F.greatest(
+                            F.col("total") - F.col("green") - F.col("solar"),
+                            F.lit(0.0)) * F.col("coef") / 1000, 6))
+            .withColumn("scope1",
+                        F.round(F.col("total") * F.col("coef") / 1000
+                                * F.lit(SCOPE1_FACTOR), 6))
+            .withColumn("renewable_ratio",
+                        F.round((F.col("green") + F.col("solar"))
+                                / F.nullif(F.col("total"), F.lit(0.0)), 6)))
+
+    base = (out.filter(F.col("year") == base_year)
+               .groupBy()
+               .agg(F.sum("scope2_market").alias("base_scope2_market")))
+    return (attach_scalar(out, base)
+            .withColumn("pct_vs_base",
+                        F.round((F.col("scope2_market")
+                                 / F.nullif(F.col("base_scope2_market"),
+                                            F.lit(0.0)) - 1) * 100, 4))
+            .drop("base_scope2_market"))
