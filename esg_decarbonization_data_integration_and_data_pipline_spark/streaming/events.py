@@ -1,0 +1,74 @@
+"""Streaming jobs over the events table (SURVEY.md §2.11).
+
+The reference is pure batch (no streaming anywhere in the repo);
+this module is the engine's incremental-processing surface: the same
+YTM/rollup-style aggregations expressed as micro-batch jobs with
+event-time windows, watermarked late-data handling, and in-stream
+dedup. ``events_tumbling_agg`` in plans/queries_data.py is the exact
+batch analog of ``tumbling_value_agg`` -- same grouping, same
+results on a static read -- which is how the tests pin streaming
+semantics to the oracle-checked batch plan.
+
+Scale notes: tumbling-window agg + watermark is fully partial-agg
+friendly (state per (window, event_type) only); dedup state is
+bounded by the watermark horizon. File source here; Kafka in
+production is the same plan with a different ``format``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType,
+)
+
+EVENTS_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", LongType()),  # nanos (parquet TIMESTAMP(NANOS))
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def read_event_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source event stream with the nanos->NTZ conversion used by
+    the batch reader (tables.events_table)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    # watermarks require TIMESTAMP (with local tz), not NTZ; the
+    # session runs UTC (session.py) so wall times equal the batch path
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_value_agg(events: DataFrame, window: str = "10 minutes",
+                       watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked tumbling-window count+sum per event_type -- the
+    streaming twin of the batch events_tumbling_agg query."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).getField("start").alias("window_start"),
+                     "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("total_value")))
+
+
+def dedup_events(events: DataFrame,
+                 watermark: str = "30 minutes") -> DataFrame:
+    """In-stream exact dedup by event_id within the watermark horizon
+    (state is dropped once the watermark passes -- bounded memory)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
+
+
+def run_to_memory(sdf: DataFrame, name: str, mode: str = "complete"):
+    """Drain a streaming frame into an in-memory table (tests/dev).
+    Returns the query after processing everything available."""
+    q = (sdf.writeStream.format("memory").queryName(name)
+            .outputMode(mode).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return q
