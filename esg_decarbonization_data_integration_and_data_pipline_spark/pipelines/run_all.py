@@ -1,0 +1,81 @@
+"""Batch DAG driver (SURVEY.md §2.12 C1/C2).
+
+The reference's nightly ``main()`` runs ~30 read->transform->write
+steps sequentially in one process with a per-table dispatch factory
+(reference: main.py:29-113; factories/source_to_raw_factory.py:9-26).
+Here the DAG is an explicit job registry plus a topological runner;
+independent stages run concurrently on one SparkSession (Spark jobs
+are thread-safe), which the reference cannot do.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Callable
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Job:
+    name: str
+    run: Callable[[SparkSession, dt.date], DataFrame | None]
+    depends_on: list[str] = field(default_factory=list)
+
+
+class JobRegistry:
+    """Name -> job dispatch (the reference's factory, C2)."""
+
+    def __init__(self) -> None:
+        self._jobs: dict[str, Job] = {}
+
+    def register(self, name: str, depends_on: list[str] | None = None):
+        def deco(fn):
+            self._jobs[name] = Job(name, fn, list(depends_on or []))
+            return fn
+        return deco
+
+    def __getitem__(self, name: str) -> Job:
+        return self._jobs[name]
+
+    def names(self) -> list[str]:
+        return list(self._jobs)
+
+    def run_all(self, spark: SparkSession, run_date: dt.date,
+                max_workers: int = 4) -> dict[str, str]:
+        """Run every job respecting dependencies; independent jobs run
+        concurrently. Returns name -> 'ok' | error string (the
+        reference's per-job try/except result collection,
+        jobs/raw_to_staging.py:208-213)."""
+        results: dict[str, str] = {}
+        done: set[str] = set()
+        pending = dict(self._jobs)
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            while pending:
+                ready = [j for j in pending.values()
+                         if all(d in done for d in j.depends_on)]
+                if not ready:
+                    for j in pending.values():
+                        results[j.name] = "error: unsatisfiable dependencies"
+                    break
+                futures = {
+                    j.name: pool.submit(self._run_one, j, spark, run_date)
+                    for j in ready
+                }
+                for name, fut in futures.items():
+                    results[name] = fut.result()
+                    done.add(name)
+                    del pending[name]
+        return results
+
+    @staticmethod
+    def _run_one(job: Job, spark: SparkSession, run_date: dt.date) -> str:
+        try:
+            out = job.run(spark, run_date)
+            if out is not None:
+                out.count()  # force materialization like a write would
+            return "ok"
+        except Exception as e:  # noqa: BLE001 - mirror reference error capture
+            return f"error: {e}"

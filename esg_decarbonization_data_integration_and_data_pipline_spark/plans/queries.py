@@ -642,6 +642,7 @@ def pow_floor_round_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pull in part 2 (training-data-pipeline + remaining families); import
 # placed at the bottom so the register() decorator above is defined.
 from esg_decarbonization_data_integration_and_data_pipline_spark.plans import queries_data  # noqa: E402,F401
+from esg_decarbonization_data_integration_and_data_pipline_spark.plans import queries_misc  # noqa: E402,F401
 
 QUERY_FNS: dict[str, QueryFn] = {name: spec.fn for name, spec in REGISTRY.items()}
 ORACLES: dict[str, str] = {

@@ -1,0 +1,159 @@
+"""Declared queries, part 3: the remaining SURVEY.md §2 rows --
+self-joins on derived frames (J8), set ops (U2/U4), limits (O3),
+string/timestamp formatting (F7/F8), scalar Pandas UDF (UD1), and
+the external-model-API stub via mapInPandas (UD5).
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # module-level: pandas_udf resolves stringized type hints here
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from esg_decarbonization_data_integration_and_data_pipline_spark.tables import table
+from esg_decarbonization_data_integration_and_data_pipline_spark.plans.queries import register
+
+
+@register("selfjoin_green_grey_rate", "J8,F9", oracle="""
+WITH f AS (SELECT o_custkey,
+                  sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS closed_amt,
+                  sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS open_amt
+           FROM orders GROUP BY 1)
+SELECT o_custkey,
+       round(closed_amt, 4) AS closed_amt,
+       round(open_amt, 4)   AS open_amt,
+       round(closed_amt / nullif(closed_amt + open_amt, 0), 6) AS closed_rate
+FROM f
+WHERE closed_amt IS NOT NULL AND open_amt IS NOT NULL
+""")
+def selfjoin_green_grey_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split one table into two derived frames and re-join to compute
+    a rate -- the reference's green-vs-grey electricity self-join
+    (reference: jobs/staging_to_app.py:314-320,351-355). Expressed as
+    two filtered aggregates joined on the key; Catalyst collapses the
+    double scan of the same parquet into two column-pruned reads."""
+    o = table(spark, sf_dir, "orders")
+    closed = (o.filter(F.col("o_orderstatus") == "F")
+               .groupBy("o_custkey").agg(F.sum("o_totalprice").alias("closed_amt")))
+    open_ = (o.filter(F.col("o_orderstatus") == "O")
+              .groupBy("o_custkey").agg(F.sum("o_totalprice").alias("open_amt")))
+    return (closed.join(open_, "o_custkey")
+            .select("o_custkey",
+                    F.round("closed_amt", 4).alias("closed_amt"),
+                    F.round("open_amt", 4).alias("open_amt"),
+                    F.round(F.col("closed_amt")
+                            / F.nullif(F.col("closed_amt") + F.col("open_amt"),
+                                       F.lit(0.0)), 6).alias("closed_rate")))
+
+
+@register("except_nation_keys", "U2,U4", oracle="""
+SELECT DISTINCT c_nationkey AS nationkey
+FROM customer
+EXCEPT
+SELECT DISTINCT s_nationkey FROM supplier
+""")
+def except_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT on key sets, the reference's set(old)-set(new) gap scan
+    (reference: jobs/fix_data.py:65,137) as a distributed set op."""
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.distinct().exceptAll(s.distinct())
+
+
+@register("top_revenue_order", "O3,O2,A3", oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 1
+""")
+def top_revenue_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic first-row pick (reference: df['version'][0]
+    first-row reads, jobs/fix_data.py:372-374). orderBy+limit compiles
+    to TakeOrderedAndProject -- no global sort materialization."""
+    o = table(spark, sf_dir, "orders")
+    return (o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+             .limit(1)
+             .select("o_orderkey", "o_custkey", "o_totalprice"))
+
+
+@register("concat_format_timestamps", "F7,F8,P9", oracle="""
+SELECT event_id,
+       event_type || '@' || strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_tag,
+       concat_ws('|', event_type, CAST(user_id AS VARCHAR))   AS event_key,
+       strftime(ts, '%Y-%m-%d %H:%M:%S')                      AS ts_formatted
+FROM events
+""")
+def concat_format_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat + timestamp parse/format family (reference strftime
+    stamping: jobs/source_to_raw/fem_ratio.py:35-36, solar.py:118-119;
+    IN-list building via join: jobs/csr_etl.py:75)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.tables import events_table
+
+    e = events_table(spark, sf_dir)
+    fmt = F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    return e.select(
+        "event_id",
+        F.concat(F.col("event_type"), F.lit("@"), fmt).alias("event_tag"),
+        F.concat_ws("|", F.col("event_type"),
+                    F.col("user_id").cast("string")).alias("event_key"),
+        fmt.alias("ts_formatted"))
+
+
+@register("pandas_udf_zscore", "UD1", oracle="""
+WITH s AS (SELECT avg(c_acctbal) AS mu, stddev_samp(c_acctbal) AS sigma FROM customer)
+SELECT c.c_custkey,
+       round((c.c_acctbal - s.mu) / s.sigma, 6) AS acctbal_z
+FROM customer c CROSS JOIN s
+""")
+def pandas_udf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (Arrow-vectorized) Pandas UDF -- the UD1 surface. The
+    z-score body is deliberately trivial so the oracle can reproduce
+    it; real uses are library calls with no SQL equivalent. The
+    mean/std come in as broadcast scalars, the UDF is pure
+    per-batch arithmetic (no state)."""
+    from pyspark.sql.functions import pandas_udf
+
+    c = table(spark, sf_dir, "customer")
+    stats = c.agg(F.avg("c_acctbal").alias("mu"),
+                  F.stddev_samp("c_acctbal").alias("sigma"))
+
+    @pandas_udf("double")
+    def zscore(v: pd.Series, mu: pd.Series, sigma: pd.Series) -> pd.Series:
+        return (v - mu) / sigma
+
+    return (c.crossJoin(F.broadcast(stats))
+             .select("c_custkey",
+                     F.round(zscore("c_acctbal", "mu", "sigma"), 6)
+                      .alias("acctbal_z")))
+
+
+@register("external_model_scoring", "UD5,S4")
+def external_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External-model scoring API via mapInPandas -- the reference
+    POSTs JSON plant batches to a forecast service
+    (reference: Model/Factory_elect_simulator_update.py:652-669,
+    813-830). The HTTP call is STUBBED with a deterministic linear
+    model (no network in tests); the batching, JSON encode/decode
+    shape, and Arrow plumbing are real. Rows-only correctness check
+    (external boundary => not SQL-expressible by design)."""
+    import json
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            # mirror the reference's JSON request/response round-trip
+            payload = json.loads(pdf[["c_custkey", "c_acctbal"]]
+                                 .to_json(orient="records"))
+            # --- stubbed service: deterministic linear scoring ---
+            responses = [
+                {"c_custkey": row["c_custkey"],
+                 "score": round(0.001 * row["c_acctbal"] + 0.5, 6)}
+                for row in payload
+            ]
+            yield pd.DataFrame(responses)
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    return c.mapInPandas(score_batches, "c_custkey bigint, score double")
