@@ -1,0 +1,85 @@
+"""Electricity-simulation pipeline: the reference's heaviest query
+(SURVEY.md §3.3, reference: Model/Factory_elect_simulator_update.py:
+672-1048), re-expressed as pure DataFrame algebra.
+
+Reference stages -> Spark shapes:
+1. pivot budget/actual MOH long->wide (R2)        -> groupBy().pivot()
+2. per-(site, plant) trend rate via CAGR (A8)     -> min_by/max_by agg
+3. future-year synthesis loop 'for x in 1..H'     -> cross join with
+   sequence(1, H) + pow(1+rate, x) + add_months(date, 12x); the
+   reference's Python year loop disappears into one plan
+4. month-share allocation of yearly forecasts     -> window share of
+   historical month totals (W5)
+5. version bump 'V'+(max+1) (F14)                 -> parse/max/concat
+The external scoring API stage (reference :652-669) is the stubbed
+mapInPandas in plans/queries_misc.external_model_scoring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from esg_decarbonization_data_integration_and_data_pipline_spark.functions.finance import cagr_agg
+from esg_decarbonization_data_integration_and_data_pipline_spark.operators.windows import (
+    share_of_total,
+)
+
+
+def trend_rates(history: DataFrame) -> DataFrame:
+    """history(site, plant, year, month, amount) -> per-(site, plant)
+    growth rate from yearly totals; clamped to [-0.5, 0.5] like the
+    reference's growth-rate clamps (reference: :574-649)."""
+    yearly = (history.groupBy("site", "plant", "year")
+                     .agg(F.sum("amount").alias("total")))
+    rates = (yearly.groupBy("site", "plant")
+                   .agg(cagr_agg("total", "year").alias("rate"),
+                        F.expr("max_by(total, year)").alias("last_total"),
+                        F.max("year").alias("last_year")))
+    return rates.withColumn(
+        "rate",
+        F.least(F.greatest(F.coalesce("rate", F.lit(0.0)), F.lit(-0.5)),
+                F.lit(0.5)))
+
+
+def month_shares(history: DataFrame) -> DataFrame:
+    """Historical share of each calendar month within (site, plant) --
+    the allocation key for spreading yearly forecasts (reference
+    month-share allocation: :424-541)."""
+    m = (history.groupBy("site", "plant", "month")
+                .agg(F.sum("amount").alias("m_amount")))
+    return (share_of_total(m, ["site", "plant"], "m_amount", out_col="share")
+            .select("site", "plant", "month", "share"))
+
+
+def simulate_future(history: DataFrame, horizon: int) -> DataFrame:
+    """Synthesize monthly forecasts for the next ``horizon`` years:
+    yearly = last_total * (1+rate)^x, spread by month share.
+
+    Output: (site, plant, year, month, amount, kind='forecast').
+    """
+    rates = trend_rates(history)
+    shares = month_shares(history)
+    offsets = F.explode(F.sequence(F.lit(1), F.lit(horizon))).alias("x")
+    future_years = (rates.select("site", "plant", "rate", "last_total",
+                                 "last_year", offsets)
+                         .withColumn("year", F.col("last_year") + F.col("x"))
+                         .withColumn("y_amount",
+                                     F.col("last_total")
+                                     * F.pow(1 + F.col("rate"), F.col("x"))))
+    monthly = (future_years.join(shares, ["site", "plant"])
+               .withColumn("amount",
+                           F.round(F.col("y_amount") * F.col("share"), 6))
+               .select("site", "plant", "year", "month", "amount")
+               .withColumn("kind", F.lit("forecast")))
+    return monthly
+
+
+def bump_version(versions: DataFrame,
+                 version_col: str = "version") -> str:
+    """'V'+(max numeric suffix + 1) -- the reference's read-modify-
+    write version bump (reference: :938-947; single-writer assumption
+    documented in SURVEY §7.3). Collects ONE scalar."""
+    row = versions.select(
+        F.max(F.substring(F.col(version_col), 2, 10).cast("int")).alias("n")
+    ).collect()[0]
+    return f"V{(row.n or 0) + 1}"

@@ -1,0 +1,137 @@
+"""Golden tests for the simulator, ESGI ingest, gap-fix and MACC
+pipelines."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from esg_decarbonization_data_integration_and_data_pipline_spark.functions.finance import (
+    grouped_irr, irr_bisect,
+)
+from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.esgi_ingest import esgi_to_raw
+from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.gap_fix import (
+    reconcile_sources, synthesize_missing_sites,
+)
+from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.macc import macc_summary
+from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.simulator import (
+    bump_version, month_shares, simulate_future, trend_rates,
+)
+
+
+def _history(spark):
+    # two sites x two years, deterministic monthly split 60/40
+    rows = []
+    for year, scale in [(2022, 1.0), (2023, 1.21)]:  # 21% growth over 1y
+        rows += [("WZS", "P1", year, 1, 60.0 * scale),
+                 ("WZS", "P1", year, 2, 40.0 * scale),
+                 ("WKS", "P2", year, 1, 10.0 * scale)]
+    return spark.createDataFrame(
+        rows, "site string, plant string, year int, month int, amount double")
+
+
+def test_trend_rates_cagr_and_clamp(spark):
+    rates = {(r.site, r.plant): r for r in trend_rates(_history(spark)).collect()}
+    assert rates[("WZS", "P1")].rate == pytest.approx(0.21, abs=1e-9)
+    assert rates[("WZS", "P1")].last_total == pytest.approx(121.0)
+    # explosive growth clamps at +0.5
+    hist = spark.createDataFrame(
+        [("S", "P", 2022, 1, 1.0), ("S", "P", 2023, 1, 100.0)],
+        "site string, plant string, year int, month int, amount double")
+    assert trend_rates(hist).collect()[0].rate == 0.5
+
+
+def test_month_shares(spark):
+    shares = {(r.site, r.plant, r.month): r.share
+              for r in month_shares(_history(spark)).collect()}
+    assert shares[("WZS", "P1", 1)] == pytest.approx(0.6)
+    assert shares[("WZS", "P1", 2)] == pytest.approx(0.4)
+    assert shares[("WKS", "P2", 1)] == pytest.approx(1.0)
+
+
+def test_simulate_future_years(spark):
+    out = {(r.site, r.plant, r.year, r.month): r.amount
+           for r in simulate_future(_history(spark), horizon=2).collect()}
+    # year +1: 121 * 1.21 = 146.41, split 60/40
+    assert out[("WZS", "P1", 2024, 1)] == pytest.approx(146.41 * 0.6, abs=1e-6)
+    assert out[("WZS", "P1", 2025, 2)] == pytest.approx(121 * 1.21**2 * 0.4, abs=1e-6)
+    # second site grows at the same 21% CAGR: 12.1 * 1.21^2
+    assert out[("WKS", "P2", 2025, 1)] == pytest.approx(12.1 * 1.21**2, abs=1e-6)
+    assert len(out) == 2 * 3  # 2 horizon years x 3 site-plant-months
+
+
+def test_bump_version(spark):
+    v = spark.createDataFrame([("V1",), ("V5",), ("V3",)], "version string")
+    assert bump_version(v) == "V6"
+    empty = spark.createDataFrame([], "version string")
+    assert bump_version(empty) == "V1"
+
+
+def test_irr_matches_known_value(spark):
+    # cashflows -100, +60, +60: IRR satisfies NPV=0 -> r ~ 0.13066
+    assert irr_bisect([-100.0, 60.0, 60.0]) == pytest.approx(0.13066, abs=1e-4)
+    df = spark.createDataFrame(
+        [("b", 2022, 100.0), ("b", 2023, 60.0), ("b", 2024, 60.0)],
+        "grp string, year int, revenue double")
+    out = grouped_irr(df, ["grp"], "year", "revenue").collect()[0]
+    # first value negated x3: [-300, 60, 60] -> deeply negative IRR
+    assert out.irr < 0
+
+
+def test_esgi_ingest_normalization(spark):
+    raw = spark.createDataFrame(
+        [("總用電度數", "old_code", dt.date(2023, 5, 1), "1.5", 1),
+         ("總用電度數", "P2", dt.date(2023, 5, 1), "NA", 2),      # NA -> 0
+         ("綠電電量", "P2", dt.date(2023, 5, 1), "2", 3),
+         ("無關指標", "P2", dt.date(2023, 5, 1), "9", 4)],        # dropped
+        "data_name string, plant string, period_start date, data_value string, performance_goalsid int")
+    mapping = spark.createDataFrame(
+        [("WZS", "P1"), ("WZS", "P2")], "site string, plant string")
+    out = esgi_to_raw({"esgi_indicators": raw, "plant_mapping": mapping},
+                      plant_recode={"old_code": "P1"})
+    elec = out["electricity_total_decarb"].collect()
+    assert {(r.site, r.amount) for r in elec} == {("WZS", 1500.0)}  # 1.5x1000 + 0
+    renew = out["renewable_energy_decarb"].collect()
+    assert {(r.category, r.amount) for r in renew} == {("green_electricity", 2000.0)}
+
+
+def test_gap_fix_synthesizes_zero_rows(spark):
+    obs = spark.createDataFrame(
+        [("WZS", 10.0, dt.date(2023, 5, 1)), ("WKS", 5.0, dt.date(2023, 5, 1)),
+         ("WZS", 12.0, dt.date(2023, 11, 1))],  # WKS went silent by November
+        "site string, amount double, period_start date")
+    out = {r.site: r for r in synthesize_missing_sites(
+        obs, dt.date(2023, 11, 1), dt.date(2023, 5, 1)).collect()}
+    assert out["WZS"].amount == 12.0 and out["WZS"].synthesized is False
+    assert out["WKS"].amount == 0.0 and out["WKS"].synthesized is True
+
+
+def test_reconcile_sources_primary_wins(spark):
+    csr = spark.createDataFrame(
+        [("WZS", dt.date(2023, 5, 1), 100.0)],
+        "site string, period_start date, amount double")
+    esgi = spark.createDataFrame(
+        [("WZS", dt.date(2023, 5, 1), 999.0), ("WKS", dt.date(2023, 5, 1), 7.0)],
+        "site string, period_start date, amount double")
+    out = {r.site: r.amount for r in
+           reconcile_sources(csr, esgi).collect()}
+    assert out == {"WZS": 100.0, "WKS": 7.0}
+
+
+def test_macc_summary_curve(spark):
+    measures = spark.createDataFrame(
+        [("m1", "WZS", 2025, 730.0, 10.0),   # expensive per ton after discount
+         ("m2", "WZS", 2025, 146.0, 20.0),   # cheapest
+         ("m3", "WKS", 2025, 365.0, 10.0)],
+        "measure_id string, site string, year int, cost_rmb double, abatement_tons double")
+    fx = spark.createDataFrame([(2025, 0.14)], "year int, rmb_to_usd double")
+    wacc = spark.createDataFrame([(0.1,)], "wacc double")
+    out = {r.measure_id: r for r in macc_summary(
+        {"measures": measures, "fx": fx, "wacc": wacc}, base_year=2023).collect()}
+    # discount = 1.1^2 = 1.21; m2: 146*0.14/1.21 = 16.8926.. per 20t
+    assert out["m2"].cost_usd_pv == pytest.approx(146 * 0.14 / 1.21, abs=1e-4)
+    assert out["m2"].rank == 1
+    assert out["m1"].rank == 3
+    assert out["m1"].cum_abatement == pytest.approx(40.0)  # 20 + 10 + 10
