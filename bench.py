@@ -33,6 +33,14 @@ HEADLINE = [
     "fill_missing_part_revenue",
     "multi_key_order_lines",
     "monthly_order_calendar",
+    # training-data-pipeline surface (scale paths, not the exact
+    # quadratic verifiers)
+    "text_fingerprint",
+    "text_quality",
+    "dedup_minhash_verified",
+    "similarity_topk",
+    "similarity_lsh_buckets",
+    "events_tumbling_agg",
 ]
 
 

@@ -34,20 +34,44 @@ MINHASH_AS = [31, 37, 41, 43, 47, 53, 59, 61]
 MINHASH_P = 2147483647
 
 
+def with_bigram_shingles(df: DataFrame, text_col: str = "text",
+                         out_col: str = "sh") -> DataFrame:
+    """Attach distinct lowercase word-bigram shingles ('w1 w2').
+
+    The token array is hoisted into a column first so the shingle
+    builder indexes it O(1) instead of re-splitting the text."""
+    toks = F.expr(f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')")
+    sh = F.expr(
+        "array_distinct(transform(sequence(1, size(__toks) - 1), "
+        "i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1))))")
+    return (df.withColumn("__toks", toks)
+              .withColumn(out_col,
+                          F.when(F.size("__toks") >= 2, sh)
+                           .otherwise(F.expr("CAST(array() AS ARRAY<STRING>)")))
+              .drop("__toks"))
+
+
 def bigram_shingles(text_col: str = "text") -> Column:
-    """Distinct lowercase word-bigram shingles ('w1 w2')."""
+    """Distinct lowercase word-bigram shingles as a single column
+    expression (prefer with_bigram_shingles in multi-use plans)."""
     return F.expr(
         f"array_distinct(transform(sequence(1, size(filter(split(lower({text_col}), '\\\\s+'), t -> t != '')) - 1), "
         f"i -> concat(element_at(filter(split(lower({text_col}), '\\\\s+'), t -> t != ''), i), ' ', "
         f"element_at(filter(split(lower({text_col}), '\\\\s+'), t -> t != ''), i + 1))))")
 
 
+# O(len) per-string polynomial hash: split to chars once, fold with a
+# (sum, position) struct accumulator -- the same integers as the
+# reference substring formulation but without the O(len^2) scans.
+_CHAR_HASH = (f"aggregate(split(g, ''), named_struct('s', 0L, 'k', 0), "
+              f"(acc, c) -> named_struct("
+              f"'s', acc.s + ascii(c) * element_at({POLY_POWERS}, (acc.k % 8) + 1), "
+              f"'k', acc.k + 1), acc -> acc.s % {POLY_MOD}L)")
+
+
 def shingle_hashes(shingles_col: str) -> Column:
     """Polynomial hash per shingle (engine-independent)."""
-    return F.expr(
-        f"transform({shingles_col}, g -> aggregate(sequence(1, length(g)), 0L, "
-        f"(acc, k) -> acc + ascii(substring(g, k, 1)) * "
-        f"element_at({POLY_POWERS}, ((k-1) % 8) + 1)) % {POLY_MOD}L)")
+    return F.expr(f"transform({shingles_col}, g -> {_CHAR_HASH})")
 
 
 def minhash_signature(hashes_col: str) -> Column:
@@ -76,9 +100,10 @@ def jaccard_pairs(df: DataFrame, block_col: str, threshold: float,
     threshold, id_a < id_b. The threshold filter runs on ROUNDED
     values so the decision is float-noise-proof against the oracle.
     """
-    sh = df.select(F.col(block_col).alias("block"),
-                   F.col(id_col).alias("id"),
-                   bigram_shingles(text_col).alias("sh"))
+    sh = with_bigram_shingles(
+        df.select(F.col(block_col).alias("block"),
+                  F.col(id_col).alias("id"), text_col),
+        text_col, "sh").drop(text_col)
     a = sh.select("block", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select("block", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     pairs = a.join(b, ["block"]).filter(F.col("id_a") < F.col("id_b"))
@@ -104,10 +129,10 @@ def minhash_band_pairs(df: DataFrame, n_bands: int = 4,
     candidates.
     """
     rows_per_band = len(MINHASH_AS) // n_bands
-    sig = (df.select(F.col(id_col).alias("id"),
-                     bigram_shingles(text_col).alias("sh"))
-             .withColumn("hs", shingle_hashes("sh"))
-             .withColumn("mh", minhash_signature("hs")))
+    sig = (with_bigram_shingles(
+               df.select(F.col(id_col).alias("id"), text_col), text_col, "sh")
+           .withColumn("hs", shingle_hashes("sh"))
+           .withColumn("mh", minhash_signature("hs")))
     bands = sig.select(
         "id",
         F.explode(F.expr(
@@ -121,6 +146,33 @@ def minhash_band_pairs(df: DataFrame, n_bands: int = 4,
              .select("id_a", "id_b").distinct())
 
 
+def minhash_verified_pairs(df: DataFrame, threshold: float,
+                           n_bands: int = 4, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """THE production near-dup plan: MinHash-band candidates verified
+    with exact word-bigram Jaccard. Pairwise work happens only inside
+    LSH buckets, so cost is linear in corpus size plus the (tiny)
+    candidate term -- this is what replaces blocked pairwise Jaccard
+    at 100 TB.
+
+    Output: (id_a, id_b, jaccard) for rounded jaccard >= threshold.
+    """
+    candidates = minhash_band_pairs(df, n_bands, id_col, text_col)
+    sh = with_bigram_shingles(
+        df.select(F.col(id_col).alias("id"), text_col),
+        text_col, "sh").drop(text_col)
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = candidates.join(a, "id_a").join(b, "id_b")
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.nullif(F.size(F.array_union("sh_a", "sh_b")), F.lit(0)).cast("double"),
+        6)
+    return (joined.withColumn("jaccard", jac)
+                  .filter(F.col("jaccard") >= threshold)
+                  .select("id_a", "id_b", "jaccard"))
+
+
 def simhash32(df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """32-bit SimHash over distinct lowercase tokens.
@@ -131,9 +183,7 @@ def simhash32(df: DataFrame, id_col: str = "doc_id",
     """
     toks_hashes = (
         f"transform(array_distinct(filter(split(lower({text_col}), '\\\\s+'), t -> t != '')), "
-        f"g -> aggregate(sequence(1, length(g)), 0L, "
-        f"(acc, k) -> acc + ascii(substring(g, k, 1)) * "
-        f"element_at({POLY_POWERS}, ((k-1) % 8) + 1)) % {POLY_MOD}L)")
+        f"g -> {_CHAR_HASH})")
     sim = (f"aggregate(sequence(0, 31), 0L, (acc, b) -> acc + "
            f"IF(aggregate({toks_hashes}, 0L, "
            f"(a2, h) -> a2 + (shiftright(h, b) & 1) * 2 - 1) > 0, shiftleft(1L, b), 0L))")

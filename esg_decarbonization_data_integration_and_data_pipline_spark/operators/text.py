@@ -37,22 +37,35 @@ def tokens(text_col: str = "text") -> Column:
 def char_polyhash(expr: str) -> str:
     """SQL expr: exact integer polynomial hash of a string, coeffs
     cycling every 8 chars, mod 1e9+7. Engine-independent (document
-    fingerprinting primitive)."""
-    return (f"aggregate(sequence(1, length({expr})), 0L, "
-            f"(acc, k) -> acc + ascii(substring({expr}, k, 1)) * "
-            f"element_at({POLY_POWERS}, ((k-1) % 8) + 1)) % {POLY_MOD}L")
+    fingerprinting primitive). O(len): one split to chars, then a
+    struct-accumulator fold (substring-per-char would be O(len^2))."""
+    return (f"aggregate(split({expr}, ''), "
+            f"named_struct('s', 0L, 'k', 0), "
+            f"(acc, c) -> named_struct("
+            f"'s', acc.s + ascii(c) * element_at({POLY_POWERS}, (acc.k % 8) + 1), "
+            f"'k', acc.k + 1), "
+            f"acc -> acc.s % {POLY_MOD}L)")
 
 
-def fingerprint(text_col: str = "text") -> Column:
+def fingerprint_frame(df: DataFrame, text_col: str = "text",
+                      out_col: str = "fingerprint") -> DataFrame:
     """Rolling-hash document fingerprint: min over all 8-char shingles
     of the polynomial hash (winnowing-style min-sampling). Null for
-    texts shorter than 8 chars."""
-    shingle = f"substring({text_col}, i, 8)"
-    return F.expr(
+    texts shorter than 8 chars.
+
+    NOTE on the formulation: this intentionally indexes the string
+    with substring(text, i+j, 1) inside the lambda. Hoisting a
+    codepoint array into a separate column looks cheaper but
+    Catalyst's CollapseProject substitutes the array expression back
+    into the per-position lambda, re-evaluating the full split per
+    shingle position -- measured 40x SLOWER at sf0.1 (484s vs 12s).
+    """
+    fp = F.expr(
         f"array_min(transform(sequence(1, length({text_col}) - 7), "
         f"i -> aggregate(sequence(0, 7), 0L, "
         f"(acc, j) -> acc + ascii(substring({text_col}, i + j, 1)) * "
         f"element_at({POLY_POWERS}, j + 1)) % {POLY_MOD}L))")
+    return df.withColumn(out_col, fp)
 
 
 def _stop_count(toks: Column, words: list[str]) -> Column:

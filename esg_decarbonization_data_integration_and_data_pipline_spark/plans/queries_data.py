@@ -57,7 +57,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash (winnowing-style min) document fingerprint, exact
     integer arithmetic, zero shuffles."""
     d = table(spark, sf_dir, "documents")
-    return d.select("doc_id", T.fingerprint("text").alias("fingerprint"))
+    return T.fingerprint_frame(d).select("doc_id", "fingerprint")
 
 
 @register("text_lang_id", "ext:lang-id", oracle="""
@@ -201,6 +201,45 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from an equi-join on (band, signature) -- the 100 TB dedup plan."""
     d = table(spark, sf_dir, "documents")
     return D.minhash_band_pairs(d, n_bands=4)
+
+
+@register("dedup_minhash_verified", "ext:dedup-minhash-lsh,ext:dedup-ngram-jaccard", oracle="""
+WITH s AS (
+  SELECT doc_id AS id,
+         (SELECT """ + _SQL_BIGRAMS + """ FROM (SELECT """ + _SQL_TOKS + """ AS __t)) AS sh
+  FROM documents
+),
+hs AS (
+  SELECT id, [""" + _sql_polyhash("g") + """ FOR g IN sh] AS hl FROM s
+),
+mh AS (
+  SELECT id, [list_min([(h * a + a * 7 + 13) % 2147483647 FOR h IN hl])
+              FOR a IN [31, 37, 41, 43, 47, 53, 59, 61]] AS m
+  FROM hs
+),
+bands AS (
+  SELECT id, b.band, m[b.band * 2 + 1] || ',' || m[b.band * 2 + 2] AS sig
+  FROM mh, (SELECT unnest(range(0, 4)) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+)
+SELECT c.id_a, c.id_b,
+       round(len(list_intersect(sa.sh, sb.sh))
+             / CAST(nullif(len(list_distinct(list_concat(sa.sh, sb.sh))), 0) AS DOUBLE),
+             6) AS jaccard
+FROM cand c JOIN s sa ON sa.id = c.id_a JOIN s sb ON sb.id = c.id_b
+WHERE round(len(list_intersect(sa.sh, sb.sh))
+            / CAST(nullif(len(list_distinct(list_concat(sa.sh, sb.sh))), 0) AS DOUBLE),
+            6) >= 0.05
+""")
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup plan: MinHash-LSH candidates verified
+    with exact bigram Jaccard -- pairwise work confined to LSH
+    buckets (linear + candidate term; the 100 TB path)."""
+    d = table(spark, sf_dir, "documents")
+    return D.minhash_verified_pairs(d, threshold=0.05)
 
 
 @register("dedup_simhash", "ext:dedup-simhash", oracle="""

@@ -1,0 +1,58 @@
+"""Physical-plan shape guards: the properties that make these plans
+survive a 100x scale-up must not silently regress.
+
+Checks the EXPLAIN output of key registry queries for: column-pruned
+parquet scans (ReadSchema), pushed filters, broadcast joins on dims,
+partial aggregation before exchanges, and absence of cartesian
+products where an equi/band join is intended."""
+
+from __future__ import annotations
+
+import pytest
+
+from esg_decarbonization_data_integration_and_data_pipline_spark.plans.queries import REGISTRY
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+
+def test_pricing_summary_prunes_and_partial_aggs(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "pricing_summary")
+    # only the 6 needed columns reach the scan
+    assert "l_orderkey" not in plan
+    assert "partial_sum" in plan
+    # single shuffle: exactly one Exchange detail node in the plan
+    assert plan.count(") Exchange") == 1
+
+
+def test_brand_revenue_broadcasts_dim(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "brand_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [IsNotNull(p_partkey)]" in plan
+    # fact side never shuffles for the join itself
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_anti_compile_to_join_types(spark, sf_dir):
+    assert "LeftSemi" in plan_of(spark, sf_dir, "customers_with_open_orders")
+    assert "LeftAnti" in plan_of(spark, sf_dir, "customers_without_orders")
+
+
+def test_top_revenue_order_avoids_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "top_revenue_order")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_interval_join_broadcasts_bands(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "interval_size_bands")
+    assert "BroadcastNestedLoopJoin" in plan  # band predicate, broadcast side
+    assert "CartesianProduct" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "string_slice_like")
+    assert "PushedFilters" in plan
+    assert "StringContains" in plan or "p_type" in plan.split("PushedFilters")[1][:200]

@@ -1,0 +1,84 @@
+"""Property-based invariants for the core operators (hypothesis).
+
+Each property runs a brute-force Python model against the Spark
+operator on small random inputs -- the invariant-checking layer the
+reference lacks entirely (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from esg_decarbonization_data_integration_and_data_pipline_spark.operators.joins import asof_join
+from esg_decarbonization_data_integration_and_data_pipline_spark.operators.rollup import rollup_all
+from esg_decarbonization_data_integration_and_data_pipline_spark.operators.windows import ytm_cumsum
+
+SETTINGS = settings(max_examples=8, deadline=None,
+                    suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+amounts = st.integers(min_value=-100, max_value=100)
+
+
+@SETTINGS
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["a", "b"]), st.integers(1, 6), amounts),
+    min_size=1, max_size=12))
+def test_ytm_last_equals_group_total(spark, rows):
+    # collapse duplicate (key, month) first, as the operator contract requires
+    agg = {}
+    for k, m, v in rows:
+        agg[(k, m)] = agg.get((k, m), 0) + v
+    df = spark.createDataFrame(
+        [(k, m, float(v)) for (k, m), v in agg.items()],
+        "k string, m int, amount double")
+    out = ytm_cumsum(df, ["k"], "m", "amount").collect()
+    by_key: dict[str, list] = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r)
+    for k, rs in by_key.items():
+        rs.sort(key=lambda r: r.m)
+        running = 0.0
+        for r in rs:
+            running += r.amount
+            assert r.ytm_amount == running
+        assert rs[-1].ytm_amount == sum(v for (kk, _), v in agg.items() if kk == k)
+
+
+@SETTINGS
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["x", "y"]), st.sampled_from(["s1", "s2"]), amounts),
+    min_size=1, max_size=10))
+def test_rollup_all_consistency(spark, rows):
+    df = spark.createDataFrame(
+        [(a, b, float(v)) for a, b, v in rows], "bo string, site string, amount double")
+    out = {(r.bo, r.site): r.amount for r in
+           rollup_all(df, ["bo", "site"], [],
+                      [F.sum("amount").alias("amount")]).collect()}
+    total = sum(v for _, _, v in rows)
+    assert out[("ALL", "ALL")] == total
+    for bo in {a for a, _, _ in rows}:
+        assert out[(bo, "ALL")] == sum(v for a, _, v in rows if a == bo)
+        # detail rows sum to the bo rollup
+        details = [v for (b, s), v in out.items() if b == bo and s != "ALL"]
+        assert sum(details) == out[(bo, "ALL")]
+
+
+@SETTINGS
+@given(left=st.lists(st.tuples(st.sampled_from(["k1", "k2"]), st.integers(0, 20)),
+                     min_size=1, max_size=8),
+       right=st.lists(st.tuples(st.sampled_from(["k1", "k2"]), st.integers(0, 20)),
+                      min_size=0, max_size=8))
+def test_asof_join_matches_bruteforce(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k string, t int, lid int")
+    rdf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(right)], "k string, rt int, rid int")
+    out = {r.lid: (r.rt, r.rid) for r in
+           asof_join(ldf, rdf, ["k"], "t", "rt",
+                     tiebreak=[F.col("rid").desc()]).collect()}
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, j) for j, (rk, rt) in enumerate(right)
+                 if rk == k and rt <= t]
+        want = max(cands, key=lambda c: (c[0], c[1])) if cands else (None, None)
+        assert out[i] == want
+    assert len(out) == len(left)  # exactly one row per left row
