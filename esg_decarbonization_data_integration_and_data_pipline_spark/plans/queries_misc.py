@@ -128,6 +128,55 @@ def pandas_udf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("acctbal_z")))
 
 
+@register("greedy_allocation", "UD4,W2,W1", oracle="""
+WITH offers AS (
+  SELECT CAST(p_partkey % 3 + 2030 AS INT) AS year,
+         CAST(p_partkey AS VARCHAR)        AS source_id,
+         p_retailprice                     AS price,
+         CAST(p_size * 10 AS DOUBLE)       AS available
+  FROM part
+),
+t AS (SELECT * FROM (VALUES (2030, 5000.0), (2031, 8000.0), (2032, 3000.0))
+      AS t(year, target_amount)),
+r AS (
+  SELECT o.*, t.target_amount,
+         row_number() OVER (PARTITION BY o.year ORDER BY o.price, o.source_id) AS rank,
+         sum(o.available) OVER (PARTITION BY o.year ORDER BY o.price, o.source_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_avail
+  FROM offers o JOIN t ON t.year = o.year
+)
+SELECT year, source_id, price, available, CAST(rank AS INT) AS rank,
+       round(least(available, greatest(target_amount - (cum_avail - available), 0)), 6)
+         AS allocated,
+       round(least(cum_avail, target_amount), 6) AS cum_allocated
+FROM r
+""")
+def greedy_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sequential greedy price-rank allocator (reference:
+    Model/RE_purpose_optimizer.py:193-223) run as applyInPandas per
+    year -- cross-validated against the closed-form window oracle
+    (valid when no lot-flooring: allocated_i = clamp(target -
+    prior availability, 0, available_i)). The Python loop and the
+    relational form must agree exactly."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.allocator import (
+        greedy_allocate,
+    )
+
+    p = table(spark, sf_dir, "part")
+    offers = p.select(
+        (F.col("p_partkey") % 3 + 2030).cast("int").alias("year"),
+        F.col("p_partkey").cast("string").alias("source_id"),
+        F.col("p_retailprice").alias("price"),
+        (F.col("p_size") * 10).cast("double").alias("available"))
+    targets = spark.createDataFrame(
+        [(2030, 5000.0), (2031, 8000.0), (2032, 3000.0)],
+        "year int, target_amount double")
+    out = greedy_allocate(offers, targets)
+    return out.select("year", "source_id", "price", "available", "rank",
+                      F.round("allocated", 6).alias("allocated"),
+                      F.round("cum_allocated", 6).alias("cum_allocated"))
+
+
 @register("external_model_scoring", "UD5,S4")
 def external_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """External-model scoring API via mapInPandas -- the reference
