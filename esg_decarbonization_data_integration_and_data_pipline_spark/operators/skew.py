@@ -1,0 +1,37 @@
+"""Skew-mitigation join helper (SURVEY.md §4 'Partitioning & shuffle').
+
+AQE's skew-join splitting (on in session.py) handles most skew at
+runtime; this explicit salting operator is for the pathological case
+it cannot fix -- a sort-merge/shuffle-hash join where ONE key holds a
+double-digit percentage of the fact table and the dim side is too
+big to broadcast. Salting replicates each right-side key row N ways
+and scatters the left side across the N salts, so the hot key's rows
+spread over N tasks instead of one straggler.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def salted_join(left: DataFrame, right: DataFrame, on: Sequence[str],
+                n_salts: int = 8, how: str = "inner") -> DataFrame:
+    """Equi-join with key salting: left rows get a deterministic salt
+    in [0, n_salts) (hash of all columns -- uniform, reproducible);
+    right rows are replicated once per salt. Output columns match a
+    plain ``left.join(right, on, how)``.
+
+    Cost model: right side is duplicated n_salts times -- use ONLY
+    when the skewed key's share of the left side exceeds ~1/n_tasks
+    and broadcast is impossible; otherwise prefer AQE.
+    """
+    on = list(on)
+    lsalted = left.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in left.columns]),
+                         F.lit(n_salts)))
+    rsalted = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    out = lsalted.join(rsalted, on + ["__salt"], how)
+    return out.drop("__salt")

@@ -455,6 +455,61 @@ def events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.round(F.sum("value"), 4).alias("total_value")))
 
 
+@register("events_sessionize", "ext:sessionize,W1", oracle="""
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, value FROM events
+),
+gaps AS (
+  SELECT user_id, ts_us, value,
+         CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                   > 1800000000 OR
+                   lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+),
+sess AS (
+  SELECT user_id, ts_us, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       min(ts_us) AS session_start_us,
+       max(ts_us) AS session_end_us,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM sess
+GROUP BY user_id, session_id
+""")
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session):
+    lag + running-sum session ids, then per-session aggregates -- the
+    batch shape of a stateful streaming session-window operator.
+    Timestamps compared as exact epoch-micros integers."""
+    from pyspark.sql import Window
+
+    e = events_table(spark, sf_dir).select(
+        "user_id",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+         .alias("ts_us"),
+        "value")
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    gaps = e.withColumn(
+        "is_new",
+        F.when(F.lag("ts_us").over(w).isNull()
+               | ((F.col("ts_us") - F.lag("ts_us").over(w)) > 1_800_000_000),
+               F.lit(1)).otherwise(F.lit(0)))
+    sess = gaps.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding,
+                                           Window.currentRow)).cast("bigint"))
+    return (sess.groupBy("user_id", "session_id")
+                .agg(F.min("ts_us").alias("session_start_us"),
+                     F.max("ts_us").alias("session_end_us"),
+                     F.count(F.lit(1)).alias("n_events"),
+                     F.round(F.sum("value"), 4).alias("total_value")))
+
+
 @register("events_json_extract", "F13", oracle="""
 SELECT event_type,
        round(avg(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)), 4) AS avg_k,
