@@ -49,6 +49,9 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every table as a temp view so ``spark.sql`` works too."""
+    """Register every table as a temp view so ``spark.sql`` works too.
+    ``events`` goes through its nanos-timestamp conversion."""
     for name in TABLE_NAMES:
-        table(spark, sf_dir, name).createOrReplaceTempView(name)
+        df = (events_table(spark, sf_dir) if name == "events"
+              else table(spark, sf_dir, name))
+        df.createOrReplaceTempView(name)
