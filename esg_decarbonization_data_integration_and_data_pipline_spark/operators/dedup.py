@@ -205,12 +205,31 @@ def minhash_verified_pairs(df: DataFrame, threshold: float,
 
     Output: (id_a, id_b, jaccard) for rounded jaccard >= threshold.
     """
-    candidates = minhash_band_pairs(df, n_bands, id_col, text_col)
-    sh = with_bigram_shingles(
-        df.select(F.col(id_col).alias("id"), text_col),
-        text_col, "sh").drop(text_col)
-    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    rows_per_band = len(MINHASH_AS) // n_bands
+    mh_udf = minhash_signature_udf()
+    # ONE pass computes shingles + signature per doc; cached because
+    # both the band join and the verify join consume it (the LSH
+    # working set -- id + arrays, tiny relative to the corpus).
+    base = (with_bigram_shingles(
+                df.select(F.col(id_col).alias("id"), text_col),
+                text_col, "sh")
+            .withColumn("mh", mh_udf(text_col))
+            .filter(F.col("mh").isNotNull())
+            .drop(text_col)
+            .cache())
+    bands = base.select(
+        "id",
+        F.explode(F.expr(
+            f"transform(sequence(0, {n_bands - 1}), b -> struct(b AS band, "
+            f"concat_ws(',', slice(mh, b * {rows_per_band} + 1, {rows_per_band})) AS sig))"
+        )).alias("bs")).select("id", "bs.band", "bs.sig")
+    ca = bands.select("band", "sig", F.col("id").alias("id_a"))
+    cb = bands.select("band", "sig", F.col("id").alias("id_b"))
+    candidates = (ca.join(cb, ["band", "sig"])
+                    .filter(F.col("id_a") < F.col("id_b"))
+                    .select("id_a", "id_b").distinct())
+    a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     joined = candidates.join(a, "id_a").join(b, "id_b")
     jac = F.round(
         F.size(F.array_intersect("sh_a", "sh_b"))

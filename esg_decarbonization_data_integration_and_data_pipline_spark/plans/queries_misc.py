@@ -177,6 +177,63 @@ def greedy_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("cum_allocated", 6).alias("cum_allocated"))
 
 
+@register("forecast_revenue", "A8,F10,W5,J4", oracle="""
+WITH hist AS (
+  SELECT CAST(c.c_nationkey AS VARCHAR) AS site, 'ALL' AS plant,
+         CAST(year(o.o_orderdate) AS INT) AS year,
+         CAST(month(o.o_orderdate) AS INT) AS month,
+         sum(o.o_totalprice) AS amount
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2, 3, 4
+),
+yearly AS (
+  SELECT site, plant, year, sum(amount) AS total FROM hist GROUP BY 1, 2, 3
+),
+rates AS (
+  SELECT site, plant,
+         least(greatest(coalesce(
+           power(arg_max(total, year) / arg_min(total, year),
+                 1.0 / nullif(max(year) - min(year), 0)) - 1, 0), -0.5), 0.5) AS rate,
+         arg_max(total, year) AS last_total,
+         max(year) AS last_year
+  FROM yearly GROUP BY 1, 2
+),
+shares AS (
+  SELECT site, plant, month,
+         sum(amount) / nullif(sum(sum(amount)) OVER (PARTITION BY site, plant), 0)
+           AS share
+  FROM hist GROUP BY site, plant, month
+),
+future AS (
+  SELECT r.site, r.plant, r.rate, r.last_total,
+         CAST(r.last_year + x.x AS INT) AS year, CAST(x.x AS INT) AS x
+  FROM rates r, (SELECT unnest(range(1, 3)) AS x) x
+)
+SELECT f.site, f.plant, f.year, s.month,
+       round(f.last_total * power(1 + f.rate, f.x) * s.share, 6) AS amount,
+       'forecast' AS kind
+FROM future f JOIN shares s ON s.site = f.site AND s.plant = f.plant
+""")
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The electricity-simulator pipeline (pipelines/simulator.py) run
+    over driver data: CAGR trend rates (clamped), future years via a
+    sequence cross join, month-share allocation -- hash-checked
+    against the relational oracle end-to-end."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.simulator import (
+        simulate_future,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    hist = (o.join(c, c.c_custkey == o.o_custkey)
+             .groupBy(F.col("c_nationkey").cast("string").alias("site"),
+                      F.lit("ALL").alias("plant"),
+                      F.year("o_orderdate").cast("int").alias("year"),
+                      F.month("o_orderdate").cast("int").alias("month"))
+             .agg(F.sum("o_totalprice").alias("amount")))
+    return simulate_future(hist, horizon=2)
+
+
 @register("external_model_scoring", "UD5,S4")
 def external_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """External-model scoring API via mapInPandas -- the reference
