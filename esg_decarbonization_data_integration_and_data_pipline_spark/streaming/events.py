@@ -65,6 +65,73 @@ def dedup_events(events: DataFrame,
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
 
 
+def sessionize_stateful(events: DataFrame, gap_minutes: int = 30,
+                        watermark: str = "30 minutes") -> DataFrame:
+    """Custom stateful operator: per-user gap-based sessionization via
+    ``applyInPandasWithState`` -- the streaming twin of the batch
+    events_sessionize query (same 30-min-gap semantics).
+
+    State per user_id = (open session start, last ts, count, sum).
+    A micro-batch extends the open session or emits closed ones when
+    the gap is exceeded. Timeout policy is NoTimeout so replays are
+    deterministic (open sessions stay in state); a 24/7 deployment
+    would switch to ProcessingTimeTimeout to flush idle users --
+    the empty-invocation branch below already handles that path.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            # timeout / empty invocation: close the open session
+            if state.exists:
+                start, last, cnt, total = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    [(user_id, start, last, cnt, float(total))],
+                    columns=["user_id", "session_start_us", "session_end_us",
+                             "n_events", "total_value"])
+            return
+        rows = pd.concat(chunks)
+        pairs = sorted(zip(
+            (int(t.value) // 1000 for t in pd.to_datetime(rows["ts"])),
+            rows["value"].astype(float)))
+        if state.exists:
+            start, last, cnt, total = state.get
+        else:
+            start, last, cnt, total = pairs[0][0], pairs[0][0], 0, 0.0
+        closed = []
+        for t, v in pairs:
+            if t - last > gap_us:
+                closed.append((user_id, start, last, cnt, float(total)))
+                start, cnt, total = t, 0, 0.0
+            last = t
+            cnt += 1
+            total += v
+        state.update((start, last, cnt, float(total)))
+        if closed:
+            yield pd.DataFrame(closed, columns=[
+                "user_id", "session_start_us", "session_end_us",
+                "n_events", "total_value"])
+
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType=("user_id bigint, session_start_us bigint, "
+                                  "session_end_us bigint, n_events bigint, "
+                                  "total_value double"),
+                stateStructType=("start bigint, last bigint, cnt bigint, "
+                                 "total double"),
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def run_to_memory(sdf: DataFrame, name: str, mode: str = "complete"):
     """Drain a streaming frame into an in-memory table (tests/dev).
     Returns the query after processing everything available."""

@@ -52,6 +52,26 @@ def test_interval_join_broadcasts_bands(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_partition_pruning_on_warehouse_tables(spark, sf_dir, tmp_path):
+    """A month-partitioned warehouse table scanned with a month filter
+    must prune at the partition level (the reference's manual month
+    windows become free partition pruning)."""
+    import os
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io import writers as W
+
+    df = spark.createDataFrame(
+        [("a", 1.0, "2023-01"), ("b", 2.0, "2023-02"), ("c", 3.0, "2023-03")],
+        "site string, amount double, period_month string")
+    path = os.path.join(str(tmp_path), "t")
+    W.overwrite(df, path, ["period_month"])
+    scan = W.read_table(spark, path).filter("period_month = '2023-02'")
+    plan = scan._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert "PartitionFilters" in plan
+    assert scan.count() == 1
+
+
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "string_slice_like")
     assert "PushedFilters" in plan
