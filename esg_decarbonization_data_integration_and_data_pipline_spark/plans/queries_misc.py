@@ -177,6 +177,54 @@ def greedy_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("cum_allocated", 6).alias("cum_allocated"))
 
 
+@register("cube_status_priority", "A6", oracle="""
+SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END
+         AS o_orderstatus,
+       CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END
+         AS o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube (all grouping-set combinations) with literal 'ALL'
+    labels -- the generalization of the reference's hand-built
+    rollups (jobs/raw_to_staging.py:14-86) that one union-of-groupbys
+    per level cannot express in a single pass."""
+    o = table(spark, sf_dir, "orders")
+    out = (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.grouping("o_orderstatus").alias("__g1"),
+                 F.grouping("o_orderpriority").alias("__g2"),
+                 F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 4).alias("total")))
+    return (out.withColumn("o_orderstatus",
+                           F.when(F.col("__g1") == 1, F.lit("ALL"))
+                            .otherwise(F.col("o_orderstatus")))
+               .withColumn("o_orderpriority",
+                           F.when(F.col("__g2") == 1, F.lit("ALL"))
+                            .otherwise(F.col("o_orderpriority")))
+               .drop("__g1", "__g2"))
+
+
+@register("count_distinct_parts", "A4,A2", oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(*) AS n_lines
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def count_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column distinct counting (expands to a two-phase
+    aggregate; AQE handles the expanded shuffle)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+              .agg(F.countDistinct("l_partkey").alias("n_parts"),
+                   F.countDistinct("l_suppkey").alias("n_suppliers"),
+                   F.count(F.lit(1)).alias("n_lines")))
+
+
 @register("forecast_revenue", "A8,F10,W5,J4", oracle="""
 WITH hist AS (
   SELECT CAST(c.c_nationkey AS VARCHAR) AS site, 'ALL' AS plant,
