@@ -1,0 +1,78 @@
+"""The nightly-batch DAG wired end-to-end (SURVEY.md §3.1).
+
+Reproduces the reference ``main()`` spine (main.py:29-113) over a
+parquet warehouse: ingest (ESGI normalize) -> raw, raw -> staging
+(solar-adjusted totals + YTM + rollup), staging -> app (scope
+accounting) -- each stage reading what the previous stage wrote via
+the idempotent writers, with dependencies declared in the JobRegistry
+so independent stages run concurrently.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import SparkSession
+
+from esg_decarbonization_data_integration_and_data_pipline_spark.io import writers as W
+from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.electricity_decarb import (
+    electricity_decarb,
+)
+from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.esgi_ingest import esgi_to_raw
+from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.run_all import JobRegistry
+from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.scope_overview import (
+    scope_overview,
+)
+
+
+def build_warehouse_dag(warehouse: str, sources: dict, base_year: int,
+                        plant_recode: dict[str, str] | None = None
+                        ) -> JobRegistry:
+    """``sources``: in-memory frames standing in for the federated
+    inputs (esgi_indicators, plant_mapping, solar, green,
+    carbon_coef). Returns a registry whose jobs write/read the
+    parquet warehouse at ``warehouse``."""
+    reg = JobRegistry()
+
+    def p(schema: str, name: str) -> str:
+        return W.table_path(warehouse, schema, name)
+
+    @reg.register("esgi_to_raw")
+    def _ingest(spark: SparkSession, run_date: dt.date):
+        out = esgi_to_raw(
+            {"esgi_indicators": sources["esgi_indicators"],
+             "plant_mapping": sources["plant_mapping"]},
+            plant_recode=plant_recode)
+        W.replace_keys(out["electricity_total_decarb"],
+                       p("raw", "electricity_total_decarb"),
+                       keys=["site", "period_start"])
+        W.replace_keys(out["renewable_energy_decarb"],
+                       p("raw", "renewable_energy_decarb"),
+                       keys=["site", "category", "period_start"])
+
+    @reg.register("electricity_decarb", depends_on=["esgi_to_raw"])
+    def _staging(spark: SparkSession, run_date: dt.date):
+        raw_elec = W.read_table(spark, p("raw", "electricity_total_decarb"))
+        out = electricity_decarb(
+            {"electricity_total": raw_elec,
+             "solar": sources["solar"],
+             "plant_mapping": sources["plant_mapping"]},
+            run_date)
+        W.replace_range(W.month_partitioned(out),
+                        p("staging", "electricity_decarb"),
+                        ["period_month"])
+
+    @reg.register("scope_overview", depends_on=["electricity_decarb"])
+    def _app(spark: SparkSession, run_date: dt.date):
+        staged = (W.read_table(spark, p("staging", "electricity_decarb"))
+                  .filter("site <> 'ALL' AND bo <> 'ALL'")
+                  .select("site", "amount", "period_start"))
+        out = scope_overview(
+            {"elect_total": staged,
+             "green": sources["green"],
+             "solar": sources["solar"],
+             "carbon_coef": sources["carbon_coef"]},
+            base_year=base_year)
+        W.overwrite(out, p("app", "decarb_elec_overview"))
+
+    return reg
