@@ -66,6 +66,8 @@ def rest_source(spark: SparkSession, fetch: Callable[[], list[dict]],
     (tests inject a fixture lambda; production wraps requests.get).
     Small payloads land on the driver then parallelize."""
     rows = fetch()
+    if not rows:  # the reference's empty-API-response case
+        return spark.createDataFrame([], schema=schema)
     return spark.createDataFrame(pd.DataFrame(rows), schema=schema)
 
 
