@@ -91,10 +91,14 @@ def minhash_signature(hashes_col: str) -> Column:
 
 def _np_polyhash(s: str, powers) -> int:
     """Exact int64 polynomial hash of a string -- bit-identical to the
-    SQL _CHAR_HASH / DuckDB oracle formulation."""
+    SQL _CHAR_HASH / DuckDB oracle formulation. ``powers`` is the
+    8-periodic coefficient array; it is re-tiled when a token exceeds
+    its length (long URLs / base64 blobs in a real web corpus)."""
     import numpy as np
 
     cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    if len(cp) > len(powers):
+        powers = np.resize(powers, len(cp))  # keeps the 8-cycle
     return int((cp * powers[: len(cp)]).sum() % POLY_MOD)
 
 
@@ -176,11 +180,19 @@ def minhash_band_pairs(df: DataFrame, n_bands: int = 4,
     100 TB; the pairwise Jaccard verifier then runs only on
     candidates.
     """
-    rows_per_band = len(MINHASH_AS) // n_bands
     mh_udf = minhash_signature_udf()
     sig = (df.select(F.col(id_col).alias("id"), text_col)
              .withColumn("mh", mh_udf(text_col))
              .filter(F.col("mh").isNotNull()))
+    return _band_candidates(sig, n_bands)
+
+
+def _band_candidates(sig: DataFrame, n_bands: int) -> DataFrame:
+    """sig(id, mh: array<long>) -> distinct (id_a < id_b) pairs that
+    share any band signature. The single source of the banding layout
+    (rows per band, signature separator) for both the candidate-only
+    and the verified paths."""
+    rows_per_band = len(MINHASH_AS) // n_bands
     bands = sig.select(
         "id",
         F.explode(F.expr(
@@ -205,7 +217,6 @@ def minhash_verified_pairs(df: DataFrame, threshold: float,
 
     Output: (id_a, id_b, jaccard) for rounded jaccard >= threshold.
     """
-    rows_per_band = len(MINHASH_AS) // n_bands
     mh_udf = minhash_signature_udf()
     # ONE pass computes shingles + signature per doc; cached because
     # both the band join and the verify join consume it (the LSH
@@ -217,17 +228,7 @@ def minhash_verified_pairs(df: DataFrame, threshold: float,
             .filter(F.col("mh").isNotNull())
             .drop(text_col)
             .cache())
-    bands = base.select(
-        "id",
-        F.explode(F.expr(
-            f"transform(sequence(0, {n_bands - 1}), b -> struct(b AS band, "
-            f"concat_ws(',', slice(mh, b * {rows_per_band} + 1, {rows_per_band})) AS sig))"
-        )).alias("bs")).select("id", "bs.band", "bs.sig")
-    ca = bands.select("band", "sig", F.col("id").alias("id_a"))
-    cb = bands.select("band", "sig", F.col("id").alias("id_b"))
-    candidates = (ca.join(cb, ["band", "sig"])
-                    .filter(F.col("id_a") < F.col("id_b"))
-                    .select("id_a", "id_b").distinct())
+    candidates = _band_candidates(base.select("id", "mh"), n_bands)
     a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     joined = candidates.join(a, "id_a").join(b, "id_b")

@@ -53,13 +53,16 @@ def interval_join(left: DataFrame, right: DataFrame, on: Sequence[str] | Column,
 
 def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
               left_time: str, right_time: str,
-              tiebreak: Sequence[Column] | None = None) -> DataFrame:
+              tiebreak: Sequence[str] | None = None) -> DataFrame:
     """As-of join: for each left row, the single right row with the
     greatest ``right_time`` <= ``left_time`` within equal ``on`` keys
     (J7). Left rows with no match are kept (nulls on right columns).
+    Right columns colliding with left names come back with a
+    ``_right`` suffix (pandas merge_asof convention).
 
-    Pass ``tiebreak`` ordering columns to make the pick deterministic
-    when several right rows share the max ``right_time``.
+    ``tiebreak``: RIGHT-side column names ordered DESCENDING after
+    the time, making the pick deterministic when several right rows
+    share the max ``right_time``.
 
     Implementation: equi-join + range filter + row_number top-1 per
     left row (surrogate id, so no natural unique key is required).
@@ -68,23 +71,35 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     """
     lid = "__asof_lid"
     left = left.withColumn(lid, F.monotonically_increasing_id())
+    # rename EVERY right column so nothing is ambiguous in the join
+    # or the window ordering (left and right may share the time name)
+    right_cols = right.columns
     r = right
-    for k in on:
-        r = r.withColumnRenamed(k, f"__r_{k}")
+    for c in right_cols:
+        r = r.withColumnRenamed(c, f"__r_{c}")
     cond = None
     for k in on:
         c = left[k] == r[f"__r_{k}"]
         cond = c if cond is None else (cond & c)
-    time_ok = r[right_time] <= left[left_time]
+    time_ok = r[f"__r_{right_time}"] <= left[left_time]
     cond = time_ok if cond is None else (cond & time_ok)
     joined = left.join(r, cond, "left").drop(*[f"__r_{k}" for k in on])
-    order = [F.col(right_time).desc_nulls_last()]
+    order = [F.col(f"__r_{right_time}").desc_nulls_last()]
     if tiebreak:
-        order += list(tiebreak)
+        order += [F.col(f"__r_{c}").desc() for c in tiebreak]
     w = Window.partitionBy(lid).orderBy(*order)
-    return (joined.withColumn("__rn", F.row_number().over(w))
-                  .filter(F.col("__rn") == 1)
-                  .drop("__rn", lid))
+    picked = (joined.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn", lid))
+    # restore right-column names; collisions with left keep a _right
+    # suffix (pandas merge_asof convention)
+    left_names = set(left.columns) - {lid}
+    for c in right_cols:
+        if c in on:
+            continue
+        new = c if c not in left_names else f"{c}_right"
+        picked = picked.withColumnRenamed(f"__r_{c}", new)
+    return picked
 
 
 def coalescing_outer_join(left: DataFrame, right: DataFrame, on: Sequence[str],

@@ -27,6 +27,13 @@ def salted_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     when the skewed key's share of the left side exceeds ~1/n_tasks
     and broadcast is impossible; otherwise prefer AQE.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        # right/full outer would emit one unmatched copy PER SALT
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; '{how}' would "
+            "duplicate unmatched right rows once per salt")
     on = list(on)
     lsalted = left.withColumn(
         "__salt", F.pmod(F.hash(*[F.col(c) for c in left.columns]),

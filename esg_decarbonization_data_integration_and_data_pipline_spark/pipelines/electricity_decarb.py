@@ -50,9 +50,11 @@ def electricity_decarb(tables: dict[str, DataFrame],
                             + F.coalesce("solar_amt", F.lit(0.0)))
                 .select("site", "period_start", "amount"))
 
+    # unmapped sites get a sentinel that CANNOT collide with the
+    # rollup's literal 'ALL' label (esgi_ingest uses the same)
     bo = tables["plant_mapping"].select("site", "bo").distinct()
     with_bo = both.join(F.broadcast(bo), "site", "left") \
-                  .na.fill({"bo": "ALL"})
+                  .na.fill({"bo": "UNKNOWN"})
 
     with_year = with_bo.withColumn("year", F.year("period_start"))
     ytm = ytm_cumsum(with_year, ["bo", "site", "year"], "period_start",

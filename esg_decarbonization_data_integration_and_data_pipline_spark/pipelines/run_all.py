@@ -51,14 +51,25 @@ class JobRegistry:
         jobs/raw_to_staging.py:208-213)."""
         results: dict[str, str] = {}
         done: set[str] = set()
+        failed: set[str] = set()
         pending = dict(self._jobs)
         with ThreadPoolExecutor(max_workers=max_workers) as pool:
             while pending:
+                # a job whose dependency failed is skipped, NOT run over
+                # stale upstream data
+                for j in list(pending.values()):
+                    bad = [d for d in j.depends_on if d in failed]
+                    if bad:
+                        results[j.name] = f"skipped: dependency {bad[0]} failed"
+                        done.add(j.name)
+                        failed.add(j.name)
+                        del pending[j.name]
                 ready = [j for j in pending.values()
                          if all(d in done for d in j.depends_on)]
                 if not ready:
-                    for j in pending.values():
-                        results[j.name] = "error: unsatisfiable dependencies"
+                    if pending:
+                        for j in pending.values():
+                            results[j.name] = "error: unsatisfiable dependencies"
                     break
                 futures = {
                     j.name: pool.submit(self._run_one, j, spark, run_date)
@@ -67,6 +78,8 @@ class JobRegistry:
                 for name, fut in futures.items():
                     results[name] = fut.result()
                     done.add(name)
+                    if results[name] != "ok":
+                        failed.add(name)
                     del pending[name]
         return results
 

@@ -38,7 +38,7 @@ def price_bills(tables: dict[str, DataFrame]) -> DataFrame:
     # (1) as-of: latest guideline per area at the billing period
     based = asof_join(
         bills, base, ["area"], "period_start", "guideline_date",
-        tiebreak=[F.col("base_id").desc()])
+        tiebreak=["base_id"])
 
     # (2) summer-band rate match: the bill month inside the summer
     # window takes the is_summer rate, otherwise the complement

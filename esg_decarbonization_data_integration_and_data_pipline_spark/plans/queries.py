@@ -321,7 +321,7 @@ def asof_latest_order_at_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = events_table(spark, sf_dir)
     o = table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "user_id")
     out = asof_join(e, o, ["user_id"], "ts", "o_orderdate",
-                    tiebreak=[F.col("o_orderkey").desc()])
+                    tiebreak=["o_orderkey"])
     return out.select(
         "event_id", "user_id",
         # NTZ-safe epoch micros (no session-timezone dependency)

@@ -411,24 +411,17 @@ def irr_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
                  .alias("revenue")))
 
+    from esg_decarbonization_data_integration_and_data_pipline_spark.functions.finance import (
+        irr_bisect,
+    )
+
     def irr(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("yr")
         cf = pdf["revenue"].to_numpy().copy()
         cf[0] = -abs(cf[0]) * float(len(cf))  # synthetic outlay
-        lo, hi = -0.99, 10.0
-
-        def npv(r: float) -> float:
-            return sum(c / (1 + r) ** t for t, c in enumerate(cf))
-
-        for _ in range(80):  # deterministic bisection
-            mid = (lo + hi) / 2
-            if npv(lo) * npv(mid) <= 0:
-                hi = mid
-            else:
-                lo = mid
         return pd.DataFrame({"p_brand": [pdf["p_brand"].iloc[0]],
                              "n_years": [len(cf)],
-                             "irr": [round((lo + hi) / 2, 6)]})
+                             "irr": [round(irr_bisect(list(cf)), 6)]})
 
     return y.groupBy("p_brand").applyInPandas(
         irr, "p_brand string, n_years bigint, irr double")

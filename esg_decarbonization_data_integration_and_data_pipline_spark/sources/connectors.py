@@ -66,9 +66,13 @@ def rest_source(spark: SparkSession, fetch: Callable[[], list[dict]],
     (tests inject a fixture lambda; production wraps requests.get).
     Small payloads land on the driver then parallelize."""
     rows = fetch()
+    empty = spark.createDataFrame([], schema=schema)
     if not rows:  # the reference's empty-API-response case
-        return spark.createDataFrame([], schema=schema)
-    return spark.createDataFrame(pd.DataFrame(rows), schema=schema)
+        return empty
+    # createDataFrame(pandas, schema) maps columns POSITIONALLY --
+    # reorder by schema field names so payload dict order is free
+    pdf = pd.DataFrame(rows).reindex(columns=empty.schema.names)
+    return spark.createDataFrame(pdf, schema=schema)
 
 
 def sharded_rest_source(spark: SparkSession, shards: Sequence[str],

@@ -75,7 +75,7 @@ def test_asof_join_matches_bruteforce(spark, left, right):
         [(k, t, i) for i, (k, t) in enumerate(right)], "k string, rt int, rid int")
     out = {r.lid: (r.rt, r.rid) for r in
            asof_join(ldf, rdf, ["k"], "t", "rt",
-                     tiebreak=[F.col("rid").desc()]).collect()}
+                     tiebreak=["rid"]).collect()}
     for i, (k, t) in enumerate(left):
         cands = [(rt, j) for j, (rk, rt) in enumerate(right)
                  if rk == k and rt <= t]
