@@ -64,6 +64,48 @@ def test_rollup_all_consistency(spark, rows):
 
 
 @SETTINGS
+@given(batches=st.lists(
+    st.lists(st.tuples(st.sampled_from(["a", "b", "c"]),
+                       st.sampled_from(["2023-01", "2023-02"]),
+                       st.integers(-50, 50)),
+             min_size=1, max_size=5),
+    min_size=1, max_size=3))
+def test_replace_keys_converges_to_last_batch(spark, tmp_path_factory, batches):
+    """Applying batches via replace_keys leaves, per key, exactly the
+    LAST batch's rows (upsert semantics), regardless of history; and
+    re-applying the final batch changes nothing (idempotency)."""
+    import os
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io import writers as W
+
+    path = os.path.join(str(tmp_path_factory.mktemp("w")), "t")
+    model: dict[tuple, float] = {}
+    for batch in batches:
+        collapsed = {}
+        for k, m, v in batch:
+            collapsed[(k, m)] = collapsed.get((k, m), 0) + v
+        df = spark.createDataFrame(
+            [(k, m, float(v)) for (k, m), v in collapsed.items()],
+            "site string, period_month string, amount double")
+        W.replace_keys(df, path, keys=["site", "period_month"])
+        model.update(collapsed)
+    got = {(r.site, r.period_month): r.amount
+           for r in W.read_table(spark, path).collect()}
+    assert got == {k: float(v) for k, v in model.items()}
+    # idempotency: re-apply the last batch
+    last = {}
+    for k, m, v in batches[-1]:
+        last[(k, m)] = last.get((k, m), 0) + v
+    W.replace_keys(spark.createDataFrame(
+        [(k, m, float(v)) for (k, m), v in last.items()],
+        "site string, period_month string, amount double"),
+        path, keys=["site", "period_month"])
+    again = {(r.site, r.period_month): r.amount
+             for r in W.read_table(spark, path).collect()}
+    assert again == got
+
+
+@SETTINGS
 @given(left=st.lists(st.tuples(st.sampled_from(["k1", "k2"]), st.integers(0, 20)),
                      min_size=1, max_size=8),
        right=st.lists(st.tuples(st.sampled_from(["k1", "k2"]), st.integers(0, 20)),
