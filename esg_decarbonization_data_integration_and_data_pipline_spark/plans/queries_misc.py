@@ -177,6 +177,24 @@ def greedy_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("cum_allocated", 6).alias("cum_allocated"))
 
 
+@register("approx_sketches", "ext:sketches,A9")
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates for the 100 TB path: HyperLogLog++ distinct
+    counts and quantile sketches per group. Rows-only check by
+    design -- HLL/quantile-sketch internals are engine-specific so no
+    cross-engine value oracle exists; tests/test_sketches.py bounds
+    the error against the exact aggregates instead (the meaningful
+    contract for an approximate operator)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+              .agg(F.approx_count_distinct("l_partkey", rsd=0.02)
+                    .alias("approx_parts"),
+                   F.approx_count_distinct("l_orderkey", rsd=0.02)
+                    .alias("approx_orders"),
+                   F.round(F.percentile_approx("l_extendedprice", 0.5, 10000), 4)
+                    .alias("approx_median_price")))
+
+
 @register("cube_status_priority", "A6", oracle="""
 SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END
          AS o_orderstatus,
