@@ -47,6 +47,9 @@ def with_bigram_shingles(df: DataFrame, text_col: str = "text",
     def bigrams_udf(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
+            if t is None:  # null text -> null shingles (SQL semantics)
+                out.append(None)
+                continue
             toks = [w for w in t.lower().split() if w]
             seen: dict[str, None] = {}
             for i in range(len(toks) - 1):
@@ -120,6 +123,9 @@ def minhash_signature_udf():
     def mh_udf(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
+            if t is None:  # null text -> no signature
+                out.append(None)
+                continue
             toks = [w for w in t.lower().split() if w]
             grams = list({f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)})
             if not grams:
@@ -208,7 +214,8 @@ def _band_candidates(sig: DataFrame, n_bands: int) -> DataFrame:
 
 def minhash_verified_pairs(df: DataFrame, threshold: float,
                            n_bands: int = 4, id_col: str = "doc_id",
-                           text_col: str = "text") -> DataFrame:
+                           text_col: str = "text",
+                           persist: bool = True) -> DataFrame:
     """THE production near-dup plan: MinHash-band candidates verified
     with exact word-bigram Jaccard. Pairwise work happens only inside
     LSH buckets, so cost is linear in corpus size plus the (tiny)
@@ -216,6 +223,12 @@ def minhash_verified_pairs(df: DataFrame, threshold: float,
     at 100 TB.
 
     Output: (id_a, id_b, jaccard) for rounded jaccard >= threshold.
+
+    ``persist``: cache the signature working set (consumed by both
+    the band join and the verify join; ~2x faster). The cache lives
+    until the session drops it -- long-lived sessions calling this
+    repeatedly should pass persist=False or clear the cache after
+    materializing the result.
     """
     mh_udf = minhash_signature_udf()
     # ONE pass computes shingles + signature per doc; cached because
@@ -226,8 +239,9 @@ def minhash_verified_pairs(df: DataFrame, threshold: float,
                 text_col, "sh")
             .withColumn("mh", mh_udf(text_col))
             .filter(F.col("mh").isNotNull())
-            .drop(text_col)
-            .cache())
+            .drop(text_col))
+    if persist:
+        base = base.cache()
     candidates = _band_candidates(base.select("id", "mh"), n_bands)
     a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -261,6 +275,9 @@ def simhash32(df: DataFrame, id_col: str = "doc_id",
     def simhash_udf(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
+            if t is None:  # null text propagates
+                out.append(None)
+                continue
             toks = list(dict.fromkeys(w for w in t.lower().split() if w))
             if not toks:
                 out.append(0)
@@ -269,7 +286,7 @@ def simhash32(df: DataFrame, id_col: str = "doc_id",
                           dtype=np.int64)
             weights = (((hs[:, None] >> bits[None, :]) & 1) * 2 - 1).sum(axis=0)
             out.append(int(((weights > 0).astype(np.int64) << bits).sum()))
-        return pd.Series(out, dtype="int64")
+        return pd.Series(out, dtype="Int64")  # nullable: null text -> null
 
     return df.select(F.col(id_col).alias("doc_id"),
                      simhash_udf(text_col).alias("simhash"))

@@ -35,9 +35,12 @@ def salted_join(left: DataFrame, right: DataFrame, on: Sequence[str],
             f"salted_join supports {sorted(allowed)}; '{how}' would "
             "duplicate unmatched right rows once per salt")
     on = list(on)
+    # salt must spread IDENTICAL duplicate rows of a hot key too (the
+    # duplicate-heavy case is exactly where skew bites), so it comes
+    # from a uniform per-row draw, not a content hash; any salt value
+    # is correct because the right side carries every salt.
     lsalted = left.withColumn(
-        "__salt", F.pmod(F.hash(*[F.col(c) for c in left.columns]),
-                         F.lit(n_salts)))
+        "__salt", F.floor(F.rand(seed=42) * n_salts).cast("int"))
     rsalted = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
     out = lsalted.join(rsalted, on + ["__salt"], how)

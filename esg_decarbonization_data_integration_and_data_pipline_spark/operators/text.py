@@ -73,6 +73,9 @@ def fingerprint_frame(df: DataFrame, text_col: str = "text",
     def fp_udf(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
+            if t is None:  # null text propagates (matches SQL semantics)
+                out.append(None)
+                continue
             cp = np.frombuffer(t.encode("utf-32-le"),
                                dtype=np.uint32).astype(np.int64)
             if len(cp) < 8:

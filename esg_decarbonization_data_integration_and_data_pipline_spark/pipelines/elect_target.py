@@ -8,15 +8,13 @@ carbon coefficient / 1000, plus percent change vs the base year
 
 Spark shape: the reference's 8-iteration Python year loop becomes an
 explode over sequence(0, horizon) -- one plan for all years; the
-base-year comparison is a broadcast scalar attach (J4), the
+base-year comparison is a per-site window reference, the
 previous-year comparison a lag window.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
-
-from esg_decarbonization_data_integration_and_data_pipline_spark.operators.joins import attach_scalar
 
 
 def renew_targets(tables: dict[str, DataFrame], run_year: int,
@@ -48,13 +46,17 @@ def renew_targets(tables: dict[str, DataFrame], run_year: int,
                                * (1 - F.col("renewable_ratio"))
                                * F.col("coef") / 1000, 6)))
     by = base_year if base_year is not None else run_year
-    base = (out.filter(F.col("year") == by)
-               .groupBy().agg(F.sum("scope2_target").alias("base_total")))
     w = Window.partitionBy("site").orderBy("year")
-    return (attach_scalar(out, base)
+    wsite = Window.partitionBy("site")
+    # base-year reference is PER SITE (a window max over the site's
+    # base-year row), matching pct_vs_prev granularity
+    return (out
+            .withColumn("site_base",
+                        F.max(F.when(F.col("year") == by,
+                                     F.col("scope2_target"))).over(wsite))
             .withColumn("pct_vs_base",
                         F.round((F.col("scope2_target")
-                                 / F.nullif(F.col("base_total"), F.lit(0.0))
+                                 / F.nullif(F.col("site_base"), F.lit(0.0))
                                  - 1) * 100, 4))
             .withColumn("pct_vs_prev",
                         F.round((F.col("scope2_target")

@@ -66,8 +66,10 @@ def bill_prefix(tables: dict[str, DataFrame]) -> DataFrame:
 
 
 def split_bill_tables(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
-    """Returns the four staging frames keyed by output table name."""
-    prefix = bill_prefix(tables)
+    """Returns the four staging frames keyed by output table name.
+    The shared prefix is cached so writing all four outputs runs the
+    recode/join/YTM chain once, not four times."""
+    prefix = bill_prefix(tables).cache()
     cols = ["site", "plant", "meter_code", "provider_name", "category1",
             "category2", "amount", "ytm_amount", "period_start"]
     return {

@@ -56,14 +56,20 @@ class JobRegistry:
         with ThreadPoolExecutor(max_workers=max_workers) as pool:
             while pending:
                 # a job whose dependency failed is skipped, NOT run over
-                # stale upstream data
-                for j in list(pending.values()):
-                    bad = [d for d in j.depends_on if d in failed]
-                    if bad:
-                        results[j.name] = f"skipped: dependency {bad[0]} failed"
-                        done.add(j.name)
-                        failed.add(j.name)
-                        del pending[j.name]
+                # stale upstream data; iterate to a fixpoint so skips
+                # cascade regardless of registration order
+                changed = True
+                while changed:
+                    changed = False
+                    for j in list(pending.values()):
+                        bad = [d for d in j.depends_on if d in failed]
+                        if bad:
+                            results[j.name] = (
+                                f"skipped: dependency {bad[0]} failed")
+                            done.add(j.name)
+                            failed.add(j.name)
+                            del pending[j.name]
+                            changed = True
                 ready = [j for j in pending.values()
                          if all(d in done for d in j.depends_on)]
                 if not ready:

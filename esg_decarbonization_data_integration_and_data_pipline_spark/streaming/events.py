@@ -109,7 +109,9 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 30,
             if t - last > gap_us:
                 closed.append((user_id, start, last, cnt, float(total)))
                 start, cnt, total = t, 0, 0.0
-            last = t
+            # a late event (t < last, admitted by the watermark) joins
+            # the open session without moving its end backwards
+            last = max(last, t)
             cnt += 1
             total += v
         state.update((start, last, cnt, float(total)))
