@@ -503,6 +503,33 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round(F.sum("value"), 4).alias("total_value")))
 
 
+@register("events_json_encode", "F13", oracle="""
+WITH agg AS (
+  SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS total_value
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+       to_json(struct_pack(event_type := event_type,
+                           n_events := n_events,
+                           total_value := total_value))::VARCHAR AS summary_json
+FROM agg
+""")
+def events_json_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON ENCODE direction of F13 (the reference serializes model
+    payloads with to_json(orient='records'):
+    Model/Factory_elect_simulator_update.py:815-827): aggregate then
+    emit one JSON document per group -- formatting verified identical
+    between Spark to_json and DuckDB."""
+    e = events_table(spark, sf_dir)
+    agg = (e.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("total_value")))
+    return agg.select(
+        "event_type",
+        F.to_json(F.struct("event_type", "n_events", "total_value"))
+         .alias("summary_json"))
+
+
 @register("events_json_extract", "F13", oracle="""
 SELECT event_type,
        round(avg(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)), 4) AS avg_k,
