@@ -1,0 +1,47 @@
+"""Empty-input robustness: a month with no data must flow through
+the pipelines as empty frames with stable schemas, not crash."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from esg_decarbonization_data_integration_and_data_pipline_spark.operators.dedup import (
+    minhash_band_pairs,
+)
+from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.electricity_decarb import (
+    electricity_decarb,
+)
+from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.electric_bill_split import (
+    split_bill_tables,
+)
+
+RUN = dt.date(2023, 12, 1)
+
+
+def test_electricity_decarb_empty_solar(spark):
+    elec = spark.createDataFrame(
+        [("WZS", 100.0, dt.date(2023, 1, 1))],
+        "site string, amount double, period_start date")
+    solar = spark.createDataFrame([], "site string, amount double, period_start date")
+    mapping = spark.createDataFrame([("WZS", "BO1")], "site string, bo string")
+    out = electricity_decarb(
+        {"electricity_total": elec, "solar": solar, "plant_mapping": mapping}, RUN)
+    rows = {(r.bo, r.site): r.amount for r in out.collect()}
+    assert rows[("BO1", "WZS")] == 100.0  # grid-only still flows
+
+
+def test_bill_split_all_empty(spark):
+    bill = spark.createDataFrame(
+        [], "meter_code string, category1 string, category2 string, "
+            "amount double, year int, month int")
+    meter = spark.createDataFrame(
+        [], "meter_code string, site string, plant string, provider_name string")
+    out = split_bill_tables({"electric_bill": bill, "meter_dim": meter})
+    for name, df in out.items():
+        assert df.count() == 0
+        assert "ytm_amount" in df.columns  # schema intact
+
+
+def test_minhash_empty_corpus(spark):
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert minhash_band_pairs(docs).count() == 0
