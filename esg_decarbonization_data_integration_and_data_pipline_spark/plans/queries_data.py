@@ -262,6 +262,47 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash32(table(spark, sf_dir, "documents"))
 
 
+@register("dedup_simhash_pairs", "ext:dedup-simhash", oracle="""
+WITH t AS (
+  SELECT doc_id, lang, list_distinct(""" + _SQL_TOKS + """) AS dt FROM documents
+),
+h AS (
+  SELECT doc_id, lang, [""" + _sql_polyhash("g") + """ FOR g IN dt] AS hs FROM t
+),
+s AS (
+  SELECT doc_id, lang,
+         CAST(list_sum([
+           CASE WHEN list_sum([((hh >> CAST(b AS INT)) & 1) * 2 - 1 FOR hh IN hs]) > 0
+                THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END
+           FOR b IN range(0, 32)]) AS BIGINT) AS simhash
+  FROM h
+)
+SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 14
+""")
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRING: candidates are same-language docs
+    whose 32-bit signatures differ in <= 14 bits (Hamming via
+    bit_count(xor)). Completes the simhash family: signature build +
+    distance join. At scale the block is signature bands, same LSH
+    shape as minhash."""
+    d = table(spark, sf_dir, "documents")
+    s = (D.simhash32(d)
+          .join(d.select("doc_id", "lang"), "doc_id"))
+    a = s.select(F.col("lang"), F.col("doc_id").alias("id_a"),
+                 F.col("simhash").alias("sh_a"))
+    b = s.select(F.col("lang"), F.col("doc_id").alias("id_b"),
+                 F.col("simhash").alias("sh_b"))
+    pairs = (a.join(b, ["lang"]).filter(F.col("id_a") < F.col("id_b"))
+              .withColumn("hamming",
+                          F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+                           .cast("int"))
+              .filter(F.col("hamming") <= 14))
+    return pairs.select("lang", "id_a", "id_b", "hamming")
+
+
 @register("dedup_embedding_pairs", "ext:dedup-embedding-cosine", oracle="""
 WITH v AS (SELECT label AS block, vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
            FROM embeddings)
