@@ -75,23 +75,76 @@ def replace_keys(df: DataFrame, path: str, keys: Sequence[str],
     """Upsert by natural key over plain parquet: keep old rows whose
     key tuple does NOT appear in the batch (left_anti), union the
     batch, rewrite. On Delta/Iceberg this maps to MERGE; on parquet
-    the rewrite touches only the partitions present in the batch when
-    ``partition_by`` ⊆ ``keys`` coverage allows (we then delegate to
-    dynamic overwrite of those partitions).
+    the merged data is written ONCE to a staging dir and then moved
+    into place with directory renames (metadata-only) -- no
+    write-read-write double materialization, which at 100 TB would be
+    2x full-table write amplification per upsert.
+
+    When ``partition_by`` is set it must be a subset of ``keys``:
+    partition columns outside the key tuple would let a batch row
+    supersede an old row living in a different partition, and that
+    partition would never be rewritten -- the "deleted" rows resurrect
+    on the next read. With the invariant held, every superseded row
+    lives in a partition the batch also touches, so the read AND the
+    rewrite prune to exactly the batch's partitions.
     """
     spark = df.sparkSession
+    if partition_by and not set(partition_by) <= set(keys):
+        raise ValueError(
+            f"replace_keys requires partition_by ⊆ keys (got partition_by="
+            f"{list(partition_by)}, keys={list(keys)}): a partition column "
+            "outside the key tuple lets superseded rows survive in "
+            "partitions the batch never rewrites")
     if not os.path.exists(path):
         overwrite(df, path, partition_by)
         return
+    tmp = path.rstrip("/") + ".__staging__"
+    _rm(tmp)  # leftover from a crashed prior run
     old = spark.read.parquet(path)
+    if partition_by:
+        # prune the merge to the partitions present in the batch;
+        # untouched partitions are never read or rewritten
+        pvals = df.select(*partition_by).distinct()
+        old = old.join(F.broadcast(pvals), list(partition_by), "left_semi")
     keep = old.join(df.select(*keys).distinct(), list(keys), "left_anti")
     merged = keep.unionByName(df)
-    # parquet cannot overwrite a path being read: stage via a temp dir
-    tmp = path.rstrip("/") + ".__staging__"
-    overwrite(merged, tmp, partition_by)
-    final = spark.read.parquet(tmp)
-    overwrite(final, path, partition_by)
-    _rm(tmp)
+    overwrite(merged, tmp, partition_by)  # the one data write
+    if partition_by:
+        _swap_partition_dirs(tmp, path, len(partition_by))
+        _rm(tmp)
+    else:
+        retired = path.rstrip("/") + ".__retired__"
+        _rm(retired)
+        os.rename(path, retired)
+        os.rename(tmp, path)
+        _rm(retired)
+
+
+def _swap_partition_dirs(src: str, dst: str, depth: int) -> None:
+    """Move every leaf partition directory (``col=value/...`` nested
+    ``depth`` levels) from ``src`` into ``dst``, replacing the
+    corresponding leaf in ``dst`` if present. Rename-only: no data is
+    copied. Swapping at leaf level (not top level) preserves sibling
+    partitions that share a prefix value but were not in the batch."""
+    import shutil
+
+    def leaves(root: str, level: int) -> list[str]:
+        if level == 0:
+            return [""]
+        out = []
+        for entry in os.listdir(root):
+            full = os.path.join(root, entry)
+            if os.path.isdir(full) and "=" in entry:
+                out.extend(os.path.join(entry, rest).rstrip("/")
+                           for rest in leaves(full, level - 1))
+        return out
+
+    for rel in leaves(src, depth):
+        target = os.path.join(dst, rel)
+        if os.path.exists(target):
+            shutil.rmtree(target)
+        os.makedirs(os.path.dirname(target), exist_ok=True)
+        os.rename(os.path.join(src, rel), target)
 
 
 def _rm(path: str) -> None:

@@ -618,25 +618,34 @@ def fill_missing_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("pow_floor_round_pricing", "F9,F10,F11", oracle="""
 SELECT p_partkey,
-       round(p_retailprice * power(1.05, CAST(p_size AS DOUBLE) / 10), 4) AS compounded,
-       floor(p_retailprice / 100) * 100                                    AS price_lot,
-       round((p_retailprice / nullif(p_size, 0) - 1) * 100, 4)             AS unit_pct
+       floor(p_retailprice * power(1.05, CAST(p_size AS DOUBLE) / 10) * 1e4 + 0.5) / 1e4
+                                                                           AS compounded,
+       CAST(floor(p_retailprice / 100) * 100 AS BIGINT)                    AS price_lot,
+       floor((p_retailprice / nullif(p_size, 0) - 1) * 100 * 1e4 + 0.5) / 1e4
+                                                                           AS unit_pct
 FROM part
 """)
 def pow_floor_round_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Power/compounding, floor-to-lot, pct-change arithmetic
     (reference: macc discounting macc_input_to_summary.py:219-220;
     REC 1000-lot floor Model/RE_purpose_optimizer.py:284-285;
-    pct change jobs/staging_cal.py:47-50)."""
+    pct change jobs/staging_cal.py:47-50).
+
+    Rounding to 4 decimals is expressed as floor(x*1e4 + 0.5)/1e4 in BOTH
+    the Spark expression and the oracle SQL: Spark's round() is HALF_UP
+    while DuckDB rounds the underlying binary double differently, which
+    diverges on exact 4-decimal ties (sf0.01 p_partkey=493, 1046.60325).
+    The shared floor idiom makes the tie-breaking identical IEEE-754
+    arithmetic on both engines."""
     p = table(spark, sf_dir, "part")
+    compounded = (F.col("p_retailprice")
+                  * F.pow(F.lit(1.05), F.col("p_size").cast("double") / 10))
+    unit_pct = (F.col("p_retailprice") / F.nullif(F.col("p_size"), F.lit(0)) - 1) * 100
     return p.select(
         "p_partkey",
-        F.round(F.col("p_retailprice")
-                * F.pow(F.lit(1.05), F.col("p_size").cast("double") / 10), 4)
-         .alias("compounded"),
+        (F.floor(compounded * 1e4 + 0.5) / 1e4).alias("compounded"),
         (F.floor(F.col("p_retailprice") / 100) * 100).alias("price_lot"),
-        F.round((F.col("p_retailprice") / F.nullif(F.col("p_size"), F.lit(0)) - 1) * 100, 4)
-         .alias("unit_pct"))
+        (F.floor(unit_pct * 1e4 + 0.5) / 1e4).alias("unit_pct"))
 
 
 # pull in part 2 (training-data-pipeline + remaining families); import

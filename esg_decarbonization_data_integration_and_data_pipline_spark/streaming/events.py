@@ -109,8 +109,12 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 30,
             if t - last > gap_us:
                 closed.append((user_id, start, last, cnt, float(total)))
                 start, cnt, total = t, 0, 0.0
-            # a late event (t < last, admitted by the watermark) joins
-            # the open session without moving its end backwards
+            # a late event (t outside [start, last], admitted by the
+            # watermark) joins the open session; start tracks min(ts)
+            # and last tracks max(ts) symmetrically, keeping parity
+            # with the batch events_sessionize analog (min/max per
+            # session) that the tests pin streaming semantics to
+            start = min(start, t)
             last = max(last, t)
             cnt += 1
             total += v

@@ -73,6 +73,74 @@ def test_replace_keys_creates_missing_table(spark, tmp_path):
     assert W.read_table(spark, path).count() == 1
 
 
+def test_replace_keys_partitioned_prunes_and_writes_once(spark, tmp_path,
+                                                         monkeypatch):
+    """Upsert into a partitioned table: the merged data is written
+    exactly once (no staging re-materialization), and partitions not
+    present in the batch keep their original parquet files bit-for-bit
+    (rename-only swap, no rewrite of untouched partitions)."""
+    path = os.path.join(str(tmp_path), "t")
+    W.overwrite(_frame(spark, [("a", 1.0, "2023-01"), ("b", 2.0, "2023-01"),
+                               ("a", 3.0, "2023-02")]),
+                path, ["period_month"])
+    jan_dir = os.path.join(path, "period_month=2023-01")
+    before = {f: os.path.getmtime(os.path.join(jan_dir, f))
+              for f in os.listdir(jan_dir)}
+
+    calls = []
+    real_overwrite = W.overwrite
+
+    def counting_overwrite(df, p, partition_by=()):
+        calls.append(p)
+        real_overwrite(df, p, partition_by)
+
+    monkeypatch.setattr(W, "overwrite", counting_overwrite)
+    W.replace_keys(_frame(spark, [("a", 9.0, "2023-02"),
+                                  ("c", 4.0, "2023-02")]),
+                   path, keys=["site", "period_month"],
+                   partition_by=["period_month"])
+    assert len(calls) == 1, "merged frame must be materialized exactly once"
+    assert calls[0] != path, "data write goes to staging, swap is rename-only"
+    after = {f: os.path.getmtime(os.path.join(jan_dir, f))
+             for f in os.listdir(jan_dir)}
+    assert after == before, "untouched partition was rewritten"
+    got = {(r.site, r.period_month): r.amount
+           for r in W.read_table(spark, path).collect()}
+    assert got == {("a", "2023-01"): 1.0, ("b", "2023-01"): 2.0,
+                   ("a", "2023-02"): 9.0, ("c", "2023-02"): 4.0}
+
+
+def test_replace_keys_rejects_partition_outside_keys(spark, tmp_path):
+    """partition_by ⊄ keys would let superseded rows survive in
+    partitions the batch never rewrites (resurrection bug) -- refused
+    loudly instead of corrupting silently."""
+    import pytest
+
+    path = os.path.join(str(tmp_path), "t")
+    W.overwrite(_frame(spark, [("a", 1.0, "2023-01")]), path,
+                ["period_month"])
+    with pytest.raises(ValueError, match="partition_by"):
+        W.replace_keys(_frame(spark, [("a", 2.0, "2023-02")]),
+                       path, keys=["site"], partition_by=["period_month"])
+
+
+def test_replace_keys_two_level_partition_leaf_swap(spark, tmp_path):
+    """Leaf-level swap: a batch touching (site=a, 2023-02) must not
+    clobber sibling leaf (site=a, 2023-01) under the same top-level
+    partition value."""
+    path = os.path.join(str(tmp_path), "t")
+    W.overwrite(_frame(spark, [("a", 1.0, "2023-01"), ("a", 2.0, "2023-02"),
+                               ("b", 3.0, "2023-01")]),
+                path, ["site", "period_month"])
+    W.replace_keys(_frame(spark, [("a", 9.0, "2023-02")]),
+                   path, keys=["site", "period_month"],
+                   partition_by=["site", "period_month"])
+    got = {(r.site, r.period_month): r.amount
+           for r in W.read_table(spark, path).collect()}
+    assert got == {("a", "2023-01"): 1.0, ("a", "2023-02"): 9.0,
+                   ("b", "2023-01"): 3.0}
+
+
 def test_month_partitioned_column(spark):
     df = spark.createDataFrame([(dt.date(2023, 5, 1),)], "period_start date")
     out = W.month_partitioned(df).collect()[0]

@@ -3,8 +3,11 @@
 
 Runs every query in plans/queries.py on Spark AND its DuckDB oracle
 over the same parquet tables, then compares row count, column names,
-and an order-insensitive value multiset (floats canonicalized to 6
-significant digits). Use while iterating:
+and an order-insensitive value multiset (floats compared at full
+precision via repr — queries already round at aggregation boundaries,
+so full-precision comparison stays float-noise-safe while catching the
+real divergences that a 6-sig-digit canonicalization masked, e.g. the
+round-1 pow_floor_round_pricing 4th-decimal tie). Use while iterating:
 
     python tools/check_correctness.py [--sf /root/testdata/sf0.01] [names...]
 """
@@ -36,7 +39,7 @@ def _canon_cell(v) -> str:
     if isinstance(v, float):
         if v == 0:
             return "0"
-        return f"{v:.6g}"
+        return repr(v)
     return str(v)
 
 
