@@ -292,6 +292,58 @@ def simhash32(df: DataFrame, id_col: str = "doc_id",
                      simhash_udf(text_col).alias("simhash"))
 
 
+def simhash_band_pairs(df: DataFrame, max_hamming: int = 3,
+                       n_bands: int = 4, bits: int = 32,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Banded SimHash near-dup pairing -- the scale-safe plan.
+
+    The signature is split into ``n_bands`` contiguous chunks; by
+    pigeonhole, any pair within Hamming distance ``n_bands - 1``
+    agrees EXACTLY on at least one chunk, so candidates come from an
+    equi-join on (band, chunk) -- never an all-pairs or block-wide
+    self-join -- and exact Hamming is verified on candidates only.
+    Guaranteed recall requires ``max_hamming <= n_bands - 1``
+    (enforced).
+
+    Output: (id_a, id_b, hamming) with id_a < id_b, hamming <=
+    ``max_hamming``.
+
+    Scale note: with 32-bit signatures each 8-bit band has only 256
+    values, so bucket size grows as corpus/256 -- fine to ~10^5 docs
+    per shuffle partition. The production configuration is the same
+    plan over a 64- or 128-bit simhash with 16-bit bands
+    (corpus/65536 buckets); only ``bits``/``n_bands`` change.
+    """
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"banded recall guarantee needs max_hamming <= n_bands - 1 "
+            f"(got max_hamming={max_hamming}, n_bands={n_bands})")
+    w = bits // n_bands
+    mask = (1 << w) - 1
+    sig = simhash32(df, id_col, text_col).filter(F.col("simhash").isNotNull())
+    bands = (sig.select(
+                "doc_id", "simhash",
+                F.explode(F.expr(
+                    f"transform(sequence(0, {n_bands - 1}), b -> "
+                    f"struct(b AS band, "
+                    f"shiftright(simhash, b * {w}) & {mask} AS chunk))"
+                )).alias("bc"))
+             .select("doc_id", "simhash", "bc.band", "bc.chunk"))
+    a = bands.select("band", "chunk", F.col("doc_id").alias("id_a"),
+                     F.col("simhash").alias("sh_a"))
+    b = bands.select("band", "chunk", F.col("doc_id").alias("id_b"),
+                     F.col("simhash").alias("sh_b"))
+    return (a.join(b, ["band", "chunk"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+             .withColumn("hamming",
+                         F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+                          .cast("int"))
+             .filter(F.col("hamming") <= max_hamming)
+             .select("id_a", "id_b", "hamming"))
+
+
 def embedding_dup_pairs(df: DataFrame, threshold: float,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         block_col: str = "label") -> DataFrame:

