@@ -436,13 +436,59 @@ def cagr_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                       6).alias("cagr")))
 
 
-@register("irr_by_brand", "A8,UD3,UD2")
+@register("irr_by_brand", "A8,UD3,UD2", oracle="""
+WITH RECURSIVE y AS (
+  SELECT p.p_brand, CAST(year(l.l_shipdate) AS INT) AS yr,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+),
+cf0 AS (
+  SELECT p_brand, list(revenue ORDER BY yr) AS cfs, count(*) AS n,
+         min(yr) AS first_year, max(yr) AS last_year
+  FROM y GROUP BY p_brand
+),
+cf AS (
+  SELECT p_brand, n, first_year, last_year,
+         list_concat([-abs(cfs[1]) * CAST(n AS DOUBLE)], cfs[2:]) AS c
+  FROM cf0
+),
+it AS (
+  SELECT p_brand, n, first_year, last_year, c, 0 AS i,
+         CAST(-0.99 AS DOUBLE) AS lo, CAST(10.0 AS DOUBLE) AS hi
+  FROM cf
+  UNION ALL
+  SELECT p_brand, n, first_year, last_year, c, i + 1,
+         CASE WHEN nlo * nmid <= 0 THEN lo ELSE (lo + hi) / 2 END,
+         CASE WHEN nlo * nmid <= 0 THEN (lo + hi) / 2 ELSE hi END
+  FROM (
+    SELECT *,
+      list_reduce([c[t + 1] / power(1 + lo, CAST(t AS DOUBLE)) FOR t IN range(0, n)],
+                  (a, b) -> a + b) AS nlo,
+      list_reduce([c[t + 1] / power(1 + (lo + hi) / 2, CAST(t AS DOUBLE)) FOR t IN range(0, n)],
+                  (a, b) -> a + b) AS nmid
+    FROM it WHERE i < 80
+  )
+)
+SELECT p_brand, n AS n_years, first_year, last_year,
+       round((lo + hi) / 2, 6) AS irr
+FROM it WHERE i = 80
+""")
 def irr_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IRR of each brand's yearly revenue treated as a cashflow series
     (first year negated as the outlay) -- the reference's irr_func
     grouped UDAF (Model/Factory_elect_simulator_update.py:194-203),
     as an Arrow-batched applyInPandas with bisection NPV root-finding.
-    Not SQL-expressible => rows-only correctness check.
+
+    Fully oracle-checked (upgraded from rows-only in round 1): the
+    oracle replays the SAME 80-iteration bisection as a recursive CTE
+    with identical IEEE-754 arithmetic -- cashflows rounded to 4
+    decimals on both sides so the inputs are bit-identical, NPV folded
+    left-to-right on both sides (Python sum vs list_reduce), libm pow
+    on both sides -- so every intermediate double matches and the
+    6-decimal irr hashes exactly. Companion columns (n_years,
+    first_year, last_year) pin the series shape independently of the
+    root-finder.
     """
     import pandas as pd
 
@@ -450,8 +496,9 @@ def irr_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part")
     y = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
            .groupBy("p_brand", F.year("l_shipdate").cast("int").alias("yr"))
-           .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                 .alias("revenue")))
+           .agg(F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                    4).alias("revenue")))
 
     from esg_decarbonization_data_integration_and_data_pipline_spark.functions.finance import (
         irr_bisect,
@@ -463,10 +510,13 @@ def irr_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         cf[0] = -abs(cf[0]) * float(len(cf))  # synthetic outlay
         return pd.DataFrame({"p_brand": [pdf["p_brand"].iloc[0]],
                              "n_years": [len(cf)],
+                             "first_year": [int(pdf["yr"].min())],
+                             "last_year": [int(pdf["yr"].max())],
                              "irr": [round(irr_bisect(list(cf)), 6)]})
 
     return y.groupBy("p_brand").applyInPandas(
-        irr, "p_brand string, n_years bigint, irr double")
+        irr, "p_brand string, n_years bigint, first_year int, "
+             "last_year int, irr double")
 
 
 @register("events_tumbling_agg", "ext:streaming-analog,F8", oracle="""
