@@ -66,9 +66,16 @@ def simulate_future(history: DataFrame, horizon: int) -> DataFrame:
                          .withColumn("y_amount",
                                      F.col("last_total")
                                      * F.pow(1 + F.col("rate"), F.col("x"))))
+    # Final amounts are cents (2 decimals) via the shared floor idiom
+    # (ROUNDLOG rule): forecast values are ~1e6 so their double ulp is
+    # ~1e-10; summation-order noise between engines makes a 6-decimal
+    # boundary a coin-flip (~1e-3/row -- observed once at sf0.01),
+    # while 2 decimals puts boundaries 1e4x further from the noise,
+    # and floor(x*100+0.5) ties identically on both engines.
     monthly = (future_years.join(shares, ["site", "plant"])
                .withColumn("amount",
-                           F.round(F.col("y_amount") * F.col("share"), 6))
+                           F.floor(F.col("y_amount") * F.col("share")
+                                   * 100 + 0.5) / 100)
                .select("site", "plant", "year", "month", "amount")
                .withColumn("kind", F.lit("forecast")))
     return monthly

@@ -276,7 +276,8 @@ future AS (
   FROM rates r, (SELECT unnest(range(1, 3)) AS x) x
 )
 SELECT f.site, f.plant, f.year, s.month,
-       round(f.last_total * power(1 + f.rate, f.x) * s.share, 6) AS amount,
+       floor(f.last_total * power(1 + f.rate, f.x) * s.share * 100 + 0.5) / 100
+         AS amount,
        'forecast' AS kind
 FROM future f JOIN shares s ON s.site = f.site AND s.plant = f.plant
 """)

@@ -54,11 +54,11 @@ def test_month_shares(spark):
 def test_simulate_future_years(spark):
     out = {(r.site, r.plant, r.year, r.month): r.amount
            for r in simulate_future(_history(spark), horizon=2).collect()}
-    # year +1: 121 * 1.21 = 146.41, split 60/40
-    assert out[("WZS", "P1", 2024, 1)] == pytest.approx(146.41 * 0.6, abs=1e-6)
-    assert out[("WZS", "P1", 2025, 2)] == pytest.approx(121 * 1.21**2 * 0.4, abs=1e-6)
+    # amounts round to cents; year +1: 121 * 1.21 = 146.41, split 60/40
+    assert out[("WZS", "P1", 2024, 1)] == pytest.approx(146.41 * 0.6, abs=5e-3)
+    assert out[("WZS", "P1", 2025, 2)] == pytest.approx(121 * 1.21**2 * 0.4, abs=5e-3)
     # second site grows at the same 21% CAGR: 12.1 * 1.21^2
-    assert out[("WKS", "P2", 2025, 1)] == pytest.approx(12.1 * 1.21**2, abs=1e-6)
+    assert out[("WKS", "P2", 2025, 1)] == pytest.approx(12.1 * 1.21**2, abs=5e-3)
     assert len(out) == 2 * 3  # 2 horizon years x 3 site-plant-months
 
 

@@ -72,6 +72,28 @@ def test_partition_pruning_on_warehouse_tables(spark, sf_dir, tmp_path):
     assert scan.count() == 1
 
 
+def test_asof_strategies_equal_results(spark, sf_dir):
+    """The window (default, single-sort -- wins at sf0.1) and agg
+    (map-side candidate collapse -- the network-shuffle/high-fan-in
+    choice) as-of strategies must return identical rows, and the agg
+    plan must show a PARTIAL max_by phase so fan-in collapses before
+    the exchange (round-1 watch item)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.joins import asof_join
+    from esg_decarbonization_data_integration_and_data_pipline_spark.tables import events_table, table
+
+    e = events_table(spark, sf_dir)
+    o = table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "user_id")
+    args = (e, o, ["user_id"], "ts", "o_orderdate")
+    win = asof_join(*args, tiebreak=["o_orderkey"]).select(
+        "event_id", "o_orderkey", "o_orderdate")
+    agg = asof_join(*args, tiebreak=["o_orderkey"], strategy="agg").select(
+        "event_id", "o_orderkey", "o_orderdate")
+    assert sorted(map(tuple, win.collect())) == sorted(map(tuple, agg.collect()))
+    agg_plan = agg._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert "partial_max_by" in agg_plan
+
+
 def test_simhash_pairs_join_on_bands_not_blocks(spark, sf_dir):
     """dedup_simhash_pairs must generate candidates from an equi-join
     on (band, chunk), never a block-wide (e.g. per-language) or
