@@ -50,6 +50,19 @@ def cosine_topk(df: DataFrame, query_df: DataFrame, k: int,
                   .limit(k))
 
 
+def _bucket_expr(dim: int, n_planes: int, table_idx: str | int) -> str:
+    """SQL expr for the sign-random-projection bucket of double array
+    ``v`` under hyperplane table ``table_idx`` (0 = the original
+    single-table planes; table t uses plane rows t*n_planes..)."""
+    plane = f"(CAST({table_idx} AS BIGINT) * {n_planes} + h)"
+    return (
+        f"aggregate(sequence(0, {n_planes - 1}), 0L, (acc, h) -> acc + "
+        f"IF(aggregate(sequence(0, {dim - 1}), 0D, (s, d) -> s + "
+        f"element_at(v, d + 1) * "
+        f"CAST((1 + {plane} * {dim} + d) * 2654435761L % 1001 - 500 AS DOUBLE)"
+        f") >= 0, shiftleft(1L, h), 0L))")
+
+
 def lsh_bucket(df: DataFrame, dim: int, id_col: str = "vec_id",
                vec_col: str = "embedding", n_planes: int = N_PLANES) -> DataFrame:
     """Sign-random-projection bucket id (0..2^n_planes-1) per vector.
@@ -59,12 +72,53 @@ def lsh_bucket(df: DataFrame, dim: int, id_col: str = "vec_id",
     are resolved as >= 0 -> bit set).
     """
     v = df.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v"))
-    bucket = F.expr(
-        f"aggregate(sequence(0, {n_planes - 1}), 0L, (acc, h) -> acc + "
-        f"IF(aggregate(sequence(0, {dim - 1}), 0D, (s, d) -> s + "
-        f"element_at(v, d + 1) * CAST((1 + h * {dim} + d) * 2654435761L % 1001 - 500 AS DOUBLE)"
-        f") >= 0, shiftleft(1L, h), 0L))")
-    return v.withColumn("bucket", bucket).select("vec_id", "bucket")
+    return (v.withColumn("bucket", F.expr(_bucket_expr(dim, n_planes, 0)))
+             .select("vec_id", "bucket"))
+
+
+def lsh_bucket_multi(df: DataFrame, dim: int, n_tables: int,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     n_planes: int = N_PLANES) -> DataFrame:
+    """(vec_id, tbl, bucket) for ``n_tables`` INDEPENDENT hyperplane
+    tables (table t uses plane rows t*n_planes.. of the same integer
+    weight stream; table 0 == ``lsh_bucket``). One narrow pass emits
+    all tables via posexplode -- the vector is read once."""
+    v = df.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v"))
+    buckets = F.expr(
+        f"transform(sequence(0, {n_tables - 1}), "
+        f"t -> {_bucket_expr(dim, n_planes, 't')})")
+    return (v.select("vec_id", F.posexplode(buckets).alias("tbl", "bucket")))
+
+
+def ann_candidates_multi(df: DataFrame, dim: int, n_tables: int = 4,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         n_planes: int = N_PLANES) -> DataFrame:
+    """Multi-table ANN candidate pairs: union of per-table bucket
+    equi-joins, deduped, then exact-cosine verified (round-1 verdict
+    item: one 8-plane table at 100 TB means 256 huge buckets; k
+    independent tables multiply recall while each join stays bucketed).
+
+    Scale shape: candidates come ONLY from equi-joins on (tbl,
+    bucket); the (id_a, id_b) dedup happens BEFORE vectors are
+    re-attached, so the expensive cosine verify runs once per distinct
+    pair, and no vector rides through the pair shuffle."""
+    b = lsh_bucket_multi(df, dim, n_tables, id_col, vec_col, n_planes)
+    a = b.select("tbl", "bucket", F.col("vec_id").alias("id_a"))
+    c = b.select("tbl", "bucket", F.col("vec_id").alias("id_b"))
+    pairs = (a.join(c, ["tbl", "bucket"])
+              .filter(F.col("id_a") < F.col("id_b"))
+              .select("id_a", "id_b")
+              .distinct())
+    v = df.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v"))
+    va = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("v_a"))
+    vb = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("v_b"))
+    pv = pairs.join(va, "id_a").join(vb, "id_b")
+    dot = F.expr("aggregate(zip_with(v_a, v_b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    na = F.sqrt(F.expr("aggregate(v_a, 0D, (acc, x) -> acc + x * x)"))
+    nb = F.sqrt(F.expr("aggregate(v_b, 0D, (acc, x) -> acc + x * x)"))
+    return (pv.withColumn("cosine",
+                          F.round(dot / F.nullif(na * nb, F.lit(0.0)), 6))
+              .select("id_a", "id_b", "cosine"))
 
 
 def ann_candidates(df: DataFrame, dim: int, id_col: str = "vec_id",

@@ -360,6 +360,38 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucket(e, dim=64)
 
 
+@register("ann_multitable_pairs", "ext:ann-lsh-multi", oracle="""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+b AS (
+  SELECT v.vec_id, t.t AS tbl,
+         CAST(list_sum([
+           CASE WHEN list_sum([v.e[CAST(d + 1 AS INT)] *
+                    CAST((1 + (t.t * 8 + h) * 64 + d) * 2654435761 % 1001 - 500 AS DOUBLE)
+                    FOR d IN range(0, 64)]) >= 0
+                THEN (CAST(1 AS BIGINT) << CAST(h AS INT)) ELSE 0 END
+           FOR h IN range(0, 8)]) AS BIGINT) AS bucket
+  FROM v, (SELECT unnest(range(0, 4)) AS t) t
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket
+                   AND a.vec_id < c.vec_id
+)
+SELECT p.id_a, p.id_b,
+       round(list_cosine_similarity(va.e, vb.e), 6) AS cosine
+FROM pairs p
+JOIN v va ON va.vec_id = p.id_a
+JOIN v vb ON vb.vec_id = p.id_b
+""")
+def ann_multitable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH ANN: union of 4 independent 8-plane bucket
+    joins, pair-dedup, exact cosine verify -- the recall/bucket-size
+    control the single-table plan lacks at 100 TB (round-1 verdict
+    item 10)."""
+    e = table(spark, sf_dir, "embeddings")
+    return S.ann_candidates_multi(e, dim=64, n_tables=4)
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing
 # --------------------------------------------------------------------------
