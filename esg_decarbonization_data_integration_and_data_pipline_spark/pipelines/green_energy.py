@@ -1,0 +1,138 @@
+"""Quarterly green-energy demand overview (app.green_energy_amount).
+
+Semantics (reference: jobs/renew_green_energy.py:21-350):
+
+- ``cal_renew_total`` (:21-57): per site,
+    target_renew         = total_elect x renewable target rate,
+    grey_elect           = total_elect - solar - green_elect,
+    green_energy_request = max(0, target_renew - solar - green_elect
+                                  - green_energy);
+- the ``summarize_all_data`` quarter run (:193-344): YTM site totals
+  at the quarter-end period first SUBTRACT the customer-reserved
+  slices already stored for the quarter (:220-262), feed
+  cal_renew_total, join the quarter's base unit price
+  (customer '-' / NULL rows of green_purchase) to derive
+  predict_price = unit_price x green_energy_request and
+  ratio = green_energy / total_elect x 100 (:268-283), attach areas
+  (missing -> '其他') (:285-296);
+- customer rows are appended back, then an area-level rollup sums the
+  measures per (year, quarter, area) and is emitted with
+  site='ALL', customer='ALL' and a recomputed ratio (:298-316) --
+  the hand-built grouping-set pattern (A6) again;
+- existing remarks for the slice are re-attached by
+  (year, quarter, area, site, customer) (:322-326).
+
+Spark shape: broadcast joins against small per-site frames, one
+rollup aggregation, no quarter loop (the caller prunes one quarter's
+partitions). max(0, x) is ``greatest``; zero denominators are NULL
+(engine-wide choice; the reference emits inf and filters later).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+MEASURES = ["total_elect", "grey_elect", "target_renew", "solar",
+            "green_elect", "green_energy", "green_energy_request",
+            "unit_price", "predict_price", "actual_amount"]
+
+
+def renew_total(tables: dict[str, DataFrame]) -> DataFrame:
+    """cal_renew_total (reference :21-57). tables:
+    elect(site, year, total_elect), solar(site, solar),
+    green_elect(site, green_elect), green_energy(site, green_energy),
+    renew_target(year, target_rate).
+    """
+    elect = tables["elect"]
+    out = (elect
+           .join(F.broadcast(tables["renew_target"]), "year", "left")
+           .join(F.broadcast(tables["solar"]), "site", "left")
+           .join(F.broadcast(tables["green_elect"]), "site", "left")
+           .join(F.broadcast(tables["green_energy"]), "site", "left")
+           .na.fill({"target_rate": 0.0, "solar": 0.0, "green_elect": 0.0,
+                     "green_energy": 0.0}))
+    target = F.col("total_elect") * F.col("target_rate")
+    return (out
+            .withColumn("target_renew", target)
+            .withColumn("grey_elect", F.col("total_elect") - F.col("solar")
+                        - F.col("green_elect"))
+            .withColumn("green_energy_request",
+                        F.greatest(target - F.col("solar")
+                                   - F.col("green_elect")
+                                   - F.col("green_energy"), F.lit(0.0)))
+            .select("site", "year", "total_elect", "grey_elect",
+                    "target_renew", "solar", "green_elect", "green_energy",
+                    "green_energy_request")
+            .dropDuplicates())
+
+
+def _minus_customer(src: DataFrame, add: DataFrame, col: str) -> DataFrame:
+    reserved = add.groupBy("site").agg(F.sum(col).alias("__r"))
+    return (src.join(F.broadcast(reserved), "site", "left")
+            .na.fill({"__r": 0.0})
+            .withColumn(col, F.col(col) - F.col("__r"))
+            .drop("__r"))
+
+
+def green_energy_amount(tables: dict[str, DataFrame], year: int,
+                        quarter_num: int) -> DataFrame:
+    """The summarize_all_data assembly (reference :193-344). tables:
+    elect_src(site, total_elect)            -- YTM at quarter end,
+    solar_src(site, solar), green_elect_src(site, green_elect),
+    green_energy_src(site, green_energy)    -- window sum,
+    customer_rows(year, quarter, area, site, customer, total_elect,
+                  target_renew, solar, green_elect, grey_elect,
+                  green_energy, predict_price, green_energy_request,
+                  actual_amount)            -- reserved slices,
+    renew_target(year, target_rate),
+    unit_price(site, unit_price, actual_amount)  -- base rows only,
+    area_mapping(site, area),
+    remarks(year, quarter, area, site, customer, remark).
+    """
+    cust = tables["customer_rows"]
+    elect = (_minus_customer(tables["elect_src"], cust, "total_elect")
+             .withColumn("year", F.lit(year)))
+    solar = _minus_customer(tables["solar_src"], cust, "solar")
+    grelect = _minus_customer(tables["green_elect_src"], cust, "green_elect")
+
+    base = renew_total({"elect": elect, "solar": solar,
+                        "green_elect": grelect,
+                        "green_energy": tables["green_energy_src"],
+                        "renew_target": tables["renew_target"]})
+
+    site_rows = (base
+                 .join(F.broadcast(tables["unit_price"]), "site", "left")
+                 .na.fill({"unit_price": 0.0, "actual_amount": 0.0})
+                 .withColumn("predict_price", F.col("unit_price")
+                             * F.col("green_energy_request"))
+                 .withColumn("ratio", F.col("green_energy")
+                             / F.nullif(F.col("total_elect"), F.lit(0.0))
+                             * 100)
+                 .join(F.broadcast(tables["area_mapping"].dropDuplicates()),
+                       "site", "left")
+                 .na.fill({"area": "其他"})
+                 .withColumn("quarter", F.lit(quarter_num))
+                 .withColumn("customer", F.lit("")))
+
+    with_cust = (site_rows
+                 .unionByName(cust.withColumn("unit_price", F.lit(0.0))
+                                  .withColumn("ratio", F.lit(None)
+                                              .cast("double")),
+                              allowMissingColumns=False)
+                 .na.fill({c: 0.0 for c in MEASURES}))
+
+    rollup = (with_cust
+              .groupBy("year", "quarter", "area")
+              .agg(*[F.sum(c).alias(c) for c in MEASURES])
+              .withColumn("site", F.lit("ALL"))
+              .withColumn("customer", F.lit("ALL"))
+              .withColumn("ratio", F.col("green_energy")
+                          / F.nullif(F.col("total_elect"), F.lit(0.0))
+                          * 100))
+
+    cols = ["year", "quarter", "area", "site", "customer", "ratio",
+            *MEASURES]
+    final = rollup.select(*cols).unionByName(with_cust.select(*cols))
+    return final.join(F.broadcast(tables["remarks"]),
+                      ["year", "quarter", "area", "site", "customer"],
+                      "left")

@@ -1,0 +1,95 @@
+from __future__ import annotations
+
+import pytest
+
+from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.green_energy import (
+    green_energy_amount, renew_total,
+)
+
+
+def test_renew_total_request_clamps_at_zero(spark):
+    tables = {
+        "elect": spark.createDataFrame(
+            [("AAA", 2024, 1000.0), ("BBB", 2024, 100.0)],
+            "site string, year int, total_elect double"),
+        "solar": spark.createDataFrame([("AAA", 100.0), ("BBB", 90.0)],
+                                       "site string, solar double"),
+        "green_elect": spark.createDataFrame([("AAA", 200.0)],
+                                             "site string, green_elect double"),
+        "green_energy": spark.createDataFrame([("AAA", 50.0)],
+                                              "site string, green_energy double"),
+        "renew_target": spark.createDataFrame([(2024, 0.4)],
+                                              "year int, target_rate double"),
+    }
+    rows = {r.site: r for r in renew_total(tables).collect()}
+    a = rows["AAA"]
+    assert a.target_renew == pytest.approx(400.0)
+    assert a.grey_elect == pytest.approx(700.0)
+    # request = 400 - 100 - 200 - 50 = 50
+    assert a.green_energy_request == pytest.approx(50.0)
+    b = rows["BBB"]
+    # target 40 < solar 90 -> clamps at zero, missing joins fill 0
+    assert b.green_energy_request == 0.0
+    assert b.grey_elect == pytest.approx(10.0)
+
+
+def _tables(spark):
+    cust_cols = ("year int, quarter int, area string, site string, "
+                 "customer string, total_elect double, target_renew double, "
+                 "solar double, green_elect double, grey_elect double, "
+                 "green_energy double, predict_price double, "
+                 "green_energy_request double, actual_amount double")
+    return {
+        "elect_src": spark.createDataFrame([("AAA", 1200.0), ("BBB", 100.0)],
+                                           "site string, total_elect double"),
+        "solar_src": spark.createDataFrame([("AAA", 100.0)],
+                                           "site string, solar double"),
+        "green_elect_src": spark.createDataFrame([("AAA", 200.0)],
+                                                 "site string, green_elect double"),
+        "green_energy_src": spark.createDataFrame([("AAA", 50.0)],
+                                                  "site string, green_energy double"),
+        "customer_rows": spark.createDataFrame(
+            [(2024, 2, "台灣", "AAA", "ACME", 200.0, 80.0, 0.0, 0.0, 200.0,
+              20.0, 10.0, 30.0, 5.0)], cust_cols),
+        "renew_target": spark.createDataFrame([(2024, 0.4)],
+                                              "year int, target_rate double"),
+        "unit_price": spark.createDataFrame(
+            [("AAA", 2.0, 7.0)],
+            "site string, unit_price double, actual_amount double"),
+        "area_mapping": spark.createDataFrame(
+            [("AAA", "台灣"), ("AAA", "台灣")],  # duplicate row collapses
+            "site string, area string"),
+        "remarks": spark.createDataFrame(
+            [(2024, 2, "台灣", "ALL", "ALL", "rolled"),
+             (2024, 2, "台灣", "AAA", "", "note-a")],
+            "year int, quarter int, area string, site string, "
+            "customer string, remark string"),
+    }
+
+
+def test_green_energy_amount_assembly(spark):
+    rows = green_energy_amount(_tables(spark), 2024, 2).collect()
+    by_key = {(r.site, r.customer, r.area): r for r in rows}
+
+    a = by_key[("AAA", "", "台灣")]
+    # customer slice subtracted before targets: 1200-200=1000 elect
+    assert a.total_elect == 1000.0
+    assert a.target_renew == pytest.approx(400.0)
+    assert a.green_energy_request == pytest.approx(50.0)
+    assert a.predict_price == pytest.approx(100.0)   # 2.0 x 50
+    assert a.ratio == pytest.approx(5.0)             # 50/1000 x 100
+    assert a.remark == "note-a"
+
+    b = by_key[("BBB", "", "其他")]
+    assert b.total_elect == 100.0
+
+    c = by_key[("AAA", "ACME", "台灣")]                      # customer row kept
+    assert c.total_elect == 200.0 and c.green_energy == 20.0
+
+    # area rollup sums site + customer rows, recomputes ratio
+    r = by_key[("ALL", "ALL", "台灣")]
+    assert r.total_elect == 1200.0
+    assert r.green_energy == 70.0
+    assert r.ratio == pytest.approx(70.0 / 1200.0 * 100)
+    assert r.remark == "rolled"
+    assert len(rows) == 5  # 2 site rows + 1 customer + 2 area rollups
