@@ -15,6 +15,7 @@ import datetime as dt
 from pyspark.sql import SparkSession
 
 from esg_decarbonization_data_integration_and_data_pipline_spark.io import writers as W
+from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.decarb_path import decarb_path
 from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.electricity_decarb import (
     electricity_decarb,
 )
@@ -22,6 +23,9 @@ from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.esgi_
 from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.run_all import JobRegistry
 from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.scope_overview import (
     scope_overview,
+)
+from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.source_status import (
+    source_status,
 )
 
 
@@ -74,5 +78,33 @@ def build_warehouse_dag(warehouse: str, sources: dict, base_year: int,
              "carbon_coef": sources["carbon_coef"]},
             base_year=base_year)
         W.overwrite(out, p("app", "decarb_elec_overview"))
+
+    # the confirm-status and forecast jobs join the DAG only when the
+    # caller supplies their inputs (the reference's main() likewise
+    # sequences them as optional tail steps, main.py:29-113)
+    if "confirm" in sources:
+        @reg.register("source_status", depends_on=["esgi_to_raw"])
+        def _status(spark: SparkSession, run_date: dt.date):
+            elec = W.read_table(spark, p("raw", "electricity_total_decarb"))
+            renew = (W.read_table(spark, p("raw", "renewable_energy_decarb"))
+                     .withColumnRenamed("category", "category2"))
+            out = source_status(
+                {"electricity": elec, "renewable": renew,
+                 "plant_mapping": sources["site_categories"],
+                 "confirm": sources["confirm"]},
+                run_date)
+            W.replace_keys(out, p("app", "source_decarb_confirm"),
+                           keys=["site_category", "site", "item",
+                                 "year", "month"])
+
+    if "simulate" in sources:
+        @reg.register("decarb_path")
+        def _path(spark: SparkSession, run_date: dt.date):
+            out = decarb_path(
+                {"simulate": sources["simulate"],
+                 "renewable_setting": sources["renewable_setting"],
+                 "coef": sources["decarb_coef"]})
+            W.replace_keys(out, p("app", "decarb_path"),
+                           keys=["category", "year", "version", "type"])
 
     return reg

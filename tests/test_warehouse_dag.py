@@ -62,3 +62,43 @@ def test_dag_end_to_end_and_idempotent(spark, sources, tmp_path):
     after = sorted(map(tuple, W.read_table(
         spark, os.path.join(wh, "app.db", "decarb_elec_overview")).collect()))
     assert before == after
+
+
+def test_dag_optional_tail_jobs(spark, sources, tmp_path):
+    sources = dict(sources)
+    sources["confirm"] = spark.createDataFrame(
+        [("FAB", "WZS", "實際用電", 2023, 5, True),
+         ("FAB", "WZS", "green_electricity", 2023, 5, False),
+         ("FAB", "WKS", "實際用電", 2023, 5, False)],
+        "site_category string, site string, item string, year int, "
+        "month int, confirm boolean")
+    sources["site_categories"] = spark.createDataFrame(
+        [("FAB", "WZS"), ("FAB", "WKS")], "site_category string, site string")
+    sources["simulate"] = spark.createDataFrame(
+        [("WZS", 2025, 1000.0, 1, 2023)],
+        "site string, year int, amount double, version int, version_year int")
+    sources["renewable_setting"] = spark.createDataFrame(
+        [(2025, "REC", 10.0), (2025, "PPA", 20.0), (2025, "solar", 30.0)],
+        "year int, category string, amount double")
+    sources["decarb_coef"] = spark.createDataFrame(
+        [("WZS", 2025, 0.5)], "site string, year int, amount double")
+
+    wh = str(tmp_path / "warehouse")
+    reg = build_warehouse_dag(wh, sources, base_year=2023)
+    results = reg.run_all(spark, RUN)
+    assert results["source_status"] == "ok" and results["decarb_path"] == "ok"
+
+    status = W.read_table(
+        spark, os.path.join(wh, "app.db", "source_decarb_confirm"))
+    by_key = {(r.site, r.item): r for r in status.collect()}
+    # the esgi-landed rows surface with the recoded type label
+    assert by_key[("WZS", "實際用電")].type == "ESGI"
+    assert by_key[("WZS", "實際用電")].confirm is True
+    assert by_key[("WZS", "green_electricity")].type == "ESGI"
+    assert by_key[("WKS", "實際用電")].type == "ESGI"
+
+    path = W.read_table(spark, os.path.join(wh, "app.db", "decarb_path"))
+    by_cat = {r.category: r for r in path.collect()}
+    assert by_cat["RECs"].amount == pytest.approx(1000 * 0.5 * 0.1 / 1000)
+    assert by_cat["Scope 2 (Scope 2-REC)"].amount == pytest.approx(0.2)
+    assert len(by_cat) == 5
