@@ -16,6 +16,8 @@ import os
 import sys
 import time
 
+import pandas as pd  # module-level: pandas_udf resolves stringized type hints here
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
@@ -54,6 +56,18 @@ def main() -> None:
     # not first-query classloading
     REGISTRY["pricing_summary"].fn(spark, sf_dir).write.format("noop") \
         .mode("overwrite").save()
+    # ...and fork the Python/Arrow workers once, so the first
+    # pandas-UDF query measures its plan rather than worker startup
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _noop(s: pd.Series) -> pd.Series:
+        return s
+
+    (spark.range(spark.sparkContext.defaultParallelism)
+          .withColumn("x", _noop(F.col("id").cast("double")))
+          .write.format("noop").mode("overwrite").save())
 
     names = [n for n in HEADLINE if n in REGISTRY]
     extra = os.environ.get("BENCH_QUERIES")

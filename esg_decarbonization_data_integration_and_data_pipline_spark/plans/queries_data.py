@@ -233,18 +233,21 @@ cand AS (
   FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
 )
 SELECT c.id_a, c.id_b,
-       round(len(list_intersect(sa.sh, sb.sh))
-             / CAST(nullif(len(list_distinct(list_concat(sa.sh, sb.sh))), 0) AS DOUBLE),
+       round(len(list_intersect(ha.hl, hb.hl))
+             / CAST(nullif(len(list_distinct(list_concat(ha.hl, hb.hl))), 0) AS DOUBLE),
              6) AS jaccard
-FROM cand c JOIN s sa ON sa.id = c.id_a JOIN s sb ON sb.id = c.id_b
-WHERE round(len(list_intersect(sa.sh, sb.sh))
-            / CAST(nullif(len(list_distinct(list_concat(sa.sh, sb.sh))), 0) AS DOUBLE),
+FROM cand c JOIN hs ha ON ha.id = c.id_a JOIN hs hb ON hb.id = c.id_b
+WHERE round(len(list_intersect(ha.hl, hb.hl))
+            / CAST(nullif(len(list_distinct(list_concat(ha.hl, hb.hl))), 0) AS DOUBLE),
             6) >= 0.05
 """)
 def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production near-dup plan: MinHash-LSH candidates verified
-    with exact bigram Jaccard -- pairwise work confined to LSH
-    buckets (linear + candidate term; the 100 TB path)."""
+    with bigram-set Jaccard on the polynomial gram hashes (identical
+    formulation in the oracle, so any hash collision is mirrored;
+    primitive int arrays make the per-pair set ops ~an order of
+    magnitude cheaper than string arrays) -- pairwise work confined
+    to LSH buckets (linear + candidate term; the 100 TB path)."""
     d = table(spark, sf_dir, "documents")
     return D.minhash_verified_pairs(d, threshold=0.05)
 
