@@ -121,6 +121,79 @@ def ann_candidates_multi(df: DataFrame, dim: int, n_tables: int = 4,
               .select("id_a", "id_b", "cosine"))
 
 
+def _cos_expr(a: str, b: str) -> str:
+    """SQL expr: cosine(a, b) rounded to 6 digits (double arrays).
+    Lambda variable names are unique so the expr nests safely inside
+    outer higher-order lambdas."""
+    return (
+        f"round(aggregate(zip_with({a}, {b}, (zx, zy) -> zx * zy), 0D, "
+        f"(za, zz) -> za + zz) / "
+        f"nullif(sqrt(aggregate({a}, 0D, (ua, ux) -> ua + ux * ux)) * "
+        f"sqrt(aggregate({b}, 0D, (wa, wx) -> wa + wx * wx)), 0D), 6)")
+
+
+def ivf_assign(df: DataFrame, n_cells: int = 16, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, v, cell): nearest-centroid cell id per vector -- the
+    IVF (inverted-file) index build.
+
+    Centroids are the ``n_cells`` lowest-id vectors (k-means with
+    zero refinement iterations): deterministic and reproducible in
+    any engine, which is what the correctness oracle needs. A
+    production deployment would refine the seeds with sampled k-means
+    (an Arrow-batched kernel over a .sample() slice); the
+    assignment/probe PLAN below is unchanged by better centroids.
+
+    Scale shape: the centroid set is collected into ONE array row and
+    broadcast (like any dimension broadcast), so assignment is a
+    narrow map over the corpus -- no shuffle, no groupBy. Ties on the
+    rounded cosine resolve to the smaller cell id (struct-max on
+    (cos, -cid)).
+    """
+    v = df.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v"))
+    cents = (v.filter(F.col("vec_id") < n_cells)
+              .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+              .agg(F.sort_array(F.collect_list(F.struct("cid", "cv")))
+                    .alias("cents")))
+    best = (f"array_max(transform(cents, c -> named_struct("
+            f"'cos', {_cos_expr('v', 'c.cv')}, 'ncid', -c.cid)))")
+    return (v.crossJoin(F.broadcast(cents))
+             .withColumn("cell", F.expr(f"-({best}.ncid)"))
+             .select("vec_id", "v", "cell"))
+
+
+def ivf_topk(df: DataFrame, query_df: DataFrame, k: int,
+             n_cells: int = 16, n_probes: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: probe the ``n_probes`` cells nearest to
+    the query, exact-cosine only the vectors assigned to those cells.
+
+    The 100 TB ANN scale path the brute-force ``cosine_topk`` can't
+    be: the probed fraction (~n_probes/n_cells of the corpus) is the
+    only part that pays the cosine, and every join in the plan is a
+    broadcast (1-row query, 1-row centroid array, n_probes-row probe
+    list) feeding one TakeOrderedAndProject -- no shuffle at all. If
+    the corpus is WRITTEN partitioned by cell (the natural layout for
+    a static index), the probe filter prunes at the parquet scan and
+    the job reads only probed partitions.
+    """
+    assigned = ivf_assign(df, n_cells, id_col, vec_col)
+    q = query_df.select(_as_double(vec_col).alias("q_v"))
+    cent_rows = df.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv"))
+    probes = (cent_rows.crossJoin(F.broadcast(q))
+              .withColumn("pcos", F.expr(_cos_expr("cv", "q_v")))
+              .orderBy(F.col("pcos").desc(), F.col("cid"))
+              .limit(n_probes)
+              .select(F.col("cid").alias("cell")))
+    cand = assigned.join(F.broadcast(probes), "cell")
+    return (cand.crossJoin(F.broadcast(q))
+                .withColumn("cosine", F.expr(_cos_expr("v", "q_v")))
+                .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+                .limit(k)
+                .select("vec_id", "cell", "cosine"))
+
+
 def ann_candidates(df: DataFrame, dim: int, id_col: str = "vec_id",
                    vec_col: str = "embedding") -> DataFrame:
     """ANN candidate pairs = vectors sharing an LSH bucket, with the

@@ -45,22 +45,6 @@ def selfjoin_green_grey_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        F.lit(0.0)), 6).alias("closed_rate")))
 
 
-@register("except_nation_keys", "U2,U4", oracle="""
-SELECT DISTINCT c_nationkey AS nationkey
-FROM customer
-EXCEPT
-SELECT DISTINCT s_nationkey FROM supplier
-""")
-def except_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT on key sets, the reference's set(old)-set(new) gap scan
-    (reference: jobs/fix_data.py:65,137) as a distributed set op."""
-    c = table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey"))
-    s = table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey"))
-    return c.distinct().exceptAll(s.distinct())
-
-
 @register("top_revenue_order", "O3,O2,A3", oracle="""
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders

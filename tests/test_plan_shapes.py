@@ -38,7 +38,7 @@ def test_brand_revenue_broadcasts_dim(spark, sf_dir):
 
 def test_semi_anti_compile_to_join_types(spark, sf_dir):
     assert "LeftSemi" in plan_of(spark, sf_dir, "customers_with_open_orders")
-    assert "LeftAnti" in plan_of(spark, sf_dir, "customers_without_orders")
+    assert "LeftAnti" in plan_of(spark, sf_dir, "lapsed_customer_keys")
 
 
 def test_top_revenue_order_avoids_global_sort(spark, sf_dir):
