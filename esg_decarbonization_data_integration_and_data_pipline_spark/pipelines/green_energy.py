@@ -66,6 +66,54 @@ def renew_total(tables: dict[str, DataFrame]) -> DataFrame:
             .dropDuplicates())
 
 
+def customer_green_energy(tables: dict[str, DataFrame], year: int,
+                          quarter_num: int) -> DataFrame:
+    """The ``add_customer_data`` branch (reference
+    jobs/renew_green_energy.py:100-190): recompute the renew totals
+    for the CUSTOMER-reserved slices of app.green_energy_amount and
+    re-price them with the per-customer unit price.
+
+    tables:
+    customer_rows(year, quarter, area, site, customer, total_elect,
+                  solar, green_elect)   -- the quarter's customer slice,
+    renew_target(year, target_rate),
+    unit_price(site, year, customer, unit_price, actual_amount)
+                                        -- customer rows of
+                                           app.green_purchase (:141),
+    remarks(year, quarter, area, site, customer, remark).
+
+    green_energy is forced to 0 for customer rows (:126-128) before
+    cal_renew_total, so green_energy_request = max(0, target - solar
+    - green_elect). The per-customer unit-price merge keys on
+    (site, year, customer) (:143-144); predict_price and ratio follow
+    the site-row formulas (:147-152). The caller upserts the result
+    with replace_keys(year, quarter, area, customer) -- the
+    reference's row-count-dependent DELETE branches (:171-191)
+    collapse into one idempotent merge.
+    """
+    cust = tables["customer_rows"]
+    base = renew_total({
+        "elect": cust.select("site", "year", "total_elect"),
+        "solar": cust.select("site", "solar"),
+        "green_elect": cust.select("site", "green_elect"),
+        "green_energy": cust.select(
+            "site", F.lit(0.0).alias("green_energy")),
+        "renew_target": tables["renew_target"]})
+    keys = cust.select("year", "quarter", "area", "site", "customer")
+    out = (base.join(F.broadcast(keys), ["site", "year"], "left")
+               .join(F.broadcast(tables["unit_price"]),
+                     ["site", "year", "customer"], "left")
+               .na.fill({"unit_price": 0.0})
+               .withColumn("predict_price", F.col("unit_price")
+                           * F.col("green_energy_request"))
+               .withColumn("ratio", F.col("green_energy")
+                           / F.nullif(F.col("total_elect"), F.lit(0.0))
+                           * 100))
+    return out.join(F.broadcast(tables["remarks"]),
+                    ["year", "quarter", "area", "site", "customer"],
+                    "left")
+
+
 def _minus_customer(src: DataFrame, add: DataFrame, col: str) -> DataFrame:
     reserved = add.groupBy("site").agg(F.sum(col).alias("__r"))
     return (src.join(F.broadcast(reserved), "site", "left")

@@ -3,7 +3,7 @@ from __future__ import annotations
 import pytest
 
 from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.green_energy import (
-    green_energy_amount, renew_total,
+    customer_green_energy, green_energy_amount, renew_total,
 )
 
 
@@ -93,3 +93,40 @@ def test_green_energy_amount_assembly(spark):
     assert r.ratio == pytest.approx(70.0 / 1200.0 * 100)
     assert r.remark == "rolled"
     assert len(rows) == 5  # 2 site rows + 1 customer + 2 area rollups
+
+
+def test_customer_green_energy_reprices_slice(spark):
+    """add_customer_data branch: green_energy forced to 0, request =
+    max(0, target - solar - green_elect), per-customer unit price on
+    (site, year, customer), missing price fills 0."""
+    tables = {
+        "customer_rows": spark.createDataFrame(
+            [(2024, 2, "台灣", "AAA", "ACME", 500.0, 20.0, 30.0),
+             (2024, 2, "台灣", "BBB", "Other", 100.0, 0.0, 0.0)],
+            "year int, quarter int, area string, site string, "
+            "customer string, total_elect double, solar double, "
+            "green_elect double"),
+        "renew_target": spark.createDataFrame([(2024, 0.4)],
+                                              "year int, target_rate double"),
+        "unit_price": spark.createDataFrame(
+            [("AAA", 2024, "ACME", 3.0, 9.0)],
+            "site string, year int, customer string, unit_price double, "
+            "actual_amount double"),
+        "remarks": spark.createDataFrame(
+            [(2024, 2, "台灣", "AAA", "ACME", "reserved")],
+            "year int, quarter int, area string, site string, "
+            "customer string, remark string"),
+    }
+    rows = {r.customer: r for r in
+            customer_green_energy(tables, 2024, 2).collect()}
+    a = rows["ACME"]
+    assert a.green_energy == 0.0                       # forced to zero
+    assert a.target_renew == pytest.approx(200.0)      # 500 x 0.4
+    # request = 200 - 20 - 30 - 0 = 150; predict = 3.0 x 150
+    assert a.green_energy_request == pytest.approx(150.0)
+    assert a.predict_price == pytest.approx(450.0)
+    assert a.ratio == 0.0                              # 0 / 500 x 100
+    assert a.remark == "reserved"
+    b = rows["Other"]                                  # no price row
+    assert b.unit_price == 0.0 and b.predict_price == 0.0
+    assert b.remark is None
