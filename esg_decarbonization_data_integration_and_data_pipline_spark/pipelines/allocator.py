@@ -19,19 +19,22 @@ from pyspark.sql import DataFrame
 
 
 def greedy_allocate(offers: DataFrame, targets: DataFrame,
-                    lot_size: float | None = None) -> DataFrame:
-    """offers(year, source_id, price, available);
-    targets(year, target_amount).
+                    lot_size: float | None = None,
+                    key: str = "year", key_type: str = "int") -> DataFrame:
+    """offers(<key>, source_id, price, available);
+    targets(<key>, target_amount).
 
-    Allocates each year's target over its offers in (price asc,
+    Allocates each key group's target over its offers in (price asc,
     source_id asc) order; optional ``lot_size`` floors each take to
     whole lots (the reference's REC 1000-unit rule,
-    Model/RE_purpose_optimizer.py:284-285).
+    Model/RE_purpose_optimizer.py:284-285). ``key`` defaults to the
+    reference's per-year grouping; the transfer-suggestion job
+    allocates per site (key_type='string').
 
-    Output: (year, source_id, price, available, rank, allocated,
+    Output: (<key>, source_id, price, available, rank, allocated,
     cum_allocated).
     """
-    joined = offers.join(targets, "year", "inner")
+    joined = offers.join(targets, key, "inner")
 
     def alloc(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["price", "source_id"]).reset_index(drop=True)
@@ -47,12 +50,13 @@ def greedy_allocate(offers: DataFrame, targets: DataFrame,
             cum += take
             allocated.append(take)
             cums.append(cum)
-        out = pdf[["year", "source_id", "price", "available"]].copy()
+        out = pdf[[key, "source_id", "price", "available"]].copy()
         out["rank"] = range(1, len(pdf) + 1)
         out["allocated"] = allocated
         out["cum_allocated"] = cums
         return out
 
-    schema = ("year int, source_id string, price double, available double, "
-              "rank int, allocated double, cum_allocated double")
-    return joined.groupBy("year").applyInPandas(alloc, schema)
+    schema = (f"{key} {key_type}, source_id string, price double, "
+              f"available double, rank int, allocated double, "
+              f"cum_allocated double")
+    return joined.groupBy(key).applyInPandas(alloc, schema)

@@ -49,3 +49,60 @@ def reconcile_sources(primary: DataFrame, secondary: DataFrame,
     over-ESGI rule) -- one coalesce projection instead of the
     reference's row loop."""
     return coalescing_outer_join(primary, secondary, list(keys), [amount_col])
+
+
+def import_actual_elect(tables: dict[str, DataFrame],
+                        year: int) -> tuple[DataFrame, DataFrame]:
+    """Copy the year's actual electricity into the target tables
+    (reference: jobs/fix_data.py:327-430 import_actual_elect).
+
+    tables:
+    monthly(site, amount, period_start)  -- staging.electricity_decarb
+        slice (bo='ALL', site != 'ALL', year window; caller filters),
+    csr(site, period_start, amount)      -- WIHK rows of
+        app.electricity_backstage_update (indicatorvalue > 0),
+    esgi(site, period_start, amount)     -- WIHK rows of
+        raw.electricity_total_wzsesgi,
+    versions(version, sign_off_id, last_update_time, year, category,
+        validate)                        -- app.elect_target_month.
+
+    Returns (month_rows, year_rows) stamped category='actual',
+    validate=true and carrying the version/sign-off/update-time of
+    the latest VALIDATED version's 'predict' row (:366) -- the
+    correlated MAX-version subquery as a broadcast join. The WIHK
+    fill-gaps loop (:355-358) is the coalescing outer join; the
+    caller upserts with replace_keys on (year, [month,] site,
+    category, version) mirroring the delete predicates (:402, :410).
+    """
+    wihk = reconcile_sources(tables["csr"], tables["esgi"])
+    df = (tables["monthly"].select("site", "amount", "period_start")
+          .unionByName(wihk.select("site", "amount", "period_start")))
+
+    versions = tables["versions"]
+    vmax = (versions
+            .filter((F.col("year") == year) & F.col("validate"))
+            .agg(F.max("version").alias("version")))
+    stamp = (versions
+             .filter((F.col("year") == year)
+                     & (F.col("category") == "predict"))
+             .join(F.broadcast(vmax), "version")
+             .select("version", "sign_off_id", "last_update_time")
+             .distinct())
+
+    stamped = (df.crossJoin(F.broadcast(stamp))
+                 .withColumn("category", F.lit("actual"))
+                 .withColumn("validate", F.lit(True)))
+    month_rows = (stamped
+                  .withColumn("year", F.year("period_start"))
+                  .withColumn("month", F.month("period_start"))
+                  .select("site", "amount", "year", "month", "category",
+                          "validate", "version", "sign_off_id",
+                          "last_update_time"))
+    year_rows = (stamped
+                 .groupBy("site", "category", "validate", "version",
+                          "sign_off_id", "last_update_time")
+                 .agg(F.sum("amount").alias("amount"))
+                 .withColumn("year", F.lit(year))
+                 .select("site", "amount", "year", "category", "validate",
+                         "version", "sign_off_id", "last_update_time"))
+    return month_rows, year_rows

@@ -13,7 +13,7 @@ from esg_decarbonization_data_integration_and_data_pipline_spark.functions.finan
 )
 from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.esgi_ingest import esgi_to_raw
 from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.gap_fix import (
-    reconcile_sources, synthesize_missing_sites,
+    import_actual_elect, reconcile_sources, synthesize_missing_sites,
 )
 from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.macc import macc_summary
 from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.simulator import (
@@ -118,6 +118,46 @@ def test_reconcile_sources_primary_wins(spark):
     out = {r.site: r.amount for r in
            reconcile_sources(csr, esgi).collect()}
     assert out == {"WZS": 100.0, "WKS": 7.0}
+
+
+def test_import_actual_elect_stamps_latest_validated_predict(spark):
+    """fix_data.py:327-430: WIHK CSR-over-ESGI reconcile feeds the
+    monthly frame; both outputs carry the version/sign-off/update of
+    the predict row at the MAX validated version; year rows sum the
+    months per site."""
+    monthly = spark.createDataFrame(
+        [("WZS", 10.0, dt.date(2024, 1, 1)),
+         ("WZS", 20.0, dt.date(2024, 2, 1))],
+        "site string, amount double, period_start date")
+    csr = spark.createDataFrame(
+        [("WIHK-1", dt.date(2024, 1, 1), 5.0)],
+        "site string, period_start date, amount double")
+    esgi = spark.createDataFrame(
+        [("WIHK-1", dt.date(2024, 1, 1), 999.0),   # CSR wins
+         ("WIHK-1", dt.date(2024, 2, 1), 6.0)],    # ESGI fills the gap
+        "site string, period_start date, amount double")
+    versions = spark.createDataFrame(
+        [(2, "s2", dt.datetime(2024, 3, 1), 2024, "predict", True),
+         (3, "s3", dt.datetime(2024, 4, 1), 2024, "predict", False),
+         (2, "x", dt.datetime(2024, 3, 1), 2023, "predict", True)],
+        "version int, sign_off_id string, last_update_time timestamp, "
+        "year int, category string, validate boolean")
+    month_rows, year_rows = import_actual_elect(
+        {"monthly": monthly, "csr": csr, "esgi": esgi,
+         "versions": versions}, 2024)
+
+    m = {(r.site, r.month): r for r in month_rows.collect()}
+    assert m[("WIHK-1", 1)].amount == 5.0      # CSR over ESGI
+    assert m[("WIHK-1", 2)].amount == 6.0      # ESGI gap fill
+    assert m[("WZS", 1)].amount == 10.0
+    row = m[("WZS", 2)]
+    # version 3 is not validated -> stamp comes from version 2
+    assert (row.version, row.sign_off_id) == (2, "s2")
+    assert row.category == "actual" and row.validate is True
+
+    y = {r.site: r for r in year_rows.collect()}
+    assert y["WZS"].amount == 30.0 and y["WIHK-1"].amount == 11.0
+    assert y["WZS"].year == 2024 and y["WZS"].version == 2
 
 
 def test_macc_summary_curve(spark):
