@@ -12,10 +12,14 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 
 from esg_decarbonization_data_integration_and_data_pipline_spark.io import writers as W
 from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.decarb_path import decarb_path
+from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.gap_fix import import_actual_elect
+from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.transfer_suggest import (
+    next_year_transfer_suggest,
+)
 from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.electricity_decarb import (
     electricity_decarb,
 )
@@ -106,5 +110,49 @@ def build_warehouse_dag(warehouse: str, sources: dict, base_year: int,
                  "coef": sources["decarb_coef"]})
             W.replace_keys(out, p("app", "decarb_path"),
                            keys=["category", "year", "version", "type"])
+
+    # actuals import runs after staging like the reference's
+    # import_actual_elect between raw_to_staging and staging_to_app
+    # (main.py:83-85)
+    if "target_versions" in sources:
+        @reg.register("import_actual_elect",
+                      depends_on=["electricity_decarb"])
+        def _actuals(spark: SparkSession, run_date: dt.date):
+            staged = (W.read_table(spark,
+                                   p("staging", "electricity_decarb"))
+                      .filter("site <> 'ALL' AND bo <> 'ALL'")
+                      .select("site", "amount", "period_start"))
+            month_rows, year_rows = import_actual_elect(
+                {"monthly": staged,
+                 "csr": sources["wihk_csr"],
+                 "esgi": sources["wihk_esgi"],
+                 "versions": sources["target_versions"]},
+                run_date.year)
+            W.replace_keys(month_rows, p("app", "elect_target_month"),
+                           keys=["year", "month", "site", "category",
+                                 "version"])
+            W.replace_keys(year_rows, p("app", "elect_target_year"),
+                           keys=["year", "site", "category", "version"])
+
+    # the transfer suggestion closes the nightly run (main.py:110)
+    if "transfer_offers" in sources:
+        @reg.register("transfer_suggest",
+                      depends_on=["electricity_decarb"])
+        def _suggest(spark: SparkSession, run_date: dt.date):
+            staged = (W.read_table(spark,
+                                   p("staging", "electricity_decarb"))
+                      .filter("site <> 'ALL' AND bo <> 'ALL'"))
+            consumption = (staged
+                           .withColumn("year", F.year("period_start"))
+                           .groupBy("site", "year")
+                           .agg(F.sum("amount").alias("amount")))
+            out = next_year_transfer_suggest(
+                {"consumption": consumption,
+                 "ratio_path": sources["ratio_path"],
+                 "secured": sources["secured_green"],
+                 "offers": sources["transfer_offers"]},
+                run_date.year + 1)
+            W.replace_keys(out, p("app", "green_transfer_suggest"),
+                           keys=["site", "source_id"])
 
     return reg

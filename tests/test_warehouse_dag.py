@@ -102,3 +102,54 @@ def test_dag_optional_tail_jobs(spark, sources, tmp_path):
     assert by_cat["RECs"].amount == pytest.approx(1000 * 0.5 * 0.1 / 1000)
     assert by_cat["Scope 2 (Scope 2-REC)"].amount == pytest.approx(0.2)
     assert len(by_cat) == 5
+
+
+def test_dag_actuals_import_and_transfer_suggest(spark, sources, tmp_path):
+    sources = dict(sources)
+    sources["target_versions"] = spark.createDataFrame(
+        [(1, "s1", dt.datetime(2023, 2, 1), 2023, "predict", True),
+         (2, "s2", dt.datetime(2023, 3, 1), 2023, "predict", True)],
+        "version int, sign_off_id string, last_update_time timestamp, "
+        "year int, category string, validate boolean")
+    sources["wihk_csr"] = spark.createDataFrame(
+        [("WIHK-1", dt.date(2023, 5, 1), 42.0)],
+        "site string, period_start date, amount double")
+    sources["wihk_esgi"] = spark.createDataFrame(
+        [("WIHK-1", dt.date(2023, 6, 1), 7.0)],
+        "site string, period_start date, amount double")
+    sources["ratio_path"] = spark.createDataFrame(
+        [(2024, 0.5)], "year int, renewable_ratio double")
+    sources["secured_green"] = spark.createDataFrame(
+        [("WZS", 150.0)], "site string, green_kwh double")
+    sources["transfer_offers"] = spark.createDataFrame(
+        [("WZS", "ppa-a", 2.0, 10000.0), ("WKS", "ppa-b", 3.0, 10.0)],
+        "site string, source_id string, price double, available double")
+
+    wh = str(tmp_path / "warehouse")
+    reg = build_warehouse_dag(wh, sources, base_year=2023)
+    results = reg.run_all(spark, RUN)
+    assert results["import_actual_elect"] == "ok"
+    assert results["transfer_suggest"] == "ok"
+
+    months = W.read_table(
+        spark, os.path.join(wh, "app.db", "elect_target_month"))
+    by_site = {(r.site, r.month): r for r in months.collect()}
+    # staging actuals (May) + the reconciled WIHK rows, stamped with
+    # the max validated version's metadata
+    assert by_site[("WIHK-1", 5)].amount == 42.0
+    assert by_site[("WIHK-1", 6)].amount == 7.0
+    assert by_site[("WZS", 5)].version == 2
+    assert by_site[("WZS", 5)].category == "actual"
+
+    years = W.read_table(
+        spark, os.path.join(wh, "app.db", "elect_target_year"))
+    ysite = {r.site: r for r in years.collect()}
+    assert ysite["WIHK-1"].amount == pytest.approx(49.0)
+
+    suggest = W.read_table(
+        spark, os.path.join(wh, "app.db", "green_transfer_suggest"))
+    srow = {r.site: r for r in suggest.collect()}
+    # WZS 2023 total = 1100 (esgi 1000 + solar 100); gap =
+    # 1100 x 0.5 - 150 secured = 400, filled by the cheap offer
+    assert srow["WZS"].allocated == pytest.approx(400.0)
+    assert srow["WZS"].unfilled == 0.0
