@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_minhash_verified",
     "similarity_topk",
     "similarity_lsh_buckets",
+    "similarity_ivf_topk",
     "events_tumbling_agg",
 ]
 

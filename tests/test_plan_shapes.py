@@ -110,3 +110,23 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "string_slice_like")
     assert "PushedFilters" in plan
     assert "StringContains" in plan or "p_type" in plan.split("PushedFilters")[1][:200]
+
+
+def exec_plan_of(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_minhash_verify_broadcasts_candidates(spark, sf_dir):
+    """The verify stage must broadcast the candidate pair ids, never
+    re-shuffle the signature working set (all joins broadcast-hash)."""
+    plan = exec_plan_of(spark, sf_dir, "dedup_minhash_verified")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_text_quality_kernel_runs_once(spark, sf_dir):
+    """The count kernel must appear as exactly ONE ArrowEvalPython
+    node -- a projection split would evaluate it per reference."""
+    plan = exec_plan_of(spark, sf_dir, "text_quality")
+    assert plan.count("ArrowEvalPython") == 1
