@@ -328,14 +328,18 @@ def minhash_verified_pairs(df: DataFrame, threshold: float,
     candidates = _band_candidates(base.select("id", "mh"), n_bands)
     a = base.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
     b = base.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
-    # broadcast the candidate PAIR IDS into both verify joins: the
-    # LSH candidate set is orders of magnitude smaller than the
-    # corpus (two ints per pair), so the signature working set is
-    # never re-shuffled -- without the hint each join exchanges
-    # `base` by id. (If a corpus ever yields a candidate set too big
-    # to broadcast, that's the LSH banding failing, not the join.)
-    joined = (F.broadcast(F.broadcast(candidates).join(a, "id_a"))
-               .join(b, "id_b"))
+    # broadcast the candidate PAIR IDS (two ints per pair, orders of
+    # magnitude smaller than the corpus) into one streaming pass over
+    # the cached working set per side, then join the two pair-sized
+    # legs on the pair key. The corpus is never re-shuffled and the
+    # only exchanged frames are candidate-sized; broadcasting the
+    # a-leg WITH its signature arrays into the b-join would ship the
+    # very payload this plan exists to keep in place. (A candidate
+    # set too big to broadcast means the banding failed, not the
+    # join.)
+    ja = a.join(F.broadcast(candidates), "id_a")
+    jb = b.join(F.broadcast(candidates), "id_b")
+    joined = ja.join(jb, ["id_a", "id_b"])
     jac = F.round(
         F.size(F.array_intersect("hs_a", "hs_b"))
         / F.nullif(F.size(F.array_union("hs_a", "hs_b")), F.lit(0)).cast("double"),

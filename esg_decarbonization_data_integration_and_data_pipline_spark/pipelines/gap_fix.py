@@ -57,8 +57,13 @@ def import_actual_elect(tables: dict[str, DataFrame],
     (reference: jobs/fix_data.py:327-430 import_actual_elect).
 
     tables:
-    monthly(site, amount, period_start)  -- staging.electricity_decarb
-        slice (bo='ALL', site != 'ALL', year window; caller filters),
+    monthly(site, amount, period_start)  -- one row per (site,
+        period_start) for the import year. The reference reads its
+        site-level slice as bo='ALL' AND site != 'ALL' (:346); OUR
+        staging rollup nests the other way (site='ALL' within bo),
+        so the caller takes the detail slice (site <> 'ALL' AND
+        bo <> 'ALL'), sums over bo, and applies the year window --
+        see the warehouse DAG job,
     csr(site, period_start, amount)      -- WIHK rows of
         app.electricity_backstage_update (indicatorvalue > 0),
     esgi(site, period_start, amount)     -- WIHK rows of
@@ -82,12 +87,22 @@ def import_actual_elect(tables: dict[str, DataFrame],
     vmax = (versions
             .filter((F.col("year") == year) & F.col("validate"))
             .agg(F.max("version").alias("version")))
+    # collapse to EXACTLY one stamp row: the predict slice at the max
+    # validated version can hold many (site, month) rows whose
+    # last_update_time differ (a distinct() would then duplicate
+    # every imported row through the cross join), and can be EMPTY
+    # when no validated version exists -- a global aggregate yields
+    # one row either way (null metadata on the empty case, instead
+    # of silently importing nothing). The newest update wins, like
+    # the reference's first-row pick of its DISTINCT (:366,:371).
     stamp = (versions
              .filter((F.col("year") == year)
                      & (F.col("category") == "predict"))
              .join(F.broadcast(vmax), "version")
-             .select("version", "sign_off_id", "last_update_time")
-             .distinct())
+             .agg(F.max("version").alias("version"),
+                  F.expr("max_by(sign_off_id, last_update_time)")
+                   .alias("sign_off_id"),
+                  F.max("last_update_time").alias("last_update_time")))
 
     stamped = (df.crossJoin(F.broadcast(stamp))
                  .withColumn("category", F.lit("actual"))

@@ -83,25 +83,42 @@ def customer_green_energy(tables: dict[str, DataFrame], year: int,
     remarks(year, quarter, area, site, customer, remark).
 
     green_energy is forced to 0 for customer rows (:126-128) before
-    cal_renew_total, so green_energy_request = max(0, target - solar
-    - green_elect). The per-customer unit-price merge keys on
-    (site, year, customer) (:143-144); predict_price and ratio follow
-    the site-row formulas (:147-152). The caller upserts the result
-    with replace_keys(year, quarter, area, customer) -- the
-    reference's row-count-dependent DELETE branches (:171-191)
-    collapse into one idempotent merge.
+    the renew-total formulas, so green_energy_request = max(0,
+    target - solar - green_elect). The per-customer unit-price merge
+    keys on (site, year, customer) (:143-144); predict_price and
+    ratio follow the site-row formulas (:147-152). The caller
+    upserts the result with replace_keys(year, quarter, area,
+    customer) -- the reference's row-count-dependent DELETE branches
+    (:171-191) collapse into one idempotent merge.
+
+    Divergence, on purpose: the reference feeds the customer slice
+    through cal_renew_total's site-keyed merges, which cross-product
+    measures as soon as one site holds two customers (and its
+    (site, year) re-attach then multiplies the keys again). Here the
+    renew formulas run PER CUSTOMER ROW -- identical output for the
+    reference's effective one-customer-per-site slices, still keyed
+    correctly by (site, customer) beyond them. The year/quarter
+    arguments slice the input to the requested quarter, mirroring
+    the reference's WHERE clauses (:115-141).
     """
-    cust = tables["customer_rows"]
-    base = renew_total({
-        "elect": cust.select("site", "year", "total_elect"),
-        "solar": cust.select("site", "solar"),
-        "green_elect": cust.select("site", "green_elect"),
-        "green_energy": cust.select(
-            "site", F.lit(0.0).alias("green_energy")),
-        "renew_target": tables["renew_target"]})
-    keys = cust.select("year", "quarter", "area", "site", "customer")
-    out = (base.join(F.broadcast(keys), ["site", "year"], "left")
-               .join(F.broadcast(tables["unit_price"]),
+    cust = (tables["customer_rows"]
+            .filter((F.col("year") == year)
+                    & (F.col("quarter") == quarter_num)))
+    target = F.col("total_elect") * F.col("target_rate")
+    base = (cust
+            .join(F.broadcast(tables["renew_target"]), "year", "left")
+            .na.fill({"target_rate": 0.0, "solar": 0.0,
+                      "green_elect": 0.0})
+            .withColumn("green_energy", F.lit(0.0))
+            .withColumn("target_renew", target)
+            .withColumn("grey_elect", F.col("total_elect")
+                        - F.col("solar") - F.col("green_elect"))
+            .withColumn("green_energy_request",
+                        F.greatest(target - F.col("solar")
+                                   - F.col("green_elect")
+                                   - F.col("green_energy"), F.lit(0.0)))
+            .drop("target_rate"))
+    out = (base.join(F.broadcast(tables["unit_price"]),
                      ["site", "year", "customer"], "left")
                .na.fill({"unit_price": 0.0})
                .withColumn("predict_price", F.col("unit_price")

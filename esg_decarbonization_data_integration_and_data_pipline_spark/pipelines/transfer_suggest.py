@@ -45,12 +45,17 @@ def transfer_gaps(tables: dict[str, DataFrame], next_year: int) -> DataFrame:
     """
     latest = (tables["consumption"].groupBy("site")
               .agg(F.expr("max_by(amount, year)").alias("base_amount")))
+    # a global aggregate yields EXACTLY one rate row: a missing
+    # next_year entry becomes rate 0 (sites stay visible with a zero
+    # target instead of the whole job silently emitting nothing),
+    # and duplicate path rows cannot fan out the cross join
     rate = (tables["ratio_path"]
             .filter(F.col("year") == next_year)
-            .select(F.col("renewable_ratio").alias("target_rate")))
+            .agg(F.max("renewable_ratio").alias("target_rate")))
     secured = (tables["secured"].groupBy("site")
                .agg(F.sum("green_kwh").alias("secured_kwh")))
     return (latest.crossJoin(F.broadcast(rate))
+            .na.fill({"target_rate": 0.0})
             .join(secured, "site", "left")
             .na.fill({"secured_kwh": 0.0})
             .withColumn("target_kwh",
@@ -71,14 +76,18 @@ def next_year_transfer_suggest(tables: dict[str, DataFrame],
     Output: (site, source_id, price, available, rank, allocated,
     cum_allocated, target_amount, unfilled) -- cheapest-first greedy
     fill per site; ``unfilled`` > 0 flags sites whose offer pool
-    cannot cover the shortfall.
+    cannot cover the shortfall. A site with a positive shortfall but
+    NO offers at all still surfaces, as one row with a null
+    source_id and unfilled = target_amount -- the fully unfillable
+    gap is the one planners must see.
     """
     gaps = transfer_gaps(tables, next_year)
     targets = gaps.select("site", "target_amount")
     alloc = greedy_allocate(tables["offers"], targets,
                             key="site", key_type="string")
-    return (alloc.join(F.broadcast(targets), "site", "left")
-                 .withColumn("unfilled",
-                             F.greatest(F.col("target_amount")
-                                        - F.col("cum_allocated"),
-                                        F.lit(0.0))))
+    return (targets.join(alloc.drop("target_amount"), "site", "left")
+                   .withColumn("unfilled",
+                               F.greatest(F.col("target_amount")
+                                          - F.coalesce("cum_allocated",
+                                                       F.lit(0.0)),
+                                          F.lit(0.0))))

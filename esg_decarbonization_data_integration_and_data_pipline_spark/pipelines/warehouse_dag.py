@@ -118,10 +118,16 @@ def build_warehouse_dag(warehouse: str, sources: dict, base_year: int,
         @reg.register("import_actual_elect",
                       depends_on=["electricity_decarb"])
         def _actuals(spark: SparkSession, run_date: dt.date):
+            # detail slice, summed over bo (a site mapped to two bos
+            # must land as ONE row per month) and windowed to the
+            # import year -- staging carries the prior year too, and
+            # an unwindowed sum would label it all as run year
             staged = (W.read_table(spark,
                                    p("staging", "electricity_decarb"))
                       .filter("site <> 'ALL' AND bo <> 'ALL'")
-                      .select("site", "amount", "period_start"))
+                      .filter(F.year("period_start") == run_date.year)
+                      .groupBy("site", "period_start")
+                      .agg(F.sum("amount").alias("amount")))
             month_rows, year_rows = import_actual_elect(
                 {"monthly": staged,
                  "csr": sources["wihk_csr"],
@@ -139,13 +145,19 @@ def build_warehouse_dag(warehouse: str, sources: dict, base_year: int,
         @reg.register("transfer_suggest",
                       depends_on=["electricity_decarb"])
         def _suggest(spark: SparkSession, run_date: dt.date):
+            # annualize the in-progress year: max_by(amount, year)
+            # picks the latest year, which mid-year holds only N
+            # months -- scale by 12/N so a June run does not halve
+            # the suggested next-year demand
             staged = (W.read_table(spark,
                                    p("staging", "electricity_decarb"))
                       .filter("site <> 'ALL' AND bo <> 'ALL'"))
             consumption = (staged
                            .withColumn("year", F.year("period_start"))
                            .groupBy("site", "year")
-                           .agg(F.sum("amount").alias("amount")))
+                           .agg((F.sum("amount") * 12
+                                 / F.countDistinct(F.month("period_start")))
+                                .alias("amount")))
             out = next_year_transfer_suggest(
                 {"consumption": consumption,
                  "ratio_path": sources["ratio_path"],

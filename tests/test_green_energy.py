@@ -102,6 +102,8 @@ def test_customer_green_energy_reprices_slice(spark):
     tables = {
         "customer_rows": spark.createDataFrame(
             [(2024, 2, "台灣", "AAA", "ACME", 500.0, 20.0, 30.0),
+             (2024, 2, "台灣", "AAA", "Zeta", 100.0, 5.0, 0.0),
+             (2024, 1, "台灣", "AAA", "ACME", 999.0, 9.0, 9.0),
              (2024, 2, "台灣", "BBB", "Other", 100.0, 0.0, 0.0)],
             "year int, quarter int, area string, site string, "
             "customer string, total_elect double, solar double, "
@@ -130,3 +132,10 @@ def test_customer_green_energy_reprices_slice(spark):
     b = rows["Other"]                                  # no price row
     assert b.unit_price == 0.0 and b.predict_price == 0.0
     assert b.remark is None
+    # two customers on ONE site stay per-customer rows (the
+    # reference's site-keyed merges would cross-product them) and
+    # the off-quarter row is sliced out
+    z = rows["Zeta"]
+    assert z.total_elect == 100.0
+    assert z.green_energy_request == pytest.approx(100.0 * 0.4 - 5.0)
+    assert len(rows) == 3

@@ -118,11 +118,13 @@ def exec_plan_of(spark, sf_dir, name: str) -> str:
 
 
 def test_minhash_verify_broadcasts_candidates(spark, sf_dir):
-    """The verify stage must broadcast the candidate pair ids, never
-    re-shuffle the signature working set (all joins broadcast-hash)."""
+    """Every corpus-side join must broadcast the candidate pair ids
+    (the signature working set is never re-shuffled); the only
+    shuffle join allowed is the final pair-key join of the two
+    candidate-sized legs."""
     plan = exec_plan_of(spark, sf_dir, "dedup_minhash_verified")
-    assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") <= 1
 
 
 def test_text_quality_kernel_runs_once(spark, sf_dir):

@@ -51,3 +51,22 @@ def test_suggest_fills_cheapest_first(spark):
     assert a.unfilled == pytest.approx(30.0)   # 250 - (100 + 120)
     c = out[("WKS", "ppa-c")]
     assert c.allocated == 0.0          # no shortfall, nothing suggested
+
+
+def test_suggest_surfaces_offerless_shortfall_and_missing_rate(spark):
+    tables = _tables(spark)
+    # WNH has demand but NO offer rows: must surface as one row with
+    # null source and the full gap unfilled
+    tables["consumption"] = tables["consumption"].union(
+        spark.createDataFrame([("WNH", 2024, 500.0)],
+                              tables["consumption"].schema))
+    out = {r.site: r for r in
+           next_year_transfer_suggest(tables, 2025).collect()
+           if r.site == "WNH"}
+    assert out["WNH"].source_id is None
+    assert out["WNH"].unfilled == pytest.approx(200.0)   # 500 x 0.4
+    # a year missing from ratio_path -> rate 0, sites stay visible
+    # with zero targets instead of an empty result
+    rows = next_year_transfer_suggest(tables, 2099).collect()
+    assert {r.site for r in rows} == {"WZS", "WKS", "WNH"}
+    assert all(r.target_amount == 0.0 for r in rows)

@@ -149,7 +149,11 @@ def test_dag_actuals_import_and_transfer_suggest(spark, sources, tmp_path):
     suggest = W.read_table(
         spark, os.path.join(wh, "app.db", "green_transfer_suggest"))
     srow = {r.site: r for r in suggest.collect()}
-    # WZS 2023 total = 1100 (esgi 1000 + solar 100); gap =
-    # 1100 x 0.5 - 150 secured = 400, filled by the cheap offer
-    assert srow["WZS"].allocated == pytest.approx(400.0)
+    # WZS May 2023 total = 1100 (esgi 1000 + solar 100), annualized
+    # x12 for the 1-month window; gap = 13200 x 0.5 - 150 secured =
+    # 6450, covered by the 10000-kWh offer
+    assert srow["WZS"].allocated == pytest.approx(6450.0)
     assert srow["WZS"].unfilled == 0.0
+    # WKS gap (2000x12x0.5 = 12000) dwarfs its 10-kWh offer: the
+    # shortfall must surface, not vanish
+    assert srow["WKS"].unfilled == pytest.approx(11990.0)
