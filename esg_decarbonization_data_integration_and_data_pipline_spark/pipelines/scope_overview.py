@@ -67,3 +67,37 @@ def scope_overview(tables: dict[str, DataFrame], base_year: int) -> DataFrame:
                                  / F.nullif(F.col("base_scope2_market"),
                                             F.lit(0.0)) - 1) * 100, 4))
             .drop("base_scope2_market"))
+
+
+MONTH_COLS = {"jan": 1, "feb": 2, "mar": 3, "apr": 4, "may": 5,
+              "jun": 6, "jul": 7, "aug": 8, "sep": 9, "oct": 10,
+              "nov": 11, "dec": 12}
+
+
+def energy_saving_series(df: DataFrame, category: str) -> DataFrame:
+    """Energy-saving measures: wide month columns -> monthly YTM
+    series (reference: jobs/staging_cal.py:258-283 cal_energy_saving).
+
+    ``df`` is the upload shape (year, jan..dec); the reference melts,
+    recodes month names to numbers, builds period_start, group-sums
+    duplicate uploads, and cumsums per year. Here: one unpivot (R1),
+    a literal month map (P7), make_date (F1), one aggregation, one
+    YTM window (W1).
+    """
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.reshape import melt
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.windows import ytm_cumsum
+
+    month_map = F.create_map(
+        *[x for name, num in MONTH_COLS.items()
+          for x in (F.lit(name), F.lit(num))])
+    long = melt(df, ["year"], list(MONTH_COLS), "month_name", "amount")
+    monthly = (long
+               .withColumn("month", month_map[F.col("month_name")])
+               .withColumn("period_start",
+                           F.make_date("year", "month", F.lit(1)))
+               .groupBy("year", "month", "period_start")
+               .agg(F.sum("amount").alias("amount")))
+    return (ytm_cumsum(monthly, ["year"], "month", "amount")
+            .select("period_start", "amount", "ytm_amount")
+            .withColumn("category", F.lit("energy_efficiency"))
+            .withColumn("type", F.lit(category)))

@@ -175,3 +175,27 @@ def test_macc_summary_curve(spark):
     assert out["m2"].rank == 1
     assert out["m1"].rank == 3
     assert out["m1"].cum_abatement == pytest.approx(40.0)  # 20 + 10 + 10
+
+
+def test_energy_saving_series_melts_and_cumsums(spark):
+    """staging_cal.py:258-283: wide month columns -> monthly series
+    with per-year YTM; duplicate uploads for one month sum first."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.scope_overview import (
+        energy_saving_series,
+    )
+    wide_cols = ("year int, jan double, feb double, mar double, "
+                 "apr double, may double, jun double, jul double, "
+                 "aug double, sep double, oct double, nov double, "
+                 "dec double")
+    df = spark.createDataFrame(
+        [(2023, 1.0, 2.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 4.0),
+         (2023, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)],
+        wide_cols)
+    out = {(r.period_start.month): r for r in
+           energy_saving_series(df, "saving_upload").collect()}
+    assert out[1].amount == 2.0          # duplicate uploads summed
+    assert out[2].ytm_amount == 4.0      # 2 + 2
+    assert out[12].ytm_amount == 8.0
+    assert out[1].category == "energy_efficiency"
+    assert out[1].type == "saving_upload"
+    assert len(out) == 12
