@@ -101,3 +101,51 @@ def energy_saving_series(df: DataFrame, category: str) -> DataFrame:
             .select("period_start", "amount", "ytm_amount")
             .withColumn("category", F.lit("energy_efficiency"))
             .withColumn("type", F.lit(category)))
+
+
+def scope_pct_change(cur: DataFrame, base: DataFrame,
+                     period_start, per_period: bool = False) -> DataFrame:
+    """Percent change of a scope series vs a base series:
+    ((current/base) - 1) x 100 for both amount and ytm_amount
+    (reference: jobs/staging_cal.py:175-221 cal_scope_simulate and
+    :198-221 cal_scope_simulate_fix).
+
+    ``base`` is a one-row scalar frame (cross-join form, J4) unless
+    ``per_period`` -- then it joins per period_start like the _fix
+    variant. All rows are stamped with ``period_start`` as the
+    reference does. A zero or absent base yields NULL (engine-wide
+    convention; the reference emits inf/NaN and filters later).
+    """
+    bcols = ["period_start"] if per_period else []
+    base_r = base.select(*bcols,
+                         F.col("amount").alias("__b_amount"),
+                         F.col("ytm_amount").alias("__b_ytm"))
+    if per_period:
+        j = cur.join(base_r, "period_start", "left")
+    else:
+        j = cur.crossJoin(F.broadcast(base_r))
+    pct = lambda x, b: (F.col(x) / F.nullif(F.col(b), F.lit(0.0)) - 1) * 100  # noqa: E731
+    return j.select(
+        F.lit(period_start).alias("period_start"),
+        pct("amount", "__b_amount").alias("amount"),
+        pct("ytm_amount", "__b_ytm").alias("ytm_amount"))
+
+
+def decarb_simulate_current_year(scope2_market: DataFrame,
+                                 scope2_market_base: DataFrame,
+                                 scope1n2: DataFrame,
+                                 scope1n2_base: DataFrame,
+                                 scope1n2_previous: DataFrame,
+                                 period_start,
+                                 per_period: bool = False):
+    """The three decarb-simulate comparison series (reference:
+    jobs/staging_cal.py:221-247): market scope 2 vs base year,
+    scope 1+2 vs base year, and scope 1+2 vs previous year (the
+    SBTi track)."""
+    return (
+        scope_pct_change(scope2_market, scope2_market_base,
+                         period_start, per_period),
+        scope_pct_change(scope1n2, scope1n2_base,
+                         period_start, per_period),
+        scope_pct_change(scope1n2, scope1n2_previous,
+                         period_start, per_period))

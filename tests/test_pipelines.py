@@ -196,3 +196,39 @@ def test_electricity_decarb_matches_duckdb(spark):
     """).fetchall()
     want = {(r[0], r[1], str(r[2])): (r[3], r[4]) for r in oracle}
     assert got == want
+
+
+def test_scope_pct_change_cross_and_per_period(spark):
+    """staging_cal.py:175-246: ((cur/base)-1)*100 on amount and
+    ytm_amount; scalar base via cross join, _fix variant per period;
+    zero base -> NULL."""
+    import datetime as dt
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.scope_overview import (
+        decarb_simulate_current_year, scope_pct_change,
+    )
+    stamp = dt.date(2024, 6, 1)
+    cur = spark.createDataFrame(
+        [(dt.date(2024, 5, 1), 110.0, 220.0),
+         (dt.date(2024, 6, 1), 130.0, 350.0)],
+        "period_start date, amount double, ytm_amount double")
+    base = spark.createDataFrame([(100.0, 200.0)],
+                                 "amount double, ytm_amount double")
+    rows = scope_pct_change(cur, base, stamp).collect()
+    assert {round(r.amount, 6) for r in rows} == {10.0, 30.0}
+    assert all(r.period_start == stamp for r in rows)
+
+    per = spark.createDataFrame(
+        [(dt.date(2024, 5, 1), 100.0, 200.0),
+         (dt.date(2024, 6, 1), 0.0, 175.0)],   # zero base -> NULL
+        "period_start date, amount double, ytm_amount double")
+    fix = {r.ytm_amount: r for r in
+           scope_pct_change(cur, per, stamp, per_period=True).collect()}
+    assert round(min(fix), 6) == 10.0          # 220/200
+    assert fix[100.0].amount is None           # 130/0 -> NULL
+
+    prev = spark.createDataFrame([(120.0, 240.0)],
+                                 "amount double, ytm_amount double")
+    s2, s12, sbti = decarb_simulate_current_year(
+        cur, base, cur, base, prev, stamp, per_period=False)
+    assert s2.count() == 2 and s12.count() == 2 and sbti.count() == 2
