@@ -201,3 +201,24 @@ def green_energy_amount(tables: dict[str, DataFrame], year: int,
     return final.join(F.broadcast(tables["remarks"]),
                       ["year", "quarter", "area", "site", "customer"],
                       "left")
+
+
+def target_adjust(target_all: DataFrame,
+                  target_filter: DataFrame) -> DataFrame:
+    """Green-energy target adjustment (reference:
+    jobs/staging_cal.py:14-26 green_energy_target_adjust): the YTM
+    becomes the amount, minus the filtered slice's amount attached
+    to every row.
+
+    The reference cross-joins the (one-row) filter slice and skips
+    the subtraction when it is empty; a one-row sum aggregate gives
+    both behaviors in one plan -- empty sums to null, coalesced to
+    zero -- and stays deterministic if the slice ever holds several
+    rows (they sum instead of fanning out the cross join).
+    """
+    f = target_filter.agg(F.sum("amount").alias("__f_amount"))
+    return (target_all
+            .crossJoin(F.broadcast(f))
+            .select("period_start", "ytm_amount",
+                    (F.col("ytm_amount")
+                     - F.coalesce("__f_amount", F.lit(0.0))).alias("amount")))

@@ -139,3 +139,24 @@ def test_customer_green_energy_reprices_slice(spark):
     assert z.total_elect == 100.0
     assert z.green_energy_request == pytest.approx(100.0 * 0.4 - 5.0)
     assert len(rows) == 3
+
+
+def test_target_adjust_subtracts_filter_slice(spark):
+    import datetime as dt
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.green_energy import target_adjust
+
+    all_rows = spark.createDataFrame(
+        [(dt.date(2024, 1, 1), 5.0, 100.0), (dt.date(2024, 2, 1), 6.0, 160.0)],
+        "period_start date, amount double, ytm_amount double")
+    filt = spark.createDataFrame([(60.0,)], "amount double")
+    out = {r.period_start.month: r for r in
+           target_adjust(all_rows, filt).collect()}
+    assert out[1].amount == 40.0 and out[1].ytm_amount == 100.0
+    assert out[2].amount == 100.0
+    # empty filter slice: amount = ytm unchanged (reference's
+    # size-zero branch)
+    empty = spark.createDataFrame([], "amount double")
+    out2 = {r.period_start.month: r.amount for r in
+            target_adjust(all_rows, empty).collect()}
+    assert out2 == {1: 100.0, 2: 160.0}
