@@ -149,3 +149,53 @@ def decarb_simulate_current_year(scope2_market: DataFrame,
                          period_start, per_period),
         scope_pct_change(scope1n2, scope1n2_previous,
                          period_start, per_period))
+
+
+def s2_series(elect: DataFrame, renewables: DataFrame,
+              coef: DataFrame) -> DataFrame:
+    """Fleet-level monthly scope-2 series (reference:
+    jobs/staging_cal.py:41-89 s2_market_cal / s2_location_cal --
+    same computation, different renewable slice):
+
+    per (site, period): (elect - renewables) x coef / 1000, for both
+    the month amount and the YTM amount, then summed across sites
+    per period. Missing renewable rows and coefs fill 0 like the
+    reference's fillna(0).
+
+    elect / renewables: (site, period_start, amount, ytm_amount);
+    coef: (site, coef).
+    """
+    r = renewables.select(
+        "site", "period_start",
+        F.col("amount").alias("__r_amount"),
+        F.col("ytm_amount").alias("__r_ytm"))
+    j = (elect.join(r, ["site", "period_start"], "left")
+              .join(F.broadcast(coef.select("site", "coef")), "site", "left")
+              .na.fill({"__r_amount": 0.0, "__r_ytm": 0.0, "coef": 0.0}))
+    per_site = j.select(
+        "period_start",
+        ((F.col("amount") - F.col("__r_amount"))
+         * F.col("coef") / 1000).alias("amount"),
+        ((F.col("ytm_amount") - F.col("__r_ytm"))
+         * F.col("coef") / 1000).alias("ytm_amount"))
+    return (per_site.groupBy("period_start")
+            .agg(F.sum("amount").alias("amount"),
+                 F.sum("ytm_amount").alias("ytm_amount")))
+
+
+def s1_and_s1n2(scope2_location: DataFrame,
+                scope2_market: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Scope 1 from the location series (x 0.06/0.94) and the
+    combined scope 1+2 = scope1 + market, summed per period
+    (reference: jobs/staging_cal.py:92-108 s1_s1n2_cal)."""
+    scope1 = scope2_location.select(
+        "period_start",
+        (F.col("amount") * F.lit(SCOPE1_FACTOR)).alias("amount"),
+        (F.col("ytm_amount") * F.lit(SCOPE1_FACTOR)).alias("ytm_amount"))
+    scope1n2 = (scope1.unionByName(
+                    scope2_market.select("period_start", "amount",
+                                         "ytm_amount"))
+                .groupBy("period_start")
+                .agg(F.sum("amount").alias("amount"),
+                     F.sum("ytm_amount").alias("ytm_amount")))
+    return scope1, scope1n2

@@ -232,3 +232,38 @@ def test_scope_pct_change_cross_and_per_period(spark):
     s2, s12, sbti = decarb_simulate_current_year(
         cur, base, cur, base, prev, stamp, per_period=False)
     assert s2.count() == 2 and s12.count() == 2 and sbti.count() == 2
+
+
+def test_monthly_scope_series_and_s1n2(spark):
+    """staging_cal.py:41-108: per-site netting x coef/1000 summed per
+    period; scope1 = location x 0.06/0.94; s1n2 = s1 + market."""
+    import datetime as dt
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.scope_overview import (
+        SCOPE1_FACTOR, s1_and_s1n2, s2_series,
+    )
+    may = dt.date(2024, 5, 1)
+    elect = spark.createDataFrame(
+        [("WZS", may, 1000.0, 5000.0), ("WKS", may, 400.0, 2000.0)],
+        "site string, period_start date, amount double, ytm_amount double")
+    green = spark.createDataFrame(
+        [("WZS", may, 200.0, 800.0)],   # WKS has no green row -> 0
+        "site string, period_start date, amount double, ytm_amount double")
+    coef = spark.createDataFrame([("WZS", 0.5), ("WKS", 0.4)],
+                                 "site string, coef double")
+    market = s2_series(elect, green, coef)
+    m = market.collect()[0]
+    # WZS (1000-200)*0.5/1000 + WKS 400*0.4/1000
+    assert m.amount == pytest.approx(0.4 + 0.16)
+    assert m.ytm_amount == pytest.approx((5000 - 800) * 0.5 / 1000
+                                         + 2000 * 0.4 / 1000)
+
+    zero = green.filter("1=0")
+    location = s2_series(elect, zero, coef)
+    loc = location.collect()[0]
+    assert loc.amount == pytest.approx(0.5 + 0.16)
+
+    s1, s1n2 = s1_and_s1n2(location, market)
+    assert s1.collect()[0].amount == pytest.approx((0.5 + 0.16) * SCOPE1_FACTOR)
+    assert s1n2.collect()[0].amount == pytest.approx(
+        (0.5 + 0.16) * SCOPE1_FACTOR + 0.56)
