@@ -199,3 +199,33 @@ def s1_and_s1n2(scope2_location: DataFrame,
                 .agg(F.sum("amount").alias("amount"),
                      F.sum("ytm_amount").alias("ytm_amount")))
     return scope1, scope1n2
+
+
+def scope_cal_current_year(elect: DataFrame, solar: DataFrame,
+                           green_energy: DataFrame, green_elect: DataFrame,
+                           coef: DataFrame):
+    """Full monthly scope assembly (reference:
+    jobs/staging_cal.py:109-175 scope_cal_current_year /
+    scope_cal_target_current -- identical bodies): the market
+    renewable slice is solar + green certificates + green
+    electricity, the location slice excludes the certificates; both
+    feed the netting series and the scope-1 derivation. The
+    reference's empty-frame branches vanish: a union of empty frames
+    aggregates to an empty frame in the same plan.
+
+    Returns (scope2_market, scope2_location, scope1, scope1n2).
+    """
+    def merged(*dfs: DataFrame) -> DataFrame:
+        u = dfs[0]
+        for d in dfs[1:]:
+            u = u.unionByName(d)
+        return (u.groupBy("site", "period_start")
+                 .agg(F.sum("amount").alias("amount"),
+                      F.sum("ytm_amount").alias("ytm_amount")))
+
+    renw_market = merged(solar, green_energy, green_elect)
+    renw_location = merged(solar, green_elect)
+    scope2_market = s2_series(elect, renw_market, coef)
+    scope2_location = s2_series(elect, renw_location, coef)
+    scope1, scope1n2 = s1_and_s1n2(scope2_location, scope2_market)
+    return scope2_market, scope2_location, scope1, scope1n2

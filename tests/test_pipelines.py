@@ -267,3 +267,26 @@ def test_monthly_scope_series_and_s1n2(spark):
     assert s1.collect()[0].amount == pytest.approx((0.5 + 0.16) * SCOPE1_FACTOR)
     assert s1n2.collect()[0].amount == pytest.approx(
         (0.5 + 0.16) * SCOPE1_FACTOR + 0.56)
+
+
+def test_scope_cal_current_year_slices(spark):
+    """staging_cal.py:109-175: certificates count against market
+    scope 2 but NOT location scope 2."""
+    import datetime as dt
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.scope_overview import (
+        scope_cal_current_year,
+    )
+    may = dt.date(2024, 5, 1)
+    sch = "site string, period_start date, amount double, ytm_amount double"
+    elect = spark.createDataFrame([("WZS", may, 1000.0, 1000.0)], sch)
+    solar = spark.createDataFrame([("WZS", may, 100.0, 100.0)], sch)
+    certs = spark.createDataFrame([("WZS", may, 300.0, 300.0)], sch)
+    green = spark.createDataFrame([("WZS", may, 200.0, 200.0)], sch)
+    coef = spark.createDataFrame([("WZS", 0.5)], "site string, coef double")
+    market, location, s1, s1n2 = scope_cal_current_year(
+        elect, solar, certs, green, coef)
+    assert market.collect()[0].amount == pytest.approx(
+        (1000 - 600) * 0.5 / 1000)
+    assert location.collect()[0].amount == pytest.approx(
+        (1000 - 300) * 0.5 / 1000)
