@@ -90,3 +90,51 @@ def bump_version(versions: DataFrame,
         F.max(F.substring(F.col(version_col), 2, 10).cast("int")).alias("n")
     ).collect()[0]
     return f"V{(row.n or 0) + 1}"
+
+
+def quantile_floor_rates(rates: DataFrame,
+                         rate_col: str = "rate",
+                         q: float = 0.25) -> DataFrame:
+    """Replace NEGATIVE trend rates with the q-quantile of the
+    POSITIVE rates (reference:
+    Model/Factory_elect_simulator_update.py:214-237
+    trend_rate_generator -- its cagr/yoy branches substitute
+    np.quantile(positive_rates, 0.25) for any negative rate, so a
+    shrinking plant is assumed to rebound at the conservative end of
+    the growing plants' distribution).
+
+    The quantile is EXACT percentile() with linear interpolation
+    (numpy's default), computed once and attached as a broadcast
+    scalar; no positive rates at all leaves negatives unchanged
+    (coalesce), mirroring the reference's empty-slice behavior.
+    """
+    floor = (rates.filter(F.col(rate_col) > 0)
+                  .agg(F.expr(f"percentile({rate_col}, {q})")
+                        .alias("__floor")))
+    return (rates.crossJoin(F.broadcast(floor))
+                 .withColumn(rate_col,
+                             F.when(F.col(rate_col) < 0,
+                                    F.coalesce("__floor", F.col(rate_col)))
+                              .otherwise(F.col(rate_col)))
+                 .drop("__floor"))
+
+
+def ten_month_real_power(power: DataFrame) -> DataFrame:
+    """Ten-month real power totals with annualized dormitory load
+    (reference: Model/Factory_elect_simulator_update.py:172-192
+    real_power_computer): months January-October only, summed per
+    (plant, site, year); dorm power is scaled by 12/month_count; only
+    complete ten-month groups survive.
+
+    power(plant, site, period_start, factory_kwh, dorm_kwh).
+    """
+    ten = power.filter(F.month("period_start") < 11)
+    agg = (ten.groupBy("plant", "site",
+                       F.year("period_start").alias("year"))
+              .agg(F.sum("factory_kwh").alias("factory_kwh"),
+                   F.sum("dorm_kwh").alias("dorm_kwh"),
+                   F.count(F.lit(1)).alias("month_count")))
+    return (agg.withColumn("ten_month_real",
+                           F.col("factory_kwh")
+                           + 12 * F.col("dorm_kwh") / F.col("month_count"))
+               .filter(F.col("month_count") == 10))

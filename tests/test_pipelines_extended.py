@@ -199,3 +199,42 @@ def test_energy_saving_series_melts_and_cumsums(spark):
     assert out[1].category == "energy_efficiency"
     assert out[1].type == "saving_upload"
     assert len(out) == 12
+
+
+def test_quantile_floor_rates(spark):
+    """Factory_elect_simulator_update.py:214-237: negatives replaced
+    by the exact p25 of positive rates; all-negative input unchanged."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.simulator import (
+        quantile_floor_rates,
+    )
+    rates = spark.createDataFrame(
+        [("P1", 0.10), ("P2", 0.20), ("P3", 0.30), ("P4", 0.40),
+         ("P5", -0.05)],
+        "plant string, rate double")
+    out = {r.plant: r.rate for r in quantile_floor_rates(rates).collect()}
+    # numpy-style linear interpolation p25 of [.1,.2,.3,.4] = 0.175
+    assert out["P5"] == pytest.approx(0.175)
+    assert out["P1"] == 0.10
+    neg = spark.createDataFrame([("P1", -0.3)], "plant string, rate double")
+    assert quantile_floor_rates(neg).collect()[0].rate == pytest.approx(-0.3)
+
+
+def test_ten_month_real_power(spark):
+    """Factory_elect_simulator_update.py:172-192: Jan-Oct only, dorm
+    annualized by 12/month_count, incomplete groups dropped."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.simulator import (
+        ten_month_real_power,
+    )
+    rows = [("P1", "WZS", dt.date(2023, m, 1), 100.0, 10.0)
+            for m in range(1, 13)]                       # full year
+    rows += [("P2", "WKS", dt.date(2023, m, 1), 50.0, 5.0)
+             for m in range(1, 6)]                       # only 5 months
+    df = spark.createDataFrame(
+        rows, "plant string, site string, period_start date, "
+              "factory_kwh double, dorm_kwh double")
+    out = ten_month_real_power(df).collect()
+    assert len(out) == 1                                 # P2 incomplete
+    r = out[0]
+    assert r.plant == "P1" and r.month_count == 10
+    # 10x100 factory + 12 x (10x10 dorm) / 10
+    assert r.ten_month_real == pytest.approx(1000.0 + 120.0)
