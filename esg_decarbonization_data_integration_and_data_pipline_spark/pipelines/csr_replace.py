@@ -37,3 +37,49 @@ def csr_replace(tables: dict[str, DataFrame],
         csr, local.select("site", "period_start", "amount", "type"),
         ["site", "period_start"], ["amount", "type"])
     return merged.select("site", "period_start", "amount", "type")
+
+
+SOLAR_SITE_RECODE = {"WIHK1": "WIHK", "WIHK2": "WIHK",
+                     "WMYP1": "WMY", "WMYP2": "WMY"}
+SOLAR_CATEGORY_RECODE = {"太陽能發電量": "光伏"}
+
+
+def _recode(col: str, mapping: dict[str, str]) -> F.Column:
+    m = F.create_map(*[x for k, v in mapping.items()
+                       for x in (F.lit(k), F.lit(v))])
+    return F.coalesce(m[F.col(col)], F.col(col))
+
+
+def solar_csr_feed(tables: dict[str, DataFrame]) -> DataFrame:
+    """Federated CSR solar generation feed (reference:
+    jobs/csr_etl.py:122-201 csr_solar_replace): the HQ indicator view
+    and the CSR raw-data view normalize into one raw.solar slice --
+    site/category recodes, the second feed pre-summed per (site,
+    year, month) and labeled 光伏, month-start period build, constant
+    category1/unit/type stamps. The reference's month loop plus
+    per-site DELETE loop collapse into one plan; the caller upserts
+    with replace_keys(site, period_start, category2).
+
+    tables:
+    csr_view(site, year, month, category2, amount) -- HQ sites,
+    csr_raw(site, year, month, amount)             -- other sites.
+    """
+    a = (tables["csr_view"]
+         .filter(F.col("amount") > 0)
+         .na.drop()
+         .withColumn("category2",
+                     _recode("category2", SOLAR_CATEGORY_RECODE)))
+    b = (tables["csr_raw"]
+         .filter(F.col("amount") > 0)
+         .na.drop()
+         .groupBy("site", "year", "month")
+         .agg(F.sum("amount").alias("amount"))
+         .withColumn("category2", F.lit("光伏")))
+    u = (a.unionByName(b)
+          .withColumn("site", _recode("site", SOLAR_SITE_RECODE))
+          .withColumn("period_start",
+                      F.make_date("year", "month", F.lit(1))))
+    return u.select(
+        F.lit("綠色能源").alias("category1"), "category2", "amount",
+        "site", "period_start", F.lit("CSR").alias("type"),
+        F.lit("度").alias("unit"))

@@ -39,3 +39,27 @@ def test_excel_source_gated_without_openpyxl(spark):
         pass
     with pytest.raises(NotImplementedError, match="openpyxl"):
         excel_source(spark, "/nonexistent.xlsx")
+
+
+def test_solar_csr_feed_normalizes_two_sources(spark):
+    """csr_etl.py:122-201: recodes, second-feed pre-sum, period
+    build, constant stamps; non-positive and null rows drop."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.csr_replace import (
+        solar_csr_feed,
+    )
+    view = spark.createDataFrame(
+        [("WZS", 2024, 3, "太陽能發電量", 100.0),
+         ("WZS", 2024, 3, "太陽能發電量", 0.0)],      # dropped
+        "site string, year int, month int, category2 string, amount double")
+    raw = spark.createDataFrame(
+        [("WIHK1", 2024, 3, 40.0), ("WIHK1", 2024, 3, 2.0)],  # summed
+        "site string, year int, month int, amount double")
+    rows = {r.site: r for r in
+            solar_csr_feed({"csr_view": view, "csr_raw": raw}).collect()}
+    assert rows["WZS"].category2 == "光伏"            # recoded
+    assert rows["WZS"].amount == 100.0
+    assert rows["WIHK"].amount == 42.0                # site recode + sum
+    assert rows["WIHK"].period_start.month == 3
+    assert rows["WIHK"].category1 == "綠色能源"
+    assert rows["WIHK"].type == "CSR" and rows["WIHK"].unit == "度"
+    assert len(rows) == 2
