@@ -124,3 +124,36 @@ def test_asof_join_matches_bruteforce(spark, left, right):
         want = max(cands, key=lambda c: (c[0], c[1])) if cands else (None, None)
         assert out[i] == want
     assert len(out) == len(left)  # exactly one row per left row
+
+
+import pytest
+
+
+@given(site_amounts=st.lists(st.floats(1.0, 1e6), min_size=1, max_size=6),
+       splits=st.lists(st.floats(0.05, 1.0), min_size=1, max_size=5))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_disaggregation_conserves_site_totals(spark, site_amounts, splits):
+    """Ratio disaggregation is mass-preserving when the plant ratios
+    sum to 1 for every period (raw_to_staging.py:670-752 semantics)."""
+    import datetime as dt
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.elect_total import (
+        disaggregate_site_to_plant,
+    )
+    total = sum(splits)
+    ratios = [s / total for s in splits]
+    periods = [dt.date(2024, m + 1, 1) for m in range(len(site_amounts))]
+    site_rows = spark.createDataFrame(
+        [("WKS", p, a) for p, a in zip(periods, site_amounts)]
+        + [("WOK", periods[0], 123.0)],
+        "site string, period_start date, amount double")
+    ratio_df = spark.createDataFrame(
+        [(f"WKS-{i}", p, r) for p in periods
+         for i, r in enumerate(ratios)],
+        "plant string, period_start date, ratio double")
+    out = disaggregate_site_to_plant(site_rows, {"WKS": ratio_df})
+    got = {r.site: r.total for r in
+           out.groupBy("site").agg(F.sum("amount").alias("total")).collect()}
+    assert got["WKS"] == pytest.approx(sum(site_amounts), rel=1e-9)
+    assert got["WOK"] == pytest.approx(123.0)

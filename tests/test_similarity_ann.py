@@ -133,3 +133,15 @@ def test_ann_multi_matches_bruteforce_pair_cosines(spark, n_tables):
         na = math.sqrt(sum(x * x for x in va))
         nb = math.sqrt(sum(x * x for x in vb))
         assert cos == pytest.approx(round(dot / (na * nb), 6), abs=2e-6)
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    """Probing ALL cells makes IVF exhaustive: the top-k must equal
+    brute force exactly (same rounded cosines, same tiebreaks) --
+    the recall knob's boundary condition."""
+    e = table(spark, SF001, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    bf = [(r.vec_id, r.cosine) for r in cosine_topk(e, q, k=K).collect()]
+    full = [(r.vec_id, r.cosine)
+            for r in ivf_topk(e, q, k=K, n_cells=16, n_probes=16).collect()]
+    assert bf == full
