@@ -145,3 +145,30 @@ def run_to_memory(sdf: DataFrame, name: str, mode: str = "complete"):
             .outputMode(mode).trigger(availableNow=True).start())
     q.awaitTermination()
     return q
+
+
+def stream_upsert(sdf: DataFrame, path: str, keys: list[str],
+                  checkpoint: str, query_name: str = "stream_upsert"):
+    """Stream -> idempotent keyed warehouse table: every micro-batch
+    runs the SAME ``replace_keys`` merge the batch loaders use
+    (io/writers.py), so an incremental feed and a nightly reload
+    produce byte-identical tables -- the streaming twin of the
+    reference's DELETE-slice-then-append policy
+    (jobs/source_to_raw/fem_ratio.py:53-57), with exactly-once
+    delivery from the checkpoint + the merge's idempotency (a
+    replayed batch converges instead of duplicating).
+
+    Returns the started query; callers own awaitTermination.
+    """
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.writers import replace_keys
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        replace_keys(batch_df, path, keys=keys)
+
+    return (sdf.writeStream.foreachBatch(upsert)
+               .option("checkpointLocation", checkpoint)
+               .queryName(query_name)
+               .trigger(availableNow=True)
+               .start())

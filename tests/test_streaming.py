@@ -38,3 +38,39 @@ def test_stream_dedup_keeps_all_distinct(spark, sf_dir, stream_dir):
     batch_n = REGISTRY["events_tumbling_agg"].fn(spark, sf_dir) \
         .agg({"n_events": "sum"}).collect()[0][0]
     assert n == batch_n  # event_ids are unique in the fixture
+
+
+def test_stream_upsert_matches_batch_load_and_replays(spark, sf_dir,
+                                                      stream_dir, tmp_path):
+    """foreachBatch + replace_keys: the streamed table equals a batch
+    replace_keys of the same data, and re-running the stream over the
+    same source converges instead of duplicating (exactly-once via
+    merge idempotency)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.writers import (
+        read_table, replace_keys,
+    )
+    from esg_decarbonization_data_integration_and_data_pipline_spark.streaming.events import stream_upsert
+
+    out = str(tmp_path / "warehouse" / "events_live")
+    stream = read_event_stream(spark, stream_dir).select(
+        "event_id", "user_id", "event_type", "value")
+    q = stream_upsert(stream, out, keys=["event_id"],
+                      checkpoint=str(tmp_path / "ckpt1"))
+    q.awaitTermination()
+    got = read_table(spark, out)
+    assert got.count() == got.select("event_id").distinct().count()
+
+    batch_out = str(tmp_path / "warehouse" / "events_batch")
+    batch = spark.read.parquet(f"{stream_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value")
+    replace_keys(batch, batch_out, keys=["event_id"])
+    assert (sorted(map(tuple, got.collect()))
+            == sorted(map(tuple, read_table(spark, batch_out).collect())))
+
+    # replay from a FRESH checkpoint over the same source: converges
+    before_rows = sorted(map(tuple, got.collect()))  # materialize before
+    q2 = stream_upsert(stream, out, keys=["event_id"],  # the rewrite
+                       checkpoint=str(tmp_path / "ckpt2"))
+    q2.awaitTermination()
+    again = read_table(spark, out)
+    assert sorted(map(tuple, again.collect())) == before_rows
