@@ -242,7 +242,13 @@ def ivf_assign(df: DataFrame, n_cells: int = 16, id_col: str = "vec_id",
         with np.errstate(divide="ignore", invalid="ignore"):
             cos = np.where(denom == 0, np.nan, dots / denom)
         # Spark round() is HALF_UP (away from zero), numpy is
-        # half-to-even -- emulate exactly
+        # half-to-even -- emulate on the binary double. Residual
+        # corner: Spark rounds the SHORTEST-decimal rendering
+        # (BigDecimal.valueOf), so a double whose shortest form sits
+        # exactly on a 6-digit boundary while its binary value is a
+        # hair below could round differently -- measure-zero on real
+        # cosines and verified absent on every fixture SF (parity
+        # test); flip kernel=False if an adversarial corpus hits it
         cos_r = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
         cos_r = np.nan_to_num(cos_r, nan=-np.inf)
         idx = np.argmax(cos_r, axis=1)  # first max = smallest cid

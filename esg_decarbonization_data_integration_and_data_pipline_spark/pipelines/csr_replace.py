@@ -14,6 +14,7 @@ import datetime as dt
 
 from pyspark.sql import DataFrame, functions as F
 
+from esg_decarbonization_data_integration_and_data_pipline_spark.functions.recode import recode
 from esg_decarbonization_data_integration_and_data_pipline_spark.operators.joins import (
     coalescing_outer_join,
 )
@@ -44,10 +45,7 @@ SOLAR_SITE_RECODE = {"WIHK1": "WIHK", "WIHK2": "WIHK",
 SOLAR_CATEGORY_RECODE = {"太陽能發電量": "光伏"}
 
 
-def _recode(col: str, mapping: dict[str, str]) -> F.Column:
-    m = F.create_map(*[x for k, v in mapping.items()
-                       for x in (F.lit(k), F.lit(v))])
-    return F.coalesce(m[F.col(col)], F.col(col))
+
 
 
 def solar_csr_feed(tables: dict[str, DataFrame]) -> DataFrame:
@@ -68,15 +66,19 @@ def solar_csr_feed(tables: dict[str, DataFrame]) -> DataFrame:
          .filter(F.col("amount") > 0)
          .na.drop()
          .withColumn("category2",
-                     _recode("category2", SOLAR_CATEGORY_RECODE)))
+                     recode("category2", SOLAR_CATEGORY_RECODE)))
+    # recode sites BEFORE the pre-sum: WIHK1+WIHK2 must land as ONE
+    # (WIHK, month) row, or the upsert key (site, period_start,
+    # category2) holds duplicate rows
     b = (tables["csr_raw"]
          .filter(F.col("amount") > 0)
          .na.drop()
+         .withColumn("site", recode("site", SOLAR_SITE_RECODE))
          .groupBy("site", "year", "month")
          .agg(F.sum("amount").alias("amount"))
          .withColumn("category2", F.lit("光伏")))
     u = (a.unionByName(b)
-          .withColumn("site", _recode("site", SOLAR_SITE_RECODE))
+          .withColumn("site", recode("site", SOLAR_SITE_RECODE))
           .withColumn("period_start",
                       F.make_date("year", "month", F.lit(1))))
     return u.select(

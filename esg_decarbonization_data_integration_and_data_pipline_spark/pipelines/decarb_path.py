@@ -32,6 +32,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from esg_decarbonization_data_integration_and_data_pipline_spark.functions.recode import recode
+
 SITE_RECODE = {"WIHK1": "WIHK-1", "WIHK2": "WIHK-2",
                "WMYP1": "WMY", "WMYP2": "WMY"}
 _SCOPE1_FACTOR = 0.06 / (1 - 0.06)
@@ -54,11 +56,8 @@ def decarb_path(tables: dict[str, DataFrame]) -> DataFrame:
                       & (F.col("version_year") == F.col("__vy")))
               .select("site", "year", "amount", "version_year"))
 
-    mapping = F.create_map(*[F.lit(x) for kv in SITE_RECODE.items()
-                             for x in kv])
     coef = (tables["coef"]
-            .withColumn("site", F.coalesce(mapping[F.col("site")],
-                                           F.col("site")))
+            .withColumn("site", recode("site", SITE_RECODE))
             .select("site", "year", F.col("amount").alias("coef"))
             .dropDuplicates())
 

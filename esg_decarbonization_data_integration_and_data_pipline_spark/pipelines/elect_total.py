@@ -32,11 +32,21 @@ def disaggregate_site_to_plant(site_rows: DataFrame,
     parts = []
     for site, ratios in ratio_tables.items():
         r = ratios.select("plant", "period_start", "ratio")
+        # a period missing from the ratio table falls back to the
+        # identity pass-through (plant = site, full amount) instead
+        # of emitting a (plant NULL, amount NULL) row that silently
+        # destroys the period's electricity -- mass is conserved
+        # either way (pinned by the conservation property test; the
+        # reference would carry the NaN row, jobs/raw_to_staging.py
+        # :718-724)
         parts.append(
             site_rows.filter(F.col("site") == site)
                      .join(F.broadcast(r), "period_start", "left")
-                     .select("site", "plant", "period_start",
-                             (F.col("amount") * F.col("ratio"))
+                     .select("site",
+                             F.coalesce("plant", "site").alias("plant"),
+                             "period_start",
+                             (F.col("amount")
+                              * F.coalesce("ratio", F.lit(1.0)))
                              .alias("amount")))
     other = (site_rows.filter(~F.col("site").isin(list(ratio_tables)))
              .select("site", F.col("site").alias("plant"),

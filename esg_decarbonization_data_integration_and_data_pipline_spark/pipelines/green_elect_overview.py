@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from esg_decarbonization_data_integration_and_data_pipline_spark.functions.recode import recode
+
 from esg_decarbonization_data_integration_and_data_pipline_spark.operators.windows import latest_version
 
 SITE_RECODE = {"WIHK1": "WIHK", "WIHK2": "WIHK", "WIHK-1": "WIHK",
@@ -39,10 +41,7 @@ SITE_RECODE = {"WIHK1": "WIHK", "WIHK2": "WIHK", "WIHK-1": "WIHK",
 
 
 def _recode_site(df: DataFrame) -> DataFrame:
-    mapping = F.create_map(*[F.lit(x) for kv in SITE_RECODE.items()
-                             for x in kv])
-    return df.withColumn("site",
-                         F.coalesce(mapping[F.col("site")], F.col("site")))
+    return df.withColumn("site", recode("site", SITE_RECODE))
 
 
 def green_elect_overview(tables: dict[str, DataFrame],

@@ -104,29 +104,48 @@ def energy_saving_series(df: DataFrame, category: str) -> DataFrame:
 
 
 def scope_pct_change(cur: DataFrame, base: DataFrame,
-                     period_start, per_period: bool = False) -> DataFrame:
+                     period_start, per_period: bool = False,
+                     align: str = "period_start") -> DataFrame:
     """Percent change of a scope series vs a base series:
     ((current/base) - 1) x 100 for both amount and ytm_amount
     (reference: jobs/staging_cal.py:175-221 cal_scope_simulate and
     :198-221 cal_scope_simulate_fix).
 
     ``base`` is a one-row scalar frame (cross-join form, J4) unless
-    ``per_period`` -- then it joins per period_start like the _fix
-    variant. All rows are stamped with ``period_start`` as the
-    reference does. A zero or absent base yields NULL (engine-wide
-    convention; the reference emits inf/NaN and filters later).
+    ``per_period`` -- then it joins like the _fix variant. ``align``
+    picks the per-period join key: 'period_start' (the _fix merge --
+    both frames must live in the SAME period space, i.e. a
+    previous-year baseline must already be re-stamped to current
+    dates) or 'month' (calendar-month alignment for a baseline that
+    keeps its own year's dates). A zero or absent base yields NULL
+    (engine-wide convention; the reference emits inf/NaN and filters
+    later).
+
+    ``period_start=None`` keeps each row's own period instead of
+    stamping the single literal the reference writes (:181) -- use
+    None whenever the result feeds a period-keyed write, where the
+    uniform stamp would collapse the key.
     """
-    bcols = ["period_start"] if per_period else []
-    base_r = base.select(*bcols,
-                         F.col("amount").alias("__b_amount"),
-                         F.col("ytm_amount").alias("__b_ytm"))
-    if per_period:
+    if per_period and align == "month":
+        cur = cur.withColumn("__k", F.month("period_start"))
+        base_r = base.select(F.month("period_start").alias("__k"),
+                             F.col("amount").alias("__b_amount"),
+                             F.col("ytm_amount").alias("__b_ytm"))
+        j = cur.join(base_r, "__k", "left").drop("__k")
+    elif per_period:
+        base_r = base.select("period_start",
+                             F.col("amount").alias("__b_amount"),
+                             F.col("ytm_amount").alias("__b_ytm"))
         j = cur.join(base_r, "period_start", "left")
     else:
+        base_r = base.select(F.col("amount").alias("__b_amount"),
+                             F.col("ytm_amount").alias("__b_ytm"))
         j = cur.crossJoin(F.broadcast(base_r))
     pct = lambda x, b: (F.col(x) / F.nullif(F.col(b), F.lit(0.0)) - 1) * 100  # noqa: E731
+    out_period = (F.col("period_start") if period_start is None
+                  else F.lit(period_start))
     return j.select(
-        F.lit(period_start).alias("period_start"),
+        out_period.alias("period_start"),
         pct("amount", "__b_amount").alias("amount"),
         pct("ytm_amount", "__b_ytm").alias("ytm_amount"))
 
@@ -141,14 +160,18 @@ def decarb_simulate_current_year(scope2_market: DataFrame,
     """The three decarb-simulate comparison series (reference:
     jobs/staging_cal.py:221-247): market scope 2 vs base year,
     scope 1+2 vs base year, and scope 1+2 vs previous year (the
-    SBTi track)."""
+    SBTi track). In per-period mode the SBTi leg aligns on calendar
+    MONTH: the previous-year frame keeps its own year's dates, so a
+    raw period_start join could never match (the base-year legs join
+    frames that live in the same period space)."""
     return (
         scope_pct_change(scope2_market, scope2_market_base,
                          period_start, per_period),
         scope_pct_change(scope1n2, scope1n2_base,
                          period_start, per_period),
         scope_pct_change(scope1n2, scope1n2_previous,
-                         period_start, per_period))
+                         period_start, per_period,
+                         align="month" if per_period else "period_start"))
 
 
 def s2_series(elect: DataFrame, renewables: DataFrame,
@@ -160,7 +183,11 @@ def s2_series(elect: DataFrame, renewables: DataFrame,
     per (site, period): (elect - renewables) x coef / 1000, for both
     the month amount and the YTM amount, then summed across sites
     per period. Missing renewable rows and coefs fill 0 like the
-    reference's fillna(0).
+    reference's fillna(0). Reference-faithful asymmetry: the merge
+    starts FROM elect (:43-44), so a renewable row with no matching
+    electricity row contributes nothing -- callers who must catch
+    lagging electricity feeds should anti-join renewables against
+    elect and alert on survivors.
 
     elect / renewables: (site, period_start, amount, ytm_amount);
     coef: (site, coef).

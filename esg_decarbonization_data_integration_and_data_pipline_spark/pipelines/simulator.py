@@ -127,13 +127,21 @@ def ten_month_real_power(power: DataFrame) -> DataFrame:
     complete ten-month groups survive.
 
     power(plant, site, period_start, factory_kwh, dorm_kwh).
+    Duplicate uploads for one month sum FIRST (per-month
+    pre-aggregation), so month_count counts distinct months -- a
+    re-uploaded row can neither fake completeness nor disqualify a
+    complete year (the reference's row-count 'size' would do both).
     """
     ten = power.filter(F.month("period_start") < 11)
-    agg = (ten.groupBy("plant", "site",
-                       F.year("period_start").alias("year"))
-              .agg(F.sum("factory_kwh").alias("factory_kwh"),
-                   F.sum("dorm_kwh").alias("dorm_kwh"),
-                   F.count(F.lit(1)).alias("month_count")))
+    monthly = (ten.groupBy("plant", "site",
+                           F.year("period_start").alias("year"),
+                           F.month("period_start").alias("month"))
+                  .agg(F.sum("factory_kwh").alias("factory_kwh"),
+                       F.sum("dorm_kwh").alias("dorm_kwh")))
+    agg = (monthly.groupBy("plant", "site", "year")
+                  .agg(F.sum("factory_kwh").alias("factory_kwh"),
+                       F.sum("dorm_kwh").alias("dorm_kwh"),
+                       F.count(F.lit(1)).alias("month_count")))
     return (agg.withColumn("ten_month_real",
                            F.col("factory_kwh")
                            + 12 * F.col("dorm_kwh") / F.col("month_count"))

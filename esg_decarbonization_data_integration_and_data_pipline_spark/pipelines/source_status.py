@@ -31,6 +31,8 @@ import datetime as dt
 
 from pyspark.sql import DataFrame, functions as F
 
+from esg_decarbonization_data_integration_and_data_pipline_spark.functions.recode import recode
+
 ITEM_ACTUAL = "實際用電"
 ITEM_RECODE = {"光伏": "自建太陽能", "綠電": "直購綠電", "綠證": "購買綠證"}
 TYPE_RECODE = {"wzs_esgi": "ESGI", "CSR": "ESG Database"}
@@ -70,9 +72,7 @@ def seed_current_month(confirm: DataFrame, run_date: dt.date) -> DataFrame:
                     "confirm", F.lit("").alias("type")))
 
 
-def _recode(col: F.Column, mapping: dict[str, str]) -> F.Column:
-    m = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
-    return F.coalesce(m[col], col)
+
 
 
 def source_status(tables: dict[str, DataFrame],
@@ -99,7 +99,7 @@ def source_status(tables: dict[str, DataFrame],
     renew = (tables["renewable"]
              .filter(in_window & landed)
              .select("site",
-                     _recode(F.col("category2"), ITEM_RECODE).alias("item"),
+                     recode(F.col("category2"), ITEM_RECODE).alias("item"),
                      "period_start", "type")
              .distinct())
     presence = elec.unionByName(renew)
@@ -118,6 +118,6 @@ def source_status(tables: dict[str, DataFrame],
     return (confirm
             .join(target, ["site", "item", "site_category", "year", "month"],
                   "left")
-            .withColumn("type", _recode(F.col("type"), TYPE_RECODE))
+            .withColumn("type", recode(F.col("type"), TYPE_RECODE))
             .select("site_category", "site", "item", "year", "month",
                     "confirm", "type"))

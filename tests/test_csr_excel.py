@@ -52,13 +52,14 @@ def test_solar_csr_feed_normalizes_two_sources(spark):
          ("WZS", 2024, 3, "太陽能發電量", 0.0)],      # dropped
         "site string, year int, month int, category2 string, amount double")
     raw = spark.createDataFrame(
-        [("WIHK1", 2024, 3, 40.0), ("WIHK1", 2024, 3, 2.0)],  # summed
+        [("WIHK1", 2024, 3, 40.0), ("WIHK1", 2024, 3, 2.0),
+         ("WIHK2", 2024, 3, 8.0)],   # recoded to WIHK BEFORE the sum
         "site string, year int, month int, amount double")
     rows = {r.site: r for r in
             solar_csr_feed({"csr_view": view, "csr_raw": raw}).collect()}
     assert rows["WZS"].category2 == "光伏"            # recoded
     assert rows["WZS"].amount == 100.0
-    assert rows["WIHK"].amount == 42.0                # site recode + sum
+    assert rows["WIHK"].amount == 50.0                # recode, THEN sum
     assert rows["WIHK"].period_start.month == 3
     assert rows["WIHK"].category1 == "綠色能源"
     assert rows["WIHK"].type == "CSR" and rows["WIHK"].unit == "度"

@@ -14,8 +14,10 @@ from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.elect
 
 def _frames(spark):
     jan, feb = dt.date(2024, 1, 1), dt.date(2024, 2, 1)
+    mar = dt.date(2024, 3, 1)
     targets = spark.createDataFrame(
-        [("WKS", jan, 1000.0), ("WKS", feb, 1000.0), ("WOK", jan, 300.0)],
+        [("WKS", jan, 1000.0), ("WKS", feb, 1000.0), ("WOK", jan, 300.0),
+         ("WKS", mar, 500.0)],   # no ratio row for March
         "site string, period_start date, amount double")
     actuals = spark.createDataFrame(
         [("WKS", jan, 900.0), ("WOK", jan, 290.0)],
@@ -34,7 +36,9 @@ def test_disaggregate_splits_ratio_sites_and_passes_others(spark):
     assert out[("WKS-5", 1)] == pytest.approx(600.0)
     assert out[("WKS-6", 2)] == pytest.approx(300.0)
     assert out[("WOK", 1)] == 300.0            # pass-through plant=site
-    assert len(out) == 5
+    # ratio gap: falls back to identity instead of a NULL-plant row
+    assert out[("WKS", 3)] == 500.0
+    assert len(out) == 6
 
 
 def test_elect_total_labels_and_ytm(spark):

@@ -233,6 +233,17 @@ def test_scope_pct_change_cross_and_per_period(spark):
         cur, base, cur, base, prev, stamp, per_period=False)
     assert s2.count() == 2 and s12.count() == 2 and sbti.count() == 2
 
+    # per-period SBTi leg aligns on MONTH: the previous-year frame
+    # keeps its own year's dates and must still match
+    prev_year = spark.createDataFrame(
+        [(dt.date(2023, 5, 1), 100.0, 200.0),
+         (dt.date(2023, 6, 1), 100.0, 175.0)],
+        "period_start date, amount double, ytm_amount double")
+    _, _, sbti_pp = decarb_simulate_current_year(
+        cur, per, cur, per, prev_year, stamp, per_period=True)
+    vals = sorted(round(r.amount, 6) for r in sbti_pp.collect())
+    assert vals == [10.0, 30.0]        # 110/100, 130/100 by month
+
 
 def test_monthly_scope_series_and_s1n2(spark):
     """staging_cal.py:41-108: per-site netting x coef/1000 summed per

@@ -227,6 +227,7 @@ def test_ten_month_real_power(spark):
     )
     rows = [("P1", "WZS", dt.date(2023, m, 1), 100.0, 10.0)
             for m in range(1, 13)]                       # full year
+    rows += [("P1", "WZS", dt.date(2023, 3, 1), 100.0, 10.0)]  # re-upload
     rows += [("P2", "WKS", dt.date(2023, m, 1), 50.0, 5.0)
              for m in range(1, 6)]                       # only 5 months
     df = spark.createDataFrame(
@@ -235,6 +236,7 @@ def test_ten_month_real_power(spark):
     out = ten_month_real_power(df).collect()
     assert len(out) == 1                                 # P2 incomplete
     r = out[0]
+    # duplicated March sums into its month; month_count stays 10
     assert r.plant == "P1" and r.month_count == 10
-    # 10x100 factory + 12 x (10x10 dorm) / 10
-    assert r.ten_month_real == pytest.approx(1000.0 + 120.0)
+    # (10x100 + 100) factory + 12 x (10x10 + 10 dorm) / 10
+    assert r.ten_month_real == pytest.approx(1100.0 + 132.0)
