@@ -456,3 +456,47 @@ def embedding_dup_pairs(df: DataFrame, threshold: float,
     return (pairs.withColumn("cosine", cos)
                  .filter(F.col("cosine") >= threshold)
                  .select("block", "id_a", "id_b", "cosine"))
+
+
+def dup_clusters(docs: DataFrame, pairs: DataFrame,
+                 id_col: str = "doc_id", max_iter: int = 20) -> DataFrame:
+    """Connected components over the near-dup pair graph: every doc
+    gets the MINIMUM doc id reachable through dup pairs as its
+    cluster id (singletons cluster with themselves) -- the step that
+    turns pairwise verdicts into keep/drop decisions for a corpus.
+
+    Iterative min-label propagation: each round joins current labels
+    across the symmetric edge list and keeps the smaller label;
+    rounds needed = graph diameter (dup clusters are shallow -- a
+    handful), each round is one shuffle join + aggregate. The
+    convergence check is a driver-side count of CHANGED labels (a
+    scalar per round, like any iterative fixpoint -- not a data
+    collect). Deterministic for any input.
+    """
+    ids = docs.select(F.col(id_col).alias("id")).distinct()
+    edges = (pairs.select(F.col("id_a").alias("src"),
+                          F.col("id_b").alias("dst"))
+             .union(pairs.select(F.col("id_b").alias("src"),
+                                 F.col("id_a").alias("dst"))))
+    labels = ids.select("id", F.col("id").alias("lbl")).cache()
+    for _ in range(max_iter):
+        neighbor_min = (edges.join(labels,
+                                   edges.dst == labels.id)
+                        .groupBy("src")
+                        .agg(F.min("lbl").alias("n_lbl")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels.id == neighbor_min.src, "left")
+                      .select("id",
+                              F.least("lbl", F.coalesce("n_lbl", "lbl"))
+                               .alias("lbl"))
+                      .cache())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.lbl") != F.col("o.lbl"))
+                   .count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col),
+                         F.col("lbl").alias("cluster_id"))

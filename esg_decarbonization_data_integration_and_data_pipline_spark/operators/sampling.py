@@ -1,0 +1,41 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Hash-based assignment so the split is (a) stable across runs and
+engines -- md5 is bit-identical everywhere, unlike engine-private
+hash()/xxhash64 -- and (b) a narrow projection: no shuffle, no
+sort, no sampling state. The standard way to carve train/eval/test
+out of a 100 TB corpus without materializing a permutation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def hash_bucket(col: str, n_buckets: int = 100) -> Column:
+    """Stable bucket 0..n_buckets-1 from the md5 of a column (first
+    12 hex digits -> int, engine-reproducible)."""
+    return (F.conv(F.substring(F.md5(F.col(col)), 1, 12), 16, 10)
+             .cast("bigint") % n_buckets)
+
+
+def deterministic_split(df: DataFrame, col: str,
+                        fractions: dict[str, float],
+                        out_col: str = "split") -> DataFrame:
+    """Assign every row to a named split by hash bucket; fractions
+    must sum to <= 1 (any remainder becomes 'holdout'). Content-keyed
+    (e.g. on text) the split is also dedup-safe: identical payloads
+    always land in the same split, so near-identical train/eval
+    leakage can't enter through exact dups."""
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    b = hash_bucket(col, 10000)
+    expr = None
+    lo = 0
+    for name, frac in fractions.items():
+        hi = lo + int(round(frac * 10000))
+        cond = (b >= lo) & (b < hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    return df.withColumn(out_col, expr.otherwise("holdout"))

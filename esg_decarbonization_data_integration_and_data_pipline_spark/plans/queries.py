@@ -714,6 +714,9 @@ _DRIVER_TAIL = [
     "latest_status_version", "distinct_projection", "dedup_simhash",
     "dedup_jaccard_pairs", "cube_status_priority", "count_distinct_parts",
     "forecast_revenue", "external_model_scoring",
+    # round-3 additions past the gate cap -- verified by the in-repo
+    # oracle replay like the rest of the tail
+    "dedup_clusters", "deterministic_split",
 ]
 _ORDERED = _DRIVER_HEAD + _DRIVER_TAIL
 assert set(_ORDERED) == set(REGISTRY) and len(_ORDERED) == len(REGISTRY), (

@@ -314,3 +314,67 @@ def external_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     return c.mapInPandas(score_batches, "c_custkey bigint, score double")
+
+
+@register("dedup_clusters", "ext:dedup-clusters", oracle="""
+WITH RECURSIVE pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM documents a JOIN documents b
+    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, min(lbl) AS cluster_id
+FROM reach GROUP BY id
+""")
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact-dup pair graph: each doc
+    labeled with the min doc id reachable through duplicate pairs
+    (singletons label themselves) -- the pairs-to-keep/drop step of
+    a dedup pipeline, as iterative min-label propagation
+    (operators/dedup.dup_clusters). The oracle replays it as a
+    DuckDB recursive CTE. Exact-dup pairs keep the driver gate fast;
+    the operator is pair-source-agnostic (minhash_verified_pairs
+    plugs in unchanged)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.dedup import dup_clusters
+
+    d = table(spark, sf_dir, "documents")
+    a = d.select(F.md5("text").alias("h"), F.col("doc_id").alias("id_a"))
+    b = d.select(F.md5("text").alias("h"), F.col("doc_id").alias("id_b"))
+    pairs = (a.join(b, "h").filter(F.col("id_a") < F.col("id_b"))
+              .select("id_a", "id_b"))
+    return dup_clusters(d, pairs)
+
+
+@register("deterministic_split", "ext:train-split", oracle="""
+SELECT doc_id,
+       CASE
+         WHEN b < 8000 THEN 'train'
+         WHEN b < 9000 THEN 'eval'
+         WHEN b < 10000 THEN 'test'
+         ELSE 'holdout'
+       END AS split
+FROM (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(text), 1, 12) AS BIGINT) % 10000 AS b
+  FROM documents
+)
+""")
+def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-stable train/eval/test assignment by md5 bucket of the
+    text -- content-keyed so exact dups always share a split (no
+    train/eval leakage through duplicates); a narrow projection, no
+    shuffle (operators/sampling.deterministic_split)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators import sampling
+
+    d = table(spark, sf_dir, "documents")
+    return (sampling.deterministic_split(
+                d, "text", {"train": 0.8, "eval": 0.1, "test": 0.1})
+            .select("doc_id", "split"))

@@ -1,0 +1,60 @@
+"""Near-dup clustering (connected components) and deterministic
+train/eval splitting."""
+
+from __future__ import annotations
+
+import pytest
+
+from esg_decarbonization_data_integration_and_data_pipline_spark.operators.dedup import dup_clusters
+from esg_decarbonization_data_integration_and_data_pipline_spark.operators.sampling import (
+    deterministic_split,
+)
+
+
+def test_dup_clusters_chain_and_singletons(spark):
+    """A 4-node chain collapses to its min id through propagation
+    (diameter > 1); separate components keep separate labels;
+    singletons label themselves."""
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)],
+                                 "doc_id bigint")
+    pairs = spark.createDataFrame(
+        [(1, 4), (4, 5), (5, 7),    # chain {1,4,5,7}
+         (2, 6)],                   # pair {2,6}; 3 is a singleton
+        "id_a bigint, id_b bigint")
+    out = {r.doc_id: r.cluster_id for r in dup_clusters(docs, pairs).collect()}
+    assert out == {1: 1, 4: 1, 5: 1, 7: 1, 2: 2, 6: 2, 3: 3}
+
+
+def test_dup_clusters_empty_pairs(spark):
+    docs = spark.createDataFrame([(i,) for i in range(3)], "doc_id bigint")
+    empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    out = {r.doc_id: r.cluster_id for r in dup_clusters(docs, empty).collect()}
+    assert out == {0: 0, 1: 1, 2: 2}
+
+
+def test_deterministic_split_fractions_and_stability(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = deterministic_split(docs, "text",
+                              {"train": 0.8, "eval": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in
+              out.groupBy("split").agg(
+                  __import__("pyspark").sql.functions.count("*").alias("n")
+              ).collect()}
+    n = docs.count()
+    assert counts["train"] / n == pytest.approx(0.8, abs=0.06)
+    # stable across runs: same assignment both times
+    again = deterministic_split(docs, "text",
+                                {"train": 0.8, "eval": 0.1, "test": 0.1})
+    assert (sorted((r.doc_id, r.split) for r in out.collect())
+            == sorted((r.doc_id, r.split) for r in again.collect()))
+    # identical payloads always share a split (dedup-safe keying)
+    dup_splits = (out.groupBy("text")
+                  .agg(__import__("pyspark").sql.functions
+                       .countDistinct("split").alias("k")))
+    assert dup_splits.filter("k > 1").count() == 0
+
+
+def test_deterministic_split_rejects_bad_fractions(spark):
+    docs = spark.createDataFrame([("x",)], "text string")
+    with pytest.raises(ValueError):
+        deterministic_split(docs, "text", {"a": 0.9, "b": 0.3})
