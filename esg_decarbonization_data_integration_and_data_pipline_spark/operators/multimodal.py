@@ -69,3 +69,68 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             })
 
     return df.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def _resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """STUB: real resize (PIL/libvips) is unavailable in this
+    container. Deterministic fake: a sliced payload proportional to
+    the target pixel count, so sizes and hashes are stable in tests.
+    Replace with a real resampler in production."""
+    want = max(1, min(len(payload), width * height // 64))
+    return payload[:want]
+
+
+def resize_payloads(df: DataFrame, width: int, height: int,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched resize over the binary column (mapInPandas):
+    the real batching/schema path with the pixel kernel stubbed.
+    Output: (doc_id, payload, width, height, payload_bytes)."""
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("payload_bytes", LongType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = pdf["payload"].map(
+                lambda p: _resize_stub(p, width, height))
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "payload": resized,
+                "width": width,
+                "height": height,
+                "payload_bytes": resized.map(len).astype("int64"),
+            })
+
+    return df.mapInPandas(batches, schema)
+
+
+def sample_frames(df: DataFrame, n_frames: int,
+                  frame_bytes: int = 16,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Frame sampling over a video-like binary column: one output row
+    per evenly-spaced frame with its byte offset and slice. PURE JVM
+    plumbing (posexplode of the offset sequence + binary substring)
+    -- no Python at all, so at 100 TB this is a narrow flatMap whose
+    output is ~n_frames x frame_bytes per doc regardless of payload
+    size. A real codec would replace the substring with a keyframe
+    decoder inside mapInPandas; offsets/batching stay identical.
+    """
+    step = F.greatest((F.col("payload_bytes") / n_frames)
+                      .cast("bigint"), F.lit(1).cast("bigint"))
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      "payload", "payload_bytes")
+              .select("doc_id", "payload", "payload_bytes",
+                      F.posexplode(F.sequence(
+                          F.lit(0), F.lit(n_frames - 1)))
+                       .alias("frame_idx", "__i"))
+              .withColumn("frame_offset", F.col("frame_idx") * step)
+              .filter(F.col("frame_offset") < F.col("payload_bytes"))
+              .withColumn("frame",
+                          F.expr(f"substring(payload, "
+                                 f"CAST(frame_offset + 1 AS INT), "
+                                 f"{frame_bytes})"))
+              .select("doc_id", "frame_idx", "frame_offset", "frame"))

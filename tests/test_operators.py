@@ -122,3 +122,30 @@ def test_melt_pivot_roundtrip(spark):
     back = pivot_wide(long, ["year"], "month", F.first("amount"), ["jan", "feb"])
     rows = {r.year: (r.jan, r.feb) for r in back.collect()}
     assert rows == {2023: (1.0, 2.0), 2024: (3.0, 4.0)}
+
+
+def test_multimodal_resize_and_frame_sampling(spark):
+    """Resize runs Arrow-batched with deterministic stub sizes;
+    frame sampling is pure JVM (posexplode + binary substring) with
+    in-bounds offsets and one row per surviving frame."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.multimodal import (
+        resize_payloads, sample_frames, with_binary_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 300), (2, "b" * 40)], "doc_id bigint, text string")
+    b = with_binary_payload(docs)
+
+    resized = {r.doc_id: r for r in resize_payloads(b, 64, 64).collect()}
+    assert resized[1].payload_bytes == 64    # capped by target pixels/64
+    assert resized[2].payload_bytes == 40    # capped by payload
+    assert resized[1].width == 64 and resized[1].height == 64
+
+    frames = sample_frames(b, n_frames=4, frame_bytes=8)
+    rows = frames.filter("doc_id = 1").collect()
+    assert [r.frame_idx for r in rows] == [0, 1, 2, 3]
+    assert all(r.frame_offset == r.frame_idx * 75 for r in rows)
+    assert all(len(r.frame) == 8 for r in rows)
+    # no Python in the frame path: no ArrowEvalPython / eval node
+    plan = frames._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "EvalPython" not in plan
