@@ -75,11 +75,19 @@ def main() -> None:
     if extra:
         names = [n for n in extra.split(",") if n in REGISTRY]
 
+    # per-query fault isolation: one broken plan must not erase the
+    # timings of every healthy query (the whole point of a benchmark)
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         t0 = time.time()
-        REGISTRY[name].fn(spark, sf_dir).write.format("noop") \
-            .mode("overwrite").save()
+        try:
+            REGISTRY[name].fn(spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 -- record and continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(time.time() - t0, 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -87,13 +95,16 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(json.dumps({
+    out: dict = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

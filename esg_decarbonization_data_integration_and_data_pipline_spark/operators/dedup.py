@@ -206,17 +206,45 @@ def shingle_minhash_udf():
     return both_udf
 
 
+# ceiling below which redistributing raw text before the Arrow kernels
+# is trivially cheap; anything larger is left to parquet file splitting
+_SMALL_INPUT_BYTES = 256 << 20
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Metadata-only size estimate of a frame -- the same optimizer
+    statistic broadcast planning uses (file-footer sizes for parquet
+    scans); None when the private accessor is unavailable."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:
+        return None
+
+
 def _ensure_parallelism(df: DataFrame, key: Column) -> DataFrame:
     """Rescue tiny single-file inputs from a serial Arrow stage: when
-    the scan yields fewer partitions than the cluster's default
-    parallelism, redistribute by key before the Python kernels. At
-    real scale this is a no-op (file splitting already yields >=
-    cores partitions); the shuffled payload here is the raw text of
-    a SMALL input by construction."""
+    a SMALL scan yields fewer file splits than the cluster's default
+    parallelism, redistribute by key before the Python kernels.
+
+    Decides from METADATA only (input file list + optimizer size
+    statistic) -- never ``df.rdd``, which forces physical planning on
+    every call. At real scale this is a no-op twice over: multi-file
+    datasets already split to >= cores partitions, and anything over
+    ``_SMALL_INPUT_BYTES`` is left to parquet row-group splitting
+    rather than paying a raw-text shuffle."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, key)
-    return df
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if n_files == 0 or n_files >= target:
+        # non-file source, or enough splits already
+        return df
+    size = _plan_size_bytes(df)
+    if size is not None and size > _SMALL_INPUT_BYTES:
+        return df
+    return df.repartition(target, key)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -434,6 +462,97 @@ def simhash_band_pairs(df: DataFrame, max_hamming: int = 3,
              .withColumn("hamming",
                          F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
                           .cast("int"))
+             .filter(F.col("hamming") <= max_hamming)
+             .select("id_a", "id_b", "hamming"))
+
+
+def simhash_chunked(df: DataFrame, n_chunks: int = 4, chunk_bits: int = 16,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """PRODUCTION SimHash: a ``n_chunks * chunk_bits``-bit signature
+    (default 64) stored as ``array<bigint>`` of per-band chunks.
+
+    The 32-bit ``simhash32`` tops out at corpus/256 bucket sizes (8-bit
+    bands); this is the scale configuration the 32-bit docstring
+    promises: 16-bit bands bucket at corpus/65536. Chunk ``j`` draws
+    its bits from an independent affine permutation of the token hash
+    -- ``h_j = (h * a_j + a_j*7 + 13) mod p`` (the minhash permutation
+    family) -- so all 64 signature bits are distinct hash functions of
+    each token, and the chunk-array representation sidesteps int64
+    sign-bit overflow entirely (bit 63 never exists; each chunk is a
+    small non-negative long). Exact integer arithmetic, replayed
+    bit-identically by the DuckDB oracle (plans/queries_data.py).
+
+    Signature bit semantics (per chunk j, bit b): 1 iff
+    ``sum over distinct tokens of (((h_j >> b) & 1) * 2 - 1) > 0``.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    powers = np.tile(np.array(
+        [1, 17, 289, 4913, 83521, 1419857, 24137569, 410338673],
+        dtype=np.int64), 64)
+    a_s = np.array(MINHASH_AS[:n_chunks], dtype=np.int64)
+    b_s = a_s * 7 + 13
+    bits = np.arange(chunk_bits, dtype=np.int64)
+
+    @pandas_udf("array<bigint>")
+    def chunks_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:  # null text propagates
+                out.append(None)
+                continue
+            toks = list(dict.fromkeys(w for w in t.lower().split() if w))
+            if not toks:
+                out.append([0] * n_chunks)
+                continue
+            hs = _batch_polyhash(toks, powers)
+            hj = (hs[:, None] * a_s[None, :] + b_s[None, :]) % MINHASH_P
+            w = ((((hj[:, :, None] >> bits[None, None, :]) & 1) * 2 - 1)
+                 .sum(axis=0))
+            out.append([int(c) for c in
+                        ((w > 0).astype(np.int64) << bits).sum(axis=1)])
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("doc_id"),
+                     chunks_udf(text_col).alias("sig"))
+
+
+def simhash_chunked_band_pairs(df: DataFrame, max_hamming: int = 3,
+                               n_chunks: int = 4, chunk_bits: int = 16,
+                               id_col: str = "doc_id",
+                               text_col: str = "text") -> DataFrame:
+    """Banded near-dup pairing over the chunked (64-bit default)
+    SimHash -- the production-scale twin of ``simhash_band_pairs``.
+
+    Chunks ARE the bands: any pair within Hamming distance
+    ``n_chunks - 1`` agrees exactly on >= 1 chunk (pigeonhole), so
+    candidates come from an equi-join on (band, chunk) with 2^16
+    bucket values per band, and the exact Hamming distance --
+    ``sum_j bit_count(chunk_a_j XOR chunk_b_j)`` -- is verified on
+    candidates only. Output: (id_a, id_b, hamming), id_a < id_b.
+    """
+    if max_hamming > n_chunks - 1:
+        raise ValueError(
+            f"banded recall guarantee needs max_hamming <= n_chunks - 1 "
+            f"(got max_hamming={max_hamming}, n_chunks={n_chunks})")
+    sig = (simhash_chunked(df, n_chunks, chunk_bits, id_col, text_col)
+           .filter(F.col("sig").isNotNull()))
+    bands = sig.select(
+        "doc_id", "sig",
+        F.posexplode("sig").alias("band", "chunk"))
+    a = bands.select("band", "chunk", F.col("doc_id").alias("id_a"),
+                     F.col("sig").alias("sig_a"))
+    b = bands.select("band", "chunk", F.col("doc_id").alias("id_b"),
+                     F.col("sig").alias("sig_b"))
+    hamming = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> bit_count(x ^ y)), "
+        "0, (acc, x) -> acc + x)").cast("int")
+    return (a.join(b, ["band", "chunk"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+             .withColumn("hamming", hamming)
              .filter(F.col("hamming") <= max_hamming)
              .select("id_a", "id_b", "hamming"))
 

@@ -4,10 +4,12 @@ Design for image/audio/video at 100 TB: the payload is an opaque
 ``binary`` column riding alongside typed metadata; decode /
 feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` operators so bytes never round-trip through Python
-row-at-a-time. The decode kernels themselves are STUBBED here (no
-image/audio libs in this container -- clearly marked below); the
-Spark-side plumbing (schema, batching, partitioning, UDF signatures)
-is real and tested.
+row-at-a-time. The pixel kernels sit behind an optional-dependency
+gate: real PIL decode/resize when the lib is importable AND the bytes
+decode as an image, a clearly-marked deterministic stub otherwise
+(this container ships no image libs). The Spark-side plumbing
+(schema, batching, partitioning, UDF signatures) is real and tested
+either way.
 """
 
 from __future__ import annotations
@@ -39,13 +41,35 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
               .withColumn("payload_bytes", F.octet_length("payload").cast("bigint")))
 
 
+try:  # optional dependency gate (same pattern as openpyxl in sources)
+    from PIL import Image as _PIL_Image  # type: ignore
+except ImportError:  # container has no image libs; stub kernels below
+    _PIL_Image = None
+
+
 def _decode_image_stub(payload: bytes) -> tuple[int, int]:
-    """STUB: real image decode (PIL/libvips) is unavailable in this
-    container. Deterministic fake: derive WxH from the payload length
-    so tests are stable. Replace with a real decoder in production.
-    """
+    """STUB: deterministic fake dims derived from payload length so
+    tests are stable for non-image payloads (the text-bytes fixtures)
+    and for containers without image libs."""
     n = len(payload)
     return (n % 640) + 1, (n % 480) + 1
+
+
+def _decode_image(payload: bytes) -> tuple[int, int]:
+    """Per-payload decode: real PIL header read when the lib exists
+    AND the bytes are a decodable image; deterministic stub otherwise.
+    The fallback is per-payload (not per-environment) so mixed corpora
+    -- and the text-bytes test fixtures -- behave identically whether
+    or not PIL is installed."""
+    if _PIL_Image is not None:
+        import io
+
+        try:
+            with _PIL_Image.open(io.BytesIO(payload)) as im:
+                return int(im.width), int(im.height)
+        except Exception:
+            pass
+    return _decode_image_stub(payload)
 
 
 def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -57,7 +81,7 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
-            dims = [_decode_image_stub(p) for p in payloads]
+            dims = [_decode_image(p) for p in payloads]
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].astype("int64"),
                 "media_type": pdf["media_type"],
@@ -72,12 +96,28 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def _resize_stub(payload: bytes, width: int, height: int) -> bytes:
-    """STUB: real resize (PIL/libvips) is unavailable in this
-    container. Deterministic fake: a sliced payload proportional to
-    the target pixel count, so sizes and hashes are stable in tests.
-    Replace with a real resampler in production."""
+    """STUB: deterministic fake resize -- a sliced payload
+    proportional to the target pixel count, so sizes and hashes are
+    stable for non-image payloads and lib-less containers."""
     want = max(1, min(len(payload), width * height // 64))
     return payload[:want]
+
+
+def _resize(payload: bytes, width: int, height: int) -> bytes:
+    """Per-payload resize: real PIL resample + PNG re-encode when the
+    lib exists and the bytes decode as an image; deterministic stub
+    otherwise (same mixed-corpus rationale as ``_decode_image``)."""
+    if _PIL_Image is not None:
+        import io
+
+        try:
+            with _PIL_Image.open(io.BytesIO(payload)) as im:
+                out = io.BytesIO()
+                im.resize((width, height)).save(out, format="PNG")
+                return out.getvalue()
+        except Exception:
+            pass
+    return _resize_stub(payload, width, height)
 
 
 def resize_payloads(df: DataFrame, width: int, height: int,
@@ -96,7 +136,7 @@ def resize_payloads(df: DataFrame, width: int, height: int,
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             resized = pdf["payload"].map(
-                lambda p: _resize_stub(p, width, height))
+                lambda p: _resize(p, width, height))
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].astype("int64"),
                 "payload": resized,

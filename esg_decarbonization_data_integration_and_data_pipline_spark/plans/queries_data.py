@@ -307,6 +307,48 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_band_pairs(d, max_hamming=3, n_bands=4)
 
 
+@register("dedup_simhash64_pairs", "ext:dedup-simhash", oracle="""
+WITH t AS (
+  SELECT doc_id, list_distinct(""" + _SQL_TOKS + """) AS dt FROM documents
+),
+h AS (
+  SELECT doc_id, [""" + _sql_polyhash("g") + """ FOR g IN dt] AS hs FROM t
+),
+s AS (
+  SELECT doc_id,
+         [CAST(list_sum([
+            CASE WHEN list_sum([((((hh * a + a * 7 + 13) % 2147483647)
+                                  >> CAST(b AS INT)) & 1) * 2 - 1
+                                FOR hh IN hs]) > 0
+                 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END
+            FOR b IN range(0, 16)]) AS BIGINT)
+          FOR a IN [31, 37, 41, 43]] AS sig
+  FROM h
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(list_sum([bit_count(xor(a.sig[CAST(i AS INT) + 1],
+                                    b.sig[CAST(i AS INT) + 1]))
+                      FOR i IN range(0, 4)]) AS INT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE list_sum([bit_count(xor(a.sig[CAST(i AS INT) + 1],
+                              b.sig[CAST(i AS INT) + 1]))
+                FOR i IN range(0, 4)]) <= 3
+""")
+def dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-configuration SimHash pairing: 64-bit chunked
+    signature (4 x 16-bit bands -- 65536 bucket values per band, so
+    LSH buckets scale as corpus/65536 instead of the 32-bit variant's
+    corpus/256). Empty-token docs: list_sum over an empty list is
+    NULL in the oracle, so every CASE arm yields 0 -- matching the
+    kernel's all-zero signature; null-text docs drop out of both
+    sides by NULL propagation. The all-pairs oracle is the semantic
+    spec; the Spark plan is the banded equi-join (pigeonhole recall
+    exact for hamming <= n_chunks - 1)."""
+    d = table(spark, sf_dir, "documents")
+    return D.simhash_chunked_band_pairs(d, max_hamming=3, n_chunks=4,
+                                        chunk_bits=16)
+
+
 @register("dedup_embedding_pairs", "ext:dedup-embedding-cosine", oracle="""
 WITH v AS (SELECT label AS block, vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
            FROM embeddings)

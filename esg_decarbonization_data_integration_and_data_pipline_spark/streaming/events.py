@@ -18,32 +18,29 @@ production is the same plan with a different ``format``.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import (
-    DoubleType, LongType, StringType, StructField, StructType,
-)
 
-EVENTS_SCHEMA = StructType([
-    StructField("event_id", LongType()),
-    StructField("ts", LongType()),  # nanos (parquet TIMESTAMP(NANOS))
-    StructField("user_id", LongType()),
-    StructField("event_type", StringType()),
-    StructField("value", DoubleType()),
-    StructField("props", StringType()),
-])
+from esg_decarbonization_data_integration_and_data_pipline_spark.tables import normalize_event_ts
 
 
 def read_event_stream(spark: SparkSession, path: str,
                       max_files_per_trigger: int | None = None) -> DataFrame:
-    """File-source event stream with the nanos->NTZ conversion used by
-    the batch reader (tables.events_table)."""
+    """File-source event stream sharing the batch reader's adaptive
+    ``ts`` normalization (tables.normalize_event_ts).
+
+    File streams need an explicit schema, and the physical layout of
+    ``ts`` varies by writer (int64 nanos vs timestamp[us]); sniff the
+    ACTUAL schema with a one-file batch read of the same path -- a
+    footer-only metadata operation, no data scan -- then branch the
+    same way the batch path does. Watermarks want TIMESTAMP (local-tz),
+    not NTZ; the session runs UTC (session.py) so wall times equal the
+    batch path.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    loaded_schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(loaded_schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(path)
-    # watermarks require TIMESTAMP (with local tz), not NTZ; the
-    # session runs UTC (session.py) so wall times equal the batch path
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(reader.parquet(path), ntz=False)
 
 
 def tumbling_value_agg(events: DataFrame, window: str = "10 minutes",

@@ -25,23 +25,42 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load the events stream table with a proper timestamp column.
+def normalize_event_ts(df: DataFrame, ntz: bool = True) -> DataFrame:
+    """Adapt a loaded ``ts`` column to a timestamp whatever physical
+    layout the dataset was written with.
 
-    The driver writes ``ts`` as parquet TIMESTAMP(NANOS), which Spark
-    cannot map to a Catalyst type; read it as int64 nanoseconds
-    (``nanosAsLong``, runtime-settable) and rebuild a TIMESTAMP_NTZ at
-    microsecond precision with exact integer arithmetic (``div`` --
-    never float division, which loses precision above 2^53 ns).
+    Two layouts exist in the wild: parquet TIMESTAMP(NANOS), which
+    Spark can only surface as int64 nanoseconds (via ``nanosAsLong``),
+    and plain ``timestamp[us]``, which loads natively. Branch on the
+    LOADED dtype, not an assumption about the writer: int64 nanos are
+    rebuilt at microsecond precision with exact integer arithmetic
+    (``div`` -- never float division, which loses precision above
+    2^53 ns); native timestamps pass through with a stabilizing cast.
+
+    ``ntz=True`` (batch/oracle path) yields TIMESTAMP_NTZ so results
+    are timezone-independent; ``ntz=False`` yields TIMESTAMP for
+    Structured Streaming watermarks (the session runs UTC, so wall
+    times match the batch path either way).
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
+    if isinstance(df.schema["ts"].dataType, LongType):
+        col = (F.expr("timestampadd(MICROSECOND, ts div 1000, "
+                      "TIMESTAMP_NTZ '1970-01-01 00:00:00')") if ntz
+               else F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        col = F.col("ts").cast("timestamp_ntz" if ntz else "timestamp")
+    return df.withColumn("ts", col)
+
+
+def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the events stream table with a proper TIMESTAMP_NTZ ``ts``,
+    adapting to either physical layout (see ``normalize_event_ts``)."""
+    # harmless when the data is already timestamp[us]; required to load
+    # TIMESTAMP(NANOS) datasets at all
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = table(spark, sf_dir, "events")
-    return df.withColumn(
-        "ts",
-        F.expr("timestampadd(MICROSECOND, ts div 1000, "
-               "TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+    return normalize_event_ts(table(spark, sf_dir, "events"), ntz=True)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
