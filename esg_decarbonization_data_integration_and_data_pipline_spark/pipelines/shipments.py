@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from esg_decarbonization_data_integration_and_data_pipline_spark.operators.reshape import melt
 
@@ -57,6 +57,111 @@ def assemble_shipments(blocks: list[DataFrame], version: int,
             .withColumn("version", F.lit(version))
             .withColumn("pic", F.lit(pic))
             .select("site", "month", "amount", "year", "version", "pic"))
+
+
+def shipment_growth_ladder(plan: DataFrame,
+                           unit: float = 1000.0) -> DataFrame:
+    """Year-over-year shipment growth rates from the 3-year plan
+    (reference: Model/Factory_elect_simulator_update.py:495-516
+    ``variable_3y_forecast_generator`` GR block).
+
+    plan(site, year, month, amount) -> (site, year, gr) where gr is
+    the growth of year over year-1 site totals (amounts are plan
+    thousands, scaled by ``unit``). Reference quirks preserved:
+
+    - a degenerate base (total ~ 0) explodes the ratio; GR > 1000 is
+      clamped to 0.5 (reference :505);
+    - sites with NO consecutive-year pair get half the full-span
+      rate -- (last - first) / first / 2 -- stamped on their last TWO
+      plan years (reference :507-515, which back-fills the previous
+      year with the same rate).
+
+    One lag window per site (tiny dimension) + one anti-join for the
+    fallback sites; no collect.
+    """
+    yearly = (plan.groupBy("site", "year")
+                  .agg((F.sum("amount") * unit).alias("total")))
+    w = Window.partitionBy("site").orderBy("year")
+    lagged = (yearly.withColumn("prev_total", F.lag("total").over(w))
+                    .withColumn("prev_year", F.lag("year").over(w)))
+    gr = (lagged.filter(F.col("prev_year") == F.col("year") - 1)
+                .withColumn("gr", (F.col("total") - F.col("prev_total"))
+                            / F.col("prev_total"))
+                .withColumn("gr", F.when(F.col("gr") > 1000, 0.5)
+                             .otherwise(F.col("gr")))
+                .select("site", "year", "gr"))
+    bounds = yearly.groupBy("site").agg(
+        F.expr("min_by(total, year)").alias("first_total"),
+        F.expr("max_by(total, year)").alias("last_total"),
+        F.max("year").alias("last_year"))
+    fallback = (bounds.join(gr.select("site").distinct(), ["site"],
+                            "left_anti")
+                .withColumn("gr", (F.col("last_total") - F.col("first_total"))
+                            / F.col("first_total") / 2)
+                .select("site",
+                        F.explode(F.array(F.col("last_year"),
+                                          F.col("last_year") - 1)).alias("year"),
+                        "gr"))
+    return gr.unionByName(fallback)
+
+
+def plant_month_rates(budget: DataFrame,
+                      value_col: str = "shipment_qty") -> DataFrame:
+    """Within-(site, year) plant-month share of the site's budget
+    total (reference: Model/Factory_elect_simulator_update.py:474-477
+    -- the MOH budget's plant grain divided by the site-year sum, the
+    allocation key that spreads site-level plan years onto plants and
+    months)."""
+    tot = budget.groupBy("site", "year").agg(F.sum(value_col).alias("__tot"))
+    return (budget.join(tot, ["site", "year"])
+                  .withColumn("rate", F.col(value_col) / F.col("__tot"))
+                  .select("site", "plant", "month", "rate"))
+
+
+def spread_yearly_shipments(yearly: DataFrame, rates: DataFrame,
+                            overrides: DataFrame | None = None) -> DataFrame:
+    """Spread site-year shipment totals onto (plant, month) by the
+    budget month rates, then overlay explicit plant-month forecasts
+    (reference: Model/Factory_elect_simulator_update.py:519-532).
+
+    yearly(site, year, total); rates(site, plant, month, rate);
+    overrides(plant, year, month, amount) or None.
+
+    Sites absent from the budget keep their site total as a single
+    pseudo-plant row with rate 1 (reference :467-469 defaults missing
+    rates to 1 and missing plant names to the site). Rates are a tiny
+    dimension -- broadcast; the overlay is a left join + coalesce
+    (reference's isna/np.where idiom).
+    """
+    out = (yearly.join(F.broadcast(rates), ["site"], "left")
+                 .withColumn("rate", F.coalesce("rate", F.lit(1.0)))
+                 .withColumn("plant", F.coalesce("plant", "site"))
+                 .withColumn("month",
+                             F.coalesce("month", F.lit(1)).cast("int"))
+                 .withColumn("amount", F.col("total") * F.col("rate"))
+                 .select("site", "plant", "year", "month", "amount"))
+    if overrides is not None:
+        ov = overrides.select("plant", "year", "month",
+                              F.col("amount").alias("__override"))
+        out = (out.join(F.broadcast(ov), ["plant", "year", "month"], "left")
+                  .withColumn("amount", F.coalesce("__override", "amount"))
+                  .drop("__override"))
+    return out
+
+
+def shipment_3y_forecast(plan: DataFrame, budget: DataFrame,
+                         overrides: DataFrame | None = None,
+                         unit: float = 1000.0) -> tuple[DataFrame, DataFrame]:
+    """The full 3-year shipment forecast stage: (spread plant-month
+    forecast, growth-rate ladder) -- the two outputs the reference's
+    ``variable_3y_forecast_generator`` feeds into the electricity
+    simulator (reference: Model/Factory_elect_simulator_update.py:
+    424-541)."""
+    yearly = (plan.groupBy("site", "year")
+                  .agg((F.sum("amount") * unit).alias("total")))
+    spread = spread_yearly_shipments(
+        yearly, plant_month_rates(budget), overrides)
+    return spread, shipment_growth_ladder(plan, unit)
 
 
 def upload_shipments(spark: SparkSession, xlsx_path: str,

@@ -119,6 +119,99 @@ def quantile_floor_rates(rates: DataFrame,
                  .drop("__floor"))
 
 
+def point_fix_copy_month(df: DataFrame, plant: str, src_month: str,
+                         dst_month: str, plant_col: str = "plant",
+                         date_col: str = "datetime") -> DataFrame:
+    """History point-fix: overwrite one plant-month with a copy of
+    another month's rows (reference:
+    Model/Factory_elect_simulator_update.py:238-248
+    ``history_data_fixer`` -- WOK's broken 2022-12 readings are
+    replaced by its 2022-11 rows re-dated to December, on both the
+    modeling frame and the raw-history frame).
+
+    Pure relational form: drop the (plant, dst) slice, union the
+    (plant, src) slice re-dated to dst. Narrow except for the one
+    union; no driver-side mutation, idempotent under re-run.
+    """
+    dtype = df.schema[date_col].dataType
+    is_plant = F.col(plant_col) == plant
+    src = (df.filter(is_plant & (F.col(date_col) == F.lit(src_month).cast(dtype)))
+             .withColumn(date_col, F.lit(dst_month).cast(dtype)))
+    kept = df.filter(~(is_plant & (F.col(date_col) == F.lit(dst_month).cast(dtype))))
+    return kept.unionByName(src)
+
+
+def attach_observed_max(df: DataFrame, keys: list[str],
+                        measures: list[str],
+                        date_col: str = "datetime") -> DataFrame:
+    """Attach per-key ``<date_col>_max`` = latest date at which ALL
+    ``measures`` are observed (reference:
+    Model/Factory_elect_simulator_update.py:259-263 -- the simulator
+    trims each (plant, bo) series at its last fully-observed month
+    before fitting trends, so half-reported months never skew rates).
+
+    The per-key max is a tiny dimension (one row per plant x bo):
+    broadcast back, no shuffle of the fact side."""
+    complete = df
+    for m in measures:
+        complete = complete.filter(F.col(m).isNotNull())
+    mx = complete.groupBy(*keys).agg(
+        F.max(date_col).alias(f"{date_col}_max"))
+    return df.join(F.broadcast(mx), keys, "left")
+
+
+def actuals_over_forecast(forecast: DataFrame, actuals: DataFrame,
+                          workspace_sites: list[str], target_year: int,
+                          base_year: int) -> DataFrame:
+    """Merge actual meter readings over model forecasts, extending
+    short actual series by the rolling two-year month mean
+    (reference: Model/Factory_elect_simulator_update.py:387-422
+    ``mfg_workspace_elec_generator``).
+
+    Inputs (site grain, monthly):
+      forecast(site, year, month, amount) -- the predict category of
+        the latest elect_target_month version;
+      actuals(site, year, month, amount)  -- metered workspace rows.
+
+    Semantics, stage by stage:
+      1. non-workspace sites keep their forecast rows untouched;
+      2. workspace sites start from their actual rows (reference
+         :402-412 aggregates meters to site grain first -- callers
+         pass site-grain rows);
+      3. every workspace year AFTER the last actual year is filled
+         with mean(amount of the previous TWO years, positive rows
+         only) per (site, month) -- applied iteratively so year N+2
+         averages over N+1's synthesized values (reference :415-420);
+      4. of the workspace side, only years >= ``base_year`` survive
+         into the output (reference :421).
+
+    The year loop is a driver-side PLAN loop (no collect): each round
+    is one groupBy over <= 2 years of site-grain rows; horizon is
+    target_year - max actual year (single digits), matching the
+    dup_clusters iterate-the-plan pattern.
+    """
+    in_ws = F.col("site").isin(list(workspace_sites))
+    fixed = forecast.filter(~in_ws)
+    ws = actuals.filter(in_ws).select("site", "year", "month", "amount")
+    ws_forecast = forecast.filter(in_ws).select(
+        "site", "year", "month", "amount")
+    ws = ws.unionByName(ws_forecast)
+    max_year_row = ws.agg(F.max("year").alias("y")).collect()[0]
+    ws_max_year = int(max_year_row.y)
+    for step in range(1, target_year - ws_max_year + 1):
+        new_year = ws_max_year + step
+        prev = ws.filter((F.col("year") >= new_year - 2)
+                         & (F.col("year") < new_year)
+                         & (F.col("amount") > 0))
+        synth = (prev.groupBy("site", "month")
+                     .agg(F.avg("amount").alias("amount"))
+                     .withColumn("year", F.lit(new_year))
+                     .select("site", "year", "month", "amount"))
+        ws = ws.unionByName(synth)
+    return (fixed.select("site", "year", "month", "amount")
+                 .unionByName(ws.filter(F.col("year") >= base_year)))
+
+
 def ten_month_real_power(power: DataFrame) -> DataFrame:
     """Ten-month real power totals with annualized dormitory load
     (reference: Model/Factory_elect_simulator_update.py:172-192

@@ -140,6 +140,23 @@ def build_warehouse_dag(warehouse: str, sources: dict, base_year: int,
             W.replace_keys(year_rows, p("app", "elect_target_year"),
                            keys=["year", "site", "category", "version"])
 
+    # meter-group packaging follows the green-account build the same
+    # way the reference's staging_to_app monthly loop does
+    # (jobs/staging_to_app.py:282-342)
+    if "meter_group" in sources:
+        @reg.register("meter_group_packaging")
+        def _packaging(spark: SparkSession, run_date: dt.date):
+            from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.meter_groups import (
+                packaged_accounts,
+            )
+            out = packaged_accounts(sources["green_accounts"],
+                                    sources["meter_group"],
+                                    sources["meter_group_mapping"])
+            W.replace_keys(out, p("app", "green_elec_account_packaged"),
+                           keys=["site", "plant", "meter_code",
+                                 "category1", "category2", "year",
+                                 "month"])
+
     # the transfer suggestion closes the nightly run (main.py:110)
     if "transfer_offers" in sources:
         @reg.register("transfer_suggest",

@@ -240,3 +240,126 @@ def test_ten_month_real_power(spark):
     assert r.plant == "P1" and r.month_count == 10
     # (10x100 + 100) factory + 12 x (10x10 + 10 dorm) / 10
     assert r.ten_month_real == pytest.approx(1100.0 + 132.0)
+
+
+def test_point_fix_copy_month(spark):
+    """Factory_elect_simulator_update.py:238-248: WOK's December rows
+    are replaced by its November rows re-dated; other plants and
+    months untouched. Idempotent under re-run."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.simulator import (
+        point_fix_copy_month,
+    )
+    df = spark.createDataFrame(
+        [("WOK", dt.date(2022, 11, 1), 100.0),
+         ("WOK", dt.date(2022, 12, 1), -5.0),   # broken reading
+         ("WZS", dt.date(2022, 12, 1), 70.0)],
+        "plant string, datetime date, kwh double")
+    out = point_fix_copy_month(df, "WOK", "2022-11-01", "2022-12-01")
+    got = {(r.plant, str(r.datetime)): r.kwh for r in out.collect()}
+    assert got == {("WOK", "2022-11-01"): 100.0,
+                   ("WOK", "2022-12-01"): 100.0,   # copied over
+                   ("WZS", "2022-12-01"): 70.0}
+    again = point_fix_copy_month(out, "WOK", "2022-11-01", "2022-12-01")
+    assert {(r.plant, str(r.datetime), r.kwh) for r in again.collect()} == \
+        {(p, d, v) for (p, d), v in got.items()}
+
+
+def test_attach_observed_max(spark):
+    """Factory_elect_simulator_update.py:259-263: datetime_max per
+    (plant, bo) = last month with ALL measures observed."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.simulator import (
+        attach_observed_max,
+    )
+    df = spark.createDataFrame(
+        [("P1", "nb", dt.date(2023, 1, 1), 1.0, 2.0),
+         ("P1", "nb", dt.date(2023, 2, 1), 1.0, None),   # partial month
+         ("P2", "mb", dt.date(2023, 3, 1), None, None)],  # never complete
+        "plant string, bo string, datetime date, elec double, qty double")
+    out = attach_observed_max(df, ["plant", "bo"], ["elec", "qty"])
+    got = {(r.plant, str(r.datetime)): r.datetime_max for r in out.collect()}
+    assert str(got[("P1", "2023-01-01")]) == "2023-01-01"
+    assert str(got[("P1", "2023-02-01")]) == "2023-01-01"
+    assert got[("P2", "2023-03-01")] is None
+
+
+def test_actuals_over_forecast(spark):
+    """Factory_elect_simulator_update.py:387-422: workspace actuals
+    replace forecasts; later years synthesized from the previous
+    two-year positive month means, iteratively."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.simulator import (
+        actuals_over_forecast,
+    )
+    forecast = spark.createDataFrame(
+        [("WZS", 2023, 1, 500.0),          # non-workspace: passes through
+         ("WSP", 2023, 1, 999.0)],         # workspace forecast row
+        "site string, year int, month int, amount double")
+    actuals = spark.createDataFrame(
+        [("WSP", 2022, 1, 100.0),
+         ("WSP", 2023, 1, 0.0)],           # zero row: excluded from means
+        "site string, year int, month int, amount double")
+    out = actuals_over_forecast(forecast, actuals, ["WSP"],
+                                target_year=2025, base_year=2022)
+    got = {(r.site, r.year, r.month): r.amount for r in out.collect()}
+    assert got[("WZS", 2023, 1)] == 500.0
+    # 2024 = mean of positive amounts in 2022-2023: (100 + 999) / 2
+    assert got[("WSP", 2024, 1)] == pytest.approx(549.5)
+    # 2025 = mean over 2023-2024 positives: (999 + 549.5) / 2
+    assert got[("WSP", 2025, 1)] == pytest.approx(774.25)
+    # actual + forecast workspace rows both retained
+    assert got[("WSP", 2022, 1)] == 100.0
+    assert got[("WSP", 2023, 1)] in (0.0, 999.0)
+
+
+def test_shipment_growth_ladder(spark):
+    """Factory_elect_simulator_update.py:495-516: consecutive-year
+    GR, >1000 clamps to 0.5, single-year sites get half the span
+    rate on the last two plan years."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.shipments import (
+        shipment_growth_ladder,
+    )
+    plan = spark.createDataFrame(
+        [("A", 2023, 1, 100.0), ("A", 2024, 1, 150.0), ("A", 2025, 1, 120.0),
+         ("B", 2023, 1, 0.00001), ("B", 2024, 1, 100.0),  # exploding base
+         ("C", 2024, 1, 80.0), ("C", 2026, 1, 120.0)],    # no consecutive pair
+        "site string, year int, month int, amount double")
+    got = {(r.site, r.year): r.gr for r in shipment_growth_ladder(plan).collect()}
+    assert got[("A", 2024)] == pytest.approx(0.5)      # 100 -> 150
+    assert got[("A", 2025)] == pytest.approx(-0.2)     # 150 -> 120
+    assert got[("B", 2024)] == pytest.approx(0.5)      # clamped
+    # C: (120 - 80) / 80 / 2 = 0.25 on last two years
+    assert got[("C", 2026)] == pytest.approx(0.25)
+    assert got[("C", 2025)] == pytest.approx(0.25)
+    assert ("C", 2024) not in got
+
+
+def test_shipment_3y_spread_and_override(spark):
+    """Factory_elect_simulator_update.py:519-540: site-year totals
+    spread by budget plant-month rates; budget-less sites keep a
+    site-level row; explicit plant-month overrides win."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.shipments import (
+        shipment_3y_forecast,
+    )
+    plan = spark.createDataFrame(
+        [("WZS", 2024, 1, 0.06), ("WZS", 2024, 2, 0.04),  # total 100 after x1000
+         ("WNEW", 2024, 1, 0.01)],                        # not in budget
+        "site string, year int, month int, amount double")
+    budget = spark.createDataFrame(
+        [("WZS", "WZS-1", 2024, 1, 30.0), ("WZS", "WZS-1", 2024, 2, 10.0),
+         ("WZS", "WZS-8", 2024, 1, 40.0), ("WZS", "WZS-8", 2024, 2, 20.0)],
+        "site string, plant string, year int, month int, shipment_qty double")
+    overrides = spark.createDataFrame(
+        [("WZS-8", 2024, 1, 7.0)],
+        "plant string, year int, month int, amount double")
+    spread, ladder = shipment_3y_forecast(plan, budget, overrides)
+    got = {(r.plant, r.year, r.month): r.amount for r in spread.collect()}
+    # budget shares: WZS-1 m1 30/100, m2 10/100; WZS-8 m1 40/100, m2 20/100
+    assert got[("WZS-1", 2024, 1)] == pytest.approx(30.0)
+    assert got[("WZS-1", 2024, 2)] == pytest.approx(10.0)
+    assert got[("WZS-8", 2024, 1)] == pytest.approx(7.0)   # override wins
+    assert got[("WZS-8", 2024, 2)] == pytest.approx(20.0)
+    # site without budget: one pseudo-plant row, rate 1
+    assert got[("WNEW", 2024, 1)] == pytest.approx(10.0)
+    # single-year sites fall into the span fallback with a 0 rate
+    lg = {(r.site, r.year): r.gr for r in ladder.collect()}
+    assert lg[("WZS", 2024)] == pytest.approx(0.0)
+    assert lg[("WNEW", 2024)] == pytest.approx(0.0)
