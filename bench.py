@@ -105,6 +105,13 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    # repo-side perf journal: append per-run timings so regressions
+    # are visible across rounds without the driver's bench artifacts
+    try:
+        with open(os.path.join(REPO, "PROGRESS.jsonl"), "a") as fh:
+            fh.write(json.dumps({"ts": round(time.time()), **out}) + "\n")
+    except OSError:
+        pass  # never let journaling break the bench contract
 
 
 if __name__ == "__main__":
