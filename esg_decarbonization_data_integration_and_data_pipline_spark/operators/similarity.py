@@ -338,6 +338,51 @@ def ivf_topk(df: DataFrame, query_df: DataFrame, k: int,
                 .select("vec_id", "cell", "cosine"))
 
 
+def ivf_write_index(df: DataFrame, path: str, n_cells: int = 16,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Materialize the IVF index as a CELL-PARTITIONED parquet layout
+    -- the static-index form of ``ivf_topk``'s docstring: one
+    directory per cell, so a probe becomes a partition-pruned scan
+    that never opens unprobed cells' data. (vec_id, v, cell=dir)."""
+    assigned = ivf_assign(df, n_cells, id_col, vec_col)
+    (assigned.write.partitionBy("cell").mode("overwrite").parquet(path))
+
+
+def ivf_topk_from_index(spark, index_path: str, query_df: DataFrame,
+                        k: int, n_cells: int = 16, n_probes: int = 4,
+                        vec_col: str = "embedding") -> DataFrame:
+    """Probe a written cell-partitioned IVF index.
+
+    The probe cells are resolved driver-side (centroids = the K seed
+    rows, probe list = n_probes ints -- index METADATA, the bounded
+    KMeansModel-broadcast class, not an O(n) collect) and pushed as a
+    LITERAL ``cell IN (...)`` predicate, which Spark turns into
+    static partition pruning: the scan's PartitionFilters keep it
+    from even listing the unprobed directories. Same result set as
+    ``ivf_topk`` on the source frame (parity-tested)."""
+    idx = spark.read.parquet(index_path).withColumn(
+        "cell", F.col("cell").cast("bigint"))
+    q = query_df.select(_as_double(vec_col).alias("q_v"))
+    # identical probe-selection expression to ivf_topk (same rounding,
+    # same tiebreak), evaluated over the K seed rows and collected as
+    # n_probes ints
+    cents = (idx.filter(F.col("vec_id") < n_cells)
+                .select(F.col("vec_id").alias("cid"), "v"))
+    probe_cells = [r.cell for r in
+                   (cents.crossJoin(F.broadcast(q))
+                         .withColumn("pcos", F.expr(_cos_expr("v", "q_v")))
+                         .orderBy(F.col("pcos").desc(), F.col("cid"))
+                         .limit(n_probes)
+                         .select(F.col("cid").alias("cell"))).collect()]
+    return (idx.filter(F.col("cell").isin(probe_cells))
+               .crossJoin(F.broadcast(q))
+               .withColumn("cosine", F.expr(_cos_expr("v", "q_v")))
+               .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+               .limit(k)
+               .select("vec_id", "cell", "cosine"))
+
+
 def ann_candidates(df: DataFrame, dim: int, id_col: str = "vec_id",
                    vec_col: str = "embedding") -> DataFrame:
     """ANN candidate pairs = vectors sharing an LSH bucket, with the

@@ -191,6 +191,69 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(score, 6).alias("quality_score")).drop("__qc")
 
 
+def _repetition_counts_kernel():
+    """Arrow kernel: per doc, the word-bigram MULTISET statistics --
+    (total occurrences, distinct grams, max single-gram count). One
+    Counter pass per doc; exact integers replayed by the oracle's
+    unnest + GROUP BY formulation. Kept as a kernel (not
+    explode+groupBy) so a per-doc statistic never pays two corpus
+    shuffles, and not a higher-order expression chain (the
+    CollapseProject re-inline pitfall recorded above)."""
+    from collections import Counter
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<tg: bigint, dg: bigint, mg: bigint>")
+    def rep_udf(texts: pd.Series) -> pd.DataFrame:
+        tgs, dgs, mgs = [], [], []
+        for t in texts:
+            if t is None:
+                tgs.append(None); dgs.append(None); mgs.append(None)
+                continue
+            toks = t.lower().split()
+            c = Counter(f"{toks[i]} {toks[i+1]}"
+                        for i in range(len(toks) - 1))
+            tgs.append(sum(c.values()))
+            dgs.append(len(c))
+            mgs.append(max(c.values()) if c else 0)
+        return pd.DataFrame({
+            "tg": pd.array(tgs, dtype="Int64"),
+            "dg": pd.array(dgs, dtype="Int64"),
+            "mg": pd.array(mgs, dtype="Int64")})
+
+    return rep_udf
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals -- the duplicate-n-gram
+    quality filter every pre-training corpus pipeline applies (docs
+    dominated by a repeated phrase are boilerplate/spam):
+
+    - repetition_ratio: 1 - distinct_bigrams / total_bigrams
+    - top_gram_share: occurrences of the most frequent bigram /
+      total_bigrams
+
+    Counts come from one Arrow kernel pass; ratios and rounding are
+    JVM arithmetic identical to the DuckDB twin (single .select, same
+    double-eval reasoning as quality_features). Docs with fewer than
+    two tokens have zero counts and NULL ratios (nothing to measure;
+    nullif on the denominator in both engines); null text propagates
+    nulls."""
+    rc = _repetition_counts_kernel()
+    df = df.withColumn("__rc", rc(text_col))
+    tg, dg, mg = F.col("__rc.tg"), F.col("__rc.dg"), F.col("__rc.mg")
+    return df.select(
+        "*",
+        tg.alias("total_bigrams"),
+        dg.alias("distinct_bigrams"),
+        F.when(tg.isNull(), None)
+         .otherwise(F.round(1 - dg / F.nullif(tg, F.lit(0)).cast("double"), 6))
+         .alias("repetition_ratio"),
+        F.when(tg.isNull(), None)
+         .otherwise(F.round(mg / F.nullif(tg, F.lit(0)).cast("double"), 6))
+         .alias("top_gram_share")).drop("__rc")
+
+
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count, regex word-ish token count, and a
     BPE-ish estimate (ceil(len/4) per word -- the usual chars/4

@@ -26,17 +26,20 @@ from esg_decarbonization_data_integration_and_data_pipline_spark.operators.sampl
     deterministic_split,
 )
 from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import (
-    lang_scores, quality_features,
+    lang_scores, quality_features, repetition_stats,
 )
 
 
 def curate(docs: DataFrame, keep_langs: list[str] | None = None,
            min_quality: float = 0.3, near_dup_threshold: float = 0.5,
+           max_repetition: float | None = 0.9,
            fractions: dict[str, float] | None = None) -> DataFrame:
     """documents(doc_id, text, ...) -> curated corpus with
     (predicted_lang, quality_score, cluster_id, is_canonical, split).
 
-    Rows failing the language or quality gate drop; every survivor
+    Rows failing the language, quality, or repetition gate drop
+    (``max_repetition``: docs whose duplicate-bigram ratio exceeds it
+    are boilerplate/spam; None disables the gate); every survivor
     keeps its near-dup cluster id and the canonical flag, so callers
     can either train on canonicals only or weight by cluster size.
     """
@@ -44,6 +47,12 @@ def curate(docs: DataFrame, keep_langs: list[str] | None = None,
     kept = scored.filter(F.col("quality_score") >= min_quality)
     if keep_langs:
         kept = kept.filter(F.col("predicted_lang").isin(keep_langs))
+    if max_repetition is not None:
+        kept = (repetition_stats(kept)
+                .filter(F.coalesce(F.col("repetition_ratio"), F.lit(0.0))
+                        <= max_repetition)
+                .drop("total_bigrams", "distinct_bigrams",
+                      "repetition_ratio", "top_gram_share"))
 
     pairs = minhash_verified_pairs(kept, threshold=near_dup_threshold)
     clusters = dup_clusters(kept, pairs)

@@ -94,6 +94,47 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "predicted_lang")
 
 
+@register("text_repetition", "ext:quality-repetition", oracle="""
+WITH b AS (
+  SELECT doc_id,
+         (SELECT [__t[CAST(i AS INT)] || ' ' || __t[CAST(i + 1 AS INT)]
+                  FOR i IN range(1, len(__t))]
+          FROM (SELECT """ + _SQL_TOKS + """ AS __t)) AS grams
+  FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(grams) AS gram FROM b
+),
+pg AS (
+  SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram
+),
+s AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS total_bigrams,
+         CAST(count(*) AS BIGINT) AS distinct_bigrams,
+         CAST(max(c) AS BIGINT) AS max_c
+  FROM pg GROUP BY doc_id
+)
+SELECT b.doc_id,
+       coalesce(s.total_bigrams, 0) AS total_bigrams,
+       coalesce(s.distinct_bigrams, 0) AS distinct_bigrams,
+       round(1 - s.distinct_bigrams
+             / CAST(nullif(s.total_bigrams, 0) AS DOUBLE), 6)
+         AS repetition_ratio,
+       round(s.max_c / CAST(nullif(s.total_bigrams, 0) AS DOUBLE), 6)
+         AS top_gram_share
+FROM b LEFT JOIN s ON b.doc_id = s.doc_id
+""")
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition quality signals (duplicate-bigram
+    ratio + top-gram share) -- the boilerplate/spam filter of a
+    pre-training corpus pipeline. One Arrow kernel pass; the oracle
+    replays the multiset via unnest + GROUP BY."""
+    d = table(spark, sf_dir, "documents")
+    return T.repetition_stats(d).select(
+        "doc_id", "total_bigrams", "distinct_bigrams",
+        "repetition_ratio", "top_gram_share")
+
+
 @register("text_quality", "ext:quality-score,F9,F12", oracle="""
 WITH t AS (
   SELECT doc_id,

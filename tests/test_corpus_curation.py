@@ -42,3 +42,18 @@ def test_curate_quality_gate_filters(spark):
         "doc_id bigint, text string")
     out = curate(docs, min_quality=0.3)
     assert [r.doc_id for r in out.collect()] == [1]
+
+
+def test_curate_repetition_gate_filters(spark):
+    varied = ("the of and to in is a good long document with many "
+              "different words appearing once each time here")
+    spammy = "the of and to in is spam " * 20   # one phrase repeated 20x
+    docs = spark.createDataFrame(
+        [(1, varied), (2, spammy)], "doc_id bigint, text string")
+    # spammy passes quality (stopword-rich, long) but its duplicate-
+    # bigram ratio is ~0.95 -- the repetition gate drops it
+    out = curate(docs, min_quality=0.3, max_repetition=0.9)
+    assert [r.doc_id for r in out.collect()] == [1]
+    # gate disabled -> both survive
+    both = curate(docs, min_quality=0.3, max_repetition=None)
+    assert sorted(r.doc_id for r in both.collect()) == [1, 2]

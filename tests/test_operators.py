@@ -149,3 +149,22 @@ def test_multimodal_resize_and_frame_sampling(spark):
     # no Python in the frame path: no ArrowEvalPython / eval node
     plan = frames._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "EvalPython" not in plan
+
+
+def test_repetition_stats_edges(spark):
+    """Duplicate-bigram ratio: exact counts on a crafted doc, zero
+    counts + NULL ratios for token-free docs, null propagation."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import (
+        repetition_stats,
+    )
+    df = spark.createDataFrame(
+        [(0, "a b a b a"),      # bigrams: ab, ba, ab, ba -> 4 total, 2 distinct
+         (1, "one"),            # no bigrams
+         (2, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert got[0].total_bigrams == 4 and got[0].distinct_bigrams == 2
+    assert got[0].repetition_ratio == 0.5
+    assert got[0].top_gram_share == 0.5
+    assert got[1].total_bigrams == 0 and got[1].repetition_ratio is None
+    assert got[2].total_bigrams is None and got[2].repetition_ratio is None

@@ -189,3 +189,28 @@ def test_ivf_refine_recenters_cells(spark):
     # k-means monotonicity: re-centering never fits worse (strictly
     # better in practice on random data)
     assert ref_fit >= seed_fit - 1e-9
+
+
+def test_ivf_index_partition_pruning_and_parity(spark, tmp_path):
+    """The cell-partitioned index: probing reads ONLY probed cell
+    directories (static partition pruning visible as a partition
+    filter in the scan) and returns exactly the in-memory ivf_topk
+    result."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.similarity import (
+        ivf_topk_from_index, ivf_write_index,
+    )
+    e = table(spark, SF001, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    path = str(tmp_path / "ivf_index")
+    ivf_write_index(e, path, n_cells=16)
+
+    got = ivf_topk_from_index(spark, path, q, k=K, n_cells=16, n_probes=4)
+    expect = {(r.vec_id, r.cell, r.cosine)
+              for r in ivf_topk(e, q, k=K, n_cells=16, n_probes=4).collect()}
+    assert {(r.vec_id, r.cell, r.cosine) for r in got.collect()} == expect
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the literal IN-filter lands in the scan's PartitionFilters --
+    # unprobed directories are never listed, let alone read
+    assert "PartitionFilters: [" in plan
+    assert "cell#" in plan.split("PartitionFilters: [", 1)[1].split("]")[0]
