@@ -510,6 +510,10 @@ def simhash_chunked(df: DataFrame, n_chunks: int = 4, chunk_bits: int = 16,
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
+    if n_chunks > len(MINHASH_AS):
+        raise ValueError(
+            f"n_chunks must be <= {len(MINHASH_AS)} (one independent "
+            f"permutation per chunk); got {n_chunks}")
     powers = np.tile(np.array(
         [1, 17, 289, 4913, 83521, 1419857, 24137569, 410338673],
         dtype=np.int64), 64)

@@ -81,15 +81,21 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
-            dims = [_decode_image(p) for p in payloads]
+            # null payload (e.g. encode of a null text) -> null
+            # metadata, mirroring SQL null propagation
+            dims = [_decode_image(p) if p is not None else (None, None)
+                    for p in payloads]
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].astype("int64"),
                 "media_type": pdf["media_type"],
-                "payload_bytes": payloads.map(len).astype("int64"),
+                "payload_bytes": pd.array(
+                    [len(p) if p is not None else None for p in payloads],
+                    dtype="Int64"),
                 "payload_sha": payloads.map(
-                    lambda p: hashlib.sha256(p).hexdigest()),
-                "width": pd.Series([d[0] for d in dims], dtype="int64"),
-                "height": pd.Series([d[1] for d in dims], dtype="int64"),
+                    lambda p: hashlib.sha256(p).hexdigest()
+                    if p is not None else None),
+                "width": pd.array([d[0] for d in dims], dtype="Int64"),
+                "height": pd.array([d[1] for d in dims], dtype="Int64"),
             })
 
     return df.mapInPandas(batches, FEATURE_SCHEMA)

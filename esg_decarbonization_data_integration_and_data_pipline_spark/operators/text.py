@@ -107,7 +107,8 @@ def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("n_cjk", F.length(F.regexp_replace(
                 F.col(text_col), "[^\\x{4e00}-\\x{9fff}]", ""))))
     predicted = (
-        F.when(F.col("n_cjk") > 0, F.lit("zh"))
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+         .when(F.col("n_cjk") > 0, F.lit("zh"))
          .when((F.col("s_en") >= F.col("s_de")) & (F.col("s_en") >= F.col("s_es"))
                & (F.col("s_en") >= F.col("s_fr")), F.lit("en"))
          .when((F.col("s_de") >= F.col("s_es")) & (F.col("s_de") >= F.col("s_fr")),

@@ -37,7 +37,11 @@ def build_meter_groups(meter_group: DataFrame,
           .withColumn("group_id", F.col("group_id").cast("int")))
     mapping = group_mapping.withColumn("group_id",
                                        F.col("group_id").cast("int"))
+    # a group_id with no mapping row must NOT surface as a NULL-named
+    # synthetic meter; pandas groupby drops NaN keys, so the reference
+    # silently discards unmapped groups -- make that explicit
     return (mg.join(F.broadcast(mapping), ["group_id"], "left")
+              .filter(F.col("group_name").isNotNull())
               .select("meter_code", "group_name"))
 
 

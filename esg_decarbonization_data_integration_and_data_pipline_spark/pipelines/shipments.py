@@ -84,20 +84,28 @@ def shipment_growth_ladder(plan: DataFrame,
     w = Window.partitionBy("site").orderBy("year")
     lagged = (yearly.withColumn("prev_total", F.lag("total").over(w))
                     .withColumn("prev_year", F.lag("year").over(w)))
+    # a zero base year is the pandas inf -> clamp path: growing from 0
+    # clamps to 0.5 (like the reference's GR > 1000 rule, which inf
+    # trips); a 0 -> 0 pair is flat growth, not NULL
+    raw_gr = (F.col("total") - F.col("prev_total")) / F.col("prev_total")
+    zero_base = F.when(F.col("total") > 0, F.lit(0.5)).otherwise(F.lit(0.0))
     gr = (lagged.filter(F.col("prev_year") == F.col("year") - 1)
-                .withColumn("gr", (F.col("total") - F.col("prev_total"))
-                            / F.col("prev_total"))
-                .withColumn("gr", F.when(F.col("gr") > 1000, 0.5)
-                             .otherwise(F.col("gr")))
+                .withColumn("gr", F.when(F.col("prev_total") == 0, zero_base)
+                             .when(raw_gr > 1000, 0.5)
+                             .otherwise(raw_gr))
                 .select("site", "year", "gr"))
     bounds = yearly.groupBy("site").agg(
         F.expr("min_by(total, year)").alias("first_total"),
         F.expr("max_by(total, year)").alias("last_total"),
         F.max("year").alias("last_year"))
+    span_gr = ((F.col("last_total") - F.col("first_total"))
+               / F.col("first_total") / 2)
     fallback = (bounds.join(gr.select("site").distinct(), ["site"],
                             "left_anti")
-                .withColumn("gr", (F.col("last_total") - F.col("first_total"))
-                            / F.col("first_total") / 2)
+                .withColumn("gr", F.when(
+                    F.col("first_total") == 0,
+                    F.when(F.col("last_total") > 0, F.lit(0.5))
+                     .otherwise(F.lit(0.0))).otherwise(span_gr))
                 .select("site",
                         F.explode(F.array(F.col("last_year"),
                                           F.col("last_year") - 1)).alias("year"),
@@ -107,13 +115,18 @@ def shipment_growth_ladder(plan: DataFrame,
 
 def plant_month_rates(budget: DataFrame,
                       value_col: str = "shipment_qty") -> DataFrame:
-    """Within-(site, year) plant-month share of the site's budget
-    total (reference: Model/Factory_elect_simulator_update.py:474-477
-    -- the MOH budget's plant grain divided by the site-year sum, the
-    allocation key that spreads site-level plan years onto plants and
-    months)."""
-    tot = budget.groupBy("site", "year").agg(F.sum(value_col).alias("__tot"))
-    return (budget.join(tot, ["site", "year"])
+    """Plant-month share of the site's budget total, from the
+    budget's LATEST year only (reference:
+    Model/Factory_elect_simulator_update.py:449,474-477 -- the MOH
+    budget is filtered to its max year before the site-year sum, so
+    ONE rate set exists per (site, plant, month) and the site-only
+    spread join cannot fan a plan year out across budget years)."""
+    latest = budget.join(
+        F.broadcast(budget.groupBy("site")
+                          .agg(F.max("year").alias("year"))),
+        ["site", "year"])
+    tot = latest.groupBy("site", "year").agg(F.sum(value_col).alias("__tot"))
+    return (latest.join(tot, ["site", "year"])
                   .withColumn("rate", F.col(value_col) / F.col("__tot"))
                   .select("site", "plant", "month", "rate"))
 

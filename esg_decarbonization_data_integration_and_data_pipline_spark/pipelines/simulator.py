@@ -177,7 +177,10 @@ def actuals_over_forecast(forecast: DataFrame, actuals: DataFrame,
       1. non-workspace sites keep their forecast rows untouched;
       2. workspace sites start from their actual rows (reference
          :402-412 aggregates meters to site grain first -- callers
-         pass site-grain rows);
+         pass site-grain rows); forecast rows for workspace sites
+         fill only the (site, year, month) slots with NO actual --
+         an actual ALWAYS wins on conflict, keeping the output at
+         one row per (site, year, month);
       3. every workspace year AFTER the last actual year is filled
          with mean(amount of the previous TWO years, positive rows
          only) per (site, month) -- applied iteratively so year N+2
@@ -193,10 +196,15 @@ def actuals_over_forecast(forecast: DataFrame, actuals: DataFrame,
     in_ws = F.col("site").isin(list(workspace_sites))
     fixed = forecast.filter(~in_ws)
     ws = actuals.filter(in_ws).select("site", "year", "month", "amount")
-    ws_forecast = forecast.filter(in_ws).select(
-        "site", "year", "month", "amount")
+    ws_forecast = (forecast.filter(in_ws)
+                   .select("site", "year", "month", "amount")
+                   .join(ws.select("site", "year", "month"),
+                         ["site", "year", "month"], "left_anti"))
     ws = ws.unionByName(ws_forecast)
     max_year_row = ws.agg(F.max("year").alias("y")).collect()[0]
+    if max_year_row.y is None:
+        # no workspace rows at all: forecast-only passthrough
+        return fixed.select("site", "year", "month", "amount")
     ws_max_year = int(max_year_row.y)
     for step in range(1, target_year - ws_max_year + 1):
         new_year = ws_max_year + step

@@ -62,7 +62,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("text_lang_id", "ext:lang-id", oracle="""
 WITH t AS (
-  SELECT doc_id, lang,
+  SELECT doc_id, lang, text IS NULL AS no_text,
          len(list_filter(['the','a','of','and','to','in','is'],
              s -> list_contains(""" + _SQL_TOKS + """, s))) AS s_en,
          len(list_filter(['der','die','das','und','ist','nicht','ein'],
@@ -75,10 +75,13 @@ WITH t AS (
   FROM documents
 )
 SELECT doc_id, lang,
-       CAST(s_en AS INT) AS s_en, CAST(s_de AS INT) AS s_de,
-       CAST(s_es AS INT) AS s_es, CAST(s_fr AS INT) AS s_fr,
+       CAST(CASE WHEN no_text THEN NULL ELSE s_en END AS INT) AS s_en,
+       CAST(CASE WHEN no_text THEN NULL ELSE s_de END AS INT) AS s_de,
+       CAST(CASE WHEN no_text THEN NULL ELSE s_es END AS INT) AS s_es,
+       CAST(CASE WHEN no_text THEN NULL ELSE s_fr END AS INT) AS s_fr,
        CAST(n_cjk AS BIGINT) AS n_cjk,
-       CASE WHEN n_cjk > 0 THEN 'zh'
+       CASE WHEN no_text THEN NULL
+            WHEN n_cjk > 0 THEN 'zh'
             WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
             WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
             WHEN s_es >= s_fr THEN 'es'
@@ -115,8 +118,10 @@ s AS (
   FROM pg GROUP BY doc_id
 )
 SELECT b.doc_id,
-       coalesce(s.total_bigrams, 0) AS total_bigrams,
-       coalesce(s.distinct_bigrams, 0) AS distinct_bigrams,
+       CASE WHEN b.grams IS NULL THEN NULL
+            ELSE coalesce(s.total_bigrams, 0) END AS total_bigrams,
+       CASE WHEN b.grams IS NULL THEN NULL
+            ELSE coalesce(s.distinct_bigrams, 0) END AS distinct_bigrams,
        round(1 - s.distinct_bigrams
              / CAST(nullif(s.total_bigrams, 0) AS DOUBLE), 6)
          AS repetition_ratio,
@@ -170,8 +175,10 @@ SELECT doc_id,
        CAST(len(""" + _SQL_TOKS + """) AS BIGINT) AS n_ws_tokens,
        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
          AS n_regex_tokens,
-       CAST(list_sum([CAST(ceil(length(x) / 4.0) AS BIGINT)
-                      FOR x IN """ + _SQL_TOKS + """]) AS BIGINT) AS n_bpe_est
+       CAST(CASE WHEN text IS NULL THEN NULL
+                 ELSE coalesce(list_sum([CAST(ceil(length(x) / 4.0) AS BIGINT)
+                                         FOR x IN """ + _SQL_TOKS + """]), 0)
+            END AS BIGINT) AS n_bpe_est
 FROM documents
 """)
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -301,15 +308,18 @@ h AS (
   SELECT doc_id, [""" + _sql_polyhash("g") + """ FOR g IN dt] AS hs FROM t
 )
 SELECT doc_id,
-       CAST(list_sum([
+       CAST(CASE WHEN hs IS NULL THEN NULL ELSE list_sum([
          CASE WHEN list_sum([((hh >> CAST(b AS INT)) & 1) * 2 - 1 FOR hh IN hs]) > 0
               THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END
-         FOR b IN range(0, 32)]) AS BIGINT) AS simhash
+         FOR b IN range(0, 32)]) END AS BIGINT) AS simhash
 FROM h
 """)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash signature per document (exact integer bit
-    arithmetic; near-dups differ in few bits)."""
+    arithmetic; near-dups differ in few bits). Null text -> NULL
+    signature on BOTH sides (the kernel propagates; the oracle's
+    CASE guards the NULL token list, which would otherwise fold to
+    an all-zero signature)."""
     return D.simhash32(table(spark, sf_dir, "documents"))
 
 
@@ -326,7 +336,7 @@ s AS (
            CASE WHEN list_sum([((hh >> CAST(b AS INT)) & 1) * 2 - 1 FOR hh IN hs]) > 0
                 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END
            FOR b IN range(0, 32)]) AS BIGINT) AS simhash
-  FROM h
+  FROM h WHERE hs IS NOT NULL
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
@@ -364,7 +374,7 @@ s AS (
                  THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END
             FOR b IN range(0, 16)]) AS BIGINT)
           FOR a IN [31, 37, 41, 43]] AS sig
-  FROM h
+  FROM h WHERE hs IS NOT NULL
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(list_sum([bit_count(xor(a.sig[CAST(i AS INT) + 1],
@@ -381,10 +391,13 @@ def dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH buckets scale as corpus/65536 instead of the 32-bit variant's
     corpus/256). Empty-token docs: list_sum over an empty list is
     NULL in the oracle, so every CASE arm yields 0 -- matching the
-    kernel's all-zero signature; null-text docs drop out of both
-    sides by NULL propagation. The all-pairs oracle is the semantic
-    spec; the Spark plan is the banded equi-join (pigeonhole recall
-    exact for hamming <= n_chunks - 1)."""
+    kernel's all-zero signature. Null-text docs are EXPLICITLY
+    filtered on both sides (Spark: sig.isNotNull; oracle: hs IS NOT
+    NULL -- a null token list would otherwise also produce an
+    all-zero signature through the same NULL-cond CASE arms and
+    spuriously pair with empty docs). The all-pairs oracle is the
+    semantic spec; the Spark plan is the banded equi-join (pigeonhole
+    recall exact for hamming <= n_chunks - 1)."""
     d = table(spark, sf_dir, "documents")
     return D.simhash_chunked_band_pairs(d, max_hamming=3, n_chunks=4,
                                         chunk_bits=16)

@@ -18,8 +18,25 @@ production is the same plan with a different ``format``.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType,
+    TimestampNTZType,
+)
 
 from esg_decarbonization_data_integration_and_data_pipline_spark.tables import normalize_event_ts
+
+# fallback stream schema for a directory with no files yet (a file
+# stream must start with SOME schema; this matches the current
+# driver layout -- once files land, restart with the sniffed schema
+# if the writer turns out to use int64 nanos instead)
+DEFAULT_EVENTS_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampNTZType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
 
 
 def read_event_stream(spark: SparkSession, path: str,
@@ -31,12 +48,17 @@ def read_event_stream(spark: SparkSession, path: str,
     ``ts`` varies by writer (int64 nanos vs timestamp[us]); sniff the
     ACTUAL schema with a one-file batch read of the same path -- a
     footer-only metadata operation, no data scan -- then branch the
-    same way the batch path does. Watermarks want TIMESTAMP (local-tz),
-    not NTZ; the session runs UTC (session.py) so wall times equal the
-    batch path.
+    same way the batch path does. An empty (not-yet-populated)
+    directory cannot be sniffed; fall back to DEFAULT_EVENTS_SCHEMA
+    so the stream can still start before the first file lands.
+    Watermarks want TIMESTAMP (local-tz), not NTZ; the session runs
+    UTC (session.py) so wall times equal the batch path.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    loaded_schema = spark.read.parquet(path).schema
+    try:
+        loaded_schema = spark.read.parquet(path).schema
+    except Exception:  # no files yet -> schema inference impossible
+        loaded_schema = DEFAULT_EVENTS_SCHEMA
     reader = spark.readStream.schema(loaded_schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

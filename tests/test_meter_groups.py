@@ -94,3 +94,16 @@ def test_packaged_accounts_keeps_all_layers(spark):
     assert by_cat["green_rate"] == 1
     # the ungrouped meter's original row survives untouched
     assert any(r.meter_code == "M9" and r.amount == 7.0 for r in out)
+
+
+def test_unmapped_group_is_dropped(spark):
+    """Review fix: a group_id with no mapping row never becomes a
+    NULL-named synthetic meter (pandas groupby drops NaN keys; we do
+    it explicitly)."""
+    mg = spark.createDataFrame([("M1", 1), ("M5", 9)],
+                               "meter_code string, group_id int")
+    mapping = spark.createDataFrame([(1, "G1_ALL")],
+                                    "group_id int, group_name string")
+    got = {r.meter_code: r.group_name
+           for r in build_meter_groups(mg, mapping).collect()}
+    assert got == {"M1": "G1_ALL"}

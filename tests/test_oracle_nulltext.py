@@ -1,0 +1,70 @@
+"""Oracle parity on a crafted corpus WITH null/empty texts.
+
+The driver fixtures contain no null texts, so the sf-replay suite
+cannot catch a kernel-vs-oracle divergence on them; this pins the
+text/dedup oracles against exactly that corpus (the round-4 review
+found two such latent divergences -- both fixed, both pinned here).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+from esg_decarbonization_data_integration_and_data_pipline_spark.plans.queries import REGISTRY
+
+ROWS = [
+    (0, "hello world hello world", "en", "crafted", 23),
+    (1, None, "en", "crafted", 0),           # null text
+    (2, "   ", "en", "crafted", 3),          # whitespace only
+    (3, "", "en", "crafted", 0),             # empty string
+    (4, "hello world hello world", "en", "crafted", 23),  # exact dup of 0
+    (5, "one", "en", "crafted", 3),          # single token
+]
+QUERIES = ["text_repetition", "dedup_simhash64_pairs", "dedup_simhash",
+           "dedup_exact", "text_token_counts", "dedup_minhash_candidates",
+           "dedup_minhash_verified", "dedup_simhash_pairs",
+           "dedup_jaccard_pairs", "dedup_clusters", "deterministic_split",
+           "text_fingerprint", "text_lang_id", "text_quality",
+           "multimodal_features"]
+
+
+@pytest.fixture(scope="module")
+def crafted_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("nulltext")
+    pdf = pd.DataFrame(ROWS, columns=["doc_id", "text", "lang",
+                                      "source", "n_chars"])
+    pdf.to_parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def _canon(df: pd.DataFrame) -> list[tuple]:
+    df = df[sorted(df.columns)]
+    out = []
+    for row in df.itertuples(index=False):
+        vals = []
+        for v in row:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                vals.append("<NULL>")
+            elif isinstance(v, float):
+                vals.append(f"{v:.6g}")
+            else:
+                vals.append(str(v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_crafted_nulltext_matches_oracle(name, spark, crafted_dir):
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, crafted_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{crafted_dir}/documents.parquet')")
+    ddf = con.execute(spec.oracle).fetchdf()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert len(sdf) == len(ddf)
+    assert _canon(sdf) == _canon(ddf)

@@ -299,15 +299,33 @@ def test_actuals_over_forecast(spark):
         "site string, year int, month int, amount double")
     out = actuals_over_forecast(forecast, actuals, ["WSP"],
                                 target_year=2025, base_year=2022)
-    got = {(r.site, r.year, r.month): r.amount for r in out.collect()}
+    rows = out.collect()
+    got = {(r.site, r.year, r.month): r.amount for r in rows}
+    # exactly one row per (site, year, month) -- actuals WIN conflicts
+    assert len(rows) == len(got)
     assert got[("WZS", 2023, 1)] == 500.0
-    # 2024 = mean of positive amounts in 2022-2023: (100 + 999) / 2
-    assert got[("WSP", 2024, 1)] == pytest.approx(549.5)
-    # 2025 = mean over 2023-2024 positives: (999 + 549.5) / 2
-    assert got[("WSP", 2025, 1)] == pytest.approx(774.25)
-    # actual + forecast workspace rows both retained
     assert got[("WSP", 2022, 1)] == 100.0
-    assert got[("WSP", 2023, 1)] in (0.0, 999.0)
+    assert got[("WSP", 2023, 1)] == 0.0      # actual overrides the 999
+    # 2024 = mean of positive amounts in 2022-2023: only the 100
+    assert got[("WSP", 2024, 1)] == pytest.approx(100.0)
+    # 2025 = mean over 2023-2024 positives: only 2024's 100
+    assert got[("WSP", 2025, 1)] == pytest.approx(100.0)
+
+
+def test_actuals_over_forecast_empty_workspace(spark):
+    """No workspace rows at all degrades to forecast passthrough."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.simulator import (
+        actuals_over_forecast,
+    )
+    forecast = spark.createDataFrame(
+        [("WZS", 2023, 1, 500.0)],
+        "site string, year int, month int, amount double")
+    actuals = spark.createDataFrame(
+        [], "site string, year int, month int, amount double")
+    out = actuals_over_forecast(forecast, actuals, ["WSP"],
+                                target_year=2025, base_year=2022)
+    assert [(r.site, r.year, r.month, r.amount) for r in out.collect()] \
+        == [("WZS", 2023, 1, 500.0)]
 
 
 def test_shipment_growth_ladder(spark):
@@ -363,3 +381,40 @@ def test_shipment_3y_spread_and_override(spark):
     lg = {(r.site, r.year): r.gr for r in ladder.collect()}
     assert lg[("WZS", 2024)] == pytest.approx(0.0)
     assert lg[("WNEW", 2024)] == pytest.approx(0.0)
+
+
+def test_plant_month_rates_multi_year_budget_no_fanout(spark):
+    """Review fix: a budget spanning two years must yield ONE rate set
+    (latest year only), not a per-budget-year fan-out that doubles the
+    spread totals."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.shipments import (
+        plant_month_rates, spread_yearly_shipments,
+    )
+    budget = spark.createDataFrame(
+        [("WZS", "WZS-1", 2023, 1, 50.0), ("WZS", "WZS-8", 2023, 1, 50.0),
+         ("WZS", "WZS-1", 2024, 1, 30.0), ("WZS", "WZS-8", 2024, 1, 70.0)],
+        "site string, plant string, year int, month int, shipment_qty double")
+    rates = plant_month_rates(budget)
+    got = {(r.plant, r.month): r.rate for r in rates.collect()}
+    assert len(got) == 2                      # latest year only
+    assert got[("WZS-1", 1)] == pytest.approx(0.3)
+    assert got[("WZS-8", 1)] == pytest.approx(0.7)
+    yearly = spark.createDataFrame([("WZS", 2025, 1000.0)],
+                                   "site string, year int, total double")
+    spread = spread_yearly_shipments(yearly, rates)
+    total = sum(r.amount for r in spread.collect())
+    assert total == pytest.approx(1000.0)     # shares sum to 1, no fan-out
+
+
+def test_growth_ladder_zero_base_clamps(spark):
+    """Review fix: a 0 base year is the pandas inf path -> clamps to
+    0.5 instead of producing a NULL rate."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.shipments import (
+        shipment_growth_ladder,
+    )
+    plan = spark.createDataFrame(
+        [("Z", 2023, 1, 0.0), ("Z", 2024, 1, 50.0), ("Z", 2025, 1, 50.0)],
+        "site string, year int, month int, amount double")
+    got = {(r.site, r.year): r.gr for r in shipment_growth_ladder(plan).collect()}
+    assert got[("Z", 2024)] == pytest.approx(0.5)   # 0 -> 50: inf clamp
+    assert got[("Z", 2025)] == pytest.approx(0.0)   # 50 -> 50: flat

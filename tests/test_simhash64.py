@@ -67,3 +67,9 @@ def test_null_and_empty_text(spark):
     got = {(r.id_a, r.id_b, r.hamming)
            for r in simhash_chunked_band_pairs(docs).collect()}
     assert got == {(2, 3, 0)}
+
+
+def test_chunk_count_guard(spark):
+    docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_chunks must be <= 8"):
+        simhash_chunked(docs, n_chunks=16).collect()

@@ -74,3 +74,14 @@ def test_stream_upsert_matches_batch_load_and_replays(spark, sf_dir,
     q2.awaitTermination()
     again = read_table(spark, out)
     assert sorted(map(tuple, again.collect())) == before_rows
+
+
+def test_stream_starts_on_empty_directory(spark, tmp_path):
+    """Review fix: an empty (not-yet-populated) stream directory falls
+    back to the default schema instead of failing schema inference."""
+    d = tmp_path / "empty_events"
+    d.mkdir()
+    stream = read_event_stream(spark, str(d))
+    assert stream.isStreaming
+    run_to_memory(tumbling_value_agg(stream), "empty_agg", mode="complete")
+    assert spark.table("empty_agg").count() == 0
