@@ -181,7 +181,8 @@ def _cos_expr(a: str, b: str) -> str:
 
 
 def ivf_assign(df: DataFrame, n_cells: int = 16, id_col: str = "vec_id",
-               vec_col: str = "embedding", kernel: bool = True) -> DataFrame:
+               vec_col: str = "embedding", kernel: bool = True,
+               centroids: DataFrame | None = None) -> DataFrame:
     """(vec_id, v, cell): nearest-centroid cell id per vector -- the
     IVF (inverted-file) index build.
 
@@ -207,13 +208,23 @@ def ivf_assign(df: DataFrame, n_cells: int = 16, id_col: str = "vec_id",
     - ``kernel=False``: pure-plan form -- centroid set collected into
       ONE array row inside the plan and broadcast; assignment is a
       struct-max over a transform. The SQL-readable specification.
+
+    ``centroids``: optional (cell, centroid) frame -- typically
+    ``ivf_refine`` output -- replacing the seed convention; the K
+    rows are collected as index metadata exactly like the seeds.
     """
     v = df.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v"))
     if not kernel:
-        cents = (v.filter(F.col("vec_id") < n_cells)
-                  .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
-                  .agg(F.sort_array(F.collect_list(F.struct("cid", "cv")))
-                        .alias("cents")))
+        if centroids is not None:
+            cent_src = centroids.select(F.col("cell").alias("cid"),
+                                        F.col("centroid").alias("cv"))
+        else:
+            cent_src = (v.filter(F.col("vec_id") < n_cells)
+                         .select(F.col("vec_id").alias("cid"),
+                                 F.col("v").alias("cv")))
+        cents = cent_src.agg(
+            F.sort_array(F.collect_list(F.struct("cid", "cv")))
+             .alias("cents"))
         best = (f"array_max(transform(cents, c -> named_struct("
                 f"'cos', {_cos_expr('v', 'c.cv')}, 'ncid', -c.cid)))")
         return (v.crossJoin(F.broadcast(cents))
@@ -223,12 +234,18 @@ def ivf_assign(df: DataFrame, n_cells: int = 16, id_col: str = "vec_id",
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    seed_rows = (v.filter(F.col("vec_id") < n_cells)
-                  .orderBy("vec_id").collect())  # bounded: K index rows
+    if centroids is not None:
+        seed_rows = [(int(r.cell), list(r.centroid))
+                     for r in centroids.select("cell", "centroid")
+                                       .orderBy("cell").collect()]
+    else:
+        seed_rows = [(int(r.vec_id), list(r.v))
+                     for r in v.filter(F.col("vec_id") < n_cells)
+                               .orderBy("vec_id").collect()]
     if not seed_rows:
         return v.withColumn("cell", F.lit(None).cast("bigint"))
-    cids = np.array([r.vec_id for r in seed_rows], dtype=np.int64)
-    cmat = np.array([r.v for r in seed_rows], dtype=np.float64)
+    cids = np.array([c for c, _ in seed_rows], dtype=np.int64)
+    cmat = np.array([cv for _, cv in seed_rows], dtype=np.float64)
     cnorm = np.sqrt((cmat * cmat).sum(axis=1))
 
     @pandas_udf("bigint")
@@ -308,7 +325,8 @@ def ivf_refine(df: DataFrame, n_cells: int = 16, n_iter: int = 2,
 
 def ivf_topk(df: DataFrame, query_df: DataFrame, k: int,
              n_cells: int = 16, n_probes: int = 4,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: DataFrame | None = None) -> DataFrame:
     """IVF approximate top-k: probe the ``n_probes`` cells nearest to
     the query, exact-cosine only the vectors assigned to those cells.
 
@@ -320,11 +338,20 @@ def ivf_topk(df: DataFrame, query_df: DataFrame, k: int,
     the corpus is WRITTEN partitioned by cell (the natural layout for
     a static index), the probe filter prunes at the parquet scan and
     the job reads only probed partitions.
+
+    ``centroids``: optional refined (cell, centroid) frame from
+    ``ivf_refine`` -- used for BOTH assignment and probe selection,
+    closing the refine -> search loop (tighter cells, same plan).
     """
-    assigned = ivf_assign(df, n_cells, id_col, vec_col)
+    assigned = ivf_assign(df, n_cells, id_col, vec_col,
+                          centroids=centroids)
     q = query_df.select(_as_double(vec_col).alias("q_v"))
-    cent_rows = df.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv"))
+    if centroids is not None:
+        cent_rows = centroids.select(F.col("cell").alias("cid"),
+                                     F.col("centroid").alias("cv"))
+    else:
+        cent_rows = df.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv"))
     probes = (cent_rows.crossJoin(F.broadcast(q))
               .withColumn("pcos", F.expr(_cos_expr("cv", "q_v")))
               .orderBy(F.col("pcos").desc(), F.col("cid"))

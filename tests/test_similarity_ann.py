@@ -214,3 +214,30 @@ def test_ivf_index_partition_pruning_and_parity(spark, tmp_path):
     # unprobed directories are never listed, let alone read
     assert "PartitionFilters: [" in plan
     assert "cell#" in plan.split("PartitionFilters: [", 1)[1].split("]")[0]
+
+
+def test_ivf_topk_with_refined_centroids(spark):
+    """The refine -> search loop: ivf_topk accepts ivf_refine's
+    centroids for both assignment and probe selection, and recall
+    stays at least as good as the probe floor."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.similarity import (
+        ivf_refine,
+    )
+    e = table(spark, SF001, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    cents = ivf_refine(e, n_cells=16, n_iter=1)
+    got = ivf_topk(e, q, k=K, n_cells=16, n_probes=4,
+                   centroids=cents).collect()
+    assert len(got) == K
+    bf = {r.vec_id for r in cosine_topk(e, q, k=K).collect()}
+    assert len(bf & {r.vec_id for r in got}) >= 0.7 * K
+    # assignment parity: kernel and expression forms agree on the
+    # refined centroids too
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.similarity import (
+        ivf_assign,
+    )
+    a1 = {r.vec_id: r.cell for r in
+          ivf_assign(e, 16, kernel=True, centroids=cents).collect()}
+    a2 = {r.vec_id: r.cell for r in
+          ivf_assign(e, 16, kernel=False, centroids=cents).collect()}
+    assert a1 == a2
