@@ -717,7 +717,7 @@ _DRIVER_TAIL = [
     # dedup_clusters. Its error-bound guarantees stay pinned by
     # tests/test_sketches.py.
     "approx_sketches",
-    "dedup_simhash64_pairs", "text_repetition",
+    "dedup_simhash64_pairs", "text_repetition", "events_sliding_agg",
     "latest_status_version", "distinct_projection", "dedup_simhash",
     "dedup_jaccard_pairs", "cube_status_priority", "count_distinct_parts",
     "forecast_revenue", "external_model_scoring",

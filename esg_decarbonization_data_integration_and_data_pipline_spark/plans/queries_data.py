@@ -709,6 +709,29 @@ def events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.round(F.sum("value"), 4).alias("total_value")))
 
 
+@register("events_sliding_agg", "ext:streaming-analog,F8", oracle="""
+SELECT make_timestamp(((epoch_ns(ts) // 300000000000) - j) * 300000000)
+         AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events, (SELECT unnest(range(0, 2)) AS j) jj
+GROUP BY 1, 2
+""")
+def events_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute SLIDING window (5-minute slide) aggregate -- every
+    event lands in width/slide = 2 overlapping windows. The oracle
+    replays Spark's epoch-aligned window starts by explicit slide
+    arithmetic (floor(ts/slide) - j for j in 0..1). Batch analog of
+    the watermarked sliding job in streaming/events.py."""
+    e = events_table(spark, sf_dir)
+    return (e.groupBy(F.window("ts", "10 minutes", "5 minutes")
+                       .getField("start").alias("window_start"),
+                      "event_type")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.round(F.sum("value"), 4).alias("total_value")))
+
+
 @register("events_sessionize", "ext:sessionize,W1", oracle="""
 WITH e AS (
   SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, value FROM events

@@ -66,12 +66,18 @@ def read_event_stream(spark: SparkSession, path: str,
 
 
 def tumbling_value_agg(events: DataFrame, window: str = "10 minutes",
-                       watermark: str = "30 minutes") -> DataFrame:
-    """Watermarked tumbling-window count+sum per event_type -- the
-    streaming twin of the batch events_tumbling_agg query."""
+                       watermark: str = "30 minutes",
+                       slide: str | None = None) -> DataFrame:
+    """Watermarked windowed count+sum per event_type -- the streaming
+    twin of the batch events_tumbling_agg / events_sliding_agg
+    queries. ``slide=None`` is tumbling; a slide shorter than the
+    window gives overlapping windows (state per (window, type) either
+    way, dropped past the watermark)."""
+    win = (F.window("ts", window) if slide is None
+           else F.window("ts", window, slide))
     return (events
             .withWatermark("ts", watermark)
-            .groupBy(F.window("ts", window).getField("start").alias("window_start"),
+            .groupBy(win.getField("start").alias("window_start"),
                      "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.round(F.sum("value"), 4).alias("total_value")))

@@ -85,3 +85,16 @@ def test_stream_starts_on_empty_directory(spark, tmp_path):
     assert stream.isStreaming
     run_to_memory(tumbling_value_agg(stream), "empty_agg", mode="complete")
     assert spark.table("empty_agg").count() == 0
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir, stream_dir):
+    """The sliding (overlapping-window) stream equals the oracle-
+    checked events_sliding_agg batch analog on a static read."""
+    stream = read_event_stream(spark, stream_dir)
+    run_to_memory(tumbling_value_agg(stream, slide="5 minutes"),
+                  "stream_sliding", mode="complete")
+    got = {(str(r.window_start), r.event_type): (r.n_events, r.total_value)
+           for r in spark.table("stream_sliding").collect()}
+    batch = {(str(r.window_start), r.event_type): (r.n_events, r.total_value)
+             for r in REGISTRY["events_sliding_agg"].fn(spark, sf_dir).collect()}
+    assert got == batch
