@@ -19,6 +19,36 @@ def hash_bucket(col: str, n_buckets: int = 100) -> Column:
              .cast("bigint") % n_buckets)
 
 
+def stratified_sample(df: DataFrame, group_cols: list[str],
+                      n_per_group: int, key_col: str,
+                      tiebreak: str | None = None,
+                      out_col: str = "sample_rank") -> DataFrame:
+    """Deterministic top-N rows per group, ordered by the md5 of
+    ``key_col`` -- the stratified-sampling step of a corpus pipeline
+    (N docs per language/source for eval sets, annotation batches,
+    per-class balancing) with no RNG state: the same corpus always
+    yields the same sample, on any engine.
+
+    ``tiebreak`` should be a UNIQUE column (doc id): exact-duplicate
+    keys share an md5, and row_number without a total order is
+    nondeterministic. Null keys are dropped (engines disagree on
+    null ordering, and sampling a null payload is meaningless).
+
+    One window shuffle keyed by the strata (partial ordering only
+    within groups -- no global sort); ``out_col`` carries the 1..N
+    rank so callers can take nested prefixes (N=1000 contains the
+    N=100 sample)."""
+    from pyspark.sql import Window
+
+    order = [F.md5(F.col(key_col)), F.col(key_col)]
+    if tiebreak:
+        order.append(F.col(tiebreak))
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (df.filter(F.col(key_col).isNotNull())
+              .withColumn(out_col, F.row_number().over(w))
+              .filter(F.col(out_col) <= n_per_group))
+
+
 def deterministic_split(df: DataFrame, col: str,
                         fractions: dict[str, float],
                         out_col: str = "split") -> DataFrame:

@@ -59,6 +59,37 @@ def cosine_topk(df: DataFrame, query_df: DataFrame, k: int,
                   .limit(k))
 
 
+def cosine_topk_batch(df: DataFrame, query_df: DataFrame, k: int,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      query_id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k per query for a BATCH of queries -- the realistic
+    serving shape (a scoring job carries thousands of probes, not
+    one). The query frame broadcasts; ranking is a per-query window
+    (row_number over cosine desc, id tiebreak), so the plan is one
+    narrow corpus scan x |Q| broadcast rows, then a single window
+    shuffle keyed by query id -- no corpus self-join and no global
+    sort. At 100 TB with large Q, the same plan pre-filters through
+    IVF probes per query; the ranking stage is unchanged.
+
+    Output: (query_id, vec_id, cosine, rank), rank 1..k per query.
+    """
+    from pyspark.sql import Window
+
+    q = query_df.select(F.col(query_id_col).alias("query_id"),
+                        _as_double(vec_col).alias("q_v"))
+    v = df.select(F.col(id_col).alias("vec_id"),
+                  _as_double(vec_col).alias("v"))
+    joined = v.crossJoin(F.broadcast(q))
+    cos = F.expr(_cos_expr("v", "q_v"))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("cosine").desc(), F.col("vec_id")))
+    return (joined.withColumn("cosine", cos)
+                  .select("query_id", "vec_id", "cosine")
+                  .withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))
+
+
 def _bucket_expr(dim: int, n_planes: int, table_idx: str | int) -> str:
     """SQL expr for the sign-random-projection bucket of double array
     ``v`` under hyperplane table ``table_idx`` (0 = the original

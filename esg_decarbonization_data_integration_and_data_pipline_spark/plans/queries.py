@@ -724,6 +724,9 @@ _DRIVER_TAIL = [
     # round-3 addition past the gate cap -- verified by the in-repo
     # oracle replay like the rest of the tail
     "deterministic_split",
+    # round-4 additions: batched ANN serving + RNG-free stratified
+    # sampling, oracle-replayed in-repo
+    "similarity_topk_batch", "stratified_sample_docs",
 ]
 _ORDERED = _DRIVER_HEAD + _DRIVER_TAIL
 assert set(_ORDERED) == set(REGISTRY) and len(_ORDERED) == len(REGISTRY), (

@@ -378,3 +378,62 @@ def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (sampling.deterministic_split(
                 d, "text", {"train": 0.8, "eval": 0.1, "test": 0.1})
             .select("doc_id", "split"))
+
+
+@register("similarity_topk_batch", "ext:ann-batch,W2", oracle="""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+),
+c AS (
+  SELECT q.query_id, v.vec_id,
+         round(list_cosine_similarity(v.vv, q.qv), 6) AS cosine
+  FROM v, q
+),
+r AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS INT)
+           AS rank
+  FROM c
+)
+SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
+""")
+def similarity_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k for a BATCH of 5 query vectors at once (the
+    serving shape): broadcast queries, one corpus scan, per-query
+    window rank (operators/similarity.cosine_topk_batch)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.similarity import (
+        cosine_topk_batch,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return cosine_topk_batch(e, q, k=5)
+
+
+@register("stratified_sample_docs", "ext:stratified-sample,W2", oracle="""
+WITH r AS (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (PARTITION BY lang
+                                 ORDER BY md5(text), text, doc_id) AS INT)
+           AS sample_rank
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= 3
+""")
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-docs-per-language sample by md5 order with a
+    unique doc_id tiebreak (exact-dup texts share an md5) -- the
+    RNG-free stratified sampler (operators/sampling.stratified_sample)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return (stratified_sample(d, ["lang"], 3, "text", tiebreak="doc_id")
+            .select("doc_id", "lang", F.col("sample_rank").cast("int")
+                     .alias("sample_rank")))

@@ -58,3 +58,24 @@ def test_deterministic_split_rejects_bad_fractions(spark):
     docs = spark.createDataFrame([("x",)], "text string")
     with pytest.raises(ValueError):
         deterministic_split(docs, "text", {"a": 0.9, "b": 0.3})
+
+
+def test_stratified_sample_nested_prefix_and_determinism(spark):
+    """N=5 sample contains the N=2 sample per group; reruns are
+    byte-identical; null keys drop."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.sampling import (
+        stratified_sample,
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    s2 = {(r.lang, r.doc_id) for r in
+          stratified_sample(docs, ["lang"], 2, "text", "doc_id").collect()}
+    s5 = {(r.lang, r.doc_id) for r in
+          stratified_sample(docs, ["lang"], 5, "text", "doc_id").collect()}
+    assert s2 <= s5
+    again = {(r.lang, r.doc_id) for r in
+             stratified_sample(docs, ["lang"], 2, "text", "doc_id").collect()}
+    assert again == s2
+    withnull = spark.createDataFrame(
+        [(1, "en", None), (2, "en", "x")], "doc_id long, lang string, text string")
+    got = stratified_sample(withnull, ["lang"], 5, "text", "doc_id").collect()
+    assert [r.doc_id for r in got] == [2]

@@ -29,7 +29,7 @@ QUERIES = ["text_repetition", "dedup_simhash64_pairs", "dedup_simhash",
            "dedup_minhash_verified", "dedup_simhash_pairs",
            "dedup_jaccard_pairs", "dedup_clusters", "deterministic_split",
            "text_fingerprint", "text_lang_id", "text_quality",
-           "multimodal_features"]
+           "multimodal_features", "stratified_sample_docs"]
 
 
 @pytest.fixture(scope="module")

@@ -241,3 +241,20 @@ def test_ivf_topk_with_refined_centroids(spark):
     a2 = {r.vec_id: r.cell for r in
           ivf_assign(e, 16, kernel=False, centroids=cents).collect()}
     assert a1 == a2
+
+
+def test_batch_topk_matches_single_query_topk(spark):
+    """Per-query results of the batched ranker equal the single-query
+    cosine_topk for each probe."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.similarity import (
+        cosine_topk_batch,
+    )
+    e = table(spark, SF001, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    batch = {}
+    for r in cosine_topk_batch(e, q, k=K).collect():
+        batch.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.cosine))
+    for qid in (0, 1, 2):
+        single = [(i + 1, r.vec_id, r.cosine) for i, r in enumerate(
+            cosine_topk(e, e.filter(F.col("vec_id") == qid), k=K).collect())]
+        assert sorted(batch[qid]) == single
