@@ -255,6 +255,43 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
          .alias("top_gram_share")).drop("__rc")
 
 
+def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
+                    overlap: int = 16, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Split documents into overlapping token-window chunks -- the
+    context-window packing step of a training pipeline (long docs
+    become multiple training sequences; the overlap preserves
+    continuity across chunk boundaries).
+
+    Chunk i covers tokens [i*step, i*step + chunk_tokens) with
+    step = chunk_tokens - overlap; the last chunk may be short.
+    Pure JVM (split + sequence-explode + slice) -- a narrow flatMap,
+    no Python, no shuffle; output is ~n_tokens/step rows per doc.
+    Token-free and null-text docs yield no chunks (original case is
+    preserved -- chunking is not normalization).
+
+    Output: (doc_id, chunk_idx, chunk_text, n_tokens).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})")
+    step = chunk_tokens - overlap
+    toks = F.expr(f"filter(split({text_col}, '\\\\s+'), t -> t != '')")
+    d = (df.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+           .withColumn("__n", F.size("__toks"))
+           .filter(F.col("__n") > 0))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("__n") - F.lit(overlap)) / F.lit(step)).cast("int"))
+    chunk = F.slice("__toks", F.col("chunk_idx") * step + 1, chunk_tokens)
+    return (d.select("doc_id", "__toks",
+                     F.explode(F.sequence(F.lit(0), n_chunks - 1))
+                      .alias("chunk_idx"))
+             .select("doc_id", "chunk_idx",
+                     F.array_join(chunk, " ").alias("chunk_text"),
+                     F.size(chunk).cast("int").alias("n_tokens")))
+
+
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count, regex word-ish token count, and a
     BPE-ish estimate (ceil(len/4) per word -- the usual chars/4

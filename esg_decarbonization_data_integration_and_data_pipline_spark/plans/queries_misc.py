@@ -437,3 +437,39 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (stratified_sample(d, ["lang"], 3, "text", tiebreak="doc_id")
             .select("doc_id", "lang", F.col("sample_rank").cast("int")
                      .alias("sample_rank")))
+
+
+@register("chunk_documents", "ext:chunking", oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS tk
+  FROM documents
+),
+n AS (
+  SELECT doc_id, tk, len(tk) AS nt FROM t WHERE len(tk) > 0
+),
+c AS (
+  SELECT doc_id, tk, nt,
+         unnest(range(0, greatest(1, CAST(ceil((nt - 8) / 24.0) AS BIGINT))))
+           AS chunk_idx
+  FROM n
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       array_to_string([tk[CAST(j AS INT)]
+                        FOR j IN range(chunk_idx * 24 + 1,
+                                       least(chunk_idx * 24 + 32, nt) + 1)],
+                       ' ') AS chunk_text,
+       CAST(least(chunk_idx * 24 + 32, nt) - chunk_idx * 24 AS INT)
+         AS n_tokens
+FROM c
+""")
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token chunks, 8-token
+    overlap -> step 24): the context-window packing step, pure JVM
+    flatMap (operators/text.chunk_documents)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import (
+        chunk_documents as chunk_op,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return chunk_op(d, chunk_tokens=32, overlap=8)

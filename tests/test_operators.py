@@ -168,3 +168,29 @@ def test_repetition_stats_edges(spark):
     assert got[0].top_gram_share == 0.5
     assert got[1].total_bigrams == 0 and got[1].repetition_ratio is None
     assert got[2].total_bigrams is None and got[2].repetition_ratio is None
+
+
+def test_chunk_documents_boundaries(spark):
+    """Chunk windows: step = chunk - overlap, short tail kept, short
+    docs give one chunk, token-free/null docs give none, original
+    case preserved."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import (
+        chunk_documents,
+    )
+    import pytest as _pytest
+
+    toks = " ".join(f"T{i}" for i in range(10))      # 10 tokens, capital T
+    docs = spark.createDataFrame(
+        [(0, toks), (1, "a b"), (2, "   "), (3, None)],
+        "doc_id long, text string")
+    out = chunk_documents(docs, chunk_tokens=4, overlap=1)  # step 3
+    got = {(r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens)
+           for r in out.collect()}
+    # ceil((10-1)/3) = 3 chunks: [0:4], [3:7], [6:10]
+    assert got[(0, 0)] == ("T0 T1 T2 T3", 4)
+    assert got[(0, 1)] == ("T3 T4 T5 T6", 4)
+    assert got[(0, 2)] == ("T6 T7 T8 T9", 4)
+    assert got[(1, 0)] == ("a b", 2)                # short doc: one chunk
+    assert {k[0] for k in got} == {0, 1}            # 2 and 3 yield nothing
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)

@@ -29,7 +29,8 @@ QUERIES = ["text_repetition", "dedup_simhash64_pairs", "dedup_simhash",
            "dedup_minhash_verified", "dedup_simhash_pairs",
            "dedup_jaccard_pairs", "dedup_clusters", "deterministic_split",
            "text_fingerprint", "text_lang_id", "text_quality",
-           "multimodal_features", "stratified_sample_docs"]
+           "multimodal_features", "stratified_sample_docs",
+           "chunk_documents"]
 
 
 @pytest.fixture(scope="module")
