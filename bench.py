@@ -106,9 +106,11 @@ def main() -> None:
         out["errors"] = errors
     print(json.dumps(out))
     # repo-side perf journal: append per-run timings so regressions
-    # are visible across rounds without the driver's bench artifacts
+    # are visible across rounds without the driver's bench artifacts.
+    # (BENCH_LOG.jsonl, not PROGRESS.jsonl -- the latter is the
+    # driver's own heartbeat file.)
     try:
-        with open(os.path.join(REPO, "PROGRESS.jsonl"), "a") as fh:
+        with open(os.path.join(REPO, "BENCH_LOG.jsonl"), "a") as fh:
             fh.write(json.dumps({"ts": round(time.time()), **out}) + "\n")
     except OSError:
         pass  # never let journaling break the bench contract
