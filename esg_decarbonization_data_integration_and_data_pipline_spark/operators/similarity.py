@@ -211,6 +211,37 @@ def _cos_expr(a: str, b: str) -> str:
         f"sqrt(aggregate({b}, 0D, (wa, wx) -> wa + wx * wx)), 0D), 6)")
 
 
+def _centroid_source(v: DataFrame, centroids: DataFrame | None,
+                     n_cells: int) -> DataFrame:
+    """(cid, cv) centroid rows: the supplied refined frame, or the
+    seed convention (the n_cells lowest-id vectors). The ONE place
+    that encodes which centroids drive assignment and probing."""
+    if centroids is not None:
+        return centroids.select(F.col("cell").alias("cid"),
+                                F.col("centroid").alias("cv"))
+    return (v.filter(F.col("vec_id") < n_cells)
+             .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv")))
+
+
+def _collect_centroids(v: DataFrame, centroids: DataFrame | None,
+                       n_cells: int) -> list[tuple[int, list[float]]]:
+    """Collect the K centroid rows as index metadata (bounded -- the
+    KMeansModel-broadcast class, not an O(n) collect)."""
+    return [(int(r.cid), list(r.cv))
+            for r in _centroid_source(v, centroids, n_cells)
+                     .orderBy("cid").collect()]
+
+
+def centroids_frame(spark, rows: list[tuple[int, list[float]]]) -> DataFrame:
+    """Rebuild a (cell, centroid) frame from collected centroid rows
+    as a LITERAL plan -- consumers re-evaluate it for free instead of
+    re-running the (possibly expensive, e.g. Lloyd-refined) lineage
+    that produced the rows."""
+    return spark.createDataFrame(
+        [(c, list(cv)) for c, cv in rows],
+        "cell bigint, centroid array<double>")
+
+
 def ivf_assign(df: DataFrame, n_cells: int = 16, id_col: str = "vec_id",
                vec_col: str = "embedding", kernel: bool = True,
                centroids: DataFrame | None = None) -> DataFrame:
@@ -241,19 +272,13 @@ def ivf_assign(df: DataFrame, n_cells: int = 16, id_col: str = "vec_id",
       struct-max over a transform. The SQL-readable specification.
 
     ``centroids``: optional (cell, centroid) frame -- typically
-    ``ivf_refine`` output -- replacing the seed convention; the K
-    rows are collected as index metadata exactly like the seeds.
+    ``ivf_refine`` output -- replacing the seed convention. When it
+    is supplied, ``n_cells`` is IGNORED: the cell set is exactly the
+    frame's rows (refinement may legitimately empty a cell).
     """
     v = df.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v"))
     if not kernel:
-        if centroids is not None:
-            cent_src = centroids.select(F.col("cell").alias("cid"),
-                                        F.col("centroid").alias("cv"))
-        else:
-            cent_src = (v.filter(F.col("vec_id") < n_cells)
-                         .select(F.col("vec_id").alias("cid"),
-                                 F.col("v").alias("cv")))
-        cents = cent_src.agg(
+        cents = _centroid_source(v, centroids, n_cells).agg(
             F.sort_array(F.collect_list(F.struct("cid", "cv")))
              .alias("cents"))
         best = (f"array_max(transform(cents, c -> named_struct("
@@ -265,14 +290,7 @@ def ivf_assign(df: DataFrame, n_cells: int = 16, id_col: str = "vec_id",
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    if centroids is not None:
-        seed_rows = [(int(r.cell), list(r.centroid))
-                     for r in centroids.select("cell", "centroid")
-                                       .orderBy("cell").collect()]
-    else:
-        seed_rows = [(int(r.vec_id), list(r.v))
-                     for r in v.filter(F.col("vec_id") < n_cells)
-                               .orderBy("vec_id").collect()]
+    seed_rows = _collect_centroids(v, centroids, n_cells)
     if not seed_rows:
         return v.withColumn("cell", F.lit(None).cast("bigint"))
     cids = np.array([c for c, _ in seed_rows], dtype=np.int64)
@@ -373,16 +391,21 @@ def ivf_topk(df: DataFrame, query_df: DataFrame, k: int,
     ``centroids``: optional refined (cell, centroid) frame from
     ``ivf_refine`` -- used for BOTH assignment and probe selection,
     closing the refine -> search loop (tighter cells, same plan).
+    It is collected ONCE (K rows) and re-materialized as a literal
+    frame, so an expensive refinement lineage is never re-executed
+    by the two consumers; ``n_cells`` is ignored when it is given.
     """
+    if centroids is not None:
+        centroids = centroids_frame(
+            df.sparkSession,
+            [(int(r.cell), list(r.centroid))
+             for r in centroids.select("cell", "centroid").collect()])
     assigned = ivf_assign(df, n_cells, id_col, vec_col,
                           centroids=centroids)
     q = query_df.select(_as_double(vec_col).alias("q_v"))
-    if centroids is not None:
-        cent_rows = centroids.select(F.col("cell").alias("cid"),
-                                     F.col("centroid").alias("cv"))
-    else:
-        cent_rows = df.filter(F.col(id_col) < n_cells).select(
-            F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv"))
+    v = df.select(F.col(id_col).alias("vec_id"),
+                  _as_double(vec_col).alias("v"))
+    cent_rows = _centroid_source(v, centroids, n_cells)
     probes = (cent_rows.crossJoin(F.broadcast(q))
               .withColumn("pcos", F.expr(_cos_expr("cv", "q_v")))
               .orderBy(F.col("pcos").desc(), F.col("cid"))
@@ -397,36 +420,64 @@ def ivf_topk(df: DataFrame, query_df: DataFrame, k: int,
 
 
 def ivf_write_index(df: DataFrame, path: str, n_cells: int = 16,
-                    id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> None:
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    centroids: DataFrame | None = None) -> None:
     """Materialize the IVF index as a CELL-PARTITIONED parquet layout
     -- the static-index form of ``ivf_topk``'s docstring: one
     directory per cell, so a probe becomes a partition-pruned scan
-    that never opens unprobed cells' data. (vec_id, v, cell=dir)."""
-    assigned = ivf_assign(df, n_cells, id_col, vec_col)
-    (assigned.write.partitionBy("cell").mode("overwrite").parquet(path))
+    that never opens unprobed cells' data. (vec_id, v, cell=dir).
+
+    The centroids that DEFINED the cells (refined frame if given,
+    else the seeds) are persisted alongside at ``<path>/_centroids``
+    -- the underscore prefix hides the subdir from parquet discovery,
+    so the data scan never sees it -- and the reader probes with
+    exactly the centroids the index was built with; assignment and
+    probing can never use different centroid sets."""
+    import os
+
+    if centroids is not None:
+        # literal-materialize once: assignment + the persisted copy
+        # must not re-run (and must agree on) the refinement lineage
+        centroids = centroids_frame(
+            df.sparkSession,
+            [(int(r.cell), list(r.centroid))
+             for r in centroids.select("cell", "centroid").collect()])
+    assigned = ivf_assign(df, n_cells, id_col, vec_col,
+                          centroids=centroids)
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(path)
+    v = df.select(F.col(id_col).alias("vec_id"),
+                  _as_double(vec_col).alias("v"))
+    (_centroid_source(v, centroids, n_cells)
+     .select(F.col("cid").alias("cell"), F.col("cv").alias("centroid"))
+     .coalesce(1)
+     .write.mode("overwrite").parquet(os.path.join(path, "_centroids")))
 
 
 def ivf_topk_from_index(spark, index_path: str, query_df: DataFrame,
-                        k: int, n_cells: int = 16, n_probes: int = 4,
+                        k: int, n_probes: int = 4,
                         vec_col: str = "embedding") -> DataFrame:
     """Probe a written cell-partitioned IVF index.
 
-    The probe cells are resolved driver-side (centroids = the K seed
-    rows, probe list = n_probes ints -- index METADATA, the bounded
-    KMeansModel-broadcast class, not an O(n) collect) and pushed as a
-    LITERAL ``cell IN (...)`` predicate, which Spark turns into
-    static partition pruning: the scan's PartitionFilters keep it
-    from even listing the unprobed directories. Same result set as
-    ``ivf_topk`` on the source frame (parity-tested)."""
+    The probe cells are resolved driver-side (centroids = the
+    persisted ``_centroids`` rows the index was BUILT with -- seed or
+    refined, the reader cannot tell or care; probe list = n_probes
+    ints -- index METADATA, the bounded KMeansModel-broadcast class,
+    not an O(n) collect) and pushed as a LITERAL ``cell IN (...)``
+    predicate, which Spark turns into static partition pruning: the
+    scan's PartitionFilters keep it from even listing the unprobed
+    directories. Same result set as ``ivf_topk`` on the source frame
+    (parity-tested)."""
+    import os
+
     idx = spark.read.parquet(index_path).withColumn(
         "cell", F.col("cell").cast("bigint"))
     q = query_df.select(_as_double(vec_col).alias("q_v"))
     # identical probe-selection expression to ivf_topk (same rounding,
-    # same tiebreak), evaluated over the K seed rows and collected as
-    # n_probes ints
-    cents = (idx.filter(F.col("vec_id") < n_cells)
-                .select(F.col("vec_id").alias("cid"), "v"))
+    # same tiebreak), evaluated over the index's own centroid rows
+    # and collected as n_probes ints
+    cents = (spark.read.parquet(os.path.join(index_path, "_centroids"))
+             .select(F.col("cell").alias("cid"),
+                     F.col("centroid").alias("v")))
     probe_cells = [r.cell for r in
                    (cents.crossJoin(F.broadcast(q))
                          .withColumn("pcos", F.expr(_cos_expr("v", "q_v")))

@@ -272,9 +272,11 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
 
     Output: (doc_id, chunk_idx, chunk_text, n_tokens).
     """
-    if overlap >= chunk_tokens:
+    if not 0 <= overlap < chunk_tokens:
         raise ValueError(
-            f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})")
+            f"overlap ({overlap}) must be in [0, chunk_tokens="
+            f"{chunk_tokens}) -- a negative overlap would silently "
+            f"skip tokens between chunks")
     step = chunk_tokens - overlap
     toks = F.expr(f"filter(split({text_col}, '\\\\s+'), t -> t != '')")
     d = (df.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))

@@ -204,7 +204,7 @@ def test_ivf_index_partition_pruning_and_parity(spark, tmp_path):
     path = str(tmp_path / "ivf_index")
     ivf_write_index(e, path, n_cells=16)
 
-    got = ivf_topk_from_index(spark, path, q, k=K, n_cells=16, n_probes=4)
+    got = ivf_topk_from_index(spark, path, q, k=K, n_probes=4)
     expect = {(r.vec_id, r.cell, r.cosine)
               for r in ivf_topk(e, q, k=K, n_cells=16, n_probes=4).collect()}
     assert {(r.vec_id, r.cell, r.cosine) for r in got.collect()} == expect
@@ -258,3 +258,23 @@ def test_batch_topk_matches_single_query_topk(spark):
         single = [(i + 1, r.vec_id, r.cosine) for i, r in enumerate(
             cosine_topk(e, e.filter(F.col("vec_id") == qid), k=K).collect())]
         assert sorted(batch[qid]) == single
+
+
+def test_ivf_index_with_refined_centroids_roundtrip(spark, tmp_path):
+    """A refined-centroid index persists its own centroids; the
+    reader probes with them and matches the in-memory refined probe
+    exactly (assignment and probing can't diverge)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.similarity import (
+        ivf_refine, ivf_topk_from_index, ivf_write_index,
+    )
+    e = table(spark, SF001, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    cents = ivf_refine(e, n_cells=16, n_iter=1)
+    path = str(tmp_path / "ivf_refined")
+    ivf_write_index(e, path, n_cells=16, centroids=cents)
+    got = {(r.vec_id, r.cell, r.cosine) for r in
+           ivf_topk_from_index(spark, path, q, k=K, n_probes=4).collect()}
+    expect = {(r.vec_id, r.cell, r.cosine) for r in
+              ivf_topk(e, q, k=K, n_cells=16, n_probes=4,
+                       centroids=cents).collect()}
+    assert got == expect
