@@ -255,6 +255,38 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
          .alias("top_gram_share")).drop("__rc")
 
 
+def vocab_top_tokens(df: DataFrame, k: int = 100,
+                     text_col: str = "text") -> DataFrame:
+    """Corpus-wide top-K tokens by occurrence -- the vocabulary /
+    heavy-hitters step (tokenizer vocab seeding, stopword discovery,
+    domain drift checks).
+
+    Plan: explode lowercased tokens -> one partial-agg groupBy
+    (map-side combine collapses each partition's counts before the
+    shuffle, so the exchange carries ~|vocab| rows per partition,
+    not |corpus| tokens) -> global top-K via TakeOrderedAndProject
+    (K rows per partition reach the driver, never a global sort).
+    Ties at the K boundary break on the token string, so the K-set
+    is deterministic on any engine.
+
+    Output: (token, n_occurrences, rank), rank 1..K.
+    """
+    from pyspark.sql import Window
+
+    toks = F.expr(
+        f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')")
+    counts = (df.select(F.explode(toks).alias("token"))
+                .groupBy("token")
+                .agg(F.count(F.lit(1)).alias("n_occurrences")))
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    # row_number over an un-partitioned window would single-task the
+    # whole vocab; rank only the top-K survivors instead: take K via
+    # orderBy+limit (TakeOrderedAndProject), then number K rows
+    top = (counts.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+                 .limit(k))
+    return (top.withColumn("rank", F.row_number().over(w).cast("int")))
+
+
 def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
                     overlap: int = 16, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:

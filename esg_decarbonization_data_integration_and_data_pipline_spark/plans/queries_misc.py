@@ -473,3 +473,30 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return chunk_op(d, chunk_tokens=32, overlap=8)
+
+
+@register("vocab_top_tokens", "ext:vocab,A10,O3", oracle="""
+WITH g AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            t -> t != '')) AS token
+  FROM documents
+),
+c AS (
+  SELECT token, count(*) AS n_occurrences FROM g GROUP BY token
+)
+SELECT token, n_occurrences,
+       CAST(row_number() OVER (ORDER BY n_occurrences DESC, token)
+            AS INT) AS rank
+FROM c
+ORDER BY n_occurrences DESC, token
+LIMIT 50
+""")
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-50 tokens (vocabulary / heavy-hitters): one
+    partial-agg shuffle + TakeOrderedAndProject, deterministic
+    boundary ties (operators/text.vocab_top_tokens)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import (
+        vocab_top_tokens as vocab_op,
+    )
+
+    return vocab_op(table(spark, sf_dir, "documents"), k=50)
