@@ -287,6 +287,46 @@ def vocab_top_tokens(df: DataFrame, k: int = 100,
     return (top.withColumn("rank", F.row_number().over(w).cast("int")))
 
 
+def tfidf_top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf (tf x
+    ln(N/df)) -- keyword extraction / topic drift monitoring over a
+    corpus.
+
+    Plan: one explode + (doc, token) partial-agg count (tf), a
+    token-grain count over THAT (document frequency -- input already
+    one row per (doc, token), so df is a second cheap partial agg),
+    N attached as a broadcast 1-row aggregate, and a per-doc window
+    for the top-k. The df join is a plain shuffle join on token --
+    at corpus scale the vocabulary is NOT broadcastable (noise makes
+    it ~|corpus| in the worst case); AQE converts it to broadcast
+    when it is small. Scores round to 6 before ranking; ties break
+    on the token string, so the k-set is deterministic.
+
+    Output: (doc_id, token, tf, score, rank).
+    """
+    from pyspark.sql import Window
+
+    toks = F.expr(
+        f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')")
+    t = df.select(F.col(id_col).alias("doc_id"),
+                  F.explode(toks).alias("token"))
+    tf = t.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    n = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (tf.join(dfreq, "token")
+                .crossJoin(F.broadcast(n))
+                .withColumn(
+                    "score",
+                    F.round(F.col("tf") * F.log(F.col("n_docs")
+                                                / F.col("dfreq")), 6)))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(),
+                                             F.col("token"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+                  .filter(F.col("rank") <= k)
+                  .select("doc_id", "token", "tf", "score", "rank"))
+
+
 def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
                     overlap: int = 16, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:

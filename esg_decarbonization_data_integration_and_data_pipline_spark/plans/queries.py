@@ -727,7 +727,7 @@ _DRIVER_TAIL = [
     # round-4 additions: batched ANN serving + RNG-free stratified
     # sampling, oracle-replayed in-repo
     "similarity_topk_batch", "stratified_sample_docs",
-    "chunk_documents", "vocab_top_tokens",
+    "chunk_documents", "vocab_top_tokens", "tfidf_top_terms",
 ]
 _ORDERED = _DRIVER_HEAD + _DRIVER_TAIL
 assert set(_ORDERED) == set(REGISTRY) and len(_ORDERED) == len(REGISTRY), (

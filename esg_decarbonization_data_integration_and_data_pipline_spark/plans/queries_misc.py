@@ -500,3 +500,46 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return vocab_op(table(spark, sf_dir, "documents"), k=50)
+
+
+@register("tfidf_top_terms", "ext:tfidf,W2,A10", oracle="""
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            t -> t != '')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM t GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, count(*) AS dfreq FROM tf GROUP BY token
+),
+n AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM tf
+),
+s AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.dfreq), 6)
+           AS score
+  FROM tf JOIN df USING (token) CROSS JOIN n
+),
+r AS (
+  SELECT doc_id, token, tf, score,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, token) AS INT)
+           AS rank
+  FROM s
+)
+SELECT doc_id, token, tf, score, rank FROM r WHERE rank <= 3
+""")
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf terms per document (keyword extraction): two
+    partial aggs + shuffle join on token + per-doc window
+    (operators/text.tfidf_top_terms). Natural log on both engines;
+    scores rounded before ranking with token tiebreaks."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import (
+        tfidf_top_terms as tfidf_op,
+    )
+
+    return tfidf_op(table(spark, sf_dir, "documents"), k=3)

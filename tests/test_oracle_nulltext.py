@@ -30,7 +30,7 @@ QUERIES = ["text_repetition", "dedup_simhash64_pairs", "dedup_simhash",
            "dedup_jaccard_pairs", "dedup_clusters", "deterministic_split",
            "text_fingerprint", "text_lang_id", "text_quality",
            "multimodal_features", "stratified_sample_docs",
-           "chunk_documents", "vocab_top_tokens"]
+           "chunk_documents", "vocab_top_tokens", "tfidf_top_terms"]
 
 
 @pytest.fixture(scope="module")

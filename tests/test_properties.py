@@ -157,3 +157,40 @@ def test_disaggregation_conserves_site_totals(spark, site_amounts, splits):
            out.groupBy("site").agg(F.sum("amount").alias("total")).collect()}
     assert got["WKS"] == pytest.approx(sum(site_amounts), rel=1e-9)
     assert got["WOK"] == pytest.approx(123.0)
+
+
+@given(n_tokens=st.integers(0, 40),
+       chunk=st.integers(2, 12),
+       overlap_frac=st.floats(0.0, 0.99))
+@SETTINGS
+def test_chunking_covers_every_token_with_exact_overlap(
+        spark, n_tokens, chunk, overlap_frac):
+    """Invariants for any (chunk_tokens, overlap): every token index
+    appears in >= 1 chunk; consecutive chunks start exactly step
+    apart; every chunk except possibly the last is full-width; chunk
+    texts reassemble the original tokens."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import (
+        chunk_documents,
+    )
+    overlap = min(int(chunk * overlap_frac), chunk - 1)
+    step = chunk - overlap
+    toks = [f"w{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(0, " ".join(toks))],
+                               "doc_id long, text string")
+    rows = sorted(chunk_documents(df, chunk, overlap).collect(),
+                  key=lambda r: r.chunk_idx)
+    if n_tokens == 0:
+        assert rows == []
+        return
+    covered = set()
+    for r in rows:
+        words = r.chunk_text.split()
+        assert words == toks[r.chunk_idx * step:
+                             r.chunk_idx * step + chunk]
+        assert r.n_tokens == len(words)
+        covered.update(range(r.chunk_idx * step,
+                             r.chunk_idx * step + len(words)))
+    assert covered == set(range(n_tokens))
+    assert [r.chunk_idx for r in rows] == list(range(len(rows)))
+    # all but the last chunk are full width
+    assert all(r.n_tokens == chunk for r in rows[:-1])
