@@ -98,3 +98,29 @@ def test_sliding_stream_matches_batch(spark, sf_dir, stream_dir):
     batch = {(str(r.window_start), r.event_type): (r.n_events, r.total_value)
              for r in REGISTRY["events_sliding_agg"].fn(spark, sf_dir).collect()}
     assert got == batch
+
+
+def test_events_table_reads_both_physical_layouts(spark, sf_dir, tmp_path):
+    """tables.events_table must load BOTH dataset generations: the
+    r3+ native timestamp[us] layout (the real fixture) and the r1/r2
+    int64-nanos layout (synthesized here) -- same rows either way."""
+    import pandas as pd
+    from esg_decarbonization_data_integration_and_data_pipline_spark.tables import events_table
+
+    native = events_table(spark, sf_dir)
+    assert native.schema["ts"].dataType.typeName() == "timestamp_ntz"
+
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet")
+    d = tmp_path / "nanos_events"
+    d.mkdir()
+    nanos = pdf.copy()
+    # datetime64[us].astype(int64) would give MICROS; force ns first
+    nanos["ts"] = (pd.to_datetime(nanos["ts"])
+                   .astype("datetime64[ns]").astype("int64"))
+    nanos.to_parquet(str(d / "events.parquet"))
+    legacy = events_table(spark, str(d))
+    assert legacy.schema["ts"].dataType.typeName() == "timestamp_ntz"
+
+    a = {(r.event_id, str(r.ts), r.value) for r in native.collect()}
+    b = {(r.event_id, str(r.ts), r.value) for r in legacy.collect()}
+    assert a == b
