@@ -54,15 +54,26 @@ def read_event_stream(spark: SparkSession, path: str,
     Watermarks want TIMESTAMP (local-tz), not NTZ; the session runs
     UTC (session.py) so wall times equal the batch path.
     """
+    from pyspark.sql.types import IntegerType, LongType
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.tables import sniff_epoch_unit
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    epoch_expr = None
     try:
-        loaded_schema = spark.read.parquet(path).schema
+        batch = spark.read.parquet(path)
+        loaded_schema = batch.schema
+        # a streaming frame cannot run the one-row unit sniff itself;
+        # pin the unit here from the same files the stream will read
+        if isinstance(loaded_schema["ts"].dataType, (LongType, IntegerType)):
+            epoch_expr = sniff_epoch_unit(batch)
     except Exception:  # no files yet -> schema inference impossible
         loaded_schema = DEFAULT_EVENTS_SCHEMA
     reader = spark.readStream.schema(loaded_schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return normalize_event_ts(reader.parquet(path), ntz=False)
+    return normalize_event_ts(reader.parquet(path), ntz=False,
+                              epoch_expr=epoch_expr)
 
 
 def tumbling_value_agg(events: DataFrame, window: str = "10 minutes",

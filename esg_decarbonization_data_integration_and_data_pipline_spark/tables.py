@@ -25,17 +25,57 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def normalize_event_ts(df: DataFrame, ntz: bool = True) -> DataFrame:
+# Epoch-magnitude classification thresholds: |v| below each bound is
+# interpreted as that unit. Every real epoch is unambiguous --
+# seconds ~2e9, millis ~2e12, micros ~2e15, nanos ~2e18 -- so the
+# decision boundaries (1e11/1e14/1e17, i.e. year ~5138 per unit) can
+# never misclassify plausible data.
+_EPOCH_UNITS = (
+    # CAST first: int32-seconds * 1e6 overflows INT under ANSI mode
+    (100_000_000_000, "CAST(ts AS BIGINT) * 1000000"),   # seconds
+    (100_000_000_000_000, "CAST(ts AS BIGINT) * 1000"),  # millis
+    (100_000_000_000_000_000, "CAST(ts AS BIGINT)"),     # micros
+    (None, "CAST(ts AS BIGINT) div 1000"),               # nanos
+)
+
+
+def sniff_epoch_unit(df: DataFrame) -> str:
+    """Return the micros-conversion expr for an integer ``ts`` column
+    by sampling ONE non-null value and classifying its magnitude
+    (see ``_EPOCH_UNITS``). A ``limit(1)`` scan reads a handful of
+    rows from one file -- metadata-cheap, and it only runs when the
+    loaded dtype is integral, so the native-timestamp path never pays
+    it. An all-null / empty table defaults to nanos (the only integer
+    layout the driver has actually shipped)."""
+    from pyspark.sql import functions as F
+
+    row = df.select("ts").where(F.col("ts").isNotNull()).limit(1).first()
+    if row is None:
+        return "ts div 1000"
+    v = abs(int(row[0]))
+    for bound, expr in _EPOCH_UNITS:
+        if bound is None or v < bound:
+            return expr
+    raise AssertionError("unreachable")
+
+
+def normalize_event_ts(df: DataFrame, ntz: bool = True,
+                       epoch_expr: str | None = None) -> DataFrame:
     """Adapt a loaded ``ts`` column to a timestamp whatever physical
     layout the dataset was written with.
 
-    Two layouts exist in the wild: parquet TIMESTAMP(NANOS), which
-    Spark can only surface as int64 nanoseconds (via ``nanosAsLong``),
-    and plain ``timestamp[us]``, which loads natively. Branch on the
-    LOADED dtype, not an assumption about the writer: int64 nanos are
-    rebuilt at microsecond precision with exact integer arithmetic
-    (``div`` -- never float division, which loses precision above
-    2^53 ns); native timestamps pass through with a stabilizing cast.
+    Layouts seen or anticipated from the driver's generator:
+
+    - parquet TIMESTAMP(NANOS): Spark can only surface it as int64
+      nanoseconds (via ``nanosAsLong``) -- rebuilt at microsecond
+      precision with exact integer arithmetic (``div`` -- never float
+      division, which loses precision above 2^53 ns);
+    - int64/int32 epochs in seconds/millis/micros: unit sniffed by
+      magnitude (``sniff_epoch_unit``) unless the caller pins
+      ``epoch_expr`` (streaming sniffs via a side batch read);
+    - string timestamps: parsed with ``to_timestamp`` /
+      ``to_timestamp_ntz`` (ISO and SQL formats);
+    - native timestamp / date: stabilizing cast (current layout).
 
     ``ntz=True`` (batch/oracle path) yields TIMESTAMP_NTZ so results
     are timezone-independent; ``ntz=False`` yields TIMESTAMP for
@@ -43,12 +83,17 @@ def normalize_event_ts(df: DataFrame, ntz: bool = True) -> DataFrame:
     times match the batch path either way).
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import IntegerType, LongType, StringType
 
-    if isinstance(df.schema["ts"].dataType, LongType):
-        col = (F.expr("timestampadd(MICROSECOND, ts div 1000, "
+    dtype = df.schema["ts"].dataType
+    if isinstance(dtype, (LongType, IntegerType)):
+        micros = epoch_expr or sniff_epoch_unit(df)
+        col = (F.expr(f"timestampadd(MICROSECOND, {micros}, "
                       "TIMESTAMP_NTZ '1970-01-01 00:00:00')") if ntz
-               else F.timestamp_micros(F.expr("ts div 1000")))
+               else F.timestamp_micros(F.expr(micros)))
+    elif isinstance(dtype, StringType):
+        col = (F.to_timestamp_ntz(F.col("ts")) if ntz
+               else F.to_timestamp(F.col("ts")))
     else:
         col = F.col("ts").cast("timestamp_ntz" if ntz else "timestamp")
     return df.withColumn("ts", col)

