@@ -103,6 +103,10 @@ def main() -> None:
         "sf": sf_val,
     }
     if errors:
+        # a failing query drops out of the sum, which would make the
+        # headline FASTER than a healthy run -- mark the total
+        # incomparable so a broken plan can never read as a perf win
+        out["value"] = None
         out["errors"] = errors
     print(json.dumps(out))
     # repo-side perf journal: append per-run timings so regressions

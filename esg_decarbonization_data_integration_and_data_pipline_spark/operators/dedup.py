@@ -514,6 +514,11 @@ def simhash_chunked(df: DataFrame, n_chunks: int = 4, chunk_bits: int = 16,
         raise ValueError(
             f"n_chunks must be <= {len(MINHASH_AS)} (one independent "
             f"permutation per chunk); got {n_chunks}")
+    if not 1 <= chunk_bits <= 31:
+        # hj is reduced mod 2^31-1, so bit positions >= 31 would be
+        # constantly zero -- silently degrading bucket selectivity
+        raise ValueError(
+            f"chunk_bits must be in [1, 31]; got {chunk_bits}")
     powers = np.tile(np.array(
         [1, 17, 289, 4913, 83521, 1419857, 24137569, 410338673],
         dtype=np.int64), 64)

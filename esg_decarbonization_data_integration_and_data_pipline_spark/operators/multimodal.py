@@ -141,14 +141,22 @@ def resize_payloads(df: DataFrame, width: int, height: int,
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            # null payload (e.g. encode of a null text) -> null row,
+            # mirroring extract_features' null propagation
             resized = pdf["payload"].map(
-                lambda p: _resize(p, width, height))
+                lambda p: _resize(p, width, height) if p is not None
+                else None)
+            nn = resized.notna()
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].astype("int64"),
                 "payload": resized,
-                "width": width,
-                "height": height,
-                "payload_bytes": resized.map(len).astype("int64"),
+                "width": pd.array(nn.map(lambda x: width if x else None),
+                                  dtype="Int64"),
+                "height": pd.array(nn.map(lambda x: height if x else None),
+                                   dtype="Int64"),
+                "payload_bytes": pd.array(
+                    [len(p) if p is not None else None for p in resized],
+                    dtype="Int64"),
             })
 
     return df.mapInPandas(batches, schema)

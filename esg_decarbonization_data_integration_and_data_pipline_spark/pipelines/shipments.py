@@ -76,6 +76,14 @@ def shipment_growth_ladder(plan: DataFrame,
       plan years (reference :507-515, which back-fills the previous
       year with the same rate).
 
+    DELIBERATE divergence from the reference's na-path: the reference
+    only reaches its fallback for sites absent from ALL
+    consecutive-pair merges -- a gap-year site ends up with NaN GR
+    rows keyed to a NaN year, and a single-year site gets NaN from
+    the global-min-year merge. Emitting NaN-keyed rows is a bug, not
+    a semantic; this version gives those sites the half-span rate
+    (or 0.0) on their last two plan years instead.
+
     One lag window per site (tiny dimension) + one anti-join for the
     fallback sites; no collect.
     """

@@ -1,0 +1,38 @@
+"""Round-5 review fixes (ADVICE.md r4)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_resize_payloads_propagates_null_payloads(spark):
+    """A corpus with null texts (null encode -> null payload) must
+    yield null rows from resize_payloads, not an Arrow-worker crash
+    (mirrors extract_features' null propagation)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.multimodal import (
+        resize_payloads, with_binary_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 300), (2, None)], "doc_id bigint, text string")
+    rows = {r.doc_id: r
+            for r in resize_payloads(with_binary_payload(docs), 64, 64)
+            .collect()}
+    assert rows[1].payload_bytes == 64
+    assert rows[2].payload is None
+    assert rows[2].width is None and rows[2].height is None
+    assert rows[2].payload_bytes is None
+
+
+def test_simhash_chunked_rejects_out_of_range_chunk_bits(spark):
+    """chunk_bits > 31 would address bits beyond the mod-2^31-1 hash
+    range (constantly zero -> silent recall loss); reject loudly."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.dedup import simhash_chunked
+
+    docs = spark.createDataFrame([(1, "hello world")],
+                                 "doc_id bigint, text string")
+    for bad in (0, 32, 64):
+        with pytest.raises(ValueError, match="chunk_bits"):
+            simhash_chunked(docs, chunk_bits=bad)
+    # boundary value stays accepted
+    assert simhash_chunked(docs, chunk_bits=31).count() == 1
