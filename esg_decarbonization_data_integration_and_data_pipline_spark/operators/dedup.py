@@ -155,7 +155,7 @@ def minhash_signature_udf():
             hs = _batch_polyhash(grams, powers)
             sig = ((hs[:, None] * a_s[None, :] + b_s[None, :])
                    % MINHASH_P).min(axis=0)
-            out.append([int(x) for x in sig])
+            out.append(sig)  # numpy int64 array, Arrow-native
         return pd.Series(out)
 
     return mh_udf
@@ -199,8 +199,10 @@ def shingle_minhash_udf():
             hs = _batch_polyhash(grams, powers)
             sig = ((hs[:, None] * a_s[None, :] + b_s[None, :])
                    % MINHASH_P).min(axis=0)
-            hss.append([int(x) for x in hs])
-            mhs.append([int(x) for x in sig])
+            # numpy int64 arrays go straight through Arrow -- no
+            # per-element Python int boxing
+            hss.append(hs)
+            mhs.append(sig)
         return pd.DataFrame({"hs": hss, "mh": mhs})
 
     return both_udf
@@ -348,12 +350,14 @@ def minhash_verified_pairs(df: DataFrame, threshold: float,
 
     ``persist``: cache the signature working set, consumed by the
     band join AND both verify legs (three scans). Default None =
-    adaptive on the metadata size estimate: a small input recomputes
-    the kernel cheaper than it caches (measured ~20% faster at
-    sf0.1), a large one caches to avoid three corpus-wide Arrow
-    passes. The cache lives until the session drops it -- long-lived
-    sessions calling this repeatedly should pass persist=False or
-    clear the cache after materializing the result.
+    True: without the cache the three consumers each re-run the
+    Arrow kernel, and because the legs schedule CONCURRENTLY the
+    plan wants up to 3x the executor's Python workers at once --
+    measured 0.8-3 s slower at sf0.1 (and strictly worse at scale:
+    three corpus-wide text scans instead of one). The cache lives
+    until the session drops it -- long-lived sessions calling this
+    repeatedly should clear the cache after materializing the
+    result.
     """
     both_udf = shingle_minhash_udf()
     # ONE kernel pass computes shingle hashes + signature per doc;
@@ -370,8 +374,7 @@ def minhash_verified_pairs(df: DataFrame, threshold: float,
                     F.col("b.mh").alias("mh"))
             .filter(F.col("mh").isNotNull()))
     if persist is None:
-        size = _plan_size_bytes(df)
-        persist = size is None or size > _SMALL_INPUT_BYTES
+        persist = True
     if persist:
         base = base.cache()
     candidates = _band_candidates(base.select("id", "mh"), n_bands)
