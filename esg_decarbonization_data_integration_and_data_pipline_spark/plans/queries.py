@@ -700,14 +700,14 @@ _DRIVER_HEAD = [
     "recode_region_names", "monthly_order_calendar", "quarterly_shipments",
     "string_slice_like", "fill_missing_part_revenue",
     "pow_floor_round_pricing", "selfjoin_green_grey_rate",
-    "text_fingerprint", "text_lang_id", "text_quality", "text_token_counts",
+    "text_fingerprint", "text_lang_id", "text_quality", "tfidf_top_terms",
     "dedup_exact", "dedup_minhash_candidates", "dedup_minhash_verified",
-    "dedup_simhash_pairs", "dedup_embedding_pairs",
+    "dedup_simhash64_pairs", "dedup_embedding_pairs",
     "similarity_topk", "similarity_lsh_buckets", "ann_multitable_pairs",
     "similarity_ivf_topk", "multimodal_features",
     "quantile_acctbal", "cagr_nation_revenue", "irr_by_brand",
-    "events_tumbling_agg", "events_sessionize", "events_json_roundtrip",
-    "top_revenue_order", "concat_format_timestamps", "pandas_udf_zscore",
+    "events_sliding_agg", "events_sessionize", "events_json_roundtrip",
+    "top_revenue_order", "concat_format_timestamps", "stratified_sample_docs",
     "greedy_allocation", "dedup_clusters",
 ]
 _DRIVER_TAIL = [
@@ -717,17 +717,25 @@ _DRIVER_TAIL = [
     # dedup_clusters. Its error-bound guarantees stay pinned by
     # tests/test_sketches.py.
     "approx_sketches",
-    "dedup_simhash64_pairs", "text_repetition", "events_sliding_agg",
+    # round-5 rotations INTO the head (each was driver-green for >= 2
+    # rounds before rotating out, and each family keeps a head rep):
+    #   dedup_simhash_pairs   -> dedup_simhash64_pairs (production cfg)
+    #   events_tumbling_agg   -> events_sliding_agg (superset window)
+    #   text_token_counts     -> tfidf_top_terms (vocab + join shape)
+    #   pandas_udf_zscore     -> stratified_sample_docs (UD1 stays via
+    #                            text_quality's Arrow kernel)
+    "dedup_simhash_pairs", "events_tumbling_agg", "text_token_counts",
+    "pandas_udf_zscore",
+    "text_repetition",
     "latest_status_version", "distinct_projection", "dedup_simhash",
     "dedup_jaccard_pairs", "cube_status_priority", "count_distinct_parts",
     "forecast_revenue", "external_model_scoring",
     # round-3 addition past the gate cap -- verified by the in-repo
     # oracle replay like the rest of the tail
     "deterministic_split",
-    # round-4 additions: batched ANN serving + RNG-free stratified
-    # sampling, oracle-replayed in-repo
-    "similarity_topk_batch", "stratified_sample_docs",
-    "chunk_documents", "vocab_top_tokens", "tfidf_top_terms",
+    # round-4 additions: batched ANN serving, oracle-replayed in-repo
+    "similarity_topk_batch",
+    "chunk_documents", "vocab_top_tokens",
 ]
 _ORDERED = _DRIVER_HEAD + _DRIVER_TAIL
 assert set(_ORDERED) == set(REGISTRY) and len(_ORDERED) == len(REGISTRY), (
