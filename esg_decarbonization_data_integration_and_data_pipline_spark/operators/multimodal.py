@@ -4,9 +4,10 @@ Design for image/audio/video at 100 TB: the payload is an opaque
 ``binary`` column riding alongside typed metadata; decode /
 feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` operators so bytes never round-trip through Python
-row-at-a-time. The pixel kernels sit behind an optional-dependency
-gate: real PIL decode/resize when the lib is importable AND the bytes
-decode as an image, a clearly-marked deterministic stub otherwise
+row-at-a-time. The pixel kernels are tiered: real PIL decode/resize
+when the lib is importable AND the bytes decode as an image; a real
+pure-stdlib PNG codec (operators/png.py) for 8-bit PNG payloads even
+without PIL; a clearly-marked deterministic stub for everything else
 (this container ships no image libs). The Spark-side plumbing
 (schema, batching, partitioning, UDF signatures) is real and tested
 either way.
@@ -21,6 +22,8 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     BinaryType, LongType, StringType, StructField, StructType,
 )
+
+from esg_decarbonization_data_integration_and_data_pipline_spark.operators import png
 
 FEATURE_SCHEMA = StructType([
     StructField("doc_id", LongType()),
@@ -57,10 +60,12 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int]:
 
 def _decode_image(payload: bytes) -> tuple[int, int]:
     """Per-payload decode: real PIL header read when the lib exists
-    AND the bytes are a decodable image; deterministic stub otherwise.
-    The fallback is per-payload (not per-environment) so mixed corpora
-    -- and the text-bytes test fixtures -- behave identically whether
-    or not PIL is installed."""
+    AND the bytes are a decodable image; REAL stdlib PNG header read
+    for PNG payloads regardless of PIL (operators/png.py -- zlib +
+    struct, no image lib needed); deterministic stub otherwise. The
+    fallback is per-payload (not per-environment) so mixed corpora
+    -- and the text-bytes test fixtures -- behave identically
+    whether or not PIL is installed."""
     if _PIL_Image is not None:
         import io
 
@@ -69,6 +74,11 @@ def _decode_image(payload: bytes) -> tuple[int, int]:
                 return int(im.width), int(im.height)
         except Exception:
             pass
+    if png.is_png(payload):
+        try:
+            return png.png_dims(payload)
+        except ValueError:
+            pass  # malformed PNG -> stub like any undecodable payload
     return _decode_image_stub(payload)
 
 
@@ -111,8 +121,10 @@ def _resize_stub(payload: bytes, width: int, height: int) -> bytes:
 
 def _resize(payload: bytes, width: int, height: int) -> bytes:
     """Per-payload resize: real PIL resample + PNG re-encode when the
-    lib exists and the bytes decode as an image; deterministic stub
-    otherwise (same mixed-corpus rationale as ``_decode_image``)."""
+    lib exists and the bytes decode as an image; REAL stdlib
+    nearest-neighbor resample for 8-bit PNG payloads regardless of
+    PIL (operators/png.py); deterministic stub otherwise (same
+    mixed-corpus rationale as ``_decode_image``)."""
     if _PIL_Image is not None:
         import io
 
@@ -123,6 +135,11 @@ def _resize(payload: bytes, width: int, height: int) -> bytes:
                 return out.getvalue()
         except Exception:
             pass
+    if png.is_png(payload):
+        try:
+            return png.png_resize(payload, width, height)
+        except ValueError:
+            pass  # unsupported PNG flavor -> stub
     return _resize_stub(payload, width, height)
 
 
