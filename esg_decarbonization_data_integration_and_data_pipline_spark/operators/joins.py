@@ -87,10 +87,35 @@ def _restore_right_names(picked: DataFrame, left: DataFrame,
     return picked
 
 
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Metadata-only size estimate of a frame -- the same optimizer
+    statistic broadcast planning uses (file-footer sizes for parquet
+    scans); None when the private accessor is unavailable."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:
+        return None
+
+
+# right/left size ratio above which the agg strategy is chosen: a
+# right side much larger than the left means many candidate rows per
+# left row, where max_by's map-side partial collapse saves the most
+# shuffle bytes (the window strategy ships every candidate).
+_ASOF_AGG_RATIO = 8
+
+
+def _pick_asof_strategy(left: DataFrame, right: DataFrame) -> str:
+    lb, rb = _plan_size_bytes(left), _plan_size_bytes(right)
+    if lb is None or rb is None or lb == 0:
+        return "window"
+    return "agg" if rb >= _ASOF_AGG_RATIO * lb else "window"
+
+
 def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
               left_time: str, right_time: str,
               tiebreak: Sequence[str] | None = None,
-              strategy: str = "window") -> DataFrame:
+              strategy: str = "auto") -> DataFrame:
     """As-of join: for each left row, the single right row with the
     greatest ``right_time`` <= ``left_time`` within equal ``on`` keys
     (J7). Left rows with no match are kept (nulls on right columns).
@@ -104,9 +129,9 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     Two strategies (identical results, property-tested against brute
     force; measured on the registered sf0.1 query, noop sink):
 
-    - ``window`` (default): equi-join + range filter + row_number
-      top-1 per surrogate id. One exchange of the candidate set, ONE
-      sort. Wins at moderate fan-in (~1.2 s vs ~2.1 s at sf0.1,
+    - ``window``: equi-join + range filter + row_number top-1 per
+      surrogate id. One exchange of the candidate set, ONE sort.
+      Wins at moderate fan-in (~1.2 s vs ~2.1 s at sf0.1,
       ~15 candidates/row) because max_by's struct buffer is not
       hash-aggregable, so the agg strategy compiles to SortAggregate
       -- two sorts (partial + final) instead of one.
@@ -116,7 +141,15 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
       instead of every candidate row. The choice for real-cluster
       (network-shuffle) deployments with high fan-in, where shuffle
       bytes dominate the extra sort.
+    - ``auto`` (default): picks from the optimizer's size estimates
+      (``_pick_asof_strategy``): a right side >= 8x the left predicts
+      high fan-in, where the agg's map-side collapse pays for its
+      extra sort; otherwise window. Metadata-only (same statistic
+      broadcast planning reads) -- no job runs. Callers that know
+      their shape keep the explicit override.
     """
+    if strategy == "auto":
+        strategy = _pick_asof_strategy(left, right)
     if strategy == "agg":
         return _asof_join_agg(left, right, on, left_time, right_time, tiebreak)
     if strategy != "window":

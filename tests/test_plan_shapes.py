@@ -132,3 +132,36 @@ def test_text_quality_kernel_runs_once(spark, sf_dir):
     node -- a projection split would evaluate it per reference."""
     plan = exec_plan_of(spark, sf_dir, "text_quality")
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_asof_auto_strategy_picks_from_size_stats(spark):
+    """strategy='auto' (the default) must choose window for
+    similar-sized inputs and agg when the right side dwarfs the left
+    (>= 8x by the optimizer's size estimate) -- pinned at both input
+    shapes via plan fingerprints, with the explicit override intact."""
+    from pyspark.sql import functions as F
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.joins import asof_join
+
+    def plan(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+
+    left = spark.range(100).select(
+        (F.col("id") % 10).alias("k"), F.col("id").alias("t"))
+    small_right = spark.range(50).select(
+        (F.col("id") % 10).alias("k"), F.col("id").alias("rt"))
+    big_right = spark.range(100 * 1000).select(
+        (F.col("id") % 10).alias("k"), F.col("id").alias("rt"))
+
+    near = plan(asof_join(left, small_right, ["k"], "t", "rt"))
+    assert "row_number" in near and "partial_max_by" not in near
+
+    wide = plan(asof_join(left, big_right, ["k"], "t", "rt"))
+    assert "partial_max_by" in wide and "row_number" not in wide
+
+    # explicit override beats the heuristic
+    forced = plan(asof_join(left, big_right, ["k"], "t", "rt",
+                            strategy="window"))
+    assert "row_number" in forced
