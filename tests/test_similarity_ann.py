@@ -278,3 +278,34 @@ def test_ivf_index_with_refined_centroids_roundtrip(spark, tmp_path):
               ivf_topk(e, q, k=K, n_cells=16, n_probes=4,
                        centroids=cents).collect()}
     assert got == expect
+
+
+def test_ivf_index_roundtrip_sf01_served_equals_inmemory(spark, tmp_path):
+    """Round-4 verdict item 8: the full write -> reload -> serve loop
+    at sf0.1 (the bench corpus), including REFINED centroids riding
+    through persistence. The served top-k must be identical to the
+    in-memory path, and the scan must partition-prune to the probed
+    cells."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.similarity import (
+        ivf_refine, ivf_topk_from_index, ivf_write_index,
+    )
+    e = table(spark, "/root/testdata/sf0.1", "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    cents = ivf_refine(e, n_cells=16, n_iter=1)
+    path = str(tmp_path / "ivf_index_sf01")
+    ivf_write_index(e, path, n_cells=16, centroids=cents)
+
+    served = ivf_topk_from_index(spark, path, q, k=K, n_probes=4)
+    mem = ivf_topk(e, q, k=K, n_cells=16, n_probes=4, centroids=cents)
+    assert ({(r.vec_id, r.cell, r.cosine) for r in served.collect()}
+            == {(r.vec_id, r.cell, r.cosine) for r in mem.collect()})
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]")[0]
+    assert "cell#" in pf
+    # the pushed literal IN-list holds exactly the probed cells, so
+    # the scan lists at most n_probes of the 16 cell directories
+    # (inputFiles() can't show this -- it ignores partition pruning)
+    in_list = pf.split("IN (", 1)[1].split(")")[0]
+    assert len(in_list.split(",")) <= 4
