@@ -380,3 +380,77 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
               .withColumn("n_bpe_est",
                           F.expr("aggregate(filter(split(lower(text), '\\\\s+'), t -> t != ''), 0L, "
                                  "(acc, t) -> acc + CAST(ceil(length(t) / 4.0) AS LONG))")))
+
+
+def _ngrams_expr(text_col: str, n: int) -> str:
+    """SQL expr: the list of word n-grams (space-joined lowercased
+    tokens) of a text column -- empty when the doc has < n tokens
+    (guarded explicitly: Spark's sequence(1, 0) counts DOWN to
+    [1, 0], so the short-doc case must never reach sequence())."""
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
+    return (f"CASE WHEN size({toks}) >= {n} THEN "
+            f"transform(sequence(1, size({toks}) - {n - 1}), "
+            f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+            f"ELSE array() END")
+
+
+def ngram_doc_freq(df: DataFrame, n: int = 3, min_docs: int = 2,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Cross-document n-gram frequency -- the boilerplate detector of
+    a C4-style cleaning pipeline (navigation chrome, license headers,
+    and template text show up as n-grams shared by many documents;
+    the survivors of ``min_docs`` are what a strip pass removes).
+
+    Plan: explode n-grams -> per-doc distinct (map-side partial agg
+    collapses each partition's (doc, gram) repeats before the
+    exchange) -> gram-grain count -> filter. Both aggregations are
+    partial-agg friendly; nothing is ever collected. At 100 TB the
+    gram shuffle is the cost driver -- it carries each distinct
+    (doc, gram) once, the same exchange exact line-dedup pays, and
+    the ``min_docs`` filter runs AFTER the count so it cannot lose
+    grams (no early pruning is possible without a sketch).
+
+    Output: (gram, n_docs) for grams in >= ``min_docs`` docs.
+    """
+    grams = df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(F.expr(_ngrams_expr(text_col, n)))
+                       .alias("gram"))
+    return (grams.distinct()
+                 .groupBy("gram")
+                 .agg(F.count(F.lit(1)).alias("n_docs"))
+                 .filter(F.col("n_docs") >= min_docs))
+
+
+def decontaminate_flags(df: DataFrame, benchmark: DataFrame, n: int = 5,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Test-set decontamination: flag corpus documents sharing any
+    word ``n``-gram with a benchmark/eval set (the standard n-gram
+    overlap rule used before training -- contaminated docs are
+    dropped or audited).
+
+    Plan: the benchmark's distinct n-grams (eval sets are KBs-to-MBs
+    -- thousands of documents, bounded by construction) BROADCAST to
+    every executor; the corpus explodes its n-grams, hash-joins the
+    broadcast set, and re-aggregates per doc. One narrow corpus scan
+    + one broadcast join + one partial-agg groupBy on doc_id -- the
+    corpus is never shuffled on gram strings. A benchmark too large
+    to broadcast means the INPUT is wrong (an eval set the size of
+    the corpus), not the plan.
+
+    Output: (doc_id, n_hits) -- distinct shared n-grams per
+    contaminated corpus doc, benchmark docs themselves excluded.
+    """
+    bench_grams = (benchmark
+                   .select(F.explode(F.expr(_ngrams_expr(text_col, n)))
+                            .alias("gram"))
+                   .distinct())
+    bench_ids = benchmark.select(F.col(id_col).alias("doc_id")).distinct()
+    corpus = df.join(F.broadcast(bench_ids), "doc_id", "left_anti")
+    grams = corpus.select(F.col(id_col).alias("doc_id"),
+                          F.explode(F.expr(_ngrams_expr(text_col, n)))
+                           .alias("gram"))
+    return (grams.join(F.broadcast(bench_grams), "gram")
+                 .groupBy("doc_id")
+                 .agg(F.count_distinct("gram").alias("n_hits")))

@@ -736,6 +736,9 @@ _DRIVER_TAIL = [
     # round-4 additions: batched ANN serving, oracle-replayed in-repo
     "similarity_topk_batch",
     "chunk_documents", "vocab_top_tokens",
+    # round-5 additions: C4-style boilerplate n-grams + benchmark
+    # decontamination, oracle-replayed in-repo
+    "text_boilerplate_ngrams", "decontaminate_ngrams",
 ]
 _ORDERED = _DRIVER_HEAD + _DRIVER_TAIL
 assert set(_ORDERED) == set(REGISTRY) and len(_ORDERED) == len(REGISTRY), (

@@ -543,3 +543,62 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return tfidf_op(table(spark, sf_dir, "documents"), k=3)
+
+
+@register("text_boilerplate_ngrams", "ext:boilerplate-ngrams,A4,A10", oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> t != '') AS __t
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(__t[CAST(i AS INT):CAST(i + 2 AS INT)], ' ')
+                 FOR i IN range(1, CAST(len(__t) - 1 AS BIGINT))]) AS gram
+  FROM t
+)
+SELECT gram, count(*) AS n_docs
+FROM g GROUP BY gram HAVING count(*) >= 3
+""")
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate detection: word 3-grams appearing in >= 3
+    distinct documents (operators/text.ngram_doc_freq) -- two
+    partial-agg shuffles, nothing collected. The reference has no
+    text pipeline; this extends the corpus-curation family
+    (SURVEY.md training-data extension)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import ngram_doc_freq
+
+    return ngram_doc_freq(table(spark, sf_dir, "documents"),
+                          n=3, min_docs=3)
+
+
+@register("decontaminate_ngrams", "ext:decontamination,J10,A10", oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> t != '') AS __t
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(__t[CAST(i AS INT):CAST(i + 3 AS INT)], ' ')
+                 FOR i IN range(1, CAST(len(__t) - 2 AS BIGINT))]) AS gram
+  FROM t
+),
+b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 29 = 0)
+SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_hits
+FROM g JOIN b USING (gram)
+WHERE g.doc_id % 29 != 0
+GROUP BY g.doc_id
+""")
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: corpus docs sharing any word 4-gram
+    with the benchmark subset (here: every 29th doc, a deterministic
+    stand-in for an eval set). Benchmark grams broadcast; the corpus
+    is never shuffled on gram strings
+    (operators/text.decontaminate_flags)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import decontaminate_flags
+
+    d = table(spark, sf_dir, "documents")
+    return decontaminate_flags(d, d.filter(F.col("doc_id") % 29 == 0), n=4)

@@ -36,3 +36,36 @@ def test_simhash_chunked_rejects_out_of_range_chunk_bits(spark):
             simhash_chunked(docs, chunk_bits=bad)
     # boundary value stays accepted
     assert simhash_chunked(docs, chunk_bits=31).count() == 1
+
+
+def test_ngram_doc_freq_edges(spark):
+    """Null texts and short docs (< n tokens) produce no grams; the
+    min_docs filter counts DISTINCT docs (repeats within one doc
+    count once)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import ngram_doc_freq
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"),   # 'a b c' twice in ONE doc
+         (2, "a b c x"),
+         (3, "a b"),           # too short for 3-grams
+         (4, None)],
+        "doc_id bigint, text string")
+    rows = {r.gram: r.n_docs
+            for r in ngram_doc_freq(docs, n=3, min_docs=2).collect()}
+    assert rows == {"a b c": 2}  # doc1's repeat did not inflate it
+
+
+def test_decontaminate_flags_excludes_benchmark_and_counts_distinct(spark):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import decontaminate_flags
+
+    corpus = spark.createDataFrame(
+        [(1, "q w e r t y"),          # contains 'q w e r' + 'w e r t'...
+         (2, "zz xx cc vv"),          # clean
+         (10, "q w e r t y u")],      # benchmark doc itself
+        "doc_id bigint, text string")
+    bench = corpus.filter("doc_id = 10")
+    rows = {r.doc_id: r.n_hits
+            for r in decontaminate_flags(corpus, bench, n=4).collect()}
+    assert 10 not in rows and 2 not in rows
+    # doc1's 4-grams: 'q w e r','w e r t','e r t y' -- all in benchmark
+    assert rows == {1: 3}

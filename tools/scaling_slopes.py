@@ -1,0 +1,162 @@
+"""Measure the scaling slope of the corpus operators (r4 verdict #4).
+
+Generates 10x/30x synthetic corpora from the sf0.1 documents /
+embeddings tables and times the five headline corpus operators at
+each size. Replica texts are TOKEN-SALTED (every token prefixed with
+the replica index) so replicas share no shingles: the near-dup rate
+per document stays that of the base corpus and candidate-pair counts
+grow linearly with rows -- exact replication would instead grow
+pairs quadratically in the replication factor and corrupt the slope.
+Embedding replicas get a deterministic per-replica offset on dim 0
+for the same reason.
+
+Usage:
+    python tools/scaling_slopes.py [--runs 3] [--out /tmp/scale_corpus]
+
+Prints a JSON line per (operator, scale) and a slope summary:
+slope = log(t30/t1) / log(30) -- 1.0 is linear, <1 sublinear
+(fixed overhead amortizing), >1.2 flagged superlinear.
+"""
+
+import argparse
+import json
+import math
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SCALES = [1, 10, 30]
+
+
+def generate(base_dir: str, out_root: str) -> None:
+    import numpy as np
+    import pandas as pd
+
+    docs = pd.read_parquet(os.path.join(base_dir, "documents.parquet"))
+    embs = pd.read_parquet(os.path.join(base_dir, "embeddings.parquet"))
+    n_docs, n_vecs = len(docs), len(embs)
+    for scale in SCALES:
+        d = os.path.join(out_root, f"x{scale}")
+        if os.path.exists(os.path.join(d, "_DONE")):
+            continue
+        os.makedirs(d, exist_ok=True)
+        doc_parts, emb_parts = [], []
+        for i in range(scale):
+            dp = docs.copy()
+            if i:
+                # token-salt: replicas share no shingles with the base
+                dp["text"] = [
+                    " ".join(f"{i}x{t}" for t in tx.split())
+                    if tx is not None else None
+                    for tx in dp["text"]]
+            dp["doc_id"] = dp["doc_id"] + i * n_docs
+            doc_parts.append(dp)
+            ep = embs.copy()
+            if i:
+                vecs = np.stack(ep["embedding"].to_numpy())
+                vecs[:, 0] += np.float32(0.01 * i)
+                ep["embedding"] = list(vecs)
+            ep["vec_id"] = ep["vec_id"] + i * n_vecs
+            emb_parts.append(ep)
+        pd.concat(doc_parts).to_parquet(
+            os.path.join(d, "documents.parquet"), index=False)
+        pd.concat(emb_parts).to_parquet(
+            os.path.join(d, "embeddings.parquet"), index=False)
+        open(os.path.join(d, "_DONE"), "w").close()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--out", default="/tmp/scale_corpus")
+    ap.add_argument("--base", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    args = ap.parse_args()
+
+    generate(args.base, args.out)
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators import dedup as D
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators import similarity as S
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators import text as T
+    from esg_decarbonization_data_integration_and_data_pipline_spark.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("scaling-slopes", master=f"local[{cpus}]",
+                      conf={"spark.sql.shuffle.partitions": str(cpus),
+                            "spark.ui.enabled": "false",
+                            # 30x corpora in one JVM: the 1g default
+                            # heap OOMs collecting cached blocks
+                            "spark.driver.memory": "16g"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    @pandas_udf("double")
+    def _noop(s: pd.Series) -> pd.Series:
+        return s
+
+    (spark.range(spark.sparkContext.defaultParallelism)
+          .withColumn("x", _noop(F.col("id").cast("double")))
+          .write.format("noop").mode("overwrite").save())
+
+    def docs(scale):
+        return spark.read.parquet(
+            os.path.join(args.out, f"x{scale}", "documents.parquet"))
+
+    def embs(scale):
+        return spark.read.parquet(
+            os.path.join(args.out, f"x{scale}", "embeddings.parquet"))
+
+    OPS = {
+        "dedup_minhash_verified":
+            lambda s: D.minhash_verified_pairs(docs(s), 0.6),
+        "dedup_simhash64_pairs":
+            lambda s: D.simhash_chunked_band_pairs(docs(s), max_hamming=3),
+        "similarity_ivf_topk":
+            lambda s: S.ivf_topk(embs(s),
+                                 embs(s).filter(F.col("vec_id") == 0),
+                                 k=10, n_cells=16, n_probes=4),
+        "vocab_top_tokens": lambda s: T.vocab_top_tokens(docs(s), k=50),
+        "tfidf_top_terms": lambda s: T.tfidf_top_terms(docs(s), k=3),
+    }
+
+    results = {}
+    for name, fn in OPS.items():
+        results[name] = {}
+        for scale in SCALES:
+            ts = []
+            for _ in range(args.runs):
+                t0 = time.time()
+                fn(scale).write.format("noop").mode("overwrite").save()
+                ts.append(time.time() - t0)
+                spark.catalog.clearCache()
+            med = statistics.median(ts)
+            results[name][scale] = round(med, 3)
+            print(json.dumps({"op": name, "scale": scale,
+                              "median_sec": round(med, 3),
+                              "runs": [round(t, 3) for t in ts]}),
+                  flush=True)
+
+    summary = {}
+    for name, r in results.items():
+        slope = math.log(r[30] / r[1]) / math.log(30)
+        summary[name] = {"t1": r[1], "t10": r[10], "t30": r[30],
+                         "slope": round(slope, 2)}
+    print(json.dumps({"metric": "scaling_slopes", "ops": summary}))
+    try:
+        with open(os.path.join(REPO, "BENCH_LOG.jsonl"), "a") as fh:
+            fh.write(json.dumps({"ts": round(time.time()),
+                                 "metric": "scaling_slopes",
+                                 "ops": summary}) + "\n")
+    except OSError:
+        pass
+
+
+if __name__ == "__main__":
+    main()
