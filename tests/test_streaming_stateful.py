@@ -36,7 +36,12 @@ def test_stateful_sessionize_late_event_moves_start_back(spark, tmp_path):
 
     d = tmp_path / "late_events"
     d.mkdir()
-    ns = lambda minutes: int(minutes * 60 * 1_000_000_000)  # noqa: E731
+    # anchored at a realistic 2023-era epoch: the adaptive reader
+    # unit-sniffs integer ts by magnitude, and REAL event data is
+    # never 36 seconds after 1970 -- toy epochs would (correctly)
+    # classify as a smaller unit
+    ns = lambda minutes: int((1_700_000_000 + minutes * 60)  # noqa: E731
+                             * 1_000_000_000)
 
     def write(name, rows, mtime):
         pdf = pd.DataFrame(rows, columns=[
