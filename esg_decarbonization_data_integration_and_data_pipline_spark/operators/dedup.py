@@ -490,6 +490,25 @@ def simhash_band_pairs(df: DataFrame, max_hamming: int = 3,
              .select("id_a", "id_b", "hamming"))
 
 
+def suggest_chunk_bits(corpus_rows: int, target_bucket: int = 8,
+                       n_chunks: int = 4) -> int:
+    """Size ``chunk_bits`` so the EXPECTED random-collision bucket
+    stays ~``target_bucket`` docs: the banded candidate term is
+    ~n_chunks * rows^2 / 2^chunk_bits pairs (the birthday term the
+    round-5 slope measurement surfaced at 30x), so bits must grow
+    with log2(corpus). Clamped to [8, 31] -- 31 is the hash-range
+    ceiling ``simhash_chunked`` enforces; past ~2^31-row corpora,
+    raise ``n_chunks`` instead (recall bound max_hamming <=
+    n_chunks - 1 is unchanged; each extra chunk adds one band
+    join)."""
+    import math
+
+    if corpus_rows < 1:
+        return 8
+    want = math.ceil(math.log2(max(corpus_rows / target_bucket, 2)))
+    return max(8, min(31, want))
+
+
 def simhash_chunked(df: DataFrame, n_chunks: int = 4, chunk_bits: int = 16,
                     id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:

@@ -454,3 +454,72 @@ def decontaminate_flags(df: DataFrame, benchmark: DataFrame, n: int = 5,
     return (grams.join(F.broadcast(bench_grams), "gram")
                  .groupBy("doc_id")
                  .agg(F.count_distinct("gram").alias("n_hits")))
+
+
+# conservative patterns valid in BOTH Java regex (Spark) and RE2
+# (DuckDB): no backreferences, no lookaround
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("phone", r"\+?[0-9][0-9()\- ]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def scrub_pii(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """PII/URL scrubbing -- the redaction pass of a training-data
+    pipeline (emails, URLs, phone-shaped digit runs replaced with
+    typed placeholder tokens before anything downstream sees the
+    text).
+
+    Pure JVM ``regexp_replace`` / ``regexp_count`` chain -- narrow,
+    zero-shuffle, whole-stage-codegen; the patterns avoid
+    backreferences and lookaround so the SQL oracle evaluates the
+    SAME regexes (Java regex and RE2 agree on this subset). Null
+    text propagates.
+
+    Output: (doc_id, clean_text, n_email, n_url, n_phone).
+    """
+    out = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("clean_text"),
+                    *[F.regexp_count(F.col(text_col), F.lit(pat))
+                       .cast("bigint").alias(f"n_{name}")
+                      for name, pat, _ in PII_PATTERNS])
+    for name, pat, token in PII_PATTERNS:
+        out = out.withColumn(
+            "clean_text",
+            F.regexp_replace("clean_text", pat, token))
+    return out
+
+
+def char_entropy(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Character-level Shannon entropy per document -- a cheap
+    gibberish/boilerplate signal (natural text sits ~4-4.5 bits;
+    base64 blobs and repeated padding fall far outside).
+
+    Pure JVM, no Python: explode characters -> (doc, char) partial-agg
+    count -> per-doc fold using the algebraic identity
+    H = log2(n) - (1/n) * sum(c * log2(c)), which needs only the
+    per-char counts and their sum -- one explode and two partial-agg
+    shuffles, the same shape as vocab_top_tokens. Entropy rounds to
+    6 before comparison; empty texts yield H=0, null texts drop out
+    of the explode (rejoin with a left join if null rows must
+    survive).
+
+    Output: (doc_id, n_chars, entropy).
+    """
+    chars = (df.select(F.col(id_col).alias("doc_id"),
+                       F.explode(F.split(F.col(text_col), "")).alias("ch"))
+               # both engines split '' into [''] -- drop the artifact
+               .filter(F.col("ch") != ""))
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("c"))
+    return (counts.groupBy("doc_id")
+            .agg(F.sum("c").alias("n_chars"),
+                 F.sum(F.col("c") * F.log2("c")).alias("__clogc"))
+            .select("doc_id", "n_chars",
+                    F.round(F.log2("n_chars")
+                            - F.col("__clogc") / F.col("n_chars"), 6)
+                     .alias("entropy")))

@@ -739,6 +739,7 @@ _DRIVER_TAIL = [
     # round-5 additions: C4-style boilerplate n-grams + benchmark
     # decontamination, oracle-replayed in-repo
     "text_boilerplate_ngrams", "decontaminate_ngrams",
+    "text_scrub_pii", "text_char_entropy",
 ]
 _ORDERED = _DRIVER_HEAD + _DRIVER_TAIL
 assert set(_ORDERED) == set(REGISTRY) and len(_ORDERED) == len(REGISTRY), (

@@ -602,3 +602,53 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return decontaminate_flags(d, d.filter(F.col("doc_id") % 29 == 0), n=4)
+
+
+@register("text_scrub_pii", "ext:pii-scrub,F5,F9", oracle=r"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         'https?://[^\s]+', '<URL>', 'g'),
+         '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_email,
+       CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT)
+         AS n_url,
+       CAST(len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{7,}[0-9]'))
+         AS BIGINT) AS n_phone
+FROM documents
+""")
+def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/URL redaction (operators/text.scrub_pii): pure-JVM
+    regexp chain, narrow and shuffle-free; the patterns use the
+    Java-regex/RE2 common subset so both engines evaluate the same
+    automaton. DuckDB needs the explicit 'g' flag -- Spark's
+    regexp_replace is global by default."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import scrub_pii
+
+    return scrub_pii(table(spark, sf_dir, "documents"))
+
+
+@register("text_char_entropy", "ext:char-entropy,A1,F9", oracle="""
+WITH c AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+),
+cnt AS (
+  SELECT doc_id, ch, count(*) AS c FROM c WHERE ch != '' GROUP BY doc_id, ch
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+       round(log2(CAST(sum(c) AS DOUBLE))
+             - sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy
+FROM cnt GROUP BY doc_id
+""")
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per doc
+    (operators/text.char_entropy): explode + two partial-agg shuffles
+    using H = log2(n) - sum(c*log2(c))/n, so only per-char counts
+    ever cross an exchange. The empty-string char both engines emit
+    for '' is filtered on both sides."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import char_entropy
+
+    d = table(spark, sf_dir, "documents")
+    return char_entropy(d.filter(F.col("text").isNotNull()))

@@ -69,3 +69,47 @@ def test_decontaminate_flags_excludes_benchmark_and_counts_distinct(spark):
     assert 10 not in rows and 2 not in rows
     # doc1's 4-grams: 'q w e r','w e r t','e r t y' -- all in benchmark
     assert rows == {1: 3}
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import scrub_pii
+
+    docs = spark.createDataFrame(
+        [(1, "mail a@b.co or c.d+x@e.org, see https://x.io/p?q=1 "
+             "call +1 (555) 123-4567 now"),
+         (2, "clean text"),
+         (3, None)],
+        "doc_id bigint, text string")
+    rows = {r.doc_id: r for r in scrub_pii(docs).collect()}
+    assert rows[1].n_email == 2 and rows[1].n_url == 1 and rows[1].n_phone == 1
+    assert "<EMAIL>" in rows[1].clean_text
+    assert "<URL>" in rows[1].clean_text and "<PHONE>" in rows[1].clean_text
+    assert "a@b.co" not in rows[1].clean_text
+    assert rows[2].clean_text == "clean text" and rows[2].n_email == 0
+    assert rows[3].clean_text is None and rows[3].n_email is None
+
+
+def test_char_entropy_known_values(spark):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"),      # one symbol -> H = 0
+         (2, "aabb"),      # two equiprobable -> H = 1
+         (3, "abcd"),      # four equiprobable -> H = 2
+         (4, "")],         # empty -> no row (explode yields nothing)
+        "doc_id bigint, text string")
+    rows = {r.doc_id: (r.n_chars, r.entropy)
+            for r in char_entropy(docs).collect()}
+    assert rows == {1: (4, 0.0), 2: (4, 1.0), 3: (4, 2.0)}
+
+
+def test_suggest_chunk_bits_bounds():
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.dedup import suggest_chunk_bits
+
+    assert suggest_chunk_bits(0) == 8
+    assert suggest_chunk_bits(100) == 8           # floor
+    assert suggest_chunk_bits(150_000) == 15      # the r5 30x corpus
+    assert suggest_chunk_bits(10**12) == 31       # ceiling
+    # monotone non-decreasing in corpus size
+    vals = [suggest_chunk_bits(10**k) for k in range(2, 13)]
+    assert vals == sorted(vals)
