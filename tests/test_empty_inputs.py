@@ -45,3 +45,20 @@ def test_bill_split_all_empty(spark):
 def test_minhash_empty_corpus(spark):
     docs = spark.createDataFrame([], "doc_id long, text string")
     assert minhash_band_pairs(docs).count() == 0
+
+
+def test_r5_text_ops_empty_corpus(spark):
+    """The round-5 text operators must return empty frames with
+    stable schemas on an empty corpus."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import (
+        char_entropy, decontaminate_flags, ngram_doc_freq, scrub_pii,
+    )
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    assert ngram_doc_freq(empty).count() == 0
+    assert decontaminate_flags(empty, empty).count() == 0
+    assert char_entropy(empty).count() == 0
+    out = scrub_pii(empty)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "clean_text",
+                           "n_email", "n_url", "n_phone"]

@@ -194,3 +194,28 @@ def test_chunking_covers_every_token_with_exact_overlap(
     assert [r.chunk_idx for r in rows] == list(range(len(rows)))
     # all but the last chunk are full width
     assert all(r.n_tokens == chunk for r in rows[:-1])
+
+
+@given(st.lists(st.text(
+    alphabet=st.sampled_from("ab @.:/0123456789xyz+()-\n"),
+    max_size=40), min_size=1, max_size=8))
+@settings(max_examples=20, deadline=None)
+def test_scrub_pii_idempotent_and_clean(texts):
+    """Scrubbing is idempotent (a second pass finds nothing) and the
+    cleaned text never still matches any PII pattern."""
+    import re
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import PII_PATTERNS
+
+    # pure-python reference of the same chain (same regexes, same
+    # order) -- the Spark op applies exactly these patterns
+    def scrub(t):
+        for _, pat, token in PII_PATTERNS:
+            t = re.sub(pat, token, t)
+        return t
+
+    for t in texts:
+        once = scrub(t)
+        assert scrub(once) == once
+        for name, pat, _ in PII_PATTERNS:
+            assert not re.search(pat, once), (name, t, once)
