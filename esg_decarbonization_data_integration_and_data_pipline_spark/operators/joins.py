@@ -98,18 +98,40 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
         return None
 
 
-# right/left size ratio above which the agg strategy is chosen: a
-# right side much larger than the left means many candidate rows per
-# left row, where max_by's map-side partial collapse saves the most
-# shuffle bytes (the window strategy ships every candidate).
+# right/left ESTIMATED-ROW ratio above which the agg strategy is
+# chosen: many more right rows than left rows predicts high fan-in
+# (many candidates per left row), where max_by's map-side partial
+# collapse saves the most shuffle bytes (the window strategy ships
+# every candidate).
 _ASOF_AGG_RATIO = 8
+
+# Approximate per-column widths (bytes) mirroring Catalyst's
+# DataType.defaultSize, used to turn plan sizeInBytes into a row
+# estimate. A raw byte ratio is a poor fan-in proxy when the two
+# sides have very different row widths (a wide left side would
+# suppress 'agg' even at high fan-in) -- normalizing by schema width
+# makes the ratio a row-count proxy instead.
+_TYPE_WIDTHS = {
+    "boolean": 1, "tinyint": 1, "smallint": 2, "int": 4, "date": 4,
+    "float": 4, "bigint": 8, "double": 8, "timestamp": 8,
+    "timestamp_ntz": 8, "string": 20, "binary": 40,
+}
+
+
+def _est_row_width(df: DataFrame) -> int:
+    return max(1, sum(_TYPE_WIDTHS.get(f.dataType.simpleString(), 24)
+                      for f in df.schema.fields))
 
 
 def _pick_asof_strategy(left: DataFrame, right: DataFrame) -> str:
     lb, rb = _plan_size_bytes(left), _plan_size_bytes(right)
     if lb is None or rb is None or lb == 0:
         return "window"
-    return "agg" if rb >= _ASOF_AGG_RATIO * lb else "window"
+    lrows = lb / _est_row_width(left)
+    rrows = rb / _est_row_width(right)
+    if lrows <= 0:
+        return "window"
+    return "agg" if rrows >= _ASOF_AGG_RATIO * lrows else "window"
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
@@ -142,11 +164,16 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
       (network-shuffle) deployments with high fan-in, where shuffle
       bytes dominate the extra sort.
     - ``auto`` (default): picks from the optimizer's size estimates
-      (``_pick_asof_strategy``): a right side >= 8x the left predicts
-      high fan-in, where the agg's map-side collapse pays for its
-      extra sort; otherwise window. Metadata-only (same statistic
-      broadcast planning reads) -- no job runs. Callers that know
-      their shape keep the explicit override.
+      (``_pick_asof_strategy``): >= 8x more ESTIMATED RIGHT ROWS than
+      left (plan sizeInBytes normalized by schema row width, so a
+      wide left side can't mask high fan-in) predicts where the agg's
+      map-side collapse pays for its extra sort; otherwise window.
+      COST NOTE: ``auto`` eagerly runs analysis + optimization of
+      both inputs at call time to read the stats (the same statistic
+      broadcast planning reads -- metadata-only, no Spark job, but
+      not free on very deep plans; milliseconds typically). Callers
+      that know their shape, or that build very deep plans, keep the
+      explicit ``window``/``agg`` override.
     """
     if strategy == "auto":
         strategy = _pick_asof_strategy(left, right)

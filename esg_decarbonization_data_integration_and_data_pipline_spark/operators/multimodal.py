@@ -15,6 +15,8 @@ either way.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -77,8 +79,12 @@ def _decode_image(payload: bytes) -> tuple[int, int]:
     if png.is_png(payload):
         try:
             return png.png_dims(payload)
-        except ValueError:
-            pass  # malformed PNG -> stub like any undecodable payload
+        except (ValueError, struct.error, zlib.error):
+            # malformed PNG -> stub like any undecodable payload.
+            # png.py normalizes to ValueError; struct/zlib kept as
+            # belt-and-braces so one corrupt payload can never fail
+            # the whole mapInPandas task.
+            pass
     return _decode_image_stub(payload)
 
 
@@ -138,8 +144,8 @@ def _resize(payload: bytes, width: int, height: int) -> bytes:
     if png.is_png(payload):
         try:
             return png.png_resize(payload, width, height)
-        except ValueError:
-            pass  # unsupported PNG flavor -> stub
+        except (ValueError, struct.error, zlib.error):
+            pass  # unsupported/corrupt PNG flavor -> stub
     return _resize_stub(payload, width, height)
 
 

@@ -45,11 +45,19 @@ def _chunks(payload: bytes):
 
 
 def png_dims(payload: bytes) -> tuple[int, int]:
-    """(width, height) from IHDR -- a header-only read."""
+    """(width, height) from IHDR -- a header-only read.
+
+    All malformed input raises ValueError (never struct.error /
+    zlib.error) so callers need exactly one except clause; the
+    multimodal tiering relies on this to fall back to its stub
+    instead of crashing the mapInPandas worker on one bad payload.
+    """
     if not is_png(payload):
         raise ValueError("not a PNG payload")
     for ctype, data in _chunks(payload):
         if ctype == b"IHDR":
+            if len(data) < 8:
+                raise ValueError("short PNG IHDR chunk")
             w, h = struct.unpack(">II", data[:8])
             return int(w), int(h)
         break  # IHDR must be first
@@ -69,6 +77,8 @@ def png_decode(payload: bytes) -> np.ndarray:
     idat = bytearray()
     for ctype, data in _chunks(payload):
         if ctype == b"IHDR":
+            if len(data) != 13:
+                raise ValueError("malformed PNG IHDR chunk")
             width, height, bit_depth, color_type, _comp, _filt, interlace = \
                 struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
@@ -81,10 +91,19 @@ def png_decode(payload: bytes) -> np.ndarray:
             "only 8-bit gray/gray+alpha/RGB/RGBA")
     if interlace:
         raise ValueError("interlaced PNG unsupported")
+    if width == 0 or height == 0:
+        raise ValueError("zero-dimension PNG")
     ch = _CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
     stride = width * ch
-    if len(raw) != height * (stride + 1):
+    expected = height * (stride + 1)
+    # Bounded inflate: cap output at the size IHDR promises (+1 byte
+    # to detect overlong streams) so a corrupt/zip-bomb IDAT can't
+    # allocate unbounded memory before the length check.
+    try:
+        raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG IDAT: {exc}") from exc
+    if len(raw) != expected:
         raise ValueError("PNG pixel data length mismatch")
 
     out = np.empty((height, stride), dtype=np.uint8)
@@ -99,16 +118,20 @@ def png_decode(payload: bytes) -> np.ndarray:
             cur = line
         elif ftype == 2:      # Up
             cur = line + prev  # uint8 wraps mod 256, per spec
-        elif ftype in (1, 3, 4):
-            # Sub/Average/Paeth need the in-progress scanline; the
-            # per-pixel loop runs over ch-wide vector slices
+        elif ftype == 1:      # Sub: Recon(x) = Filt(x) + Recon(x-bpp)
+            # == per-channel cumulative sum over pixels; uint8 cumsum
+            # wraps mod 256 per spec, so this vectorizes exactly
+            cur = np.cumsum(line.reshape(width, ch), axis=0,
+                            dtype=np.uint8).reshape(-1)
+        elif ftype in (3, 4):
+            # Average/Paeth need the in-progress scanline (sequential
+            # left-dependence); the per-pixel loop runs over ch-wide
+            # vector slices
             cur = line
             for x in range(0, stride, ch):
                 left = cur[x - ch:x] if x >= ch else np.zeros(ch, np.uint8)
                 up = prev[x:x + ch]
-                if ftype == 1:
-                    cur[x:x + ch] += left
-                elif ftype == 3:
+                if ftype == 3:
                     cur[x:x + ch] += ((left.astype(np.uint16)
                                        + up.astype(np.uint16)) // 2) \
                         .astype(np.uint8)

@@ -39,20 +39,30 @@ _EPOCH_UNITS = (
 )
 
 
-def sniff_epoch_unit(df: DataFrame) -> str:
+def sniff_epoch_unit(df: DataFrame, sample_rows: int = 10_000) -> str:
     """Return the micros-conversion expr for an integer ``ts`` column
-    by sampling ONE non-null value and classifying its magnitude
-    (see ``_EPOCH_UNITS``). A ``limit(1)`` scan reads a handful of
-    rows from one file -- metadata-cheap, and it only runs when the
-    loaded dtype is integral, so the native-timestamp path never pays
-    it. An all-null / empty table defaults to nanos (the only integer
-    layout the driver has actually shipped)."""
+    by classifying ``max(abs(ts))`` over a bounded sample (see
+    ``_EPOCH_UNITS``). Classifying on the sample MAX (not one
+    arbitrary row) means a sentinel/outlier-low value like ``ts=0``
+    landing first can't silently misclassify the whole dataset --
+    small magnitudes are consistent with "early times" in EVERY unit,
+    so only the largest magnitude is informative (which is also why
+    there is no min/max same-band assertion: a legitimate epoch-0
+    sentinel would trip it). The ``limit(sample_rows)`` scan reads a
+    handful of row groups from one file -- metadata-cheap, and it
+    only runs when the loaded dtype is integral, so the
+    native-timestamp path never pays it. An all-null / empty table
+    defaults to nanos (the only integer layout the driver has
+    actually shipped)."""
     from pyspark.sql import functions as F
 
-    row = df.select("ts").where(F.col("ts").isNotNull()).limit(1).first()
-    if row is None:
+    row = (df.select("ts").where(F.col("ts").isNotNull())
+             .limit(sample_rows)
+             .agg(F.max(F.abs(F.col("ts").cast("bigint"))).alias("mx"))
+             .first())
+    if row is None or row[0] is None:
         return "ts div 1000"
-    v = abs(int(row[0]))
+    v = int(row[0])
     for bound, expr in _EPOCH_UNITS:
         if bound is None or v < bound:
             return expr

@@ -27,6 +27,30 @@ def sf_dir() -> str:
     return SF_DIR
 
 
+def sf_sibling(scale: str) -> str:
+    """Resolve a sibling scale directory (e.g. 'sf0.01', 'sf0.1') of
+    the configured testdata root. Testdata locations/layouts change
+    between rounds, so tests must derive every path from SF_DIR
+    instead of hardcoding /root/testdata/..."""
+    return os.path.join(os.path.dirname(SF_DIR.rstrip("/")), scale)
+
+
+@pytest.fixture(scope="session")
+def sf001_dir() -> str:
+    p = sf_sibling("sf0.01")
+    if not os.path.isdir(p):
+        pytest.skip(f"sf0.01 testdata not present at {p}")
+    return p
+
+
+@pytest.fixture(scope="session")
+def sf01_dir() -> str:
+    p = sf_sibling("sf0.1")
+    if not os.path.isdir(p):
+        pytest.skip(f"sf0.1 testdata not present at {p}")
+    return p
+
+
 @pytest.fixture(scope="session")
 def duck():
     import duckdb

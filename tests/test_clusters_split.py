@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import pytest
 
+from conftest import sf_sibling
+
 from esg_decarbonization_data_integration_and_data_pipline_spark.operators.dedup import dup_clusters
 from esg_decarbonization_data_integration_and_data_pipline_spark.operators.sampling import (
     deterministic_split,
@@ -33,7 +35,7 @@ def test_dup_clusters_empty_pairs(spark):
 
 
 def test_deterministic_split_fractions_and_stability(spark):
-    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    docs = spark.read.parquet(sf_sibling("sf0.01") + "/documents.parquet")
     out = deterministic_split(docs, "text",
                               {"train": 0.8, "eval": 0.1, "test": 0.1})
     counts = {r.split: r.n for r in
@@ -66,7 +68,7 @@ def test_stratified_sample_nested_prefix_and_determinism(spark):
     from esg_decarbonization_data_integration_and_data_pipline_spark.operators.sampling import (
         stratified_sample,
     )
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(sf_sibling("sf0.001") + "/documents.parquet")
     s2 = {(r.lang, r.doc_id) for r in
           stratified_sample(docs, ["lang"], 2, "text", "doc_id").collect()}
     s5 = {(r.lang, r.doc_id) for r in

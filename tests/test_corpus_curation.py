@@ -4,9 +4,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from conftest import sf_sibling
+
 from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.corpus_curation import curate
 
-SF = "/root/testdata/sf0.01"
+SF = sf_sibling("sf0.01")
 
 
 def test_curate_end_to_end(spark):

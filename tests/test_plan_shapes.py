@@ -165,3 +165,28 @@ def test_asof_auto_strategy_picks_from_size_stats(spark):
     forced = plan(asof_join(left, big_right, ["k"], "t", "rt",
                             strategy="window"))
     assert "row_number" in forced
+
+
+def test_asof_auto_threshold_pinned_at_8x(spark):
+    """Round-5 verdict task 8: pin the auto-pick decision boundary.
+    With identical schemas (widths cancel), the agg strategy must be
+    chosen when the right side's estimated rows are >= 8x the left's,
+    and window below that -- tested just either side of the boundary
+    so a silent threshold change fails loudly."""
+    from pyspark.sql import functions as F
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.joins import (
+        _ASOF_AGG_RATIO, _pick_asof_strategy,
+    )
+
+    assert _ASOF_AGG_RATIO == 8
+
+    def frame(n):
+        return spark.range(n).select(
+            (F.col("id") % 10).alias("k"), F.col("id").alias("t"))
+
+    left = frame(1000)
+    # comfortably below 8x -> window; comfortably above -> agg
+    # (margins absorb size-estimate rounding)
+    assert _pick_asof_strategy(left, frame(6500)) == "window"
+    assert _pick_asof_strategy(left, frame(9500)) == "agg"

@@ -12,7 +12,9 @@ from esg_decarbonization_data_integration_and_data_pipline_spark.operators.simil
 )
 from esg_decarbonization_data_integration_and_data_pipline_spark.tables import table
 
-SF001 = "/root/testdata/sf0.01"
+from conftest import sf_sibling
+
+SF001 = sf_sibling("sf0.01")
 K = 20
 
 
@@ -280,7 +282,8 @@ def test_ivf_index_with_refined_centroids_roundtrip(spark, tmp_path):
     assert got == expect
 
 
-def test_ivf_index_roundtrip_sf01_served_equals_inmemory(spark, tmp_path):
+def test_ivf_index_roundtrip_sf01_served_equals_inmemory(spark, tmp_path,
+                                                         sf01_dir):
     """Round-4 verdict item 8: the full write -> reload -> serve loop
     at sf0.1 (the bench corpus), including REFINED centroids riding
     through persistence. The served top-k must be identical to the
@@ -289,7 +292,7 @@ def test_ivf_index_roundtrip_sf01_served_equals_inmemory(spark, tmp_path):
     from esg_decarbonization_data_integration_and_data_pipline_spark.operators.similarity import (
         ivf_refine, ivf_topk_from_index, ivf_write_index,
     )
-    e = table(spark, "/root/testdata/sf0.1", "embeddings")
+    e = table(spark, sf01_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0)
     cents = ivf_refine(e, n_cells=16, n_iter=1)
     path = str(tmp_path / "ivf_index_sf01")
