@@ -6,7 +6,10 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced end-to-end with the noop sink (full execution,
 no driver-side collect bottleneck) -- the honest way to time a
-distributed plan.
+distributed plan. Each query runs BENCH_SAMPLES (default 3) times
+with the cache cleared in between; the recorded per-query number and
+the headline total are MEDIANS (single samples swing +/-30% on this
+box), with per-query min and raw samples alongside.
 """
 
 from __future__ import annotations
@@ -57,38 +60,66 @@ def main() -> None:
     # not first-query classloading
     REGISTRY["pricing_summary"].fn(spark, sf_dir).write.format("noop") \
         .mode("overwrite").save()
-    # ...and fork the Python/Arrow workers once, so the first
-    # pandas-UDF query measures its plan rather than worker startup
+    # ...and fork the Python/Arrow workers once -- with numpy touched
+    # INSIDE the udf, because the kernels import numpy lazily in the
+    # worker and a numpy-less warmup leaves ~0.3 s of import cost in
+    # the first sampled pandas-UDF query (measured r6). 2x
+    # parallelism partitions so every pooled worker gets warmed.
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
-    def _noop(s: pd.Series) -> pd.Series:
-        return s
+    def _warm(s: pd.Series) -> pd.Series:
+        import numpy as np
 
-    (spark.range(spark.sparkContext.defaultParallelism)
-          .withColumn("x", _noop(F.col("id").cast("double")))
+        return pd.Series(np.asarray(s.values, dtype="float64"))
+
+    par = spark.sparkContext.defaultParallelism
+    (spark.range(2 * par).repartition(2 * par)
+          .withColumn("x", _warm(F.col("id").cast("double")))
           .write.format("noop").mode("overwrite").save())
 
     names = [n for n in HEADLINE if n in REGISTRY]
     extra = os.environ.get("BENCH_QUERIES")
     if extra:
         names = [n for n in extra.split(",") if n in REGISTRY]
+    n_samples = max(1, int(os.environ.get("BENCH_SAMPLES", "3")))
 
+    # n=3 samples per query with the cache cleared in between:
+    # BENCH_LOG shows +/-30% single-sample noise on untouched code
+    # round over round, so the per-query MEDIAN is the recorded
+    # number (min kept alongside as the contention-free floor).
+    # clearCache() between samples keeps repeats honest for
+    # cache-using plans (they re-run their kernels), while codegen/
+    # JIT stays warm -- so sample 1 carries the one-time compile cost
+    # and the median reflects the plan's steady-state cost, which is
+    # what a long-lived cluster session pays.
     # per-query fault isolation: one broken plan must not erase the
     # timings of every healthy query (the whole point of a benchmark)
     timings: dict[str, float] = {}
+    minimums: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in names:
-        t0 = time.time()
-        try:
-            REGISTRY[name].fn(spark, sf_dir).write.format("noop") \
-                .mode("overwrite").save()
-        except Exception as exc:  # noqa: BLE001 -- record and continue
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+        runs: list[float] = []
+        for _ in range(n_samples):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            try:
+                REGISTRY[name].fn(spark, sf_dir).write.format("noop") \
+                    .mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001 -- record, continue
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"bench: {name} FAILED: {errors[name]}",
+                      file=sys.stderr)
+                break
+            runs.append(round(time.time() - t0, 3))
+        if not runs or name in errors:
             continue
-        timings[name] = round(time.time() - t0, 3)
+        runs_sorted = sorted(runs)
+        timings[name] = runs_sorted[len(runs_sorted) // 2]
+        minimums[name] = runs_sorted[0]
+        samples[name] = runs
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -99,7 +130,9 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": timings,          # per-query MEDIAN of n samples
+        "queries_min": minimums,     # per-query best sample
+        "samples": samples,          # raw per-query sample lists
         "sf": sf_val,
     }
     if errors:
