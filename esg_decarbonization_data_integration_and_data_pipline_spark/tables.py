@@ -21,8 +21,21 @@ TABLE_NAMES = [
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one parquet table (column pruning + predicate pushdown free)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Scan one parquet table (column pruning + predicate pushdown free).
+
+    ``documents.text`` gets the same layout-drift insurance as
+    ``events.ts``: if the driver ever ships it as a BINARY column,
+    it is cast to string (Java charset semantics: malformed bytes
+    become U+FFFD replacement chars -- unlike ``decode``, which
+    throws under ANSI mode), so every text kernel keeps working."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "documents" and "text" in df.columns:
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import BinaryType
+
+        if isinstance(df.schema["text"].dataType, BinaryType):
+            df = df.withColumn("text", F.col("text").cast("string"))
+    return df
 
 
 # Epoch-magnitude classification thresholds: |v| below each bound is

@@ -147,3 +147,93 @@ def test_embeddings_double_layout_matches_float(spark, tmp_path, sf_dir):
 
     assert topk(str(d / "embeddings.parquet")) == \
         topk(f"{sf_dir}/embeddings.parquet")
+
+
+def _write_documents(tmp_path, name, text_array):
+    d = tmp_path / name
+    d.mkdir()
+    n = len(text_array)
+    table_ = pa.table({
+        "doc_id": pa.array(list(range(1, n + 1)), pa.int64()),
+        "text": text_array,
+        "lang": pa.array(["en"] * n),
+        "source": pa.array(["s"] * n),
+        "n_chars": pa.array([7] * n, pa.int64()),
+    })
+    pq.write_table(table_, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_documents_binary_text_layout_is_adapted(spark, tmp_path):
+    """If the driver ever ships documents.text as BINARY, the catalog
+    loader must surface a string column (malformed bytes -> U+FFFD,
+    never a MALFORMED_CHARACTER_CODING error under ANSI), and the
+    text/dedup kernels must run on it unchanged."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.dedup import exact_dedup
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import quality_features
+    from esg_decarbonization_data_integration_and_data_pipline_spark.tables import table as load
+
+    d = _write_documents(
+        tmp_path, "docs_binary",
+        pa.array([b"hello world", b"caf\xe9 \xff\xfe broken", b"hello world",
+                  None], pa.binary()))
+    docs = load(spark, d, "documents")
+    assert docs.schema["text"].dataType.typeName() == "string"
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert texts[1] == "hello world" and texts[4] is None
+    assert "�" in texts[2]  # malformed bytes replaced, not thrown
+    # kernels run end-to-end: exact dedup groups the two identical docs
+    groups = {r.keep_id: r.n_dups for r in exact_dedup(docs).collect()
+              if r.keep_id is not None}
+    assert groups[1] == 2
+    assert quality_features(docs).count() == 4
+
+
+def test_documents_exotic_utf8_round_trips_kernels(spark, tmp_path):
+    """Valid-but-exotic UTF-8 (embedded NUL, astral plane, combining
+    marks, RTL) must flow through the Arrow text kernels without
+    error and dedup exactly."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.dedup import minhash_verified_pairs
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import quality_features
+    from esg_decarbonization_data_integration_and_data_pipline_spark.tables import table as load
+
+    weird = "nul\x00byte \U0001F600 astral é combining שלום rtl"
+    d = _write_documents(
+        tmp_path, "docs_exotic",
+        pa.array([weird, weird, "plain ascii text here", ""], pa.string()))
+    docs = load(spark, d, "documents")
+    assert quality_features(docs).count() == 4
+    pairs = {(r.id_a, r.id_b) for r in
+             minhash_verified_pairs(docs, threshold=0.9).collect()}
+    assert (1, 2) in pairs  # identical exotic docs pair at jaccard 1.0
+
+
+def test_embeddings_fixed_size_list_layout(spark, tmp_path, sf_dir):
+    """A parquet FIXED_SIZE_LIST embedding column must read as a plain
+    array and produce identical top-k to the variable-list layout."""
+    import pandas as pd
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.similarity import cosine_topk
+
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    pdf = pdf[pdf["vec_id"] < 200]
+    dim = len(pdf["embedding"].iloc[0])
+    flat = pa.array([float(x) for v in pdf["embedding"] for x in v],
+                    pa.float32())
+    fixed = pa.table({
+        "vec_id": pa.array(pdf["vec_id"], pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(flat, dim),
+        "label": pa.array(pdf["label"], pa.int32()),
+    })
+    d = tmp_path / "emb_fixed"
+    d.mkdir()
+    pq.write_table(fixed, str(d / "embeddings.parquet"))
+
+    def topk(path):
+        df = spark.read.parquet(path).where("vec_id < 200")
+        q = df.where("vec_id = 0")
+        return {(r.vec_id, r.cosine)
+                for r in cosine_topk(df, q, k=10).collect()}
+
+    assert topk(str(d / "embeddings.parquet")) == \
+        topk(f"{sf_dir}/embeddings.parquet")

@@ -73,3 +73,24 @@ def test_chunk_count_guard(spark):
     docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="n_chunks must be <= 8"):
         simhash_chunked(docs, n_chunks=16).collect()
+
+
+def test_auto_chunk_bits_matches_explicit_suggestion(spark, sf_dir):
+    """chunk_bits=None (the default) must size the bucket space from
+    the optimizer row estimate via suggest_chunk_bits and produce
+    exactly the pairs of the equivalent explicit call (r5 verdict
+    task 2: the sizing knob is now the default, not dead code)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.dedup import (
+        _est_rows, suggest_chunk_bits,
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    est = _est_rows(docs)
+    assert est is not None and est > 0
+    bits = suggest_chunk_bits(est, target_bucket=2, n_chunks=4)
+    assert 8 <= bits <= 31
+    auto = {(r.id_a, r.id_b, r.hamming)
+            for r in simhash_chunked_band_pairs(docs).collect()}
+    explicit = {(r.id_a, r.id_b, r.hamming)
+                for r in simhash_chunked_band_pairs(
+                    docs, chunk_bits=bits).collect()}
+    assert auto == explicit
