@@ -26,6 +26,10 @@ from __future__ import annotations
 import pandas as pd  # module-level: pandas_udf resolves stringized type hints here
 from pyspark.sql import Column, DataFrame, functions as F
 
+from esg_decarbonization_data_integration_and_data_pipline_spark.operators.scale import (
+    KERNEL_PARTITION_BYTES, SMALL_INPUT_BYTES, ensure_parallelism,
+    plan_size_bytes,
+)
 from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import (
     POLY_MOD, POLY_POWERS,
 )
@@ -208,67 +212,12 @@ def shingle_minhash_udf():
     return both_udf
 
 
-# ceiling below which redistributing raw text before the Arrow kernels
-# is trivially cheap; anything larger is left to parquet file splitting
-_SMALL_INPUT_BYTES = 256 << 20
-
-# estimated plan bytes of kernel input worth one Arrow task: below
-# this a partition's kernel work is ~fraction of a second, so extra
-# partitions only add task/shuffle waves (measured: the sf0.1
-# documents table estimates ~250 KB and its whole minhash kernel runs
-# in ~0.3 s of Python -- a 32-way repartition wave costs more than it
-# saves). Only consulted on the tiny-single-file rescue path; real
-# multi-file corpora never reach it.
-_KERNEL_PARTITION_BYTES = 512 << 10
-
-
-def _plan_size_bytes(df: DataFrame) -> int | None:
-    """Metadata-only size estimate of a frame -- the same optimizer
-    statistic broadcast planning uses (file-footer sizes for parquet
-    scans); None when the private accessor is unavailable."""
-    try:
-        return int(df._jdf.queryExecution().optimizedPlan()
-                   .stats().sizeInBytes())
-    except Exception:
-        return None
-
-
-def _ensure_parallelism(df: DataFrame, key: Column) -> DataFrame:
-    """Rescue tiny single-file inputs from a serial Arrow stage: when
-    a SMALL scan yields fewer file splits than the cluster's default
-    parallelism, redistribute by key before the Python kernels.
-
-    Decides from METADATA only (input file list + optimizer size
-    statistic) -- never ``df.rdd``, which forces physical planning on
-    every call. At real scale this is a no-op twice over: multi-file
-    datasets already split to >= cores partitions, and anything over
-    ``_SMALL_INPUT_BYTES`` is left to parquet row-group splitting
-    rather than paying a raw-text shuffle.
-
-    The partition target is SIZE-AWARE, not blindly defaultParallelism:
-    a shuffle wave plus N tiny downstream tasks costs more wall-clock
-    than it saves when the whole kernel input is a few hundred KB
-    (one Arrow batch of work). ~_KERNEL_PARTITION_BYTES of estimated
-    input per partition, capped at the cluster parallelism."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        n_files = len(df.inputFiles())
-    except Exception:
-        return df
-    if n_files == 0 or n_files >= target:
-        # non-file source, or enough splits already
-        return df
-    size = _plan_size_bytes(df)
-    if size is None:
-        return df.repartition(target, key)
-    if size > _SMALL_INPUT_BYTES:
-        return df
-    desired = min(target, max(1, -(-size // _KERNEL_PARTITION_BYTES)))
-    if desired <= n_files:
-        # the existing file splits already give >= the useful
-        # parallelism; a shuffle would only add a stage wave
-        return df
-    return df.repartition(desired, key)
+# shared with the gram-exploding text operators (operators/scale.py);
+# the private names stay importable for existing callers and tests
+_SMALL_INPUT_BYTES = SMALL_INPUT_BYTES
+_KERNEL_PARTITION_BYTES = KERNEL_PARTITION_BYTES
+_plan_size_bytes = plan_size_bytes
+_ensure_parallelism = ensure_parallelism
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -715,14 +664,29 @@ def dup_clusters(docs: DataFrame, pairs: DataFrame,
     convergence check is a driver-side count of CHANGED labels (a
     scalar per round, like any iterative fixpoint -- not a data
     collect). Deterministic for any input.
+
+    Cache contract (mirrors ``minhash_verified_pairs``): the RETURNED
+    frame reads the already-materialized fixpoint cache -- two long
+    columns per doc; without it any downstream action would replay
+    every propagation round. All per-round intermediate caches are
+    released before returning; long-lived sessions should call
+    ``result.unpersist()`` once done with the labels, which frees the
+    single cache this operator leaves behind (the rename projection
+    is sameResult with the cached fixpoint, so unpersist reaches it).
     """
     ids = docs.select(F.col(id_col).alias("id")).distinct()
+    # cache the symmetric edge list: it is pair-sized (two longs per
+    # edge) and consumed EVERY round -- without the cache each
+    # round's convergence count replays the caller's whole pair
+    # lineage (for minhash pairs: kernel + band join + verify,
+    # measured ~2.5x the full curation pipeline at sf0.1)
     edges = (pairs.select(F.col("id_a").alias("src"),
                           F.col("id_b").alias("dst"))
              .union(pairs.select(F.col("id_b").alias("src"),
-                                 F.col("id_a").alias("dst"))))
+                                 F.col("id_a").alias("dst")))
+             .cache())
     labels = ids.select("id", F.col("id").alias("lbl")).cache()
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_min = (edges.join(labels,
                                    edges.dst == labels.id)
                         .groupBy("src")
@@ -741,5 +705,20 @@ def dup_clusters(docs: DataFrame, pairs: DataFrame,
         labels = new_labels
         if changed == 0:
             break
+        if (it + 1) % 6 == 0:
+            # the labels subtree appears twice per round, so the
+            # LOGICAL plan doubles every iteration even though
+            # execution reads the cache; on deep-diameter graphs
+            # Catalyst analysis would dominate. Reset plan depth
+            # with a lineage truncation every few rounds (data is
+            # two longs per doc; blocks freed on GC).
+            checkpointed = labels.localCheckpoint()
+            labels.unpersist()
+            labels = checkpointed
+    edges.unpersist()
+    # The rename-only projection is sameResult with the cached loop
+    # frame, so the CacheManager serves it from that cache AND
+    # result.unpersist() releases it (verified by the cache-contract
+    # test) -- no second copy, no dangling loop cache.
     return labels.select(F.col("id").alias(id_col),
                          F.col("lbl").alias("cluster_id"))

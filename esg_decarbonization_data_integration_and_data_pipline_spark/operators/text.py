@@ -18,6 +18,24 @@ from __future__ import annotations
 import pandas as pd  # module-level: pandas_udf resolves stringized type hints here
 from pyspark.sql import Column, DataFrame, functions as F
 
+from esg_decarbonization_data_integration_and_data_pipline_spark.operators.scale import (
+    NGRAM_PARTITION_BYTES, ensure_parallelism,
+)
+
+
+def _spread(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Project to (doc_id, __t) and rescue the frame from a serial
+    n-gram/char explode: the gram transforms run as interpreted
+    higher-order functions OUTSIDE whole-stage codegen, so a 1-2
+    partition input (single small parquet file, or a gate-join output
+    AQE coalesced down) serializes the heaviest stage of the pipeline
+    (measured 4-5x at sf0.1). Metadata-only decision -- a no-op on
+    multi-file corpora (see operators/scale.py)."""
+    return ensure_parallelism(
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.col(text_col).alias("__t")),
+        F.col("doc_id"), NGRAM_PARTITION_BYTES)
+
 # base-17 polynomial coefficients (17^0..17^7); small enough that
 # codepoint * coeff stays far below 2^63 even for CJK planes
 POLY_POWERS_PY = [1, 17, 289, 4913, 83521, 1419857, 24137569, 410338673]
@@ -413,9 +431,9 @@ def ngram_doc_freq(df: DataFrame, n: int = 3, min_docs: int = 2,
 
     Output: (gram, n_docs) for grams in >= ``min_docs`` docs.
     """
-    grams = df.select(F.col(id_col).alias("doc_id"),
-                      F.explode(F.expr(_ngrams_expr(text_col, n)))
-                       .alias("gram"))
+    grams = _spread(df, id_col, text_col).select(
+        "doc_id",
+        F.explode(F.expr(_ngrams_expr("__t", n))).alias("gram"))
     return (grams.distinct()
                  .groupBy("gram")
                  .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -448,9 +466,9 @@ def decontaminate_flags(df: DataFrame, benchmark: DataFrame, n: int = 5,
                    .distinct())
     bench_ids = benchmark.select(F.col(id_col).alias("doc_id")).distinct()
     corpus = df.join(F.broadcast(bench_ids), "doc_id", "left_anti")
-    grams = corpus.select(F.col(id_col).alias("doc_id"),
-                          F.explode(F.expr(_ngrams_expr(text_col, n)))
-                           .alias("gram"))
+    grams = _spread(corpus, id_col, text_col).select(
+        "doc_id",
+        F.explode(F.expr(_ngrams_expr("__t", n))).alias("gram"))
     return (grams.join(F.broadcast(bench_grams), "gram")
                  .groupBy("doc_id")
                  .agg(F.count_distinct("gram").alias("n_hits")))
@@ -510,8 +528,9 @@ def char_entropy(df: DataFrame, id_col: str = "doc_id",
 
     Output: (doc_id, n_chars, entropy).
     """
-    chars = (df.select(F.col(id_col).alias("doc_id"),
-                       F.explode(F.split(F.col(text_col), "")).alias("ch"))
+    chars = (_spread(df, id_col, text_col)
+               .select("doc_id",
+                       F.explode(F.split(F.col("__t"), "")).alias("ch"))
                # both engines split '' into [''] -- drop the artifact
                .filter(F.col("ch") != ""))
     counts = chars.groupBy("doc_id", "ch").agg(
@@ -523,3 +542,39 @@ def char_entropy(df: DataFrame, id_col: str = "doc_id",
                     F.round(F.log2("n_chars")
                             - F.col("__clogc") / F.col("n_chars"), 6)
                      .alias("entropy")))
+
+
+def boilerplate_share(df: DataFrame, n: int = 3, min_docs: int = 2,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Per-document boilerplate ratio: the share of a doc's DISTINCT
+    word n-grams that are corpus boilerplate (n-grams appearing in
+    >= ``min_docs`` docs, the ``ngram_doc_freq`` rule) -- the
+    document-level gate a C4-style cleaning pass filters on (a doc
+    that is mostly template chrome scores near 1).
+
+    Plan: one explode -> per-doc-distinct (doc, gram) frame feeding
+    BOTH the gram-frequency aggregate and the membership join; both
+    hash-partition by gram, so the exchange is computed once and
+    reused (AQE). The final per-doc aggregate is partial-agg shaped.
+    Docs with < n tokens have no n-grams and drop out -- callers
+    gating on the share should left-join and coalesce to 0.
+
+    Output: (doc_id, n_grams, n_boiler, boiler_share).
+    """
+    grams = (_spread(df, id_col, text_col)
+             .select("doc_id",
+                     F.explode(F.expr(_ngrams_expr("__t", n)))
+                      .alias("gram"))
+             .distinct())
+    freq = (grams.groupBy("gram")
+                 .agg(F.count(F.lit(1)).alias("n_docs"))
+                 .filter(F.col("n_docs") >= min_docs))
+    return (grams.join(freq, "gram", "left")
+                 .groupBy("doc_id")
+                 .agg(F.count(F.lit(1)).alias("n_grams"),
+                      F.count("n_docs").alias("n_boiler"))
+                 .select("doc_id", "n_grams", "n_boiler",
+                         F.round(F.col("n_boiler")
+                                 / F.col("n_grams").cast("double"), 6)
+                          .alias("boiler_share")))

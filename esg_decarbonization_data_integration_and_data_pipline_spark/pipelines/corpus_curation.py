@@ -1,18 +1,27 @@
 """End-to-end training-corpus curation: the canonical LLM-data
 pipeline assembled from the engine's first-class operators.
 
-    lang-id -> quality filter -> near-dup clustering -> canonical
-    doc per cluster -> deterministic train/eval/test split
+    PII scrub -> lang-id -> quality gates (score, repetition,
+    char-entropy, boilerplate share) -> benchmark decontamination ->
+    near-dup clustering -> canonical doc per cluster ->
+    deterministic train/eval/test split
 
-Every stage is one of the oracle-checked operators (text.lang_scores,
-text.quality_features, dedup.minhash_verified_pairs +
-dedup.dup_clusters, sampling.deterministic_split); this module only
-composes them, so the 100 TB properties compose too: narrow scoring
-passes, the banded LSH candidate join, O(diameter) cluster rounds,
-and a shuffle-free split. The canonical-doc pick is min doc id per
+Every stage is one of the oracle-checked operators (text.scrub_pii,
+text.lang_scores, text.quality_features, text.char_entropy,
+text.boilerplate_share, text.decontaminate_flags,
+dedup.minhash_verified_pairs + dedup.dup_clusters,
+sampling.deterministic_split); this module only composes them, so
+the 100 TB properties compose too: narrow scrub/scoring passes, two
+partial-agg gram shuffles per optional gate, a broadcast benchmark
+join, the banded LSH candidate join, O(diameter) cluster rounds, and
+a shuffle-free split. The canonical-doc pick is min doc id per
 cluster -- deterministic, and exactly the reference's keep-first
 convention for duplicate uploads (jobs/csr_etl.py:75-119 keeps the
 authoritative row per key the same way).
+
+Cache note: the near-dup fixpoint labels stay cached (the
+``dup_clusters`` contract); long-lived sessions should clear it
+after materializing the curated output.
 """
 
 from __future__ import annotations
@@ -26,6 +35,7 @@ from esg_decarbonization_data_integration_and_data_pipline_spark.operators.sampl
     deterministic_split,
 )
 from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import (
+    PII_PATTERNS, boilerplate_share, char_entropy, decontaminate_flags,
     lang_scores, quality_features, repetition_stats,
 )
 
@@ -33,16 +43,46 @@ from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text 
 def curate(docs: DataFrame, keep_langs: list[str] | None = None,
            min_quality: float = 0.3, near_dup_threshold: float = 0.5,
            max_repetition: float | None = 0.9,
-           fractions: dict[str, float] | None = None) -> DataFrame:
+           fractions: dict[str, float] | None = None,
+           scrub: bool = True,
+           min_entropy: float | None = None,
+           max_boilerplate: float | None = None,
+           boilerplate_n: int = 3, boilerplate_min_docs: int = 2,
+           benchmark: DataFrame | None = None,
+           decontam_n: int = 5) -> DataFrame:
     """documents(doc_id, text, ...) -> curated corpus with
     (predicted_lang, quality_score, cluster_id, is_canonical, split).
 
-    Rows failing the language, quality, or repetition gate drop
-    (``max_repetition``: docs whose duplicate-bigram ratio exceeds it
-    are boilerplate/spam; None disables the gate); every survivor
-    keeps its near-dup cluster id and the canonical flag, so callers
-    can either train on canonicals only or weight by cluster size.
+    Rows failing the language, quality, repetition, entropy, or
+    boilerplate gate drop; docs sharing any ``decontam_n``-gram with
+    ``benchmark`` (an eval set) drop; every survivor keeps its
+    near-dup cluster id and the canonical flag, so callers can either
+    train on canonicals only or weight by cluster size.
+
+    - ``scrub`` (default on): PII/URL redaction BEFORE anything else
+      sees the text -- fingerprints, dedup signatures, and the split
+      hash all key on the scrubbed text, so two docs differing only
+      in redacted emails dedup together and can't straddle splits.
+    - ``min_entropy``: drop docs whose character-level Shannon
+      entropy falls below it (base64 blobs, padding spam; natural
+      text sits ~4-4.5 bits). None disables.
+    - ``max_boilerplate``: drop docs whose share of distinct word
+      ``boilerplate_n``-grams shared by >= ``boilerplate_min_docs``
+      docs exceeds it (template chrome). None disables. Docs too
+      short to have n-grams count as share 0.
+    - ``max_repetition``: docs whose duplicate-bigram ratio exceeds
+      it are boilerplate/spam; None disables.
+    - ``benchmark``: decontamination eval set (same doc_id/text
+      shape); its n-grams broadcast, the corpus is never shuffled on
+      gram strings. None disables.
     """
+    if scrub:
+        # narrow in-place rewrite (same regexp chain scrub_pii
+        # applies -- one shared pattern table, no join-back shuffle)
+        clean = F.col("text")
+        for _name, pat, token in PII_PATTERNS:
+            clean = F.regexp_replace(clean, pat, token)
+        docs = docs.withColumn("text", clean)
     scored = quality_features(lang_scores(docs))
     kept = scored.filter(F.col("quality_score") >= min_quality)
     if keep_langs:
@@ -53,6 +93,39 @@ def curate(docs: DataFrame, keep_langs: list[str] | None = None,
                         <= max_repetition)
                 .drop("total_bigrams", "distinct_bigrams",
                       "repetition_ratio", "top_gram_share"))
+    # Materialize the post-narrow-gate working set AND truncate its
+    # lineage (localCheckpoint, not cache): every remaining stage
+    # (entropy/boilerplate gates join kept against aggregates OF
+    # kept, decontamination scans it, minhash signatures scan it, the
+    # final label join reads it again) would otherwise replay the
+    # scoring kernels per pass -- and the dup-cluster fixpoint loop
+    # re-ANALYZES its input plan every round with the labels subtree
+    # doubling per round, so a deep gate lineage under it makes
+    # Catalyst planning the dominant cost (measured 58 s -> 9 s at
+    # sf0.1 from this one truncation). Standard curation working-set
+    # materialization: ~1x corpus bytes in MEMORY_AND_DISK blocks,
+    # freed on session GC; a reliable checkpoint dir replaces this
+    # under executor loss on a real cluster.
+    kept = kept.localCheckpoint()
+    if min_entropy is not None:
+        ent = char_entropy(kept).select(
+            "doc_id", F.col("entropy").alias("__ent"))
+        kept = (kept.join(ent, "doc_id", "left")
+                    .filter(F.coalesce(F.col("__ent"), F.lit(0.0))
+                            >= min_entropy)
+                    .drop("__ent"))
+    if max_boilerplate is not None:
+        bshare = boilerplate_share(
+            kept, n=boilerplate_n, min_docs=boilerplate_min_docs).select(
+            "doc_id", F.col("boiler_share").alias("__bshare"))
+        kept = (kept.join(bshare, "doc_id", "left")
+                    .filter(F.coalesce(F.col("__bshare"), F.lit(0.0))
+                            <= max_boilerplate)
+                    .drop("__bshare"))
+    if benchmark is not None:
+        contaminated = decontaminate_flags(kept, benchmark, n=decontam_n)
+        kept = kept.join(contaminated.select("doc_id"), "doc_id",
+                         "left_anti")
 
     pairs = minhash_verified_pairs(kept, threshold=near_dup_threshold)
     clusters = dup_clusters(kept, pairs)

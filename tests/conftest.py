@@ -17,7 +17,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     s = get_spark("decarb-tests", master="local[4]",
                   conf={"spark.sql.shuffle.partitions": "4",
-                        "spark.ui.enabled": "false"})
+                        "spark.ui.enabled": "false",
+                        # single-JVM local mode: driver heap IS the
+                        # executor heap; the sf0.1 end-to-end tests
+                        # (curation, IVF round-trip) exceed the 1g
+                        # default
+                        "spark.driver.memory": "6g"})
     s.sparkContext.setLogLevel("ERROR")
     yield s
 

@@ -81,3 +81,30 @@ def test_stratified_sample_nested_prefix_and_determinism(spark):
         [(1, "en", None), (2, "en", "x")], "doc_id long, lang string, text string")
     got = stratified_sample(withnull, ["lang"], 5, "text", "doc_id").collect()
     assert [r.doc_id for r in got] == [2]
+
+
+def test_dup_clusters_cache_contract(spark):
+    """Running dup_clusters twice and unpersisting both results leaves
+    no cached frames behind (r5 verdict: the final labels frame used
+    to stay cached forever in long-lived sessions)."""
+    def n_persistent():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    spark.catalog.clearCache()
+    base = n_persistent()
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)],
+                                 "doc_id bigint")
+    pairs = spark.createDataFrame([(1, 4), (4, 5)],
+                                  "id_a bigint, id_b bigint")
+    pairs2 = spark.createDataFrame([(2, 6)],
+                                   "id_a bigint, id_b bigint")
+    out1 = dup_clusters(docs, pairs)
+    out2 = dup_clusters(docs, pairs2)
+    # each call leaves exactly its (documented) result cache; a
+    # repeat call on IDENTICAL inputs would share one entry (the
+    # CacheManager dedupes same-result plans), hence distinct pairs
+    assert n_persistent() == base + 2
+    assert out1.count() == out2.count() == 7
+    out1.unpersist()
+    out2.unpersist()
+    assert n_persistent() == base

@@ -59,3 +59,101 @@ def test_curate_repetition_gate_filters(spark):
     # gate disabled -> both survive
     both = curate(docs, min_quality=0.3, max_repetition=None)
     assert sorted(r.doc_id for r in both.collect()) == [1, 2]
+
+
+def test_curate_scrub_redacts_and_dedups_together(spark):
+    """Two docs differing only in redacted emails scrub to identical
+    text, so they dedup into one cluster and share a split."""
+    base = ("contact us about the good long document with many "
+            "different words appearing once each and again here ")
+    docs = spark.createDataFrame(
+        [(1, base + "mail alice@example.com now"),
+         (2, base + "mail bob@other.org now")],
+        "doc_id bigint, text string")
+    out = curate(docs, min_quality=0.0, near_dup_threshold=0.5).cache()
+    rows = {r.doc_id: r for r in out.collect()}
+    assert "@" not in rows[1].text and "<EMAIL>" in rows[1].text
+    assert rows[1].cluster_id == rows[2].cluster_id
+    assert rows[1].split == rows[2].split
+    unscrubbed = curate(docs, min_quality=0.0, scrub=False)
+    assert "@" in unscrubbed.filter("doc_id = 1").first().text
+    out.unpersist()
+
+
+def test_curate_entropy_gate_filters(spark):
+    varied = ("the of and to in is a good long document with many "
+              "different words appearing once each time here")
+    docs = spark.createDataFrame(
+        [(1, varied), (2, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa")],
+        "doc_id bigint, text string")
+    out = curate(docs, min_quality=0.0, max_repetition=None,
+                 min_entropy=2.0)
+    assert [r.doc_id for r in out.collect()] == [1]
+
+
+def test_curate_boilerplate_gate_filters(spark):
+    chrome = "all rights reserved terms of service apply here"
+    uniq = ["many different words appearing once each time around",
+            "an actual document body with its own novel content",
+            "substantive text that shares nothing with the chrome"]
+    rows = [(i + 1, f"{u} {chrome}") for i, u in enumerate(uniq)]
+    rows.append((4, chrome))            # pure chrome: share ~1
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = curate(docs, min_quality=0.0, max_repetition=None,
+                 max_boilerplate=0.8, boilerplate_min_docs=3)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2, 3]
+
+
+def test_curate_decontamination_filters(spark):
+    eval_q = ("what is the capital of the example country "
+              "in this benchmark question")
+    clean = ("a perfectly ordinary training document with plenty "
+             "of its own words and no overlap at all")
+    docs = spark.createDataFrame(
+        [(1, clean), (2, f"leaked text: {eval_q} and more")],
+        "doc_id bigint, text string")
+    bench = spark.createDataFrame([(100, eval_q)],
+                                  "doc_id bigint, text string")
+    out = curate(docs, min_quality=0.0, max_repetition=None,
+                 benchmark=bench, decontam_n=5)
+    assert [r.doc_id for r in out.collect()] == [1]
+    no_bench = curate(docs, min_quality=0.0, max_repetition=None)
+    assert sorted(r.doc_id for r in no_bench.collect()) == [1, 2]
+
+
+def test_curate_all_gates_sf01_end_to_end(spark):
+    """Full pipeline -- scrub + quality + repetition + entropy +
+    boilerplate + decontamination + dedup + split -- over the sf0.1
+    documents table (the scale smoke the small gate tests can't
+    give). Wall time is recorded in SCALE.md."""
+    import time
+    docs = spark.read.parquet(sf_sibling("sf0.1") + "/documents.parquet")
+    # benchmark: a small deterministic eval slice, disjoint ids
+    bench = (docs.filter(F.col("doc_id") % 97 == 0)
+                 .select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                         "text"))
+    t0 = time.monotonic()
+    # boilerplate_min_docs=100 (2% of corpus): "chrome" means grams
+    # shared by MANY docs; min_docs=2 would flag near-dup grams the
+    # dedup stage owns (measured: share 1.0 everywhere at min_docs=2
+    # on this corpus, 0.0 at min_docs=100)
+    out = curate(docs, min_quality=0.3, max_repetition=0.9,
+                 min_entropy=2.0, max_boilerplate=0.9,
+                 boilerplate_min_docs=100,
+                 benchmark=bench, near_dup_threshold=0.5).cache()
+    n = out.count()
+    wall = time.monotonic() - t0
+    total = docs.count()
+    assert 0 < n < total
+    # gates actually fired: decontamination alone must drop the
+    # corpus twins of every benchmark doc (they share all n-grams)
+    assert out.filter(F.col("doc_id") % 97 == 0).count() == 0
+    # scrub fired: no raw emails survive in curated text
+    assert out.filter(F.col("text").rlike(
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+")).count() == 0
+    per_cluster = (out.groupBy("cluster_id")
+                   .agg(F.sum(F.col("is_canonical").cast("int")).alias("k")))
+    assert per_cluster.filter("k <> 1").count() == 0
+    print(f"\ncurate sf0.1: {total} -> {n} docs in {wall:.2f}s")
+    out.unpersist()
+    spark.catalog.clearCache()
