@@ -498,17 +498,21 @@ def suggest_chunk_bits(corpus_rows: int, target_bucket: int = 8,
     stays ~``target_bucket`` docs: the banded candidate term is
     ~n_chunks * rows^2 / 2^chunk_bits pairs (the birthday term the
     round-5 slope measurement surfaced at 30x), so bits must grow
-    with log2(corpus). Clamped to [8, 31] -- 31 is the hash-range
-    ceiling ``simhash_chunked`` enforces; past ~2^31-row corpora,
-    raise ``n_chunks`` instead (recall bound max_hamming <=
-    n_chunks - 1 is unchanged; each extra chunk adds one band
-    join)."""
+    with log2(corpus). Clamped to [16, 31]: wider bucket spaces are
+    FREE (band keys are arithmetic values, not allocated buckets --
+    sparseness costs nothing) and strictly reduce random collisions,
+    so the suggestion never goes below the 16-bit production default
+    (measured: 12 bits on a 5k-doc corpus was ~25% slower than 16
+    for zero benefit); 31 is the hash-range ceiling
+    ``simhash_chunked`` enforces; past ~2^31-row corpora, raise
+    ``n_chunks`` instead (recall bound max_hamming <= n_chunks - 1
+    is unchanged; each extra chunk adds one band join)."""
     import math
 
     if corpus_rows < 1:
-        return 8
+        return 16
     want = math.ceil(math.log2(max(corpus_rows / target_bucket, 2)))
-    return max(8, min(31, want))
+    return max(16, min(31, want))
 
 
 def simhash_chunked(df: DataFrame, n_chunks: int = 4, chunk_bits: int = 16,
@@ -722,3 +726,111 @@ def dup_clusters(docs: DataFrame, pairs: DataFrame,
     # test) -- no second copy, no dangling loop cache.
     return labels.select(F.col("id").alias(id_col),
                          F.col("lbl").alias("cluster_id"))
+
+
+def _signature_base(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One Arrow kernel pass -> (id, hs, mh): the LSH working set
+    (gram hashes + minhash signature) shared by the one-shot and the
+    incremental dedup paths."""
+    both_udf = shingle_minhash_udf()
+    return (_ensure_parallelism(
+                df.select(F.col(id_col).alias("id"), text_col),
+                F.col("id"))
+            .withColumn("b", both_udf(text_col))
+            .select("id", F.col("b.hs").alias("hs"),
+                    F.col("b.mh").alias("mh"))
+            .filter(F.col("mh").isNotNull()))
+
+
+def minhash_write_index(df: DataFrame, path: str, id_col: str = "doc_id",
+                        text_col: str = "text") -> None:
+    """Persist the MinHash signature store -- (id, hs, mh) parquet --
+    so later batches dedup against the corpus WITHOUT rescanning its
+    text (``minhash_incremental_pairs``). The store is ~1-2% of
+    corpus bytes (one long per gram + 8 signature longs per doc); at
+    100 TB this is the standard signature-store materialization the
+    one-shot path builds in memory (SCALE.md), written once and
+    appended per ingest batch. ``mode=overwrite``; append new
+    batches' signatures with ``spark.write.mode('append')`` on the
+    same columns after deduping them in.
+    """
+    _signature_base(df, id_col, text_col).write.mode("overwrite").parquet(path)
+
+
+def minhash_incremental_pairs(spark, new_docs: DataFrame, index_path: str,
+                              threshold: float, n_bands: int = 4,
+                              include_batch_pairs: bool = True,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """Incremental near-dup detection: verified Jaccard pairs of a
+    NEW document batch against a persisted signature index (plus,
+    by default, within the batch itself) -- the daily-ingest shape of
+    corpus dedup, where recomputing signatures for the historical
+    corpus per batch would be O(corpus) instead of O(batch).
+
+    New/old id spaces must be disjoint (re-ingest the same ids only
+    after deleting them from the index).
+
+    Plan: the batch pays ONE kernel pass (its own signatures); the
+    index contributes a parquet scan of (id, mh) for the band join
+    and a second pruned scan of (id, hs) for the verify leg -- the
+    historical TEXT is never read. Candidate pair ids broadcast into
+    both verify legs exactly like the one-shot path, so the only
+    exchanged frames are candidate-sized.
+
+    Output: (id_a, id_b, jaccard, against) with ``id_a`` from the new
+    batch and ``against`` in {'index', 'batch'}; batch-internal pairs
+    have id_a < id_b.
+
+    Reference: generalizes the reference's per-upload duplicate check
+    (jobs/csr_etl.py:75-119 re-reads the whole staging table per
+    upload) to a signature-store lookup.
+    """
+    new_base = _signature_base(new_docs, id_col, text_col).cache()
+    idx = spark.read.parquet(index_path)
+
+    nb = _explode_bands(new_base.select("id", "mh"), n_bands)
+    ib = _explode_bands(idx.select("id", "mh"), n_bands)
+    cross_cand = (nb.select("band", "sig", F.col("id").alias("id_a"))
+                  .join(ib.select("band", "sig", F.col("id").alias("id_b")),
+                        ["band", "sig"])
+                  .filter(F.col("id_a") != F.col("id_b"))
+                  .select("id_a", "id_b").distinct())
+
+    jac = F.round(
+        F.size(F.array_intersect("hs_a", "hs_b"))
+        / F.nullif(F.size(F.array_union("hs_a", "hs_b")), F.lit(0))
+           .cast("double"), 6)
+
+    na = new_base.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
+    ob = idx.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
+    cross = (na.join(F.broadcast(cross_cand), "id_a")
+               .join(ob.join(F.broadcast(cross_cand), "id_b"),
+                     ["id_a", "id_b"])
+               .withColumn("jaccard", jac)
+               .filter(F.col("jaccard") >= threshold)
+               .select("id_a", "id_b", "jaccard",
+                       F.lit("index").alias("against")))
+    if not include_batch_pairs:
+        return cross
+
+    batch_cand = _band_candidates(new_base.select("id", "mh"), n_bands)
+    nb_b = new_base.select(F.col("id").alias("id_b"),
+                           F.col("hs").alias("hs_b"))
+    batch = (na.join(F.broadcast(batch_cand), "id_a")
+               .join(nb_b.join(F.broadcast(batch_cand), "id_b"),
+                     ["id_a", "id_b"])
+               .withColumn("jaccard", jac)
+               .filter(F.col("jaccard") >= threshold)
+               .select("id_a", "id_b", "jaccard",
+                       F.lit("batch").alias("against")))
+    return cross.unionByName(batch)
+
+
+def minhash_append_index(df: DataFrame, path: str, id_col: str = "doc_id",
+                         text_col: str = "text") -> None:
+    """Append a (deduped-in) batch's signatures to an existing store
+    so the NEXT batch also dedups against this one -- the per-ingest
+    maintenance step of the incremental path. Same columns, parquet
+    append: O(batch) work, no index rewrite."""
+    _signature_base(df, id_col, text_col).write.mode("append").parquet(path)

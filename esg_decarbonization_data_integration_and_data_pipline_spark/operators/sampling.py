@@ -69,3 +69,51 @@ def deterministic_split(df: DataFrame, col: str,
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         lo = hi
     return df.withColumn(out_col, expr.otherwise("holdout"))
+
+
+def mixture_sample(df: DataFrame, weights: dict[str, float],
+                   source_col: str = "source", key_col: str = "text",
+                   id_col: str = "doc_id",
+                   out_col: str = "sample_rank") -> DataFrame:
+    """Deterministic mixture sampling: the LARGEST sample whose
+    per-source composition matches the target ``weights`` ratios --
+    the data-mixing step of corpus assembly (web/books/code at fixed
+    proportions), with no RNG state: the same corpus always yields
+    the same sample on any engine.
+
+    With n_s docs per source and weight w_s, the mixture-feasible
+    size is N = min_s floor(n_s / w_s); each source contributes its
+    k_s = floor(N * w_s) docs ranked by md5(key) (the
+    ``stratified_sample`` ordering, so nested prefixes of a source's
+    sample are stable as targets change). Sources absent from
+    ``weights`` are excluded; a weighted source with no rows makes
+    the sample empty (the mixture is infeasible). Weights are ratios
+    -- they need not sum to 1.
+
+    Plan: one bounded groupBy-collect for the per-source counts
+    (O(#sources) driver rows -- scalar control flow, not a data
+    collect), then ONE window shuffle keyed by source and a broadcast
+    limits join. Null keys drop (engines disagree on null md5
+    ordering).
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be positive ratios: {weights}")
+    valid = df.filter(F.col(key_col).isNotNull()
+                      & F.col(source_col).isin(list(weights)))
+    counts = {r["src"]: r["n"] for r in
+              (valid.groupBy(F.col(source_col).alias("src"))
+                    .agg(F.count(F.lit(1)).alias("n")).collect())}
+    cap = min(math.floor(counts.get(s, 0) / w) for s, w in weights.items())
+    limits = [(s, math.floor(cap * w)) for s, w in weights.items()]
+    lim_df = valid.sparkSession.createDataFrame(
+        limits, f"{source_col} string, __k bigint")
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(key_col)), F.col(key_col), F.col(id_col))
+    return (valid.withColumn(out_col, F.row_number().over(w))
+                 .join(F.broadcast(lim_df), source_col)
+                 .filter(F.col(out_col) <= F.col("__k"))
+                 .drop("__k"))

@@ -508,3 +508,44 @@ def ann_candidates(df: DataFrame, dim: int, id_col: str = "vec_id",
     return (pairs.withColumn("cosine",
                              F.round(dot / F.nullif(na * nb, F.lit(0.0)), 6))
                  .select("bucket", "id_a", "id_b", "cosine"))
+
+
+def semdedup_prune(df: DataFrame, threshold: float, dim: int,
+                   n_tables: int = 4, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   n_planes: int = N_PLANES) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding
+    column: multi-table LSH bucket candidates -> exact-cosine verify
+    at ``threshold`` -> connected components -> canonical = min id
+    per cluster. Training keeps ``is_canonical = 1`` rows (or weights
+    by cluster size); everything else is a semantic duplicate.
+
+    The whole plan is the production ANN shape (bucketed equi-joins,
+    pair-dedup before vectors re-attach, O(diameter) label rounds) --
+    no all-pairs stage anywhere, unlike the label-blocked exact
+    verifier ``dedup.embedding_dup_pairs``.
+
+    Output: (vec_id, cluster_id, is_canonical) -- is_canonical is
+    0/1; cluster_id is the min reachable id, so is_canonical is
+    simply (vec_id == cluster_id).
+    """
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.dedup import (
+        dup_clusters,
+    )
+
+    # materialize + lineage-truncate the verified pairs before the
+    # fixpoint loop: the label-propagation rounds re-analyze their
+    # input plan with the labels subtree doubling per round, and the
+    # multi-table bucket/cosine expression trees are large enough
+    # that replicated re-analysis dominates (and can exhaust the
+    # driver heap just printing plans). Pairs are two longs + a
+    # double each -- the checkpoint is candidate-sized.
+    pairs = (ann_candidates_multi(df, dim, n_tables, id_col, vec_col,
+                                  n_planes)
+             .filter(F.col("cosine") >= threshold)
+             .localCheckpoint())
+    clusters = dup_clusters(df.select(id_col), pairs, id_col=id_col)
+    return clusters.select(
+        id_col, "cluster_id",
+        (F.col(id_col) == F.col("cluster_id")).cast("int")
+         .alias("is_canonical"))

@@ -578,3 +578,41 @@ def boilerplate_share(df: DataFrame, n: int = 3, min_docs: int = 2,
                          F.round(F.col("n_boiler")
                                  / F.col("n_grams").cast("double"), 6)
                           .alias("boiler_share")))
+
+
+def unigram_nll(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Per-document mean negative log2-likelihood under the corpus's
+    OWN unigram language model -- the perplexity-proxy quality signal
+    of a training-data pipeline (gibberish and vocabulary-mismatched
+    docs score high, fluent in-domain text low) without shipping an
+    external LM: the corpus is its own reference model.
+
+    Plan: the same two partial-agg shape as tf-idf -- (doc, token)
+    counts, a token-grain corpus count over THAT (input already one
+    row per (doc, token)), the corpus total as a broadcast 1-row
+    aggregate, and one partial-agg groupBy back to doc grain. The
+    token join is a plain shuffle join (vocabulary is ~|corpus| worst
+    case; AQE downgrades to broadcast when small). Identity used:
+    mean -log2(c_i/total) = log2(total) - (1/n) * sum tf*log2(c).
+
+    Output: (doc_id, n_tokens, nll) -- nll rounded to 6; docs with
+    no tokens drop out (rejoin with a left join if they must
+    survive).
+    """
+    toks = F.expr(
+        f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')")
+    t = df.select(F.col(id_col).alias("doc_id"),
+                  F.explode(toks).alias("token"))
+    tf = t.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    corpus = tf.groupBy("token").agg(F.sum("tf").alias("c"))
+    total = corpus.agg(F.sum("c").alias("total"))
+    per_doc = (tf.join(corpus, "token")
+                 .groupBy("doc_id")
+                 .agg(F.sum("tf").alias("n_tokens"),
+                      F.sum(F.col("tf") * F.log2("c")).alias("__slc")))
+    return (per_doc.crossJoin(F.broadcast(total))
+            .select("doc_id", "n_tokens",
+                    F.round(F.log2("total")
+                            - F.col("__slc") / F.col("n_tokens"), 6)
+                     .alias("nll")))

@@ -36,7 +36,7 @@ from esg_decarbonization_data_integration_and_data_pipline_spark.operators.sampl
 )
 from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import (
     PII_PATTERNS, boilerplate_share, char_entropy, decontaminate_flags,
-    lang_scores, quality_features, repetition_stats,
+    lang_scores, quality_features, repetition_stats, unigram_nll,
 )
 
 
@@ -49,7 +49,8 @@ def curate(docs: DataFrame, keep_langs: list[str] | None = None,
            max_boilerplate: float | None = None,
            boilerplate_n: int = 3, boilerplate_min_docs: int = 2,
            benchmark: DataFrame | None = None,
-           decontam_n: int = 5) -> DataFrame:
+           decontam_n: int = 5,
+           max_nll: float | None = None) -> DataFrame:
     """documents(doc_id, text, ...) -> curated corpus with
     (predicted_lang, quality_score, cluster_id, is_canonical, split).
 
@@ -75,6 +76,10 @@ def curate(docs: DataFrame, keep_langs: list[str] | None = None,
     - ``benchmark``: decontamination eval set (same doc_id/text
       shape); its n-grams broadcast, the corpus is never shuffled on
       gram strings. None disables.
+    - ``max_nll``: drop docs whose mean token NLL under the corpus's
+      own unigram LM exceeds it (perplexity-proxy gate: vocabulary-
+      mismatched / gibberish docs score high). None disables. Docs
+      with no tokens count as failing (no evidence of fluency).
     """
     if scrub:
         # narrow in-place rewrite (same regexp chain scrub_pii
@@ -122,11 +127,28 @@ def curate(docs: DataFrame, keep_langs: list[str] | None = None,
                     .filter(F.coalesce(F.col("__bshare"), F.lit(0.0))
                             <= max_boilerplate)
                     .drop("__bshare"))
+    if max_nll is not None:
+        nll = unigram_nll(kept).select(
+            "doc_id", F.col("nll").alias("__nll"))
+        kept = (kept.join(nll, "doc_id", "left")
+                    .filter(F.coalesce(F.col("__nll"),
+                                       F.lit(float("inf")))
+                            <= max_nll)
+                    .drop("__nll"))
     if benchmark is not None:
         contaminated = decontaminate_flags(kept, benchmark, n=decontam_n)
         kept = kept.join(contaminated.select("doc_id"), "doc_id",
                          "left_anti")
 
+    # Second (post-gate) materialization: the surviving working set
+    # feeds FIVE consumers (minhash signatures, the cluster id list,
+    # the final label join, and -- through them -- every convergence
+    # round), each of which would otherwise replay the whole gate
+    # join/aggregate chain; measured at sf0.1/local[32], the replay
+    # multiplied the nll gate's one-pass ~5 s into ~60 s. Two
+    # corpus-sized block sets total (pre-gate kernels + post-gate
+    # survivors); both freed on session GC.
+    kept = kept.localCheckpoint()
     pairs = minhash_verified_pairs(kept, threshold=near_dup_threshold)
     clusters = dup_clusters(kept, pairs)
     canonical = (clusters.groupBy("cluster_id")

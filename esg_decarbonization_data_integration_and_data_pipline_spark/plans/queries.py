@@ -750,6 +750,10 @@ _DRIVER_TAIL = [
     # round-4 additions: batched ANN serving, oracle-replayed in-repo
     "similarity_topk_batch",
     "chunk_documents", "vocab_top_tokens",
+    # round-6 additions past the gate cap -- oracle-replayed in-repo
+    # like the rest of the tail; candidates for the r7 head rotation
+    "dedup_minhash_incremental", "text_unigram_nll",
+    "mixture_sample_docs", "semdedup_embeddings",
 ]
 _ORDERED = _DRIVER_HEAD + _DRIVER_TAIL
 assert set(_ORDERED) == set(REGISTRY) and len(_ORDERED) == len(REGISTRY), (

@@ -822,3 +822,175 @@ def events_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "avg_k", "n_events",
         F.to_json(F.struct("event_type", "avg_k", "n_events"))
          .alias("summary_json"))
+
+
+@register("dedup_minhash_incremental",
+          "ext:dedup-minhash-lsh,ext:dedup-incremental", oracle="""
+WITH s AS (
+  SELECT doc_id AS id,
+         (SELECT """ + _SQL_BIGRAMS + """ FROM (SELECT """ + _SQL_TOKS + """ AS __t)) AS sh
+  FROM documents
+),
+hs AS (
+  SELECT id, [""" + _sql_polyhash("g") + """ FOR g IN sh] AS hl FROM s
+),
+mh AS (
+  SELECT id, [list_min([(h * a + a * 7 + 13) % 2147483647 FOR h IN hl])
+              FOR a IN [31, 37, 41, 43, 47, 53, 59, 61]] AS m
+  FROM hs
+),
+bands AS (
+  SELECT id, b.band, m[b.band * 2 + 1] || ',' || m[b.band * 2 + 2] AS sig
+  FROM mh, (SELECT unnest(range(0, 4)) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, 'index' AS against
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.id % 4 = 0 AND b.id % 4 <> 0
+  UNION ALL
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, 'batch' AS against
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.id % 4 = 0 AND b.id % 4 = 0 AND a.id < b.id
+)
+SELECT c.id_a, c.id_b,
+       round(len(list_intersect(ha.hl, hb.hl))
+             / CAST(nullif(len(list_distinct(list_concat(ha.hl, hb.hl))), 0) AS DOUBLE),
+             6) AS jaccard,
+       c.against
+FROM cand c JOIN hs ha ON ha.id = c.id_a JOIN hs hb ON hb.id = c.id_b
+WHERE round(len(list_intersect(ha.hl, hb.hl))
+            / CAST(nullif(len(list_distinct(list_concat(ha.hl, hb.hl))), 0) AS DOUBLE),
+            6) >= 0.05
+""")
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup round-trip: docs with doc_id % 4 == 0 play
+    the NEW ingest batch, the rest are the historical corpus whose
+    signature store is WRITTEN to parquet and read back -- the query
+    exercises the real persisted-index path (minhash_write_index +
+    minhash_incremental_pairs); the oracle recomputes both sides'
+    signatures inline and restricts pairs to new-vs-index plus
+    new-vs-new, so the round-trip must be lossless to hash-match."""
+    import os
+    import tempfile
+
+    d = table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 4 == 0)
+    old = d.filter(F.col("doc_id") % 4 != 0)
+    path = os.path.join(tempfile.mkdtemp(prefix="decarb_mh_idx_"), "index")
+    D.minhash_write_index(old, path)
+    return D.minhash_incremental_pairs(spark, new, path, threshold=0.05)
+
+
+@register("text_unigram_nll", "ext:quality-score,ext:lm-score", oracle="""
+WITH t AS (
+  SELECT doc_id, unnest(""" + _SQL_TOKS + """) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM t GROUP BY doc_id, token
+),
+c AS (
+  SELECT token, sum(tf) AS c FROM tf GROUP BY token
+),
+tot AS (SELECT sum(c) AS total FROM c)
+SELECT tf.doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       round(log2(tot.total) - sum(tf * log2(c.c)) / sum(tf), 6) AS nll
+FROM tf JOIN c USING (token) CROSS JOIN tot
+GROUP BY tf.doc_id, tot.total
+""")
+def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: mean negative log2-likelihood
+    under the corpus's own unigram LM (two partial-agg shuffles +
+    one token join, the tf-idf plan shape)."""
+    d = table(spark, sf_dir, "documents")
+    return T.unigram_nll(d)
+
+
+@register("mixture_sample_docs", "ext:mixture-sampling", oracle="""
+WITH srcs AS (
+  SELECT source, count(*) AS n,
+         row_number() OVER (ORDER BY source) AS rk
+  FROM documents WHERE text IS NOT NULL GROUP BY source
+),
+w AS (
+  SELECT source, n,
+         CASE rk WHEN 1 THEN 0.5 WHEN 2 THEN 0.3 ELSE 0.2 END AS w
+  FROM srcs WHERE rk <= 3
+),
+cap AS (SELECT CAST(min(floor(n / w)) AS BIGINT) AS cap_n FROM w),
+lim AS (
+  SELECT source, CAST(floor(cap_n * w) AS BIGINT) AS k
+  FROM w CROSS JOIN cap
+),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(text), text, doc_id) AS sample_rank
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT r.doc_id, r.source, CAST(r.sample_rank AS INT) AS sample_rank
+FROM ranked r JOIN lim USING (source)
+WHERE r.sample_rank <= lim.k
+""")
+def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sampling at 0.5/0.3/0.2 over the three
+    lexicographically-first sources (derived from the data, so the
+    query survives fixture relabeling): the largest deterministic
+    sample matching the target composition."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    srcs = sorted(r[0] for r in
+                  d.filter(F.col("text").isNotNull())
+                   .select("source").distinct().collect())[:3]
+    weights = dict(zip(srcs, [0.5, 0.3, 0.2][:len(srcs)]))
+    return (mixture_sample(d, weights)
+            .select("doc_id", "source", "sample_rank"))
+
+
+@register("semdedup_embeddings", "ext:semdedup,ext:ann-lsh-multi", oracle="""
+WITH RECURSIVE v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+b AS (
+  SELECT v.vec_id, t.t AS tbl,
+         CAST(list_sum([
+           CASE WHEN list_sum([v.e[CAST(d + 1 AS INT)] *
+                    CAST((1 + (t.t * 8 + h) * 64 + d) * 2654435761 % 1001 - 500 AS DOUBLE)
+                    FOR d IN range(0, 64)]) >= 0
+                THEN (CAST(1 AS BIGINT) << CAST(h AS INT)) ELSE 0 END
+           FOR h IN range(0, 8)]) AS BIGINT) AS bucket
+  FROM v, (SELECT unnest(range(0, 4)) AS t) t
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket
+                   AND a.vec_id < c.vec_id
+),
+pairs AS (
+  SELECT p.id_a, p.id_b
+  FROM cand p JOIN v va ON va.vec_id = p.id_a
+              JOIN v vb ON vb.vec_id = p.id_b
+  WHERE round(list_cosine_similarity(va.e, vb.e), 6) >= 0.3
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS vec_id, min(lbl) AS cluster_id,
+       CAST(id = min(lbl) AS INT) AS is_canonical
+FROM reach GROUP BY id
+""")
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup composition: multi-table LSH candidates -> exact
+    cosine >= 0.3 -> connected components -> canonical flag. The
+    oracle replays banding, verify, and clustering as one recursive
+    CTE."""
+    e = table(spark, sf_dir, "embeddings")
+    return S.semdedup_prune(e, threshold=0.3, dim=64, n_tables=4)

@@ -157,3 +157,19 @@ def test_curate_all_gates_sf01_end_to_end(spark):
     print(f"\ncurate sf0.1: {total} -> {n} docs in {wall:.2f}s")
     out.unpersist()
     spark.catalog.clearCache()
+
+
+def test_curate_nll_gate_filters(spark):
+    common = [(i, "the quick brown fox jumps over the lazy dog")
+              for i in range(1, 9)]
+    rare = [(100, "zxqv wkjy pqmn vbxz qqzz")]
+    docs = spark.createDataFrame(common + rare,
+                                 "doc_id bigint, text string")
+    scores = {r.doc_id: r.nll for r in __import__(
+        "esg_decarbonization_data_integration_and_data_pipline_spark.operators.text",
+        fromlist=["unigram_nll"]).unigram_nll(docs).collect()}
+    cut = (scores[1] + scores[100]) / 2
+    out = curate(docs, min_quality=0.0, max_repetition=None,
+                 max_nll=cut)
+    assert 100 not in {r.doc_id for r in out.collect()}
+    assert 1 in {r.doc_id for r in out.collect()}

@@ -106,9 +106,10 @@ def test_char_entropy_known_values(spark):
 def test_suggest_chunk_bits_bounds():
     from esg_decarbonization_data_integration_and_data_pipline_spark.operators.dedup import suggest_chunk_bits
 
-    assert suggest_chunk_bits(0) == 8
-    assert suggest_chunk_bits(100) == 8           # floor
-    assert suggest_chunk_bits(150_000) == 15      # the r5 30x corpus
+    assert suggest_chunk_bits(0) == 16
+    assert suggest_chunk_bits(100) == 16          # floor: narrower than
+    assert suggest_chunk_bits(100_000) == 16      # 16 bits never wins
+    assert suggest_chunk_bits(10**7) == 21        # grows past the floor
     assert suggest_chunk_bits(10**12) == 31       # ceiling
     # monotone non-decreasing in corpus size
     vals = [suggest_chunk_bits(10**k) for k in range(2, 13)]
