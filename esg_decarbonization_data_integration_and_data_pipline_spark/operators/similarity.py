@@ -544,8 +544,63 @@ def semdedup_prune(df: DataFrame, threshold: float, dim: int,
                                   n_planes)
              .filter(F.col("cosine") >= threshold)
              .localCheckpoint())
+    return _canonical_labels(df, pairs, id_col)
+
+
+def _canonical_labels(df: DataFrame, pairs: DataFrame,
+                      id_col: str) -> DataFrame:
+    """pairs -> (id, cluster_id, is_canonical): connected components
+    + the min-id-canonical convention shared by both semantic-dedup
+    blockings."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.dedup import (
+        dup_clusters,
+    )
+
     clusters = dup_clusters(df.select(id_col), pairs, id_col=id_col)
     return clusters.select(
         id_col, "cluster_id",
         (F.col(id_col) == F.col("cluster_id")).cast("int")
          .alias("is_canonical"))
+
+
+def semdedup_prune_ivf(df: DataFrame, threshold: float,
+                       n_cells: int = 16, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       centroids: DataFrame | None = None) -> DataFrame:
+    """SemDeDup with the paper's own blocking: cluster the corpus
+    (IVF cells -- seed centroids by default, ``ivf_refine`` output in
+    production), then exact-cosine pairs WITHIN each cell, connected
+    components, canonical = min id per cluster.
+
+    Versus ``semdedup_prune`` (LSH blocking): cells give coarse
+    semantic blocks whose size the operator CONTROLS via
+    ``n_cells`` -- pairwise work is ~(n/K)^2 per cell, so K grows
+    with the corpus to bound it (the SemDeDup recipe: ~sqrt(n)
+    cells keeps total pairwise work ~n^1.5); LSH gives finer
+    buckets with recall controlled by table count. Same output
+    contract; near-dups straddling a cell boundary are missed by
+    design (the paper accepts this -- semantic dups share a cell by
+    construction of the clustering).
+
+    Output: (vec_id, cluster_id, is_canonical 0/1).
+    """
+    assigned = ivf_assign(df, n_cells, id_col, vec_col,
+                          centroids=centroids).cache()
+    a = assigned.select("cell", F.col("vec_id").alias("id_a"),
+                        F.col("v").alias("v_a"))
+    b = assigned.select("cell", F.col("vec_id").alias("id_b"),
+                        F.col("v").alias("v_b"))
+    dot = F.expr("aggregate(zip_with(v_a, v_b, (x, y) -> x * y), 0D, "
+                 "(acc, x) -> acc + x)")
+    na = F.sqrt(F.expr("aggregate(v_a, 0D, (acc, x) -> acc + x * x)"))
+    nb = F.sqrt(F.expr("aggregate(v_b, 0D, (acc, x) -> acc + x * x)"))
+    pairs = (a.join(b, "cell")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .withColumn("cosine",
+                          F.round(dot / F.nullif(na * nb, F.lit(0.0)), 6))
+              .filter(F.col("cosine") >= threshold)
+              .select("id_a", "id_b", "cosine")
+              .localCheckpoint())
+    assigned.unpersist()
+    out = _canonical_labels(df, pairs, id_col)
+    return out

@@ -754,6 +754,7 @@ _DRIVER_TAIL = [
     # like the rest of the tail; candidates for the r7 head rotation
     "dedup_minhash_incremental", "text_unigram_nll",
     "mixture_sample_docs", "semdedup_embeddings",
+    "text_boilerplate_share", "semdedup_embeddings_ivf",
 ]
 _ORDERED = _DRIVER_HEAD + _DRIVER_TAIL
 assert set(_ORDERED) == set(REGISTRY) and len(_ORDERED) == len(REGISTRY), (

@@ -994,3 +994,47 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE."""
     e = table(spark, sf_dir, "embeddings")
     return S.semdedup_prune(e, threshold=0.3, dim=64, n_tables=4)
+
+
+@register("semdedup_embeddings_ivf", "ext:semdedup,ext:ann-ivf", oracle="""
+WITH RECURSIVE v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 16),
+a AS (
+  SELECT v.vec_id, c.cid,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY round(list_cosine_similarity(v.e, c.ce), 6) DESC, c.cid
+         ) AS rn
+  FROM v, c
+),
+assigned AS (SELECT vec_id, cid AS cell FROM a WHERE rn = 1),
+pairs AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM assigned x JOIN assigned y
+    ON x.cell = y.cell AND x.vec_id < y.vec_id
+  JOIN v va ON va.vec_id = x.vec_id
+  JOIN v vb ON vb.vec_id = y.vec_id
+  WHERE round(list_cosine_similarity(va.e, vb.e), 6) >= 0.3
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS vec_id, min(lbl) AS cluster_id,
+       CAST(id = min(lbl) AS INT) AS is_canonical
+FROM reach GROUP BY id
+""")
+def semdedup_embeddings_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the paper's cluster-first blocking: IVF cell
+    assignment (deterministic seed centroids, same convention the
+    similarity_ivf_topk oracle replays) -> exact cosine >= 0.3
+    within each cell -> connected components -> canonical flag."""
+    e = table(spark, sf_dir, "embeddings")
+    return S.semdedup_prune_ivf(e, threshold=0.3, n_cells=16)

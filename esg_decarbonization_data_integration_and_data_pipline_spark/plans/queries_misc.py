@@ -652,3 +652,42 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return char_entropy(d.filter(F.col("text").isNotNull()))
+
+
+@register("text_boilerplate_share", "ext:boilerplate-ngrams,A7", oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> t != '') AS __t
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(__t[CAST(i AS INT):CAST(i + 2 AS INT)], ' ')
+                 FOR i IN range(1, CAST(len(__t) - 1 AS BIGINT))]) AS gram
+  FROM t
+),
+freq AS (
+  SELECT gram, count(*) AS n_docs FROM g GROUP BY gram
+  HAVING count(*) >= 3
+)
+SELECT g.doc_id,
+       count(*) AS n_grams,
+       count(freq.n_docs) AS n_boiler,
+       round(count(freq.n_docs) / CAST(count(*) AS DOUBLE), 6)
+         AS boiler_share
+FROM g LEFT JOIN freq USING (gram)
+GROUP BY g.doc_id
+""")
+def text_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate ratio (share of a doc's distinct
+    3-grams that are corpus chrome per the >= 3 docs rule) -- the
+    document-level gate form of text_boilerplate_ngrams; one reused
+    gram exchange feeds both the frequency aggregate and the
+    membership join (operators/text.boilerplate_share)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import (
+        boilerplate_share,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return boilerplate_share(d, n=3, min_docs=3)

@@ -99,3 +99,31 @@ def test_semdedup_prune_invariants(spark):
     assert per.filter("k <> 1").count() == 0
     out.unpersist()
     spark.catalog.clearCache()
+
+
+def test_semdedup_prune_ivf_invariants(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(8, 64)).astype("float32")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        rows.append((100 + i,
+                     [float(x) for x in v + 0.001 * rng.normal(size=64)]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.similarity import (
+        semdedup_prune_ivf,
+    )
+    out = semdedup_prune_ivf(df, threshold=0.99, n_cells=4).cache()
+    got = {r.vec_id: r for r in out.collect()}
+    assert len(got) == 16
+    for i in range(8):
+        # a twin has cosine ~1 with its original, so they share the
+        # nearest cell and must cluster together
+        assert got[i].cluster_id == got[100 + i].cluster_id == i
+        assert got[i].is_canonical == 1 and got[100 + i].is_canonical == 0
+    per = out.groupBy("cluster_id").agg(F.sum("is_canonical").alias("k"))
+    assert per.filter("k <> 1").count() == 0
+    out.unpersist()
+    spark.catalog.clearCache()

@@ -190,3 +190,36 @@ def test_asof_auto_threshold_pinned_at_8x(spark):
     # (margins absorb size-estimate rounding)
     assert _pick_asof_strategy(left, frame(6500)) == "window"
     assert _pick_asof_strategy(left, frame(9500)) == "agg"
+
+
+def test_incremental_dedup_prunes_index_and_broadcasts(spark, tmp_path):
+    """The persisted signature index must contribute PRUNED parquet
+    scans -- (id, mh) for the band join, (id, hs) for the verify leg;
+    the historical text is never read (it is not even in the store) --
+    and candidate pair ids must broadcast into the verify legs, so
+    the only exchanged frames are candidate-sized."""
+    from pyspark.sql import functions as F
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.dedup import (
+        minhash_incremental_pairs, minhash_write_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon word{i}") for i in range(20)],
+        "doc_id bigint, text string")
+    idx = str(tmp_path / "index")
+    minhash_write_index(docs.filter("doc_id < 10"), idx)
+    out = minhash_incremental_pairs(
+        spark, docs.filter("doc_id >= 10"), idx, threshold=0.1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # column pruning: every index scan reads a 2-column projection
+    import re
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    idx_schemas = [s for s in schemas if "mh" in s or "hs" in s]
+    assert idx_schemas, plan[:2000]
+    for s in idx_schemas:
+        cols = {c.split(":")[0] for c in s.split(",")}
+        assert cols in ({"id", "mh"}, {"id", "hs"}), s
+    # candidates broadcast into all four verify legs (index + batch)
+    assert plan.count("BroadcastHashJoin") >= 4
+    spark.catalog.clearCache()

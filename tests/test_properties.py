@@ -219,3 +219,30 @@ def test_scrub_pii_idempotent_and_clean(texts):
         assert scrub(once) == once
         for name, pat, _ in PII_PATTERNS:
             assert not re.search(pat, once), (name, t, once)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.sampled_from(["web", "books", "code"]),
+                min_size=3, max_size=40))
+def test_mixture_sample_never_exceeds_ratios(spark, sources):
+    """Property: per-source sample counts are exactly
+    floor(N * w_s) for N = min_s floor(n_s / w_s) -- composition is
+    achieved exactly, never exceeded, for any source distribution."""
+    import math
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    weights = {"web": 0.5, "books": 0.3, "code": 0.2}
+    rows = [(i, f"text number {i} id", s) for i, s in enumerate(sources)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    n_s = {s: sources.count(s) for s in weights}
+    cap = min(math.floor(n_s[s] / w) for s, w in weights.items())
+    got = {r.src: r.n for r in
+           (mixture_sample(df, weights)
+            .groupBy(F.col("source").alias("src"))
+            .agg(F.count("*").alias("n")).collect())}
+    for s, w in weights.items():
+        assert got.get(s, 0) == math.floor(cap * w)
