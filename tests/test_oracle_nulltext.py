@@ -30,7 +30,14 @@ QUERIES = ["text_repetition", "dedup_simhash64_pairs", "dedup_simhash",
            "dedup_jaccard_pairs", "dedup_clusters", "deterministic_split",
            "text_fingerprint", "text_lang_id", "text_quality",
            "multimodal_features", "stratified_sample_docs",
-           "chunk_documents", "vocab_top_tokens", "tfidf_top_terms"]
+           "chunk_documents", "vocab_top_tokens", "tfidf_top_terms",
+           # round-6 documents-table queries: same latent-divergence
+           # insurance (null text, empty text, whitespace-only,
+           # single-token, exact dup)
+           "text_scrub_pii", "text_char_entropy",
+           "text_boilerplate_ngrams", "text_boilerplate_share",
+           "decontaminate_ngrams", "text_unigram_nll",
+           "mixture_sample_docs", "dedup_minhash_incremental"]
 
 
 @pytest.fixture(scope="module")
