@@ -1038,3 +1038,47 @@ def semdedup_embeddings_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     within each cell -> connected components -> canonical flag."""
     e = table(spark, sf_dir, "embeddings")
     return S.semdedup_prune_ivf(e, threshold=0.3, n_cells=16)
+
+
+@register("similarity_sq_topk", "ext:ann-quantized", oracle="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+qz AS (
+  SELECT vec_id, e,
+         round(list_max([abs(x) FOR x IN e]) / 127.0, 12) AS scale
+  FROM v
+),
+codes AS (
+  SELECT vec_id, e,
+         CASE WHEN scale = 0 THEN [CAST(0 AS INT) FOR x IN e]
+              ELSE [CAST(round(x / scale) AS INT) FOR x IN e] END AS qv
+  FROM qz
+),
+qq AS (SELECT qv AS q_qv, e AS qe FROM codes WHERE vec_id = 0),
+cand AS (
+  SELECT c.vec_id
+  FROM codes c CROSS JOIN qq
+  ORDER BY round(list_cosine_similarity(
+             CAST(c.qv AS DOUBLE[]), CAST(qq.q_qv AS DOUBLE[])), 6) DESC,
+           c.vec_id
+  LIMIT 50
+),
+exact AS (
+  SELECT v.vec_id,
+         round(list_cosine_similarity(v.e, qq.qe), 6) AS cosine
+  FROM v JOIN cand USING (vec_id) CROSS JOIN qq
+)
+SELECT vec_id, cosine,
+       CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rank
+FROM exact
+QUALIFY rank <= 10
+""")
+def similarity_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage int8-quantized ANN: approximate cosine over the
+    scalar-quantized codes (scales factor out), top-50 candidates,
+    exact-cosine re-rank to top-10 -- the memory-bound serving tier
+    (operators/similarity.sq_quantize / sq_topk)."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    return S.sq_topk(e, q, k=10, rerank=50)

@@ -127,3 +127,38 @@ def test_semdedup_prune_ivf_invariants(spark):
     assert per.filter("k <> 1").count() == 0
     out.unpersist()
     spark.catalog.clearCache()
+
+
+def test_sq_topk_exact_when_rerank_covers_corpus(spark, sf_dir):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.similarity import (
+        cosine_topk, sq_topk,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") == 0)
+    n = e.count()
+    exact = [(r.vec_id, r.cosine) for r in cosine_topk(e, q, 10).collect()]
+    quant = [(r.vec_id, r.cosine)
+             for r in sq_topk(e, q, 10, rerank=n).collect()]
+    assert quant == exact
+    # narrow rerank still recovers the top hit (the query itself)
+    narrow = sq_topk(e, q, 3, rerank=5).collect()
+    assert narrow[0].vec_id == 0 and narrow[0].cosine == 1.0
+
+
+def test_sq_quantize_bounds_and_zero_vector(spark):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.similarity import (
+        sq_quantize,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<float>")
+    got = {r.vec_id: r for r in sq_quantize(df).collect()}
+    assert got[2].scale == 0.0 and got[2].qv == [0, 0, 0]
+    s = got[1].scale
+    assert s == pytest.approx(2.0 / 127, abs=1e-9)
+    # dequantized error bounded by scale/2 per component
+    for orig, q in zip([1.0, -2.0, 0.5], got[1].qv):
+        assert abs(q * s - orig) <= s / 2 + 1e-12
+    assert max(abs(x) for x in got[1].qv) <= 127
