@@ -349,20 +349,17 @@ def minhash_verified_pairs(df: DataFrame, threshold: float,
     repeatedly should clear the cache after materializing the
     result.
     """
-    both_udf = shingle_minhash_udf()
-    # ONE kernel pass computes shingle hashes + signature per doc;
-    # cached because both the band join and the verify join consume
-    # it (the LSH working set -- id + int arrays, tiny relative to
-    # the corpus). Jaccard runs on the int64 gram-hash sets: same
-    # cardinalities as the gram strings (any collision is mirrored in
-    # the oracle, which uses the identical hash formulation), with
-    # primitive array set-ops instead of per-pair string loops.
-    base = (_ensure_parallelism(df.select(F.col(id_col).alias("id"), text_col),
-                                F.col("id"))
-            .withColumn("b", both_udf(text_col))
-            .select("id", F.col("b.hs").alias("hs"),
-                    F.col("b.mh").alias("mh"))
-            .filter(F.col("mh").isNotNull()))
+    # ONE kernel pass computes shingle hashes + signature per doc
+    # (_signature_base -- the SAME recipe the persisted index and the
+    # incremental path use, so the equivalence between one-shot and
+    # incremental results is structural); cached because both the
+    # band join and the verify join consume it (the LSH working set
+    # -- id + int arrays, tiny relative to the corpus). Jaccard runs
+    # on the int64 gram-hash sets: same cardinalities as the gram
+    # strings (any collision is mirrored in the oracle, which uses
+    # the identical hash formulation), with primitive array set-ops
+    # instead of per-pair string loops.
+    base = _signature_base(df, id_col, text_col)
     if persist is None:
         persist = True
     if persist:
@@ -782,11 +779,32 @@ def minhash_incremental_pairs(spark, new_docs: DataFrame, index_path: str,
     batch and ``against`` in {'index', 'batch'}; batch-internal pairs
     have id_a < id_b.
 
+    Cache contract: the batch working set (one row per new doc) is
+    cached for the duration of the returned frame's life -- it feeds
+    the band join and up to three verify legs. Long-lived repeated
+    callers (a streaming ingest loop) should build the base
+    themselves and manage its lifecycle via
+    ``incremental_pairs_from_base`` (what ``streaming/docs_dedup``
+    does), or clear the cache after materializing.
+
     Reference: generalizes the reference's per-upload duplicate check
     (jobs/csr_etl.py:75-119 re-reads the whole staging table per
     upload) to a signature-store lookup.
     """
     new_base = _signature_base(new_docs, id_col, text_col).cache()
+    return incremental_pairs_from_base(
+        spark, new_base, index_path, threshold, n_bands,
+        include_batch_pairs)
+
+
+def incremental_pairs_from_base(spark, new_base: DataFrame,
+                                index_path: str, threshold: float,
+                                n_bands: int = 4,
+                                include_batch_pairs: bool = True) -> DataFrame:
+    """``minhash_incremental_pairs`` over a caller-managed signature
+    working set (``_signature_base`` output, typically cached or
+    checkpointed by the caller, released by the caller when the
+    result is materialized)."""
     idx = spark.read.parquet(index_path)
 
     nb = _explode_bands(new_base.select("id", "mh"), n_bands)

@@ -28,6 +28,10 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from esg_decarbonization_data_integration_and_data_pipline_spark.operators.scale import (
+    plan_size_bytes,
+)
+
 
 def interval_join(left: DataFrame, right: DataFrame, on: Sequence[str] | Column,
                   point_col: str, lo_col: str, hi_col: str,
@@ -87,15 +91,10 @@ def _restore_right_names(picked: DataFrame, left: DataFrame,
     return picked
 
 
-def _plan_size_bytes(df: DataFrame) -> int | None:
-    """Metadata-only size estimate of a frame -- the same optimizer
-    statistic broadcast planning uses (file-footer sizes for parquet
-    scans); None when the private accessor is unavailable."""
-    try:
-        return int(df._jdf.queryExecution().optimizedPlan()
-                   .stats().sizeInBytes())
-    except Exception:
-        return None
+# single source of truth in operators/scale.py (shared with the
+# kernel-parallelism rescue); the private alias keeps this module's
+# callers and tests stable
+_plan_size_bytes = plan_size_bytes
 
 
 # right/left ESTIMATED-ROW ratio above which the agg strategy is

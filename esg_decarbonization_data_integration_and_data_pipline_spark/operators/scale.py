@@ -83,7 +83,13 @@ def ensure_parallelism(df: DataFrame, key: Column,
         # Post-filter/post-kernel size estimates UNDERestimate badly
         # (selectivity guesses, not measured bytes -- observed 104 KB
         # for ~5 MB of text), so don't size partitions from them:
-        # take the full target and let AQE coalesce if truly tiny.
+        # take the full target. NOTE this explicit-N repartition is
+        # deliberate and NOT AQE-coalescible -- a byte-based advisory
+        # would re-merge these partitions (the per-byte cost of the
+        # downstream HOF/Python stage is what the bytes can't see);
+        # the worst case is ~target near-empty tasks on a truly tiny
+        # frame, a bounded scheduling cost the 4-5x serial-stage
+        # savings dominate.
         if size is not None and size > SMALL_INPUT_BYTES:
             return df
         return df.repartition(target, key)

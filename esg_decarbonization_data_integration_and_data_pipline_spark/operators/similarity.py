@@ -529,10 +529,6 @@ def semdedup_prune(df: DataFrame, threshold: float, dim: int,
     0/1; cluster_id is the min reachable id, so is_canonical is
     simply (vec_id == cluster_id).
     """
-    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.dedup import (
-        dup_clusters,
-    )
-
     # materialize + lineage-truncate the verified pairs before the
     # fixpoint loop: the label-propagation rounds re-analyze their
     # input plan with the labels subtree doubling per round, and the
@@ -551,13 +547,22 @@ def _canonical_labels(df: DataFrame, pairs: DataFrame,
                       id_col: str) -> DataFrame:
     """pairs -> (id, cluster_id, is_canonical): connected components
     + the min-id-canonical convention shared by both semantic-dedup
-    blockings."""
+    blockings.
+
+    The is_canonical projection is NOT sameResult with the
+    dup_clusters cache, so returning it directly would strand that
+    cache (callers could never release it); instead the labels are
+    checkpointed (eager, reads the cache once) and the cache is
+    released here -- the returned frame reads GC-managed checkpoint
+    blocks, consistent with the pairs materialization upstream."""
     from esg_decarbonization_data_integration_and_data_pipline_spark.operators.dedup import (
         dup_clusters,
     )
 
     clusters = dup_clusters(df.select(id_col), pairs, id_col=id_col)
-    return clusters.select(
+    snapped = clusters.localCheckpoint()
+    clusters.unpersist()
+    return snapped.select(
         id_col, "cluster_id",
         (F.col(id_col) == F.col("cluster_id")).cast("int")
          .alias("is_canonical"))
@@ -584,6 +589,17 @@ def semdedup_prune_ivf(df: DataFrame, threshold: float,
 
     Output: (vec_id, cluster_id, is_canonical 0/1).
     """
+    if centroids is None and df.filter(
+            F.col(id_col) < n_cells).limit(1).count() == 0:
+        # the default seed convention takes the vectors with ids
+        # < n_cells; with none present every row would land in a
+        # NULL cell, the cell equi-join would drop all of them, and
+        # the "dedup" would silently be a no-op (every vector
+        # canonical) -- fail loudly instead
+        raise ValueError(
+            f"no seed centroids: no {id_col} < {n_cells} in the "
+            "corpus -- pass centroids= (e.g. ivf_refine output) for "
+            "non-zero-based id spaces")
     assigned = ivf_assign(df, n_cells, id_col, vec_col,
                           centroids=centroids).cache()
     a = assigned.select("cell", F.col("vec_id").alias("id_a"),

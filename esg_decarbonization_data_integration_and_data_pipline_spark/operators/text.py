@@ -442,7 +442,8 @@ def ngram_doc_freq(df: DataFrame, n: int = 3, min_docs: int = 2,
 
 def decontaminate_flags(df: DataFrame, benchmark: DataFrame, n: int = 5,
                         id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        exclude_benchmark_ids: bool = True) -> DataFrame:
     """Test-set decontamination: flag corpus documents sharing any
     word ``n``-gram with a benchmark/eval set (the standard n-gram
     overlap rule used before training -- contaminated docs are
@@ -458,15 +459,31 @@ def decontaminate_flags(df: DataFrame, benchmark: DataFrame, n: int = 5,
     the corpus), not the plan.
 
     Output: (doc_id, n_hits) -- distinct shared n-grams per
-    contaminated corpus doc, benchmark docs themselves excluded.
+    contaminated corpus doc.
+
+    ``exclude_benchmark_ids`` (default True) exempts corpus rows
+    whose id appears in the benchmark frame -- correct when the
+    benchmark rows LIVE IN the corpus table (same id space, e.g. an
+    eval split of the same corpus). For an EXTERNAL eval set whose
+    ids are unrelated, pass False: an accidental id collision would
+    otherwise exempt a real training doc from the contamination scan
+    entirely. IMPORTANT: compare LIKE with LIKE -- if the corpus
+    text was transformed (e.g. PII-scrubbed), apply the same
+    transform to ``benchmark`` first, or shared n-grams spanning a
+    redacted token can never match (``corpus_curation`` does this).
     """
     bench_grams = (benchmark
                    .select(F.explode(F.expr(_ngrams_expr(text_col, n)))
                             .alias("gram"))
                    .distinct())
-    bench_ids = benchmark.select(F.col(id_col).alias("doc_id")).distinct()
-    corpus = df.join(F.broadcast(bench_ids), "doc_id", "left_anti")
-    grams = _spread(corpus, id_col, text_col).select(
+    corpus = df.select(F.col(id_col).alias("doc_id"),
+                       F.col(text_col).alias("__t"))
+    if exclude_benchmark_ids:
+        bench_ids = (benchmark.select(F.col(id_col).alias("doc_id"))
+                     .distinct())
+        corpus = corpus.join(F.broadcast(bench_ids), "doc_id",
+                             "left_anti")
+    grams = _spread(corpus, "doc_id", "__t").select(
         "doc_id",
         F.explode(F.expr(_ngrams_expr("__t", n))).alias("gram"))
     return (grams.join(F.broadcast(bench_grams), "gram")

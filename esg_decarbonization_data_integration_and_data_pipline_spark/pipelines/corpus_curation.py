@@ -136,7 +136,20 @@ def curate(docs: DataFrame, keep_langs: list[str] | None = None,
                             <= max_nll)
                     .drop("__nll"))
     if benchmark is not None:
-        contaminated = decontaminate_flags(kept, benchmark, n=decontam_n)
+        if scrub:
+            # compare like with like: the corpus text was scrubbed
+            # above, so benchmark n-grams spanning an email/URL/phone
+            # would never match unless the benchmark is scrubbed with
+            # the SAME chain (review finding: a leaked eval item
+            # citing a URL would otherwise survive decontamination)
+            bclean = F.col("text")
+            for _name, pat, token in PII_PATTERNS:
+                bclean = F.regexp_replace(bclean, pat, token)
+            benchmark = benchmark.withColumn("text", bclean)
+        # external eval sets have unrelated id spaces -- id-collision
+        # exemption would skip real docs, so scan everything
+        contaminated = decontaminate_flags(kept, benchmark, n=decontam_n,
+                                           exclude_benchmark_ids=False)
         kept = kept.join(contaminated.select("doc_id"), "doc_id",
                          "left_anti")
 

@@ -871,12 +871,18 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures inline and restricts pairs to new-vs-index plus
     new-vs-new, so the round-trip must be lossless to hash-match."""
     import os
+    import shutil
     import tempfile
 
     d = table(spark, sf_dir, "documents")
     new = d.filter(F.col("doc_id") % 4 == 0)
     old = d.filter(F.col("doc_id") % 4 != 0)
-    path = os.path.join(tempfile.mkdtemp(prefix="decarb_mh_idx_"), "index")
+    # fixed per-process location, cleared on reuse: repeated
+    # invocations (oracle replay, bench samples) must not accumulate
+    # one signature copy per call in the temp dir
+    path = os.path.join(tempfile.gettempdir(),
+                        f"decarb_mh_idx_{os.getpid()}", "index")
+    shutil.rmtree(path, ignore_errors=True)
     D.minhash_write_index(old, path)
     return D.minhash_incremental_pairs(spark, new, path, threshold=0.05)
 

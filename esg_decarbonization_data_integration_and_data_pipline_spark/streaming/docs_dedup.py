@@ -29,7 +29,7 @@ from esg_decarbonization_data_integration_and_data_pipline_spark.io.writers impo
     replace_keys,
 )
 from esg_decarbonization_data_integration_and_data_pipline_spark.operators.dedup import (
-    minhash_append_index, minhash_incremental_pairs, minhash_write_index,
+    _signature_base, incremental_pairs_from_base, minhash_write_index,
 )
 
 
@@ -68,9 +68,13 @@ def stream_dedup_ingest(sdf: DataFrame, corpus_path: str, index_path: str,
             return
         spark = batch_df.sparkSession
         batch = batch_df.localCheckpoint()  # one materialization; short lineage
-        pairs = minhash_incremental_pairs(
-            spark, batch, index_path, threshold,
-            id_col=id_col, text_col=text_col).localCheckpoint()
+        # caller-managed signature working set: cached for this
+        # batch's joins, RELEASED at the end of the trigger (the
+        # public operator's internal cache would accumulate one
+        # entry per micro-batch forever -- review finding)
+        base = _signature_base(batch, id_col, text_col).cache()
+        pairs = incremental_pairs_from_base(
+            spark, base, index_path, threshold).localCheckpoint()
         (pairs.withColumn("batch_id", F.lit(batch_id))
               .write.mode("append").parquet(dups_path))
 
@@ -85,8 +89,12 @@ def stream_dedup_ingest(sdf: DataFrame, corpus_path: str, index_path: str,
                      .join(F.broadcast(drop_b), id_col, "left_anti")
                      .localCheckpoint())
         replace_keys(keep, corpus_path, keys=[id_col])
-        minhash_append_index(keep, index_path, id_col=id_col,
-                             text_col=text_col)
+        # index append reuses the batch's already-computed signatures
+        # (no second kernel pass over the batch text)
+        keep_ids = keep.select(F.col(id_col).alias("id"))
+        (base.join(F.broadcast(keep_ids), "id")
+             .write.mode("append").parquet(index_path))
+        base.unpersist()
 
     return (sdf.writeStream.foreachBatch(ingest)
                .option("checkpointLocation", checkpoint)
