@@ -852,3 +852,64 @@ def minhash_append_index(df: DataFrame, path: str, id_col: str = "doc_id",
     maintenance step of the incremental path. Same columns, parquet
     append: O(batch) work, no index rewrite."""
     _signature_base(df, id_col, text_col).write.mode("append").parquet(path)
+
+
+def chunk_overlap_pairs(df: DataFrame, chunk_tokens: int = 32,
+                        min_shared: int = 1,
+                        max_docs_per_chunk: int = 50,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Partial-duplicate / containment detection: doc pairs sharing
+    >= ``min_shared`` identical non-overlapping ``chunk_tokens``-token
+    chunks -- the overlap class whole-document Jaccard structurally
+    misses (a short doc quoted inside a long one has LOW Jaccard, so
+    MinHash banding never surfaces it; chunk-grain exact matching
+    catches any shared run >= one aligned chunk).
+
+    Plan: chunk (pure JVM flatMap, zero shuffle) -> per-doc-distinct
+    chunk md5 -> ONE hash shuffle for both the frequency guard and
+    the pair join. Chunks appearing in > ``max_docs_per_chunk`` docs
+    are skipped: they are corpus chrome (the boilerplate operators
+    own that signal), and the cap bounds the per-chunk pair fan-out
+    (quadratic in bucket size) at any scale. Shares attach with two
+    doc-grain joins (AQE-planned).
+
+    Output: (id_a, id_b, n_shared_chunks, share_a, share_b) --
+    share_x = shared chunks / x's distinct chunks, rounded to 6; a
+    share near 1 means that side is (nearly) contained in the other.
+    """
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import (
+        chunk_documents,
+    )
+
+    chunks = chunk_documents(df, chunk_tokens=chunk_tokens, overlap=0,
+                             id_col=id_col, text_col=text_col)
+    hashed = (chunks.select(F.col("doc_id"),
+                            F.md5("chunk_text").alias("h"))
+                    .distinct())
+    sizes = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__nch"))
+    freq = (hashed.groupBy("h")
+                  .agg(F.count(F.lit(1)).alias("__nd"))
+                  .filter((F.col("__nd") >= 2)
+                          & (F.col("__nd") <= max_docs_per_chunk))
+                  .select("h"))
+    a = hashed.select("h", F.col("doc_id").alias("id_a"))
+    b = hashed.select("h", F.col("doc_id").alias("id_b"))
+    pairs = (a.join(freq, "h").join(b, "h")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).alias("n_shared_chunks"))
+              .filter(F.col("n_shared_chunks") >= min_shared))
+    sa = sizes.select(F.col("doc_id").alias("id_a"),
+                      F.col("__nch").alias("__na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"),
+                      F.col("__nch").alias("__nb"))
+    return (pairs.join(sa, "id_a").join(sb, "id_b")
+                 .select("id_a", "id_b", "n_shared_chunks",
+                         F.round(F.col("n_shared_chunks")
+                                 / F.col("__na").cast("double"), 6)
+                          .alias("share_a"),
+                         F.round(F.col("n_shared_chunks")
+                                 / F.col("__nb").cast("double"), 6)
+                          .alias("share_b")))

@@ -755,7 +755,7 @@ _DRIVER_TAIL = [
     "dedup_minhash_incremental", "text_unigram_nll",
     "mixture_sample_docs", "semdedup_embeddings",
     "text_boilerplate_share", "semdedup_embeddings_ivf",
-    "similarity_sq_topk",
+    "similarity_sq_topk", "dedup_chunk_overlap",
 ]
 _ORDERED = _DRIVER_HEAD + _DRIVER_TAIL
 assert set(_ORDERED) == set(REGISTRY) and len(_ORDERED) == len(REGISTRY), (

@@ -1088,3 +1088,45 @@ def similarity_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0)
     return S.sq_topk(e, q, k=10, rerank=50)
+
+
+@register("dedup_chunk_overlap", "ext:dedup-partial-overlap", oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS tk
+  FROM documents
+),
+n AS (SELECT doc_id, tk, len(tk) AS nt FROM t WHERE len(tk) > 0),
+c AS (
+  SELECT doc_id, tk, nt,
+         unnest(range(0, greatest(1, CAST(ceil(nt / 16.0) AS BIGINT)))) AS ci
+  FROM n
+),
+ch AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string([tk[CAST(j AS INT)]
+                              FOR j IN range(ci * 16 + 1,
+                                             least((ci + 1) * 16, nt) + 1)],
+                             ' ')) AS h
+  FROM c
+),
+sizes AS (SELECT doc_id, count(*) AS nch FROM ch GROUP BY doc_id),
+freq AS (SELECT h FROM ch GROUP BY h HAVING count(*) BETWEEN 2 AND 50),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ns
+  FROM ch a JOIN freq USING (h) JOIN ch b USING (h)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b, CAST(p.ns AS BIGINT) AS n_shared_chunks,
+       round(p.ns / CAST(sa.nch AS DOUBLE), 6) AS share_a,
+       round(p.ns / CAST(sb.nch AS DOUBLE), 6) AS share_b
+FROM p JOIN sizes sa ON sa.doc_id = p.id_a
+       JOIN sizes sb ON sb.doc_id = p.id_b
+""")
+def dedup_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-grain partial-overlap pairs (16-token non-overlapping
+    chunks, md5 equi-join, 50-doc boilerplate cap) -- containment
+    detection whole-doc Jaccard misses
+    (operators/dedup.chunk_overlap_pairs)."""
+    d = table(spark, sf_dir, "documents")
+    return D.chunk_overlap_pairs(d, chunk_tokens=16)

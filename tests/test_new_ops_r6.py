@@ -162,3 +162,46 @@ def test_sq_quantize_bounds_and_zero_vector(spark):
     for orig, q in zip([1.0, -2.0, 0.5], got[1].qv):
         assert abs(q * s - orig) <= s / 2 + 1e-12
     assert max(abs(x) for x in got[1].qv) <= 127
+
+
+def test_chunk_overlap_catches_containment_jaccard_misses(spark):
+    """A 16-token quote inside a 200-token doc: whole-doc Jaccard is
+    tiny (minhash misses it at any useful threshold), but the
+    aligned shared chunk pairs them -- with share_a ~1 flagging the
+    short side as contained."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.dedup import (
+        chunk_overlap_pairs, minhash_verified_pairs,
+    )
+
+    quote = " ".join(f"quoted{i}" for i in range(16))
+    long_doc = quote + " " + " ".join(f"filler{i}" for i in range(184))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, long_doc)], "doc_id bigint, text string")
+    got = chunk_overlap_pairs(docs, chunk_tokens=16).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.id_a, r.id_b, r.n_shared_chunks) == (1, 2, 1)
+    assert r.share_a == 1.0 and r.share_b < 0.2
+    # whole-doc Jaccard on the same pair is ~0.08 -- below any
+    # near-dup threshold, so the minhash path reports nothing
+    assert minhash_verified_pairs(docs, threshold=0.3).count() == 0
+    spark.catalog.clearCache()
+
+
+def test_chunk_overlap_boilerplate_cap_and_min_shared(spark):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.dedup import (
+        chunk_overlap_pairs,
+    )
+
+    chrome = " ".join(f"chrome{i}" for i in range(16))
+    rows = [(i, chrome + " " + " ".join(f"own{i}w{j}" for j in range(16)))
+            for i in range(1, 6)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # the chrome chunk appears in 5 docs: allowed at cap 50 -> all
+    # 10 pairs; capped at 4 -> suppressed entirely
+    assert chunk_overlap_pairs(docs, chunk_tokens=16).count() == 10
+    assert chunk_overlap_pairs(docs, chunk_tokens=16,
+                               max_docs_per_chunk=4).count() == 0
+    # min_shared=2 requires two shared chunks -> none here
+    assert chunk_overlap_pairs(docs, chunk_tokens=16,
+                               min_shared=2).count() == 0
