@@ -177,3 +177,85 @@ def curate(docs: DataFrame, keep_langs: list[str] | None = None,
     return out.select("doc_id", "text", "predicted_lang",
                       "quality_score", "cluster_id", "is_canonical",
                       "split")
+
+
+def curation_funnel(docs: DataFrame, **curate_kwargs) -> list[tuple[str, int]]:
+    """Per-gate funnel counts for a ``curate`` configuration -- the
+    observability a production curation run reports (how many docs
+    each gate dropped), computed WITHOUT running the expensive dedup
+    stage: the funnel re-applies only the gate chain, counting after
+    each stage.
+
+    Returns [(stage, surviving_docs), ...] in pipeline order,
+    starting with ('input', N) and ending with the decontamination
+    survivors ('decontaminated', M) -- M is exactly the corpus the
+    dedup/split stages of ``curate`` would see. Counts are actions
+    (one job per stage over the checkpointed working set); this is a
+    reporting tool, not a data path.
+    """
+    gates = dict(curate_kwargs)
+    out = [("input", docs.count())]
+
+    scrub = gates.get("scrub", True)
+    if scrub:
+        clean = F.col("text")
+        for _name, pat, token in PII_PATTERNS:
+            clean = F.regexp_replace(clean, pat, token)
+        docs = docs.withColumn("text", clean)
+    scored = quality_features(lang_scores(docs))
+    kept = scored.filter(
+        F.col("quality_score") >= gates.get("min_quality", 0.3))
+    out.append(("quality", kept.count()))
+    keep_langs = gates.get("keep_langs")
+    if keep_langs:
+        kept = kept.filter(F.col("predicted_lang").isin(keep_langs))
+        out.append(("language", kept.count()))
+    max_repetition = gates.get("max_repetition", 0.9)
+    if max_repetition is not None:
+        kept = (repetition_stats(kept)
+                .filter(F.coalesce(F.col("repetition_ratio"), F.lit(0.0))
+                        <= max_repetition)
+                .drop("total_bigrams", "distinct_bigrams",
+                      "repetition_ratio", "top_gram_share"))
+        out.append(("repetition", kept.count()))
+    kept = kept.localCheckpoint()
+    min_entropy = gates.get("min_entropy")
+    if min_entropy is not None:
+        ent = char_entropy(kept).select(
+            "doc_id", F.col("entropy").alias("__ent"))
+        kept = (kept.join(ent, "doc_id", "left")
+                    .filter(F.coalesce(F.col("__ent"), F.lit(0.0))
+                            >= min_entropy).drop("__ent"))
+        out.append(("entropy", kept.count()))
+    max_boilerplate = gates.get("max_boilerplate")
+    if max_boilerplate is not None:
+        bshare = boilerplate_share(
+            kept, n=gates.get("boilerplate_n", 3),
+            min_docs=gates.get("boilerplate_min_docs", 2)).select(
+            "doc_id", F.col("boiler_share").alias("__b"))
+        kept = (kept.join(bshare, "doc_id", "left")
+                    .filter(F.coalesce(F.col("__b"), F.lit(0.0))
+                            <= max_boilerplate).drop("__b"))
+        out.append(("boilerplate", kept.count()))
+    max_nll = gates.get("max_nll")
+    if max_nll is not None:
+        nll = unigram_nll(kept).select(
+            "doc_id", F.col("nll").alias("__nll"))
+        kept = (kept.join(nll, "doc_id", "left")
+                    .filter(F.coalesce(F.col("__nll"), F.lit(float("inf")))
+                            <= max_nll).drop("__nll"))
+        out.append(("unigram_nll", kept.count()))
+    benchmark = gates.get("benchmark")
+    if benchmark is not None:
+        if scrub:
+            bclean = F.col("text")
+            for _name, pat, token in PII_PATTERNS:
+                bclean = F.regexp_replace(bclean, pat, token)
+            benchmark = benchmark.withColumn("text", bclean)
+        contaminated = decontaminate_flags(
+            kept, benchmark, n=gates.get("decontam_n", 5),
+            exclude_benchmark_ids=False)
+        kept = kept.join(contaminated.select("doc_id"), "doc_id",
+                         "left_anti")
+        out.append(("decontaminated", kept.count()))
+    return out

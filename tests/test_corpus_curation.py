@@ -173,3 +173,23 @@ def test_curate_nll_gate_filters(spark):
                  max_nll=cut)
     assert 100 not in {r.doc_id for r in out.collect()}
     assert 1 in {r.doc_id for r in out.collect()}
+
+
+def test_curation_funnel_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "the of and to in is a good long document with many "
+             "different words appearing once each time here"),
+         (2, "x"),                                   # fails quality
+         (3, "the of and to in is spam " * 20)],     # fails repetition
+        "doc_id bigint, text string")
+    funnel = __import__(
+        "esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.corpus_curation",
+        fromlist=["curation_funnel"]).curation_funnel(
+        docs, min_quality=0.3, max_repetition=0.9, min_entropy=2.0)
+    stages = dict(funnel)
+    assert [s for s, _ in funnel] == ["input", "quality", "repetition",
+                                      "entropy"]
+    assert stages["input"] == 3
+    assert stages["quality"] == 2
+    assert stages["repetition"] == 1
+    assert stages["entropy"] == 1

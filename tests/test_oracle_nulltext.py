@@ -37,7 +37,8 @@ QUERIES = ["text_repetition", "dedup_simhash64_pairs", "dedup_simhash",
            "text_scrub_pii", "text_char_entropy",
            "text_boilerplate_ngrams", "text_boilerplate_share",
            "decontaminate_ngrams", "text_unigram_nll",
-           "mixture_sample_docs", "dedup_minhash_incremental"]
+           "mixture_sample_docs", "dedup_minhash_incremental",
+           "dedup_chunk_overlap"]
 
 
 @pytest.fixture(scope="module")
