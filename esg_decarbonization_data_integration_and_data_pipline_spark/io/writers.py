@@ -113,11 +113,21 @@ def replace_keys(df: DataFrame, path: str, keys: Sequence[str],
         _swap_partition_dirs(tmp, path, len(partition_by))
         _rm(tmp)
     else:
-        retired = path.rstrip("/") + ".__retired__"
-        _rm(retired)
-        os.rename(path, retired)
-        os.rename(tmp, path)
-        _rm(retired)
+        swap_into_place(tmp, path)
+
+
+def swap_into_place(tmp: str, path: str) -> None:
+    """Retire ``path`` and move the fully-written ``tmp`` into place
+    -- the rename dance every unpartitioned rewrite uses (one audited
+    implementation: replace_keys and the signature-index compaction
+    both call it). Renames are metadata-only; a crash between the two
+    renames leaves a ``.__retired__`` dir to recover from, never a
+    half-written table."""
+    retired = path.rstrip("/") + ".__retired__"
+    _rm(retired)
+    os.rename(path, retired)
+    os.rename(tmp, path)
+    _rm(retired)
 
 
 def _swap_partition_dirs(src: str, dst: str, depth: int) -> None:

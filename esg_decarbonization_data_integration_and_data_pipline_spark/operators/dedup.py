@@ -884,9 +884,16 @@ def chunk_overlap_pairs(df: DataFrame, chunk_tokens: int = 32,
 
     chunks = chunk_documents(df, chunk_tokens=chunk_tokens, overlap=0,
                              id_col=id_col, text_col=text_col)
+    # the chunk-hash working set feeds FOUR consumers (per-doc
+    # sizes, the frequency guard, and both pair legs); cache it so
+    # the corpus-wide tokenize/chunk/md5/distinct pass runs once
+    # (the minhash_verified_pairs working-set rule). One md5 + id
+    # per chunk -- small relative to the text; long-lived sessions
+    # clear the cache after materializing the result.
     hashed = (chunks.select(F.col("doc_id"),
                             F.md5("chunk_text").alias("h"))
-                    .distinct())
+                    .distinct()
+                    .cache())
     sizes = hashed.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("__nch"))
     freq = (hashed.groupBy("h")
@@ -913,3 +920,35 @@ def chunk_overlap_pairs(df: DataFrame, chunk_tokens: int = 32,
                          F.round(F.col("n_shared_chunks")
                                  / F.col("__nb").cast("double"), 6)
                           .alias("share_b")))
+
+
+def minhash_compact_index(spark, path: str) -> int:
+    """Compact the signature store: collapse fully-duplicate
+    (id, hs, mh) rows -- micro-batch replays append the same
+    signatures again (harmless for pair decisions, see
+    ``streaming/docs_dedup``, but the multiset grows with every
+    replay) -- and rewrite via the same staging-dir rename swap the
+    keyed writers use (``io.writers.swap_into_place``). Returns the
+    row count after compaction.
+
+    Dedup is across ALL columns: same-id rows with DIFFERENT
+    signatures (a re-ingested id whose text changed, violating the
+    disjoint-ids contract) both survive, loudly preserving the
+    inconsistency instead of silently picking one. O(index) shuffle;
+    run it like any table maintenance job (periodically, not per
+    batch) and NOT concurrently with an in-flight reader or append:
+    the swap deletes the old files, so a scan started before the
+    swap can fail mid-read (snapshot isolation needs a table format
+    like Delta/Iceberg, not raw parquet).
+    """
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.writers import (
+        _rm, swap_into_place,
+    )
+
+    idx = spark.read.parquet(path).dropDuplicates()
+    tmp = path.rstrip("/") + ".__staging__"
+    _rm(tmp)
+    idx.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    swap_into_place(tmp, path)
+    return n

@@ -82,76 +82,16 @@ def curate(docs: DataFrame, keep_langs: list[str] | None = None,
       with no tokens count as failing (no evidence of fluency).
     """
     if scrub:
-        # narrow in-place rewrite (same regexp chain scrub_pii
-        # applies -- one shared pattern table, no join-back shuffle)
-        clean = F.col("text")
-        for _name, pat, token in PII_PATTERNS:
-            clean = F.regexp_replace(clean, pat, token)
-        docs = docs.withColumn("text", clean)
-    scored = quality_features(lang_scores(docs))
-    kept = scored.filter(F.col("quality_score") >= min_quality)
-    if keep_langs:
-        kept = kept.filter(F.col("predicted_lang").isin(keep_langs))
-    if max_repetition is not None:
-        kept = (repetition_stats(kept)
-                .filter(F.coalesce(F.col("repetition_ratio"), F.lit(0.0))
-                        <= max_repetition)
-                .drop("total_bigrams", "distinct_bigrams",
-                      "repetition_ratio", "top_gram_share"))
-    # Materialize the post-narrow-gate working set AND truncate its
-    # lineage (localCheckpoint, not cache): every remaining stage
-    # (entropy/boilerplate gates join kept against aggregates OF
-    # kept, decontamination scans it, minhash signatures scan it, the
-    # final label join reads it again) would otherwise replay the
-    # scoring kernels per pass -- and the dup-cluster fixpoint loop
-    # re-ANALYZES its input plan every round with the labels subtree
-    # doubling per round, so a deep gate lineage under it makes
-    # Catalyst planning the dominant cost (measured 58 s -> 9 s at
-    # sf0.1 from this one truncation). Standard curation working-set
-    # materialization: ~1x corpus bytes in MEMORY_AND_DISK blocks,
-    # freed on session GC; a reliable checkpoint dir replaces this
-    # under executor loss on a real cluster.
-    kept = kept.localCheckpoint()
-    if min_entropy is not None:
-        ent = char_entropy(kept).select(
-            "doc_id", F.col("entropy").alias("__ent"))
-        kept = (kept.join(ent, "doc_id", "left")
-                    .filter(F.coalesce(F.col("__ent"), F.lit(0.0))
-                            >= min_entropy)
-                    .drop("__ent"))
-    if max_boilerplate is not None:
-        bshare = boilerplate_share(
-            kept, n=boilerplate_n, min_docs=boilerplate_min_docs).select(
-            "doc_id", F.col("boiler_share").alias("__bshare"))
-        kept = (kept.join(bshare, "doc_id", "left")
-                    .filter(F.coalesce(F.col("__bshare"), F.lit(0.0))
-                            <= max_boilerplate)
-                    .drop("__bshare"))
-    if max_nll is not None:
-        nll = unigram_nll(kept).select(
-            "doc_id", F.col("nll").alias("__nll"))
-        kept = (kept.join(nll, "doc_id", "left")
-                    .filter(F.coalesce(F.col("__nll"),
-                                       F.lit(float("inf")))
-                            <= max_nll)
-                    .drop("__nll"))
-    if benchmark is not None:
-        if scrub:
-            # compare like with like: the corpus text was scrubbed
-            # above, so benchmark n-grams spanning an email/URL/phone
-            # would never match unless the benchmark is scrubbed with
-            # the SAME chain (review finding: a leaked eval item
-            # citing a URL would otherwise survive decontamination)
-            bclean = F.col("text")
-            for _name, pat, token in PII_PATTERNS:
-                bclean = F.regexp_replace(bclean, pat, token)
-            benchmark = benchmark.withColumn("text", bclean)
-        # external eval sets have unrelated id spaces -- id-collision
-        # exemption would skip real docs, so scan everything
-        contaminated = decontaminate_flags(kept, benchmark, n=decontam_n,
-                                           exclude_benchmark_ids=False)
-        kept = kept.join(contaminated.select("doc_id"), "doc_id",
-                         "left_anti")
+        docs = docs.withColumn("text", _scrub_expr())
+    kept = docs
+    for _name, step in _gate_steps(
+            keep_langs=keep_langs, min_quality=min_quality,
+            max_repetition=max_repetition, min_entropy=min_entropy,
+            max_boilerplate=max_boilerplate, boilerplate_n=boilerplate_n,
+            boilerplate_min_docs=boilerplate_min_docs,
+            benchmark=benchmark, decontam_n=decontam_n,
+            max_nll=max_nll, scrub=scrub):
+        kept = step(kept)
 
     # Second (post-gate) materialization: the surviving working set
     # feeds FIVE consumers (minhash signatures, the cluster id list,
@@ -179,83 +119,139 @@ def curate(docs: DataFrame, keep_langs: list[str] | None = None,
                       "split")
 
 
+def _scrub_expr():
+    """The in-place PII redaction chain -- the same regexp chain
+    scrub_pii applies (one shared pattern table, no join-back
+    shuffle)."""
+    clean = F.col("text")
+    for _name, pat, token in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, token)
+    return clean
+
+
+def _gate_steps(*, keep_langs, min_quality, max_repetition, min_entropy,
+                max_boilerplate, boilerplate_n, boilerplate_min_docs,
+                benchmark, decontam_n, max_nll, scrub):
+    """THE gate chain, as an ordered [(stage, transform)] list --
+    the single source consumed by ``curate`` (data path) and
+    ``curation_funnel`` (per-stage counts), so the two can never
+    drift. The ``__checkpoint__`` pseudo-stage marks where the
+    working set materializes and truncates its lineage
+    (localCheckpoint): every later gate joins ``kept`` against an
+    aggregate OF ``kept``, and the downstream dup-cluster fixpoint
+    loop re-ANALYZES its input plan with the labels subtree doubling
+    per round, so a deep gate lineage under it makes Catalyst
+    planning the dominant cost (measured 58 s -> 9 s at sf0.1 from
+    this one truncation); ~1x corpus bytes in MEMORY_AND_DISK
+    blocks, freed on session GC, replaced by a reliable checkpoint
+    dir under executor loss on a real cluster."""
+    steps: list[tuple[str, object]] = []
+
+    def quality(df):
+        scored = quality_features(lang_scores(df))
+        return scored.filter(F.col("quality_score") >= min_quality)
+
+    steps.append(("quality", quality))
+    if keep_langs:
+        steps.append(("language", lambda df: df.filter(
+            F.col("predicted_lang").isin(keep_langs))))
+    if max_repetition is not None:
+        steps.append(("repetition", lambda df: (
+            repetition_stats(df)
+            .filter(F.coalesce(F.col("repetition_ratio"), F.lit(0.0))
+                    <= max_repetition)
+            .drop("total_bigrams", "distinct_bigrams",
+                  "repetition_ratio", "top_gram_share"))))
+    steps.append(("__checkpoint__", lambda df: df.localCheckpoint()))
+    if min_entropy is not None:
+        def entropy(df):
+            ent = char_entropy(df).select(
+                "doc_id", F.col("entropy").alias("__ent"))
+            return (df.join(ent, "doc_id", "left")
+                      .filter(F.coalesce(F.col("__ent"), F.lit(0.0))
+                              >= min_entropy)
+                      .drop("__ent"))
+        steps.append(("entropy", entropy))
+    if max_boilerplate is not None:
+        def boiler(df):
+            bshare = boilerplate_share(
+                df, n=boilerplate_n,
+                min_docs=boilerplate_min_docs).select(
+                "doc_id", F.col("boiler_share").alias("__bshare"))
+            return (df.join(bshare, "doc_id", "left")
+                      .filter(F.coalesce(F.col("__bshare"), F.lit(0.0))
+                              <= max_boilerplate)
+                      .drop("__bshare"))
+        steps.append(("boilerplate", boiler))
+    if max_nll is not None:
+        def nll_gate(df):
+            nll = unigram_nll(df).select(
+                "doc_id", F.col("nll").alias("__nll"))
+            return (df.join(nll, "doc_id", "left")
+                      .filter(F.coalesce(F.col("__nll"),
+                                         F.lit(float("inf")))
+                              <= max_nll)
+                      .drop("__nll"))
+        steps.append(("unigram_nll", nll_gate))
+    if benchmark is not None:
+        bench = (benchmark.withColumn("text", _scrub_expr())
+                 if scrub else benchmark)
+
+        def decontam(df):
+            # compare like with like: the corpus text was scrubbed,
+            # so the benchmark runs through the SAME chain (an eval
+            # item citing a URL would otherwise never match); and
+            # external eval sets have unrelated id spaces, so the
+            # id-collision exemption is off -- scan everything
+            contaminated = decontaminate_flags(
+                df, bench, n=decontam_n, exclude_benchmark_ids=False)
+            return df.join(contaminated.select("doc_id"), "doc_id",
+                           "left_anti")
+        steps.append(("decontaminated", decontam))
+    return steps
+
+
 def curation_funnel(docs: DataFrame, **curate_kwargs) -> list[tuple[str, int]]:
     """Per-gate funnel counts for a ``curate`` configuration -- the
     observability a production curation run reports (how many docs
     each gate dropped), computed WITHOUT running the expensive dedup
-    stage: the funnel re-applies only the gate chain, counting after
-    each stage.
+    stage. The stages come from the SAME ``_gate_steps`` chain
+    ``curate`` executes (unknown/misspelled kwargs raise exactly as
+    ``curate`` would), so the final count is exactly the corpus the
+    dedup/split stages would see.
 
     Returns [(stage, surviving_docs), ...] in pipeline order,
-    starting with ('input', N) and ending with the decontamination
-    survivors ('decontaminated', M) -- M is exactly the corpus the
-    dedup/split stages of ``curate`` would see. Counts are actions
-    (one job per stage over the checkpointed working set); this is a
-    reporting tool, not a data path.
+    starting with ('input', N). The scoring kernels run ONCE: the
+    quality stage's output is checkpointed before the remaining
+    counts, so each later stage is one cheap job over materialized
+    data. A reporting tool, not a data path.
     """
-    gates = dict(curate_kwargs)
-    out = [("input", docs.count())]
+    import inspect
 
-    scrub = gates.get("scrub", True)
-    if scrub:
-        clean = F.col("text")
-        for _name, pat, token in PII_PATTERNS:
-            clean = F.regexp_replace(clean, pat, token)
-        docs = docs.withColumn("text", clean)
-    scored = quality_features(lang_scores(docs))
-    kept = scored.filter(
-        F.col("quality_score") >= gates.get("min_quality", 0.3))
-    out.append(("quality", kept.count()))
-    keep_langs = gates.get("keep_langs")
-    if keep_langs:
-        kept = kept.filter(F.col("predicted_lang").isin(keep_langs))
-        out.append(("language", kept.count()))
-    max_repetition = gates.get("max_repetition", 0.9)
-    if max_repetition is not None:
-        kept = (repetition_stats(kept)
-                .filter(F.coalesce(F.col("repetition_ratio"), F.lit(0.0))
-                        <= max_repetition)
-                .drop("total_bigrams", "distinct_bigrams",
-                      "repetition_ratio", "top_gram_share"))
-        out.append(("repetition", kept.count()))
-    kept = kept.localCheckpoint()
-    min_entropy = gates.get("min_entropy")
-    if min_entropy is not None:
-        ent = char_entropy(kept).select(
-            "doc_id", F.col("entropy").alias("__ent"))
-        kept = (kept.join(ent, "doc_id", "left")
-                    .filter(F.coalesce(F.col("__ent"), F.lit(0.0))
-                            >= min_entropy).drop("__ent"))
-        out.append(("entropy", kept.count()))
-    max_boilerplate = gates.get("max_boilerplate")
-    if max_boilerplate is not None:
-        bshare = boilerplate_share(
-            kept, n=gates.get("boilerplate_n", 3),
-            min_docs=gates.get("boilerplate_min_docs", 2)).select(
-            "doc_id", F.col("boiler_share").alias("__b"))
-        kept = (kept.join(bshare, "doc_id", "left")
-                    .filter(F.coalesce(F.col("__b"), F.lit(0.0))
-                            <= max_boilerplate).drop("__b"))
-        out.append(("boilerplate", kept.count()))
-    max_nll = gates.get("max_nll")
-    if max_nll is not None:
-        nll = unigram_nll(kept).select(
-            "doc_id", F.col("nll").alias("__nll"))
-        kept = (kept.join(nll, "doc_id", "left")
-                    .filter(F.coalesce(F.col("__nll"), F.lit(float("inf")))
-                            <= max_nll).drop("__nll"))
-        out.append(("unigram_nll", kept.count()))
-    benchmark = gates.get("benchmark")
-    if benchmark is not None:
-        if scrub:
-            bclean = F.col("text")
-            for _name, pat, token in PII_PATTERNS:
-                bclean = F.regexp_replace(bclean, pat, token)
-            benchmark = benchmark.withColumn("text", bclean)
-        contaminated = decontaminate_flags(
-            kept, benchmark, n=gates.get("decontam_n", 5),
-            exclude_benchmark_ids=False)
-        kept = kept.join(contaminated.select("doc_id"), "doc_id",
-                         "left_anti")
-        out.append(("decontaminated", kept.count()))
+    bound = inspect.signature(curate).bind(docs, **curate_kwargs)
+    bound.apply_defaults()
+    a = dict(bound.arguments)
+    out = [("input", docs.count())]
+    if a["scrub"]:
+        docs = docs.withColumn("text", _scrub_expr())
+    kept = docs
+    first_gate = True
+    for name, step in _gate_steps(
+            keep_langs=a["keep_langs"], min_quality=a["min_quality"],
+            max_repetition=a["max_repetition"],
+            min_entropy=a["min_entropy"],
+            max_boilerplate=a["max_boilerplate"],
+            boilerplate_n=a["boilerplate_n"],
+            boilerplate_min_docs=a["boilerplate_min_docs"],
+            benchmark=a["benchmark"], decontam_n=a["decontam_n"],
+            max_nll=a["max_nll"], scrub=a["scrub"]):
+        kept = step(kept)
+        if name == "__checkpoint__":
+            continue
+        if first_gate:
+            # materialize the kernel-scored frame once; every later
+            # stage (and count) builds on these blocks
+            kept = kept.localCheckpoint()
+            first_gate = False
+        out.append((name, kept.count()))
     return out

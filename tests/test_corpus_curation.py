@@ -193,3 +193,15 @@ def test_curation_funnel_counts(spark):
     assert stages["quality"] == 2
     assert stages["repetition"] == 1
     assert stages["entropy"] == 1
+
+
+def test_curation_funnel_rejects_unknown_kwargs(spark):
+    import pytest as _pytest
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.corpus_curation import (
+        curation_funnel,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    with _pytest.raises(TypeError):
+        curation_funnel(docs, min_entrophy=2.0)  # typo'd gate name

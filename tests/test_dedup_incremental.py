@@ -80,3 +80,27 @@ def test_incremental_append_maintains_index(spark, tmp_path):
     assert [(r.id_a, r.id_b, r.against) for r in got] == [(20, 10, "index")]
     assert len([f for f in os.listdir(idx) if f.endswith(".parquet")]) >= 2
     spark.catalog.clearCache()
+
+
+def test_compact_index_collapses_replayed_appends(spark, tmp_path):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.dedup import (
+        minhash_compact_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id bigint, text string")
+    idx = str(tmp_path / "index")
+    minhash_write_index(docs, idx)
+    # simulate two replayed appends of the same batch
+    minhash_append_index(docs, idx)
+    minhash_append_index(docs, idx)
+    assert spark.read.parquet(idx).count() == 3
+    assert minhash_compact_index(spark, idx) == 1
+    # pair decisions unchanged after compaction
+    newb = spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon zeta eta")],
+        "doc_id bigint, text string")
+    got = minhash_incremental_pairs(spark, newb, idx, 0.3).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(9, 1)]
+    spark.catalog.clearCache()
