@@ -1,0 +1,112 @@
+"""Sequence packing + sharded export -- the last mile of a training-
+data pipeline: turn a curated document corpus into fixed-length token
+sequences laid out in balanced shards.
+
+Concat-and-chunk packing (the standard GPT-style layout): documents
+are concatenated in a deterministic pseudo-random order and the token
+stream is cut every ``seq_len`` tokens; a document may span a sequence
+boundary.  At 100 TB a single global concatenation order would mean a
+global sort, so packing is SHARDED: every document hash-routes to one
+of ``n_shards`` independent streams and order/offsets are per-shard.
+Each shard is one writer task downstream; choose ``n_shards`` so a
+shard is a few GB (e.g. 100 TB / 4 GB => ~25k shards).  The only
+shuffle is the window keyed by shard; ordering is md5(doc_id) -- a
+deterministic shuffle, so the same corpus always packs identically on
+any engine (no RNG state, resumable, diffable across runs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import tokens
+
+
+def pack_sequences(df: DataFrame, seq_len: int = 2048, n_shards: int = 16,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Assign every document a (shard, token-offset) slot in the
+    packed layout.  Adds columns:
+
+    - ``shard``      int, md5-bucket of the id (0..n_shards-1)
+    - ``n_tokens``   bigint, whitespace-token count of the doc
+    - ``start_off``/``end_off``  bigint, the doc's token span in its
+      shard's concatenated stream ([start_off, end_off))
+    - ``first_seq``/``last_seq`` bigint, the packed sequences the doc
+      touches (floor(start_off/seq_len) .. floor((end_off-1)/seq_len))
+    - ``split_across`` int 1 when the doc crosses a sequence boundary
+
+    Null-text and zero-token docs are dropped (they carry no training
+    tokens).  Plan shape: narrow token count -> ONE window shuffle
+    keyed by shard (sort only within shard) -> narrow arithmetic.
+    floor() on doubles is exact below 2^53 tokens (~9e15; a 100 TB
+    corpus is ~2.5e13), so offsets never lose precision.
+    """
+    if seq_len <= 0 or n_shards <= 0:
+        raise ValueError(f"seq_len/n_shards must be positive: "
+                         f"{seq_len}/{n_shards}")
+    id_str = F.col(id_col).cast("string")
+    shard = (F.conv(F.substring(F.md5(id_str), 1, 12), 16, 10)
+              .cast("bigint") % n_shards).cast("int")
+    with_counts = (
+        df.filter(F.col(text_col).isNotNull())
+          .withColumn("n_tokens", F.size(tokens(text_col)).cast("bigint"))
+          .filter(F.col("n_tokens") > 0)
+          .withColumn("shard", shard))
+    w = (Window.partitionBy("shard")
+               .orderBy(F.md5(id_str), F.col(id_col))
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    first_seq = F.floor(F.col("start_off") / seq_len).cast("bigint")
+    last_seq = F.floor((F.col("end_off") - 1) / seq_len).cast("bigint")
+    return (with_counts
+            .withColumn("end_off", F.sum("n_tokens").over(w))
+            .withColumn("start_off",
+                        (F.col("end_off") - F.col("n_tokens")).cast("bigint"))
+            .withColumn("first_seq", first_seq)
+            .withColumn("last_seq", last_seq)
+            .withColumn("split_across",
+                        (F.col("first_seq") != F.col("last_seq"))
+                        .cast("int")))
+
+
+def pack_manifest(packed: DataFrame, seq_len: int) -> DataFrame:
+    """Per-shard manifest of a :func:`pack_sequences` result: doc and
+    token totals, full ``seq_len`` sequences produced, leftover tail
+    tokens (dropped or padded by the trainer), and how many docs were
+    split across a boundary.  One partial-agg shuffle on ~n_shards
+    groups."""
+    return (packed.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.sum("split_across").alias("n_split_docs"))
+            .withColumn("n_full_seqs",
+                        F.floor(F.col("total_tokens") / seq_len)
+                         .cast("bigint"))
+            .withColumn("tail_tokens",
+                        (F.col("total_tokens") % seq_len).cast("bigint")))
+
+
+def export_packed_shards(df: DataFrame, out_dir: str,
+                         seq_len: int = 2048, n_shards: int = 16,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Write the packed corpus as shard-partitioned parquet plus a
+    ``_manifest`` dataset, and return the manifest.
+
+    Layout: ``out_dir/docs/shard=K/*.parquet`` with rows physically
+    sorted in pack order (start_off) so a trainer streams each shard
+    file front-to-back and reconstructs the token stream without a
+    sort; ``out_dir/_manifest`` holds the per-shard totals.  One
+    repartition on shard (each shard = one output task => one file
+    per shard, no small-file explosion), sortWithinPartitions instead
+    of a global orderBy."""
+    packed = pack_sequences(df, seq_len=seq_len, n_shards=n_shards,
+                            id_col=id_col, text_col=text_col)
+    (packed.repartition(n_shards, "shard")
+           .sortWithinPartitions("start_off")
+           .write.mode("overwrite").partitionBy("shard")
+           .parquet(f"{out_dir}/docs"))
+    spark = df.sparkSession
+    manifest = pack_manifest(spark.read.parquet(f"{out_dir}/docs"), seq_len)
+    manifest.write.mode("overwrite").parquet(f"{out_dir}/_manifest")
+    return spark.read.parquet(f"{out_dir}/_manifest")

@@ -117,3 +117,34 @@ def mixture_sample(df: DataFrame, weights: dict[str, float],
                  .join(F.broadcast(lim_df), source_col)
                  .filter(F.col(out_col) <= F.col("__k"))
                  .drop("__k"))
+
+
+def temperature_mixture_sample(df: DataFrame, alpha: float = 0.5,
+                               source_col: str = "source",
+                               key_col: str = "text",
+                               id_col: str = "doc_id",
+                               out_col: str = "sample_rank") -> DataFrame:
+    """Temperature-scaled mixture sampling: source s gets weight
+    n_s^alpha -- the multilingual/multi-domain up/down-sampling rule
+    (alpha=1 keeps natural proportions, alpha=0 forces uniform,
+    alpha~0.3-0.7 boosts small sources without flattening large
+    ones).  Weights derive from the corpus itself, so no hand-tuned
+    ratio table; the rest (largest feasible sample, md5 ranking,
+    single window shuffle) is :func:`mixture_sample`.
+
+    Determinism across engines: ``n**alpha`` is IEEE-double pow on
+    every engine (exact for alpha=0.5 via sqrt); a 1-ulp difference
+    could only flip a floor() at an exact-integer boundary, which
+    irrational weights never hit.  One extra bounded collect for the
+    per-source counts (O(#sources) rows, scalar control flow)."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0: {alpha}")
+    counts = (df.filter(F.col(key_col).isNotNull())
+                .groupBy(F.col(source_col).alias("src"))
+                .agg(F.count(F.lit(1)).alias("n")).collect())
+    weights = {r["src"]: float(r["n"]) ** alpha
+               for r in counts if r["src"] is not None and r["n"] > 0}
+    if not weights:
+        raise ValueError("no non-null sources to sample from")
+    return mixture_sample(df, weights, source_col=source_col,
+                          key_col=key_col, id_col=id_col, out_col=out_col)

@@ -633,3 +633,73 @@ def unigram_nll(df: DataFrame, id_col: str = "doc_id",
                     F.round(F.log2("total")
                             - F.col("__slc") / F.col("n_tokens"), 6)
                      .alias("nll")))
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 min_alpha_word_ratio: float = 0.8,
+                 min_stop_hits: int = 2) -> DataFrame:
+    """Gopher-style document quality rules as one composite gate (the
+    published rule family most curation pipelines start from):
+    word-count band, mean-word-length band, symbol-to-word ratio
+    (hash marks + ellipses), fraction of words containing an
+    alphabetic character, and a minimum count of distinct common
+    English stopwords.  Emits one 0/1 flag per rule (INT, not
+    BOOLEAN, for engine-stable hashing) plus the conjunction
+    ``gopher_pass``, so a curation funnel can report WHICH rule kills
+    each document instead of a bare drop.
+
+    All signals are narrow JVM expressions over one tokenization --
+    no UDF, no shuffle; at 100 TB this is a pure map stage fused into
+    the scan.  Null text yields NULL metrics and gopher_pass=0.
+    """
+    toks = tokens(text_col)
+    n_words = F.size(toks).cast("bigint")
+    tok_chars = F.expr(
+        f"aggregate(transform(filter(split(lower({text_col}), '\\\\s+'), "
+        f"t -> t != ''), x -> length(x)), 0L, (a, x) -> a + x)")
+    mean_wl = F.round(tok_chars.cast("double")
+                      / F.nullif(n_words, F.lit(0)), 4)
+    n_symbols = (F.regexp_count(F.col(text_col), F.lit("#"))
+                 + F.regexp_count(F.col(text_col), F.lit("\\.\\.\\."))
+                 + F.regexp_count(F.col(text_col), F.lit("…")))
+    symbol_ratio = F.round(n_symbols.cast("double")
+                           / F.nullif(n_words, F.lit(0)).cast("double"), 6)
+    n_alpha_words = F.size(F.filter(
+        toks, lambda t: t.rlike("[a-z]"))).cast("bigint")
+    alpha_ratio = F.round(n_alpha_words.cast("double")
+                          / F.nullif(n_words, F.lit(0)).cast("double"), 6)
+    stop_hits = _stop_count(toks, EN_STOP).cast("bigint")
+
+    out = (df.select(F.col(id_col).alias("doc_id"),
+                     F.col(text_col).alias(text_col))
+             .withColumn("n_words", n_words)
+             .withColumn("mean_word_len", mean_wl)
+             .withColumn("symbol_ratio", symbol_ratio)
+             .withColumn("alpha_word_ratio", alpha_ratio)
+             .withColumn("stop_hits", stop_hits))
+    r_words = ((F.col("n_words") >= min_words)
+               & (F.col("n_words") <= max_words)).cast("int")
+    r_mwl = ((F.col("mean_word_len") >= min_mean_word_len)
+             & (F.col("mean_word_len") <= max_mean_word_len)).cast("int")
+    r_symbol = (F.col("symbol_ratio") <= max_symbol_ratio).cast("int")
+    r_alpha = (F.col("alpha_word_ratio") >= min_alpha_word_ratio).cast("int")
+    r_stop = (F.col("stop_hits") >= min_stop_hits).cast("int")
+    return (out.withColumn("r_words", r_words)
+               .withColumn("r_mean_word_len", r_mwl)
+               .withColumn("r_symbol", r_symbol)
+               .withColumn("r_alpha", r_alpha)
+               .withColumn("r_stop", r_stop)
+               .withColumn("gopher_pass",
+                           F.coalesce(
+                               (F.col("r_words").cast("boolean")
+                                & F.col("r_mean_word_len").cast("boolean")
+                                & F.col("r_symbol").cast("boolean")
+                                & F.col("r_alpha").cast("boolean")
+                                & F.col("r_stop").cast("boolean")),
+                               F.lit(False)).cast("int"))
+               .drop(text_col))

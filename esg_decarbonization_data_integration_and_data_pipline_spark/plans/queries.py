@@ -756,6 +756,10 @@ _DRIVER_TAIL = [
     "mixture_sample_docs", "semdedup_embeddings",
     "text_boilerplate_share", "semdedup_embeddings_ivf",
     "similarity_sq_topk", "dedup_chunk_overlap",
+    # round-6 late additions (sequence packing / export tier, data
+    # mixing, Gopher rule gate) -- oracle-replayed in-repo
+    "pack_sequences_docs", "mixture_temperature_docs",
+    "quality_gopher_rules",
 ]
 _ORDERED = _DRIVER_HEAD + _DRIVER_TAIL
 assert set(_ORDERED) == set(REGISTRY) and len(_ORDERED) == len(REGISTRY), (

@@ -1130,3 +1130,128 @@ def dedup_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.chunk_overlap_pairs)."""
     d = table(spark, sf_dir, "documents")
     return D.chunk_overlap_pairs(d, chunk_tokens=16)
+
+
+@register("pack_sequences_docs", "ext:seq-packing,W1", oracle="""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(""" + _SQL_TOKS + """) AS BIGINT) AS n_tokens,
+         CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                   AS BIGINT) % 4 AS INT) AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS ord
+  FROM documents WHERE text IS NOT NULL
+),
+f AS (SELECT * FROM t WHERE n_tokens > 0),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS end_off
+  FROM f
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(end_off - n_tokens AS BIGINT) AS start_off,
+       CAST(end_off AS BIGINT) AS end_off,
+       CAST(floor((end_off - n_tokens) / 64.0) AS BIGINT) AS first_seq,
+       CAST(floor((end_off - 1) / 64.0) AS BIGINT) AS last_seq,
+       CAST(floor((end_off - n_tokens) / 64.0)
+            != floor((end_off - 1) / 64.0) AS INT) AS split_across
+FROM c
+""")
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing at seq_len=64 over 4 shards:
+    every doc gets its (shard, token-offset, sequence-range) slot in
+    the packed training layout via one shard-keyed window
+    (operators/packing.pack_sequences)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return (pack_sequences(d, seq_len=64, n_shards=4)
+            .select("doc_id", "shard", "n_tokens", "start_off", "end_off",
+                    "first_seq", "last_seq", "split_across"))
+
+
+@register("mixture_temperature_docs", "ext:mixture-temperature,W2", oracle="""
+WITH srcs AS (
+  SELECT source, count(*) AS n
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+  GROUP BY source
+),
+w AS (SELECT source, n, pow(CAST(n AS DOUBLE), 0.5) AS w
+      FROM srcs WHERE n > 0),
+cap AS (SELECT CAST(min(floor(n / w)) AS BIGINT) AS cap_n FROM w),
+lim AS (SELECT source, CAST(floor(cap_n * w) AS BIGINT) AS k
+        FROM w CROSS JOIN cap),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(text), text, doc_id) AS sample_rank
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT r.doc_id, r.source, CAST(r.sample_rank AS INT) AS sample_rank
+FROM ranked r JOIN lim USING (source)
+WHERE r.sample_rank <= lim.k
+""")
+def mixture_temperature_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.5) mixture sampling: source
+    weights derive from the corpus's own counts (n^0.5), then the
+    largest feasible deterministic sample at those ratios
+    (operators/sampling.temperature_mixture_sample)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return (temperature_mixture_sample(d, alpha=0.5)
+            .select("doc_id", "source",
+                    F.col("sample_rank").cast("int").alias("sample_rank")))
+
+
+@register("quality_gopher_rules", "ext:quality-gopher,P6", oracle="""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(""" + _SQL_TOKS + """) AS BIGINT) AS n_words,
+         CAST(list_sum([length(x) FOR x IN """ + _SQL_TOKS + """]) AS BIGINT) AS tok_chars,
+         CAST(len(regexp_extract_all(text, '#'))
+              + len(regexp_extract_all(text, '\\.\\.\\.'))
+              + len(regexp_extract_all(text, chr(8230))) AS BIGINT) AS n_sym,
+         CAST(len(list_filter(""" + _SQL_TOKS + """,
+              t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha,
+         CAST(len(list_filter(['the','a','of','and','to','in','is'],
+              s -> list_contains(""" + _SQL_TOKS + """, s))) AS BIGINT) AS stop_hits
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_words,
+         round(tok_chars / nullif(n_words, 0), 4) AS mean_word_len,
+         round(n_sym / CAST(nullif(n_words, 0) AS DOUBLE), 6) AS symbol_ratio,
+         round(n_alpha / CAST(nullif(n_words, 0) AS DOUBLE), 6) AS alpha_word_ratio,
+         stop_hits
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+       stop_hits,
+       CAST(n_words >= 25 AND n_words <= 100000 AS INT) AS r_words,
+       CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT)
+         AS r_mean_word_len,
+       CAST(symbol_ratio <= 0.1 AS INT) AS r_symbol,
+       CAST(alpha_word_ratio >= 0.8 AS INT) AS r_alpha,
+       CAST(stop_hits >= 2 AS INT) AS r_stop,
+       CAST(coalesce(n_words >= 25 AND n_words <= 100000
+                     AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                     AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8
+                     AND stop_hits >= 2, false) AS INT) AS gopher_pass
+FROM m
+""")
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality gate (word-count band at a
+    fixture-scaled min of 25, mean-word-length band, symbol ratio,
+    alphabetic-word ratio, stopword floor) with per-rule 0/1 flags
+    (operators/text.gopher_rules)."""
+    d = table(spark, sf_dir, "documents")
+    return (T.gopher_rules(d, min_words=25)
+            .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+                    "alpha_word_ratio", "stop_hits", "r_words",
+                    "r_mean_word_len", "r_symbol", "r_alpha", "r_stop",
+                    "gopher_pass"))

@@ -1,0 +1,163 @@
+"""Sequence packing, sharded export, temperature mixture sampling,
+and the Gopher rule gate (round-6 late additions)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from esg_decarbonization_data_integration_and_data_pipline_spark.operators.packing import (
+    export_packed_shards, pack_manifest, pack_sequences,
+)
+from esg_decarbonization_data_integration_and_data_pipline_spark.operators.sampling import (
+    temperature_mixture_sample,
+)
+from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import gopher_rules
+from esg_decarbonization_data_integration_and_data_pipline_spark.tables import table
+
+SEQ = 64
+SHARDS = 4
+
+
+@pytest.fixture(scope="module")
+def packed(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return pack_sequences(d, seq_len=SEQ, n_shards=SHARDS).cache()
+
+
+def test_pack_offsets_are_contiguous_per_shard(packed):
+    rows = packed.select("shard", "start_off", "end_off", "n_tokens") \
+                 .orderBy("shard", "start_off").collect()
+    pos = {}
+    for r in rows:
+        expect = pos.get(r["shard"], 0)
+        assert r["start_off"] == expect, (r, expect)
+        assert r["end_off"] - r["start_off"] == r["n_tokens"] > 0
+        pos[r["shard"]] = r["end_off"]
+    assert set(pos) <= set(range(SHARDS)) and len(pos) > 1
+
+
+def test_pack_sequence_ids_match_offsets(packed):
+    for r in packed.collect():
+        assert r["first_seq"] == r["start_off"] // SEQ
+        assert r["last_seq"] == (r["end_off"] - 1) // SEQ
+        assert r["split_across"] == int(r["first_seq"] != r["last_seq"])
+
+
+def test_pack_is_deterministic_and_total_preserving(spark, sf_dir, packed):
+    d = table(spark, sf_dir, "documents")
+    again = pack_sequences(d, seq_len=SEQ, n_shards=SHARDS)
+    a = sorted(map(tuple, packed.collect()))
+    b = sorted(map(tuple, again.collect()))
+    assert a == b
+    # every non-empty doc is packed exactly once
+    n_docs = d.filter(F.col("text").isNotNull()).count()
+    assert packed.count() == n_docs  # fixture has no zero-token texts
+
+
+def test_pack_manifest_arithmetic(packed):
+    man = {r["shard"]: r for r in pack_manifest(packed, SEQ).collect()}
+    agg = {r["shard"]: r for r in
+           packed.groupBy("shard")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum("n_tokens").alias("tok"),
+                      F.sum("split_across").alias("sp")).collect()}
+    assert set(man) == set(agg)
+    for s, m in man.items():
+        assert m["n_docs"] == agg[s]["n"]
+        assert m["total_tokens"] == agg[s]["tok"]
+        assert m["n_split_docs"] == agg[s]["sp"]
+        assert m["n_full_seqs"] * SEQ + m["tail_tokens"] == m["total_tokens"]
+        assert 0 <= m["tail_tokens"] < SEQ
+
+
+def test_pack_rejects_bad_params(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError):
+        pack_sequences(d, seq_len=0)
+    with pytest.raises(ValueError):
+        pack_sequences(d, n_shards=0)
+
+
+def test_export_round_trip(spark, sf_dir, tmp_path):
+    d = table(spark, sf_dir, "documents")
+    out = str(tmp_path / "packed")
+    manifest = export_packed_shards(d, out, seq_len=SEQ, n_shards=SHARDS)
+    docs = spark.read.parquet(f"{out}/docs")
+    # shard partition column survives, text rides along for the trainer
+    assert {"shard", "doc_id", "text", "start_off"} <= set(docs.columns)
+    man = {r["shard"]: r for r in manifest.collect()}
+    agg = {r["shard"]: (r["n"], r["tok"]) for r in
+           docs.groupBy("shard").agg(F.count(F.lit(1)).alias("n"),
+                                     F.sum("n_tokens").alias("tok")).collect()}
+    assert set(man) == set(agg)
+    for s, (n, tok) in agg.items():
+        assert man[s]["n_docs"] == n and man[s]["total_tokens"] == tok
+    # shard files stream in pack order (front-to-back reconstruction)
+    one = docs.filter(F.col("shard") == min(agg)).collect()
+    offs = [r["start_off"] for r in one]
+    assert offs == sorted(offs)
+
+
+def test_temperature_alpha_zero_is_uniform(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    got = (temperature_mixture_sample(d, alpha=0.0)
+           .groupBy("source").count().collect())
+    counts = {r["source"]: r["count"] for r in got}
+    # alpha=0 => equal weights => every source contributes the same k
+    assert len(set(counts.values())) == 1 and min(counts.values()) > 0
+
+
+def test_temperature_composition_tracks_sqrt_counts(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    nat = {r["source"]: r["n"] for r in
+           d.filter(F.col("text").isNotNull())
+            .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r["source"]: r["count"] for r in
+           temperature_mixture_sample(d, alpha=0.5)
+           .groupBy("source").count().collect()}
+    cap = min(math.floor(n / n ** 0.5) for n in nat.values())
+    for s, n in nat.items():
+        assert got[s] == math.floor(cap * n ** 0.5)
+
+
+def test_temperature_rejects_negative_alpha(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError):
+        temperature_mixture_sample(d, alpha=-0.1)
+
+
+def test_gopher_flags_on_synthetic_rows(spark):
+    rows = [
+        # passes everything (>=25 words, all rules ok)
+        (1, " ".join(["the", "a", "of"] + ["word"] * 30)),
+        # too short
+        (2, "the a tiny doc"),
+        # symbol-heavy: hashes and ellipses dominate
+        (3, " ".join(["the", "a"] + ["###..."] * 30)),
+        # numeric words fail the alpha-ratio rule
+        (4, " ".join(["the", "a"] + ["12345"] * 30)),
+        # no stopwords
+        (5, " ".join(["lorem"] * 30)),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in gopher_rules(df, min_words=25).collect()}
+    assert got[1]["gopher_pass"] == 1
+    assert got[2]["r_words"] == 0 and got[2]["gopher_pass"] == 0
+    assert got[3]["r_symbol"] == 0 and got[3]["gopher_pass"] == 0
+    assert got[4]["r_alpha"] == 0 and got[4]["gopher_pass"] == 0
+    assert got[5]["r_stop"] == 0 and got[5]["gopher_pass"] == 0
+    assert got[6]["n_words"] is None and got[6]["gopher_pass"] == 0
+
+
+def test_gopher_symbol_ratio_counts_all_three_symbols(spark):
+    df = spark.createDataFrame(
+        [(1, "plain words only here"),
+         (2, "has # and … and ... markers")],
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert got[1]["symbol_ratio"] == 0.0
+    assert got[2]["symbol_ratio"] == pytest.approx(round(3 / 7, 6), abs=1e-6)
