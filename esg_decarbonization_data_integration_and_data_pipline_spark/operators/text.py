@@ -635,8 +635,13 @@ def unigram_nll(df: DataFrame, id_col: str = "doc_id",
                      .alias("nll")))
 
 
+GOPHER_METRIC_COLS = ["n_words", "mean_word_len", "symbol_ratio",
+                      "alpha_word_ratio", "stop_hits"]
+GOPHER_FLAG_COLS = ["r_words", "r_mean_word_len", "r_symbol", "r_alpha",
+                    "r_stop", "gopher_pass"]
+
+
 def gopher_rules(df: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id",
                  min_words: int = 50, max_words: int = 100_000,
                  min_mean_word_len: float = 3.0,
                  max_mean_word_len: float = 10.0,
@@ -653,9 +658,13 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     ``gopher_pass``, so a curation funnel can report WHICH rule kills
     each document instead of a bare drop.
 
+    Appends ``GOPHER_METRIC_COLS`` + ``GOPHER_FLAG_COLS`` to the
+    input frame (every original column survives), so the composite
+    works both as a scorer and as an in-pipeline gate
+    (``.filter("gopher_pass = 1")`` stays one narrow map stage).
     All signals are narrow JVM expressions over one tokenization --
-    no UDF, no shuffle; at 100 TB this is a pure map stage fused into
-    the scan.  Null text yields NULL metrics and gopher_pass=0.
+    no UDF, no shuffle; at 100 TB this is a pure map fused into the
+    scan.  Null text yields NULL metrics and gopher_pass=0.
     """
     toks = tokens(text_col)
     n_words = F.size(toks).cast("bigint")
@@ -675,9 +684,7 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
                           / F.nullif(n_words, F.lit(0)).cast("double"), 6)
     stop_hits = _stop_count(toks, EN_STOP).cast("bigint")
 
-    out = (df.select(F.col(id_col).alias("doc_id"),
-                     F.col(text_col).alias(text_col))
-             .withColumn("n_words", n_words)
+    out = (df.withColumn("n_words", n_words)
              .withColumn("mean_word_len", mean_wl)
              .withColumn("symbol_ratio", symbol_ratio)
              .withColumn("alpha_word_ratio", alpha_ratio)
@@ -701,5 +708,4 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
                                 & F.col("r_symbol").cast("boolean")
                                 & F.col("r_alpha").cast("boolean")
                                 & F.col("r_stop").cast("boolean")),
-                               F.lit(False)).cast("int"))
-               .drop(text_col))
+                               F.lit(False)).cast("int")))

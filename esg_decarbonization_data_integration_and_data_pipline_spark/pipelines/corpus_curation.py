@@ -35,8 +35,9 @@ from esg_decarbonization_data_integration_and_data_pipline_spark.operators.sampl
     deterministic_split,
 )
 from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import (
-    PII_PATTERNS, boilerplate_share, char_entropy, decontaminate_flags,
-    lang_scores, quality_features, repetition_stats, unigram_nll,
+    GOPHER_FLAG_COLS, GOPHER_METRIC_COLS, PII_PATTERNS, boilerplate_share,
+    char_entropy, decontaminate_flags, gopher_rules, lang_scores,
+    quality_features, repetition_stats, unigram_nll,
 )
 
 
@@ -50,7 +51,8 @@ def curate(docs: DataFrame, keep_langs: list[str] | None = None,
            boilerplate_n: int = 3, boilerplate_min_docs: int = 2,
            benchmark: DataFrame | None = None,
            decontam_n: int = 5,
-           max_nll: float | None = None) -> DataFrame:
+           max_nll: float | None = None,
+           gopher: dict | None = None) -> DataFrame:
     """documents(doc_id, text, ...) -> curated corpus with
     (predicted_lang, quality_score, cluster_id, is_canonical, split).
 
@@ -80,6 +82,10 @@ def curate(docs: DataFrame, keep_langs: list[str] | None = None,
       own unigram LM exceeds it (perplexity-proxy gate: vocabulary-
       mismatched / gibberish docs score high). None disables. Docs
       with no tokens count as failing (no evidence of fluency).
+    - ``gopher``: kwargs for :func:`gopher_rules` (e.g.
+      ``{"min_words": 25}``); docs failing the composite rule set
+      drop. ``{}`` applies the published defaults; None disables.
+      A pure narrow map -- no join, no shuffle.
     """
     if scrub:
         docs = docs.withColumn("text", _scrub_expr())
@@ -90,7 +96,7 @@ def curate(docs: DataFrame, keep_langs: list[str] | None = None,
             max_boilerplate=max_boilerplate, boilerplate_n=boilerplate_n,
             boilerplate_min_docs=boilerplate_min_docs,
             benchmark=benchmark, decontam_n=decontam_n,
-            max_nll=max_nll, scrub=scrub):
+            max_nll=max_nll, scrub=scrub, gopher=gopher):
         kept = step(kept)
 
     # Second (post-gate) materialization: the surviving working set
@@ -131,7 +137,7 @@ def _scrub_expr():
 
 def _gate_steps(*, keep_langs, min_quality, max_repetition, min_entropy,
                 max_boilerplate, boilerplate_n, boilerplate_min_docs,
-                benchmark, decontam_n, max_nll, scrub):
+                benchmark, decontam_n, max_nll, scrub, gopher=None):
     """THE gate chain, as an ordered [(stage, transform)] list --
     the single source consumed by ``curate`` (data path) and
     ``curation_funnel`` (per-stage counts), so the two can never
@@ -155,6 +161,11 @@ def _gate_steps(*, keep_langs, min_quality, max_repetition, min_entropy,
     if keep_langs:
         steps.append(("language", lambda df: df.filter(
             F.col("predicted_lang").isin(keep_langs))))
+    if gopher is not None:
+        steps.append(("gopher", lambda df: (
+            gopher_rules(df, **gopher)
+            .filter(F.col("gopher_pass") == 1)
+            .drop(*GOPHER_METRIC_COLS, *GOPHER_FLAG_COLS))))
     if max_repetition is not None:
         steps.append(("repetition", lambda df: (
             repetition_stats(df)
@@ -244,7 +255,7 @@ def curation_funnel(docs: DataFrame, **curate_kwargs) -> list[tuple[str, int]]:
             boilerplate_n=a["boilerplate_n"],
             boilerplate_min_docs=a["boilerplate_min_docs"],
             benchmark=a["benchmark"], decontam_n=a["decontam_n"],
-            max_nll=a["max_nll"], scrub=a["scrub"]):
+            max_nll=a["max_nll"], scrub=a["scrub"], gopher=a["gopher"]):
         kept = step(kept)
         if name == "__checkpoint__":
             continue
@@ -255,3 +266,30 @@ def curation_funnel(docs: DataFrame, **curate_kwargs) -> list[tuple[str, int]]:
             first_gate = False
         out.append((name, kept.count()))
     return out
+
+
+def curate_and_export(docs: DataFrame, out_dir: str, *,
+                      seq_len: int = 2048, n_shards: int = 16,
+                      canonical_only: bool = True,
+                      train_split: str = "train",
+                      **curate_kwargs) -> DataFrame:
+    """The full last mile: ``curate`` -> keep the training split's
+    canonical docs -> pack into fixed-length token sequences ->
+    write shard-partitioned parquet + manifest (returned).
+
+    ``canonical_only`` drops non-canonical near-dup cluster members
+    before packing (train on one copy per cluster); eval/test splits
+    are NOT exported -- they are held out by construction, and a
+    trainer must never stream them. Composition keeps each stage's
+    scale shape: the curation working set is already checkpointed, so
+    packing adds exactly one window shuffle and one write."""
+    curated = curate(docs, **curate_kwargs)
+    train = curated.filter(F.col("split") == train_split)
+    if canonical_only:
+        train = train.filter(F.col("is_canonical"))
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.packing import (
+        export_packed_shards,
+    )
+
+    return export_packed_shards(train, out_dir, seq_len=seq_len,
+                                n_shards=n_shards)

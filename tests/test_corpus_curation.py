@@ -6,7 +6,7 @@ from pyspark.sql import functions as F
 
 from conftest import sf_sibling
 
-from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.corpus_curation import curate
+from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.corpus_curation import curate, curate_and_export
 
 SF = sf_sibling("sf0.01")
 
@@ -205,3 +205,56 @@ def test_curation_funnel_rejects_unknown_kwargs(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
     with _pytest.raises(TypeError):
         curation_funnel(docs, min_entrophy=2.0)  # typo'd gate name
+
+
+def test_curate_gopher_gate_filters(spark):
+    good = ("the of and to in is a good long document with many "
+            "different words appearing here to clear the floor " * 3)
+    symbolic = ("the a of " + "#### " * 40)   # symbol-heavy
+    docs = spark.createDataFrame(
+        [(1, good), (2, symbolic)], "doc_id bigint, text string")
+    out = curate(docs, min_quality=0.0, max_repetition=None,
+                 gopher={"min_words": 25})
+    assert [r.doc_id for r in out.collect()] == [1]
+    # gate off -> both survive
+    both = curate(docs, min_quality=0.0, max_repetition=None)
+    assert sorted(r.doc_id for r in both.collect()) == [1, 2]
+
+
+def test_curate_and_export_round_trip(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = str(tmp_path / "export")
+    manifest = curate_and_export(
+        docs, out, seq_len=64, n_shards=2,
+        min_quality=0.3, near_dup_threshold=0.5)
+    man = manifest.collect()
+    assert 0 < len(man) <= 2
+    packed = spark.read.parquet(f"{out}/docs")
+    # only canonical train docs were exported
+    assert packed.filter("split <> 'train'").count() == 0
+    assert packed.filter("NOT is_canonical").count() == 0
+    # manifest totals agree with the written shards
+    agg = {r["shard"]: (r["n"], r["tok"]) for r in
+           packed.groupBy("shard")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum("n_tokens").alias("tok")).collect()}
+    for r in man:
+        assert agg[r["shard"]] == (r["n_docs"], r["total_tokens"])
+
+
+def test_curation_funnel_reports_gopher_stage(spark):
+    docs = spark.createDataFrame(
+        [(1, "the of and to in is a good long document with many "
+             "different words appearing here to clear the floor " * 3),
+         (2, "tiny the a doc")],
+        "doc_id bigint, text string")
+    from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.corpus_curation import (
+        curation_funnel,
+    )
+
+    funnel = curation_funnel(docs, min_quality=0.0, max_repetition=None,
+                             gopher={"min_words": 25})
+    stages = [s for s, _ in funnel]
+    assert stages == ["input", "quality", "gopher"]
+    counts = dict(funnel)
+    assert counts["input"] == 2 and counts["gopher"] == 1
