@@ -9,7 +9,7 @@ out of a 100 TB corpus without materializing a permutation.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def hash_bucket(col: str, n_buckets: int = 100) -> Column:
@@ -148,3 +148,59 @@ def temperature_mixture_sample(df: DataFrame, alpha: float = 0.5,
         raise ValueError("no non-null sources to sample from")
     return mixture_sample(df, weights, source_col=source_col,
                           key_col=key_col, id_col=id_col, out_col=out_col)
+
+
+def token_budget_sample(df: DataFrame, budget_tokens: int,
+                        key_col: str = "text", id_col: str = "doc_id",
+                        text_col: str = "text",
+                        bucket_hex: int = 3) -> DataFrame:
+    """The largest deterministic prefix of the md5-ranked corpus whose
+    cumulative whitespace-token count fits ``budget_tokens`` -- the
+    "give me exactly 10B tokens of this" cut of corpus assembly, with
+    no RNG state: the same corpus always yields the same subset.
+
+    A naive global running sum is a single serial window.  This is
+    the distributed prefix-sum instead: docs bucket by the first
+    ``bucket_hex`` md5 hex chars (16^bucket_hex ordered buckets);
+    per-bucket token totals turn into exclusive bucket offsets via
+    one window over the TINY bucket aggregate (<= 4096 rows -- the
+    only single-partition step, and it's O(buckets) not O(corpus));
+    each doc's global cumulative count is its bucket offset plus an
+    in-bucket window cumsum.  Because the bucket key is a PREFIX of
+    the in-bucket sort key, (bucket, in-bucket order) equals the
+    global md5 order, so the result is bit-identical to the serial
+    window at any parallelism.  Corpus-side plan: one narrow token
+    count, one partial-agg shuffle on bucket, one window shuffle on
+    bucket, a broadcast offsets join -- no global sort at any scale.
+
+    Output: input columns + ``n_tokens`` and ``cum_tokens``
+    (inclusive), filtered to ``cum_tokens <= budget_tokens``.  Null
+    keys/text drop; zero-token docs survive while budget remains
+    (they cost nothing)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import tokens
+
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0: {budget_tokens}")
+    ordc = F.md5(F.col(key_col))
+    valid = (df.filter(F.col(key_col).isNotNull()
+                       & F.col(text_col).isNotNull())
+               .withColumn("n_tokens",
+                           F.size(tokens(text_col)).cast("bigint"))
+               .withColumn("__bkt", F.substring(ordc, 1, bucket_hex)))
+    totals = valid.groupBy("__bkt").agg(F.sum("n_tokens").alias("__tot"))
+    w_off = (Window.orderBy("__bkt")
+                   .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.select(
+        "__bkt", F.coalesce(F.sum("__tot").over(w_off), F.lit(0))
+                  .alias("__off"))
+    w_in = (Window.partitionBy("__bkt")
+                  .orderBy(ordc, F.col(key_col), F.col(id_col))
+                  .rowsBetween(Window.unboundedPreceding,
+                               Window.currentRow))
+    return (valid.join(F.broadcast(offsets), "__bkt")
+                 .withColumn("cum_tokens",
+                             (F.col("__off")
+                              + F.sum("n_tokens").over(w_in))
+                             .cast("bigint"))
+                 .filter(F.col("cum_tokens") <= budget_tokens)
+                 .drop("__bkt", "__off"))

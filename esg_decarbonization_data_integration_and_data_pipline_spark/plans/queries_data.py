@@ -1255,3 +1255,33 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "alpha_word_ratio", "stop_hits", "r_words",
                     "r_mean_word_len", "r_symbol", "r_alpha", "r_stop",
                     "gopher_pass"))
+
+
+@register("token_budget_docs", "ext:token-budget,W1", oracle="""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(""" + _SQL_TOKS + """) AS BIGINT) AS n_tokens,
+         md5(text) AS ord, text
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY ord, text, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+FROM c WHERE cum <= 5000
+""")
+def token_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5000-token budget cut. The oracle is the naive
+    serial running sum; the Spark side is the distributed prefix-sum
+    (bucketed cumsum + broadcast offsets) that must be bit-identical
+    to it (operators/sampling.token_budget_sample)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return (token_budget_sample(d, budget_tokens=5000)
+            .select("doc_id", "n_tokens", "cum_tokens"))

@@ -161,3 +161,58 @@ def test_gopher_symbol_ratio_counts_all_three_symbols(spark):
     got = {r["doc_id"]: r for r in gopher_rules(df).collect()}
     assert got[1]["symbol_ratio"] == 0.0
     assert got[2]["symbol_ratio"] == pytest.approx(round(3 / 7, 6), abs=1e-6)
+
+
+def test_token_budget_matches_serial_window_any_bucketing(spark, sf_dir):
+    from pyspark.sql import Window
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.sampling import (
+        token_budget_sample,
+    )
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import tokens
+
+    d = table(spark, sf_dir, "documents")
+    # serial reference: one global window
+    serial = (d.filter(F.col("text").isNotNull())
+               .withColumn("n_tokens", F.size(tokens()).cast("bigint"))
+               .withColumn("cum_tokens", F.sum("n_tokens").over(
+                   Window.orderBy(F.md5("text"), F.col("text"),
+                                  F.col("doc_id"))
+                         .rowsBetween(Window.unboundedPreceding,
+                                      Window.currentRow)))
+               .filter(F.col("cum_tokens") <= 1500)
+               .select("doc_id", "n_tokens", "cum_tokens"))
+    want = sorted(map(tuple, serial.collect()))
+    for hx in (1, 2, 3):
+        got = sorted(map(tuple,
+                         token_budget_sample(d, 1500, bucket_hex=hx)
+                         .select("doc_id", "n_tokens", "cum_tokens")
+                         .collect()))
+        assert got == want, f"bucket_hex={hx}"
+    assert len(want) > 0
+
+
+def test_token_budget_edges(spark, sf_dir):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    assert token_budget_sample(d, 0).count() == 0
+    big = token_budget_sample(d, 10**12)
+    assert big.count() == d.filter(F.col("text").isNotNull()).count()
+    with pytest.raises(ValueError):
+        token_budget_sample(d, -1)
+
+
+def test_token_budget_plan_has_no_global_sort_on_corpus(spark, sf_dir):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    plan = token_budget_sample(d, 5000)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the corpus-side window must shuffle by bucket hash; the only
+    # single-partition exchange feeds the tiny bucket-offset window
+    assert "hashpartitioning(__bkt" in plan
+    assert "rangepartitioning" not in plan.lower()
