@@ -635,6 +635,48 @@ def unigram_nll(df: DataFrame, id_col: str = "doc_id",
                      .alias("nll")))
 
 
+def drop_repeated_lines(lines: DataFrame, min_docs: int = 2,
+                        doc_col: str = "doc_id",
+                        idx_col: str = "chunk_idx",
+                        line_col: str = "chunk_text",
+                        sep: str = " ") -> DataFrame:
+    """CCNet-style line/paragraph-level dedup: drop every line whose
+    exact content appears in >= ``min_docs`` DISTINCT documents
+    (navigation chrome, license headers, cookie banners -- the
+    within-corpus boilerplate that whole-doc dedup can't touch), then
+    rebuild each document's text from the surviving lines in order.
+
+    Input is a line-grain frame (one row per (doc, idx, line) -- e.g.
+    :func:`chunk_documents` output, or an exploded split on newline).
+    Plan: per-line doc-distinct collapse then count (two partial-agg
+    shuffles on the md5 of the line -- never on the line string), a
+    join back on the same hash, and one groupBy-doc rebuild
+    (sort_array over collected (idx, line) structs -- in-group data,
+    not a global sort).  ~3 shuffles total, all hash-partitioned.
+
+    Output: (doc_id, clean_text, n_kept_lines, n_dropped_lines);
+    fully-boilerplate docs survive with clean_text '' so callers can
+    distinguish "all dropped" from "absent"."""
+    h = F.md5(F.col(line_col))
+    freq = (lines.select(h.alias("__h"), F.col(doc_col).alias("__d"))
+                 .distinct()
+                 .groupBy("__h")
+                 .agg(F.count(F.lit(1)).alias("__docs")))
+    keep = F.col("__docs") < min_docs
+    joined = lines.withColumn("__h", h).join(freq, "__h")
+    kept_struct = F.when(keep, F.struct(F.col(idx_col).alias("i"),
+                                        F.col(line_col).alias("l")))
+    return (joined.groupBy(F.col(doc_col).alias("doc_id"))
+            .agg(F.sort_array(F.collect_list(kept_struct)).alias("__ks"),
+                 F.sum(keep.cast("long")).alias("n_kept_lines"),
+                 F.sum((~keep).cast("long")).alias("n_dropped_lines"))
+            .withColumn("clean_text",
+                        F.array_join(F.transform(F.col("__ks"),
+                                                 lambda s: s["l"]), sep))
+            .select("doc_id", "clean_text", "n_kept_lines",
+                    "n_dropped_lines"))
+
+
 GOPHER_METRIC_COLS = ["n_words", "mean_word_len", "symbol_ratio",
                       "alpha_word_ratio", "stop_hits"]
 GOPHER_FLAG_COLS = ["r_words", "r_mean_word_len", "r_symbol", "r_alpha",

@@ -759,7 +759,7 @@ _DRIVER_TAIL = [
     # round-6 late additions (sequence packing / export tier, data
     # mixing, Gopher rule gate) -- oracle-replayed in-repo
     "pack_sequences_docs", "mixture_temperature_docs",
-    "quality_gopher_rules", "token_budget_docs",
+    "quality_gopher_rules", "token_budget_docs", "text_line_dedup",
 ]
 _ORDERED = _DRIVER_HEAD + _DRIVER_TAIL
 assert set(_ORDERED) == set(REGISTRY) and len(_ORDERED) == len(REGISTRY), (

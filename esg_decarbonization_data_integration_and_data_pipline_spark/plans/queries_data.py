@@ -1285,3 +1285,47 @@ def token_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return (token_budget_sample(d, budget_tokens=5000)
             .select("doc_id", "n_tokens", "cum_tokens"))
+
+
+@register("text_line_dedup", "ext:line-dedup", oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS tk
+  FROM documents
+),
+n AS (SELECT doc_id, tk, len(tk) AS nt FROM t WHERE len(tk) > 0),
+c AS (
+  SELECT doc_id, nt, tk,
+         unnest(range(0, greatest(1, CAST(ceil(nt / 8.0) AS BIGINT)))) AS ci
+  FROM n
+),
+l AS (
+  SELECT doc_id, ci,
+         array_to_string([tk[CAST(j AS INT)]
+                          FOR j IN range(ci * 8 + 1,
+                                         least((ci + 1) * 8, nt) + 1)],
+                         ' ') AS line
+  FROM c
+),
+freq AS (
+  SELECT md5(line) AS h, count(DISTINCT doc_id) AS docs
+  FROM l GROUP BY 1
+),
+j AS (
+  SELECT l.doc_id, l.ci, l.line, f.docs
+  FROM l JOIN freq f ON md5(l.line) = f.h
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN docs < 2 THEN line END, ' '
+                           ORDER BY ci), '') AS clean_text,
+       CAST(count(*) FILTER (docs < 2) AS BIGINT) AS n_kept_lines,
+       CAST(count(*) FILTER (docs >= 2) AS BIGINT) AS n_dropped_lines
+FROM j GROUP BY doc_id
+""")
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level (CCNet-style) boilerplate dedup: 8-token lines via
+    chunk_documents, lines shared by >= 2 docs dropped, text rebuilt
+    in order (operators/text.drop_repeated_lines)."""
+    d = table(spark, sf_dir, "documents")
+    lines = T.chunk_documents(d, chunk_tokens=8, overlap=0)
+    return T.drop_repeated_lines(lines, min_docs=2)

@@ -216,3 +216,28 @@ def test_token_budget_plan_has_no_global_sort_on_corpus(spark, sf_dir):
     # single-partition exchange feeds the tiny bucket-offset window
     assert "hashpartitioning(__bkt" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_drop_repeated_lines_synthetic(spark):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import (
+        drop_repeated_lines,
+    )
+
+    lines = spark.createDataFrame(
+        [(1, 0, "unique alpha"), (1, 1, "SHARED FOOTER"),
+         (1, 2, "unique beta"),
+         (2, 0, "SHARED FOOTER"), (2, 1, "other text"),
+         (3, 0, "SHARED FOOTER")],   # doc 3 is pure boilerplate
+        "doc_id bigint, chunk_idx int, chunk_text string")
+    got = {r["doc_id"]: r for r in drop_repeated_lines(lines).collect()}
+    assert got[1]["clean_text"] == "unique alpha unique beta"  # order kept
+    assert got[1]["n_kept_lines"] == 2 and got[1]["n_dropped_lines"] == 1
+    assert got[2]["clean_text"] == "other text"
+    # fully-boilerplate doc survives as empty, not absent
+    assert got[3]["clean_text"] == "" and got[3]["n_kept_lines"] == 0
+    # within-doc repeats alone don't count as cross-doc boilerplate
+    solo = spark.createDataFrame(
+        [(9, 0, "again"), (9, 1, "again")],
+        "doc_id bigint, chunk_idx int, chunk_text string")
+    out = drop_repeated_lines(solo).collect()[0]
+    assert out["clean_text"] == "again again"
