@@ -53,8 +53,13 @@ def pack_sequences(df: DataFrame, seq_len: int = 2048, n_shards: int = 16,
           .withColumn("n_tokens", F.size(tokens(text_col)).cast("bigint"))
           .filter(F.col("n_tokens") > 0)
           .withColumn("shard", shard))
+    # md5(text) + text tiebreaks: duplicate doc_ids (re-uploads) would
+    # otherwise tie on every sort key, making per-row offsets
+    # nondeterministic; rows identical in BOTH id and text are
+    # interchangeable, so this total preorder fixes the output multiset
     w = (Window.partitionBy("shard")
-               .orderBy(F.md5(id_str), F.col(id_col))
+               .orderBy(F.md5(id_str), F.col(id_col),
+                        F.md5(F.col(text_col)), F.col(text_col))
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     first_seq = F.floor(F.col("start_off") / seq_len).cast("bigint")
     last_seq = F.floor((F.col("end_off") - 1) / seq_len).cast("bigint")
@@ -96,14 +101,22 @@ def export_packed_shards(df: DataFrame, out_dir: str,
     Layout: ``out_dir/docs/shard=K/*.parquet`` with rows physically
     sorted in pack order (start_off) so a trainer streams each shard
     file front-to-back and reconstructs the token stream without a
-    sort; ``out_dir/_manifest`` holds the per-shard totals.  One
-    repartition on shard (each shard = one output task => one file
-    per shard, no small-file explosion), sortWithinPartitions instead
-    of a global orderBy."""
+    sort; ``out_dir/_manifest`` holds the per-shard totals.
+
+    Write shape: hash repartition on shard routes every shard wholly
+    into one task, so each shard is exactly one file (no small-file
+    explosion). Hash collisions follow balls-in-bins, so tasks are
+    oversubscribed 4x to keep the max shards-per-task (and hence the
+    straggler task's bytes) at 1-2 instead of ~ln n/ln ln n. The
+    within-partition sort leads with shard: the V1 write path needs
+    rows clustered by the partitionBy column, and sorting on
+    (shard, start_off) satisfies that requirement directly -- sorting
+    on start_off alone would rely on the writer's injected
+    sort-by-shard being STABLE, which the spill-merge path is not."""
     packed = pack_sequences(df, seq_len=seq_len, n_shards=n_shards,
                             id_col=id_col, text_col=text_col)
-    (packed.repartition(n_shards, "shard")
-           .sortWithinPartitions("start_off")
+    (packed.repartition(4 * n_shards, "shard")
+           .sortWithinPartitions("shard", "start_off")
            .write.mode("overwrite").partitionBy("shard")
            .parquet(f"{out_dir}/docs"))
     spark = df.sparkSession

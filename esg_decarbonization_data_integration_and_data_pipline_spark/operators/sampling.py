@@ -74,7 +74,8 @@ def deterministic_split(df: DataFrame, col: str,
 def mixture_sample(df: DataFrame, weights: dict[str, float],
                    source_col: str = "source", key_col: str = "text",
                    id_col: str = "doc_id",
-                   out_col: str = "sample_rank") -> DataFrame:
+                   out_col: str = "sample_rank",
+                   counts: dict[str, int] | None = None) -> DataFrame:
     """Deterministic mixture sampling: the LARGEST sample whose
     per-source composition matches the target ``weights`` ratios --
     the data-mixing step of corpus assembly (web/books/code at fixed
@@ -94,7 +95,10 @@ def mixture_sample(df: DataFrame, weights: dict[str, float],
     (O(#sources) driver rows -- scalar control flow, not a data
     collect), then ONE window shuffle keyed by source and a broadcast
     limits join. Null keys drop (engines disagree on null md5
-    ordering).
+    ordering). ``counts`` lets a caller that already aggregated the
+    per-source row counts (non-null keys only!) pass them in and skip
+    this scan -- temperature_mixture_sample uses it to avoid paying
+    the corpus aggregation twice.
     """
     import math
 
@@ -104,9 +108,10 @@ def mixture_sample(df: DataFrame, weights: dict[str, float],
         raise ValueError(f"weights must be positive ratios: {weights}")
     valid = df.filter(F.col(key_col).isNotNull()
                       & F.col(source_col).isin(list(weights)))
-    counts = {r["src"]: r["n"] for r in
-              (valid.groupBy(F.col(source_col).alias("src"))
-                    .agg(F.count(F.lit(1)).alias("n")).collect())}
+    if counts is None:
+        counts = {r["src"]: r["n"] for r in
+                  (valid.groupBy(F.col(source_col).alias("src"))
+                        .agg(F.count(F.lit(1)).alias("n")).collect())}
     cap = min(math.floor(counts.get(s, 0) / w) for s, w in weights.items())
     limits = [(s, math.floor(cap * w)) for s, w in weights.items()]
     lim_df = valid.sparkSession.createDataFrame(
@@ -139,15 +144,17 @@ def temperature_mixture_sample(df: DataFrame, alpha: float = 0.5,
     per-source counts (O(#sources) rows, scalar control flow)."""
     if alpha < 0:
         raise ValueError(f"alpha must be >= 0: {alpha}")
-    counts = (df.filter(F.col(key_col).isNotNull())
-                .groupBy(F.col(source_col).alias("src"))
-                .agg(F.count(F.lit(1)).alias("n")).collect())
-    weights = {r["src"]: float(r["n"]) ** alpha
-               for r in counts if r["src"] is not None and r["n"] > 0}
+    rows = (df.filter(F.col(key_col).isNotNull())
+              .groupBy(F.col(source_col).alias("src"))
+              .agg(F.count(F.lit(1)).alias("n")).collect())
+    counts = {r["src"]: r["n"] for r in rows
+              if r["src"] is not None and r["n"] > 0}
+    weights = {s: float(n) ** alpha for s, n in counts.items()}
     if not weights:
         raise ValueError("no non-null sources to sample from")
     return mixture_sample(df, weights, source_col=source_col,
-                          key_col=key_col, id_col=id_col, out_col=out_col)
+                          key_col=key_col, id_col=id_col, out_col=out_col,
+                          counts=counts)
 
 
 def token_budget_sample(df: DataFrame, budget_tokens: int,

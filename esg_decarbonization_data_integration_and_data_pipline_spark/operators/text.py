@@ -656,14 +656,19 @@ def drop_repeated_lines(lines: DataFrame, min_docs: int = 2,
 
     Output: (doc_id, clean_text, n_kept_lines, n_dropped_lines);
     fully-boilerplate docs survive with clean_text '' so callers can
-    distinguish "all dropped" from "absent"."""
+    distinguish "all dropped" from "absent".  NULL lines (possible
+    when the input is an exploded raw split) carry no content and
+    count as dropped -- their doc still appears, and
+    n_kept + n_dropped always equals the doc's input line count."""
     h = F.md5(F.col(line_col))
-    freq = (lines.select(h.alias("__h"), F.col(doc_col).alias("__d"))
+    freq = (lines.filter(F.col(line_col).isNotNull())
+                 .select(h.alias("__h"), F.col(doc_col).alias("__d"))
                  .distinct()
                  .groupBy("__h")
                  .agg(F.count(F.lit(1)).alias("__docs")))
-    keep = F.col("__docs") < min_docs
-    joined = lines.withColumn("__h", h).join(freq, "__h")
+    keep = (F.col(line_col).isNotNull()
+            & (F.coalesce(F.col("__docs"), F.lit(0)) < min_docs))
+    joined = lines.withColumn("__h", h).join(freq, "__h", "left")
     kept_struct = F.when(keep, F.struct(F.col(idx_col).alias("i"),
                                         F.col(line_col).alias("l")))
     return (joined.groupBy(F.col(doc_col).alias("doc_id"))
@@ -708,11 +713,17 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     no UDF, no shuffle; at 100 TB this is a pure map fused into the
     scan.  Null text yields NULL metrics and gopher_pass=0.
     """
+    clash = [c for c in GOPHER_METRIC_COLS + GOPHER_FLAG_COLS
+             if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"input already has columns {clash}; rename them first -- "
+            f"gopher_rules appends these and will not silently "
+            f"overwrite caller data")
     toks = tokens(text_col)
     n_words = F.size(toks).cast("bigint")
-    tok_chars = F.expr(
-        f"aggregate(transform(filter(split(lower({text_col}), '\\\\s+'), "
-        f"t -> t != ''), x -> length(x)), 0L, (a, x) -> a + x)")
+    tok_chars = F.aggregate(toks, F.lit(0).cast("long"),
+                            lambda a, x: a + F.length(x))
     mean_wl = F.round(tok_chars.cast("double")
                       / F.nullif(n_words, F.lit(0)), 4)
     n_symbols = (F.regexp_count(F.col(text_col), F.lit("#"))

@@ -1218,8 +1218,10 @@ WITH t AS (
               + len(regexp_extract_all(text, chr(8230))) AS BIGINT) AS n_sym,
          CAST(len(list_filter(""" + _SQL_TOKS + """,
               t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha,
-         CAST(len(list_filter(['the','a','of','and','to','in','is'],
-              s -> list_contains(""" + _SQL_TOKS + """, s))) AS BIGINT) AS stop_hits
+         CASE WHEN text IS NULL THEN NULL ELSE
+           CAST(len(list_filter(['the','a','of','and','to','in','is'],
+                s -> list_contains(""" + _SQL_TOKS + """, s))) AS BIGINT)
+         END AS stop_hits
   FROM documents
 ),
 m AS (

@@ -38,7 +38,11 @@ QUERIES = ["text_repetition", "dedup_simhash64_pairs", "dedup_simhash",
            "text_boilerplate_ngrams", "text_boilerplate_share",
            "decontaminate_ngrams", "text_unigram_nll",
            "mixture_sample_docs", "dedup_minhash_incremental",
-           "dedup_chunk_overlap"]
+           "dedup_chunk_overlap",
+           # round-6 late additions (export tier)
+           "pack_sequences_docs", "mixture_temperature_docs",
+           "quality_gopher_rules", "token_budget_docs",
+           "text_line_dedup"]
 
 
 @pytest.fixture(scope="module")

@@ -241,3 +241,40 @@ def test_drop_repeated_lines_synthetic(spark):
         "doc_id bigint, chunk_idx int, chunk_text string")
     out = drop_repeated_lines(solo).collect()[0]
     assert out["clean_text"] == "again again"
+
+
+def test_pack_deterministic_under_duplicate_ids(spark):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    dup = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (1, "delta epsilon"),
+         (2, "zeta eta theta iota")],
+        "doc_id bigint, text string")
+    a = sorted(map(tuple, pack_sequences(dup, 4, 2).collect()))
+    b = sorted(map(tuple, pack_sequences(dup, 4, 2).collect()))
+    assert a == b and len(a) == 3
+
+
+def test_gopher_raises_on_column_collision(spark):
+    df = spark.createDataFrame([(1, "the a text", 5)],
+                               "doc_id bigint, text string, n_words int")
+    with pytest.raises(ValueError, match="n_words"):
+        gopher_rules(df)
+
+
+def test_drop_repeated_lines_null_lines_count_as_dropped(spark):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import (
+        drop_repeated_lines,
+    )
+
+    lines = spark.createDataFrame(
+        [(1, 0, "real content"), (1, 1, None),
+         (2, 0, None), (2, 1, None)],   # doc 2: all-null lines
+        "doc_id bigint, chunk_idx int, chunk_text string")
+    got = {r["doc_id"]: r for r in drop_repeated_lines(lines).collect()}
+    assert got[1]["clean_text"] == "real content"
+    assert got[1]["n_kept_lines"] == 1 and got[1]["n_dropped_lines"] == 1
+    # all-null doc still present; counts sum to its input lines
+    assert got[2]["clean_text"] == "" and got[2]["n_dropped_lines"] == 2
