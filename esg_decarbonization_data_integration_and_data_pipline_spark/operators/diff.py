@@ -1,0 +1,56 @@
+"""Dataset snapshot diff -- the data-versioning primitive of a
+continuously-rebuilt corpus: given two snapshots of the same table,
+classify every key as added / removed / changed / unchanged by
+content hash.
+
+Scale shape: each side is one narrow projection (id + md5 of the
+compared columns -- the full row never travels), then ONE full outer
+join keyed by id.  On a real cluster both snapshots of a table are
+typically partitioned/bucketed the same way, so the join is
+co-located; here it is a plain hash equi-join either way.  Output is
+id + status + both hashes, so a 100 TB diff moves O(rows * 40 bytes),
+not O(corpus bytes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def dataset_diff(old: DataFrame, new: DataFrame,
+                 id_col: str = "doc_id",
+                 compare_cols: list[str] | None = None) -> DataFrame:
+    """Classify every id across two snapshots.
+
+    - ``added``      id only in ``new``
+    - ``removed``    id only in ``old``
+    - ``changed``    id in both, content hash differs
+    - ``unchanged``  id in both, content hash equal
+
+    ``compare_cols`` defaults to all shared non-id columns (sorted by
+    name, so the hash is schema-order-independent).  NULLs hash as a
+    sentinel distinct from any real value and from the empty string.
+    Output: (id_col, status, old_hash, new_hash).
+    """
+    if compare_cols is None:
+        shared = set(old.columns) & set(new.columns) - {id_col}
+        compare_cols = sorted(shared)
+    if not compare_cols:
+        raise ValueError("no columns to compare")
+
+    def content_hash(df: DataFrame, out: str) -> DataFrame:
+        parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                 for c in compare_cols]
+        return df.select(F.col(id_col),
+                         F.md5(F.concat_ws("\x01", *parts)).alias(out))
+
+    o = content_hash(old, "old_hash")
+    n = content_hash(new, "new_hash")
+    status = (F.when(F.col("old_hash").isNull(), F.lit("added"))
+               .when(F.col("new_hash").isNull(), F.lit("removed"))
+               .when(F.col("old_hash") == F.col("new_hash"),
+                     F.lit("unchanged"))
+               .otherwise(F.lit("changed")))
+    return (o.join(n, id_col, "full_outer")
+             .select(id_col, status.alias("status"),
+                     "old_hash", "new_hash"))

@@ -157,6 +157,48 @@ def temperature_mixture_sample(df: DataFrame, alpha: float = 0.5,
                           counts=counts)
 
 
+def top_fraction_by_score(df: DataFrame, score_col: str,
+                          keep_frac: float,
+                          out_col: str = "score_cutoff") -> DataFrame:
+    """Keep the best ``keep_frac`` of rows by ``score_col`` -- the
+    "drop the bottom X% by quality" gate, EXACT and deterministic
+    (no approxQuantile sketch, no RNG).  Keeps every row with
+    score >= s*, where s* is the largest score value whose
+    top-cumulative row count reaches ceil(keep_frac * N); ties at the
+    cutoff are all kept, so the result is the smallest score-closed
+    set with at least the target size.  NULL scores never pass.
+
+    Scale shape: one partial-agg groupBy on the score value, then a
+    window over THAT (distinct score values only -- for a metric
+    rounded to d decimals this is bounded by the rounding grid, e.g.
+    <= 1e6 + 1 rows for a [0,1] score at 6 decimals, NOT by corpus
+    size), and a 1-row broadcast threshold join back.  The corpus is
+    scanned twice but never sorted or shuffled on anything wider
+    than the score value.
+
+    Output: input columns + ``out_col`` (the s* threshold, constant
+    across rows) -- callers audit what the gate resolved to."""
+    import math
+
+    if not 0.0 <= keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in [0, 1]: {keep_frac}")
+    scored = df.filter(F.col(score_col).isNotNull())
+    n_rows = scored.count()
+    k = math.ceil(n_rows * keep_frac)
+    if k <= 0:
+        return df.filter(F.lit(False)).withColumn(
+            out_col, F.lit(None).cast(df.schema[score_col].dataType))
+    counts = (scored.groupBy(F.col(score_col).alias("__s"))
+                    .agg(F.count(F.lit(1)).alias("__n")))
+    w = (Window.orderBy(F.col("__s").desc())
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    thr = (counts.withColumn("__cum", F.sum("__n").over(w))
+                 .filter(F.col("__cum") >= k)
+                 .agg(F.max("__s").alias(out_col)))
+    return (scored.crossJoin(F.broadcast(thr))
+                  .filter(F.col(score_col) >= F.col(out_col)))
+
+
 def token_budget_sample(df: DataFrame, budget_tokens: int,
                         key_col: str = "text", id_col: str = "doc_id",
                         text_col: str = "text",

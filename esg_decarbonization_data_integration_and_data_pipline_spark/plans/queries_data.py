@@ -1331,3 +1331,93 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     lines = T.chunk_documents(d, chunk_tokens=8, overlap=0)
     return T.drop_repeated_lines(lines, min_docs=2)
+
+
+@register("dataset_diff_docs", "ext:dataset-diff,J3", oracle="""
+WITH old AS (
+  SELECT doc_id, md5(coalesce(text, chr(0) || 'null')) AS old_hash
+  FROM documents WHERE doc_id % 7 != 0
+),
+new AS (
+  SELECT doc_id,
+         md5(coalesce(CASE WHEN doc_id % 3 = 0 THEN text || ' v2'
+                           ELSE text END,
+                      chr(0) || 'null')) AS new_hash
+  FROM documents WHERE doc_id % 5 != 0
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.old_hash IS NULL THEN 'added'
+            WHEN n.new_hash IS NULL THEN 'removed'
+            WHEN o.old_hash = n.new_hash THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       o.old_hash, n.new_hash
+FROM old o FULL OUTER JOIN new n USING (doc_id)
+""")
+def dataset_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two derived corpus versions (v1 drops
+    every 7th doc; v2 drops every 5th and edits every 3rd): added /
+    removed / changed / unchanged by content hash, one narrow
+    projection per side + one full outer join
+    (operators/diff.dataset_diff)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.diff import (
+        dataset_diff,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 7 != 0)
+    new = (d.filter(F.col("doc_id") % 5 != 0)
+            .withColumn("text",
+                        F.when(F.col("doc_id") % 3 == 0,
+                               F.concat(F.col("text"), F.lit(" v2")))
+                         .otherwise(F.col("text"))))
+    return dataset_diff(old, new, compare_cols=["text"])
+
+
+@register("quality_top_fraction", "ext:quality-percentile,W5", oracle="""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS length_chars,
+         CAST(len(""" + _SQL_TOKS + """) AS BIGINT) AS n_tokens,
+         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(len(list_filter(['the','a','of','and','to','in','is'],
+              s -> list_contains(""" + _SQL_TOKS + """, s))) AS BIGINT) AS n_stop
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         round(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+           least(1.0, n_tokens / 100.0) * 0.5
+           + least(1.0, (n_stop / CAST(nullif(n_tokens, 0) AS DOUBLE)) * 5) * 0.3
+           + (1 - least(1.0, (n_punct / CAST(nullif(length_chars, 0) AS DOUBLE)) * 10)) * 0.2
+         END, 6) AS quality_score
+  FROM t
+),
+s AS (SELECT doc_id, quality_score FROM q WHERE quality_score IS NOT NULL),
+nn AS (SELECT count(*) AS n FROM s),
+c AS (SELECT quality_score AS sv, count(*) AS cnt FROM s GROUP BY 1),
+o AS (
+  SELECT sv, sum(cnt) OVER (ORDER BY sv DESC
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM c
+),
+thr AS (
+  SELECT max(sv) AS score_cutoff
+  FROM o CROSS JOIN nn WHERE cum >= ceil(n * 0.5)
+)
+SELECT s.doc_id, s.quality_score, thr.score_cutoff
+FROM s CROSS JOIN thr WHERE s.quality_score >= thr.score_cutoff
+""")
+def quality_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the best half of the corpus by quality score -- the exact
+    deterministic percentile gate: threshold from a window over
+    distinct score VALUES (bounded by the rounding grid, not corpus
+    size), ties at the cutoff kept
+    (operators/sampling.top_fraction_by_score)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.sampling import (
+        top_fraction_by_score,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    scored = T.quality_features(d).select("doc_id", "quality_score")
+    return (top_fraction_by_score(scored, "quality_score", 0.5)
+            .select("doc_id", "quality_score", "score_cutoff"))

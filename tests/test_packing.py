@@ -278,3 +278,43 @@ def test_drop_repeated_lines_null_lines_count_as_dropped(spark):
     assert got[1]["n_kept_lines"] == 1 and got[1]["n_dropped_lines"] == 1
     # all-null doc still present; counts sum to its input lines
     assert got[2]["clean_text"] == "" and got[2]["n_dropped_lines"] == 2
+
+
+def test_dataset_diff_statuses(spark):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.diff import dataset_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone"), (5, None)],
+        "doc_id bigint, text string")
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (4, "fresh"), (5, None)],
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: r["status"] for r in dataset_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "added", 5: "unchanged"}
+    # null is distinct from empty string
+    o2 = spark.createDataFrame([(9, None)], "doc_id bigint, text string")
+    n2 = spark.createDataFrame([(9, "")], "doc_id bigint, text string")
+    assert dataset_diff(o2, n2).collect()[0]["status"] == "changed"
+    with pytest.raises(ValueError):
+        dataset_diff(old.select("doc_id"), new.select("doc_id"))
+
+
+def test_top_fraction_exact_with_ties(spark):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.sampling import (
+        top_fraction_by_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.8), (4, 0.7), (5, 0.1),
+         (6, None)],
+        "doc_id bigint, score double")
+    # ceil(5 * 0.4) = 2 rows -> cutoff 0.8, ties included -> 3 rows
+    got = top_fraction_by_score(df, "score", 0.4).collect()
+    assert sorted(r["doc_id"] for r in got) == [1, 2, 3]
+    assert all(r["score_cutoff"] == 0.8 for r in got)
+    # keep everything / nothing
+    assert top_fraction_by_score(df, "score", 1.0).count() == 5
+    assert top_fraction_by_score(df, "score", 0.0).count() == 0
+    with pytest.raises(ValueError):
+        top_fraction_by_score(df, "score", 1.5)
