@@ -116,6 +116,28 @@ def replace_keys(df: DataFrame, path: str, keys: Sequence[str],
         swap_into_place(tmp, path)
 
 
+def delete_keys(spark: SparkSession, path: str, keys_df: DataFrame,
+                keys: Sequence[str]) -> None:
+    """DELETE by key tuple over plain parquet: rewrite = old rows
+    anti-joined against ``keys_df`` (distinct key tuples), staged and
+    renamed into place like every keyed writer.  The removal twin of
+    ``replace_keys`` -- a snapshot-diff driven recompute needs both
+    (merge the added/changed, delete the removed).  No-op when the
+    table does not exist.  On Delta/Iceberg this maps to
+    ``DELETE WHERE``; on parquet it is one table rewrite, so batch
+    removals into one call rather than looping per key (the
+    reference's per-key DELETE loop, S9)."""
+    if not os.path.exists(path):
+        return
+    tmp = path.rstrip("/") + ".__staging__"
+    _rm(tmp)
+    old = spark.read.parquet(path)
+    keep = old.join(F.broadcast(keys_df.select(*keys).distinct()),
+                    list(keys), "left_anti")
+    keep.write.mode("overwrite").parquet(tmp)
+    swap_into_place(tmp, path)
+
+
 def swap_into_place(tmp: str, path: str) -> None:
     """Retire ``path`` and move the fully-written ``tmp`` into place
     -- the rename dance every unpartitioned rewrite uses (one audited

@@ -922,6 +922,24 @@ def chunk_overlap_pairs(df: DataFrame, chunk_tokens: int = 32,
                           .alias("share_b")))
 
 
+def minhash_delete_index(spark, path: str, ids_df: DataFrame,
+                         id_col: str = "id") -> None:
+    """Remove every signature row whose id appears in ``ids_df`` --
+    the maintenance step a snapshot-diff recompute runs for REMOVED
+    and CHANGED docs before re-ingesting (a changed doc's stale
+    signature under the same id would otherwise violate the store's
+    disjoint-ids contract and keep matching future batches against
+    text that no longer exists).  One anti-join rewrite via the same
+    staging-dir swap as compaction; batch deletions into one call.
+    Same non-concurrency caveat as ``minhash_compact_index``."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.writers import (
+        delete_keys,
+    )
+
+    delete_keys(spark, path, ids_df.select(F.col(id_col).alias("id")),
+                ["id"])
+
+
 def minhash_compact_index(spark, path: str) -> int:
     """Compact the signature store: collapse fully-duplicate
     (id, hs, mh) rows -- micro-batch replays append the same

@@ -268,6 +268,97 @@ def curation_funnel(docs: DataFrame, **curate_kwargs) -> list[tuple[str, int]]:
     return out
 
 
+def incremental_curate(old_snapshot: DataFrame, new_snapshot: DataFrame,
+                       corpus_path: str, index_path: str, *,
+                       gopher: dict | None = None, scrub: bool = True,
+                       threshold: float = 0.5, id_col: str = "doc_id",
+                       text_col: str = "text") -> dict:
+    """Snapshot-diff driven recompute: instead of re-curating 100 TB
+    nightly, process only what changed between two RAW snapshots.
+
+    1. ``dataset_diff`` classifies ids (narrow hashes + one join).
+    2. REMOVED and CHANGED ids are deleted from the curated corpus
+       and the signature index (one keyed rewrite each -- a changed
+       doc's stale signature would otherwise keep matching future
+       batches against text that no longer exists).
+    3. ADDED and CHANGED docs run the stateless gates (scrub +
+       gopher -- the same split as ``streaming/docs_gate``: the
+       corpus-statistics gates need the full corpus and belong to
+       periodic full passes).
+    4. Survivors dedup against the index AND within the batch
+       (``incremental_pairs_from_base``: O(batch + candidate-term),
+       historical text never rescanned); known dups drop, in-batch
+       groups keep min id.
+    5. Keepers merge into the corpus (``replace_keys`` -- re-runs
+       converge) and their signatures append to the index.
+
+    Returns the run report: counts per diff status, per stage drop,
+    and the final merged count."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.dedup import (
+        _signature_base, incremental_pairs_from_base, minhash_delete_index,
+    )
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.diff import (
+        dataset_diff,
+    )
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.writers import (
+        delete_keys, replace_keys,
+    )
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import (
+        GOPHER_FLAG_COLS, GOPHER_METRIC_COLS, gopher_rules,
+    )
+
+    spark = new_snapshot.sparkSession
+    diff = dataset_diff(old_snapshot, new_snapshot, id_col=id_col,
+                        compare_cols=[text_col]).localCheckpoint()
+    n_by_status = {r["status"]: r["n"] for r in
+                   diff.groupBy("status")
+                       .agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    stale = (diff.filter(F.col("status").isin("removed", "changed"))
+                 .select(id_col))
+    delete_keys(spark, corpus_path, stale, [id_col])
+    minhash_delete_index(spark, index_path, stale, id_col=id_col)
+
+    todo_ids = (diff.filter(F.col("status").isin("added", "changed"))
+                    .select(id_col))
+    batch = new_snapshot.join(F.broadcast(todo_ids), id_col, "left_semi")
+    if scrub:
+        batch = batch.withColumn(text_col, _scrub_expr())
+    n_todo = batch.count()
+    if gopher is not None:
+        batch = (gopher_rules(batch, text_col=text_col, **gopher)
+                 .filter(F.col("gopher_pass") == 1)
+                 .drop(*GOPHER_METRIC_COLS, *GOPHER_FLAG_COLS))
+    batch = batch.localCheckpoint()
+    n_gated = batch.count()
+
+    base = _signature_base(batch, id_col, text_col).cache()
+    pairs = incremental_pairs_from_base(
+        spark, base, index_path, threshold).localCheckpoint()
+    known = (pairs.filter(F.col("against") == "index")
+                  .select(F.col("id_a").alias(id_col)).distinct())
+    drop_b = (pairs.filter(F.col("against") == "batch")
+                   .select(F.greatest("id_a", "id_b").alias(id_col))
+                   .distinct())
+    keep = (batch.join(F.broadcast(known), id_col, "left_anti")
+                 .join(F.broadcast(drop_b), id_col, "left_anti")
+                 .localCheckpoint())
+    n_keep = keep.count()
+    replace_keys(keep, corpus_path, keys=[id_col])
+    keep_ids = keep.select(F.col(id_col).alias("id"))
+    (base.join(F.broadcast(keep_ids), "id")
+         .write.mode("append").parquet(index_path))
+    base.unpersist()
+    return {"added": n_by_status.get("added", 0),
+            "changed": n_by_status.get("changed", 0),
+            "removed": n_by_status.get("removed", 0),
+            "unchanged": n_by_status.get("unchanged", 0),
+            "reprocessed": n_todo,
+            "gated_out": n_todo - n_gated,
+            "dup_dropped": n_gated - n_keep,
+            "merged": n_keep}
+
+
 def curate_and_export(docs: DataFrame, out_dir: str, *,
                       seq_len: int = 2048, n_shards: int = 16,
                       canonical_only: bool = True,

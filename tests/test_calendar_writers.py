@@ -145,3 +145,17 @@ def test_month_partitioned_column(spark):
     df = spark.createDataFrame([(dt.date(2023, 5, 1),)], "period_start date")
     out = W.month_partitioned(df).collect()[0]
     assert out.period_month == "2023-05"
+
+
+def test_delete_keys(spark, tmp_path):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.writers import delete_keys
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],
+                          "k bigint, v string") \
+         .write.parquet(path)
+    keys = spark.createDataFrame([(2,), (9,)], "k bigint")  # 9 absent: ok
+    delete_keys(spark, path, keys, ["k"])
+    assert sorted(r.k for r in spark.read.parquet(path).collect()) == [1, 3]
+    # deleting from a missing table is a no-op, not an error
+    delete_keys(spark, str(tmp_path / "missing"), keys, ["k"])
