@@ -1421,3 +1421,35 @@ def quality_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = T.quality_features(d).select("doc_id", "quality_score")
     return (top_fraction_by_score(scored, "quality_score", 0.5)
             .select("doc_id", "quality_score", "score_cutoff"))
+
+
+@register("corpus_profile_by_source", "ext:corpus-profile,A2,A9", oracle="""
+WITH t AS (
+  SELECT source, lang, n_chars,
+         CAST(len(""" + _SQL_TOKS + """) AS BIGINT) AS nt
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       round(avg(nt), 4) AS avg_tokens,
+       CAST(max(nt) AS BIGINT) AS max_tokens,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50_chars
+FROM t GROUP BY source
+""")
+def corpus_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile (doc/lang/token totals, exact median
+    length) -- the reporting query every curation run publishes next
+    to its funnel. One partial-agg shuffle on ~#sources groups."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.size(T.tokens()).cast("bigint")
+    return (d.withColumn("__nt", toks)
+             .groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.countDistinct("lang").alias("n_langs"),
+                  F.sum("__nt").alias("total_tokens"),
+                  F.round(F.avg("__nt"), 4).alias("avg_tokens"),
+                  F.max("__nt").alias("max_tokens"),
+                  F.round(F.expr("percentile(n_chars, 0.5)"), 4)
+                   .alias("p50_chars")))

@@ -42,7 +42,8 @@ QUERIES = ["text_repetition", "dedup_simhash64_pairs", "dedup_simhash",
            # round-6 late additions (export tier)
            "pack_sequences_docs", "mixture_temperature_docs",
            "quality_gopher_rules", "token_budget_docs",
-           "text_line_dedup"]
+           "text_line_dedup", "corpus_profile_by_source",
+           "quality_top_fraction"]
 
 
 @pytest.fixture(scope="module")

@@ -134,6 +134,25 @@ def main() -> None:
         return docs(1).withColumn(
             "doc_id", F.col("doc_id") + 10_000_000)
 
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.packing import (
+        pack_sequences,
+    )
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    def _pack(d):
+        return pack_sequences(d, seq_len=2048, n_shards=16)
+
+    def _budget(d):
+        # budget scales with the corpus so the selected fraction (and
+        # thus the work) stays comparable across scales
+        return token_budget_sample(d, budget_tokens=10**9)
+
+    def _line_dedup(d):
+        lines = T.chunk_documents(d, chunk_tokens=8, overlap=0)
+        return T.drop_repeated_lines(lines, min_docs=2)
+
     OPS = {
         "dedup_minhash_incremental":
             lambda s: D.minhash_incremental_pairs(
@@ -150,6 +169,15 @@ def main() -> None:
                                  k=10, n_cells=16, n_probes=4),
         "vocab_top_tokens": lambda s: T.vocab_top_tokens(docs(s), k=50),
         "tfidf_top_terms": lambda s: T.tfidf_top_terms(docs(s), k=3),
+        # round-6 export tier: shard count fixed (the 100 TB knob is
+        # n_shards; slope vs corpus size at constant shards is the
+        # conservative case -- per-shard windows grow linearly)
+        "pack_sequences":
+            lambda s: _pack(docs(s)),
+        "token_budget_sample":
+            lambda s: _budget(docs(s)),
+        "text_line_dedup":
+            lambda s: _line_dedup(docs(s)),
     }
 
     results = {}
