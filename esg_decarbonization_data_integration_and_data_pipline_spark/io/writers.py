@@ -117,24 +117,34 @@ def replace_keys(df: DataFrame, path: str, keys: Sequence[str],
 
 
 def delete_keys(spark: SparkSession, path: str, keys_df: DataFrame,
-                keys: Sequence[str]) -> None:
+                keys: Sequence[str],
+                partition_by: Sequence[str] = ()) -> None:
     """DELETE by key tuple over plain parquet: rewrite = old rows
     anti-joined against ``keys_df`` (distinct key tuples), staged and
     renamed into place like every keyed writer.  The removal twin of
     ``replace_keys`` -- a snapshot-diff driven recompute needs both
     (merge the added/changed, delete the removed).  No-op when the
-    table does not exist.  On Delta/Iceberg this maps to
-    ``DELETE WHERE``; on parquet it is one table rewrite, so batch
+    table does not exist.
+
+    ``partition_by`` must name the table's partition layout so the
+    rewrite PRESERVES it (a flat rewrite would silently strip
+    partition pruning from every later reader); the whole table is
+    still rewritten -- a key can live in any partition, and a leaf
+    emptied by the delete must disappear, which a partition-scoped
+    swap cannot express on raw parquet.  On Delta/Iceberg this maps
+    to ``DELETE WHERE`` (which does prune); on parquet batch
     removals into one call rather than looping per key (the
-    reference's per-key DELETE loop, S9)."""
+    reference's per-key DELETE loop, S9).  No broadcast hint on the
+    key set: a mass removal can be arbitrarily large, and AQE
+    broadcasts the small case by itself."""
     if not os.path.exists(path):
         return
     tmp = path.rstrip("/") + ".__staging__"
     _rm(tmp)
     old = spark.read.parquet(path)
-    keep = old.join(F.broadcast(keys_df.select(*keys).distinct()),
+    keep = old.join(keys_df.select(*keys).distinct(),
                     list(keys), "left_anti")
-    keep.write.mode("overwrite").parquet(tmp)
+    overwrite(keep, tmp, partition_by)
     swap_into_place(tmp, path)
 
 

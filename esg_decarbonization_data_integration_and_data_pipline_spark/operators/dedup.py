@@ -922,6 +922,52 @@ def chunk_overlap_pairs(df: DataFrame, chunk_tokens: int = 32,
                           .alias("share_b")))
 
 
+def dedup_merge_batch(spark, batch: DataFrame, corpus_path: str,
+                      index_path: str, threshold: float,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> tuple[int, DataFrame]:
+    """Ingest one (already gated) batch: dedup against the signature
+    index AND within the batch, merge survivors into the corpus, and
+    append their signatures so the NEXT batch sees them.  Returns
+    ``(n_merged, pairs)`` -- pairs is localCheckpointed so callers
+    can audit it without recomputation.
+
+    THE single implementation of the ingest keep-rule shared by
+    ``streaming/docs_dedup.stream_dedup_ingest`` and
+    ``pipelines/corpus_curation.incremental_curate``: docs with any
+    index match drop as known dups; batch-internal dup groups keep
+    their min id (the curation canonical convention).  The signature
+    working set is cached for the batch's joins and released before
+    returning; index appends reuse it (no second kernel pass over
+    the batch text).  When nothing survives, neither the corpus nor
+    the index is touched (a quiet batch costs no rewrite).  Id joins
+    carry no broadcast hint -- a bootstrap batch can be corpus-sized,
+    and AQE broadcasts the small case by itself."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.writers import (
+        replace_keys,
+    )
+
+    base = _signature_base(batch, id_col, text_col).cache()
+    pairs = incremental_pairs_from_base(
+        spark, base, index_path, threshold).localCheckpoint()
+    known = (pairs.filter(F.col("against") == "index")
+                  .select(F.col("id_a").alias(id_col)).distinct())
+    drop_b = (pairs.filter(F.col("against") == "batch")
+                   .select(F.greatest("id_a", "id_b").alias(id_col))
+                   .distinct())
+    keep = (batch.join(known, id_col, "left_anti")
+                 .join(drop_b, id_col, "left_anti")
+                 .localCheckpoint())
+    n_keep = keep.count()
+    if n_keep:
+        replace_keys(keep, corpus_path, keys=[id_col])
+        keep_ids = keep.select(F.col(id_col).alias("id"))
+        (base.join(keep_ids, "id")
+             .write.mode("append").parquet(index_path))
+    base.unpersist()
+    return n_keep, pairs
+
+
 def minhash_delete_index(spark, path: str, ids_df: DataFrame,
                          id_col: str = "id") -> None:
     """Remove every signature row whose id appears in ``ids_df`` --

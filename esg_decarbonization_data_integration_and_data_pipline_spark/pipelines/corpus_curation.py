@@ -125,11 +125,11 @@ def curate(docs: DataFrame, keep_langs: list[str] | None = None,
                       "split")
 
 
-def _scrub_expr():
+def _scrub_expr(text_col: str = "text"):
     """The in-place PII redaction chain -- the same regexp chain
     scrub_pii applies (one shared pattern table, no join-back
     shuffle)."""
-    clean = F.col("text")
+    clean = F.col(text_col)
     for _name, pat, token in PII_PATTERNS:
         clean = F.regexp_replace(clean, pat, token)
     return clean
@@ -294,19 +294,27 @@ def incremental_curate(old_snapshot: DataFrame, new_snapshot: DataFrame,
 
     Returns the run report: counts per diff status, per stage drop,
     and the final merged count."""
+    import os
+
     from esg_decarbonization_data_integration_and_data_pipline_spark.operators.dedup import (
-        _signature_base, incremental_pairs_from_base, minhash_delete_index,
+        dedup_merge_batch, minhash_delete_index,
     )
     from esg_decarbonization_data_integration_and_data_pipline_spark.operators.diff import (
         dataset_diff,
     )
     from esg_decarbonization_data_integration_and_data_pipline_spark.io.writers import (
-        delete_keys, replace_keys,
+        delete_keys,
     )
     from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import (
         GOPHER_FLAG_COLS, GOPHER_METRIC_COLS, gopher_rules,
     )
 
+    # fail BEFORE any mutation: discovering a missing index after the
+    # corpus delete would leave a torn nightly state
+    if not os.path.exists(index_path):
+        raise ValueError(
+            f"signature index not found at {index_path}; seed it first "
+            f"(streaming.docs_dedup.seed_index -- empty is fine)")
     spark = new_snapshot.sparkSession
     diff = dataset_diff(old_snapshot, new_snapshot, id_col=id_col,
                         compare_cols=[text_col]).localCheckpoint()
@@ -314,41 +322,43 @@ def incremental_curate(old_snapshot: DataFrame, new_snapshot: DataFrame,
                    diff.groupBy("status")
                        .agg(F.count(F.lit(1)).alias("n")).collect()}
 
-    stale = (diff.filter(F.col("status").isin("removed", "changed"))
-                 .select(id_col))
-    delete_keys(spark, corpus_path, stale, [id_col])
-    minhash_delete_index(spark, index_path, stale, id_col=id_col)
+    # every write below is guarded by the already-collected counts: a
+    # quiet night (nothing changed) must cost zero table rewrites
+    n_stale = (n_by_status.get("removed", 0)
+               + n_by_status.get("changed", 0))
+    if n_stale:
+        stale = (diff.filter(F.col("status").isin("removed", "changed"))
+                     .select(id_col))
+        delete_keys(spark, corpus_path, stale, [id_col])
+        minhash_delete_index(spark, index_path, stale, id_col=id_col)
 
+    n_todo = (n_by_status.get("added", 0)
+              + n_by_status.get("changed", 0))
+    if not n_todo:
+        return {"added": 0, "changed": n_by_status.get("changed", 0),
+                "removed": n_by_status.get("removed", 0),
+                "unchanged": n_by_status.get("unchanged", 0),
+                "reprocessed": 0, "gated_out": 0, "dup_dropped": 0,
+                "merged": 0}
     todo_ids = (diff.filter(F.col("status").isin("added", "changed"))
                     .select(id_col))
-    batch = new_snapshot.join(F.broadcast(todo_ids), id_col, "left_semi")
+    # no broadcast hint: at bootstrap (empty old snapshot) todo_ids is
+    # corpus-sized; AQE broadcasts the small case by itself
+    batch = new_snapshot.join(todo_ids, id_col, "left_semi")
     if scrub:
-        batch = batch.withColumn(text_col, _scrub_expr())
-    n_todo = batch.count()
+        batch = batch.withColumn(text_col, _scrub_expr(text_col))
     if gopher is not None:
-        batch = (gopher_rules(batch, text_col=text_col, **gopher)
+        kw = dict(gopher)
+        kw.setdefault("text_col", text_col)
+        batch = (gopher_rules(batch, **kw)
                  .filter(F.col("gopher_pass") == 1)
                  .drop(*GOPHER_METRIC_COLS, *GOPHER_FLAG_COLS))
     batch = batch.localCheckpoint()
     n_gated = batch.count()
 
-    base = _signature_base(batch, id_col, text_col).cache()
-    pairs = incremental_pairs_from_base(
-        spark, base, index_path, threshold).localCheckpoint()
-    known = (pairs.filter(F.col("against") == "index")
-                  .select(F.col("id_a").alias(id_col)).distinct())
-    drop_b = (pairs.filter(F.col("against") == "batch")
-                   .select(F.greatest("id_a", "id_b").alias(id_col))
-                   .distinct())
-    keep = (batch.join(F.broadcast(known), id_col, "left_anti")
-                 .join(F.broadcast(drop_b), id_col, "left_anti")
-                 .localCheckpoint())
-    n_keep = keep.count()
-    replace_keys(keep, corpus_path, keys=[id_col])
-    keep_ids = keep.select(F.col(id_col).alias("id"))
-    (base.join(F.broadcast(keep_ids), "id")
-         .write.mode("append").parquet(index_path))
-    base.unpersist()
+    n_keep, _pairs = dedup_merge_batch(
+        spark, batch, corpus_path, index_path, threshold,
+        id_col=id_col, text_col=text_col)
     return {"added": n_by_status.get("added", 0),
             "changed": n_by_status.get("changed", 0),
             "removed": n_by_status.get("removed", 0),

@@ -25,11 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from esg_decarbonization_data_integration_and_data_pipline_spark.io.writers import (
-    replace_keys,
-)
 from esg_decarbonization_data_integration_and_data_pipline_spark.operators.dedup import (
-    _signature_base, incremental_pairs_from_base, minhash_write_index,
+    dedup_merge_batch, minhash_write_index,
 )
 
 
@@ -68,33 +65,14 @@ def stream_dedup_ingest(sdf: DataFrame, corpus_path: str, index_path: str,
             return
         spark = batch_df.sparkSession
         batch = batch_df.localCheckpoint()  # one materialization; short lineage
-        # caller-managed signature working set: cached for this
-        # batch's joins, RELEASED at the end of the trigger (the
-        # public operator's internal cache would accumulate one
-        # entry per micro-batch forever -- review finding)
-        base = _signature_base(batch, id_col, text_col).cache()
-        pairs = incremental_pairs_from_base(
-            spark, base, index_path, threshold).localCheckpoint()
+        # the keep-rule/merge/index-append protocol lives in ONE
+        # place (dedup.dedup_merge_batch, shared with
+        # incremental_curate); this wrapper only adds the audit write
+        _n, pairs = dedup_merge_batch(
+            spark, batch, corpus_path, index_path, threshold,
+            id_col=id_col, text_col=text_col)
         (pairs.withColumn("batch_id", F.lit(batch_id))
               .write.mode("append").parquet(dups_path))
-
-        known = (pairs.filter(F.col("against") == "index")
-                      .select(F.col("id_a").alias(id_col)).distinct())
-        # batch-internal keep-rule: drop any doc that pairs with a
-        # smaller id in the same batch (min-id canonical)
-        drop_b = (pairs.filter(F.col("against") == "batch")
-                       .select(F.greatest("id_a", "id_b").alias(id_col))
-                       .distinct())
-        keep = (batch.join(F.broadcast(known), id_col, "left_anti")
-                     .join(F.broadcast(drop_b), id_col, "left_anti")
-                     .localCheckpoint())
-        replace_keys(keep, corpus_path, keys=[id_col])
-        # index append reuses the batch's already-computed signatures
-        # (no second kernel pass over the batch text)
-        keep_ids = keep.select(F.col(id_col).alias("id"))
-        (base.join(F.broadcast(keep_ids), "id")
-             .write.mode("append").parquet(index_path))
-        base.unpersist()
 
     return (sdf.writeStream.foreachBatch(ingest)
                .option("checkpointLocation", checkpoint)

@@ -33,7 +33,7 @@ from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.corpu
 
 def stream_gate_ingest(sdf: DataFrame, corpus_path: str, checkpoint: str,
                        gopher: dict | None = None, scrub: bool = True,
-                       id_col: str = "doc_id",
+                       id_col: str = "doc_id", text_col: str = "text",
                        query_name: str = "docs_gate_ingest"):
     """documents stream -> gated corpus + reject audit table.
 
@@ -54,11 +54,13 @@ def stream_gate_ingest(sdf: DataFrame, corpus_path: str, checkpoint: str,
             return
         batch = batch_df
         if scrub:
-            batch = batch.withColumn("text", _scrub_expr())
+            batch = batch.withColumn(text_col, _scrub_expr(text_col))
         if gopher is None:
             replace_keys(batch, corpus_path, keys=[id_col])
             return
-        flagged = gopher_rules(batch, **gopher).localCheckpoint()
+        kw = dict(gopher)
+        kw.setdefault("text_col", text_col)
+        flagged = gopher_rules(batch, **kw).localCheckpoint()
         keep = (flagged.filter(F.col("gopher_pass") == 1)
                        .drop(*GOPHER_METRIC_COLS, *GOPHER_FLAG_COLS))
         replace_keys(keep, corpus_path, keys=[id_col])

@@ -318,3 +318,13 @@ def test_top_fraction_exact_with_ties(spark):
     assert top_fraction_by_score(df, "score", 0.0).count() == 0
     with pytest.raises(ValueError):
         top_fraction_by_score(df, "score", 1.5)
+
+
+def test_pack_plan_single_shard_exchange(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    plan = pack_sequences(d, seq_len=256, n_shards=8)._jdf \
+        .queryExecution().executedPlan().toString()
+    # one hash exchange keyed by shard feeds the window; never a
+    # global sort (rangepartitioning) at any corpus size
+    assert "hashpartitioning(shard" in plan
+    assert "rangepartitioning" not in plan.lower()

@@ -144,10 +144,10 @@ def main() -> None:
     def _pack(d):
         return pack_sequences(d, seq_len=2048, n_shards=16)
 
-    def _budget(d):
-        # budget scales with the corpus so the selected fraction (and
-        # thus the work) stays comparable across scales
-        return token_budget_sample(d, budget_tokens=10**9)
+    def _budget(d, s):
+        # budget scales with the replica count so the selected
+        # fraction (~half the corpus) stays comparable across scales
+        return token_budget_sample(d, budget_tokens=75_000 * s)
 
     def _line_dedup(d):
         lines = T.chunk_documents(d, chunk_tokens=8, overlap=0)
@@ -175,7 +175,7 @@ def main() -> None:
         "pack_sequences":
             lambda s: _pack(docs(s)),
         "token_budget_sample":
-            lambda s: _budget(docs(s)),
+            lambda s: _budget(docs(s), s),
         "text_line_dedup":
             lambda s: _line_dedup(docs(s)),
     }
