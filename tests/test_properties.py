@@ -246,3 +246,123 @@ def test_mixture_sample_never_exceeds_ratios(spark, sources):
             .agg(F.count("*").alias("n")).collect())}
     for s, w in weights.items():
         assert got.get(s, 0) == math.floor(cap * w)
+
+
+@SETTINGS
+@given(docs=st.lists(
+    st.tuples(st.integers(0, 50),
+              st.text(alphabet="ab ", min_size=0, max_size=20)),
+    min_size=1, max_size=14, unique_by=lambda t: t[0]))
+def test_pack_sequences_model_parity(spark, docs):
+    """Per-shard offsets equal a Python model packing in the same
+    (md5(id), id) order; totals and sequence ids are consistent."""
+    import hashlib
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    seq_len, n_shards = 5, 3
+    out = {r.doc_id: r for r in
+           pack_sequences(df, seq_len=seq_len, n_shards=n_shards).collect()}
+    # python model
+    model = {}
+    for did, tx in docs:
+        nt = len([t for t in tx.split() if t])
+        if nt == 0:
+            continue
+        md5 = hashlib.md5(str(did).encode()).hexdigest()
+        shard = int(md5[:12], 16) % n_shards
+        model.setdefault(shard, []).append((md5, did, nt))
+    expect = {}
+    for shard, rows in model.items():
+        off = 0
+        for _, did, nt in sorted(rows):
+            expect[did] = (shard, off, off + nt)
+            off += nt
+    assert set(out) == set(expect)
+    for did, (shard, start, end) in expect.items():
+        r = out[did]
+        assert (r.shard, r.start_off, r.end_off) == (shard, start, end)
+        assert r.first_seq == start // seq_len
+        assert r.last_seq == (end - 1) // seq_len
+
+
+@SETTINGS
+@given(docs=st.lists(
+    st.tuples(st.integers(0, 50),
+              st.text(alphabet="abc ", min_size=1, max_size=16)),
+    min_size=1, max_size=14, unique_by=lambda t: t[0]),
+    budget=st.integers(0, 40))
+def test_token_budget_model_parity(spark, docs, budget):
+    """The distributed prefix-sum equals the serial md5-order model
+    for arbitrary corpora and budgets."""
+    import hashlib
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {r.doc_id: r.cum_tokens for r in
+           token_budget_sample(df, budget).collect()}
+    ordered = sorted(
+        (hashlib.md5(tx.encode()).hexdigest(), tx, did,
+         len([t for t in tx.split() if t]))
+        for did, tx in docs)
+    expect, cum = {}, 0
+    for _, _, did, nt in ordered:
+        cum += nt
+        if cum <= budget:
+            expect[did] = cum
+    assert got == expect
+
+
+@SETTINGS
+@given(scores=st.lists(st.integers(0, 5), min_size=1, max_size=16),
+       frac=st.sampled_from([0.0, 0.25, 0.5, 0.75, 1.0]))
+def test_top_fraction_is_smallest_score_closed_superset(spark, scores, frac):
+    import math
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.sampling import (
+        top_fraction_by_score,
+    )
+
+    rows = [(i, float(s)) for i, s in enumerate(scores)]
+    df = spark.createDataFrame(rows, "doc_id bigint, score double")
+    got = top_fraction_by_score(df, "score", frac).collect()
+    k = math.ceil(len(rows) * frac)
+    if k == 0:
+        assert got == []
+        return
+    # smallest score-closed set with >= k rows
+    ordered = sorted((s for _, s in rows), reverse=True)
+    cutoff = ordered[k - 1]
+    expect = {i for i, s in rows if s >= cutoff}
+    assert {r.doc_id for r in got} == expect
+    assert all(r.score_cutoff == cutoff for r in got)
+
+
+@SETTINGS
+@given(old=st.lists(st.tuples(st.integers(0, 8), st.sampled_from(["p", "q"])),
+                    min_size=0, max_size=8, unique_by=lambda t: t[0]),
+       new=st.lists(st.tuples(st.integers(0, 8), st.sampled_from(["p", "q"])),
+                    min_size=0, max_size=8, unique_by=lambda t: t[0]))
+def test_dataset_diff_partitions_ids(spark, old, new):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.diff import dataset_diff
+
+    o = spark.createDataFrame(old, "doc_id bigint, text string")
+    n = spark.createDataFrame(new, "doc_id bigint, text string")
+    got = {r.doc_id: r.status for r in dataset_diff(o, n).collect()}
+    om, nm = dict(old), dict(new)
+    assert set(got) == set(om) | set(nm)
+    for did, status in got.items():
+        if did not in om:
+            assert status == "added"
+        elif did not in nm:
+            assert status == "removed"
+        elif om[did] == nm[did]:
+            assert status == "unchanged"
+        else:
+            assert status == "changed"
