@@ -120,6 +120,11 @@ def export_packed_shards(df: DataFrame, out_dir: str,
            .write.mode("overwrite").partitionBy("shard")
            .parquet(f"{out_dir}/docs"))
     spark = df.sparkSession
-    manifest = pack_manifest(spark.read.parquet(f"{out_dir}/docs"), seq_len)
+    # explicit schemas on the read-backs: an empty curated corpus
+    # writes no parquet footers, and schema inference would throw
+    # UNABLE_TO_INFER_SCHEMA instead of yielding an empty manifest
+    docs_back = spark.read.schema(packed.schema).parquet(f"{out_dir}/docs")
+    manifest = pack_manifest(docs_back, seq_len)
     manifest.write.mode("overwrite").parquet(f"{out_dir}/_manifest")
-    return spark.read.parquet(f"{out_dir}/_manifest")
+    return (spark.read.schema(manifest.schema)
+                 .parquet(f"{out_dir}/_manifest"))

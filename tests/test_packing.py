@@ -328,3 +328,11 @@ def test_pack_plan_single_shard_exchange(spark, sf_dir):
     # global sort (rangepartitioning) at any corpus size
     assert "hashpartitioning(shard" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_export_empty_corpus_yields_empty_manifest(spark, tmp_path):
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    man = export_packed_shards(empty, str(tmp_path / "e"), seq_len=SEQ,
+                               n_shards=2)
+    assert man.count() == 0
+    assert {"shard", "n_docs", "total_tokens"} <= set(man.columns)
