@@ -697,3 +697,56 @@ def sq_topk(df: DataFrame, query_df: DataFrame, k: int,
              .select("vec_id", "cosine")
              .withColumn("rank", F.row_number().over(w).cast("int"))
              .filter(F.col("rank") <= k))
+
+
+def decontaminate_embeddings(corpus: DataFrame, benchmark: DataFrame,
+                             dim: int, threshold: float = 0.95,
+                             n_tables: int = 4, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             n_planes: int = N_PLANES) -> DataFrame:
+    """Semantic decontamination: flag every corpus vector whose
+    cosine against ANY benchmark vector reaches ``threshold`` -- the
+    embedding twin of n-gram decontamination (catches paraphrased /
+    reformatted eval items that share no exact n-grams).
+
+    Scale shape: the benchmark is an eval set (small by definition),
+    so its buckets AND its vectors broadcast; candidates come from
+    per-table bucket equi-joins between the corpus buckets and the
+    broadcast benchmark buckets -- the corpus is never self-joined
+    and never shuffles its vectors.  The exact-cosine verify runs
+    once per distinct (corpus, bench) candidate.
+
+    Output: one row per CONTAMINATED corpus vector -- (vec_id,
+    bench_id, cosine) of its best match (ties break on the smaller
+    bench id, so the result is deterministic).  Join the ids back as
+    an anti-filter to drop them.
+    """
+    from pyspark.sql import Window
+
+    cb = lsh_bucket_multi(corpus, dim, n_tables, id_col, vec_col, n_planes)
+    bb = lsh_bucket_multi(benchmark, dim, n_tables, id_col, vec_col,
+                          n_planes)
+    cand = (cb.select("tbl", "bucket", F.col("vec_id").alias("cid"))
+              .join(F.broadcast(
+                  bb.select("tbl", "bucket", F.col("vec_id").alias("bid"))),
+                  ["tbl", "bucket"])
+              .select("cid", "bid").distinct())
+    vc = corpus.select(F.col(id_col).alias("cid"),
+                       _as_double(vec_col).alias("v_a"))
+    vb = benchmark.select(F.col(id_col).alias("bid"),
+                          _as_double(vec_col).alias("v_b"))
+    dot = F.expr("aggregate(zip_with(v_a, v_b, (x, y) -> x * y), 0D, "
+                 "(acc, x) -> acc + x)")
+    na = F.sqrt(F.expr("aggregate(v_a, 0D, (acc, x) -> acc + x * x)"))
+    nb = F.sqrt(F.expr("aggregate(v_b, 0D, (acc, x) -> acc + x * x)"))
+    scored = (cand.join(vc, "cid").join(F.broadcast(vb), "bid")
+                  .withColumn("cosine",
+                              F.round(dot / F.nullif(na * nb, F.lit(0.0)),
+                                      6))
+                  .filter(F.col("cosine") >= threshold))
+    w = Window.partitionBy("cid").orderBy(F.col("cosine").desc(),
+                                          F.col("bid"))
+    return (scored.withColumn("__rk", F.row_number().over(w))
+                  .filter(F.col("__rk") == 1)
+                  .select(F.col("cid").alias("vec_id"),
+                          F.col("bid").alias("bench_id"), "cosine"))

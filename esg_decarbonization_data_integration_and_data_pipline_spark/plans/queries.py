@@ -761,7 +761,7 @@ _DRIVER_TAIL = [
     "pack_sequences_docs", "mixture_temperature_docs",
     "quality_gopher_rules", "token_budget_docs", "text_line_dedup",
     "dataset_diff_docs", "quality_top_fraction",
-    "corpus_profile_by_source",
+    "corpus_profile_by_source", "decontaminate_embeddings_docs",
 ]
 _ORDERED = _DRIVER_HEAD + _DRIVER_TAIL
 assert set(_ORDERED) == set(REGISTRY) and len(_ORDERED) == len(REGISTRY), (

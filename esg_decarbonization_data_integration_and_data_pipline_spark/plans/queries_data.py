@@ -1453,3 +1453,50 @@ def corpus_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.max("__nt").alias("max_tokens"),
                   F.round(F.expr("percentile(n_chars, 0.5)"), 4)
                    .alias("p50_chars")))
+
+
+@register("decontaminate_embeddings_docs", "ext:decontam-semantic,ext:ann-lsh-multi",
+          oracle="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+b AS (
+  SELECT v.vec_id, t.t AS tbl,
+         CAST(list_sum([
+           CASE WHEN list_sum([v.e[CAST(d + 1 AS INT)] *
+                    CAST((1 + (t.t * 8 + h) * 64 + d) * 2654435761 % 1001 - 500 AS DOUBLE)
+                    FOR d IN range(0, 64)]) >= 0
+                THEN (CAST(1 AS BIGINT) << CAST(h AS INT)) ELSE 0 END
+           FOR h IN range(0, 8)]) AS BIGINT) AS bucket
+  FROM v, (SELECT unnest(range(0, 4)) AS t) t
+),
+cand AS (
+  SELECT DISTINCT c.vec_id AS cid, e.vec_id AS bid
+  FROM b c JOIN b e ON c.tbl = e.tbl AND c.bucket = e.bucket
+  WHERE c.vec_id >= 25 AND e.vec_id < 25
+),
+scored AS (
+  SELECT p.cid, p.bid,
+         round(list_cosine_similarity(vc.e, vb.e), 6) AS cosine
+  FROM cand p JOIN v vc ON vc.vec_id = p.cid
+              JOIN v vb ON vb.vec_id = p.bid
+),
+ranked AS (
+  SELECT cid, bid, cosine,
+         row_number() OVER (PARTITION BY cid
+                            ORDER BY cosine DESC, bid) AS rk
+  FROM scored WHERE cosine >= 0.3
+)
+SELECT cid AS vec_id, bid AS bench_id, cosine
+FROM ranked WHERE rk = 1
+""")
+def decontaminate_embeddings_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: corpus vectors (vec_id >= 25) whose
+    LSH-candidate cosine vs the benchmark set (vec_id < 25) reaches
+    0.3, best match per contaminated vector
+    (operators/similarity.decontaminate_embeddings)."""
+    e = table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= 25)
+    bench = e.filter(F.col("vec_id") < 25)
+    return S.decontaminate_embeddings(corpus, bench, dim=64,
+                                      threshold=0.3)

@@ -312,3 +312,25 @@ def test_ivf_index_roundtrip_sf01_served_equals_inmemory(spark, tmp_path,
     # (inputFiles() can't show this -- it ignores partition pruning)
     in_list = pf.split("IN (", 1)[1].split(")")[0]
     assert len(in_list.split(",")) <= 4
+
+
+def test_decontaminate_embeddings_flags_planted_dup(spark):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.similarity import (
+        decontaminate_embeddings,
+    )
+
+    dim = 8
+    base = [float(i % 3 - 1) for i in range(dim)]
+    far = [1.0] + [0.0] * (dim - 1)
+    corpus = spark.createDataFrame(
+        [(100, base),                      # exact dup of bench 1
+         (101, [x * 2 for x in base]),     # scaled copy: cosine 1
+         (102, far)],                      # unrelated
+        "vec_id bigint, embedding array<float>")
+    bench = spark.createDataFrame(
+        [(1, base)], "vec_id bigint, embedding array<float>")
+    got = {r.vec_id: r for r in
+           decontaminate_embeddings(corpus, bench, dim=dim,
+                                    threshold=0.99).collect()}
+    assert set(got) == {100, 101}
+    assert all(r.bench_id == 1 and r.cosine >= 0.99 for r in got.values())
