@@ -334,3 +334,23 @@ def test_decontaminate_embeddings_flags_planted_dup(spark):
                                     threshold=0.99).collect()}
     assert set(got) == {100, 101}
     assert all(r.bench_id == 1 and r.cosine >= 0.99 for r in got.values())
+
+
+def test_decontaminate_embeddings_zero_norm_never_flags(spark):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.similarity import (
+        decontaminate_embeddings,
+    )
+
+    dim = 8
+    zero = [0.0] * dim
+    one = [1.0] * dim
+    corpus = spark.createDataFrame(
+        [(100, zero), (101, one)], "vec_id bigint, embedding array<float>")
+    bench = spark.createDataFrame(
+        [(1, zero), (2, one)], "vec_id bigint, embedding array<float>")
+    got = {r.vec_id for r in
+           decontaminate_embeddings(corpus, bench, dim=dim,
+                                    threshold=0.5).collect()}
+    # zero-norm cosine is undefined (NULL), so 100 never flags even
+    # against the zero benchmark vector; 101 flags on bench 2
+    assert got == {101}
