@@ -712,9 +712,13 @@ def decontaminate_embeddings(corpus: DataFrame, benchmark: DataFrame,
     Scale shape: the benchmark is an eval set (small by definition),
     so its buckets AND its vectors broadcast; candidates come from
     per-table bucket equi-joins between the corpus buckets and the
-    broadcast benchmark buckets -- the corpus is never self-joined
-    and never shuffles its vectors.  The exact-cosine verify runs
-    once per distinct (corpus, bench) candidate.
+    broadcast benchmark buckets -- the corpus is never self-joined.
+    The exact-cosine verify runs once per distinct (corpus, bench)
+    candidate; attaching the corpus vectors to the candidate ids is
+    one equi-join on cid, which shuffles the corpus vector frame
+    unless AQE broadcasts the candidate set -- the one corpus-sized
+    exchange in the plan (candidate-fraction-sized after AQE when
+    few buckets collide).
 
     Output: one row per CONTAMINATED corpus vector -- (vec_id,
     bench_id, cosine) of its best match (ties break on the smaller
@@ -735,14 +739,8 @@ def decontaminate_embeddings(corpus: DataFrame, benchmark: DataFrame,
                        _as_double(vec_col).alias("v_a"))
     vb = benchmark.select(F.col(id_col).alias("bid"),
                           _as_double(vec_col).alias("v_b"))
-    dot = F.expr("aggregate(zip_with(v_a, v_b, (x, y) -> x * y), 0D, "
-                 "(acc, x) -> acc + x)")
-    na = F.sqrt(F.expr("aggregate(v_a, 0D, (acc, x) -> acc + x * x)"))
-    nb = F.sqrt(F.expr("aggregate(v_b, 0D, (acc, x) -> acc + x * x)"))
     scored = (cand.join(vc, "cid").join(F.broadcast(vb), "bid")
-                  .withColumn("cosine",
-                              F.round(dot / F.nullif(na * nb, F.lit(0.0)),
-                                      6))
+                  .withColumn("cosine", F.expr(_cos_expr("v_a", "v_b")))
                   .filter(F.col("cosine") >= threshold))
     w = Window.partitionBy("cid").orderBy(F.col("cosine").desc(),
                                           F.col("bid"))

@@ -27,9 +27,15 @@ def read_jsonl_corpus(spark: SparkSession, path: str,
 
     ``docs`` has exactly ``schema``'s columns (missing fields null,
     extra fields dropped -- additive schema evolution reads fine);
-    ``quarantine`` holds the raw text of every unparseable line.  A
-    line whose fields ALL fail to bind (or whose JSON is invalid)
-    lands in quarantine and NOT in docs.
+    ``quarantine`` holds the raw text of every rejected line: invalid
+    JSON, a field type clash, or valid JSON that binds ZERO schema
+    fields (a renamed-field shard would otherwise flood docs with
+    silent all-null rows -- the exact failure mode this reader exists
+    to surface; a literal all-null object carries no data either way).
+
+    One contract divergence from ``spark.read.json``: a line holding
+    a top-level JSON ARRAY is quarantined, not exploded into rows --
+    the format here is strictly one document object per line.
 
     Plan shape: each frame is ONE distributed single-pass scan of the
     files AS TEXT (splittable by lines) with ``from_json`` doing the
@@ -37,15 +43,10 @@ def read_jsonl_corpus(spark: SparkSession, path: str,
     refuses any query whose pruned column set is only the corrupt
     record column (``docs.count()`` prunes to exactly that), and the
     documented ``cache()`` workaround would pin a corpus-sized parse
-    in memory.  The text+from_json route has the same parser and the
-    same PERMISSIVE corrupt-record semantics with no such
-    restriction.  Blank lines are skipped (matching what the native
-    JSON scan would do).
+    in memory.  Blank lines are skipped (matching the native scan).
     """
     if isinstance(schema, str):
-        from pyspark.sql.types import _parse_datatype_string
-
-        schema = _parse_datatype_string(schema)
+        schema = StructType.fromDDL(schema)
     if not isinstance(schema, StructType):
         raise ValueError(f"schema must be a struct, got {schema}")
     with_corrupt = StructType(
@@ -56,7 +57,11 @@ def read_jsonl_corpus(spark: SparkSession, path: str,
     parsed = (spark.read.text(path)
               .filter(F.length(F.trim(F.col("value"))) > 0)
               .select(F.col("value").alias("raw_line"), j.alias("__j")))
-    bad = F.col(f"__j.{corrupt_col}").isNotNull()
+    bound = None
+    for f in schema.fields:
+        nn = F.col(f"__j.{f.name}").isNotNull()
+        bound = nn if bound is None else (bound | nn)
+    bad = F.col(f"__j.{corrupt_col}").isNotNull() | ~bound
     docs = (parsed.filter(~bad)
                   .select(*[F.col(f"__j.{f.name}").alias(f.name)
                             for f in schema.fields]))
@@ -69,8 +74,12 @@ def read_text_corpus(spark: SparkSession, path: str,
     """Read a tree of plain-text files as one-document-per-file:
     (doc_path, text[, doc_id]).  ``wholetext`` keeps each file one
     row (a document is a unit, not its lines); ``doc_id`` is the
-    first 12 md5 hex digits of the path as a bigint -- stable across
-    runs and engines, so downstream splits/dedup key consistently.
+    first 15 md5 hex digits of the path as a bigint (60 bits, always
+    positive) -- stable across runs, so downstream splits/dedup key
+    consistently.  Collision math for an IDENTITY key: 60 bits keeps
+    the any-collision probability under ~1% up to ~150M files (the
+    12-hex/48-bit prefix the shard routers use would cross 1% at
+    ~2.4M -- fine for routing, not for identity).
 
     Scale note: one task per FILE in wholetext mode -- right for
     document trees (many files); a single giant file should be JSONL
@@ -82,6 +91,6 @@ def read_text_corpus(spark: SparkSession, path: str,
     if id_from_path:
         df = df.withColumn(
             "doc_id",
-            F.conv(F.substring(F.md5("doc_path"), 1, 12), 16, 10)
+            F.conv(F.substring(F.md5("doc_path"), 1, 15), 16, 10)
              .cast("bigint"))
     return df

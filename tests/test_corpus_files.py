@@ -34,6 +34,19 @@ def test_jsonl_round_trip_with_quarantine(spark, tmp_path):
     assert any("not-a-number" in b for b in bad)
 
 
+def test_jsonl_zero_bound_and_array_lines_quarantine(spark, tmp_path):
+    p = tmp_path / "edge.jsonl"
+    p.write_text("{}\n"
+                 '{"other_field": 1}\n'
+                 '[{"doc_id": 9, "text": "array line"}]\n'
+                 '{"doc_id": 10, "text": "fine"}\n')
+    docs, q = read_jsonl_corpus(spark, str(p))
+    assert [r.doc_id for r in docs.collect()] == [10]
+    # renamed/empty/array lines surface in quarantine, never as
+    # silent all-null docs rows
+    assert q.count() == 3
+
+
 def test_jsonl_all_good_and_all_bad(spark, tmp_path):
     good = tmp_path / "good.jsonl"
     good.write_text('{"doc_id": 7, "text": "ok"}\n')
