@@ -157,6 +157,62 @@ def temperature_mixture_sample(df: DataFrame, alpha: float = 0.5,
                           counts=counts)
 
 
+def token_budget_by_source(df: DataFrame, budgets: dict[str, int],
+                           source_col: str = "source",
+                           key_col: str = "text", id_col: str = "doc_id",
+                           text_col: str = "text",
+                           bucket_hex: int = 3) -> DataFrame:
+    """Per-source token budgets -- the form a training mix is
+    actually specified in ("300B web, 50B code, 20B books"): within
+    each source, take the largest deterministic md5-ranked prefix
+    whose cumulative token count fits that source's budget.  Sources
+    absent from ``budgets`` are excluded.
+
+    Same distributed prefix-sum as :func:`token_budget_sample`, keyed
+    one level deeper: bucket offsets come from a window over the
+    (source, bucket) aggregate (tiny -- #sources x 16^bucket_hex
+    rows, partitioned by source so not even that is single-partition)
+    and the in-bucket cumsum windows on (source, bucket).  A source
+    with 100 TB never serializes into one per-source window.
+
+    Output: input columns + n_tokens + cum_tokens (within-source) +
+    budget_tokens, filtered to cum_tokens <= budget_tokens."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import tokens
+
+    if not budgets:
+        raise ValueError("budgets is empty")
+    if any(b < 0 for b in budgets.values()):
+        raise ValueError(f"budgets must be >= 0: {budgets}")
+    ordc = F.md5(F.col(key_col))
+    valid = (df.filter(F.col(key_col).isNotNull()
+                       & F.col(text_col).isNotNull()
+                       & F.col(source_col).isin(list(budgets)))
+               .withColumn("n_tokens",
+                           F.size(tokens(text_col)).cast("bigint"))
+               .withColumn("__bkt", F.substring(ordc, 1, bucket_hex)))
+    totals = (valid.groupBy(source_col, "__bkt")
+                   .agg(F.sum("n_tokens").alias("__tot")))
+    w_off = (Window.partitionBy(source_col).orderBy("__bkt")
+                   .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.select(
+        source_col, "__bkt",
+        F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off"))
+    w_in = (Window.partitionBy(source_col, "__bkt")
+                  .orderBy(ordc, F.col(key_col), F.col(id_col))
+                  .rowsBetween(Window.unboundedPreceding,
+                               Window.currentRow))
+    bdf = valid.sparkSession.createDataFrame(
+        list(budgets.items()), f"{source_col} string, budget_tokens bigint")
+    return (valid.join(F.broadcast(offsets), [source_col, "__bkt"])
+                 .withColumn("cum_tokens",
+                             (F.col("__off")
+                              + F.sum("n_tokens").over(w_in))
+                             .cast("bigint"))
+                 .join(F.broadcast(bdf), source_col)
+                 .filter(F.col("cum_tokens") <= F.col("budget_tokens"))
+                 .drop("__bkt", "__off"))
+
+
 def top_fraction_by_score(df: DataFrame, score_col: str,
                           keep_frac: float,
                           out_col: str = "score_cutoff") -> DataFrame:

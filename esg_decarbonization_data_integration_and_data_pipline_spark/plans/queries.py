@@ -762,6 +762,7 @@ _DRIVER_TAIL = [
     "quality_gopher_rules", "token_budget_docs", "text_line_dedup",
     "dataset_diff_docs", "quality_top_fraction",
     "corpus_profile_by_source", "decontaminate_embeddings_docs",
+    "token_budget_mixture_docs",
 ]
 _ORDERED = _DRIVER_HEAD + _DRIVER_TAIL
 assert set(_ORDERED) == set(REGISTRY) and len(_ORDERED) == len(REGISTRY), (

@@ -1500,3 +1500,52 @@ def decontaminate_embeddings_docs(spark: SparkSession, sf_dir: str) -> DataFrame
     bench = e.filter(F.col("vec_id") < 25)
     return S.decontaminate_embeddings(corpus, bench, dim=64,
                                       threshold=0.3)
+
+
+@register("token_budget_mixture_docs", "ext:token-budget-mixture,W1", oracle="""
+WITH srcs AS (
+  SELECT source, row_number() OVER (ORDER BY source) AS rk
+  FROM (SELECT DISTINCT source FROM documents
+        WHERE text IS NOT NULL AND source IS NOT NULL)
+),
+b AS (
+  SELECT source, CASE rk WHEN 1 THEN 3000 WHEN 2 THEN 2000
+                 ELSE 1000 END AS budget_tokens
+  FROM srcs WHERE rk <= 3
+),
+t AS (
+  SELECT d.doc_id, d.source, b.budget_tokens,
+         CAST(len(""" + _SQL_TOKS + """) AS BIGINT) AS n_tokens,
+         md5(d.text) AS ord, d.text
+  FROM documents d JOIN b USING (source)
+  WHERE d.text IS NOT NULL
+),
+c AS (
+  SELECT doc_id, source, budget_tokens, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source
+                             ORDER BY ord, text, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
+       CAST(budget_tokens AS BIGINT) AS budget_tokens
+FROM c WHERE cum <= budget_tokens
+""")
+def token_budget_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budgets (3000/2000/1000 over the three
+    lexicographically-first sources, derived from the data): the
+    grouped distributed prefix-sum vs the oracle's per-source serial
+    window (operators/sampling.token_budget_by_source)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.sampling import (
+        token_budget_by_source,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    srcs = sorted(r[0] for r in
+                  d.filter(F.col("text").isNotNull()
+                           & F.col("source").isNotNull())
+                   .select("source").distinct().collect())[:3]
+    budgets = dict(zip(srcs, [3000, 2000, 1000][:len(srcs)]))
+    return (token_budget_by_source(d, budgets)
+            .select("doc_id", "source", "n_tokens", "cum_tokens",
+                    "budget_tokens"))

@@ -336,3 +336,47 @@ def test_export_empty_corpus_yields_empty_manifest(spark, tmp_path):
                                n_shards=2)
     assert man.count() == 0
     assert {"shard", "n_docs", "total_tokens"} <= set(man.columns)
+
+
+def test_token_budget_by_source_matches_serial_per_source(spark, sf_dir):
+    from pyspark.sql import Window
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.sampling import (
+        token_budget_by_source,
+    )
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import tokens
+
+    d = table(spark, sf_dir, "documents")
+    srcs = sorted(r[0] for r in d.select("source").distinct().collect())[:2]
+    budgets = {srcs[0]: 400, srcs[1]: 150}
+    serial = (d.filter(F.col("text").isNotNull()
+                       & F.col("source").isin(srcs))
+               .withColumn("n_tokens", F.size(tokens()).cast("bigint"))
+               .withColumn("cum_tokens", F.sum("n_tokens").over(
+                   Window.partitionBy("source")
+                         .orderBy(F.md5("text"), F.col("text"),
+                                  F.col("doc_id"))
+                         .rowsBetween(Window.unboundedPreceding,
+                                      Window.currentRow))))
+    want = sorted((r.doc_id, r.cum_tokens) for r in serial.collect()
+                  if r.cum_tokens <= budgets[r.source])
+    got = sorted((r.doc_id, r.cum_tokens) for r in
+                 token_budget_by_source(d, budgets).collect())
+    assert got == want and len(got) > 0
+    # per-source budget respected exactly
+    per_src = {}
+    for r in token_budget_by_source(d, budgets).collect():
+        per_src[r.source] = per_src.get(r.source, 0) + r.n_tokens
+    for s, tot in per_src.items():
+        assert tot <= budgets[s]
+
+
+def test_token_budget_by_source_rejects_bad_budgets(spark, sf_dir):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.sampling import (
+        token_budget_by_source,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError):
+        token_budget_by_source(d, {})
+    with pytest.raises(ValueError):
+        token_budget_by_source(d, {"src0": -1})
