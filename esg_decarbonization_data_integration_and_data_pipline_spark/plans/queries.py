@@ -763,6 +763,9 @@ _DRIVER_TAIL = [
     "dataset_diff_docs", "quality_top_fraction",
     "corpus_profile_by_source", "decontaminate_embeddings_docs",
     "token_budget_mixture_docs",
+    # rows-only by nature (iterative training loop; exactness pinned
+    # against a pure-Python reference in tests/test_bpe.py)
+    "bpe_tokenize_docs",
 ]
 _ORDERED = _DRIVER_HEAD + _DRIVER_TAIL
 assert set(_ORDERED) == set(REGISTRY) and len(_ORDERED) == len(REGISTRY), (

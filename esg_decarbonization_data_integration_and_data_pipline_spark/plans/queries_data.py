@@ -1549,3 +1549,22 @@ def token_budget_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (token_budget_by_source(d, budgets)
             .select("doc_id", "source", "n_tokens", "cum_tokens",
                     "budget_tokens"))
+
+
+@register("bpe_tokenize_docs", "ext:bpe-tokenizer", oracle=None)
+def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train an 8-merge BPE vocabulary on the corpus's own
+    word-frequency table, then encode every document with it
+    (operators/bpe.train_bpe / bpe_segment). Rows-only by nature:
+    the training loop is iterative driver control flow, not a SQL
+    expression -- exactness is pinned in tests/test_bpe.py against a
+    pure-Python reference implementation."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.bpe import (
+        bpe_segment, train_bpe,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    merges = train_bpe(d, n_merges=8)
+    return (bpe_segment(d, merges)
+            .select("doc_id", "n_bpe_tokens",
+                    F.concat_ws(" ", "bpe_tokens").alias("bpe_text")))

@@ -1,0 +1,112 @@
+"""Distributed BPE training/encoding vs a pure-Python reference."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from esg_decarbonization_data_integration_and_data_pipline_spark.operators.bpe import (
+    _merge_word, bpe_segment, train_bpe,
+)
+
+
+def ref_train(texts: list[str], n_merges: int,
+              min_pair_count: int = 2) -> list[tuple[str, str]]:
+    """Reference single-machine BPE on the word-frequency table."""
+    words = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            if w:
+                words[w] += 1
+    table = {w: list(w) for w in words}
+    merges = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, syms in table.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += words[w]
+        eligible = [(n, p) for p, n in pairs.items()
+                    if n >= min_pair_count]
+        if not eligible:
+            break
+        # deterministic: max count, then lexicographically SMALLEST
+        top = max(n for n, _ in eligible)
+        best = min(p for n, p in eligible if n == top)
+        merges.append(best)
+        for w in table:
+            table[w] = _merge_word(table[w], *best)
+    return merges
+
+
+def ref_encode(text: str, merges: list[tuple[str, str]]) -> list[str]:
+    ranks = {p: i for i, p in enumerate(merges)}
+    out = []
+    for w in text.lower().split():
+        if not w:
+            continue
+        syms = list(w)
+        while len(syms) > 1:
+            cand = [(ranks[(syms[i], syms[i + 1])], (syms[i], syms[i + 1]))
+                    for i in range(len(syms) - 1)
+                    if (syms[i], syms[i + 1]) in ranks]
+            if not cand:
+                break
+            syms = _merge_word(syms, *min(cand)[1])
+        out.extend(syms)
+    return out
+
+
+TEXTS = ["low lower lowest low low",
+         "new newer newest new",
+         "wider wide wide wider widest",
+         "low new wide lower"]
+
+
+def test_train_matches_reference(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)],
+                               "doc_id bigint, text string")
+    got = train_bpe(df, n_merges=8)
+    want = ref_train(TEXTS, 8)
+    assert got == want
+    assert len(got) > 5  # the corpus supports a real merge sequence
+
+
+def test_segment_matches_reference(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)],
+                               "doc_id bigint, text string")
+    merges = train_bpe(df, n_merges=6)
+    out = {r.doc_id: r for r in bpe_segment(df, merges).collect()}
+    for i, t in enumerate(TEXTS):
+        want = ref_encode(t, merges)
+        assert out[i]["bpe_tokens"] == want, (t, out[i]["bpe_tokens"], want)
+        assert out[i]["n_bpe_tokens"] == len(want)
+
+
+def test_segment_handles_null_and_empty(spark):
+    df = spark.createDataFrame([(1, None), (2, ""), (3, "ab ab ab")],
+                               "doc_id bigint, text string")
+    merges = [("a", "b")]
+    got = {r.doc_id: r for r in bpe_segment(df, merges).collect()}
+    assert got[1]["bpe_tokens"] is None and got[1]["n_bpe_tokens"] is None
+    assert got[2]["bpe_tokens"] == []
+    assert got[3]["bpe_tokens"] == ["ab", "ab", "ab"]
+
+
+def test_train_early_stop_and_validation(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    # no pair reaches min_pair_count=2 -> early stop, no merges
+    assert train_bpe(df, n_merges=5) == []
+    with pytest.raises(ValueError):
+        train_bpe(df, n_merges=0)
+
+
+def test_train_merges_chain_into_longer_units(spark):
+    rows = [(i, "banana bandana banana") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    merges = train_bpe(df, n_merges=6)
+    seg = bpe_segment(df, merges).collect()[0]["bpe_tokens"]
+    # repeated words compress into multi-char units
+    assert any(len(tok) >= 3 for tok in seg)
+    assert seg == ref_encode("banana bandana banana", merges)
