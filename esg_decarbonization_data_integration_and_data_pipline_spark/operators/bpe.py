@@ -89,9 +89,16 @@ def train_bpe(df: DataFrame, n_merges: int, text_col: str = "text",
             return apply_one
 
         apply_one = _apply_one(a, b)
+        # CASE-guarded: sequence(1, size-1) counts DOWN to [1, 0] for
+        # single-symbol words, and syms[1] would throw under ANSI.
+        # The surrounding size(syms) guards are mere conjuncts in a
+        # Filter -- Spark does not contractually order those -- so the
+        # guard must live INSIDE the expression (CASE is lazy)
         has_pair = F.expr(
+            f"CASE WHEN size(syms) > 1 THEN "
             f"exists(sequence(1, size(syms) - 1), "
-            f"i -> syms[i - 1] = {_sql_str(a)} AND syms[i] = {_sql_str(b)})")
+            f"i -> syms[i - 1] = {_sql_str(a)} AND syms[i] = {_sql_str(b)}) "
+            f"ELSE false END")
         touched = (words.filter((F.size("syms") > 1) & has_pair)
                         .select(apply_one("syms").alias("syms"), "cnt"))
         # eager checkpoint EVERY iteration: the word table is tiny
@@ -125,10 +132,21 @@ def bpe_segment(df: DataFrame, merges: list[tuple[str, str]],
     Arrow-batched pass; the merge ranks ride to the workers in the
     UDF closure (KBs).  Standard best-rank-first greedy merge per
     word -- identical output to any reference BPE encoder given the
-    same merges.  Null text yields null tokens."""
+    same merges.  Null text yields null tokens.
+
+    Tokenization matches :func:`train_bpe` exactly (lowercase, ASCII
+    ``\\s+`` split -- the Java regex the training word table is built
+    with; a Unicode-whitespace split would learn merges on phantom
+    NBSP-joined words the encoder never produces).  Per-worker word
+    memoization: Zipf-distributed text re-encodes the same frequent
+    words ~1e4x, so the greedy loop runs once per DISTINCT word per
+    worker, not per occurrence."""
+    import re
+
     from pyspark.sql.functions import pandas_udf
 
     ranks = {pair: i for i, pair in enumerate(merges)}
+    split_ws = re.compile(r"\s+", flags=re.ASCII)
 
     def encode_word(word: str) -> list[str]:
         syms = list(word)
@@ -141,6 +159,8 @@ def bpe_segment(df: DataFrame, merges: list[tuple[str, str]],
             syms = _merge_word(syms, a, b)
         return syms
 
+    cache: dict[str, list[str]] = {}  # closure state: lives per worker
+
     @pandas_udf("array<string>")
     def encode(texts: pd.Series) -> pd.Series:
         out = []
@@ -148,10 +168,13 @@ def bpe_segment(df: DataFrame, merges: list[tuple[str, str]],
             if t is None:
                 out.append(None)
                 continue
-            toks = [w for w in t.lower().split() if w]
+            toks = [w for w in split_ws.split(t.lower()) if w]
             enc: list[str] = []
             for w in toks:
-                enc.extend(encode_word(w))
+                seg = cache.get(w)
+                if seg is None:
+                    seg = cache[w] = encode_word(w)
+                enc.extend(seg)
             out.append(enc)
         return pd.Series(out)
 

@@ -177,40 +177,17 @@ def token_budget_by_source(df: DataFrame, budgets: dict[str, int],
 
     Output: input columns + n_tokens + cum_tokens (within-source) +
     budget_tokens, filtered to cum_tokens <= budget_tokens."""
-    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import tokens
-
     if not budgets:
         raise ValueError("budgets is empty")
     if any(b < 0 for b in budgets.values()):
         raise ValueError(f"budgets must be >= 0: {budgets}")
-    ordc = F.md5(F.col(key_col))
-    valid = (df.filter(F.col(key_col).isNotNull()
-                       & F.col(text_col).isNotNull()
-                       & F.col(source_col).isin(list(budgets)))
-               .withColumn("n_tokens",
-                           F.size(tokens(text_col)).cast("bigint"))
-               .withColumn("__bkt", F.substring(ordc, 1, bucket_hex)))
-    totals = (valid.groupBy(source_col, "__bkt")
-                   .agg(F.sum("n_tokens").alias("__tot")))
-    w_off = (Window.partitionBy(source_col).orderBy("__bkt")
-                   .rowsBetween(Window.unboundedPreceding, -1))
-    offsets = totals.select(
-        source_col, "__bkt",
-        F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off"))
-    w_in = (Window.partitionBy(source_col, "__bkt")
-                  .orderBy(ordc, F.col(key_col), F.col(id_col))
-                  .rowsBetween(Window.unboundedPreceding,
-                               Window.currentRow))
-    bdf = valid.sparkSession.createDataFrame(
+    scoped = df.filter(F.col(source_col).isin(list(budgets)))
+    cum = _bucketed_token_cumsum(scoped, [source_col], key_col, id_col,
+                                 text_col, bucket_hex)
+    bdf = df.sparkSession.createDataFrame(
         list(budgets.items()), f"{source_col} string, budget_tokens bigint")
-    return (valid.join(F.broadcast(offsets), [source_col, "__bkt"])
-                 .withColumn("cum_tokens",
-                             (F.col("__off")
-                              + F.sum("n_tokens").over(w_in))
-                             .cast("bigint"))
-                 .join(F.broadcast(bdf), source_col)
-                 .filter(F.col("cum_tokens") <= F.col("budget_tokens"))
-                 .drop("__bkt", "__off"))
+    return (cum.join(F.broadcast(bdf), source_col)
+               .filter(F.col("cum_tokens") <= F.col("budget_tokens")))
 
 
 def top_fraction_by_score(df: DataFrame, score_col: str,
@@ -282,30 +259,45 @@ def token_budget_sample(df: DataFrame, budget_tokens: int,
     (inclusive), filtered to ``cum_tokens <= budget_tokens``.  Null
     keys/text drop; zero-token docs survive while budget remains
     (they cost nothing)."""
-    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import tokens
-
     if budget_tokens < 0:
         raise ValueError(f"budget_tokens must be >= 0: {budget_tokens}")
+    return (_bucketed_token_cumsum(df, [], key_col, id_col, text_col,
+                                   bucket_hex)
+            .filter(F.col("cum_tokens") <= budget_tokens))
+
+
+def _bucketed_token_cumsum(df: DataFrame, group_cols: list[str],
+                           key_col: str, id_col: str, text_col: str,
+                           bucket_hex: int) -> DataFrame:
+    """THE distributed prefix-sum shared by the global and the
+    per-source token cuts: within each group (or globally when
+    ``group_cols`` is empty), every row gets its exact cumulative
+    token count in md5(key) order.  Bucket offsets come from a window
+    over the tiny (group x bucket) aggregate; in-bucket cumsums
+    window on (group, bucket); because the bucket is a PREFIX of the
+    sort key, the result is bit-identical to a serial window."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import tokens
+
     ordc = F.md5(F.col(key_col))
     valid = (df.filter(F.col(key_col).isNotNull()
                        & F.col(text_col).isNotNull())
                .withColumn("n_tokens",
                            F.size(tokens(text_col)).cast("bigint"))
                .withColumn("__bkt", F.substring(ordc, 1, bucket_hex)))
-    totals = valid.groupBy("__bkt").agg(F.sum("n_tokens").alias("__tot"))
-    w_off = (Window.orderBy("__bkt")
+    totals = (valid.groupBy(*group_cols, "__bkt")
+                   .agg(F.sum("n_tokens").alias("__tot")))
+    w_off = (Window.partitionBy(*group_cols).orderBy("__bkt")
                    .rowsBetween(Window.unboundedPreceding, -1))
     offsets = totals.select(
-        "__bkt", F.coalesce(F.sum("__tot").over(w_off), F.lit(0))
-                  .alias("__off"))
-    w_in = (Window.partitionBy("__bkt")
+        *group_cols, "__bkt",
+        F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off"))
+    w_in = (Window.partitionBy(*group_cols, "__bkt")
                   .orderBy(ordc, F.col(key_col), F.col(id_col))
                   .rowsBetween(Window.unboundedPreceding,
                                Window.currentRow))
-    return (valid.join(F.broadcast(offsets), "__bkt")
+    return (valid.join(F.broadcast(offsets), [*group_cols, "__bkt"])
                  .withColumn("cum_tokens",
                              (F.col("__off")
                               + F.sum("n_tokens").over(w_in))
                              .cast("bigint"))
-                 .filter(F.col("cum_tokens") <= budget_tokens)
                  .drop("__bkt", "__off"))

@@ -110,3 +110,28 @@ def test_train_merges_chain_into_longer_units(spark):
     # repeated words compress into multi-char units
     assert any(len(tok) >= 3 for tok in seg)
     assert seg == ref_encode("banana bandana banana", merges)
+
+
+def test_train_and_encode_tokenize_identically_on_unicode_ws(spark):
+    # NBSP does NOT split under the Java \s+ tokenizer the word table
+    # uses; the encoder must agree, or merges are learned on phantom
+    # words the encoder never produces
+    t = "foo bar foo bar foo bar baz baz"
+    df = spark.createDataFrame([(1, t)], "doc_id bigint, text string")
+    merges = train_bpe(df, n_merges=4)
+    seg = bpe_segment(df, merges).collect()[0]["bpe_tokens"]
+    joined = "".join(seg)
+    # the NBSP survives inside a token stream position, never as a
+    # split point: reassembled text equals the whitespace-stripped
+    # ASCII-split of the original
+    import re
+    assert joined == "".join(re.split(r"\s+", t.lower(), flags=re.ASCII))
+
+
+def test_train_survives_single_letter_words(spark):
+    # 'a'/'i' words exercise the ANSI sequence(1, 0) guard inside
+    # has_pair
+    df = spark.createDataFrame(
+        [(1, "a i a i bb bb bb bb")], "doc_id bigint, text string")
+    merges = train_bpe(df, n_merges=3)
+    assert ("b", "b") in merges
