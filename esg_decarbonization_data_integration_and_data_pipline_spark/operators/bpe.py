@@ -180,3 +180,21 @@ def bpe_segment(df: DataFrame, merges: list[tuple[str, str]],
 
     return (df.withColumn(out_col, encode(text_col))
               .withColumn("n_bpe_tokens", F.size(out_col).cast("bigint")))
+
+
+def save_bpe(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a learned merge list as rank-ordered parquet (rank,
+    a, b) -- the tokenizer artifact a training job ships alongside
+    the packed shards.  Overwrite semantics: a vocabulary is a
+    versioned artifact, not an append table."""
+    rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
+    (spark.createDataFrame(rows, "rank int, a string, b string")
+          .coalesce(1).write.mode("overwrite").parquet(path))
+
+
+def load_bpe(spark, path: str) -> list[tuple[str, str]]:
+    """Load a :func:`save_bpe` artifact back into the ordered merge
+    list ``bpe_segment`` consumes.  The rank column (not file order)
+    defines merge priority."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r["a"], r["b"]) for r in rows]

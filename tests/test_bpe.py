@@ -135,3 +135,20 @@ def test_train_survives_single_letter_words(spark):
         [(1, "a i a i bb bb bb bb")], "doc_id bigint, text string")
     merges = train_bpe(df, n_merges=3)
     assert ("b", "b") in merges
+
+
+def test_save_load_round_trip(spark, tmp_path):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.bpe import (
+        load_bpe, save_bpe,
+    )
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)],
+                               "doc_id bigint, text string")
+    merges = train_bpe(df, n_merges=6)
+    p = str(tmp_path / "vocab")
+    save_bpe(spark, merges, p)
+    assert load_bpe(spark, p) == merges
+    # encoding with the loaded artifact is identical
+    a = bpe_segment(df, merges).collect()
+    b = bpe_segment(df, load_bpe(spark, p)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
