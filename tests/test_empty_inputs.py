@@ -62,3 +62,50 @@ def test_r5_text_ops_empty_corpus(spark):
     assert out.count() == 0
     assert out.columns == ["doc_id", "clean_text",
                            "n_email", "n_url", "n_phone"]
+
+
+def test_r6_export_tier_empty_corpus(spark):
+    """The round-6 export-tier operators must return empty frames
+    with stable schemas on an empty corpus."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.bpe import (
+        bpe_segment, train_bpe,
+    )
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.diff import dataset_diff
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.packing import (
+        pack_manifest, pack_sequences,
+    )
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.sampling import (
+        token_budget_by_source, token_budget_sample, top_fraction_by_score,
+    )
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import (
+        drop_repeated_lines, gopher_rules,
+    )
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    packed = pack_sequences(empty, seq_len=16, n_shards=2)
+    assert packed.count() == 0
+    assert pack_manifest(packed, 16).count() == 0
+    assert token_budget_sample(empty, 100).count() == 0
+    assert token_budget_by_source(
+        empty.withColumn("source", empty.doc_id.cast("string")),
+        {"s": 10}).count() == 0
+    assert gopher_rules(empty).count() == 0
+    lines = spark.createDataFrame(
+        [], "doc_id bigint, chunk_idx int, chunk_text string")
+    assert drop_repeated_lines(lines).count() == 0
+    assert dataset_diff(empty, empty).count() == 0
+    scored = spark.createDataFrame([], "doc_id bigint, score double")
+    assert top_fraction_by_score(scored, "score", 0.5).count() == 0
+    assert train_bpe(empty, n_merges=3) == []
+    assert bpe_segment(empty, [("a", "b")]).count() == 0
+
+
+def test_r6_sources_empty_inputs(spark, tmp_path):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.sources.corpus_files import (
+        read_jsonl_corpus,
+    )
+
+    p = tmp_path / "empty.jsonl"
+    p.write_text("\n\n")   # only blank lines
+    docs, q = read_jsonl_corpus(spark, str(p))
+    assert docs.count() == 0 and q.count() == 0
