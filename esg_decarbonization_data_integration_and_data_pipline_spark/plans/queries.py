@@ -697,17 +697,22 @@ _DRIVER_HEAD = [
     "pow_floor_round_pricing", "selfjoin_green_grey_rate",
     "text_fingerprint", "text_quality", "tfidf_top_terms",
     "dedup_exact", "dedup_minhash_verified",
-    "dedup_simhash64_pairs", "dedup_embedding_pairs",
-    "similarity_lsh_buckets", "ann_multitable_pairs",
+    "ann_multitable_pairs",
     "similarity_ivf_topk", "multimodal_features",
     "quantile_acctbal", "cagr_nation_revenue", "irr_by_brand",
     "events_sliding_agg", "events_sessionize", "events_json_roundtrip",
-    "top_revenue_order", "concat_format_timestamps", "stratified_sample_docs",
+    "top_revenue_order", "concat_format_timestamps",
     "greedy_allocation", "dedup_clusters",
     # round-6 rotations INTO the head: the four r5 text operators,
     # never driver-graded before (in-repo oracle-green since r5)
     "text_scrub_pii", "text_char_entropy",
     "text_boilerplate_ngrams", "decontaminate_ngrams",
+    # round-7 rotations INTO the head: the four highest-value r6
+    # additions, never driver-graded before (in-repo oracle-green
+    # since r6). Each rotated-out query was driver-green >= 2 rounds
+    # and leaves a head family representative -- see _DRIVER_TAIL.
+    "dedup_minhash_incremental", "token_budget_docs",
+    "semdedup_embeddings", "pack_sequences_docs",
 ]
 _DRIVER_TAIL = [
     # approx_sketches is rows-only by design (no exact SQL oracle for
@@ -740,6 +745,24 @@ _DRIVER_TAIL = [
     #       ann_multitable_pairs)
     "rank_top_orders_per_year", "text_lang_id",
     "dedup_minhash_candidates", "similarity_topk",
+    # round-7 rotations INTO the head (each driver-green r4-r6, each
+    # family keeps a head representative):
+    #   dedup_simhash64_pairs  -> dedup_minhash_incremental (banded
+    #       signature -> candidate equi-join family stays via the
+    #       head's dedup_minhash_verified; simhash exactness stays
+    #       pinned by the in-repo oracle replay + test_dedup)
+    #   similarity_lsh_buckets -> token_budget_docs (the bucket
+    #       equi-join shape stays via ann_multitable_pairs, a strict
+    #       multi-table superset of the single-table bucketing)
+    #   dedup_embedding_pairs  -> semdedup_embeddings (embedding
+    #       cosine dup detection stays in the head via semdedup's
+    #       blocked-cosine stage; brute cosine re-rank also exercised
+    #       by similarity_ivf_topk)
+    #   stratified_sample_docs -> pack_sequences_docs (deterministic
+    #       md5-keyed sampling stays via token_budget_docs' prefix-sum
+    #       cut; W2 window-rank stays via latest_order_per_customer)
+    "dedup_simhash64_pairs", "similarity_lsh_buckets",
+    "dedup_embedding_pairs", "stratified_sample_docs",
     "text_repetition",
     "latest_status_version", "distinct_projection", "dedup_simhash",
     "dedup_jaccard_pairs", "cube_status_priority", "count_distinct_parts",
@@ -751,15 +774,17 @@ _DRIVER_TAIL = [
     "similarity_topk_batch",
     "chunk_documents", "vocab_top_tokens",
     # round-6 additions past the gate cap -- oracle-replayed in-repo
-    # like the rest of the tail; candidates for the r7 head rotation
-    "dedup_minhash_incremental", "text_unigram_nll",
-    "mixture_sample_docs", "semdedup_embeddings",
+    # like the rest of the tail (dedup_minhash_incremental,
+    # semdedup_embeddings, token_budget_docs and pack_sequences_docs
+    # rotated into the head in round 7)
+    "text_unigram_nll",
+    "mixture_sample_docs",
     "text_boilerplate_share", "semdedup_embeddings_ivf",
     "similarity_sq_topk", "dedup_chunk_overlap",
     # round-6 late additions (sequence packing / export tier, data
     # mixing, Gopher rule gate) -- oracle-replayed in-repo
-    "pack_sequences_docs", "mixture_temperature_docs",
-    "quality_gopher_rules", "token_budget_docs", "text_line_dedup",
+    "mixture_temperature_docs",
+    "quality_gopher_rules", "text_line_dedup",
     "dataset_diff_docs", "quality_top_fraction",
     "corpus_profile_by_source", "decontaminate_embeddings_docs",
     "token_budget_mixture_docs",
