@@ -67,10 +67,29 @@ TEXTS = ["low lower lowest low low",
 def test_train_matches_reference(spark):
     df = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)],
                                "doc_id bigint, text string")
-    got = train_bpe(df, n_merges=8)
+    got = train_bpe(df, n_merges=8)  # auto -> driver path at this size
     want = ref_train(TEXTS, 8)
     assert got == want
     assert len(got) > 5  # the corpus supports a real merge sequence
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    """Both merge-loop strategies must be bit-identical to the
+    reference (and so to each other), including tie-breaks and the
+    min_pair_count early stop."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)],
+                               "doc_id bigint, text string")
+    want = ref_train(TEXTS, 10)
+    assert train_bpe(df, n_merges=10, strategy="driver") == want
+    assert train_bpe(df, n_merges=10, strategy="distributed") == want
+    # auto with a zero byte budget must fall back to distributed
+    assert train_bpe(df, n_merges=10, driver_max_bytes=0) == want
+
+
+def test_train_rejects_unknown_strategy(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        train_bpe(df, n_merges=1, strategy="pandas")
 
 
 def test_segment_matches_reference(spark):
