@@ -184,8 +184,14 @@ def token_budget_by_source(df: DataFrame, budgets: dict[str, int],
     scoped = df.filter(F.col(source_col).isin(list(budgets)))
     cum = _bucketed_token_cumsum(scoped, [source_col], key_col, id_col,
                                  text_col, bucket_hex)
+    # the broadcast budget frame's key takes the CALLER's source
+    # column type (int domain ids are as legitimate as strings) --
+    # hardcoding string would force a cast into the equi-join
+    from pyspark.sql.types import LongType, StructField, StructType
     bdf = df.sparkSession.createDataFrame(
-        list(budgets.items()), f"{source_col} string, budget_tokens bigint")
+        list(budgets.items()),
+        StructType([StructField(source_col, df.schema[source_col].dataType),
+                    StructField("budget_tokens", LongType())]))
     return (cum.join(F.broadcast(bdf), source_col)
                .filter(F.col("cum_tokens") <= F.col("budget_tokens")))
 
@@ -201,32 +207,40 @@ def top_fraction_by_score(df: DataFrame, score_col: str,
     cutoff are all kept, so the result is the smallest score-closed
     set with at least the target size.  NULL scores never pass.
 
-    Scale shape: one partial-agg groupBy on the score value, then a
-    window over THAT (distinct score values only -- for a metric
+    Scale shape: one partial-agg groupBy on the score value, then
+    windows over THAT (distinct score values only -- for a metric
     rounded to d decimals this is bounded by the rounding grid, e.g.
     <= 1e6 + 1 rows for a [0,1] score at 6 decimals, NOT by corpus
-    size), and a 1-row broadcast threshold join back.  The corpus is
-    scanned twice but never sorted or shuffled on anything wider
-    than the score value.
+    size), and a 1-row broadcast threshold join back.  N comes from
+    ``sum(__n)`` over the same distinct-score aggregate, NOT a
+    separate ``count()`` action, so the corpus is scanned exactly
+    twice in ONE job (once into the aggregate, once for the output
+    rows) and never sorted or shuffled on anything wider than the
+    score value.
 
     Output: input columns + ``out_col`` (the s* threshold, constant
-    across rows) -- callers audit what the gate resolved to."""
-    import math
-
+    across rows) -- callers audit what the gate resolved to.
+    ``keep_frac == 0`` (or an empty/all-null input) resolves the
+    threshold to NULL, which no score satisfies -> empty result."""
     if not 0.0 <= keep_frac <= 1.0:
         raise ValueError(f"keep_frac must be in [0, 1]: {keep_frac}")
     scored = df.filter(F.col(score_col).isNotNull())
-    n_rows = scored.count()
-    k = math.ceil(n_rows * keep_frac)
-    if k <= 0:
-        return df.filter(F.lit(False)).withColumn(
-            out_col, F.lit(None).cast(df.schema[score_col].dataType))
     counts = (scored.groupBy(F.col(score_col).alias("__s"))
                     .agg(F.count(F.lit(1)).alias("__n")))
-    w = (Window.orderBy(F.col("__s").desc())
-               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    thr = (counts.withColumn("__cum", F.sum("__n").over(w))
-                 .filter(F.col("__cum") >= k)
+    w_cum = (Window.orderBy(F.col("__s").desc())
+                   .rowsBetween(Window.unboundedPreceding,
+                                Window.currentRow))
+    w_all = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    # k = ceil(N * keep_frac); the double multiply matches Python's
+    # math.ceil(n * frac) bit-for-bit (same IEEE754 op).  k == 0
+    # keeps nothing: the filter drops every value row, max() over the
+    # empty set yields a NULL threshold, and `score >= NULL` passes
+    # no row -- keep_frac=0 / empty-input fall out of the same plan.
+    k = F.ceil(F.sum("__n").over(w_all).cast("double") * F.lit(keep_frac))
+    thr = (counts.select("__s", F.sum("__n").over(w_cum).alias("__cum"),
+                         k.alias("__k"))
+                 .filter((F.col("__k") > 0) & (F.col("__cum") >= F.col("__k")))
                  .agg(F.max("__s").alias(out_col)))
     return (scored.crossJoin(F.broadcast(thr))
                   .filter(F.col(score_col) >= F.col(out_col)))
@@ -278,6 +292,12 @@ def _bucketed_token_cumsum(df: DataFrame, group_cols: list[str],
     sort key, the result is bit-identical to a serial window."""
     from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import tokens
 
+    clash = [c for c in ("n_tokens", "cum_tokens") if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"input already has columns {clash}; rename them first -- "
+            f"the token-budget cut appends these and will not "
+            f"silently overwrite caller data")
     ordc = F.md5(F.col(key_col))
     valid = (df.filter(F.col(key_col).isNotNull()
                        & F.col(text_col).isNotNull())
