@@ -95,6 +95,7 @@ def replace_keys(df: DataFrame, path: str, keys: Sequence[str],
             f"{list(partition_by)}, keys={list(keys)}): a partition column "
             "outside the key tuple lets superseded rows survive in "
             "partitions the batch never rewrites")
+    heal_swap(path)  # a crash mid-swap must not look like "no table"
     if not os.path.exists(path):
         overwrite(df, path, partition_by)
         return
@@ -137,6 +138,7 @@ def delete_keys(spark: SparkSession, path: str, keys_df: DataFrame,
     reference's per-key DELETE loop, S9).  No broadcast hint on the
     key set: a mass removal can be arbitrarily large, and AQE
     broadcasts the small case by itself."""
+    heal_swap(path)
     if not os.path.exists(path):
         return
     tmp = path.rstrip("/") + ".__staging__"
@@ -152,14 +154,58 @@ def swap_into_place(tmp: str, path: str) -> None:
     """Retire ``path`` and move the fully-written ``tmp`` into place
     -- the rename dance every unpartitioned rewrite uses (one audited
     implementation: replace_keys and the signature-index compaction
-    both call it). Renames are metadata-only; a crash between the two
-    renames leaves a ``.__retired__`` dir to recover from, never a
-    half-written table."""
+    both call it). Renames are metadata-only; a crash at any point
+    leaves either the old table, the old table under ``.__retired__``
+    (healed by :func:`heal_swap`, which every keyed writer and
+    ``read_table`` run first), or the fully-committed new table --
+    never a half-written one.
+
+    POSIX-ONLY CONTRACT (asserted): ``os.rename`` atomicity does not
+    exist on object stores -- S3 "renames" are copy+delete and a
+    prefix can be observed half-moved.  At 100 TB on an object store
+    this tier must be replaced by a manifest-commit table format
+    (Delta/Iceberg -- SURVEY §4.2.1 maps replace_keys to MERGE); see
+    SCALE.md's writer section.  Rejecting URI schemes loudly here
+    beats silently corrupting a bucket."""
+    _assert_local_fs(tmp)
+    _assert_local_fs(path)
+    heal_swap(path)
     retired = path.rstrip("/") + ".__retired__"
-    _rm(retired)
     os.rename(path, retired)
     os.rename(tmp, path)
     _rm(retired)
+
+
+def heal_swap(path: str) -> None:
+    """Repair a table whose last :func:`swap_into_place` crashed
+    mid-dance.  States (the dance is rm-retired, rename path->retired,
+    rename tmp->path, rm retired):
+
+    - ``path`` missing, ``.__retired__`` present: crashed between the
+      two renames.  Roll BACK (retired -> path): the old table
+      returns, the caller's rewrite simply re-runs.  Without this, a
+      rerun of replace_keys would see "no table" and overwrite with
+      the batch alone -- silently dropping every pre-existing row.
+    - both present: crashed after the commit rename; the swap already
+      happened, the retired copy is garbage -> remove it.
+    - ``path`` present alone: healthy, no-op.
+    """
+    retired = path.rstrip("/") + ".__retired__"
+    if not os.path.exists(retired):
+        return
+    if os.path.exists(path):
+        _rm(retired)
+    else:
+        os.rename(retired, path)
+
+
+def _assert_local_fs(path: str) -> None:
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"swap_into_place is POSIX-rename-only and cannot commit "
+            f"atomically on {path!r}; on an object store use a "
+            f"manifest-committing table format (Delta/Iceberg MERGE / "
+            f"DELETE WHERE) instead -- see SCALE.md (writers)")
 
 
 def _swap_partition_dirs(src: str, dst: str, depth: int) -> None:
@@ -196,6 +242,7 @@ def _rm(path: str) -> None:
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
+    heal_swap(path)  # a crash mid-swap must not read as "no table"
     return spark.read.parquet(path)
 
 

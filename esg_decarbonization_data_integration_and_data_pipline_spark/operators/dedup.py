@@ -1006,9 +1006,10 @@ def minhash_compact_index(spark, path: str) -> int:
     like Delta/Iceberg, not raw parquet).
     """
     from esg_decarbonization_data_integration_and_data_pipline_spark.io.writers import (
-        _rm, swap_into_place,
+        _rm, heal_swap, swap_into_place,
     )
 
+    heal_swap(path)  # a crashed prior compaction must not read empty
     idx = spark.read.parquet(path).dropDuplicates()
     tmp = path.rstrip("/") + ".__staging__"
     _rm(tmp)

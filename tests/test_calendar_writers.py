@@ -159,3 +159,56 @@ def test_delete_keys(spark, tmp_path):
     assert sorted(r.k for r in spark.read.parquet(path).collect()) == [1, 3]
     # deleting from a missing table is a no-op, not an error
     delete_keys(spark, str(tmp_path / "missing"), keys, ["k"])
+
+
+def test_swap_crash_between_renames_is_recoverable(spark, tmp_path):
+    """Simulated crash AFTER path->retired but BEFORE tmp->path: the
+    table dir is missing and .__retired__ holds the only copy.  Every
+    entry point (read_table, replace_keys, delete_keys) must heal by
+    rolling back -- before the heal step a rerun of replace_keys saw
+    "no table" and overwrote with the batch alone, silently dropping
+    every pre-existing row."""
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string") \
+         .write.parquet(path)
+    # crash state: first rename done, second never happened
+    os.rename(path, path + ".__retired__")
+    assert not os.path.exists(path)
+
+    # a rerun of the upsert must see BOTH old rows plus the batch
+    W.replace_keys(spark.createDataFrame([(3, "c")], "k bigint, v string"),
+                   path, keys=["k"])
+    got = {r.k: r.v for r in W.read_table(spark, path).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+    assert not os.path.exists(path + ".__retired__")
+
+
+def test_swap_crash_after_commit_rename_drops_retired(spark, tmp_path):
+    """Crash after tmp->path but before the final cleanup: both dirs
+    exist; the retired copy is garbage and must be removed, and the
+    committed data must win."""
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "new")], "k bigint, v string") \
+         .write.parquet(path)
+    spark.createDataFrame([(1, "old")], "k bigint, v string") \
+         .write.parquet(path + ".__retired__")
+    got = {r.k: r.v for r in W.read_table(spark, path).collect()}
+    assert got == {1: "new"}
+    assert not os.path.exists(path + ".__retired__")
+
+
+def test_swap_rejects_object_store_paths(tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="manifest"):
+        W.swap_into_place(str(tmp_path / "tmp"), "s3a://bucket/table")
+
+
+def test_delete_keys_heals_crashed_swap(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string") \
+         .write.parquet(path)
+    os.rename(path, path + ".__retired__")
+    keys = spark.createDataFrame([(1,)], "k bigint")
+    W.delete_keys(spark, path, keys, ["k"])
+    assert [r.k for r in W.read_table(spark, path).collect()] == [2]
