@@ -123,29 +123,32 @@ def png_decode(payload: bytes) -> np.ndarray:
             # wraps mod 256 per spec, so this vectorizes exactly
             cur = np.cumsum(line.reshape(width, ch), axis=0,
                             dtype=np.uint8).reshape(-1)
-        elif ftype in (3, 4):
-            # Average/Paeth need the in-progress scanline (sequential
-            # left-dependence); the per-pixel loop runs over ch-wide
-            # vector slices
-            cur = line
-            for x in range(0, stride, ch):
-                left = cur[x - ch:x] if x >= ch else np.zeros(ch, np.uint8)
-                up = prev[x:x + ch]
-                if ftype == 3:
-                    cur[x:x + ch] += ((left.astype(np.uint16)
-                                       + up.astype(np.uint16)) // 2) \
-                        .astype(np.uint8)
-                else:  # Paeth
-                    ul = (prev[x - ch:x] if x >= ch
-                          else np.zeros(ch, np.uint8))
-                    a = left.astype(np.int16)
-                    b = up.astype(np.int16)
-                    c = ul.astype(np.int16)
-                    p = a + b - c
-                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-                    pred = np.where((pa <= pb) & (pa <= pc), a,
-                                    np.where(pb <= pc, b, c)).astype(np.uint8)
-                    cur[x:x + ch] += pred
+        elif ftype == 3:   # Average: Recon = Filt + (left + up) // 2
+            # the up vector is fully known from prev; only the left
+            # byte is the carried dependency, so run a per-BYTE
+            # Python-int loop over plain lists -- per-pixel numpy
+            # slicing costs ~10x more (dozens of tiny-array ops per
+            # pixel) than scalar int arithmetic at ch <= 4
+            lf, lb = line.tolist(), prev.tolist()
+            row = [0] * stride
+            for x in range(stride):
+                a = row[x - ch] if x >= ch else 0
+                row[x] = (lf[x] + ((a + lb[x]) >> 1)) & 255
+            cur = np.asarray(row, dtype=np.uint8)
+        elif ftype == 4:   # Paeth (same carried-left shape as Average)
+            lf, lb = line.tolist(), prev.tolist()
+            lc = [0] * ch + lb[:-ch]  # up-left
+            row = [0] * stride
+            for x in range(stride):
+                a = row[x - ch] if x >= ch else 0
+                b_, c_ = lb[x], lc[x]
+                # exact spec distances: |p-a|=|b-c|, |p-b|=|a-c|,
+                # |p-c|=|a+b-2c| with p = a + b - c
+                pa, pb = abs(b_ - c_), abs(a - c_)
+                pred = (a if pa <= pb and pa <= abs(a + b_ - 2 * c_)
+                        else b_ if pb <= abs(a + b_ - 2 * c_) else c_)
+                row[x] = (lf[x] + pred) & 255
+            cur = np.asarray(row, dtype=np.uint8)
         else:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = cur
