@@ -28,8 +28,14 @@ def dataset_diff(old: DataFrame, new: DataFrame,
     - ``unchanged``  id in both, content hash equal
 
     ``compare_cols`` defaults to all shared non-id columns (sorted by
-    name, so the hash is schema-order-independent).  NULLs hash as a
-    sentinel distinct from any real value and from the empty string.
+    name, so the hash is schema-order-independent).  The row hash is
+    md5 over FIXED-WIDTH per-column digests (a null/value flag char +
+    md5 of the value), so it is unambiguous no matter what bytes the
+    values contain -- a separator-join scheme misclassifies a changed
+    row as ``unchanged`` whenever values shift across the separator
+    (or a value equals the null sentinel), silently skipping its
+    reprocessing in incremental curation.  NULL is distinct from
+    every real value including the empty string.
     Output: (id_col, status, old_hash, new_hash).
     """
     if compare_cols is None:
@@ -39,10 +45,13 @@ def dataset_diff(old: DataFrame, new: DataFrame,
         raise ValueError("no columns to compare")
 
     def content_hash(df: DataFrame, out: str) -> DataFrame:
-        parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+        parts = [F.concat(F.when(F.col(c).isNull(), F.lit("N"))
+                           .otherwise(F.lit("V")),
+                          F.md5(F.coalesce(F.col(c).cast("string"),
+                                           F.lit(""))))
                  for c in compare_cols]
         return df.select(F.col(id_col),
-                         F.md5(F.concat_ws("\x01", *parts)).alias(out))
+                         F.md5(F.concat(*parts)).alias(out))
 
     o = content_hash(old, "old_hash")
     n = content_hash(new, "new_hash")

@@ -1335,15 +1335,19 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dataset_diff_docs", "ext:dataset-diff,J3", oracle="""
 WITH old AS (
-  SELECT doc_id, md5(coalesce(text, chr(0) || 'null')) AS old_hash
+  SELECT doc_id,
+         md5(CASE WHEN text IS NULL THEN 'N' ELSE 'V' END
+             || md5(coalesce(text, ''))) AS old_hash
   FROM documents WHERE doc_id % 7 != 0
 ),
 new AS (
   SELECT doc_id,
-         md5(coalesce(CASE WHEN doc_id % 3 = 0 THEN text || ' v2'
-                           ELSE text END,
-                      chr(0) || 'null')) AS new_hash
-  FROM documents WHERE doc_id % 5 != 0
+         md5(CASE WHEN v2 IS NULL THEN 'N' ELSE 'V' END
+             || md5(coalesce(v2, ''))) AS new_hash
+  FROM (SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN text || ' v2'
+                    ELSE text END AS v2
+        FROM documents WHERE doc_id % 5 != 0)
 )
 SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
        CASE WHEN o.old_hash IS NULL THEN 'added'

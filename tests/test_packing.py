@@ -300,6 +300,26 @@ def test_dataset_diff_statuses(spark):
         dataset_diff(old.select("doc_id"), new.select("doc_id"))
 
 
+def test_dataset_diff_hash_is_separator_proof(spark):
+    """Fixed-width per-column digests: a changed multi-column row
+    whose values merely SHIFT across a would-be separator byte (or
+    equal a would-be null sentinel) must classify as changed, not
+    unchanged (a concat_ws scheme hashes both sides identically and
+    incremental curation would silently skip the reprocess)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.diff import (
+        dataset_diff,
+    )
+
+    schema = "doc_id bigint, a string, b string"
+    old = spark.createDataFrame([(1, "x\x01y", "z"), (2, "\x00null", "k")],
+                                schema)
+    new = spark.createDataFrame([(1, "x", "y\x01z"), (2, None, "k")],
+                                schema)
+    got = {r.doc_id: r.status
+           for r in dataset_diff(old, new, compare_cols=["a", "b"]).collect()}
+    assert got == {1: "changed", 2: "changed"}
+
+
 def test_top_fraction_exact_with_ties(spark):
     from esg_decarbonization_data_integration_and_data_pipline_spark.operators.sampling import (
         top_fraction_by_score,
