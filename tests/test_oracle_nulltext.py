@@ -43,7 +43,12 @@ QUERIES = ["text_repetition", "dedup_simhash64_pairs", "dedup_simhash",
            "pack_sequences_docs", "mixture_temperature_docs",
            "quality_gopher_rules", "token_budget_docs",
            "text_line_dedup", "corpus_profile_by_source",
-           "quality_top_fraction"]
+           "quality_top_fraction",
+           # round-7 audit: every oracle-backed documents-only query
+           # must appear here (tests/test_replay_coverage.py enforces
+           # the completeness so a future addition cannot silently
+           # skip this corpus)
+           "token_budget_mixture_docs", "dataset_diff_docs"]
 
 
 @pytest.fixture(scope="module")
