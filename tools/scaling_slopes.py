@@ -77,7 +77,11 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--ops", nargs="*", default=None,
                     help="scope to these operator names")
+    ap.add_argument("--scales", nargs="*", type=int, default=None,
+                    help="scope to these scales (smoke runs); the "
+                         "slope summary needs 1 and 30")
     args = ap.parse_args()
+    scales = args.scales or SCALES
 
     generate(args.base, args.out)
 
@@ -178,7 +182,26 @@ def main() -> None:
             lambda s: _budget(docs(s), s),
         "text_line_dedup":
             lambda s: _line_dedup(docs(s)),
+        # round-7: the COMPOSED e2e (curate -> canonical train split
+        # -> pack -> sharded export + manifest). Per-operator slopes
+        # can hide composition pathologies (r6 found two: lineage
+        # doubling, AQE 1-partition collapse) -- only the composed
+        # run shows them.  The export write is part of the measured
+        # cost on purpose; the returned manifest is tiny.
+        "curate_and_export":
+            lambda s: _curate_export(s),
     }
+
+    def _curate_export(s):
+        import shutil
+
+        from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.corpus_curation import (
+            curate_and_export,
+        )
+
+        out = os.path.join(args.out, f"x{s}", "export_run")
+        shutil.rmtree(out, ignore_errors=True)
+        return curate_and_export(docs(s), out, seq_len=2048, n_shards=16)
 
     results = {}
     if args.ops:
@@ -187,11 +210,11 @@ def main() -> None:
         # build the per-scale signature stores BEFORE timing -- the
         # build is index maintenance, not per-batch query cost, and
         # leaking it into the first sample corrupts the median
-        for scale in SCALES:
+        for scale in scales:
             incr_index(scale)
     for name, fn in OPS.items():
         results[name] = {}
-        for scale in SCALES:
+        for scale in scales:
             ts = []
             for _ in range(args.runs):
                 t0 = time.time()
@@ -207,9 +230,13 @@ def main() -> None:
 
     summary = {}
     for name, r in results.items():
+        if 1 not in r or 30 not in r:
+            continue  # scoped smoke run: no slope to report
         slope = math.log(r[30] / r[1]) / math.log(30)
-        summary[name] = {"t1": r[1], "t10": r[10], "t30": r[30],
+        summary[name] = {"t1": r[1], "t10": r.get(10), "t30": r[30],
                          "slope": round(slope, 2)}
+    if not summary:
+        return
     print(json.dumps({"metric": "scaling_slopes", "ops": summary}))
     try:
         with open(os.path.join(REPO, "BENCH_LOG.jsonl"), "a") as fh:
