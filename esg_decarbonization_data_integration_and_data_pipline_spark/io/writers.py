@@ -95,6 +95,10 @@ def replace_keys(df: DataFrame, path: str, keys: Sequence[str],
             f"{list(partition_by)}, keys={list(keys)}): a partition column "
             "outside the key tuple lets superseded rows survive in "
             "partitions the batch never rewrites")
+    # the merge decision rides on os.path existence checks and the
+    # rename dance -- on a URI path those silently see "no table" and
+    # the overwrite branch drops every prior row, so reject up front
+    _assert_local_fs(path)
     heal_swap(path)  # a crash mid-swap must not look like "no table"
     if not os.path.exists(path):
         overwrite(df, path, partition_by)
@@ -138,6 +142,7 @@ def delete_keys(spark: SparkSession, path: str, keys_df: DataFrame,
     reference's per-key DELETE loop, S9).  No broadcast hint on the
     key set: a mass removal can be arbitrarily large, and AQE
     broadcasts the small case by itself."""
+    _assert_local_fs(path)  # URI paths would silently delete nothing
     heal_swap(path)
     if not os.path.exists(path):
         return
@@ -189,6 +194,12 @@ def heal_swap(path: str) -> None:
     - both present: crashed after the commit rename; the swap already
       happened, the retired copy is garbage -> remove it.
     - ``path`` present alone: healthy, no-op.
+
+    Race-tolerant: two post-crash healers can race on the rollback
+    rename; the loser's ``os.rename`` raises and is swallowed iff the
+    winner's rollback made ``path`` appear.  (The swap tier itself is
+    single-writer by contract -- see :func:`swap_into_place` -- this
+    only keeps concurrent RECOVERY from a crashed writer safe.)
     """
     retired = path.rstrip("/") + ".__retired__"
     if not os.path.exists(retired):
@@ -196,16 +207,28 @@ def heal_swap(path: str) -> None:
     if os.path.exists(path):
         _rm(retired)
     else:
-        os.rename(retired, path)
+        try:
+            os.rename(retired, path)
+        except OSError:
+            if not os.path.exists(path):
+                raise
 
 
 def _assert_local_fs(path: str) -> None:
-    if "://" in path and not path.startswith("file://"):
+    """The keyed-rewrite tier decides through ``os.path`` existence
+    checks and commits through ``os.rename`` -- URI paths (including
+    ``file://``, which ``os`` cannot parse) would make every check
+    silently answer "no table" and the overwrite branch would drop
+    all prior rows.  Reject them loudly; at 100 TB on an object
+    store this tier is replaced by a manifest-committing table
+    format (Delta/Iceberg MERGE / DELETE WHERE) -- see SCALE.md
+    (writers)."""
+    if "://" in path:
         raise ValueError(
-            f"swap_into_place is POSIX-rename-only and cannot commit "
-            f"atomically on {path!r}; on an object store use a "
-            f"manifest-committing table format (Delta/Iceberg MERGE / "
-            f"DELETE WHERE) instead -- see SCALE.md (writers)")
+            f"keyed parquet rewrites are local-path-only (got {path!r}): "
+            f"os.rename cannot commit atomically there; pass a plain "
+            f"filesystem path, or use a manifest-committing table format "
+            f"(Delta/Iceberg) on object stores -- see SCALE.md (writers)")
 
 
 def _swap_partition_dirs(src: str, dst: str, depth: int) -> None:
@@ -242,7 +265,14 @@ def _rm(path: str) -> None:
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
-    heal_swap(path)  # a crash mid-swap must not read as "no table"
+    # Heal ONLY when the read would otherwise fail (path missing
+    # after a crashed swap).  A read path must not mutate a healthy
+    # table dir: cleaning a .__retired__ leftover here would race a
+    # LIVE writer that is between its commit rename and its cleanup.
+    # URI paths skip the check entirely (os.path can't see them, and
+    # the swap tier rejects them at write time anyway).
+    if "://" not in path and not os.path.exists(path):
+        heal_swap(path)
     return spark.read.parquet(path)
 
 

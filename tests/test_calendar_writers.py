@@ -185,8 +185,10 @@ def test_swap_crash_between_renames_is_recoverable(spark, tmp_path):
 
 def test_swap_crash_after_commit_rename_drops_retired(spark, tmp_path):
     """Crash after tmp->path but before the final cleanup: both dirs
-    exist; the retired copy is garbage and must be removed, and the
-    committed data must win."""
+    exist; the committed data must win.  READS leave the garbage
+    retired copy alone (a read must not mutate a healthy table dir --
+    it could race a live writer's cleanup); the next WRITER entry
+    point clears it."""
     path = str(tmp_path / "t")
     spark.createDataFrame([(1, "new")], "k bigint, v string") \
          .write.parquet(path)
@@ -194,7 +196,27 @@ def test_swap_crash_after_commit_rename_drops_retired(spark, tmp_path):
          .write.parquet(path + ".__retired__")
     got = {r.k: r.v for r in W.read_table(spark, path).collect()}
     assert got == {1: "new"}
+    assert os.path.exists(path + ".__retired__")  # reads don't mutate
+    W.replace_keys(spark.createDataFrame([(2, "x")], "k bigint, v string"),
+                   path, keys=["k"])
     assert not os.path.exists(path + ".__retired__")
+    got = {r.k: r.v for r in W.read_table(spark, path).collect()}
+    assert got == {1: "new", 2: "x"}
+
+
+def test_keyed_writers_reject_uri_paths(spark, tmp_path):
+    """URI paths (file://, s3a://) make every os.path existence check
+    answer 'no table', so replace_keys would silently drop all prior
+    rows and delete_keys would silently delete nothing -- reject them
+    loudly at the entry point (reproduced data loss in review)."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    for bad in (f"file://{tmp_path}/t", "s3a://bucket/t"):
+        with pytest.raises(ValueError, match="local-path-only"):
+            W.replace_keys(df, bad, keys=["k"])
+        with pytest.raises(ValueError, match="local-path-only"):
+            W.delete_keys(spark, bad, df.select("k"), ["k"])
 
 
 def test_swap_rejects_object_store_paths(tmp_path):

@@ -32,14 +32,14 @@ sys.path.insert(0, REPO)
 SCALES = [1, 10, 30]
 
 
-def generate(base_dir: str, out_root: str) -> None:
+def generate(base_dir: str, out_root: str, scales=None) -> None:
     import numpy as np
     import pandas as pd
 
     docs = pd.read_parquet(os.path.join(base_dir, "documents.parquet"))
     embs = pd.read_parquet(os.path.join(base_dir, "embeddings.parquet"))
     n_docs, n_vecs = len(docs), len(embs)
-    for scale in SCALES:
+    for scale in (scales or SCALES):
         d = os.path.join(out_root, f"x{scale}")
         if os.path.exists(os.path.join(d, "_DONE")):
             continue
@@ -83,7 +83,7 @@ def main() -> None:
     args = ap.parse_args()
     scales = args.scales or SCALES
 
-    generate(args.base, args.out)
+    generate(args.base, args.out, scales)
 
     import pandas as pd
     from pyspark.sql import functions as F
@@ -192,15 +192,20 @@ def main() -> None:
             lambda s: _curate_export(s),
     }
 
-    def _curate_export(s):
-        import shutil
+    _export_dirs: list[str] = []
 
+    def _curate_export(s):
         from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.corpus_curation import (
             curate_and_export,
         )
 
-        out = os.path.join(args.out, f"x{s}", "export_run")
-        shutil.rmtree(out, ignore_errors=True)
+        # unique dir per invocation: deleting the PREVIOUS run's
+        # export inside the timed region would bias larger scales
+        # (the tree to delete grows with the corpus); cleanup happens
+        # untimed after the measurement loop
+        out = os.path.join(args.out, f"x{s}",
+                           f"export_run_{len(_export_dirs)}")
+        _export_dirs.append(out)
         return curate_and_export(docs(s), out, seq_len=2048, n_shards=16)
 
     results = {}
@@ -227,6 +232,11 @@ def main() -> None:
                               "median_sec": round(med, 3),
                               "runs": [round(t, 3) for t in ts]}),
                   flush=True)
+
+    if _export_dirs:
+        import shutil
+        for d in _export_dirs:
+            shutil.rmtree(d, ignore_errors=True)
 
     summary = {}
     for name, r in results.items():
