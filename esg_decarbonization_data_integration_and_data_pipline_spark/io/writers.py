@@ -265,14 +265,15 @@ def _rm(path: str) -> None:
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
-    # Heal ONLY when the read would otherwise fail (path missing
-    # after a crashed swap).  A read path must not mutate a healthy
-    # table dir: cleaning a .__retired__ leftover here would race a
-    # LIVE writer that is between its commit rename and its cleanup.
-    # URI paths skip the check entirely (os.path can't see them, and
-    # the swap tier rejects them at write time anyway).
-    if "://" not in path and not os.path.exists(path):
-        heal_swap(path)
+    # Reads NEVER mutate the table dir.  Healing here looked
+    # convenient but cannot distinguish a crashed swap from a LIVE
+    # one: a reader racing a writer mid-swap would rename the
+    # retired dir back and make the writer's commit rename fail
+    # (ENOTEMPTY) -- turning "reader fails during a swap" (the
+    # documented raw-parquet contract) into "reader breaks the
+    # writer".  After a crash, recovery runs at any WRITER entry
+    # point (replace_keys/delete_keys/compaction) or via an explicit
+    # heal_swap(path) call.
     return spark.read.parquet(path)
 
 

@@ -99,8 +99,10 @@ def _train_bpe_driver(word_counts: list[tuple[str, int]], n_merges: int,
         neg_n, a, b = heapq.heappop(heap)
         cur = stats.get((a, b), 0)
         if cur != -neg_n:
-            if cur >= min_pair_count:
-                heapq.heappush(heap, (-cur, a, b))
+            # stale entry: discard WITHOUT re-pushing -- every count
+            # change that left the pair >= min_pair_count already
+            # pushed a fresh entry in the touched loop below, so a
+            # re-push here would only add duplicate heap weight
             continue
         if cur < min_pair_count:
             break  # verified heap top IS the max -> nothing eligible
@@ -164,11 +166,15 @@ def train_bpe(df: DataFrame, n_merges: int, text_col: str = "text",
     if strategy not in ("auto", "driver", "distributed"):
         raise ValueError(f"unknown strategy: {strategy!r}")
     # ONE corpus-wide scan; everything after runs on the vocab-sized
-    # (word, count) table.  Eager localCheckpoint so the size probe
-    # and the collect/loop below never rescan the corpus.
+    # (word, count) table.  cache(), NOT localCheckpoint: the frame
+    # is one aggregation deep (no loop lineage to truncate), and
+    # cache blocks are actually FREED by unpersist() below --
+    # unpersist on a localCheckpointed frame is a no-op (blocks only
+    # die on RDD GC), which would pin a redundant copy of the word
+    # table for the whole merge loop.
     word_freq = (df.select(F.explode(tokens(text_col)).alias("w"))
                    .groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
-                   .localCheckpoint())
+                   .cache())
 
     use_driver = strategy == "driver"
     if strategy == "auto":

@@ -1006,9 +1006,10 @@ def minhash_compact_index(spark, path: str) -> int:
     like Delta/Iceberg, not raw parquet).
     """
     from esg_decarbonization_data_integration_and_data_pipline_spark.io.writers import (
-        _rm, heal_swap, swap_into_place,
+        _assert_local_fs, _rm, heal_swap, swap_into_place,
     )
 
+    _assert_local_fs(path)  # fail BEFORE paying the full rewrite
     heal_swap(path)  # a crashed prior compaction must not read empty
     idx = spark.read.parquet(path).dropDuplicates()
     tmp = path.rstrip("/") + ".__staging__"
