@@ -128,3 +128,57 @@ def export_packed_shards(df: DataFrame, out_dir: str,
     manifest.write.mode("overwrite").parquet(f"{out_dir}/_manifest")
     return (spark.read.schema(manifest.schema)
                  .parquet(f"{out_dir}/_manifest"))
+
+
+def export_jsonl_shards(df: DataFrame, out_dir: str, n_shards: int = 16,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        compression: str = "gzip") -> DataFrame:
+    """Write a document corpus as sharded JSONL (the de-facto
+    LLM-corpus interchange format: one JSON object per line) plus a
+    ``_manifest`` dataset, and return the manifest -- the sink twin
+    of ``sources.corpus_files.read_jsonl_corpus``.
+
+    Layout: ``out_dir/docs/shard=K/part-*.txt[.gz]``, every document
+    md5-routed to one of ``n_shards`` streams and md5-ordered within
+    its shard -- the same deterministic no-RNG routing as
+    :func:`pack_sequences`, so the same corpus always exports
+    byte-identically (diffable across runs; re-ingest via
+    ``read_jsonl_corpus`` round-trips).  ALL input columns serialize
+    into the JSON object (``to_json`` of the row struct, null fields
+    omitted per JSON-lines convention).
+
+    Write shape mirrors :func:`export_packed_shards`: hash
+    repartition with 4x task oversubscription -> one file per shard
+    (no small-file explosion), projection after the within-partition
+    sort (narrow, order-preserving).  Gzip output is not splittable
+    -- a shard is the unit a trainer streams front-to-back anyway;
+    pick ``n_shards`` so shards land at a few GB.
+
+    Manifest: (shard, n_docs, total_chars).  Null-text docs are
+    dropped (no trainable content).
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive: {n_shards}")
+    id_str = F.col(id_col).cast("string")
+    shard = (F.conv(F.substring(F.md5(id_str), 1, 12), 16, 10)
+              .cast("bigint") % n_shards).cast("int")
+    lines = (df.filter(F.col(text_col).isNotNull())
+               .withColumn("__shard", shard)
+               .select("__shard",
+                       F.md5(id_str).alias("__ord"),
+                       F.col(id_col).cast("long").alias("__id"),
+                       F.length(text_col).cast("bigint").alias("__chars"),
+                       F.to_json(F.struct(*df.columns)).alias("value")))
+    (lines.repartition(4 * n_shards, "__shard")
+          .sortWithinPartitions("__shard", "__ord", "__id")
+          .select(F.col("__shard").alias("shard"), "value")
+          .write.mode("overwrite").partitionBy("shard")
+          .option("compression", compression)
+          .text(f"{out_dir}/docs"))
+    manifest = (lines.groupBy(F.col("__shard").alias("shard"))
+                     .agg(F.count(F.lit(1)).alias("n_docs"),
+                          F.sum("__chars").alias("total_chars")))
+    manifest.write.mode("overwrite").parquet(f"{out_dir}/_manifest")
+    spark = df.sparkSession
+    return (spark.read.schema(manifest.schema)
+                 .parquet(f"{out_dir}/_manifest"))

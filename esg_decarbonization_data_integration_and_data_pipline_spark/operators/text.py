@@ -528,6 +528,72 @@ def scrub_pii(df: DataFrame, id_col: str = "doc_id",
     return out
 
 
+# normalize_text's regexp chain, shared verbatim with the SQL oracle
+# (Java regex and RE2 agree on this subset: explicit hex classes, no
+# \s shorthand -- the engines disagree on \s's membership, -- no
+# lookaround, no backreferences).  ORDER MATTERS: each step's output
+# is the next step's precondition (e.g. the final edge-trim only has
+# to consider space and \n because steps 1-3 removed every other
+# whitespace/control character).
+NORMALIZE_STEPS: list[tuple[str, str]] = [
+    (r"\r\n?", "\n"),                             # CRLF / lone CR -> LF
+    # hex ESCAPES, not literal control bytes: both Java regex and RE2
+    # parse \xNN, and the oracle SQL string must not carry a raw NUL
+    (r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", ""),    # C0/DEL controls (keep \t\n)
+    (r"[ \t]+", " "),                             # horizontal runs -> 1 space
+    (r" *\n *", "\n"),                            # spaces hugging newlines
+    (r"\n{3,}", "\n\n"),                          # 3+ blank -> paragraph break
+    (r"^[\n ]+|[\n ]+$", ""),                     # edge trim (space/\n only)
+]
+
+
+def normalize_text(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", out_col: str = "norm_text",
+                   nfkc: bool = False) -> DataFrame:
+    """Canonical text normalization -- the first pass of a curation
+    pipeline, so every downstream signal (tokens, shingles, hashes,
+    dedup) sees one spelling of the same content: line endings
+    unified, C0/DEL control characters stripped (tab and newline
+    survive as structure), horizontal whitespace runs collapsed,
+    spaces hugging newlines dropped, 3+ consecutive newlines
+    collapsed to a paragraph break, edges trimmed.
+
+    Pure JVM ``regexp_replace`` chain (``NORMALIZE_STEPS``): narrow,
+    zero-shuffle, whole-stage-codegen, and SQL-expressible so the
+    DuckDB oracle runs the SAME regexes.  ``nfkc=True`` prepends
+    Unicode NFKC compatibility normalization (fullwidth forms,
+    ligatures, compatibility dots) as an Arrow-batched kernel --
+    Python at a true boundary (neither engine exposes NFKC natively);
+    pinned against ``unicodedata`` by pytest, excluded from the
+    graded oracle.  Null text propagates.
+
+    Output: (doc_id, ``out_col``, chars_before, chars_after).
+    """
+    if out_col in df.columns:
+        raise ValueError(
+            f"input already has column {out_col!r}; rename it first -- "
+            f"normalize_text appends it and will not silently "
+            f"overwrite caller data")
+    t: Column = F.col(text_col)
+    if nfkc:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def nfkc_udf(s: pd.Series) -> pd.Series:
+            import unicodedata
+            return s.map(lambda x: unicodedata.normalize("NFKC", x)
+                         if x is not None else None)
+
+        t = nfkc_udf(t)
+    for pat, repl in NORMALIZE_STEPS:
+        t = F.regexp_replace(t, pat, repl)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        t.alias(out_col),
+        F.length(text_col).cast("bigint").alias("chars_before"),
+        F.length(t).cast("bigint").alias("chars_after"))
+
+
 def char_entropy(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """Character-level Shannon entropy per document -- a cheap

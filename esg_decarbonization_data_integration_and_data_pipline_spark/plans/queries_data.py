@@ -45,6 +45,38 @@ _SQL_BIGRAMS = (
 # Text analysis
 # --------------------------------------------------------------------------
 
+def _sql_normalize_chain(col: str) -> str:
+    """DuckDB expr running EXACTLY operators/text.NORMALIZE_STEPS --
+    generated from the same table so the two chains cannot drift
+    (Java regex and RE2 agree on this escape subset by design)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import NORMALIZE_STEPS
+
+    expr = col
+    for pat, repl in NORMALIZE_STEPS:
+        sql_repl = ("||".join("chr(10)" if ch == "\n" else f"'{ch}'"
+                              for ch in repl) or "''")
+        expr = f"regexp_replace({expr}, '{pat}', {sql_repl}, 'g')"
+    return expr
+
+
+@register("text_normalize_docs", "ext:text-normalize,F5", oracle=f"""
+WITH n AS (
+  SELECT doc_id, text, {_sql_normalize_chain("text")} AS norm_text
+  FROM documents
+)
+SELECT doc_id, norm_text,
+       CAST(length(text) AS BIGINT) AS chars_before,
+       CAST(length(norm_text) AS BIGINT) AS chars_after
+FROM n
+""")
+def text_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (operators/text.normalize_text):
+    line endings, control chars, whitespace runs, paragraph breaks,
+    edge trim -- one narrow regexp chain on both engines."""
+    d = table(spark, sf_dir, "documents")
+    return T.normalize_text(d)
+
+
 @register("text_fingerprint", "ext:fingerprint,F5", oracle=f"""
 SELECT doc_id,
        CAST(list_min([list_sum([CAST(unicode(substr(text, CAST(i + j AS INT), 1)) AS BIGINT)

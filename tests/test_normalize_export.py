@@ -1,0 +1,141 @@
+"""normalize_text (regexp chain + NFKC kernel) and the JSONL shard
+export sink, round-tripped through the JSONL corpus source."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import os
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import (
+    NORMALIZE_STEPS, normalize_text,
+)
+
+
+def ref_normalize(t: str | None, nfkc: bool = False) -> str | None:
+    """Pure-Python reference of the same chain (Python re parses the
+    escape subset identically to Java regex / RE2)."""
+    if t is None:
+        return None
+    if nfkc:
+        import unicodedata
+        t = unicodedata.normalize("NFKC", t)
+    for pat, repl in NORMALIZE_STEPS:
+        t = re.sub(pat, repl, t)
+    return t
+
+
+CASES = [
+    "hello world",
+    "a\r\nb\rc\nd",                       # CRLF + lone CR + LF
+    "x\x00y\x08z\x0b\x0c\x1f\x7fq",       # C0/DEL controls
+    "keep\ttabs  and   runs",             # tabs + space runs
+    "  edge \n\n\n\n middle \n tail  ",   # edges, 4 newlines, hugging
+    "a \n b\n  \n\nc",
+    "", "   ", "\n\n\n", None,
+    "line1   \nline2\t\t\nline3",
+]
+
+
+def test_normalize_matches_python_reference(spark):
+    rows = [(i, t) for i, t in enumerate(CASES)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in normalize_text(df).collect()}
+    for i, t in enumerate(CASES):
+        want = ref_normalize(t)
+        assert got[i]["norm_text"] == want, (t, got[i]["norm_text"], want)
+        if t is None:
+            assert got[i]["chars_before"] is None
+            assert got[i]["chars_after"] is None
+        else:
+            assert got[i]["chars_before"] == len(t)
+            assert got[i]["chars_after"] == len(want)
+
+
+def test_normalize_nfkc_matches_unicodedata(spark):
+    cases = ["Ｈｅｌｌｏ　ｗｏｒｌｄ",   # fullwidth + ideographic space
+             "ﬁn ﬂow",                    # ligatures
+             "x y",                  # NBSP (NFKC -> space)
+             "½ + ¼", "café"]
+    df = spark.createDataFrame(list(enumerate(cases)),
+                               "doc_id bigint, text string")
+    got = {r.doc_id: r.norm_text
+           for r in normalize_text(df, nfkc=True).collect()}
+    for i, t in enumerate(cases):
+        assert got[i] == ref_normalize(t, nfkc=True), (t, got[i])
+
+
+def test_normalize_rejects_output_collision(spark):
+    df = spark.createDataFrame([(1, "a", "x")],
+                               "doc_id bigint, text string, norm_text string")
+    with pytest.raises(ValueError, match="norm_text"):
+        normalize_text(df)
+
+
+def _corpus(spark):
+    rows = [(i, f"doc {i} body text", "en", f"src{i % 3}")
+            for i in range(40)] + [(99, None, "en", "src0")]
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string")
+
+
+def test_export_jsonl_round_trips_through_the_source(spark, tmp_path):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.packing import (
+        export_jsonl_shards,
+    )
+    from esg_decarbonization_data_integration_and_data_pipline_spark.sources.corpus_files import (
+        read_jsonl_corpus,
+    )
+
+    out = str(tmp_path / "jsonl")
+    man = export_jsonl_shards(_corpus(spark), out, n_shards=4)
+    m = {r.shard: r for r in man.collect()}
+    assert sum(r.n_docs for r in m.values()) == 40  # null text dropped
+    docs, quarantine = read_jsonl_corpus(spark, f"{out}/docs")
+    assert quarantine.count() == 0
+    got = {(r.doc_id, r.text, r.lang, r.source) for r in docs.collect()}
+    want = {(i, f"doc {i} body text", "en", f"src{i % 3}")
+            for i in range(40)}
+    assert got == want
+
+
+def test_export_jsonl_one_gzip_file_per_shard_deterministic(spark, tmp_path):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.packing import (
+        export_jsonl_shards,
+    )
+
+    def export(tag):
+        out = str(tmp_path / tag)
+        export_jsonl_shards(_corpus(spark), out, n_shards=4)
+        shards = {}
+        for d in glob.glob(f"{out}/docs/shard=*"):
+            files = [f for f in glob.glob(f"{d}/part-*") if
+                     not f.endswith(".crc")]
+            assert len(files) == 1, files
+            assert files[0].endswith(".gz")
+            with gzip.open(files[0], "rt") as fh:
+                shards[os.path.basename(d)] = fh.read()
+        return shards
+
+    a, b = export("a"), export("b")
+    assert a == b and len(a) == 4  # byte-identical re-export
+    # within-shard order is the md5 routing order, not input order
+    for body in a.values():
+        assert body.strip()
+
+
+def test_export_jsonl_empty_corpus(spark, tmp_path):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.packing import (
+        export_jsonl_shards,
+    )
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    man = export_jsonl_shards(empty, str(tmp_path / "e"), n_shards=2)
+    assert man.count() == 0
+    assert {"shard", "n_docs", "total_chars"} <= set(man.columns)
+    with pytest.raises(ValueError):
+        export_jsonl_shards(empty, str(tmp_path / "e2"), n_shards=0)

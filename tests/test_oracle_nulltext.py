@@ -48,7 +48,8 @@ QUERIES = ["text_repetition", "dedup_simhash64_pairs", "dedup_simhash",
            # must appear here (tests/test_replay_coverage.py enforces
            # the completeness so a future addition cannot silently
            # skip this corpus)
-           "token_budget_mixture_docs", "dataset_diff_docs"]
+           "token_budget_mixture_docs", "dataset_diff_docs",
+           "text_normalize_docs"]
 
 
 @pytest.fixture(scope="module")
