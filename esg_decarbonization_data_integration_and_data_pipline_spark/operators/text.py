@@ -547,6 +547,16 @@ NORMALIZE_STEPS: list[tuple[str, str]] = [
 ]
 
 
+def normalize_expr(col: Column | str) -> Column:
+    """The :data:`NORMALIZE_STEPS` chain as a column expression --
+    shared by :func:`normalize_text` and the in-place curation gate
+    (one pattern table, no drift)."""
+    t = F.col(col) if isinstance(col, str) else col
+    for pat, repl in NORMALIZE_STEPS:
+        t = F.regexp_replace(t, pat, repl)
+    return t
+
+
 def normalize_text(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", out_col: str = "norm_text",
                    nfkc: bool = False) -> DataFrame:
@@ -585,8 +595,7 @@ def normalize_text(df: DataFrame, id_col: str = "doc_id",
                          if x is not None else None)
 
         t = nfkc_udf(t)
-    for pat, repl in NORMALIZE_STEPS:
-        t = F.regexp_replace(t, pat, repl)
+    t = normalize_expr(t)
     return df.select(
         F.col(id_col).alias("doc_id"),
         t.alias(out_col),

@@ -52,7 +52,8 @@ def curate(docs: DataFrame, keep_langs: list[str] | None = None,
            benchmark: DataFrame | None = None,
            decontam_n: int = 5,
            max_nll: float | None = None,
-           gopher: dict | None = None) -> DataFrame:
+           gopher: dict | None = None,
+           normalize: bool = False) -> DataFrame:
     """documents(doc_id, text, ...) -> curated corpus with
     (predicted_lang, quality_score, cluster_id, is_canonical, split).
 
@@ -86,7 +87,19 @@ def curate(docs: DataFrame, keep_langs: list[str] | None = None,
       ``{"min_words": 25}``); docs failing the composite rule set
       drop. ``{}`` applies the published defaults; None disables.
       A pure narrow map -- no join, no shuffle.
+    - ``normalize`` (opt-in): canonical text normalization
+      (operators/text.NORMALIZE_STEPS) applied in-place FIRST, so
+      every downstream signal -- scrubbing, fingerprints, dedup
+      signatures, the split hash -- sees one spelling of the same
+      content (two docs differing only in line endings or whitespace
+      runs dedup together and cannot straddle splits). Off by
+      default: normalization rewrites the text a trainer ultimately
+      sees, which is a corpus-policy decision, not a gate.
     """
+    if normalize:
+        from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import normalize_expr
+
+        docs = docs.withColumn("text", normalize_expr("text"))
     if scrub:
         docs = docs.withColumn("text", _scrub_expr())
     kept = docs

@@ -80,6 +80,30 @@ def test_curate_scrub_redacts_and_dedups_together(spark):
     out.unpersist()
 
 
+def test_curate_normalize_dedups_whitespace_variants_together(spark):
+    """With normalize=True, two docs differing only in line endings /
+    whitespace runs normalize to identical text, so they dedup into
+    one cluster and share a split; off by default, they stay textually
+    distinct."""
+    base = ("contact us about the good long document with many\n"
+            "different words appearing once each and again here soon")
+    variant = (base.replace(" about ", "   about ")
+                   .replace("\n", " \r\n ") + "  ")
+    docs = spark.createDataFrame(
+        [(1, base), (2, variant)], "doc_id bigint, text string")
+    out = curate(docs, min_quality=0.0, near_dup_threshold=0.5,
+                 normalize=True).cache()
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].text == rows[2].text  # one canonical spelling
+    assert "\r" not in rows[2].text and "   " not in rows[2].text
+    assert rows[1].cluster_id == rows[2].cluster_id
+    assert rows[1].split == rows[2].split
+    raw = curate(docs, min_quality=0.0, near_dup_threshold=0.5)
+    t2 = raw.filter("doc_id = 2").first().text
+    assert "\r" in t2  # default leaves the trainer-visible text alone
+    out.unpersist()
+
+
 def test_curate_entropy_gate_filters(spark):
     varied = ("the of and to in is a good long document with many "
               "different words appearing once each time here")
