@@ -1,0 +1,169 @@
+"""Versioned tables with a manifest-committed CURRENT pointer -- the
+snapshot-isolation tier the in-place rename swap cannot provide.
+
+``io.writers.swap_into_place`` rewrites a table in place: correct for
+the single-writer, no-concurrent-reader maintenance jobs it serves,
+but a reader overlapping the swap window fails mid-scan (raw parquet
+has no snapshot) and recovery semantics live in `heal_swap`.  This
+module is the other protocol, the one every modern table format
+(Delta, Iceberg, Hive ACID) is built on:
+
+- every write lands in a NEW immutable version directory
+  (``v_00000042``), staged under a process-unique ``.stage-*`` dir
+  and dir-renamed into place when fully written;
+- commit = atomically replacing the tiny ``_CURRENT`` pointer file
+  (``os.replace`` of a same-directory temp file -- atomic on POSIX);
+- readers resolve through ``_CURRENT`` and only ever see a fully
+  committed version; a reader holding version N keeps a consistent
+  snapshot while version N+1 commits (old dirs survive until
+  ``vacuum``);
+- a crash at ANY point leaves either the old pointer (garbage
+  staging/orphan dirs, cleaned by ``vacuum``) or the new pointer
+  (commit happened) -- there is no heal step because no state is
+  ever half-committed.
+
+On an object store the data-dir writes work as-is (immutable puts);
+the pointer flip is the one primitive to swap -- a conditional put /
+put-if-match on the manifest key (S3 now supports this natively), or
+a real table format.  The point of this module is that the COMMIT
+SURFACE is one tiny file, not a prefix rename.
+
+Concurrent writers are serialized optimistically: both stage, the
+first `os.rename` to claim a version number wins, the loser retries
+under the next number (bounded retries; last-committer-wins on the
+pointer, like Delta without conflict detection -- callers needing
+merge semantics route through one writer per table, same as the
+reference's per-table load jobs).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+_V_RE = re.compile(r"^v_(\d{8})$")
+_CURRENT = "_CURRENT"
+_STAGE_PREFIX = ".stage-"
+
+
+def _versions(table_dir: str) -> list[int]:
+    if not os.path.isdir(table_dir):
+        return []
+    out = []
+    for entry in os.listdir(table_dir):
+        m = _V_RE.match(entry)
+        if m and os.path.isdir(os.path.join(table_dir, entry)):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def current_version(table_dir: str) -> int | None:
+    """The committed version number, or None for a table that has
+    never committed (missing/empty pointer; orphan ``v_*`` dirs from
+    crashed writers do NOT count -- only the pointer commits)."""
+    try:
+        with open(os.path.join(table_dir, _CURRENT)) as fh:
+            name = fh.read().strip()
+    except FileNotFoundError:
+        return None
+    m = _V_RE.match(name)
+    return int(m.group(1)) if m else None
+
+
+def write_version(df: DataFrame, table_dir: str,
+                  partition_by: Sequence[str] = (),
+                  max_attempts: int = 20) -> int:
+    """Write ``df`` as the table's next immutable version and commit
+    it; returns the committed version number.
+
+    Stage -> claim -> commit: the parquet lands once under a
+    process-unique ``.stage-*`` dir (never referenced by any reader,
+    never contended by another writer), a metadata-only dir rename
+    claims ``v_N`` (losing a concurrent claim race just retries the
+    rename at N+1 -- the staged data is NOT rewritten), and the
+    ``_CURRENT`` pointer flips via ``os.replace`` -- the single
+    atomic operation in the protocol.  Readers concurrently holding
+    the previous version keep reading its immutable dir."""
+    import uuid
+
+    os.makedirs(table_dir, exist_ok=True)
+    staged = os.path.join(
+        table_dir, f"{_STAGE_PREFIX}{os.getpid()}-{uuid.uuid4().hex}")
+    try:
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(staged)
+        n = (max(_versions(table_dir), default=0)) + 1
+        for _ in range(max_attempts):
+            target = os.path.join(table_dir, f"v_{n:08d}")
+            try:
+                os.rename(staged, target)
+            except OSError:
+                n += 1  # lost the claim race; retry under the next N
+                continue
+            tmp = os.path.join(table_dir, f".{_CURRENT}.tmp.{n}.{os.getpid()}")
+            with open(tmp, "w") as fh:
+                fh.write(f"v_{n:08d}\n")
+            os.replace(tmp, os.path.join(table_dir, _CURRENT))  # THE commit
+            return n
+        raise RuntimeError(
+            f"could not claim a version under {table_dir} after "
+            f"{max_attempts} attempts")
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+
+
+def read_current(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Resolve ``_CURRENT`` and read that version -- the only reader
+    entry point; never lists or touches version dirs directly."""
+    n = current_version(table_dir)
+    if n is None:
+        raise FileNotFoundError(
+            f"{table_dir} has no committed version (_CURRENT missing)")
+    return spark.read.parquet(os.path.join(table_dir, f"v_{n:08d}"))
+
+
+def vacuum(table_dir: str, keep_last: int = 2,
+           stage_ttl_seconds: float = 6 * 3600) -> list[int]:
+    """Remove crash leftovers (aged ``.stage-*`` dirs, orphan claimed
+    versions) and versions older than the ``keep_last`` most recent;
+    NEVER the current version.  Returns the removed version numbers.
+
+    Stage dirs younger than ``stage_ttl_seconds`` are left alone --
+    they may belong to a LIVE writer mid-stage; set the TTL above any
+    plausible write duration.  Version retention must exceed the
+    longest reader (a reader holds its resolved version dir, exactly
+    like every table format's vacuum contract)."""
+    import time
+
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1: {keep_last}")
+    cur = current_version(table_dir)
+    removed: list[int] = []
+    if not os.path.isdir(table_dir):
+        return removed
+    now = time.time()
+    for entry in os.listdir(table_dir):
+        full = os.path.join(table_dir, entry)
+        if entry.startswith(_STAGE_PREFIX):
+            try:
+                age = now - os.path.getmtime(full)
+            except OSError:
+                continue
+            if age >= stage_ttl_seconds:
+                shutil.rmtree(full, ignore_errors=True)
+    vs = _versions(table_dir)
+    keep = set(vs[-keep_last:])
+    if cur is not None:
+        keep.add(cur)
+    for n in vs:
+        if n not in keep:
+            shutil.rmtree(os.path.join(table_dir, f"v_{n:08d}"),
+                          ignore_errors=True)
+            removed.append(n)
+    return removed

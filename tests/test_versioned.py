@@ -1,0 +1,102 @@
+"""Versioned manifest-committed tables (io/versioned.py): commit
+atomicity, snapshot isolation, crash orphans, claim races, vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+    current_version, read_current, vacuum, write_version,
+)
+
+
+def _df(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "x bigint")
+
+
+def test_write_read_commit_cycle(spark, tmp_path):
+    t = str(tmp_path / "t")
+    assert current_version(t) is None
+    with pytest.raises(FileNotFoundError):
+        read_current(spark, t)
+    assert write_version(_df(spark, [1, 2]), t) == 1
+    assert current_version(t) == 1
+    assert sorted(r.x for r in read_current(spark, t).collect()) == [1, 2]
+    assert write_version(_df(spark, [3]), t) == 2
+    assert sorted(r.x for r in read_current(spark, t).collect()) == [3]
+    # both immutable version dirs exist until vacuum
+    assert os.path.isdir(os.path.join(t, "v_00000001"))
+    assert os.path.isdir(os.path.join(t, "v_00000002"))
+
+
+def test_reader_snapshot_survives_a_new_commit(spark, tmp_path):
+    """A reader that resolved version N keeps a consistent snapshot
+    while N+1 commits -- the property the in-place swap cannot give."""
+    t = str(tmp_path / "t")
+    write_version(_df(spark, [1, 2]), t)
+    snapshot = read_current(spark, t)  # resolves v_1 lazily
+    write_version(_df(spark, [9]), t)  # commits v_2
+    assert sorted(r.x for r in snapshot.collect()) == [1, 2]
+    assert [r.x for r in read_current(spark, t).collect()] == [9]
+
+
+def test_orphan_claimed_version_never_becomes_current(spark, tmp_path):
+    """Crash between the claim rename and the pointer flip: the
+    orphan v_N is invisible to readers, and the next writer claims
+    N+1 (never reuses or references the orphan)."""
+    t = str(tmp_path / "t")
+    write_version(_df(spark, [1]), t)
+    # simulate the crash: a fully-claimed version dir, pointer unflipped
+    _df(spark, [666]).write.parquet(os.path.join(t, "v_00000002"))
+    assert current_version(t) == 1
+    assert [r.x for r in read_current(spark, t).collect()] == [1]
+    assert write_version(_df(spark, [7]), t) == 3
+    assert [r.x for r in read_current(spark, t).collect()] == [7]
+
+
+def test_claim_race_retries_under_next_number(spark, tmp_path):
+    """A competitor claiming v_N between our version scan and our
+    rename must not break the commit -- we land on N+1."""
+    t = str(tmp_path / "t")
+    write_version(_df(spark, [1]), t)
+    # competitor claims v_2 before "us"
+    os.makedirs(os.path.join(t, "v_00000002"))
+    n = write_version(_df(spark, [5]), t)
+    assert n == 3
+    assert [r.x for r in read_current(spark, t).collect()] == [5]
+
+
+def test_vacuum_retention_and_stage_ttl(spark, tmp_path):
+    t = str(tmp_path / "t")
+    for i in range(4):
+        write_version(_df(spark, [i]), t)
+    removed = vacuum(t, keep_last=2, stage_ttl_seconds=0)
+    assert removed == [1, 2]
+    assert not os.path.isdir(os.path.join(t, "v_00000001"))
+    assert os.path.isdir(os.path.join(t, "v_00000004"))
+    assert [r.x for r in read_current(spark, t).collect()] == [3]
+    # fresh stage dirs survive (live writer); aged ones are reaped
+    live = os.path.join(t, ".stage-123-abc")
+    os.makedirs(live)
+    vacuum(t, keep_last=2, stage_ttl_seconds=3600)
+    assert os.path.isdir(live)
+    vacuum(t, keep_last=2, stage_ttl_seconds=0)
+    assert not os.path.isdir(live)
+    with pytest.raises(ValueError):
+        vacuum(t, keep_last=0)
+
+
+def test_vacuum_never_removes_current_even_if_old(spark, tmp_path):
+    """If _CURRENT points at an old version (e.g. restored manually),
+    vacuum keeps it regardless of keep_last."""
+    t = str(tmp_path / "t")
+    for i in range(3):
+        write_version(_df(spark, [i]), t)
+    # roll the pointer back to v_1 by hand
+    with open(os.path.join(t, "_CURRENT"), "w") as fh:
+        fh.write("v_00000001\n")
+    removed = vacuum(t, keep_last=1, stage_ttl_seconds=0)
+    assert 1 not in removed
+    assert [r.x for r in read_current(spark, t).collect()] == [0]
