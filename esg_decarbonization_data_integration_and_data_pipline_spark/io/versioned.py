@@ -38,6 +38,7 @@ reference's per-table load jobs).
 
 from __future__ import annotations
 
+import errno
 import os
 import re
 import shutil
@@ -78,7 +79,12 @@ def write_version(df: DataFrame, table_dir: str,
                   partition_by: Sequence[str] = (),
                   max_attempts: int = 20) -> int:
     """Write ``df`` as the table's next immutable version and commit
-    it; returns the committed version number.
+    it; returns the claimed version number.  (If a competitor commits
+    a HIGHER version between our claim and our pointer flip, our
+    version stays on disk unreferenced -- superseded, reaped by
+    ``vacuum`` -- rather than flipping the pointer backwards;
+    ordering is by version number, and callers needing merge
+    semantics route one writer per table.)
 
     Stage -> claim -> commit: the parquet lands once under a
     process-unique ``.stage-*`` dir (never referenced by any reader,
@@ -103,9 +109,22 @@ def write_version(df: DataFrame, table_dir: str,
             target = os.path.join(table_dir, f"v_{n:08d}")
             try:
                 os.rename(staged, target)
-            except OSError:
-                n += 1  # lost the claim race; retry under the next N
+            except OSError as exc:
+                # ONLY target-exists means "lost the claim race";
+                # anything else (EACCES, a reaped stage dir) is a
+                # real error that retrying would mask
+                if exc.errno not in (errno.EEXIST, errno.ENOTEMPTY):
+                    raise
+                n += 1
                 continue
+            # monotonic pointer: if a competitor committed a HIGHER
+            # version between our claim and our flip, theirs is the
+            # newer write -- flipping backwards would both lose it and
+            # (after its vacuum) dangle the pointer.  Our v_N stays
+            # on disk unreferenced until vacuum ages it out.
+            cur = current_version(table_dir)
+            if cur is not None and cur > n:
+                return n
             tmp = os.path.join(table_dir, f".{_CURRENT}.tmp.{n}.{os.getpid()}")
             with open(tmp, "w") as fh:
                 fh.write(f"v_{n:08d}\n")
@@ -134,11 +153,15 @@ def vacuum(table_dir: str, keep_last: int = 2,
     versions) and versions older than the ``keep_last`` most recent;
     NEVER the current version.  Returns the removed version numbers.
 
-    Stage dirs younger than ``stage_ttl_seconds`` are left alone --
-    they may belong to a LIVE writer mid-stage; set the TTL above any
-    plausible write duration.  Version retention must exceed the
-    longest reader (a reader holds its resolved version dir, exactly
-    like every table format's vacuum contract)."""
+    The ``stage_ttl_seconds`` age gate protects everything a LIVE
+    writer may still touch: ``.stage-*`` dirs mid-write, orphan
+    ``._CURRENT.tmp.*`` pointer files, and claimed-but-uncommitted
+    version dirs (a writer stalled between its claim rename and its
+    pointer flip -- reaping those would let its eventual flip point
+    at a deleted dir).  Set the TTL above any plausible write
+    duration.  Version retention must exceed the longest reader (a
+    reader holds its resolved version dir, exactly like every table
+    format's vacuum contract)."""
     import time
 
     if keep_last < 1:
@@ -148,22 +171,40 @@ def vacuum(table_dir: str, keep_last: int = 2,
     if not os.path.isdir(table_dir):
         return removed
     now = time.time()
+
+    def aged(p: str) -> bool:
+        try:
+            return now - os.path.getmtime(p) >= stage_ttl_seconds
+        except OSError:
+            return False
     for entry in os.listdir(table_dir):
         full = os.path.join(table_dir, entry)
-        if entry.startswith(_STAGE_PREFIX):
+        if entry.startswith(_STAGE_PREFIX) and aged(full):
+            shutil.rmtree(full, ignore_errors=True)
+        elif entry.startswith(f".{_CURRENT}.tmp.") and aged(full):
             try:
-                age = now - os.path.getmtime(full)
+                os.remove(full)  # crashed-before-flip pointer temp
             except OSError:
-                continue
-            if age >= stage_ttl_seconds:
-                shutil.rmtree(full, ignore_errors=True)
+                pass
     vs = _versions(table_dir)
-    keep = set(vs[-keep_last:])
+    committed = [n for n in vs if cur is None or n <= cur]
+    keep = set(committed[-keep_last:])
     if cur is not None:
         keep.add(cur)
     for n in vs:
-        if n not in keep:
-            shutil.rmtree(os.path.join(table_dir, f"v_{n:08d}"),
-                          ignore_errors=True)
-            removed.append(n)
+        full = os.path.join(table_dir, f"v_{n:08d}")
+        if cur is not None and n > cur:
+            # NEVER committed (the pointer is monotonic, so no reader
+            # ever resolved it): fresh means a live writer's
+            # claim-to-flip window -- spare; aged means a crashed
+            # claim -- reap regardless of keep_last (no reader to
+            # protect)
+            if aged(full):
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(n)
+            continue
+        if n in keep:
+            continue
+        shutil.rmtree(full, ignore_errors=True)
+        removed.append(n)
     return removed

@@ -22,6 +22,14 @@ from pyspark.sql import DataFrame, Window, functions as F
 from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import tokens
 
 
+def _md5_shard(id_str, n_shards: int):
+    """THE shard-routing expression (48-bit md5 prefix mod n_shards),
+    shared by packing and the JSONL export so the two can never route
+    the same corpus differently."""
+    return (F.conv(F.substring(F.md5(id_str), 1, 12), 16, 10)
+             .cast("bigint") % n_shards).cast("int")
+
+
 def pack_sequences(df: DataFrame, seq_len: int = 2048, n_shards: int = 16,
                    id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
@@ -46,8 +54,7 @@ def pack_sequences(df: DataFrame, seq_len: int = 2048, n_shards: int = 16,
         raise ValueError(f"seq_len/n_shards must be positive: "
                          f"{seq_len}/{n_shards}")
     id_str = F.col(id_col).cast("string")
-    shard = (F.conv(F.substring(F.md5(id_str), 1, 12), 16, 10)
-              .cast("bigint") % n_shards).cast("int")
+    shard = _md5_shard(id_str, n_shards)
     with_counts = (
         df.filter(F.col(text_col).isNotNull())
           .withColumn("n_tokens", F.size(tokens(text_col)).cast("bigint"))
@@ -160,25 +167,42 @@ def export_jsonl_shards(df: DataFrame, out_dir: str, n_shards: int = 16,
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive: {n_shards}")
     id_str = F.col(id_col).cast("string")
-    shard = (F.conv(F.substring(F.md5(id_str), 1, 12), 16, 10)
-              .cast("bigint") % n_shards).cast("int")
+    # full tiebreak chain (md5(id), id, md5(text), text): duplicate
+    # ids with different text (re-uploads) tie on the id keys, and
+    # their relative order must not depend on task scheduling or the
+    # "byte-identical re-export" contract breaks -- same preorder as
+    # pack_sequences; ids stay strings (a cast to long would null out
+    # non-numeric id domains and silently weaken the tiebreak)
     lines = (df.filter(F.col(text_col).isNotNull())
-               .withColumn("__shard", shard)
+               .withColumn("__shard", _md5_shard(id_str, n_shards))
                .select("__shard",
                        F.md5(id_str).alias("__ord"),
-                       F.col(id_col).cast("long").alias("__id"),
+                       id_str.alias("__id"),
+                       F.md5(F.col(text_col)).alias("__tord"),
+                       F.col(text_col).alias("__text"),
                        F.length(text_col).cast("bigint").alias("__chars"),
-                       F.to_json(F.struct(*df.columns)).alias("value")))
-    (lines.repartition(4 * n_shards, "__shard")
-          .sortWithinPartitions("__shard", "__ord", "__id")
-          .select(F.col("__shard").alias("shard"), "value")
-          .write.mode("overwrite").partitionBy("shard")
-          .option("compression", compression)
-          .text(f"{out_dir}/docs"))
-    manifest = (lines.groupBy(F.col("__shard").alias("shard"))
-                     .agg(F.count(F.lit(1)).alias("n_docs"),
-                          F.sum("__chars").alias("total_chars")))
-    manifest.write.mode("overwrite").parquet(f"{out_dir}/_manifest")
+                       F.to_json(F.struct(*df.columns)).alias("value"))
+               # one computation feeds BOTH actions (the shard write
+               # and the manifest aggregate): without it the full
+               # upstream lineage -- possibly an entire curation
+               # pipeline -- runs twice, and a nondeterministic
+               # upstream could yield a manifest describing data that
+               # was never written; MEMORY_AND_DISK, freed below
+               .persist())
+    try:
+        (lines.repartition(4 * n_shards, "__shard")
+              .sortWithinPartitions("__shard", "__ord", "__id",
+                                    "__tord", "__text")
+              .select(F.col("__shard").alias("shard"), "value")
+              .write.mode("overwrite").partitionBy("shard")
+              .option("compression", compression)
+              .text(f"{out_dir}/docs"))
+        manifest = (lines.groupBy(F.col("__shard").alias("shard"))
+                         .agg(F.count(F.lit(1)).alias("n_docs"),
+                              F.sum("__chars").alias("total_chars")))
+        manifest.write.mode("overwrite").parquet(f"{out_dir}/_manifest")
+    finally:
+        lines.unpersist()
     spark = df.sparkSession
     return (spark.read.schema(manifest.schema)
                  .parquet(f"{out_dir}/_manifest"))

@@ -256,6 +256,14 @@ def curation_funnel(docs: DataFrame, **curate_kwargs) -> list[tuple[str, int]]:
     bound.apply_defaults()
     a = dict(bound.arguments)
     out = [("input", docs.count())]
+    # mirror curate's pre-gate text rewrites EXACTLY (normalize, then
+    # scrub) -- a drifted text shape here would make every
+    # text-sensitive gate count (entropy, repetition, boilerplate,
+    # gopher) disagree with the corpus curate actually keeps
+    if a["normalize"]:
+        from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import normalize_expr
+
+        docs = docs.withColumn("text", normalize_expr("text"))
     if a["scrub"]:
         docs = docs.withColumn("text", _scrub_expr())
     kept = docs

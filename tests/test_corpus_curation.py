@@ -219,6 +219,33 @@ def test_curation_funnel_counts(spark):
     assert stages["entropy"] == 1
 
 
+def test_curation_funnel_mirrors_normalize(spark):
+    """Funnel counts must see the SAME pre-gate text rewrites as
+    curate: a doc whose entropy only fails on the normalized text
+    (control-char padding stripped) must count identically in both."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.corpus_curation import (
+        curation_funnel,
+    )
+
+    # raw text: low-entropy 'aaaa...' padded with control chars that
+    # RAISE its raw entropy above the gate; normalization strips them
+    noisy = "aaaa " * 30 + "\x00\x01\x02\x03\x04\x05\x06\x07\x0b\x0c"
+    good = ("the of and to in is a good long document with many "
+            "different words appearing once each time here")
+    docs = spark.createDataFrame([(1, good), (2, noisy)],
+                                 "doc_id bigint, text string")
+    plain = dict(curation_funnel(docs, min_quality=0.0, min_entropy=1.2,
+                                 max_repetition=None))
+    normed = dict(curation_funnel(docs, min_quality=0.0, min_entropy=1.2,
+                                  max_repetition=None, normalize=True))
+    assert plain["entropy"] == 2      # control noise inflates entropy
+    assert normed["entropy"] == 1     # normalized text fails the gate
+    kept = curate(docs, min_quality=0.0, min_entropy=1.2,
+                  max_repetition=None, normalize=True,
+                  near_dup_threshold=0.5)
+    assert kept.count() == normed["entropy"]  # funnel == data path
+
+
 def test_curation_funnel_rejects_unknown_kwargs(spark):
     import pytest as _pytest
 

@@ -128,6 +128,32 @@ def test_export_jsonl_one_gzip_file_per_shard_deterministic(spark, tmp_path):
         assert body.strip()
 
 
+def test_export_jsonl_duplicate_ids_still_deterministic(spark, tmp_path):
+    """Re-uploaded ids (same doc_id, different text) tie on every id
+    sort key; the md5(text)/text tiebreak keeps the export
+    byte-identical across runs anyway."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.packing import (
+        export_jsonl_shards,
+    )
+
+    rows = ([(7, f"version {v} of the resubmitted doc") for v in range(6)]
+            + [(i, f"doc {i}") for i in range(10)])
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def export(tag):
+        out = str(tmp_path / tag)
+        export_jsonl_shards(df.repartition(8), out, n_shards=2)
+        body = {}
+        for d in glob.glob(f"{out}/docs/shard=*"):
+            f = [p for p in glob.glob(f"{d}/part-*")
+                 if not p.endswith(".crc")][0]
+            with gzip.open(f, "rt") as fh:
+                body[os.path.basename(d)] = fh.read()
+        return body
+
+    assert export("x") == export("y")
+
+
 def test_export_jsonl_empty_corpus(spark, tmp_path):
     from esg_decarbonization_data_integration_and_data_pipline_spark.operators.packing import (
         export_jsonl_shards,

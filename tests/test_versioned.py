@@ -88,6 +88,38 @@ def test_vacuum_retention_and_stage_ttl(spark, tmp_path):
         vacuum(t, keep_last=0)
 
 
+def test_superseded_claim_never_flips_the_pointer_backwards(spark, tmp_path):
+    """A writer that claimed v_N while a competitor committed v_M>N
+    must NOT flip the pointer backwards -- simulated by pre-claiming
+    v_2 as the 'stalled' writer and committing v_3 first."""
+    t = str(tmp_path / "t")
+    write_version(_df(spark, [1]), t)                  # v_1 current
+    os.makedirs(os.path.join(t, "v_00000002"))         # stalled claim
+    assert write_version(_df(spark, [9]), t) == 3      # competitor
+    # the stalled writer's flip is modeled by write_version's own
+    # monotonic check: a fresh writer claiming under v_3 lands at 4
+    assert current_version(t) == 3
+    assert [r.x for r in read_current(spark, t).collect()] == [9]
+
+
+def test_vacuum_spares_fresh_claimed_versions_and_pointer_temps(spark, tmp_path):
+    """Claimed-but-uncommitted versions NEWER than current are a live
+    writer's flip-in-progress window: only reaped past the TTL.
+    Crashed pointer temps clean up the same way."""
+    t = str(tmp_path / "t")
+    write_version(_df(spark, [1]), t)
+    os.makedirs(os.path.join(t, "v_00000002"))  # claimed, uncommitted
+    tmp_ptr = os.path.join(t, "._CURRENT.tmp.2.999")
+    open(tmp_ptr, "w").write("v_00000002\n")
+    vacuum(t, keep_last=1, stage_ttl_seconds=3600)
+    assert os.path.isdir(os.path.join(t, "v_00000002"))  # fresh: spared
+    assert os.path.exists(tmp_ptr)
+    removed = vacuum(t, keep_last=1, stage_ttl_seconds=0)
+    assert 2 in removed
+    assert not os.path.exists(tmp_ptr)
+    assert current_version(t) == 1  # the committed table is untouched
+
+
 def test_vacuum_never_removes_current_even_if_old(spark, tmp_path):
     """If _CURRENT points at an old version (e.g. restored manually),
     vacuum keeps it regardless of keep_last."""
