@@ -491,6 +491,71 @@ def decontaminate_flags(df: DataFrame, benchmark: DataFrame, n: int = 5,
                  .agg(F.count_distinct("gram").alias("n_hits")))
 
 
+def decontaminate_spans(df: DataFrame, benchmark: DataFrame, n: int = 5,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        exclude_benchmark_ids: bool = True) -> DataFrame:
+    """Span-level decontamination: REMOVE the token spans covered by
+    benchmark ``n``-grams instead of dropping the whole document --
+    the surgical variant of :func:`decontaminate_flags` (a long web
+    page quoting one eval question keeps its other 10k clean tokens;
+    doc-level dropping throws them away, span removal is what
+    production decontamination pipelines do when the corpus is
+    precious).
+
+    Same scale shape as the flag variant: benchmark grams broadcast,
+    corpus grams explode + hash-join them, matched START positions
+    re-aggregate per doc (an array of ints -- bounded by hits, not
+    tokens), and the rebuild is a narrow higher-order filter over the
+    token array; the corpus is never shuffled on gram strings.
+
+    ``clean_text`` is the whitespace rejoin of the SURVIVING
+    lowercased tokens (token-stream semantics, like every n-gram op
+    here -- NOT a byte-faithful excision); null text yields null.
+    Output: (doc_id, clean_text, n_tokens_removed, n_hits) for every
+    (non-benchmark) corpus doc; uncontaminated docs pass through with
+    zeros."""
+    toks = f"filter(split(lower(__t), '\\\\s+'), t -> t != '')"
+    idx_grams = (
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> struct(i AS i, concat_ws(' ', slice({toks}, i, {n})) AS gram)) "
+        f"ELSE array() END")
+    bench_grams = (benchmark
+                   .select(F.explode(F.expr(_ngrams_expr(text_col, n)))
+                            .alias("gram"))
+                   .distinct())
+    corpus = df.select(F.col(id_col).alias("doc_id"),
+                       F.col(text_col).alias("__t"))
+    if exclude_benchmark_ids:
+        bench_ids = (benchmark.select(F.col(id_col).alias("doc_id"))
+                     .distinct())
+        corpus = corpus.join(F.broadcast(bench_ids), "doc_id",
+                             "left_anti")
+    hits = (_spread(corpus, "doc_id", "__t")
+            .select("doc_id", F.explode(F.expr(idx_grams)).alias("g"))
+            .select("doc_id", F.col("g.i").alias("i"), F.col("g.gram")
+                    .alias("gram"))
+            .join(F.broadcast(bench_grams), "gram")
+            .groupBy("doc_id")
+            .agg(F.collect_list("i").alias("__starts"),
+                 F.count(F.lit(1)).alias("__n_hits")))
+    kept = (
+        f"filter({toks}, (t, j) -> NOT exists("
+        f"coalesce(__starts, array()), "
+        f"s -> j + 1 >= s AND j + 1 <= s + {n - 1}))")
+    return (corpus.join(hits, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("__t").isNull(), F.lit(None).cast("string"))
+                 .otherwise(F.expr(f"concat_ws(' ', {kept})"))
+                 .alias("clean_text"),
+                F.coalesce(F.expr(f"size({toks}) - size({kept})"),
+                           F.lit(0)).cast("bigint")
+                 .alias("n_tokens_removed"),
+                F.coalesce(F.col("__n_hits"), F.lit(0)).cast("bigint")
+                 .alias("n_hits")))
+
+
 # conservative patterns valid in BOTH Java regex (Spark) and RE2
 # (DuckDB): no backreferences, no lookaround
 PII_PATTERNS: list[tuple[str, str, str]] = [

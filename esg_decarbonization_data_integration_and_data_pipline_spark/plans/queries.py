@@ -791,8 +791,8 @@ _DRIVER_TAIL = [
     # rows-only by nature (iterative training loop; exactness pinned
     # against a pure-Python reference in tests/test_bpe.py)
     "bpe_tokenize_docs",
-    # round-7 addition past the gate cap -- oracle-replayed in-repo
-    "text_normalize_docs",
+    # round-7 additions past the gate cap -- oracle-replayed in-repo
+    "text_normalize_docs", "decontaminate_spans_docs",
 ]
 _ORDERED = _DRIVER_HEAD + _DRIVER_TAIL
 assert set(_ORDERED) == set(REGISTRY) and len(_ORDERED) == len(REGISTRY), (

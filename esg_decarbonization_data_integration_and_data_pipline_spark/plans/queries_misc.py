@@ -604,6 +604,59 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_flags(d, d.filter(F.col("doc_id") % 29 == 0), n=4)
 
 
+@register("decontaminate_spans_docs", "ext:decontamination-span,J10,UD1",
+          oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> t != '') AS __t
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id, i,
+         array_to_string(__t[CAST(i AS INT):CAST(i + 3 AS INT)], ' ') AS gram
+  FROM (SELECT doc_id, __t,
+               unnest(range(1, CAST(len(__t) - 2 AS BIGINT))) AS i
+        FROM t)
+),
+b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 29 = 0),
+s AS (
+  SELECT g.doc_id, list(g.i) AS starts, count(*) AS n_hits
+  FROM g JOIN b USING (gram)
+  WHERE g.doc_id % 29 != 0
+  GROUP BY g.doc_id
+),
+k AS (
+  SELECT t.doc_id, __t,
+         [__t[CAST(k AS INT)] FOR k IN range(1, CAST(len(__t) + 1 AS BIGINT))
+          IF len(list_filter(coalesce(s.starts, []),
+                             x -> k >= x AND k <= x + 3)) = 0] AS kept,
+         coalesce(s.n_hits, 0) AS n_hits
+  FROM t LEFT JOIN s USING (doc_id)
+  WHERE t.doc_id % 29 != 0
+)
+SELECT doc_id,
+       -- DuckDB array_to_string is NULL on an empty list; a fully
+       -- excised doc must come back '' like Spark's concat_ws
+       coalesce(array_to_string(kept, ' '), '') AS clean_text,
+       CAST(len(__t) - len(kept) AS BIGINT) AS n_tokens_removed,
+       CAST(n_hits AS BIGINT) AS n_hits
+FROM k
+""")
+def decontaminate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination (operators/text.decontaminate_spans):
+    remove the 4-gram token spans shared with the benchmark subset
+    (every 29th doc) instead of dropping contaminated docs; benchmark
+    grams broadcast, matched start positions re-aggregate per doc,
+    rebuild is a narrow higher-order filter."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import (
+        decontaminate_spans,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return decontaminate_spans(d, d.filter(F.col("doc_id") % 29 == 0), n=4)
+
+
 @register("text_scrub_pii", "ext:pii-scrub,F5,F9", oracle=r"""
 SELECT doc_id,
        regexp_replace(regexp_replace(regexp_replace(text,

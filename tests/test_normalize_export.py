@@ -76,6 +76,53 @@ def test_normalize_rejects_output_collision(spark):
         normalize_text(df)
 
 
+def test_decontaminate_spans_surgical_removal(spark):
+    """Only the covered token spans go; the rest of the doc survives
+    (vs decontaminate_flags, which would drop the whole doc)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import (
+        decontaminate_spans,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france")],
+        "doc_id bigint, text string")
+    docs = spark.createDataFrame(
+        [(1, "long page intro what is the capital of france answer "
+             "paris plus much other clean content"),
+         (2, "totally clean document with no overlap at all"),
+         (3, None),
+         (4, "what is the capital")],  # only a 4-token prefix: no 5-gram hit
+        "doc_id bigint, text string")
+    out = {r.doc_id: r for r in
+           decontaminate_spans(docs, bench, n=5).collect()}
+    # doc 1: the two overlapping 5-gram hits cover tokens 4-9
+    # ("what is the capital of france"); everything else survives
+    assert out[1].clean_text == ("long page intro answer paris plus "
+                                 "much other clean content")
+    assert out[1].n_tokens_removed == 6 and out[1].n_hits == 2
+    assert out[2].clean_text == docs.filter("doc_id=2").first().text
+    assert out[2].n_tokens_removed == 0 and out[2].n_hits == 0
+    assert out[3].clean_text is None and out[3].n_tokens_removed == 0
+    assert out[4].n_tokens_removed == 0  # shorter than n: no gram
+
+
+def test_decontaminate_spans_excludes_benchmark_ids(spark):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import (
+        decontaminate_spans,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")],
+        "doc_id bigint, text string")
+    bench = d.filter("doc_id = 1")
+    out = decontaminate_spans(d, bench, n=3)
+    assert [r.doc_id for r in out.collect()] == [2]
+    both = decontaminate_spans(d, bench, n=3, exclude_benchmark_ids=False)
+    assert sorted(r.doc_id for r in both.collect()) == [1, 2]
+    # and the overlap empties the doc completely
+    assert both.filter("doc_id = 2").first().clean_text == ""
+
+
 def _corpus(spark):
     rows = [(i, f"doc {i} body text", "en", f"src{i % 3}")
             for i in range(40)] + [(99, None, "en", "src0")]
