@@ -223,3 +223,17 @@ def test_incremental_dedup_prunes_index_and_broadcasts(spark, tmp_path):
     # candidates broadcast into all four verify legs (index + batch)
     assert plan.count("BroadcastHashJoin") >= 4
     spark.catalog.clearCache()
+
+
+def test_decontaminate_spans_broadcasts_grams_no_gram_shuffle(spark, sf_dir):
+    """Benchmark grams reach the exploded corpus grams as a
+    BROADCAST hash join; the corpus is never hash-partitioned on
+    gram strings (the only doc-side exchanges key on doc_id: the hit
+    aggregation and the left join back)."""
+    plan = plan_of(spark, sf_dir, "decontaminate_spans_docs")
+    assert "BroadcastHashJoin" in plan
+    # exactly ONE gram-keyed exchange: the BENCHMARK-side distinct
+    # (KB-scale by contract); the corpus gram stream itself must
+    # reach the broadcast join without a gram shuffle
+    assert plan.count("hashpartitioning(gram") == 1
+    assert "hashpartitioning(doc_id" in plan

@@ -366,3 +366,26 @@ def test_dataset_diff_partitions_ids(spark, old, new):
             assert status == "unchanged"
         else:
             assert status == "changed"
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.text(
+    alphabet=st.sampled_from("ab \t\r\n\x00\x07\x0b\x1f\x7fxy."),
+    max_size=30), min_size=1, max_size=6))
+def test_normalize_matches_reference_fuzz(spark, texts):
+    """Property: the Spark NORMALIZE_STEPS chain equals the
+    pure-Python re.sub chain on arbitrary control/whitespace soups,
+    and normalization is idempotent."""
+    from tests.test_normalize_export import ref_normalize
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import (
+        normalize_text,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id bigint, text string")
+    got = {r.doc_id: r.norm_text for r in normalize_text(df).collect()}
+    for i, t in enumerate(texts):
+        want = ref_normalize(t)
+        assert got[i] == want, (t, got[i], want)
+        assert ref_normalize(want) == want  # idempotent
