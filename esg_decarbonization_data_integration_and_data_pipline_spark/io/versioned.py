@@ -30,10 +30,13 @@ SURFACE is one tiny file, not a prefix rename.
 
 Concurrent writers are serialized optimistically: both stage, the
 first `os.rename` to claim a version number wins, the loser retries
-under the next number (bounded retries; last-committer-wins on the
-pointer, like Delta without conflict detection -- callers needing
-merge semantics route through one writer per table, same as the
-reference's per-table load jobs).
+under the next number (bounded retries).  The pointer flip itself is
+a check-then-replace critical section under a TTL-stealable
+``._CURRENT.lock`` -- the pointer only moves FORWARD, and a claim
+superseded by a higher committed version raises
+:class:`VersionConflictError` instead of silently losing the write
+(callers needing merge semantics still route one writer per table,
+same as the reference's per-table load jobs).
 """
 
 from __future__ import annotations
@@ -49,6 +52,59 @@ from pyspark.sql import DataFrame, SparkSession
 _V_RE = re.compile(r"^v_(\d{8})$")
 _CURRENT = "_CURRENT"
 _STAGE_PREFIX = ".stage-"
+_FLIP_LOCK = "._CURRENT.lock"
+_FLIP_LOCK_TTL = 60.0  # s; a flip is two tiny file ops -- a lock older
+#                        than this belongs to a crashed writer
+
+
+class VersionConflictError(RuntimeError):
+    """A claimed version was superseded by a higher committed version
+    before its pointer flip; the write is not visible."""
+
+
+class _flip_lock:
+    """O_EXCL lock file serializing the check-then-flip critical
+    section (the only non-idempotent step).  Crash-safe: a holder
+    that dies leaves a lock whose mtime ages past ``_FLIP_LOCK_TTL``
+    and the next writer steals it.  Contention is a handful of
+    writers for two file ops -- a short spin is plenty."""
+
+    def __init__(self, table_dir: str):
+        self.path = os.path.join(table_dir, _FLIP_LOCK)
+
+    def __enter__(self):
+        import time
+
+        deadline = time.time() + 2 * _FLIP_LOCK_TTL
+        while True:
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(self.path)
+                except OSError:
+                    continue  # holder just released; retry immediately
+                if age >= _FLIP_LOCK_TTL:
+                    try:  # steal a crashed holder's lock
+                        os.remove(self.path)
+                    except OSError:
+                        pass
+                    continue
+                if time.time() >= deadline:
+                    raise TimeoutError(
+                        f"could not acquire {self.path} within "
+                        f"{2 * _FLIP_LOCK_TTL:.0f}s")
+                time.sleep(0.05)
+
+    def __exit__(self, *exc):
+        try:
+            os.remove(self.path)
+        except OSError:
+            pass
+        return False
 
 
 def _versions(table_dir: str) -> list[int]:
@@ -79,12 +135,12 @@ def write_version(df: DataFrame, table_dir: str,
                   partition_by: Sequence[str] = (),
                   max_attempts: int = 20) -> int:
     """Write ``df`` as the table's next immutable version and commit
-    it; returns the claimed version number.  (If a competitor commits
-    a HIGHER version between our claim and our pointer flip, our
-    version stays on disk unreferenced -- superseded, reaped by
-    ``vacuum`` -- rather than flipping the pointer backwards;
-    ordering is by version number, and callers needing merge
-    semantics route one writer per table.)
+    it; returns the committed version number.  If a competitor
+    commits a HIGHER version between our claim and our pointer flip,
+    :class:`VersionConflictError` raises (the pointer never moves
+    backwards; the superseded dir stays unreferenced until
+    ``vacuum``) -- re-run the write, or route one writer per table
+    for merge semantics.
 
     Stage -> claim -> commit: the parquet lands once under a
     process-unique ``.stage-*`` dir (never referenced by any reader,
@@ -117,18 +173,28 @@ def write_version(df: DataFrame, table_dir: str,
                     raise
                 n += 1
                 continue
-            # monotonic pointer: if a competitor committed a HIGHER
-            # version between our claim and our flip, theirs is the
-            # newer write -- flipping backwards would both lose it and
-            # (after its vacuum) dangle the pointer.  Our v_N stays
-            # on disk unreferenced until vacuum ages it out.
-            cur = current_version(table_dir)
-            if cur is not None and cur > n:
-                return n
-            tmp = os.path.join(table_dir, f".{_CURRENT}.tmp.{n}.{os.getpid()}")
-            with open(tmp, "w") as fh:
-                fh.write(f"v_{n:08d}\n")
-            os.replace(tmp, os.path.join(table_dir, _CURRENT))  # THE commit
+            # monotonic pointer, made ATOMIC by the flip lock: a bare
+            # check-then-replace would let a slower lower-numbered
+            # writer flip the pointer backwards over a committed
+            # higher version (which vacuum could then mistake for an
+            # uncommitted orphan).  Under the lock, check + flip are
+            # one critical section; a superseded claim raises instead
+            # of silently returning, so lost writes are observable.
+            with _flip_lock(table_dir):
+                cur = current_version(table_dir)
+                if cur is not None and cur > n:
+                    raise VersionConflictError(
+                        f"version v_{n:08d} of {table_dir} was "
+                        f"superseded by v_{cur:08d} before its commit; "
+                        f"the write is NOT visible (dir kept until "
+                        f"vacuum) -- re-run it, or route one writer "
+                        f"per table for merge semantics")
+                tmp = os.path.join(table_dir,
+                                   f".{_CURRENT}.tmp.{n}.{os.getpid()}")
+                with open(tmp, "w") as fh:
+                    fh.write(f"v_{n:08d}\n")
+                os.replace(tmp,
+                           os.path.join(table_dir, _CURRENT))  # THE commit
             return n
         raise RuntimeError(
             f"could not claim a version under {table_dir} after "
@@ -187,18 +253,19 @@ def vacuum(table_dir: str, keep_last: int = 2,
             except OSError:
                 pass
     vs = _versions(table_dir)
-    committed = [n for n in vs if cur is None or n <= cur]
+    committed = [n for n in vs if cur is not None and n <= cur]
     keep = set(committed[-keep_last:])
     if cur is not None:
         keep.add(cur)
     for n in vs:
         full = os.path.join(table_dir, f"v_{n:08d}")
-        if cur is not None and n > cur:
-            # NEVER committed (the pointer is monotonic, so no reader
-            # ever resolved it): fresh means a live writer's
-            # claim-to-flip window -- spare; aged means a crashed
-            # claim -- reap regardless of keep_last (no reader to
-            # protect)
+        if cur is None or n > cur:
+            # NEVER committed (the flip lock makes the pointer
+            # monotonic, so no reader ever resolved it) -- including
+            # EVERY claim on a table with no pointer yet: fresh means
+            # a live writer's claim-to-flip window -- spare; aged
+            # means a crashed claim -- reap regardless of keep_last
+            # (no reader to protect)
             if aged(full):
                 shutil.rmtree(full, ignore_errors=True)
                 removed.append(n)

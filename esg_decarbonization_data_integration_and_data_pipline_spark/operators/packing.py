@@ -167,19 +167,19 @@ def export_jsonl_shards(df: DataFrame, out_dir: str, n_shards: int = 16,
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive: {n_shards}")
     id_str = F.col(id_col).cast("string")
-    # full tiebreak chain (md5(id), id, md5(text), text): duplicate
-    # ids with different text (re-uploads) tie on the id keys, and
-    # their relative order must not depend on task scheduling or the
-    # "byte-identical re-export" contract breaks -- same preorder as
-    # pack_sequences; ids stay strings (a cast to long would null out
-    # non-numeric id domains and silently weaken the tiebreak)
+    # tiebreak chain (md5(id), id, value): duplicate ids (re-uploads)
+    # tie on the id keys, and their relative order must not depend on
+    # task scheduling or the "byte-identical re-export" contract
+    # breaks.  The final key is the serialized LINE itself -- a
+    # superset of every column, so even rows identical in (id, text)
+    # but differing elsewhere order deterministically, and no extra
+    # text copy rides the shuffle (ids stay strings: a cast to long
+    # would null out non-numeric id domains)
     lines = (df.filter(F.col(text_col).isNotNull())
                .withColumn("__shard", _md5_shard(id_str, n_shards))
                .select("__shard",
                        F.md5(id_str).alias("__ord"),
                        id_str.alias("__id"),
-                       F.md5(F.col(text_col)).alias("__tord"),
-                       F.col(text_col).alias("__text"),
                        F.length(text_col).cast("bigint").alias("__chars"),
                        F.to_json(F.struct(*df.columns)).alias("value"))
                # one computation feeds BOTH actions (the shard write
@@ -191,8 +191,7 @@ def export_jsonl_shards(df: DataFrame, out_dir: str, n_shards: int = 16,
                .persist())
     try:
         (lines.repartition(4 * n_shards, "__shard")
-              .sortWithinPartitions("__shard", "__ord", "__id",
-                                    "__tord", "__text")
+              .sortWithinPartitions("__shard", "__ord", "__id", "value")
               .select(F.col("__shard").alias("shard"), "value")
               .write.mode("overwrite").partitionBy("shard")
               .option("compression", compression)

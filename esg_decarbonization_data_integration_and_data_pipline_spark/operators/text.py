@@ -513,7 +513,9 @@ def decontaminate_spans(df: DataFrame, benchmark: DataFrame, n: int = 5,
     here -- NOT a byte-faithful excision); null text yields null.
     Output: (doc_id, clean_text, n_tokens_removed, n_hits) for every
     (non-benchmark) corpus doc; uncontaminated docs pass through with
-    zeros."""
+    zeros.  ``n_hits`` counts DISTINCT shared grams -- the same
+    semantics as :func:`decontaminate_flags`, so audit thresholds
+    transfer between the drop and the excise variant unchanged."""
     toks = f"filter(split(lower(__t), '\\\\s+'), t -> t != '')"
     idx_grams = (
         f"CASE WHEN size({toks}) >= {n} THEN "
@@ -538,22 +540,29 @@ def decontaminate_spans(df: DataFrame, benchmark: DataFrame, n: int = 5,
             .join(F.broadcast(bench_grams), "gram")
             .groupBy("doc_id")
             .agg(F.collect_list("i").alias("__starts"),
-                 F.count(F.lit(1)).alias("__n_hits")))
-    kept = (
-        f"filter({toks}, (t, j) -> NOT exists("
-        f"coalesce(__starts, array()), "
-        f"s -> j + 1 >= s AND j + 1 <= s + {n - 1}))")
-    return (corpus.join(hits, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.when(F.col("__t").isNull(), F.lit(None).cast("string"))
-                 .otherwise(F.expr(f"concat_ws(' ', {kept})"))
-                 .alias("clean_text"),
-                F.coalesce(F.expr(f"size({toks}) - size({kept})"),
-                           F.lit(0)).cast("bigint")
-                 .alias("n_tokens_removed"),
-                F.coalesce(F.col("__n_hits"), F.lit(0)).cast("bigint")
-                 .alias("n_hits")))
+                 F.count_distinct("gram").alias("__n_hits")))
+    # project the token array and the survivor array ONCE: the
+    # O(tokens x hits) exists-filter and the tokenization run outside
+    # whole-stage codegen where common-subexpression elimination is
+    # not guaranteed, so inlining them into every output column would
+    # multiply the heaviest per-row work
+    staged = (corpus.join(hits, "doc_id", "left")
+              .select("doc_id", "__t",
+                      F.expr(toks).alias("__toks"),
+                      "__starts", "__n_hits")
+              .withColumn("__kept", F.expr(
+                  f"filter(__toks, (t, j) -> NOT exists("
+                  f"coalesce(__starts, array()), "
+                  f"s -> j + 1 >= s AND j + 1 <= s + {n - 1}))")))
+    return staged.select(
+        "doc_id",
+        F.when(F.col("__t").isNull(), F.lit(None).cast("string"))
+         .otherwise(F.expr("concat_ws(' ', __kept)"))
+         .alias("clean_text"),
+        F.coalesce(F.expr("size(__toks) - size(__kept)"),
+                   F.lit(0)).cast("bigint").alias("n_tokens_removed"),
+        F.coalesce(F.col("__n_hits"), F.lit(0)).cast("bigint")
+         .alias("n_hits"))
 
 
 # conservative patterns valid in BOTH Java regex (Spark) and RE2

@@ -109,7 +109,8 @@ def curate(docs: DataFrame, keep_langs: list[str] | None = None,
             max_boilerplate=max_boilerplate, boilerplate_n=boilerplate_n,
             boilerplate_min_docs=boilerplate_min_docs,
             benchmark=benchmark, decontam_n=decontam_n,
-            max_nll=max_nll, scrub=scrub, gopher=gopher):
+            max_nll=max_nll, scrub=scrub, gopher=gopher,
+            normalize=normalize):
         kept = step(kept)
 
     # Second (post-gate) materialization: the surviving working set
@@ -150,7 +151,8 @@ def _scrub_expr(text_col: str = "text"):
 
 def _gate_steps(*, keep_langs, min_quality, max_repetition, min_entropy,
                 max_boilerplate, boilerplate_n, boilerplate_min_docs,
-                benchmark, decontam_n, max_nll, scrub, gopher=None):
+                benchmark, decontam_n, max_nll, scrub, gopher=None,
+                normalize=False):
     """THE gate chain, as an ordered [(stage, transform)] list --
     the single source consumed by ``curate`` (data path) and
     ``curation_funnel`` (per-stage counts), so the two can never
@@ -218,13 +220,20 @@ def _gate_steps(*, keep_langs, min_quality, max_repetition, min_entropy,
                       .drop("__nll"))
         steps.append(("unigram_nll", nll_gate))
     if benchmark is not None:
-        bench = (benchmark.withColumn("text", _scrub_expr())
-                 if scrub else benchmark)
+        # compare like with like: the corpus text was normalized
+        # and/or scrubbed, so the benchmark runs through the SAME
+        # chain in the SAME order (an eval item whose shared span
+        # contains a control char or a URL would otherwise never
+        # match the transformed corpus grams)
+        bench = benchmark
+        if normalize:
+            from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import normalize_expr
+
+            bench = bench.withColumn("text", normalize_expr("text"))
+        if scrub:
+            bench = bench.withColumn("text", _scrub_expr())
 
         def decontam(df):
-            # compare like with like: the corpus text was scrubbed,
-            # so the benchmark runs through the SAME chain (an eval
-            # item citing a URL would otherwise never match); and
             # external eval sets have unrelated id spaces, so the
             # id-collision exemption is off -- scan everything
             contaminated = decontaminate_flags(
@@ -276,7 +285,8 @@ def curation_funnel(docs: DataFrame, **curate_kwargs) -> list[tuple[str, int]]:
             boilerplate_n=a["boilerplate_n"],
             boilerplate_min_docs=a["boilerplate_min_docs"],
             benchmark=a["benchmark"], decontam_n=a["decontam_n"],
-            max_nll=a["max_nll"], scrub=a["scrub"], gopher=a["gopher"]):
+            max_nll=a["max_nll"], scrub=a["scrub"], gopher=a["gopher"],
+            normalize=a["normalize"]):
         kept = step(kept)
         if name == "__checkpoint__":
             continue

@@ -621,7 +621,8 @@ g AS (
 ),
 b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 29 = 0),
 s AS (
-  SELECT g.doc_id, list(g.i) AS starts, count(*) AS n_hits
+  SELECT g.doc_id, list(g.i) AS starts,
+         count(DISTINCT g.gram) AS n_hits
   FROM g JOIN b USING (gram)
   WHERE g.doc_id % 29 != 0
   GROUP BY g.doc_id

@@ -246,6 +246,31 @@ def test_curation_funnel_mirrors_normalize(spark):
     assert kept.count() == normed["entropy"]  # funnel == data path
 
 
+def test_curate_normalize_transforms_benchmark_like_corpus(spark):
+    """Like-with-like: under normalize=True the benchmark runs the
+    same normalization, so an eval span whose raw text differs only
+    in control chars / whitespace runs still decontaminates."""
+    # span exactly decontam_n tokens long, noise on the MIDDLE token:
+    # every benchmark 5-gram then contains the noisy token, so raw
+    # grams can never match while normalized grams always do
+    span = "the secret eval answer is"
+    corpus_doc = ("a long clean training document containing " + span
+                  + " plus plenty of other words to stay past gates")
+    noisy_bench = span.replace(" eval ", " \x07eval\x07  ")
+    docs = spark.createDataFrame([(1, corpus_doc)],
+                                 "doc_id bigint, text string")
+    bench = spark.createDataFrame([(900, noisy_bench)],
+                                  "doc_id bigint, text string")
+    dropped = curate(docs, min_quality=0.0, max_repetition=None,
+                     benchmark=bench, decontam_n=5, normalize=True,
+                     near_dup_threshold=0.5)
+    assert dropped.count() == 0  # contamination caught through the noise
+    kept = curate(docs, min_quality=0.0, max_repetition=None,
+                  benchmark=bench, decontam_n=5,
+                  near_dup_threshold=0.5)
+    assert kept.count() == 1  # raw benchmark grams never match
+
+
 def test_curation_funnel_rejects_unknown_kwargs(spark):
     import pytest as _pytest
 

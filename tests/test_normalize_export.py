@@ -183,9 +183,13 @@ def test_export_jsonl_duplicate_ids_still_deterministic(spark, tmp_path):
         export_jsonl_shards,
     )
 
-    rows = ([(7, f"version {v} of the resubmitted doc") for v in range(6)]
-            + [(i, f"doc {i}") for i in range(10)])
-    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    rows = ([(7, f"version {v} of the resubmitted doc", "s") for v in range(6)]
+            # identical (id, text) differing ONLY in another column:
+            # the serialized line is the final sort key, so even these
+            # order deterministically
+            + [(8, "same text", f"meta{v}") for v in range(4)]
+            + [(i, f"doc {i}", "s") for i in range(10)])
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
 
     def export(tag):
         out = str(tmp_path / tag)

@@ -120,6 +120,36 @@ def test_vacuum_spares_fresh_claimed_versions_and_pointer_temps(spark, tmp_path)
     assert current_version(t) == 1  # the committed table is untouched
 
 
+def test_superseded_claim_raises_conflict(spark, tmp_path, monkeypatch):
+    """A claim superseded by a higher committed version must raise
+    (observable lost write), never flip the pointer backwards."""
+    from unittest import mock
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io import versioned as V
+
+    t = str(tmp_path / "t")
+    write_version(_df(spark, [1]), t)
+    real = V.current_version
+    with mock.patch.object(V, "current_version",
+                           side_effect=lambda d: 99):
+        with pytest.raises(V.VersionConflictError):
+            V.write_version(_df(spark, [2]), t)
+    assert real(t) == 1  # pointer untouched
+    assert [r.x for r in read_current(spark, t).collect()] == [1]
+
+
+def test_vacuum_on_never_committed_table_ttl_gates_all_claims(spark, tmp_path):
+    """No _CURRENT yet: every claimed version dir belongs to a writer
+    in its claim-to-flip window -- keep_last must not reap fresh ones
+    (the writer's flip would dangle); aged ones are crashed claims."""
+    t = str(tmp_path / "t")
+    os.makedirs(os.path.join(t, "v_00000001"))
+    os.makedirs(os.path.join(t, "v_00000002"))
+    assert vacuum(t, keep_last=1, stage_ttl_seconds=3600) == []
+    assert os.path.isdir(os.path.join(t, "v_00000001"))
+    assert sorted(vacuum(t, keep_last=1, stage_ttl_seconds=0)) == [1, 2]
+
+
 def test_vacuum_never_removes_current_even_if_old(spark, tmp_path):
     """If _CURRENT points at an old version (e.g. restored manually),
     vacuum keeps it regardless of keep_last."""
