@@ -237,3 +237,14 @@ def test_decontaminate_spans_broadcasts_grams_no_gram_shuffle(spark, sf_dir):
     # reach the broadcast join without a gram shuffle
     assert plan.count("hashpartitioning(gram") == 1
     assert "hashpartitioning(doc_id" in plan
+
+
+def test_text_normalize_is_narrow_zero_shuffle(spark, sf_dir):
+    """The normalization chain is a pure map fused into the scan:
+    no Exchange of any kind in the plan."""
+    plan = plan_of(spark, sf_dir, "text_normalize_docs")
+    assert "Exchange" not in plan
+    # '*' marks whole-stage-codegen nodes in formatted explain: the
+    # whole query is one codegen'd projection over the pruned scan
+    assert "* Project" in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
