@@ -565,6 +565,60 @@ def decontaminate_spans(df: DataFrame, benchmark: DataFrame, n: int = 5,
          .alias("n_hits"))
 
 
+def contamination_report(df: DataFrame, benchmark: DataFrame, n: int = 5,
+                         id_col: str = "doc_id",
+                         text_col: str = "text",
+                         exclude_benchmark_ids: bool = True) -> DataFrame:
+    """The EVAL-side view of decontamination: for every benchmark
+    document, how many corpus docs share any of its ``n``-grams and
+    how many of its own grams are compromised -- the report an eval
+    owner reads to decide whether a benchmark is still trustworthy
+    against a corpus (the corpus-side views,
+    :func:`decontaminate_flags` / :func:`decontaminate_spans`, answer
+    the symmetric question for the trainer).
+
+    Same scale shape: benchmark grams (with their owning bench id)
+    broadcast against the exploded corpus grams, then ONE partial-agg
+    groupBy on the benchmark id -- output is benchmark-sized.
+
+    Output: (doc_id, n_grams, n_grams_hit, n_corpus_docs) -- the
+    benchmark doc's total distinct grams, how many of them occur in
+    the corpus, and how many distinct corpus docs share at least one.
+    Benchmark docs with no overlap report zeros (they stay in the
+    report -- absence of a row is not evidence of cleanliness)."""
+    bench_grams = (benchmark
+                   .select(F.col(id_col).alias("bench_id"),
+                           F.explode(F.expr(_ngrams_expr(text_col, n)))
+                            .alias("gram"))
+                   .distinct())
+    corpus = df.select(F.col(id_col).alias("corpus_id"),
+                       F.col(text_col).alias("__t"))
+    if exclude_benchmark_ids:
+        bench_ids = (benchmark.select(F.col(id_col).alias("corpus_id"))
+                     .distinct())
+        corpus = corpus.join(F.broadcast(bench_ids), "corpus_id",
+                             "left_anti")
+    # _spread standardizes its id column to doc_id; restore the
+    # corpus_id name so the two-sided aggregate below is unambiguous
+    corpus_grams = _spread(corpus, "corpus_id", "__t").select(
+        F.col("doc_id").alias("corpus_id"),
+        F.explode(F.expr(_ngrams_expr("__t", n))).alias("gram"))
+    hits = (corpus_grams.join(F.broadcast(bench_grams), "gram")
+            .groupBy("bench_id")
+            .agg(F.count_distinct("gram").alias("n_grams_hit"),
+                 F.count_distinct("corpus_id").alias("n_corpus_docs")))
+    totals = (benchmark
+              .select(F.col(id_col).alias("bench_id"),
+                      F.size(F.expr(_ngrams_expr(text_col, n)))
+                       .cast("bigint").alias("n_grams")))
+    return (totals.join(hits, "bench_id", "left")
+            .select(F.col("bench_id").alias("doc_id"), "n_grams",
+                    F.coalesce("n_grams_hit", F.lit(0)).cast("bigint")
+                     .alias("n_grams_hit"),
+                    F.coalesce("n_corpus_docs", F.lit(0)).cast("bigint")
+                     .alias("n_corpus_docs")))
+
+
 # conservative patterns valid in BOTH Java regex (Spark) and RE2
 # (DuckDB): no backreferences, no lookaround
 PII_PATTERNS: list[tuple[str, str, str]] = [

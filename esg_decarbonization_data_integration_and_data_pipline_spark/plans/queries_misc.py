@@ -658,6 +658,56 @@ def decontaminate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_spans(d, d.filter(F.col("doc_id") % 29 == 0), n=4)
 
 
+@register("contamination_report_docs", "ext:decontamination-report,J1,A4",
+          oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> t != '') AS __t
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(__t[CAST(i AS INT):CAST(i + 3 AS INT)], ' ')
+                 FOR i IN range(1, CAST(len(__t) - 2 AS BIGINT))]) AS gram
+  FROM t
+),
+h AS (
+  SELECT b.doc_id AS doc_id,
+         count(DISTINCT b.gram) AS n_grams_hit,
+         count(DISTINCT c.doc_id) AS n_corpus_docs
+  FROM g b JOIN g c ON b.gram = c.gram
+  WHERE b.doc_id % 29 = 0 AND c.doc_id % 29 != 0
+  GROUP BY b.doc_id
+),
+tot AS (
+  SELECT doc_id,
+         CAST(CASE WHEN text IS NULL THEN 0
+              ELSE greatest(len(list_filter(
+                     string_split_regex(lower(text), '\\s+'),
+                     t -> t != '')) - 3, 0) END AS BIGINT) AS n_grams
+  FROM documents WHERE doc_id % 29 = 0
+)
+SELECT tot.doc_id, tot.n_grams,
+       CAST(coalesce(h.n_grams_hit, 0) AS BIGINT) AS n_grams_hit,
+       CAST(coalesce(h.n_corpus_docs, 0) AS BIGINT) AS n_corpus_docs
+FROM tot LEFT JOIN h USING (doc_id)
+""")
+def contamination_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-side contamination report
+    (operators/text.contamination_report): per benchmark doc (every
+    29th), its total 4-gram positions, distinct compromised grams,
+    and distinct sharing corpus docs; benchmark grams broadcast, one
+    benchmark-sized aggregate."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import (
+        contamination_report,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return contamination_report(d, d.filter(F.col("doc_id") % 29 == 0),
+                                n=4)
+
+
 @register("text_scrub_pii", "ext:pii-scrub,F5,F9", oracle=r"""
 SELECT doc_id,
        regexp_replace(regexp_replace(regexp_replace(text,

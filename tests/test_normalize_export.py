@@ -106,6 +106,32 @@ def test_decontaminate_spans_surgical_removal(spark):
     assert out[4].n_tokens_removed == 0  # shorter than n: no gram
 
 
+def test_contamination_report_counts(spark):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import (
+        contamination_report,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france"),   # 6 toks -> 2 5-grams
+         (101, "nothing matches this at all ever"),
+         (102, None), (103, "too short")],
+        "doc_id bigint, text string")
+    docs = spark.createDataFrame(
+        [(1, "intro what is the capital of france outro"),
+         (2, "again what is the capital of france here"),
+         (3, "completely unrelated content in this one")],
+        "doc_id bigint, text string")
+    out = {r.doc_id: r for r in
+           contamination_report(docs, bench, n=5).collect()}
+    assert set(out) == {100, 101, 102, 103}  # zeros stay in the report
+    assert out[100].n_grams == 2
+    assert out[100].n_grams_hit == 2        # both 5-grams compromised
+    assert out[100].n_corpus_docs == 2      # docs 1 and 2 share them
+    assert out[101].n_grams == 2 and out[101].n_grams_hit == 0
+    assert out[102].n_grams == 0 and out[102].n_corpus_docs == 0
+    assert out[103].n_grams == 0
+
+
 def test_decontaminate_spans_excludes_benchmark_ids(spark):
     from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import (
         decontaminate_spans,

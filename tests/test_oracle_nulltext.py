@@ -49,7 +49,8 @@ QUERIES = ["text_repetition", "dedup_simhash64_pairs", "dedup_simhash",
            # the completeness so a future addition cannot silently
            # skip this corpus)
            "token_budget_mixture_docs", "dataset_diff_docs",
-           "text_normalize_docs", "decontaminate_spans_docs"]
+           "text_normalize_docs", "decontaminate_spans_docs",
+           "contamination_report_docs"]
 
 
 @pytest.fixture(scope="module")
