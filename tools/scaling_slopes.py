@@ -182,6 +182,11 @@ def main() -> None:
             lambda s: _budget(docs(s), s),
         "text_line_dedup":
             lambda s: _line_dedup(docs(s)),
+        # round-7: span decontamination -- benchmark fixed at the x1
+        # subset (eval sets don't grow with the corpus); the corpus
+        # gram explode + broadcast join + rebuild scale with rows
+        "decontaminate_spans":
+            lambda s: _spans(docs(s)),
         # round-7: the COMPOSED e2e (curate -> canonical train split
         # -> pack -> sharded export + manifest). Per-operator slopes
         # can hide composition pathologies (r6 found two: lineage
@@ -191,6 +196,14 @@ def main() -> None:
         "curate_and_export":
             lambda s: _curate_export(s),
     }
+
+    def _spans(d):
+        from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import (
+            decontaminate_spans,
+        )
+
+        bench = docs(1).filter("doc_id % 29 = 0")
+        return decontaminate_spans(d, bench, n=4)
 
     _export_dirs: list[str] = []
 
