@@ -476,19 +476,31 @@ def decontaminate_flags(df: DataFrame, benchmark: DataFrame, n: int = 5,
                    .select(F.explode(F.expr(_ngrams_expr(text_col, n)))
                             .alias("gram"))
                    .distinct())
-    corpus = df.select(F.col(id_col).alias("doc_id"),
-                       F.col(text_col).alias("__t"))
-    if exclude_benchmark_ids:
-        bench_ids = (benchmark.select(F.col(id_col).alias("doc_id"))
-                     .distinct())
-        corpus = corpus.join(F.broadcast(bench_ids), "doc_id",
-                             "left_anti")
+    corpus = _corpus_minus_bench(df, benchmark, id_col, text_col,
+                                 exclude_benchmark_ids, "doc_id")
     grams = _spread(corpus, "doc_id", "__t").select(
         "doc_id",
         F.explode(F.expr(_ngrams_expr("__t", n))).alias("gram"))
     return (grams.join(F.broadcast(bench_grams), "gram")
                  .groupBy("doc_id")
                  .agg(F.count_distinct("gram").alias("n_hits")))
+
+
+def _corpus_minus_bench(df: DataFrame, benchmark: DataFrame, id_col: str,
+                        text_col: str, exclude_benchmark_ids: bool,
+                        out_id: str) -> DataFrame:
+    """(out_id, __t) corpus projection shared by the three
+    decontamination operators, with the benchmark-id exemption in ONE
+    place (see :func:`decontaminate_flags` for the
+    ``exclude_benchmark_ids`` contract -- same-id-space eval splits
+    exempt, external eval sets must pass False)."""
+    corpus = df.select(F.col(id_col).alias(out_id),
+                       F.col(text_col).alias("__t"))
+    if exclude_benchmark_ids:
+        bench_ids = (benchmark.select(F.col(id_col).alias(out_id))
+                     .distinct())
+        corpus = corpus.join(F.broadcast(bench_ids), out_id, "left_anti")
+    return corpus
 
 
 def decontaminate_spans(df: DataFrame, benchmark: DataFrame, n: int = 5,
@@ -526,13 +538,8 @@ def decontaminate_spans(df: DataFrame, benchmark: DataFrame, n: int = 5,
                    .select(F.explode(F.expr(_ngrams_expr(text_col, n)))
                             .alias("gram"))
                    .distinct())
-    corpus = df.select(F.col(id_col).alias("doc_id"),
-                       F.col(text_col).alias("__t"))
-    if exclude_benchmark_ids:
-        bench_ids = (benchmark.select(F.col(id_col).alias("doc_id"))
-                     .distinct())
-        corpus = corpus.join(F.broadcast(bench_ids), "doc_id",
-                             "left_anti")
+    corpus = _corpus_minus_bench(df, benchmark, id_col, text_col,
+                                 exclude_benchmark_ids, "doc_id")
     hits = (_spread(corpus, "doc_id", "__t")
             .select("doc_id", F.explode(F.expr(idx_grams)).alias("g"))
             .select("doc_id", F.col("g.i").alias("i"), F.col("g.gram")
@@ -582,8 +589,12 @@ def contamination_report(df: DataFrame, benchmark: DataFrame, n: int = 5,
     groupBy on the benchmark id -- output is benchmark-sized.
 
     Output: (doc_id, n_grams, n_grams_hit, n_corpus_docs) -- the
-    benchmark doc's total distinct grams, how many of them occur in
-    the corpus, and how many distinct corpus docs share at least one.
+    benchmark doc's DISTINCT grams, how many of them occur in the
+    corpus, and how many distinct corpus docs share at least one.
+    Both gram columns count distinct grams, so
+    ``n_grams_hit == n_grams`` means "fully compromised" even for
+    docs with repeated grams (the distinct count genuinely needs the
+    gram strings built -- fine, the frame is benchmark-sized).
     Benchmark docs with no overlap report zeros (they stay in the
     report -- absence of a row is not evidence of cleanliness)."""
     bench_grams = (benchmark
@@ -591,13 +602,8 @@ def contamination_report(df: DataFrame, benchmark: DataFrame, n: int = 5,
                            F.explode(F.expr(_ngrams_expr(text_col, n)))
                             .alias("gram"))
                    .distinct())
-    corpus = df.select(F.col(id_col).alias("corpus_id"),
-                       F.col(text_col).alias("__t"))
-    if exclude_benchmark_ids:
-        bench_ids = (benchmark.select(F.col(id_col).alias("corpus_id"))
-                     .distinct())
-        corpus = corpus.join(F.broadcast(bench_ids), "corpus_id",
-                             "left_anti")
+    corpus = _corpus_minus_bench(df, benchmark, id_col, text_col,
+                                 exclude_benchmark_ids, "corpus_id")
     # _spread standardizes its id column to doc_id; restore the
     # corpus_id name so the two-sided aggregate below is unambiguous
     corpus_grams = _spread(corpus, "corpus_id", "__t").select(
@@ -609,7 +615,8 @@ def contamination_report(df: DataFrame, benchmark: DataFrame, n: int = 5,
                  F.count_distinct("corpus_id").alias("n_corpus_docs")))
     totals = (benchmark
               .select(F.col(id_col).alias("bench_id"),
-                      F.size(F.expr(_ngrams_expr(text_col, n)))
+                      F.size(F.array_distinct(
+                          F.expr(_ngrams_expr(text_col, n))))
                        .cast("bigint").alias("n_grams")))
     return (totals.join(hits, "bench_id", "left")
             .select(F.col("bench_id").alias("doc_id"), "n_grams",

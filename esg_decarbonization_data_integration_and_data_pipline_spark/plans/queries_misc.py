@@ -681,12 +681,13 @@ h AS (
   GROUP BY b.doc_id
 ),
 tot AS (
-  SELECT doc_id,
-         CAST(CASE WHEN text IS NULL THEN 0
-              ELSE greatest(len(list_filter(
-                     string_split_regex(lower(text), '\\s+'),
-                     t -> t != '')) - 3, 0) END AS BIGINT) AS n_grams
-  FROM documents WHERE doc_id % 29 = 0
+  -- DISTINCT grams (g is already distinct per doc), so
+  -- n_grams_hit == n_grams means fully compromised; docs too short
+  -- for any gram (or null text) fall out of g and coalesce to 0
+  SELECT d.doc_id, CAST(coalesce(gg.n, 0) AS BIGINT) AS n_grams
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 29 = 0) d
+  LEFT JOIN (SELECT doc_id, count(*) AS n FROM g
+             WHERE doc_id % 29 = 0 GROUP BY doc_id) gg USING (doc_id)
 )
 SELECT tot.doc_id, tot.n_grams,
        CAST(coalesce(h.n_grams_hit, 0) AS BIGINT) AS n_grams_hit,
@@ -696,8 +697,8 @@ FROM tot LEFT JOIN h USING (doc_id)
 def contamination_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-side contamination report
     (operators/text.contamination_report): per benchmark doc (every
-    29th), its total 4-gram positions, distinct compromised grams,
-    and distinct sharing corpus docs; benchmark grams broadcast, one
+    29th), its distinct 4-grams, distinct compromised grams, and
+    distinct sharing corpus docs; benchmark grams broadcast, one
     benchmark-sized aggregate."""
     from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import (
         contamination_report,

@@ -114,7 +114,8 @@ def test_contamination_report_counts(spark):
     bench = spark.createDataFrame(
         [(100, "what is the capital of france"),   # 6 toks -> 2 5-grams
          (101, "nothing matches this at all ever"),
-         (102, None), (103, "too short")],
+         (102, None), (103, "too short"),
+         (104, "a b a b a b a b a b")],  # 6 positions, 2 DISTINCT grams
         "doc_id bigint, text string")
     docs = spark.createDataFrame(
         [(1, "intro what is the capital of france outro"),
@@ -123,13 +124,16 @@ def test_contamination_report_counts(spark):
         "doc_id bigint, text string")
     out = {r.doc_id: r for r in
            contamination_report(docs, bench, n=5).collect()}
-    assert set(out) == {100, 101, 102, 103}  # zeros stay in the report
+    assert set(out) == {100, 101, 102, 103, 104}  # zeros stay in report
     assert out[100].n_grams == 2
     assert out[100].n_grams_hit == 2        # both 5-grams compromised
     assert out[100].n_corpus_docs == 2      # docs 1 and 2 share them
     assert out[101].n_grams == 2 and out[101].n_grams_hit == 0
     assert out[102].n_grams == 0 and out[102].n_corpus_docs == 0
     assert out[103].n_grams == 0
+    # DISTINCT semantics: repeated grams don't inflate the total, so
+    # n_grams_hit == n_grams is the "fully compromised" check
+    assert out[104].n_grams == 2
 
 
 def test_decontaminate_spans_excludes_benchmark_ids(spark):

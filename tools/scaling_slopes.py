@@ -83,7 +83,10 @@ def main() -> None:
     args = ap.parse_args()
     scales = args.scales or SCALES
 
-    generate(args.base, args.out, scales)
+    # x1 always materializes: the fixed-batch/fixed-benchmark ops
+    # (dedup_minhash_incremental's ingest batch, decontaminate_spans'
+    # eval set) read it regardless of which scales are being timed
+    generate(args.base, args.out, sorted(set(scales) | {1}))
 
     import pandas as pd
     from pyspark.sql import functions as F
