@@ -486,6 +486,45 @@ def decontaminate_flags(df: DataFrame, benchmark: DataFrame, n: int = 5,
                  .agg(F.count_distinct("gram").alias("n_hits")))
 
 
+def drop_duplicate_lines_within(df: DataFrame, id_col: str = "doc_id",
+                                text_col: str = "text",
+                                out_col: str = "clean_text") -> DataFrame:
+    """Remove repeated LINES within each document, keeping the first
+    occurrence -- the INTRA-document half of CCNet-style line dedup
+    (a scraped page repeating its nav menu / cookie banner every
+    section); the cross-document half is :func:`drop_repeated_lines`.
+    Empty lines are structure, not content, and are never deduped.
+
+    Pure JVM, zero shuffle: split on newline, keep line i iff its
+    first-occurrence index is i, rejoin.  The first-occurrence scan
+    is O(lines^2) per document -- lines per doc are bounded
+    (hundreds), not corpus-scale, so the quadratic term never meets
+    the data volume.  Null text propagates.
+
+    Output: (doc_id, ``out_col``, n_lines, n_dup_lines)."""
+    if out_col in df.columns:
+        raise ValueError(
+            f"input already has column {out_col!r}; rename it first -- "
+            f"drop_duplicate_lines_within appends it and will not "
+            f"silently overwrite caller data")
+    kept = ("filter(__lines, (x, i) -> x = '' OR "
+            "array_position(__lines, x) - 1 = i)")
+    staged = (df.select(F.col(id_col).alias("doc_id"),
+                        F.col(text_col).alias("__t"))
+              .withColumn("__lines", F.expr("split(__t, '\\\\n')"))
+              .withColumn("__kept", F.expr(kept)))
+    null_t = F.col("__t").isNull()
+    return staged.select(
+        "doc_id",
+        F.when(null_t, F.lit(None).cast("string"))
+         .otherwise(F.expr("concat_ws(chr(10), __kept)")).alias(out_col),
+        F.when(null_t, F.lit(0)).otherwise(F.size("__lines"))
+         .cast("bigint").alias("n_lines"),
+        F.when(null_t, F.lit(0))
+         .otherwise(F.size("__lines") - F.size("__kept"))
+         .cast("bigint").alias("n_dup_lines"))
+
+
 def _corpus_minus_bench(df: DataFrame, benchmark: DataFrame, id_col: str,
                         text_col: str, exclude_benchmark_ids: bool,
                         out_id: str) -> DataFrame:

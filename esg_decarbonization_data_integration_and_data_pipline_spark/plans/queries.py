@@ -793,7 +793,7 @@ _DRIVER_TAIL = [
     "bpe_tokenize_docs",
     # round-7 additions past the gate cap -- oracle-replayed in-repo
     "text_normalize_docs", "decontaminate_spans_docs",
-    "contamination_report_docs",
+    "contamination_report_docs", "text_dedup_doc_lines",
 ]
 _ORDERED = _DRIVER_HEAD + _DRIVER_TAIL
 assert set(_ORDERED) == set(REGISTRY) and len(_ORDERED) == len(REGISTRY), (

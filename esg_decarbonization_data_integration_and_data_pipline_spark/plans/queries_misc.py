@@ -709,6 +709,43 @@ def contamination_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 n=4)
 
 
+@register("text_dedup_doc_lines", "ext:line-dedup-intra,F5", oracle="""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS __l FROM documents
+),
+k AS (
+  SELECT doc_id, text, __l,
+         CASE WHEN text IS NULL THEN NULL ELSE
+           [__l[CAST(j AS INT)]
+            FOR j IN range(1, CAST(len(__l) + 1 AS BIGINT))
+            IF __l[CAST(j AS INT)] = ''
+               OR list_position(__l, __l[CAST(j AS INT)]) = j]
+         END AS kept
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN text IS NULL THEN NULL
+            ELSE coalesce(array_to_string(kept, chr(10)), '') END
+         AS clean_text,
+       CAST(CASE WHEN text IS NULL THEN 0 ELSE len(__l) END AS BIGINT)
+         AS n_lines,
+       CAST(CASE WHEN text IS NULL THEN 0
+            ELSE len(__l) - len(kept) END AS BIGINT) AS n_dup_lines
+FROM k
+""")
+def text_dedup_doc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-line removal
+    (operators/text.drop_duplicate_lines_within): keep each
+    non-empty line's first occurrence within its own doc -- pure JVM
+    array filter, zero shuffle; the cross-document half is
+    text_line_dedup."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import (
+        drop_duplicate_lines_within,
+    )
+
+    return drop_duplicate_lines_within(table(spark, sf_dir, "documents"))
+
+
 @register("text_scrub_pii", "ext:pii-scrub,F5,F9", oracle=r"""
 SELECT doc_id,
        regexp_replace(regexp_replace(regexp_replace(text,

@@ -136,6 +136,35 @@ def test_contamination_report_counts(spark):
     assert out[104].n_grams == 2
 
 
+def test_drop_duplicate_lines_within(spark):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import (
+        drop_duplicate_lines_within,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "nav menu\nreal content one\nnav menu\nreal content two\n"
+             "nav menu"),
+         (2, "a\n\nb\n\nc"),          # empty lines are structure: kept
+         (3, None),
+         (4, ""),
+         (5, "only one line")],
+        "doc_id bigint, text string")
+    out = {r.doc_id: r for r in
+           drop_duplicate_lines_within(docs).collect()}
+    assert out[1].clean_text == ("nav menu\nreal content one\n"
+                                 "real content two")
+    assert out[1].n_lines == 5 and out[1].n_dup_lines == 2
+    assert out[2].clean_text == "a\n\nb\n\nc"  # blank lines survive
+    assert out[2].n_dup_lines == 0
+    assert out[3].clean_text is None and out[3].n_lines == 0
+    assert out[4].clean_text == "" and out[4].n_lines == 1
+    assert out[5].clean_text == "only one line"
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="clean_text"):
+        drop_duplicate_lines_within(
+            docs.withColumn("clean_text", docs.text))
+
+
 def test_decontaminate_spans_excludes_benchmark_ids(spark):
     from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import (
         decontaminate_spans,

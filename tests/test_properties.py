@@ -389,3 +389,47 @@ def test_normalize_matches_reference_fuzz(spark, texts):
         want = ref_normalize(t)
         assert got[i] == want, (t, got[i], want)
         assert ref_normalize(want) == want  # idempotent
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(st.sampled_from("abcd"), min_size=0, max_size=12)
+                .map(lambda ts: " ".join(ts)),
+                min_size=1, max_size=6),
+       st.integers(min_value=2, max_value=4))
+def test_decontaminate_spans_matches_bruteforce(spark, texts, n):
+    """Property: span excision equals a brute-force Python reference
+    (gram windows, overlapping coverage, short docs) for arbitrary
+    tiny-alphabet corpora; the LAST doc plays the benchmark."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import (
+        decontaminate_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string")
+    bench_text = texts[-1]
+    bench = spark.createDataFrame([(len(texts) - 1, bench_text)],
+                                  "doc_id bigint, text string")
+
+    def grams(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    bg = grams(bench_text)
+    got = {r.doc_id: r for r in
+           decontaminate_spans(docs, bench, n=n).collect()}
+    assert set(got) == set(range(len(texts) - 1))
+    for i, t in enumerate(texts[:-1]):
+        toks = t.lower().split()
+        covered = set()
+        hit = set()
+        for s in range(len(toks) - n + 1):
+            g = " ".join(toks[s:s + n])
+            if g in bg:
+                covered.update(range(s, s + n))
+                hit.add(g)
+        kept = [tok for j, tok in enumerate(toks) if j not in covered]
+        r = got[i]
+        assert r.clean_text == " ".join(kept), (t, bench_text, r.clean_text)
+        assert r.n_tokens_removed == len(toks) - len(kept)
+        assert r.n_hits == len(hit)
