@@ -794,6 +794,7 @@ _DRIVER_TAIL = [
     # round-7 additions past the gate cap -- oracle-replayed in-repo
     "text_normalize_docs", "decontaminate_spans_docs",
     "contamination_report_docs", "text_dedup_doc_lines",
+    "corpus_token_histogram",
 ]
 _ORDERED = _DRIVER_HEAD + _DRIVER_TAIL
 assert set(_ORDERED) == set(REGISTRY) and len(_ORDERED) == len(REGISTRY), (

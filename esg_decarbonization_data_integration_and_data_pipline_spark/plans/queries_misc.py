@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from esg_decarbonization_data_integration_and_data_pipline_spark.tables import table
 from esg_decarbonization_data_integration_and_data_pipline_spark.plans.queries import register
+from esg_decarbonization_data_integration_and_data_pipline_spark.plans.queries_data import _SQL_TOKS
 
 
 @register("selfjoin_green_grey_rate", "J8,F9", oracle="""
@@ -707,6 +708,39 @@ def contamination_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return contamination_report(d, d.filter(F.col("doc_id") % 29 == 0),
                                 n=4)
+
+
+@register("corpus_token_histogram", "ext:corpus-profile,A1,F11", oracle="""
+WITH t AS (
+  SELECT CAST(len(""" + _SQL_TOKS + """) AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT CAST(least(n_tokens // 64, 31) AS BIGINT) AS bucket,
+       CAST(least(n_tokens // 64, 31) * 64 AS BIGINT) AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens
+FROM t GROUP BY 1, 2
+""")
+def corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram of the corpus (64-token buckets, top
+    bucket open-ended) -- the distribution a seq_len / packing-shard
+    decision reads.  Integer-exact bucketing on both engines; one
+    narrow token count + one partial-agg shuffle on <= 32 groups."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import tokens
+
+    n = F.size(tokens("text")).cast("bigint")
+    bucket = F.least(F.floor(n / 64), F.lit(31)).cast("bigint")
+    return (d.select(n.alias("n_tokens"), bucket.alias("bucket"))
+             .groupBy("bucket")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                  F.sum("n_tokens").alias("total_tokens"),
+                  F.min("n_tokens").alias("min_tokens"),
+                  F.max("n_tokens").alias("max_tokens"))
+             .withColumn("bucket_lo",
+                         (F.col("bucket") * 64).cast("bigint")))
 
 
 @register("text_dedup_doc_lines", "ext:line-dedup-intra,F5", oracle="""

@@ -50,7 +50,8 @@ QUERIES = ["text_repetition", "dedup_simhash64_pairs", "dedup_simhash",
            # skip this corpus)
            "token_budget_mixture_docs", "dataset_diff_docs",
            "text_normalize_docs", "decontaminate_spans_docs",
-           "contamination_report_docs", "text_dedup_doc_lines"]
+           "contamination_report_docs", "text_dedup_doc_lines",
+           "corpus_token_histogram"]
 
 
 @pytest.fixture(scope="module")

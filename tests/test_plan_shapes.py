@@ -248,3 +248,8 @@ def test_text_normalize_is_narrow_zero_shuffle(spark, sf_dir):
     # whole query is one codegen'd projection over the pruned scan
     assert "* Project" in plan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_doc_line_dedup_is_narrow_zero_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "text_dedup_doc_lines")
+    assert "Exchange" not in plan
