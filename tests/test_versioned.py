@@ -162,3 +162,40 @@ def test_vacuum_never_removes_current_even_if_old(spark, tmp_path):
     removed = vacuum(t, keep_last=1, stage_ttl_seconds=0)
     assert 1 not in removed
     assert [r.x for r in read_current(spark, t).collect()] == [0]
+
+
+def test_concurrent_writers_stress(spark, tmp_path):
+    """4 threads x 3 writes against one table through the real lock +
+    claim-retry path: every outcome must be either a committed
+    distinct version or an explicit VersionConflictError; the final
+    pointer resolves to a readable dir holding exactly one writer's
+    payload, and no staging/lock/pointer-temp litter survives."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        VersionConflictError,
+    )
+
+    t = str(tmp_path / "t")
+    results, conflicts = [], []
+
+    def writer(tag):
+        for k in range(3):
+            try:
+                results.append(write_version(_df(spark, [tag * 100 + k]), t))
+            except VersionConflictError:
+                conflicts.append(tag)
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(writer, range(4)))
+
+    assert len(results) == len(set(results))  # claimed versions unique
+    assert len(results) + len(conflicts) == 12
+    cur = current_version(t)
+    assert cur in results  # pointer resolves to a committed claim
+    rows = [r.x for r in read_current(spark, t).collect()]
+    assert len(rows) == 1 and 0 <= rows[0] < 400
+    leftovers = [e for e in os.listdir(t)
+                 if e.startswith(".stage-") or e.startswith("._CURRENT.tmp")
+                 or e == "._CURRENT.lock"]
+    assert leftovers == []
