@@ -495,11 +495,14 @@ def drop_duplicate_lines_within(df: DataFrame, id_col: str = "doc_id",
     section); the cross-document half is :func:`drop_repeated_lines`.
     Empty lines are structure, not content, and are never deduped.
 
-    Pure JVM, zero shuffle: split on newline, keep line i iff its
-    first-occurrence index is i, rejoin.  The first-occurrence scan
-    is O(lines^2) per document -- lines per doc are bounded
-    (hundreds), not corpus-scale, so the quadratic term never meets
-    the data volume.  Null text propagates.
+    Pure JVM, zero shuffle, and O(lines) per document: empty lines
+    are tagged unique with a newline-prefixed index sentinel (a real
+    line can never contain the split character), ``array_distinct``
+    keeps each remaining line's FIRST occurrence in order via its
+    internal hash set, and the tags map back to empties.  A naive
+    first-occurrence-index filter would be O(lines^2) in a non-
+    codegen HOF -- a single 50k-line scraped log would stall one
+    task for minutes.  Null text propagates.
 
     Output: (doc_id, ``out_col``, n_lines, n_dup_lines)."""
     if out_col in df.columns:
@@ -507,8 +510,10 @@ def drop_duplicate_lines_within(df: DataFrame, id_col: str = "doc_id",
             f"input already has column {out_col!r}; rename it first -- "
             f"drop_duplicate_lines_within appends it and will not "
             f"silently overwrite caller data")
-    kept = ("filter(__lines, (x, i) -> x = '' OR "
-            "array_position(__lines, x) - 1 = i)")
+    tagged = ("transform(__lines, (x, i) -> CASE WHEN x = '' "
+              "THEN concat(chr(10), cast(i AS string)) ELSE x END)")
+    kept = (f"transform(array_distinct({tagged}), "
+            f"x -> CASE WHEN startswith(x, chr(10)) THEN '' ELSE x END)")
     staged = (df.select(F.col(id_col).alias("doc_id"),
                         F.col(text_col).alias("__t"))
               .withColumn("__lines", F.expr("split(__t, '\\\\n')"))

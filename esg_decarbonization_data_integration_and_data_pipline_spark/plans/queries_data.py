@@ -25,7 +25,10 @@ from esg_decarbonization_data_integration_and_data_pipline_spark.operators.multi
 
 # shared SQL fragments for the oracles ------------------------------------
 
-_SQL_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
+# public: the DuckDB twin of operators/text.tokens, shared with
+# queries_misc's oracles
+SQL_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
+_SQL_TOKS = SQL_TOKS
 _SQL_POWERS = "[1,17,289,4913,83521,1419857,24137569,410338673]"
 
 

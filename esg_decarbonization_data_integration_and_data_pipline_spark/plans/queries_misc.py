@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from esg_decarbonization_data_integration_and_data_pipline_spark.tables import table
 from esg_decarbonization_data_integration_and_data_pipline_spark.plans.queries import register
-from esg_decarbonization_data_integration_and_data_pipline_spark.plans.queries_data import _SQL_TOKS
+from esg_decarbonization_data_integration_and_data_pipline_spark.plans.queries_data import SQL_TOKS as _SQL_TOKS
 
 
 @register("selfjoin_green_grey_rate", "J8,F9", oracle="""

@@ -159,8 +159,7 @@ def test_drop_duplicate_lines_within(spark):
     assert out[3].clean_text is None and out[3].n_lines == 0
     assert out[4].clean_text == "" and out[4].n_lines == 1
     assert out[5].clean_text == "only one line"
-    import pytest as _pytest
-    with _pytest.raises(ValueError, match="clean_text"):
+    with pytest.raises(ValueError, match="clean_text"):
         drop_duplicate_lines_within(
             docs.withColumn("clean_text", docs.text))
 
