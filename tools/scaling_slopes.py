@@ -185,6 +185,10 @@ def main() -> None:
             lambda s: _budget(docs(s), s),
         "text_line_dedup":
             lambda s: _line_dedup(docs(s)),
+        # round-7: intra-doc line dedup -- pure narrow map, the slope
+        # should track the scan
+        "text_dedup_doc_lines":
+            lambda s: _doc_lines(docs(s)),
         # round-7: span decontamination -- benchmark fixed at the x1
         # subset (eval sets don't grow with the corpus); the corpus
         # gram explode + broadcast join + rebuild scale with rows
@@ -199,6 +203,13 @@ def main() -> None:
         "curate_and_export":
             lambda s: _curate_export(s),
     }
+
+    def _doc_lines(d):
+        from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import (
+            drop_duplicate_lines_within,
+        )
+
+        return drop_duplicate_lines_within(d)
 
     def _spans(d):
         from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import (
