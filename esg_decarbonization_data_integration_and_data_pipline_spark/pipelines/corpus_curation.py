@@ -302,6 +302,7 @@ def curation_funnel(docs: DataFrame, **curate_kwargs) -> list[tuple[str, int]]:
 def incremental_curate(old_snapshot: DataFrame, new_snapshot: DataFrame,
                        corpus_path: str, index_path: str, *,
                        gopher: dict | None = None, scrub: bool = True,
+                       normalize: bool = False,
                        threshold: float = 0.5, id_col: str = "doc_id",
                        text_col: str = "text") -> dict:
     """Snapshot-diff driven recompute: instead of re-curating 100 TB
@@ -312,10 +313,12 @@ def incremental_curate(old_snapshot: DataFrame, new_snapshot: DataFrame,
        and the signature index (one keyed rewrite each -- a changed
        doc's stale signature would otherwise keep matching future
        batches against text that no longer exists).
-    3. ADDED and CHANGED docs run the stateless gates (scrub +
-       gopher -- the same split as ``streaming/docs_gate``: the
-       corpus-statistics gates need the full corpus and belong to
-       periodic full passes).
+    3. ADDED and CHANGED docs run the stateless gates (normalize +
+       scrub + gopher -- the same split as ``streaming/docs_gate``:
+       the corpus-statistics gates need the full corpus and belong
+       to periodic full passes).  ``normalize`` MUST match the full
+       pass's setting: signatures computed on raw text never match a
+       corpus whose signatures were built on normalized text.
     4. Survivors dedup against the index AND within the batch
        (``incremental_pairs_from_base``: O(batch + candidate-term),
        historical text never rescanned); known dups drop, in-batch
@@ -376,6 +379,10 @@ def incremental_curate(old_snapshot: DataFrame, new_snapshot: DataFrame,
     # no broadcast hint: at bootstrap (empty old snapshot) todo_ids is
     # corpus-sized; AQE broadcasts the small case by itself
     batch = new_snapshot.join(todo_ids, id_col, "left_semi")
+    if normalize:
+        from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import normalize_expr
+
+        batch = batch.withColumn(text_col, normalize_expr(text_col))
     if scrub:
         batch = batch.withColumn(text_col, _scrub_expr(text_col))
     if gopher is not None:

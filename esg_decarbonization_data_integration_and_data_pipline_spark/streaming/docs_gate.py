@@ -33,13 +33,16 @@ from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.corpu
 
 def stream_gate_ingest(sdf: DataFrame, corpus_path: str, checkpoint: str,
                        gopher: dict | None = None, scrub: bool = True,
+                       normalize: bool = False,
                        id_col: str = "doc_id", text_col: str = "text",
                        query_name: str = "docs_gate_ingest"):
     """documents stream -> gated corpus + reject audit table.
 
-    Per micro-batch: (1) in-place PII scrub (the same regexp chain
-    the batch pipeline applies, so stream- and batch-ingested docs
-    hash/dedup identically later); (2) :func:`gopher_rules` with
+    Per micro-batch: (1) optional in-place normalization then PII
+    scrub (the same expr chains the batch pipeline applies, in the
+    same order, so stream- and batch-ingested docs hash/dedup
+    identically later -- ``normalize`` must match the batch pass's
+    setting); (2) :func:`gopher_rules` with
     ``gopher`` kwargs (``{}`` = published defaults; None disables and
     only the scrub runs); (3) passing docs merge into ``corpus_path``
     (idempotent keyed merge), failing docs append to
@@ -53,6 +56,10 @@ def stream_gate_ingest(sdf: DataFrame, corpus_path: str, checkpoint: str,
         if batch_df.isEmpty():
             return
         batch = batch_df
+        if normalize:
+            from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import normalize_expr
+
+            batch = batch.withColumn(text_col, normalize_expr(text_col))
         if scrub:
             batch = batch.withColumn(text_col, _scrub_expr(text_col))
         if gopher is None:

@@ -82,3 +82,34 @@ def test_incremental_noop_when_nothing_changed(spark, tmp_path):
     assert r["reprocessed"] == 0 and r["merged"] == 0
     assert r["unchanged"] == 3
     assert spark.read.parquet(corpus).count() == 3
+
+
+def test_incremental_normalize_matches_full_pass_signatures(spark, tmp_path):
+    """normalize=True must be load-bearing for dedup: a variant whose
+    TOKENS are polluted with control characters (so raw shingles
+    share almost nothing with the clean doc) normalizes back to the
+    original and dedups against the corpus; without normalization the
+    same variant merges as a 'new' doc."""
+    base = GOOD_A
+    # pollute every other word from the inside: raw tokens differ,
+    # normalized tokens are identical
+    variant = " ".join(w[0] + "\x07" + w[1:] if i % 2 else w
+                       for i, w in enumerate(base.split()))
+
+    def run(tag, normalize):
+        corpus = str(tmp_path / f"corpus_{tag}")
+        index = str(tmp_path / f"index_{tag}")
+        v1 = _mk(spark, [(1, base)])
+        seed_index(spark, index)
+        r1 = incremental_curate(_mk(spark, []), v1, corpus, index,
+                                normalize=normalize)
+        assert r1["merged"] == 1
+        v2 = _mk(spark, [(1, base), (9, variant)])
+        return incremental_curate(v1, v2, corpus, index,
+                                  normalize=normalize, threshold=0.5)
+
+    normed = run("on", True)
+    assert normed["added"] == 1 and normed["dup_dropped"] == 1
+    assert normed["merged"] == 0   # recognized as a dup of doc 1
+    raw = run("off", False)
+    assert raw["dup_dropped"] == 0 and raw["merged"] == 1  # missed
