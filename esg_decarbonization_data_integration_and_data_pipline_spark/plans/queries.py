@@ -687,32 +687,36 @@ _DRIVER_HEAD = [
     "pricing_summary", "global_total_share", "rollup_region_nation",
     "ytm_running_sum",
     "latest_order_per_customer", "share_of_nation_acctbal",
-    "brand_revenue", "interval_size_bands", "asof_latest_order_at_event",
+    "interval_size_bands", "asof_latest_order_at_event",
     "lapsed_customer_keys", "customers_with_open_orders",
     "coalescing_nation_balance", "multi_key_order_lines",
     "union_balance_sources", "pivot_priority_counts",
-    "unpivot_lineitem_measures", "case_when_size_class",
-    "recode_region_names", "monthly_order_calendar", "quarterly_shipments",
+    "unpivot_lineitem_measures",
+    "recode_region_names", "monthly_order_calendar",
     "string_slice_like", "fill_missing_part_revenue",
-    "pow_floor_round_pricing", "selfjoin_green_grey_rate",
+    "selfjoin_green_grey_rate",
     "text_fingerprint", "text_quality", "tfidf_top_terms",
     "dedup_exact", "dedup_minhash_verified",
     "ann_multitable_pairs",
     "similarity_ivf_topk", "multimodal_features",
     "quantile_acctbal", "cagr_nation_revenue", "irr_by_brand",
-    "events_sliding_agg", "events_sessionize", "events_json_roundtrip",
+    "events_sessionize", "events_json_roundtrip",
     "top_revenue_order", "concat_format_timestamps",
     "greedy_allocation", "dedup_clusters",
-    # round-6 rotations INTO the head: the four r5 text operators,
-    # never driver-graded before (in-repo oracle-green since r5)
-    "text_scrub_pii", "text_char_entropy",
-    "text_boilerplate_ngrams", "decontaminate_ngrams",
-    # round-7 rotations INTO the head: the four highest-value r6
-    # additions, never driver-graded before (in-repo oracle-green
-    # since r6). Each rotated-out query was driver-green >= 2 rounds
-    # and leaves a head family representative -- see _DRIVER_TAIL.
+    # round-7 rotations INTO the head (head-graded r7, kept for a
+    # second graded round per the >= 2-rounds-before-rotation rule)
     "dedup_minhash_incremental", "token_budget_docs",
     "semdedup_embeddings", "pack_sequences_docs",
+    # round-8 rotations INTO the head: the nine highest-priority
+    # never-driver-graded registry entries (r7 verdict tasks #1-#2;
+    # burn-down ledger in tools/grading_ledger.py). Each rotated-out
+    # query was driver-green >= 2 rounds and leaves a head family
+    # representative -- see _DRIVER_TAIL.
+    "text_normalize_docs", "decontaminate_spans_docs",
+    "contamination_report_docs", "text_dedup_doc_lines",
+    "corpus_token_histogram", "quality_gopher_rules",
+    "mixture_temperature_docs", "token_budget_mixture_docs",
+    "dataset_diff_docs",
 ]
 _DRIVER_TAIL = [
     # approx_sketches is rows-only by design (no exact SQL oracle for
@@ -763,6 +767,39 @@ _DRIVER_TAIL = [
     #       cut; W2 window-rank stays via latest_order_per_customer)
     "dedup_simhash64_pairs", "similarity_lsh_buckets",
     "dedup_embedding_pairs", "stratified_sample_docs",
+    # round-8 rotations INTO the head (each driver-green >= 2 rounds,
+    # each family keeps a head representative):
+    #   brand_revenue (r1-r7)      -> contamination_report_docs (J1
+    #       broadcast left-enrich stays via fill_missing_part_revenue
+    #       and the report's broadcast bench-gram join)
+    #   case_when_size_class (r1-r7) -> quality_gopher_rules (P6
+    #       nested CASE WHEN is the Gopher gate's whole body)
+    #   quarterly_shipments (r1-r7)  -> corpus_token_histogram (F2
+    #       date-part bucketing stays via ytm_running_sum /
+    #       monthly_order_calendar; F4 quarter math stays pinned by
+    #       pipelines/rec_quarters pytest + in-repo oracle replay)
+    #   pow_floor_round_pricing (r1-r7) -> corpus_token_histogram
+    #       (F11 floor/round-lot bucketing is the histogram's bin
+    #       edge; F10 power stays via cagr_nation_revenue)
+    #   events_sliding_agg (r1-r7)   -> dataset_diff_docs (windowed
+    #       time aggregation stays via events_sessionize +
+    #       events_tumbling_agg's r1-r5 green history; F8 timestamp
+    #       parse stays via concat_format_timestamps)
+    #   text_scrub_pii (r6-r7)       -> text_normalize_docs (the
+    #       narrow regexp_replace chain family, strict superset)
+    #   text_char_entropy (r6-r7)    -> text_dedup_doc_lines (narrow
+    #       Arrow text scoring stays via text_quality/text_fingerprint)
+    #   text_boilerplate_ngrams (r6-r7) -> mixture_temperature_docs
+    #       (gram-shuffle family stays via tfidf_top_terms; A4
+    #       DISTINCT stays via dedup_exact)
+    #   decontaminate_ngrams (r6-r7) -> decontaminate_spans_docs
+    #       (same broadcast-bench-grams family, span excision is the
+    #       strict superset; J10 semi-join stays via
+    #       customers_with_open_orders)
+    "brand_revenue", "case_when_size_class", "quarterly_shipments",
+    "pow_floor_round_pricing", "events_sliding_agg",
+    "text_scrub_pii", "text_char_entropy",
+    "text_boilerplate_ngrams", "decontaminate_ngrams",
     "text_repetition",
     "latest_status_version", "distinct_projection", "dedup_simhash",
     "dedup_jaccard_pairs", "cube_status_priority", "count_distinct_parts",
@@ -782,19 +819,16 @@ _DRIVER_TAIL = [
     "text_boilerplate_share", "semdedup_embeddings_ivf",
     "similarity_sq_topk", "dedup_chunk_overlap",
     # round-6 late additions (sequence packing / export tier, data
-    # mixing, Gopher rule gate) -- oracle-replayed in-repo
-    "mixture_temperature_docs",
-    "quality_gopher_rules", "text_line_dedup",
-    "dataset_diff_docs", "quality_top_fraction",
+    # mixing, Gopher rule gate) -- oracle-replayed in-repo.
+    # (mixture_temperature_docs, quality_gopher_rules,
+    # dataset_diff_docs, token_budget_mixture_docs and the five r7
+    # additions rotated into the head in round 8.)
+    "text_line_dedup",
+    "quality_top_fraction",
     "corpus_profile_by_source", "decontaminate_embeddings_docs",
-    "token_budget_mixture_docs",
     # rows-only by nature (iterative training loop; exactness pinned
     # against a pure-Python reference in tests/test_bpe.py)
     "bpe_tokenize_docs",
-    # round-7 additions past the gate cap -- oracle-replayed in-repo
-    "text_normalize_docs", "decontaminate_spans_docs",
-    "contamination_report_docs", "text_dedup_doc_lines",
-    "corpus_token_histogram",
 ]
 _ORDERED = _DRIVER_HEAD + _DRIVER_TAIL
 assert set(_ORDERED) == set(REGISTRY) and len(_ORDERED) == len(REGISTRY), (
