@@ -25,8 +25,13 @@ module is the other protocol, the one every modern table format
 On an object store the data-dir writes work as-is (immutable puts);
 the pointer flip is the one primitive to swap -- a conditional put /
 put-if-match on the manifest key (S3 now supports this natively), or
-a real table format.  The point of this module is that the COMMIT
-SURFACE is one tiny file, not a prefix rename.
+a real table format.  That seam is now explicit: the flip runs
+through a pluggable :class:`CommitBackend` whose single method is
+exactly the conditional put, with :class:`PosixCommitBackend`
+(TTL-stealable lock + ``os.replace``) as the local default --
+subclass it with a put-if-match call and the protocol is
+object-store-safe unchanged.  The point of this module is that the
+COMMIT SURFACE is one tiny file, not a prefix rename.
 
 Concurrent writers are serialized optimistically: both stage, the
 first `os.rename` to claim a version number wins, the loser retries
@@ -62,6 +67,66 @@ class VersionConflictError(RuntimeError):
     before its pointer flip; the write is not visible."""
 
 
+class CommitBackend:
+    """The pluggable commit primitive: a conditional put on the
+    ``_CURRENT`` pointer.
+
+    ``try_commit(table_dir, pointer, expected)`` must atomically write
+    ``pointer`` as the table's pointer IF AND ONLY IF the pointer's
+    current content equals ``expected`` (``None`` = pointer must not
+    exist yet), returning False on precondition failure.  That single
+    primitive is exactly S3 put-if-match / GCS generation-match /
+    Azure ETag -- so pointing a subclass at an object store makes the
+    whole protocol object-store-safe without touching the staging or
+    claim steps (immutable puts work everywhere).  The default
+    :class:`PosixCommitBackend` realizes the conditional with a
+    TTL-stealable lock file plus ``os.replace``."""
+
+    def read_pointer(self, table_dir: str) -> bytes | None:
+        """Current raw pointer content, or None if never committed."""
+        raise NotImplementedError
+
+    def try_commit(self, table_dir: str, pointer: bytes,
+                   expected: bytes | None) -> bool:
+        """Conditionally replace the pointer; True iff committed."""
+        raise NotImplementedError
+
+
+class PosixCommitBackend(CommitBackend):
+    """Default backend for POSIX filesystems: the conditional put is a
+    check-then-``os.replace`` made atomic by the ``._CURRENT.lock``
+    critical section (local FS has no native compare-and-swap)."""
+
+    def read_pointer(self, table_dir: str) -> bytes | None:
+        try:
+            with open(os.path.join(table_dir, _CURRENT), "rb") as fh:
+                return fh.read()
+        except FileNotFoundError:
+            return None
+
+    def try_commit(self, table_dir: str, pointer: bytes,
+                   expected: bytes | None) -> bool:
+        with _flip_lock(table_dir):
+            if self.read_pointer(table_dir) != expected:
+                return False
+            tmp = os.path.join(
+                table_dir, f".{_CURRENT}.tmp.{os.getpid()}")
+            with open(tmp, "wb") as fh:
+                fh.write(pointer)
+            os.replace(tmp, os.path.join(table_dir, _CURRENT))
+            return True
+
+
+_DEFAULT_BACKEND = PosixCommitBackend()
+
+
+def _parse_pointer(raw: bytes | None) -> int | None:
+    if raw is None:
+        return None
+    m = _V_RE.match(raw.decode("utf-8", "replace").strip())
+    return int(m.group(1)) if m else None
+
+
 class _flip_lock:
     """O_EXCL lock file serializing the check-then-flip critical
     section (the only non-idempotent step).  Crash-safe: a holder
@@ -88,16 +153,54 @@ class _flip_lock:
                 except OSError:
                     continue  # holder just released; retry immediately
                 if age >= _FLIP_LOCK_TTL:
-                    try:  # steal a crashed holder's lock
-                        os.remove(self.path)
-                    except OSError:
-                        pass
+                    self._steal()
                     continue
                 if time.time() >= deadline:
                     raise TimeoutError(
                         f"could not acquire {self.path} within "
                         f"{2 * _FLIP_LOCK_TTL:.0f}s")
                 time.sleep(0.05)
+
+    def _steal(self) -> None:
+        """Remove a crashed holder's stale lock -- atomically.
+
+        A bare check-then-remove is racy: between the getmtime check
+        and the remove, the stale lock can be stolen by a COMPETING
+        stealer which then acquires, and our remove would delete the
+        competitor's FRESH lock -- two writers inside the critical
+        section at once (the r7 advisor catch).  Renaming the lock to
+        a process-unique name first makes the steal atomic: os.rename
+        moves whatever is at the path exactly once, so of N stealers
+        exactly one succeeds and the rest fall back to re-acquisition.
+        The mtime is then RE-verified on the renamed file (frozen --
+        no other process touches the unique name): if the yanked lock
+        turns out to be fresh (its holder replaced the stale one
+        inside our check-to-rename window), it is restored with
+        os.link, which -- unlike rename -- refuses to clobber a lock a
+        third writer may have created at the path meanwhile."""
+        import time
+        import uuid
+
+        yanked = f"{self.path}.steal.{os.getpid()}.{uuid.uuid4().hex}"
+        try:
+            os.rename(self.path, yanked)  # atomic: one stealer wins
+        except OSError:
+            return  # lost the steal race (or holder released); re-acquire
+        try:
+            fresh = time.time() - os.path.getmtime(yanked) < _FLIP_LOCK_TTL
+        except OSError:
+            return
+        if not fresh:
+            os.remove(yanked)  # genuinely a crashed holder's lock
+            return
+        # We yanked a LIVE lock (stale holder vanished and a new writer
+        # acquired between our age check and our rename).  Put it back.
+        try:
+            os.link(yanked, self.path)  # EEXIST-safe restore
+        except OSError:
+            pass  # a third writer already re-created the lock; its
+            #       release removes the path either way
+        os.remove(yanked)
 
     def __exit__(self, *exc):
         try:
@@ -118,22 +221,19 @@ def _versions(table_dir: str) -> list[int]:
     return sorted(out)
 
 
-def current_version(table_dir: str) -> int | None:
+def current_version(table_dir: str,
+                    backend: CommitBackend | None = None) -> int | None:
     """The committed version number, or None for a table that has
     never committed (missing/empty pointer; orphan ``v_*`` dirs from
     crashed writers do NOT count -- only the pointer commits)."""
-    try:
-        with open(os.path.join(table_dir, _CURRENT)) as fh:
-            name = fh.read().strip()
-    except FileNotFoundError:
-        return None
-    m = _V_RE.match(name)
-    return int(m.group(1)) if m else None
+    return _parse_pointer((backend or _DEFAULT_BACKEND)
+                          .read_pointer(table_dir))
 
 
 def write_version(df: DataFrame, table_dir: str,
                   partition_by: Sequence[str] = (),
-                  max_attempts: int = 20) -> int:
+                  max_attempts: int = 20,
+                  backend: CommitBackend | None = None) -> int:
     """Write ``df`` as the table's next immutable version and commit
     it; returns the committed version number.  If a competitor
     commits a HIGHER version between our claim and our pointer flip,
@@ -149,9 +249,14 @@ def write_version(df: DataFrame, table_dir: str,
     rename at N+1 -- the staged data is NOT rewritten), and the
     ``_CURRENT`` pointer flips via ``os.replace`` -- the single
     atomic operation in the protocol.  Readers concurrently holding
-    the previous version keep reading its immutable dir."""
+    the previous version keep reading its immutable dir.
+
+    ``backend`` selects the commit primitive (default: POSIX lock +
+    ``os.replace``); see :class:`CommitBackend` for the object-store
+    conditional-put contract."""
     import uuid
 
+    backend = backend or _DEFAULT_BACKEND
     os.makedirs(table_dir, exist_ok=True)
     staged = os.path.join(
         table_dir, f"{_STAGE_PREFIX}{os.getpid()}-{uuid.uuid4().hex}")
@@ -173,15 +278,20 @@ def write_version(df: DataFrame, table_dir: str,
                     raise
                 n += 1
                 continue
-            # monotonic pointer, made ATOMIC by the flip lock: a bare
-            # check-then-replace would let a slower lower-numbered
-            # writer flip the pointer backwards over a committed
-            # higher version (which vacuum could then mistake for an
-            # uncommitted orphan).  Under the lock, check + flip are
-            # one critical section; a superseded claim raises instead
-            # of silently returning, so lost writes are observable.
-            with _flip_lock(table_dir):
-                cur = current_version(table_dir)
+            # monotonic pointer via optimistic conditional put: read
+            # the pointer, reject if a HIGHER version already
+            # committed (a bare blind write would flip the pointer
+            # backwards over it, which vacuum could then mistake for
+            # an uncommitted orphan), and commit iff the pointer is
+            # still what we read.  A precondition failure means a
+            # competitor committed inside our read-to-commit window --
+            # re-read and re-judge; the loop terminates because each
+            # failure implies someone ELSE committed (system-wide
+            # progress), and versions only grow toward either our
+            # commit or our supersession.
+            while True:
+                raw = backend.read_pointer(table_dir)
+                cur = _parse_pointer(raw)
                 if cur is not None and cur > n:
                     raise VersionConflictError(
                         f"version v_{n:08d} of {table_dir} was "
@@ -189,13 +299,10 @@ def write_version(df: DataFrame, table_dir: str,
                         f"the write is NOT visible (dir kept until "
                         f"vacuum) -- re-run it, or route one writer "
                         f"per table for merge semantics")
-                tmp = os.path.join(table_dir,
-                                   f".{_CURRENT}.tmp.{n}.{os.getpid()}")
-                with open(tmp, "w") as fh:
-                    fh.write(f"v_{n:08d}\n")
-                os.replace(tmp,
-                           os.path.join(table_dir, _CURRENT))  # THE commit
-            return n
+                if backend.try_commit(table_dir,
+                                      f"v_{n:08d}\n".encode("ascii"),
+                                      raw):  # THE commit
+                    return n
         raise RuntimeError(
             f"could not claim a version under {table_dir} after "
             f"{max_attempts} attempts")
@@ -203,10 +310,11 @@ def write_version(df: DataFrame, table_dir: str,
         shutil.rmtree(staged, ignore_errors=True)
 
 
-def read_current(spark: SparkSession, table_dir: str) -> DataFrame:
+def read_current(spark: SparkSession, table_dir: str,
+                 backend: CommitBackend | None = None) -> DataFrame:
     """Resolve ``_CURRENT`` and read that version -- the only reader
     entry point; never lists or touches version dirs directly."""
-    n = current_version(table_dir)
+    n = current_version(table_dir, backend=backend)
     if n is None:
         raise FileNotFoundError(
             f"{table_dir} has no committed version (_CURRENT missing)")
@@ -214,7 +322,8 @@ def read_current(spark: SparkSession, table_dir: str) -> DataFrame:
 
 
 def vacuum(table_dir: str, keep_last: int = 2,
-           stage_ttl_seconds: float = 6 * 3600) -> list[int]:
+           stage_ttl_seconds: float = 6 * 3600,
+           backend: CommitBackend | None = None) -> list[int]:
     """Remove crash leftovers (aged ``.stage-*`` dirs, orphan claimed
     versions) and versions older than the ``keep_last`` most recent;
     NEVER the current version.  Returns the removed version numbers.
@@ -232,7 +341,7 @@ def vacuum(table_dir: str, keep_last: int = 2,
 
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1: {keep_last}")
-    cur = current_version(table_dir)
+    cur = current_version(table_dir, backend=backend)
     removed: list[int] = []
     if not os.path.isdir(table_dir):
         return removed

@@ -163,11 +163,13 @@ def test_delete_keys(spark, tmp_path):
 
 def test_swap_crash_between_renames_is_recoverable(spark, tmp_path):
     """Simulated crash AFTER path->retired but BEFORE tmp->path: the
-    table dir is missing and .__retired__ holds the only copy.  Every
-    entry point (read_table, replace_keys, delete_keys) must heal by
+    table dir is missing and .__retired__ holds the only copy.  The
+    WRITER entry points (replace_keys, delete_keys) must heal by
     rolling back -- before the heal step a rerun of replace_keys saw
     "no table" and overwrote with the batch alone, silently dropping
-    every pre-existing row."""
+    every pre-existing row.  read_table deliberately does NOT heal
+    (reads must never mutate -- a reader healing mid-swap would break
+    a live writer's rename pair; see the io/writers.py comment)."""
     path = str(tmp_path / "t")
     spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string") \
          .write.parquet(path)
