@@ -143,6 +143,14 @@ def _train_bpe_driver(word_counts: list[tuple[str, int]], n_merges: int,
 # overflow loop takes over.
 DRIVER_VOCAB_MAX_BYTES = 128 << 20
 
+# ceiling on n_merges for the AUTO-selected distributed overflow loop:
+# each merge is a sequential Spark job (~1 s scheduler floor), so a
+# real vocab (30-50k merges) through it is DAYS of wall time no
+# cluster size can buy back.  Auto refuses loudly past this instead
+# of silently degrading (r7 verdict task #3); an explicit
+# strategy='distributed' remains an informed opt-in at any n_merges.
+AUTO_DISTRIBUTED_MERGES_MAX = 64
+
 
 def train_bpe(df: DataFrame, n_merges: int, text_col: str = "text",
               min_pair_count: int = 2, strategy: str = "auto",
@@ -158,7 +166,11 @@ def train_bpe(df: DataFrame, n_merges: int, text_col: str = "text",
     scale-correct default shape -- zero Spark jobs per merge);
     ``"distributed"`` forces the one-job-per-merge overflow loop;
     ``"auto"`` picks driver when the table's measured raw size fits
-    ``driver_max_bytes``.  Both paths produce identical merges."""
+    ``driver_max_bytes``, and RAISES with guidance when it does not
+    fit AND ``n_merges`` exceeds ``AUTO_DISTRIBUTED_MERGES_MAX`` --
+    silently falling through to tens of thousands of sequential
+    Spark jobs would be a days-long degradation no caller chose.
+    Both paths produce identical merges."""
     from pyspark.sql.functions import pandas_udf
 
     if n_merges <= 0:
@@ -166,13 +178,17 @@ def train_bpe(df: DataFrame, n_merges: int, text_col: str = "text",
     if strategy not in ("auto", "driver", "distributed"):
         raise ValueError(f"unknown strategy: {strategy!r}")
     # ONE corpus-wide scan; everything after runs on the vocab-sized
-    # (word, count) table.  cache(), NOT localCheckpoint: the frame
+    # (word, count) table.  Single-symbol words can never host an
+    # adjacent pair nor be changed by a merge, so they are pruned
+    # before sizing/collecting -- identical merges, smaller working
+    # set on both paths.  cache(), NOT localCheckpoint: the frame
     # is one aggregation deep (no loop lineage to truncate), and
     # cache blocks are actually FREED by unpersist() below --
     # unpersist on a localCheckpointed frame is a no-op (blocks only
     # die on RDD GC), which would pin a redundant copy of the word
     # table for the whole merge loop.
     word_freq = (df.select(F.explode(tokens(text_col)).alias("w"))
+                   .filter(F.length("w") >= 2)
                    .groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
                    .cache())
 
@@ -182,6 +198,22 @@ def train_bpe(df: DataFrame, n_merges: int, text_col: str = "text",
                             F.count(F.lit(1)).alias("n")).first()
         raw = int(est["chars"] or 0) + 16 * int(est["n"])
         use_driver = raw <= driver_max_bytes
+        if not use_driver and n_merges > AUTO_DISTRIBUTED_MERGES_MAX:
+            word_freq.unpersist()
+            raise ValueError(
+                f"train_bpe(strategy='auto'): the word-frequency table "
+                f"(~{raw / (1 << 20):.0f} MB raw, ~40-80x that as Python "
+                f"driver heap) exceeds driver_max_bytes="
+                f"{driver_max_bytes / (1 << 20):.0f} MB, and the "
+                f"distributed fallback runs ONE sequential Spark job per "
+                f"merge (~1 s scheduler floor each) -- n_merges="
+                f"{n_merges} of those is hours-to-days of wall time. "
+                f"Either raise driver_max_bytes to fit the table "
+                f"in driver memory (the scale-correct path: the merge "
+                f"loop is vocab-sized, not corpus-sized), shrink the "
+                f"vocabulary (dedup/normalize the corpus first), or "
+                f"opt in explicitly with strategy='distributed' if the "
+                f"job-per-merge cost is truly acceptable.")
     if use_driver:
         rows = word_freq.collect()
         try:

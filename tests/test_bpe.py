@@ -171,3 +171,32 @@ def test_save_load_round_trip(spark, tmp_path):
     a = bpe_segment(df, merges).collect()
     b = bpe_segment(df, load_bpe(spark, p)).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_auto_overflow_with_large_n_merges_raises_with_guidance(spark):
+    """r7 verdict task #3: auto must refuse loudly -- not silently run
+    a days-long one-job-per-merge loop -- when the word table exceeds
+    driver_max_bytes and n_merges is beyond the distributed ceiling."""
+    df = spark.createDataFrame(
+        [("the cat sat on the mat",)] * 3, "text string")
+    with pytest.raises(ValueError) as ei:
+        train_bpe(df, n_merges=100, driver_max_bytes=0)
+    msg = str(ei.value)
+    assert "strategy='distributed'" in msg  # the informed opt-in
+    assert "driver_max_bytes" in msg        # the scale-correct fix
+
+
+def test_auto_overflow_with_small_n_merges_still_runs_distributed(spark):
+    """Below the ceiling the distributed fallback is a sane cost;
+    auto must keep working and stay merge-for-merge identical."""
+    df = spark.createDataFrame(
+        [("low lower lowest newer newest",)] * 2, "text string")
+    want = train_bpe(df, n_merges=6, strategy="driver")
+    assert train_bpe(df, n_merges=6, driver_max_bytes=0) == want
+
+
+def test_explicit_distributed_is_never_refused(spark):
+    """strategy='distributed' is an informed opt-in: no ceiling."""
+    df = spark.createDataFrame([("aa ab aa",)], "text string")
+    want = train_bpe(df, n_merges=70, strategy="driver")
+    assert train_bpe(df, n_merges=70, strategy="distributed") == want
