@@ -47,6 +47,12 @@ HEADLINE = [
     "similarity_lsh_buckets",
     "similarity_ivf_topk",
     "events_tumbling_agg",
+    # added round 8 (r7 verdict task #5): both are curation-pipeline
+    # gates since r7 and were invisible to per-round bench deltas.
+    # r8-vs-r7 total comparisons must subtract these two entries --
+    # the prior 17-query set is the comparable prefix.
+    "text_normalize_docs",
+    "decontaminate_spans_docs",
 ]
 
 

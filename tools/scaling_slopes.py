@@ -194,6 +194,12 @@ def main() -> None:
         # gram explode + broadcast join + rebuild scale with rows
         "decontaminate_spans":
             lambda s: _spans(docs(s)),
+        # round-8 (r7 verdict task #6): the eval-side report is the
+        # same fixed-benchmark family -- its corpus-side gram explode
+        # + broadcast join grows with the corpus while the output
+        # stays benchmark-sized, so the slope should track the scan
+        "contamination_report":
+            lambda s: _report(docs(s)),
         # round-7: the COMPOSED e2e (curate -> canonical train split
         # -> pack -> sharded export + manifest). Per-operator slopes
         # can hide composition pathologies (r6 found two: lineage
@@ -218,6 +224,14 @@ def main() -> None:
 
         bench = docs(1).filter("doc_id % 29 = 0")
         return decontaminate_spans(d, bench, n=4)
+
+    def _report(d):
+        from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import (
+            contamination_report,
+        )
+
+        bench = docs(1).filter("doc_id % 29 = 0")
+        return contamination_report(d, bench, n=4)
 
     _export_dirs: list[str] = []
 
