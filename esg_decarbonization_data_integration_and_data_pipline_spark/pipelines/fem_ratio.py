@@ -44,7 +44,12 @@ def fem_ratio(tables: dict[str, DataFrame], run_date: dt.date,
                             "plant_code", "left")
                       .na.drop(subset=["plant_name"]))
 
-    monthly = (enriched.groupBy(F.col("plant_code").alias("plant"))
+    # the output plant label is the plant NAME, not the code: the
+    # reference's plant_map selects plant_name AS "plant" and groups
+    # on it (jobs/source_to_raw/fem_ratio.py:13-17), so two codes
+    # mapping to one name sum together -- pinned by the 1-row fixture
+    # parity test (tests/test_reference_fixtures.py)
+    monthly = (enriched.groupBy(F.col("plant_name").alias("plant"))
                        .agg(F.sum("power").alias("amount")))
     total_w = Window.partitionBy()  # month-scoped run => one global total
     out = (monthly

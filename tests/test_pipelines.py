@@ -40,12 +40,14 @@ def test_fem_ratio_end_to_end(spark):
     out = {r.plant: r for r in
            fem_ratio({"fem_dailypower": daily, "plant_mapping": mapping},
                      RUN).collect()}
-    assert set(out) == {"P1", "P2"}
-    assert out["P1"].amount == 60.0 and out["P2"].amount == 40.0
-    assert out["P1"].ratio == pytest.approx(0.6)
-    assert out["P2"].ratio == pytest.approx(0.4)
-    assert str(out["P1"].period_start) == "2023-11-01"
-    assert out["P1"].category == "plant"
+    # output plant labels are plant NAMES (reference fem_ratio.py:13
+    # aliases plant_name AS plant and groups on it)
+    assert set(out) == {"Plant-1", "Plant-2"}
+    assert out["Plant-1"].amount == 60.0 and out["Plant-2"].amount == 40.0
+    assert out["Plant-1"].ratio == pytest.approx(0.6)
+    assert out["Plant-2"].ratio == pytest.approx(0.4)
+    assert str(out["Plant-1"].period_start) == "2023-11-01"
+    assert out["Plant-1"].category == "plant"
 
 
 def test_electricity_decarb_ytm_and_rollup(spark):
