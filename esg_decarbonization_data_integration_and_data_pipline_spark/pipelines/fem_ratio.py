@@ -40,8 +40,11 @@ def fem_ratio(tables: dict[str, DataFrame], run_date: dt.date,
     if sites:
         scoped = scoped.filter(F.col("site").isin(sites))
 
-    enriched = (scoped.join(F.broadcast(mapping.select("plant_code", "plant_name")),
-                            "plant_code", "left")
+    # DISTINCT mirrors the reference's `SELECT DISTINCT ... FROM
+    # plant_mapping`: the same (code, name) pair listed under several
+    # sites must not multiply the joined power rows
+    dim = mapping.select("plant_code", "plant_name").dropDuplicates()
+    enriched = (scoped.join(F.broadcast(dim), "plant_code", "left")
                       .na.drop(subset=["plant_name"]))
 
     # the output plant label is the plant NAME, not the code: the

@@ -66,7 +66,9 @@ def test_never_graded_backlog_is_at_most_20_after_pending_head():
 
 
 def test_ledger_tool_check_passes():
+    import tools.grading_ledger as gl
+
     proc = subprocess.run(
-        [sys.executable, "tools/grading_ledger.py", "--check"],
+        [sys.executable, gl.__file__, "--check"],
         capture_output=True, text=True)
     assert proc.returncode == 0, proc.stderr

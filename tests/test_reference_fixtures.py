@@ -107,3 +107,21 @@ def test_solar_empty_rest_payload_fixture(spark):
     assert out.count() == 0
     assert out.columns == ["plant", "category", "amount",
                            "period_start", "type"]
+
+
+def test_fem_ratio_mapping_distinct_across_sites(spark):
+    """The reference's plant_map query is SELECT DISTINCT
+    (fem_ratio.py:13): the same (code, name) pair listed under two
+    sites must not double the joined power rows."""
+    daily = spark.createDataFrame(
+        [("site1", "plant_code1", dt.date(2023, 9, 13), 1.0, "用電量")],
+        "site string, plant_code string, datadate date, power double, "
+        "consumetype string")
+    mapping = spark.createDataFrame(
+        [("site1", "plant1", "plant_code1"),
+         ("site2", "plant1", "plant_code1")],  # same pair, second site
+        "site string, plant_name string, plant_code string")
+    rows = fem_ratio({"fem_dailypower": daily, "plant_mapping": mapping},
+                     RUN).collect()
+    assert [(r.plant, r.amount, r.ratio) for r in rows] == \
+        [("plant1", 1.0, 1.0)]

@@ -200,6 +200,16 @@ def main() -> None:
         # stays benchmark-sized, so the slope should track the scan
         "contamination_report":
             lambda s: _report(docs(s)),
+        # round-8: two more newly-head-graded ops. dataset_diff is
+        # timed on identical snapshots (diff empty) -- that isolates
+        # the per-snapshot cost its O(diff + batch) claim rides on:
+        # two narrow md5 scans + one id-keyed full outer join.
+        # temperature mixture is one bounded per-source collect +
+        # one window; slope should track the scan.
+        "dataset_diff":
+            lambda s: _diff(docs(s)),
+        "mixture_temperature":
+            lambda s: _temperature(docs(s)),
         # round-7: the COMPOSED e2e (curate -> canonical train split
         # -> pack -> sharded export + manifest). Per-operator slopes
         # can hide composition pathologies (r6 found two: lineage
@@ -232,6 +242,20 @@ def main() -> None:
 
         bench = docs(1).filter("doc_id % 29 = 0")
         return contamination_report(d, bench, n=4)
+
+    def _diff(d):
+        from esg_decarbonization_data_integration_and_data_pipline_spark.operators.diff import (
+            dataset_diff,
+        )
+
+        return dataset_diff(d, d, compare_cols=["text", "source"])
+
+    def _temperature(d):
+        from esg_decarbonization_data_integration_and_data_pipline_spark.operators.sampling import (
+            temperature_mixture_sample,
+        )
+
+        return temperature_mixture_sample(d, alpha=0.5)
 
     _export_dirs: list[str] = []
 
