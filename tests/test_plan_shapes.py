@@ -253,3 +253,61 @@ def test_text_normalize_is_narrow_zero_shuffle(spark, sf_dir):
 def test_doc_line_dedup_is_narrow_zero_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "text_dedup_doc_lines")
     assert "Exchange" not in plan
+
+
+# --- round-8 pins: the six queries newly rotated into the graded head
+# (their 100 TB shapes must not regress now that they gate the round).
+
+def test_gopher_rules_is_narrow_zero_shuffle(spark, sf_dir):
+    """The Gopher gate is a pure per-row rule projection: no Exchange
+    of any kind, one codegen'd projection over the pruned scan."""
+    plan = plan_of(spark, sf_dir, "quality_gopher_rules")
+    assert "Exchange" not in plan
+    assert "* Project" in plan
+
+
+def test_corpus_token_histogram_single_agg_exchange(spark, sf_dir):
+    """One narrow count per doc, then a <=32-group aggregate: exactly
+    one shuffle, with the partial aggregate before it."""
+    plan = plan_of(spark, sf_dir, "corpus_token_histogram")
+    assert plan.count(") Exchange") == 1
+    assert "partial_" in plan
+
+
+def test_dataset_diff_two_scans_one_join(spark, sf_dir):
+    """The diff is two narrow md5 scans meeting in ONE id-keyed join:
+    exactly two shuffle exchanges (one per snapshot side), nothing
+    keyed on content hashes."""
+    plan = plan_of(spark, sf_dir, "dataset_diff_docs")
+    assert plan.count(") Exchange") == 2
+    assert "hashpartitioning(doc_id" in plan
+
+
+def test_mixture_temperature_single_window_shuffle(spark, sf_dir):
+    """Per-source counts ride in as broadcasts (O(#sources) rows);
+    the md5-rank window is the ONLY shuffle."""
+    plan = plan_of(spark, sf_dir, "mixture_temperature_docs")
+    assert plan.count(") Exchange") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_token_budget_mixture_broadcasts_all_control_frames(spark, sf_dir):
+    """Per-source budgets and boundary rows are control-plane frames:
+    every join must broadcast; a sort-merge join here would shuffle
+    the corpus against a <=#sources-row frame."""
+    plan = plan_of(spark, sf_dir, "token_budget_mixture_docs")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_contamination_report_no_corpus_gram_shuffle(spark, sf_dir):
+    """Benchmark (bench_id, gram) pairs broadcast into the exploded
+    corpus gram stream; the corpus is never hash-partitioned on bare
+    gram strings (the only gram-keyed exchange is the benchmark-side
+    distinct, keyed (bench_id, gram)).  The hit-scale multi-distinct
+    aggregate partial-aggregates before its exchange."""
+    plan = plan_of(spark, sf_dir, "contamination_report_docs")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("hashpartitioning(gram") == 0
+    assert "partial_" in plan
