@@ -299,6 +299,72 @@ def curation_funnel(docs: DataFrame, **curate_kwargs) -> list[tuple[str, int]]:
     return out
 
 
+def rejection_audit(docs: DataFrame, **curate_kwargs) -> DataFrame:
+    """Per-document rejection accountability: (doc_id, rejected_at)
+    naming the FIRST gate that dropped each rejected doc -- the audit
+    artifact a production curation run ships next to the funnel
+    counts (the funnel answers "how many did each gate cost"; this
+    answers "why is doc X missing from the corpus", which is what a
+    data owner actually asks).
+
+    Reuses the SAME ``_gate_steps`` chain ``curate`` executes (same
+    kwargs contract, same normalize/scrub pre-rewrites), so the
+    attribution can never drift from the data path: a doc appears at
+    most once, under the first gate whose output it vanished from,
+    and ``input_count - count(audit) == gate-survivor count``
+    (cross-checked against :func:`curation_funnel` in tests).
+
+    Scale shape: one localCheckpoint per gate (the working set
+    materializes once per stage, exactly like the funnel) and one
+    id-only anti-join per gate -- O(stages) extra passes over ids,
+    never over text. An audit/reporting tool, not a data path; docs
+    surviving every gate produce no row (the dedup/split stages after
+    the gates never DROP docs, so gate survivors ARE the curated
+    id set).
+    """
+    import inspect
+
+    bound = inspect.signature(curate).bind(docs, **curate_kwargs)
+    bound.apply_defaults()
+    a = dict(bound.arguments)
+    if a["normalize"]:
+        from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import normalize_expr
+
+        docs = docs.withColumn("text", normalize_expr("text"))
+    if a["scrub"]:
+        docs = docs.withColumn("text", _scrub_expr())
+    kept = docs
+    dropped_frames: list[DataFrame] = []
+    for name, step in _gate_steps(
+            keep_langs=a["keep_langs"], min_quality=a["min_quality"],
+            max_repetition=a["max_repetition"],
+            min_entropy=a["min_entropy"],
+            max_boilerplate=a["max_boilerplate"],
+            boilerplate_n=a["boilerplate_n"],
+            boilerplate_min_docs=a["boilerplate_min_docs"],
+            benchmark=a["benchmark"], decontam_n=a["decontam_n"],
+            max_nll=a["max_nll"], scrub=a["scrub"], gopher=a["gopher"],
+            normalize=a["normalize"]):
+        nxt = step(kept)
+        if name == "__checkpoint__":
+            kept = nxt
+            continue
+        # every stage output materializes: each is consumed TWICE
+        # (the anti-join and the next gate), and the join-based
+        # gates would otherwise replay their aggregate-of-kept
+        # subtree per consumer
+        nxt = nxt.localCheckpoint()
+        dropped_frames.append(
+            kept.select("doc_id")
+                .join(nxt.select("doc_id"), "doc_id", "left_anti")
+                .withColumn("rejected_at", F.lit(name)))
+        kept = nxt
+    out = dropped_frames[0]
+    for f in dropped_frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def incremental_curate(old_snapshot: DataFrame, new_snapshot: DataFrame,
                        corpus_path: str, index_path: str, *,
                        gopher: dict | None = None, scrub: bool = True,

@@ -334,3 +334,53 @@ def test_curation_funnel_reports_gopher_stage(spark):
     assert stages == ["input", "quality", "gopher"]
     counts = dict(funnel)
     assert counts["input"] == 2 and counts["gopher"] == 1
+
+
+def test_rejection_audit_attributes_first_failing_gate(spark):
+    """rejection_audit: each rejected doc appears exactly ONCE, under
+    the FIRST gate it vanished from; survivors produce no row. Doc 2
+    fails quality AND entropy -> attributed to quality (earlier)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.corpus_curation import (
+        rejection_audit,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the of and to in is a good long document with many "
+             "different words appearing once each time here"),
+         (2, "x"),                                   # quality AND entropy
+         (3, "the of and to in is spam " * 20)],     # repetition
+        "doc_id bigint, text string")
+    audit = {r.doc_id: r.rejected_at for r in rejection_audit(
+        docs, min_quality=0.3, max_repetition=0.9,
+        min_entropy=2.0).collect()}
+    assert audit == {2: "quality", 3: "repetition"}
+
+
+def test_rejection_audit_matches_funnel_counts(spark):
+    """Cross-check against curation_funnel on the fixture corpus: the
+    per-stage audit row counts must equal the funnel's per-stage
+    drops, and input - len(audit) must equal the final funnel
+    count (both derive from the same _gate_steps chain)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.corpus_curation import (
+        curation_funnel, rejection_audit,
+    )
+
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .limit(200).localCheckpoint())
+    kwargs = dict(min_quality=0.3, max_repetition=0.9, min_entropy=2.0,
+                  max_boilerplate=0.8)
+    funnel = curation_funnel(docs, **kwargs)
+    audit = rejection_audit(docs, **kwargs)
+    by_stage = {r["rejected_at"]: r["n"] for r in
+                audit.groupBy("rejected_at")
+                     .agg(F.count(F.lit(1)).alias("n")).collect()}
+    prev = None
+    for stage, n in funnel:
+        if stage == "input":
+            prev = n
+            continue
+        assert by_stage.get(stage, 0) == prev - n, stage
+        prev = n
+    assert docs.count() - audit.count() == funnel[-1][1]
+    # every rejected id is attributed at most once
+    assert audit.count() == audit.select("doc_id").distinct().count()
