@@ -702,7 +702,7 @@ _DRIVER_HEAD = [
     "quantile_acctbal", "cagr_nation_revenue", "irr_by_brand",
     "events_sessionize", "events_json_roundtrip",
     "top_revenue_order", "concat_format_timestamps",
-    "greedy_allocation", "dedup_clusters",
+    "greedy_allocation",
     # round-7 rotations INTO the head (head-graded r7, kept for a
     # second graded round per the >= 2-rounds-before-rotation rule)
     "dedup_minhash_incremental", "token_budget_docs",
@@ -717,6 +717,15 @@ _DRIVER_HEAD = [
     "corpus_token_histogram", "quality_gopher_rules",
     "mixture_temperature_docs", "token_budget_mixture_docs",
     "dataset_diff_docs",
+    # new in round 8, straight into the head (a new query parked in
+    # the tail would only grow the never-graded backlog):
+    # per-doc curation rejection audit; dedup_clusters (driver-green
+    # r1-r7) rotates out to make the slot -- dup-cluster construction
+    # keeps a head representative via semdedup_embeddings' blocked-
+    # cosine -> connected-components -> canonical stage, and the
+    # exact min-label fixpoint stays pinned by the in-repo oracle
+    # replay + tests/test_clusters_split.py.
+    "rejection_audit_docs",
 ]
 _DRIVER_TAIL = [
     # approx_sketches is rows-only by design (no exact SQL oracle for
@@ -800,6 +809,10 @@ _DRIVER_TAIL = [
     "pow_floor_round_pricing", "events_sliding_agg",
     "text_scrub_pii", "text_char_entropy",
     "text_boilerplate_ngrams", "decontaminate_ngrams",
+    #   dedup_clusters (r1-r7)      -> rejection_audit_docs (see the
+    #       head comment; component construction stays head-graded
+    #       via semdedup_embeddings)
+    "dedup_clusters",
     "text_repetition",
     "latest_status_version", "distinct_projection", "dedup_simhash",
     "dedup_jaccard_pairs", "cube_status_priority", "count_distinct_parts",

@@ -867,3 +867,89 @@ def text_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return boilerplate_share(d, n=3, min_docs=3)
+
+
+@register("rejection_audit_docs", "ext:curation-audit,P6,J9,A1", oracle="""
+WITH q AS (
+  SELECT doc_id,
+         round(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+           least(1.0, n_tokens / 100.0) * 0.5
+           + least(1.0, (n_stop / CAST(nullif(n_tokens, 0) AS DOUBLE)) * 5) * 0.3
+           + (1 - least(1.0, (n_punct / CAST(nullif(length_chars, 0) AS DOUBLE)) * 10)) * 0.2
+         END, 6) AS quality_score
+  FROM (
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS length_chars,
+           CAST(len(""" + _SQL_TOKS + """) AS BIGINT) AS n_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+           CAST(len(list_filter(['the','a','of','and','to','in','is'],
+                s -> list_contains(""" + _SQL_TOKS + """, s))) AS BIGINT) AS n_stop
+    FROM documents)
+),
+rb AS (
+  SELECT doc_id,
+         (SELECT [__t[CAST(i AS INT)] || ' ' || __t[CAST(i + 1 AS INT)]
+                  FOR i IN range(1, len(__t))]
+          FROM (SELECT """ + _SQL_TOKS + """ AS __t)) AS grams
+  FROM documents
+),
+rpg AS (
+  SELECT doc_id, gram, count(*) AS c
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM rb)
+  GROUP BY doc_id, gram
+),
+r AS (
+  SELECT doc_id,
+         round(1 - count(*) / CAST(nullif(sum(c), 0) AS DOUBLE), 6)
+           AS repetition_ratio
+  FROM rpg GROUP BY doc_id
+),
+ec AS (
+  SELECT doc_id, ch, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+  WHERE ch != '' GROUP BY doc_id, ch
+),
+e AS (
+  SELECT doc_id,
+         round(log2(CAST(sum(c) AS DOUBLE))
+               - sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy
+  FROM ec GROUP BY doc_id
+),
+verdict AS (
+  SELECT d.doc_id,
+         CASE WHEN q.quality_score IS NULL OR q.quality_score < 0.3
+                THEN 'quality'
+              WHEN coalesce(r.repetition_ratio, 0) > 0.9
+                THEN 'repetition'
+              WHEN coalesce(e.entropy, 0) < 2.0
+                THEN 'entropy'
+         END AS rejected_at
+  FROM documents d
+  LEFT JOIN q USING (doc_id)
+  LEFT JOIN r USING (doc_id)
+  LEFT JOIN e USING (doc_id)
+)
+SELECT doc_id, rejected_at FROM verdict WHERE rejected_at IS NOT NULL
+""")
+def rejection_audit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation rejection audit
+    (pipelines/corpus_curation.rejection_audit): (doc_id,
+    rejected_at) naming the FIRST gate -- quality 0.3, repetition
+    0.9, entropy 2.0 -- that dropped each rejected doc; survivors
+    emit no row.  The pipeline replays the exact _gate_steps chain
+    ``curate`` runs; the oracle composes the three per-doc metric
+    formulas (each hash-proven against its own query since r1/r6)
+    and applies the gate predicates in stage order as one CASE.
+    Every metric is rounded to 6 decimals on BOTH engines BEFORE the
+    threshold comparison (the operators' own output contract), so
+    the composed verdicts cannot diverge on float noise even at an
+    exact threshold tie.  Sequential-gate == CASE-order equivalence
+    holds because each gate's predicate is per-doc (no gate reads
+    cross-doc state)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.corpus_curation import (
+        rejection_audit,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return rejection_audit(d, min_quality=0.3, max_repetition=0.9,
+                           min_entropy=2.0, scrub=False)

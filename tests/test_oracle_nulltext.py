@@ -51,7 +51,11 @@ QUERIES = ["text_repetition", "dedup_simhash64_pairs", "dedup_simhash",
            "token_budget_mixture_docs", "dataset_diff_docs",
            "text_normalize_docs", "decontaminate_spans_docs",
            "contamination_report_docs", "text_dedup_doc_lines",
-           "corpus_token_histogram"]
+           "corpus_token_histogram",
+           # round-8: per-doc curation rejection audit (null/empty/
+           # whitespace/single-token docs must all attribute to the
+           # quality gate identically on both engines)
+           "rejection_audit_docs"]
 
 
 @pytest.fixture(scope="module")
