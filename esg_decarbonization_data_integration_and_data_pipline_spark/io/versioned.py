@@ -106,13 +106,24 @@ class PosixCommitBackend(CommitBackend):
 
     def try_commit(self, table_dir: str, pointer: bytes,
                    expected: bytes | None) -> bool:
-        with _flip_lock(table_dir):
+        with _flip_lock(table_dir) as lk:
             if self.read_pointer(table_dir) != expected:
                 return False
             tmp = os.path.join(
                 table_dir, f".{_CURRENT}.tmp.{os.getpid()}")
             with open(tmp, "wb") as fh:
                 fh.write(pointer)
+            # ownership fence immediately before the flip: if a TTL
+            # steal yanked our lock (and another writer may now be
+            # inside its own critical section), abort as a plain
+            # precondition failure -- the caller re-reads and retries,
+            # so no write is lost and no backwards flip can land
+            if not lk.owns():
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+                return False
             os.replace(tmp, os.path.join(table_dir, _CURRENT))
             return True
 
@@ -132,10 +143,37 @@ class _flip_lock:
     section (the only non-idempotent step).  Crash-safe: a holder
     that dies leaves a lock whose mtime ages past ``_FLIP_LOCK_TTL``
     and the next writer steals it.  Contention is a handful of
-    writers for two file ops -- a short spin is plenty."""
+    writers for two file ops -- a short spin is plenty.
+
+    Every lock file carries a process-unique TOKEN.  A holder must
+    re-verify ownership (:meth:`owns`) immediately before the
+    non-idempotent step it guards: a TTL steal that mistakenly yanks
+    a live lock (the holder replaced a stale lock inside the
+    stealer's check-to-rename window) then surfaces as an ownership
+    failure at the holder, which backs off and retries, instead of
+    two writers silently running the critical section.  The residual
+    window -- owns() passing and the flip landing while a stealer
+    yanks in between -- is two tiny file ops wide and requires a
+    stealer to judge a microseconds-old lock as >TTL stale, i.e. a
+    process suspended for ~the whole TTL between its age check and
+    its rename; that bounded-clock assumption is the standard
+    TTL-lock contract (a stronger guarantee needs fencing at the
+    committed resource, which the object-store CommitBackend's
+    conditional put provides natively)."""
 
     def __init__(self, table_dir: str):
+        import uuid
+
         self.path = os.path.join(table_dir, _FLIP_LOCK)
+        self.token = f"{os.getpid()}:{uuid.uuid4().hex}".encode()
+
+    def owns(self) -> bool:
+        """True iff the lock file still holds OUR token."""
+        try:
+            with open(self.path, "rb") as fh:
+                return fh.read() == self.token
+        except OSError:
+            return False
 
     def __enter__(self):
         import time
@@ -144,7 +182,7 @@ class _flip_lock:
         while True:
             try:
                 fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
+                os.write(fd, self.token)
                 os.close(fd)
                 return self
             except FileExistsError:
@@ -173,12 +211,15 @@ class _flip_lock:
         moves whatever is at the path exactly once, so of N stealers
         exactly one succeeds and the rest fall back to re-acquisition.
         The mtime is then RE-verified on the renamed file (frozen --
-        no other process touches the unique name): if the yanked lock
-        turns out to be fresh (its holder replaced the stale one
-        inside our check-to-rename window), it is restored with
-        os.link, which -- unlike rename -- refuses to clobber a lock a
-        third writer may have created at the path meanwhile."""
-        import time
+        no other process touches the unique name) purely for
+        diagnosis; the yanked file is removed either way.  A yanked
+        LIVE lock is NOT restored: an os.link restore would resurrect
+        an unowned lock whenever the displaced holder released inside
+        the yank window (stalling every later writer for a full TTL),
+        and could still lose the restore race to a third writer.  The
+        displaced holder instead discovers the yank through its own
+        pre-flip :meth:`owns` check and retries -- detection at the
+        holder is the only spot that cannot race."""
         import uuid
 
         yanked = f"{self.path}.steal.{os.getpid()}.{uuid.uuid4().hex}"
@@ -187,26 +228,18 @@ class _flip_lock:
         except OSError:
             return  # lost the steal race (or holder released); re-acquire
         try:
-            fresh = time.time() - os.path.getmtime(yanked) < _FLIP_LOCK_TTL
-        except OSError:
-            return
-        if not fresh:
-            os.remove(yanked)  # genuinely a crashed holder's lock
-            return
-        # We yanked a LIVE lock (stale holder vanished and a new writer
-        # acquired between our age check and our rename).  Put it back.
-        try:
-            os.link(yanked, self.path)  # EEXIST-safe restore
-        except OSError:
-            pass  # a third writer already re-created the lock; its
-            #       release removes the path either way
-        os.remove(yanked)
-
-    def __exit__(self, *exc):
-        try:
-            os.remove(self.path)
+            os.remove(yanked)
         except OSError:
             pass
+
+    def __exit__(self, *exc):
+        # remove only OUR lock: if a TTL steal yanked it, the path may
+        # now hold a successor's lock, which a blind remove would kill
+        if self.owns():
+            try:
+                os.remove(self.path)
+            except OSError:
+                pass
         return False
 
 
@@ -359,6 +392,11 @@ def vacuum(table_dir: str, keep_last: int = 2,
         elif entry.startswith(f".{_CURRENT}.tmp.") and aged(full):
             try:
                 os.remove(full)  # crashed-before-flip pointer temp
+            except OSError:
+                pass
+        elif entry.startswith(f"{_FLIP_LOCK}.steal.") and aged(full):
+            try:
+                os.remove(full)  # stealer killed between rename+remove
             except OSError:
                 pass
     vs = _versions(table_dir)

@@ -244,6 +244,40 @@ def _gate_steps(*, keep_langs, min_quality, max_repetition, min_entropy,
     return steps
 
 
+def _bound_gate_chain(docs: DataFrame, curate_kwargs: dict):
+    """Shared plumbing of :func:`curation_funnel` and
+    :func:`rejection_audit`: bind ``curate_kwargs`` against
+    ``curate``'s signature (unknown/misspelled kwargs raise exactly
+    as ``curate`` would), apply the normalize-then-scrub pre-rewrites
+    in ``curate``'s order, and return ``(rewritten_docs, steps)``
+    with the ``_gate_steps`` chain bound to the same arguments.  One
+    source for the kwargs threading, so a new gate parameter cannot
+    silently de-synchronize the reporting tools from the data path
+    (r8 review finding)."""
+    import inspect
+
+    bound = inspect.signature(curate).bind(docs, **curate_kwargs)
+    bound.apply_defaults()
+    a = dict(bound.arguments)
+    if a["normalize"]:
+        from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import normalize_expr
+
+        docs = docs.withColumn("text", normalize_expr("text"))
+    if a["scrub"]:
+        docs = docs.withColumn("text", _scrub_expr())
+    steps = _gate_steps(
+        keep_langs=a["keep_langs"], min_quality=a["min_quality"],
+        max_repetition=a["max_repetition"],
+        min_entropy=a["min_entropy"],
+        max_boilerplate=a["max_boilerplate"],
+        boilerplate_n=a["boilerplate_n"],
+        boilerplate_min_docs=a["boilerplate_min_docs"],
+        benchmark=a["benchmark"], decontam_n=a["decontam_n"],
+        max_nll=a["max_nll"], scrub=a["scrub"], gopher=a["gopher"],
+        normalize=a["normalize"])
+    return docs, steps
+
+
 def curation_funnel(docs: DataFrame, **curate_kwargs) -> list[tuple[str, int]]:
     """Per-gate funnel counts for a ``curate`` configuration -- the
     observability a production curation run reports (how many docs
@@ -259,34 +293,15 @@ def curation_funnel(docs: DataFrame, **curate_kwargs) -> list[tuple[str, int]]:
     counts, so each later stage is one cheap job over materialized
     data. A reporting tool, not a data path.
     """
-    import inspect
-
-    bound = inspect.signature(curate).bind(docs, **curate_kwargs)
-    bound.apply_defaults()
-    a = dict(bound.arguments)
     out = [("input", docs.count())]
-    # mirror curate's pre-gate text rewrites EXACTLY (normalize, then
-    # scrub) -- a drifted text shape here would make every
-    # text-sensitive gate count (entropy, repetition, boilerplate,
-    # gopher) disagree with the corpus curate actually keeps
-    if a["normalize"]:
-        from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import normalize_expr
-
-        docs = docs.withColumn("text", normalize_expr("text"))
-    if a["scrub"]:
-        docs = docs.withColumn("text", _scrub_expr())
-    kept = docs
+    # _bound_gate_chain mirrors curate's pre-gate text rewrites
+    # EXACTLY (normalize, then scrub) -- a drifted text shape here
+    # would make every text-sensitive gate count (entropy,
+    # repetition, boilerplate, gopher) disagree with the corpus
+    # curate actually keeps
+    kept, steps = _bound_gate_chain(docs, curate_kwargs)
     first_gate = True
-    for name, step in _gate_steps(
-            keep_langs=a["keep_langs"], min_quality=a["min_quality"],
-            max_repetition=a["max_repetition"],
-            min_entropy=a["min_entropy"],
-            max_boilerplate=a["max_boilerplate"],
-            boilerplate_n=a["boilerplate_n"],
-            boilerplate_min_docs=a["boilerplate_min_docs"],
-            benchmark=a["benchmark"], decontam_n=a["decontam_n"],
-            max_nll=a["max_nll"], scrub=a["scrub"], gopher=a["gopher"],
-            normalize=a["normalize"]):
+    for name, step in steps:
         kept = step(kept)
         if name == "__checkpoint__":
             continue
@@ -322,33 +337,15 @@ def rejection_audit(docs: DataFrame, **curate_kwargs) -> DataFrame:
     the gates never DROP docs, so gate survivors ARE the curated
     id set).
     """
-    import inspect
-
-    bound = inspect.signature(curate).bind(docs, **curate_kwargs)
-    bound.apply_defaults()
-    a = dict(bound.arguments)
-    if a["normalize"]:
-        from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import normalize_expr
-
-        docs = docs.withColumn("text", normalize_expr("text"))
-    if a["scrub"]:
-        docs = docs.withColumn("text", _scrub_expr())
-    kept = docs
+    kept, steps = _bound_gate_chain(docs, curate_kwargs)
     dropped_frames: list[DataFrame] = []
-    for name, step in _gate_steps(
-            keep_langs=a["keep_langs"], min_quality=a["min_quality"],
-            max_repetition=a["max_repetition"],
-            min_entropy=a["min_entropy"],
-            max_boilerplate=a["max_boilerplate"],
-            boilerplate_n=a["boilerplate_n"],
-            boilerplate_min_docs=a["boilerplate_min_docs"],
-            benchmark=a["benchmark"], decontam_n=a["decontam_n"],
-            max_nll=a["max_nll"], scrub=a["scrub"], gopher=a["gopher"],
-            normalize=a["normalize"]):
-        nxt = step(kept)
+    for name, step in steps:
         if name == "__checkpoint__":
-            kept = nxt
+            # every gate output below is already localCheckpointed;
+            # applying the chain's own checkpoint pseudo-stage would
+            # re-materialize the same blocks back-to-back
             continue
+        nxt = step(kept)
         # every stage output materializes: each is consumed TWICE
         # (the anti-join and the next gate), and the join-based
         # gates would otherwise replay their aggregate-of-kept

@@ -44,14 +44,12 @@ def test_r8_priority_queries_are_in_the_graded_head():
 def test_rotated_out_queries_were_graded_at_least_twice():
     """Every tail query that ever crossed the driver gate did so >= 2
     rounds before rotating out (approx_sketches excepted: rows-only by
-    design, documented at its _DRIVER_TAIL entry)."""
-    _, tail = registry_order()
-    graded = graded_rounds()
-    latest = max((r for rs in graded.values() for r in rs), default=0)
-    bad = [q for q in tail
-           if q in graded and len(graded[q]) < 2 and q != "approx_sketches"
-           and max(graded[q]) < latest]
-    assert not bad, f"rotated out after <2 graded rounds: {bad}"
+    design, documented at its _DRIVER_TAIL entry).  Asserts through
+    the SAME rotation_violations() the tool's --check runs, so the
+    rule cannot drift between the two (r8 review finding)."""
+    from tools.grading_ledger import rotation_violations
+
+    assert rotation_violations() == []
 
 
 def test_never_graded_backlog_is_at_most_20_after_pending_head():

@@ -344,20 +344,72 @@ def test_stale_lock_is_stolen_and_fresh_lock_is_not(tmp_path):
     assert not [e for e in os.listdir(d) if ".steal." in e]
 
 
-def test_steal_restores_a_live_lock_it_yanked(tmp_path):
-    """The advisor race: a steal that yanks a lock which turns out to
-    be FRESH (another writer re-acquired inside the check-to-rename
-    window) must restore it untouched instead of acquiring alongside
-    the live holder."""
+def test_yanked_holder_detects_ownership_loss(tmp_path):
+    """The advisor race, closed at the holder: a steal that yanks a
+    LIVE lock (its holder replaced a stale one inside the stealer's
+    check-to-rename window) is detected by the holder's own pre-flip
+    owns() fence -- and the holder's release must never remove a
+    successor's lock."""
     from esg_decarbonization_data_integration_and_data_pipline_spark.io import versioned as V
 
     d = str(tmp_path)
     lockp = os.path.join(d, "._CURRENT.lock")
-    with open(lockp, "w") as fh:
-        fh.write("live-holder")  # fresh mtime = live holder
-    lk = V._flip_lock(d)
-    lk._steal()  # simulates the stale branch firing on a now-fresh lock
-    assert os.path.exists(lockp)
-    with open(lockp) as fh:
-        assert fh.read() == "live-holder"  # restored, not replaced
+    holder = V._flip_lock(d)
+    holder.__enter__()
+    assert holder.owns()
+    # a stealer whose stale judgment aged past the holder's acquire
+    V._flip_lock(d)._steal()
+    assert not os.path.exists(lockp)  # yanked files are removed, never
+    #                                   restored (an unowned restore
+    #                                   would stall writers a full TTL)
+    assert not holder.owns()          # the fence try_commit checks
+    # a successor acquires; the displaced holder's release is a no-op
+    succ = V._flip_lock(d)
+    succ.__enter__()
+    holder.__exit__(None, None, None)
+    assert os.path.exists(lockp) and succ.owns()
+    succ.__exit__(None, None, None)
+    assert not os.path.exists(lockp)
     assert not [e for e in os.listdir(d) if ".steal." in e]
+
+
+def test_try_commit_fence_aborts_after_yank(tmp_path, monkeypatch):
+    """If the lock is yanked between acquisition and the flip,
+    try_commit must return False (plain precondition failure, write
+    retried) instead of flipping the pointer without the lock."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io import versioned as V
+
+    d = str(tmp_path)
+    backend = V.PosixCommitBackend()
+    real_owns = V._flip_lock.owns
+    yank_done = {}
+
+    def yank_then_check(self):
+        # simulate a concurrent steal landing right before the fence
+        if not yank_done:
+            yank_done["x"] = True
+            V._flip_lock(d)._steal()
+        return real_owns(self)
+
+    monkeypatch.setattr(V._flip_lock, "owns", yank_then_check)
+    assert backend.try_commit(d, b"v_00000001\n", None) is False
+    assert backend.read_pointer(d) is None  # nothing flipped
+    assert not [e for e in os.listdir(d) if e.startswith("._CURRENT.tmp")]
+    monkeypatch.undo()
+    # and the retry (lock intact this time) commits normally
+    assert backend.try_commit(d, b"v_00000001\n", None) is True
+    assert backend.read_pointer(d) == b"v_00000001\n"
+
+
+def test_vacuum_reaps_aged_steal_litter(spark, tmp_path):
+    """A stealer killed between its rename and remove leaves a
+    '.steal.' file; vacuum treats it like any crash leftover (TTL
+    gate protects a live stealer's microseconds-wide window)."""
+    t = str(tmp_path / "t")
+    write_version(_df(spark, [1]), t)
+    litter = os.path.join(t, "._CURRENT.lock.steal.999.deadbeef")
+    open(litter, "w").close()
+    vacuum(t, keep_last=1, stage_ttl_seconds=3600)
+    assert os.path.exists(litter)  # fresh: spared
+    vacuum(t, keep_last=1, stage_ttl_seconds=0)
+    assert not os.path.exists(litter)
