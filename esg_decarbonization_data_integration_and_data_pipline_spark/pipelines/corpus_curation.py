@@ -53,7 +53,8 @@ def curate(docs: DataFrame, keep_langs: list[str] | None = None,
            decontam_n: int = 5,
            max_nll: float | None = None,
            gopher: dict | None = None,
-           normalize: bool = False) -> DataFrame:
+           normalize: bool = False,
+           cluster_consistent_splits: bool = False) -> DataFrame:
     """documents(doc_id, text, ...) -> curated corpus with
     (predicted_lang, quality_score, cluster_id, is_canonical, split).
 
@@ -87,6 +88,13 @@ def curate(docs: DataFrame, keep_langs: list[str] | None = None,
       ``{"min_words": 25}``); docs failing the composite rule set
       drop. ``{}`` applies the published defaults; None disables.
       A pure narrow map -- no join, no shuffle.
+    - ``cluster_consistent_splits`` (opt-in): key the train/eval/test
+      split hash on each near-dup cluster's CANONICAL text instead of
+      the doc's own, so a cluster can never straddle splits (per-doc
+      text hashing only protects exact dups -- a near-duplicate of a
+      training doc landing in eval is classic leakage).  Off by
+      default for split parity with the per-doc streaming ingest
+      twin; audit the default with :func:`split_leakage_report`.
     - ``normalize`` (opt-in): canonical text normalization
       (operators/text.NORMALIZE_STEPS) applied in-place FIRST, so
       every downstream signal -- scrubbing, fingerprints, dedup
@@ -124,16 +132,36 @@ def curate(docs: DataFrame, keep_langs: list[str] | None = None,
     kept = kept.localCheckpoint()
     pairs = minhash_verified_pairs(kept, threshold=near_dup_threshold)
     clusters = dup_clusters(kept, pairs)
-    canonical = (clusters.groupBy("cluster_id")
-                 .agg(F.min("doc_id").alias("__canon")))
+    # canonical pick as a per-cluster WINDOW (min (doc_id, text)
+    # struct orders on doc_id): dup_clusters labels EVERY doc, so the
+    # old groupBy + F.broadcast(canonical) join shipped a
+    # corpus-sized frame to every executor -- a guaranteed broadcast
+    # OOM at real scale (r8 review catch). The window is one
+    # cluster_id shuffle of the already-joined frame instead.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id")
     labeled = (kept.join(clusters, "doc_id")
-                   .join(F.broadcast(canonical), "cluster_id")
+                   .withColumn("__canon",
+                               F.min(F.struct("doc_id", "text")).over(w))
                    .withColumn("is_canonical",
-                               F.col("doc_id") == F.col("__canon"))
-                   .drop("__canon"))
+                               F.col("doc_id") == F.col("__canon.doc_id")))
+    if cluster_consistent_splits:
+        # leakage-proof split: every cluster member keys the split
+        # hash on the CANONICAL member's text, so a near-dup cluster
+        # can never straddle train/eval (per-doc text hashing only
+        # protects exact dups). Opt-in because the streaming ingest
+        # twin (streaming/docs_gate) assigns splits per arriving doc
+        # without cluster context -- batch/streaming split parity
+        # only holds for the default per-doc keying.
+        labeled = labeled.withColumn("__split_key",
+                                     F.col("__canon.text"))
+        split_col = "__split_key"
+    else:
+        split_col = "text"
     out = deterministic_split(
-        labeled, "text", fractions or {"train": 0.8, "eval": 0.1,
-                                       "test": 0.1})
+        labeled.drop("__canon"), split_col,
+        fractions or {"train": 0.8, "eval": 0.1, "test": 0.1})
     return out.select("doc_id", "text", "predicted_lang",
                       "quality_score", "cluster_id", "is_canonical",
                       "split")
@@ -312,6 +340,30 @@ def curation_funnel(docs: DataFrame, **curate_kwargs) -> list[tuple[str, int]]:
             first_gate = False
         out.append((name, kept.count()))
     return out
+
+
+def split_leakage_report(curated: DataFrame) -> DataFrame:
+    """Train/eval leakage audit over a :func:`curate` result: the
+    near-dup clusters whose members landed in MORE than one split --
+    each row is a leaking (cluster, split) membership a user can act
+    on (drop the eval-side members, or re-run curate with
+    ``cluster_consistent_splits=True``, which makes this report empty
+    by construction).
+
+    Output: (cluster_id, n_splits, split, doc_id, is_canonical) for
+    every member of every straddling cluster.  Cost: one window over
+    the already-computed cluster labels -- no re-clustering, no text
+    scan; the report is empty on a leak-free corpus.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id")
+    return (curated
+            .withColumn("n_splits",
+                        F.size(F.collect_set("split").over(w)))
+            .filter(F.col("n_splits") > 1)
+            .select("cluster_id", "n_splits", "split", "doc_id",
+                    "is_canonical"))
 
 
 def rejection_audit(docs: DataFrame, **curate_kwargs) -> DataFrame:

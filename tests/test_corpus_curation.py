@@ -384,3 +384,47 @@ def test_rejection_audit_matches_funnel_counts(spark):
     assert docs.count() - audit.count() == funnel[-1][1]
     # every rejected id is attributed at most once
     assert audit.count() == audit.select("doc_id").distinct().count()
+
+
+def test_split_leakage_report_flags_straddling_clusters(spark):
+    """The report lists every member of every cluster spanning >1
+    split, and nothing else -- checked on a hand-built curated frame
+    (deterministic, no hash hunting)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.corpus_curation import (
+        split_leakage_report,
+    )
+
+    curated = spark.createDataFrame(
+        [(1, 1, True, "train"), (2, 1, False, "eval"),   # leaks
+         (3, 3, True, "train"), (4, 3, False, "train"),  # consistent
+         (5, 5, True, "test")],                          # singleton
+        "doc_id bigint, cluster_id bigint, is_canonical boolean, "
+        "split string")
+    rows = split_leakage_report(curated).collect()
+    assert sorted(r.doc_id for r in rows) == [1, 2]
+    assert all(r.cluster_id == 1 and r.n_splits == 2 for r in rows)
+
+
+def test_cluster_consistent_splits_eliminate_leakage(spark):
+    """curate(cluster_consistent_splits=True): every near-dup cluster
+    shares one split (leakage report empty), canonicals keep their
+    min-id invariant, and the doc set matches the default run (the
+    flag only re-keys the split hash)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.corpus_curation import (
+        split_leakage_report,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = curate(docs, min_quality=0.3, near_dup_threshold=0.5,
+                 cluster_consistent_splits=True).cache()
+    assert split_leakage_report(out).count() == 0
+    # same survivors as the default keying
+    base = curate(docs, min_quality=0.3, near_dup_threshold=0.5)
+    assert (out.select("doc_id").subtract(base.select("doc_id")).count()
+            == 0)
+    assert out.count() == base.count()
+    # canonical invariant survives the window rewrite
+    per_cluster = (out.groupBy("cluster_id")
+                   .agg(F.sum(F.col("is_canonical").cast("int")).alias("k")))
+    assert per_cluster.filter("k <> 1").count() == 0
+    out.unpersist()
