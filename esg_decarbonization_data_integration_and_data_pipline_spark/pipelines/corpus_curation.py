@@ -141,11 +141,7 @@ def curate(docs: DataFrame, keep_langs: list[str] | None = None,
     from pyspark.sql import Window
 
     w = Window.partitionBy("cluster_id")
-    labeled = (kept.join(clusters, "doc_id")
-                   .withColumn("__canon",
-                               F.min(F.struct("doc_id", "text")).over(w))
-                   .withColumn("is_canonical",
-                               F.col("doc_id") == F.col("__canon.doc_id")))
+    joined = kept.join(clusters, "doc_id")
     if cluster_consistent_splits:
         # leakage-proof split: every cluster member keys the split
         # hash on the CANONICAL member's text, so a near-dup cluster
@@ -153,14 +149,24 @@ def curate(docs: DataFrame, keep_langs: list[str] | None = None,
         # protects exact dups). Opt-in because the streaming ingest
         # twin (streaming/docs_gate) assigns splits per arriving doc
         # without cluster context -- batch/streaming split parity
-        # only holds for the default per-doc keying.
-        labeled = labeled.withColumn("__split_key",
-                                     F.col("__canon.text"))
+        # only holds for the default per-doc keying. The window
+        # struct carries text only on this path.
+        labeled = (joined
+                   .withColumn("__canon",
+                               F.min(F.struct("doc_id", "text")).over(w))
+                   .withColumn("is_canonical",
+                               F.col("doc_id") == F.col("__canon.doc_id"))
+                   .withColumn("__split_key", F.col("__canon.text"))
+                   .drop("__canon"))
         split_col = "__split_key"
     else:
+        labeled = (joined
+                   .withColumn("is_canonical",
+                               F.col("doc_id")
+                               == F.min("doc_id").over(w)))
         split_col = "text"
     out = deterministic_split(
-        labeled.drop("__canon"), split_col,
+        labeled, split_col,
         fractions or {"train": 0.8, "eval": 0.1, "test": 0.1})
     return out.select("doc_id", "text", "predicted_lang",
                       "quality_score", "cluster_id", "is_canonical",
