@@ -748,3 +748,52 @@ def decontaminate_embeddings(corpus: DataFrame, benchmark: DataFrame,
                   .filter(F.col("__rk") == 1)
                   .select(F.col("cid").alias("vec_id"),
                           F.col("bid").alias("bench_id"), "cosine"))
+
+
+def label_outliers(df: DataFrame, frac: float = 0.1,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """Embedding-space outlier detection: flag, per label group, the
+    ``frac`` fraction of vectors least similar to their group's
+    centroid -- the classic mislabeled/noisy-example filter a
+    curation pipeline runs before training on labeled embeddings
+    (CLIP-score-style pruning applied group-wise).
+
+    Plan shape (100 TB): the centroid pass is a posexplode keyed
+    (label, dim) with map-side partial aggregation -- the shuffle
+    carries #labels x dim running sums, not vectors.  The resulting
+    #labels-row centroid frame broadcasts back onto the corpus, so
+    scoring is a narrow projection.  The only corpus-sized exchange
+    is the per-label ranking window; its skew ceiling is the largest
+    label group, the same bound every per-group top-k carries.
+
+    Determinism: cosine is rounded to 6 digits (engine-consistent,
+    same convention as every similarity oracle here) BEFORE ranking,
+    and ties break on vec_id, so the outlier cut is exact across
+    engines.  Cut size is floor(frac * group size), matching the
+    quality_top_fraction convention.
+    """
+    from pyspark.sql import Window
+
+    v = df.select(F.col(id_col).alias("vec_id"),
+                  F.col(label_col).alias("label"),
+                  _as_double(vec_col).alias("v"))
+    cents = (v.select("label", F.posexplode("v").alias("d", "x"))
+              .groupBy("label", "d").agg(F.avg("x").alias("m"))
+              .groupBy("label")
+              .agg(F.array_sort(F.collect_list(F.struct("d", "m")))
+                    .alias("dm"))
+              .select("label",
+                      F.expr("transform(dm, s -> s.m)").alias("cv")))
+    scored = (v.join(F.broadcast(cents), "label")
+               .withColumn("centroid_sim", F.expr(_cos_expr("v", "cv"))))
+    wl = Window.partitionBy("label")
+    wr = Window.partitionBy("label").orderBy("centroid_sim", "vec_id")
+    return (scored
+            .withColumn("__n", F.count(F.lit(1)).over(wl))
+            .withColumn("__rn", F.row_number().over(wr))
+            .withColumn(
+                "is_outlier",
+                (F.col("__rn") <= F.floor(F.lit(frac) * F.col("__n")))
+                .cast("int"))
+            .select("vec_id", "label", "centroid_sim", "is_outlier"))

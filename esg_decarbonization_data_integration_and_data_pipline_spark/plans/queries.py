@@ -695,7 +695,7 @@ _DRIVER_HEAD = [
     "recode_region_names", "monthly_order_calendar",
     "string_slice_like", "fill_missing_part_revenue",
     "selfjoin_green_grey_rate",
-    "text_fingerprint", "text_quality", "tfidf_top_terms",
+    "text_quality", "tfidf_top_terms",
     "dedup_exact", "dedup_minhash_verified",
     "ann_multitable_pairs",
     "similarity_ivf_topk", "multimodal_features",
@@ -726,6 +726,14 @@ _DRIVER_HEAD = [
     # exact min-label fixpoint stays pinned by the in-repo oracle
     # replay + tests/test_clusters_split.py.
     "rejection_audit_docs",
+    # new in round 8, straight into the head (same reasoning as
+    # rejection_audit_docs): per-label embedding-centroid outlier
+    # flags. text_fingerprint (driver-green r1-r7) rotates out to
+    # make the slot -- the Arrow scalar-kernel family (UD1) keeps
+    # head representatives text_quality / text_scrub_pii /
+    # text_char_entropy, and the fingerprint values stay pinned by
+    # the in-repo oracle replay.
+    "embedding_outliers",
 ]
 _DRIVER_TAIL = [
     # approx_sketches is rows-only by design (no exact SQL oracle for
@@ -813,6 +821,10 @@ _DRIVER_TAIL = [
     #       head comment; component construction stays head-graded
     #       via semdedup_embeddings)
     "dedup_clusters",
+    #   text_fingerprint (r1-r7)    -> embedding_outliers (see the
+    #       head comment; UD1 Arrow scalar kernels keep head reps
+    #       text_quality / the decontamination kernels)
+    "text_fingerprint",
     "text_repetition",
     "latest_status_version", "distinct_projection", "dedup_simhash",
     "dedup_jaccard_pairs", "cube_status_priority", "count_distinct_parts",

@@ -1607,3 +1607,41 @@ def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (bpe_segment(d, merges)
             .select("doc_id", "n_bpe_tokens",
                     F.concat_ws(" ", "bpe_tokens").alias("bpe_text")))
+
+
+@register("embedding_outliers", "ext:embedding-outliers", oracle="""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+ex AS (
+  SELECT label, d, avg(e[CAST(d AS INT)]) AS m
+  FROM v, (SELECT unnest(range(1, 65)) AS d) ds
+  GROUP BY label, d
+),
+cent AS (SELECT label, list(m ORDER BY d) AS ce FROM ex GROUP BY label),
+sims AS (
+  SELECT v.vec_id, v.label,
+         round(list_cosine_similarity(v.e, cent.ce), 6) AS centroid_sim
+  FROM v JOIN cent USING (label)
+),
+ranked AS (
+  SELECT vec_id, label, centroid_sim,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY centroid_sim, vec_id) AS rn,
+         count(*) OVER (PARTITION BY label) AS n
+  FROM sims
+)
+SELECT vec_id, label, centroid_sim,
+       CAST(rn <= CAST(floor(0.1 * n) AS BIGINT) AS INT) AS is_outlier
+FROM ranked
+""")
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outlier flags: the 10% of vectors least
+    cosine-similar to their label's centroid (mislabeled/noisy-
+    example pruning -- the group-wise CLIP-score-style filter).
+    Centroids are a (label, dim)-keyed partial-agg shuffle followed
+    by a #labels-row broadcast; the ranking cut is floor(0.1 * n)
+    with 6-digit-rounded similarity and vec_id tiebreak on both
+    engines (operators/similarity.label_outliers)."""
+    e = table(spark, sf_dir, "embeddings")
+    return S.label_outliers(e, frac=0.1)

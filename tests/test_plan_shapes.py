@@ -311,3 +311,14 @@ def test_contamination_report_no_corpus_gram_shuffle(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert plan.count("hashpartitioning(gram") == 0
     assert "partial_" in plan
+
+
+def test_embedding_outliers_broadcasts_centroids(spark, sf_dir):
+    """The #labels-row centroid frame must broadcast back onto the
+    corpus (a sort-merge join would shuffle every vector against ~10
+    rows); the centroid pass partial-aggregates its (label, dim) sums
+    before the exchange."""
+    plan = plan_of(spark, sf_dir, "embedding_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_" in plan

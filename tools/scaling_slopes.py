@@ -218,6 +218,25 @@ def main() -> None:
         # cost on purpose; the returned manifest is tiny.
         "curate_and_export":
             lambda s: _curate_export(s),
+        # round-8: per-label centroid outlier flags -- a (label, dim)
+        # partial-agg shuffle + broadcast score + one per-label
+        # window; slope should track the embedding scan
+        "embedding_outliers":
+            lambda s: S.label_outliers(embs(s), frac=0.1),
+        # round-8: leakage audit over a PRE-MATERIALIZED curate()
+        # snapshot (built untimed, like the minhash index) -- the
+        # claim under test is "one window over existing cluster
+        # labels, no re-clustering", so the curate cost must not
+        # leak into the measurement
+        "split_leakage_report":
+            lambda s: _leakage(s),
+        # round-8: first-rejecting-gate attribution. By design it
+        # re-runs the curate gate chain (attribution cannot drift
+        # from the data path), so its slope bounds the gate chain's
+        # own slope -- expected to track curate_and_export minus the
+        # export write
+        "rejection_audit":
+            lambda s: _audit(docs(s)),
     }
 
     def _doc_lines(d):
@@ -257,6 +276,34 @@ def main() -> None:
 
         return temperature_mixture_sample(d, alpha=0.5)
 
+    def _curated(s):
+        """Per-scale curate() snapshot, built once untimed: the
+        leakage report's contract is O(window over labels), so it is
+        timed over the materialized curation result, not the live
+        curation lineage."""
+        from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.corpus_curation import (
+            curate,
+        )
+
+        path = os.path.join(args.out, f"x{s}", "curated_snapshot")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            curate(docs(s)).write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    def _leakage(s):
+        from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.corpus_curation import (
+            split_leakage_report,
+        )
+
+        return split_leakage_report(_curated(s))
+
+    def _audit(d):
+        from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.corpus_curation import (
+            rejection_audit,
+        )
+
+        return rejection_audit(d)
+
     _export_dirs: list[str] = []
 
     def _curate_export(s):
@@ -282,6 +329,11 @@ def main() -> None:
         # leaking it into the first sample corrupts the median
         for scale in scales:
             incr_index(scale)
+    if "split_leakage_report" in OPS:
+        # same discipline: the curated snapshots are inputs, not part
+        # of the measured query
+        for scale in scales:
+            _curated(scale)
     for name, fn in OPS.items():
         results[name] = {}
         for scale in scales:
