@@ -343,15 +343,167 @@ def write_version(df: DataFrame, table_dir: str,
         shutil.rmtree(staged, ignore_errors=True)
 
 
+_MANIFEST = "_MANIFEST"
+_TXN_PREFIX = "#txn "
+
+
+def _read_manifest(table_dir: str,
+                   n: int) -> tuple[list[str], set[str]] | None:
+    """(data-file lines, txn ids) of ``v_n``'s manifest, or None for a
+    snapshot version (no ``_MANIFEST``: the dir's own files ARE the
+    version -- :func:`write_version`'s layout)."""
+    p = os.path.join(table_dir, f"v_{n:08d}", _MANIFEST)
+    try:
+        with open(p, encoding="ascii") as fh:
+            raw = fh.read()
+    except OSError:
+        return None
+    files: list[str] = []
+    txns: set[str] = set()
+    for line in raw.splitlines():
+        if not line.strip():
+            continue
+        if line.startswith(_TXN_PREFIX):
+            txns.add(line[len(_TXN_PREFIX):])
+        else:
+            files.append(line)
+    return files, txns
+
+
+def _data_files(table_dir: str, n: int) -> list[str]:
+    """Relative data-file paths making up version ``n``: the manifest
+    lines when one exists, else the snapshot dir's own part files."""
+    mf = _read_manifest(table_dir, n)
+    if mf is not None:
+        return mf[0]
+    vname = f"v_{n:08d}"
+    vdir = os.path.join(table_dir, vname)
+    return sorted(f"{vname}/{f}" for f in os.listdir(vdir)
+                  if not f.startswith(("_", ".")))
+
+
+def _txns(table_dir: str, n: int) -> set[str]:
+    mf = _read_manifest(table_dir, n)
+    return mf[1] if mf is not None else set()
+
+
+def append_version(df: DataFrame, table_dir: str, txn: str | None = None,
+                   max_attempts: int = 20,
+                   backend: CommitBackend | None = None) -> int:
+    """Commit ``df`` as a new version APPENDED to the current one --
+    O(batch) per commit, not O(table): the new version dir holds only
+    the batch's parquet files plus a tiny ``_MANIFEST`` listing the
+    base version's data files (inherited by reference) followed by its
+    own.  Readers resolving the new version scan old and new files
+    together; nothing is rewritten or copied.  This is the Delta/
+    Iceberg append shape, and the piece :func:`write_version` (full
+    snapshot) cannot give a continuously-ingesting stream.
+
+    ``txn``: optional idempotence token.  Manifests inherit txn
+    markers forward, so "was this transaction already applied" is one
+    read of the CURRENT manifest -- if present, the append is a
+    replay and returns the current version unchanged.  That makes a
+    crash-rerun of the same micro-batch exactly-once (the streaming
+    sink keys txn on the checkpoint's batch id).  The token dedups
+    against the committed CHAIN, not against concurrent in-flight
+    writers -- route one streaming writer per (table, checkpoint),
+    which Structured Streaming already guarantees.
+
+    Unlike :func:`write_version`, supersession by a concurrent
+    committer is NOT fatal: an append invalidates nothing, so the
+    claim is renumbered above the new base, the manifest is rebuilt
+    against it, and the commit retries (bounded by ``max_attempts``).
+    Compaction = ``write_version(read_current(...), ...)``: the
+    snapshot terminates the inheritance chain and ``vacuum`` reaps
+    the no-longer-referenced dirs once retention passes.
+    """
+    import uuid
+
+    backend = backend or _DEFAULT_BACKEND
+    os.makedirs(table_dir, exist_ok=True)
+    if txn is not None:
+        cur0 = current_version(table_dir, backend=backend)
+        if cur0 is not None and txn in _txns(table_dir, cur0):
+            return cur0  # replayed transaction -- already visible
+    staged = os.path.join(
+        table_dir, f"{_STAGE_PREFIX}{os.getpid()}-{uuid.uuid4().hex}")
+    claimed: str | None = None
+    try:
+        df.write.mode("overwrite").parquet(staged)
+        if not any(not f.startswith(("_", "."))
+                   for f in os.listdir(staged)):
+            # an empty batch can plan away to zero part files; force
+            # one schema-carrying part so the version stays readable
+            df.limit(0).repartition(1).write.mode("overwrite") \
+                .parquet(staged)
+        n = max(_versions(table_dir), default=0) + 1
+        for _ in range(max_attempts):
+            target = os.path.join(table_dir, f"v_{n:08d}")
+            try:
+                # claims AND re-claims: on renumbering, the already-
+                # claimed dir moves to the higher number (metadata-only;
+                # rename onto itself after a failed commit is a no-op)
+                os.rename(claimed or staged, target)
+            except OSError as exc:
+                if exc.errno not in (errno.EEXIST, errno.ENOTEMPTY):
+                    raise
+                n += 1
+                continue
+            claimed = target
+            vname = f"v_{n:08d}"
+            raw = backend.read_pointer(table_dir)
+            cur = _parse_pointer(raw)
+            if cur is not None and cur >= n:
+                # base advanced past our number; pointer monotonicity
+                # forbids committing n -- renumber above the new base
+                n = max(cur, max(_versions(table_dir), default=0)) + 1
+                continue
+            own = sorted(
+                f"{vname}/{f}" for f in os.listdir(claimed)
+                if not f.startswith(("_", ".")))
+            inherited = _data_files(table_dir, cur) if cur is not None else []
+            txns = _txns(table_dir, cur) if cur is not None else set()
+            if txn is not None:
+                txns = txns | {txn}
+            lines = ([_TXN_PREFIX + t for t in sorted(txns)]
+                     + inherited + own)
+            with open(os.path.join(claimed, _MANIFEST), "w",
+                      encoding="ascii") as fh:
+                fh.write("\n".join(lines) + "\n")
+            if backend.try_commit(table_dir, f"{vname}\n".encode("ascii"),
+                                  raw):
+                claimed = None  # committed -- nothing to clean up
+                return n
+            # a competitor committed inside our read-to-commit window;
+            # loop re-reads the pointer and rebuilds the manifest over
+            # the new base (each failure implies system-wide progress)
+        raise RuntimeError(
+            f"could not append a version under {table_dir} after "
+            f"{max_attempts} attempts")
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+        if claimed is not None:
+            # claimed but never committed: no reader can have resolved
+            # it (the pointer is monotonic), so reap it now instead of
+            # leaving an orphan for vacuum's TTL
+            shutil.rmtree(claimed, ignore_errors=True)
+
+
 def read_current(spark: SparkSession, table_dir: str,
                  backend: CommitBackend | None = None) -> DataFrame:
     """Resolve ``_CURRENT`` and read that version -- the only reader
-    entry point; never lists or touches version dirs directly."""
+    entry point; never lists or touches version dirs directly.
+    Manifest-append versions read their listed files (old dirs + new);
+    snapshot versions read their own dir."""
     n = current_version(table_dir, backend=backend)
     if n is None:
         raise FileNotFoundError(
             f"{table_dir} has no committed version (_CURRENT missing)")
-    return spark.read.parquet(os.path.join(table_dir, f"v_{n:08d}"))
+    mf = _read_manifest(table_dir, n)
+    if mf is None:
+        return spark.read.parquet(os.path.join(table_dir, f"v_{n:08d}"))
+    return spark.read.parquet(
+        *[os.path.join(table_dir, rel) for rel in mf[0]])
 
 
 def vacuum(table_dir: str, keep_last: int = 2,
@@ -404,6 +556,19 @@ def vacuum(table_dir: str, keep_last: int = 2,
     keep = set(committed[-keep_last:])
     if cur is not None:
         keep.add(cur)
+    # manifest-append versions hold data BY REFERENCE into older
+    # dirs: every dir a kept version's manifest points into must
+    # survive, however old, or the kept version dangles.  One level
+    # suffices -- manifests list concrete data files, never other
+    # manifests.
+    for n in sorted(keep):
+        mf = _read_manifest(table_dir, n)
+        if mf is None:
+            continue
+        for rel in mf[0]:
+            m = _V_RE.match(rel.split("/", 1)[0])
+            if m:
+                keep.add(int(m.group(1)))
     for n in vs:
         full = os.path.join(table_dir, f"v_{n:08d}")
         if cur is None or n > cur:

@@ -1,0 +1,66 @@
+"""Streaming ingest into a manifest-committed versioned table: each
+micro-batch commits ONE new version via :func:`io.versioned.
+append_version` -- O(batch) per trigger, snapshot-isolated readers.
+
+This is the serving-side twin of :mod:`docs_gate`'s ``replace_keys``
+merge: the keyed merge gives convergent UPSERT semantics into a plain
+parquet table (exclusive maintenance window required for readers);
+the versioned append gives strict snapshot isolation -- a dashboard
+or training job reading ``read_current`` mid-ingest sees a fully
+committed corpus prefix, never a half-written batch -- at the cost of
+append-only semantics between compactions.
+
+Exactly-once: the version manifest carries a transaction marker
+keyed on (checkpoint identity, micro-batch id).  Structured Streaming
+replays a batch whose sink crashed mid-commit under the SAME batch
+id, and ``append_version`` answers a replayed txn with the existing
+version instead of double-appending.  The checkpoint identity is
+hashed into the marker so a NEW checkpoint (fresh batch ids from 0)
+cannot collide with a previous run's markers on the same table.
+
+Compaction stays a batch-side concern: periodically
+``write_version(read_current(spark, t), t)`` snapshots the chain and
+``vacuum`` reaps the superseded dirs (tested in
+tests/test_versioned_append.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+
+from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+    append_version,
+)
+
+
+def stream_versioned_append(sdf: DataFrame, table_dir: str,
+                            checkpoint: str,
+                            transform=None,
+                            query_name: str = "docs_versioned_append"):
+    """documents stream -> one committed table version per non-empty
+    micro-batch.
+
+    ``transform``: optional DataFrame -> DataFrame applied per batch
+    BEFORE the append (e.g. the stateless gate chain); it must be
+    deterministic for the exactly-once guarantee to mean anything --
+    a replayed batch re-runs it.
+
+    Empty micro-batches commit nothing (no version churn; replaying
+    an empty batch is trivially idempotent).
+
+    Returns the started query; callers own awaitTermination."""
+    ckpt_id = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = transform(batch_df) if transform is not None else batch_df
+        append_version(batch, table_dir, txn=f"{ckpt_id}:{batch_id}")
+
+    return (sdf.writeStream.foreachBatch(sink)
+               .option("checkpointLocation", checkpoint)
+               .queryName(query_name)
+               .trigger(availableNow=True)
+               .start())
