@@ -489,6 +489,14 @@ def append_version(df: DataFrame, table_dir: str, txn: str | None = None,
             shutil.rmtree(claimed, ignore_errors=True)
 
 
+def _read_resolved(spark: SparkSession, table_dir: str, n: int) -> DataFrame:
+    mf = _read_manifest(table_dir, n)
+    if mf is None:
+        return spark.read.parquet(os.path.join(table_dir, f"v_{n:08d}"))
+    return spark.read.parquet(
+        *[os.path.join(table_dir, rel) for rel in mf[0]])
+
+
 def read_current(spark: SparkSession, table_dir: str,
                  backend: CommitBackend | None = None) -> DataFrame:
     """Resolve ``_CURRENT`` and read that version -- the only reader
@@ -499,11 +507,63 @@ def read_current(spark: SparkSession, table_dir: str,
     if n is None:
         raise FileNotFoundError(
             f"{table_dir} has no committed version (_CURRENT missing)")
-    mf = _read_manifest(table_dir, n)
-    if mf is None:
-        return spark.read.parquet(os.path.join(table_dir, f"v_{n:08d}"))
-    return spark.read.parquet(
-        *[os.path.join(table_dir, rel) for rel in mf[0]])
+    return _read_resolved(spark, table_dir, n)
+
+
+def read_version(spark: SparkSession, table_dir: str, n: int,
+                 backend: CommitBackend | None = None) -> DataFrame:
+    """Time-travel: read committed version ``n`` as the consistent
+    snapshot it was at commit time (the Delta ``versionAsOf`` shape).
+
+    Only versions the pointer has PASSED are readable -- the pointer
+    is monotonic, so ``n <= current`` is exactly "some reader could
+    once have resolved this"; a claimed-but-never-committed dir was
+    never visible and asking for it is a caller bug (``ValueError``).
+    A committed version already reaped by :func:`vacuum` raises
+    ``FileNotFoundError`` -- retention, not correctness, bounds how
+    far back travel reaches (same contract as every table format)."""
+    cur = current_version(table_dir, backend=backend)
+    if cur is None:
+        raise FileNotFoundError(
+            f"{table_dir} has no committed version (_CURRENT missing)")
+    if n < 1 or n > cur:
+        raise ValueError(
+            f"version v_{n:08d} of {table_dir} was never committed "
+            f"(current is v_{cur:08d}); only 1..current are readable")
+    if not os.path.isdir(os.path.join(table_dir, f"v_{n:08d}")):
+        raise FileNotFoundError(
+            f"version v_{n:08d} of {table_dir} was committed but has "
+            f"been vacuumed; raise vacuum's keep_last to travel this "
+            f"far back")
+    return _read_resolved(spark, table_dir, n)
+
+
+def history(table_dir: str,
+            backend: CommitBackend | None = None) -> list[dict]:
+    """The table's committed, still-on-disk versions, oldest first:
+    ``{"version", "kind" ("snapshot"|"append"), "n_files", "txns",
+    "current"}``.  ``n_files`` counts the files a reader of that
+    version scans (inherited + own for appends); ``txns`` is the
+    sorted idempotence-token set carried by that version's manifest.
+    Claimed-but-uncommitted dirs (never visible to any reader) are
+    excluded -- this is the audit surface for "what would
+    read_version(n) give me", not a directory listing."""
+    cur = current_version(table_dir, backend=backend)
+    if cur is None:
+        return []
+    out: list[dict] = []
+    for n in _versions(table_dir):
+        if n > cur:
+            continue  # claim that never committed -- never visible
+        mf = _read_manifest(table_dir, n)
+        out.append({
+            "version": n,
+            "kind": "snapshot" if mf is None else "append",
+            "n_files": len(_data_files(table_dir, n)),
+            "txns": sorted(mf[1]) if mf is not None else [],
+            "current": n == cur,
+        })
+    return out
 
 
 def vacuum(table_dir: str, keep_last: int = 2,

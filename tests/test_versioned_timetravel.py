@@ -1,0 +1,94 @@
+"""Time-travel reads and the history() audit surface of versioned
+tables (io/versioned.read_version / history): each committed version
+stays readable as the exact snapshot it was, uncommitted claims are
+invisible, and vacuum bounds how far back travel reaches.
+
+Reference parity note: the reference keeps only mutable warehouse
+tables (jobs/csr_etl.py overwrites in place); versioned time-travel is
+the Spark-first upgrade every modern table format provides on top.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+    append_version, history, read_current, read_version, vacuum,
+    write_version,
+)
+
+
+def _df(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "x bigint")
+
+
+def _xs(df):
+    return sorted(r.x for r in df.collect())
+
+
+def test_read_version_travels_across_appends(spark, tmp_path):
+    t = str(tmp_path / "t")
+    append_version(_df(spark, [1]), t)
+    append_version(_df(spark, [2]), t)
+    append_version(_df(spark, [3]), t)
+    assert _xs(read_version(spark, t, 1)) == [1]
+    assert _xs(read_version(spark, t, 2)) == [1, 2]
+    assert _xs(read_version(spark, t, 3)) == [1, 2, 3]
+    # current == highest committed, via either entry point
+    assert _xs(read_current(spark, t)) == _xs(read_version(spark, t, 3))
+
+
+def test_read_version_travels_across_snapshots(spark, tmp_path):
+    """Snapshot versions (write_version) are full replacements: each
+    travel target returns that snapshot, not an accumulation."""
+    t = str(tmp_path / "t")
+    write_version(_df(spark, [1, 2]), t)
+    write_version(_df(spark, [9]), t)
+    assert _xs(read_version(spark, t, 1)) == [1, 2]
+    assert _xs(read_version(spark, t, 2)) == [9]
+
+
+def test_uncommitted_and_out_of_range_versions_are_refused(spark, tmp_path):
+    t = str(tmp_path / "t")
+    append_version(_df(spark, [1]), t)
+    # a claimed-but-never-committed dir must be invisible to travel
+    os.makedirs(os.path.join(t, "v_00000002"))
+    with pytest.raises(ValueError, match="never committed"):
+        read_version(spark, t, 2)
+    with pytest.raises(ValueError, match="never committed"):
+        read_version(spark, t, 0)
+    with pytest.raises(FileNotFoundError, match="no committed version"):
+        read_version(spark, str(tmp_path / "missing"), 1)
+
+
+def test_vacuumed_version_raises_with_retention_guidance(spark, tmp_path):
+    import time
+
+    t = str(tmp_path / "t")
+    for v in ([1], [2], [3], [4]):
+        write_version(_df(spark, v), t)
+    old = time.time() - 10
+    for e in os.listdir(t):
+        p = os.path.join(t, e)
+        os.utime(p, (old, old))
+    vacuum(t, keep_last=1, stage_ttl_seconds=1)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        read_version(spark, t, 1)
+    assert _xs(read_version(spark, t, 4)) == [4]
+
+
+def test_history_reports_kind_files_and_txns(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_version(_df(spark, [1]), t)
+    append_version(_df(spark, [2]), t, txn="batch-7")
+    os.makedirs(os.path.join(t, "v_00000005"))  # orphan claim: hidden
+    h = history(t)
+    assert [e["version"] for e in h] == [1, 2]
+    assert [e["kind"] for e in h] == ["snapshot", "append"]
+    assert [e["current"] for e in h] == [False, True]
+    assert h[1]["txns"] == ["batch-7"]
+    # the append's reader scans inherited + own files
+    assert h[1]["n_files"] > h[0]["n_files"] >= 1
+    assert history(str(tmp_path / "missing")) == []
