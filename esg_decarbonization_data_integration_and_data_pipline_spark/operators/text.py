@@ -889,6 +889,60 @@ def unigram_nll(df: DataFrame, id_col: str = "doc_id",
                      .alias("nll")))
 
 
+def bigram_nll(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Per-document mean negative log2-likelihood under the corpus's
+    OWN bigram language model -- the conditional-probability upgrade
+    of :func:`unigram_nll` (the CCNet-style LM-perplexity filter
+    shape): P(b|a) = c(a,b) / c_left(a), where c_left(a) counts token
+    ``a`` in left-of-bigram position corpus-wide.  Word-salad that
+    passes a unigram screen (common words, implausible order) scores
+    high here; fluent text low.  Self-scoring keeps the model closed:
+    every bigram in a doc exists in the corpus, so no smoothing floor
+    is needed and the score is exactly deterministic.
+
+    Plan: one narrow pass builds adjacent pairs per doc
+    (``transform(sequence(...))`` + explode -- no self-join on token
+    position), then the unigram_nll shape at bigram grain: a
+    (doc, a, b) partial-agg, corpus counts over THAT (already one row
+    per doc-bigram), and one partial-agg groupBy back to doc grain.
+    The marginal c_a is a third aggregate over the SAME (doc, a, b)
+    exchange -- both corpus-count branches and the probe side
+    canonicalize to one subtree, so ReuseExchange collapses the
+    executed plan to a single corpus scan.  That reuse is why the
+    pair stream carries an EXPLICIT (a, b) not-null filter: without
+    it, the join's inferred isnotnull constraints push down
+    asymmetrically per branch (the window variant tried first lost
+    reuse entirely this way) and the corpus is re-scanned per branch.
+    Identity: mean -log2(c_ab / c_a) =
+    (1/m) * sum tf * (log2 c_a - log2 c_ab).
+
+    Output: (doc_id, n_bigrams, bigram_nll) -- nll rounded to 6;
+    docs with < 2 tokens have no bigrams and drop out (left-join and
+    coalesce if they must survive)."""
+    toks = F.expr(
+        f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')")
+    pairs = F.expr(
+        "transform(sequence(1, size(__toks) - 1),"
+        " i -> struct(__toks[i-1] AS a, __toks[i] AS b))")
+    bg = (df.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+            .filter(F.size("__toks") >= 2)  # sequence(1,0) counts DOWN
+            .select("doc_id", F.explode(pairs).alias("__p"))
+            .select("doc_id", "__p.a", "__p.b")
+            # semantically a no-op (tokens are never null); keeps the
+            # branch subtrees identical for exchange reuse, see above
+            .filter(F.col("a").isNotNull() & F.col("b").isNotNull()))
+    btf = bg.groupBy("doc_id", "a", "b").agg(F.count(F.lit(1)).alias("tf"))
+    cab = btf.groupBy("a", "b").agg(F.sum("tf").alias("c_ab"))
+    ca = cab.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    return (btf.join(cab, ["a", "b"]).join(ca, "a")
+               .groupBy("doc_id")
+               .agg(F.sum("tf").alias("n_bigrams"),
+                    F.round(F.sum(F.col("tf")
+                                  * (F.log2("c_a") - F.log2("c_ab")))
+                            / F.sum("tf"), 6).alias("bigram_nll")))
+
+
 def drop_repeated_lines(lines: DataFrame, min_docs: int = 2,
                         doc_col: str = "doc_id",
                         idx_col: str = "chunk_idx",

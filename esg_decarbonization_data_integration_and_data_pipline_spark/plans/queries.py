@@ -695,7 +695,7 @@ _DRIVER_HEAD = [
     "recode_region_names", "monthly_order_calendar",
     "string_slice_like", "fill_missing_part_revenue",
     "selfjoin_green_grey_rate",
-    "text_quality", "tfidf_top_terms",
+    "text_quality",
     "dedup_exact", "dedup_minhash_verified",
     "ann_multitable_pairs",
     "similarity_ivf_topk", "multimodal_features",
@@ -734,6 +734,15 @@ _DRIVER_HEAD = [
     # text_char_entropy, and the fingerprint values stay pinned by
     # the in-repo oracle replay.
     "embedding_outliers",
+    # new in round 8, straight into the head (same reasoning):
+    # corpus-self bigram-LM NLL, the conditional-probability upgrade
+    # of text_unigram_nll. tfidf_top_terms (driver-green r5-r7)
+    # rotates out to make the slot -- the token/gram-shuffle-join
+    # family keeps this strict analog as its head representative,
+    # W2 window-rank stays via greedy_allocation and
+    # latest_order_per_customer, and tf-idf values stay pinned by the
+    # in-repo oracle replay.
+    "text_bigram_nll",
 ]
 _DRIVER_TAIL = [
     # approx_sketches is rows-only by design (no exact SQL oracle for
@@ -825,6 +834,9 @@ _DRIVER_TAIL = [
     #       head comment; UD1 Arrow scalar kernels keep head reps
     #       text_quality / the decontamination kernels)
     "text_fingerprint",
+    #   tfidf_top_terms (r5-r7)     -> text_bigram_nll (see the head
+    #       comment; same token-shuffle-join plan family)
+    "tfidf_top_terms",
     "text_repetition",
     "latest_status_version", "distinct_projection", "dedup_simhash",
     "dedup_jaccard_pairs", "cube_status_priority", "count_distinct_parts",

@@ -946,6 +946,42 @@ def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.unigram_nll(d)
 
 
+@register("text_bigram_nll", "ext:quality-score,ext:lm-score", oracle="""
+WITH d AS (
+  SELECT doc_id, """ + _SQL_TOKS + """ AS toks FROM documents
+),
+bg AS (
+  -- lockstep double-unnest of the two (len-1)-element slices yields
+  -- exactly the adjacent pairs, 1-based inclusive slicing
+  SELECT doc_id,
+         unnest(toks[1:CAST(len(toks) - 1 AS BIGINT)]) AS a,
+         unnest(toks[2:CAST(len(toks) AS BIGINT)]) AS b
+  FROM d WHERE len(toks) >= 2
+),
+btf AS (
+  SELECT doc_id, a, b, count(*) AS tf FROM bg GROUP BY doc_id, a, b
+),
+cab AS (
+  SELECT a, b, sum(tf) AS c_ab FROM btf GROUP BY a, b
+),
+ca AS (
+  SELECT a, sum(c_ab) AS c_a FROM cab GROUP BY a
+)
+SELECT btf.doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       round(sum(tf * (log2(c_a) - log2(c_ab))) / sum(tf), 6)
+         AS bigram_nll
+FROM btf JOIN cab USING (a, b) JOIN ca USING (a)
+GROUP BY btf.doc_id
+""")
+def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-probability perplexity filter: mean negative
+    log2-likelihood under the corpus's own bigram LM (adjacent-pair
+    explode, then the unigram_nll partial-agg shape at bigram grain).
+    Catches in-vocabulary word salad the unigram screen passes."""
+    d = table(spark, sf_dir, "documents")
+    return T.bigram_nll(d)
+
+
 @register("mixture_sample_docs", "ext:mixture-sampling", oracle="""
 WITH srcs AS (
   SELECT source, count(*) AS n,

@@ -55,7 +55,11 @@ QUERIES = ["text_repetition", "dedup_simhash64_pairs", "dedup_simhash",
            # round-8: per-doc curation rejection audit (null/empty/
            # whitespace/single-token docs must all attribute to the
            # quality gate identically on both engines)
-           "rejection_audit_docs"]
+           "rejection_audit_docs",
+           # round-8: bigram-LM NLL (null/empty/whitespace and the
+           # single-token doc -- which has NO bigrams and must drop
+           # out identically on both engines)
+           "text_bigram_nll"]
 
 
 @pytest.fixture(scope="module")
