@@ -176,6 +176,7 @@ def main() -> None:
                                  k=10, n_cells=16, n_probes=4),
         "vocab_top_tokens": lambda s: T.vocab_top_tokens(docs(s), k=50),
         "tfidf_top_terms": lambda s: T.tfidf_top_terms(docs(s), k=3),
+        "text_bigram_nll": lambda s: T.bigram_nll(docs(s)),
         # round-6 export tier: shard count fixed (the 100 TB knob is
         # n_shards; slope vs corpus size at constant shards is the
         # conservative case -- per-shard windows grow linearly)
