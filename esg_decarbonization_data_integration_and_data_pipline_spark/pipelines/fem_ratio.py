@@ -41,9 +41,15 @@ def fem_ratio(tables: dict[str, DataFrame], run_date: dt.date,
         scoped = scoped.filter(F.col("site").isin(sites))
 
     # DISTINCT mirrors the reference's `SELECT DISTINCT ... FROM
-    # plant_mapping`: the same (code, name) pair listed under several
-    # sites must not multiply the joined power rows
-    dim = mapping.select("plant_code", "plant_name").dropDuplicates()
+    # plant_mapping WHERE site IN (<site>)`: the mapping is scoped to
+    # the SAME sites as the power rows BEFORE deduplication (a
+    # plant_code mapped to a different name under an out-of-scope site
+    # must not fan out the join), and the same (code, name) pair
+    # listed under several in-scope sites must not multiply either
+    # (jobs/source_to_raw/fem_ratio.py:13-17)
+    scoped_mapping = (mapping.filter(F.col("site").isin(sites))
+                      if sites else mapping)
+    dim = scoped_mapping.select("plant_code", "plant_name").dropDuplicates()
     enriched = (scoped.join(F.broadcast(dim), "plant_code", "left")
                       .na.drop(subset=["plant_name"]))
 

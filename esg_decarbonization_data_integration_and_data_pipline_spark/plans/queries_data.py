@@ -1650,8 +1650,12 @@ WITH v AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
 ),
 ex AS (
+  -- dim derived from the data (NOT a literal): the driver's
+  -- embeddings float width has drifted before, and the Spark side
+  -- already sizes the centroid from the loaded rows (r8 advisor)
   SELECT label, d, avg(e[CAST(d AS INT)]) AS m
-  FROM v, (SELECT unnest(range(1, 65)) AS d) ds
+  FROM v, (SELECT unnest(range(1, (SELECT CAST(max(len(e)) AS BIGINT)
+                                   FROM v) + 1)) AS d) ds
   GROUP BY label, d
 ),
 cent AS (SELECT label, list(m ORDER BY d) AS ce FROM ex GROUP BY label),

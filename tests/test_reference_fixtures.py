@@ -125,3 +125,23 @@ def test_fem_ratio_mapping_distinct_across_sites(spark):
                      RUN).collect()
     assert [(r.plant, r.amount, r.ratio) for r in rows] == \
         [("plant1", 1.0, 1.0)]
+
+
+def test_fem_ratio_mapping_site_scoped_before_distinct(spark):
+    """The reference scopes plant_map to the job's site BEFORE the
+    DISTINCT (`WHERE site in ('{site}')`, fem_ratio.py:13): a
+    plant_code mapped to a DIFFERENT name under another site must not
+    fan out the join and double-count that code's power (r8 advisor
+    finding)."""
+    daily = spark.createDataFrame(
+        [("site1", "plant_code1", dt.date(2023, 9, 13), 1.0, "用電量")],
+        "site string, plant_code string, datadate date, power double, "
+        "consumetype string")
+    mapping = spark.createDataFrame(
+        [("site1", "plantA", "plant_code1"),
+         ("site2", "plantB", "plant_code1")],  # same code, other name
+        "site string, plant_name string, plant_code string")
+    rows = fem_ratio({"fem_dailypower": daily, "plant_mapping": mapping},
+                     RUN, sites=["site1"]).collect()
+    assert [(r.plant, r.amount, r.ratio) for r in rows] == \
+        [("plantA", 1.0, 1.0)]
