@@ -13,6 +13,15 @@ module is the other protocol, the one every modern table format
   and dir-renamed into place when fully written;
 - commit = atomically replacing the tiny ``_CURRENT`` pointer file
   (``os.replace`` of a same-directory temp file -- atomic on POSIX);
+  the pointer is an append-only COMMIT LOG: one ``v_NNNNNNNN`` line
+  per commit, last line = current.  Version numbers can legitimately
+  skip (a claim superseded before its flip, or a crashed appender,
+  leaves an on-disk dir that never committed), so "n <= current" is
+  NOT commit-time truth -- the log is (r8 advisor finding: an orphan
+  below current must not be readable as a snapshot).  At ~11 bytes
+  per commit the log stays pointer-sized for any realistic table; an
+  object-store deployment would checkpoint it exactly like Delta's
+  log checkpoints;
 - readers resolve through ``_CURRENT`` and only ever see a fully
   committed version; a reader holding version N keeps a consistent
   snapshot while version N+1 commits (old dirs survive until
@@ -131,11 +140,33 @@ class PosixCommitBackend(CommitBackend):
 _DEFAULT_BACKEND = PosixCommitBackend()
 
 
-def _parse_pointer(raw: bytes | None) -> int | None:
+def _committed_from(raw: bytes | None) -> list[int]:
+    """All version numbers the pointer log records as committed, in
+    commit order (single-line pre-log pointers parse identically)."""
     if raw is None:
-        return None
-    m = _V_RE.match(raw.decode("utf-8", "replace").strip())
-    return int(m.group(1)) if m else None
+        return []
+    out = []
+    for line in raw.decode("utf-8", "replace").splitlines():
+        m = _V_RE.match(line.strip())
+        if m:
+            out.append(int(m.group(1)))
+    return out
+
+
+def _parse_pointer(raw: bytes | None) -> int | None:
+    """Current version = the log's LAST committed line."""
+    committed = _committed_from(raw)
+    return committed[-1] if committed else None
+
+
+def _next_pointer(raw: bytes | None, vname: str) -> bytes:
+    """The pointer content that commits ``vname``: the existing log
+    with one line appended (the conditional put swaps full content, so
+    log appends are exactly as atomic as the old single-line flip)."""
+    base = raw or b""
+    if base and not base.endswith(b"\n"):
+        base += b"\n"
+    return base + f"{vname}\n".encode("ascii")
 
 
 class _flip_lock:
@@ -263,6 +294,17 @@ def current_version(table_dir: str,
                           .read_pointer(table_dir))
 
 
+def committed_versions(table_dir: str,
+                       backend: CommitBackend | None = None) -> list[int]:
+    """Every version number that EVER committed (the pointer log), in
+    commit order -- includes versions since reaped by ``vacuum``.
+    This, not directory numbering, is the ground truth for "could a
+    reader once have resolved v_n": claimed-but-superseded and
+    crashed-appender dirs below current never appear here."""
+    return _committed_from((backend or _DEFAULT_BACKEND)
+                           .read_pointer(table_dir))
+
+
 def write_version(df: DataFrame, table_dir: str,
                   partition_by: Sequence[str] = (),
                   max_attempts: int = 20,
@@ -333,7 +375,7 @@ def write_version(df: DataFrame, table_dir: str,
                         f"vacuum) -- re-run it, or route one writer "
                         f"per table for merge semantics")
                 if backend.try_commit(table_dir,
-                                      f"v_{n:08d}\n".encode("ascii"),
+                                      _next_pointer(raw, f"v_{n:08d}"),
                                       raw):  # THE commit
                     return n
         raise RuntimeError(
@@ -413,10 +455,52 @@ def append_version(df: DataFrame, table_dir: str, txn: str | None = None,
     committer is NOT fatal: an append invalidates nothing, so the
     claim is renumbered above the new base, the manifest is rebuilt
     against it, and the commit retries (bounded by ``max_attempts``).
-    Compaction = ``write_version(read_current(...), ...)``: the
-    snapshot terminates the inheritance chain and ``vacuum`` reaps
-    the no-longer-referenced dirs once retention passes.
+    Compaction is :func:`compact_table`: it snapshots the chain while
+    CARRYING the txn-marker set forward (a bare ``write_version``
+    snapshot would drop it, letting a crash-replayed micro-batch that
+    interleaved with compaction double-append -- r8 advisor finding);
+    ``vacuum`` then reaps the no-longer-referenced dirs once
+    retention passes.
     """
+    return _manifest_commit(df, table_dir, txn=txn, pinned_base=None,
+                            inherit_files=True, max_attempts=max_attempts,
+                            backend=backend)
+
+
+def compact_table(spark: SparkSession, table_dir: str,
+                  max_attempts: int = 20,
+                  backend: CommitBackend | None = None) -> int:
+    """Snapshot the current append chain into one self-contained
+    version: reads the current version, rewrites it as a new version
+    whose manifest lists ONLY its own files (terminating the
+    inheritance chain, so ``vacuum`` can reap the superseded dirs)
+    while carrying the base version's txn-marker set forward --
+    exactly-once replay detection survives compaction, unlike a bare
+    ``write_version`` snapshot whose manifest-less dir forgets every
+    marker.  Concurrent appends are NOT rebased over (the staged data
+    is a copy of the base, so committing it over a newer base would
+    silently drop that append): if the pointer moves past the base
+    mid-compaction, :class:`VersionConflictError` raises and the
+    compaction should simply be re-run."""
+    base = current_version(table_dir, backend=backend)
+    if base is None:
+        raise FileNotFoundError(
+            f"{table_dir} has no committed version to compact")
+    return _manifest_commit(
+        _read_resolved(spark, table_dir, base), table_dir, txn=None,
+        pinned_base=base, inherit_files=False,
+        max_attempts=max_attempts, backend=backend)
+
+
+def _manifest_commit(df: DataFrame, table_dir: str, txn: str | None,
+                     pinned_base: int | None, inherit_files: bool,
+                     max_attempts: int,
+                     backend: CommitBackend | None) -> int:
+    """Shared stage -> claim -> manifest -> commit loop behind
+    :func:`append_version` (``inherit_files=True``, rebases freely)
+    and :func:`compact_table` (``pinned_base`` set: raises
+    :class:`VersionConflictError` if the base advances, since the
+    staged data is a copy of that exact base)."""
     import uuid
 
     backend = backend or _DEFAULT_BACKEND
@@ -453,6 +537,13 @@ def append_version(df: DataFrame, table_dir: str, txn: str | None = None,
             vname = f"v_{n:08d}"
             raw = backend.read_pointer(table_dir)
             cur = _parse_pointer(raw)
+            if pinned_base is not None and cur != pinned_base:
+                raise VersionConflictError(
+                    f"compaction of {table_dir} staged from "
+                    f"v_{pinned_base:08d} but the table advanced to "
+                    f"v_{cur:08d} before its commit; committing the "
+                    f"stale copy would drop that write -- re-run the "
+                    f"compaction (claimed dir reaped now)")
             if cur is not None and cur >= n:
                 # base advanced past our number; pointer monotonicity
                 # forbids committing n -- renumber above the new base
@@ -461,7 +552,8 @@ def append_version(df: DataFrame, table_dir: str, txn: str | None = None,
             own = sorted(
                 f"{vname}/{f}" for f in os.listdir(claimed)
                 if not f.startswith(("_", ".")))
-            inherited = _data_files(table_dir, cur) if cur is not None else []
+            inherited = (_data_files(table_dir, cur)
+                         if cur is not None and inherit_files else [])
             txns = _txns(table_dir, cur) if cur is not None else set()
             if txn is not None:
                 txns = txns | {txn}
@@ -470,7 +562,7 @@ def append_version(df: DataFrame, table_dir: str, txn: str | None = None,
             with open(os.path.join(claimed, _MANIFEST), "w",
                       encoding="ascii") as fh:
                 fh.write("\n".join(lines) + "\n")
-            if backend.try_commit(table_dir, f"{vname}\n".encode("ascii"),
+            if backend.try_commit(table_dir, _next_pointer(raw, vname),
                                   raw):
                 claimed = None  # committed -- nothing to clean up
                 return n
@@ -515,21 +607,25 @@ def read_version(spark: SparkSession, table_dir: str, n: int,
     """Time-travel: read committed version ``n`` as the consistent
     snapshot it was at commit time (the Delta ``versionAsOf`` shape).
 
-    Only versions the pointer has PASSED are readable -- the pointer
-    is monotonic, so ``n <= current`` is exactly "some reader could
-    once have resolved this"; a claimed-but-never-committed dir was
-    never visible and asking for it is a caller bug (``ValueError``).
-    A committed version already reaped by :func:`vacuum` raises
-    ``FileNotFoundError`` -- retention, not correctness, bounds how
-    far back travel reaches (same contract as every table format)."""
-    cur = current_version(table_dir, backend=backend)
-    if cur is None:
+    Only versions the pointer LOG records are readable -- commit-time
+    truth, not directory numbering: version numbers legitimately skip
+    (a claim superseded before its flip, or a crashed appender,
+    leaves a dir that never committed), so an on-disk ``v_n`` below
+    current is NOT evidence any reader could once have resolved it
+    (``ValueError``).  A committed version already reaped by
+    :func:`vacuum` raises ``FileNotFoundError`` -- retention, not
+    correctness, bounds how far back travel reaches (same contract as
+    every table format)."""
+    committed = committed_versions(table_dir, backend=backend)
+    if not committed:
         raise FileNotFoundError(
             f"{table_dir} has no committed version (_CURRENT missing)")
-    if n < 1 or n > cur:
+    if n not in committed:
         raise ValueError(
             f"version v_{n:08d} of {table_dir} was never committed "
-            f"(current is v_{cur:08d}); only 1..current are readable")
+            f"(current is v_{committed[-1]:08d}; committed versions: "
+            f"{committed}); an on-disk dir with that number is a "
+            f"crashed or superseded claim no reader ever resolved")
     if not os.path.isdir(os.path.join(table_dir, f"v_{n:08d}")):
         raise FileNotFoundError(
             f"version v_{n:08d} of {table_dir} was committed but has "
@@ -545,20 +641,28 @@ def history(table_dir: str,
     "current"}``.  ``n_files`` counts the files a reader of that
     version scans (inherited + own for appends); ``txns`` is the
     sorted idempotence-token set carried by that version's manifest.
-    Claimed-but-uncommitted dirs (never visible to any reader) are
-    excluded -- this is the audit surface for "what would
-    read_version(n) give me", not a directory listing."""
-    cur = current_version(table_dir, backend=backend)
-    if cur is None:
+    Claimed-but-uncommitted dirs (never visible to any reader --
+    including ones BELOW current, from superseded or crashed writers)
+    are excluded via the pointer's commit log -- this is the audit
+    surface for "what would read_version(n) give me", not a directory
+    listing.  A :func:`compact_table` version reports as
+    ``"snapshot"`` (its manifest, kept for the carried txn set,
+    references no other version's files)."""
+    committed = committed_versions(table_dir, backend=backend)
+    if not committed:
         return []
+    cur = committed[-1]
     out: list[dict] = []
-    for n in _versions(table_dir):
-        if n > cur:
-            continue  # claim that never committed -- never visible
+    for n in sorted(committed):
+        vname = f"v_{n:08d}"
+        if not os.path.isdir(os.path.join(table_dir, vname)):
+            continue  # committed but vacuumed -- no longer readable
         mf = _read_manifest(table_dir, n)
+        inherits = mf is not None and any(
+            not rel.startswith(f"{vname}/") for rel in mf[0])
         out.append({
             "version": n,
-            "kind": "snapshot" if mf is None else "append",
+            "kind": "append" if inherits else "snapshot",
             "n_files": len(_data_files(table_dir, n)),
             "txns": sorted(mf[1]) if mf is not None else [],
             "current": n == cur,
@@ -586,7 +690,9 @@ def vacuum(table_dir: str, keep_last: int = 2,
 
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1: {keep_last}")
-    cur = current_version(table_dir, backend=backend)
+    clog = committed_versions(table_dir, backend=backend)
+    cset = set(clog)
+    cur = clog[-1] if clog else None
     removed: list[int] = []
     if not os.path.isdir(table_dir):
         return removed
@@ -612,7 +718,11 @@ def vacuum(table_dir: str, keep_last: int = 2,
             except OSError:
                 pass
     vs = _versions(table_dir)
-    committed = [n for n in vs if cur is not None and n <= cur]
+    # commit-log truth, not numbering: an orphan dir below current
+    # (superseded claim / crashed appender) must not count toward
+    # retention, or it would evict a REAL committed version earlier
+    # than keep_last implies (r8 advisor finding)
+    committed = [n for n in vs if n in cset]
     keep = set(committed[-keep_last:])
     if cur is not None:
         keep.add(cur)
@@ -631,13 +741,14 @@ def vacuum(table_dir: str, keep_last: int = 2,
                 keep.add(int(m.group(1)))
     for n in vs:
         full = os.path.join(table_dir, f"v_{n:08d}")
-        if cur is None or n > cur:
-            # NEVER committed (the flip lock makes the pointer
-            # monotonic, so no reader ever resolved it) -- including
-            # EVERY claim on a table with no pointer yet: fresh means
-            # a live writer's claim-to-flip window -- spare; aged
-            # means a crashed claim -- reap regardless of keep_last
-            # (no reader to protect)
+        if n not in cset:
+            # NEVER committed per the pointer log, so no reader ever
+            # resolved it -- a claim superseded before its flip or a
+            # crashed appender, at ANY number (orphans sit below
+            # current too).  Fresh means a live writer's
+            # claim-to-flip window -- spare; aged means a crashed
+            # claim -- reap regardless of keep_last (no reader to
+            # protect)
             if aged(full):
                 shutil.rmtree(full, ignore_errors=True)
                 removed.append(n)

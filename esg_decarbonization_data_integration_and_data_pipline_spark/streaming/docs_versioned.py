@@ -19,8 +19,12 @@ hashed into the marker so a NEW checkpoint (fresh batch ids from 0)
 cannot collide with a previous run's markers on the same table.
 
 Compaction stays a batch-side concern: periodically
-``write_version(read_current(spark, t), t)`` snapshots the chain and
-``vacuum`` reaps the superseded dirs (tested in
+``compact_table(spark, t)`` snapshots the chain WHILE carrying the
+txn-marker set forward (a bare ``write_version`` snapshot would drop
+the markers, so a crash-replay of a micro-batch that interleaved with
+compaction -- append committed, checkpoint not yet advanced,
+compaction runs, restart -- would double-append; r8 advisor finding),
+then ``vacuum`` reaps the superseded dirs (tested in
 tests/test_versioned_append.py).
 """
 

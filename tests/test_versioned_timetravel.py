@@ -92,3 +92,95 @@ def test_history_reports_kind_files_and_txns(spark, tmp_path):
     # the append's reader scans inherited + own files
     assert h[1]["n_files"] > h[0]["n_files"] >= 1
     assert history(str(tmp_path / "missing")) == []
+
+
+def test_orphan_below_current_is_not_a_committed_version(spark, tmp_path):
+    """r8 advisor (medium): version numbers can SKIP -- a claim
+    superseded before its flip, or a crashed appender, leaves an
+    on-disk dir below current that never committed.  Commit-time truth
+    lives in the pointer log, so such an orphan must be invisible to
+    history()/read_version() and must not count toward vacuum's
+    retention."""
+    import time
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        committed_versions,
+    )
+
+    t = str(tmp_path / "t")
+    write_version(_df(spark, [1]), t)
+    # crashed appender: claimed v2 (with real data files), never flipped
+    _df(spark, [99]).write.parquet(os.path.join(t, "v_00000002"))
+    write_version(_df(spark, [3]), t)  # claims and commits v3
+    assert committed_versions(t) == [1, 3]
+    assert [e["version"] for e in history(t)] == [1, 3]
+    with pytest.raises(ValueError, match="crashed or superseded claim"):
+        read_version(spark, t, 2)
+    assert _xs(read_version(spark, t, 1)) == [1]
+    assert _xs(read_current(spark, t)) == [3]
+    # retention counts COMMITTED versions only: keep_last=2 must keep
+    # v1 and v3 (the old numbering-based count evicted v1 for the
+    # orphan), while the aged orphan v2 is reaped as a crashed claim
+    old = time.time() - 10
+    for e in os.listdir(t):
+        os.utime(os.path.join(t, e), (old, old))
+    removed = vacuum(t, keep_last=2, stage_ttl_seconds=1)
+    assert removed == [2]
+    assert _xs(read_version(spark, t, 1)) == [1]
+    assert _xs(read_version(spark, t, 3)) == [3]
+
+
+def test_compact_table_carries_txn_markers_forward(spark, tmp_path):
+    """r8 advisor (low): a compaction snapshot must keep the
+    exactly-once txn set -- a crash-replayed micro-batch that
+    interleaved with compaction must NOT double-append."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        compact_table,
+    )
+
+    t = str(tmp_path / "t")
+    append_version(_df(spark, [1]), t, txn="ck:0")
+    append_version(_df(spark, [2]), t, txn="ck:1")
+    n = compact_table(spark, t)
+    assert n == 3
+    assert _xs(read_current(spark, t)) == [1, 2]
+    h = {e["version"]: e for e in history(t)}
+    # self-contained snapshot kind, but the txn set survived
+    assert h[3]["kind"] == "snapshot"
+    assert h[3]["txns"] == ["ck:0", "ck:1"]
+    # crash-replay of batch 1 AFTER compaction: replay detected, no
+    # double-append, current version unchanged
+    assert append_version(_df(spark, [2]), t, txn="ck:1") == 3
+    assert _xs(read_current(spark, t)) == [1, 2]
+    # a genuinely new batch still appends on top of the compaction
+    assert append_version(_df(spark, [4]), t, txn="ck:2") == 4
+    assert _xs(read_current(spark, t)) == [1, 2, 4]
+
+
+def test_compact_table_aborts_if_base_advances(spark, tmp_path):
+    """Compaction pins its base: committing a stale copy over a newer
+    base would silently drop that append, so the pinned-base guard
+    raises VersionConflictError instead (and reaps its claim)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        VersionConflictError, _manifest_commit, committed_versions,
+    )
+
+    t = str(tmp_path / "t")
+    append_version(_df(spark, [1]), t)
+    append_version(_df(spark, [2]), t)  # base advanced to v2
+    with pytest.raises(VersionConflictError, match="advanced"):
+        _manifest_commit(_df(spark, [1]), t, txn=None, pinned_base=1,
+                         inherit_files=False, max_attempts=5,
+                         backend=None)
+    # the failed compaction left no committed artifact
+    assert committed_versions(t) == [1, 2]
+    assert _xs(read_current(spark, t)) == [1, 2]
+
+
+def test_compact_table_requires_a_committed_version(spark, tmp_path):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        compact_table,
+    )
+
+    with pytest.raises(FileNotFoundError, match="no committed version"):
+        compact_table(spark, str(tmp_path / "missing"))
