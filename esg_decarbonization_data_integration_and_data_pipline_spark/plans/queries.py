@@ -217,7 +217,7 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
 
 
-@register("share_of_nation_acctbal", "A7,W5,F9", oracle="""
+@register("share_of_nation_acctbal", "A7,W4,W5,F9", oracle="""
 SELECT c_custkey, c_nationkey,
        round(c_acctbal / nullif(sum(c_acctbal) OVER (PARTITION BY c_nationkey), 0),
              6) AS nation_share
@@ -330,7 +330,7 @@ def asof_latest_order_at_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderdate")
 
 
-@register("lapsed_customer_keys", "J9,U2,U4", oracle="""
+@register("lapsed_customer_keys", "P4,J9,U2,U4", oracle="""
 SELECT c.c_custkey, c.c_name
 FROM customer c
 JOIN (
@@ -594,7 +594,7 @@ def quarterly_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty")))
 
 
-@register("string_slice_like", "F5,F6,F14", oracle="""
+@register("string_slice_like", "F5,F6,F14,P8", oracle="""
 SELECT p_partkey,
        substring(p_name, 1, 4)                            AS name_prefix,
        split_part(p_name, ' ', 1)                         AS first_word,
@@ -617,7 +617,7 @@ def string_slice_like(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.substring("p_brand", 7, 10).cast("int").alias("brand_num")))
 
 
-@register("fill_missing_part_revenue", "F12,J1", oracle="""
+@register("fill_missing_part_revenue", "P5,F12,J1", oracle="""
 SELECT p.p_partkey,
        round(coalesce(sum(l.l_extendedprice * (1 - l.l_discount)), 0), 4) AS revenue,
        count(l.l_orderkey) AS n_lines
@@ -684,7 +684,12 @@ from esg_decarbonization_data_integration_and_data_pipline_spark.plans import qu
 # entries, head and tail, are replayed against DuckDB by
 # tests/test_queries_oracle.py and tools/check_correctness.py.
 _DRIVER_HEAD = [
-    "pricing_summary", "global_total_share", "rollup_region_nation",
+    # ---- stable core: one graded representative per SURVEY 2 row
+    # (tools/grading_ledger.py --check enforces, from the @register
+    # family tags, that every driver-gradable SURVEY row keeps a head
+    # representative; rotation history lives in GRADED_LEDGER.md and
+    # the _DRIVER_TAIL comments below)
+    "pricing_summary", "global_total_share",
     "ytm_running_sum",
     "latest_order_per_customer", "share_of_nation_acctbal",
     "interval_size_bands", "asof_latest_order_at_event",
@@ -695,54 +700,31 @@ _DRIVER_HEAD = [
     "recode_region_names", "monthly_order_calendar",
     "string_slice_like", "fill_missing_part_revenue",
     "selfjoin_green_grey_rate",
-    "text_quality",
-    "dedup_exact", "dedup_minhash_verified",
-    "ann_multitable_pairs",
-    "similarity_ivf_topk", "multimodal_features",
+    "dedup_minhash_verified",
     "quantile_acctbal", "cagr_nation_revenue", "irr_by_brand",
     "events_sessionize", "events_json_roundtrip",
     "top_revenue_order", "concat_format_timestamps",
     "greedy_allocation",
-    # round-7 rotations INTO the head (head-graded r7, kept for a
-    # second graded round per the >= 2-rounds-before-rotation rule)
-    "dedup_minhash_incremental", "token_budget_docs",
-    "semdedup_embeddings", "pack_sequences_docs",
-    # round-8 rotations INTO the head: the nine highest-priority
-    # never-driver-graded registry entries (r7 verdict tasks #1-#2;
-    # burn-down ledger in tools/grading_ledger.py). Each rotated-out
-    # query was driver-green >= 2 rounds and leaves a head family
-    # representative -- see _DRIVER_TAIL.
+    # ---- round-8 first grades (graded once in r8; the >= 2 graded
+    # rounds rule keeps each here through at least r9)
     "text_normalize_docs", "decontaminate_spans_docs",
     "contamination_report_docs", "text_dedup_doc_lines",
     "corpus_token_histogram", "quality_gopher_rules",
     "mixture_temperature_docs", "token_budget_mixture_docs",
-    "dataset_diff_docs",
-    # new in round 8, straight into the head (a new query parked in
-    # the tail would only grow the never-graded backlog):
-    # per-doc curation rejection audit; dedup_clusters (driver-green
-    # r1-r7) rotates out to make the slot -- dup-cluster construction
-    # keeps a head representative via semdedup_embeddings' blocked-
-    # cosine -> connected-components -> canonical stage, and the
-    # exact min-label fixpoint stays pinned by the in-repo oracle
-    # replay + tests/test_clusters_split.py.
-    "rejection_audit_docs",
-    # new in round 8, straight into the head (same reasoning as
-    # rejection_audit_docs): per-label embedding-centroid outlier
-    # flags. text_fingerprint (driver-green r1-r7) rotates out to
-    # make the slot -- the Arrow scalar-kernel family (UD1) keeps
-    # head representatives text_quality / text_scrub_pii /
-    # text_char_entropy, and the fingerprint values stay pinned by
-    # the in-repo oracle replay.
-    "embedding_outliers",
-    # new in round 8, straight into the head (same reasoning):
-    # corpus-self bigram-LM NLL, the conditional-probability upgrade
-    # of text_unigram_nll. tfidf_top_terms (driver-green r5-r7)
-    # rotates out to make the slot -- the token/gram-shuffle-join
-    # family keeps this strict analog as its head representative,
-    # W2 window-rank stays via greedy_allocation and
-    # latest_order_per_customer, and tf-idf values stay pinned by the
-    # in-repo oracle replay.
-    "text_bigram_nll",
+    "dataset_diff_docs", "rejection_audit_docs",
+    "embedding_outliers", "text_bigram_nll",
+    # ---- round-9 rotations INTO the head: nine never-driver-graded
+    # tail queries (burn-down per the r8 verdict tasks #1/#6; the
+    # never-graded backlog drops 20 -> 11) plus the NEW
+    # versioned-table time-travel query (r8 verdict #3/#4: F4 quarter
+    # bucketing returns to the head through it).  Each rotated-out
+    # query was driver-green >= 2 rounds and every SURVEY row keeps a
+    # head representative -- see the r9 block in _DRIVER_TAIL.
+    "versioned_quarter_audit",
+    "cube_status_priority", "count_distinct_parts",
+    "quality_top_fraction", "text_line_dedup", "text_unigram_nll",
+    "semdedup_embeddings_ivf", "similarity_sq_topk",
+    "external_model_scoring", "forecast_revenue",
 ]
 _DRIVER_TAIL = [
     # approx_sketches is rows-only by design (no exact SQL oracle for
@@ -839,9 +821,7 @@ _DRIVER_TAIL = [
     "tfidf_top_terms",
     "text_repetition",
     "latest_status_version", "distinct_projection", "dedup_simhash",
-    "dedup_jaccard_pairs", "cube_status_priority", "count_distinct_parts",
-    "forecast_revenue", "external_model_scoring",
-    # round-3 addition past the gate cap -- verified by the in-repo
+    "dedup_jaccard_pairs", # round-3 addition past the gate cap -- verified by the in-repo
     # oracle replay like the rest of the tail
     "deterministic_split",
     # round-4 additions: batched ANN serving, oracle-replayed in-repo
@@ -851,21 +831,45 @@ _DRIVER_TAIL = [
     # like the rest of the tail (dedup_minhash_incremental,
     # semdedup_embeddings, token_budget_docs and pack_sequences_docs
     # rotated into the head in round 7)
-    "text_unigram_nll",
     "mixture_sample_docs",
-    "text_boilerplate_share", "semdedup_embeddings_ivf",
-    "similarity_sq_topk", "dedup_chunk_overlap",
+    "text_boilerplate_share", "dedup_chunk_overlap",
     # round-6 late additions (sequence packing / export tier, data
     # mixing, Gopher rule gate) -- oracle-replayed in-repo.
     # (mixture_temperature_docs, quality_gopher_rules,
     # dataset_diff_docs, token_budget_mixture_docs and the five r7
     # additions rotated into the head in round 8.)
-    "text_line_dedup",
-    "quality_top_fraction",
     "corpus_profile_by_source", "decontaminate_embeddings_docs",
     # rows-only by nature (iterative training loop; exactness pinned
     # against a pure-Python reference in tests/test_bpe.py)
     "bpe_tokenize_docs",
+    # ---- round-9 rotations OUT of the head (each driver-green >= 2
+    # rounds; family/SURVEY-row coverage per tools/grading_ledger.py):
+    #   dedup_minhash_incremental (r7-r8) -> banded-signature family
+    #       stays via the head's dedup_minhash_verified
+    #   token_budget_docs (r7-r8)   -> token_budget_mixture_docs is
+    #       the strict per-source superset and stays head-graded
+    #   semdedup_embeddings (r7-r8) -> semdedup_embeddings_ivf (same
+    #       blocked-cosine -> components pipeline, IVF blocking)
+    #   pack_sequences_docs (r7-r8) -> W1 prefix-sum stays via
+    #       ytm_running_sum + token_budget_mixture_docs
+    #   rollup_region_nation (r1-r8) -> cube_status_priority (A6
+    #       superset: full CUBE vs rollup-'ALL')
+    #   ann_multitable_pairs (r2-r8) + similarity_ivf_topk (r3-r8) ->
+    #       ANN serving stays via similarity_sq_topk (quantized
+    #       re-rank) and semdedup_embeddings_ivf (IVF probe shape)
+    #   multimodal_features (r1-r8) -> UD5 external-boundary
+    #       mapInPandas stays via external_model_scoring (now
+    #       hash-oracled); PNG kernels stay pinned by tests/test_png*
+    #   dedup_exact (r1-r8)        -> A4 DISTINCT stays via
+    #       count_distinct_parts + contamination_report_docs
+    #   text_quality (r1-r8)       -> UD1 Arrow kernel stays via
+    #       decontaminate_spans_docs; quality scoring stays via
+    #       quality_gopher_rules + text_unigram_nll/text_bigram_nll
+    "dedup_minhash_incremental", "token_budget_docs",
+    "semdedup_embeddings", "pack_sequences_docs",
+    "rollup_region_nation", "ann_multitable_pairs",
+    "similarity_ivf_topk", "multimodal_features",
+    "dedup_exact", "text_quality",
 ]
 _ORDERED = _DRIVER_HEAD + _DRIVER_TAIL
 assert set(_ORDERED) == set(REGISTRY) and len(_ORDERED) == len(REGISTRY), (

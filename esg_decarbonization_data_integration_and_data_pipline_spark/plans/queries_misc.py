@@ -286,15 +286,23 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simulate_future(hist, horizon=2)
 
 
-@register("external_model_scoring", "UD5,S4")
+@register("external_model_scoring", "UD5,S4", oracle="""
+SELECT c_custkey, round(0.001 * c_acctbal + 0.5, 6) AS score
+FROM customer
+""")
 def external_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """External-model scoring API via mapInPandas -- the reference
     POSTs JSON plant batches to a forecast service
     (reference: Model/Factory_elect_simulator_update.py:652-669,
     813-830). The HTTP call is STUBBED with a deterministic linear
     model (no network in tests); the batching, JSON encode/decode
-    shape, and Arrow plumbing are real. Rows-only correctness check
-    (external boundary => not SQL-expressible by design)."""
+    shape, and Arrow plumbing are real.  Because the stub is
+    deterministic, the oracle CAN hash-check the full pipeline: the
+    JSON round-trip is exact (c_acctbal carries 2 decimals, within
+    pandas to_json's 10-digit precision) and the 6-decimal round is
+    a no-op on a value with <= 5 decimals, so Python round vs SQL
+    round cannot diverge (no exact .5 tie at the 6th decimal
+    exists)."""
     import json
     from collections.abc import Iterator
 
@@ -953,3 +961,61 @@ def rejection_audit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return rejection_audit(d, min_quality=0.3, max_repetition=0.9,
                            min_entropy=2.0, scrub=False)
+
+
+@register("versioned_quarter_audit", "F4,F2", oracle="""
+WITH o AS (
+  SELECT CAST(quarter(o_orderdate) AS INT) AS o_quarter, o_totalprice
+  FROM orders
+  WHERE year(o_orderdate) = 1997 AND quarter(o_orderdate) <= 3
+),
+v AS (SELECT CAST(unnest(range(1, 5)) AS INT) AS version)
+SELECT v.version AS version, o.o_quarter,
+       count(*)                    AS n_orders,
+       round(sum(o_totalprice), 4) AS total_price
+FROM v JOIN o ON o.o_quarter <= least(v.version, 3)
+GROUP BY 1, 2
+""")
+def versioned_quarter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-table time travel, driver-gradable end-to-end
+    (io/versioned): three manifest-append commits land the 1997
+    orders one QUARTER at a time (the reference's quarter-ladder
+    cadence, jobs/renew_green_energy.py:67-104 / staging_cal.py:
+    794-869, re-expressed as commit history), then compact_table
+    snapshots the chain (v4 == v3's data with the txn-marker set
+    carried forward).  The result reads EVERY committed version via
+    read_version and aggregates it per quarter -- so version n must
+    contain exactly quarters 1..min(n, 3), which the oracle derives
+    from the parquet alone: time travel is wrong if any version
+    shows a quarter it should not have, and compaction is wrong if
+    v4 differs from v3.  The table lives in a fresh mkdtemp per call
+    (left for the OS tmp reaper: the returned frame reads it
+    LAZILY, so the driver's collect happens after return)."""
+    import tempfile
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        append_version, compact_table, read_version,
+    )
+
+    table_dir = tempfile.mkdtemp(prefix="versioned_qa_") + "/orders_q"
+    o = (table(spark, sf_dir, "orders")
+         .filter(F.year("o_orderdate") == 1997)
+         .select(F.quarter("o_orderdate").cast("int").alias("o_quarter"),
+                 "o_totalprice"))
+    for q in (1, 2, 3):
+        append_version(o.filter(F.col("o_quarter") == q), table_dir,
+                       txn=f"1997:q{q}")
+    compact_table(spark, table_dir)
+    parts = [
+        read_version(spark, table_dir, v)
+        .groupBy("o_quarter")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 4).alias("total_price"))
+        .select(F.lit(v).cast("int").alias("version"),
+                "o_quarter", "n_orders", "total_price")
+        for v in (1, 2, 3, 4)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

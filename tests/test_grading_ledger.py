@@ -52,15 +52,55 @@ def test_rotated_out_queries_were_graded_at_least_twice():
     assert rotation_violations() == []
 
 
-def test_never_graded_backlog_is_at_most_20_after_pending_head():
-    """r7 verdict #2 target: never-graded count <= 20 after round 8.
-    The pending-head queries are graded at the next driver run, so the
-    enduring backlog is never_graded minus the current head."""
+def test_never_graded_backlog_is_at_most_11_after_pending_head():
+    """r8 verdict #1 target: tail backlog <= 11 after the round-9
+    rotation (was <= 20 after round 8).  The pending-head queries are
+    graded at the next driver run, so the enduring backlog is
+    never_graded minus the current head."""
     head, tail = registry_order()
     graded = graded_rounds()
     backlog = [q for q in tail if q not in graded]
-    assert len(backlog) <= 20, (
-        f"never-driver-graded tail backlog {len(backlog)} > 20: {backlog}")
+    assert len(backlog) <= 11, (
+        f"never-driver-graded tail backlog {len(backlog)} > 11: {backlog}")
+
+
+# round-9 rotations INTO the head -- r8 verdict tasks #1/#3/#4/#6:
+# nine never-driver-graded queries (incl. the UD5/simulator pair the
+# judge named) plus the new versioned-table time-travel query that
+# returns F4 quarter bucketing to the head.
+R9_ROTATED_IN = [
+    "versioned_quarter_audit",
+    "cube_status_priority", "count_distinct_parts",
+    "quality_top_fraction", "text_line_dedup", "text_unigram_nll",
+    "semdedup_embeddings_ivf", "similarity_sq_topk",
+    "external_model_scoring", "forecast_revenue",
+]
+
+
+def test_r9_priority_queries_are_in_the_graded_head():
+    head, _ = registry_order()
+    missing = [q for q in R9_ROTATED_IN if q not in head]
+    assert not missing, f"r9 rotations not in driver head: {missing}"
+
+
+def test_every_survey_row_keeps_a_head_representative():
+    """r8 verdict #3: F4 went head-unrepresented in round 8; the
+    query->SURVEY-row mapping (from @register family tags) now makes
+    that a check failure.  Asserts through the SAME
+    uncovered_survey_rows() the tool's --check runs."""
+    from tools.grading_ledger import uncovered_survey_rows
+
+    assert uncovered_survey_rows() == {}
+
+
+def test_query_rows_mapping_parses_every_registry_entry():
+    """The source-regex parser behind the coverage check must see the
+    whole registry -- a silently-missed @register would exempt that
+    query from the coverage rule."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.plans.queries import REGISTRY
+    from tools.grading_ledger import query_rows
+
+    assert set(query_rows()) == set(REGISTRY)
 
 
 def test_ledger_tool_check_passes():
