@@ -132,6 +132,26 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # variance guard (r8->r9): three fresh-session runs of the SAME
+    # binary spanned 10.37-11.29 s on the 17-query prefix (8.9% of
+    # min; BENCH_LOG ts 1786747323/1786748119/1786748186), which
+    # brackets the r7-vs-r8 "drift" entirely -- round-over-round
+    # medians within ~10% are session noise, not regressions.  Two
+    # fields make that callable from a single entry: the stable
+    # comparable prefix total, and the intra-run sample dispersion.
+    prefix17 = [
+        "pricing_summary", "ytm_running_sum", "rollup_region_nation",
+        "brand_revenue", "asof_latest_order_at_event",
+        "latest_order_per_customer", "unpivot_lineitem_measures",
+        "fill_missing_part_revenue", "multi_key_order_lines",
+        "monthly_order_calendar", "text_fingerprint", "text_quality",
+        "dedup_minhash_verified", "similarity_topk",
+        "similarity_lsh_buckets", "similarity_ivf_topk",
+        "events_tumbling_agg",
+    ]
+    spreads = sorted(
+        100.0 * (max(r) - min(r)) / (sorted(r)[len(r) // 2] or 1.0)
+        for r in samples.values() if len(r) > 1)
     out: dict = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -141,6 +161,11 @@ def main() -> None:
         "samples": samples,          # raw per-query sample lists
         "sf": sf_val,
     }
+    if all(q in timings for q in prefix17):
+        out["prefix17_total"] = round(sum(timings[q] for q in prefix17), 3)
+        out["prefix17_min"] = round(sum(minimums[q] for q in prefix17), 3)
+    if spreads:
+        out["sample_spread_pct"] = round(spreads[len(spreads) // 2], 1)
     if errors:
         # a failing query drops out of the sum, which would make the
         # headline FASTER than a healthy run -- mark the total
