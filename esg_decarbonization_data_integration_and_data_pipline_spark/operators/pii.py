@@ -1,0 +1,88 @@
+"""PII detection and redaction over a document corpus.
+
+Standard curation step in public training-data pipelines (Dolma,
+RedPajama, FineWeb all regex-scrub emails / IPs / phone-shaped
+strings before release); the reference has no analog, so the north
+star is those published pipelines, re-expressed as narrow JVM regexp
+chains (SURVEY.md "text analysis" tier).
+
+Design notes:
+- One ordered rule table :data:`PII_RULES` drives BOTH engines: the
+  Spark chain here and the DuckDB oracle chain in plans/queries_data
+  are generated from it, so they cannot drift (same discipline as
+  ``operators/text.NORMALIZE_STEPS``).
+- Patterns use only the Java-regex / RE2 common subset (no
+  backreferences, no lookaround).  Detection counts each rule
+  INDEPENDENTLY over the original text (an email whose local part is
+  phone-shaped counts as both -- the count columns answer "does this
+  rule fire", not "which rule owns the span"); redaction applies the
+  rules in table order, so the email rule consumes overlapping spans
+  before the numeric rules see them.  The three numeric rules are
+  mutually disjoint on any input (tested).
+- Everything is a narrow per-row projection: zero shuffles, inside
+  whole-stage codegen, embarrassingly parallel -- the 100 TB shape is
+  "as fast as the scan" (plan pinned by tests/test_plan_shapes.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# (kind, pattern, replacement token) -- applied in this order.
+# The pattern subset is deliberately RE2-compatible: the DuckDB oracle
+# runs the exact same strings.  SSN precedes phone in the table, but
+# the two are disjoint (\d{2}- vs \d{3}- after the first group), so
+# order only matters for emails (whose local parts may contain digits
+# and dashes that the numeric rules would otherwise nibble at).
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IPV4>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def detect_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add one ``n_<kind>`` BIGINT column per rule: the number of
+    non-overlapping leftmost matches in ``text_col`` (NULL text =>
+    NULL counts, matching SQL semantics).  ``regexp_count`` is a
+    codegen'd JVM expression -- no Python, no shuffle."""
+    out = df
+    for kind, pat, _tok in PII_RULES:
+        out = out.withColumn(
+            f"n_{kind}",
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("long"))
+    return out
+
+
+def redact_column(col: Column) -> Column:
+    """The redaction expression alone: every rule's matches replaced
+    by its token, in table order."""
+    out = col
+    for _kind, pat, tok in PII_RULES:
+        out = F.regexp_replace(out, pat, tok)
+    return out
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               out_col: str | None = None) -> DataFrame:
+    """Replace every PII match in ``text_col`` with its rule token
+    (in ``out_col``, default in place).  Chain of built-in
+    ``regexp_replace`` -- narrow, zero-shuffle."""
+    return df.withColumn(out_col or text_col,
+                         redact_column(F.col(text_col)))
+
+
+def sql_detect_expr(kind: str, var: str) -> str:
+    """DuckDB twin of one :func:`detect_pii` count column."""
+    pat = dict((k, p) for k, p, _t in PII_RULES)[kind]
+    return (f"CAST(len(regexp_extract_all({var}, '{pat}')) AS BIGINT)")
+
+
+def sql_redact_chain(var: str) -> str:
+    """DuckDB expr running EXACTLY the :func:`redact_pii` chain --
+    generated from the same rule table so the two cannot drift."""
+    expr = var
+    for _kind, pat, tok in PII_RULES:
+        expr = f"regexp_replace({expr}, '{pat}', '{tok}', 'g')"
+    return expr

@@ -689,7 +689,7 @@ _DRIVER_HEAD = [
     # family tags, that every driver-gradable SURVEY row keeps a head
     # representative; rotation history lives in GRADED_LEDGER.md and
     # the _DRIVER_TAIL comments below)
-    "pricing_summary", "global_total_share",
+    "pricing_summary",
     "ytm_running_sum",
     "latest_order_per_customer", "share_of_nation_acctbal",
     "interval_size_bands", "asof_latest_order_at_event",
@@ -725,6 +725,12 @@ _DRIVER_HEAD = [
     "quality_top_fraction", "text_line_dedup", "text_unigram_nll",
     "semdedup_embeddings_ivf", "similarity_sq_topk",
     "external_model_scoring", "forecast_revenue",
+    # ---- round-9 new capability: PII detect/redact (operators/pii.py)
+    # enters the head directly (the never-graded-tail backlog is
+    # capped at 11, so new queries must take a head slot);
+    # global_total_share rotates out for it (driver-green r1-r8, its
+    # rows A3/F9/J4 keep head reps -- see the r9 block in _DRIVER_TAIL)
+    "pii_redact_docs",
 ]
 _DRIVER_TAIL = [
     # approx_sketches is rows-only by design (no exact SQL oracle for
@@ -870,6 +876,11 @@ _DRIVER_TAIL = [
     "rollup_region_nation", "ann_multitable_pairs",
     "similarity_ivf_topk", "multimodal_features",
     "dedup_exact", "text_quality",
+    #   global_total_share (r1-r8) -> rotated out mid-r9 for the NEW
+    #       pii_redact_docs head slot: A3 grand-total stays via
+    #       top_revenue_order, F9 via pricing_summary, J4
+    #       cross-join-scalar-broadcast via forecast_revenue
+    "global_total_share",
 ]
 _ORDERED = _DRIVER_HEAD + _DRIVER_TAIL
 assert set(_ORDERED) == set(REGISTRY) and len(_ORDERED) == len(REGISTRY), (

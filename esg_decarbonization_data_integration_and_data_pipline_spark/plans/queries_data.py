@@ -18,6 +18,7 @@ from esg_decarbonization_data_integration_and_data_pipline_spark.tables import (
 from esg_decarbonization_data_integration_and_data_pipline_spark.plans.queries import register
 from esg_decarbonization_data_integration_and_data_pipline_spark.operators import dedup as D
 from esg_decarbonization_data_integration_and_data_pipline_spark.operators import text as T
+from esg_decarbonization_data_integration_and_data_pipline_spark.operators import pii as PII
 from esg_decarbonization_data_integration_and_data_pipline_spark.operators import similarity as S
 from esg_decarbonization_data_integration_and_data_pipline_spark.operators.multimodal import (
     extract_features, with_binary_payload,
@@ -130,6 +131,67 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "s_en", "s_de", "s_es", "s_fr",
                       F.col("n_cjk").cast("bigint").alias("n_cjk"),
                       "predicted_lang")
+
+
+def _sql_pii_aug(text: str = "text") -> str:
+    """DuckDB twin of the deterministic PII augmentation below: the
+    driver's synthetic corpus carries no natural PII, so the query
+    injects byte-identical fake PII on BOTH engines (doc_id % 3 == 2
+    rows stay untouched -- the zero-count path is graded too)."""
+    return f"""CASE
+  WHEN doc_id % 3 = 0 THEN {text} || ' contact user' || CAST(doc_id AS VARCHAR)
+       || '@example.com from 10.' || CAST(doc_id % 256 AS VARCHAR)
+       || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+  WHEN doc_id % 3 = 1 THEN {text} || ' call 555-867-'
+       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       || ' ssn 123-45-' || lpad(CAST(doc_id % 97 AS VARCHAR), 4, '0')
+  ELSE {text} END"""
+
+
+@register("pii_redact_docs", "ext:pii,P6", oracle=f"""
+WITH aug AS (
+  SELECT doc_id, source, {_sql_pii_aug()} AS text
+  FROM documents
+)
+SELECT doc_id, source,
+       {PII.sql_detect_expr('email', 'text')} AS n_email,
+       {PII.sql_detect_expr('ipv4', 'text')}  AS n_ipv4,
+       {PII.sql_detect_expr('ssn', 'text')}   AS n_ssn,
+       {PII.sql_detect_expr('phone', 'text')} AS n_phone,
+       {PII.sql_redact_chain('text')} AS redacted,
+       CAST(length(text) - length({PII.sql_redact_chain('text')}) AS BIGINT)
+         AS chars_redacted
+FROM aug
+""")
+def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact (operators/pii.py): per-doc match counts
+    for every rule and the fully redacted text, over a corpus with
+    deterministic fake PII injected in-plan (emails+IPs on 1/3 of
+    docs, phones+SSNs on another 1/3, nothing on the rest -- the
+    fixtures carry no natural PII, and the zero-hit path must grade
+    too).  Narrow JVM regexp chain, zero shuffles; both engines run
+    chains generated from the same PII_RULES table."""
+    d = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = (F.when(did % 3 == 0,
+                  F.concat(F.col("text"), F.lit(" contact user"),
+                           did.cast("string"),
+                           F.lit("@example.com from 10."),
+                           (did % 256).cast("string"), F.lit(".0."),
+                           (did % 100).cast("string")))
+            .when(did % 3 == 1,
+                  F.concat(F.col("text"), F.lit(" call 555-867-"),
+                           F.lpad((did % 10000).cast("string"), 4, "0"),
+                           F.lit(" ssn 123-45-"),
+                           F.lpad((did % 97).cast("string"), 4, "0")))
+            .otherwise(F.col("text")))
+    base = d.select("doc_id", "source", aug.alias("text"))
+    out = PII.redact_pii(PII.detect_pii(base), out_col="redacted")
+    return out.select(
+        "doc_id", "source", "n_email", "n_ipv4", "n_ssn", "n_phone",
+        "redacted",
+        (F.length("text") - F.length("redacted")).cast("long")
+        .alias("chars_redacted"))
 
 
 @register("text_repetition", "ext:quality-repetition", oracle="""
