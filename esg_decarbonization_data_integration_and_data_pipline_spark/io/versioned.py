@@ -42,6 +42,15 @@ subclass it with a put-if-match call and the protocol is
 object-store-safe unchanged.  The point of this module is that the
 COMMIT SURFACE is one tiny file, not a prefix rename.
 
+Schema is part of the commit: every version pins its read schema in
+a ``_SCHEMA.json`` beside the manifest, appends are ENFORCED against
+the current base by default (:class:`SchemaMismatchError` on drift)
+and evolve additively with ``merge_schema=True`` (new columns append
+as nullable; pre-evolution files read NULL for them, with no
+mergeSchema footer pass at read time), and time travel returns each
+version under the schema it committed with.  Type changes are never
+mergeable -- rewrite via a :func:`write_version` snapshot.
+
 Concurrent writers are serialized optimistically: both stage, the
 first `os.rename` to claim a version number wins, the loser retries
 under the next number (bounded retries).  The pointer flip itself is
@@ -74,6 +83,13 @@ _FLIP_LOCK_TTL = 60.0  # s; a flip is two tiny file ops -- a lock older
 class VersionConflictError(RuntimeError):
     """A claimed version was superseded by a higher committed version
     before its pointer flip; the write is not visible."""
+
+
+class SchemaMismatchError(RuntimeError):
+    """An appended batch's schema is incompatible with the table's
+    current schema (enforcement is the default; pass
+    ``merge_schema=True`` to evolve by adding nullable columns --
+    same-name TYPE conflicts are never mergeable)."""
 
 
 class CommitBackend:
@@ -340,6 +356,10 @@ def write_version(df: DataFrame, table_dir: str,
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(staged)
+        # a snapshot's read schema is the batch's own, pinned at
+        # commit time (schema may change freely across snapshots --
+        # that is write_version's overwrite semantic)
+        _write_schema_file(staged, df.schema)
         n = (max(_versions(table_dir), default=0)) + 1
         for _ in range(max_attempts):
             target = os.path.join(table_dir, f"v_{n:08d}")
@@ -387,6 +407,79 @@ def write_version(df: DataFrame, table_dir: str,
 
 _MANIFEST = "_MANIFEST"
 _TXN_PREFIX = "#txn "
+_SCHEMA_FILE = "_SCHEMA.json"
+
+
+def _write_schema_file(dir_path: str, schema) -> None:
+    """Pin ``schema`` (all fields forced nullable -- an evolved read
+    surfaces pre-evolution rows as NULL) as the version's read schema."""
+    from pyspark.sql.types import StructField, StructType
+
+    st = StructType([StructField(f.name, f.dataType, True)
+                     for f in schema.fields])
+    tmp = os.path.join(dir_path, f".{_SCHEMA_FILE}.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(st.json())
+    os.replace(tmp, os.path.join(dir_path, _SCHEMA_FILE))
+
+
+def table_schema(table_dir: str, n: int):
+    """The read schema version ``n`` committed with (``StructType``),
+    or None for a pre-schema-pinning version (readable, but its read
+    schema comes from parquet footers as before)."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    p = os.path.join(table_dir, f"v_{n:08d}", _SCHEMA_FILE)
+    try:
+        with open(p, encoding="utf-8") as fh:
+            return StructType.fromJson(json.load(fh))
+    except OSError:
+        return None
+
+
+def _resolve_commit_schema(base, batch, merge_schema: bool,
+                           table_dir: str):
+    """The schema the new version commits with.  Enforcement
+    (default): the batch must carry exactly the base's field names
+    with equal types (nullability ignored) -- the Delta-style guard
+    against a typo'd producer silently forking the table.  With
+    ``merge_schema=True``: batch-only fields are APPENDED to the base
+    schema as nullable columns (old files read NULL for them), and
+    base fields missing from the batch stay (the batch's files read
+    NULL).  A same-name TYPE conflict is never mergeable -- parquet
+    cannot read an int64 file column as string -- so it always
+    raises; rewrite via a fresh :func:`write_version` snapshot to
+    change a column's type."""
+    if base is None:
+        return batch
+    base_t = {f.name: f.dataType for f in base.fields}
+    batch_t = {f.name: f.dataType for f in batch.fields}
+    conflicts = sorted(n for n in base_t.keys() & batch_t.keys()
+                       if base_t[n] != batch_t[n])
+    if conflicts:
+        raise SchemaMismatchError(
+            f"append to {table_dir}: column type conflict for "
+            f"{conflicts} (table: "
+            f"{[(c, base_t[c].simpleString()) for c in conflicts]}, "
+            f"batch: {[(c, batch_t[c].simpleString()) for c in conflicts]}); "
+            f"a type change needs a full write_version snapshot rewrite")
+    added = [f for f in batch.fields if f.name not in base_t]
+    missing = sorted(base_t.keys() - batch_t.keys())
+    if not merge_schema and (added or missing):
+        raise SchemaMismatchError(
+            f"append to {table_dir}: batch schema differs from the "
+            f"table's (new columns {sorted(f.name for f in added)}, "
+            f"missing columns {missing}); pass merge_schema=True to "
+            f"evolve the table by adding nullable columns")
+    if not added:
+        return base
+    from pyspark.sql.types import StructField, StructType
+
+    return StructType(list(base.fields)
+                      + [StructField(f.name, f.dataType, True)
+                         for f in added])
 
 
 def _read_manifest(table_dir: str,
@@ -431,7 +524,8 @@ def _txns(table_dir: str, n: int) -> set[str]:
 
 def append_version(df: DataFrame, table_dir: str, txn: str | None = None,
                    max_attempts: int = 20,
-                   backend: CommitBackend | None = None) -> int:
+                   backend: CommitBackend | None = None,
+                   merge_schema: bool = False) -> int:
     """Commit ``df`` as a new version APPENDED to the current one --
     O(batch) per commit, not O(table): the new version dir holds only
     the batch's parquet files plus a tiny ``_MANIFEST`` listing the
@@ -464,7 +558,7 @@ def append_version(df: DataFrame, table_dir: str, txn: str | None = None,
     """
     return _manifest_commit(df, table_dir, txn=txn, pinned_base=None,
                             inherit_files=True, max_attempts=max_attempts,
-                            backend=backend)
+                            backend=backend, merge_schema=merge_schema)
 
 
 def compact_table(spark: SparkSession, table_dir: str,
@@ -495,7 +589,8 @@ def compact_table(spark: SparkSession, table_dir: str,
 def _manifest_commit(df: DataFrame, table_dir: str, txn: str | None,
                      pinned_base: int | None, inherit_files: bool,
                      max_attempts: int,
-                     backend: CommitBackend | None) -> int:
+                     backend: CommitBackend | None,
+                     merge_schema: bool = False) -> int:
     """Shared stage -> claim -> manifest -> commit loop behind
     :func:`append_version` (``inherit_files=True``, rebases freely)
     and :func:`compact_table` (``pinned_base`` set: raises
@@ -557,6 +652,20 @@ def _manifest_commit(df: DataFrame, table_dir: str, txn: str | None,
             txns = _txns(table_dir, cur) if cur is not None else set()
             if txn is not None:
                 txns = txns | {txn}
+            # schema enforcement/evolution against the CURRENT base
+            # (re-resolved on every rebase retry -- the base may have
+            # evolved inside our read-to-commit window).  A legacy
+            # base without a pinned schema falls back to its parquet
+            # footers once, here on the commit path, so readers never
+            # pay it.
+            base_schema = None
+            if cur is not None:
+                base_schema = table_schema(table_dir, cur)
+                if base_schema is None:
+                    base_schema = _read_resolved(
+                        df.sparkSession, table_dir, cur).schema
+            _write_schema_file(claimed, _resolve_commit_schema(
+                base_schema, df.schema, merge_schema, table_dir))
             lines = ([_TXN_PREFIX + t for t in sorted(txns)]
                      + inherited + own)
             with open(os.path.join(claimed, _MANIFEST), "w",
@@ -582,10 +691,16 @@ def _manifest_commit(df: DataFrame, table_dir: str, txn: str | None,
 
 
 def _read_resolved(spark: SparkSession, table_dir: str, n: int) -> DataFrame:
+    # the version's commit-time schema (when pinned) drives the read:
+    # files predating an added column surface it as NULL, with NO
+    # footer-merge pass over the (at scale, very long) file list --
+    # the mergeSchema=true tax every read would otherwise pay
+    st = table_schema(table_dir, n)
+    reader = spark.read.schema(st) if st is not None else spark.read
     mf = _read_manifest(table_dir, n)
     if mf is None:
-        return spark.read.parquet(os.path.join(table_dir, f"v_{n:08d}"))
-    return spark.read.parquet(
+        return reader.parquet(os.path.join(table_dir, f"v_{n:08d}"))
+    return reader.parquet(
         *[os.path.join(table_dir, rel) for rel in mf[0]])
 
 

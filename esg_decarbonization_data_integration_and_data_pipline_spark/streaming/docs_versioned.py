@@ -42,7 +42,8 @@ from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned im
 def stream_versioned_append(sdf: DataFrame, table_dir: str,
                             checkpoint: str,
                             transform=None,
-                            query_name: str = "docs_versioned_append"):
+                            query_name: str = "docs_versioned_append",
+                            merge_schema: bool = False):
     """documents stream -> one committed table version per non-empty
     micro-batch.
 
@@ -61,7 +62,11 @@ def stream_versioned_append(sdf: DataFrame, table_dir: str,
         if batch_df.isEmpty():
             return
         batch = transform(batch_df) if transform is not None else batch_df
-        append_version(batch, table_dir, txn=f"{ckpt_id}:{batch_id}")
+        # schema enforcement ON by default: a drifting upstream
+        # producer fails the query loudly instead of silently forking
+        # the table; opt into merge_schema for a planned evolution
+        append_version(batch, table_dir, txn=f"{ckpt_id}:{batch_id}",
+                       merge_schema=merge_schema)
 
     return (sdf.writeStream.foreachBatch(sink)
                .option("checkpointLocation", checkpoint)
