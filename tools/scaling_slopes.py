@@ -238,7 +238,19 @@ def main() -> None:
         # export write
         "rejection_audit":
             lambda s: _audit(docs(s)),
+        # round-9: PII detect+redact -- pure narrow regexp chain
+        # (4 counts + 4 replaces per row), zero shuffles; the slope
+        # should track the scan like the other narrow text kernels
+        "pii_redact":
+            lambda s: _pii(docs(s)),
     }
+
+    def _pii(d):
+        from esg_decarbonization_data_integration_and_data_pipline_spark.operators.pii import (
+            detect_pii, redact_pii,
+        )
+
+        return redact_pii(detect_pii(d), out_col="redacted")
 
     def _doc_lines(d):
         from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import (
