@@ -51,6 +51,17 @@ mergeSchema footer pass at read time), and time travel returns each
 version under the schema it committed with.  Type changes are never
 mergeable -- rewrite via a :func:`write_version` snapshot.
 
+Data skipping is part of the commit too: appends/compactions record
+per-file min/max for requested columns (``stats_columns`` -- a
+footer read at commit time, no data scan; inherited files keep their
+recorded stats, and the tracked-column set persists across appends
+that don't repeat it).  :func:`read_where` prunes whole files whose
+range provably misses the predicate before Spark ever lists them,
+and ``compact_table(sort_by=...)`` range-clusters the table so a
+narrow range touches O(slice) files.  Pruning is never a filter:
+the predicate is re-applied, so results are exact with or without
+stats.
+
 Concurrent writers are serialized optimistically: both stage, the
 first `os.rename` to claim a version number wins, the loser retries
 under the next number (bounded retries).  The pointer flip itself is
@@ -482,6 +493,125 @@ def _resolve_commit_schema(base, batch, merge_schema: bool,
                          for f in added])
 
 
+_STATS_PREFIX = "#stats "
+
+
+def _file_stats(path: str, columns) -> dict[str, tuple]:
+    """Per-column (min, max) of one parquet file, straight from its
+    row-group footers -- no data is scanned.  Only JSON-encodable
+    primitive stats (int/float/str/bool) are kept; a column whose
+    footer carries no usable stats is simply absent (readers treat
+    absence as 'cannot prune')."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict[str, tuple] = {}
+    for col in columns:
+        if col not in idx:
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[col]).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn, mx = st.min, st.max
+            if not isinstance(mn, (int, float, str, bool)) \
+                    or not isinstance(mx, (int, float, str, bool)):
+                ok = False
+                break
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        if ok and lo is not None:
+            out[col] = (lo, hi)
+    return out
+
+
+def _read_stats(table_dir: str, n: int) -> dict[str, dict[str, tuple]]:
+    """relpath -> {col: (min, max)} recorded in ``v_n``'s manifest
+    (empty for snapshot versions and stats-less commits)."""
+    import json
+
+    p = os.path.join(table_dir, f"v_{n:08d}", _MANIFEST)
+    try:
+        with open(p, encoding="ascii") as fh:
+            raw = fh.read()
+    except OSError:
+        return {}
+    out: dict[str, dict[str, tuple]] = {}
+    for line in raw.splitlines():
+        if line.startswith(_STATS_PREFIX):
+            rec = json.loads(line[len(_STATS_PREFIX):])
+            out.setdefault(rec["f"], {})[rec["c"]] = (rec["lo"], rec["hi"])
+    return out
+
+
+def _stats_lines(stats: dict[str, dict[str, tuple]]) -> list[str]:
+    import json
+
+    return [_STATS_PREFIX + json.dumps(
+                {"f": f, "c": c, "lo": lo, "hi": hi}, ensure_ascii=True)
+            for f in sorted(stats)
+            for c, (lo, hi) in sorted(stats[f].items())]
+
+
+def pruned_files(table_dir: str, n: int, col: str,
+                 lo=None, hi=None) -> tuple[list[str], int]:
+    """(data files of ``v_n`` that may contain rows with ``lo <= col
+    <= hi``, total file count).  A file is skipped ONLY when its
+    recorded [min, max] provably misses the range; files without
+    recorded stats for ``col`` are always kept -- pruning is an
+    optimization, never a filter."""
+    files = _data_files(table_dir, n)
+    stats = _read_stats(table_dir, n)
+    kept = []
+    for f in files:
+        s = stats.get(f, {}).get(col)
+        if s is not None and ((hi is not None and s[0] > hi)
+                              or (lo is not None and s[1] < lo)):
+            continue
+        kept.append(f)
+    return kept, len(files)
+
+
+def read_where(spark: SparkSession, table_dir: str, col: str,
+               lo=None, hi=None, n: int | None = None,
+               backend: CommitBackend | None = None) -> DataFrame:
+    """Read version ``n`` (default: current) keeping only rows with
+    ``lo <= col <= hi``, SKIPPING whole data files whose commit-time
+    [min, max] stats miss the range -- the Delta/Iceberg data-skipping
+    shape.  At 100 TB this is the difference between scanning the
+    table and scanning the slice: on a time- or key-sorted table
+    (:func:`compact_table` with ``sort_by``) file ranges are disjoint
+    and a narrow range touches O(slice) files.  The range predicate is
+    re-applied to the surviving files, so results are exact whether or
+    not stats exist; Spark additionally pushes it down into each
+    file's row-group stats as usual."""
+    from pyspark.sql import functions as F
+
+    if n is None:
+        n = current_version(table_dir, backend=backend)
+        if n is None:
+            raise FileNotFoundError(
+                f"{table_dir} has no committed version (_CURRENT missing)")
+    kept, _total = pruned_files(table_dir, n, col, lo, hi)
+    st = table_schema(table_dir, n)
+    reader = spark.read.schema(st) if st is not None else spark.read
+    if not kept:
+        if st is None:  # stats pruned everything but schema is unpinned
+            kept = _data_files(table_dir, n)[:1]
+        else:
+            return spark.createDataFrame([], st)
+    df = reader.parquet(*[os.path.join(table_dir, f) for f in kept])
+    if lo is not None:
+        df = df.filter(F.col(col) >= F.lit(lo))
+    if hi is not None:
+        df = df.filter(F.col(col) <= F.lit(hi))
+    return df
+
+
 def _read_manifest(table_dir: str,
                    n: int) -> tuple[list[str], set[str]] | None:
     """(data-file lines, txn ids) of ``v_n``'s manifest, or None for a
@@ -500,6 +630,8 @@ def _read_manifest(table_dir: str,
             continue
         if line.startswith(_TXN_PREFIX):
             txns.add(line[len(_TXN_PREFIX):])
+        elif line.startswith("#"):
+            pass  # other metadata tiers (#stats ...) -- not data files
         else:
             files.append(line)
     return files, txns
@@ -525,7 +657,8 @@ def _txns(table_dir: str, n: int) -> set[str]:
 def append_version(df: DataFrame, table_dir: str, txn: str | None = None,
                    max_attempts: int = 20,
                    backend: CommitBackend | None = None,
-                   merge_schema: bool = False) -> int:
+                   merge_schema: bool = False,
+                   stats_columns: Sequence[str] = ()) -> int:
     """Commit ``df`` as a new version APPENDED to the current one --
     O(batch) per commit, not O(table): the new version dir holds only
     the batch's parquet files plus a tiny ``_MANIFEST`` listing the
@@ -558,12 +691,16 @@ def append_version(df: DataFrame, table_dir: str, txn: str | None = None,
     """
     return _manifest_commit(df, table_dir, txn=txn, pinned_base=None,
                             inherit_files=True, max_attempts=max_attempts,
-                            backend=backend, merge_schema=merge_schema)
+                            backend=backend, merge_schema=merge_schema,
+                            stats_columns=stats_columns)
 
 
 def compact_table(spark: SparkSession, table_dir: str,
                   max_attempts: int = 20,
-                  backend: CommitBackend | None = None) -> int:
+                  backend: CommitBackend | None = None,
+                  sort_by: Sequence[str] = (),
+                  stats_columns: Sequence[str] = (),
+                  sort_partitions: int | None = None) -> int:
     """Snapshot the current append chain into one self-contained
     version: reads the current version, rewrites it as a new version
     whose manifest lists ONLY its own files (terminating the
@@ -580,17 +717,35 @@ def compact_table(spark: SparkSession, table_dir: str,
     if base is None:
         raise FileNotFoundError(
             f"{table_dir} has no committed version to compact")
+    df = _read_resolved(spark, table_dir, base)
+    if sort_by:
+        # range-partition + sort so each output file covers a narrow,
+        # disjoint slice of the sort key: commit-time min/max stats
+        # then let read_where skip all but O(slice) files -- the
+        # Z-order-lite clustering every table format pairs with data
+        # skipping.  sort_partitions pins the output file count (an
+        # explicit repartition is exempt from AQE small-shuffle
+        # coalescing, which on a small table collapses the layout to
+        # one file and with it the skipping); default lets AQE size
+        # the files to the data
+        if sort_partitions is not None:
+            df = df.repartitionByRange(sort_partitions, *sort_by)
+        else:
+            df = df.repartitionByRange(*sort_by)
+        df = df.sortWithinPartitions(*sort_by)
     return _manifest_commit(
-        _read_resolved(spark, table_dir, base), table_dir, txn=None,
+        df, table_dir, txn=None,
         pinned_base=base, inherit_files=False,
-        max_attempts=max_attempts, backend=backend)
+        max_attempts=max_attempts, backend=backend,
+        stats_columns=tuple(stats_columns) or tuple(sort_by))
 
 
 def _manifest_commit(df: DataFrame, table_dir: str, txn: str | None,
                      pinned_base: int | None, inherit_files: bool,
                      max_attempts: int,
                      backend: CommitBackend | None,
-                     merge_schema: bool = False) -> int:
+                     merge_schema: bool = False,
+                     stats_columns: Sequence[str] = ()) -> int:
     """Shared stage -> claim -> manifest -> commit loop behind
     :func:`append_version` (``inherit_files=True``, rebases freely)
     and :func:`compact_table` (``pinned_base`` set: raises
@@ -666,7 +821,27 @@ def _manifest_commit(df: DataFrame, table_dir: str, txn: str | None,
                         df.sparkSession, table_dir, cur).schema
             _write_schema_file(claimed, _resolve_commit_schema(
                 base_schema, df.schema, merge_schema, table_dir))
+            # file-skipping stats: inherit the base's recorded stats
+            # for inherited files verbatim, and record OWN-file
+            # min/max (footer read, no data scan) for the union of
+            # the requested columns and every column the base already
+            # tracks -- an append without stats_columns must not
+            # silently stop the table's skipping at its version
+            base_stats = (_read_stats(table_dir, cur)
+                          if cur is not None else {})
+            stats = {f: base_stats[f] for f in inherited
+                     if f in base_stats}
+            track = set(stats_columns).union(
+                *(base_stats[f].keys() for f in base_stats)) \
+                if base_stats else set(stats_columns)
+            if track:
+                for rel in own:
+                    fs = _file_stats(os.path.join(table_dir, rel),
+                                     sorted(track))
+                    if fs:
+                        stats[rel] = fs
             lines = ([_TXN_PREFIX + t for t in sorted(txns)]
+                     + _stats_lines(stats)
                      + inherited + own)
             with open(os.path.join(claimed, _MANIFEST), "w",
                       encoding="ascii") as fh:
