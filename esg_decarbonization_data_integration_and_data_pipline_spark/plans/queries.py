@@ -701,7 +701,7 @@ _DRIVER_HEAD = [
     "string_slice_like", "fill_missing_part_revenue",
     "selfjoin_green_grey_rate",
     "dedup_minhash_verified",
-    "quantile_acctbal", "cagr_nation_revenue", "irr_by_brand",
+    "quantile_acctbal", "irr_by_brand",
     "events_sessionize", "events_json_roundtrip",
     "top_revenue_order", "concat_format_timestamps",
     "greedy_allocation",
@@ -731,6 +731,11 @@ _DRIVER_HEAD = [
     # global_total_share rotates out for it (driver-green r1-r8, its
     # rows A3/F9/J4 keep head reps -- see the r9 block in _DRIVER_TAIL)
     "pii_redact_docs",
+    # ---- round-9 new capability: bloom-accelerated incremental
+    # exact dedup (operators/bloom.py); cagr_nation_revenue rotates
+    # out (driver-green r1-r8; A8 stays via irr_by_brand, F10 via
+    # forecast_revenue's compounding)
+    "dedup_bloom_incremental",
 ]
 _DRIVER_TAIL = [
     # approx_sketches is rows-only by design (no exact SQL oracle for
@@ -881,6 +886,10 @@ _DRIVER_TAIL = [
     #       top_revenue_order, F9 via pricing_summary, J4
     #       cross-join-scalar-broadcast via forecast_revenue
     "global_total_share",
+    #   cagr_nation_revenue (r1-r8) -> rotated out mid-r9 for the NEW
+    #       dedup_bloom_incremental head slot: A8 UDAF stays via
+    #       irr_by_brand, F10 power/compounding via forecast_revenue
+    "cagr_nation_revenue",
 ]
 _ORDERED = _DRIVER_HEAD + _DRIVER_TAIL
 assert set(_ORDERED) == set(REGISTRY) and len(_ORDERED) == len(REGISTRY), (

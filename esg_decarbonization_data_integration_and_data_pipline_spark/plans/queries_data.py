@@ -16,6 +16,7 @@ from esg_decarbonization_data_integration_and_data_pipline_spark.tables import (
     events_table, table,
 )
 from esg_decarbonization_data_integration_and_data_pipline_spark.plans.queries import register
+from esg_decarbonization_data_integration_and_data_pipline_spark.operators import bloom as B
 from esg_decarbonization_data_integration_and_data_pipline_spark.operators import dedup as D
 from esg_decarbonization_data_integration_and_data_pipline_spark.operators import text as T
 from esg_decarbonization_data_integration_and_data_pipline_spark.operators import pii as PII
@@ -288,6 +289,43 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Deduplication
 # --------------------------------------------------------------------------
+
+@register("dedup_bloom_incremental", "ext:dedup-bloom,J9", oracle="""
+WITH corpus AS (
+  SELECT * FROM documents WHERE doc_id % 4 <> 0 AND text IS NOT NULL
+),
+batch AS (
+  SELECT doc_id, text, source FROM documents
+  WHERE doc_id % 4 = 0 AND text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, source FROM corpus
+  WHERE doc_id % 8 = 1
+)
+SELECT b.doc_id, b.source FROM batch b
+WHERE NOT EXISTS (SELECT 1 FROM corpus c
+                  WHERE md5(c.text) = md5(b.text))
+""")
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-accelerated incremental exact dedup (operators/bloom.py):
+    which batch docs has the corpus NOT seen.  The batch is the held-
+    out quarter of the corpus plus guaranteed exact replays of corpus
+    docs under new ids; the partitioned per-bucket bloom answers
+    'certainly new' for the novel majority and only the maybe-seen
+    sliver pays the exact md5 anti-join -- whose verdict, not the
+    bloom's, is the result (byte-identical to the oracle's plain
+    NOT EXISTS)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    corpus = d.filter(F.col("doc_id") % 4 != 0)
+    batch = (d.filter(F.col("doc_id") % 4 == 0)
+              .select("doc_id", "text", "source")
+             .unionByName(
+                 corpus.filter(F.col("doc_id") % 8 == 1)
+                       .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                               "text", "source")))
+    bloom = B.bloom_build(corpus, n_buckets=16)
+    return (B.bloom_new_docs(batch, corpus, bloom, n_buckets=16)
+             .select("doc_id", "source"))
+
 
 @register("dedup_exact", "ext:dedup-exact,A1,A4", oracle="""
 SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_dups
