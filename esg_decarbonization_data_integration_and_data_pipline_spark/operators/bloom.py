@@ -103,6 +103,63 @@ def bloom_build(corpus: DataFrame, text_col: str = "text",
     return fps.groupBy(_BUCKET).applyInPandas(make, BLOOM_SCHEMA)
 
 
+def bloom_update(bloom: DataFrame, new_docs: DataFrame,
+                 text_col: str = "text",
+                 n_buckets: int = 64,
+                 bits_per_key: int = 10,
+                 max_load: float = 1.5) -> DataFrame:
+    """The updated bloom table after ingesting ``new_docs`` --
+    per-batch cost O(batch), not O(corpus): only buckets the batch
+    touches are rewritten (bits OR'd in place), untouched bucket rows
+    pass through unchanged.  A batch landing in a bucket with no
+    bloom row yet creates one sized for ITS keys.
+
+    Bloom bitarrays cannot grow, so a long-lived bucket saturates as
+    keys accumulate (FPP decays toward 1 -- the filter silently stops
+    filtering).  ``max_load`` guards that: once a bucket's
+    keys-ever-added exceed ``max_load`` x its sized capacity
+    (``m_bits / bits_per_key``), the update RAISES with guidance to
+    rebuild (``bloom_build`` over the compacted corpus, the natural
+    compaction companion) or to re-bucket with more buckets.  Loud
+    failure beats a filter that quietly degrades into
+    probe-everything."""
+    n_hashes = max(1, round(math.log(2) * bits_per_key))
+
+    def merge(b: pd.DataFrame, bl: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return bl[["bucket", "m_bits", "n_hashes", "n_keys", "bits"]]
+        if len(bl) == 0:
+            m_bits = max(64, len(b) * bits_per_key)
+            bits = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
+            n_h, n0 = n_hashes, 0
+        else:
+            m_bits = int(bl["m_bits"].iloc[0])
+            bits = np.frombuffer(bl["bits"].iloc[0],
+                                 dtype=np.uint8).copy()
+            n_h, n0 = int(bl["n_hashes"].iloc[0]), int(bl["n_keys"].iloc[0])
+        if (n0 + len(b)) * bits_per_key > max_load * m_bits:
+            raise RuntimeError(
+                f"bloom bucket {int(b[_BUCKET].iloc[0])} would hold "
+                f"{n0 + len(b)} keys in {m_bits} bits "
+                f"(> {max_load}x its sized capacity); FPP has decayed "
+                f"-- rebuild with bloom_build over the current corpus "
+                f"(e.g. at compaction) or re-bucket with more buckets")
+        pos = _positions(b[_FP].to_numpy(), b[_FP2].to_numpy(),
+                         n_h, m_bits).ravel()
+        np.bitwise_or.at(bits, pos >> 3,
+                         np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pd.DataFrame({
+            "bucket": [int(b[_BUCKET].iloc[0])],
+            "m_bits": [m_bits], "n_hashes": [n_h],
+            "n_keys": [n0 + len(b)], "bits": [bits.tobytes()]})
+
+    fps = (_fingerprinted(new_docs, text_col, n_buckets)
+           .select(_FP, _FP2, _BUCKET).distinct())
+    return (fps.groupBy(_BUCKET)
+               .cogroup(bloom.groupBy("bucket"))
+               .applyInPandas(merge, BLOOM_SCHEMA))
+
+
 def bloom_probe(batch: DataFrame, bloom: DataFrame,
                 text_col: str = "text",
                 n_buckets: int = 64) -> DataFrame:

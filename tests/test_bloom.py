@@ -85,3 +85,40 @@ def test_duplicate_corpus_texts_are_one_key(spark):
 def test_empty_batch(spark, corpus, bloom):
     empty = _docs(spark, [])
     assert B.bloom_new_docs(empty, corpus, bloom, n_buckets=8).count() == 0
+
+
+def test_update_keeps_no_false_negatives(spark, corpus, bloom):
+    """After bloom_update, both the original corpus keys and the
+    ingested batch keys must probe maybe_seen=True, and the result of
+    bloom_new_docs against the grown corpus still equals the plain
+    anti-join."""
+    added = _docs(spark, [f"ingested doc {i}" for i in range(80)],
+                  start_id=40_000)
+    bl2 = B.bloom_update(bloom, added, n_buckets=8).cache()
+    corpus2 = corpus.unionByName(added)
+    probed = B.bloom_probe(corpus2, bl2, n_buckets=8)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+    # untouched semantics: new_docs over the grown corpus == anti-join
+    batch = _docs(spark, ["ingested doc 3", "corpus document number 7 body",
+                          "still novel one", "still novel two"],
+                  start_id=50_000)
+    got = sorted(r.doc_id for r in
+                 B.bloom_new_docs(batch, corpus2, bl2, n_buckets=8).collect())
+    assert got == [50_002, 50_003]
+
+
+def test_update_only_rewrites_touched_buckets(spark, corpus, bloom):
+    one = _docs(spark, ["a single new doc"], start_id=60_000)
+    before = {r.bucket: r.bits for r in bloom.collect()}
+    after = {r.bucket: r.bits for r in
+             B.bloom_update(bloom, one, n_buckets=8).collect()}
+    changed = [b for b in after if after[b] != before.get(b)]
+    assert len(changed) == 1  # exactly the one bucket the doc hashed to
+
+
+def test_update_raises_on_saturation(spark):
+    tiny = _docs(spark, ["seed doc"])
+    bl = B.bloom_build(tiny, n_buckets=1)  # m_bits = 64 floor
+    flood = _docs(spark, [f"flood {i}" for i in range(100)], start_id=100)
+    with pytest.raises(Exception, match="rebuild"):
+        B.bloom_update(bl, flood, n_buckets=1).collect()
