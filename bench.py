@@ -53,6 +53,11 @@ HEADLINE = [
     # the prior 17-query set is the comparable prefix.
     "text_normalize_docs",
     "decontaminate_spans_docs",
+    # added round 9: the two new head-graded curation ops (same
+    # discipline -- totals compare on the 17-query prefix, reported
+    # separately via prefix17_total/prefix17_min)
+    "pii_redact_docs",
+    "dedup_bloom_incremental",
 ]
 
 
