@@ -62,6 +62,12 @@ narrow range touches O(slice) files.  Pruning is never a filter:
 the predicate is re-applied, so results are exact with or without
 stats.
 
+Row-level mutation is :func:`merge_version` (upsert) /
+:func:`delete_keys_version`: copy-on-write at FILE granularity --
+the recorded key stats select the files that may contain a matched
+key, only those are rewritten, the rest inherit by reference.  On a
+key-clustered table a narrow merge rewrites O(slice) files.
+
 Concurrent writers are serialized optimistically: both stage, the
 first `os.rename` to claim a version number wins, the loser retries
 under the next number (bounded retries).  The pointer flip itself is
@@ -740,17 +746,116 @@ def compact_table(spark: SparkSession, table_dir: str,
         stats_columns=tuple(stats_columns) or tuple(sort_by))
 
 
+def _touched_files(spark: SparkSession, table_dir: str, base: int,
+                   keys: DataFrame, key: str) -> tuple[list[str], int]:
+    """(data files of ``v_base`` that MAY contain a row whose ``key``
+    appears in ``keys``, total file count).  Files with recorded
+    [min, max] stats on ``key`` are checked with a broadcast range
+    join (the file list is metadata-sized); files without stats are
+    conservatively included.  This is the file-level pruning that
+    makes copy-on-write merge O(touched files), not O(table)."""
+    from pyspark.sql import functions as F
+
+    files = _data_files(table_dir, base)
+    stats = _read_stats(table_dir, base)
+    ranged = [(f, *stats[f][key]) for f in files
+              if key in stats.get(f, {})]
+    touched = {f for f in files if key not in stats.get(f, {})}
+    if ranged:
+        rng = spark.createDataFrame(ranged, ["__f", "__lo", "__hi"])
+        hit = (keys.select(F.col(key).alias("__k")).distinct()
+                   .join(F.broadcast(rng),
+                         (F.col("__k") >= F.col("__lo"))
+                         & (F.col("__k") <= F.col("__hi")))
+                   .select("__f").distinct().collect())
+        touched |= {r["__f"] for r in hit}
+    return [f for f in files if f in touched], len(files)
+
+
+def merge_version(spark: SparkSession, table_dir: str,
+                  updates: DataFrame, key: str,
+                  delete_only: bool = False,
+                  merge_schema: bool = False,
+                  max_attempts: int = 20,
+                  backend: CommitBackend | None = None) -> int:
+    """Copy-on-write MERGE (the Delta ``MERGE``/upsert shape): rows
+    of the current version whose ``key`` appears in ``updates`` are
+    replaced by the update rows (ALL update rows land as given --
+    de-duplicate upstream if one-row-per-key matters); unmatched
+    update rows insert; with ``delete_only`` the matched rows simply
+    disappear and ``updates`` contributes nothing.
+
+    Only data files that MAY contain a matched key are rewritten --
+    candidates come from the commit-time file stats on ``key``
+    (:func:`_touched_files`), so on a key-clustered table
+    (``compact_table(sort_by=[key])``) a merge touching one key range
+    rewrites O(slice) files and inherits the rest by reference.
+    Files without stats on ``key`` are conservatively rewritten;
+    keeping the key in ``stats_columns``/``sort_by`` is what makes
+    merges cheap.
+
+    Concurrency: the base is PINNED like compaction's -- a concurrent
+    commit between our read and our flip raises
+    :class:`VersionConflictError` (rebasing would silently drop that
+    writer's rows from the files we rewrote); re-run the merge.
+    Txn markers carry forward; the rewritten version keeps exactly-
+    once replay detection for the append stream."""
+    from pyspark.sql import functions as F
+
+    base = current_version(table_dir, backend=backend)
+    if base is None:
+        raise FileNotFoundError(
+            f"{table_dir} has no committed version to merge into")
+    touched, _total = _touched_files(spark, table_dir, base, updates, key)
+    st = table_schema(table_dir, base)
+    if touched:
+        reader = spark.read.schema(st) if st is not None else spark.read
+        survivors = (reader.parquet(
+                        *[os.path.join(table_dir, f) for f in touched])
+                     .join(updates.select(key).distinct(), key, "left_anti"))
+    else:
+        survivors = None
+    if delete_only:
+        new_df = survivors
+        if new_df is None:  # nothing touched: a no-op delete
+            new_df = _read_resolved(spark, table_dir, base).limit(0)
+    else:
+        new_df = (survivors.unionByName(updates,
+                                        allowMissingColumns=True)
+                  if survivors is not None else updates)
+    return _manifest_commit(
+        new_df, table_dir, txn=None, pinned_base=base,
+        inherit_files=True, max_attempts=max_attempts, backend=backend,
+        merge_schema=merge_schema, inherit_drop=frozenset(touched))
+
+
+def delete_keys_version(spark: SparkSession, table_dir: str,
+                        keys: DataFrame, key: str,
+                        max_attempts: int = 20,
+                        backend: CommitBackend | None = None) -> int:
+    """Delete every row whose ``key`` appears in ``keys`` -- the
+    delete-only face of :func:`merge_version` (same file-level
+    pruning, same pinned-base concurrency contract)."""
+    return merge_version(spark, table_dir, keys.select(key), key,
+                         delete_only=True, max_attempts=max_attempts,
+                         backend=backend)
+
+
 def _manifest_commit(df: DataFrame, table_dir: str, txn: str | None,
                      pinned_base: int | None, inherit_files: bool,
                      max_attempts: int,
                      backend: CommitBackend | None,
                      merge_schema: bool = False,
-                     stats_columns: Sequence[str] = ()) -> int:
+                     stats_columns: Sequence[str] = (),
+                     inherit_drop: frozenset[str] = frozenset()) -> int:
     """Shared stage -> claim -> manifest -> commit loop behind
-    :func:`append_version` (``inherit_files=True``, rebases freely)
-    and :func:`compact_table` (``pinned_base`` set: raises
+    :func:`append_version` (``inherit_files=True``, rebases freely),
+    :func:`compact_table` (``pinned_base`` set: raises
     :class:`VersionConflictError` if the base advances, since the
-    staged data is a copy of that exact base)."""
+    staged data is a copy of that exact base), and
+    :func:`merge_version` (``pinned_base`` + ``inherit_drop``: the
+    rewritten files leave the inheritance, their replacements are the
+    staged batch)."""
     import uuid
 
     backend = backend or _DEFAULT_BACKEND
@@ -802,7 +907,8 @@ def _manifest_commit(df: DataFrame, table_dir: str, txn: str | None,
             own = sorted(
                 f"{vname}/{f}" for f in os.listdir(claimed)
                 if not f.startswith(("_", ".")))
-            inherited = (_data_files(table_dir, cur)
+            inherited = ([f for f in _data_files(table_dir, cur)
+                          if f not in inherit_drop]
                          if cur is not None and inherit_files else [])
             txns = _txns(table_dir, cur) if cur is not None else set()
             if txn is not None:
