@@ -706,7 +706,8 @@ def compact_table(spark: SparkSession, table_dir: str,
                   backend: CommitBackend | None = None,
                   sort_by: Sequence[str] = (),
                   stats_columns: Sequence[str] = (),
-                  sort_partitions: int | None = None) -> int:
+                  sort_partitions: int | None = None,
+                  zorder_by: Sequence[str] = ()) -> int:
     """Snapshot the current append chain into one self-contained
     version: reads the current version, rewrites it as a new version
     whose manifest lists ONLY its own files (terminating the
@@ -724,6 +725,18 @@ def compact_table(spark: SparkSession, table_dir: str,
         raise FileNotFoundError(
             f"{table_dir} has no committed version to compact")
     df = _read_resolved(spark, table_dir, base)
+    if zorder_by:
+        if sort_by:
+            raise ValueError("pass sort_by OR zorder_by, not both")
+        # multi-dimensional clustering: cluster on the interleaved-bit
+        # key so a narrow range on ANY of the zorder columns prunes --
+        # linear sort_by clusters only its leading column
+        df = df.withColumn("__z", _zorder_column(df, zorder_by))
+        if sort_partitions is not None:
+            df = df.repartitionByRange(sort_partitions, "__z")
+        else:
+            df = df.repartitionByRange("__z")
+        df = df.sortWithinPartitions("__z").drop("__z")
     if sort_by:
         # range-partition + sort so each output file covers a narrow,
         # disjoint slice of the sort key: commit-time min/max stats
@@ -743,7 +756,42 @@ def compact_table(spark: SparkSession, table_dir: str,
         df, table_dir, txn=None,
         pinned_base=base, inherit_files=False,
         max_attempts=max_attempts, backend=backend,
-        stats_columns=tuple(stats_columns) or tuple(sort_by))
+        stats_columns=(tuple(stats_columns) or tuple(sort_by)
+                       or tuple(zorder_by)))
+
+
+def _zorder_column(df: DataFrame, cols: Sequence[str], bits: int = 10):
+    """A single interleaved-bit Z-order key over ``cols``: each
+    column is bucketed into 2^bits uniform-width cells over its
+    [min, max] (one tiny agg -- commit-path cost), and the bucket
+    bits are interleaved so sorting by the key clusters rows that
+    are close in EVERY dimension.  All codegen'd built-ins
+    (width_bucket / shifts / bitwise) -- no Python, no higher-order
+    exprs.  Uniform cells degrade on heavily skewed keys (a quantile
+    variant would fix that at the cost of a per-column quantile
+    pass); file-skipping still prunes via the per-file min/max of
+    the ORIGINAL columns, so a bad layout only costs pruning
+    efficiency, never correctness."""
+    from pyspark.sql import functions as F
+
+    n = 1 << bits
+    agg = df.agg(*[f(c).alias(f"{w}_{c}") for c in cols
+                   for w, f in (("lo", F.min), ("hi", F.max))]).first()
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        lo, hi = agg[f"lo_{c}"], agg[f"hi_{c}"]
+        if lo is None or lo == hi:  # constant/all-null: contributes 0
+            continue
+        b = F.least(
+            F.greatest(F.width_bucket(F.col(c), F.lit(lo), F.lit(hi),
+                                      F.lit(n)) - 1, F.lit(0)),
+            F.lit(n - 1))
+        b = F.coalesce(b, F.lit(0)).cast("long")
+        for j in range(bits):
+            z = z.bitwiseOR(F.shiftleft(
+                F.shiftright(b, j).bitwiseAND(F.lit(1)),
+                j * len(cols) + i))
+    return z
 
 
 def _touched_files(spark: SparkSession, table_dir: str, base: int,

@@ -72,6 +72,36 @@ def test_sorted_compaction_clusters_for_skipping(spark, tmp_path):
     assert got == list(range(0, 21))
 
 
+def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
+    """Z-order clustering: after compact_table(zorder_by=[x, y]) a
+    narrow range on EITHER column prunes files; a linear sort_by=[x]
+    layout prunes only on x."""
+    t = str(tmp_path / "tz")
+    rows = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, "x bigint, y bigint")
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        append_version as av,
+    )
+    av(df.coalesce(4), t, stats_columns=["x", "y"])
+    n = compact_table(spark, t, zorder_by=["x", "y"], sort_partitions=16)
+    for col in ("x", "y"):
+        kept, total = pruned_files(t, n, col, 0, 3)
+        assert total == 16
+        assert len(kept) <= total // 2, \
+            f"zorder should prune on {col}: kept {len(kept)}/{total}"
+        got = sorted((r.x, r.y) for r in
+                     read_where(spark, t, col, 0, 3).collect())
+        want = sorted((x, y) for x, y in rows
+                      if 0 <= (x if col == "x" else y) <= 3)
+        assert got == want
+    # contrast: the linear layout cannot prune the trailing dimension
+    t2 = str(tmp_path / "tl")
+    av(df.coalesce(4), t2, stats_columns=["x", "y"])
+    n2 = compact_table(spark, t2, sort_by=["x"], sort_partitions=16)
+    kept_y, total_y = pruned_files(t2, n2, "y", 0, 3)
+    assert len(kept_y) == total_y  # every file spans the full y range
+
+
 def test_read_where_exact_without_stats(spark, tmp_path):
     """Snapshot versions carry no manifest and no stats: read_where
     degrades to read+filter, never to a wrong answer."""
