@@ -6,19 +6,28 @@ strings before release); the reference has no analog, so the north
 star is those published pipelines, re-expressed as narrow JVM regexp
 chains (SURVEY.md "text analysis" tier).
 
+THE canonical PII rule table: this module unifies the round-6
+``operators/text.PII_PATTERNS`` tier (email/url/phone -- text.py now
+aliases this table and ``text.scrub_pii`` redacts through this
+chain) with the round-9 additions (ipv4, ssn), so exactly one
+ordered table governs every scrub in the engine -- the curation
+pipeline's first gate, both registry queries' Spark sides, and both
+generated DuckDB oracle chains.
+
 Design notes:
 - One ordered rule table :data:`PII_RULES` drives BOTH engines: the
-  Spark chain here and the DuckDB oracle chain in plans/queries_data
-  are generated from it, so they cannot drift (same discipline as
+  Spark chain here and the DuckDB oracle chains in plans/ are
+  generated from it, so they cannot drift (same discipline as
   ``operators/text.NORMALIZE_STEPS``).
 - Patterns use only the Java-regex / RE2 common subset (no
   backreferences, no lookaround).  Detection counts each rule
   INDEPENDENTLY over the original text (an email whose local part is
-  phone-shaped counts as both -- the count columns answer "does this
+  phone-shaped counts as both; the broad digit-run phone rule also
+  fires on SSN-shaped strings -- the count columns answer "does this
   rule fire", not "which rule owns the span"); redaction applies the
-  rules in table order, so the email rule consumes overlapping spans
-  before the numeric rules see them.  The three numeric rules are
-  mutually disjoint on any input (tested).
+  rules in table order, so earlier rules consume overlapping spans
+  (email before the numeric rules, ssn before the broader phone
+  rule) and every span gets its most specific token.
 - Everything is a narrow per-row projection: zero shuffles, inside
   whole-stage codegen, embarrassingly parallel -- the 100 TB shape is
   "as fast as the scan" (plan pinned by tests/test_plan_shapes.py).
@@ -29,16 +38,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 # (kind, pattern, replacement token) -- applied in this order.
-# The pattern subset is deliberately RE2-compatible: the DuckDB oracle
-# runs the exact same strings.  SSN precedes phone in the table, but
-# the two are disjoint (\d{2}- vs \d{3}- after the first group), so
-# order only matters for emails (whose local parts may contain digits
-# and dashes that the numeric rules would otherwise nibble at).
+# The pattern subset is deliberately RE2-compatible: the DuckDB
+# oracles run the exact same strings.  Order encodes specificity:
+# email first (local parts may contain digit/dash runs the numeric
+# rules would nibble at), then url, then ipv4 (dots keep it disjoint
+# from the dash/space digit runs), then ssn BEFORE the broad phone
+# rule -- phone's digit-run pattern (the reference r6 tier's,
+# deliberately broad: international prefixes, parens, spaced groups)
+# also matches SSN-shaped strings, so ssn must claim its spans
+# first.
 PII_RULES: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IPV4>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
-    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("phone", r"\+?[0-9][0-9()\- ]{7,}[0-9]", "<PHONE>"),
 )
 
 

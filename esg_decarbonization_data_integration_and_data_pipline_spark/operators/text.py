@@ -18,6 +18,13 @@ from __future__ import annotations
 import pandas as pd  # module-level: pandas_udf resolves stringized type hints here
 from pyspark.sql import Column, DataFrame, functions as F
 
+from esg_decarbonization_data_integration_and_data_pipline_spark.operators.pii import (
+    # THE canonical PII rule table lives in operators/pii.py since r9
+    # (this r6 tier contributed email/url/phone; pii.py added
+    # ipv4/ssn and the generated-oracle helpers) -- aliased for the
+    # curation pipeline and the long-standing importers
+    PII_RULES as PII_PATTERNS,
+)
 from esg_decarbonization_data_integration_and_data_pipline_spark.operators.scale import (
     NGRAM_PARTITION_BYTES, ensure_parallelism,
 )
@@ -670,22 +677,14 @@ def contamination_report(df: DataFrame, benchmark: DataFrame, n: int = 5,
                      .alias("n_corpus_docs")))
 
 
-# conservative patterns valid in BOTH Java regex (Spark) and RE2
-# (DuckDB): no backreferences, no lookaround
-PII_PATTERNS: list[tuple[str, str, str]] = [
-    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-     "<EMAIL>"),
-    ("url", r"https?://[^\s]+", "<URL>"),
-    ("phone", r"\+?[0-9][0-9()\- ]{7,}[0-9]", "<PHONE>"),
-]
-
-
 def scrub_pii(df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """PII/URL scrubbing -- the redaction pass of a training-data
-    pipeline (emails, URLs, phone-shaped digit runs replaced with
-    typed placeholder tokens before anything downstream sees the
-    text).
+    pipeline (emails, URLs, IPs, SSN-shaped ids, phone-shaped digit
+    runs replaced with typed placeholder tokens before anything
+    downstream sees the text).  One rule table
+    (``operators/pii.PII_RULES``) governs this, ``pii.redact_pii``,
+    and both generated SQL oracles.
 
     Pure JVM ``regexp_replace`` / ``regexp_count`` chain -- narrow,
     zero-shuffle, whole-stage-codegen; the patterns avoid
@@ -693,7 +692,7 @@ def scrub_pii(df: DataFrame, id_col: str = "doc_id",
     SAME regexes (Java regex and RE2 agree on this subset). Null
     text propagates.
 
-    Output: (doc_id, clean_text, n_email, n_url, n_phone).
+    Output: (doc_id, clean_text, n_<kind> per rule).
     """
     out = df.select(F.col(id_col).alias("doc_id"),
                     F.col(text_col).alias("clean_text"),

@@ -143,6 +143,7 @@ def _sql_pii_aug(text: str = "text") -> str:
   WHEN doc_id % 3 = 0 THEN {text} || ' contact user' || CAST(doc_id AS VARCHAR)
        || '@example.com from 10.' || CAST(doc_id % 256 AS VARCHAR)
        || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+       || ' see https://example.com/d' || CAST(doc_id AS VARCHAR)
   WHEN doc_id % 3 = 1 THEN {text} || ' call 555-867-'
        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
        || ' ssn 123-45-' || lpad(CAST(doc_id % 97 AS VARCHAR), 4, '0')
@@ -156,6 +157,7 @@ WITH aug AS (
 )
 SELECT doc_id, source,
        {PII.sql_detect_expr('email', 'text')} AS n_email,
+       {PII.sql_detect_expr('url', 'text')}   AS n_url,
        {PII.sql_detect_expr('ipv4', 'text')}  AS n_ipv4,
        {PII.sql_detect_expr('ssn', 'text')}   AS n_ssn,
        {PII.sql_detect_expr('phone', 'text')} AS n_phone,
@@ -179,7 +181,9 @@ def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                            did.cast("string"),
                            F.lit("@example.com from 10."),
                            (did % 256).cast("string"), F.lit(".0."),
-                           (did % 100).cast("string")))
+                           (did % 100).cast("string"),
+                           F.lit(" see https://example.com/d"),
+                           did.cast("string")))
             .when(did % 3 == 1,
                   F.concat(F.col("text"), F.lit(" call 555-867-"),
                            F.lpad((did % 10000).cast("string"), 4, "0"),
@@ -189,7 +193,8 @@ def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.select("doc_id", "source", aug.alias("text"))
     out = PII.redact_pii(PII.detect_pii(base), out_col="redacted")
     return out.select(
-        "doc_id", "source", "n_email", "n_ipv4", "n_ssn", "n_phone",
+        "doc_id", "source",
+        "n_email", "n_url", "n_ipv4", "n_ssn", "n_phone",
         "redacted",
         (F.length("text") - F.length("redacted")).cast("long")
         .alias("chars_redacted"))
@@ -290,7 +295,11 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deduplication
 # --------------------------------------------------------------------------
 
-@register("dedup_bloom_incremental", "ext:dedup-bloom,J9", oracle="""
+# P5: the null-text drop (col.isNotNull() on both engines) is
+# load-bearing here -- null fingerprints would otherwise alias; this
+# is the honest head representative for SURVEY's null-predicate row
+# (fem_ratio's na.drop stays fixture-pinned by test_reference_fixtures)
+@register("dedup_bloom_incremental", "ext:dedup-bloom,J9,P5", oracle="""
 WITH corpus AS (
   SELECT * FROM documents WHERE doc_id % 4 <> 0 AND text IS NOT NULL
 ),

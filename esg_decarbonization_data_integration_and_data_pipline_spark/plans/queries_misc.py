@@ -10,6 +10,7 @@ import pandas as pd  # module-level: pandas_udf resolves stringized type hints h
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from esg_decarbonization_data_integration_and_data_pipline_spark.tables import table
+from esg_decarbonization_data_integration_and_data_pipline_spark.operators import pii as _PII
 from esg_decarbonization_data_integration_and_data_pipline_spark.plans.queries import register
 from esg_decarbonization_data_integration_and_data_pipline_spark.plans.queries_data import SQL_TOKS as _SQL_TOKS
 
@@ -788,27 +789,24 @@ def text_dedup_doc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_duplicate_lines_within(table(spark, sf_dir, "documents"))
 
 
-@register("text_scrub_pii", "ext:pii-scrub,F5,F9", oracle=r"""
+_SCRUB_COUNTS = ",\n       ".join(
+    f"{_PII.sql_detect_expr(kind, 'text')} AS n_{kind}"
+    for kind, _p, _t in _PII.PII_RULES)
+
+
+@register("text_scrub_pii", "ext:pii-scrub,F5,F9", oracle=f"""
 SELECT doc_id,
-       regexp_replace(regexp_replace(regexp_replace(text,
-         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-         'https?://[^\s]+', '<URL>', 'g'),
-         '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS clean_text,
-       CAST(len(regexp_extract_all(text,
-         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
-         AS n_email,
-       CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT)
-         AS n_url,
-       CAST(len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{7,}[0-9]'))
-         AS BIGINT) AS n_phone
+       {_PII.sql_redact_chain('text')} AS clean_text,
+       {_SCRUB_COUNTS}
 FROM documents
 """)
 def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII/URL redaction (operators/text.scrub_pii): pure-JVM
-    regexp chain, narrow and shuffle-free; the patterns use the
-    Java-regex/RE2 common subset so both engines evaluate the same
-    automaton. DuckDB needs the explicit 'g' flag -- Spark's
-    regexp_replace is global by default."""
+    """PII/URL redaction (operators/text.scrub_pii): pure-JVM regexp
+    chain, narrow and shuffle-free.  Since r9 both the Spark chain
+    and this oracle are GENERATED from the one operators/pii.PII_RULES
+    table (r6's email/url/phone rules + r9's ipv4/ssn), so the two
+    engines cannot drift. DuckDB needs the explicit 'g' flag --
+    Spark's regexp_replace is global by default."""
     from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import scrub_pii
 
     return scrub_pii(table(spark, sf_dir, "documents"))
@@ -988,16 +986,22 @@ def versioned_quarter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     contain exactly quarters 1..min(n, 3), which the oracle derives
     from the parquet alone: time travel is wrong if any version
     shows a quarter it should not have, and compaction is wrong if
-    v4 differs from v3.  The table lives in a fresh mkdtemp per call
-    (left for the OS tmp reaper: the returned frame reads it
-    LAZILY, so the driver's collect happens after return)."""
+    v4 differs from v3.  The table lives in a fresh mkdtemp per call,
+    reaped at interpreter exit (the returned frame reads it LAZILY,
+    so the driver's collect happens after return but before exit;
+    bench reruns would otherwise deposit several table copies in
+    /tmp per round)."""
+    import atexit
+    import shutil
     import tempfile
 
     from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
         append_version, compact_table, read_version,
     )
 
-    table_dir = tempfile.mkdtemp(prefix="versioned_qa_") + "/orders_q"
+    root = tempfile.mkdtemp(prefix="versioned_qa_")
+    atexit.register(shutil.rmtree, root, True)
+    table_dir = root + "/orders_q"
     o = (table(spark, sf_dir, "orders")
          .filter(F.year("o_orderdate") == 1997)
          .select(F.quarter("o_orderdate").cast("int").alias("o_quarter"),

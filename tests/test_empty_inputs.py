@@ -60,8 +60,10 @@ def test_r5_text_ops_empty_corpus(spark):
     assert char_entropy(empty).count() == 0
     out = scrub_pii(empty)
     assert out.count() == 0
-    assert out.columns == ["doc_id", "clean_text",
-                           "n_email", "n_url", "n_phone"]
+    # one count per rule of the unified pii.PII_RULES table (r9)
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.pii import PII_RULES
+    assert out.columns == ["doc_id", "clean_text"] + [
+        f"n_{kind}" for kind, _p, _t in PII_RULES]
 
 
 def test_r6_export_tier_empty_corpus(spark):

@@ -59,7 +59,14 @@ QUERIES = ["text_repetition", "dedup_simhash64_pairs", "dedup_simhash",
            # round-8: bigram-LM NLL (null/empty/whitespace and the
            # single-token doc -- which has NO bigrams and must drop
            # out identically on both engines)
-           "text_bigram_nll"]
+           "text_bigram_nll",
+           # round-9: PII over the in-plan augmented corpus (null
+           # text must null-propagate through concat on BOTH engines;
+           # empty/whitespace docs still get injected PII) and the
+           # bloom-accelerated dedup (null texts excluded identically
+           # on both sides; the crafted corpus makes every batch doc
+           # novel)
+           "pii_redact_docs", "dedup_bloom_incremental"]
 
 
 @pytest.fixture(scope="module")

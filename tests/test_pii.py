@@ -14,21 +14,25 @@ from esg_decarbonization_data_integration_and_data_pipline_spark.operators impor
 from tests.test_plan_shapes import plan_of
 
 CASES = [
-    # (text, n_email, n_ipv4, n_ssn, n_phone)
-    ("mail a.b+c@ex-ample.co.uk and x_y%z@sub.domain.org", 2, 0, 0, 0),
-    ("ip 10.3.0.255 then 1.2.3.4, done", 0, 2, 0, 0),
-    ("ssn 123-45-6789 phone 555-867-0042", 0, 0, 1, 1),
-    ("adjacent:123-45-6789 555-867-0042 123-45-6789", 0, 0, 2, 1),
+    # (text, n_email, n_url, n_ipv4, n_ssn, n_phone).  The phone rule
+    # is the broad r6 digit-run pattern: it also fires on SSN-shaped
+    # strings (counts are independent per rule) and merges adjacent
+    # space-separated digit groups into one match (case 'adjacent').
+    ("mail a.b+c@ex-ample.co.uk and x_y%z@sub.domain.org", 2, 0, 0, 0, 0),
+    ("ip 10.3.0.255 then 1.2.3.4, done", 0, 0, 2, 0, 0),
+    ("ssn 123-45-6789 phone 555-867-0042", 0, 0, 0, 1, 2),
+    ("adjacent:123-45-6789 555-867-0042 123-45-6789", 0, 0, 0, 2, 1),
     # email whose local part is phone-shaped: detection scans each
     # rule independently over the ORIGINAL text (email AND phone both
     # count); redaction applies rules in table order, so the email
     # consumes the span (pinned below)
-    ("555-867-0042@example.com", 1, 0, 0, 1),
+    ("555-867-0042@example.com", 1, 0, 0, 0, 1),
     # versions / decimals must NOT look like IPs (only 3-dot runs hit)
-    ("v1.2.3 pi 3.14 range 1.2-3.4", 0, 0, 0, 0),
-    ("clean text with no pii at all", 0, 0, 0, 0),
-    ("", 0, 0, 0, 0),
-    (None, None, None, None, None),
+    ("v1.2.3 pi 3.14 range 1.2-3.4", 0, 0, 0, 0, 0),
+    ("docs at https://a.b/c?q=1 and http://x.y end", 0, 2, 0, 0, 0),
+    ("clean text with no pii at all", 0, 0, 0, 0, 0),
+    ("", 0, 0, 0, 0, 0),
+    (None, None, None, None, None, None),
 ]
 
 
@@ -41,10 +45,11 @@ def detected(spark):
 
 
 def test_counts_match_expected(detected):
-    for i, (_t, ne, nip, ns, nph) in enumerate(CASES):
+    for i, (_t, ne, nu, nip, ns, nph) in enumerate(CASES):
         got = detected[i]
-        assert (got["n_email"], got["n_ipv4"], got["n_ssn"],
-                got["n_phone"]) == (ne, nip, ns, nph), f"case {i}"
+        assert (got["n_email"], got["n_url"], got["n_ipv4"],
+                got["n_ssn"], got["n_phone"]) == (ne, nu, nip, ns, nph), \
+            f"case {i}"
 
 
 def test_counts_match_python_re(detected):
@@ -87,28 +92,19 @@ def test_email_rule_wins_overlapping_spans(detected):
     assert detected[4]["redacted"] == "<EMAIL>"
 
 
-def test_numeric_rules_order_independent(spark):
-    """The three NUMERIC rules (ipv4/ssn/phone) are mutually disjoint
-    on any input, so applying them in any order yields the same
-    string -- only the email rule's precedence matters."""
-    import itertools
-    numeric = [r for r in P.PII_RULES if r[0] != "email"]
-    texts = [t for t, *_ in CASES if t] + [
-        "user9@example.com from 10.9.0.9 call 555-867-0009 ssn 123-45-0009"]
-    for t in texts:
-        results = set()
-        for perm in itertools.permutations(numeric):
-            s = t
-            for _kind, pat, tok in perm:
-                s = re.sub(pat, tok, s)
-            results.add(s)
-        assert len(results) == 1, f"order-dependent redaction on {t!r}"
+def test_ssn_claims_spans_before_broad_phone(detected):
+    """The specific-before-broad table order: an SSN-shaped string is
+    tokenized <SSN> even though the broad digit-run phone rule also
+    matches it, and the truly phone-shaped neighbor still gets
+    <PHONE>."""
+    assert detected[2]["redacted"] == "ssn <SSN> phone <PHONE>"
+    assert detected[3]["redacted"] == "adjacent:<SSN> <PHONE> <SSN>"
 
 
 def test_pii_query_is_narrow_zero_shuffle(spark, sf_dir):
     """pii_redact_docs is a pure per-row projection: no Exchange --
     at 100 TB it runs exactly as fast as the scan."""
     plan = plan_of(spark, sf_dir, "pii_redact_docs")
-    assert "Exchange" not in plan
+    assert "Exchange" not in plan  # 5 counts + 5 replaces, all narrow
     # only the three needed columns reach the scan
     assert "n_chars" not in plan and "lang" not in plan
