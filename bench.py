@@ -144,16 +144,16 @@ def main() -> None:
     # medians within ~10% are session noise, not regressions.  Two
     # fields make that callable from a single entry: the stable
     # comparable prefix total, and the intra-run sample dispersion.
-    prefix17 = [
-        "pricing_summary", "ytm_running_sum", "rollup_region_nation",
-        "brand_revenue", "asof_latest_order_at_event",
-        "latest_order_per_customer", "unpivot_lineitem_measures",
-        "fill_missing_part_revenue", "multi_key_order_lines",
-        "monthly_order_calendar", "text_fingerprint", "text_quality",
-        "dedup_minhash_verified", "similarity_topk",
-        "similarity_lsh_buckets", "similarity_ivf_topk",
-        "events_tumbling_agg",
-    ]
+    # the comparable prefix IS the headline's first 17 entries; new
+    # queries append to HEADLINE, so deriving (instead of copying)
+    # keeps the cross-round number alive by construction -- if a
+    # future round reorders the early HEADLINE, this line is the one
+    # place the comparability contract lives
+    prefix17 = HEADLINE[:17]
+    assert prefix17[0] == "pricing_summary" \
+        and prefix17[-1] == "events_tumbling_agg", \
+        "HEADLINE's first 17 entries are the cross-round comparable " \
+        "prefix -- append new queries, don't reorder the head"
     spreads = sorted(
         100.0 * (max(r) - min(r)) / (sorted(r)[len(r) // 2] or 1.0)
         for r in samples.values() if len(r) > 1)

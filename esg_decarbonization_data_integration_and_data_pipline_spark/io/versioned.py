@@ -175,7 +175,13 @@ _DEFAULT_BACKEND = PosixCommitBackend()
 
 def _committed_from(raw: bytes | None) -> list[int]:
     """All version numbers the pointer log records as committed, in
-    commit order (single-line pre-log pointers parse identically)."""
+    commit order.  A single-line pre-log pointer parses as a
+    one-entry log: the table stays fully readable and writable, but
+    its pre-upgrade history is UNKNOWN to the log -- read_version /
+    history only see the current version until
+    :func:`adopt_legacy_history` explicitly registers the older dirs
+    (the log cannot tell a pre-log committed version from a
+    superseded-claim orphan, so it refuses to guess)."""
     if raw is None:
         return []
     out = []
@@ -336,6 +342,42 @@ def committed_versions(table_dir: str,
     crashed-appender dirs below current never appear here."""
     return _committed_from((backend or _DEFAULT_BACKEND)
                            .read_pointer(table_dir))
+
+
+def adopt_legacy_history(table_dir: str,
+                         backend: CommitBackend | None = None) -> list[int]:
+    """One-time migration for a table created before the pointer
+    became a commit log: registers every on-disk version dir at or
+    below the current version as committed, restoring time travel /
+    history over the pre-upgrade chain.  Returns the adopted numbers.
+
+    Explicit by design: the log cannot distinguish a genuinely
+    committed pre-log version from a superseded-claim orphan (the
+    ambiguity the commit log exists to remove), so adopting is an
+    operator decision -- EVERY dir below current becomes readable as
+    a snapshot, orphans included, which is exactly the pre-log
+    behavior the operator lived with.  Only call this on tables known
+    to predate the commit log: on a post-log table that happens to
+    hold a single commit, the same ambiguity applies and a crashed
+    claim below current would be adopted too.  Refuses (returns [])
+    when the log already holds more than one entry -- such a table's
+    history is known and needs no adoption."""
+    backend = backend or _DEFAULT_BACKEND
+    raw = backend.read_pointer(table_dir)
+    committed = _committed_from(raw)
+    if len(committed) != 1:
+        return []  # never-committed table, or a real multi-entry log
+    cur = committed[0]
+    adopt = [n for n in _versions(table_dir) if n < cur]
+    if not adopt:
+        return []
+    lines = b"".join(f"v_{n:08d}\n".encode("ascii")
+                     for n in adopt) + f"v_{cur:08d}\n".encode("ascii")
+    if not backend.try_commit(table_dir, lines, raw):
+        raise VersionConflictError(
+            f"{table_dir} advanced while adopting its legacy "
+            f"history; re-run adopt_legacy_history")
+    return adopt
 
 
 def write_version(df: DataFrame, table_dir: str,
@@ -941,12 +983,17 @@ def _manifest_commit(df: DataFrame, table_dir: str, txn: str | None,
             raw = backend.read_pointer(table_dir)
             cur = _parse_pointer(raw)
             if pinned_base is not None and cur != pinned_base:
+                # cur can even be None here (pointer torn down / a
+                # misbehaving backend) -- still a conflict, and the
+                # message must not crash formatting it
+                moved = f"v_{cur:08d}" if cur is not None \
+                    else "no committed version"
                 raise VersionConflictError(
-                    f"compaction of {table_dir} staged from "
+                    f"rewrite of {table_dir} staged from "
                     f"v_{pinned_base:08d} but the table advanced to "
-                    f"v_{cur:08d} before its commit; committing the "
-                    f"stale copy would drop that write -- re-run the "
-                    f"compaction (claimed dir reaped now)")
+                    f"{moved} before its commit; committing the "
+                    f"stale copy would drop that write -- re-run "
+                    f"(claimed dir reaped now)")
             if cur is not None and cur >= n:
                 # base advanced past our number; pointer monotonicity
                 # forbids committing n -- renumber above the new base
@@ -1185,6 +1232,16 @@ def vacuum(table_dir: str, keep_last: int = 2,
                 keep.add(int(m.group(1)))
     for n in vs:
         full = os.path.join(table_dir, f"v_{n:08d}")
+        if n in keep:
+            # the keep set MUST win over the orphan check below: a
+            # kept version's manifest can reference files in a dir
+            # the pointer log never recorded as committed -- e.g. a
+            # legacy single-line pointer upgraded mid-chain, where
+            # the log knows only the current version but its manifest
+            # inherits earlier dirs.  Reaping such a dir as an
+            # "orphan" would destroy the CURRENT table's data
+            # (r9 review finding, reproduced).
+            continue
         if n not in cset:
             # NEVER committed per the pointer log, so no reader ever
             # resolved it -- a claim superseded before its flip or a
@@ -1196,8 +1253,6 @@ def vacuum(table_dir: str, keep_last: int = 2,
             if aged(full):
                 shutil.rmtree(full, ignore_errors=True)
                 removed.append(n)
-            continue
-        if n in keep:
             continue
         shutil.rmtree(full, ignore_errors=True)
         removed.append(n)

@@ -47,7 +47,25 @@ _FP2 = "__fp2"    # independent second hash for double hashing
 _BUCKET = "__bucket"
 
 BLOOM_SCHEMA = ("bucket int, m_bits bigint, n_hashes int, "
-                "n_keys bigint, bits binary")
+                "n_keys bigint, n_buckets int, bits_per_key int, "
+                "bits binary")
+
+
+def _check_bloom_config(bloom: DataFrame, n_buckets: int) -> None:
+    """Fail loudly if the caller's ``n_buckets`` differs from the one
+    the index was built with: bucketing is part of the hash -- a
+    mismatched probe consults the WRONG bloom (or none) and its
+    False is no longer definitive, silently re-admitting seen docs.
+    Checked up front via one row (a per-group check could miss it:
+    a bucket with batch rows but no bloom row never sees the index's
+    config)."""
+    row = bloom.select("n_buckets").first()
+    if row is not None and row["n_buckets"] != n_buckets:
+        raise ValueError(
+            f"bloom index was built with n_buckets={row['n_buckets']} "
+            f"but is being used with n_buckets={n_buckets}; bucketing "
+            f"is part of the hash, so this would produce silent false "
+            f"negatives -- pass the index's own n_buckets")
 
 
 def _fingerprinted(df: DataFrame, text_col: str,
@@ -96,7 +114,8 @@ def bloom_build(corpus: DataFrame, text_col: str = "text",
         return pd.DataFrame({
             "bucket": [int(pdf[_BUCKET].iloc[0])],
             "m_bits": [m_bits], "n_hashes": [n_hashes],
-            "n_keys": [len(fp1)], "bits": [bits.tobytes()]})
+            "n_keys": [len(fp1)], "n_buckets": [n_buckets],
+            "bits_per_key": [bits_per_key], "bits": [bits.tobytes()]})
 
     fps = (_fingerprinted(corpus, text_col, n_buckets)
            .select(_FP, _FP2, _BUCKET).distinct())
@@ -123,21 +142,24 @@ def bloom_update(bloom: DataFrame, new_docs: DataFrame,
     compaction companion) or to re-bucket with more buckets.  Loud
     failure beats a filter that quietly degrades into
     probe-everything."""
+    _check_bloom_config(bloom, n_buckets)
     n_hashes = max(1, round(math.log(2) * bits_per_key))
 
     def merge(b: pd.DataFrame, bl: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0:
-            return bl[["bucket", "m_bits", "n_hashes", "n_keys", "bits"]]
+            return bl[["bucket", "m_bits", "n_hashes", "n_keys",
+                       "n_buckets", "bits_per_key", "bits"]]
         if len(bl) == 0:
             m_bits = max(64, len(b) * bits_per_key)
             bits = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
-            n_h, n0 = n_hashes, 0
+            n_h, n0, bpk = n_hashes, 0, bits_per_key
         else:
             m_bits = int(bl["m_bits"].iloc[0])
             bits = np.frombuffer(bl["bits"].iloc[0],
                                  dtype=np.uint8).copy()
             n_h, n0 = int(bl["n_hashes"].iloc[0]), int(bl["n_keys"].iloc[0])
-        if (n0 + len(b)) * bits_per_key > max_load * m_bits:
+            bpk = int(bl["bits_per_key"].iloc[0])  # the index's sizing
+        if (n0 + len(b)) * bpk > max_load * m_bits:
             raise RuntimeError(
                 f"bloom bucket {int(b[_BUCKET].iloc[0])} would hold "
                 f"{n0 + len(b)} keys in {m_bits} bits "
@@ -151,7 +173,8 @@ def bloom_update(bloom: DataFrame, new_docs: DataFrame,
         return pd.DataFrame({
             "bucket": [int(b[_BUCKET].iloc[0])],
             "m_bits": [m_bits], "n_hashes": [n_h],
-            "n_keys": [n0 + len(b)], "bits": [bits.tobytes()]})
+            "n_keys": [n0 + len(b)], "n_buckets": [n_buckets],
+            "bits_per_key": [bpk], "bits": [bits.tobytes()]})
 
     fps = (_fingerprinted(new_docs, text_col, n_buckets)
            .select(_FP, _FP2, _BUCKET).distinct())
@@ -170,6 +193,7 @@ def bloom_probe(batch: DataFrame, bloom: DataFrame,
     bloom blob crosses Arrow once per bucket, batch rows stream
     through vectorized numpy bit tests.  A bucket absent from the
     bloom table (corpus had no key there) probes all-False."""
+    _check_bloom_config(bloom, n_buckets)
     cols = batch.columns
 
     def probe(b: pd.DataFrame, bl: pd.DataFrame) -> pd.DataFrame:

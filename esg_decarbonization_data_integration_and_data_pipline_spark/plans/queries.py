@@ -217,6 +217,12 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
 
 
+# W4 tag rationale: SURVEY row W4 is "group aggregate merged back as
+# a column" (the reference's groupby+transform/merge round-trip; its
+# exemplar aggregate happens to be max).  This query exercises the
+# operator -- windows.group_agg_as_column -- with sum; the max face
+# of the same operator is pinned by latest_version/test_windows and
+# the simulator pipeline tests.
 @register("share_of_nation_acctbal", "A7,W4,W5,F9", oracle="""
 SELECT c_custkey, c_nationkey,
        round(c_acctbal / nullif(sum(c_acctbal) OVER (PARTITION BY c_nationkey), 0),
@@ -617,7 +623,7 @@ def string_slice_like(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.substring("p_brand", 7, 10).cast("int").alias("brand_num")))
 
 
-@register("fill_missing_part_revenue", "P5,F12,J1", oracle="""
+@register("fill_missing_part_revenue", "F12,J1", oracle="""
 SELECT p.p_partkey,
        round(coalesce(sum(l.l_extendedprice * (1 - l.l_discount)), 0), 4) AS revenue,
        count(l.l_orderkey) AS n_lines

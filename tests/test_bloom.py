@@ -87,6 +87,17 @@ def test_empty_batch(spark, corpus, bloom):
     assert B.bloom_new_docs(empty, corpus, bloom, n_buckets=8).count() == 0
 
 
+def test_mismatched_n_buckets_raises(spark, corpus, bloom):
+    """Bucketing is part of the hash: probing a 8-bucket index as if
+    it had 16 buckets would consult the wrong blooms and silently
+    re-admit seen docs -- the recorded config makes it fail loudly."""
+    batch = _docs(spark, ["whatever"], start_id=70_000)
+    with pytest.raises(ValueError, match="n_buckets"):
+        B.bloom_probe(batch, bloom, n_buckets=16)
+    with pytest.raises(ValueError, match="n_buckets"):
+        B.bloom_update(bloom, batch, n_buckets=16)
+
+
 def test_update_keeps_no_false_negatives(spark, corpus, bloom):
     """After bloom_update, both the original corpus keys and the
     ingested batch keys must probe maybe_seen=True, and the result of

@@ -15,9 +15,53 @@ import os
 import pytest
 
 from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
-    append_version, history, read_current, read_version, vacuum,
-    write_version,
+    adopt_legacy_history, append_version, history, read_current,
+    read_version, vacuum, write_version,
 )
+
+
+def _make_legacy(t: str) -> None:
+    """Rewrite the pointer log to a single line -- the pre-log format
+    a table created by the r7 code carries after upgrade."""
+    cur = max(int(d[2:]) for d in os.listdir(t) if d.startswith("v_"))
+    with open(os.path.join(t, "_CURRENT"), "wb") as fh:
+        fh.write(f"v_{cur:08d}\n".encode())
+
+
+def test_vacuum_never_reaps_dirs_a_kept_manifest_references(spark, tmp_path):
+    """r9 review finding (reproduced): on a legacy single-line
+    pointer, the current version's manifest references dirs the log
+    never recorded as committed -- vacuum must keep them however the
+    orphan check classifies them, or it destroys the CURRENT table."""
+    t = str(tmp_path / "t")
+    append_version(_df(spark, [1]), t)
+    append_version(_df(spark, [2]), t)   # manifest inherits v1's file
+    _make_legacy(t)                      # log now knows only v2
+    # age everything past the stage TTL so the orphan branch would fire
+    old = 0
+    for d in os.listdir(t):
+        if d.startswith("v_"):
+            os.utime(os.path.join(t, d), (old, old))
+    removed = vacuum(t, keep_last=2, stage_ttl_seconds=0.0)
+    assert removed == []
+    assert _xs(read_current(spark, t)) == [1, 2]
+
+
+def test_adopt_legacy_history_restores_time_travel(spark, tmp_path):
+    t = str(tmp_path / "t")
+    append_version(_df(spark, [1]), t)
+    append_version(_df(spark, [2]), t)
+    append_version(_df(spark, [3]), t)
+    _make_legacy(t)
+    # upgraded-but-unadopted: only the current version is readable
+    assert [h["version"] for h in history(t)] == [3]
+    with pytest.raises(ValueError):
+        read_version(spark, t, 2)
+    assert adopt_legacy_history(t) == [1, 2]
+    assert [h["version"] for h in history(t)] == [1, 2, 3]
+    assert _xs(read_version(spark, t, 2)) == [1, 2]
+    # idempotent-ish: a multi-entry log refuses further adoption
+    assert adopt_legacy_history(t) == []
 
 
 def _df(spark, vals):
