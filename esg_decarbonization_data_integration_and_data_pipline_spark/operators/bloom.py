@@ -228,13 +228,32 @@ def bloom_new_docs(batch: DataFrame, corpus: DataFrame,
     dups + ~FPP of the novel rows) pays the corpus-sized join; the
     certainly-new majority of a mostly-novel batch bypasses it
     entirely.  At a steady-state ingest this turns the per-batch cost
-    from O(batch x corpus-join) into O(batch) + O(dups)."""
+    from O(batch x corpus-join) into O(batch) + O(dups).
+
+    Computes corpus fingerprints by scanning the corpus TEXT -- fine
+    for one-shot batch dedup; a continuous ingest should maintain a
+    fingerprint index instead and verify through
+    :func:`bloom_new_docs_indexed` (a narrow one-column scan)."""
+    corpus_fps = (corpus.select(F.md5(F.col(text_col)).alias("fp_md5"))
+                        .distinct())
+    return bloom_new_docs_indexed(batch, corpus_fps, bloom,
+                                  text_col, n_buckets)
+
+
+def bloom_new_docs_indexed(batch: DataFrame, fp_index: DataFrame,
+                           bloom: DataFrame, text_col: str = "text",
+                           n_buckets: int = 64) -> DataFrame:
+    """:func:`bloom_new_docs` verifying against a maintained
+    fingerprint index (one ``fp_md5`` column) instead of rescanning
+    corpus text -- the continuous-ingest shape: per batch, the index
+    contributes a narrow single-column scan, and only when the bloom
+    actually flagged suspects."""
     probed = bloom_probe(batch, bloom, text_col, n_buckets)
     certain_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-    corpus_fps = corpus.select(F.md5(F.col(text_col)).alias("__m")).distinct()
     verified_new = (suspects
-                    .withColumn("__m", F.md5(F.col(text_col)))
-                    .join(corpus_fps, "__m", "left_anti")
-                    .drop("__m"))
+                    .withColumn("fp_md5", F.md5(F.col(text_col)))
+                    .join(fp_index.select("fp_md5").distinct(),
+                          "fp_md5", "left_anti")
+                    .drop("fp_md5"))
     return certain_new.unionByName(verified_new)
