@@ -624,6 +624,52 @@ def pruned_files(table_dir: str, n: int, col: str,
     return kept, len(files)
 
 
+def read_where_all(spark: SparkSession, table_dir: str,
+                   predicates: dict[str, tuple],
+                   n: int | None = None,
+                   backend: CommitBackend | None = None) -> DataFrame:
+    """Read with a CONJUNCTION of range predicates ``{col: (lo, hi)}``
+    (None = unbounded side): a file survives only if EVERY predicate's
+    recorded range may overlap -- the reader Z-order clustering exists
+    for (a 2-D tile query prunes on both dimensions at once, where
+    single-column pruning keeps every file the first column admits).
+    Same exactness contract as :func:`read_where`: every predicate is
+    re-applied after the prune."""
+    if n is None:
+        n = current_version(table_dir, backend=backend)
+        if n is None:
+            raise FileNotFoundError(
+                f"{table_dir} has no committed version (_CURRENT missing)")
+    kept = set(_data_files(table_dir, n))
+    for col, (lo, hi) in predicates.items():
+        kept &= set(pruned_files(table_dir, n, col, lo, hi)[0])
+    st = table_schema(table_dir, n)
+    files = [f for f in _data_files(table_dir, n) if f in kept]
+    if not files:
+        if st is None:
+            files = _data_files(table_dir, n)[:1]
+        else:
+            df = spark.createDataFrame([], st)
+            for col, (lo, hi) in predicates.items():
+                df = _apply_range(df, col, lo, hi)
+            return df
+    reader = spark.read.schema(st) if st is not None else spark.read
+    df = reader.parquet(*[os.path.join(table_dir, f) for f in files])
+    for col, (lo, hi) in predicates.items():
+        df = _apply_range(df, col, lo, hi)
+    return df
+
+
+def _apply_range(df: DataFrame, col: str, lo, hi) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    if lo is not None:
+        df = df.filter(F.col(col) >= F.lit(lo))
+    if hi is not None:
+        df = df.filter(F.col(col) <= F.lit(hi))
+    return df
+
+
 def read_where(spark: SparkSession, table_dir: str, col: str,
                lo=None, hi=None, n: int | None = None,
                backend: CommitBackend | None = None) -> DataFrame:
@@ -637,27 +683,8 @@ def read_where(spark: SparkSession, table_dir: str, col: str,
     re-applied to the surviving files, so results are exact whether or
     not stats exist; Spark additionally pushes it down into each
     file's row-group stats as usual."""
-    from pyspark.sql import functions as F
-
-    if n is None:
-        n = current_version(table_dir, backend=backend)
-        if n is None:
-            raise FileNotFoundError(
-                f"{table_dir} has no committed version (_CURRENT missing)")
-    kept, _total = pruned_files(table_dir, n, col, lo, hi)
-    st = table_schema(table_dir, n)
-    reader = spark.read.schema(st) if st is not None else spark.read
-    if not kept:
-        if st is None:  # stats pruned everything but schema is unpinned
-            kept = _data_files(table_dir, n)[:1]
-        else:
-            return spark.createDataFrame([], st)
-    df = reader.parquet(*[os.path.join(table_dir, f) for f in kept])
-    if lo is not None:
-        df = df.filter(F.col(col) >= F.lit(lo))
-    if hi is not None:
-        df = df.filter(F.col(col) <= F.lit(hi))
-    return df
+    return read_where_all(spark, table_dir, {col: (lo, hi)}, n=n,
+                          backend=backend)
 
 
 def _read_manifest(table_dir: str,

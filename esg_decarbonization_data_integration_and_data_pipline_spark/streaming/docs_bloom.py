@@ -46,7 +46,7 @@ from esg_decarbonization_data_integration_and_data_pipline_spark.operators.bloom
     bloom_build, bloom_new_docs_indexed, bloom_update,
 )
 from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
-    append_version, read_current, write_version,
+    append_version, compact_table, read_current, vacuum, write_version,
 )
 
 
@@ -72,6 +72,7 @@ def stream_bloom_ingest(sdf: DataFrame, table_dir: str, state_dir: str,
                         checkpoint: str,
                         id_col: str = "doc_id", text_col: str = "text",
                         n_buckets: int = 64,
+                        compact_every: int = 16,
                         query_name: str = "docs_bloom_ingest"):
     """documents stream -> exact-deduped versioned corpus + fp/bloom
     state.  Requires ``seed_bloom_state`` (empty is fine).
@@ -81,6 +82,15 @@ def stream_bloom_ingest(sdf: DataFrame, table_dir: str, state_dir: str,
     curation canonical convention); append survivors to the corpus
     and their fingerprints to the index (both txn-marked); commit the
     updated bloom.  Null-text rows are dropped (no fingerprint).
+
+    State maintenance rides the stream: every ``compact_every``-th
+    non-empty batch, the fp index's append chain is compacted into
+    one snapshot (txn markers carry forward -- io/versioned, so
+    exactly-once replay detection survives) and both state tables are
+    vacuumed.  Without it the fp manifest grows one entry per batch
+    forever and superseded bloom snapshots accumulate.  The CORPUS
+    table is deliberately NOT auto-maintained -- its compaction/
+    retention is the table owner's policy (time-travel horizon).
 
     Returns the started query; callers own awaitTermination."""
     ckpt_id = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
@@ -115,6 +125,10 @@ def stream_bloom_ingest(sdf: DataFrame, table_dir: str, state_dir: str,
             bloom_update(bloom, novel, text_col, n_buckets)
             .repartition(1),
             bloom_dir)
+        if compact_every and batch_id % compact_every == compact_every - 1:
+            compact_table(spark, fp_dir)
+            vacuum(fp_dir)
+            vacuum(bloom_dir)
 
     return (sdf.writeStream.foreachBatch(ingest)
                .option("checkpointLocation", checkpoint)

@@ -71,6 +71,42 @@ def test_stream_bloom_ingest_and_replay(spark, tmp_path):
     assert {r.doc_id for r in read_current(spark, corpus).collect()} == got2
 
 
+def test_state_maintenance_compacts_and_keeps_txn_markers(spark, tmp_path):
+    """With compact_every=1 the fp chain compacts each batch; the
+    carried txn set must still refuse a replayed append (exactly-once
+    survives compaction), and vacuum keeps the state readable."""
+    import hashlib
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        append_version, current_version,
+    )
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    seed_bloom_state(spark, state, n_buckets=8)
+
+    _write_batch(spark, src, D1, "b1")
+    sdf = spark.readStream.schema(SCHEMA).option(
+        "maxFilesPerTrigger", "1").parquet(src + "/*")
+    q = stream_bloom_ingest(sdf, corpus, state, ckpt, n_buckets=8,
+                            compact_every=1)
+    q.awaitTermination()
+    fp_dir = os.path.join(state, "fp")
+    fps = {r.fp_md5 for r in read_current(spark, fp_dir).collect()}
+    assert len(fps) == 2
+    # the compacted snapshot still carries the batch's txn marker: a
+    # replayed fp append is answered with the current version
+    ckpt_id = hashlib.md5(ckpt.encode()).hexdigest()[:12]
+    cur = current_version(fp_dir)
+    replay = spark.createDataFrame([("deadbeef",)], "fp_md5 string")
+    assert append_version(replay, fp_dir,
+                          txn=f"{ckpt_id}:fp:0") == cur
+    assert {r.fp_md5 for r in read_current(spark, fp_dir).collect()} == fps
+
+
 def test_seeded_corpus_blocks_known_texts(spark, tmp_path):
     src = str(tmp_path / "src")
     corpus = str(tmp_path / "corpus")

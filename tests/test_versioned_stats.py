@@ -102,6 +102,30 @@ def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
     assert len(kept_y) == total_y  # every file spans the full y range
 
 
+def test_read_where_all_conjunction_prunes_tighter(spark, tmp_path):
+    """The multi-predicate reader intersects per-column prunes: on a
+    Z-ordered table a 2-D tile query keeps fewer files than either
+    1-D range alone, and results equal the full double filter."""
+    t = str(tmp_path / "t2d")
+    rows = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, "x bigint, y bigint")
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        append_version as av, read_where_all,
+    )
+    av(df.coalesce(4), t, stats_columns=["x", "y"])
+    n = compact_table(spark, t, zorder_by=["x", "y"], sort_partitions=16)
+    kx = len(pruned_files(t, n, "x", 0, 7)[0])
+    ky = len(pruned_files(t, n, "y", 0, 7)[0])
+    tile = read_where_all(spark, t, {"x": (0, 7), "y": (0, 7)})
+    got = sorted((r.x, r.y) for r in tile.collect())
+    assert got == sorted((x, y) for x, y in rows if x <= 7 and y <= 7)
+    # file-count: intersect <= min of the single-column prunes
+    kept_x = set(pruned_files(t, n, "x", 0, 7)[0])
+    kept_y = set(pruned_files(t, n, "y", 0, 7)[0])
+    assert len(kept_x & kept_y) <= min(kx, ky)
+    assert len(kept_x & kept_y) < 16
+
+
 def test_read_where_exact_without_stats(spark, tmp_path):
     """Snapshot versions carry no manifest and no stats: read_where
     degrades to read+filter, never to a wrong answer."""
