@@ -69,6 +69,21 @@ def detect_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out
 
 
+def extract_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add one ``m_<kind>`` array<string> column per rule: the actual
+    matched spans, in document order -- the review-queue face of the
+    tier (counts say how much, spans say WHAT leaked).  Same
+    independent-scan semantics as :func:`detect_pii`; NULL text =>
+    NULL arrays.  ``regexp_extract_all`` is codegen'd JVM -- narrow,
+    zero-shuffle."""
+    out = df
+    for kind, pat, _tok in PII_RULES:
+        out = out.withColumn(
+            f"m_{kind}",
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))
+    return out
+
+
 def redact_column(col: Column) -> Column:
     """The redaction expression alone: every rule's matches replaced
     by its token, in table order."""

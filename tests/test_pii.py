@@ -101,6 +101,16 @@ def test_ssn_claims_spans_before_broad_phone(detected):
     assert detected[3]["redacted"] == "adjacent:<SSN> <PHONE> <SSN>"
 
 
+def test_extract_matches_python_findall(spark):
+    rows = [Row(doc_id=i, text=t) for i, (t, *_e) in enumerate(CASES)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in P.extract_pii(df).collect()}
+    for i, (t, *_e) in enumerate(CASES):
+        for kind, pat, _tok in P.PII_RULES:
+            want = None if t is None else re.findall(pat, t)
+            assert got[i][f"m_{kind}"] == want, f"case {i} kind {kind}"
+
+
 def test_pii_query_is_narrow_zero_shuffle(spark, sf_dir):
     """pii_redact_docs is a pure per-row projection: no Exchange --
     at 100 TB it runs exactly as fast as the scan."""
