@@ -776,7 +776,8 @@ def compact_table(spark: SparkSession, table_dir: str,
                   sort_by: Sequence[str] = (),
                   stats_columns: Sequence[str] = (),
                   sort_partitions: int | None = None,
-                  zorder_by: Sequence[str] = ()) -> int:
+                  zorder_by: Sequence[str] = (),
+                  target_file_bytes: int | None = None) -> int:
     """Snapshot the current append chain into one self-contained
     version: reads the current version, rewrites it as a new version
     whose manifest lists ONLY its own files (terminating the
@@ -794,6 +795,19 @@ def compact_table(spark: SparkSession, table_dir: str,
         raise FileNotFoundError(
             f"{table_dir} has no committed version to compact")
     df = _read_resolved(spark, table_dir, base)
+    if target_file_bytes is not None:
+        if sort_partitions is not None:
+            raise ValueError(
+                "pass sort_partitions OR target_file_bytes, not both")
+        # size the clustered layout from METADATA (the base version's
+        # on-disk file sizes -- no data scan): small tables get few,
+        # big tables get many, and the explicit count keeps AQE from
+        # collapsing a small table's layout to one file
+        total = sum(
+            os.path.getsize(os.path.join(table_dir, rel))
+            for rel in _data_files(table_dir, base)
+            if os.path.exists(os.path.join(table_dir, rel)))
+        sort_partitions = max(1, -(-total // target_file_bytes))
     if zorder_by:
         if sort_by:
             raise ValueError("pass sort_by OR zorder_by, not both")

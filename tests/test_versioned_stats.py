@@ -152,6 +152,26 @@ def test_read_where_matches_full_filter_everywhere(spark, tmp_path):
         assert got == sorted(r.k for r in want.collect()), (lo, hi)
 
 
+def test_target_file_bytes_sizes_layout_from_metadata(spark, tmp_path):
+    t = str(tmp_path / "tb")
+    df = spark.createDataFrame([(k, "x" * 50) for k in range(2000)],
+                               "k bigint, pad string")
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        append_version as av, _data_files,
+    )
+    av(df.coalesce(1), t, stats_columns=["k"])
+    base_bytes = sum(
+        __import__("os").path.getsize(f"{t}/{rel}")
+        for rel in _data_files(t, current_version(t)))
+    n = compact_table(spark, t, sort_by=["k"],
+                      target_file_bytes=max(1, base_bytes // 6))
+    files = _data_files(t, n)
+    assert 3 <= len(files) <= 12, files  # ~6 target, compression drift ok
+    with pytest.raises(ValueError, match="not both"):
+        compact_table(spark, t, sort_by=["k"], sort_partitions=4,
+                      target_file_bytes=1)
+
+
 def test_string_column_stats_prune(spark, tmp_path):
     t = str(tmp_path / "t")
     a = spark.createDataFrame([("apple",), ("banana",)], "w string")
