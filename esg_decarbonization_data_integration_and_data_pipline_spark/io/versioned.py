@@ -1166,6 +1166,81 @@ def read_version(spark: SparkSession, table_dir: str, n: int,
     return _read_resolved(spark, table_dir, n)
 
 
+def read_changes(spark: SparkSession, table_dir: str, from_n: int,
+                 to_n: int | None = None,
+                 backend: CommitBackend | None = None) -> DataFrame:
+    """Rows that changed between committed versions ``from_n``
+    (exclusive) and ``to_n`` (inclusive, default current) -- the
+    Delta CDF shape: the table's columns plus ``_change_type``
+    (``insert`` | ``delete``; an update surfaces as delete+insert,
+    since the table has no declared key).  The downstream-consumption
+    primitive: a training job that processed version N reads exactly
+    the delta to N+k instead of rescanning the table.
+
+    Two tiers, picked from METADATA:
+    - append fast path: when ``to_n`` still references every data
+      file of ``from_n`` (pure append chain between them -- nothing
+      was rewritten), the delta IS the extra files: read them, tag
+      ``insert``, done.  O(changed files), exact, no join.
+    - row-level multiset diff otherwise (a merge/compaction rewrote
+      files): rows are canonicalized to JSON (field order = schema
+      order), counted per side, and the count difference is emitted
+      as |delta| copies of insert/delete.  A compaction that changed
+      no rows diffs empty.  Caveat: map-typed columns have no
+      canonical JSON order; tables with map columns should diff on an
+      explicit key instead."""
+    from pyspark.sql import functions as F
+
+    committed = committed_versions(table_dir, backend=backend)
+    if to_n is None:
+        to_n = committed[-1] if committed else None
+    for n in (from_n, to_n):
+        if n not in committed:
+            raise ValueError(
+                f"version v_{n} of {table_dir} was never committed "
+                f"(committed: {committed})")
+    to_schema = table_schema(table_dir, to_n)
+    if from_n == to_n:
+        base = (spark.createDataFrame([], to_schema) if to_schema
+                else _read_resolved(spark, table_dir, to_n).limit(0))
+        return base.withColumn("_change_type", F.lit("insert"))
+    f_files = set(_data_files(table_dir, from_n))
+    t_files = _data_files(table_dir, to_n)
+    if f_files <= set(t_files):
+        added = [f for f in t_files if f not in f_files]
+        reader = spark.read.schema(to_schema) if to_schema \
+            else spark.read
+        if not added:
+            return read_changes(spark, table_dir, to_n, to_n,
+                                backend=backend)
+        return (reader.parquet(
+                    *[os.path.join(table_dir, f) for f in added])
+                .withColumn("_change_type", F.lit("insert")))
+
+    def counted(n: int):
+        df = _read_resolved(spark, table_dir, n)
+        j = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+        return df.select(j.alias("__j")).groupBy("__j").count()
+
+    a = counted(from_n).withColumnRenamed("count", "__c1")
+    b = counted(to_n).withColumnRenamed("count", "__c2")
+    delta = (a.join(b, "__j", "full_outer")
+              .select("__j",
+                      (F.coalesce("__c2", F.lit(0))
+                       - F.coalesce("__c1", F.lit(0))).alias("__d"))
+              .filter(F.col("__d") != 0))
+    schema = to_schema or _read_resolved(spark, table_dir, to_n).schema
+    return (delta
+            .withColumn("_change_type",
+                        F.when(F.col("__d") > 0, "insert")
+                         .otherwise("delete"))
+            .withColumn("__i", F.explode(
+                F.sequence(F.lit(1), F.abs(F.col("__d")))))
+            .select(F.from_json("__j", schema).alias("__r"),
+                    "_change_type")
+            .select("__r.*", "_change_type"))
+
+
 def history(table_dir: str,
             backend: CommitBackend | None = None) -> list[dict]:
     """The table's committed, still-on-disk versions, oldest first:
