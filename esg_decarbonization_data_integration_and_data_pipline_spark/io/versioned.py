@@ -1241,6 +1241,83 @@ def read_changes(spark: SparkSession, table_dir: str, from_n: int,
             .select("__r.*", "_change_type"))
 
 
+def consume_changes(spark: SparkSession, table_dir: str,
+                    cursor_path: str,
+                    backend: CommitBackend | None = None):
+    """At-least-once incremental consumption: reads the delta from
+    the cursor's last-acknowledged version to current, and returns
+    ``(changes_df, ack)`` where calling ``ack()`` AFTER durably
+    processing the batch advances the cursor (one tiny file).  A
+    consumer that crashes mid-batch re-reads the same delta next
+    call -- downstream must be idempotent or keyed, the same contract
+    as every at-least-once feed.  First call (no cursor yet) starts
+    from the FIRST committed version still on disk, i.e. the whole
+    readable table surfaces as inserts."""
+    committed = committed_versions(table_dir, backend=backend)
+    if not committed:
+        raise FileNotFoundError(
+            f"{table_dir} has no committed version (_CURRENT missing)")
+    cur = committed[-1]
+    try:
+        with open(cursor_path, encoding="ascii") as fh:
+            last = int(fh.read().strip())
+        changes = read_changes(spark, table_dir, last, cur,
+                               backend=backend)
+    except (OSError, ValueError):
+        # no cursor yet: the whole readable table is the first batch.
+        # read_changes(first, cur) excludes v_first's own rows, so
+        # union them in as inserts.
+        from pyspark.sql import functions as F
+
+        readable = [n for n in committed
+                    if os.path.isdir(os.path.join(table_dir, f"v_{n:08d}"))]
+        first = readable[0] if readable else cur
+        changes = (_read_resolved(spark, table_dir, first)
+                   .withColumn("_change_type", F.lit("insert"))
+                   .unionByName(read_changes(spark, table_dir, first,
+                                             cur, backend=backend)))
+
+    def ack() -> int:
+        tmp = cursor_path + ".tmp"
+        os.makedirs(os.path.dirname(cursor_path) or ".", exist_ok=True)
+        with open(tmp, "w", encoding="ascii") as fh:
+            fh.write(f"{cur}\n")
+        os.replace(tmp, cursor_path)
+        return cur
+
+    return changes, ack
+
+
+def describe_table(table_dir: str,
+                   backend: CommitBackend | None = None) -> dict:
+    """One-call operational summary: current version, committed
+    count, readable (un-vacuumed) count, file count and on-disk bytes
+    of the current version, pinned schema field names, and the
+    stats-tracked columns -- everything from metadata, no data scan."""
+    committed = committed_versions(table_dir, backend=backend)
+    if not committed:
+        return {"current": None, "committed": 0}
+    cur = committed[-1]
+    files = _data_files(table_dir, cur)
+    st = table_schema(table_dir, cur)
+    stats = _read_stats(table_dir, cur)
+    return {
+        "current": cur,
+        "committed": len(committed),
+        "readable": sum(
+            1 for n in committed
+            if os.path.isdir(os.path.join(table_dir, f"v_{n:08d}"))),
+        "n_files": len(files),
+        "bytes": sum(os.path.getsize(os.path.join(table_dir, f))
+                     for f in files
+                     if os.path.exists(os.path.join(table_dir, f))),
+        "schema": [f.name for f in st.fields] if st else None,
+        "stats_columns": sorted({c for per in stats.values()
+                                 for c in per}),
+        "txns": len(_txns(table_dir, cur)),
+    }
+
+
 def history(table_dir: str,
             backend: CommitBackend | None = None) -> list[dict]:
     """The table's committed, still-on-disk versions, oldest first:

@@ -75,6 +75,48 @@ def test_duplicate_row_multiplicity(spark, tmp_path):
         [(1, "same", "insert"), (1, "same", "insert")]
 
 
+def test_consume_changes_cursor_lifecycle(spark, tmp_path):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        consume_changes,
+    )
+
+    t = str(tmp_path / "t")
+    cursor = str(tmp_path / "cursor")
+    append_version(_kv(spark, [(1, "a")]), t)
+    append_version(_kv(spark, [(2, "b")]), t)
+    # first call: whole table as inserts; not acked -> re-delivered
+    ch1, ack1 = consume_changes(spark, t, cursor)
+    assert _rows(ch1) == [(1, "a", "insert"), (2, "b", "insert")]
+    ch1b, ack1b = consume_changes(spark, t, cursor)
+    assert _rows(ch1b) == _rows(ch1)  # at-least-once: crash = replay
+    assert ack1b() == 2
+    # acked: nothing new
+    ch2, ack2 = consume_changes(spark, t, cursor)
+    assert ch2.count() == 0
+    ack2()
+    # new commits deliver exactly the delta
+    append_version(_kv(spark, [(3, "c")]), t)
+    ch3, ack3 = consume_changes(spark, t, cursor)
+    assert _rows(ch3) == [(3, "c", "insert")]
+    ack3()
+
+
+def test_describe_table_metadata_only(spark, tmp_path):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        describe_table,
+    )
+
+    t = str(tmp_path / "t")
+    append_version(_kv(spark, [(1, "a")]).coalesce(1), t,
+                   stats_columns=["k"], txn="t1")
+    append_version(_kv(spark, [(2, "b")]).coalesce(1), t, txn="t2")
+    d = describe_table(t)
+    assert d["current"] == 2 and d["committed"] == 2
+    assert d["readable"] == 2 and d["n_files"] == 2
+    assert d["schema"] == ["k", "v"] and d["stats_columns"] == ["k"]
+    assert d["txns"] == 2 and d["bytes"] > 0
+
+
 def test_uncommitted_version_rejected(spark, tmp_path):
     t = str(tmp_path / "t")
     append_version(_kv(spark, [(1, "a")]), t)
