@@ -893,13 +893,31 @@ def _touched_files(spark: SparkSession, table_dir: str, base: int,
               if key in stats.get(f, {})]
     touched = {f for f in files if key not in stats.get(f, {})}
     if ranged:
-        rng = spark.createDataFrame(ranged, ["__f", "__lo", "__hi"])
-        hit = (keys.select(F.col(key).alias("__k")).distinct()
+        # build the file-range frame as a pure-JVM literal (explode
+        # of a struct array over range(1)): a createDataFrame from a
+        # Python list is an RDD-backed scan whose every task pays a
+        # Python-worker round-trip -- measured ~1.5 s/task cold
+        # across defaultParallelism partitions, dwarfing the actual
+        # metadata join
+        rng = (spark.range(1).select(F.explode(F.array(*[
+                   F.struct(F.lit(f).alias("__f"),
+                            F.lit(lo).alias("__lo"),
+                            F.lit(hi).alias("__hi"))
+                   for f, lo, hi in ranged])).alias("__r"))
+               .select("__r.*"))
+        # one global collect_set: the partial agg dedups to at most
+        # the file list per input partition, so this runs in the
+        # updates frame's OWN partitioning -- no pre-shuffle.  (A
+        # distinct() here cost two 32-partition shuffle stages of a
+        # 3-row frame -- measured seconds of pure scheduling overhead
+        # on a small merge.)
+        hit = (keys.select(F.col(key).alias("__k"))
                    .join(F.broadcast(rng),
                          (F.col("__k") >= F.col("__lo"))
                          & (F.col("__k") <= F.col("__hi")))
-                   .select("__f").distinct().collect())
-        touched |= {r["__f"] for r in hit}
+                   .agg(F.collect_set("__f").alias("__fs"))
+                   .first()["__fs"])
+        touched |= set(hit)
     return [f for f in files if f in touched], len(files)
 
 
@@ -941,9 +959,12 @@ def merge_version(spark: SparkSession, table_dir: str,
     st = table_schema(table_dir, base)
     if touched:
         reader = spark.read.schema(st) if st is not None else spark.read
+        # no distinct on the anti-join's right side: left_anti is
+        # insensitive to duplicates there, and the distinct's shuffle
+        # is pure overhead on a small update
         survivors = (reader.parquet(
                         *[os.path.join(table_dir, f) for f in touched])
-                     .join(updates.select(key).distinct(), key, "left_anti"))
+                     .join(updates.select(key), key, "left_anti"))
     else:
         survivors = None
     if delete_only:
@@ -954,6 +975,12 @@ def merge_version(spark: SparkSession, table_dir: str,
         new_df = (survivors.unionByName(updates,
                                         allowMissingColumns=True)
                   if survivors is not None else updates)
+    if touched:
+        # keep the file count at O(touched): the anti-join scrambles
+        # partitioning and would otherwise fan each rewritten file
+        # into shuffle-partition-many small parts, degrading the
+        # layout (and its stats ranges) a little more on every merge
+        new_df = new_df.coalesce(max(1, len(touched)))
     return _manifest_commit(
         new_df, table_dir, txn=None, pinned_base=base,
         inherit_files=True, max_attempts=max_attempts, backend=backend,
