@@ -893,18 +893,20 @@ def _touched_files(spark: SparkSession, table_dir: str, base: int,
               if key in stats.get(f, {})]
     touched = {f for f in files if key not in stats.get(f, {})}
     if ranged:
-        # build the file-range frame as a pure-JVM literal (explode
-        # of a struct array over range(1)): a createDataFrame from a
-        # Python list is an RDD-backed scan whose every task pays a
+        # pure-JVM literal frame: a createDataFrame from a Python
+        # list is an RDD-backed scan whose every task pays a
         # Python-worker round-trip -- measured ~1.5 s/task cold
         # across defaultParallelism partitions, dwarfing the actual
-        # metadata join
-        rng = (spark.range(1).select(F.explode(F.array(*[
-                   F.struct(F.lit(f).alias("__f"),
-                            F.lit(lo).alias("__lo"),
-                            F.lit(hi).alias("__hi"))
-                   for f, lo, hi in ranged])).alias("__r"))
-               .select("__r.*"))
+        # metadata join (see operators/scale.local_literal_df)
+        from esg_decarbonization_data_integration_and_data_pipline_spark.operators.scale import (
+            local_literal_df,
+        )
+
+        sample = ranged[0][1]
+        lo_t = ("bigint" if isinstance(sample, (int, bool))
+                else "double" if isinstance(sample, float) else "string")
+        rng = local_literal_df(
+            spark, ranged, f"__f string, __lo {lo_t}, __hi {lo_t}")
         # one global collect_set: the partial agg dedups to at most
         # the file list per input partition, so this runs in the
         # updates frame's OWN partitioning -- no pre-shuffle.  (A

@@ -114,8 +114,12 @@ def mixture_sample(df: DataFrame, weights: dict[str, float],
                         .agg(F.count(F.lit(1)).alias("n")).collect())}
     cap = min(math.floor(counts.get(s, 0) / w) for s, w in weights.items())
     limits = [(s, math.floor(cap * w)) for s, w in weights.items()]
-    lim_df = valid.sparkSession.createDataFrame(
-        limits, f"{source_col} string, __k bigint")
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.scale import (
+        local_literal_df,
+    )
+
+    lim_df = local_literal_df(valid.sparkSession, limits,
+                              f"`{source_col}` string, __k bigint")
     w = Window.partitionBy(source_col).orderBy(
         F.md5(F.col(key_col)), F.col(key_col), F.col(id_col))
     return (valid.withColumn(out_col, F.row_number().over(w))
@@ -187,11 +191,14 @@ def token_budget_by_source(df: DataFrame, budgets: dict[str, int],
     # the broadcast budget frame's key takes the CALLER's source
     # column type (int domain ids are as legitimate as strings) --
     # hardcoding string would force a cast into the equi-join
-    from pyspark.sql.types import LongType, StructField, StructType
-    bdf = df.sparkSession.createDataFrame(
-        list(budgets.items()),
-        StructType([StructField(source_col, df.schema[source_col].dataType),
-                    StructField("budget_tokens", LongType())]))
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.scale import (
+        local_literal_df,
+    )
+
+    key_t = df.schema[source_col].dataType.simpleString()
+    bdf = local_literal_df(
+        df.sparkSession, list(budgets.items()),
+        f"`{source_col}` {key_t}, budget_tokens bigint")
     return (cum.join(F.broadcast(bdf), source_col)
                .filter(F.col("cum_tokens") <= F.col("budget_tokens")))
 

@@ -103,3 +103,36 @@ def ensure_parallelism(df: DataFrame, key: Column,
         # parallelism; a shuffle would only add a stage wave
         return df
     return df.repartition(desired, key)
+
+
+def local_literal_df(spark, rows, schema: str) -> DataFrame:
+    """A small local DataFrame as a PURE-JVM literal plan (explode of
+    a struct array over ``range(1)``) -- for control-plane frames
+    (band/target/budget/limit/centroid tables) that get broadcast
+    against real data.
+
+    ``spark.createDataFrame(python_list)`` builds an RDD-backed scan:
+    every evaluation round-trips through Python workers, spread over
+    defaultParallelism near-empty partitions -- measured ~1.5 s/task
+    cold inside merge_version's metadata join, dwarfing the actual
+    work.  A literal plan evaluates JVM-side, in one partition, for
+    free, and re-evaluates for free wherever the plan is reused.
+
+    ``schema`` is a DDL string (``"k bigint, v string"``); values are
+    cast per-field, ``None`` included, and Python lists become array
+    literals.  Control-plane sized ONLY: every row is inlined into
+    the logical plan, so thousands of rows belong in
+    ``createDataFrame`` / a parquet side table instead."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromDDL(schema)
+    if not rows:
+        return spark.createDataFrame([], st)
+    structs = [
+        F.struct(*[F.lit(v).cast(f.dataType).alias(f.name)
+                   for v, f in zip(row, st.fields)])
+        for row in rows]
+    return (spark.range(1)
+                 .select(F.explode(F.array(*structs)).alias("__r"))
+                 .select("__r.*"))

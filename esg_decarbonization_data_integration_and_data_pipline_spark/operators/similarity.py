@@ -237,8 +237,12 @@ def centroids_frame(spark, rows: list[tuple[int, list[float]]]) -> DataFrame:
     as a LITERAL plan -- consumers re-evaluate it for free instead of
     re-running the (possibly expensive, e.g. Lloyd-refined) lineage
     that produced the rows."""
-    return spark.createDataFrame(
-        [(c, list(cv)) for c, cv in rows],
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.scale import (
+        local_literal_df,
+    )
+
+    return local_literal_df(
+        spark, [(c, list(cv)) for c, cv in rows],
         "cell bigint, centroid array<double>")
 
 

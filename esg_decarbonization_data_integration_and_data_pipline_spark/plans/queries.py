@@ -29,6 +29,7 @@ from esg_decarbonization_data_integration_and_data_pipline_spark.operators.joins
     attach_scalar,
 )
 from esg_decarbonization_data_integration_and_data_pipline_spark.operators.reshape import melt, pivot_wide
+from esg_decarbonization_data_integration_and_data_pipline_spark.operators.scale import local_literal_df
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -297,7 +298,8 @@ def interval_size_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     jobs/staging_to_app.py:129-140). Broadcast band table => no
     shuffle of the probe side."""
     p = table(spark, sf_dir, "part")
-    bands = spark.createDataFrame(
+    bands = local_literal_df(
+        spark,
         [("small", 1, 10), ("medium", 11, 25), ("large", 26, 50)],
         "band string, lo int, hi int")
     joined = interval_join(p, F.broadcast(bands), [], "p_size", "lo", "hi")

@@ -154,8 +154,12 @@ def greedy_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").cast("string").alias("source_id"),
         F.col("p_retailprice").alias("price"),
         (F.col("p_size") * 10).cast("double").alias("available"))
-    targets = spark.createDataFrame(
-        [(2030, 5000.0), (2031, 8000.0), (2032, 3000.0)],
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.scale import (
+        local_literal_df,
+    )
+
+    targets = local_literal_df(
+        spark, [(2030, 5000.0), (2031, 8000.0), (2032, 3000.0)],
         "year int, target_amount double")
     out = greedy_allocate(offers, targets)
     return out.select("year", "source_id", "price", "available", "rank",
