@@ -1,0 +1,332 @@
+"""Incrementally-maintained aggregate materialized views over
+versioned tables.
+
+The missing half of the change-data-feed: :func:`versioned.read_changes`
+gives a consumer the exact row delta between two committed versions;
+this module turns that delta into an O(delta) refresh of a keyed
+aggregate -- the lakehouse "materialized view maintenance" capability
+(Delta/Snowflake MV shape; the reference's overview jobs rebuild their
+aggregate app tables from scratch every run, e.g.
+jobs/staging_to_app.py:214-279 recomputing scope overviews per export --
+at 100 TB that nightly rebuild is exactly what incremental maintenance
+replaces).
+
+Design:
+
+- The MV is ITSELF a versioned table, so it gets time travel, schema
+  pinning, txn-marker exactly-once and vacuum for free.  Its rows are
+  one per group: the grouping keys, a canonical string ``__mv_key``
+  (concat of key values; the single merge key file stats track, so a
+  refresh's copy-on-write rewrite is O(touched files) on a key-
+  clustered MV), and per-measure accumulator columns.
+- Accumulators are the classic self-maintainable forms: per group a
+  signed row count ``__n``; per ``sum``/``avg`` measure a signed value
+  sum ``__s_<name>`` and non-null count ``__c_<name>`` (so an all-null
+  group reads back SQL's NULL, and ``avg`` divides at READ time --
+  never stored, or subtracting deltas would compound rounding);
+  per ``min``/``max`` measure the running extreme, maintainable only
+  under insert-only deltas (a delete can retire the current extreme;
+  detecting that needs the full group -- :func:`refresh` raises with
+  guidance to :func:`full_refresh`, the standard MV fallback).
+- A refresh reads the CDF from the view's last-applied source version
+  (recorded as a ``mv-src-v<N>`` txn marker on the MV itself -- crash
+  state lives IN the table, nothing sidecar to desync), folds it to
+  per-group signed partials, joins those against ONLY the MV files
+  that may hold a touched group (file-stat pruning on ``__mv_key``),
+  and lands upserts + drained-group deletions in ONE atomic
+  :func:`versioned.merge_version` commit carrying the next marker.
+  A crash-rerun of the same refresh is a txn replay: no-op.
+
+Cost model at scale: refresh = O(|delta|) scan + O(touched MV files)
+rewrite, independent of source-table size.  The full rebuild the
+reference does per run is the DEGENERATE case (``full_refresh``),
+kept only for min/max-under-delete and disaster recovery.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+    CommitBackend,
+    _manifest_commit,
+    _read_resolved,
+    _txns,
+    append_version,
+    committed_versions,
+    current_version,
+    merge_version,
+    read_current,
+)
+
+_SPEC_FILE = "_MV_SPEC.json"
+_SRC_TXN_PREFIX = "mv-src-v"
+_KEY_COL = "__mv_key"
+_SEP = "\x1f"
+_NULL = "\x00"
+
+SUPPORTED_AGGS = ("count", "sum", "avg", "min", "max")
+
+
+class MinMaxDeleteError(ValueError):
+    """A delta containing deletes reached a min/max measure: the
+    retired extreme cannot be recomputed from the delta alone."""
+
+
+def _validate_measures(measures: Sequence[dict]) -> list[dict]:
+    out = []
+    names = set()
+    for m in measures:
+        name, agg = m["name"], m["agg"]
+        if agg not in SUPPORTED_AGGS:
+            raise ValueError(
+                f"unsupported agg {agg!r} for measure {name!r} "
+                f"(supported: {SUPPORTED_AGGS})")
+        if agg != "count" and not m.get("col"):
+            raise ValueError(f"measure {name!r} ({agg}) needs a 'col'")
+        if name in names:
+            raise ValueError(f"duplicate measure name {name!r}")
+        names.add(name)
+        out.append({"name": name, "agg": agg, "col": m.get("col")})
+    return out
+
+
+def _mv_key(keys: Sequence[str]):
+    # canonical group identity as ONE string column: the merge key,
+    # the stats/pruning column, and null-safe (NULL key values get a
+    # sentinel; the separator can't occur in it)
+    return F.concat_ws(_SEP, *[
+        F.coalesce(F.col(k).cast("string"), F.lit(_NULL)) for k in keys])
+
+
+def _accumulate(df: DataFrame, keys: Sequence[str],
+                measures: Sequence[dict], sign) -> DataFrame:
+    """Per-group accumulator partials of ``df``; ``sign`` is a column
+    of +1/-1 (insert/delete) or a literal 1 for a full build.  One
+    shuffle, partial-aggregated map-side like any groupBy."""
+    aggs = [F.sum(sign).cast("bigint").alias("__n")]
+    for m in measures:
+        n, c = m["name"], m["col"]
+        if m["agg"] == "count":
+            continue  # __n carries it
+        if m["agg"] in ("sum", "avg"):
+            v = F.col(c)
+            aggs.append(F.sum(F.when(v.isNotNull(), sign * v)
+                              .otherwise(F.lit(0)))
+                        .alias(f"__s_{n}"))
+            aggs.append(F.sum(F.when(v.isNotNull(), sign)
+                              .otherwise(F.lit(0)))
+                        .cast("bigint").alias(f"__c_{n}"))
+        else:  # min / max: valid only on insert-only input
+            fn = F.min if m["agg"] == "min" else F.max
+            aggs.append(fn(F.col(c)).alias(f"__m_{n}"))
+    return (df.groupBy(*keys)
+              .agg(*aggs)
+              .withColumn(_KEY_COL, _mv_key(keys)))
+
+
+def _spec_path(mv_dir: str) -> str:
+    return os.path.join(mv_dir, _SPEC_FILE)
+
+
+def read_spec(mv_dir: str) -> dict:
+    with open(_spec_path(mv_dir), encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def last_source_version(mv_dir: str,
+                        backend: CommitBackend | None = None) -> int:
+    """The source version the MV currently reflects, read from the
+    ``mv-src-v<N>`` txn markers the refresh commits carry (markers
+    inherit forward, so the max over the CURRENT manifest is the
+    latest applied -- one metadata read, no sidecar state)."""
+    cur = current_version(mv_dir, backend=backend)
+    if cur is None:
+        raise FileNotFoundError(f"{mv_dir} has no committed version")
+    vs = [int(t[len(_SRC_TXN_PREFIX):])
+          for t in _txns(mv_dir, cur) if t.startswith(_SRC_TXN_PREFIX)]
+    if not vs:
+        raise ValueError(
+            f"{mv_dir} carries no {_SRC_TXN_PREFIX}* marker -- not a "
+            f"materialized view created by create_aggregate_view")
+    return max(vs)
+
+
+def create_aggregate_view(spark: SparkSession, source_dir: str,
+                          mv_dir: str, keys: Sequence[str],
+                          measures: Sequence[dict],
+                          backend: CommitBackend | None = None) -> int:
+    """Build the MV from the source table's CURRENT version and commit
+    it (version 1 of the MV's own versioned table), pinning the spec
+    (keys + measures) beside it and stamping the applied source
+    version as a txn marker.  ``measures``: ``[{"name", "agg",
+    "col"}]`` with agg in ``count|sum|avg|min|max`` (count needs no
+    col)."""
+    measures = _validate_measures(measures)
+    committed = committed_versions(source_dir, backend=backend)
+    if not committed:
+        raise FileNotFoundError(
+            f"source {source_dir} has no committed version")
+    src_v = committed[-1]
+    base = _read_resolved(spark, source_dir, src_v)
+    mv = _accumulate(base, keys, measures, F.lit(1))
+    os.makedirs(mv_dir, exist_ok=True)
+    tmp = _spec_path(mv_dir) + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"source_dir": os.path.abspath(source_dir),
+                   "keys": list(keys), "measures": measures}, fh)
+    os.replace(tmp, _spec_path(mv_dir))
+    return append_version(mv, mv_dir,
+                          txn=f"{_SRC_TXN_PREFIX}{src_v}",
+                          backend=backend,
+                          stats_columns=[_KEY_COL])
+
+
+def refresh_aggregate_view(spark: SparkSession, mv_dir: str,
+                           backend: CommitBackend | None = None,
+                           ) -> tuple[int, int, int]:
+    """Advance the MV to the source's current version by folding the
+    change-data-feed into the accumulators; returns ``(mv_version,
+    from_source_version, to_source_version)`` (``from == to`` means
+    the MV was already current -- no commit).  O(|delta| + touched MV
+    files); the source is never rescanned.
+
+    Raises :class:`MinMaxDeleteError` if the delta contains deletes
+    and the spec has a min/max measure -- use :func:`full_refresh`
+    there (a deleted row may have BEEN the extreme; only the full
+    group knows the next one)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        _touched_files,
+        read_changes,
+        table_schema,
+    )
+
+    spec = read_spec(mv_dir)
+    keys, measures = spec["keys"], spec["measures"]
+    source_dir = spec["source_dir"]
+    last = last_source_version(mv_dir, backend=backend)
+    committed = committed_versions(source_dir, backend=backend)
+    cur_src = committed[-1] if committed else None
+    if cur_src is None or cur_src == last:
+        return (current_version(mv_dir, backend=backend), last, last)
+    delta = read_changes(spark, source_dir, last, cur_src,
+                         backend=backend)
+    has_minmax = any(m["agg"] in ("min", "max") for m in measures)
+    if has_minmax and delta.filter(
+            F.col("_change_type") == "delete").limit(1).count() > 0:
+        raise MinMaxDeleteError(
+            f"refresh of {mv_dir}: the delta v{last}->v{cur_src} "
+            f"contains deletes and the view has min/max measures; a "
+            f"delete can retire the stored extreme, which the delta "
+            f"alone cannot replace -- run full_refresh() instead")
+    sign = (F.when(F.col("_change_type") == "insert", F.lit(1))
+             .otherwise(F.lit(-1)))
+    partials = _accumulate(delta.withColumn("__sign", sign),
+                           keys, measures, F.col("__sign"))
+    mv_base = current_version(mv_dir, backend=backend)
+    touched, _ = _touched_files(spark, mv_dir, mv_base,
+                                partials.select(_KEY_COL), _KEY_COL)
+    st = table_schema(mv_dir, mv_base)
+    if touched:
+        reader = spark.read.schema(st) if st is not None else spark.read
+        cur_rows = (reader.parquet(
+                        *[os.path.join(mv_dir, f) for f in touched])
+                    .join(partials.select(_KEY_COL).distinct(),
+                          _KEY_COL, "left_semi"))
+    else:
+        cur_rows = read_current(spark, mv_dir, backend=backend).limit(0)
+    # fold: full outer on the canonical key -- a group may be new
+    # (partials only), existing (both), or untouched-in-files-read
+    # (cur only, semi-join already dropped those)
+    p = partials.alias("d")
+    c = cur_rows.alias("c")
+    joined = c.join(p, on=_KEY_COL, how="full_outer")
+    # arithmetic on the accumulators must not drift the commit schema
+    # (decimal addition widens precision; enforcement would refuse the
+    # merge) -- cast every folded accumulator back to its pinned type
+    pinned_t = {f.name: f.dataType for f in st.fields} if st else {}
+
+    def both(col: str):
+        s = (F.coalesce(F.col(f"c.{col}"), F.lit(0))
+             + F.coalesce(F.col(f"d.{col}"), F.lit(0)))
+        return s.cast(pinned_t[col]) if col in pinned_t else s
+
+    sel = [F.col(_KEY_COL)]
+    for k in keys:
+        sel.append(F.coalesce(F.col(f"c.{k}"), F.col(f"d.{k}"))
+                   .alias(k))
+    sel.append(both("__n").alias("__n"))
+    for m in measures:
+        n = m["name"]
+        if m["agg"] in ("sum", "avg"):
+            sel.append(both(f"__s_{n}").alias(f"__s_{n}"))
+            sel.append(both(f"__c_{n}").alias(f"__c_{n}"))
+        elif m["agg"] in ("min", "max"):
+            fn = F.least if m["agg"] == "min" else F.greatest
+            # least/greatest skip NULLs, so a group present on one
+            # side only keeps that side's extreme
+            sel.append(fn(F.col(f"c.__m_{n}"), F.col(f"d.__m_{n}"))
+                       .alias(f"__m_{n}"))
+    folded = joined.select(*sel)
+    upserts = folded.filter(F.col("__n") > 0)
+    drained = folded.filter(F.col("__n") <= 0).select(_KEY_COL)
+    mv_v = merge_version(spark, mv_dir, upserts, _KEY_COL,
+                         backend=backend,
+                         txn=f"{_SRC_TXN_PREFIX}{cur_src}",
+                         delete_keys=drained)
+    return (mv_v, last, cur_src)
+
+
+def full_refresh_aggregate_view(spark: SparkSession, mv_dir: str,
+                                backend: CommitBackend | None = None,
+                                ) -> tuple[int, int]:
+    """Rebuild the MV from the source's current version as a snapshot
+    commit (no inherited files) that still CARRIES the txn-marker
+    chain plus the new source marker -- the min/max-under-delete and
+    disaster-recovery path; O(source).  Returns ``(mv_version,
+    source_version)``."""
+    spec = read_spec(mv_dir)
+    source_dir = spec["source_dir"]
+    committed = committed_versions(source_dir, backend=backend)
+    if not committed:
+        raise FileNotFoundError(
+            f"source {source_dir} has no committed version")
+    src_v = committed[-1]
+    base = _read_resolved(spark, source_dir, src_v)
+    mv = _accumulate(base, spec["keys"], spec["measures"], F.lit(1))
+    cur = current_version(mv_dir, backend=backend)
+    n = _manifest_commit(mv, mv_dir, txn=f"{_SRC_TXN_PREFIX}{src_v}",
+                         pinned_base=cur, inherit_files=False,
+                         max_attempts=20, backend=backend,
+                         stats_columns=[_KEY_COL])
+    return (n, src_v)
+
+
+def read_aggregate_view(spark: SparkSession, mv_dir: str,
+                        backend: CommitBackend | None = None,
+                        ) -> DataFrame:
+    """The user-facing view: grouping keys + one column per measure,
+    with ``avg`` divided and all-null-group sums surfacing as NULL --
+    exactly what the equivalent GROUP BY query would return.  Pure
+    projection over the accumulator table; no aggregation runs."""
+    spec = read_spec(mv_dir)
+    df = read_current(spark, mv_dir, backend=backend)
+    sel = [F.col(k) for k in spec["keys"]]
+    for m in spec["measures"]:
+        n = m["name"]
+        if m["agg"] == "count":
+            sel.append(F.col("__n").alias(n))
+        elif m["agg"] == "sum":
+            sel.append(F.when(F.col(f"__c_{n}") > 0, F.col(f"__s_{n}"))
+                       .alias(n))
+        elif m["agg"] == "avg":
+            sel.append(F.when(F.col(f"__c_{n}") > 0,
+                              F.col(f"__s_{n}") / F.col(f"__c_{n}"))
+                       .alias(n))
+        else:
+            sel.append(F.col(f"__m_{n}").alias(n))
+    return df.select(*sel)

@@ -928,7 +928,9 @@ def merge_version(spark: SparkSession, table_dir: str,
                   delete_only: bool = False,
                   merge_schema: bool = False,
                   max_attempts: int = 20,
-                  backend: CommitBackend | None = None) -> int:
+                  backend: CommitBackend | None = None,
+                  txn: str | None = None,
+                  delete_keys: DataFrame | None = None) -> int:
     """Copy-on-write MERGE (the Delta ``MERGE``/upsert shape): rows
     of the current version whose ``key`` appears in ``updates`` are
     replaced by the update rows (ALL update rows land as given --
@@ -945,6 +947,17 @@ def merge_version(spark: SparkSession, table_dir: str,
     keeping the key in ``stats_columns``/``sort_by`` is what makes
     merges cheap.
 
+    ``delete_keys``: optional extra keys to MATCH (their base rows
+    disappear) without contributing replacement rows -- the
+    upsert-some-and-delete-others shape the incremental MV refresh
+    needs in ONE atomic commit (two commits would expose a state
+    where a drained-to-zero group still shows its stale row).
+
+    ``txn``: same idempotence token as :func:`append_version` -- a
+    replayed merge (the token already in the current manifest)
+    returns the current version unchanged, making a crash-rerun of a
+    deterministic read-modify-write exactly-once.
+
     Concurrency: the base is PINNED like compaction's -- a concurrent
     commit between our read and our flip raises
     :class:`VersionConflictError` (rebasing would silently drop that
@@ -953,11 +966,20 @@ def merge_version(spark: SparkSession, table_dir: str,
     once replay detection for the append stream."""
     from pyspark.sql import functions as F
 
+    backend = backend or _DEFAULT_BACKEND
+    if txn is not None:
+        cur0 = current_version(table_dir, backend=backend)
+        if cur0 is not None and txn in _txns(table_dir, cur0):
+            return cur0  # replayed transaction -- already applied
     base = current_version(table_dir, backend=backend)
     if base is None:
         raise FileNotFoundError(
             f"{table_dir} has no committed version to merge into")
-    touched, _total = _touched_files(spark, table_dir, base, updates, key)
+    match_keys = updates.select(key)
+    if delete_keys is not None:
+        match_keys = match_keys.unionByName(delete_keys.select(key))
+    touched, _total = _touched_files(spark, table_dir, base,
+                                     match_keys, key)
     st = table_schema(table_dir, base)
     if touched:
         reader = spark.read.schema(st) if st is not None else spark.read
@@ -966,7 +988,7 @@ def merge_version(spark: SparkSession, table_dir: str,
         # is pure overhead on a small update
         survivors = (reader.parquet(
                         *[os.path.join(table_dir, f) for f in touched])
-                     .join(updates.select(key), key, "left_anti"))
+                     .join(match_keys, key, "left_anti"))
     else:
         survivors = None
     if delete_only:
@@ -984,7 +1006,7 @@ def merge_version(spark: SparkSession, table_dir: str,
         # layout (and its stats ranges) a little more on every merge
         new_df = new_df.coalesce(max(1, len(touched)))
     return _manifest_commit(
-        new_df, table_dir, txn=None, pinned_base=base,
+        new_df, table_dir, txn=txn, pinned_base=base,
         inherit_files=True, max_attempts=max_attempts, backend=backend,
         merge_schema=merge_schema, inherit_drop=frozenset(touched))
 
