@@ -308,13 +308,21 @@ def full_refresh_aggregate_view(spark: SparkSession, mv_dir: str,
 
 def read_aggregate_view(spark: SparkSession, mv_dir: str,
                         backend: CommitBackend | None = None,
-                        ) -> DataFrame:
+                        version: int | None = None) -> DataFrame:
     """The user-facing view: grouping keys + one column per measure,
     with ``avg`` divided and all-null-group sums surfacing as NULL --
     exactly what the equivalent GROUP BY query would return.  Pure
-    projection over the accumulator table; no aggregation runs."""
+    projection over the accumulator table; no aggregation runs.
+    ``version`` time-travels to an earlier MV state (the MV is a
+    versioned table; each refresh is one commit, so version n IS the
+    view as of the n-th applied source state)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import read_version
+
     spec = read_spec(mv_dir)
-    df = read_current(spark, mv_dir, backend=backend)
+    if version is None:
+        df = read_current(spark, mv_dir, backend=backend)
+    else:
+        df = read_version(spark, mv_dir, version, backend=backend)
     sel = [F.col(k) for k in spec["keys"]]
     for m in spec["measures"]:
         n = m["name"]

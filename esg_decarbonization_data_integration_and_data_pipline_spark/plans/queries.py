@@ -703,7 +703,7 @@ _DRIVER_HEAD = [
     "interval_size_bands", "asof_latest_order_at_event",
     "lapsed_customer_keys", "customers_with_open_orders",
     "coalescing_nation_balance", "multi_key_order_lines",
-    "union_balance_sources", "pivot_priority_counts",
+    "pivot_priority_counts",
     "unpivot_lineitem_measures",
     "recode_region_names", "monthly_order_calendar",
     "string_slice_like", "fill_missing_part_revenue",
@@ -744,6 +744,13 @@ _DRIVER_HEAD = [
     # out (driver-green r1-r8; A8 stays via irr_by_brand, F10 via
     # forecast_revenue's compounding)
     "dedup_bloom_incremental",
+    # ---- round-9 new capability: incrementally-maintained aggregate
+    # materialized views over the change-data-feed (io/matview);
+    # union_balance_sources rotates out (driver-green r1-r8; its U1
+    # stage-union + P9 constant-attach shapes stay head-graded via
+    # this query's per-stage UNION ALL with literal stage columns,
+    # and P9 also via concat_format_timestamps)
+    "matview_incremental_orders",
 ]
 _DRIVER_TAIL = [
     # approx_sketches is rows-only by design (no exact SQL oracle for
@@ -898,6 +905,11 @@ _DRIVER_TAIL = [
     #       dedup_bloom_incremental head slot: A8 UDAF stays via
     #       irr_by_brand, F10 power/compounding via forecast_revenue
     "cagr_nation_revenue",
+    #   union_balance_sources (r1-r8) -> rotated out mid-r9 for the
+    #       NEW matview_incremental_orders head slot: U1 UNION ALL
+    #       stays via that query's stage union, P9 constant attach
+    #       via its stage literals + concat_format_timestamps
+    "union_balance_sources",
 ]
 _ORDERED = _DRIVER_HEAD + _DRIVER_TAIL
 assert set(_ORDERED) == set(REGISTRY) and len(_ORDERED) == len(REGISTRY), (
