@@ -43,7 +43,8 @@ def stream_versioned_append(sdf: DataFrame, table_dir: str,
                             checkpoint: str,
                             transform=None,
                             query_name: str = "docs_versioned_append",
-                            merge_schema: bool = False):
+                            merge_schema: bool = False,
+                            refresh_views=None):
     """documents stream -> one committed table version per non-empty
     micro-batch.
 
@@ -51,6 +52,16 @@ def stream_versioned_append(sdf: DataFrame, table_dir: str,
     BEFORE the append (e.g. the stateless gate chain); it must be
     deterministic for the exactly-once guarantee to mean anything --
     a replayed batch re-runs it.
+
+    ``refresh_views``: optional list of :mod:`io.matview` MV dirs
+    whose source is ``table_dir``; each is incrementally refreshed
+    AFTER the batch commits, so downstream aggregates track the
+    stream at O(batch) per trigger instead of a nightly rebuild.
+    Every crash point converges: append-committed/refresh-not-run
+    replays as an append txn no-op and the refresh then catches up
+    (it advances from ITS OWN last-applied marker to the source's
+    current version, however many batches that spans); a double-run
+    refresh sees source-current == last-applied and commits nothing.
 
     Empty micro-batches commit nothing (no version churn; replaying
     an empty batch is trivially idempotent).
@@ -67,6 +78,13 @@ def stream_versioned_append(sdf: DataFrame, table_dir: str,
         # the table; opt into merge_schema for a planned evolution
         append_version(batch, table_dir, txn=f"{ckpt_id}:{batch_id}",
                        merge_schema=merge_schema)
+        if refresh_views:
+            from esg_decarbonization_data_integration_and_data_pipline_spark.io.matview import (
+                refresh_aggregate_view,
+            )
+
+            for mv in refresh_views:
+                refresh_aggregate_view(batch_df.sparkSession, mv)
 
     return (sdf.writeStream.foreachBatch(sink)
                .option("checkpointLocation", checkpoint)

@@ -225,3 +225,70 @@ def test_invalid_measures_rejected(spark, tmp_path):
             spark, src, str(tmp_path / "m3"), ["g"],
             [{"name": "z", "agg": "count"},
              {"name": "z", "agg": "sum", "col": "x"}])
+
+
+SCHEMA = "doc_id bigint, g string, x double"
+
+
+def _write_batch(spark, src, rows, name):
+    import os
+    (spark.createDataFrame(rows, SCHEMA)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(os.path.join(src, name)))
+
+
+def _run_stream(spark, src, t, ckpt, refresh_views=None):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.streaming.docs_versioned import (
+        stream_versioned_append,
+    )
+
+    sdf = spark.readStream.schema(SCHEMA).option(
+        "maxFilesPerTrigger", "1").parquet(src + "/*")
+    q = stream_versioned_append(sdf, t, ckpt,
+                                refresh_views=refresh_views)
+    q.awaitTermination()
+
+
+def test_stream_maintains_view_per_batch(spark, tmp_path):
+    """refresh_views: each non-empty micro-batch commit advances the
+    MV too, and the view equals a from-scratch GROUP BY of the whole
+    table after the stream drains."""
+    src, t, mv, ck = (str(tmp_path / "src"), str(tmp_path / "t"),
+                      str(tmp_path / "m"), str(tmp_path / "ck"))
+    b0 = [(1, "a", 1.0), (2, "b", 4.0)]
+    _write_batch(spark, src, b0, "b0")
+    _run_stream(spark, src, t, ck)  # seeds v1
+    create_aggregate_view(spark, t, mv, ["g"], MEASURES)
+    b1 = [(3, "a", 5.0)]
+    b2 = [(4, "c", 7.0), (5, "b", 2.0)]
+    _write_batch(spark, src, b1, "b1")
+    _write_batch(spark, src, b2, "b2")
+    _run_stream(spark, src, t, ck, refresh_views=[mv])
+    assert last_source_version(mv) == current_version(t) == 3
+    rows = [(r[0], r[1], r[2]) for r in (b0 + b1 + b2)]
+    assert _got(spark, mv) == _expected(spark, rows)
+    # one MV commit per refreshed batch: create + 2 stream batches
+    assert current_version(mv) == 3
+
+
+def test_stream_refresh_lag_catches_up(spark, tmp_path):
+    """A batch-side append that bypassed the stream (or a crash after
+    append, before refresh) leaves the MV behind; the NEXT streamed
+    batch's refresh folds ALL outstanding source versions, not just
+    its own."""
+    src, t, mv, ck = (str(tmp_path / "src"), str(tmp_path / "t"),
+                      str(tmp_path / "m"), str(tmp_path / "ck"))
+    _write_batch(spark, src, [(1, "a", 1.0)], "b0")
+    _run_stream(spark, src, t, ck)
+    create_aggregate_view(spark, t, mv, ["g"], MEASURES)
+    # out-of-band append: MV now lags by one source version
+    append_version(spark.createDataFrame([(2, "b", 3.0)], SCHEMA), t)
+    _write_batch(spark, src, [(3, "a", 9.0)], "b1")
+    _run_stream(spark, src, t, ck, refresh_views=[mv])
+    assert last_source_version(mv) == current_version(t) == 3
+    assert _got(spark, mv) == _expected(
+        spark, [(1, "a", 1.0), (2, "b", 3.0), (3, "a", 9.0)])
+    # replayed refresh (source unchanged) commits nothing
+    v = current_version(mv)
+    refresh_aggregate_view(spark, mv)
+    assert current_version(mv) == v
