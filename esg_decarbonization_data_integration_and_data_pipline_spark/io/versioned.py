@@ -605,6 +605,144 @@ def _stats_lines(stats: dict[str, dict[str, tuple]]) -> list[str]:
             for c, (lo, hi) in sorted(stats[f].items())]
 
 
+_ROWS_PREFIX = "#rows "
+
+
+def _file_rowmeta(path: str, columns) -> dict:
+    """``{"n": num_rows, "nn": {col: null_count}}`` of one parquet
+    file, straight from its footer -- no data scan.  A column whose
+    null count is unknown in ANY row group is absent from ``nn``
+    (readers treat absence as 'cannot answer from metadata')."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    nn: dict[str, int] = {}
+    for col in columns:
+        if col not in idx:
+            continue
+        total = 0
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[col]).statistics
+            if st is None or st.null_count is None:
+                ok = False
+                break
+            total += st.null_count
+        if ok:
+            nn[col] = total
+    return {"n": md.num_rows, "nn": nn}
+
+
+def _read_rowmeta(table_dir: str, n: int) -> dict[str, dict]:
+    """relpath -> {"n": rows, "nn": {col: nulls}} recorded in
+    ``v_n``'s manifest (empty for snapshots / pre-rows commits)."""
+    import json
+
+    p = os.path.join(table_dir, f"v_{n:08d}", _MANIFEST)
+    try:
+        with open(p, encoding="ascii") as fh:
+            raw = fh.read()
+    except OSError:
+        return {}
+    out: dict[str, dict] = {}
+    for line in raw.splitlines():
+        if line.startswith(_ROWS_PREFIX):
+            rec = json.loads(line[len(_ROWS_PREFIX):])
+            out[rec["f"]] = {"n": rec["n"], "nn": rec.get("nn", {})}
+    return out
+
+
+def _rows_lines(rowmeta: dict[str, dict]) -> list[str]:
+    import json
+
+    return [_ROWS_PREFIX + json.dumps(
+                {"f": f, "n": rowmeta[f]["n"], "nn": rowmeta[f]["nn"]},
+                ensure_ascii=True, sort_keys=True)
+            for f in sorted(rowmeta)]
+
+
+def table_rowcount(table_dir: str, n: int | None = None,
+                   backend: CommitBackend | None = None) -> int:
+    """``count(*)`` of version ``n`` (default: current) answered from
+    METADATA: the manifest's per-file row counts, falling back to a
+    parquet-footer read for files a pre-rows commit or a snapshot
+    version recorded no count for.  No Spark job, no data scan,
+    either way -- at 100 TB this is one small-file read vs a
+    full-table count, the Delta/Iceberg metadata-count shape."""
+    if n is None:
+        n = current_version(table_dir, backend=backend)
+        if n is None:
+            raise FileNotFoundError(
+                f"{table_dir} has no committed version (_CURRENT missing)")
+    rowmeta = _read_rowmeta(table_dir, n)
+    total = 0
+    for f in _data_files(table_dir, n):
+        rec = rowmeta.get(f)
+        if rec is not None:
+            total += rec["n"]
+        else:
+            total += _file_rowmeta(
+                os.path.join(table_dir, f), ())["n"]
+    return total
+
+
+def count_where(spark: SparkSession, table_dir: str, col: str,
+                lo=None, hi=None, n: int | None = None,
+                backend: CommitBackend | None = None) -> int:
+    """Exact ``count(*) WHERE lo <= col <= hi`` over version ``n``,
+    scanning only BOUNDARY files.  Per file, the recorded stats
+    classify it: provably outside the range -> contributes 0;
+    provably interior (``lo <= min`` and ``max <= hi``, null count
+    known) -> contributes ``rows - nulls`` from metadata alone;
+    anything else (straddles an endpoint, or stats/null counts
+    missing) -> scanned with the predicate re-applied.  On a
+    key-sorted table (:func:`compact_table` ``sort_by``) at most two
+    files straddle the endpoints, so the count is metadata + an
+    O(2-file) scan regardless of table size; correctness never
+    depends on stats existing."""
+    if n is None:
+        n = current_version(table_dir, backend=backend)
+        if n is None:
+            raise FileNotFoundError(
+                f"{table_dir} has no committed version (_CURRENT missing)")
+    meta_rows, boundary = _count_where_plan(table_dir, n, col, lo, hi)
+    if not boundary:
+        return meta_rows
+    st = table_schema(table_dir, n)
+    reader = spark.read.schema(st) if st is not None else spark.read
+    df = reader.parquet(*[os.path.join(table_dir, f) for f in boundary])
+    df = _apply_range(df, col, lo, hi)
+    if lo is None and hi is None:
+        df = df.filter(df[col].isNotNull())
+    return meta_rows + df.count()
+
+
+def _count_where_plan(table_dir: str, n: int, col: str,
+                      lo, hi) -> tuple[int, list[str]]:
+    """(rows answerable from metadata, files needing a scan) -- the
+    classification :func:`count_where` executes; split out so tests
+    can pin that a sorted table's boundary set is O(endpoints)."""
+    stats = _read_stats(table_dir, n)
+    rowmeta = _read_rowmeta(table_dir, n)
+    meta_rows = 0
+    boundary: list[str] = []
+    for f in _data_files(table_dir, n):
+        s = stats.get(f, {}).get(col)
+        rec = rowmeta.get(f)
+        if s is not None and ((hi is not None and s[0] > hi)
+                              or (lo is not None and s[1] < lo)):
+            continue  # provably outside
+        inside = (s is not None
+                  and (lo is None or s[0] >= lo)
+                  and (hi is None or s[1] <= hi))
+        if inside and rec is not None and col in rec["nn"]:
+            meta_rows += rec["n"] - rec["nn"][col]
+        else:
+            boundary.append(f)
+    return meta_rows, boundary
+
+
 def pruned_files(table_dir: str, n: int, col: str,
                  lo=None, hi=None) -> tuple[list[str], int]:
     """(data files of ``v_n`` that may contain rows with ``lo <= col
@@ -1133,8 +1271,20 @@ def _manifest_commit(df: DataFrame, table_dir: str, txn: str | None,
                                      sorted(track))
                     if fs:
                         stats[rel] = fs
+            # per-file row/null counts (same footer pass): inherited
+            # files keep the base's records; own files are read once
+            # here so count(*) and interior count_where files never
+            # touch data at read time
+            base_rows = (_read_rowmeta(table_dir, cur)
+                         if cur is not None else {})
+            rowmeta = {f: base_rows[f] for f in inherited
+                       if f in base_rows}
+            for rel in own:
+                rowmeta[rel] = _file_rowmeta(
+                    os.path.join(table_dir, rel), sorted(track))
             lines = ([_TXN_PREFIX + t for t in sorted(txns)]
                      + _stats_lines(stats)
+                     + _rows_lines(rowmeta)
                      + inherited + own)
             with open(os.path.join(claimed, _MANIFEST), "w",
                       encoding="ascii") as fh:
