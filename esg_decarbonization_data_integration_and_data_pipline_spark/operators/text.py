@@ -352,6 +352,93 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id",
                   .select("doc_id", "token", "tf", "score", "rank"))
 
 
+def bm25_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+              k1: float = 1.2, b: float = 0.75,
+              id_col: str = "doc_id", text_col: str = "text",
+              qid_col: str = "query_id",
+              qtext_col: str = "text") -> DataFrame:
+    """Top-k documents per query by BM25 (Robertson/Sparck Jones;
+    the Lucene ``ln(1 + (N - df + .5)/(df + .5))`` idf variant, so
+    idf is always positive) -- ranked keyword retrieval over the
+    corpus: the lookup side of decontamination triage ("which
+    training docs would this eval question retrieve?") and of
+    retrieval-augmented data curation.
+
+    score(q, d) = sum over DISTINCT query terms t of
+    idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*|d|/avgdl)).
+    N and avgdl range over ALL corpus rows (token-free and null-text
+    docs count toward both; they can never match, so they only damp
+    the normalization, deterministically).
+
+    Plan -- sized for a broadcastable query workload (thousands of
+    queries) against an unbounded corpus:
+    - doc lengths ride the explode (computed narrowly pre-explode,
+      carried per token row), so there is NO corpus-grain length
+      join;
+    - the exploded token stream is inner-joined to the BROADCAST
+      distinct query-token set BEFORE the tf partial agg, so only
+      postings of query terms ever shuffle -- corpus tokens outside
+      the query vocabulary die map-side;
+    - df(t) over those postings equals corpus df for query terms
+      (filtering by term keeps every doc containing the term), and
+      the resulting idf frame is O(query vocab), broadcast back;
+    - N/avgdl is a 1-row broadcast aggregate;
+    - the per-(query, doc) sum aggregates at most sum-of-postings
+      rows; top-k is one window per query_id. Scores round to 6
+      before ranking; ties break on doc_id, so the k-set is
+      deterministic on any engine.
+
+    Output: (query_id, doc_id, score, n_terms, rank), rank 1..k;
+    n_terms = how many distinct query terms matched the doc.
+    """
+    from pyspark.sql import Window
+
+    base = (corpus.select(F.col(id_col).alias("doc_id"),
+                          tokens(text_col).alias("__toks"))
+                  .select("doc_id",
+                          F.coalesce(F.size("__toks"), F.lit(0))
+                           .alias("dl"),
+                          "__toks"))
+    stats = base.agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.avg("dl").alias("avgdl"))
+    t = base.select("doc_id", "dl",
+                    F.explode("__toks").alias("token"))
+    q = (queries.select(F.col(qid_col).alias("query_id"),
+                        F.explode(tokens(qtext_col)).alias("token"))
+                .distinct())
+    qtok = q.select("token").distinct()
+    tf = (t.join(F.broadcast(qtok), "token")
+           .groupBy("doc_id", "token")
+           .agg(F.count(F.lit(1)).alias("tf"),
+                F.max("dl").alias("dl")))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    idf = (dfreq.crossJoin(F.broadcast(stats))
+                .select("token",
+                        F.log(F.lit(1.0)
+                              + (F.col("n_docs") - F.col("dfreq")
+                                 + 0.5) / (F.col("dfreq") + 0.5))
+                         .alias("idf"),
+                        "avgdl"))
+    term = (tf.join(F.broadcast(idf), "token")
+              .withColumn(
+                  "term_score",
+                  F.col("idf") * F.col("tf") * (k1 + 1)
+                  / (F.col("tf")
+                     + k1 * ((1 - b)
+                             + b * F.col("dl") / F.col("avgdl")))))
+    hits = (term.join(F.broadcast(q), "token")
+                .groupBy("query_id", "doc_id")
+                .agg(F.round(F.sum("term_score"), 6).alias("score"),
+                     F.count(F.lit(1)).cast("int").alias("n_terms")))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col("doc_id"))
+    return (hits.withColumn("rank",
+                            F.row_number().over(w).cast("int"))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "doc_id", "score", "n_terms",
+                        "rank"))
+
+
 def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
                     overlap: int = 16, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:

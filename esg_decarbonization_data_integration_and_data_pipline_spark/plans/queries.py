@@ -706,7 +706,7 @@ _DRIVER_HEAD = [
     "pivot_priority_counts",
     "unpivot_lineitem_measures",
     "recode_region_names", "monthly_order_calendar",
-    "string_slice_like", "fill_missing_part_revenue",
+    "string_slice_like",
     "selfjoin_green_grey_rate",
     "dedup_minhash_verified",
     "quantile_acctbal", "irr_by_brand",
@@ -751,6 +751,12 @@ _DRIVER_HEAD = [
     # this query's per-stage UNION ALL with literal stage columns,
     # and P9 also via concat_format_timestamps)
     "matview_incremental_orders",
+    # ---- round-9 new capability: BM25 ranked retrieval
+    # (operators/text.bm25_topk); fill_missing_part_revenue rotates
+    # out (driver-green r1-r8; its J1 broadcast left-enrich stays
+    # head-graded via contamination_report_docs, F12 null handling
+    # via coalescing_nation_balance)
+    "bm25_retrieval_docs",
 ]
 _DRIVER_TAIL = [
     # approx_sketches is rows-only by design (no exact SQL oracle for
@@ -804,8 +810,9 @@ _DRIVER_TAIL = [
     # round-8 rotations INTO the head (each driver-green >= 2 rounds,
     # each family keeps a head representative):
     #   brand_revenue (r1-r7)      -> contamination_report_docs (J1
-    #       broadcast left-enrich stays via fill_missing_part_revenue
-    #       and the report's broadcast bench-gram join)
+    #       broadcast left-enrich stays via the report's broadcast
+    #       bench-gram join; fill_missing_part_revenue covered J1
+    #       too until its own mid-r9 rotation, below)
     #   case_when_size_class (r1-r7) -> quality_gopher_rules (P6
     #       nested CASE WHEN is the Gopher gate's whole body)
     #   quarterly_shipments (r1-r7)  -> corpus_token_histogram (F2
@@ -910,6 +917,11 @@ _DRIVER_TAIL = [
     #       stays via that query's stage union, P9 constant attach
     #       via its stage literals + concat_format_timestamps
     "union_balance_sources",
+    #   fill_missing_part_revenue (r1-r8) -> rotated out mid-r9 for
+    #       the NEW bm25_retrieval_docs head slot: J1 broadcast
+    #       left-enrich stays via contamination_report_docs, F12
+    #       null handling via coalescing_nation_balance
+    "fill_missing_part_revenue",
 ]
 _ORDERED = _DRIVER_HEAD + _DRIVER_TAIL
 assert set(_ORDERED) == set(REGISTRY) and len(_ORDERED) == len(REGISTRY), (

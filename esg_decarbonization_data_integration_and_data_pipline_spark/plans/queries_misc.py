@@ -559,6 +559,74 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_op(table(spark, sf_dir, "documents"), k=3)
 
 
+@register("bm25_retrieval_docs", "ext:bm25,W2,A10", oracle="""
+WITH b2 AS (
+  SELECT doc_id,
+         coalesce(len(""" + _SQL_TOKS + """), 0) AS dl,
+         """ + _SQL_TOKS + """ AS toks
+  FROM documents
+),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM b2),
+t AS (SELECT doc_id, dl, unnest(toks) AS token FROM b2),
+q AS (
+  SELECT DISTINCT query_id, token FROM (
+    SELECT doc_id AS query_id,
+           unnest(""" + _SQL_TOKS + """) AS token
+    FROM documents WHERE doc_id % 83 = 7)
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
+  FROM t WHERE token IN (SELECT token FROM q)
+  GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, count(*) AS dfreq FROM tf GROUP BY token),
+idf AS (
+  SELECT token,
+         ln(1.0 + (n_docs - dfreq + 0.5) / (dfreq + 0.5)) AS idf,
+         avgdl
+  FROM dfreq CROSS JOIN stats
+),
+term AS (
+  SELECT tf.doc_id, tf.token,
+         idf.idf * tf.tf * (1.2 + 1)
+           / (tf.tf + 1.2 * ((1 - 0.75)
+                             + 0.75 * tf.dl / idf.avgdl))
+           AS term_score
+  FROM tf JOIN idf USING (token)
+),
+hits AS (
+  SELECT q.query_id, term.doc_id,
+         round(sum(term_score), 6) AS score,
+         CAST(count(*) AS INT) AS n_terms
+  FROM term JOIN q USING (token)
+  GROUP BY q.query_id, term.doc_id
+),
+r AS (
+  SELECT query_id, doc_id, score, n_terms,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id)
+              AS INT) AS rank
+  FROM hits
+)
+SELECT query_id, doc_id, score, n_terms, rank FROM r WHERE rank <= 5
+""")
+def bm25_retrieval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 retrieval (operators/text.bm25_topk): every 83rd
+    document doubles as a query against the full corpus (its source
+    doc matches every query term -- rank 1 is not guaranteed on this
+    shared-vocabulary corpus, and the oracle verifies the actual
+    ranking value-for-value).  Corpus tokens outside the query
+    vocabulary die before the shuffle (broadcast query-token
+    pre-filter); idf/stats frames are query-vocab-sized
+    broadcasts."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import bm25_topk
+
+    docs = table(spark, sf_dir, "documents")
+    qs = (docs.filter(F.col("doc_id") % 83 == 7)
+              .select(F.col("doc_id").alias("query_id"), "text"))
+    return bm25_topk(docs, qs, k=5)
+
+
 @register("text_boilerplate_ngrams", "ext:boilerplate-ngrams,A4,A10", oracle="""
 WITH t AS (
   SELECT doc_id,
