@@ -174,6 +174,63 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 30,
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+def attribute_clicks(views: DataFrame, clicks: DataFrame,
+                     horizon: str = "10 minutes",
+                     watermark: str = "30 minutes",
+                     join_type: str = "inner") -> DataFrame:
+    """Stream-stream event-time interval join: attribute each click
+    to the same user's views in the preceding ``horizon`` (the
+    ad-attribution / funnel-stitching shape; the reference has no
+    streaming tier, so this extends §2.11 beyond its batch scope).
+
+    Both inputs carry their own watermark and the join condition
+    bounds click_ts to [view_ts, view_ts + horizon], so Spark's
+    symmetric-hash join state is evictable: a view older than
+    ``watermark + horizon`` past the max seen event time can never
+    match a future click and is dropped -- state is bounded by the
+    horizon, not the stream length, which is what makes this run
+    forever on an unbounded feed. ``join_type='left_outer'`` emits
+    never-clicked views (null click columns) once the CLICK
+    watermark passes their horizon -- note the tail of the stream
+    stays in state until later data advances that watermark.
+
+    Works identically on batch frames (withWatermark is a
+    documented no-op there), which is how the tests pin the
+    streamed result to the batch interval join.
+
+    Output: (view_id, user_id, view_ts, click_id, click_ts,
+    click_value).
+    """
+    v = views.select(F.col("event_id").alias("view_id"),
+                     F.col("user_id"),
+                     F.col("ts").alias("view_ts")) \
+             .withWatermark("view_ts", watermark)
+    c = clicks.select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("click_user"),
+                      F.col("ts").alias("click_ts"),
+                      F.col("value").alias("click_value")) \
+              .withWatermark("click_ts", watermark)
+    cond = ((v["user_id"] == c["click_user"])
+            & (c["click_ts"] >= v["view_ts"])
+            & (c["click_ts"] <= v["view_ts"] + F.expr(
+                f"interval {horizon}")))
+    return (v.join(c, cond, join_type)
+             .select("view_id", "user_id", "view_ts",
+                     "click_id", "click_ts", "click_value"))
+
+
+def split_event_stream(events: DataFrame,
+                       view_type: str = "view",
+                       click_type: str = "click") -> tuple[DataFrame,
+                                                           DataFrame]:
+    """(views, clicks) legs for :func:`attribute_clicks` from one
+    event feed -- two narrow filters on the same source (each leg
+    re-reads in a file/Kafka stream; the scan is partition-pruned by
+    nothing but cheap)."""
+    return (events.filter(F.col("event_type") == view_type),
+            events.filter(F.col("event_type") == click_type))
+
+
 def run_to_memory(sdf: DataFrame, name: str, mode: str = "complete"):
     """Drain a streaming frame into an in-memory table (tests/dev).
     Returns the query after processing everything available."""
