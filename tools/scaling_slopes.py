@@ -255,6 +255,19 @@ def main() -> None:
         # (CDF append fast path) and the MV is group-count-sized.
         "matview_refresh":
             lambda s: _mv_refresh(s),
+        # round-9: BM25 retrieval with a FIXED query workload (the
+        # x1 corpus' %83 slice) against a growing corpus.  The
+        # corpus-side cost is the scan+explode plus the broadcast
+        # query-token pre-filter; only query-term postings shuffle,
+        # so the slope should ride the scan like the narrow text
+        # kernels, not the join tier.
+        "bm25_retrieval":
+            lambda s: T.bm25_topk(
+                docs(s),
+                docs(1).filter(F.col("doc_id") % 83 == 7)
+                       .select(F.col("doc_id").alias("query_id"),
+                               "text"),
+                k=5),
     }
 
     def _pii(d):
