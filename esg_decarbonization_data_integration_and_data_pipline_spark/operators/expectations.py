@@ -1,0 +1,212 @@
+"""Declarative data-quality expectations -- a Deequ-style constraint
+suite compiled to the minimum number of scans.
+
+The reference validates inputs implicitly (empty-frame guards and
+na.drop scattered through jobs, e.g. jobs/source_to_raw/
+fem_ratio.py:44-49, fix_data/fix_raw.py); this tier makes the checks
+a first-class, reportable surface: declare constraints, get back a
+tidy violations report (one row per check) or a hard gate that
+refuses to ship bad data downstream.
+
+Scan discipline -- the part that matters at 100 TB:
+- ALL row-level checks (not_null / in_range / in_set / matches)
+  compile into ONE aggregate over a single scan: each check is a
+  ``sum(case when violated then 1 else 0)`` column of the same agg,
+  unpivoted to report rows with ``stack`` -- pure JVM, no collect,
+  partial-agg friendly.
+- each ``unique`` check is one groupBy scan; the SAME aggregation
+  yields both the violation count (rows in >1-sized key groups) and
+  the row count (sum of group sizes), so no extra count(*) pass.
+- each ``foreign_key`` check is one scan left-joining the BROADCAST
+  reference key set; violations and row count come from the same
+  aggregate.
+Total scans = 1 + #unique + #foreign_key, regardless of how many
+row-level checks are declared. The report itself is O(#checks) rows.
+
+NULL semantics: ``not_null`` counts nulls; every other kind skips
+null values (declare not_null alongside if nulls are illegal), so
+each check measures exactly one thing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """One declared constraint. ``columns`` is 1 column for row-level
+    kinds and 1+ for unique/foreign_key composites."""
+    kind: str
+    columns: tuple[str, ...]
+    name: str = ""
+    lo: object = None
+    hi: object = None
+    values: tuple = ()
+    pattern: str = ""
+    ref: DataFrame | None = None
+    ref_columns: tuple[str, ...] = ()
+
+    @property
+    def label(self) -> str:
+        return self.name or f"{self.kind}:{','.join(self.columns)}"
+
+
+def not_null(column: str, name: str = "") -> Check:
+    return Check("not_null", (column,), name)
+
+
+def in_range(column: str, lo=None, hi=None, name: str = "") -> Check:
+    if lo is None and hi is None:
+        raise ValueError("in_range needs lo and/or hi")
+    return Check("in_range", (column,), name, lo=lo, hi=hi)
+
+
+def in_set(column: str, values, name: str = "") -> Check:
+    vals = tuple(values)
+    if not vals:
+        raise ValueError("in_set needs a non-empty value set")
+    return Check("in_set", (column,), name, values=vals)
+
+
+def matches(column: str, pattern: str, name: str = "") -> Check:
+    return Check("matches", (column,), name, pattern=pattern)
+
+
+def unique(*columns: str, name: str = "") -> Check:
+    if not columns:
+        raise ValueError("unique needs at least one column")
+    return Check("unique", tuple(columns), name)
+
+
+def foreign_key(columns, ref: DataFrame, ref_columns,
+                name: str = "") -> Check:
+    cols = (columns,) if isinstance(columns, str) else tuple(columns)
+    refc = ((ref_columns,) if isinstance(ref_columns, str)
+            else tuple(ref_columns))
+    if len(cols) != len(refc):
+        raise ValueError(
+            f"foreign_key arity mismatch: {cols} vs {refc}")
+    return Check("foreign_key", cols, name, ref=ref, ref_columns=refc)
+
+
+_ROW_LEVEL = ("not_null", "in_range", "in_set", "matches")
+
+
+def _violated(c: Check) -> Column:
+    col = F.col(c.columns[0])
+    if c.kind == "not_null":
+        return col.isNull()
+    if c.kind == "in_range":
+        bad = F.lit(False)
+        if c.lo is not None:
+            bad = bad | (col < F.lit(c.lo))
+        if c.hi is not None:
+            bad = bad | (col > F.lit(c.hi))
+        return col.isNotNull() & bad
+    if c.kind == "in_set":
+        return col.isNotNull() & ~col.isin(list(c.values))
+    if c.kind == "matches":
+        return col.isNotNull() & ~col.rlike(c.pattern)
+    raise ValueError(f"not a row-level check: {c.kind}")
+
+
+def _report_cols(label: str, kind: str, target: str,
+                 viol: Column, n: Column) -> list[Column]:
+    return [F.lit(label).alias("check_name"),
+            F.lit(kind).alias("kind"),
+            F.lit(target).alias("target"),
+            viol.cast("bigint").alias("n_violations"),
+            n.cast("bigint").alias("n_rows")]
+
+
+def report(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Tidy report frame: (check_name, kind, target, n_violations,
+    n_rows, passed), one row per declared check.  Lazy -- the scans
+    run when the report is consumed."""
+    if not checks:
+        raise ValueError("no checks declared")
+    labels = [c.label for c in checks]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"duplicate check names in {labels}")
+    frames: list[DataFrame] = []
+
+    row_level = [c for c in checks if c.kind in _ROW_LEVEL]
+    if row_level:
+        aggs = [F.sum(F.when(_violated(c), 1).otherwise(0))
+                 .alias(f"__v{i}")
+                for i, c in enumerate(row_level)]
+        aggs.append(F.count(F.lit(1)).alias("__n"))
+        one = df.agg(*aggs)
+        # unpivot the single agg row into one report row per check;
+        # stack is JVM-side, so no collect and no Python-RDD frame
+        stack_args: list[Column] = []
+        for i, c in enumerate(row_level):
+            stack_args += [F.lit(c.label), F.lit(c.kind),
+                           F.lit(c.columns[0]),
+                           F.coalesce(F.col(f"__v{i}"), F.lit(0))]
+        frames.append(one.select(
+            F.stack(F.lit(len(row_level)), *stack_args)
+             .alias("check_name", "kind", "target", "n_violations"),
+            F.col("__n").alias("n_rows")).select(
+            "check_name", "kind", "target",
+            F.col("n_violations").cast("bigint").alias("n_violations"),
+            F.col("n_rows").cast("bigint").alias("n_rows")))
+
+    for c in checks:
+        if c.kind == "unique":
+            grouped = (df.groupBy(*[F.col(x) for x in c.columns])
+                         .agg(F.count(F.lit(1)).alias("__cnt")))
+            frames.append(grouped.agg(*_report_cols(
+                c.label, c.kind, ",".join(c.columns),
+                F.coalesce(F.sum(F.when(F.col("__cnt") > 1,
+                                        F.col("__cnt"))), F.lit(0)),
+                F.coalesce(F.sum("__cnt"), F.lit(0)))))
+        elif c.kind == "foreign_key":
+            ref_keys = (c.ref.select(*[F.col(r).alias(f"__r{i}")
+                                       for i, r in
+                                       enumerate(c.ref_columns)])
+                           .dropDuplicates())
+            cond = reduce(lambda a, b: a & b,
+                          [df[x].eqNullSafe(F.col(f"__r{i}"))
+                           for i, x in enumerate(c.columns)])
+            joined = df.join(F.broadcast(ref_keys), cond, "left")
+            key_present = reduce(lambda a, b: a & b,
+                                 [F.col(x).isNotNull()
+                                  for x in c.columns])
+            frames.append(joined.agg(*_report_cols(
+                c.label, c.kind, ",".join(c.columns),
+                F.coalesce(F.sum(F.when(
+                    key_present & F.col("__r0").isNull(), 1)),
+                    F.lit(0)),
+                F.count(F.lit(1)))))
+        elif c.kind not in _ROW_LEVEL:
+            raise ValueError(f"unknown check kind: {c.kind}")
+
+    out = reduce(DataFrame.unionByName, frames)
+    return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+class CheckFailedError(Exception):
+    """Raised by :func:`enforce`; carries the failing report rows."""
+
+    def __init__(self, failures: list):
+        self.failures = failures
+        lines = "; ".join(
+            f"{r['check_name']}: {r['n_violations']}/{r['n_rows']}"
+            for r in failures)
+        super().__init__(f"data-quality checks failed: {lines}")
+
+
+def enforce(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Gate: run the report, raise :class:`CheckFailedError` if any
+    check fails, else return ``df`` unchanged (the report collect is
+    O(#checks) rows -- control-plane-sized)."""
+    failures = [r for r in report(df, checks).collect()
+                if not r["passed"]]
+    if failures:
+        raise CheckFailedError(failures)
+    return df

@@ -708,7 +708,6 @@ _DRIVER_HEAD = [
     "recode_region_names", "monthly_order_calendar",
     "string_slice_like",
     "selfjoin_green_grey_rate",
-    "dedup_minhash_verified",
     "quantile_acctbal", "irr_by_brand",
     "events_sessionize", "events_json_roundtrip",
     "top_revenue_order", "concat_format_timestamps",
@@ -757,6 +756,12 @@ _DRIVER_HEAD = [
     # head-graded via contamination_report_docs, F12 null handling
     # via coalescing_nation_balance)
     "bm25_retrieval_docs",
+    # ---- round-9 new capability: declarative data-quality
+    # expectations (operators/expectations.py);
+    # dedup_minhash_verified rotates out (driver-green r1-r8, no
+    # exclusive SURVEY rows -- banded-LSH stays oracle-replayed and
+    # bench-headlined, exact/bloom dedup keep head reps)
+    "data_quality_report",
 ]
 _DRIVER_TAIL = [
     # approx_sketches is rows-only by design (no exact SQL oracle for
@@ -922,6 +927,13 @@ _DRIVER_TAIL = [
     #       left-enrich stays via contamination_report_docs, F12
     #       null handling via coalescing_nation_balance
     "fill_missing_part_revenue",
+    #   dedup_minhash_verified (r1-r8) -> rotated out mid-r9 for the
+    #       NEW data_quality_report head slot: no exclusive SURVEY
+    #       rows; the banded-LSH pipeline stays oracle-replayed
+    #       in-repo, plan-pinned (test_plan_shapes), property-tested
+    #       and bench-headlined; dedup keeps head reps via
+    #       dedup_bloom_incremental + semdedup_embeddings_ivf
+    "dedup_minhash_verified",
 ]
 _ORDERED = _DRIVER_HEAD + _DRIVER_TAIL
 assert set(_ORDERED) == set(REGISTRY) and len(_ORDERED) == len(REGISTRY), (

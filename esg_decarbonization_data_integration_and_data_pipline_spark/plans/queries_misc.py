@@ -627,6 +627,83 @@ def bm25_retrieval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, qs, k=5)
 
 
+@register("data_quality_report", "ext:dq,A2,A10", oracle="""
+WITH n AS (SELECT count(*) AS n_rows FROM orders),
+r AS (
+  SELECT 'not_null:o_custkey' AS check_name, 'not_null' AS kind,
+         'o_custkey' AS target,
+         (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+           AS n_violations, n.n_rows FROM n
+  UNION ALL
+  SELECT 'in_range:o_totalprice', 'in_range', 'o_totalprice',
+         (SELECT count(*) FROM orders WHERE o_totalprice IS NOT NULL
+            AND (o_totalprice < 0 OR o_totalprice > 300000)),
+         n.n_rows FROM n
+  UNION ALL
+  SELECT 'in_set:o_orderstatus', 'in_set', 'o_orderstatus',
+         (SELECT count(*) FROM orders WHERE o_orderstatus IS NOT NULL
+            AND o_orderstatus NOT IN ('F', 'O')),
+         n.n_rows FROM n
+  UNION ALL
+  SELECT 'matches:o_orderpriority', 'matches', 'o_orderpriority',
+         (SELECT count(*) FROM orders
+          WHERE o_orderpriority IS NOT NULL
+            AND NOT regexp_matches(o_orderpriority, '^[1-5]-')),
+         n.n_rows FROM n
+  UNION ALL
+  SELECT 'unique:o_orderkey', 'unique', 'o_orderkey',
+         (SELECT coalesce(sum(c), 0) FROM (
+            SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+          WHERE c > 1),
+         n.n_rows FROM n
+  UNION ALL
+  SELECT 'foreign_key:o_custkey', 'foreign_key', 'o_custkey',
+         (SELECT count(*) FROM orders o
+          WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+            SELECT 1 FROM customer c
+            WHERE c.c_custkey = o.o_custkey)),
+         n.n_rows FROM n
+  UNION ALL
+  SELECT 'fk_positive_balance_customer', 'foreign_key', 'o_custkey',
+         (SELECT count(*) FROM orders o
+          WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+            SELECT 1 FROM customer c
+            WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 0)),
+         n.n_rows FROM n
+)
+SELECT check_name, kind, target,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       n_violations = 0 AS passed
+FROM r
+""")
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint suite over orders (operators/
+    expectations.report): 4 row-level checks share ONE aggregate
+    scan, uniqueness reuses its own groupBy for both counts, and the
+    two referential checks each left-join the broadcast customer key
+    set -- 4 scans total for 7 checks.  The range / set / fk-subset
+    checks are chosen to FAIL on the fixtures (non-zero violation
+    counts prove the counting paths)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators import expectations as E
+
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    checks = [
+        E.not_null("o_custkey"),
+        E.in_range("o_totalprice", 0, 300000),
+        E.in_set("o_orderstatus", ["F", "O"]),
+        E.matches("o_orderpriority", "^[1-5]-"),
+        E.unique("o_orderkey"),
+        E.foreign_key("o_custkey", customer, "c_custkey"),
+        E.foreign_key("o_custkey",
+                      customer.filter(F.col("c_acctbal") > 0),
+                      "c_custkey",
+                      name="fk_positive_balance_customer"),
+    ]
+    return E.report(orders, checks)
+
+
 @register("text_boilerplate_ngrams", "ext:boilerplate-ngrams,A4,A10", oracle="""
 WITH t AS (
   SELECT doc_id,
