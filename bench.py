@@ -58,6 +58,11 @@ HEADLINE = [
     # separately via prefix17_total/prefix17_min)
     "pii_redact_docs",
     "dedup_bloom_incremental",
+    # added late round 9: the session's new head-graded tiers
+    # (retrieval, data-quality, drift); same prefix17 discipline
+    "bm25_retrieval_docs",
+    "data_quality_report",
+    "drift_orders_psi",
 ]
 
 

@@ -743,6 +743,71 @@ def _count_where_plan(table_dir: str, n: int, col: str,
     return meta_rows, boundary
 
 
+def _file_null_count(path: str, col: str) -> int | None:
+    """Null count of ``col`` in one parquet file from its FOOTER:
+    the summed per-row-group null stat when every row group records
+    one; the file's row count when the column is absent from the
+    file's schema (an evolved column reads back all-null there);
+    None when any row group lacks the stat (caller must scan)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    if col not in idx:
+        return md.num_rows
+    total = 0
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx[col]).statistics
+        if st is None or st.null_count is None:
+            return None
+        total += st.null_count
+    return total
+
+
+def _null_count_plan(table_dir: str, n: int,
+                     col: str) -> tuple[int, list[str]]:
+    """(nulls answerable from metadata, files needing a scan) for
+    ``count_nulls`` -- split out so tests can pin that a table whose
+    commits recorded #rows lines scans NOTHING."""
+    rowmeta = _read_rowmeta(table_dir, n)
+    meta_nulls = 0
+    scan: list[str] = []
+    for f in _data_files(table_dir, n):
+        rec = rowmeta.get(f)
+        if rec is not None and col in rec["nn"]:
+            meta_nulls += rec["nn"][col]
+            continue
+        fc = _file_null_count(os.path.join(table_dir, f), col)
+        if fc is None:
+            scan.append(f)
+        else:
+            meta_nulls += fc
+    return meta_nulls, scan
+
+
+def count_nulls(spark: SparkSession, table_dir: str, col: str,
+                n: int | None = None,
+                backend: CommitBackend | None = None) -> int:
+    """Exact ``count(*) WHERE col IS NULL`` over version ``n``
+    (default current) from commit metadata: manifest #rows null
+    counts first, parquet-footer stats next (including the
+    all-null contribution of files predating an evolved column),
+    a data scan only for files whose footers carry no null stat --
+    the zero-I/O half of a metadata-answered not_null check."""
+    if n is None:
+        n = current_version(table_dir, backend=backend)
+        if n is None:
+            raise FileNotFoundError(
+                f"{table_dir} has no committed version (_CURRENT missing)")
+    meta_nulls, scan = _null_count_plan(table_dir, n, col)
+    if not scan:
+        return meta_nulls
+    st = table_schema(table_dir, n)
+    reader = spark.read.schema(st) if st is not None else spark.read
+    df = reader.parquet(*[os.path.join(table_dir, f) for f in scan])
+    return meta_nulls + df.filter(df[col].isNull()).count()
+
+
 def pruned_files(table_dir: str, n: int, col: str,
                  lo=None, hi=None) -> tuple[list[str], int]:
     """(data files of ``v_n`` that may contain rows with ``lo <= col

@@ -63,3 +63,125 @@ def dataset_diff(old: DataFrame, new: DataFrame,
     return (o.join(n, id_col, "full_outer")
              .select(id_col, status.alias("status"),
                      "old_hash", "new_hash"))
+
+
+def _psi_score(o_counts: DataFrame, n_counts: DataFrame,
+               k_smooth: int) -> DataFrame:
+    """Join per-bucket counts of the two snapshots and score each
+    bucket's PSI term with Laplace smoothing over ``k_smooth``
+    pseudo-buckets: p = (n_old + 1) / (total_old + k), q likewise;
+    term = (q - p) * ln(q / p) -- always >= 0, 0 iff p == q.
+    Buckets absent from BOTH sides smooth to p == q and contribute
+    0, so omitting them keeps the total exact.  Both inputs are
+    O(#buckets) rows; everything from here is control-plane-sized.
+    """
+    tot_o = o_counts.agg(F.sum("n_old").alias("__to"))
+    tot_n = n_counts.agg(F.sum("n_new").alias("__tn"))
+    j = (o_counts.join(n_counts, "__bkey", "full_outer")
+                 .crossJoin(F.broadcast(tot_o))
+                 .crossJoin(F.broadcast(tot_n)))
+    p = ((F.coalesce(F.col("n_old"), F.lit(0)) + 1.0)
+         / (F.coalesce(F.col("__to"), F.lit(0)) + float(k_smooth)))
+    q = ((F.coalesce(F.col("n_new"), F.lit(0)) + 1.0)
+         / (F.coalesce(F.col("__tn"), F.lit(0)) + float(k_smooth)))
+    return j.select(
+        "__bkey",
+        F.coalesce(F.col("n_old"), F.lit(0)).alias("n_old"),
+        F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+        F.round(p, 6).alias("p_old"),
+        F.round(q, 6).alias("p_new"),
+        F.round((q - p) * F.log(q / p), 6).alias("psi_term"))
+
+
+def psi_drift(old: DataFrame, new: DataFrame, column: str,
+              n_buckets: int = 10) -> DataFrame:
+    """Population-stability-index drift of a numeric column between
+    two snapshots -- the distribution-level complement of
+    :func:`dataset_diff` (same rows can carry a drifted value mix;
+    a retrained model cares about the latter).  Sum ``psi_term`` for
+    the headline PSI (rule of thumb: < 0.1 stable, > 0.25 shifted).
+
+    Buckets are ``n_buckets`` equal-width slices of the OLD
+    snapshot's [min, max] (the reference distribution); new values
+    outside clamp into the end buckets, NULLs form their own bucket
+    ``-1``, and a degenerate old range (min == max) puts everything
+    in bucket 0.  Smoothing uses k = n_buckets + 1 (the null bucket)
+    so empty buckets never divide by zero.
+
+    Scale shape: one 1-row min/max aggregate over ``old`` broadcast
+    to both sides, one partial-agg count per side keyed by the
+    O(n_buckets) bucket id, then an O(n_buckets) join -- two scans
+    total, nothing corpus-sized ever shuffles.
+
+    Output: (bucket, n_old, n_new, p_old, p_new, psi_term), one row
+    per bucket observed in either snapshot.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    bounds = old.agg(F.min(column).alias("__lo"),
+                     F.max(column).alias("__hi"))
+
+    def bucketed(df: DataFrame, out: str) -> DataFrame:
+        col = F.col(column)
+        raw = F.floor(((col - F.col("__lo")) * n_buckets)
+                      / (F.col("__hi") - F.col("__lo")))
+        b = (F.when(col.isNull(), F.lit(-1))
+              .when(F.col("__hi") == F.col("__lo"), F.lit(0))
+              .otherwise(F.least(F.lit(n_buckets - 1),
+                                 F.greatest(F.lit(0), raw))))
+        return (df.crossJoin(F.broadcast(bounds))
+                  .groupBy(b.cast("int").alias("__bkey"))
+                  .agg(F.count(F.lit(1)).alias(out)))
+
+    scored = _psi_score(bucketed(old, "n_old"),
+                        bucketed(new, "n_new"), n_buckets + 1)
+    return scored.withColumnRenamed("__bkey", "bucket")
+
+
+def category_drift(old: DataFrame, new: DataFrame,
+                   column: str) -> DataFrame:
+    """:func:`psi_drift` for a categorical column: buckets are the
+    values themselves (NULL is its own bucket, kept distinct from
+    every string via a flag-prefixed join key, the
+    :func:`dataset_diff` discipline).  Smoothing k is the number of
+    distinct buckets observed across BOTH snapshots, computed
+    in-plan (a 1-row count over the O(#categories) joined frame), so
+    the score needs no caller-supplied domain.
+
+    Output: (category, n_old, n_new, p_old, p_new, psi_term);
+    ``category`` is NULL for the null bucket.
+    """
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        key = F.concat(
+            F.when(F.col(column).isNull(), F.lit("N"))
+             .otherwise(F.lit("V")),
+            F.coalesce(F.col(column).cast("string"), F.lit("")))
+        return (df.groupBy(key.alias("__bkey"))
+                  .agg(F.count(F.lit(1)).alias(out)))
+
+    o, n = counts(old, "n_old"), counts(new, "n_new")
+    k = (o.join(n, "__bkey", "full_outer")
+          .agg(F.count(F.lit(1)).alias("__k")))
+    # k is data-dependent; thread it through the smoothing as a
+    # broadcast scalar instead of a Python int (no collect)
+    tot_o = o.agg(F.sum("n_old").alias("__to"))
+    tot_n = n.agg(F.sum("n_new").alias("__tn"))
+    j = (o.join(n, "__bkey", "full_outer")
+          .crossJoin(F.broadcast(tot_o))
+          .crossJoin(F.broadcast(tot_n))
+          .crossJoin(F.broadcast(k)))
+    p = ((F.coalesce(F.col("n_old"), F.lit(0)) + 1.0)
+         / (F.coalesce(F.col("__to"), F.lit(0))
+            + F.col("__k").cast("double")))
+    q = ((F.coalesce(F.col("n_new"), F.lit(0)) + 1.0)
+         / (F.coalesce(F.col("__tn"), F.lit(0))
+            + F.col("__k").cast("double")))
+    category = F.when(F.col("__bkey").startswith("V"),
+                      F.expr("substring(__bkey, 2)"))
+    return j.select(
+        category.alias("category"),
+        F.coalesce(F.col("n_old"), F.lit(0)).alias("n_old"),
+        F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+        F.round(p, 6).alias("p_old"),
+        F.round(q, 6).alias("p_new"),
+        F.round((q - p) * F.log(q / p), 6).alias("psi_term"))

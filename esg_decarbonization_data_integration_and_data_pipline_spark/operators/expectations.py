@@ -14,13 +14,14 @@ Scan discipline -- the part that matters at 100 TB:
   ``sum(case when violated then 1 else 0)`` column of the same agg,
   unpivoted to report rows with ``stack`` -- pure JVM, no collect,
   partial-agg friendly.
-- each ``unique`` check is one groupBy scan; the SAME aggregation
-  yields both the violation count (rows in >1-sized key groups) and
-  the row count (sum of group sizes), so no extra count(*) pass.
+- each ``unique`` / ``min_group_size`` check is one groupBy scan;
+  the SAME aggregation yields both the violation count (rows in
+  offending key groups) and the row count (sum of group sizes), so
+  no extra count(*) pass.
 - each ``foreign_key`` check is one scan left-joining the BROADCAST
   reference key set; violations and row count come from the same
   aggregate.
-Total scans = 1 + #unique + #foreign_key, regardless of how many
+Total scans = 1 + #grouped + #foreign_key, regardless of how many
 row-level checks are declared. The report itself is O(#checks) rows.
 
 NULL semantics: ``not_null`` counts nulls; every other kind skips
@@ -80,6 +81,20 @@ def unique(*columns: str, name: str = "") -> Check:
     if not columns:
         raise ValueError("unique needs at least one column")
     return Check("unique", tuple(columns), name)
+
+
+def min_group_size(columns, k: int, name: str = "") -> Check:
+    """k-anonymity: every combination of the quasi-identifier
+    ``columns`` must occur at least ``k`` times; rows in smaller
+    groups are re-identifiable and count as violations.  One groupBy
+    scan, like ``unique`` (which is this check with the inequality
+    flipped)."""
+    cols = (columns,) if isinstance(columns, str) else tuple(columns)
+    if not cols:
+        raise ValueError("min_group_size needs at least one column")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return Check("min_group_size", cols, name, lo=k)
 
 
 def foreign_key(columns, ref: DataFrame, ref_columns,
@@ -157,13 +172,15 @@ def report(df: DataFrame, checks: list[Check]) -> DataFrame:
             F.col("n_rows").cast("bigint").alias("n_rows")))
 
     for c in checks:
-        if c.kind == "unique":
+        if c.kind in ("unique", "min_group_size"):
+            bad_group = (F.col("__cnt") > 1 if c.kind == "unique"
+                         else F.col("__cnt") < F.lit(c.lo))
             grouped = (df.groupBy(*[F.col(x) for x in c.columns])
                          .agg(F.count(F.lit(1)).alias("__cnt")))
             frames.append(grouped.agg(*_report_cols(
                 c.label, c.kind, ",".join(c.columns),
-                F.coalesce(F.sum(F.when(F.col("__cnt") > 1,
-                                        F.col("__cnt"))), F.lit(0)),
+                F.coalesce(F.sum(F.when(bad_group, F.col("__cnt"))),
+                           F.lit(0)),
                 F.coalesce(F.sum("__cnt"), F.lit(0)))))
         elif c.kind == "foreign_key":
             ref_keys = (c.ref.select(*[F.col(r).alias(f"__r{i}")
@@ -188,6 +205,67 @@ def report(df: DataFrame, checks: list[Check]) -> DataFrame:
 
     out = reduce(DataFrame.unionByName, frames)
     return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+_METADATA_KINDS = ("not_null", "in_range")
+
+
+def metadata_report(spark, table_dir: str, checks: list[Check],
+                    n: int | None = None,
+                    backend=None) -> list[dict]:
+    """Answer ``not_null`` / ``in_range`` checks over a VERSIONED
+    table (io/versioned) from COMMIT METADATA instead of scanning:
+    null counts come from the manifest's #rows lines (parquet-footer
+    fallback, including the all-null contribution of files predating
+    an evolved column), range violations from two boundary-file
+    counts (``count_where`` total-non-null minus in-range) -- on a
+    table whose commits recorded stats for the checked columns this
+    is ZERO data I/O for not_null and O(endpoint files) for
+    in_range, the lakehouse twin of :func:`report`.  Results are
+    exact either way; metadata only changes what must be read.
+
+    Other kinds (unique / in_set / matches / foreign_key) genuinely
+    need the data -- declare them against
+    ``report(read_version(...))`` instead; passing one here raises.
+
+    Returns ``history()``-style control-plane rows (one dict per
+    check, same fields as the :func:`report` frame), oldest
+    declaration first.
+    """
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        count_nulls, count_where, current_version, table_rowcount,
+    )
+
+    bad = [c.kind for c in checks if c.kind not in _METADATA_KINDS]
+    if bad:
+        raise ValueError(
+            f"metadata_report answers only {_METADATA_KINDS}; "
+            f"got {bad} -- run report(read_version(...)) for those")
+    if not checks:
+        raise ValueError("no checks declared")
+    if n is None:
+        n = current_version(table_dir, backend=backend)
+        if n is None:
+            raise FileNotFoundError(
+                f"{table_dir} has no committed version")
+    n_rows = table_rowcount(table_dir, n, backend=backend)
+    out: list[dict] = []
+    for c in checks:
+        col = c.columns[0]
+        if c.kind == "not_null":
+            viol = count_nulls(spark, table_dir, col, n,
+                               backend=backend)
+        else:
+            non_null = count_where(spark, table_dir, col, n=n,
+                                   backend=backend)
+            in_rng = count_where(spark, table_dir, col,
+                                 lo=c.lo, hi=c.hi, n=n,
+                                 backend=backend)
+            viol = non_null - in_rng
+        out.append({"check_name": c.label, "kind": c.kind,
+                    "target": col, "n_violations": viol,
+                    "n_rows": n_rows, "passed": viol == 0})
+    return out
 
 
 class CheckFailedError(Exception):

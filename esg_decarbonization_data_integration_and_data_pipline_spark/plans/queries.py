@@ -709,7 +709,7 @@ _DRIVER_HEAD = [
     "string_slice_like",
     "selfjoin_green_grey_rate",
     "quantile_acctbal", "irr_by_brand",
-    "events_sessionize", "events_json_roundtrip",
+    "events_json_roundtrip",
     "top_revenue_order", "concat_format_timestamps",
     "greedy_allocation",
     # ---- round-8 first grades (graded once in r8; the >= 2 graded
@@ -762,6 +762,13 @@ _DRIVER_HEAD = [
     # exclusive SURVEY rows -- banded-LSH stays oracle-replayed and
     # bench-headlined, exact/bloom dedup keep head reps)
     "data_quality_report",
+    # ---- round-9 new capability: snapshot distribution drift
+    # (operators/diff.psi_drift / category_drift);
+    # events_sessionize rotates out (driver-green r1-r8; W1 stays
+    # via ytm_running_sum + token_budget_mixture_docs, and the
+    # sessionizer semantics stay pinned by the streaming twin's
+    # batch-parity tests + in-repo oracle replay)
+    "drift_orders_psi",
 ]
 _DRIVER_TAIL = [
     # approx_sketches is rows-only by design (no exact SQL oracle for
@@ -934,6 +941,12 @@ _DRIVER_TAIL = [
     #       and bench-headlined; dedup keeps head reps via
     #       dedup_bloom_incremental + semdedup_embeddings_ivf
     "dedup_minhash_verified",
+    #   events_sessionize (r1-r8) -> rotated out mid-r9 for the NEW
+    #       drift_orders_psi head slot: W1 stays via ytm_running_sum
+    #       + token_budget_mixture_docs; the gap-sessionizer stays
+    #       oracle-replayed in-repo and batch-parity-pinned against
+    #       the streaming stateful twin (test_streaming_stateful)
+    "events_sessionize",
 ]
 _ORDERED = _DRIVER_HEAD + _DRIVER_TAIL
 assert set(_ORDERED) == set(REGISTRY) and len(_ORDERED) == len(REGISTRY), (

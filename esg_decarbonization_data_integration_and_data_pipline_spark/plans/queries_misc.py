@@ -572,7 +572,7 @@ q AS (
   SELECT DISTINCT query_id, token FROM (
     SELECT doc_id AS query_id,
            unnest(""" + _SQL_TOKS + """) AS token
-    FROM documents WHERE doc_id % 83 = 7)
+    FROM documents WHERE doc_id % 83 = 0)
 ),
 tf AS (
   SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
@@ -622,7 +622,7 @@ def bm25_retrieval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from esg_decarbonization_data_integration_and_data_pipline_spark.operators.text import bm25_topk
 
     docs = table(spark, sf_dir, "documents")
-    qs = (docs.filter(F.col("doc_id") % 83 == 7)
+    qs = (docs.filter(F.col("doc_id") % 83 == 0)
               .select(F.col("doc_id").alias("query_id"), "text"))
     return bm25_topk(docs, qs, k=5)
 
@@ -670,6 +670,14 @@ r AS (
             SELECT 1 FROM customer c
             WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 0)),
          n.n_rows FROM n
+  UNION ALL
+  SELECT 'min_group_size:o_orderstatus,o_orderpriority',
+         'min_group_size', 'o_orderstatus,o_orderpriority',
+         (SELECT coalesce(sum(c), 0) FROM (
+            SELECT count(*) AS c FROM orders
+            GROUP BY o_orderstatus, o_orderpriority)
+          WHERE c < 500),
+         n.n_rows FROM n
 )
 SELECT check_name, kind, target,
        CAST(n_violations AS BIGINT) AS n_violations,
@@ -680,11 +688,12 @@ FROM r
 def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative constraint suite over orders (operators/
     expectations.report): 4 row-level checks share ONE aggregate
-    scan, uniqueness reuses its own groupBy for both counts, and the
-    two referential checks each left-join the broadcast customer key
-    set -- 4 scans total for 7 checks.  The range / set / fk-subset
-    checks are chosen to FAIL on the fixtures (non-zero violation
-    counts prove the counting paths)."""
+    scan, uniqueness and the k-anonymity check each reuse their own
+    groupBy for both counts, and the two referential checks each
+    left-join the broadcast customer key set -- 5 scans total for 8
+    checks.  The range / set / fk-subset / k-anonymity checks are
+    chosen to FAIL on the fixtures (non-zero violation counts prove
+    the counting paths)."""
     from esg_decarbonization_data_integration_and_data_pipline_spark.operators import expectations as E
 
     orders = table(spark, sf_dir, "orders")
@@ -700,6 +709,7 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                       customer.filter(F.col("c_acctbal") > 0),
                       "c_custkey",
                       name="fk_positive_balance_customer"),
+        E.min_group_size(("o_orderstatus", "o_orderpriority"), 500),
     ]
     return E.report(orders, checks)
 
@@ -1108,6 +1118,57 @@ def rejection_audit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return rejection_audit(d, min_quality=0.3, max_repetition=0.9,
                            min_entropy=2.0, scrub=False)
+
+
+@register("drift_orders_psi", "ext:drift,A1,F11", oracle="""
+WITH o AS (SELECT o_totalprice AS x FROM orders
+           WHERE year(o_orderdate) = 1997),
+nw AS (SELECT o_totalprice AS x FROM orders
+       WHERE year(o_orderdate) = 1998),
+b AS (SELECT min(x) AS lo, max(x) AS hi FROM o),
+oc AS (
+  SELECT CASE WHEN x IS NULL THEN -1
+              WHEN b.hi = b.lo THEN 0
+              ELSE CAST(least(9, greatest(0,
+                     floor(((x - b.lo) * 10) / (b.hi - b.lo))))
+                   AS INT) END AS bucket,
+         count(*) AS n_old
+  FROM o CROSS JOIN b GROUP BY 1),
+nc AS (
+  SELECT CASE WHEN x IS NULL THEN -1
+              WHEN b.hi = b.lo THEN 0
+              ELSE CAST(least(9, greatest(0,
+                     floor(((x - b.lo) * 10) / (b.hi - b.lo))))
+                   AS INT) END AS bucket,
+         count(*) AS n_new
+  FROM nw CROSS JOIN b GROUP BY 1),
+t AS (SELECT (SELECT coalesce(sum(n_old), 0) FROM oc) AS to_,
+             (SELECT coalesce(sum(n_new), 0) FROM nc) AS tn_)
+SELECT bucket,
+       coalesce(n_old, 0) AS n_old,
+       coalesce(n_new, 0) AS n_new,
+       round((coalesce(n_old, 0) + 1.0) / (to_ + 11.0), 6) AS p_old,
+       round((coalesce(n_new, 0) + 1.0) / (tn_ + 11.0), 6) AS p_new,
+       round(((coalesce(n_new, 0) + 1.0) / (tn_ + 11.0)
+              - (coalesce(n_old, 0) + 1.0) / (to_ + 11.0))
+             * ln(((coalesce(n_new, 0) + 1.0) / (tn_ + 11.0))
+                  / ((coalesce(n_old, 0) + 1.0) / (to_ + 11.0))), 6)
+         AS psi_term
+FROM oc FULL OUTER JOIN nc USING (bucket) CROSS JOIN t
+""")
+def drift_orders_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift of o_totalprice between the
+    1997 and 1998 order snapshots (operators/diff.psi_drift): 10
+    equal-width buckets of 1997's [min, max] (the reference
+    distribution), NULLs bucket -1, Laplace smoothing k=11.  Two
+    partial-agg scans + an O(buckets) join; the old-side min/max is
+    a 1-row broadcast."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.diff import psi_drift
+
+    orders = table(spark, sf_dir, "orders")
+    old = orders.filter(F.year("o_orderdate") == 1997)
+    new = orders.filter(F.year("o_orderdate") == 1998)
+    return psi_drift(old, new, "o_totalprice", n_buckets=10)
 
 
 @register("versioned_quarter_audit", "F4,F2", oracle="""

@@ -64,6 +64,23 @@ def test_unique_counts_all_rows_in_dup_groups(spark, frame):
     assert got["u_composite"]["passed"]
 
 
+def test_min_group_size_counts_rows_in_small_groups(spark, frame):
+    """k-anonymity: rows whose quasi-identifier combo occurs fewer
+    than k times are violations; nulls form groups like any value."""
+    got = _rows(E.report(frame, [
+        E.min_group_size("cat", 2),
+        E.min_group_size(("cat",), 3, name="k3"),
+    ]))
+    # cat counts: a=2, b=1, z=1, null=1 -> k=2: 3 violating rows
+    assert got["min_group_size:cat"]["n_violations"] == 3
+    assert got["min_group_size:cat"]["n_rows"] == 5
+    assert got["k3"]["n_violations"] == 5  # every group < 3
+    with pytest.raises(ValueError):
+        E.min_group_size("cat", 0)
+    with pytest.raises(ValueError):
+        E.min_group_size((), 2)
+
+
 def test_foreign_key_skips_null_keys_and_counts_misses(spark, frame,
                                                        ref):
     got = _rows(E.report(frame, [E.foreign_key("fk", ref, "k")]))
@@ -114,15 +131,15 @@ def test_empty_frame_reports_zero_rows_all_pass(spark):
 
 
 def test_scan_discipline_on_registry_query(spark, sf_dir):
-    """7 checks -> exactly 4 scans of orders (row-level share one;
-    unique and each fk get their own) + 2 broadcast customer key
-    scans; no sort-merge join anywhere."""
+    """8 checks -> exactly 5 scans of orders (row-level share one;
+    unique, k-anonymity and each fk get their own) + 2 broadcast
+    customer key scans; no sort-merge join anywhere."""
     from esg_decarbonization_data_integration_and_data_pipline_spark.plans.queries import REGISTRY
 
     df = REGISTRY["data_quality_report"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Scan parquet") == 6
-    assert plan.count("orders.parquet") == 4
+    assert plan.count("Scan parquet") == 7
+    assert plan.count("orders.parquet") == 5
     assert plan.count("customer.parquet") == 2
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") == 2

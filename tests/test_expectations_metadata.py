@@ -1,0 +1,106 @@
+"""Metadata-answered expectations over versioned tables
+(operators/expectations.metadata_report + io/versioned.count_nulls):
+not_null / in_range results equal the scan-based report() on every
+version -- including across appends, merges, and schema evolution
+(files predating an evolved column count as all-null) -- while the
+null-count plan proves a stats-committed table scans NOTHING.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+    _null_count_plan,
+    append_version,
+    count_nulls,
+    current_version,
+    merge_version,
+    read_version,
+)
+from esg_decarbonization_data_integration_and_data_pipline_spark.operators import expectations as E
+
+
+def _checks():
+    return [E.not_null("k"), E.not_null("x"),
+            E.in_range("x", 0, 50)]
+
+
+def _scan_report(spark, t, n):
+    return {r["check_name"]: (r["n_violations"], r["n_rows"])
+            for r in
+            E.report(read_version(spark, t, n), _checks()).collect()}
+
+
+def _meta_report(spark, t, n):
+    return {r["check_name"]: (r["n_violations"], r["n_rows"])
+            for r in E.metadata_report(spark, t, _checks(), n=n)}
+
+
+def test_metadata_report_matches_scan_on_every_version(spark,
+                                                       tmp_path):
+    t = str(tmp_path / "t")
+    d1 = spark.createDataFrame(
+        [(1, 10.0), (2, None), (None, 70.0), (4, -5.0)],
+        "k bigint, x double")
+    append_version(d1.coalesce(1), t, stats_columns=["k", "x"])
+    d2 = spark.createDataFrame([(5, 20.0), (None, None)],
+                               "k bigint, x double")
+    append_version(d2.coalesce(1), t, stats_columns=["k", "x"])
+    merge_version(spark, t,
+                  spark.createDataFrame([(2, 49.0), (9, 51.0)],
+                                        "k bigint, x double"), "k")
+    for n in (1, 2, 3):
+        assert _meta_report(spark, t, n) == _scan_report(spark, t, n)
+    # spot-check the v1 numbers are the interesting ones
+    got = _meta_report(spark, t, 1)
+    assert got["not_null:k"] == (1, 4)
+    assert got["not_null:x"] == (1, 4)
+    assert got["in_range:x"] == (2, 4)  # 70 and -5; null skipped
+
+
+def test_not_null_plan_scans_nothing_on_committed_table(spark,
+                                                        tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 1.0), (None, 2.0)],
+                               "k bigint, x double")
+    append_version(df.coalesce(1), t, stats_columns=["k"])
+    n = current_version(t)
+    # k is stats-tracked (manifest nn); x falls back to the parquet
+    # FOOTER null stat -- metadata either way, zero files scanned
+    for col, want in (("k", 1), ("x", 0)):
+        meta_nulls, scan = _null_count_plan(t, n, col)
+        assert scan == []
+        assert meta_nulls == want
+        assert count_nulls(spark, t, col) == want
+
+
+def test_evolved_column_counts_preexisting_files_as_null(spark,
+                                                         tmp_path):
+    t = str(tmp_path / "t")
+    append_version(spark.createDataFrame([(1,), (2,)], "k bigint")
+                        .coalesce(1), t)
+    wide = spark.createDataFrame([(3, 7.0), (4, None)],
+                                 "k bigint, x double")
+    append_version(wide.coalesce(1), t, merge_schema=True)
+    n = current_version(t)
+    # v1's file has no x column: its 2 rows read back null
+    assert count_nulls(spark, t, "x", n) == 3
+    assert count_nulls(spark, t, "x", n) == \
+        read_version(spark, t, n).filter("x is null").count()
+    meta_nulls, scan = _null_count_plan(t, n, "x")
+    assert scan == [] and meta_nulls == 3
+
+
+def test_metadata_report_refuses_scan_kinds_and_empty(spark,
+                                                      tmp_path):
+    t = str(tmp_path / "t")
+    append_version(spark.createDataFrame([(1,)], "k bigint"), t)
+    with pytest.raises(ValueError, match="unique"):
+        E.metadata_report(spark, t, [E.unique("k")])
+    with pytest.raises(ValueError):
+        E.metadata_report(spark, t, [])
+    with pytest.raises(FileNotFoundError):
+        E.metadata_report(spark, str(tmp_path / "missing"),
+                          [E.not_null("k")])

@@ -66,7 +66,12 @@ QUERIES = ["text_repetition", "dedup_simhash64_pairs", "dedup_simhash",
            # bloom-accelerated dedup (null texts excluded identically
            # on both sides; the crafted corpus makes every batch doc
            # novel)
-           "pii_redact_docs", "dedup_bloom_incremental"]
+           "pii_redact_docs", "dedup_bloom_incremental",
+           # round-9: BM25 retrieval -- doc 0 of the crafted corpus
+           # IS a query (%83 == 0 slice), so null/empty/whitespace
+           # corpus docs and the exact-dup doc flow through the
+           # full idf/score/rank path on both engines
+           "bm25_retrieval_docs"]
 
 
 @pytest.fixture(scope="module")

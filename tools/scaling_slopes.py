@@ -264,7 +264,7 @@ def main() -> None:
         "bm25_retrieval":
             lambda s: T.bm25_topk(
                 docs(s),
-                docs(1).filter(F.col("doc_id") % 83 == 7)
+                docs(1).filter(F.col("doc_id") % 83 == 0)
                        .select(F.col("doc_id").alias("query_id"),
                                "text"),
                 k=5),
