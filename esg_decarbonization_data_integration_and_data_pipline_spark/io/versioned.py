@@ -544,37 +544,61 @@ def _resolve_commit_schema(base, batch, merge_schema: bool,
 _STATS_PREFIX = "#stats "
 
 
-def _file_stats(path: str, columns) -> dict[str, tuple]:
-    """Per-column (min, max) of one parquet file, straight from its
-    row-group footers -- no data is scanned.  Only JSON-encodable
-    primitive stats (int/float/str/bool) are kept; a column whose
-    footer carries no usable stats is simply absent (readers treat
-    absence as 'cannot prune')."""
+def _file_meta(path: str, columns) -> tuple[dict[str, tuple], dict]:
+    """ONE footer read of a parquet file -> (per-column (min, max)
+    stats, ``{"n": num_rows, "nn": {col: null_count}}``).  Only
+    JSON-encodable primitive min/max are kept; a column whose footer
+    lacks usable min/max is absent from stats ('cannot prune'), one
+    whose null count is unknown in ANY row group is absent from nn
+    ('cannot answer from metadata') -- the two are tracked
+    independently so a partial footer degrades each reader
+    separately, never wrongly."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
     idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-    out: dict[str, tuple] = {}
+    stats: dict[str, tuple] = {}
+    nn: dict[str, int] = {}
     for col in columns:
         if col not in idx:
             continue
         lo = hi = None
-        ok = True
+        ok_mm = ok_nn = True
+        nulls = 0
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx[col]).statistics
-            if st is None or not st.has_min_max:
-                ok = False
+            if st is None:
+                ok_mm = ok_nn = False
                 break
-            mn, mx = st.min, st.max
-            if not isinstance(mn, (int, float, str, bool)) \
-                    or not isinstance(mx, (int, float, str, bool)):
-                ok = False
+            if ok_nn:
+                if st.null_count is None:
+                    ok_nn = False
+                else:
+                    nulls += st.null_count
+            if ok_mm:
+                if not st.has_min_max:
+                    ok_mm = False
+                else:
+                    mn, mx = st.min, st.max
+                    if not isinstance(mn, (int, float, str, bool)) \
+                            or not isinstance(mx,
+                                              (int, float, str, bool)):
+                        ok_mm = False
+                    else:
+                        lo = mn if lo is None or mn < lo else lo
+                        hi = mx if hi is None or mx > hi else hi
+            if not ok_mm and not ok_nn:
                 break
-            lo = mn if lo is None or mn < lo else lo
-            hi = mx if hi is None or mx > hi else hi
-        if ok and lo is not None:
-            out[col] = (lo, hi)
-    return out
+        if ok_mm and lo is not None:
+            stats[col] = (lo, hi)
+        if ok_nn:
+            nn[col] = nulls
+    return stats, {"n": md.num_rows, "nn": nn}
+
+
+def _file_stats(path: str, columns) -> dict[str, tuple]:
+    """Per-column (min, max) of one parquet file (see _file_meta)."""
+    return _file_meta(path, columns)[0]
 
 
 def _read_stats(table_dir: str, n: int) -> dict[str, dict[str, tuple]]:
@@ -610,28 +634,8 @@ _ROWS_PREFIX = "#rows "
 
 def _file_rowmeta(path: str, columns) -> dict:
     """``{"n": num_rows, "nn": {col: null_count}}`` of one parquet
-    file, straight from its footer -- no data scan.  A column whose
-    null count is unknown in ANY row group is absent from ``nn``
-    (readers treat absence as 'cannot answer from metadata')."""
-    import pyarrow.parquet as pq
-
-    md = pq.ParquetFile(path).metadata
-    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-    nn: dict[str, int] = {}
-    for col in columns:
-        if col not in idx:
-            continue
-        total = 0
-        ok = True
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx[col]).statistics
-            if st is None or st.null_count is None:
-                ok = False
-                break
-            total += st.null_count
-        if ok:
-            nn[col] = total
-    return {"n": md.num_rows, "nn": nn}
+    file (see _file_meta)."""
+    return _file_meta(path, columns)[1]
 
 
 def _read_rowmeta(table_dir: str, n: int) -> dict[str, dict]:
@@ -793,16 +797,25 @@ def count_nulls(spark: SparkSession, table_dir: str, col: str,
     counts first, parquet-footer stats next (including the
     all-null contribution of files predating an evolved column),
     a data scan only for files whose footers carry no null stat --
-    the zero-I/O half of a metadata-answered not_null check."""
+    the zero-I/O half of a metadata-answered not_null check.
+
+    A column that is not part of version ``n``'s schema at all
+    raises (every file would otherwise report all-null -- a
+    confident wrong answer for a typo); the all-null fallback is
+    only for files PREDATING an evolved column."""
     if n is None:
         n = current_version(table_dir, backend=backend)
         if n is None:
             raise FileNotFoundError(
                 f"{table_dir} has no committed version (_CURRENT missing)")
+    st = table_schema(table_dir, n)
+    if st is not None and col not in st.fieldNames():
+        raise ValueError(
+            f"column {col!r} is not in v_{n}'s schema "
+            f"({st.fieldNames()})")
     meta_nulls, scan = _null_count_plan(table_dir, n, col)
     if not scan:
         return meta_nulls
-    st = table_schema(table_dir, n)
     reader = spark.read.schema(st) if st is not None else spark.read
     df = reader.parquet(*[os.path.join(table_dir, f) for f in scan])
     return meta_nulls + df.filter(df[col].isNull()).count()
@@ -1330,23 +1343,21 @@ def _manifest_commit(df: DataFrame, table_dir: str, txn: str | None,
             track = set(stats_columns).union(
                 *(base_stats[f].keys() for f in base_stats)) \
                 if base_stats else set(stats_columns)
-            if track:
-                for rel in own:
-                    fs = _file_stats(os.path.join(table_dir, rel),
-                                     sorted(track))
-                    if fs:
-                        stats[rel] = fs
-            # per-file row/null counts (same footer pass): inherited
-            # files keep the base's records; own files are read once
-            # here so count(*) and interior count_where files never
-            # touch data at read time
+            # per-file row/null counts share the min/max footer read
+            # (_file_meta: ONE ParquetFile open per own file);
+            # inherited files keep the base's records, so count(*)
+            # and interior count_where files never touch data at
+            # read time
             base_rows = (_read_rowmeta(table_dir, cur)
                          if cur is not None else {})
             rowmeta = {f: base_rows[f] for f in inherited
                        if f in base_rows}
             for rel in own:
-                rowmeta[rel] = _file_rowmeta(
-                    os.path.join(table_dir, rel), sorted(track))
+                fs, rm = _file_meta(os.path.join(table_dir, rel),
+                                    sorted(track))
+                if track and fs:
+                    stats[rel] = fs
+                rowmeta[rel] = rm
             lines = ([_TXN_PREFIX + t for t in sorted(txns)]
                      + _stats_lines(stats)
                      + _rows_lines(rowmeta)

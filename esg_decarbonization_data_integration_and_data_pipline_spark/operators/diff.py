@@ -66,24 +66,30 @@ def dataset_diff(old: DataFrame, new: DataFrame,
 
 
 def _psi_score(o_counts: DataFrame, n_counts: DataFrame,
-               k_smooth: int) -> DataFrame:
+               k_smooth) -> DataFrame:
     """Join per-bucket counts of the two snapshots and score each
     bucket's PSI term with Laplace smoothing over ``k_smooth``
-    pseudo-buckets: p = (n_old + 1) / (total_old + k), q likewise;
-    term = (q - p) * ln(q / p) -- always >= 0, 0 iff p == q.
-    Buckets absent from BOTH sides smooth to p == q and contribute
-    0, so omitting them keeps the total exact.  Both inputs are
-    O(#buckets) rows; everything from here is control-plane-sized.
-    """
+    pseudo-buckets (an int, or a 1-row DataFrame with column
+    ``__k`` for a data-dependent domain): p = (n_old + 1) /
+    (total_old + k), q likewise; term = (q - p) * ln(q / p) --
+    always >= 0, 0 iff p == q.  Buckets absent from BOTH sides
+    smooth to p == q and contribute 0, so omitting them keeps the
+    total exact.  Both inputs are O(#buckets) rows; everything from
+    here is control-plane-sized."""
     tot_o = o_counts.agg(F.sum("n_old").alias("__to"))
     tot_n = n_counts.agg(F.sum("n_new").alias("__tn"))
     j = (o_counts.join(n_counts, "__bkey", "full_outer")
                  .crossJoin(F.broadcast(tot_o))
                  .crossJoin(F.broadcast(tot_n)))
+    if isinstance(k_smooth, DataFrame):
+        j = j.crossJoin(F.broadcast(k_smooth))
+        k = F.col("__k").cast("double")
+    else:
+        k = F.lit(float(k_smooth))
     p = ((F.coalesce(F.col("n_old"), F.lit(0)) + 1.0)
-         / (F.coalesce(F.col("__to"), F.lit(0)) + float(k_smooth)))
+         / (F.coalesce(F.col("__to"), F.lit(0)) + k))
     q = ((F.coalesce(F.col("n_new"), F.lit(0)) + 1.0)
-         / (F.coalesce(F.col("__tn"), F.lit(0)) + float(k_smooth)))
+         / (F.coalesce(F.col("__tn"), F.lit(0)) + k))
     return j.select(
         "__bkey",
         F.coalesce(F.col("n_old"), F.lit(0)).alias("n_old"),
@@ -105,32 +111,41 @@ def psi_drift(old: DataFrame, new: DataFrame, column: str,
     snapshot's [min, max] (the reference distribution); new values
     outside clamp into the end buckets, NULLs form their own bucket
     ``-1``, and a degenerate old range (min == max) puts everything
-    in bucket 0.  Smoothing uses k = n_buckets + 1 (the null bucket)
-    so empty buckets never divide by zero.
+    in bucket 0.  An old snapshot with NO non-null values raises --
+    PSI against an undefined reference would otherwise clamp every
+    new value into bucket 0 and score a plausible-looking number.
+    Smoothing uses k = n_buckets + 1 (the null bucket) so empty
+    buckets never divide by zero.
 
-    Scale shape: one 1-row min/max aggregate over ``old`` broadcast
-    to both sides, one partial-agg count per side keyed by the
-    O(n_buckets) bucket id, then an O(n_buckets) join -- two scans
-    total, nothing corpus-sized ever shuffles.
+    Scale shape: the reference min/max is ONE 1-row aggregate over
+    ``old``, collected (a control-plane scalar -- embedding it as a
+    literal also keeps the bounds subplan from re-executing once per
+    side), then one partial-agg count scan per side keyed by the
+    O(n_buckets) bucket id and an O(n_buckets) join -- nothing
+    corpus-sized ever shuffles.
 
     Output: (bucket, n_old, n_new, p_old, p_new, psi_term), one row
     per bucket observed in either snapshot.
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    bounds = old.agg(F.min(column).alias("__lo"),
-                     F.max(column).alias("__hi"))
+    lo, hi = old.agg(F.min(column), F.max(column)).first()
+    if lo is None:
+        raise ValueError(
+            f"reference snapshot has no non-null {column!r} values "
+            f"-- the PSI reference distribution is undefined")
 
     def bucketed(df: DataFrame, out: str) -> DataFrame:
         col = F.col(column)
-        raw = F.floor(((col - F.col("__lo")) * n_buckets)
-                      / (F.col("__hi") - F.col("__lo")))
-        b = (F.when(col.isNull(), F.lit(-1))
-              .when(F.col("__hi") == F.col("__lo"), F.lit(0))
-              .otherwise(F.least(F.lit(n_buckets - 1),
-                                 F.greatest(F.lit(0), raw))))
-        return (df.crossJoin(F.broadcast(bounds))
-                  .groupBy(b.cast("int").alias("__bkey"))
+        if hi == lo:
+            clamped = F.lit(0)
+        else:
+            raw = F.floor(((col - F.lit(lo)) * n_buckets)
+                          / (F.lit(hi) - F.lit(lo)))
+            clamped = F.least(F.lit(n_buckets - 1),
+                              F.greatest(F.lit(0), raw))
+        b = F.when(col.isNull(), F.lit(-1)).otherwise(clamped)
+        return (df.groupBy(b.cast("int").alias("__bkey"))
                   .agg(F.count(F.lit(1)).alias(out)))
 
     scored = _psi_score(bucketed(old, "n_old"),
@@ -160,28 +175,12 @@ def category_drift(old: DataFrame, new: DataFrame,
                   .agg(F.count(F.lit(1)).alias(out)))
 
     o, n = counts(old, "n_old"), counts(new, "n_new")
+    # k is data-dependent; thread it through the smoothing as a
+    # broadcast 1-row frame instead of a Python int (no collect)
     k = (o.join(n, "__bkey", "full_outer")
           .agg(F.count(F.lit(1)).alias("__k")))
-    # k is data-dependent; thread it through the smoothing as a
-    # broadcast scalar instead of a Python int (no collect)
-    tot_o = o.agg(F.sum("n_old").alias("__to"))
-    tot_n = n.agg(F.sum("n_new").alias("__tn"))
-    j = (o.join(n, "__bkey", "full_outer")
-          .crossJoin(F.broadcast(tot_o))
-          .crossJoin(F.broadcast(tot_n))
-          .crossJoin(F.broadcast(k)))
-    p = ((F.coalesce(F.col("n_old"), F.lit(0)) + 1.0)
-         / (F.coalesce(F.col("__to"), F.lit(0))
-            + F.col("__k").cast("double")))
-    q = ((F.coalesce(F.col("n_new"), F.lit(0)) + 1.0)
-         / (F.coalesce(F.col("__tn"), F.lit(0))
-            + F.col("__k").cast("double")))
     category = F.when(F.col("__bkey").startswith("V"),
                       F.expr("substring(__bkey, 2)"))
-    return j.select(
-        category.alias("category"),
-        F.coalesce(F.col("n_old"), F.lit(0)).alias("n_old"),
-        F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
-        F.round(p, 6).alias("p_old"),
-        F.round(q, 6).alias("p_new"),
-        F.round((q - p) * F.log(q / p), 6).alias("psi_term"))
+    return (_psi_score(o, n, k)
+            .select(category.alias("category"),
+                    "n_old", "n_new", "p_old", "p_new", "psi_term"))

@@ -24,14 +24,18 @@ Scan discipline -- the part that matters at 100 TB:
 Total scans = 1 + #grouped + #foreign_key, regardless of how many
 row-level checks are declared. The report itself is O(#checks) rows.
 
-NULL semantics: ``not_null`` counts nulls; every other kind skips
-null values (declare not_null alongside if nulls are illegal), so
-each check measures exactly one thing.
+NULL semantics: ``not_null`` counts nulls; ``in_range`` / ``in_set``
+/ ``matches`` / ``foreign_key`` / ``unique`` skip null values (SQL
+UNIQUE semantics -- declare not_null alongside if nulls are
+illegal), so each check measures exactly one thing.  The one
+deliberate exception is ``min_group_size``: a NULL quasi-identifier
+combination is itself a re-identifiable class, so it forms a group
+like any value (documented on the function).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -70,6 +74,13 @@ def in_set(column: str, values, name: str = "") -> Check:
     vals = tuple(values)
     if not vals:
         raise ValueError("in_set needs a non-empty value set")
+    if any(v is None for v in vals):
+        # NOT IN (... NULL) is NULL for every non-member, which would
+        # silently count zero violations -- a false pass. Nulls are
+        # skipped by design; declare (or omit) not_null separately.
+        raise ValueError(
+            "in_set values must not contain None (null values never "
+            "violate in_set; use not_null to police nulls)")
     return Check("in_set", (column,), name, values=vals)
 
 
@@ -173,8 +184,15 @@ def report(df: DataFrame, checks: list[Check]) -> DataFrame:
 
     for c in checks:
         if c.kind in ("unique", "min_group_size"):
-            bad_group = (F.col("__cnt") > 1 if c.kind == "unique"
-                         else F.col("__cnt") < F.lit(c.lo))
+            keys_nonnull = reduce(
+                lambda a, b: a & b,
+                [F.col(x).isNotNull() for x in c.columns])
+            # unique skips NULL-keyed rows (SQL UNIQUE); they still
+            # count toward n_rows via the same group frame
+            bad_group = (
+                (F.col("__cnt") > 1) & keys_nonnull
+                if c.kind == "unique"
+                else F.col("__cnt") < F.lit(c.lo))
             grouped = (df.groupBy(*[F.col(x) for x in c.columns])
                          .agg(F.count(F.lit(1)).alias("__cnt")))
             frames.append(grouped.agg(*_report_cols(
@@ -249,19 +267,27 @@ def metadata_report(spark, table_dir: str, checks: list[Check],
             raise FileNotFoundError(
                 f"{table_dir} has no committed version")
     n_rows = table_rowcount(table_dir, n, backend=backend)
+    nulls: dict[str, int] = {}  # per column, computed at most once
+
+    def _nulls(col: str) -> int:
+        if col not in nulls:
+            nulls[col] = count_nulls(spark, table_dir, col, n,
+                                     backend=backend)
+        return nulls[col]
+
     out: list[dict] = []
     for c in checks:
         col = c.columns[0]
         if c.kind == "not_null":
-            viol = count_nulls(spark, table_dir, col, n,
-                               backend=backend)
+            viol = _nulls(col)
         else:
-            non_null = count_where(spark, table_dir, col, n=n,
-                                   backend=backend)
+            # non-null total from footers (never a scan) rather than
+            # an unbounded count_where, which would scan every
+            # stats-less file just to count non-nulls
             in_rng = count_where(spark, table_dir, col,
                                  lo=c.lo, hi=c.hi, n=n,
                                  backend=backend)
-            viol = non_null - in_rng
+            viol = (n_rows - _nulls(col)) - in_rng
         out.append({"check_name": c.label, "kind": c.kind,
                     "target": col, "n_violations": viol,
                     "n_rows": n_rows, "passed": viol == 0})

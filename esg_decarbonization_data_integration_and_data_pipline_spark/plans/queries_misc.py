@@ -653,7 +653,8 @@ r AS (
   UNION ALL
   SELECT 'unique:o_orderkey', 'unique', 'o_orderkey',
          (SELECT coalesce(sum(c), 0) FROM (
-            SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+            SELECT count(*) AS c FROM orders
+            WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey)
           WHERE c > 1),
          n.n_rows FROM n
   UNION ALL

@@ -65,6 +65,17 @@ def test_psi_null_bucket_and_degenerate_range(spark):
         psi_drift(old, new, "x", n_buckets=0)
 
 
+def test_psi_empty_or_allnull_reference_raises(spark):
+    """PSI against an undefined reference distribution must be loud,
+    not a plausible-looking number with everything clamped into
+    bucket 0."""
+    new = _num(spark, [1, 2, 3])
+    with pytest.raises(ValueError, match="reference"):
+        psi_drift(_num(spark, []), new, "x")
+    with pytest.raises(ValueError, match="reference"):
+        psi_drift(_num(spark, [None, None]), new, "x")
+
+
 def test_category_drift_values_nulls_and_smoothing_domain(spark):
     def cat(xs):
         return spark.createDataFrame([(x,) for x in xs], "c string")

@@ -64,6 +64,23 @@ def test_unique_counts_all_rows_in_dup_groups(spark, frame):
     assert got["u_composite"]["passed"]
 
 
+def test_unique_skips_null_keys_like_sql_unique(spark):
+    """Two NULL-keyed rows are NOT duplicates (SQL UNIQUE); they
+    still count toward n_rows.  Police nulls with not_null."""
+    df = spark.createDataFrame([(None,), (None,), (1,)], "id bigint")
+    got = _rows(E.report(df, [E.unique("id")]))
+    assert got["unique:id"]["n_violations"] == 0
+    assert got["unique:id"]["n_rows"] == 3
+    assert got["unique:id"]["passed"]
+
+
+def test_in_set_rejects_none_values(spark):
+    """NOT IN (... NULL) is never true, which would silently count
+    zero violations -- declaring None in the set must raise."""
+    with pytest.raises(ValueError, match="None"):
+        E.in_set("cat", ["a", None])
+
+
 def test_min_group_size_counts_rows_in_small_groups(spark, frame):
     """k-anonymity: rows whose quasi-identifier combo occurs fewer
     than k times are violations; nulls form groups like any value."""

@@ -104,3 +104,16 @@ def test_metadata_report_refuses_scan_kinds_and_empty(spark,
     with pytest.raises(FileNotFoundError):
         E.metadata_report(spark, str(tmp_path / "missing"),
                           [E.not_null("k")])
+
+
+def test_count_nulls_rejects_unknown_column(spark, tmp_path):
+    """A column outside the version's schema raises instead of
+    confidently reporting every row as null (typo insurance; the
+    all-null fallback is only for files PREDATING an evolved
+    column)."""
+    t = str(tmp_path / "t")
+    append_version(spark.createDataFrame([(1,)], "k bigint"), t)
+    with pytest.raises(ValueError, match="tpyo"):
+        count_nulls(spark, t, "tpyo")
+    with pytest.raises(ValueError, match="tpyo"):
+        E.metadata_report(spark, t, [E.not_null("tpyo")])
