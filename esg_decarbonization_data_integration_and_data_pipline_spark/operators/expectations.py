@@ -225,6 +225,43 @@ def report(df: DataFrame, checks: list[Check]) -> DataFrame:
     return out.withColumn("passed", F.col("n_violations") == 0)
 
 
+def tag_violations(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Row-level audit: append a ``failed_checks array<string>``
+    column listing which ROW-LEVEL checks each row violates (labels
+    in declaration order; empty array = clean row).  A pure narrow
+    map -- no shuffle, no action -- so it composes into any batch or
+    micro-batch plan.  Grouped/referential kinds need cross-row
+    context and raise; run :func:`report` for those."""
+    if not checks:
+        raise ValueError("no checks declared")
+    bad = [c.kind for c in checks if c.kind not in _ROW_LEVEL]
+    if bad:
+        raise ValueError(
+            f"tag_violations is row-level only; got {bad} -- run "
+            f"report() for grouped/referential checks")
+    labels = [c.label for c in checks]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"duplicate check names in {labels}")
+    tags = F.array_compact(F.array(
+        *[F.when(_violated(c), F.lit(c.label)) for c in checks]))
+    return df.withColumn("failed_checks", tags)
+
+
+def quarantine_split(df: DataFrame,
+                     checks: list[Check]) -> tuple[DataFrame,
+                                                   DataFrame]:
+    """(clean, quarantined): rows passing every row-level check
+    (original schema), and violating rows carrying their
+    ``failed_checks`` tags -- the expectations-with-quarantine
+    pattern for pipelines that must keep flowing while bad rows are
+    routed aside for triage instead of failing the whole batch
+    (:func:`enforce` is the fail-stop alternative)."""
+    tagged = tag_violations(df, checks)
+    clean = (tagged.filter(F.size("failed_checks") == 0)
+                   .drop("failed_checks"))
+    return clean, tagged.filter(F.size("failed_checks") > 0)
+
+
 _METADATA_KINDS = ("not_null", "in_range")
 
 
