@@ -34,12 +34,20 @@ from esg_decarbonization_data_integration_and_data_pipline_spark.pipelines.sourc
 
 
 def build_warehouse_dag(warehouse: str, sources: dict, base_year: int,
-                        plant_recode: dict[str, str] | None = None
-                        ) -> JobRegistry:
+                        plant_recode: dict[str, str] | None = None,
+                        validate: bool = False) -> JobRegistry:
     """``sources``: in-memory frames standing in for the federated
     inputs (esgi_indicators, plant_mapping, solar, green,
     carbon_coef). Returns a registry whose jobs write/read the
-    parquet warehouse at ``warehouse``."""
+    parquet warehouse at ``warehouse``.
+
+    ``validate=True`` inserts a data-quality gate between raw and
+    staging (operators/expectations.enforce): staging depends on the
+    gate, so a poisoned feed fails ONE small job and the registry's
+    failure-skip machinery holds back everything downstream -- the
+    reference trusts its feeds implicitly (scattered na.drop /
+    empty-frame guards); this makes the contract explicit and loud.
+    """
     reg = JobRegistry()
 
     def p(schema: str, name: str) -> str:
@@ -58,7 +66,28 @@ def build_warehouse_dag(warehouse: str, sources: dict, base_year: int,
                        p("raw", "renewable_energy_decarb"),
                        keys=["site", "category", "period_start"])
 
-    @reg.register("electricity_decarb", depends_on=["esgi_to_raw"])
+    staging_deps = ["esgi_to_raw"]
+    if validate:
+        @reg.register("validate_raw_electricity",
+                      depends_on=["esgi_to_raw"])
+        def _validate_raw(spark: SparkSession, run_date: dt.date):
+            from esg_decarbonization_data_integration_and_data_pipline_spark.operators import (
+                expectations as E,
+            )
+
+            df = W.read_table(spark,
+                              p("raw", "electricity_total_decarb"))
+            E.enforce(df, [
+                E.not_null("site"), E.not_null("period_start"),
+                E.not_null("amount"),
+                E.in_range("amount", lo=0.0),
+                E.unique("site", "period_start"),
+                E.in_set("type", ["wzs_esgi"]),
+            ])
+
+        staging_deps.append("validate_raw_electricity")
+
+    @reg.register("electricity_decarb", depends_on=staging_deps)
     def _staging(spark: SparkSession, run_date: dt.date):
         raw_elec = W.read_table(spark, p("raw", "electricity_total_decarb"))
         out = electricity_decarb(

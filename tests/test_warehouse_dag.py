@@ -157,3 +157,34 @@ def test_dag_actuals_import_and_transfer_suggest(spark, sources, tmp_path):
     # WKS gap (2000x12x0.5 = 12000) dwarfs its 10-kWh offer: the
     # shortfall must surface, not vanish
     assert srow["WKS"].unfilled == pytest.approx(11990.0)
+
+
+def test_dag_validation_gate_passes_and_blocks(spark, sources,
+                                               tmp_path):
+    """validate=True: the gate is green on a healthy feed (full DAG
+    ok); a poisoned feed (negative amount) fails ONE small job and
+    the failure-skip machinery holds back staging and app instead of
+    publishing bad numbers."""
+    wh = str(tmp_path / "wh_ok")
+    reg = build_warehouse_dag(wh, sources, base_year=2023,
+                              validate=True)
+    results = reg.run_all(spark, RUN)
+    assert results["validate_raw_electricity"] == "ok"
+    assert results["scope_overview"] == "ok"
+
+    poisoned = dict(sources)
+    poisoned["esgi_indicators"] = sources["esgi_indicators"].union(
+        spark.createDataFrame(
+            [("總用電度數", "P1", dt.date(2023, 6, 1), "-4.0", 9)],
+            sources["esgi_indicators"].schema))
+    wh2 = str(tmp_path / "wh_bad")
+    reg2 = build_warehouse_dag(wh2, poisoned, base_year=2023,
+                               validate=True)
+    results2 = reg2.run_all(spark, RUN)
+    assert results2["esgi_to_raw"] == "ok"
+    assert results2["validate_raw_electricity"].startswith("error")
+    assert "in_range:amount" in results2["validate_raw_electricity"]
+    assert results2["electricity_decarb"].startswith("skipped")
+    assert results2["scope_overview"].startswith("skipped")
+    assert not os.path.exists(
+        os.path.join(wh2, "app.db", "decarb_elec_overview"))
