@@ -268,6 +268,12 @@ def main() -> None:
                        .select(F.col("doc_id").alias("query_id"),
                                "text"),
                 k=5),
+        # round-9: PSI drift of a growing new snapshot against the
+        # fixed x1 reference -- each side collapses to O(buckets)
+        # rows in one partial-agg scan, so the slope should ride the
+        # new-side scan and nothing else.
+        "psi_drift":
+            lambda s: _psi(docs(s)),
     }
 
     def _pii(d):
@@ -276,6 +282,11 @@ def main() -> None:
         )
 
         return redact_pii(detect_pii(d), out_col="redacted")
+
+    def _psi(d):
+        from esg_decarbonization_data_integration_and_data_pipline_spark.operators.diff import psi_drift
+
+        return psi_drift(docs(1), d, "n_chars", n_buckets=10)
 
     def _mv_proj(d):
         return d.select("doc_id", "source", "lang", "n_chars")
