@@ -65,6 +65,35 @@ def dataset_diff(old: DataFrame, new: DataFrame,
                      "old_hash", "new_hash"))
 
 
+def schema_diff(old: DataFrame, new: DataFrame) -> list[dict]:
+    """Schema-level drift between two snapshots -- the third leg of
+    the drift triad (:func:`dataset_diff` = rows, :func:`psi_drift`
+    = value distributions, this = structure).  Pure metadata: reads
+    both frames' schemas, touches no data.
+
+    One dict per differing column, sorted by name:
+    ``{"column", "status" ("added"|"removed"|"type_changed"),
+    "old_type", "new_type"}`` (types as simpleString; None on the
+    absent side).  Unchanged columns are omitted -- an empty list
+    means the schemas agree (nullability is ignored: parquet
+    round-trips routinely flip it without any producer change).
+    """
+    o = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    n = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    out: list[dict] = []
+    for col in sorted(set(o) | set(n)):
+        if col not in n:
+            out.append({"column": col, "status": "removed",
+                        "old_type": o[col], "new_type": None})
+        elif col not in o:
+            out.append({"column": col, "status": "added",
+                        "old_type": None, "new_type": n[col]})
+        elif o[col] != n[col]:
+            out.append({"column": col, "status": "type_changed",
+                        "old_type": o[col], "new_type": n[col]})
+    return out
+
+
 def _psi_score(o_counts: DataFrame, n_counts: DataFrame,
                k_smooth) -> DataFrame:
     """Join per-bucket counts of the two snapshots and score each

@@ -117,3 +117,74 @@ def test_psi_total_orders_is_small_between_adjacent_years(spark,
     df = REGISTRY["drift_orders_psi"].fn(spark, sf_dir)
     total = df.agg(F.sum("psi_term")).collect()[0][0]
     assert 0 <= total < 0.1
+
+
+def test_schema_diff_classifies_and_ignores_nullability(spark):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.diff import schema_diff
+
+    old = spark.createDataFrame([], "a bigint, b string, c double")
+    new = spark.createDataFrame([], "a int, b string, d string")
+    got = schema_diff(old, new)
+    assert got == [
+        {"column": "a", "status": "type_changed",
+         "old_type": "bigint", "new_type": "int"},
+        {"column": "c", "status": "removed",
+         "old_type": "double", "new_type": None},
+        {"column": "d", "status": "added",
+         "old_type": None, "new_type": "string"},
+    ]
+    assert schema_diff(old, old) == []
+    # nullability-only differences are not drift
+    from pyspark.sql.types import LongType, StructField, StructType
+    n1 = spark.createDataFrame(
+        [], StructType([StructField("a", LongType(), True)]))
+    n2 = spark.createDataFrame(
+        [], StructType([StructField("a", LongType(), False)]))
+    assert schema_diff(n1, n2) == []
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_vals = st.one_of(st.none(),
+                  st.floats(-20, 20, allow_nan=False, width=64))
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(old=st.lists(_vals, min_size=1, max_size=12),
+       new=st.lists(_vals, max_size=12),
+       n_buckets=st.integers(1, 5))
+def test_psi_matches_python_model(spark, old, new, n_buckets):
+    """Bucket assignment (identical IEEE arithmetic), counts, and
+    smoothed PSI terms match a brute-force Python model on random
+    inputs -- including clamping, the null bucket, degenerate
+    ranges, and the no-reference raise."""
+    o_nonnull = [x for x in old if x is not None]
+    odf, ndf = _num(spark, old), _num(spark, new)
+    if not o_nonnull:
+        with pytest.raises(ValueError, match="reference"):
+            psi_drift(odf, ndf, "x", n_buckets=n_buckets)
+        return
+    lo, hi = min(o_nonnull), max(o_nonnull)
+
+    def bucket(x):
+        if x is None:
+            return -1
+        if hi == lo:
+            return 0
+        return int(min(n_buckets - 1,
+                       max(0, math.floor(((x - lo) * n_buckets)
+                                         / (hi - lo)))))
+
+    from collections import Counter
+    oc, nc = Counter(map(bucket, old)), Counter(map(bucket, new))
+    k = float(n_buckets + 1)
+    got = {r["bucket"]: r for r in
+           psi_drift(odf, ndf, "x", n_buckets=n_buckets).collect()}
+    assert set(got) == set(oc) | set(nc)
+    for b, r in got.items():
+        assert (r["n_old"], r["n_new"]) == (oc.get(b, 0), nc.get(b, 0))
+        p = (oc.get(b, 0) + 1.0) / (len(old) + k)
+        q = (nc.get(b, 0) + 1.0) / (len(new) + k)
+        assert r["psi_term"] == pytest.approx(
+            round((q - p) * math.log(q / p), 6), abs=2e-6)
