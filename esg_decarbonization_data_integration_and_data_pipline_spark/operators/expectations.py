@@ -331,6 +331,42 @@ def metadata_report(spark, table_dir: str, checks: list[Check],
     return out
 
 
+def check_table(spark, table_dir: str, checks: list[Check],
+                n: int | None = None, backend=None) -> list[dict]:
+    """One suite over a VERSIONED table, each check answered the
+    cheapest correct way: not_null / in_range route to
+    :func:`metadata_report` (manifest + footer metadata, boundary
+    files at worst), everything else runs through the scan-based
+    :func:`report` over ``read_version`` -- so a mixed nightly suite
+    pays data I/O only for the kinds that genuinely need it.
+    Returns the combined rows in DECLARATION order (both halves see
+    the same version, resolved once up front)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        current_version, read_version,
+    )
+
+    if not checks:
+        raise ValueError("no checks declared")
+    if n is None:
+        n = current_version(table_dir, backend=backend)
+        if n is None:
+            raise FileNotFoundError(
+                f"{table_dir} has no committed version")
+    meta = [c for c in checks if c.kind in _METADATA_KINDS]
+    scan = [c for c in checks if c.kind not in _METADATA_KINDS]
+    rows: dict[str, dict] = {}
+    if meta:
+        for r in metadata_report(spark, table_dir, meta, n=n,
+                                 backend=backend):
+            rows[r["check_name"]] = r
+    if scan:
+        for r in report(read_version(spark, table_dir, n,
+                                     backend=backend),
+                        scan).collect():
+            rows[r["check_name"]] = r.asDict()
+    return [rows[c.label] for c in checks]
+
+
 class CheckFailedError(Exception):
     """Raised by :func:`enforce`; carries the failing report rows."""
 

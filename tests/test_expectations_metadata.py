@@ -117,3 +117,32 @@ def test_count_nulls_rejects_unknown_column(spark, tmp_path):
         count_nulls(spark, t, "tpyo")
     with pytest.raises(ValueError, match="tpyo"):
         E.metadata_report(spark, t, [E.not_null("tpyo")])
+
+
+def test_check_table_routes_and_matches_scan_report(spark, tmp_path):
+    """check_table answers metadata kinds via metadata_report and
+    scan kinds via report(read_version) in one declaration-ordered
+    suite; results equal running report() on the whole suite."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", -3.0), (2, None, 70.0),
+         (None, "a", None)],
+        "k bigint, cat string, x double")
+    append_version(df.coalesce(1), t, stats_columns=["k", "x"])
+    checks = [E.not_null("k"), E.in_range("x", 0, 50),
+              E.unique("k"), E.in_set("cat", ["a", "b"])]
+    got = E.check_table(spark, t, checks)
+    assert [r["check_name"] for r in got] == [c.label for c in checks]
+    want = {r["check_name"]: (r["n_violations"], r["n_rows"],
+                              r["passed"])
+            for r in E.report(read_version(spark, t, 1),
+                              checks).collect()}
+    for r in got:
+        assert (r["n_violations"], r["n_rows"], r["passed"]) == \
+            want[r["check_name"]]
+    # the interesting numbers themselves
+    by = {r["check_name"]: r["n_violations"] for r in got}
+    assert by == {"not_null:k": 1, "in_range:x": 2,
+                  "unique:k": 2, "in_set:cat": 0}
+    with pytest.raises(ValueError):
+        E.check_table(spark, t, [])
