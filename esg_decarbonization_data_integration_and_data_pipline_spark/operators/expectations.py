@@ -10,10 +10,10 @@ refuses to ship bad data downstream.
 
 Scan discipline -- the part that matters at 100 TB:
 - ALL row-level checks (not_null / in_range / in_set / matches)
-  compile into ONE aggregate over a single scan: each check is a
-  ``sum(case when violated then 1 else 0)`` column of the same agg,
-  unpivoted to report rows with ``stack`` -- pure JVM, no collect,
-  partial-agg friendly.
+  AND table-level aggregate bounds (``agg_between``: freshness /
+  volume / sanity SLAs) compile into ONE aggregate over a single
+  scan: each check is a column of the same agg, unpivoted to report
+  rows with ``stack`` -- pure JVM, no collect, partial-agg friendly.
 - each ``unique`` / ``min_group_size`` check is one groupBy scan;
   the SAME aggregation yields both the violation count (rows in
   offending key groups) and the row count (sum of group sizes), so
@@ -52,6 +52,7 @@ class Check:
     hi: object = None
     values: tuple = ()
     pattern: str = ""
+    fn: str = ""
     ref: DataFrame | None = None
     ref_columns: tuple[str, ...] = ()
 
@@ -92,6 +93,29 @@ def unique(*columns: str, name: str = "") -> Check:
     if not columns:
         raise ValueError("unique needs at least one column")
     return Check("unique", tuple(columns), name)
+
+
+_AGG_FNS = ("min", "max", "avg", "sum", "count")
+
+
+def agg_between(column: str, fn: str, lo=None, hi=None,
+                name: str = "") -> Check:
+    """Table-level SLA bound: ``fn(column)`` must lie in [lo, hi]
+    (either side optional) -- freshness (``max(ts) >= ...``), volume
+    (``count >= ...``), sanity (``avg`` in an expected band).
+    Reported as 1 violation when the bound fails, 0 otherwise.
+    Aggregates skip nulls natively; on an empty/all-null input every
+    fn except ``count`` is NULL, which violates NO bound (vacuous
+    pass) -- pair with ``agg_between(col, 'count', lo=1)`` to police
+    emptiness.  Shares the single row-level aggregate scan.  Bounds
+    should sit well clear of the true aggregate: an exactly-boundary
+    double is float-summation-order territory."""
+    if fn not in _AGG_FNS:
+        raise ValueError(f"fn must be one of {_AGG_FNS}, got {fn!r}")
+    if lo is None and hi is None:
+        raise ValueError("agg_between needs lo and/or hi")
+    return Check("agg_between", (column,), name or
+                 f"agg_between:{fn}({column})", lo=lo, hi=hi, fn=fn)
 
 
 def min_group_size(columns, k: int, name: str = "") -> Check:
@@ -161,10 +185,14 @@ def report(df: DataFrame, checks: list[Check]) -> DataFrame:
     frames: list[DataFrame] = []
 
     row_level = [c for c in checks if c.kind in _ROW_LEVEL]
-    if row_level:
+    agg_checks = [c for c in checks if c.kind == "agg_between"]
+    if row_level or agg_checks:
         aggs = [F.sum(F.when(_violated(c), 1).otherwise(0))
                  .alias(f"__v{i}")
                 for i, c in enumerate(row_level)]
+        aggs += [getattr(F, c.fn)(F.col(c.columns[0]))
+                 .alias(f"__a{i}")
+                 for i, c in enumerate(agg_checks)]
         aggs.append(F.count(F.lit(1)).alias("__n"))
         one = df.agg(*aggs)
         # unpivot the single agg row into one report row per check;
@@ -173,9 +201,23 @@ def report(df: DataFrame, checks: list[Check]) -> DataFrame:
         for i, c in enumerate(row_level):
             stack_args += [F.lit(c.label), F.lit(c.kind),
                            F.lit(c.columns[0]),
-                           F.coalesce(F.col(f"__v{i}"), F.lit(0))]
+                           F.coalesce(F.col(f"__v{i}"), F.lit(0))
+                            .cast("bigint")]
+        for i, c in enumerate(agg_checks):
+            bad = F.lit(False)
+            if c.lo is not None:
+                bad = bad | (F.col(f"__a{i}") < F.lit(c.lo))
+            if c.hi is not None:
+                bad = bad | (F.col(f"__a{i}") > F.lit(c.hi))
+            # NULL aggregate (empty/all-null input) violates no
+            # bound -> 0 (vacuous pass, documented on agg_between)
+            stack_args += [F.lit(c.label), F.lit(c.kind),
+                           F.lit(c.columns[0]),
+                           F.when(bad, 1).otherwise(0)
+                            .cast("bigint")]
+        n_stacked = len(row_level) + len(agg_checks)
         frames.append(one.select(
-            F.stack(F.lit(len(row_level)), *stack_args)
+            F.stack(F.lit(n_stacked), *stack_args)
              .alias("check_name", "kind", "target", "n_violations"),
             F.col("__n").alias("n_rows")).select(
             "check_name", "kind", "target",
@@ -218,7 +260,7 @@ def report(df: DataFrame, checks: list[Check]) -> DataFrame:
                     key_present & F.col("__r0").isNull(), 1)),
                     F.lit(0)),
                 F.count(F.lit(1)))))
-        elif c.kind not in _ROW_LEVEL:
+        elif c.kind not in _ROW_LEVEL + ("agg_between",):
             raise ValueError(f"unknown check kind: {c.kind}")
 
     out = reduce(DataFrame.unionByName, frames)

@@ -679,6 +679,18 @@ r AS (
             GROUP BY o_orderstatus, o_orderpriority)
           WHERE c < 500),
          n.n_rows FROM n
+  UNION ALL
+  SELECT 'agg_between:avg(o_totalprice)', 'agg_between',
+         'o_totalprice',
+         (SELECT CASE WHEN avg(o_totalprice) < 50000
+                        OR avg(o_totalprice) > 400000
+                      THEN 1 ELSE 0 END FROM orders),
+         n.n_rows FROM n
+  UNION ALL
+  SELECT 'sla_min_order_volume', 'agg_between', 'o_orderkey',
+         (SELECT CASE WHEN count(o_orderkey) < 100000000
+                      THEN 1 ELSE 0 END FROM orders),
+         n.n_rows FROM n
 )
 SELECT check_name, kind, target,
        CAST(n_violations AS BIGINT) AS n_violations,
@@ -688,13 +700,15 @@ FROM r
 """)
 def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative constraint suite over orders (operators/
-    expectations.report): 4 row-level checks share ONE aggregate
-    scan, uniqueness and the k-anonymity check each reuse their own
-    groupBy for both counts, and the two referential checks each
-    left-join the broadcast customer key set -- 5 scans total for 8
-    checks.  The range / set / fk-subset / k-anonymity checks are
+    expectations.report): 4 row-level checks AND 2 table-level
+    aggregate SLA bounds share ONE aggregate scan, uniqueness and
+    the k-anonymity check each reuse their own groupBy for both
+    counts, and the two referential checks each left-join the
+    broadcast customer key set -- 5 scans total for 10 checks.  The
+    range / set / fk-subset / k-anonymity / volume-SLA checks are
     chosen to FAIL on the fixtures (non-zero violation counts prove
-    the counting paths)."""
+    the counting paths; the avg-price band passes, proving the
+    bound direction)."""
     from esg_decarbonization_data_integration_and_data_pipline_spark.operators import expectations as E
 
     orders = table(spark, sf_dir, "orders")
@@ -711,6 +725,11 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "c_custkey",
                       name="fk_positive_balance_customer"),
         E.min_group_size(("o_orderstatus", "o_orderpriority"), 500),
+        E.agg_between("o_totalprice", "avg", 50000, 400000),
+        # volume SLA far above any fixture SF: proves the failing
+        # direction of a table-level bound through the driver gate
+        E.agg_between("o_orderkey", "count", lo=100_000_000,
+                      name="sla_min_order_volume"),
     ]
     return E.report(orders, checks)
 

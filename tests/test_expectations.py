@@ -147,10 +147,43 @@ def test_empty_frame_reports_zero_rows_all_pass(spark):
         assert r["passed"]
 
 
+def test_agg_between_bounds_and_vacuous_pass(spark, frame):
+    """Table-level SLA bounds ride the shared scan: min/max/avg/sum/
+    count against [lo, hi]; a NULL aggregate (empty input) violates
+    no bound; count polices emptiness instead."""
+    got = _rows(E.report(frame, [
+        E.agg_between("val", "min", lo=0, name="min_ok_fails"),
+        E.agg_between("val", "max", hi=100, name="max_ok"),
+        E.agg_between("val", "avg", 0, 50, name="avg_band"),
+        E.agg_between("val", "count", lo=3, name="vol_ok"),
+        E.agg_between("val", "count", lo=10, name="vol_fails"),
+    ]))
+    # vals: 5.0, -1.0, 3.0, 99.0, null -> min=-1 (fails lo=0),
+    # max=99 (ok), avg=26.5 (in band), count=4
+    assert got["min_ok_fails"]["n_violations"] == 1
+    assert got["max_ok"]["n_violations"] == 0
+    assert got["avg_band"]["n_violations"] == 0
+    assert got["vol_ok"]["n_violations"] == 0
+    assert got["vol_fails"]["n_violations"] == 1
+    assert all(r["n_rows"] == 5 for r in got.values())
+    empty = spark.createDataFrame([], "val double")
+    got2 = _rows(E.report(empty, [
+        E.agg_between("val", "avg", 0, 1, name="vacuous"),
+        E.agg_between("val", "count", lo=1, name="must_have_rows"),
+    ]))
+    assert got2["vacuous"]["passed"]            # NULL avg: no bound hit
+    assert not got2["must_have_rows"]["passed"]  # count 0 < 1
+    with pytest.raises(ValueError, match="fn"):
+        E.agg_between("val", "median", lo=0)
+    with pytest.raises(ValueError):
+        E.agg_between("val", "avg")
+
+
 def test_scan_discipline_on_registry_query(spark, sf_dir):
-    """8 checks -> exactly 5 scans of orders (row-level share one;
-    unique, k-anonymity and each fk get their own) + 2 broadcast
-    customer key scans; no sort-merge join anywhere."""
+    """10 checks -> exactly 5 scans of orders (row-level AND
+    agg-bound checks share one; unique, k-anonymity and each fk get
+    their own) + 2 broadcast customer key scans; no sort-merge join
+    anywhere."""
     from esg_decarbonization_data_integration_and_data_pipline_spark.plans.queries import REGISTRY
 
     df = REGISTRY["data_quality_report"].fn(spark, sf_dir)
