@@ -821,6 +821,77 @@ def count_nulls(spark: SparkSession, table_dir: str, col: str,
     return meta_nulls + df.filter(df[col].isNull()).count()
 
 
+def _minmax_plan(table_dir: str, n: int,
+                 col: str) -> tuple[tuple, list[str]]:
+    """((min, max) mergeable from metadata -- (None, None) if no
+    file contributed, files needing a scan) for :func:`column_range`.
+    Manifest stats first, parquet-footer min/max next; a file whose
+    footer carries no usable min/max for ``col`` (including files
+    predating an evolved column, which contribute nothing anyway)
+    lands in the scan set."""
+    stats = _read_stats(table_dir, n)
+    lo = hi = None
+    scan: list[str] = []
+    for f in _data_files(table_dir, n):
+        s = stats.get(f, {}).get(col)
+        if s is None:
+            s = _file_meta(os.path.join(table_dir, f),
+                           (col,))[0].get(col)
+        if s is None:
+            scan.append(f)
+            continue
+        lo = s[0] if lo is None or s[0] < lo else lo
+        hi = s[1] if hi is None or s[1] > hi else hi
+    return (lo, hi), scan
+
+
+def column_range(spark: SparkSession, table_dir: str, col: str,
+                 n: int | None = None,
+                 backend: CommitBackend | None = None) -> tuple:
+    """Exact (min, max) of a NUMERIC/boolean column over version
+    ``n`` (default current) from commit metadata: manifest per-file
+    stats first, parquet footers next, a data scan only for files
+    whose footers carry no min/max.  ``(None, None)`` when every row
+    is null or the table is empty (SQL min/max of nothing).
+
+    Restricted to numeric/bool columns BY DESIGN: parquet string
+    statistics may be truncated by writers, so a footer-derived
+    string min/max is not guaranteed exact -- strings raise with
+    guidance to aggregate over a read instead.  (The file-skipping
+    readers still USE string stats; pruning only needs conservative
+    bounds, exactness needs true ones.)"""
+    if n is None:
+        n = current_version(table_dir, backend=backend)
+        if n is None:
+            raise FileNotFoundError(
+                f"{table_dir} has no committed version (_CURRENT missing)")
+    st = table_schema(table_dir, n)
+    if st is not None:
+        if col not in st.fieldNames():
+            raise ValueError(
+                f"column {col!r} is not in v_{n}'s schema "
+                f"({st.fieldNames()})")
+        kind = st[col].dataType.typeName()
+        if kind not in ("byte", "short", "integer", "long", "float",
+                        "double", "decimal", "boolean"):
+            raise ValueError(
+                f"column_range supports numeric/bool columns; "
+                f"{col!r} is {kind} (parquet string stats may be "
+                f"truncated -- aggregate over read_version instead)")
+    (lo, hi), scan = _minmax_plan(table_dir, n, col)
+    if scan:
+        from pyspark.sql import functions as F
+
+        reader = spark.read.schema(st) if st is not None else spark.read
+        row = (reader.parquet(*[os.path.join(table_dir, f)
+                                for f in scan])
+                     .agg(F.min(col), F.max(col)).first())
+        if row[0] is not None:
+            lo = row[0] if lo is None or row[0] < lo else lo
+            hi = row[1] if hi is None or row[1] > hi else hi
+    return lo, hi
+
+
 def pruned_files(table_dir: str, n: int, col: str,
                  lo=None, hi=None) -> tuple[list[str], int]:
     """(data files of ``v_n`` that may contain rows with ``lo <= col

@@ -305,39 +305,53 @@ def quarantine_split(df: DataFrame,
 
 
 _METADATA_KINDS = ("not_null", "in_range")
+_METADATA_AGG_FNS = ("min", "max", "count")
+
+
+def _metadata_answerable(c: Check) -> bool:
+    return (c.kind in _METADATA_KINDS
+            or (c.kind == "agg_between"
+                and c.fn in _METADATA_AGG_FNS))
 
 
 def metadata_report(spark, table_dir: str, checks: list[Check],
                     n: int | None = None,
                     backend=None) -> list[dict]:
-    """Answer ``not_null`` / ``in_range`` checks over a VERSIONED
-    table (io/versioned) from COMMIT METADATA instead of scanning:
-    null counts come from the manifest's #rows lines (parquet-footer
-    fallback, including the all-null contribution of files predating
-    an evolved column), range violations from two boundary-file
-    counts (``count_where`` total-non-null minus in-range) -- on a
-    table whose commits recorded stats for the checked columns this
-    is ZERO data I/O for not_null and O(endpoint files) for
-    in_range, the lakehouse twin of :func:`report`.  Results are
-    exact either way; metadata only changes what must be read.
+    """Answer ``not_null`` / ``in_range`` / metadata-answerable
+    ``agg_between`` checks over a VERSIONED table (io/versioned)
+    from COMMIT METADATA instead of scanning: null counts come from
+    the manifest's #rows lines (parquet-footer fallback, including
+    the all-null contribution of files predating an evolved column),
+    range violations from two boundary-file counts (``count_where``
+    total-non-null minus in-range), ``agg_between`` min/max bounds
+    from the per-file stats (``column_range``; numeric columns) and
+    count bounds from the row/null counts -- on a table whose
+    commits recorded stats for the checked columns this is ZERO data
+    I/O for not_null/count, O(endpoint files) for in_range, the
+    lakehouse twin of :func:`report`.  Results are exact either way;
+    metadata only changes what must be read.
 
-    Other kinds (unique / in_set / matches / foreign_key) genuinely
-    need the data -- declare them against
-    ``report(read_version(...))`` instead; passing one here raises.
+    Other kinds (unique / in_set / matches / foreign_key, and
+    sum/avg aggregate bounds) genuinely need the data -- declare
+    them against ``report(read_version(...))`` instead; passing one
+    here raises.
 
     Returns ``history()``-style control-plane rows (one dict per
     check, same fields as the :func:`report` frame), oldest
     declaration first.
     """
     from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
-        count_nulls, count_where, current_version, table_rowcount,
+        column_range, count_nulls, count_where, current_version,
+        table_rowcount,
     )
 
-    bad = [c.kind for c in checks if c.kind not in _METADATA_KINDS]
+    bad = [f"{c.kind}:{c.fn}" if c.kind == "agg_between" else c.kind
+           for c in checks if not _metadata_answerable(c)]
     if bad:
         raise ValueError(
-            f"metadata_report answers only {_METADATA_KINDS}; "
-            f"got {bad} -- run report(read_version(...)) for those")
+            f"metadata_report answers only {_METADATA_KINDS} and "
+            f"agg_between over {_METADATA_AGG_FNS}; got {bad} -- "
+            f"run report(read_version(...)) for those")
     if not checks:
         raise ValueError("no checks declared")
     if n is None:
@@ -359,7 +373,7 @@ def metadata_report(spark, table_dir: str, checks: list[Check],
         col = c.columns[0]
         if c.kind == "not_null":
             viol = _nulls(col)
-        else:
+        elif c.kind == "in_range":
             # non-null total from footers (never a scan) rather than
             # an unbounded count_where, which would scan every
             # stats-less file just to count non-nulls
@@ -367,6 +381,17 @@ def metadata_report(spark, table_dir: str, checks: list[Check],
                                  lo=c.lo, hi=c.hi, n=n,
                                  backend=backend)
             viol = (n_rows - _nulls(col)) - in_rng
+        else:  # agg_between over min / max / count
+            if c.fn == "count":
+                val = n_rows - _nulls(col)
+            else:
+                lo_hi = column_range(spark, table_dir, col, n,
+                                     backend=backend)
+                val = lo_hi[0] if c.fn == "min" else lo_hi[1]
+            # NULL aggregate violates no bound (report() semantics)
+            viol = int(val is not None
+                       and ((c.lo is not None and val < c.lo)
+                            or (c.hi is not None and val > c.hi)))
         out.append({"check_name": c.label, "kind": c.kind,
                     "target": col, "n_violations": viol,
                     "n_rows": n_rows, "passed": viol == 0})
@@ -376,11 +401,12 @@ def metadata_report(spark, table_dir: str, checks: list[Check],
 def check_table(spark, table_dir: str, checks: list[Check],
                 n: int | None = None, backend=None) -> list[dict]:
     """One suite over a VERSIONED table, each check answered the
-    cheapest correct way: not_null / in_range route to
-    :func:`metadata_report` (manifest + footer metadata, boundary
-    files at worst), everything else runs through the scan-based
-    :func:`report` over ``read_version`` -- so a mixed nightly suite
-    pays data I/O only for the kinds that genuinely need it.
+    cheapest correct way: not_null / in_range / min-max-count
+    aggregate bounds route to :func:`metadata_report` (manifest +
+    footer metadata, boundary files at worst), everything else runs
+    through the scan-based :func:`report` over ``read_version`` --
+    so a mixed nightly suite pays data I/O only for the kinds that
+    genuinely need it.
     Returns the combined rows in DECLARATION order (both halves see
     the same version, resolved once up front)."""
     from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
@@ -394,8 +420,8 @@ def check_table(spark, table_dir: str, checks: list[Check],
         if n is None:
             raise FileNotFoundError(
                 f"{table_dir} has no committed version")
-    meta = [c for c in checks if c.kind in _METADATA_KINDS]
-    scan = [c for c in checks if c.kind not in _METADATA_KINDS]
+    meta = [c for c in checks if _metadata_answerable(c)]
+    scan = [c for c in checks if not _metadata_answerable(c)]
     rows: dict[str, dict] = {}
     if meta:
         for r in metadata_report(spark, table_dir, meta, n=n,

@@ -139,3 +139,83 @@ def test_merge_and_append_inherit_rowmeta(spark, tmp_path):
     meta_rows, boundary = _count_where_plan(t, n, "k", None, None)
     assert boundary == []
     assert meta_rows == 200 == table_rowcount(t)
+
+
+def test_column_range_exact_across_mutations_and_types(spark,
+                                                       tmp_path):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        _minmax_plan, column_range,
+    )
+
+    t = str(tmp_path / "t")
+    append_version(_df(spark, 10, 50).coalesce(2), t,
+                   stats_columns=["k"])
+    assert column_range(spark, t, "k") == (10, 59)
+    # x is untracked: footer stats answer it, still no scan
+    assert column_range(spark, t, "x") == (20, 118)
+    n = current_version(t)
+    assert _minmax_plan(t, n, "x")[1] == []  # zero scan files
+    append_version(_df(spark, 0, 5), t)
+    delete_keys_version(
+        spark, t, spark.range(0, 3).select(F.col("id").alias("k")),
+        "k")
+    # stats bound the SURVIVING files; min/max from stats can be
+    # looser than the data after a delete? No: delete rewrites the
+    # touched file with fresh stats, so the range stays exact
+    got = column_range(spark, t, "k")
+    want = read_current(spark, t).agg(F.min("k"), F.max("k")).first()
+    assert got == (want[0], want[1])
+
+
+def test_column_range_nulls_schema_and_string_guard(spark, tmp_path):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import column_range
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(None, "a"), (None, "b")], "k bigint, s string")
+    append_version(df.coalesce(1), t)
+    assert column_range(spark, t, "k") == (None, None)  # all-null
+    with pytest.raises(ValueError, match="tpyo"):
+        column_range(spark, t, "tpyo")
+    with pytest.raises(ValueError, match="string"):
+        column_range(spark, t, "s")  # parquet string stats truncate
+
+
+def test_metadata_report_answers_minmax_count_bounds(spark,
+                                                     tmp_path):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators import expectations as E
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 5.0), (2, None), (3, 80.0)],
+                               "k bigint, x double")
+    append_version(df.coalesce(1), t, stats_columns=["k", "x"])
+    got = {r["check_name"]: r for r in E.metadata_report(spark, t, [
+        E.agg_between("x", "min", lo=0, name="min_ok"),
+        E.agg_between("x", "max", hi=50, name="max_fails"),
+        E.agg_between("x", "count", lo=2, name="vol_ok"),
+        E.agg_between("k", "count", lo=5, name="vol_fails"),
+    ])}
+    assert got["min_ok"]["passed"]
+    assert not got["max_fails"]["passed"]
+    assert got["vol_ok"]["passed"]          # 2 non-null x
+    assert not got["vol_fails"]["passed"]   # 3 non-null k < 5
+    # equal to the scan-based report on the same version
+    want = {r["check_name"]: r["passed"] for r in E.report(
+        read_current(spark, t),
+        [E.agg_between("x", "min", lo=0, name="min_ok"),
+         E.agg_between("x", "max", hi=50, name="max_fails"),
+         E.agg_between("x", "count", lo=2, name="vol_ok"),
+         E.agg_between("k", "count", lo=5, name="vol_fails"),
+         ]).collect()}
+    assert {k: v["passed"] for k, v in got.items()} == want
+    # sum/avg genuinely need the data
+    with pytest.raises(ValueError, match="sum"):
+        E.metadata_report(spark, t,
+                          [E.agg_between("x", "sum", lo=0)])
+    # ...but check_table routes them to the scan half
+    rows = E.check_table(spark, t, [
+        E.agg_between("x", "sum", lo=0, name="s"),
+        E.agg_between("x", "max", hi=50, name="max_fails"),
+    ])
+    assert [r["check_name"] for r in rows] == ["s", "max_fails"]
+    assert rows[0]["passed"] and not rows[1]["passed"]
