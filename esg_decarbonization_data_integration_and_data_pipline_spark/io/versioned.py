@@ -89,7 +89,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
-_V_RE = re.compile(r"^v_(\d{8})$")
+_V_RE = re.compile(r"^v_(\d{8})(?:\s+(\d+(?:\.\d+)?))?$")
 _CURRENT = "_CURRENT"
 _STAGE_PREFIX = ".stage-"
 _FLIP_LOCK = "._CURRENT.lock"
@@ -201,11 +201,65 @@ def _parse_pointer(raw: bytes | None) -> int | None:
 def _next_pointer(raw: bytes | None, vname: str) -> bytes:
     """The pointer content that commits ``vname``: the existing log
     with one line appended (the conditional put swaps full content, so
-    log appends are exactly as atomic as the old single-line flip)."""
+    log appends are exactly as atomic as the old single-line flip).
+    Each NEW line carries the wall-clock commit time ("v_N <epoch>"),
+    the basis for timestamp time travel (:func:`version_as_of`);
+    pre-timestamp bare lines stay valid, their commit time unknown."""
+    import time
+
     base = raw or b""
     if base and not base.endswith(b"\n"):
         base += b"\n"
-    return base + f"{vname}\n".encode("ascii")
+    return base + f"{vname} {time.time():.6f}\n".encode("ascii")
+
+
+def _committed_with_ts(raw: bytes | None) -> list[tuple[int,
+                                                        float | None]]:
+    """(version, commit epoch or None for pre-timestamp lines) in
+    commit order -- the timestamped view of _committed_from."""
+    if raw is None:
+        return []
+    out: list[tuple[int, float | None]] = []
+    for line in raw.decode("utf-8", "replace").splitlines():
+        m = _V_RE.match(line.strip())
+        if m:
+            out.append((int(m.group(1)),
+                        float(m.group(2)) if m.group(2) else None))
+    return out
+
+
+def version_as_of(table_dir: str, ts: float,
+                  backend: CommitBackend | None = None) -> int:
+    """The version a reader at wall-clock time ``ts`` (epoch seconds)
+    would have seen: the LAST log line whose commit time is <= ts
+    (Delta's TIMESTAMP AS OF).  Commit times are assigned inside the
+    commit critical section, so log order and time order agree up to
+    host clock skew -- the resolution is the log line, not a
+    sub-second ordering guarantee.
+
+    Raises when ``ts`` predates the first TIMESTAMPED commit: if
+    earlier pre-timestamp lines exist their times are unknown and
+    any answer would be a guess (use version numbers for that span);
+    if none exist, ``ts`` simply predates the table."""
+    entries = _committed_with_ts(
+        (backend or _DEFAULT_BACKEND).read_pointer(table_dir))
+    if not entries:
+        raise FileNotFoundError(
+            f"{table_dir} has no committed version (_CURRENT missing)")
+    best = None
+    for n, cts in entries:
+        if cts is not None and cts <= ts:
+            best = n
+    if best is None:
+        legacy = [n for n, cts in entries if cts is None]
+        if legacy:
+            raise ValueError(
+                f"ts {ts} predates the first timestamped commit and "
+                f"{len(legacy)} pre-timestamp lines exist -- their "
+                f"commit times are unknown; read those by version "
+                f"number (read_version)")
+        raise ValueError(f"ts {ts} predates the table's first commit")
+    return best
 
 
 class _flip_lock:
@@ -1482,6 +1536,16 @@ def read_current(spark: SparkSession, table_dir: str,
     return _read_resolved(spark, table_dir, n)
 
 
+def read_as_of(spark: SparkSession, table_dir: str, ts: float,
+               backend: CommitBackend | None = None) -> DataFrame:
+    """Timestamp time travel: :func:`read_version` of
+    :func:`version_as_of` ``ts`` -- the table as a reader at that
+    wall-clock moment saw it."""
+    return read_version(spark, table_dir,
+                        version_as_of(table_dir, ts, backend=backend),
+                        backend=backend)
+
+
 def read_version(spark: SparkSession, table_dir: str, n: int,
                  backend: CommitBackend | None = None) -> DataFrame:
     """Time-travel: read committed version ``n`` as the consistent
@@ -1670,7 +1734,8 @@ def history(table_dir: str,
             backend: CommitBackend | None = None) -> list[dict]:
     """The table's committed, still-on-disk versions, oldest first:
     ``{"version", "kind" ("snapshot"|"append"), "n_files", "txns",
-    "current"}``.  ``n_files`` counts the files a reader of that
+    "current", "committed_at" (epoch seconds; None for lines
+    predating commit timestamps)}``.  ``n_files`` counts the files a reader of that
     version scans (inherited + own for appends); ``txns`` is the
     sorted idempotence-token set carried by that version's manifest.
     Claimed-but-uncommitted dirs (never visible to any reader --
@@ -1680,7 +1745,10 @@ def history(table_dir: str,
     listing.  A :func:`compact_table` version reports as
     ``"snapshot"`` (its manifest, kept for the carried txn set,
     references no other version's files)."""
-    committed = committed_versions(table_dir, backend=backend)
+    entries = _committed_with_ts(
+        (backend or _DEFAULT_BACKEND).read_pointer(table_dir))
+    committed = [n for n, _ in entries]
+    when = {n: cts for n, cts in entries}
     if not committed:
         return []
     cur = committed[-1]
@@ -1698,6 +1766,7 @@ def history(table_dir: str,
             "n_files": len(_data_files(table_dir, n)),
             "txns": sorted(mf[1]) if mf is not None else [],
             "current": n == cur,
+            "committed_at": when.get(n),
         })
     return out
 
