@@ -1111,6 +1111,40 @@ def append_version(df: DataFrame, table_dir: str, txn: str | None = None,
                             stats_columns=stats_columns)
 
 
+def maybe_compact(spark: SparkSession, table_dir: str,
+                  max_files: int = 64,
+                  backend: CommitBackend | None = None,
+                  **compact_kwargs) -> int | None:
+    """Auto-optimize policy: :func:`compact_table` iff the CURRENT
+    version reads more than ``max_files`` data files, else do
+    nothing.  The check is pure metadata (one manifest read), so
+    calling this after every ingest batch is free until it fires --
+    the small-file compactor a long-lived streaming append chain
+    needs (each micro-batch adds its own files; reads degrade as the
+    chain grows).  Naturally crash-safe under replay: once a
+    compaction lands the file count is small again, so a re-run is a
+    no-op.  ``compact_kwargs`` pass through to :func:`compact_table`
+    (sort_by / zorder_by / target_file_bytes / stats_columns); when
+    none of them specifies a layout, ``target_file_bytes`` defaults
+    to 128 MiB so the compaction actually merges the small files it
+    was triggered by (a bare snapshot would keep the input partition
+    count).  Returns the new version number, or None when below
+    threshold."""
+    if max_files < 1:
+        raise ValueError(f"max_files must be >= 1, got {max_files}")
+    n = current_version(table_dir, backend=backend)
+    if n is None:
+        return None
+    if len(_data_files(table_dir, n)) <= max_files:
+        return None
+    if not any(compact_kwargs.get(k) for k in
+               ("sort_by", "zorder_by", "target_file_bytes",
+                "sort_partitions")):
+        compact_kwargs["target_file_bytes"] = 128 * 1024 * 1024
+    return compact_table(spark, table_dir, backend=backend,
+                         **compact_kwargs)
+
+
 def compact_table(spark: SparkSession, table_dir: str,
                   max_attempts: int = 20,
                   backend: CommitBackend | None = None,
@@ -1176,6 +1210,13 @@ def compact_table(spark: SparkSession, table_dir: str,
         else:
             df = df.repartitionByRange(*sort_by)
         df = df.sortWithinPartitions(*sort_by)
+    if not zorder_by and not sort_by and sort_partitions is not None:
+        # layout-only compaction (small-file merge): coalesce is a
+        # NARROW merge -- no shuffle, no ordering change -- which is
+        # exactly what collapsing a long append chain's small files
+        # wants; before this branch a bare target_file_bytes computed
+        # the count and silently kept the input partitioning
+        df = df.coalesce(sort_partitions)
     return _manifest_commit(
         df, table_dir, txn=None,
         pinned_base=base, inherit_files=False,

@@ -44,7 +44,8 @@ def stream_versioned_append(sdf: DataFrame, table_dir: str,
                             transform=None,
                             query_name: str = "docs_versioned_append",
                             merge_schema: bool = False,
-                            refresh_views=None):
+                            refresh_views=None,
+                            auto_compact_files: int | None = None):
     """documents stream -> one committed table version per non-empty
     micro-batch.
 
@@ -62,6 +63,13 @@ def stream_versioned_append(sdf: DataFrame, table_dir: str,
     (it advances from ITS OWN last-applied marker to the source's
     current version, however many batches that spans); a double-run
     refresh sees source-current == last-applied and commits nothing.
+
+    ``auto_compact_files``: when set, each batch ends with
+    :func:`io.versioned.maybe_compact` at that threshold, so a
+    long-lived append chain keeps a bounded file count (the
+    metadata-only check is free until it fires; compaction carries
+    the txn-marker set, so a replayed batch interleaving with it
+    still refuses -- the r8 advisor crash point stays closed).
 
     Empty micro-batches commit nothing (no version churn; replaying
     an empty batch is trivially idempotent).
@@ -85,6 +93,13 @@ def stream_versioned_append(sdf: DataFrame, table_dir: str,
 
             for mv in refresh_views:
                 refresh_aggregate_view(batch_df.sparkSession, mv)
+        if auto_compact_files is not None:
+            from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+                maybe_compact,
+            )
+
+            maybe_compact(batch_df.sparkSession, table_dir,
+                          max_files=auto_compact_files)
 
     return (sdf.writeStream.foreachBatch(sink)
                .option("checkpointLocation", checkpoint)

@@ -223,3 +223,41 @@ def test_stream_transform_applies_before_append(spark, tmp_path):
                 transform=lambda d: d.filter(F.col("text").isNotNull()))
     got = [r.doc_id for r in read_current(spark, t).collect()]
     assert got == [1]
+
+
+def test_stream_auto_compact_bounds_file_count(spark, tmp_path):
+    """auto_compact_files keeps a long append chain's read-side file
+    count bounded: each 1-file trigger appends its own files, and the
+    batch ends with maybe_compact(threshold) -- the chain never
+    exceeds threshold+batch files, data stays exact, and the carried
+    txn markers still refuse a replay after compaction."""
+    import shutil
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import _data_files
+    from esg_decarbonization_data_integration_and_data_pipline_spark.streaming.docs_versioned import (
+        stream_versioned_append,
+    )
+
+    src, t, ck = (str(tmp_path / "src"), str(tmp_path / "t"),
+                  str(tmp_path / "ck"))
+    for i in range(6):
+        _write_batch(spark, src, [(i, f"d{i}")], f"b{i}")
+
+    def run():
+        sdf = spark.readStream.schema(SCHEMA).option(
+            "maxFilesPerTrigger", "1").parquet(src + "/*")
+        q = stream_versioned_append(sdf, t, ck, auto_compact_files=2)
+        q.awaitTermination()
+
+    run()
+    n = current_version(t)
+    assert len(_data_files(t, n)) <= 3  # bounded, not 6
+    got = sorted(r.doc_id for r in read_current(spark, t).collect())
+    assert got == list(range(6))
+    # crash-replay (wiped checkpoint, same identity): every batch txn
+    # refuses -- including ones whose marker now lives in a
+    # compaction snapshot -- and the data does not duplicate
+    shutil.rmtree(ck)
+    run()
+    assert sorted(r.doc_id for r in
+                  read_current(spark, t).collect()) == list(range(6))

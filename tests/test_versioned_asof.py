@@ -76,3 +76,27 @@ def test_legacy_untimestamped_span_refuses_guessing(spark, tmp_path):
     h = history(t)
     assert h[0]["committed_at"] is None
     assert h[1]["committed_at"] is not None
+
+
+def test_maybe_compact_fires_only_past_threshold(spark, tmp_path):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        _data_files, current_version, maybe_compact, read_current,
+    )
+
+    t = str(tmp_path / "t")
+    for i in range(4):
+        append_version(_df(spark, [i]).coalesce(1), t)
+    n = current_version(t)
+    files = len(_data_files(t, n))
+    assert maybe_compact(spark, t, max_files=files) is None  # at, not past
+    assert current_version(t) == n
+    new = maybe_compact(spark, t, max_files=files - 1)
+    assert new == n + 1
+    assert len(_data_files(t, new)) < files
+    assert sorted(r.x for r in read_current(spark, t).collect()) \
+        == [0, 1, 2, 3]
+    # post-compaction the count is small: a rerun is a no-op
+    assert maybe_compact(spark, t, max_files=files - 1) is None
+    with pytest.raises(ValueError):
+        maybe_compact(spark, t, max_files=0)
+    assert maybe_compact(spark, str(tmp_path / "none")) is None
