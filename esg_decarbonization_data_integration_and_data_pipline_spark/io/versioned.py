@@ -182,14 +182,7 @@ def _committed_from(raw: bytes | None) -> list[int]:
     :func:`adopt_legacy_history` explicitly registers the older dirs
     (the log cannot tell a pre-log committed version from a
     superseded-claim orphan, so it refuses to guess)."""
-    if raw is None:
-        return []
-    out = []
-    for line in raw.decode("utf-8", "replace").splitlines():
-        m = _V_RE.match(line.strip())
-        if m:
-            out.append(int(m.group(1)))
-    return out
+    return [n for n, _ in _committed_with_ts(raw)]
 
 
 def _parse_pointer(raw: bytes | None) -> int | None:
@@ -684,6 +677,11 @@ def _stats_lines(stats: dict[str, dict[str, tuple]]) -> list[str]:
 
 
 _ROWS_PREFIX = "#rows "
+# a compaction's manifest records the version it is row-identical to
+# ("#base N"): read_changes uses the link to answer deltas across
+# compactions from the neighbouring segments instead of proving the
+# empty diff with two full scans
+_BASE_PREFIX = "#base "
 
 
 def _file_rowmeta(path: str, columns) -> dict:
@@ -875,6 +873,17 @@ def count_nulls(spark: SparkSession, table_dir: str, col: str,
     return meta_nulls + df.filter(df[col].isNull()).count()
 
 
+# spark typeName()s whose parquet min/max stats are exact (strings/
+# binary may be writer-truncated; timestamps/dates excluded from the
+# manifest stats tier already)
+RANGE_STAT_KINDS = ("byte", "short", "integer", "long", "float",
+                    "double", "decimal", "boolean")
+_ARROW_RANGE_KINDS = {"int8": "byte", "int16": "short",
+                      "int32": "integer", "int64": "long",
+                      "float": "float", "double": "double",
+                      "bool": "boolean"}
+
+
 def _minmax_plan(table_dir: str, n: int,
                  col: str) -> tuple[tuple, list[str]]:
     """((min, max) mergeable from metadata -- (None, None) if no
@@ -913,7 +922,14 @@ def column_range(spark: SparkSession, table_dir: str, col: str,
     string min/max is not guaranteed exact -- strings raise with
     guidance to aggregate over a read instead.  (The file-skipping
     readers still USE string stats; pruning only needs conservative
-    bounds, exactness needs true ones.)"""
+    bounds, exactness needs true ones.)
+
+    NaN caveat (float/double): parquet stats ignore NaN, so the
+    result follows SQL min/max-skip-NaN semantics -- Spark's
+    ``F.max`` instead orders NaN above every value, so on a
+    NaN-bearing column this differs from an in-engine aggregate
+    (the Iceberg-without-nan-counts limitation).  Columns that use
+    NaN sentinels should aggregate over a read."""
     if n is None:
         n = current_version(table_dir, backend=backend)
         if n is None:
@@ -926,12 +942,29 @@ def column_range(spark: SparkSession, table_dir: str, col: str,
                 f"column {col!r} is not in v_{n}'s schema "
                 f"({st.fieldNames()})")
         kind = st[col].dataType.typeName()
-        if kind not in ("byte", "short", "integer", "long", "float",
-                        "double", "decimal", "boolean"):
+    else:
+        # pre-schema-pinning version: the guard must still hold, so
+        # sniff the type from the first file footer carrying the
+        # column (one metadata read; legacy tables predate schema
+        # evolution, so files agree)
+        kind = None
+        import pyarrow.parquet as pq
+
+        for f in _data_files(table_dir, n):
+            sch = pq.ParquetFile(
+                os.path.join(table_dir, f)).schema_arrow
+            if col in sch.names:
+                kind = _ARROW_RANGE_KINDS.get(
+                    str(sch.field(col).type), "unsupported")
+                break
+        if kind is None:
             raise ValueError(
-                f"column_range supports numeric/bool columns; "
-                f"{col!r} is {kind} (parquet string stats may be "
-                f"truncated -- aggregate over read_version instead)")
+                f"column {col!r} appears in no file of v_{n}")
+    if kind not in RANGE_STAT_KINDS:
+        raise ValueError(
+            f"column_range supports numeric/bool columns; "
+            f"{col!r} is {kind} (parquet string stats may be "
+            f"truncated -- aggregate over read_version instead)")
     (lo, hi), scan = _minmax_plan(table_dir, n, col)
     if scan:
         from pyspark.sql import functions as F
@@ -1051,6 +1084,24 @@ def _read_manifest(table_dir: str,
         else:
             files.append(line)
     return files, txns
+
+
+def _base_of(table_dir: str, n: int) -> int | None:
+    """The version ``v_n`` is row-identical to (its compaction base),
+    or None -- parsed from the manifest's #base line."""
+    p = os.path.join(table_dir, f"v_{n:08d}", _MANIFEST)
+    try:
+        with open(p, encoding="ascii") as fh:
+            raw = fh.read()
+    except OSError:
+        return None
+    for line in raw.splitlines():
+        if line.startswith(_BASE_PREFIX):
+            try:
+                return int(line[len(_BASE_PREFIX):].strip())
+            except ValueError:
+                return None
+    return None
 
 
 def _data_files(table_dir: str, n: int) -> list[str]:
@@ -1222,7 +1273,8 @@ def compact_table(spark: SparkSession, table_dir: str,
         pinned_base=base, inherit_files=False,
         max_attempts=max_attempts, backend=backend,
         stats_columns=(tuple(stats_columns) or tuple(sort_by)
-                       or tuple(zorder_by)))
+                       or tuple(zorder_by)),
+        row_identical_base=base)
 
 
 def _zorder_column(df: DataFrame, cols: Sequence[str], bits: int = 10):
@@ -1411,7 +1463,8 @@ def _manifest_commit(df: DataFrame, table_dir: str, txn: str | None,
                      backend: CommitBackend | None,
                      merge_schema: bool = False,
                      stats_columns: Sequence[str] = (),
-                     inherit_drop: frozenset[str] = frozenset()) -> int:
+                     inherit_drop: frozenset[str] = frozenset(),
+                     row_identical_base: int | None = None) -> int:
     """Shared stage -> claim -> manifest -> commit loop behind
     :func:`append_version` (``inherit_files=True``, rebases freely),
     :func:`compact_table` (``pinned_base`` set: raises
@@ -1525,6 +1578,8 @@ def _manifest_commit(df: DataFrame, table_dir: str, txn: str | None,
                     stats[rel] = fs
                 rowmeta[rel] = rm
             lines = ([_TXN_PREFIX + t for t in sorted(txns)]
+                     + ([f"{_BASE_PREFIX}{row_identical_base}"]
+                        if row_identical_base is not None else [])
                      + _stats_lines(stats)
                      + _rows_lines(rowmeta)
                      + inherited + own)
@@ -1669,6 +1724,27 @@ def read_changes(spark: SparkSession, table_dir: str, from_n: int,
         return (reader.parquet(
                     *[os.path.join(table_dir, f) for f in added])
                 .withColumn("_change_type", F.lit("insert")))
+
+    # compaction-aware tier: a compaction in (from_n, to_n] is
+    # row-identical to its recorded #base, so the delta splits into
+    # changes(from_n -> base) + changes(compaction -> to_n) -- each
+    # segment resolves recursively (usually to append fast paths),
+    # and a streaming sink's auto-compactions no longer knock the
+    # matview refresh off the O(delta) path into a full two-sided
+    # diff.  Scan newest-first so one split covers nested cases via
+    # the recursion.
+    for c in sorted((x for x in committed
+                     if from_n < x <= to_n), reverse=True):
+        b = _base_of(table_dir, c)
+        if (b is not None and b in committed and from_n <= b < c
+                and os.path.isdir(os.path.join(table_dir,
+                                               f"v_{b:08d}"))):
+            left = read_changes(spark, table_dir, from_n, b,
+                                backend=backend)
+            right = read_changes(spark, table_dir, c, to_n,
+                                 backend=backend)
+            return left.unionByName(right,
+                                    allowMissingColumns=True)
 
     def counted(n: int):
         df = _read_resolved(spark, table_dir, n)

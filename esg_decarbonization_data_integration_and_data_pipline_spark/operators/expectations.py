@@ -328,8 +328,12 @@ def metadata_report(spark, table_dir: str, checks: list[Check],
     count bounds from the row/null counts -- on a table whose
     commits recorded stats for the checked columns this is ZERO data
     I/O for not_null/count, O(endpoint files) for in_range, the
-    lakehouse twin of :func:`report`.  Results are exact either way;
-    metadata only changes what must be read.
+    lakehouse twin of :func:`report`.  Results are exact either way
+    -- with ONE carve-out: min/max bounds on a NaN-bearing
+    float column follow parquet/SQL skip-NaN semantics while
+    report()'s Spark aggregate orders NaN above everything
+    (column_range documents it); metadata otherwise only changes
+    what must be read.
 
     Other kinds (unique / in_set / matches / foreign_key, and
     sum/avg aggregate bounds) genuinely need the data -- declare
@@ -354,19 +358,29 @@ def metadata_report(spark, table_dir: str, checks: list[Check],
             f"run report(read_version(...)) for those")
     if not checks:
         raise ValueError("no checks declared")
+    labels = [c.label for c in checks]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"duplicate check names in {labels}")
     if n is None:
         n = current_version(table_dir, backend=backend)
         if n is None:
             raise FileNotFoundError(
                 f"{table_dir} has no committed version")
     n_rows = table_rowcount(table_dir, n, backend=backend)
-    nulls: dict[str, int] = {}  # per column, computed at most once
+    nulls: dict[str, int] = {}   # per column, computed at most once
+    ranges: dict[str, tuple] = {}  # likewise (min+max pair per call)
 
     def _nulls(col: str) -> int:
         if col not in nulls:
             nulls[col] = count_nulls(spark, table_dir, col, n,
                                      backend=backend)
         return nulls[col]
+
+    def _range(col: str) -> tuple:
+        if col not in ranges:
+            ranges[col] = column_range(spark, table_dir, col, n,
+                                       backend=backend)
+        return ranges[col]
 
     out: list[dict] = []
     for c in checks:
@@ -385,8 +399,7 @@ def metadata_report(spark, table_dir: str, checks: list[Check],
             if c.fn == "count":
                 val = n_rows - _nulls(col)
             else:
-                lo_hi = column_range(spark, table_dir, col, n,
-                                     backend=backend)
+                lo_hi = _range(col)
                 val = lo_hi[0] if c.fn == "min" else lo_hi[1]
             # NULL aggregate violates no bound (report() semantics)
             viol = int(val is not None
@@ -410,18 +423,40 @@ def check_table(spark, table_dir: str, checks: list[Check],
     Returns the combined rows in DECLARATION order (both halves see
     the same version, resolved once up front)."""
     from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
-        current_version, read_version,
+        RANGE_STAT_KINDS, current_version, read_version, table_schema,
     )
 
     if not checks:
         raise ValueError("no checks declared")
+    labels = [c.label for c in checks]
+    if len(set(labels)) != len(labels):
+        # results are keyed by label across the two halves; report()
+        # would catch scan-half duplicates but a meta/scan split pair
+        # would silently collapse to one row
+        raise ValueError(f"duplicate check names in {labels}")
     if n is None:
         n = current_version(table_dir, backend=backend)
         if n is None:
             raise FileNotFoundError(
                 f"{table_dir} has no committed version")
-    meta = [c for c in checks if _metadata_answerable(c)]
-    scan = [c for c in checks if not _metadata_answerable(c)]
+    st = table_schema(table_dir, n)
+
+    def routable(c: Check) -> bool:
+        if not _metadata_answerable(c):
+            return False
+        if c.kind == "agg_between" and c.fn in ("min", "max"):
+            # metadata min/max is exact only for numeric columns
+            # (parquet string stats truncate); a timestamp/string
+            # freshness SLA routes to the scan half instead of
+            # crashing the suite
+            return (st is not None
+                    and c.columns[0] in st.fieldNames()
+                    and st[c.columns[0]].dataType.typeName()
+                    in RANGE_STAT_KINDS)
+        return True
+
+    meta = [c for c in checks if routable(c)]
+    scan = [c for c in checks if not routable(c)]
     rows: dict[str, dict] = {}
     if meta:
         for r in metadata_report(spark, table_dir, meta, n=n,

@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from esg_decarbonization_data_integration_and_data_pipline_spark.operators.bloom import (
     bloom_build, bloom_new_docs_indexed, bloom_update,
 )
+from esg_decarbonization_data_integration_and_data_pipline_spark.streaming import checkpoint_identity
 from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
     append_version, compact_table, read_current, vacuum, write_version,
 )
@@ -93,7 +94,7 @@ def stream_bloom_ingest(sdf: DataFrame, table_dir: str, state_dir: str,
     retention is the table owner's policy (time-travel horizon).
 
     Returns the started query; callers own awaitTermination."""
-    ckpt_id = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+    ckpt_id = checkpoint_identity(checkpoint)
     fp_dir = os.path.join(state_dir, "fp")
     bloom_dir = os.path.join(state_dir, "bloom")
 

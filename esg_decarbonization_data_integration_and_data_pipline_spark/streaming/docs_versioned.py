@@ -30,10 +30,9 @@ tests/test_versioned_append.py).
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import DataFrame
 
+from esg_decarbonization_data_integration_and_data_pipline_spark.streaming import checkpoint_identity
 from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
     append_version,
 )
@@ -75,7 +74,7 @@ def stream_versioned_append(sdf: DataFrame, table_dir: str,
     an empty batch is trivially idempotent).
 
     Returns the started query; callers own awaitTermination."""
-    ckpt_id = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+    ckpt_id = checkpoint_identity(checkpoint)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -16,13 +16,14 @@ deterministic, which every expectations kind is.
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import DataFrame
 
+from pyspark.sql import functions as F
+
+from esg_decarbonization_data_integration_and_data_pipline_spark.streaming import checkpoint_identity
 from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import append_version
 from esg_decarbonization_data_integration_and_data_pipline_spark.operators.expectations import (
-    quarantine_split,
+    tag_violations,
 )
 
 
@@ -35,19 +36,28 @@ def stream_quarantine(sdf: DataFrame, checks, table_dir: str,
     ``quarantine_dir``.  Empty splits commit nothing (no version
     churn).  Returns the started query; callers own
     awaitTermination."""
-    ckpt_id = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+    ckpt_id = checkpoint_identity(checkpoint)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        clean, bad = quarantine_split(batch_df, checks)
-        txn = f"{ckpt_id}:{batch_id}"
-        if not clean.isEmpty():
-            append_version(clean, table_dir, txn=txn,
-                           merge_schema=merge_schema)
-        if not bad.isEmpty():
-            append_version(bad, quarantine_dir, txn=txn,
-                           merge_schema=merge_schema)
+        # one materialization of the batch + checks; the two splits
+        # and two appends below are all actions over it (uncached,
+        # each would re-read the batch source and re-run every check)
+        tagged = tag_violations(batch_df, checks).persist()
+        try:
+            clean = (tagged.filter(F.size("failed_checks") == 0)
+                           .drop("failed_checks"))
+            bad = tagged.filter(F.size("failed_checks") > 0)
+            txn = f"{ckpt_id}:{batch_id}"
+            if not clean.isEmpty():
+                append_version(clean, table_dir, txn=txn,
+                               merge_schema=merge_schema)
+            if not bad.isEmpty():
+                append_version(bad, quarantine_dir, txn=txn,
+                               merge_schema=merge_schema)
+        finally:
+            tagged.unpersist()
 
     return (sdf.writeStream.foreachBatch(sink)
                .option("checkpointLocation", checkpoint)

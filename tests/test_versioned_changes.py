@@ -122,3 +122,44 @@ def test_uncommitted_version_rejected(spark, tmp_path):
     append_version(_kv(spark, [(1, "a")]), t)
     with pytest.raises(ValueError, match="never committed"):
         read_changes(spark, t, 7)
+
+
+def test_changes_across_compaction_stay_on_fast_paths(spark,
+                                                      tmp_path):
+    """r9 review finding #5: a compaction between from and to used to
+    force the row-level multiset diff (two full scans).  The
+    compaction's #base manifest link now splits the delta into
+    neighbouring segments, each an append fast path -- pinned by
+    asserting the PLAN contains no join/aggregate (the slow diff is a
+    full-outer join over canonicalized counts)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        append_version, compact_table, read_changes,
+    )
+
+    t = str(tmp_path / "t")
+
+    def df(xs):
+        return spark.createDataFrame([(int(x),) for x in xs],
+                                     "x bigint")
+
+    append_version(df([1, 2]), t)            # v1
+    append_version(df([3]), t)               # v2
+    compact_table(spark, t)                  # v3 (rows == v2)
+    append_version(df([4]), t)               # v4
+    ch = read_changes(spark, t, 1, 4)
+    rows = sorted((r.x, r._change_type) for r in ch.collect())
+    assert rows == [(3, "insert"), (4, "insert")]
+    plan = ch._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Aggregate" not in plan
+    # compaction-to-compaction and from==base edges stay exact
+    compact_table(spark, t)                  # v5 (rows == v4)
+    assert read_changes(spark, t, 4, 5).count() == 0
+    assert sorted(r.x for r in
+                  read_changes(spark, t, 3, 5).collect()) == [4]
+    # nested: two compactions inside one interval
+    append_version(df([5]), t)               # v6
+    got = sorted(r.x for r in read_changes(spark, t, 1, 6).collect())
+    assert got == [3, 4, 5]
+    plan2 = (read_changes(spark, t, 1, 6)
+             ._jdf.queryExecution().executedPlan().toString())
+    assert "Join" not in plan2 and "Aggregate" not in plan2
