@@ -146,3 +146,34 @@ def test_check_table_routes_and_matches_scan_report(spark, tmp_path):
                   "unique:k": 2, "in_set:cat": 0}
     with pytest.raises(ValueError):
         E.check_table(spark, t, [])
+
+
+def test_check_table_routes_nonnumeric_sla_to_scan_half(spark,
+                                                        tmp_path):
+    """r9 review finding #1: a timestamp/string freshness SLA must
+    route to the scan half (metadata min/max is numeric-only), not
+    crash the suite; duplicate labels across halves raise."""
+    import datetime as dt
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2023, 5, 1), "a"),
+         (2, dt.datetime(2023, 6, 1), "b")],
+        "k bigint, ts timestamp, s string")
+    append_version(df.coalesce(1), t, stats_columns=["k"])
+    rows = E.check_table(spark, t, [
+        E.agg_between("ts", "max", lo=dt.datetime(2023, 6, 1),
+                      name="fresh_ok"),
+        E.agg_between("ts", "max", lo=dt.datetime(2024, 1, 1),
+                      name="fresh_fails"),
+        E.agg_between("s", "min", lo="a", name="str_min"),
+        E.agg_between("k", "max", hi=10, name="k_meta"),
+    ])
+    by = {r["check_name"]: r["passed"] for r in rows}
+    assert by == {"fresh_ok": True, "fresh_fails": False,
+                  "str_min": True, "k_meta": True}
+    with pytest.raises(ValueError, match="duplicate"):
+        E.check_table(spark, t, [
+            E.agg_between("k", "max", hi=10, name="dup"),
+            E.agg_between("s", "min", lo="a", name="dup"),
+        ])
