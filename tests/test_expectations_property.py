@@ -28,6 +28,7 @@ def _model(rows, ref_keys):
     from collections import Counter
     idc = Counter(i for i in ids if i is not None)
     catc = Counter((r[0], r[1]) for r in rows)
+    vals = [r[2] for r in rows if r[2] is not None]
     return {
         "not_null:id": sum(1 for i in ids if i is None),
         "in_range:val": sum(1 for r in rows
@@ -40,6 +41,9 @@ def _model(rows, ref_keys):
         "foreign_key:fk": sum(1 for r in rows
                               if r[3] is not None
                               and r[3] not in ref_keys),
+        # agg bounds: 1 when the bound fails; NULL agg passes
+        "agg_max": int(bool(vals) and max(vals) > 100),
+        "agg_cnt": int(len(vals) < 2),
     }
 
 
@@ -58,6 +62,8 @@ def test_report_matches_python_model(spark, rows, ref_keys):
         E.unique("id"),
         E.min_group_size(("id", "cat"), 2, name="mgs"),
         E.foreign_key("fk", ref, "k"),
+        E.agg_between("val", "max", hi=100.0, name="agg_max"),
+        E.agg_between("val", "count", lo=2, name="agg_cnt"),
     ]).collect()}
     want = _model(rows, ref_keys)
     for name, viol in want.items():
