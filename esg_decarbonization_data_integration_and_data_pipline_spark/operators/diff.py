@@ -182,6 +182,38 @@ def psi_drift(old: DataFrame, new: DataFrame, column: str,
     return scored.withColumnRenamed("__bkey", "bucket")
 
 
+def drift_summary(drift: DataFrame) -> DataFrame:
+    """One-row summary of a :func:`psi_drift` frame: ``psi_total``
+    (sum of the smoothed terms, null bucket included) and
+    ``ks_approx`` (the Kolmogorov-Smirnov statistic at bucket
+    resolution: max |CDF_old - CDF_new| over the ordered value
+    buckets, from RAW counts conditioned on non-null -- a lower
+    bound on the true KS, tightening as n_buckets grows).  NULL
+    ``ks_approx`` when either side has no non-null rows.  Input is
+    O(buckets) rows, so everything here is control-plane-sized.
+
+    Output: (psi_total, ks_approx).
+    """
+    from pyspark.sql import Window
+
+    vals = drift.filter(F.col("bucket") >= 0)
+    w_all = (Window.orderBy("bucket")
+                   .rowsBetween(Window.unboundedPreceding,
+                                Window.unboundedFollowing))
+    w_cum = (Window.orderBy("bucket")
+                   .rowsBetween(Window.unboundedPreceding, 0))
+    # try_divide: a side with zero non-null rows has no CDF -- the
+    # gap (and so ks_approx) is NULL, not a divide-by-zero (ANSI)
+    gap = F.abs(F.try_divide(F.sum("n_old").over(w_cum),
+                             F.sum("n_old").over(w_all))
+                - F.try_divide(F.sum("n_new").over(w_cum),
+                               F.sum("n_new").over(w_all)))
+    ks = vals.select(gap.alias("__g")).agg(
+        F.round(F.max("__g"), 6).alias("ks_approx"))
+    psi = drift.agg(F.round(F.sum("psi_term"), 6).alias("psi_total"))
+    return psi.crossJoin(ks)
+
+
 def category_drift(old: DataFrame, new: DataFrame,
                    column: str) -> DataFrame:
     """:func:`psi_drift` for a categorical column: buckets are the

@@ -89,6 +89,29 @@ class JobRegistry:
                     del pending[name]
         return results
 
+    def run_range(self, spark: SparkSession, run_dates,
+                  max_workers: int = 4,
+                  stop_on_failure: bool = True) -> dict:
+        """Backfill: :meth:`run_all` once per run_date, oldest first
+        -- the reference's month-loop ETL replay (jobs/csr_etl.py's
+        per-month DELETE+append loop) expressed over the idempotent
+        writers, so re-running a backfill (or overlapping it with the
+        nightly) converges instead of duplicating.  Dates run
+        SEQUENTIALLY (a later month may read what an earlier month
+        wrote); jobs within each date still fan out.
+
+        ``stop_on_failure``: a date with any non-ok job stops the
+        backfill (later dates would read bad upstream state); pass
+        False to attempt every date regardless (per-date results are
+        returned either way, keyed by ISO date)."""
+        results: dict[str, dict[str, str]] = {}
+        for d in sorted(run_dates):
+            r = self.run_all(spark, d, max_workers=max_workers)
+            results[d.isoformat()] = r
+            if stop_on_failure and any(v != "ok" for v in r.values()):
+                break
+        return results
+
     @staticmethod
     def _run_one(job: Job, spark: SparkSession, run_date: dt.date) -> str:
         try:

@@ -188,3 +188,26 @@ def test_psi_matches_python_model(spark, old, new, n_buckets):
         q = (nc.get(b, 0) + 1.0) / (len(new) + k)
         assert r["psi_term"] == pytest.approx(
             round((q - p) * math.log(q / p), 6), abs=2e-6)
+
+
+def test_drift_summary_psi_total_and_bucket_ks(spark):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.diff import drift_summary
+
+    old = _num(spark, [0, 1, 2, 3, 4, 5, 6, 7, 8, 9])
+    # shift everything to the top of old's range
+    new = _num(spark, [9, 9, 9, 9])
+    d = psi_drift(old, new, "x", n_buckets=2)
+    row = drift_summary(d).collect()[0]
+    # CDF at bucket 0: old 0.5, new 0.0 -> KS = 0.5 exactly
+    assert row["ks_approx"] == pytest.approx(0.5, abs=1e-9)
+    want_psi = round(sum(r["psi_term"] for r in d.collect()), 6)
+    assert row["psi_total"] == pytest.approx(want_psi, abs=2e-6)
+    # identical snapshots: zero both ways
+    same = drift_summary(psi_drift(old, old, "x", n_buckets=4))
+    r2 = same.collect()[0]
+    assert r2["psi_total"] == 0.0 and r2["ks_approx"] == 0.0
+    # one side all-null/empty of values -> ks NULL, psi still real
+    allnull = _num(spark, [None, None])
+    r3 = drift_summary(psi_drift(old, allnull, "x", 2)).collect()[0]
+    assert r3["ks_approx"] is None
+    assert r3["psi_total"] > 0

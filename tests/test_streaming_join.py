@@ -101,3 +101,38 @@ def test_attribution_state_bound_documented(spark, sf_dir):
         "click_ts < view_ts OR "
         "click_ts > view_ts + interval 10 minutes").count()
     assert bad == 0
+
+
+def test_stream_static_broadcast_enrich_matches_batch(spark, sf_dir,
+                                                      tmp_path):
+    """Stream-static join (the dimension-enrich shape): a streaming
+    events feed joined to a small static frame produces exactly the
+    batch join -- no watermark needed, the static side is re-resolved
+    per micro-batch."""
+    import shutil
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.streaming.events import (
+        read_event_stream, run_to_memory,
+    )
+
+    d = tmp_path / "events_stream"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    dim = spark.createDataFrame(
+        [("click", 1.5), ("view", 1.0), ("error", 0.0)],
+        "event_type string, weight double")
+    stream = read_event_stream(spark, str(d))
+    enriched = (stream.join(F.broadcast(dim), "event_type")
+                      .select("event_id",
+                              (F.col("value") * F.col("weight"))
+                               .alias("weighted")))
+    run_to_memory(enriched, "ss_static", mode="append")
+    got = {r["event_id"]: r["weighted"] for r in
+           spark.table("ss_static").collect()}
+    batch = (events_table(spark, sf_dir).join(F.broadcast(dim),
+                                              "event_type")
+             .select("event_id", (F.col("value") * F.col("weight"))
+                     .alias("weighted")))
+    want = {r["event_id"]: r["weighted"] for r in batch.collect()}
+    assert len(want) > 0
+    assert got == want

@@ -188,3 +188,35 @@ def test_dag_validation_gate_passes_and_blocks(spark, sources,
     assert results2["scope_overview"].startswith("skipped")
     assert not os.path.exists(
         os.path.join(wh2, "app.db", "decarb_elec_overview"))
+
+
+def test_dag_backfill_range_is_idempotent_and_stops_on_failure(
+        spark, sources, tmp_path):
+    """run_range replays the DAG per date oldest-first over the
+    idempotent writers: a double backfill equals a single one, and a
+    failing date stops the remaining dates (their upstream state
+    would be bad)."""
+    wh = str(tmp_path / "wh")
+    reg = build_warehouse_dag(wh, sources, base_year=2023)
+    dates = [dt.date(2023, 11, 1), dt.date(2023, 12, 1)]
+    r1 = reg.run_range(spark, dates)
+    assert list(r1) == ["2023-11-01", "2023-12-01"]
+    assert all(v == "ok" for r in r1.values() for v in r.values())
+    app = os.path.join(wh, "app.db", "decarb_elec_overview")
+    before = sorted(map(tuple, W.read_table(spark, app).collect()))
+    r2 = reg.run_range(spark, dates)  # backfill twice == once
+    assert all(v == "ok" for r in r2.values() for v in r.values())
+    after = sorted(map(tuple, W.read_table(spark, app).collect()))
+    assert before == after
+
+    # a poisoned feed fails the first date's gate and STOPS the range
+    poisoned = dict(sources)
+    poisoned["esgi_indicators"] = sources["esgi_indicators"].union(
+        spark.createDataFrame(
+            [("總用電度數", "P1", dt.date(2023, 6, 1), "-4.0", 9)],
+            sources["esgi_indicators"].schema))
+    reg2 = build_warehouse_dag(str(tmp_path / "wh2"), poisoned,
+                               base_year=2023, validate=True)
+    r3 = reg2.run_range(spark, dates)
+    assert list(r3) == ["2023-11-01"]  # second date never ran
+    assert any(v.startswith("error") for v in r3["2023-11-01"].values())
