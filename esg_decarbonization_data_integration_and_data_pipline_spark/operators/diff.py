@@ -14,7 +14,16 @@ not O(corpus bytes).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
+
+def _w_all() -> "Window":
+    """Whole-frame window for the O(buckets/categories) summary
+    frames -- single-task by construction, which is exactly right
+    for control-plane-sized inputs.  Built lazily: F.lit needs an
+    active SparkContext, which module import must not assume."""
+    return (Window.orderBy(F.lit(1))
+                  .rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing))
 
 
 def dataset_diff(old: DataFrame, new: DataFrame,
@@ -212,6 +221,26 @@ def drift_summary(drift: DataFrame) -> DataFrame:
         F.round(F.max("__g"), 6).alias("ks_approx"))
     psi = drift.agg(F.round(F.sum("psi_term"), 6).alias("psi_total"))
     return psi.crossJoin(ks)
+
+
+def category_drift_summary(drift: DataFrame) -> DataFrame:
+    """One-row summary of a :func:`category_drift` frame:
+    ``psi_total`` (smoothed) and ``tvd`` -- total variation distance
+    0.5 * sum |p - q| over RAW category proportions (KS needs an
+    ordering; TVD is its unordered-category counterpart, in [0, 1]).
+    NULL ``tvd`` when either side is empty.
+
+    Output: (psi_total, tvd).
+    """
+    w = _w_all()
+    tot_o = F.sum("n_old").over(w)
+    tot_n = F.sum("n_new").over(w)
+    term = F.abs(F.try_divide(F.col("n_old"), tot_o)
+                 - F.try_divide(F.col("n_new"), tot_n))
+    psi = drift.agg(F.round(F.sum("psi_term"), 6).alias("psi_total"))
+    tvd = drift.select(term.alias("__t")).agg(
+        F.round(F.sum("__t") / 2, 6).alias("tvd"))
+    return psi.crossJoin(tvd)
 
 
 def category_drift(old: DataFrame, new: DataFrame,

@@ -211,3 +211,25 @@ def test_drift_summary_psi_total_and_bucket_ks(spark):
     r3 = drift_summary(psi_drift(old, allnull, "x", 2)).collect()[0]
     assert r3["ks_approx"] is None
     assert r3["psi_total"] > 0
+
+
+def test_category_drift_summary_psi_and_tvd(spark):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.diff import (
+        category_drift_summary,
+    )
+
+    def cat(xs):
+        return spark.createDataFrame([(x,) for x in xs], "c string")
+
+    old = cat(["a", "a", "b", "b"])
+    new = cat(["a", "c", "c", "c"])
+    d = category_drift(old, new, "c")
+    row = category_drift_summary(d).collect()[0]
+    # raw proportions: old a=.5 b=.5 c=0; new a=.25 b=0 c=.75
+    # TVD = 0.5 * (|.5-.25| + |.5-0| + |0-.75|) = 0.75
+    assert row["tvd"] == pytest.approx(0.75, abs=1e-9)
+    want_psi = round(sum(r["psi_term"] for r in d.collect()), 6)
+    assert row["psi_total"] == pytest.approx(want_psi, abs=2e-6)
+    same = category_drift_summary(category_drift(old, old, "c"))
+    r2 = same.collect()[0]
+    assert r2["psi_total"] == 0.0 and r2["tvd"] == 0.0
