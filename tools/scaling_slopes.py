@@ -274,6 +274,12 @@ def main() -> None:
         # new-side scan and nothing else.
         "psi_drift":
             lambda s: _psi(docs(s)),
+        # round-9: data-quality suite (4 row-level + 1 agg bound
+        # sharing ONE scan, plus a uniqueness groupBy and a
+        # k-anonymity groupBy = 3 scans total) -- should ride the
+        # scan like the narrow kernels
+        "expectations_report":
+            lambda s: _dq(docs(s)),
     }
 
     def _pii(d):
@@ -287,6 +293,18 @@ def main() -> None:
         from esg_decarbonization_data_integration_and_data_pipline_spark.operators.diff import psi_drift
 
         return psi_drift(docs(1), d, "n_chars", n_buckets=10)
+
+    def _dq(d):
+        from esg_decarbonization_data_integration_and_data_pipline_spark.operators import expectations as E
+
+        return E.report(d, [
+            E.not_null("text"), E.not_null("doc_id"),
+            E.in_range("n_chars", 0, 100_000),
+            E.matches("lang", "^[a-z]{2}$"),
+            E.agg_between("n_chars", "avg", 1, 10_000),
+            E.unique("doc_id"),
+            E.min_group_size(("lang", "source"), 2),
+        ])
 
     def _mv_proj(d):
         return d.select("doc_id", "source", "lang", "n_chars")
