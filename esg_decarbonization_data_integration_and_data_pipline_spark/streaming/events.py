@@ -231,6 +231,54 @@ def split_event_stream(events: DataFrame,
             events.filter(F.col("event_type") == click_type))
 
 
+def sessionize_native(events: DataFrame, gap: str = "30 minutes",
+                      watermark: str = "30 minutes") -> DataFrame:
+    """Gap sessionization via Spark's NATIVE ``session_window`` --
+    the pure-JVM twin of :func:`sessionize_stateful` (which exists
+    to demonstrate the custom applyInPandasWithState surface; this
+    is what production should use when the semantics fit a plain
+    session aggregate: whole-stage codegen, no Python workers, and
+    the state store handles merge/expiry natively).
+
+    Boundary semantics vs the lag-based batch analog
+    (events_sessionize): ``session_window`` starts a NEW session
+    when the next event lands exactly ``gap`` after the previous
+    one (intervals are half-open), while the lag formulation splits
+    only on strictly-greater gaps -- a measure-zero difference on
+    real-valued timestamps, documented rather than papered over.
+    ``session_end_us`` here is last-event-time + gap (the window
+    end), not the last event itself.
+
+    Batch frames work too (withWatermark is a no-op there).
+    Output: (user_id, session_start_us, session_end_us, n_events,
+    total_value) -- epoch-micros bigints per the ts discipline.
+    """
+    # the window struct inherits ts's type: NTZ on the batch reader,
+    # instant TIMESTAMP on the stream (watermarks need it) -- branch
+    # the epoch extraction the way tables.normalize_event_ts does, so
+    # the emitted micros are tz-independent either way
+    ntz = isinstance(events.schema["ts"].dataType, TimestampNTZType)
+
+    def epoch(field: str) -> "F.Column":
+        if ntz:
+            return F.expr(
+                f"timestampdiff(MICROSECOND, "
+                f"TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+                f"session_window.{field})")
+        return F.unix_micros(F.col(f"session_window.{field}"))
+
+    sw = F.session_window("ts", gap)
+    return (events.withWatermark("ts", watermark)
+            .groupBy("user_id", sw)
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("total_value"))
+            .select(
+                "user_id",
+                epoch("start").alias("session_start_us"),
+                epoch("end").alias("session_end_us"),
+                "n_events", "total_value"))
+
+
 def run_to_memory(sdf: DataFrame, name: str, mode: str = "complete"):
     """Drain a streaming frame into an in-memory table (tests/dev).
     Returns the query after processing everything available."""

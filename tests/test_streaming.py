@@ -124,3 +124,55 @@ def test_events_table_reads_both_physical_layouts(spark, sf_dir, tmp_path):
     a = {(r.event_id, str(r.ts), r.value) for r in native.collect()}
     b = {(r.event_id, str(r.ts), r.value) for r in legacy.collect()}
     assert a == b
+
+
+def test_native_session_window_matches_lag_sessionize(spark, sf_dir):
+    """sessionize_native (pure-JVM session_window) over a BATCH read
+    equals the oracle-checked lag-based events_sessionize on
+    (user, start, n_events, total_value); window ends are
+    last-event + gap by definition, checked via the batch analog's
+    session_end_us."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.streaming.events import (
+        sessionize_native,
+    )
+    from esg_decarbonization_data_integration_and_data_pipline_spark.tables import events_table
+
+    native = {(r["user_id"], r["session_start_us"]):
+              (r["n_events"], r["total_value"], r["session_end_us"])
+              for r in sessionize_native(
+                  events_table(spark, sf_dir)).collect()}
+    batch = {(r["user_id"], r["session_start_us"]):
+             (r["n_events"], r["total_value"], r["session_end_us"])
+             for r in REGISTRY["events_sessionize"]
+             .fn(spark, sf_dir).collect()}
+    assert len(native) == len(batch) > 0
+    gap_us = 30 * 60 * 1_000_000
+    for k, (n, tv, end) in batch.items():
+        gn, gtv, gend = native[k]
+        assert (gn, gtv) == (n, tv)
+        assert gend == end + gap_us  # window end = last event + gap
+
+
+def test_native_session_window_streams_final_sessions(spark, sf_dir,
+                                                      stream_dir):
+    """Streamed (append-mode) native sessions are a subset of the
+    batch result -- only watermark-finalized sessions emit -- and
+    every emitted session is value-correct."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.streaming.events import (
+        sessionize_native,
+    )
+    from esg_decarbonization_data_integration_and_data_pipline_spark.tables import events_table
+
+    stream = read_event_stream(spark, stream_dir)
+    run_to_memory(sessionize_native(stream), "native_sess",
+                  mode="append")
+    got = {(r["user_id"], r["session_start_us"]):
+           (r["n_events"], r["total_value"])
+           for r in spark.table("native_sess").collect()}
+    want = {(r["user_id"], r["session_start_us"]):
+            (r["n_events"], r["total_value"])
+            for r in sessionize_native(
+                events_table(spark, sf_dir)).collect()}
+    assert len(got) > 0
+    for k, v in got.items():
+        assert want[k] == v
