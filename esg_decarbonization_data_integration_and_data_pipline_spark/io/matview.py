@@ -274,10 +274,15 @@ def refresh_aggregate_view(spark: SparkSession, mv_dir: str,
     folded = joined.select(*sel)
     upserts = folded.filter(F.col("__n") > 0)
     drained = folded.filter(F.col("__n") <= 0).select(_KEY_COL)
+    # pinned_base=mv_base: cur_rows above were read at mv_base, so a
+    # commit landing on the MV between that read and the merge must
+    # raise (VersionConflictError) rather than fold over stale
+    # accumulators -- merge's own pin only covers its internal window
     mv_v = merge_version(spark, mv_dir, upserts, _KEY_COL,
                          backend=backend,
                          txn=f"{_SRC_TXN_PREFIX}{cur_src}",
-                         delete_keys=drained)
+                         delete_keys=drained,
+                         pinned_base=mv_base)
     return (mv_v, last, cur_src)
 
 

@@ -89,7 +89,12 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
+# pointer-LOG lines: "v_N" with an optional commit wall-clock.
 _V_RE = re.compile(r"^v_(\d{8})(?:\s+(\d+(?:\.\d+)?))?$")
+# DIRECTORY / manifest-path names: strictly "v_N" -- a stray dir
+# named like "v_00000001 5" must NOT parse as a version (the
+# timestamped form exists only inside the pointer log).
+_VDIR_RE = re.compile(r"^v_(\d{8})$")
 _CURRENT = "_CURRENT"
 _STAGE_PREFIX = ".stage-"
 _FLIP_LOCK = "._CURRENT.lock"
@@ -365,7 +370,7 @@ def _versions(table_dir: str) -> list[int]:
         return []
     out = []
     for entry in os.listdir(table_dir):
-        m = _V_RE.match(entry)
+        m = _VDIR_RE.match(entry)
         if m and os.path.isdir(os.path.join(table_dir, entry)):
             out.append(int(m.group(1)))
     return sorted(out)
@@ -418,8 +423,13 @@ def adopt_legacy_history(table_dir: str,
     adopt = [n for n in _versions(table_dir) if n < cur]
     if not adopt:
         return []
+    # prepend the adopted bare lines and keep the existing log bytes
+    # VERBATIM: re-serializing the current line would drop its commit
+    # timestamp (breaking read_as_of/version_as_of for every instant
+    # until the next commit and nulling history()'s committed_at)
+    tail = raw if raw.endswith(b"\n") or not raw else raw + b"\n"
     lines = b"".join(f"v_{n:08d}\n".encode("ascii")
-                     for n in adopt) + f"v_{cur:08d}\n".encode("ascii")
+                     for n in adopt) + tail
     if not backend.try_commit(table_dir, lines, raw):
         raise VersionConflictError(
             f"{table_dir} advanced while adopting its legacy "
@@ -1364,7 +1374,8 @@ def merge_version(spark: SparkSession, table_dir: str,
                   max_attempts: int = 20,
                   backend: CommitBackend | None = None,
                   txn: str | None = None,
-                  delete_keys: DataFrame | None = None) -> int:
+                  delete_keys: DataFrame | None = None,
+                  pinned_base: int | None = None) -> int:
     """Copy-on-write MERGE (the Delta ``MERGE``/upsert shape): rows
     of the current version whose ``key`` appears in ``updates`` are
     replaced by the update rows (ALL update rows land as given --
@@ -1397,7 +1408,15 @@ def merge_version(spark: SparkSession, table_dir: str,
     :class:`VersionConflictError` (rebasing would silently drop that
     writer's rows from the files we rewrote); re-run the merge.
     Txn markers carry forward; the rewritten version keeps exactly-
-    once replay detection for the append stream."""
+    once replay detection for the append stream.
+
+    ``pinned_base``: extend the conflict guard back to a caller's own
+    earlier read.  When the ``updates`` frame was DERIVED from a
+    specific version of this table (the incremental-MV refresh folds
+    accumulator rows it read at its base), pass that version here so
+    a commit landing between the caller's read and this merge raises
+    instead of silently folding over stale rows; ``None`` (default)
+    pins only merge's own read-to-flip window."""
     from pyspark.sql import functions as F
 
     backend = backend or _DEFAULT_BACKEND
@@ -1405,7 +1424,10 @@ def merge_version(spark: SparkSession, table_dir: str,
         cur0 = current_version(table_dir, backend=backend)
         if cur0 is not None and txn in _txns(table_dir, cur0):
             return cur0  # replayed transaction -- already applied
-    base = current_version(table_dir, backend=backend)
+    if pinned_base is not None:
+        base: int | None = pinned_base
+    else:
+        base = current_version(table_dir, backend=backend)
     if base is None:
         raise FileNotFoundError(
             f"{table_dir} has no committed version to merge into")
@@ -1787,12 +1809,19 @@ def consume_changes(spark: SparkSession, table_dir: str,
         raise FileNotFoundError(
             f"{table_dir} has no committed version (_CURRENT missing)")
     cur = committed[-1]
+    # the full-resend fallback is ONLY for a missing/corrupt cursor
+    # FILE -- a cursor that parses but names a version absent from
+    # the commit log (wrong table_dir, rewritten log) must surface
+    # through read_changes, not silently re-emit the whole table
     try:
         with open(cursor_path, encoding="ascii") as fh:
             last = int(fh.read().strip())
+    except (OSError, ValueError):
+        last = None
+    if last is not None:
         changes = read_changes(spark, table_dir, last, cur,
                                backend=backend)
-    except (OSError, ValueError):
+    else:
         # no cursor yet: the whole readable table is the first batch.
         # read_changes(first, cur) excludes v_first's own rows, so
         # union them in as inserts.
@@ -1954,7 +1983,7 @@ def vacuum(table_dir: str, keep_last: int = 2,
         if mf is None:
             continue
         for rel in mf[0]:
-            m = _V_RE.match(rel.split("/", 1)[0])
+            m = _VDIR_RE.match(rel.split("/", 1)[0])
             if m:
                 keep.add(int(m.group(1)))
     for n in vs:

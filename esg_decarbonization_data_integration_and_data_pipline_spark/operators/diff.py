@@ -110,10 +110,13 @@ def _psi_score(o_counts: DataFrame, n_counts: DataFrame,
     pseudo-buckets (an int, or a 1-row DataFrame with column
     ``__k`` for a data-dependent domain): p = (n_old + 1) /
     (total_old + k), q likewise; term = (q - p) * ln(q / p) --
-    always >= 0, 0 iff p == q.  Buckets absent from BOTH sides
-    smooth to p == q and contribute 0, so omitting them keeps the
-    total exact.  Both inputs are O(#buckets) rows; everything from
-    here is control-plane-sized."""
+    always >= 0, 0 iff p == q.  The total is defined over OBSERVED
+    buckets only: a bucket absent from both sides would smooth to
+    p = 1/(total_old + k) vs q = 1/(total_new + k), which differ
+    whenever the side totals do, so such buckets are deliberately
+    excluded rather than claimed to contribute 0 (the DuckDB oracle
+    scores the same observed-bucket domain).  Both inputs are
+    O(#buckets) rows; everything from here is control-plane-sized."""
     tot_o = o_counts.agg(F.sum("n_old").alias("__to"))
     tot_n = n_counts.agg(F.sum("n_new").alias("__tn"))
     j = (o_counts.join(n_counts, "__bkey", "full_outer")
