@@ -708,18 +708,37 @@ _DRIVER_HEAD = [
     "recode_region_names", "monthly_order_calendar",
     "string_slice_like",
     "selfjoin_green_grey_rate",
-    "quantile_acctbal", "irr_by_brand",
+    "irr_by_brand",
     "events_json_roundtrip",
     "top_revenue_order", "concat_format_timestamps",
     "greedy_allocation",
-    # ---- round-8 first grades (graded once in r8; the >= 2 graded
-    # rounds rule keeps each here through at least r9)
-    "text_normalize_docs", "decontaminate_spans_docs",
-    "contamination_report_docs", "text_dedup_doc_lines",
-    "corpus_token_histogram", "quality_gopher_rules",
-    "mixture_temperature_docs", "token_budget_mixture_docs",
-    "dataset_diff_docs", "rejection_audit_docs",
-    "embedding_outliers", "text_bigram_nll",
+    # ---- round-8 first grades that stay (now graded r8+r9): these
+    # two are the ONLY head representatives of SURVEY rows UD1
+    # (decontaminate_spans_docs' Arrow span kernel) and J1
+    # (contamination_report_docs' broadcast left-enrich), so the
+    # ledger's row-coverage check pins them here; their 10 r8
+    # cohort-mates rotated to the tail in round 10 (see the r10
+    # block in _DRIVER_TAIL)
+    "decontaminate_spans_docs", "contamination_report_docs",
+    # ---- round-10 rotations INTO the head: nine never-driver-graded
+    # tail queries (burn-down per the r9 verdict task #1; the
+    # never-graded backlog drops 11 -> 2: mixture_sample_docs waits
+    # for an r11 slot and bpe_tokenize_docs is rows-only by nature --
+    # both documented in tools/grading_ledger.py).  Each rotated-out
+    # query was driver-green >= 2 rounds and every SURVEY row keeps
+    # a head representative -- see the r10 block in _DRIVER_TAIL.
+    "text_repetition", "deterministic_split",
+    "similarity_topk_batch", "chunk_documents", "vocab_top_tokens",
+    "text_boilerplate_share", "dedup_chunk_overlap",
+    "corpus_profile_by_source", "decontaminate_embeddings_docs",
+    # ---- round-10 new capability queries (r9 verdict task #2: the
+    # last pytest-only r9 sub-tiers get driver-graded queries):
+    # cost-routed expectations over a fixture versioned table
+    # (check_table: metadata-answered not_null/in_range/min/count +
+    # scan-routed in_set/matches/unique/avg, audited at all three
+    # committed versions) and the one-row drift summaries
+    # (KS-at-bucket-resolution + TVD beside their PSI totals)
+    "versioned_table_audit", "drift_ks_summary",
     # ---- round-9 rotations INTO the head: nine never-driver-graded
     # tail queries (burn-down per the r8 verdict tasks #1/#6; the
     # never-graded backlog drops 20 -> 11) plus the NEW
@@ -864,28 +883,24 @@ _DRIVER_TAIL = [
     #   tfidf_top_terms (r5-r7)     -> text_bigram_nll (see the head
     #       comment; same token-shuffle-join plan family)
     "tfidf_top_terms",
-    "text_repetition",
     "latest_status_version", "distinct_projection", "dedup_simhash",
     "dedup_jaccard_pairs", # round-3 addition past the gate cap -- verified by the in-repo
     # oracle replay like the rest of the tail
-    "deterministic_split",
-    # round-4 additions: batched ANN serving, oracle-replayed in-repo
-    "similarity_topk_batch",
-    "chunk_documents", "vocab_top_tokens",
-    # round-6 additions past the gate cap -- oracle-replayed in-repo
-    # like the rest of the tail (dedup_minhash_incremental,
-    # semdedup_embeddings, token_budget_docs and pack_sequences_docs
-    # rotated into the head in round 7)
+    # (text_repetition, deterministic_split, similarity_topk_batch,
+    # chunk_documents, vocab_top_tokens, text_boilerplate_share,
+    # dedup_chunk_overlap, corpus_profile_by_source and
+    # decontaminate_embeddings_docs -- the r3-r6 additions that had
+    # never crossed the driver gate -- rotated into the head in
+    # round 10, finishing the burn-down but for the two below.)
+    # never-graded r10 backlog (2): mixture_sample_docs waits for an
+    # r11 head slot (ext:mixture-sampling; its md5-keyed sampling
+    # core is also exercised by the head's deterministic_split and
+    # the r8-graded mixture_temperature_docs), and bpe_tokenize_docs
+    # is rows-only by nature (iterative training loop, no SQL
+    # oracle; exactness pinned against a pure-Python reference in
+    # tests/test_bpe.py) -- both documented in
+    # tools/grading_ledger.py NEVER_GRADED_OK.
     "mixture_sample_docs",
-    "text_boilerplate_share", "dedup_chunk_overlap",
-    # round-6 late additions (sequence packing / export tier, data
-    # mixing, Gopher rule gate) -- oracle-replayed in-repo.
-    # (mixture_temperature_docs, quality_gopher_rules,
-    # dataset_diff_docs, token_budget_mixture_docs and the five r7
-    # additions rotated into the head in round 8.)
-    "corpus_profile_by_source", "decontaminate_embeddings_docs",
-    # rows-only by nature (iterative training loop; exactness pinned
-    # against a pure-Python reference in tests/test_bpe.py)
     "bpe_tokenize_docs",
     # ---- round-9 rotations OUT of the head (each driver-green >= 2
     # rounds; family/SURVEY-row coverage per tools/grading_ledger.py):
@@ -947,6 +962,40 @@ _DRIVER_TAIL = [
     #       oracle-replayed in-repo and batch-parity-pinned against
     #       the streaming stateful twin (test_streaming_stateful)
     "events_sessionize",
+    # ---- round-10 rotations OUT of the head (each driver-green
+    # r8+r9 = 2 graded rounds, except quantile_acctbal: r1-r9;
+    # family/SURVEY-row coverage per tools/grading_ledger.py):
+    #   text_normalize_docs (r8-r9)  -> F5 stays via string_slice_like
+    #   text_dedup_doc_lines (r8-r9) -> F5 likewise; intra-doc line
+    #       dedup stays head-graded via text_line_dedup
+    #   corpus_token_histogram (r8-r9) -> A1 stays via pricing_summary
+    #       / drift_orders_psi, F11 via drift_orders_psi's bucket
+    #       floors; corpus profiling enters via
+    #       corpus_profile_by_source
+    #   quality_gopher_rules (r8-r9) -> P6 nested CASE WHEN stays via
+    #       pii_redact_docs; quality gating stays via
+    #       text_unigram_nll + quality_top_fraction
+    #   mixture_temperature_docs (r8-r9) -> W2 stays via
+    #       greedy_allocation / bm25_retrieval_docs /
+    #       similarity_topk_batch
+    #   token_budget_mixture_docs (r8-r9) -> W1 prefix-sum stays via
+    #       ytm_running_sum + greedy_allocation
+    #   dataset_diff_docs (r8-r9)    -> J3 stays via
+    #       coalescing_nation_balance; drift triad keeps head reps
+    #       via drift_orders_psi + drift_ks_summary
+    #   rejection_audit_docs (r8-r9) -> P6 via pii_redact_docs, J9
+    #       via lapsed_customer_keys + dedup_bloom_incremental, A1
+    #       via pricing_summary
+    #   embedding_outliers (r8-r9), text_bigram_nll (r8-r9) -> no
+    #       exclusive SURVEY rows; both stay oracle-replayed in-repo
+    #   quantile_acctbal (r1-r9)     -> A9 stays via the incoming
+    #       corpus_profile_by_source (its per-source medians)
+    "text_normalize_docs", "text_dedup_doc_lines",
+    "corpus_token_histogram", "quality_gopher_rules",
+    "mixture_temperature_docs", "token_budget_mixture_docs",
+    "dataset_diff_docs", "rejection_audit_docs",
+    "embedding_outliers", "text_bigram_nll",
+    "quantile_acctbal",
 ]
 _ORDERED = _DRIVER_HEAD + _DRIVER_TAIL
 assert set(_ORDERED) == set(REGISTRY) and len(_ORDERED) == len(REGISTRY), (

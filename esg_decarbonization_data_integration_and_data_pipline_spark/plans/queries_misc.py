@@ -1347,3 +1347,236 @@ def matview_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register("versioned_table_audit", "ext:dq-metadata,A2", oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority,
+         o_custkey, CAST(year(o_orderdate) AS INT) AS yr
+  FROM orders WHERE year(o_orderdate) IN (1997, 1998)),
+vers AS (
+  SELECT 1 AS version, * FROM base WHERE yr = 1997
+  UNION ALL SELECT 2, * FROM base
+  UNION ALL SELECT 3, * FROM base WHERE o_orderkey % 7 <> 0),
+stats AS (
+  SELECT version,
+    count(*) AS n_rows,
+    count(*) FILTER (WHERE o_custkey IS NULL) AS v_notnull,
+    count(*) FILTER (WHERE o_totalprice IS NOT NULL AND
+      (o_totalprice < 0.0 OR o_totalprice > 100000.0)) AS v_range,
+    CASE WHEN min(o_totalprice) IS NOT NULL
+          AND min(o_totalprice) < 900000.0 THEN 1 ELSE 0 END AS v_min,
+    CASE WHEN count(o_orderkey) < 1 THEN 1 ELSE 0 END AS v_cnt,
+    count(*) FILTER (WHERE o_orderstatus IS NOT NULL AND
+      o_orderstatus NOT IN ('F', 'O', 'P')) AS v_set,
+    count(*) FILTER (WHERE o_orderpriority IS NOT NULL AND
+      NOT regexp_matches(o_orderpriority, '^[1-5]-')) AS v_match,
+    CASE WHEN avg(o_totalprice) IS NOT NULL
+          AND avg(o_totalprice) < 1.0 THEN 1 ELSE 0 END AS v_avg
+  FROM vers GROUP BY version),
+uniq AS (
+  SELECT version,
+         coalesce(sum(c) FILTER (WHERE c > 1), 0) AS v_uniq
+  FROM (SELECT version, o_orderkey, count(*) AS c FROM vers
+        WHERE o_orderkey IS NOT NULL GROUP BY version, o_orderkey)
+  GROUP BY version),
+checks(check_name, kind, target) AS (VALUES
+  ('not_null:o_custkey', 'not_null', 'o_custkey'),
+  ('in_range:o_totalprice', 'in_range', 'o_totalprice'),
+  ('agg_between:min(o_totalprice)', 'agg_between', 'o_totalprice'),
+  ('agg_between:count(o_orderkey)', 'agg_between', 'o_orderkey'),
+  ('in_set:o_orderstatus', 'in_set', 'o_orderstatus'),
+  ('matches:o_orderpriority', 'matches', 'o_orderpriority'),
+  ('unique:o_orderkey', 'unique', 'o_orderkey'),
+  ('agg_between:avg(o_totalprice)', 'agg_between', 'o_totalprice'))
+SELECT s.version, c.check_name, c.kind, c.target,
+       CAST(CASE c.check_name
+         WHEN 'not_null:o_custkey' THEN s.v_notnull
+         WHEN 'in_range:o_totalprice' THEN s.v_range
+         WHEN 'agg_between:min(o_totalprice)' THEN s.v_min
+         WHEN 'agg_between:count(o_orderkey)' THEN s.v_cnt
+         WHEN 'in_set:o_orderstatus' THEN s.v_set
+         WHEN 'matches:o_orderpriority' THEN s.v_match
+         WHEN 'unique:o_orderkey' THEN u.v_uniq
+         ELSE s.v_avg END AS BIGINT) AS n_violations,
+       s.n_rows,
+       CAST(CASE WHEN (CASE c.check_name
+         WHEN 'not_null:o_custkey' THEN s.v_notnull
+         WHEN 'in_range:o_totalprice' THEN s.v_range
+         WHEN 'agg_between:min(o_totalprice)' THEN s.v_min
+         WHEN 'agg_between:count(o_orderkey)' THEN s.v_cnt
+         WHEN 'in_set:o_orderstatus' THEN s.v_set
+         WHEN 'matches:o_orderpriority' THEN s.v_match
+         WHEN 'unique:o_orderkey' THEN u.v_uniq
+         ELSE s.v_avg END) = 0 THEN 1 ELSE 0 END AS INT) AS passed
+FROM stats s JOIN uniq u USING (version) CROSS JOIN checks c
+""")
+def versioned_table_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-routed data-quality audit over a VERSIONED table,
+    driver-gradable end-to-end (operators/expectations.check_table
+    over io/versioned; the reference's scattered implicit guards --
+    jobs/source_to_raw/fem_ratio.py:44-49, fix_data/fix_raw.py --
+    as a declared, reportable suite).  Three commits build the
+    fixture state: v1 = the 1997 orders (stats-tracked append),
+    v2 = the 1998 orders appended, v3 = a copy-on-write keyed
+    delete of every o_orderkey divisible by 7.  The SAME 8-check
+    suite then audits EVERY version through check_table, which
+    routes each check the cheapest correct way: not_null /
+    in_range / min-max-count aggregate SLAs answer from commit
+    METADATA (manifest row/null counts, per-file stats, boundary
+    count_where -- zero data I/O for not_null/count on this
+    stats-committed table), while in_set / matches / unique and the
+    avg SLA run through the single-scan report() half.  The oracle
+    recomputes all 24 (version, check) cells from the parquet
+    alone, so a mismatch convicts the metadata bookkeeping (null
+    counts, footer stats, boundary counts), the scan compiler, or
+    version resolution -- including the min-SLA row that FAILS by
+    construction (min(o_totalprice) < 9e5 on every version) to
+    prove violations are counted, not just zeros echoed."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        append_version, delete_keys_version,
+    )
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.expectations import (
+        agg_between, check_table, in_range, in_set, matches, not_null,
+        unique,
+    )
+
+    root = tempfile.mkdtemp(prefix="versioned_audit_")
+    atexit.register(shutil.rmtree, root, True)
+    td = root + "/orders_audit"
+    o = (table(spark, sf_dir, "orders")
+         .filter(F.year("o_orderdate").isin(1997, 1998))
+         .select("o_orderkey", "o_orderstatus", "o_totalprice",
+                 "o_orderpriority", "o_custkey",
+                 F.year("o_orderdate").cast("int").alias("yr")))
+    append_version(o.filter(F.col("yr") == 1997), td,
+                   txn="audit:1997",
+                   stats_columns=["o_orderkey", "o_totalprice"])
+    append_version(o.filter(F.col("yr") == 1998), td,
+                   txn="audit:1998")
+    delete_keys_version(
+        spark, td,
+        o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
+        "o_orderkey")
+    suite = [
+        not_null("o_custkey"),
+        in_range("o_totalprice", lo=0.0, hi=100000.0),
+        agg_between("o_totalprice", "min", lo=900000.0),   # fails
+        agg_between("o_orderkey", "count", lo=1),
+        in_set("o_orderstatus", ("F", "O", "P")),
+        matches("o_orderpriority", "^[1-5]-"),
+        unique("o_orderkey"),
+        agg_between("o_totalprice", "avg", lo=1.0),  # scan-routed
+    ]
+    rows = [
+        (v, r["check_name"], r["kind"], r["target"],
+         int(r["n_violations"]), int(r["n_rows"]),
+         int(bool(r["passed"])))
+        for v in (1, 2, 3)
+        for r in check_table(spark, td, suite, n=v)
+    ]
+    return spark.createDataFrame(
+        rows, "version int, check_name string, kind string, "
+              "target string, n_violations bigint, n_rows bigint, "
+              "passed int")
+
+
+@register("drift_ks_summary", "ext:drift-summary", oracle="""
+WITH o AS (SELECT o_totalprice AS x, o_orderpriority AS c
+           FROM orders WHERE year(o_orderdate) = 1997),
+nw AS (SELECT o_totalprice AS x, o_orderpriority AS c
+       FROM orders WHERE year(o_orderdate) = 1998),
+b AS (SELECT min(x) AS lo, max(x) AS hi FROM o),
+oc AS (SELECT CASE WHEN x IS NULL THEN -1 WHEN b.hi = b.lo THEN 0
+              ELSE CAST(least(9, greatest(0,
+                     floor(((x - b.lo) * 10) / (b.hi - b.lo))))
+                   AS INT) END AS bucket, count(*) AS n_old
+       FROM o CROSS JOIN b GROUP BY 1),
+nc AS (SELECT CASE WHEN x IS NULL THEN -1 WHEN b.hi = b.lo THEN 0
+              ELSE CAST(least(9, greatest(0,
+                     floor(((x - b.lo) * 10) / (b.hi - b.lo))))
+                   AS INT) END AS bucket, count(*) AS n_new
+       FROM nw CROSS JOIN b GROUP BY 1),
+j AS (SELECT bucket, coalesce(n_old, 0) AS n_old,
+             coalesce(n_new, 0) AS n_new
+      FROM oc FULL OUTER JOIN nc USING (bucket)),
+jt AS (SELECT (SELECT sum(n_old) FROM j) AS to_,
+              (SELECT sum(n_new) FROM j) AS tn_),
+nterms AS (
+  SELECT round(((n_new + 1.0) / (tn_ + 11.0)
+                - (n_old + 1.0) / (to_ + 11.0))
+               * ln(((n_new + 1.0) / (tn_ + 11.0))
+                    / ((n_old + 1.0) / (to_ + 11.0))), 6) AS t
+  FROM j CROSS JOIN jt),
+npsi AS (SELECT round(sum(t), 6) AS psi_total FROM nterms),
+nks AS (
+  SELECT round(max(abs(CAST(co AS DOUBLE) / to_
+                       - CAST(cn AS DOUBLE) / tn_)), 6) AS stat
+  FROM (SELECT sum(n_old) OVER (ORDER BY bucket) AS co,
+               sum(n_new) OVER (ORDER BY bucket) AS cn,
+               sum(n_old) OVER () AS to_,
+               sum(n_new) OVER () AS tn_
+        FROM j WHERE bucket >= 0)),
+co AS (SELECT c, count(*) AS n_old FROM o GROUP BY 1),
+cn AS (SELECT c, count(*) AS n_new FROM nw GROUP BY 1),
+cj AS (SELECT coalesce(co.n_old, 0) AS n_old,
+              coalesce(cn.n_new, 0) AS n_new
+       FROM co FULL OUTER JOIN cn ON co.c = cn.c),
+ct AS (SELECT (SELECT sum(n_old) FROM cj) AS to_,
+              (SELECT sum(n_new) FROM cj) AS tn_,
+              (SELECT count(*) FROM cj) AS k),
+cterms AS (
+  SELECT round(((n_new + 1.0) / (tn_ + k)
+                - (n_old + 1.0) / (to_ + k))
+               * ln(((n_new + 1.0) / (tn_ + k))
+                    / ((n_old + 1.0) / (to_ + k))), 6) AS t,
+         abs(CAST(n_old AS DOUBLE) / to_
+             - CAST(n_new AS DOUBLE) / tn_) AS d
+  FROM cj CROSS JOIN ct),
+cpsi AS (SELECT round(sum(t), 6) AS psi_total,
+                round(sum(d) / 2, 6) AS stat FROM cterms)
+SELECT 'numeric:o_totalprice' AS series, psi_total,
+       'ks' AS stat_name, stat
+FROM npsi CROSS JOIN nks
+UNION ALL
+SELECT 'categorical:o_orderpriority', psi_total, 'tvd', stat
+FROM cpsi
+""")
+def drift_ks_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row-per-series drift summary between the 1997 and 1998
+    order snapshots (operators/diff.drift_summary /
+    category_drift_summary): the numeric series reduces the
+    10-bucket PSI frame of o_totalprice to (psi_total, ks_approx)
+    -- KS at bucket resolution from raw CDFs over the ordered value
+    buckets -- and the categorical series reduces
+    o_orderpriority's category-PSI frame to (psi_total, tvd), the
+    unordered counterpart.  Each 100 TB snapshot collapses to
+    O(#buckets) rows via one partial-agg scan per side; the
+    summaries are window math over those control-plane rows.  The
+    smoothing domains differ by design: k = n_buckets + 1 for the
+    numeric series, k = observed-category count (computed in-plan)
+    for the categorical one."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.diff import (
+        category_drift, category_drift_summary, drift_summary,
+        psi_drift,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    old = orders.filter(F.year("o_orderdate") == 1997)
+    new = orders.filter(F.year("o_orderdate") == 1998)
+    num = (drift_summary(psi_drift(old, new, "o_totalprice",
+                                   n_buckets=10))
+           .select(F.lit("numeric:o_totalprice").alias("series"),
+                   "psi_total", F.lit("ks").alias("stat_name"),
+                   F.col("ks_approx").alias("stat")))
+    cat = (category_drift_summary(
+               category_drift(old, new, "o_orderpriority"))
+           .select(F.lit("categorical:o_orderpriority")
+                    .alias("series"),
+                   "psi_total", F.lit("tvd").alias("stat_name"),
+                   F.col("tvd").alias("stat")))
+    return num.unionByName(cat)
