@@ -63,6 +63,12 @@ HEADLINE = [
     "bm25_retrieval_docs",
     "data_quality_report",
     "drift_orders_psi",
+    # added round 10: the two new head-graded queries (cost-routed
+    # versioned-table audit incl. its three fixture commits, and the
+    # one-row drift summaries); totals compare on the prefix17 and
+    # prefix24 series
+    "versioned_table_audit",
+    "drift_ks_summary",
 ]
 
 
@@ -174,6 +180,18 @@ def main() -> None:
     if all(q in timings for q in prefix17):
         out["prefix17_total"] = round(sum(timings[q] for q in prefix17), 3)
         out["prefix17_min"] = round(sum(minimums[q] for q in prefix17), 3)
+    # second stable series (r9 verdict task #3): the headline grew
+    # 19 -> 24 across round 9, so r10 starts a prefix24 series that
+    # includes the r9 additions (bm25, bloom, pii, data-quality,
+    # drift) -- r11 then has a two-round comparable window for them.
+    # Same derive-don't-copy discipline as prefix17.
+    prefix24 = HEADLINE[:24]
+    assert len(prefix24) == 24 and prefix24[-1] == "drift_orders_psi", \
+        "HEADLINE's first 24 entries are the r10+ comparable " \
+        "prefix -- append new queries, don't reorder the head"
+    if all(q in timings for q in prefix24):
+        out["prefix24_total"] = round(sum(timings[q] for q in prefix24), 3)
+        out["prefix24_min"] = round(sum(minimums[q] for q in prefix24), 3)
     if spreads:
         out["sample_spread_pct"] = round(spreads[len(spreads) // 2], 1)
     if errors:
