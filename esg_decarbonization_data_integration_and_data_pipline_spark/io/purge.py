@@ -1,0 +1,336 @@
+"""Right-to-be-forgotten purge across a versioned table's HISTORY.
+
+``delete_keys_version`` removes rows from the CURRENT version, but a
+versioned table keeps every older version readable for time travel --
+so the deleted subject's rows survive in history, which is exactly
+what a GDPR/CCPA erasure request forbids.  Delta's answer is "wait
+out the retention window and VACUUM" (erasure destroys time travel
+for everyone); :func:`purge_keys_history` instead rewrites the
+matched rows out of EVERY readable version in place, preserving the
+version chain, manifests, commit timestamps, txn markers, schemas and
+file-skipping stats -- time travel keeps working, minus the purged
+subject.
+
+The reference has no versioned tier at all (its pandas jobs
+truncate-and-reload, e.g. jobs/csr_etl.py:157 -- erasure there is
+"the next run simply drops the rows"); this operator is what that
+contract becomes once history exists.
+
+Mechanics (three crash-ordered phases over metadata + atomic swaps):
+
+1. candidate files = the union of every readable version's data
+   files, pruned by the recorded per-file [min, max] stats on the
+   key (a file provably outside every purge value is untouched --
+   the same pruning that makes copy-on-write merge O(slice)).
+2. phase 1 -- every readable manifest DROPS its ``#stats`` /
+   ``#rows`` lines for the candidates (metadata readers fall back to
+   parquet footers: slower, never wrong).
+3. each candidate file is rewritten WITHOUT the matched rows under
+   its own physical schema and atomically ``os.replace``d -- a
+   shared file (manifest inheritance) is rewritten ONCE however many
+   versions reference it; a reader holding the old inode keeps a
+   consistent pre-purge view.
+4. phase 3 -- every readable manifest re-records fresh footer
+   metadata for its candidates.
+
+A crash at ANY point leaves the table correct: before a swap the
+data is unchanged and metadata merely degraded to footer reads;
+after a swap the rows are gone and metadata is degraded until a
+re-run's phase 3 repairs it.  Re-running the purge is always safe
+and completes any interrupted repair.
+
+Scale shape: the key set is an erasure request -- human-scale
+(thousands of subjects), so it travels as a broadcast-sized Python
+set; the file rewrites are independent per file and run as one Spark
+job (``parallelize(candidates).map``), each task streaming one
+parquet file through pyarrow -- O(touched files) work, never
+O(history x table).
+
+Concurrency: the pointer is checked at start and end; a commit
+landing mid-purge raises :class:`VersionConflictError` AFTER the
+historical repair (the new version may carry stale copied metadata
+for swapped files) -- re-running the purge repairs it, because the
+stale stats are conservatively wide and re-candidate the files.
+
+CDF caveat (inherent to retroactive erasure, same as Delta): a
+change-feed consumer that read version n BEFORE the purge and diffs
+against it afterwards sees the purge as spurious deletes.  Erasure
+is retroactive by definition; re-sync consumers that must agree.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession
+
+from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+    _DEFAULT_BACKEND,
+    _MANIFEST,
+    _ROWS_PREFIX,
+    _STATS_PREFIX,
+    CommitBackend,
+    VersionConflictError,
+    _data_files,
+    _read_stats,
+    committed_versions,
+    current_version,
+    table_schema,
+)
+
+
+def _readable_versions(table_dir: str,
+                       backend: CommitBackend) -> list[int]:
+    return [n for n in committed_versions(table_dir, backend=backend)
+            if os.path.isdir(os.path.join(table_dir, f"v_{n:08d}"))]
+
+
+def _candidate_files(table_dir: str, versions: list[int],
+                     key: str, values: list) -> tuple[list[str],
+                                                      dict[int, list[str]]]:
+    """(union of maybe-containing files across ``versions``,
+    per-version candidate lists).  A file with recorded stats on
+    ``key`` in ANY manifest is pruned by them (stats are inherited
+    verbatim, so every manifest agrees); a file with no recorded
+    stats anywhere is conservatively a candidate."""
+    stats: dict[str, tuple] = {}
+    per_version_files: dict[int, list[str]] = {}
+    for n in versions:
+        per_version_files[n] = _data_files(table_dir, n)
+        for f, cols in _read_stats(table_dir, n).items():
+            if key in cols:
+                stats[f] = cols[key]
+
+    def maybe(f: str) -> bool:
+        if f not in stats:
+            return True
+        lo, hi = stats[f]
+        return any(lo <= v <= hi for v in values)
+
+    union: list[str] = []
+    seen: set[str] = set()
+    for n in versions:
+        for f in per_version_files[n]:
+            if f not in seen:
+                seen.add(f)
+                if maybe(f):
+                    union.append(f)
+    cand = set(union)
+    per_version = {n: [f for f in fs if f in cand]
+                   for n, fs in per_version_files.items()}
+    return union, per_version
+
+
+def _rewrite_file(abs_path: str, key: str, values: frozenset) -> int:
+    """Rewrite one parquet file without the matched rows, atomically,
+    preserving its physical schema; returns rows removed (0 = file
+    untouched).  Runs inside an executor task."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(abs_path)
+    if key not in t.schema.names:
+        # pre-evolution file: its rows read back NULL for the key and
+        # purge values are non-null by contract -- nothing to match
+        return 0
+    mask = pc.is_in(t.column(key),
+                    value_set=pa.array(sorted(values)))
+    n_hit = pc.sum(mask).as_py() or 0
+    if n_hit == 0:
+        return 0
+    kept = t.filter(pc.invert(pc.fill_null(mask, False)))
+    d, base = os.path.split(abs_path)
+    tmp = os.path.join(d, f".purge-tmp-{base}")
+    pq.write_table(kept, tmp)
+    os.replace(tmp, abs_path)
+    # Hadoop's ChecksumFileSystem keeps a ".<name>.crc" sidecar for
+    # files Spark wrote; it no longer matches the swapped bytes and
+    # a local-FS read would fail on it -- removing it disables
+    # verification for this file (the standard out-of-band-rewrite
+    # remedy; object stores have no sidecar)
+    try:
+        os.remove(os.path.join(d, f".{base}.crc"))
+    except OSError:
+        pass
+    return n_hit
+
+
+def _strip_meta_lines(table_dir: str, n: int,
+                      files: set[str]) -> dict[str, set[str]]:
+    """Phase 1 for one manifest: drop the #stats/#rows lines whose
+    file is in ``files``; returns the per-file column set those lines
+    tracked (so phase 3 re-records the same surface).  Atomic via
+    tmp + os.replace; a missing manifest (snapshot version) is a
+    no-op."""
+    p = os.path.join(table_dir, f"v_{n:08d}", _MANIFEST)
+    try:
+        with open(p, encoding="ascii") as fh:
+            raw = fh.read()
+    except OSError:
+        return {}
+    tracked: dict[str, set[str]] = {}
+    kept: list[str] = []
+    for line in raw.splitlines():
+        rec = None
+        if line.startswith(_STATS_PREFIX):
+            rec = json.loads(line[len(_STATS_PREFIX):])
+            if rec["f"] in files:
+                tracked.setdefault(rec["f"], set()).add(rec["c"])
+                continue
+        elif line.startswith(_ROWS_PREFIX):
+            rec = json.loads(line[len(_ROWS_PREFIX):])
+            if rec["f"] in files:
+                tracked.setdefault(rec["f"], set()).update(
+                    rec.get("nn", {}).keys())
+                continue
+        kept.append(line)
+    tmp = p + ".purge-tmp"
+    with open(tmp, "w", encoding="ascii") as fh:
+        fh.write("\n".join(kept) + "\n")
+    os.replace(tmp, p)
+    return tracked
+
+
+def _readd_meta_lines(table_dir: str, n: int,
+                      meta: dict[str, tuple[dict, dict]]) -> None:
+    """Phase 3 for one manifest: prepend fresh #stats/#rows lines for
+    the files in ``meta`` ({relpath: (stats_cols, rowmeta)}) that the
+    manifest's data lines reference."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        _rows_lines, _stats_lines,
+    )
+
+    p = os.path.join(table_dir, f"v_{n:08d}", _MANIFEST)
+    try:
+        with open(p, encoding="ascii") as fh:
+            raw = fh.read()
+    except OSError:
+        return
+    lines = [ln for ln in raw.splitlines() if ln.strip()]
+    listed = {ln for ln in lines if not ln.startswith("#")}
+    stats = {f: m[0] for f, m in meta.items()
+             if f in listed and m[0]}
+    rows = {f: m[1] for f, m in meta.items() if f in listed}
+    fresh = _stats_lines(stats) + _rows_lines(rows)
+    tmp = p + ".purge-tmp"
+    with open(tmp, "w", encoding="ascii") as fh:
+        fh.write("\n".join(fresh + lines) + "\n")
+    os.replace(tmp, p)
+
+
+def purge_keys_history(spark: SparkSession, table_dir: str, key: str,
+                       values,
+                       backend: CommitBackend | None = None) -> dict:
+    """Physically remove every row whose ``key`` is in ``values``
+    from EVERY readable version of the table (see the module doc for
+    the crash-ordered protocol).  ``values`` must be non-null
+    primitives (an erasure request is control-plane-sized by nature).
+    Returns ``{"rows_purged", "files_rewritten", "files_candidates",
+    "versions"}``."""
+    backend = backend or _DEFAULT_BACKEND
+    vals = list(values)
+    if not vals:
+        raise ValueError("purge needs at least one key value")
+    if any(v is None for v in vals):
+        raise ValueError(
+            "purge values must be non-null (NULL keys identify no "
+            "subject; delete them with a predicate merge instead)")
+    start_cur = current_version(table_dir, backend=backend)
+    if start_cur is None:
+        raise FileNotFoundError(
+            f"{table_dir} has no committed version")
+    versions = _readable_versions(table_dir, backend)
+    union, _per_version = _candidate_files(table_dir, versions, key,
+                                           vals)
+    # phase 1: metadata for the candidates degrades to footer truth
+    tracked: dict[str, set[str]] = {}
+    for n in versions:
+        for f, cols in _strip_meta_lines(table_dir, n,
+                                         set(union)).items():
+            tracked.setdefault(f, set()).update(cols)
+    # phase 2: independent per-file rewrites, one Spark job (each
+    # task streams one file through pyarrow; local mode == executors)
+    vset = frozenset(vals)
+    abs_root = os.path.abspath(table_dir)
+    if union:
+        sc = spark.sparkContext
+        purged_counts = (
+            sc.parallelize(union, len(union))
+              .map(lambda rel: (rel, _rewrite_file(
+                  os.path.join(abs_root, rel), key, vset)))
+              .collect())
+    else:
+        purged_counts = []
+    rows_purged = sum(c for _, c in purged_counts)
+    rewritten = sorted(rel for rel, c in purged_counts if c > 0)
+    # phase 3: re-record fresh footer metadata for every candidate
+    # (rewritten or not -- unchanged files get identical lines back)
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import _file_meta
+
+    fresh: dict[str, tuple[dict, dict]] = {}
+    for rel in union:
+        cols = sorted(tracked.get(rel, {key}))
+        st, rm = _file_meta(os.path.join(abs_root, rel), cols)
+        fresh[rel] = (st, rm)
+    for n in versions:
+        _readd_meta_lines(table_dir, n, fresh)
+    end_cur = current_version(table_dir, backend=backend)
+    if end_cur != start_cur:
+        raise VersionConflictError(
+            f"{table_dir} advanced from v_{start_cur:08d} to "
+            f"{'v_%08d' % end_cur if end_cur is not None else 'none'} "
+            f"during the purge; the new version may carry stale "
+            f"copied metadata for the rewritten files -- re-run "
+            f"purge_keys_history (history is already repaired; the "
+            f"re-run re-candidates via the stale-but-wide stats and "
+            f"fixes the new version's records)")
+    return {"rows_purged": rows_purged,
+            "files_rewritten": len(rewritten),
+            "files_candidates": len(union),
+            "versions": versions}
+
+
+def count_keys_all_versions(spark: SparkSession, table_dir: str,
+                            key: str, values,
+                            backend: CommitBackend | None = None,
+                            ) -> dict[int, int]:
+    """Erasure verification: per readable version, how many rows
+    still match ``values`` -- the audit a DPO runs after
+    :func:`purge_keys_history` (all-zero = forgotten).  Scans only
+    the stats-pruned candidate files of each version."""
+    backend = backend or _DEFAULT_BACKEND
+    vals = list(values)
+    if not vals or any(v is None for v in vals):
+        raise ValueError("values must be non-empty and non-null")
+    versions = _readable_versions(table_dir, backend)
+    _union, per_version = _candidate_files(table_dir, versions, key,
+                                           vals)
+    out: dict[int, int] = {}
+    for n in versions:
+        cand = per_version[n]
+        if not cand:
+            out[n] = 0
+            continue
+        st = table_schema(table_dir, n)
+        reader = spark.read.schema(st) if st is not None else spark.read
+        df = reader.parquet(*[os.path.join(table_dir, f)
+                              for f in cand])
+        if key not in df.columns:
+            out[n] = 0
+            continue
+        out[n] = df.filter(df[key].isin(vals)).count()
+    return out
+
+
+def assert_keys_absent(spark: SparkSession, table_dir: str, key: str,
+                       values,
+                       backend: CommitBackend | None = None) -> None:
+    """Raise if any readable version still holds a matching row."""
+    leftover = {n: c for n, c in count_keys_all_versions(
+        spark, table_dir, key, values, backend=backend).items() if c}
+    if leftover:
+        raise AssertionError(
+            f"purge incomplete for {table_dir}: matching rows remain "
+            f"in versions {leftover}")
