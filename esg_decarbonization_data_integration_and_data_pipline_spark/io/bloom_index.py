@@ -1,0 +1,212 @@
+"""Per-file Bloom point-lookup index for versioned tables.
+
+File-skipping stats (min/max) prune range queries on CLUSTERED
+columns, but a point lookup on a high-cardinality column the table is
+NOT sorted by gets no help: every file's [min, max] spans the probe
+value, so the lookup scans the table.  A per-file Bloom filter fixes
+exactly that -- the Delta "bloom filter index" / Parquet
+bloom-filter shape: each data file gets a tiny sidecar summarizing
+its distinct column values; a probe consults the sidecars (pure
+metadata, no data I/O) and reads only files whose bloom says MAYBE.
+False positives cost one extra file read (the predicate re-applies);
+false negatives are impossible by construction.
+
+Layout: the sidecar lives NEXT TO its physical data file
+(``.bloom-<col>-<datafile>.json``), so manifest-inherited versions
+share it automatically and ``vacuum`` reaps it with its dir.  Hidden
+name (leading dot) keeps it out of every data-file listing.
+
+Hashing is engine-independent (md5 of the value's canonical utf-8
+encoding, split into two 64-bit lanes for double hashing -- the
+operators/bloom.py discipline) so build (pyarrow in executor tasks)
+and probe (driver-side, control-plane) always agree.  Supported key
+types: integers and strings (the id-shaped columns point lookups
+target); the canonical encoding is ``str(value)`` utf-8.
+
+Mutation interplay:
+- append/merge/compact create NEW files -> no sidecar until the next
+  :func:`build_bloom_index` (missing sidecar = conservatively read).
+- :func:`~.purge.purge_keys_history` rewrites files in place; row
+  REMOVAL can never introduce a false negative (the stale bloom is a
+  superset), but the sidecar would retain hashed evidence of the
+  erased subject -- purge therefore deletes rewritten files'
+  sidecars (see ``sidecar_candidates``); rebuild afterwards.
+"""
+
+from __future__ import annotations
+
+import base64
+import glob as _glob
+import hashlib
+import json
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+    _DEFAULT_BACKEND,
+    CommitBackend,
+    _data_files,
+    _read_stats,
+    current_version,
+    table_schema,
+)
+
+
+def _sidecar_path(abs_data_path: str, col: str) -> str:
+    d, base = os.path.split(abs_data_path)
+    return os.path.join(d, f".bloom-{col}-{base}.json")
+
+
+def sidecar_candidates(abs_data_path: str) -> list[str]:
+    """Every bloom sidecar of one data file, any column -- the purge
+    hook uses this to drop hashed evidence of erased keys."""
+    d, base = os.path.split(abs_data_path)
+    return _glob.glob(os.path.join(
+        d, ".bloom-*" + _glob.escape(f"-{base}.json")))
+
+
+def _lanes(value) -> tuple[int, int]:
+    """Two independent 64-bit hash lanes from the canonical encoding
+    (md5 is plenty for double hashing and identical everywhere)."""
+    h = hashlib.md5(str(value).encode("utf-8")).digest()
+    return (int.from_bytes(h[:8], "little"),
+            int.from_bytes(h[8:16], "little"))
+
+
+def _positions(h1: int, h2: int, n_hashes: int, m_bits: int):
+    h2 |= 1  # odd stride so probes never collapse on even m_bits
+    return [((h1 + i * h2) % (1 << 64)) % m_bits
+            for i in range(n_hashes)]
+
+
+def _build_sidecar(abs_path: str, col: str, bits_per_key: int) -> int:
+    """Build one file's sidecar (executor task); returns the distinct
+    key count, or -1 if the file's physical schema lacks the column
+    (pre-evolution file: its rows are all-NULL there, and NULL never
+    matches a point probe -- recorded as an always-prune sidecar)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(abs_path)
+    if col not in pf.schema_arrow.names:
+        payload = {"m_bits": 0, "n_hashes": 0, "n_keys": 0,
+                   "bits": ""}
+    else:
+        t = pq.read_table(abs_path, columns=[col])
+        vals = {v for v in t.column(col).to_pylist() if v is not None}
+        n_hashes = max(1, round(math.log(2) * bits_per_key))
+        m_bits = max(64, len(vals) * bits_per_key)
+        bits = bytearray((m_bits + 7) // 8)
+        for v in vals:
+            h1, h2 = _lanes(v)
+            for p in _positions(h1, h2, n_hashes, m_bits):
+                bits[p >> 3] |= 1 << (p & 7)
+        payload = {"m_bits": m_bits, "n_hashes": n_hashes,
+                   "n_keys": len(vals),
+                   "bits": base64.b64encode(bytes(bits)).decode()}
+    tmp = _sidecar_path(abs_path, col) + ".tmp"
+    with open(tmp, "w", encoding="ascii") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp, _sidecar_path(abs_path, col))
+    return payload["n_keys"] if payload["m_bits"] else -1
+
+
+def build_bloom_index(spark: SparkSession, table_dir: str, col: str,
+                      n: int | None = None, bits_per_key: int = 10,
+                      backend: CommitBackend | None = None) -> int:
+    """Build the missing sidecars for version ``n``'s (default:
+    current) data files -- one executor task per file, each streaming
+    one parquet column; files that already have a sidecar are skipped
+    (immutable bytes -> the sidecar stays valid; the purge deletes
+    sidecars when it rewrites).  Returns how many were built."""
+    backend = backend or _DEFAULT_BACKEND
+    if n is None:
+        n = current_version(table_dir, backend=backend)
+        if n is None:
+            raise FileNotFoundError(
+                f"{table_dir} has no committed version")
+    root = os.path.abspath(table_dir)
+    todo = [f for f in _data_files(table_dir, n)
+            if not os.path.exists(
+                _sidecar_path(os.path.join(root, f), col))]
+    if not todo:
+        return 0
+    bpk = int(bits_per_key)
+    spark.sparkContext.parallelize(todo, len(todo)).foreach(
+        lambda rel: _build_sidecar(os.path.join(root, rel), col, bpk))
+    return len(todo)
+
+
+def _maybe_contains(abs_path: str, col: str, value) -> bool:
+    """Driver-side probe of one sidecar; True when the file must be
+    read (sidecar missing, or bloom says maybe)."""
+    try:
+        with open(_sidecar_path(abs_path, col),
+                  encoding="ascii") as fh:
+            sc = json.load(fh)
+    except OSError:
+        return True  # unindexed file: conservative
+    if not sc["m_bits"]:
+        return False  # column absent from the file: all-NULL there
+    bits = base64.b64decode(sc["bits"])
+    h1, h2 = _lanes(value)
+    return all(bits[p >> 3] & (1 << (p & 7))
+               for p in _positions(h1, h2, sc["n_hashes"],
+                                   sc["m_bits"]))
+
+
+def lookup_files(table_dir: str, col: str, value,
+                 n: int | None = None,
+                 backend: CommitBackend | None = None) -> list[str]:
+    """The files of version ``n`` a point probe must read: min/max
+    stats prune first (free -- already in the manifest), then the
+    bloom sidecars.  Pure metadata; no Spark job."""
+    backend = backend or _DEFAULT_BACKEND
+    if value is None:
+        raise ValueError("point lookup on NULL: filter isNull instead")
+    if n is None:
+        n = current_version(table_dir, backend=backend)
+        if n is None:
+            raise FileNotFoundError(
+                f"{table_dir} has no committed version")
+    root = os.path.abspath(table_dir)
+    stats = _read_stats(table_dir, n)
+    out = []
+    for f in _data_files(table_dir, n):
+        if f in stats and col in stats[f]:
+            lo, hi = stats[f][col]
+            if not (lo <= value <= hi):
+                continue
+        if _maybe_contains(os.path.join(root, f), col, value):
+            out.append(f)
+    return out
+
+
+def point_lookup(spark: SparkSession, table_dir: str, col: str,
+                 value, n: int | None = None,
+                 backend: CommitBackend | None = None) -> DataFrame:
+    """All rows of version ``n`` (default: current) where ``col ==
+    value``, reading only the stats- and bloom-surviving files (the
+    predicate re-applies, so a bloom false positive costs one file
+    read, never a wrong row)."""
+    backend = backend or _DEFAULT_BACKEND
+    if n is None:
+        n = current_version(table_dir, backend=backend)
+        if n is None:
+            raise FileNotFoundError(
+                f"{table_dir} has no committed version")
+    files = lookup_files(table_dir, col, value, n=n, backend=backend)
+    st = table_schema(table_dir, n)
+    if not files:
+        if st is not None:
+            base = spark.createDataFrame([], st)
+        else:
+            from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import _read_resolved
+
+            base = _read_resolved(spark, table_dir, n).limit(0)
+        return base.filter(base[col] == value) if col in base.columns \
+            else base
+    reader = spark.read.schema(st) if st is not None else spark.read
+    df = reader.parquet(*[os.path.join(table_dir, f) for f in files])
+    return df.filter(df[col] == value)

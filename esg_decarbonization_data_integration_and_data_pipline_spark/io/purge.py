@@ -154,6 +154,19 @@ def _rewrite_file(abs_path: str, key: str, values: frozenset) -> int:
         os.remove(os.path.join(d, f".{base}.crc"))
     except OSError:
         pass
+    # bloom point-lookup sidecars of the rewritten file: row removal
+    # keeps them false-negative-free (a stale bloom is a superset),
+    # but they'd retain HASHED EVIDENCE of the erased subject --
+    # erasure means the sidecars go too (rebuild_bloom_index later)
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.bloom_index import (
+        sidecar_candidates,
+    )
+
+    for sidecar in sidecar_candidates(abs_path):
+        try:
+            os.remove(sidecar)
+        except OSError:
+            pass
     return n_hit
 
 
