@@ -160,11 +160,17 @@ def main() -> None:
     # keeps the cross-round number alive by construction -- if a
     # future round reorders the early HEADLINE, this line is the one
     # place the comparability contract lives
-    prefix17 = HEADLINE[:17]
-    assert prefix17[0] == "pricing_summary" \
-        and prefix17[-1] == "events_tumbling_agg", \
-        "HEADLINE's first 17 entries are the cross-round comparable " \
-        "prefix -- append new queries, don't reorder the head"
+    # declared comparable prefixes: (length, pinned last entry).
+    # prefix17 = the r1-r8 set; prefix24 adds the r9 tiers (r9
+    # verdict task #3) so r11+ has a two-round window for them.  New
+    # rounds APPEND to HEADLINE and, when they grow it, declare one
+    # more (length, sentinel) pair here -- one loop, no copied blocks
+    PREFIXES = [(17, "events_tumbling_agg"), (24, "drift_orders_psi")]
+    for plen, sentinel in PREFIXES:
+        assert len(HEADLINE) >= plen and HEADLINE[plen - 1] == sentinel, \
+            f"HEADLINE's first {plen} entries are a cross-round " \
+            f"comparable prefix ending at {sentinel} -- append new " \
+            f"queries, don't reorder the head"
     spreads = sorted(
         100.0 * (max(r) - min(r)) / (sorted(r)[len(r) // 2] or 1.0)
         for r in samples.values() if len(r) > 1)
@@ -177,21 +183,13 @@ def main() -> None:
         "samples": samples,          # raw per-query sample lists
         "sf": sf_val,
     }
-    if all(q in timings for q in prefix17):
-        out["prefix17_total"] = round(sum(timings[q] for q in prefix17), 3)
-        out["prefix17_min"] = round(sum(minimums[q] for q in prefix17), 3)
-    # second stable series (r9 verdict task #3): the headline grew
-    # 19 -> 24 across round 9, so r10 starts a prefix24 series that
-    # includes the r9 additions (bm25, bloom, pii, data-quality,
-    # drift) -- r11 then has a two-round comparable window for them.
-    # Same derive-don't-copy discipline as prefix17.
-    prefix24 = HEADLINE[:24]
-    assert len(prefix24) == 24 and prefix24[-1] == "drift_orders_psi", \
-        "HEADLINE's first 24 entries are the r10+ comparable " \
-        "prefix -- append new queries, don't reorder the head"
-    if all(q in timings for q in prefix24):
-        out["prefix24_total"] = round(sum(timings[q] for q in prefix24), 3)
-        out["prefix24_min"] = round(sum(minimums[q] for q in prefix24), 3)
+    for plen, _sentinel in PREFIXES:
+        prefix = HEADLINE[:plen]
+        if all(q in timings for q in prefix):
+            out[f"prefix{plen}_total"] = round(
+                sum(timings[q] for q in prefix), 3)
+            out[f"prefix{plen}_min"] = round(
+                sum(minimums[q] for q in prefix), 3)
     if spreads:
         out["sample_spread_pct"] = round(spreads[len(spreads) // 2], 1)
     if errors:

@@ -36,7 +36,6 @@ Mutation interplay:
 from __future__ import annotations
 
 import base64
-import glob as _glob
 import hashlib
 import json
 import math
@@ -61,10 +60,18 @@ def _sidecar_path(abs_data_path: str, col: str) -> str:
 
 def sidecar_candidates(abs_data_path: str) -> list[str]:
     """Every bloom sidecar of one data file, any column -- the purge
-    hook uses this to drop hashed evidence of erased keys."""
+    hook uses this to drop hashed evidence of erased keys.  Listing
+    + suffix match, NOT glob: glob metacharacters in the table path
+    (``tables[prod]``) would silently match nothing and leave the
+    erased subject's hashes behind (r10 review finding #4)."""
     d, base = os.path.split(abs_data_path)
-    return _glob.glob(os.path.join(
-        d, ".bloom-*" + _glob.escape(f"-{base}.json")))
+    suffix = f"-{base}.json"
+    try:
+        entries = os.listdir(d)
+    except OSError:
+        return []
+    return [os.path.join(d, e) for e in entries
+            if e.startswith(".bloom-") and e.endswith(suffix)]
 
 
 def _lanes(value) -> tuple[int, int]:
@@ -73,6 +80,24 @@ def _lanes(value) -> tuple[int, int]:
     h = hashlib.md5(str(value).encode("utf-8")).digest()
     return (int.from_bytes(h[:8], "little"),
             int.from_bytes(h[8:16], "little"))
+
+
+# the str(value) canonical encoding is only stable for integers and
+# strings (str(100.0) != str(100), decimals carry trailing zeros,
+# dates/timestamps vary by type) -- anything else would produce
+# SILENT false negatives, so both build and probe enforce the list
+_SUPPORTED_PA_TYPES = ("int8", "int16", "int32", "int64",
+                       "uint8", "uint16", "uint32", "uint64",
+                       "string", "large_string")
+
+
+def _check_probe_type(value) -> None:
+    if not isinstance(value, (int, str)) or isinstance(value, bool):
+        raise TypeError(
+            f"bloom point lookups support int and str keys only "
+            f"(got {type(value).__name__}): the canonical str() "
+            f"encoding is unstable for floats/decimals/dates and "
+            f"would return silent false negatives")
 
 
 def _positions(h1: int, h2: int, n_hashes: int, m_bits: int):
@@ -93,6 +118,13 @@ def _build_sidecar(abs_path: str, col: str, bits_per_key: int) -> int:
         payload = {"m_bits": 0, "n_hashes": 0, "n_keys": 0,
                    "bits": ""}
     else:
+        pa_type = str(pf.schema_arrow.field(col).type)
+        if pa_type not in _SUPPORTED_PA_TYPES:
+            raise TypeError(
+                f"bloom index on {col!r} ({pa_type}): only integer "
+                f"and string columns are supported -- the canonical "
+                f"str() hash encoding is unstable for other types "
+                f"and would yield silent false negatives")
         t = pq.read_table(abs_path, columns=[col])
         vals = {v for v in t.column(col).to_pylist() if v is not None}
         n_hashes = max(1, round(math.log(2) * bits_per_key))
@@ -126,6 +158,16 @@ def build_bloom_index(spark: SparkSession, table_dir: str, col: str,
         if n is None:
             raise FileNotFoundError(
                 f"{table_dir} has no committed version")
+    st = table_schema(table_dir, n)
+    if st is not None and col in st.fieldNames() \
+            and st[col].dataType.typeName() not in (
+                "byte", "short", "integer", "long", "string"):
+        raise TypeError(
+            f"bloom index on {col!r} "
+            f"({st[col].dataType.typeName()}): only integer and "
+            f"string columns are supported -- the canonical str() "
+            f"hash encoding is unstable for other types and would "
+            f"yield silent false negatives")
     root = os.path.abspath(table_dir)
     todo = [f for f in _data_files(table_dir, n)
             if not os.path.exists(
@@ -165,6 +207,7 @@ def lookup_files(table_dir: str, col: str, value,
     backend = backend or _DEFAULT_BACKEND
     if value is None:
         raise ValueError("point lookup on NULL: filter isNull instead")
+    _check_probe_type(value)
     if n is None:
         n = current_version(table_dir, backend=backend)
         if n is None:

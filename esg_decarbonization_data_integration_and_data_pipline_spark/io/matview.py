@@ -139,16 +139,20 @@ def read_spec(mv_dir: str) -> dict:
 
 
 def last_source_version(mv_dir: str,
-                        backend: CommitBackend | None = None) -> int:
-    """The source version the MV currently reflects, read from the
-    ``mv-src-v<N>`` txn markers the refresh commits carry (markers
-    inherit forward, so the max over the CURRENT manifest is the
-    latest applied -- one metadata read, no sidecar state)."""
-    cur = current_version(mv_dir, backend=backend)
-    if cur is None:
-        raise FileNotFoundError(f"{mv_dir} has no committed version")
+                        backend: CommitBackend | None = None,
+                        n: int | None = None) -> int:
+    """The source version MV version ``n`` (default: current)
+    reflects, read from the ``mv-src-v<N>`` txn markers the refresh
+    commits carry (markers inherit forward, so the max over that
+    version's manifest is the latest applied -- one metadata read,
+    no sidecar state)."""
+    if n is None:
+        n = current_version(mv_dir, backend=backend)
+        if n is None:
+            raise FileNotFoundError(
+                f"{mv_dir} has no committed version")
     vs = [int(t[len(_SRC_TXN_PREFIX):])
-          for t in _txns(mv_dir, cur) if t.startswith(_SRC_TXN_PREFIX)]
+          for t in _txns(mv_dir, n) if t.startswith(_SRC_TXN_PREFIX)]
     if not vs:
         raise ValueError(
             f"{mv_dir} carries no {_SRC_TXN_PREFIX}* marker -- not a "
@@ -208,11 +212,20 @@ def refresh_aggregate_view(spark: SparkSession, mv_dir: str,
     spec = read_spec(mv_dir)
     keys, measures = spec["keys"], spec["measures"]
     source_dir = spec["source_dir"]
-    last = last_source_version(mv_dir, backend=backend)
+    # resolve the MV base FIRST and derive `last` from ITS txn
+    # markers: the conflict guard (merge pinned to mv_base) then
+    # covers the entire read span -- reading last from "current"
+    # before pinning would leave a window where a concurrent refresh
+    # commits between the two reads and our delta double-folds
+    # silently (r10 review finding #1)
+    mv_base = current_version(mv_dir, backend=backend)
+    if mv_base is None:
+        raise FileNotFoundError(f"{mv_dir} has no committed version")
+    last = last_source_version(mv_dir, backend=backend, n=mv_base)
     committed = committed_versions(source_dir, backend=backend)
     cur_src = committed[-1] if committed else None
     if cur_src is None or cur_src == last:
-        return (current_version(mv_dir, backend=backend), last, last)
+        return (mv_base, last, last)
     delta = read_changes(spark, source_dir, last, cur_src,
                          backend=backend)
     has_minmax = any(m["agg"] in ("min", "max") for m in measures)
@@ -227,7 +240,6 @@ def refresh_aggregate_view(spark: SparkSession, mv_dir: str,
              .otherwise(F.lit(-1)))
     partials = _accumulate(delta.withColumn("__sign", sign),
                            keys, measures, F.col("__sign"))
-    mv_base = current_version(mv_dir, backend=backend)
     touched, _ = _touched_files(spark, mv_dir, mv_base,
                                 partials.select(_KEY_COL), _KEY_COL)
     st = table_schema(mv_dir, mv_base)

@@ -80,6 +80,47 @@ from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned im
 )
 
 
+class PurgeInProgressError(Exception):
+    """Another purge holds this table's purge lock."""
+
+
+_PURGE_LOCK = ".purge.lock"
+
+
+def _acquire_purge_lock(table_dir: str, ttl_seconds: float) -> str:
+    """Single-purger mutual exclusion: two overlapping purges could
+    each footer-read a shared file between the other's swap and
+    phase 3, leaving stale #rows/#stats with NO pointer movement to
+    detect it (r10 review finding #3).  O_EXCL create; a lock older
+    than ``ttl_seconds`` (a crashed purger) is stolen."""
+    import time
+
+    p = os.path.join(table_dir, _PURGE_LOCK)
+    for _ in range(2):
+        try:
+            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as fh:
+                fh.write(f"{os.getpid()} {time.time()}\n")
+            return p
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(p)
+            except OSError:
+                continue  # holder just released -- retry the create
+            if age < ttl_seconds:
+                raise PurgeInProgressError(
+                    f"{table_dir} has a purge in progress "
+                    f"({_PURGE_LOCK} is {age:.0f}s old); re-run when "
+                    f"it finishes, or after ttl_seconds if it "
+                    f"crashed") from None
+            try:
+                os.remove(p)  # stale: crashed purger -- steal
+            except OSError:
+                pass
+    raise PurgeInProgressError(
+        f"could not acquire {table_dir}/{_PURGE_LOCK}")
+
+
 def _readable_versions(table_dir: str,
                        backend: CommitBackend) -> list[int]:
     return [n for n in committed_versions(table_dir, backend=backend)
@@ -210,7 +251,10 @@ def _readd_meta_lines(table_dir: str, n: int,
                       meta: dict[str, tuple[dict, dict]]) -> None:
     """Phase 3 for one manifest: prepend fresh #stats/#rows lines for
     the files in ``meta`` ({relpath: (stats_cols, rowmeta)}) that the
-    manifest's data lines reference."""
+    manifest's data lines reference.  Any EXISTING #stats/#rows line
+    for those files is dropped first -- re-adding must replace, never
+    accumulate (a duplicate line for the same file would make the
+    last-occurrence parse winner arbitrary; r10 review finding #3)."""
     from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
         _rows_lines, _stats_lines,
     )
@@ -221,7 +265,15 @@ def _readd_meta_lines(table_dir: str, n: int,
             raw = fh.read()
     except OSError:
         return
-    lines = [ln for ln in raw.splitlines() if ln.strip()]
+
+    def _meta_for(line: str) -> str | None:
+        for prefix in (_STATS_PREFIX, _ROWS_PREFIX):
+            if line.startswith(prefix):
+                return json.loads(line[len(prefix):])["f"]
+        return None
+
+    lines = [ln for ln in raw.splitlines()
+             if ln.strip() and _meta_for(ln) not in meta]
     listed = {ln for ln in lines if not ln.startswith("#")}
     stats = {f: m[0] for f, m in meta.items()
              if f in listed and m[0]}
@@ -235,12 +287,15 @@ def _readd_meta_lines(table_dir: str, n: int,
 
 def purge_keys_history(spark: SparkSession, table_dir: str, key: str,
                        values,
-                       backend: CommitBackend | None = None) -> dict:
+                       backend: CommitBackend | None = None,
+                       lock_ttl_seconds: float = 6 * 3600) -> dict:
     """Physically remove every row whose ``key`` is in ``values``
     from EVERY readable version of the table (see the module doc for
     the crash-ordered protocol).  ``values`` must be non-null
     primitives (an erasure request is control-plane-sized by nature).
-    Returns ``{"rows_purged", "files_rewritten", "files_candidates",
+    One purge per table at a time (:class:`PurgeInProgressError`;
+    ``lock_ttl_seconds`` bounds a crashed purger's lock).  Returns
+    ``{"rows_purged", "files_rewritten", "files_candidates",
     "versions"}``."""
     backend = backend or _DEFAULT_BACKEND
     vals = list(values)
@@ -254,41 +309,51 @@ def purge_keys_history(spark: SparkSession, table_dir: str, key: str,
     if start_cur is None:
         raise FileNotFoundError(
             f"{table_dir} has no committed version")
-    versions = _readable_versions(table_dir, backend)
-    union, _per_version = _candidate_files(table_dir, versions, key,
-                                           vals)
-    # phase 1: metadata for the candidates degrades to footer truth
-    tracked: dict[str, set[str]] = {}
-    for n in versions:
-        for f, cols in _strip_meta_lines(table_dir, n,
-                                         set(union)).items():
-            tracked.setdefault(f, set()).update(cols)
-    # phase 2: independent per-file rewrites, one Spark job (each
-    # task streams one file through pyarrow; local mode == executors)
-    vset = frozenset(vals)
-    abs_root = os.path.abspath(table_dir)
-    if union:
+    lock = _acquire_purge_lock(table_dir, lock_ttl_seconds)
+    try:
+        versions = _readable_versions(table_dir, backend)
+        union, _per_version = _candidate_files(table_dir, versions,
+                                               key, vals)
+        if not union:
+            # nothing can match (stats prove it): no metadata strip,
+            # no manifest churn -- the common sweeping-many-tables
+            # no-op costs only the metadata reads above
+            return {"rows_purged": 0, "files_rewritten": 0,
+                    "files_candidates": 0, "versions": versions}
+        # phase 1: candidate metadata degrades to footer truth
+        tracked: dict[str, set[str]] = {}
+        for n in versions:
+            for f, cols in _strip_meta_lines(table_dir, n,
+                                             set(union)).items():
+                tracked.setdefault(f, set()).update(cols)
+        # phase 2: independent per-file rewrites, one Spark job (each
+        # task streams one file through pyarrow; local == executors)
+        vset = frozenset(vals)
+        abs_root = os.path.abspath(table_dir)
         sc = spark.sparkContext
         purged_counts = (
             sc.parallelize(union, len(union))
               .map(lambda rel: (rel, _rewrite_file(
                   os.path.join(abs_root, rel), key, vset)))
               .collect())
-    else:
-        purged_counts = []
-    rows_purged = sum(c for _, c in purged_counts)
-    rewritten = sorted(rel for rel, c in purged_counts if c > 0)
-    # phase 3: re-record fresh footer metadata for every candidate
-    # (rewritten or not -- unchanged files get identical lines back)
-    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import _file_meta
+        rows_purged = sum(c for _, c in purged_counts)
+        rewritten = sorted(rel for rel, c in purged_counts if c > 0)
+        # phase 3: re-record fresh footer metadata for every
+        # candidate (unchanged files get identical lines back)
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import _file_meta
 
-    fresh: dict[str, tuple[dict, dict]] = {}
-    for rel in union:
-        cols = sorted(tracked.get(rel, {key}))
-        st, rm = _file_meta(os.path.join(abs_root, rel), cols)
-        fresh[rel] = (st, rm)
-    for n in versions:
-        _readd_meta_lines(table_dir, n, fresh)
+        fresh: dict[str, tuple[dict, dict]] = {}
+        for rel in union:
+            cols = sorted(tracked.get(rel, {key}))
+            st, rm = _file_meta(os.path.join(abs_root, rel), cols)
+            fresh[rel] = (st, rm)
+        for n in versions:
+            _readd_meta_lines(table_dir, n, fresh)
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
     end_cur = current_version(table_dir, backend=backend)
     if end_cur != start_cur:
         raise VersionConflictError(

@@ -156,3 +156,34 @@ def test_purge_drops_rewritten_sidecars(spark, tmp_path):
     keep = read_current(spark, t).filter(F.col("k") == 1) \
                                  .collect()[0].u
     assert len(lookup_files(t, "u", keep)) == 1
+
+
+def test_unsupported_column_and_probe_types_raise(spark, tmp_path):
+    t = str(tmp_path / "t")
+    append_version(
+        spark.createDataFrame([(1, 2.5)], "k bigint, x double")
+        .coalesce(1), t)
+    with pytest.raises(TypeError, match="integer and string"):
+        build_bloom_index(spark, t, "x")
+    build_bloom_index(spark, t, "k")
+    with pytest.raises(TypeError, match="int and str"):
+        lookup_files(t, "k", 2.5)
+    with pytest.raises(TypeError, match="int and str"):
+        lookup_files(t, "k", True)
+
+
+def test_sidecar_cleanup_survives_glob_metacharacters(spark, tmp_path):
+    # a table path containing glob metacharacters must not silently
+    # skip sidecar deletion during erasure
+    t = str(tmp_path / "tables[prod]" / "t")
+    append_version(_df(spark, [(1, "u1"), (2, "u2")]).coalesce(1), t)
+    build_bloom_index(spark, t, "u")
+    res = purge_keys_history(spark, t, "k", [1])
+    assert res["rows_purged"] == 1
+    root = os.path.abspath(t)
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import _data_files
+
+    leftover = sum(
+        len(sidecar_candidates(os.path.join(root, f)))
+        for f in _data_files(t, current_version(t)))
+    assert leftover == 0

@@ -232,3 +232,55 @@ def test_purge_random_history_matches_dict_model(spark, tmp_path):
                         if k not in victims)
         assert _rows(read_version(spark, t, n)) == expect, f"v{n}"
     assert_keys_absent(spark, t, "k", victims)
+
+
+def test_noop_purge_touches_no_manifest(spark, tmp_path):
+    """A value provably outside every file's stats range must not
+    rewrite a single manifest (the sweep-many-tables no-op path)."""
+    t = _chain(spark, tmp_path)
+    paths = [os.path.join(t, f"v_{n:08d}", "_MANIFEST")
+             for n in (1, 2, 3)]
+    before = [os.path.getmtime(p) for p in paths]
+    res = purge_keys_history(spark, t, "k", [10_000])
+    assert res == {"rows_purged": 0, "files_rewritten": 0,
+                   "files_candidates": 0, "versions": [1, 2, 3]}
+    assert [os.path.getmtime(p) for p in paths] == before
+
+
+def test_purge_lock_excludes_second_purger(spark, tmp_path):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.purge import (
+        PurgeInProgressError, _PURGE_LOCK,
+    )
+
+    t = _chain(spark, tmp_path)
+    lock = os.path.join(t, _PURGE_LOCK)
+    with open(lock, "w") as fh:
+        fh.write("12345 0\n")
+    with pytest.raises(PurgeInProgressError):
+        purge_keys_history(spark, t, "k", [5])
+    # a crashed purger's stale lock is stolen after the ttl
+    os.utime(lock, (0, 0))
+    assert purge_keys_history(spark, t, "k", [5])["rows_purged"] == 1
+    assert not os.path.exists(lock)  # released on completion
+
+
+def test_rerun_purge_never_duplicates_metadata_lines(spark, tmp_path):
+    t = _chain(spark, tmp_path)
+    purge_keys_history(spark, t, "k", [5])
+    purge_keys_history(spark, t, "k", [6])  # same file re-candidates
+    import collections
+
+    with open(os.path.join(t, "v_00000003", "_MANIFEST")) as fh:
+        raw = fh.read()
+    import json as _json
+
+    seen = collections.Counter()
+    for line in raw.splitlines():
+        for prefix, kind in (("#rows ", "rows"), ("#stats ", "stats")):
+            if line.startswith(prefix):
+                rec = _json.loads(line[len(prefix):])
+                seen[(kind, rec["f"], rec.get("c"))] += 1
+    dupes = {k: c for k, c in seen.items() if c > 1}
+    assert not dupes, f"duplicate metadata lines: {dupes}"
+    # and the counts stayed exact through both purges
+    assert table_rowcount(t, 3) == 28

@@ -363,8 +363,9 @@ def main() -> None:
 
     def _merge_build(s):
         """Untimed per-scale fixture: one append + one key-clustered
-        compaction (~1 MiB files so the file count grows with the
-        table: ~6 at x1, ~170 at x30)."""
+        compaction at 256 KiB target files, so the file count grows
+        with the table (measured: 5 at x1, 12 at x10, 24 at x30 --
+        the SCALE.md merge row's fixture)."""
         from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
             append_version, compact_table, current_version,
         )
