@@ -1,0 +1,165 @@
+"""Write-time table constraints for versioned tables.
+
+The Delta ``CHECK`` / ``NOT NULL`` constraint shape: declare row-level
+expectations ONCE on the table and every subsequent
+:func:`~.versioned.append_version` / :func:`~.versioned.merge_version`
+refuses a batch that violates them
+(:class:`~..operators.expectations.CheckFailedError` BEFORE anything
+stages, so a bad batch never becomes a version).  The reference
+validates inputs per-job and implicitly (scattered na.drop /
+empty-frame guards, jobs/source_to_raw/fem_ratio.py:44-49); a table-
+level contract moves that to the storage boundary, where every writer
+-- batch job, backfill, streaming sink -- passes through it without
+remembering to.
+
+Supported kinds are the ROW-LEVEL expectations (not_null / in_range /
+in_set / matches): they validate the incoming BATCH alone in one
+aggregate scan, so enforcement is O(batch) on every commit.  Grouped/
+referential kinds (unique, foreign_key, agg SLAs) need table-level
+context and belong in a scheduled :func:`~..operators.expectations.
+check_table` audit instead -- declaring one here raises at SET time,
+not at some future write.
+
+Like Delta's ``ALTER TABLE ADD CONSTRAINT``, declaring a constraint
+on a non-empty table first validates the EXISTING current version
+(one scan) -- a constraint the table already violates is refused, so
+"constrained" always means "every row ever readable under it passed".
+
+The declaration lives in ``_CONSTRAINTS.json`` at the table root
+(atomic tmp+replace; table-level, not per-version -- history is not
+retro-validated, exactly like Delta).  Enforcement is wired inside
+append/merge themselves via a lazy import, so streaming sinks and
+the matview refresh inherit it with no changes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from esg_decarbonization_data_integration_and_data_pipline_spark.operators.expectations import (
+    _ROW_LEVEL,
+    Check,
+    enforce,
+)
+
+_FILE = "_CONSTRAINTS.json"
+
+
+def _path(table_dir: str) -> str:
+    return os.path.join(table_dir, _FILE)
+
+
+def _to_json(c: Check) -> dict:
+    return {"kind": c.kind, "columns": list(c.columns),
+            "name": c.name, "lo": c.lo, "hi": c.hi,
+            "values": list(c.values), "pattern": c.pattern}
+
+
+def _from_json(d: dict) -> Check:
+    return Check(d["kind"], tuple(d["columns"]), d.get("name", ""),
+                 lo=d.get("lo"), hi=d.get("hi"),
+                 values=tuple(d.get("values", ())),
+                 pattern=d.get("pattern", ""))
+
+
+def table_constraints(table_dir: str) -> list[Check]:
+    """The declared constraints (empty list = unconstrained table)."""
+    try:
+        with open(_path(table_dir), encoding="ascii") as fh:
+            return [_from_json(d) for d in json.load(fh)]
+    except OSError:
+        return []
+
+
+def set_table_constraints(spark, table_dir: str, checks: list[Check],
+                          backend=None) -> None:
+    """Declare (replace) the table's write-time constraints.  Raises
+    :class:`ValueError` for non-row-level kinds and
+    :class:`CheckFailedError` when the CURRENT version already
+    violates one (nothing is written then) -- an existing table earns
+    its constraints with one validation scan, the Delta ADD
+    CONSTRAINT contract."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        current_version, read_current,
+    )
+
+    if not checks:
+        raise ValueError(
+            "no checks declared -- use drop_table_constraints to "
+            "unconstrain a table")
+    bad = [c.kind for c in checks if c.kind not in _ROW_LEVEL]
+    if bad:
+        raise ValueError(
+            f"write-time constraints support row-level kinds "
+            f"{_ROW_LEVEL} only (got {bad}): grouped/referential "
+            f"checks need table context -- schedule check_table "
+            f"audits for those")
+    labels = [c.label for c in checks]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"duplicate constraint names in {labels}")
+    for c in checks:
+        for v in (c.lo, c.hi, *c.values):
+            if v is not None and not isinstance(v, (int, float, str,
+                                                    bool)):
+                raise ValueError(
+                    f"constraint {c.label}: bound/set values must be "
+                    f"JSON primitives (got {type(v).__name__})")
+    os.makedirs(table_dir, exist_ok=True)
+    if current_version(table_dir, backend=backend) is not None:
+        enforce(read_current(spark, table_dir, backend=backend),
+                checks)
+    tmp = _path(table_dir) + ".tmp"
+    with open(tmp, "w", encoding="ascii") as fh:
+        json.dump([_to_json(c) for c in checks], fh)
+    os.replace(tmp, _path(table_dir))
+
+
+def drop_table_constraints(table_dir: str,
+                           names=None) -> list[str]:
+    """Remove constraints by name (default: all); returns the dropped
+    labels."""
+    cur = table_constraints(table_dir)
+    if not cur:
+        return []
+    if names is None:
+        os.remove(_path(table_dir))
+        return [c.label for c in cur]
+    keep = [c for c in cur if c.label not in set(names)]
+    dropped = [c.label for c in cur if c.label in set(names)]
+    if keep:
+        tmp = _path(table_dir) + ".tmp"
+        with open(tmp, "w", encoding="ascii") as fh:
+            json.dump([_to_json(c) for c in keep], fh)
+        os.replace(tmp, _path(table_dir))
+    else:
+        os.remove(_path(table_dir))
+    return dropped
+
+
+def enforce_on_write(df, table_dir: str):
+    """The write-path hook (called by append_version/merge_version):
+    one O(batch) aggregate scan when constraints exist, a no-op
+    otherwise.  Returns ``df`` unchanged; raises CheckFailedError
+    with the violating check names before anything stages."""
+    checks = table_constraints(table_dir)
+    if not checks:
+        return df
+    # a constraint on a column the batch lacks (pre-evolution writer)
+    # reads as all-NULL there: not_null fails loudly, the null-
+    # skipping kinds pass -- both are the declared semantics, so no
+    # special-casing; enforce() handles missing columns by erroring,
+    # which we translate to the clearer contract message
+    missing = [c for c in checks
+               if c.columns[0] not in df.columns
+               and c.kind == "not_null"]
+    if missing:
+        from esg_decarbonization_data_integration_and_data_pipline_spark.operators.expectations import (
+            CheckFailedError,
+        )
+
+        raise CheckFailedError([
+            {"check_name": c.label, "n_violations": -1,
+             "n_rows": -1} for c in missing])
+    applicable = [c for c in checks if c.columns[0] in df.columns]
+    return enforce(df, applicable) if applicable else df

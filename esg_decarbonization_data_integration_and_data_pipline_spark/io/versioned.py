@@ -1165,7 +1165,21 @@ def append_version(df: DataFrame, table_dir: str, txn: str | None = None,
     interleaved with compaction double-append -- r8 advisor finding);
     ``vacuum`` then reaps the no-longer-referenced dirs once
     retention passes.
+
+    Declared write-time constraints (io/constraints) validate the
+    batch FIRST -- one O(batch) scan, CheckFailedError before
+    anything stages; a no-op on unconstrained tables.
     """
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.constraints import (
+        enforce_on_write,
+    )
+
+    backend = backend or _DEFAULT_BACKEND
+    if txn is not None:
+        cur0 = current_version(table_dir, backend=backend)
+        if cur0 is not None and txn in _txns(table_dir, cur0):
+            return cur0  # replayed batch: skip the enforcement scan
+    df = enforce_on_write(df, table_dir)
     return _manifest_commit(df, table_dir, txn=txn, pinned_base=None,
                             inherit_files=True, max_attempts=max_attempts,
                             backend=backend, merge_schema=merge_schema,
@@ -1424,6 +1438,15 @@ def merge_version(spark: SparkSession, table_dir: str,
         cur0 = current_version(table_dir, backend=backend)
         if cur0 is not None and txn in _txns(table_dir, cur0):
             return cur0  # replayed transaction -- already applied
+    if not delete_only:
+        # write-time constraints validate the UPDATES only (survivor
+        # rows passed when they were written) -- O(batch), and a
+        # violating upsert fails before any file is touched
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.constraints import (
+            enforce_on_write,
+        )
+
+        updates = enforce_on_write(updates, table_dir)
     if pinned_base is not None:
         base: int | None = pinned_base
     else:
