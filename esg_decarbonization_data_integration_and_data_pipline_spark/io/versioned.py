@@ -1502,6 +1502,116 @@ def delete_keys_version(spark: SparkSession, table_dir: str,
                          backend=backend)
 
 
+def drop_columns(spark: SparkSession, table_dir: str, cols,
+                 backend: CommitBackend | None = None) -> int:
+    """ZERO-COPY column drop (the Iceberg ``ALTER TABLE DROP COLUMN``
+    shape): commit a new version whose manifest inherits every data
+    file of the current one BY REFERENCE and whose pinned schema
+    simply omits ``cols`` -- no file is read or rewritten, however
+    large the table; readers project the narrowed schema and the
+    parquet scan never materializes the dropped physical columns
+    (schema-pinned reads do name-based projection).  Earlier versions
+    keep THEIR schemas: time travel before the drop still shows the
+    column -- the data itself is not erased (that is
+    :func:`~.purge.purge_keys_history`'s job, or a compaction after
+    the drop, which rewrites under the narrow schema).
+
+    Stats/row-metadata lines for the dropped columns leave the new
+    manifest (null counts for a gone column must not answer
+    metadata queries); everything else -- txn markers, per-file rows
+    and surviving-column stats -- carries forward verbatim.
+
+    Name-based caveat (the Delta legacy column-mapping semantics,
+    pinned in tests): parquet columns resolve BY NAME, so RE-ADDING
+    a dropped column's name later (merge_schema append) makes
+    pre-drop files surface their old physical values again.  If the
+    name may return, ``compact_table`` right after the drop -- the
+    rewrite is under the narrow schema, physically removing the
+    column.
+
+    Concurrency: pinned to the current version like compaction's --
+    a commit landing mid-drop raises :class:`VersionConflictError`
+    (our manifest is a copy of that exact base); re-run."""
+    import uuid
+
+    from pyspark.sql.types import StructType
+
+    backend = backend or _DEFAULT_BACKEND
+    drop = {cols} if isinstance(cols, str) else set(cols)
+    if not drop:
+        raise ValueError("drop_columns needs at least one column")
+    base = current_version(table_dir, backend=backend)
+    if base is None:
+        raise FileNotFoundError(
+            f"{table_dir} has no committed version")
+    st = table_schema(table_dir, base)
+    if st is None:  # legacy/snapshot base: pin from its parquet once
+        st = _read_resolved(spark, table_dir, base).schema
+    missing = sorted(drop - set(st.fieldNames()))
+    if missing:
+        raise ValueError(
+            f"drop_columns on {table_dir}: {missing} not in the "
+            f"current schema {st.fieldNames()}")
+    keep_fields = [f for f in st.fields if f.name not in drop]
+    if not keep_fields:
+        raise ValueError(
+            f"drop_columns would leave {table_dir} with no columns")
+    new_schema = StructType(keep_fields)
+    inherited = _data_files(table_dir, base)
+    txns = _txns(table_dir, base)
+    stats = {f: {c: v for c, v in cols_.items() if c not in drop}
+             for f, cols_ in _read_stats(table_dir, base).items()}
+    stats = {f: c for f, c in stats.items() if c}
+    rowmeta = {f: {"n": m["n"],
+                   "nn": {c: v for c, v in m["nn"].items()
+                          if c not in drop}}
+               for f, m in _read_rowmeta(table_dir, base).items()}
+    staged = os.path.join(
+        table_dir, f"{_STAGE_PREFIX}{os.getpid()}-{uuid.uuid4().hex}")
+    os.makedirs(staged)
+    claimed: str | None = None
+    try:
+        n = max(_versions(table_dir), default=0) + 1
+        for _ in range(20):
+            target = os.path.join(table_dir, f"v_{n:08d}")
+            try:
+                os.rename(claimed or staged, target)
+            except OSError as exc:
+                if exc.errno not in (errno.EEXIST, errno.ENOTEMPTY):
+                    raise
+                n += 1
+                continue
+            claimed = target
+            raw = backend.read_pointer(table_dir)
+            if _parse_pointer(raw) != base:
+                raise VersionConflictError(
+                    f"drop_columns on {table_dir} staged from "
+                    f"v_{base:08d} but the table advanced before its "
+                    f"commit -- re-run")
+            _write_schema_file(claimed, new_schema)
+            lines = ([_TXN_PREFIX + t for t in sorted(txns)]
+                     + [f"{_BASE_PREFIX}{base}"]
+                     + _stats_lines(stats) + _rows_lines(rowmeta)
+                     + inherited)
+            with open(os.path.join(claimed, _MANIFEST), "w",
+                      encoding="ascii") as fh:
+                fh.write("\n".join(lines) + "\n")
+            if backend.try_commit(table_dir,
+                                  _next_pointer(raw, f"v_{n:08d}"),
+                                  raw):
+                claimed = None
+                return n
+        raise RuntimeError(
+            f"could not commit drop_columns under {table_dir}")
+    finally:
+        # success sets claimed=None (the dir IS the version); any
+        # failure leaves either the claimed dir or the stage to reap
+        if claimed is not None:
+            shutil.rmtree(claimed, ignore_errors=True)
+        elif os.path.isdir(staged):
+            shutil.rmtree(staged, ignore_errors=True)
+
+
 def _manifest_commit(df: DataFrame, table_dir: str, txn: str | None,
                      pinned_base: int | None, inherit_files: bool,
                      max_attempts: int,
