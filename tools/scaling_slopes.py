@@ -291,6 +291,15 @@ def main() -> None:
         # (total vs touched per scale) print untimed alongside.
         "merge_version":
             lambda s: _merge_cycle(s),
+        # round-10: right-to-be-forgotten purge across history
+        # (io/purge) against the same growing clustered fixture.
+        # Each run erases a FRESH fixed-size key slice (3 keys) from
+        # every readable version: candidates are stats-pruned to the
+        # slice's file(s), so the cost should ride the touched files
+        # + the O(#versions) manifest metadata repair -- flat vs
+        # table scale, like merge.
+        "purge_history":
+            lambda s: _purge_cycle(s),
     }
 
     def _pii(d):
@@ -407,6 +416,22 @@ def main() -> None:
         merge_version(spark, _merge_dir(s), updates, "o_orderkey")
         # the merge IS the measured action; the returned frame only
         # satisfies the harness' noop-write contract
+        return spark.range(1)
+
+    _purge_runs: dict = {}
+
+    def _purge_cycle(s):
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.purge import (
+            purge_keys_history,
+        )
+
+        # fresh victims per run so every cycle is a genuine erasure
+        # (the first merge-fixture keys are never purged: merge_cycle
+        # reuses them)
+        r = _purge_runs[s] = _purge_runs.get(s, 0) + 1
+        victims = [5000 + r * 3, 5001 + r * 3, 5002 + r * 3]
+        purge_keys_history(spark, _merge_dir(s), "o_orderkey",
+                           victims)
         return spark.range(1)
 
     _mv_runs: dict = {}
@@ -529,13 +554,14 @@ def main() -> None:
         # only the per-delta ingest cycle is the measured query
         for scale in scales:
             _mv_build(scale)
-    if "merge_version" in OPS:
+    if "merge_version" in OPS or "purge_history" in OPS:
         # same discipline: the clustered table pre-exists; only the
-        # per-batch merge is measured.  File counts print untimed.
+        # per-batch merge/erasure is measured.  File counts print
+        # untimed.
         for scale in scales:
             _merge_build(scale)
             total, touched = _merge_counts(scale)
-            print(json.dumps({"op": "merge_version", "scale": scale,
+            print(json.dumps({"op": "merge_fixture", "scale": scale,
                               "files_total": total,
                               "files_touched": touched}), flush=True)
     for name, fn in OPS.items():
