@@ -1532,8 +1532,6 @@ def drop_columns(spark: SparkSession, table_dir: str, cols,
     Concurrency: pinned to the current version like compaction's --
     a commit landing mid-drop raises :class:`VersionConflictError`
     (our manifest is a copy of that exact base); re-run."""
-    import uuid
-
     from pyspark.sql.types import StructType
 
     backend = backend or _DEFAULT_BACKEND
@@ -1566,6 +1564,25 @@ def drop_columns(spark: SparkSession, table_dir: str, cols,
                    "nn": {c: v for c, v in m["nn"].items()
                           if c not in drop}}
                for f, m in _read_rowmeta(table_dir, base).items()}
+    lines = ([_TXN_PREFIX + t for t in sorted(txns)]
+             + [f"{_BASE_PREFIX}{base}"]
+             + _stats_lines(stats) + _rows_lines(rowmeta)
+             + inherited)
+    return _metadata_only_commit(table_dir, base, new_schema, lines,
+                                 "drop_columns", backend)
+
+
+def _metadata_only_commit(table_dir: str, pinned_base: int,
+                          schema, lines: list[str], op_name: str,
+                          backend: CommitBackend) -> int:
+    """Commit a version that holds NO data files of its own -- just a
+    pinned schema and pre-built manifest lines (the DDL shape behind
+    :func:`drop_columns` and :func:`restore_table`).  Pinned to
+    ``pinned_base``: the lines are derived from that exact state, so
+    a commit landing in between raises
+    :class:`VersionConflictError`."""
+    import uuid
+
     staged = os.path.join(
         table_dir, f"{_STAGE_PREFIX}{os.getpid()}-{uuid.uuid4().hex}")
     os.makedirs(staged)
@@ -1583,16 +1600,13 @@ def drop_columns(spark: SparkSession, table_dir: str, cols,
                 continue
             claimed = target
             raw = backend.read_pointer(table_dir)
-            if _parse_pointer(raw) != base:
+            if _parse_pointer(raw) != pinned_base:
                 raise VersionConflictError(
-                    f"drop_columns on {table_dir} staged from "
-                    f"v_{base:08d} but the table advanced before its "
-                    f"commit -- re-run")
-            _write_schema_file(claimed, new_schema)
-            lines = ([_TXN_PREFIX + t for t in sorted(txns)]
-                     + [f"{_BASE_PREFIX}{base}"]
-                     + _stats_lines(stats) + _rows_lines(rowmeta)
-                     + inherited)
+                    f"{op_name} on {table_dir} staged from "
+                    f"v_{pinned_base:08d} but the table advanced "
+                    f"before its commit -- re-run")
+            if schema is not None:
+                _write_schema_file(claimed, schema)
             with open(os.path.join(claimed, _MANIFEST), "w",
                       encoding="ascii") as fh:
                 fh.write("\n".join(lines) + "\n")
@@ -1602,7 +1616,7 @@ def drop_columns(spark: SparkSession, table_dir: str, cols,
                 claimed = None
                 return n
         raise RuntimeError(
-            f"could not commit drop_columns under {table_dir}")
+            f"could not commit {op_name} under {table_dir}")
     finally:
         # success sets claimed=None (the dir IS the version); any
         # failure leaves either the claimed dir or the stage to reap
@@ -1610,6 +1624,57 @@ def drop_columns(spark: SparkSession, table_dir: str, cols,
             shutil.rmtree(claimed, ignore_errors=True)
         elif os.path.isdir(staged):
             shutil.rmtree(staged, ignore_errors=True)
+
+
+def restore_table(spark: SparkSession, table_dir: str, to_version: int,
+                  backend: CommitBackend | None = None) -> int:
+    """ZERO-COPY rollback (the Delta ``RESTORE TABLE ... VERSION AS
+    OF`` shape): commit a NEW version that references exactly the
+    data files, schema and stats of committed version ``to_version``
+    -- current becomes the old state while history stays intact (the
+    bad versions remain time-travelable for forensics until
+    ``vacuum`` retention reaps them; the pointer never moves
+    backwards).  No file is read or rewritten.
+
+    Txn markers: the restored version carries ``to_version``'s
+    marker set, NOT the rolled-back tip's -- a streaming batch whose
+    append is being rolled back must be REDELIVERABLE afterwards
+    (its marker leaving the current manifest is what re-admits it),
+    which is exactly the semantics a sink crash-replay expects.
+
+    Raises :class:`ValueError` for a never-committed or reaped
+    ``to_version`` and no-ops (returns current) when the table is
+    already at that state.  Pinned to the current version: a commit
+    landing mid-restore raises :class:`VersionConflictError`."""
+    backend = backend or _DEFAULT_BACKEND
+    cur = current_version(table_dir, backend=backend)
+    if cur is None:
+        raise FileNotFoundError(
+            f"{table_dir} has no committed version")
+    committed = committed_versions(table_dir, backend=backend)
+    if to_version not in committed:
+        raise ValueError(
+            f"v_{to_version} of {table_dir} was never committed "
+            f"(committed: {committed})")
+    if to_version == cur:
+        return cur
+    if not os.path.isdir(os.path.join(table_dir,
+                                      f"v_{to_version:08d}")):
+        raise ValueError(
+            f"v_{to_version} of {table_dir} was vacuumed; only "
+            f"readable versions can be restored")
+    st = table_schema(table_dir, to_version)
+    if st is None:  # legacy/snapshot target: pin from its parquet
+        st = _read_resolved(spark, table_dir, to_version).schema
+    stats = _read_stats(table_dir, to_version)
+    rowmeta = _read_rowmeta(table_dir, to_version)
+    lines = ([_TXN_PREFIX + t
+              for t in sorted(_txns(table_dir, to_version))]
+             + [f"{_BASE_PREFIX}{to_version}"]
+             + _stats_lines(stats) + _rows_lines(rowmeta)
+             + _data_files(table_dir, to_version))
+    return _metadata_only_commit(table_dir, cur, st, lines,
+                                 "restore_table", backend)
 
 
 def _manifest_commit(df: DataFrame, table_dir: str, txn: str | None,
