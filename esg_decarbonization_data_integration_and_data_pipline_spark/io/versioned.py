@@ -1220,6 +1220,65 @@ def maybe_compact(spark: SparkSession, table_dir: str,
                          **compact_kwargs)
 
 
+def compact_where(spark: SparkSession, table_dir: str, col: str,
+                  lo=None, hi=None,
+                  sort_by: Sequence[str] = (),
+                  target_file_bytes: int = 128 * 1024 * 1024,
+                  max_attempts: int = 20,
+                  backend: CommitBackend | None = None) -> int | None:
+    """PARTIAL compaction (the Delta ``OPTIMIZE ... WHERE`` shape):
+    re-cluster only the files whose recorded ``col`` stats overlap
+    [``lo``, ``hi``] (either bound optional, not both; stats-less
+    files are conservatively included), leaving the rest of the
+    table inherited by reference -- on a 100 TB table whose last few
+    ingest days are fragmented, this rewrites O(slice), where
+    :func:`compact_table` would rewrite everything.
+
+    The slice is sorted by ``sort_by`` (default: ``[col]``) into
+    ~``target_file_bytes`` files sized from the CANDIDATES' on-disk
+    bytes (metadata; no scan).  Rows are unchanged, so the commit
+    records its base as row-identical -- the change-data-feed and
+    incremental matviews keep their fast path across it, exactly
+    like a full compaction.  Returns the new version, or None when
+    no file overlaps (nothing to do).  Pinned-base concurrency, like
+    every rewrite."""
+    backend = backend or _DEFAULT_BACKEND
+    if lo is None and hi is None:
+        raise ValueError(
+            "compact_where needs lo and/or hi -- for the whole "
+            "table use compact_table")
+    base = current_version(table_dir, backend=backend)
+    if base is None:
+        raise FileNotFoundError(
+            f"{table_dir} has no committed version to compact")
+    stats = _read_stats(table_dir, base)
+    cand: list[str] = []
+    for f in _data_files(table_dir, base):
+        if f in stats and col in stats[f]:
+            f_lo, f_hi = stats[f][col]
+            if (lo is not None and f_hi < lo) or \
+                    (hi is not None and f_lo > hi):
+                continue
+        cand.append(f)
+    if not cand:
+        return None
+    st = table_schema(table_dir, base)
+    reader = spark.read.schema(st) if st is not None else spark.read
+    df = reader.parquet(*[os.path.join(table_dir, f) for f in cand])
+    total = sum(os.path.getsize(os.path.join(table_dir, f))
+                for f in cand
+                if os.path.exists(os.path.join(table_dir, f)))
+    parts = max(1, -(-total // target_file_bytes))
+    keys = list(sort_by) or [col]
+    df = (df.repartitionByRange(parts, *keys)
+            .sortWithinPartitions(*keys))
+    return _manifest_commit(
+        df, table_dir, txn=None, pinned_base=base,
+        inherit_files=True, max_attempts=max_attempts,
+        backend=backend, stats_columns=tuple(keys),
+        inherit_drop=frozenset(cand), row_identical_base=base)
+
+
 def compact_table(spark: SparkSession, table_dir: str,
                   max_attempts: int = 20,
                   backend: CommitBackend | None = None,
