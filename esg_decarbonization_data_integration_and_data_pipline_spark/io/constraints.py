@@ -72,16 +72,36 @@ def table_constraints(table_dir: str) -> list[Check]:
         return []
 
 
+def _write_constraints(table_dir: str, checks: list[Check]) -> None:
+    tmp = _path(table_dir) + ".tmp"
+    with open(tmp, "w", encoding="ascii") as fh:
+        json.dump([_to_json(c) for c in checks], fh)
+    os.replace(tmp, _path(table_dir))
+
+
 def set_table_constraints(spark, table_dir: str, checks: list[Check],
                           backend=None) -> None:
     """Declare (replace) the table's write-time constraints.  Raises
-    :class:`ValueError` for non-row-level kinds and
-    :class:`CheckFailedError` when the CURRENT version already
-    violates one (nothing is written then) -- an existing table earns
-    its constraints with one validation scan, the Delta ADD
-    CONSTRAINT contract."""
+    :class:`ValueError` for non-row-level kinds, names outside the
+    table's pinned schema (exact case -- the write-path check is
+    string-exact, so a case drift would brick or silently disable
+    enforcement), and :class:`CheckFailedError` when the CURRENT
+    version already violates one (nothing is written then) -- an
+    existing table earns its constraints with one validation scan,
+    the Delta ADD CONSTRAINT contract.  On a table with no committed
+    version yet the schema is unknown and the declaration is taken
+    on faith; declare after the first commit when possible.
+
+    Concurrency contract: the validate-then-declare pair cannot be
+    atomic against writers whose constraint check (absent) preceded
+    the declaration (the constraint lives in a sidecar file, not the
+    commit log).  After landing the file, any commit that raced the
+    validation is re-validated (loop until the pointer is stable),
+    which closes every window except a writer still in flight at
+    return time -- quiesce writers when adding constraints to a hot
+    table."""
     from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
-        current_version, read_current,
+        current_version, read_current, read_version, table_schema,
     )
 
     if not checks:
@@ -106,13 +126,42 @@ def set_table_constraints(spark, table_dir: str, checks: list[Check],
                     f"constraint {c.label}: bound/set values must be "
                     f"JSON primitives (got {type(v).__name__})")
     os.makedirs(table_dir, exist_ok=True)
-    if current_version(table_dir, backend=backend) is not None:
-        enforce(read_current(spark, table_dir, backend=backend),
+    cur = current_version(table_dir, backend=backend)
+    if cur is not None:
+        st = table_schema(table_dir, cur)
+        if st is None:
+            st = read_current(spark, table_dir,
+                              backend=backend).schema
+        unknown = sorted({c.columns[0] for c in checks}
+                         - set(st.fieldNames()))
+        if unknown:
+            raise ValueError(
+                f"constraints reference columns {unknown} not in the "
+                f"table schema {st.fieldNames()} (names are "
+                f"case-exact)")
+        enforce(read_version(spark, table_dir, cur, backend=backend),
                 checks)
-    tmp = _path(table_dir) + ".tmp"
-    with open(tmp, "w", encoding="ascii") as fh:
-        json.dump([_to_json(c) for c in checks], fh)
-    os.replace(tmp, _path(table_dir))
+    _write_constraints(table_dir, checks)
+    # close the validate-vs-inflight-commit race: any version that
+    # landed during/after the validation scan is re-validated now
+    # that the constraint file is visible to future writers.  If a
+    # raced commit violates, the declaration ROLLS BACK before the
+    # error surfaces -- 'constrained' must keep meaning 'validated'.
+    seen = cur
+    try:
+        while True:
+            now = current_version(table_dir, backend=backend)
+            if now == seen:
+                break
+            enforce(read_version(spark, table_dir, now,
+                                 backend=backend), checks)
+            seen = now
+    except Exception:
+        try:
+            os.remove(_path(table_dir))
+        except OSError:
+            pass
+        raise
 
 
 def drop_table_constraints(table_dir: str,
@@ -128,10 +177,7 @@ def drop_table_constraints(table_dir: str,
     keep = [c for c in cur if c.label not in set(names)]
     dropped = [c.label for c in cur if c.label in set(names)]
     if keep:
-        tmp = _path(table_dir) + ".tmp"
-        with open(tmp, "w", encoding="ascii") as fh:
-            json.dump([_to_json(c) for c in keep], fh)
-        os.replace(tmp, _path(table_dir))
+        _write_constraints(table_dir, keep)
     else:
         os.remove(_path(table_dir))
     return dropped

@@ -319,6 +319,7 @@ def full_refresh_aggregate_view(spark: SparkSession, mv_dir: str,
     n = _manifest_commit(mv, mv_dir, txn=f"{_SRC_TXN_PREFIX}{src_v}",
                          pinned_base=cur, inherit_files=False,
                          max_attempts=20, backend=backend,
+                         enforce_constraints=True,
                          stats_columns=[_KEY_COL])
     return (n, src_v)
 

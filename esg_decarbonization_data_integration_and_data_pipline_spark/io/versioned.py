@@ -463,8 +463,16 @@ def write_version(df: DataFrame, table_dir: str,
     conditional-put contract."""
     import uuid
 
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.constraints import (
+        enforce_on_write,
+    )
+
     backend = backend or _DEFAULT_BACKEND
     os.makedirs(table_dir, exist_ok=True)
+    # snapshot writers pass through the table's write-time
+    # constraints like every other NEW-data path -- the 'every row
+    # ever readable under a constraint passed it' contract
+    df = enforce_on_write(df, table_dir)
     staged = os.path.join(
         table_dir, f"{_STAGE_PREFIX}{os.getpid()}-{uuid.uuid4().hex}")
     try:
@@ -1170,20 +1178,11 @@ def append_version(df: DataFrame, table_dir: str, txn: str | None = None,
     batch FIRST -- one O(batch) scan, CheckFailedError before
     anything stages; a no-op on unconstrained tables.
     """
-    from esg_decarbonization_data_integration_and_data_pipline_spark.io.constraints import (
-        enforce_on_write,
-    )
-
-    backend = backend or _DEFAULT_BACKEND
-    if txn is not None:
-        cur0 = current_version(table_dir, backend=backend)
-        if cur0 is not None and txn in _txns(table_dir, cur0):
-            return cur0  # replayed batch: skip the enforcement scan
-    df = enforce_on_write(df, table_dir)
     return _manifest_commit(df, table_dir, txn=txn, pinned_base=None,
                             inherit_files=True, max_attempts=max_attempts,
                             backend=backend, merge_schema=merge_schema,
-                            stats_columns=stats_columns)
+                            stats_columns=stats_columns,
+                            enforce_constraints=True)
 
 
 def maybe_compact(spark: SparkSession, table_dir: str,
@@ -1251,18 +1250,28 @@ def compact_where(spark: SparkSession, table_dir: str, col: str,
     if base is None:
         raise FileNotFoundError(
             f"{table_dir} has no committed version to compact")
+    st = table_schema(table_dir, base)
+    if st is not None:
+        bad = [c for c in ([col] + list(sort_by))
+               if c not in st.fieldNames()]
+        if bad:
+            raise ValueError(
+                f"compact_where on {table_dir}: {bad} not in the "
+                f"current schema {st.fieldNames()}")
     stats = _read_stats(table_dir, base)
-    cand: list[str] = []
-    for f in _data_files(table_dir, base):
-        if f in stats and col in stats[f]:
-            f_lo, f_hi = stats[f][col]
-            if (lo is not None and f_hi < lo) or \
-                    (hi is not None and f_lo > hi):
-                continue
-        cand.append(f)
+    if not any(col in cols for cols in stats.values()):
+        # with zero recorded stats the 'conservative include' would
+        # silently degrade to the full-table rewrite this function
+        # exists to avoid -- demand stats or the honest full compact
+        raise ValueError(
+            f"compact_where on {table_dir}: no file records stats "
+            f"for {col!r} -- commit with stats_columns=[{col!r}] "
+            f"(or compact_table(sort_by=[{col!r}])) first, or run "
+            f"the full compact_table if rewriting everything is "
+            f"intended")
+    cand, _total = pruned_files(table_dir, base, col, lo=lo, hi=hi)
     if not cand:
         return None
-    st = table_schema(table_dir, base)
     reader = spark.read.schema(st) if st is not None else spark.read
     df = reader.parquet(*[os.path.join(table_dir, f) for f in cand])
     total = sum(os.path.getsize(os.path.join(table_dir, f))
@@ -1597,6 +1606,21 @@ def drop_columns(spark: SparkSession, table_dir: str, cols,
     drop = {cols} if isinstance(cols, str) else set(cols)
     if not drop:
         raise ValueError("drop_columns needs at least one column")
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.constraints import (
+        table_constraints,
+    )
+
+    referenced = [c.label for c in table_constraints(table_dir)
+                  if set(c.columns) & drop]
+    if referenced:
+        # Delta's rule: a column under a CHECK/NOT NULL constraint
+        # cannot be dropped -- a not_null on a gone column would
+        # brick every later write, and a range/set/regex constraint
+        # would silently stop being enforced
+        raise ValueError(
+            f"drop_columns on {table_dir}: constraints {referenced} "
+            f"reference the dropped column(s) -- "
+            f"drop_table_constraints first")
     base = current_version(table_dir, backend=backend)
     if base is None:
         raise FileNotFoundError(
@@ -1743,7 +1767,8 @@ def _manifest_commit(df: DataFrame, table_dir: str, txn: str | None,
                      merge_schema: bool = False,
                      stats_columns: Sequence[str] = (),
                      inherit_drop: frozenset[str] = frozenset(),
-                     row_identical_base: int | None = None) -> int:
+                     row_identical_base: int | None = None,
+                     enforce_constraints: bool = False) -> int:
     """Shared stage -> claim -> manifest -> commit loop behind
     :func:`append_version` (``inherit_files=True``, rebases freely),
     :func:`compact_table` (``pinned_base`` set: raises
@@ -1760,6 +1785,15 @@ def _manifest_commit(df: DataFrame, table_dir: str, txn: str | None,
         cur0 = current_version(table_dir, backend=backend)
         if cur0 is not None and txn in _txns(table_dir, cur0):
             return cur0  # replayed transaction -- already visible
+    if enforce_constraints:
+        # write-time constraints validate NEW data only (append /
+        # write_version / MV full refresh); rewrites of already-
+        # validated rows (compaction, merge survivors) skip the scan
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.constraints import (
+            enforce_on_write,
+        )
+
+        df = enforce_on_write(df, table_dir)
     staged = os.path.join(
         table_dir, f"{_STAGE_PREFIX}{os.getpid()}-{uuid.uuid4().hex}")
     claimed: str | None = None

@@ -103,3 +103,18 @@ def test_statless_files_conservatively_included(spark, tmp_path):
     # rewritten layout now carries stats for k on every file
     stats = _read_stats(t, n)
     assert all("k" in stats.get(f, {}) for f in after)
+
+
+def test_compact_where_validates_col_and_demands_stats(spark,
+                                                       tmp_path):
+    t = str(tmp_path / "t")
+    append_version(_kv(spark, [(1, "x")]).coalesce(1), t,
+                   stats_columns=["k"])
+    with pytest.raises(ValueError, match="not in the current schema"):
+        compact_where(spark, t, "nope", lo=0)
+    with pytest.raises(ValueError, match="not in the current schema"):
+        compact_where(spark, t, "k", lo=0, sort_by=["nope"])
+    # a real column with NO recorded stats anywhere: refuse instead
+    # of silently degrading to the full-table rewrite
+    with pytest.raises(ValueError, match="no file records stats"):
+        compact_where(spark, t, "a", lo="a")

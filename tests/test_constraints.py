@@ -148,3 +148,69 @@ def test_streaming_sink_inherits_enforcement(spark, tmp_path):
     # the same token commits (not treated as a replay)
     append_version(_kv(spark, [(2, 1.0)]), t, txn="batch-7")
     assert current_version(t) == 2
+
+
+def test_write_version_snapshot_is_also_gated(spark, tmp_path):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import write_version
+
+    t = str(tmp_path / "t")
+    append_version(_kv(spark, [(1, 1.0)]), t)
+    set_table_constraints(spark, t, SUITE)
+    with pytest.raises(CheckFailedError):
+        write_version(_kv(spark, [(9, -1.0)]), t)
+    assert current_version(t) == 1
+    write_version(_kv(spark, [(9, 1.0)]), t)
+    assert current_version(t) == 2
+
+
+def test_drop_columns_refuses_constrained_column(spark, tmp_path):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import drop_columns
+
+    t = str(tmp_path / "t")
+    append_version(_kv(spark, [(1, 1.0)]), t)
+    set_table_constraints(spark, t, SUITE)
+    with pytest.raises(ValueError, match="drop_table_constraints"):
+        drop_columns(spark, t, "amt")
+    drop_table_constraints(t, ["in_range:amt"])
+    drop_columns(spark, t, "amt")  # now legal
+    assert read_current(spark, t).columns == ["k"]
+
+
+def test_unknown_or_case_mismatched_column_refused(spark, tmp_path):
+    t = str(tmp_path / "t")
+    append_version(_kv(spark, [(1, 1.0)]), t)
+    with pytest.raises(ValueError, match="case-exact"):
+        set_table_constraints(spark, t, [not_null("nope")])
+    with pytest.raises(ValueError, match="case-exact"):
+        set_table_constraints(spark, t, [not_null("K")])
+    assert table_constraints(t) == []
+
+
+def test_raced_violating_commit_rolls_the_declaration_back(
+        spark, tmp_path, monkeypatch):
+    """A writer whose constraint check (file absent) preceded the
+    declaration commits a violating batch mid-set: the
+    re-validation loop catches it AND rolls the declaration back, so
+    'constrained' keeps meaning 'validated'."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io import constraints as C
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import _manifest_commit
+
+    t = str(tmp_path / "t")
+    append_version(_kv(spark, [(1, 1.0)]), t)
+    real = C._write_constraints
+
+    def land_then_race(table_dir, checks):
+        real(table_dir, checks)
+        # the racing writer validated BEFORE the file landed, so its
+        # commit bypasses enforcement (enforce_constraints=False is
+        # exactly that already-checked state)
+        _manifest_commit(_kv(spark, [(2, -9.0)]), t, txn=None,
+                         pinned_base=None, inherit_files=True,
+                         max_attempts=5, backend=None)
+
+    monkeypatch.setattr(C, "_write_constraints", land_then_race)
+    with pytest.raises(CheckFailedError):
+        set_table_constraints(spark, t, SUITE)
+    # rolled back: the table is NOT constrained, writes still flow
+    assert table_constraints(t) == []
+    append_version(_kv(spark, [(3, -1.0)]), t)
