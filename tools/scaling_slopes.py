@@ -300,6 +300,14 @@ def main() -> None:
         # table scale, like merge.
         "purge_history":
             lambda s: _purge_cycle(s),
+        # round-10: partial compaction against the growing clustered
+        # fixture.  Each run fragments a FIXED key slice (one small
+        # append into the low key range) and compact_where
+        # re-clusters just that slice: candidates are the slice's
+        # file(s) + the fresh fragment, so the cost should stay flat
+        # vs table scale while compact_table would grow linearly.
+        "compact_where":
+            lambda s: _compact_where_cycle(s),
     }
 
     def _pii(d):
@@ -416,6 +424,22 @@ def main() -> None:
         merge_version(spark, _merge_dir(s), updates, "o_orderkey")
         # the merge IS the measured action; the returned frame only
         # satisfies the harness' noop-write contract
+        return spark.range(1)
+
+    def _compact_where_cycle(s):
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+            append_version, compact_where,
+        )
+
+        td = _merge_dir(s)
+        # fragment the low key slice, then measure re-clustering it;
+        # both halves are part of the maintenance cycle being timed
+        frag = (_orders_big(1)
+                .filter(F.col("o_orderkey") < 1000)
+                .coalesce(1))
+        append_version(frag, td)
+        compact_where(spark, td, "o_orderkey", lo=0, hi=1000,
+                      target_file_bytes=1 << 18)
         return spark.range(1)
 
     _purge_runs: dict = {}
@@ -554,7 +578,8 @@ def main() -> None:
         # only the per-delta ingest cycle is the measured query
         for scale in scales:
             _mv_build(scale)
-    if "merge_version" in OPS or "purge_history" in OPS:
+    if "merge_version" in OPS or "purge_history" in OPS \
+            or "compact_where" in OPS:
         # same discipline: the clustered table pre-exists; only the
         # per-batch merge/erasure is measured.  File counts print
         # untimed.
