@@ -183,6 +183,61 @@ def drop_table_constraints(table_dir: str,
     return dropped
 
 
+def audit_constraints(spark, table_dir: str,
+                      versions=None, backend=None) -> list[dict]:
+    """Verify the CURRENTLY declared constraints against HISTORY:
+    one report row per (version, check) over every readable version
+    (or the given ``versions``) -- the answer to "did the table
+    always satisfy its contract, including states that predate the
+    declaration or arrived through restore_table / adopted legacy
+    chains".  Routed the cheapest correct way per check
+    (:func:`~..operators.expectations.check_table`): not_null rides
+    the manifest null counts (zero data I/O on stats-committed
+    versions), in_range costs boundary files, in_set / matches scan.
+    A column missing from an old version's schema reads all-NULL
+    there: not_null honestly reports every row as violating;
+    null-skipping kinds pass vacuously."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        committed_versions, read_version, table_schema,
+    )
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.expectations import (
+        check_table, report,
+    )
+
+    checks = table_constraints(table_dir)
+    if not checks:
+        raise ValueError(f"{table_dir} declares no constraints")
+    if versions is None:
+        versions = [n for n in committed_versions(table_dir,
+                                                  backend=backend)
+                    if os.path.isdir(os.path.join(table_dir,
+                                                  f"v_{n:08d}"))]
+    out: list[dict] = []
+    for n in versions:
+        st = table_schema(table_dir, n)
+        known = set(st.fieldNames()) if st is not None else None
+        applicable = [c for c in checks
+                      if known is None or c.columns[0] in known]
+        missing = [c for c in checks if c not in applicable]
+        rows: list[dict] = []
+        if applicable:
+            rows = check_table(spark, table_dir, applicable, n=n,
+                               backend=backend)
+        for c in missing:
+            # pre-evolution version: the column does not exist there;
+            # every row violates not_null, nothing violates the rest
+            total = read_version(spark, table_dir, n,
+                                 backend=backend).count()
+            viol = total if c.kind == "not_null" else 0
+            rows.append({"check_name": c.label, "kind": c.kind,
+                         "target": c.columns[0],
+                         "n_violations": viol, "n_rows": total,
+                         "passed": viol == 0})
+        for r in rows:
+            out.append({"version": n, **r})
+    return out
+
+
 def enforce_on_write(df, table_dir: str):
     """The write-path hook (called by append_version/merge_version):
     one O(batch) aggregate scan when constraints exist, a no-op

@@ -214,3 +214,85 @@ def test_raced_violating_commit_rolls_the_declaration_back(
     # rolled back: the table is NOT constrained, writes still flow
     assert table_constraints(t) == []
     append_version(_kv(spark, [(3, -1.0)]), t)
+
+
+def test_audit_constraints_over_history(spark, tmp_path):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.constraints import audit_constraints
+
+    t = str(tmp_path / "t")
+    # v1 violates the future range constraint; a merge fixes v2
+    append_version(_kv(spark, [(1, -5.0), (2, 3.0)]).coalesce(1), t,
+                   stats_columns=["k", "amt"])
+    merge_version(spark, t, _kv(spark, [(1, 5.0)]), "k")
+    set_table_constraints(spark, t, SUITE)  # current (v2) passes
+    rows = audit_constraints(spark, t)
+    by = {(r["version"], r["check_name"]): r for r in rows}
+    assert by[(1, "in_range:amt")]["n_violations"] == 1
+    assert not by[(1, "in_range:amt")]["passed"]
+    assert by[(2, "in_range:amt")]["n_violations"] == 0
+    assert by[(1, "not_null:k")]["passed"]
+    assert by[(2, "not_null:k")]["passed"]
+    with pytest.raises(ValueError, match="declares no constraints"):
+        audit_constraints(spark, str(tmp_path / "t2"))
+
+
+def test_audit_constraints_missing_column_version(spark, tmp_path):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.constraints import audit_constraints
+
+    t = str(tmp_path / "t")
+    append_version(spark.createDataFrame([(1,), (2,)], "k bigint")
+                   .coalesce(1), t)
+    append_version(_kv(spark, [(3, 1.0)]).coalesce(1), t,
+                   merge_schema=True)
+    set_table_constraints(spark, t, [in_range("amt", lo=0.0)])
+    rows = audit_constraints(spark, t)
+    by = {(r["version"], r["check_name"]): r for r in rows}
+    # v1 predates amt entirely: range skips the absent column
+    # vacuously (0 violations over its 2 rows)
+    assert by[(1, "in_range:amt")]["n_violations"] == 0
+    assert by[(1, "in_range:amt")]["n_rows"] == 2
+    assert by[(2, "in_range:amt")]["passed"]
+
+
+def test_true_stream_fail_stops_on_violating_batch(spark, tmp_path):
+    """End-to-end through readStream -> stream_versioned_append: a
+    constrained table FAIL-STOPS the query on a violating
+    micro-batch (the keep-flowing alternative is the quarantine
+    sink), commits nothing for it, and a corrected rerun converges
+    with the clean batch applied exactly once."""
+    import os
+
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.streaming.docs_versioned import (
+        stream_versioned_append,
+    )
+
+    src = str(tmp_path / "src")
+    t = str(tmp_path / "t")
+    os.makedirs(src)
+    append_version(_kv(spark, [(1, 1.0)]), t)
+    set_table_constraints(spark, t, SUITE)
+
+    def land(rows, name):
+        (_kv(spark, rows).coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(src, name)))
+
+    land([(2, 5.0)], "b1")          # clean
+    land([(3, -7.0)], "b2")         # violates in_range:amt
+
+    sdf = (spark.readStream.schema("k bigint, amt double")
+           .option("maxFilesPerTrigger", "1").parquet(src + "/*"))
+    q = stream_versioned_append(sdf, t, str(tmp_path / "ck"))
+    with pytest.raises(StreamingQueryException, match="in_range:amt"):
+        q.awaitTermination()
+    got = {(r.k, r.amt) for r in read_current(spark, t).collect()}
+    assert got == {(1, 1.0), (2, 5.0)}  # clean batch in, bad one out
+    # fix upstream and restart on the SAME checkpoint: the failed
+    # batch replays corrected; the clean batch's txn marker stops a
+    # double-append
+    land([(3, 7.0)], "b2")
+    q2 = stream_versioned_append(sdf, t, str(tmp_path / "ck"))
+    q2.awaitTermination()
+    got = {(r.k, r.amt) for r in read_current(spark, t).collect()}
+    assert got == {(1, 1.0), (2, 5.0), (3, 7.0)}
