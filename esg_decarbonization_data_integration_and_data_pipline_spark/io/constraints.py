@@ -198,10 +198,10 @@ def audit_constraints(spark, table_dir: str,
     there: not_null honestly reports every row as violating;
     null-skipping kinds pass vacuously."""
     from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
-        committed_versions, read_version, table_schema,
+        committed_versions, table_rowcount, table_schema,
     )
     from esg_decarbonization_data_integration_and_data_pipline_spark.operators.expectations import (
-        check_table, report,
+        check_table,
     )
 
     checks = table_constraints(table_dir)
@@ -216,23 +216,27 @@ def audit_constraints(spark, table_dir: str,
     for n in versions:
         st = table_schema(table_dir, n)
         known = set(st.fieldNames()) if st is not None else None
-        applicable = [c for c in checks
-                      if known is None or c.columns[0] in known]
-        missing = [c for c in checks if c not in applicable]
+
+        def absent(c) -> bool:
+            return known is not None and c.columns[0] not in known
+
+        applicable = [c for c in checks if not absent(c)]
         rows: list[dict] = []
         if applicable:
             rows = check_table(spark, table_dir, applicable, n=n,
                                backend=backend)
-        for c in missing:
+        missing = [c for c in checks if absent(c)]
+        if missing:
             # pre-evolution version: the column does not exist there;
-            # every row violates not_null, nothing violates the rest
-            total = read_version(spark, table_dir, n,
-                                 backend=backend).count()
-            viol = total if c.kind == "not_null" else 0
-            rows.append({"check_name": c.label, "kind": c.kind,
-                         "target": c.columns[0],
-                         "n_violations": viol, "n_rows": total,
-                         "passed": viol == 0})
+            # every row violates not_null, nothing violates the rest.
+            # Row count from metadata -- zero Spark jobs, once/version
+            total = table_rowcount(table_dir, n, backend=backend)
+            for c in missing:
+                viol = total if c.kind == "not_null" else 0
+                rows.append({"check_name": c.label, "kind": c.kind,
+                             "target": c.columns[0],
+                             "n_violations": viol, "n_rows": total,
+                             "passed": viol == 0})
         for r in rows:
             out.append({"version": n, **r})
     return out
