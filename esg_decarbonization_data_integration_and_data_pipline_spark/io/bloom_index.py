@@ -159,6 +159,15 @@ def build_bloom_index(spark: SparkSession, table_dir: str, col: str,
             raise FileNotFoundError(
                 f"{table_dir} has no committed version")
     st = table_schema(table_dir, n)
+    if st is not None and col not in st.fieldNames():
+        # a typo'd column would otherwise write always-prune sidecars
+        # per file (the per-file builder treats an absent column as
+        # "all-NULL here"), after which point_lookup silently returns
+        # zero rows instead of the AnalysisException an unindexed
+        # scan raises (r10 ADVICE)
+        raise ValueError(
+            f"bloom index on {col!r}: not a column of {table_dir} "
+            f"v_{n:08d} (schema: {st.fieldNames()})")
     if st is not None and col in st.fieldNames() \
             and st[col].dataType.typeName() not in (
                 "byte", "short", "integer", "long", "string"):
@@ -213,6 +222,13 @@ def lookup_files(table_dir: str, col: str, value,
         if n is None:
             raise FileNotFoundError(
                 f"{table_dir} has no committed version")
+    st = table_schema(table_dir, n)
+    if st is not None and col not in st.fieldNames():
+        # mirror build_bloom_index: a typo'd column must error like
+        # the unindexed scan would, not return "no files to read"
+        raise ValueError(
+            f"bloom lookup on {col!r}: not a column of {table_dir} "
+            f"v_{n:08d} (schema: {st.fieldNames()})")
     root = os.path.abspath(table_dir)
     stats = _read_stats(table_dir, n)
     out = []

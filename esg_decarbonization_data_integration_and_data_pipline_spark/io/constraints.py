@@ -28,8 +28,23 @@ on a non-empty table first validates the EXISTING current version
 The declaration lives in ``_CONSTRAINTS.json`` at the table root
 (atomic tmp+replace; table-level, not per-version -- history is not
 retro-validated, exactly like Delta).  Enforcement is wired inside
-append/merge themselves via a lazy import, so streaming sinks and
-the matview refresh inherit it with no changes.
+append/merge themselves via a lazy import -- validating the STAGED
+parquet between staging and the pointer flip, so the published bytes
+are exactly what passed -- and streaming sinks and the matview
+refresh inherit it with no changes.
+
+Concurrency caveat (single-writer semantics for SET): declaring a
+constraint on a table with writers IN FLIGHT leaves one window the
+sidecar-file design cannot close -- a writer whose constraint read
+(absent) preceded the declaration and whose commit lands after
+:func:`set_table_constraints` returns is never validated.  The
+post-declaration loop re-validates every version that landed during
+the call and ROLLS the declaration BACK on a violation (pinned by
+tests/test_constraints.py::
+test_raced_violating_commit_rolls_the_declaration_back), which closes
+every narrower window; quiesce writers when constraining a hot table.
+Delta avoids this only by putting the constraint in the commit log
+itself, which our sidecar deliberately is not.
 """
 
 from __future__ import annotations
@@ -101,7 +116,8 @@ def set_table_constraints(spark, table_dir: str, checks: list[Check],
     return time -- quiesce writers when adding constraints to a hot
     table."""
     from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
-        current_version, read_current, read_version, table_schema,
+        committed_versions, current_version, read_current,
+        read_version, table_schema,
     )
 
     if not checks:
@@ -144,17 +160,28 @@ def set_table_constraints(spark, table_dir: str, checks: list[Check],
     _write_constraints(table_dir, checks)
     # close the validate-vs-inflight-commit race: any version that
     # landed during/after the validation scan is re-validated now
-    # that the constraint file is visible to future writers.  If a
-    # raced commit violates, the declaration ROLLS BACK before the
-    # error surfaces -- 'constrained' must keep meaning 'validated'.
+    # that the constraint file is visible to future writers.  EVERY
+    # raced version is validated, not just the newest -- a violating
+    # commit already superseded by the time the loop looks (violating
+    # append, then a corrective delete) would otherwise remain
+    # readable, unvalidated history under the declaration (r10
+    # ADVICE).  If any raced commit violates, the declaration ROLLS
+    # BACK before the error surfaces -- 'constrained' must keep
+    # meaning 'validated'.
     seen = cur
     try:
         while True:
             now = current_version(table_dir, backend=backend)
             if now == seen:
                 break
-            enforce(read_version(spark, table_dir, now,
-                                 backend=backend), checks)
+            raced = [n for n in committed_versions(table_dir,
+                                                   backend=backend)
+                     if (seen is None or n > seen) and n <= now
+                     and os.path.isdir(os.path.join(table_dir,
+                                                    f"v_{n:08d}"))]
+            for v in raced:
+                enforce(read_version(spark, table_dir, v,
+                                     backend=backend), checks)
             seen = now
     except Exception:
         try:
@@ -243,10 +270,15 @@ def audit_constraints(spark, table_dir: str,
 
 
 def enforce_on_write(df, table_dir: str):
-    """The write-path hook (called by append_version/merge_version):
-    one O(batch) aggregate scan when constraints exist, a no-op
-    otherwise.  Returns ``df`` unchanged; raises CheckFailedError
-    with the violating check names before anything stages."""
+    """The write-path hook (called by _manifest_commit on the STAGED
+    parquet read-back, between staging and the pointer flip): one
+    O(batch) aggregate scan when constraints exist, a no-op
+    otherwise.  Validating the staged bytes rather than the incoming
+    plan means a nondeterministic batch cannot pass validation yet
+    persist violating rows, and an uncached batch is computed once
+    (r10 ADVICE).  Returns ``df`` unchanged; raises CheckFailedError
+    with the violating check names before anything commits (the
+    caller reaps the stage)."""
     checks = table_constraints(table_dir)
     if not checks:
         return df

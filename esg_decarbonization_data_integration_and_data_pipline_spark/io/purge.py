@@ -185,12 +185,22 @@ def _rewrite_file(abs_path: str, key: str, values: frozenset) -> int:
     d, base = os.path.split(abs_path)
     tmp = os.path.join(d, f".purge-tmp-{base}")
     pq.write_table(kept, tmp)
-    os.replace(tmp, abs_path)
+    # Sidecar cleanup happens BEFORE the swap (r10 ADVICE, medium): a
+    # crash between a swap and a trailing cleanup would leave the
+    # purged file behind a stale Hadoop .crc (local-FS reads fail on
+    # the mismatch) and bloom sidecars retaining hashed evidence of
+    # the erased subject -- and a re-run could never repair either,
+    # because the rows are already gone and the n_hit == 0 early
+    # return above skips this block.  Deleting first is crash-safe in
+    # both directions: a crash after the deletes but before the swap
+    # leaves the data file unchanged with its sidecars gone, which
+    # only degrades (no checksum verification, conservative bloom
+    # reads) and the re-run's n_hit > 0 completes the swap.
+    #
     # Hadoop's ChecksumFileSystem keeps a ".<name>.crc" sidecar for
-    # files Spark wrote; it no longer matches the swapped bytes and
-    # a local-FS read would fail on it -- removing it disables
-    # verification for this file (the standard out-of-band-rewrite
-    # remedy; object stores have no sidecar)
+    # files Spark wrote; it would no longer match the swapped bytes
+    # -- removing it disables verification for this file (the
+    # standard out-of-band-rewrite remedy; object stores have none).
     try:
         os.remove(os.path.join(d, f".{base}.crc"))
     except OSError:
@@ -208,6 +218,7 @@ def _rewrite_file(abs_path: str, key: str, values: frozenset) -> int:
             os.remove(sidecar)
         except OSError:
             pass
+    os.replace(tmp, abs_path)
     return n_hit
 
 

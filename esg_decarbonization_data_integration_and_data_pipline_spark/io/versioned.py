@@ -1785,15 +1785,6 @@ def _manifest_commit(df: DataFrame, table_dir: str, txn: str | None,
         cur0 = current_version(table_dir, backend=backend)
         if cur0 is not None and txn in _txns(table_dir, cur0):
             return cur0  # replayed transaction -- already visible
-    if enforce_constraints:
-        # write-time constraints validate NEW data only (append /
-        # write_version / MV full refresh); rewrites of already-
-        # validated rows (compaction, merge survivors) skip the scan
-        from esg_decarbonization_data_integration_and_data_pipline_spark.io.constraints import (
-            enforce_on_write,
-        )
-
-        df = enforce_on_write(df, table_dir)
     staged = os.path.join(
         table_dir, f"{_STAGE_PREFIX}{os.getpid()}-{uuid.uuid4().hex}")
     claimed: str | None = None
@@ -1805,6 +1796,27 @@ def _manifest_commit(df: DataFrame, table_dir: str, txn: str | None,
             # one schema-carrying part so the version stays readable
             df.limit(0).repartition(1).write.mode("overwrite") \
                 .parquet(staged)
+        if enforce_constraints:
+            # write-time constraints validate NEW data only (append /
+            # write_version / MV full refresh); rewrites of already-
+            # validated rows (compaction, merge survivors) skip the
+            # scan.  Validation reads back the STAGED parquet, not
+            # the incoming plan (r10 ADVICE): a nondeterministic
+            # batch (rand(), current_timestamp, a re-read of a
+            # changing source) could pass a pre-write check yet
+            # persist violating rows, and an uncached batch would be
+            # computed twice.  The staged bytes ARE what the pointer
+            # flip publishes, so "every row readable under a
+            # constraint passed it" holds by construction; a
+            # violation raises here and the finally reaps the stage
+            # before anything becomes a version.
+            from esg_decarbonization_data_integration_and_data_pipline_spark.io.constraints import (
+                enforce_on_write, table_constraints,
+            )
+
+            if table_constraints(table_dir):
+                enforce_on_write(
+                    df.sparkSession.read.parquet(staged), table_dir)
         n = max(_versions(table_dir), default=0) + 1
         for _ in range(max_attempts):
             target = os.path.join(table_dir, f"v_{n:08d}")
