@@ -69,6 +69,15 @@ HEADLINE = [
     # prefix24 series
     "versioned_table_audit",
     "drift_ks_summary",
+    # added round 11: the four lakehouse audits over the SHARED
+    # memoized fixture (plans/fixtures.py) -- the first query to run
+    # pays the 3-commit build once, every later sample/query reuses
+    # it (versioned_table_audit's r10 fixture-build overhead moved
+    # there too).  Totals compare on prefix17/prefix24/prefix26.
+    "purge_erasure_audit",
+    "constraints_history_audit",
+    "ddl_timetravel_audit",
+    "bloom_point_lookup_orders",
 ]
 
 
@@ -165,7 +174,8 @@ def main() -> None:
     # verdict task #3) so r11+ has a two-round window for them.  New
     # rounds APPEND to HEADLINE and, when they grow it, declare one
     # more (length, sentinel) pair here -- one loop, no copied blocks
-    PREFIXES = [(17, "events_tumbling_agg"), (24, "drift_orders_psi")]
+    PREFIXES = [(17, "events_tumbling_agg"), (24, "drift_orders_psi"),
+                (26, "drift_ks_summary")]
     for plen, sentinel in PREFIXES:
         assert len(HEADLINE) >= plen and HEADLINE[plen - 1] == sentinel, \
             f"HEADLINE's first {plen} entries are a cross-round " \

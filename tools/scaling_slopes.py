@@ -305,9 +305,38 @@ def main() -> None:
         # append into the low key range) and compact_where
         # re-clusters just that slice: candidates are the slice's
         # file(s) + the fresh fragment, so the cost should stay flat
-        # vs table scale while compact_table would grow linearly.
+        # vs table scale while compact_where would grow linearly.
         "compact_where":
             lambda s: _compact_where_cycle(s),
+        # round-11 (r10 verdict task #4): bloom sidecar build against
+        # the growing clustered fixture (5/12/24 files at x1/x10/x30).
+        # Each run deletes the existing sidecars (µs -- ≤24 unlinks)
+        # and rebuilds ALL of them: one executor task per file, each
+        # streaming one ~256 KiB column chunk, so with 32 cores and
+        # ≤24 files the wall-clock should stay near-flat until the
+        # file count exceeds the core count (the claim is
+        # executor-PARALLEL, not driver-serial).
+        "bloom_build":
+            lambda s: _bloom_build_cycle(s),
+        # round-11: bloom point-probe planning -- 500 lookup_files
+        # probes per run against the growing fixture.  lookup_files
+        # takes NO SparkSession (zero-Spark-job by signature): pure
+        # driver-side metadata, O(#files) sidecar reads per probe, so
+        # the slope should track the file count (5->24), not bytes.
+        "bloom_lookup":
+            lambda s: _bloom_lookup_cycle(s),
+        # round-11: constraint audit over ALL readable versions of
+        # the growing fixture, cost-routed.  The metadata suite
+        # (not_null on the stats-tracked key) answers from manifest
+        # null counts -- zero data I/O, slope ~0; the scan suite
+        # (in_set on an untracked string column) pays one scan per
+        # version -- slope ~1.  The declaration is swapped by writing
+        # the sidecar directly (µs; set_table_constraints' validation
+        # scan is deployment-time cost, not per-audit cost).
+        "constraints_audit_meta":
+            lambda s: _audit_cycle(s, "meta"),
+        "constraints_audit_scan":
+            lambda s: _audit_cycle(s, "scan"),
     }
 
     def _pii(d):
@@ -440,6 +469,57 @@ def main() -> None:
         append_version(frag, td)
         compact_where(spark, td, "o_orderkey", lo=0, hi=1000,
                       target_file_bytes=1 << 18)
+        return spark.range(1)
+
+    def _bloom_build_cycle(s):
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.bloom_index import (
+            build_bloom_index, sidecar_candidates,
+        )
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+            _data_files, current_version,
+        )
+
+        td = _merge_dir(s)
+        n = current_version(td)
+        for rel in _data_files(td, n):
+            for sc_path in sidecar_candidates(os.path.join(td, rel)):
+                os.remove(sc_path)
+        built = build_bloom_index(spark, td, "o_custkey", n=n)
+        assert built > 0
+        return spark.range(1)
+
+    def _bloom_lookup_cycle(s):
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.bloom_index import (
+            lookup_files,
+        )
+
+        td = _merge_dir(s)
+        hits = 0
+        for probe in range(500):
+            hits += len(lookup_files(td, "o_custkey", probe + 1))
+        # probes 1..500 are real sf0.1 custkeys: if nothing ever
+        # survives pruning the sidecars are broken, not fast
+        assert hits > 0
+        return spark.range(1)
+
+    _AUDIT_SUITES = {
+        # metadata-routed: o_orderkey is stats-tracked, so not_null
+        # answers from manifest null counts with zero data I/O
+        "meta": lambda E: [E.not_null("o_orderkey")],
+        # scan-routed: in_set on an untracked string column pays one
+        # column scan per readable version
+        "scan": lambda E: [E.in_set("o_orderstatus",
+                                    ("F", "O", "P"))],
+    }
+
+    def _audit_cycle(s, suite):
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io import constraints as C
+        from esg_decarbonization_data_integration_and_data_pipline_spark.operators import expectations as E
+
+        td = _merge_dir(s)
+        C._write_constraints(td, _AUDIT_SUITES[suite](E))
+        rows = C.audit_constraints(spark, td)
+        assert rows and all(r["passed"] for r in rows)
         return spark.range(1)
 
     _purge_runs: dict = {}
@@ -578,17 +658,27 @@ def main() -> None:
         # only the per-delta ingest cycle is the measured query
         for scale in scales:
             _mv_build(scale)
-    if "merge_version" in OPS or "purge_history" in OPS \
-            or "compact_where" in OPS:
+    if {"merge_version", "purge_history", "compact_where",
+            "bloom_build", "bloom_lookup", "constraints_audit_meta",
+            "constraints_audit_scan"} & set(OPS):
         # same discipline: the clustered table pre-exists; only the
-        # per-batch merge/erasure is measured.  File counts print
-        # untimed.
+        # per-batch merge/erasure/audit is measured.  File counts
+        # print untimed.
         for scale in scales:
             _merge_build(scale)
             total, touched = _merge_counts(scale)
             print(json.dumps({"op": "merge_fixture", "scale": scale,
                               "files_total": total,
                               "files_touched": touched}), flush=True)
+    if "bloom_lookup" in OPS:
+        # probes need sidecars present; the build is index
+        # maintenance, not per-probe cost (bloom_build measures it)
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.bloom_index import (
+            build_bloom_index,
+        )
+
+        for scale in scales:
+            build_bloom_index(spark, _merge_dir(scale), "o_custkey")
     for name, fn in OPS.items():
         results[name] = {}
         for scale in scales:
@@ -609,6 +699,16 @@ def main() -> None:
         import shutil
         for d in _export_dirs:
             shutil.rmtree(d, ignore_errors=True)
+    if {"constraints_audit_meta", "constraints_audit_scan"} & set(OPS):
+        # the fixture tables persist in --out across invocations:
+        # leaving a declaration behind would silently add enforcement
+        # cost to future merge/purge cycle measurements
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.constraints import (
+            drop_table_constraints,
+        )
+
+        for scale in scales:
+            drop_table_constraints(_merge_dir(scale))
 
     summary = {}
     for name, r in results.items():
