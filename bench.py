@@ -78,6 +78,9 @@ HEADLINE = [
     "constraints_history_audit",
     "ddl_timetravel_audit",
     "bloom_point_lookup_orders",
+    # added round 11: the SCD2 tier (three dimension snapshots folded
+    # into pinned-base merges; builds its own private table per run)
+    "scd2_customer_history",
 ]
 
 

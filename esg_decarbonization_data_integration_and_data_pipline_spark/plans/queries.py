@@ -749,19 +749,20 @@ _DRIVER_HEAD = [
     # head representative -- see the r9 block in _DRIVER_TAIL.
     "versioned_quarter_audit",
     "cube_status_priority",
-    "quality_top_fraction",
     "semdedup_embeddings_ivf",
     "external_model_scoring", "forecast_revenue",
     # ---- round-11 rotations INTO the head: the last rotatable
     # never-driver-graded query (mixture_sample_docs -- finishes the
-    # burn-down; bpe_tokenize_docs stays NEVER_GRADED_OK rows-only)
-    # plus the FOUR new lakehouse-audit queries the r10 verdict asked
-    # for (purge/constraints/DDL/bloom over the shared fixture in
-    # plans/fixtures.py).  Five r9+r10-graded heads rotated out --
-    # see the r11 block in _DRIVER_TAIL.
+    # burn-down; bpe_tokenize_docs stays NEVER_GRADED_OK rows-only),
+    # the FOUR new lakehouse-audit queries the r10 verdict asked for
+    # (purge/constraints/DDL/bloom over the shared fixture in
+    # plans/fixtures.py), and the round's new capability tier: SCD2
+    # dimension history (io/scd).  Six r9+r10-graded heads rotated
+    # out -- see the r11 block in _DRIVER_TAIL.
     "mixture_sample_docs",
     "purge_erasure_audit", "constraints_history_audit",
     "ddl_timetravel_audit", "bloom_point_lookup_orders",
+    "scd2_customer_history",
     # ---- round-9 new capability: PII detect/redact (operators/pii.py)
     # enters the head directly (the never-graded-tail backlog is
     # capped at 11, so new queries must take a head slot);
@@ -1021,6 +1022,11 @@ _DRIVER_TAIL = [
     #       A2/A10 stay via pricing_summary / vocab_top_tokens
     "count_distinct_parts", "text_line_dedup", "text_unigram_nll",
     "similarity_sq_topk", "data_quality_report",
+    #   quality_top_fraction (r9-r10) -> rotated out for the NEW
+    #       scd2_customer_history head slot: W5 share-of-total stays
+    #       via share_of_nation_acctbal + forecast_revenue; the
+    #       quality-percentile gate stays oracle-replayed in-repo
+    "quality_top_fraction",
 ]
 _ORDERED = _DRIVER_HEAD + _DRIVER_TAIL
 assert set(_ORDERED) == set(REGISTRY) and len(_ORDERED) == len(REGISTRY), (

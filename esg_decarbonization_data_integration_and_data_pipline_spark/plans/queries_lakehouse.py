@@ -282,3 +282,102 @@ def bloom_point_lookup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version int, probe bigint, n_rows bigint, "
               "sum_price double")
+
+
+@register("scd2_customer_history", "ext:scd2,P6", oracle="""
+WITH c AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS a
+           FROM customer),
+f AS (SELECT k, seg, a,
+             (k % 3 = 0)  AS m3, (k % 5 = 0)  AS m5,
+             (k % 7 = 0)  AS m7, (k % 11 = 0) AS m11
+      FROM c),
+r1 AS (SELECT k, seg, a AS acct, '2023-01-01' AS valid_from,
+         CASE WHEN m3 THEN '2023-02-01'
+              WHEN m5 OR m7 THEN '2023-03-01'
+              ELSE '9999-12-31' END AS valid_to,
+         CASE WHEN m3 OR m5 OR m7 THEN 0 ELSE 1 END AS is_current
+       FROM f),
+r2 AS (SELECT k, seg, a + 100 AS acct, '2023-02-01' AS valid_from,
+         CASE WHEN m5 OR m7 THEN '2023-03-01'
+              ELSE '9999-12-31' END AS valid_to,
+         CASE WHEN m5 OR m7 THEN 0 ELSE 1 END AS is_current
+       FROM f WHERE m3),
+r3 AS (SELECT k, 'MOVED' AS seg,
+         CASE WHEN m3 THEN a + 100 ELSE a END AS acct,
+         '2023-03-01' AS valid_from, '9999-12-31' AS valid_to,
+         1 AS is_current
+       FROM f WHERE m5 AND NOT m7),
+rn AS (SELECT k + 1000000 AS k, 'NEW' AS seg, 0.0 AS acct,
+         '2023-03-01' AS valid_from, '9999-12-31' AS valid_to,
+         1 AS is_current
+       FROM f WHERE m11)
+SELECT k AS c_custkey, seg AS c_mktsegment,
+       round(acct, 2) AS c_acctbal, valid_from, valid_to,
+       CAST(is_current AS INT) AS is_current
+FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+      UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM rn)
+""")
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension maintenance, driver-gradable
+    end-to-end (io/scd.scd2_apply; the reference keeps no dimension
+    history at all -- truncate-and-reload per jobs/csr_etl.py:157 --
+    so SCD2 is what that contract becomes with attribute time).
+    Three monthly customer snapshots fold into one SCD2 table:
+
+      Jan  every customer arrives (open rows);
+      Feb  %3 keys change c_acctbal (+100) -> close + reopen;
+      Mar  FULL snapshot: %5 keys change c_mktsegment ('MOVED'),
+           %7 keys are ABSENT (close_missing closes them without a
+           successor -- and %35 keys prove departure precedence over
+           the segment change), %11 keys gain a NEW member
+           (k + 1e6); everyone else is an untouched no-op.
+
+    The result is the complete history (open intervals coalesced to
+    the Kimball high date '9999-12-31' on both engines); the oracle
+    derives every row's bracket and currency flag from the customer
+    parquet with pure CASE logic, so a missed close, a spurious
+    reopen on an unchanged key, a wrong interval bound, or a
+    precedence slip between change/departure all hash-mismatch.
+    Each apply is ONE pinned-base merge commit whose rewrite set is
+    the touched keys' history only (stats-pruned on c_custkey); the
+    unchanged majority never leaves the inherited files."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.scd import scd2_apply
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import read_current
+    from esg_decarbonization_data_integration_and_data_pipline_spark.tables import table
+
+    root = tempfile.mkdtemp(prefix="scd2_cust_")
+    atexit.register(shutil.rmtree, root, True)
+    td = root + "/customer_dim"
+    c = (table(spark, sf_dir, "customer")
+         .select(F.col("c_custkey").alias("k"),
+                 F.col("c_mktsegment").alias("seg"),
+                 F.col("c_acctbal").alias("acct")))
+    scd2_apply(spark, td, c, "k", ["seg", "acct"], "2023-01-01")
+    feb = c.withColumn(
+        "acct", F.when(F.col("k") % 3 == 0, F.col("acct") + 100)
+                 .otherwise(F.col("acct")))
+    scd2_apply(spark, td, feb, "k", ["seg", "acct"], "2023-02-01")
+    mar = (feb.withColumn(
+               "seg", F.when(F.col("k") % 5 == 0, F.lit("MOVED"))
+                       .otherwise(F.col("seg")))
+           .filter(F.col("k") % 7 != 0)
+           .unionByName(
+               c.filter(F.col("k") % 11 == 0)
+                .select((F.col("k") + 1000000).alias("k"),
+                        F.lit("NEW").alias("seg"),
+                        F.lit(0.0).alias("acct"))))
+    scd2_apply(spark, td, mar, "k", ["seg", "acct"], "2023-03-01",
+               close_missing=True)
+    return (read_current(spark, td)
+            .select(F.col("k").alias("c_custkey"),
+                    F.col("seg").alias("c_mktsegment"),
+                    F.round("acct", 2).alias("c_acctbal"),
+                    "valid_from",
+                    F.coalesce("valid_to", F.lit("9999-12-31"))
+                     .alias("valid_to"),
+                    F.col("is_current").cast("int")
+                     .alias("is_current")))
