@@ -102,8 +102,7 @@ def scd2_apply(spark: SparkSession, table_dir: str, batch: DataFrame,
             "current_timestamp)")
     vf = F.lit(effective)
 
-    cur_n = current_version(table_dir, backend=backend) \
-        if __import__("os").path.isdir(table_dir) else None
+    cur_n = current_version(table_dir, backend=backend)
     if cur_n is None:
         init = (batch
                 .withColumn("valid_from", vf)
@@ -127,8 +126,16 @@ def scd2_apply(spark: SparkSession, table_dir: str, batch: DataFrame,
         raise ValueError(
             f"batch has duplicate {key} values -- SCD2 history would "
             f"fork; de-duplicate upstream")
-    last = (cur_tbl.filter(F.col("is_current"))
-            .agg(F.max("valid_from").alias("m")).collect()[0]["m"])
+    # the last applied effective is the max over BOTH brackets of the
+    # WHOLE table: inserts stamp valid_from, closes stamp valid_to,
+    # and a close-only apply (full departure) stamps only the latter
+    # -- checking open rows' valid_from alone would let an
+    # out-of-order effective overlap a closed interval (r11 review
+    # pass #1)
+    mrow = cur_tbl.agg(F.max("valid_from").alias("f"),
+                       F.max("valid_to").alias("t")).collect()[0]
+    last = max((v for v in (mrow["f"], mrow["t"]) if v is not None),
+               default=None)
     if last is not None and not (type(last) is type(effective)
                                  and effective > last):
         raise ValueError(
@@ -180,6 +187,39 @@ def scd2_current(spark: SparkSession, table_dir: str,
 
     return (read_current(spark, table_dir, backend=backend)
             .filter(F.col("is_current")))
+
+
+def scd2_enrich(facts: DataFrame, history: DataFrame, key: str,
+                asof_col: str, how: str = "left") -> DataFrame:
+    """Point-in-time fact enrichment: join each fact row to the
+    dimension row whose validity interval covers the fact's own
+    ``asof_col`` -- the join that makes SCD2 history USABLE ("the
+    customer's segment when this order was placed", not its segment
+    today).  ``history`` is the full SCD2 frame
+    (:func:`~.versioned.read_current` of the dimension table); at
+    most one dimension row matches per fact by the non-overlap
+    invariant, and a fact dated before the member existed (or after
+    it departed) keeps NULL dimension columns under the default left
+    join.
+
+    Plan shape at scale: Catalyst executes this as an EQUI-join on
+    ``key`` with the interval bounds as residual predicates -- one
+    shuffle on the key (or zero with a broadcast dimension), never a
+    range-explode: history rows per key are few (one per attribute
+    state), so the residual filter touches a handful of candidates
+    per fact.  Dimension histories small enough to broadcast join
+    shuffle-free against any fact volume."""
+    if key not in facts.columns or asof_col not in facts.columns:
+        raise ValueError(
+            f"facts need columns {key!r} and {asof_col!r} "
+            f"(has {facts.columns})")
+    f, h = facts.alias("f"), history.alias("h")
+    ts = F.col(f"f.{asof_col}")
+    cond = ((F.col(f"f.{key}") == F.col(f"h.{key}"))
+            & (F.col("h.valid_from") <= ts)
+            & (F.col("h.valid_to").isNull()
+               | (ts < F.col("h.valid_to"))))
+    return f.join(h, cond, how).drop(F.col(f"h.{key}"))
 
 
 def scd2_as_of(spark: SparkSession, table_dir: str, effective,

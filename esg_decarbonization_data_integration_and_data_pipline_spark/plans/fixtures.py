@@ -78,6 +78,54 @@ def orders_versioned_fixture(spark: SparkSession, sf_dir: str) -> str:
     return td
 
 
+_SCD_CACHE: dict[str, str] = {}
+
+
+def scd2_customer_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """The shared 3-apply SCD2 customer dimension for ``sf_dir``
+    (io/scd.scd2_apply; built on first use, memoized).  READ-ONLY
+    for callers.  Snapshot cadence (each a separate pinned-base merge
+    commit):
+
+      2023-01-01  every customer arrives (k, seg, acct);
+      2023-02-01  keys %3 change acct (+100);
+      2023-03-01  FULL snapshot with close_missing: keys %5 change
+                  seg ('MOVED'), keys %7 are absent (closed without
+                  successor; %35 proves departure precedence), keys
+                  %11 gain a NEW member (k + 1e6, 'NEW', 0.0).
+    """
+    td = _SCD_CACHE.get(sf_dir)
+    if td is not None and os.path.isdir(td):
+        return td
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.scd import scd2_apply
+
+    root = tempfile.mkdtemp(prefix="scd2_fx_")
+    atexit.register(shutil.rmtree, root, True)
+    td = os.path.join(root, "customer_dim")
+    c = (table(spark, sf_dir, "customer")
+         .select(F.col("c_custkey").alias("k"),
+                 F.col("c_mktsegment").alias("seg"),
+                 F.col("c_acctbal").alias("acct")))
+    scd2_apply(spark, td, c, "k", ["seg", "acct"], "2023-01-01")
+    feb = c.withColumn(
+        "acct", F.when(F.col("k") % 3 == 0, F.col("acct") + 100)
+                 .otherwise(F.col("acct")))
+    scd2_apply(spark, td, feb, "k", ["seg", "acct"], "2023-02-01")
+    mar = (feb.withColumn(
+               "seg", F.when(F.col("k") % 5 == 0, F.lit("MOVED"))
+                       .otherwise(F.col("seg")))
+           .filter(F.col("k") % 7 != 0)
+           .unionByName(
+               c.filter(F.col("k") % 11 == 0)
+                .select((F.col("k") + 1000000).alias("k"),
+                        F.lit("NEW").alias("seg"),
+                        F.lit(0.0).alias("acct"))))
+    scd2_apply(spark, td, mar, "k", ["seg", "acct"], "2023-03-01",
+               close_missing=True)
+    _SCD_CACHE[sf_dir] = td
+    return td
+
+
 def copy_fixture(src_td: str) -> str:
     """A private mutable copy of a fixture table dir (fresh mkdtemp,
     reaped at exit)."""

@@ -762,7 +762,7 @@ _DRIVER_HEAD = [
     "mixture_sample_docs",
     "purge_erasure_audit", "constraints_history_audit",
     "ddl_timetravel_audit", "bloom_point_lookup_orders",
-    "scd2_customer_history",
+    "scd2_customer_history", "scd2_asof_fact_join",
     # ---- round-9 new capability: PII detect/redact (operators/pii.py)
     # enters the head directly (the never-graded-tail backlog is
     # capped at 11, so new queries must take a head slot);
@@ -781,12 +781,11 @@ _DRIVER_HEAD = [
     # this query's per-stage UNION ALL with literal stage columns,
     # and P9 also via concat_format_timestamps)
     "matview_incremental_orders",
-    # ---- round-9 new capability: BM25 ranked retrieval
-    # (operators/text.bm25_topk); fill_missing_part_revenue rotates
-    # out (driver-green r1-r8; its J1 broadcast left-enrich stays
-    # head-graded via contamination_report_docs, F12 null handling
-    # via coalescing_nation_balance)
-    "bm25_retrieval_docs",
+    # (bm25_retrieval_docs -- the r9 retrieval first-grade -- rotated
+    # to the tail in r11 after two graded rounds for the
+    # scd2_asof_fact_join slot; it stays bench-headlined and
+    # oracle-replayed, and W2/A10 keep head reps via
+    # greedy_allocation / similarity_topk_batch / vocab_top_tokens)
     # (data_quality_report -- the r9 expectations first-grade --
     # rotated to the tail in r11 after two graded rounds; the
     # expectations tier keeps TWO head reps: versioned_table_audit
@@ -1027,6 +1026,11 @@ _DRIVER_TAIL = [
     #       via share_of_nation_acctbal + forecast_revenue; the
     #       quality-percentile gate stays oracle-replayed in-repo
     "quality_top_fraction",
+    #   bm25_retrieval_docs (r9-r10) -> rotated out for the NEW
+    #       scd2_asof_fact_join head slot: stays bench-headlined and
+    #       oracle-replayed; W2 keeps head reps greedy_allocation /
+    #       similarity_topk_batch, A10 vocab_top_tokens
+    "bm25_retrieval_docs",
 ]
 _ORDERED = _DRIVER_HEAD + _DRIVER_TAIL
 assert set(_ORDERED) == set(REGISTRY) and len(_ORDERED) == len(REGISTRY), (

@@ -340,38 +340,16 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     precedence slip between change/departure all hash-mismatch.
     Each apply is ONE pinned-base merge commit whose rewrite set is
     the touched keys' history only (stats-pruned on c_custkey); the
-    unchanged majority never leaves the inherited files."""
-    import atexit
-    import shutil
-    import tempfile
-
-    from esg_decarbonization_data_integration_and_data_pipline_spark.io.scd import scd2_apply
+    unchanged majority never leaves the inherited files.  The dim
+    build is the memoized shared fixture (plans/fixtures.py) --
+    scd2_asof_fact_join reads the same table, and this query only
+    READS it, so no copy is taken."""
     from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import read_current
-    from esg_decarbonization_data_integration_and_data_pipline_spark.tables import table
+    from esg_decarbonization_data_integration_and_data_pipline_spark.plans.fixtures import (
+        scd2_customer_fixture,
+    )
 
-    root = tempfile.mkdtemp(prefix="scd2_cust_")
-    atexit.register(shutil.rmtree, root, True)
-    td = root + "/customer_dim"
-    c = (table(spark, sf_dir, "customer")
-         .select(F.col("c_custkey").alias("k"),
-                 F.col("c_mktsegment").alias("seg"),
-                 F.col("c_acctbal").alias("acct")))
-    scd2_apply(spark, td, c, "k", ["seg", "acct"], "2023-01-01")
-    feb = c.withColumn(
-        "acct", F.when(F.col("k") % 3 == 0, F.col("acct") + 100)
-                 .otherwise(F.col("acct")))
-    scd2_apply(spark, td, feb, "k", ["seg", "acct"], "2023-02-01")
-    mar = (feb.withColumn(
-               "seg", F.when(F.col("k") % 5 == 0, F.lit("MOVED"))
-                       .otherwise(F.col("seg")))
-           .filter(F.col("k") % 7 != 0)
-           .unionByName(
-               c.filter(F.col("k") % 11 == 0)
-                .select((F.col("k") + 1000000).alias("k"),
-                        F.lit("NEW").alias("seg"),
-                        F.lit(0.0).alias("acct"))))
-    scd2_apply(spark, td, mar, "k", ["seg", "acct"], "2023-03-01",
-               close_missing=True)
+    td = scd2_customer_fixture(spark, sf_dir)
     return (read_current(spark, td)
             .select(F.col("k").alias("c_custkey"),
                     F.col("seg").alias("c_mktsegment"),
@@ -381,3 +359,71 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("valid_to"),
                     F.col("is_current").cast("int")
                      .alias("is_current")))
+
+
+@register("scd2_asof_fact_join", "ext:scd2-asof-join,J6,A1,P6", oracle="""
+WITH o AS (
+  SELECT o_custkey AS k, o_totalprice,
+         CASE CAST(o_orderkey % 4 AS INT)
+           WHEN 0 THEN '2022-12-15'
+           WHEN 1 THEN '2023-01-15'
+           WHEN 2 THEN '2023-02-15'
+           ELSE '2023-03-15' END AS as_of
+  FROM orders),
+c AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer),
+j AS (
+  SELECT o.as_of, o.o_totalprice,
+         CASE WHEN o.as_of = '2022-12-15' THEN NULL
+              WHEN o.as_of = '2023-03-15' AND c.k % 7 = 0 THEN NULL
+              WHEN o.as_of = '2023-03-15' AND c.k % 5 = 0 THEN 'MOVED'
+              ELSE c.seg END AS seg
+  FROM o JOIN c ON o.k = c.k)
+SELECT as_of, coalesce(seg, '<no-dimension-row>') AS c_mktsegment,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS total_price
+FROM j GROUP BY 1, 2
+""")
+def scd2_asof_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time fact enrichment against the SCD2 dimension
+    (io/scd.scd2_enrich over the shared fixture): every order gets a
+    synthetic effective date by o_orderkey % 4 -- one BEFORE the
+    dimension existed, one inside each of the three validity eras --
+    and joins to the customer row whose interval covers it, then
+    aggregates revenue per (as_of, segment-at-that-time).  The
+    oracle replays the interval resolution as pure CASE logic over
+    the raw parquet: a pre-history date and a departed member
+    (%7 keys at the March date) must surface as
+    '<no-dimension-row>', a %5 key must read 'MOVED' only at the
+    March date, and everything else must resolve to the original
+    segment -- so a wrong bracket bound, a leak of the CURRENT
+    attribute into an earlier as-of, or a dropped left-join row all
+    hash-mismatch.  Plan shape: one equi-join on the key with the
+    interval bounds as residual predicates (history per key is a
+    handful of rows), broadcastable whenever the dimension is."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.scd import scd2_enrich
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import read_current
+    from esg_decarbonization_data_integration_and_data_pipline_spark.plans.fixtures import (
+        scd2_customer_fixture,
+    )
+    from esg_decarbonization_data_integration_and_data_pipline_spark.tables import table
+
+    td = scd2_customer_fixture(spark, sf_dir)
+    hist = read_current(spark, td)
+    facts = (table(spark, sf_dir, "orders")
+             .select(F.col("o_custkey").alias("k"), "o_totalprice",
+                     (F.col("o_orderkey") % 4).cast("int")
+                      .alias("b"))
+             .withColumn("as_of",
+                         F.when(F.col("b") == 0, "2022-12-15")
+                          .when(F.col("b") == 1, "2023-01-15")
+                          .when(F.col("b") == 2, "2023-02-15")
+                          .otherwise("2023-03-15"))
+             .drop("b"))
+    return (scd2_enrich(facts, hist, "k", "as_of")
+            .groupBy("as_of",
+                     F.coalesce(F.col("seg"),
+                                F.lit("<no-dimension-row>"))
+                      .alias("c_mktsegment"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 4)
+                  .alias("total_price")))

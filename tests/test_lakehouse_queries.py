@@ -62,16 +62,26 @@ def test_mutating_queries_leave_the_shared_fixture_pristine(
     fixture state: run each once, assert the shared dir's file set
     and mtimes never moved, then rerun one mutator and the read-only
     audit and compare results row-for-row."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.plans.fixtures import (
+        scd2_customer_fixture,
+    )
+
     src = orders_versioned_fixture(spark, sf_dir)
+    scd_src = scd2_customer_fixture(spark, sf_dir)
     before = _snapshot(src)
+    scd_before = _snapshot(scd_src)
     results = {}
     for name in ("purge_erasure_audit", "constraints_history_audit",
                  "ddl_timetravel_audit", "bloom_point_lookup_orders",
-                 "versioned_table_audit"):
+                 "versioned_table_audit", "scd2_customer_history",
+                 "scd2_asof_fact_join"):
         results[name] = sorted(
             map(tuple, QUERY_FNS[name](spark, sf_dir).collect()))
     assert _snapshot(src) == before, "a query mutated the shared fixture"
-    for name in ("purge_erasure_audit", "versioned_table_audit"):
+    assert _snapshot(scd_src) == scd_before, (
+        "a query mutated the shared SCD2 fixture")
+    for name in ("purge_erasure_audit", "versioned_table_audit",
+                 "scd2_asof_fact_join"):
         again = sorted(
             map(tuple, QUERY_FNS[name](spark, sf_dir).collect()))
         assert again == results[name], f"{name} not rerun-stable"

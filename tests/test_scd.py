@@ -189,6 +189,55 @@ def test_guards(spark, tmp_path):
                    "k", ["seg"], 99)
 
 
+def test_scd2_enrich_point_in_time(spark, tmp_path):
+    """Fact rows resolve the dimension row covering THEIR OWN date:
+    pre-history and post-departure facts keep NULL dim columns."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.scd import scd2_enrich
+
+    td = str(tmp_path / "dim")
+    scd2_apply(spark, td, _snap(spark, [(1, "A", 1.0)]),
+               "k", ["seg"], "2023-01-01")
+    scd2_apply(spark, td, _snap(spark, [(1, "B", 1.0)]),
+               "k", ["seg"], "2023-02-01")
+    scd2_apply(spark, td, _snap(spark, []).limit(0),
+               "k", ["seg"], "2023-03-01", close_missing=True)
+    facts = spark.createDataFrame(
+        [(1, "2022-12-31", 10.0), (1, "2023-01-15", 20.0),
+         (1, "2023-02-15", 30.0), (1, "2023-03-15", 40.0)],
+        "k bigint, ts string, amt double")
+    hist = read_current(spark, td)
+    got = {r.ts: r.seg for r in
+           scd2_enrich(facts, hist, "k", "ts").collect()}
+    assert got == {"2022-12-31": None, "2023-01-15": "A",
+                   "2023-02-15": "B", "2023-03-15": None}
+    # inner join drops the uncovered facts instead
+    assert scd2_enrich(facts, hist, "k", "ts", how="inner").count() == 2
+    with pytest.raises(ValueError, match="facts need columns"):
+        scd2_enrich(facts.drop("ts"), hist, "k", "ts")
+
+
+def test_monotonicity_guard_survives_full_departure(spark, tmp_path):
+    """An all-departed dimension (every row closed) must still reject
+    an out-of-order effective -- the guard reads the whole table's
+    max valid_from, not just the open rows."""
+    td = str(tmp_path / "dim")
+    scd2_apply(spark, td, _snap(spark, [(1, "A", 1.0)]),
+               "k", ["seg"], "2023-01-01")
+    scd2_apply(spark, td, _snap(spark, []).limit(0),
+               "k", ["seg"], "2023-02-01", close_missing=True)
+    assert scd2_current(spark, td).count() == 0
+    with pytest.raises(ValueError, match="strictly after"):
+        scd2_apply(spark, td, _snap(spark, [(1, "B", 1.0)]),
+                   "k", ["seg"], "2023-01-15")
+    # and the member's return at a later effective reopens cleanly
+    scd2_apply(spark, td, _snap(spark, [(1, "B", 1.0)]),
+               "k", ["seg"], "2023-03-01")
+    assert _hist(spark, td) == [
+        (1, "A", 1.0, "2023-01-01", "2023-02-01", False),
+        (1, "B", 1.0, "2023-03-01", None, True),
+    ]
+
+
 def test_integer_effective_epochs(spark, tmp_path):
     td = str(tmp_path / "dim")
     scd2_apply(spark, td, _snap(spark, [(1, "A", 1.0)]),
