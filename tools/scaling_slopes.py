@@ -337,6 +337,16 @@ def main() -> None:
             lambda s: _audit_cycle(s, "meta"),
         "constraints_audit_scan":
             lambda s: _audit_cycle(s, "scan"),
+        # round-11: SCD2 snapshot fold against a GROWING dimension
+        # (docs(s) keys; dim pre-built untimed).  Each run applies a
+        # FIXED x1-sized delta flipping one tracked attr on a fixed
+        # 2k-key slice: the merge rewrite is O(touched history), but
+        # an apply inherently pays two narrow full-dim scans (the
+        # is_current detection join + the effective-order guard), so
+        # the slope should ride those scans -- sub-linear wall on 32
+        # cores, never the join tier.
+        "scd2_apply":
+            lambda s: _scd_cycle(s),
     }
 
     def _pii(d):
@@ -522,6 +532,40 @@ def main() -> None:
         assert rows and all(r["passed"] for r in rows)
         return spark.range(1)
 
+    def _scd_dir(s):
+        return os.path.join(args.out, f"x{s}", "scd_dim")
+
+    def _scd_proj(d):
+        return d.select(F.col("doc_id").alias("k"), "lang", "source",
+                        "n_chars")
+
+    def _scd_build(s):
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.scd import scd2_apply
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+            current_version,
+        )
+
+        td = _scd_dir(s)
+        if current_version(td) is None:
+            scd2_apply(spark, td, _scd_proj(docs(s)), "k",
+                       ["lang", "source"], 1_000)
+        return td
+
+    _scd_runs: dict = {}
+
+    def _scd_cycle(s):
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.scd import scd2_apply
+
+        # fresh effective + fresh attr value per run so every cycle
+        # genuinely closes + reopens the fixed 2k-key slice
+        r = _scd_runs[s] = _scd_runs.get(s, 0) + 1
+        delta = (_scd_proj(docs(1))
+                 .filter(F.col("k") < 2000)
+                 .withColumn("lang", F.lit(f"v{r}")))
+        scd2_apply(spark, _scd_dir(s), delta, "k", ["lang", "source"],
+                   1_000 + r)
+        return spark.range(1)
+
     _purge_runs: dict = {}
 
     def _purge_cycle(s):
@@ -679,6 +723,11 @@ def main() -> None:
 
         for scale in scales:
             build_bloom_index(spark, _merge_dir(scale), "o_custkey")
+    if "scd2_apply" in OPS:
+        # the dimension pre-exists at a real deployment; only the
+        # per-snapshot fold is the measured query
+        for scale in scales:
+            _scd_build(scale)
     for name, fn in OPS.items():
         results[name] = {}
         for scale in scales:
