@@ -83,6 +83,10 @@ HEADLINE = [
     # the equi-join + residual-interval plan over it
     "scd2_customer_history",
     "scd2_asof_fact_join",
+    # added round 11: zero-copy shallow clone + COW divergence (the
+    # clone itself is one manifest write; the audit's read-back and
+    # the keyed delete are what cost)
+    "clone_divergence_audit",
 ]
 
 

@@ -84,6 +84,14 @@ class PurgeInProgressError(Exception):
     """Another purge holds this table's purge lock."""
 
 
+class ExternalFilesError(RuntimeError):
+    """The purge was refused because the table references files
+    outside its own root (a shallow clone -- io/clone): an in-place
+    rewrite through such a reference would erase rows from the
+    SOURCE table behind its owners' backs.  Purge the source table,
+    or ``deep_clone`` first."""
+
+
 _PURGE_LOCK = ".purge.lock"
 
 
@@ -331,6 +339,20 @@ def purge_keys_history(spark: SparkSession, table_dir: str, key: str,
             # no-op costs only the metadata reads above
             return {"rows_purged": 0, "files_rewritten": 0,
                     "files_candidates": 0, "versions": versions}
+        abs_root = os.path.abspath(table_dir)
+        external = [f for f in union
+                    if not os.path.abspath(os.path.join(abs_root, f))
+                    .startswith(abs_root + os.sep)]
+        if external:
+            # a shallow clone (io/clone) references the SOURCE's
+            # files by path; rewriting them in place would erase rows
+            # from the source table too.  Refuse BEFORE phase 1 so
+            # the clone's manifests are untouched.
+            raise ExternalFilesError(
+                f"purge on {table_dir} would rewrite files outside "
+                f"the table root (e.g. {external[0]}): this is a "
+                f"shallow clone -- purge the source table, or "
+                f"deep_clone first")
         # phase 1: candidate metadata degrades to footer truth
         tracked: dict[str, set[str]] = {}
         for n in versions:
@@ -340,7 +362,6 @@ def purge_keys_history(spark: SparkSession, table_dir: str, key: str,
         # phase 2: independent per-file rewrites, one Spark job (each
         # task streams one file through pyarrow; local == executors)
         vset = frozenset(vals)
-        abs_root = os.path.abspath(table_dir)
         sc = spark.sparkContext
         purged_counts = (
             sc.parallelize(union, len(union))

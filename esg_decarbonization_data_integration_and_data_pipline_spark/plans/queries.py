@@ -749,7 +749,6 @@ _DRIVER_HEAD = [
     # head representative -- see the r9 block in _DRIVER_TAIL.
     "versioned_quarter_audit",
     "cube_status_priority",
-    "semdedup_embeddings_ivf",
     "external_model_scoring", "forecast_revenue",
     # ---- round-11 rotations INTO the head: the last rotatable
     # never-driver-graded query (mixture_sample_docs -- finishes the
@@ -763,6 +762,13 @@ _DRIVER_HEAD = [
     "purge_erasure_audit", "constraints_history_audit",
     "ddl_timetravel_audit", "bloom_point_lookup_orders",
     "scd2_customer_history", "scd2_asof_fact_join",
+    # ---- round-11 new capability: zero-copy shallow CLONE +
+    # independent divergence (io/clone) -- semdedup_embeddings_ivf
+    # rotates out for the slot (r9+r10 graded; no exclusive SURVEY
+    # rows, the IVF probe/semantic-dedup pipeline stays
+    # oracle-replayed and ANN serving keeps head rep
+    # similarity_topk_batch)
+    "clone_divergence_audit",
     # ---- round-9 new capability: PII detect/redact (operators/pii.py)
     # enters the head directly (the never-graded-tail backlog is
     # capped at 11, so new queries must take a head slot);
@@ -1031,6 +1037,12 @@ _DRIVER_TAIL = [
     #       oracle-replayed; W2 keeps head reps greedy_allocation /
     #       similarity_topk_batch, A10 vocab_top_tokens
     "bm25_retrieval_docs",
+    #   semdedup_embeddings_ivf (r9-r10) -> rotated out for the NEW
+    #       clone_divergence_audit head slot: no exclusive SURVEY
+    #       rows; the IVF-blocked semantic-dedup pipeline stays
+    #       oracle-replayed in-repo and ANN serving keeps head rep
+    #       similarity_topk_batch
+    "semdedup_embeddings_ivf",
 ]
 _ORDERED = _DRIVER_HEAD + _DRIVER_TAIL
 assert set(_ORDERED) == set(REGISTRY) and len(_ORDERED) == len(REGISTRY), (

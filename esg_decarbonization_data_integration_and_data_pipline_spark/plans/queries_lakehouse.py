@@ -427,3 +427,67 @@ def scd2_asof_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.round(F.sum("o_totalprice"), 4)
                   .alias("total_price")))
+
+
+@register("clone_divergence_audit", "ext:table-clone,P3,A1", oracle=_VERS_CTE + """),
+src AS (SELECT version, count(*) AS n_rows,
+               round(sum(o_totalprice), 4) AS total_price
+        FROM vers GROUP BY version),
+cl AS (
+  SELECT 1 AS version, count(*) AS n_rows,
+         round(sum(o_totalprice), 4) AS total_price
+  FROM vers WHERE version = 2
+  UNION ALL
+  SELECT 2, count(*), round(sum(o_totalprice), 4)
+  FROM vers WHERE version = 2 AND o_orderkey % 11 <> 0)
+SELECT 'source' AS side, version, n_rows, total_price FROM src
+UNION ALL
+SELECT 'clone', version, n_rows, total_price FROM cl
+""")
+def clone_divergence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy shallow clone + independent divergence,
+    driver-gradable end-to-end (io/clone.shallow_clone over the
+    shared fixture -- cloning only READS the source, so no fixture
+    copy is taken).  The clone forks the fixture at HISTORICAL
+    version 2 (time-travel clone), then diverges with a copy-on-write
+    keyed delete of every o_orderkey divisible by 11.  The result
+    reads rowcount + price sum for every version of BOTH tables
+    AFTER the divergence: clone v1 must equal source v2 (the
+    reference hop resolves), clone v2 must be that minus the %11
+    keys (the delete wrote replacement files into the clone only),
+    and all three SOURCE versions must still match the raw parquet
+    -- which is the oracle-checkable proof the divergence never
+    touched a source byte, since the clone's deleted keys live in
+    files the source still reads.  Clone creation is O(1) in table
+    size: one manifest + pointer write, zero data copied."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.clone import shallow_clone
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        delete_keys_version, read_version,
+    )
+
+    src = orders_versioned_fixture(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="clone_aud_")
+    atexit.register(shutil.rmtree, root, True)
+    dst = root + "/orders_clone"
+    shallow_clone(spark, src, dst, n=2)
+    delete_keys_version(
+        spark, dst,
+        read_version(spark, dst, 1)
+        .filter(F.col("o_orderkey") % 11 == 0).select("o_orderkey"),
+        "o_orderkey")
+    rows = []
+    for side, td, vers in (("source", src, (1, 2, 3)),
+                           ("clone", dst, (1, 2))):
+        for v in vers:
+            agg = (read_version(spark, td, v)
+                   .agg(F.count(F.lit(1)).alias("n"),
+                        F.round(F.sum("o_totalprice"), 4).alias("s"))
+                   .collect()[0])
+            rows.append((side, v, int(agg["n"]), float(agg["s"])))
+    return spark.createDataFrame(
+        rows, "side string, version int, n_rows bigint, "
+              "total_price double")
