@@ -24,7 +24,11 @@ What does NOT: the source's OTHER versions (the clone's history
 starts at v1 -- time travel beyond the clone point belongs to the
 source), and bloom sidecars need no copying at all for shallow
 clones (they live beside the physical files, so the clone's
-point lookups find them by path).
+point lookups find them by path).  The flip side: building a bloom
+index THROUGH a shallow clone writes sidecars beside the SOURCE
+files -- benign (byte-identical to what the source would build, and
+immediately shared by both tables) but it does require the source
+dir to be writable; build on the source when it is not.
 
 Shallow-clone caveats, inherent and documented (same as Delta's):
 

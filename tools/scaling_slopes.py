@@ -347,6 +347,13 @@ def main() -> None:
         # cores, never the join tier.
         "scd2_apply":
             lambda s: _scd_cycle(s),
+        # round-11: zero-copy shallow clone of the growing clustered
+        # fixture (6/17/30 files).  The claim is O(#files) METADATA
+        # work -- stats/rowmeta line rewrite + one manifest + pointer
+        # write, zero data copied -- so the wall-clock should be
+        # milliseconds and flat-ish vs table bytes.
+        "shallow_clone":
+            lambda s: _clone_cycle(s),
     }
 
     def _pii(d):
@@ -566,6 +573,17 @@ def main() -> None:
                    1_000 + r)
         return spark.range(1)
 
+    _clone_dirs: list[str] = []
+
+    def _clone_cycle(s):
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.clone import shallow_clone
+
+        dst = os.path.join(args.out, f"x{s}",
+                           f"clone_run_{len(_clone_dirs)}")
+        _clone_dirs.append(dst)
+        shallow_clone(spark, _merge_dir(s), dst)
+        return spark.range(1)
+
     _purge_runs: dict = {}
 
     def _purge_cycle(s):
@@ -704,7 +722,7 @@ def main() -> None:
             _mv_build(scale)
     if {"merge_version", "purge_history", "compact_where",
             "bloom_build", "bloom_lookup", "constraints_audit_meta",
-            "constraints_audit_scan"} & set(OPS):
+            "constraints_audit_scan", "shallow_clone"} & set(OPS):
         # same discipline: the clustered table pre-exists; only the
         # per-batch merge/erasure/audit is measured.  File counts
         # print untimed.
@@ -744,9 +762,9 @@ def main() -> None:
                               "runs": [round(t, 3) for t in ts]}),
                   flush=True)
 
-    if _export_dirs:
+    if _export_dirs or _clone_dirs:
         import shutil
-        for d in _export_dirs:
+        for d in _export_dirs + _clone_dirs:
             shutil.rmtree(d, ignore_errors=True)
     if {"constraints_audit_meta", "constraints_audit_scan"} & set(OPS):
         # the fixture tables persist in --out across invocations:
