@@ -87,6 +87,10 @@ HEADLINE = [
     # clone itself is one manifest write; the audit's read-back and
     # the keyed delete are what cost)
     "clone_divergence_audit",
+    # added round 11: lakehouse fsck (footer-truth verification of
+    # the healthy fixture + a tampered copy; one executor-parallel
+    # footer job per table)
+    "fsck_report_audit",
 ]
 
 

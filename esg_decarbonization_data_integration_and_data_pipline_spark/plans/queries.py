@@ -769,12 +769,14 @@ _DRIVER_HEAD = [
     # oracle-replayed and ANN serving keeps head rep
     # similarity_topk_batch)
     "clone_divergence_audit",
-    # ---- round-9 new capability: PII detect/redact (operators/pii.py)
-    # enters the head directly (the never-graded-tail backlog is
-    # capped at 11, so new queries must take a head slot);
-    # global_total_share rotates out for it (driver-green r1-r8, its
-    # rows A3/F9/J4 keep head reps -- see the r9 block in _DRIVER_TAIL)
-    "pii_redact_docs",
+    # ---- round-11 new capability: lakehouse fsck (io/fsck) --
+    # pii_redact_docs rotates out for the slot (see its comment)
+    "fsck_report_audit",
+    # (pii_redact_docs -- the r9 PII first-grade -- rotated to the
+    # tail in r11 after two graded rounds for the fsck_report_audit
+    # slot; P6 keeps head reps scd2_customer_history +
+    # cube_status_priority's CASE shapes, and the redaction chain
+    # stays oracle-replayed + bench-headlined)
     # ---- round-9 new capability: bloom-accelerated incremental
     # exact dedup (operators/bloom.py); cagr_nation_revenue rotates
     # out (driver-green r1-r8; A8 stays via irr_by_brand, F10 via
@@ -1043,6 +1045,11 @@ _DRIVER_TAIL = [
     #       oracle-replayed in-repo and ANN serving keeps head rep
     #       similarity_topk_batch
     "semdedup_embeddings_ivf",
+    #   pii_redact_docs (r9-r10) -> rotated out for the NEW
+    #       fsck_report_audit head slot: P6 stays via
+    #       scd2_customer_history; the redaction chain stays
+    #       oracle-replayed and bench-headlined
+    "pii_redact_docs",
 ]
 _ORDERED = _DRIVER_HEAD + _DRIVER_TAIL
 assert set(_ORDERED) == set(REGISTRY) and len(_ORDERED) == len(REGISTRY), (

@@ -491,3 +491,74 @@ def clone_divergence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "side string, version int, n_rows bigint, "
               "total_price double")
+
+
+@register("fsck_report_audit", "ext:fsck", oracle="""
+SELECT 'healthy' AS target, 1 AS ok, 3 AS n_versions,
+       CAST(0 AS BIGINT) AS total_missing,
+       CAST(0 AS BIGINT) AS total_rowcount_mismatch,
+       CAST(0 AS BIGINT) AS total_stats_too_narrow
+UNION ALL
+SELECT 'tampered', 0, 3, 0, 1, 1
+""")
+def fsck_report_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity verification (io/fsck.verify_table), driver-gradable
+    end-to-end.  Two tables: the shared fixture verified as-is (every
+    error category must read zero across all three versions -- a
+    false positive here convicts the checker), and a COPY with two
+    deterministic, by-construction corruptions injected into v1's
+    manifest -- one #rows record inflated by 5 and one #stats range
+    narrowed past the data (the corruption class that silently drops
+    rows from pruned reads).  verify_table must find EXACTLY one of
+    each and nothing else: v2/v3 carry their own copies of the
+    inherited records (copied at commit time), so the tampering is
+    visible in precisely one version.  The oracle is the
+    by-construction expectation table -- constants, but externally
+    hashed: a checker that misses either corruption, double-counts
+    across versions, or false-positives on the healthy table all
+    mismatch.  Footer truth is computed once per unique physical
+    file in one executor-parallel job."""
+    import json
+    import os
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.fsck import verify_table
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import _MANIFEST
+
+    healthy = orders_versioned_fixture(spark, sf_dir)
+    tampered = copy_fixture(healthy)
+    mpath = os.path.join(tampered, "v_00000001", _MANIFEST)
+    with open(mpath, encoding="ascii") as fh:
+        lines = fh.read().splitlines()
+    done_rows = done_stats = False
+    out_lines = []
+    for ln in lines:
+        if ln.startswith("#rows ") and not done_rows:
+            rec = json.loads(ln[len("#rows "):])
+            rec["n"] += 5
+            ln = "#rows " + json.dumps(rec)
+            done_rows = True
+        elif ln.startswith("#stats ") and not done_stats:
+            rec = json.loads(ln[len("#stats "):])
+            if rec["c"] == "o_orderkey":
+                rec["lo"] = rec["lo"] + 1  # narrower than the data
+                ln = "#stats " + json.dumps(rec)
+                done_stats = True
+        out_lines.append(ln)
+    assert done_rows and done_stats, "fixture manifest shape changed"
+    with open(mpath, "w", encoding="ascii") as fh:
+        fh.write("\n".join(out_lines) + "\n")
+    rows = []
+    for target, td in (("healthy", healthy), ("tampered", tampered)):
+        rep = verify_table(spark, td)
+        rows.append((
+            target, int(rep["ok"]), len(rep["versions"]),
+            sum(len(v["missing_files"])
+                for v in rep["versions"].values()),
+            sum(len(v["rowcount_mismatch"])
+                for v in rep["versions"].values()),
+            sum(len(v["stats_too_narrow"])
+                for v in rep["versions"].values())))
+    return spark.createDataFrame(
+        rows, "target string, ok int, n_versions int, "
+              "total_missing bigint, total_rowcount_mismatch bigint, "
+              "total_stats_too_narrow bigint")

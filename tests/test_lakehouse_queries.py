@@ -74,7 +74,8 @@ def test_mutating_queries_leave_the_shared_fixture_pristine(
     for name in ("purge_erasure_audit", "constraints_history_audit",
                  "ddl_timetravel_audit", "bloom_point_lookup_orders",
                  "versioned_table_audit", "scd2_customer_history",
-                 "scd2_asof_fact_join", "clone_divergence_audit"):
+                 "scd2_asof_fact_join", "clone_divergence_audit",
+                 "fsck_report_audit"):
         results[name] = sorted(
             map(tuple, QUERY_FNS[name](spark, sf_dir).collect()))
     assert _snapshot(src) == before, "a query mutated the shared fixture"
