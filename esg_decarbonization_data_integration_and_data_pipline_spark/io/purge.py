@@ -409,7 +409,14 @@ def count_keys_all_versions(spark: SparkSession, table_dir: str,
     """Erasure verification: per readable version, how many rows
     still match ``values`` -- the audit a DPO runs after
     :func:`purge_keys_history` (all-zero = forgotten).  Scans only
-    the stats-pruned candidate files of each version."""
+    the stats-pruned candidate files of each version, and all
+    versions in ONE Spark job: each version's candidate read gets a
+    version-literal column and the union aggregates by it, so a
+    100-version table pays one job (shared files still read once
+    per REFERENCING version -- the per-version counts are the
+    contract)."""
+    from pyspark.sql import functions as F
+
     backend = backend or _DEFAULT_BACKEND
     vals = list(values)
     if not vals or any(v is None for v in vals):
@@ -417,20 +424,26 @@ def count_keys_all_versions(spark: SparkSession, table_dir: str,
     versions = _readable_versions(table_dir, backend)
     _union, per_version = _candidate_files(table_dir, versions, key,
                                            vals)
-    out: dict[int, int] = {}
+    out: dict[int, int] = {n: 0 for n in versions}
+    frames = []
     for n in versions:
         cand = per_version[n]
         if not cand:
-            out[n] = 0
             continue
         st = table_schema(table_dir, n)
         reader = spark.read.schema(st) if st is not None else spark.read
         df = reader.parquet(*[os.path.join(table_dir, f)
                               for f in cand])
         if key not in df.columns:
-            out[n] = 0
-            continue
-        out[n] = df.filter(df[key].isin(vals)).count()
+            continue  # pre-evolution version: all-NULL, never matches
+        frames.append(df.filter(df[key].isin(vals))
+                        .select(F.lit(n).alias("__v")))
+    if frames:
+        u = frames[0]
+        for f in frames[1:]:
+            u = u.unionByName(f)
+        for r in u.groupBy("__v").count().collect():
+            out[int(r["__v"])] = int(r["count"])
     return out
 
 

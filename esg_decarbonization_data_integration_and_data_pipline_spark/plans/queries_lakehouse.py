@@ -270,15 +270,30 @@ def bloom_point_lookup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = [int(lohi["lo"]), int(lohi["hi"]), 1000000007]
     for v in (1, 2, 3):
         build_bloom_index(spark, td, "o_custkey", n=v)
-    rows = []
+    # the bloom pruning itself is driver-side metadata (lookup_files
+    # inside point_lookup); the 9 surviving reads union into ONE
+    # Spark job rather than paying 9 rounds of job scheduling --
+    # zero-group misses are filled driver-side so the miss rows
+    # (0, 0.0) still appear
+    frames = []
     for v in (1, 2, 3):
         for p in probes:
-            got = (point_lookup(spark, td, "o_custkey", p, n=v)
-                   .agg(F.count(F.lit(1)).alias("n"),
-                        F.round(F.coalesce(F.sum("o_totalprice"),
-                                           F.lit(0.0)), 4).alias("s"))
-                   .collect()[0])
-            rows.append((v, p, int(got["n"]), float(got["s"])))
+            frames.append(
+                point_lookup(spark, td, "o_custkey", p, n=v)
+                .select(F.lit(v).cast("int").alias("version"),
+                        F.lit(p).cast("bigint").alias("probe"),
+                        "o_totalprice"))
+    u = frames[0]
+    for f in frames[1:]:
+        u = u.unionByName(f)
+    got = {(int(r["version"]), int(r["probe"])):
+           (int(r["n"]), float(r["s"]))
+           for r in (u.groupBy("version", "probe")
+                     .agg(F.count(F.lit(1)).alias("n"),
+                          F.round(F.sum("o_totalprice"), 4)
+                           .alias("s"))).collect()}
+    rows = [(v, p, *got.get((v, p), (0, 0.0)))
+            for v in (1, 2, 3) for p in probes]
     return spark.createDataFrame(
         rows, "version int, probe bigint, n_rows bigint, "
               "sum_price double")
