@@ -322,3 +322,72 @@ def test_embedding_outliers_broadcasts_centroids(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "partial_" in plan
+
+
+def test_scd2_enrich_is_equi_join_with_residual(spark, tmp_path):
+    """The point-in-time enrich must compile to a hash/sort EQUI-join
+    on the business key with the interval bounds as residual
+    predicates -- never a nested-loop/cartesian plan (which would be
+    facts x history at 100 TB)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.scd import (
+        scd2_apply, scd2_enrich,
+    )
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import read_current
+
+    td = str(tmp_path / "dim")
+    dim = spark.createDataFrame([(1, "A"), (2, "B")],
+                                "k bigint, seg string")
+    scd2_apply(spark, td, dim, "k", ["seg"], "2023-01-01")
+    facts = spark.createDataFrame([(1, "2023-06-01", 5.0)],
+                                  "k bigint, ts string, amt double")
+    df = scd2_enrich(facts, read_current(spark, td), "k", "ts")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan and "[k#" in plan  # keyed, not conditional-only
+
+
+def test_scd2_apply_conflict_with_concurrent_writer(spark, tmp_path):
+    """A commit landing between scd2_apply's snapshot read and its
+    merge raises VersionConflictError instead of silently folding
+    over stale rows (the pinned_base contract)."""
+    import pytest as _pytest
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io import scd as _scd
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.scd import scd2_apply
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        VersionConflictError, append_version, current_version,
+    )
+
+    td = str(tmp_path / "dim")
+    scd2_apply(spark, td,
+               spark.createDataFrame([(1, "A")], "k bigint, seg string"),
+               "k", ["seg"], "2023-01-01")
+    real = _scd.merge_version
+
+    def race_then_merge(spark_, table_dir, updates, key, **kw):
+        # a concurrent writer lands AFTER this apply read its base
+        append_version(
+            spark.createDataFrame([(9, "Z", "2023-01-15", None, True)],
+                                  "k bigint, seg string, "
+                                  "valid_from string, valid_to string, "
+                                  "is_current boolean"),
+            table_dir)
+        return real(spark_, table_dir, updates, key, **kw)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(_scd, "merge_version",
+                           side_effect=race_then_merge):
+        with _pytest.raises(VersionConflictError):
+            scd2_apply(
+                spark, td,
+                spark.createDataFrame([(1, "B")],
+                                      "k bigint, seg string"),
+                "k", ["seg"], "2023-02-01")
+    # the racing writer's commit survives; re-running the apply works
+    assert current_version(td) == 2
+    scd2_apply(spark, td,
+               spark.createDataFrame([(1, "B")], "k bigint, seg string"),
+               "k", ["seg"], "2023-02-01")
+    assert current_version(td) == 3
