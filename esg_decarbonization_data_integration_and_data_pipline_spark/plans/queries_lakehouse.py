@@ -515,28 +515,35 @@ SELECT 'healthy' AS target, 1 AS ok, 3 AS n_versions,
        CAST(0 AS BIGINT) AS total_stats_too_narrow
 UNION ALL
 SELECT 'tampered', 0, 3, 0, 1, 1
+UNION ALL
+SELECT 'repaired', 1, 3, 0, 0, 0
 """)
 def fsck_report_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Integrity verification (io/fsck.verify_table), driver-gradable
-    end-to-end.  Two tables: the shared fixture verified as-is (every
-    error category must read zero across all three versions -- a
-    false positive here convicts the checker), and a COPY with two
-    deterministic, by-construction corruptions injected into v1's
-    manifest -- one #rows record inflated by 5 and one #stats range
-    narrowed past the data (the corruption class that silently drops
-    rows from pruned reads).  verify_table must find EXACTLY one of
-    each and nothing else: v2/v3 carry their own copies of the
-    inherited records (copied at commit time), so the tampering is
-    visible in precisely one version.  The oracle is the
+    """Integrity verification + repair (io/fsck.verify_table /
+    repair_table), driver-gradable end-to-end.  Three stages: the
+    shared fixture verified as-is (every error category must read
+    zero across all three versions -- a false positive here convicts
+    the checker); a COPY with two deterministic, by-construction
+    corruptions injected into v1's manifest -- one #rows record
+    inflated by 5 and one #stats range narrowed past the data (the
+    corruption class that silently drops rows from pruned reads) --
+    where verify_table must find EXACTLY one of each and nothing
+    else (v2/v3 carry their own copies of the inherited records, so
+    the tampering is visible in precisely one version); and the same
+    copy AFTER repair_table re-derives every record from footer
+    truth, which must verify fully clean again.  The oracle is the
     by-construction expectation table -- constants, but externally
     hashed: a checker that misses either corruption, double-counts
-    across versions, or false-positives on the healthy table all
-    mismatch.  Footer truth is computed once per unique physical
-    file in one executor-parallel job."""
+    across versions, false-positives on the healthy table, or a
+    repair that leaves residue all mismatch.  Footer truth is
+    computed once per unique physical file in one executor-parallel
+    job per stage."""
     import json
     import os
 
-    from esg_decarbonization_data_integration_and_data_pipline_spark.io.fsck import verify_table
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.fsck import (
+        repair_table, verify_table,
+    )
     from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import _MANIFEST
 
     healthy = orders_versioned_fixture(spark, sf_dir)
@@ -562,17 +569,19 @@ def fsck_report_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert done_rows and done_stats, "fixture manifest shape changed"
     with open(mpath, "w", encoding="ascii") as fh:
         fh.write("\n".join(out_lines) + "\n")
-    rows = []
-    for target, td in (("healthy", healthy), ("tampered", tampered)):
+    def stage(target, td):
         rep = verify_table(spark, td)
-        rows.append((
-            target, int(rep["ok"]), len(rep["versions"]),
-            sum(len(v["missing_files"])
-                for v in rep["versions"].values()),
-            sum(len(v["rowcount_mismatch"])
-                for v in rep["versions"].values()),
-            sum(len(v["stats_too_narrow"])
-                for v in rep["versions"].values())))
+        return (target, int(rep["ok"]), len(rep["versions"]),
+                sum(len(v["missing_files"])
+                    for v in rep["versions"].values()),
+                sum(len(v["rowcount_mismatch"])
+                    for v in rep["versions"].values()),
+                sum(len(v["stats_too_narrow"])
+                    for v in rep["versions"].values()))
+
+    rows = [stage("healthy", healthy), stage("tampered", tampered)]
+    repair_table(spark, tampered)
+    rows.append(stage("repaired", tampered))
     return spark.createDataFrame(
         rows, "target string, ok int, n_versions int, "
               "total_missing bigint, total_rowcount_mismatch bigint, "

@@ -143,3 +143,55 @@ def test_corrupt_file_body_caught_by_deep_only(spark, tmp_path):
     rep = verify_table(spark, td, n=4, deep=True)
     assert not rep["ok"]
     assert rep["versions"][4]["unreadable_files"]
+
+
+def test_repair_restores_tampered_metadata(spark, tmp_path):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.fsck import repair_table
+
+    td = _build(spark, tmp_path)
+
+    def tamper(ln):
+        if ln.startswith("#rows "):
+            rec = json.loads(ln[len("#rows "):])
+            rec["n"] += 7
+            return "#rows " + json.dumps(rec)
+        if ln.startswith("#stats "):
+            rec = json.loads(ln[len("#stats "):])
+            rec["lo"] = rec["lo"] + 1
+            return "#stats " + json.dumps(rec)
+        return ln
+
+    _edit_manifest(td, 1, tamper)
+    assert not verify_table(spark, td)["ok"]
+    rep = repair_table(spark, td)
+    assert rep["unrepairable"] == []
+    assert rep["files_refreshed"] >= 1
+    after = verify_table(spark, td, deep=True)
+    assert after["ok"], after
+    # repaired metadata answers metadata queries correctly again
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import table_rowcount
+    assert table_rowcount(td, 1) == 2
+
+
+def test_repair_is_idempotent_on_healthy_tables(spark, tmp_path):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.fsck import repair_table
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import read_current
+
+    td = _build(spark, tmp_path)
+    before = sorted((r.k, r.amt) for r in read_current(spark, td).collect())
+    repair_table(spark, td)
+    repair_table(spark, td)
+    assert verify_table(spark, td)["ok"]
+    assert sorted((r.k, r.amt)
+                  for r in read_current(spark, td).collect()) == before
+
+
+def test_repair_reports_missing_files_as_unrepairable(spark, tmp_path):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.fsck import repair_table
+
+    td = _build(spark, tmp_path)
+    victim = _data_files(td, 1)[0]
+    os.remove(os.path.join(td, victim))
+    rep = repair_table(spark, td)
+    assert victim in rep["unrepairable"]
+    assert not verify_table(spark, td)["ok"]  # honesty: not fixed
