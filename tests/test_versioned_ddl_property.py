@@ -111,3 +111,25 @@ def test_random_ddl_sequence_matches_model(spark, tmp_path, seed):
         assert got == expect, f"seed {seed} post-purge travel v{v}"
         # metadata counts stay exact through every rewrite tier
         assert table_rowcount(t, v) == len(expect)
+
+    # r11 closing invariants: NO operation sequence may produce a
+    # table that fails its own fsck -- every manifest record must
+    # agree with footer truth through appends, merges, compactions,
+    # restores and in-place purges (deep mode re-reads every body)
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.clone import shallow_clone
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.fsck import verify_table
+
+    rep = verify_table(spark, t, deep=True)
+    assert rep["ok"], (seed, rep)
+    # and a zero-copy fork of the final state must read it exactly
+    # and fsck clean through its external references
+    c = str(tmp_path / f"c{seed}")
+    shallow_clone(spark, t, c)
+    expect = {k: x for k, x in states[current_version(t)].items()
+              if k not in purged}
+    got = {r.k: r.v for r in read_current(spark, c).collect()}
+    assert got == expect, f"seed {seed} clone divergence"
+    crep = verify_table(spark, c)
+    assert crep["ok"], (seed, crep)
+    assert crep["versions"][1]["external_refs"] == \
+        crep["versions"][1]["n_files"]
