@@ -1,14 +1,18 @@
-"""Declared queries, part 4: driver-graded audits of the r10
-lakehouse tier (io/purge, io/constraints, io/versioned DDL,
-io/bloom_index) over the shared 3-commit fixture table
-(plans/fixtures.py).
+"""Declared queries, part 4: driver-graded audits of the lakehouse
+tiers -- history purge, write-time constraints, zero-copy DDL, bloom
+point lookups (io/purge, io/constraints, io/versioned, io/
+bloom_index), SCD2 dimension history + point-in-time fact joins
+(io/scd), zero-copy clone divergence (io/clone) and integrity
+fsck/repair (io/fsck) -- over the shared memoized fixtures in
+plans/fixtures.py.
 
 Each query builds deterministic table state with the lakehouse
 operators, then reads EVERY version back and materializes a literal
 result frame driver-side, while the DuckDB oracle re-derives the
 same cells from the raw parquet alone -- so a mismatch convicts the
 operator (history rewrite, constraint audit, zero-copy DDL, bloom
-point lookup), not the comparison.  The reference has no versioned
+point lookup, SCD2 bracket math, clone isolation, corruption
+detection), not the comparison.  The reference has no versioned
 tier at all (its pandas jobs truncate-and-reload, e.g.
 jobs/csr_etl.py:157); these queries grade what those contracts become
 once history exists.
