@@ -142,14 +142,20 @@ class _CDFStreamReader(DataSourceStreamReader):
         from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import committed_versions
 
         if self._start_opt is not None:
+            # exclusive base: changes AFTER this version are emitted
             return {"version": int(self._start_opt)}
         readable = [n for n in committed_versions(self.path)
                     if os.path.isdir(os.path.join(self.path,
                                                   f"v_{n:08d}"))]
         # first micro-batch = the whole readable table as an initial
         # snapshot (Delta's default), i.e. start BEFORE the first
-        # readable version
-        return {"version": (readable[0] - 1) if readable else 0}
+        # readable version.  The snapshot marker tells partitions()
+        # that an unreadable diff base here is EXPECTED (nothing was
+        # ever emitted on this checkpoint), as opposed to a lagging
+        # checkpoint whose base got vacuumed -- where assuming
+        # "everything is new" would silently re-emit inherited files.
+        return {"version": (readable[0] - 1) if readable else 0,
+                "snapshot": True}
 
     def latestOffset(self) -> dict:
         from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import current_version
@@ -185,8 +191,24 @@ class _CDFStreamReader(DataSourceStreamReader):
                 if base >= 1 and os.path.isdir(os.path.join(
                         self.path, f"v_{base:08d}")):
                     prev = set(_data_files(self.path, base))
+                elif base < 1 or start.get("snapshot"):
+                    # genuine table start, or the fresh-checkpoint
+                    # initial snapshot (nothing emitted yet): every
+                    # file of this version is new by definition
+                    prev = set()
                 else:
-                    prev = set()  # initial snapshot: everything new
+                    # a LAGGING checkpoint whose diff base was
+                    # vacuumed: without v_{base}'s manifest we cannot
+                    # tell which files were already emitted --
+                    # falling back to "everything is new" would
+                    # silently re-emit inherited rows, so fail like
+                    # the in-range vacuum case does
+                    raise ValueError(
+                        f"stream needs v_{base} of {self.path} as "
+                        f"its diff base but it was vacuumed -- "
+                        f"retention must outlive the checkpoint lag "
+                        f"(restart from a fresh checkpoint/"
+                        f"startingVersion, accepting re-emission)")
             cur = _data_files(self.path, n)
             cur_set = set(cur)
             if not prev <= cur_set:

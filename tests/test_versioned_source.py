@@ -172,3 +172,57 @@ def test_starting_version_option(registered, tmp_path):
     got = sorted((r.k, r.v)
                  for r in spark.read.parquet(out).collect())
     assert got == [(3, "c")]  # only the tail past the start version
+
+
+def test_vacuumed_diff_base_refuses_instead_of_duplicating(
+        registered, tmp_path):
+    """A lagging checkpoint whose diff base was vacuumed must FAIL
+    (retention contract), never fall back to 'everything is new' --
+    that fallback would silently re-emit every inherited row."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import vacuum
+
+    spark = registered
+    td = _build(spark, tmp_path)  # v1, v2
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def drain():
+        q = (spark.readStream.format("versioned_table")
+             .option("path", td).load()
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    drain()  # checkpoint now at v2
+    # a compaction breaks the inheritance chain (its files are its
+    # own), so vacuum can actually reap the early dirs -- on a pure
+    # append chain everything stays pinned and no hazard exists
+    compact_table(spark, td)                                 # v3
+    append_version(_kv(spark, [(5, "e")]).coalesce(1), td)   # v4
+    vacuum(td, keep_last=2, stage_ttl_seconds=0)  # reaps v1, v2
+    with pytest.raises(Exception, match="diff base"):
+        drain()
+    # and nothing was duplicated into the sink by the failed attempt
+    assert spark.read.parquet(out).count() == 3
+
+
+def test_fresh_start_on_vacuumed_prefix_table(registered, tmp_path):
+    """The default initial snapshot works even when the table's
+    early versions are long vacuumed: the snapshot marker makes the
+    unreadable prefix expected, and the first readable version
+    emits in full."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import vacuum
+
+    spark = registered
+    td = _build(spark, tmp_path)          # v1, v2
+    compact_table(spark, td)              # v3 (snapshot)
+    vacuum(td, keep_last=1, stage_ttl_seconds=0)  # only v3 readable
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck2")
+    q = (spark.readStream.format("versioned_table")
+         .option("path", td).load()
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted((r.k, r.v) for r in spark.read.parquet(out).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
