@@ -149,6 +149,21 @@ def verify_table(spark: SparkSession, table_dir: str,
 
     report: dict = {"ok": True, "versions": {},
                     "unreferenced_files": []}
+    # table-level sidecar: an unparseable _CONSTRAINTS.json would
+    # brick every constrained write with a raw decode error, so its
+    # health is part of the table's (absent file = healthy,
+    # unconstrained)
+    try:
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.constraints import (
+            table_constraints,
+        )
+
+        table_constraints(table_dir)
+        report["constraints_ok"] = True
+    except Exception as exc:  # noqa: BLE001 -- the finding itself
+        report["constraints_ok"] = False
+        report["constraints_error"] = f"{type(exc).__name__}: {exc}"[:200]
+        report["ok"] = False
     for v in versions:
         files = per_version_files[v]
         stats = _read_stats(table_dir, v)

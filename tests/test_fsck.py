@@ -195,3 +195,18 @@ def test_repair_reports_missing_files_as_unrepairable(spark, tmp_path):
     rep = repair_table(spark, td)
     assert victim in rep["unrepairable"]
     assert not verify_table(spark, td)["ok"]  # honesty: not fixed
+
+
+def test_corrupt_constraints_sidecar_is_an_error(spark, tmp_path):
+    """An unparseable _CONSTRAINTS.json would fail every constrained
+    write with a raw decode error -- fsck must surface it as a table
+    finding (absent sidecar = healthy, unconstrained)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.constraints import _FILE
+
+    td = _build(spark, tmp_path)
+    assert verify_table(spark, td)["constraints_ok"]
+    with open(os.path.join(td, _FILE), "w") as fh:
+        fh.write("{not json")
+    rep = verify_table(spark, td)
+    assert not rep["ok"] and not rep["constraints_ok"]
+    assert "JSONDecodeError" in rep["constraints_error"]
