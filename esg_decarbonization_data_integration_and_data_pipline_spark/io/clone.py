@@ -55,6 +55,7 @@ from pyspark.sql import SparkSession
 from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
     _DEFAULT_BACKEND,
     _MANIFEST,
+    _STAGE_PREFIX,
     _TXN_PREFIX,
     CommitBackend,
     _data_files,
@@ -96,14 +97,56 @@ def _fresh_dst(dst_dir: str, backend) -> None:
             f"targets must be fresh tables")
 
 
+def _clone_stage_dir(dst_dir: str) -> str:
+    """A PRIVATE staging dir for one clone attempt.  Reuses
+    versioned's ``.stage-`` prefix (pid+uuid) so a crashed clone's
+    leftover staging dir is reaped by the same aged-stage sweep
+    ``vacuum`` already runs."""
+    import uuid
+
+    staged = os.path.join(
+        dst_dir, f"{_STAGE_PREFIX}{os.getpid()}-{uuid.uuid4().hex}")
+    os.makedirs(staged)
+    return staged
+
+
 def _commit_v1(dst_dir: str, schema, lines: list[str],
-               backend: CommitBackend) -> int:
+               backend: CommitBackend, staged: str | None = None) -> int:
+    # Stage into a PRIVATE temp dir and claim v_00000001 by atomic
+    # rename -- never write into the literal version dir (r11
+    # advisor): two clones racing a fresh dst would both populate
+    # v_00000001 in place, the second overwriting the first's
+    # manifest/schema, and the loser's cleanup rmtree would then
+    # delete the WINNER's committed data.  With rename-claiming the
+    # loser's rename fails (EEXIST/ENOTEMPTY -- the winner's dir is
+    # never empty: schema + manifest precede the rename) and it only
+    # ever reaps its OWN staging dir.  ``staged``: a dir from
+    # :func:`_clone_stage_dir` that deep_clone already filled with
+    # data files; omitted for the zero-copy shallow manifest.
+    import errno
+
+    if staged is None:
+        staged = _clone_stage_dir(dst_dir)
     vdir = os.path.join(dst_dir, "v_00000001")
-    os.makedirs(vdir, exist_ok=True)
-    _write_schema_file(vdir, schema)
-    with open(os.path.join(vdir, _MANIFEST), "w",
-              encoding="ascii") as fh:
-        fh.write("\n".join(lines) + "\n")
+    try:
+        _write_schema_file(staged, schema)
+        with open(os.path.join(staged, _MANIFEST), "w",
+                  encoding="ascii") as fh:
+            fh.write("\n".join(lines) + "\n")
+        try:
+            os.rename(staged, vdir)
+        except OSError as exc:
+            if exc.errno not in (errno.EEXIST, errno.ENOTEMPTY):
+                raise
+            raise ValueError(
+                f"{dst_dir} gained a commit while cloning -- clone "
+                f"targets must be fresh tables")
+    except BaseException:
+        shutil.rmtree(staged, ignore_errors=True)
+        raise
+    # the rename succeeded, so this process owns v_00000001: no other
+    # committer can claim it (their rename fails on the non-empty
+    # target), which makes the conflict cleanup below safe.
     raw = backend.read_pointer(dst_dir)
     if raw is not None or not backend.try_commit(
             dst_dir, _next_pointer(None, "v_00000001"), None):
@@ -178,23 +221,30 @@ def deep_clone(spark: SparkSession, src_dir: str, dst_dir: str,
         k = seen.get(base, 0)
         seen[base] = k + 1
         names.append((f, base if k == 0 else f"c{k}-{base}"))
-    vdir = os.path.join(dst_dir, "v_00000001")
-    os.makedirs(vdir, exist_ok=True)
-    pairs = [(os.path.join(src_abs, f), os.path.join(vdir, name))
-             for f, name in names]
-    if pairs:
-        spark.sparkContext.parallelize(pairs, len(pairs)).foreach(
-            lambda p: shutil.copyfile(p[0], p[1]))
-    rename = dict(names)
-    stats = {f"v_00000001/{rename[f]}": c
-             for f, c in _read_stats(src_dir, n).items()
-             if f in rename}
-    rows = {f"v_00000001/{rename[f]}": m
-            for f, m in _read_rowmeta(src_dir, n).items()
-            if f in rename}
-    lines = ([_TXN_PREFIX + t for t in sorted(_txns(src_dir, n))]
-             + _stats_lines(stats) + _rows_lines(rows)
-             + [f"v_00000001/{name}" for _f, name in names])
-    v = _commit_v1(dst_dir, st, lines, backend)
+    # data files are copied into the PRIVATE staging dir (executor-
+    # parallel) and only reach v_00000001 through _commit_v1's atomic
+    # rename-claim -- the manifest's v_00000001/ prefixes become true
+    # at that moment
+    staged = _clone_stage_dir(dst_dir)
+    try:
+        pairs = [(os.path.join(src_abs, f), os.path.join(staged, name))
+                 for f, name in names]
+        if pairs:
+            spark.sparkContext.parallelize(pairs, len(pairs)).foreach(
+                lambda p: shutil.copyfile(p[0], p[1]))
+        rename = dict(names)
+        stats = {f"v_00000001/{rename[f]}": c
+                 for f, c in _read_stats(src_dir, n).items()
+                 if f in rename}
+        rows = {f"v_00000001/{rename[f]}": m
+                for f, m in _read_rowmeta(src_dir, n).items()
+                if f in rename}
+        lines = ([_TXN_PREFIX + t for t in sorted(_txns(src_dir, n))]
+                 + _stats_lines(stats) + _rows_lines(rows)
+                 + [f"v_00000001/{name}" for _f, name in names])
+    except BaseException:
+        shutil.rmtree(staged, ignore_errors=True)
+        raise
+    v = _commit_v1(dst_dir, st, lines, backend, staged=staged)
     _copy_constraints(src_dir, dst_dir)
     return v

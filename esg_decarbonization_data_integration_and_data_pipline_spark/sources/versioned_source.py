@@ -113,14 +113,14 @@ def _table_path(options) -> str:
 
 
 class _BatchReader(DataSourceReader):
-    def __init__(self, options):
-        from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import current_version
-
+    def __init__(self, options, n: int):
+        # ``n`` is resolved ONCE by the owning DataSource (schema()
+        # and reader() share it): resolving current_version here as
+        # well would let a commit landing between the two calls pin
+        # the schema to one version and plan partitions from another
+        # (r11 advisor).
         self.path = _table_path(options)
-        v = options.get("version")
-        self.n = int(v) if v is not None else current_version(self.path)
-        if self.n is None:
-            raise ValueError(f"{self.path} has no committed version")
+        self.n = n
         self.schema_bytes = _arrow_schema_bytes(
             _pinned_schema(self.path, self.n))
 
@@ -251,18 +251,30 @@ class VersionedTableDataSource(DataSource):
     def name(cls) -> str:
         return "versioned_table"
 
-    def schema(self):
-        from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import current_version
-
-        path = _table_path(self.options)
-        v = self.options.get("version")
-        n = int(v) if v is not None else current_version(path)
+    def _resolve_version(self) -> int:
+        """The batch version this read is pinned to, resolved ONCE
+        per DataSource instance: schema() and reader() must agree, or
+        a commit landing between the engine's two calls would pin the
+        schema to one version and plan partitions from another (r11
+        advisor)."""
+        n = getattr(self, "_resolved_n", None)
         if n is None:
-            raise ValueError(f"{path} has no committed version")
-        return _pinned_schema(path, n)
+            from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import current_version
+
+            path = _table_path(self.options)
+            v = self.options.get("version")
+            n = int(v) if v is not None else current_version(path)
+            if n is None:
+                raise ValueError(f"{path} has no committed version")
+            self._resolved_n = n
+        return n
+
+    def schema(self):
+        return _pinned_schema(_table_path(self.options),
+                              self._resolve_version())
 
     def reader(self, schema) -> DataSourceReader:
-        return _BatchReader(self.options)
+        return _BatchReader(self.options, self._resolve_version())
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return _CDFStreamReader(self.options)

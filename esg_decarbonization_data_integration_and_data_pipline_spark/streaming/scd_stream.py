@@ -34,6 +34,13 @@ one key; pass ``order_col`` (e.g. the event timestamp) to keep only
 the latest per key deterministically.  Without it, duplicate keys
 fail the batch loudly (scd2_apply's duplicate guard) rather than
 fork history on an arbitrary winner.
+
+Marker-column scope: ``order_col`` / ``effective_col`` are consumed
+as stream markers and dropped before the fold, UNLESS the named
+column is the key or a tracked attribute (then it stays in the
+dimension -- a tracked event timestamp can double as the effective
+stamp).  A PASSTHROUGH business column named as a marker is excluded
+from the dimension; rename it upstream if it should persist.
 """
 
 from __future__ import annotations
@@ -73,8 +80,17 @@ def stream_scd2_apply(sdf: DataFrame, table_dir: str, key: str,
                                            for c in tracked])
             batch = (batch.withColumn("__rn", F.row_number().over(w))
                      .filter(F.col("__rn") == 1).drop("__rn"))
+        # drop the stream-only marker columns before the fold -- but
+        # never the key or a tracked attribute that doubles as the
+        # marker (e.g. a tracked event timestamp used as
+        # effective_col: dropping it would fail the fold's
+        # missing-column guard, r11 advisor).  A PASSTHROUGH business
+        # column named as order/effective is still consumed as a
+        # marker and excluded from the dimension -- rename it
+        # upstream if it should persist (documented in the module
+        # doc).
         drops = {c for c in (order_col, effective_col)
-                 if c is not None}
+                 if c is not None and c != key and c not in tracked}
         if drops:
             batch = batch.drop(*drops)
         scd2_apply(batch_df.sparkSession, table_dir, batch, key,

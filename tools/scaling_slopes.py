@@ -305,7 +305,7 @@ def main() -> None:
         # append into the low key range) and compact_where
         # re-clusters just that slice: candidates are the slice's
         # file(s) + the fresh fragment, so the cost should stay flat
-        # vs table scale while compact_where would grow linearly.
+        # vs table scale while compact_table would grow linearly.
         "compact_where":
             lambda s: _compact_where_cycle(s),
         # round-11 (r10 verdict task #4): bloom sidecar build against
