@@ -91,6 +91,17 @@ HEADLINE = [
     # the healthy fixture + a tampered copy; one executor-parallel
     # footer job per table)
     "fsck_report_audit",
+    # added round 12: the Python-DataSource face (time travel reads
+    # every fixture version through format('versioned_table') --
+    # deliberately measuring the documented ~3.7x Arrow-transfer
+    # cost; the stream audit drains the whole fixture through the
+    # engine-checkpointed tail) and the vacuum/clone retention
+    # audit (compaction + vacuum + clone reads dominate).  Totals
+    # compare on prefix17/prefix24/prefix26; prefix34 is this
+    # round's new extended series.
+    "datasource_timetravel_audit",
+    "datasource_stream_tail_audit",
+    "vacuum_retention_audit",
 ]
 
 
@@ -188,7 +199,7 @@ def main() -> None:
     # rounds APPEND to HEADLINE and, when they grow it, declare one
     # more (length, sentinel) pair here -- one loop, no copied blocks
     PREFIXES = [(17, "events_tumbling_agg"), (24, "drift_orders_psi"),
-                (26, "drift_ks_summary")]
+                (26, "drift_ks_summary"), (34, "fsck_report_audit")]
     for plen, sentinel in PREFIXES:
         assert len(HEADLINE) >= plen and HEADLINE[plen - 1] == sentinel, \
             f"HEADLINE's first {plen} entries are a cross-round " \

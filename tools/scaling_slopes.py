@@ -354,6 +354,25 @@ def main() -> None:
         # milliseconds and flat-ish vs table bytes.
         "shallow_clone":
             lambda s: _clone_cycle(s),
+        # round-12 (r11 verdict task #4): footer-truth verification
+        # of the growing clustered fixture.  verify_table reads each
+        # unique physical file's parquet FOOTER once in one
+        # executor-parallel job (plus O(#versions) manifest metadata
+        # driver-side), so with 32 cores and 6/17/30 files the wall
+        # should stay near-flat until #files exceeds the core count
+        # -- the claim is executor-PARALLEL footer truth, never a
+        # data scan.
+        "fsck_verify":
+            lambda s: _fsck_verify_cycle(s),
+        # round-12: physical clone of the growing fixture into a
+        # fresh dir each run (one executor task per file).  Bytes
+        # copied grow 30x while the 256 KiB-targeted file count grows
+        # 6->30: with one task per file on 32 cores the wall rides
+        # max-per-file copy time until #files > cores, then linear in
+        # bytes -- the honest contrast to shallow_clone's flat
+        # metadata row.
+        "deep_clone":
+            lambda s: _deep_clone_cycle(s),
     }
 
     def _pii(d):
@@ -584,6 +603,24 @@ def main() -> None:
         shallow_clone(spark, _merge_dir(s), dst)
         return spark.range(1)
 
+    def _fsck_verify_cycle(s):
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.fsck import verify_table
+
+        rep = verify_table(spark, _merge_dir(s))
+        # the fixture is healthy by construction: a dirty report
+        # means the checker broke, not that it got fast
+        assert rep["ok"], rep
+        return spark.range(1)
+
+    def _deep_clone_cycle(s):
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.clone import deep_clone
+
+        dst = os.path.join(args.out, f"x{s}",
+                           f"dclone_run_{len(_clone_dirs)}")
+        _clone_dirs.append(dst)
+        deep_clone(spark, _merge_dir(s), dst)
+        return spark.range(1)
+
     _purge_runs: dict = {}
 
     def _purge_cycle(s):
@@ -722,7 +759,8 @@ def main() -> None:
             _mv_build(scale)
     if {"merge_version", "purge_history", "compact_where",
             "bloom_build", "bloom_lookup", "constraints_audit_meta",
-            "constraints_audit_scan", "shallow_clone"} & set(OPS):
+            "constraints_audit_scan", "shallow_clone",
+            "fsck_verify", "deep_clone"} & set(OPS):
         # same discipline: the clustered table pre-exists; only the
         # per-batch merge/erasure/audit is measured.  File counts
         # print untimed.
