@@ -102,6 +102,10 @@ HEADLINE = [
     "datasource_timetravel_audit",
     "datasource_stream_tail_audit",
     "vacuum_retention_audit",
+    # added round 12: the row-level change feed (readChangeFeed) --
+    # stream drain of the full fixture history + the batch CDF face;
+    # the v3 delete's executor-side multiset diff is the cost
+    "datasource_cdf_audit",
 ]
 
 

@@ -729,9 +729,14 @@ _DRIVER_HEAD = [
     # both documented in tools/grading_ledger.py).  Each rotated-out
     # query was driver-green >= 2 rounds and every SURVEY row keeps
     # a head representative -- see the r10 block in _DRIVER_TAIL.
-    "deterministic_split",
     "similarity_topk_batch", "chunk_documents", "vocab_top_tokens",
     "corpus_profile_by_source", "decontaminate_embeddings_docs",
+    # ---- round-12 new capability: row-level change feed through the
+    # DataSource face (readChangeFeed batch + streaming, Delta's CDF
+    # contract; sources/versioned_source).  deterministic_split
+    # rotates out for the slot (r10+r11 graded; ext-only tags, the
+    # md5-bucket split stays oracle-replayed in-repo).
+    "datasource_cdf_audit",
     # ---- round-12 driver grades for the r11 Python-DataSource tier
     # (r11 verdict task #1: batch time travel through
     # format("versioned_table") and the engine-checkpointed streaming
@@ -1073,6 +1078,12 @@ _DRIVER_TAIL = [
     #       dedup_bloom_incremental
     "text_repetition", "text_boilerplate_share",
     "dedup_chunk_overlap",
+    #   deterministic_split (r10-r11) -> rotated out for the NEW
+    #       datasource_cdf_audit head slot: no exclusive SURVEY rows
+    #       (ext:train-split); the md5-bucket split stays
+    #       oracle-replayed in-repo and the dedup-safe-split property
+    #       stays pytest-pinned
+    "deterministic_split",
 ]
 _ORDERED = _DRIVER_HEAD + _DRIVER_TAIL
 assert set(_ORDERED) == set(REGISTRY) and len(_ORDERED) == len(REGISTRY), (

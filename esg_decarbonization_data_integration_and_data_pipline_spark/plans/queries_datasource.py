@@ -221,6 +221,83 @@ def datasource_stream_tail_audit(spark: SparkSession,
               "total_price double")
 
 
+@register("datasource_cdf_audit", "ext:py-datasource-cdf,P3,A1",
+          oracle=_BASE_CTE + """
+SELECT 'stream' AS stage, 1 AS version, 'insert' AS change_type, yr,
+       count(*) AS n_rows, round(sum(o_totalprice), 4) AS total_price
+FROM base WHERE yr = 1997 GROUP BY yr
+UNION ALL
+SELECT 'stream', 2, 'insert', yr, count(*),
+       round(sum(o_totalprice), 4)
+FROM base WHERE yr = 1998 GROUP BY yr
+UNION ALL
+SELECT 'stream', 3, 'delete', yr, count(*),
+       round(sum(o_totalprice), 4)
+FROM base WHERE o_orderkey % 7 = 0 GROUP BY yr
+UNION ALL
+SELECT 'batch', 3, 'delete', yr, count(*),
+       round(sum(o_totalprice), 4)
+FROM base WHERE o_orderkey % 7 = 0 GROUP BY yr
+""")
+def datasource_cdf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change feed through the DataSource face
+    (``readChangeFeed``, sources/versioned_source) -- Delta's CDF
+    contract, driver-gradable end-to-end against the raw parquet.
+    The shared fixture is consumed READ-ONLY two ways:
+
+    - ``stream``: ``spark.readStream...option("readChangeFeed",
+      "true")`` drained to completion over the whole 3-commit chain.
+      v1/v2 must surface as per-added-file inserts; v3 -- the %7
+      keyed DELETE, a rewrite commit the plain tail refuses -- must
+      surface as row-level deletes of EXACTLY the %7 keys, computed
+      by the executor-side multiset diff of the commit's removed vs
+      rewritten files and attributed to ``_commit_version`` 3.
+    - ``batch``: ``spark.read...option("startingVersion", "2")``
+      must return exactly v3's deletes (the read_changes
+      exclusive-start convention through the format() face).
+
+    The oracle re-derives every (version, change_type, yr) cell from
+    the raw parquet, so an over-wide diff (innocent rows deleted), an
+    under-wide one (spurious inserts from the rewritten survivors),
+    or mis-attribution across commits all hash-mismatch.  Planning is
+    manifest metadata; the diff partition is O(rewritten bytes) --
+    commit-sized for keyed deletes, and compactions plan to nothing
+    (#base row-identical)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.sources.versioned_source import (
+        register as register_ds,
+    )
+
+    td = orders_versioned_fixture(spark, sf_dir)
+    register_ds(spark)
+    root = _tmp("ds_cdf_aud_")
+    out, ck = os.path.join(root, "out"), os.path.join(root, "ck")
+    q = (spark.readStream.format("versioned_table")
+         .option("path", td).option("readChangeFeed", "true").load()
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    rows = []
+
+    def agg(stage, df):
+        for r in (df.groupBy("_commit_version", "_change_type", "yr")
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.round(F.sum("o_totalprice"), 4).alias("s"))
+                  .collect()):
+            rows.append((stage, int(r["_commit_version"]),
+                         r["_change_type"], int(r["yr"]),
+                         int(r["n"]), float(r["s"])))
+
+    agg("stream", spark.read.parquet(out))
+    agg("batch", spark.read.format("versioned_table")
+        .option("path", td).option("readChangeFeed", "true")
+        .option("startingVersion", "2").load())
+    return spark.createDataFrame(
+        rows, "stage string, version int, change_type string, "
+              "yr int, n_rows bigint, total_price double")
+
+
 @register("vacuum_retention_audit", "ext:vacuum-retention,P3,A1",
           oracle=_BASE_CTE + """,
 y AS (SELECT yr, count(*) AS n_rows,

@@ -43,6 +43,25 @@ idempotent/txn sink).  Retention caveat (also Delta's): vacuum must
 keep every version a lagging checkpoint may still need -- a reaped
 manifest inside ``(start, end]`` raises rather than silently skipping
 data.
+
+Change feed (``readChangeFeed true``, Delta's CDF face): every commit
+surfaces as ROW-LEVEL changes -- the table's columns plus
+``_change_type`` (``insert`` | ``delete``; an update is
+delete+insert, the read_changes convention -- the table declares no
+key) and ``_commit_version`` attributing each change to its commit.
+Works on BOTH faces: ``spark.read`` with ``startingVersion``
+(exclusive base) and optional ``endingVersion`` (default current),
+and ``spark.readStream``, where the same version-number offsets now
+carry rewrite commits instead of refusing them
+(mutually exclusive with ``skipChangeCommits``).  Planning stays
+driver-side manifest metadata: append commits plan one insert
+partition per added file; a compaction (recorded row-identical
+``#base``) plans to NOTHING -- auto-compactions never wake the
+consumer; any other rewrite plans ONE executor-side multiset-diff
+partition over its removed+added files (O(rewritten bytes) in one
+task -- commit-sized for keyed merges/deletes).  Rows are
+canonicalized in pinned-schema field order exactly like
+io.versioned.read_changes, including its map-column caveat.
 """
 
 from __future__ import annotations
@@ -58,10 +77,41 @@ from pyspark.sql.datasource import (
 )
 
 
+_CHANGE_TYPE = "_change_type"
+_COMMIT_VERSION = "_commit_version"
+
+
 class _FilePart(InputPartition):
     def __init__(self, abs_path: str, arrow_schema_bytes: bytes):
         self.abs_path = abs_path
         self.arrow_schema_bytes = arrow_schema_bytes
+
+
+class _ChangeFilePart(InputPartition):
+    """One data file whose every row is one change of ``change_type``
+    at ``version`` (the append fast path of the change feed)."""
+
+    def __init__(self, abs_path: str, arrow_schema_bytes: bytes,
+                 change_type: str, version: int):
+        self.abs_path = abs_path
+        self.arrow_schema_bytes = arrow_schema_bytes
+        self.change_type = change_type
+        self.version = version
+
+
+class _ChangeDiffPart(InputPartition):
+    """One REWRITE commit's row-level multiset diff (removed vs
+    added files), computed executor-side -- O(rewritten bytes) in one
+    task, which is the commit's own size for keyed merges/deletes
+    (compactions never reach here: row-identical #base commits plan
+    to zero partitions)."""
+
+    def __init__(self, removed_abs: list[str], added_abs: list[str],
+                 arrow_schema_bytes: bytes, version: int):
+        self.removed_abs = removed_abs
+        self.added_abs = added_abs
+        self.arrow_schema_bytes = arrow_schema_bytes
+        self.version = version
 
 
 def _read_aligned(abs_path: str, arrow_schema_bytes: bytes):
@@ -84,6 +134,156 @@ def _read_aligned(abs_path: str, arrow_schema_bytes: bytes):
             else:
                 cols.append(pa.nulls(n, type=f.type))
         yield pa.RecordBatch.from_arrays(cols, schema=schema)
+
+
+def _cdf_arrow_schema(arrow_schema_bytes: bytes):
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    base = ipc.read_schema(pa.BufferReader(arrow_schema_bytes))
+    return (base.append(pa.field(_CHANGE_TYPE, pa.string()))
+                .append(pa.field(_COMMIT_VERSION, pa.int64())))
+
+
+def _with_change_cols(batch, out_schema, change_type: str,
+                      version: int):
+    import pyarrow as pa
+
+    n = batch.num_rows
+    cols = list(batch.columns)
+    cols.append(pa.array([change_type] * n, pa.string()))
+    cols.append(pa.array([version] * n, pa.int64()))
+    return pa.RecordBatch.from_arrays(cols, schema=out_schema)
+
+
+def _read_change_file(part: "_ChangeFilePart"):
+    out_schema = _cdf_arrow_schema(part.arrow_schema_bytes)
+    for batch in _read_aligned(part.abs_path,
+                               part.arrow_schema_bytes):
+        yield _with_change_cols(batch, out_schema, part.change_type,
+                                part.version)
+
+
+def _read_change_diff(part: "_ChangeDiffPart"):
+    """Executor-side multiset diff of one rewrite commit: rows are
+    canonicalized to a JSON key in pinned-schema field order (the
+    same canonicalization contract as io.versioned.read_changes,
+    including its map-column caveat) and the per-side count
+    difference is emitted as |delta| copies of delete/insert."""
+    import json
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    base = ipc.read_schema(pa.BufferReader(part.arrow_schema_bytes))
+    names = base.names
+    out_schema = _cdf_arrow_schema(part.arrow_schema_bytes)
+
+    def side(paths):
+        cnt: Counter = Counter()
+        rep: dict = {}
+        for p in paths:
+            for batch in _read_aligned(p, part.arrow_schema_bytes):
+                for row in batch.to_pylist():
+                    k = json.dumps([row.get(f) for f in names],
+                                   default=str, ensure_ascii=False)
+                    cnt[k] += 1
+                    if k not in rep:
+                        rep[k] = row
+        return cnt, rep
+
+    rem_cnt, rem_rep = side(part.removed_abs)
+    add_cnt, add_rep = side(part.added_abs)
+    for change_type, mine, other, rep in (
+            ("delete", rem_cnt, add_cnt, rem_rep),
+            ("insert", add_cnt, rem_cnt, add_rep)):
+        rows = []
+        for k, c in mine.items():
+            d = c - other.get(k, 0)
+            if d > 0:
+                rows.extend([rep[k]] * d)
+        if rows:
+            tbl = pa.Table.from_pylist(rows, schema=base)
+            for batch in tbl.to_batches():
+                yield _with_change_cols(batch, out_schema,
+                                        change_type, part.version)
+
+
+def _read_change_part(part):
+    if part is None:
+        # an empty partitions() list (e.g. a range holding only a
+        # row-identical compaction) still gets one read(None) call
+        # from the engine
+        return
+    if isinstance(part, _ChangeDiffPart):
+        yield from _read_change_diff(part)
+    else:
+        yield from _read_change_file(part)
+
+
+def _plan_change_commits(path: str, s: int, e: int,
+                         schema_bytes: bytes,
+                         snapshot: bool = False) -> list:
+    """Driver-side change-feed planning over the commits in
+    ``(s, e]``: manifests only, no Spark jobs.  Append commits plan
+    one insert partition per ADDED file; a rewrite commit whose
+    recorded #base is the previous commit (compaction) is
+    row-identical and plans to nothing; any other rewrite plans ONE
+    multiset-diff partition over its removed+added files.  The
+    vacuum-retention guards match the append-tail planner: a reaped
+    version or diff base inside the range raises instead of silently
+    mis-attributing rows."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        _base_of, _data_files, committed_versions,
+    )
+
+    committed = [n for n in committed_versions(path) if s < n <= e]
+    root = os.path.abspath(path)
+    parts: list = []
+    prev: set | None = None
+    prev_n: int | None = None
+    for n in committed:
+        if not os.path.isdir(os.path.join(path, f"v_{n:08d}")):
+            raise ValueError(
+                f"change feed needs v_{n} of {path} but it was "
+                f"vacuumed -- retention must outlive the consumer "
+                f"lag (restart from a fresh checkpoint/"
+                f"startingVersion)")
+        if prev is None:
+            base = n - 1
+            if base >= 1 and os.path.isdir(
+                    os.path.join(path, f"v_{base:08d}")):
+                prev = set(_data_files(path, base))
+                prev_n = base
+            elif base < 1 or snapshot:
+                prev = set()
+                prev_n = base
+            else:
+                raise ValueError(
+                    f"change feed needs v_{base} of {path} as its "
+                    f"diff base but it was vacuumed -- retention "
+                    f"must outlive the consumer lag (restart from a "
+                    f"fresh checkpoint/startingVersion, accepting "
+                    f"re-emission)")
+        cur = _data_files(path, n)
+        cur_set = set(cur)
+        added = [f for f in cur if f not in prev]
+        removed = sorted(prev - cur_set)
+        if not removed:
+            parts.extend(
+                _ChangeFilePart(os.path.join(root, f), schema_bytes,
+                                "insert", n)
+                for f in added)
+        elif _base_of(path, n) == prev_n:
+            pass  # compaction: row-identical to the previous commit
+        else:
+            parts.append(_ChangeDiffPart(
+                [os.path.join(root, f) for f in removed],
+                [os.path.join(root, f) for f in added],
+                schema_bytes, n))
+        prev, prev_n = cur_set, n
+    return parts
 
 
 def _arrow_schema_bytes(spark_schema) -> bytes:
@@ -112,6 +312,13 @@ def _table_path(options) -> str:
     return path
 
 
+def _cdf_requested(options) -> bool:
+    raw = str(options.get("readChangeFeed",
+                          options.get("readchangefeed",
+                                      "false"))).lower()
+    return raw in ("true", "1", "yes")
+
+
 class _BatchReader(DataSourceReader):
     def __init__(self, options, n: int):
         # ``n`` is resolved ONCE by the owning DataSource (schema()
@@ -136,6 +343,33 @@ class _BatchReader(DataSourceReader):
                                  partition.arrow_schema_bytes)
 
 
+class _ChangeBatchReader(DataSourceReader):
+    """Batch change feed: the row-level delta over ``(startingVersion,
+    endingVersion]`` -- the format() face of io.versioned.read_changes
+    (same EXCLUSIVE-start convention), plus a ``_commit_version``
+    column attributing each change to its commit."""
+
+    def __init__(self, options, e: int):
+        self.path = _table_path(options)
+        s_opt = options.get("startingVersion",
+                            options.get("startingversion"))
+        if s_opt is None:
+            raise ValueError(
+                "batch readChangeFeed needs .option('startingVersion',"
+                " n): the EXCLUSIVE base version -- changes AFTER it "
+                "are emitted (io.versioned.read_changes convention)")
+        self.s, self.e = int(s_opt), e
+        self.schema_bytes = _arrow_schema_bytes(
+            _pinned_schema(self.path, e))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return _plan_change_commits(self.path, self.s, self.e,
+                                    self.schema_bytes)
+
+    def read(self, partition) -> Iterator:
+        yield from _read_change_part(partition)
+
+
 class _CDFStreamReader(DataSourceStreamReader):
     def __init__(self, options):
         self.path = _table_path(options)
@@ -143,6 +377,13 @@ class _CDFStreamReader(DataSourceStreamReader):
                                options.get("skipchangecommits",
                                            "false"))).lower()
         self.skip_change_commits = skip in ("true", "1", "yes")
+        self.read_change_feed = _cdf_requested(options)
+        if self.read_change_feed and self.skip_change_commits:
+            raise ValueError(
+                "readChangeFeed and skipChangeCommits are mutually "
+                "exclusive: the change feed EMITS rewrite commits as "
+                "row-level deletes/inserts, skipChangeCommits drops "
+                "them")
         self._start_opt = options.get("startingVersion",
                                       options.get("startingversion"))
 
@@ -180,10 +421,14 @@ class _CDFStreamReader(DataSourceStreamReader):
         s, e = int(start["version"]), int(end["version"])
         if e <= s:
             return []
+        schema_bytes = _arrow_schema_bytes(_pinned_schema(self.path, e))
+        if self.read_change_feed:
+            return _plan_change_commits(
+                self.path, s, e, schema_bytes,
+                snapshot=bool(start.get("snapshot")))
         committed = [n for n in committed_versions(self.path)
                      if s < n <= e]
         root = os.path.abspath(self.path)
-        schema_bytes = _arrow_schema_bytes(_pinned_schema(self.path, e))
         parts: list[InputPartition] = []
         prev: set[str] | None = None
         for n in committed:
@@ -236,9 +481,15 @@ class _CDFStreamReader(DataSourceStreamReader):
             prev = cur_set
         return parts
 
-    def read(self, partition: _FilePart) -> Iterator:
-        yield from _read_aligned(partition.abs_path,
-                                 partition.arrow_schema_bytes)
+    def read(self, partition) -> Iterator:
+        if self.read_change_feed:
+            yield from _read_change_part(partition)
+        elif partition is not None:
+            # None = the engine's read(None) call for an empty
+            # partitions() list (e.g. every in-range commit was
+            # skipped via skipChangeCommits)
+            yield from _read_aligned(partition.abs_path,
+                                     partition.arrow_schema_bytes)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the engine's checkpoint
@@ -256,13 +507,18 @@ class VersionedTableDataSource(DataSource):
         per DataSource instance: schema() and reader() must agree, or
         a commit landing between the engine's two calls would pin the
         schema to one version and plan partitions from another (r11
-        advisor)."""
+        advisor).  In change-feed mode this is the ENDING version
+        (``endingVersion`` option, default current)."""
         n = getattr(self, "_resolved_n", None)
         if n is None:
             from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import current_version
 
             path = _table_path(self.options)
-            v = self.options.get("version")
+            if _cdf_requested(self.options):
+                v = self.options.get("endingVersion",
+                                     self.options.get("endingversion"))
+            else:
+                v = self.options.get("version")
             n = int(v) if v is not None else current_version(path)
             if n is None:
                 raise ValueError(f"{path} has no committed version")
@@ -270,10 +526,23 @@ class VersionedTableDataSource(DataSource):
         return n
 
     def schema(self):
-        return _pinned_schema(_table_path(self.options),
-                              self._resolve_version())
+        st = _pinned_schema(_table_path(self.options),
+                            self._resolve_version())
+        if _cdf_requested(self.options):
+            from pyspark.sql.types import (
+                LongType, StringType, StructField, StructType,
+            )
+
+            st = StructType(list(st.fields)
+                            + [StructField(_CHANGE_TYPE, StringType()),
+                               StructField(_COMMIT_VERSION,
+                                           LongType())])
+        return st
 
     def reader(self, schema) -> DataSourceReader:
+        if _cdf_requested(self.options):
+            return _ChangeBatchReader(self.options,
+                                      self._resolve_version())
         return _BatchReader(self.options, self._resolve_version())
 
     def streamReader(self, schema) -> DataSourceStreamReader:
