@@ -189,6 +189,105 @@ def build_bloom_index(spark: SparkSession, table_dir: str, col: str,
     return len(todo)
 
 
+def _consolidated_path(table_dir: str, col: str, n: int) -> str:
+    return os.path.join(os.path.abspath(table_dir),
+                        f".bloomidx-{col}-v_{n:08d}.json")
+
+
+def consolidated_candidates(table_dir: str) -> list[str]:
+    """Every consolidated index of the table, any column/version --
+    the purge hook uses this to drop hashed evidence of erased keys
+    (same listing-not-glob discipline as :func:`sidecar_candidates`)."""
+    root = os.path.abspath(table_dir)
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return []
+    return [os.path.join(root, e) for e in entries
+            if e.startswith(".bloomidx-") and e.endswith(".json")]
+
+
+def consolidate_bloom_index(table_dir: str, col: str,
+                            n: int | None = None,
+                            backend: CommitBackend | None = None) -> int:
+    """Merge version ``n``'s per-file sidecars into ONE root-level
+    index file (``.bloomidx-<col>-v_<n>.json``), so a probe costs one
+    (cached) file read instead of one open per data file -- the 100
+    TB / millions-of-files driver-latency fix for the measured
+    ~0.16 ms-per-(probe, file) sidecar-consult cost (SCALE.md
+    bloom_lookup row).  Returns the number of files covered.
+
+    A file without a sidecar is recorded as ``null`` (conservative
+    must-read, exactly like the per-file path); re-run after
+    :func:`build_bloom_index` to tighten.  The version's FILESET is
+    immutable (manifests never change), so the index can only go
+    stale one way: :func:`~.purge.purge_keys_history` rewriting files
+    in place -- purge deletes every consolidated index
+    (:func:`consolidated_candidates`) for the same hashed-evidence
+    reason it deletes per-file sidecars.  Pure driver-side metadata;
+    no Spark job."""
+    backend = backend or _DEFAULT_BACKEND
+    if n is None:
+        n = current_version(table_dir, backend=backend)
+        if n is None:
+            raise FileNotFoundError(
+                f"{table_dir} has no committed version")
+    st = table_schema(table_dir, n)
+    if st is not None and col not in st.fieldNames():
+        raise ValueError(
+            f"bloom index on {col!r}: not a column of {table_dir} "
+            f"v_{n:08d} (schema: {st.fieldNames()})")
+    root = os.path.abspath(table_dir)
+    entries: dict = {}
+    for f in _data_files(table_dir, n):
+        try:
+            with open(_sidecar_path(os.path.join(root, f), col),
+                      encoding="ascii") as fh:
+                entries[f] = json.load(fh)
+        except OSError:
+            entries[f] = None  # unindexed: conservative must-read
+    out = _consolidated_path(table_dir, col, n)
+    tmp = out + f".tmp.{os.getpid()}"
+    with open(tmp, "w", encoding="ascii") as fh:
+        json.dump({"col": col, "version": n, "files": entries}, fh)
+    os.replace(tmp, out)
+    return len(entries)
+
+
+# (abs consolidated path) -> (mtime_ns, decoded files map); repeated
+# probes against an unchanged index pay ZERO file I/O after the first
+_IDX_CACHE: dict = {}
+
+
+def _consolidated(table_dir: str, col: str, n: int) -> dict | None:
+    """The decoded consolidated index for (col, version), mtime-cached
+    in-process, or None when absent (fall back to per-file sidecars)."""
+    p = _consolidated_path(table_dir, col, n)
+    try:
+        mt = os.stat(p).st_mtime_ns
+    except OSError:
+        return None
+    hit = _IDX_CACHE.get(p)
+    if hit is not None and hit[0] == mt:
+        return hit[1]
+    try:
+        with open(p, encoding="ascii") as fh:
+            raw = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    files = {}
+    for f, sc in raw.get("files", {}).items():
+        if sc is None or not sc.get("m_bits"):
+            # None = unindexed (must-read); m_bits 0 = column absent
+            # from the file (all-NULL there, prune)
+            files[f] = None if sc is None else False
+        else:
+            files[f] = (sc["m_bits"], sc["n_hashes"],
+                        base64.b64decode(sc["bits"]))
+    _IDX_CACHE[p] = (mt, files)
+    return files
+
+
 def _maybe_contains(abs_path: str, col: str, value) -> bool:
     """Driver-side probe of one sidecar; True when the file must be
     read (sidecar missing, or bloom says maybe)."""
@@ -231,12 +330,28 @@ def lookup_files(table_dir: str, col: str, value,
             f"v_{n:08d} (schema: {st.fieldNames()})")
     root = os.path.abspath(table_dir)
     stats = _read_stats(table_dir, n)
+    idx = _consolidated(table_dir, col, n)
+    h1 = h2 = None
+    if idx is not None:
+        h1, h2 = _lanes(value)
     out = []
     for f in _data_files(table_dir, n):
         if f in stats and col in stats[f]:
             lo, hi = stats[f][col]
             if not (lo <= value <= hi):
                 continue
+        if idx is not None and f in idx:
+            entry = idx[f]
+            if entry is False:
+                continue  # column physically absent: all-NULL there
+            if entry is not None:
+                m_bits, n_hashes, bits = entry
+                if all(bits[p >> 3] & (1 << (p & 7))
+                       for p in _positions(h1, h2, n_hashes, m_bits)):
+                    out.append(f)
+                continue
+            # entry None: unindexed at consolidation time -- fall
+            # through to the per-file sidecar (it may exist by now)
         if _maybe_contains(os.path.join(root, f), col, value):
             out.append(f)
     return out

@@ -353,6 +353,22 @@ def purge_keys_history(spark: SparkSession, table_dir: str, key: str,
                 f"the table root (e.g. {external[0]}): this is a "
                 f"shallow clone -- purge the source table, or "
                 f"deep_clone first")
+        # consolidated bloom indexes (io/bloom_index) aggregate the
+        # per-file sidecars at the table root and would retain hashed
+        # evidence of the erased subject after the per-file sidecars
+        # are deleted -- drop them all BEFORE any rewrite, the same
+        # crash ordering as the per-file deletes inside _rewrite_file
+        # (a crash after this but before the rewrites only degrades
+        # probes to the per-file path)
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.bloom_index import (
+            consolidated_candidates,
+        )
+
+        for idx_path in consolidated_candidates(table_dir):
+            try:
+                os.remove(idx_path)
+            except OSError:
+                pass
         # phase 1: candidate metadata degrades to footer truth
         tracked: dict[str, set[str]] = {}
         for n in versions:

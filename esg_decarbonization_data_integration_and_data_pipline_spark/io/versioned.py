@@ -2315,4 +2315,18 @@ def vacuum(table_dir: str, keep_last: int = 2,
             continue
         shutil.rmtree(full, ignore_errors=True)
         removed.append(n)
+    # root-level consolidated bloom indexes (io/bloom_index) of reaped
+    # versions are now dead metadata -- drop them with their version
+    for n in removed:
+        suffix = f"-v_{n:08d}.json"
+        try:
+            entries = os.listdir(table_dir)
+        except OSError:
+            break
+        for e in entries:
+            if e.startswith(".bloomidx-") and e.endswith(suffix):
+                try:
+                    os.remove(os.path.join(table_dir, e))
+                except OSError:
+                    pass
     return removed
