@@ -263,7 +263,7 @@ def bloom_point_lookup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     and probe) would drop rows and hash-mismatch; false positives
     only cost an extra file read by construction."""
     from esg_decarbonization_data_integration_and_data_pipline_spark.io.bloom_index import (
-        build_bloom_index, point_lookup,
+        build_bloom_index, consolidate_bloom_index, point_lookup,
     )
     from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import read_version
 
@@ -274,6 +274,10 @@ def bloom_point_lookup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = [int(lohi["lo"]), int(lohi["hi"]), 1000000007]
     for v in (1, 2, 3):
         build_bloom_index(spark, td, "o_custkey", n=v)
+        # production probe path (r12): one root-level consolidated
+        # index per version, so the 9 probes below pay 3 cached file
+        # reads instead of one sidecar open per (probe, file)
+        consolidate_bloom_index(td, "o_custkey", n=v)
     # the bloom pruning itself is driver-side metadata (lookup_files
     # inside point_lookup); the 9 surviving reads union into ONE
     # Spark job rather than paying 9 rounds of job scheduling --
