@@ -30,6 +30,19 @@ pyarrow and emit Arrow RecordBatches aligned to the version's pinned
 schema (pre-evolution files surface missing columns as NULLs, the
 same name-based resolution the schema-pinned parquet read performs).
 
+Filter pushdown (Spark 4.1; opt in per read with ``.option(
+"pushdown", "true")`` -- and the session must have ``spark.sql
+.python.filterPushdown.enabled`` on, which :func:`register` sets):
+pushed =/</>/in conjuncts prune FILES at planning time through the
+manifest min/max stats and the bloom sidecars / consolidated index
+(equality probes), and pre-filter ROWS executor-side before the
+Arrow transfer -- the boundary this face actually pays for.  Every
+filter is returned to Spark for re-evaluation, so pushdown is pure
+pruning: it can never change results, only skip I/O.  It is an
+explicit option (not the default) because Spark 4.1 hard-errors on
+a pushFilters-defining reader whenever the conf is off, and reader()
+runs in the planning worker where the conf cannot be probed.
+
 Streaming (``DataSourceStreamReader``): offsets are committed version
 numbers; each micro-batch covers the versions in ``(start, end]``.
 Append commits emit their ADDED files' rows; a commit that REWROTE
@@ -319,6 +332,11 @@ def _cdf_requested(options) -> bool:
     return raw in ("true", "1", "yes")
 
 
+def _pushdown_requested(options) -> bool:
+    raw = str(options.get("pushdown", "false")).lower()
+    return raw in ("true", "1", "yes")
+
+
 class _BatchReader(DataSourceReader):
     def __init__(self, options, n: int):
         # ``n`` is resolved ONCE by the owning DataSource (schema()
@@ -341,6 +359,198 @@ class _BatchReader(DataSourceReader):
     def read(self, partition: _FilePart) -> Iterator:
         yield from _read_aligned(partition.abs_path,
                                  partition.arrow_schema_bytes)
+
+
+class _FilteredFilePart(InputPartition):
+    def __init__(self, abs_path: str, arrow_schema_bytes: bytes,
+                 filters: list):
+        self.abs_path = abs_path
+        self.arrow_schema_bytes = arrow_schema_bytes
+        self.filters = filters  # [(op, col, value)] -- picklable
+
+
+def _apply_row_filters(batch, filters: list):
+    """Executor-side pre-filter of one aligned batch: drops rows the
+    pushed conjuncts exclude BEFORE they cross the Python->JVM Arrow
+    boundary.  Advisory only -- Spark re-applies every filter after
+    the scan (pushFilters returns them all), so a skipped or
+    type-mismatched conjunct costs transfer, never correctness."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    mask = None
+    for op, col, val in filters:
+        if col not in batch.schema.names:
+            continue
+        c = batch.column(col)
+        try:
+            if op == "eq":
+                m = pc.equal(c, val)
+            elif op == "gt":
+                m = pc.greater(c, val)
+            elif op == "ge":
+                m = pc.greater_equal(c, val)
+            elif op == "lt":
+                m = pc.less(c, val)
+            elif op == "le":
+                m = pc.less_equal(c, val)
+            elif op == "in":
+                m = pc.is_in(c, value_set=pa.array(list(val),
+                                                   type=c.type))
+            else:
+                continue
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                pa.ArrowTypeError, TypeError, ValueError):
+            continue
+        m = pc.fill_null(m, False)
+        mask = m if mask is None else pc.and_(mask, m)
+    if mask is None:
+        return batch
+    return batch.filter(mask)
+
+
+def _stats_exclude(per_file_stats: dict, filters: list) -> bool:
+    """True when the file's recorded [lo, hi] ranges PROVE no row can
+    satisfy the pushed conjuncts (manifest metadata, no I/O).  A
+    type-mismatched comparison keeps the file (conservative)."""
+    for op, col, val in filters:
+        rng = per_file_stats.get(col)
+        if rng is None:
+            continue
+        lo, hi = rng
+        try:
+            if op == "eq" and not lo <= val <= hi:
+                return True
+            if op == "gt" and not hi > val:
+                return True
+            if op == "ge" and not hi >= val:
+                return True
+            if op == "lt" and not lo < val:
+                return True
+            if op == "le" and not lo <= val:
+                return True
+            if op == "in" and not any(lo <= v <= hi for v in val):
+                return True
+        except TypeError:
+            continue
+    return False
+
+
+class _PushdownBatchReader(_BatchReader):
+    """The batch reader with Spark-4.1 filter pushdown: pushed
+    conjuncts prune FILES driver-side (manifest min/max stats, then
+    bloom sidecars / the consolidated index for equality probes) and
+    pre-filter ROWS executor-side before the Arrow transfer.  Every
+    filter is returned to Spark for re-evaluation, so the pushdown is
+    pure pruning -- it can never drop a row the plain reader keeps.
+    Selected by reader() only when
+    ``spark.sql.python.filterPushdown.enabled`` is true (a reader
+    that defines pushFilters under a false conf is a hard error in
+    Spark 4.1, so the plain reader stays the default)."""
+
+    def __init__(self, options, n: int):
+        super().__init__(options, n)
+        self._pushed: list = []
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo, GreaterThan, GreaterThanOrEqual, In, LessThan,
+            LessThanOrEqual,
+        )
+
+        ops = {EqualTo: "eq", GreaterThan: "gt",
+               GreaterThanOrEqual: "ge", LessThan: "lt",
+               LessThanOrEqual: "le", In: "in"}
+        for f in filters:
+            op = ops.get(type(f))
+            attr = getattr(f, "attribute", ())
+            val = getattr(f, "value", None)
+            if op and len(attr) == 1:
+                scalar_ok = isinstance(val, (int, float, str)) \
+                    and not isinstance(val, bool)
+                in_ok = (op == "in" and isinstance(val, tuple)
+                         and val and all(
+                             isinstance(v, (int, float, str))
+                             and not isinstance(v, bool)
+                             for v in val))
+                if scalar_ok or in_ok:
+                    self._pushed.append((op, attr[0], val))
+        return filters  # Spark re-applies all: pruning-only contract
+
+    def _bloom_excludes(self, f: str, idx_cache: dict) -> bool:
+        """True when every equality probe value is provably absent
+        from the file (consolidated index first, else the per-file
+        sidecar; missing index = conservative keep)."""
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.bloom_index import (
+            _consolidated, _lanes, _maybe_contains, _positions,
+        )
+
+        for op, col, val in self._pushed:
+            if op not in ("eq", "in"):
+                continue
+            values = [val] if op == "eq" else list(val)
+            if not all(isinstance(v, (int, str))
+                       and not isinstance(v, bool) for v in values):
+                continue
+            if col not in idx_cache:
+                idx_cache[col] = _consolidated(self.path, col, self.n)
+            idx = idx_cache[col]
+            maybe = False
+            for v in values:
+                if idx is not None and f in idx:
+                    entry = idx[f]
+                    if entry is False:
+                        continue  # column absent: all-NULL there
+                    if entry is None:
+                        maybe = True  # unindexed at consolidation
+                        break
+                    m_bits, n_hashes, bits = entry
+                    h1, h2 = _lanes(v)
+                    if all(bits[p >> 3] & (1 << (p & 7))
+                           for p in _positions(h1, h2, n_hashes,
+                                               m_bits)):
+                        maybe = True
+                        break
+                elif _maybe_contains(
+                        os.path.join(os.path.abspath(self.path), f),
+                        col, v):
+                    maybe = True
+                    break
+            if not maybe:
+                return True
+        return False
+
+    def partitions(self) -> Sequence[InputPartition]:
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+            _data_files, _read_stats,
+        )
+
+        root = os.path.abspath(self.path)
+        if not self._pushed:
+            return super().partitions()
+        stats = _read_stats(self.path, self.n)
+        idx_cache: dict = {}
+        parts = []
+        for f in _data_files(self.path, self.n):
+            if f in stats and _stats_exclude(stats[f], self._pushed):
+                continue
+            if self._bloom_excludes(f, idx_cache):
+                continue
+            parts.append(_FilteredFilePart(
+                os.path.join(root, f), self.schema_bytes,
+                self._pushed))
+        return parts
+
+    def read(self, partition) -> Iterator:
+        if partition is None:
+            return  # every file pruned: engine still calls read once
+        filters = getattr(partition, "filters", None)
+        for batch in _read_aligned(partition.abs_path,
+                                   partition.arrow_schema_bytes):
+            out = _apply_row_filters(batch, filters) if filters \
+                else batch
+            if out.num_rows:
+                yield out
 
 
 class _ChangeBatchReader(DataSourceReader):
@@ -543,7 +753,18 @@ class VersionedTableDataSource(DataSource):
         if _cdf_requested(self.options):
             return _ChangeBatchReader(self.options,
                                       self._resolve_version())
-        return _BatchReader(self.options, self._resolve_version())
+        # pushdown is OPT-IN per read (.option('pushdown', 'true')):
+        # reader() runs in the planning Python worker, where no
+        # SparkSession exists to probe the conf, and Spark 4.1
+        # hard-errors (DATA_SOURCE_PUSHDOWN_DISABLED) on a reader
+        # that defines pushFilters while
+        # spark.sql.python.filterPushdown.enabled is false -- so the
+        # plain reader must stay the default and the option makes the
+        # contract explicit (register() enables the conf so the
+        # option works on sessions that register through it)
+        cls = _PushdownBatchReader if _pushdown_requested(self.options) \
+            else _BatchReader
+        return cls(self.options, self._resolve_version())
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return _CDFStreamReader(self.options)
@@ -552,5 +773,14 @@ class VersionedTableDataSource(DataSource):
 def register(spark) -> None:
     """Register the format on a session:
     ``sources.versioned_source.register(spark)`` then
-    ``spark.read.format("versioned_table")...``."""
+    ``spark.read.format("versioned_table")...``.  Also enables
+    ``spark.sql.python.filterPushdown.enabled`` so batch reads get
+    the stats/bloom file pruning + executor-side row pre-filter
+    (sessions registering the class directly keep the plain reader
+    until they set the conf themselves)."""
     spark.dataSource.register(VersionedTableDataSource)
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled",
+                       "true")
+    except Exception:  # noqa: BLE001 -- pushdown is an optimization
+        pass
