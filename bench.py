@@ -106,6 +106,10 @@ HEADLINE = [
     # stream drain of the full fixture history + the batch CDF face;
     # the v3 delete's executor-side multiset diff is the cost
     "datasource_cdf_audit",
+    # added round 12: filter pushdown through the format() face --
+    # the clustering compaction + bloom build dominate; the five
+    # pruned probes are the measured contract
+    "datasource_pushdown_audit",
 ]
 
 

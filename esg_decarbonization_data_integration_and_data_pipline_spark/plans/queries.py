@@ -729,8 +729,14 @@ _DRIVER_HEAD = [
     # both documented in tools/grading_ledger.py).  Each rotated-out
     # query was driver-green >= 2 rounds and every SURVEY row keeps
     # a head representative -- see the r10 block in _DRIVER_TAIL.
-    "similarity_topk_batch", "chunk_documents", "vocab_top_tokens",
+    "similarity_topk_batch", "vocab_top_tokens",
     "corpus_profile_by_source", "decontaminate_embeddings_docs",
+    # ---- round-12 new capability: filter pushdown through the
+    # DataSource face (Spark-4.1 pushFilters: stats + bloom file
+    # pruning, executor-side row pre-filter).  chunk_documents
+    # rotates out for the slot (r10+r11 graded; ext:chunking only,
+    # the shard-keyed chunker stays oracle-replayed in-repo).
+    "datasource_pushdown_audit",
     # ---- round-12 new capability: row-level change feed through the
     # DataSource face (readChangeFeed batch + streaming, Delta's CDF
     # contract; sources/versioned_source).  deterministic_split
@@ -1084,6 +1090,12 @@ _DRIVER_TAIL = [
     #       oracle-replayed in-repo and the dedup-safe-split property
     #       stays pytest-pinned
     "deterministic_split",
+    #   chunk_documents (r10-r11) -> rotated out for the NEW
+    #       datasource_pushdown_audit head slot: no exclusive SURVEY
+    #       rows (ext:chunking); the chunker stays oracle-replayed
+    #       in-repo and the packing/export tier keeps its pytest +
+    #       scaling coverage
+    "chunk_documents",
 ]
 _ORDERED = _DRIVER_HEAD + _DRIVER_TAIL
 assert set(_ORDERED) == set(REGISTRY) and len(_ORDERED) == len(REGISTRY), (

@@ -298,6 +298,90 @@ def datasource_cdf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
               "yr int, n_rows bigint, total_price double")
 
 
+@register("datasource_pushdown_audit", "ext:py-datasource-pushdown,P3,A1",
+          oracle=_BASE_CTE + """,
+cur AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0),
+b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM cur),
+bc AS (SELECT min(o_custkey) AS ck FROM cur)
+SELECT 'eq_min' AS stage, count(*) AS n_rows,
+       round(coalesce(sum(o_totalprice), 0.0), 4) AS sum_price
+FROM cur, b WHERE o_orderkey = b.lo
+UNION ALL SELECT 'eq_absent', count(*),
+       round(coalesce(sum(o_totalprice), 0.0), 4)
+FROM cur WHERE o_orderkey = 1000000007
+UNION ALL SELECT 'bloom_eq', count(*),
+       round(coalesce(sum(o_totalprice), 0.0), 4)
+FROM cur, bc WHERE o_custkey = bc.ck
+UNION ALL SELECT 'range_head', count(*),
+       round(coalesce(sum(o_totalprice), 0.0), 4)
+FROM cur, b WHERE o_orderkey <= b.lo + 1000
+UNION ALL SELECT 'in_three', count(*),
+       round(coalesce(sum(o_totalprice), 0.0), 4)
+FROM cur, b WHERE o_orderkey IN (b.lo, b.hi, 1000000007)
+""")
+def datasource_pushdown_audit(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Filter pushdown through the DataSource face
+    (``.option("pushdown", "true")``, sources/versioned_source),
+    driver-gradable end-to-end.  A COPY of the shared fixture is
+    key-clustered (compact_table sort_by o_orderkey into small
+    stats-tracked files -- the layout pruning needs) and given a
+    consolidated bloom index on the non-clustered o_custkey; five
+    predicate shapes then read EXCLUSIVELY through the pushdown
+    reader: clustered equality at the key-space minimum, an absent
+    sentinel (every file stats-pruned -- the planned-partition list
+    is empty and the read must return a well-typed zero, not an
+    error), a bloom-pruned equality on the unclustered column, a
+    head range, and a three-value IN.  The oracle re-derives each
+    (count, sum) from the raw parquet, so OVER-pruning -- the one
+    failure mode pure-pruning pushdown can have, a file wrongly
+    skipped dropping rows -- hash-mismatches externally; the pruning
+    ratios themselves are pinned by tests/
+    test_versioned_source_pushdown.py and measured in SCALE.md
+    (1.9-3.0x at 128 files; the ratio IS the file-prune ratio)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.bloom_index import (
+        build_bloom_index, consolidate_bloom_index,
+    )
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        compact_table, read_current,
+    )
+    from esg_decarbonization_data_integration_and_data_pipline_spark.sources.versioned_source import (
+        register as register_ds,
+    )
+
+    td = copy_fixture(orders_versioned_fixture(spark, sf_dir))
+    compact_table(spark, td, sort_by=["o_orderkey"],
+                  sort_partitions=8,
+                  stats_columns=["o_orderkey", "o_custkey"])
+    build_bloom_index(spark, td, "o_custkey")
+    consolidate_bloom_index(td, "o_custkey")
+    register_ds(spark)
+    probe = read_current(spark, td).agg(
+        F.min("o_orderkey").alias("lo"),
+        F.max("o_orderkey").alias("hi"),
+        F.min("o_custkey").alias("ck")).collect()[0]
+    lo, hi, ck = int(probe["lo"]), int(probe["hi"]), int(probe["ck"])
+    cases = [
+        ("eq_min", f"o_orderkey = {lo}"),
+        ("eq_absent", "o_orderkey = 1000000007"),
+        ("bloom_eq", f"o_custkey = {ck}"),
+        ("range_head", f"o_orderkey <= {lo + 1000}"),
+        ("in_three", f"o_orderkey in ({lo}, {hi}, 1000000007)"),
+    ]
+    rows = []
+    for stage, cond in cases:
+        r = (spark.read.format("versioned_table")
+             .option("path", td).option("pushdown", "true").load()
+             .filter(cond)
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.coalesce(F.sum("o_totalprice"),
+                                     F.lit(0.0)), 4).alias("s"))
+             .collect()[0])
+        rows.append((stage, int(r["n"]), float(r["s"])))
+    return spark.createDataFrame(
+        rows, "stage string, n_rows bigint, sum_price double")
+
+
 @register("vacuum_retention_audit", "ext:vacuum-retention,P3,A1",
           oracle=_BASE_CTE + """,
 y AS (SELECT yr, count(*) AS n_rows,
