@@ -238,8 +238,26 @@ def consolidate_bloom_index(table_dir: str, col: str,
             f"bloom index on {col!r}: not a column of {table_dir} "
             f"v_{n:08d} (schema: {st.fieldNames()})")
     root = os.path.abspath(table_dir)
+    files = _data_files(table_dir, n)
+    external = [f for f in files
+                if not os.path.abspath(os.path.join(root, f))
+                .startswith(root + os.sep)]
+    if external:
+        # a shallow clone references the SOURCE's files by path; a
+        # clone-root consolidated index would copy the source blooms
+        # somewhere the source's purge evidence-removal hook cannot
+        # see (purge deletes per-file sidecars -- shared by path --
+        # and ITS OWN root's .bloomidx files, never another table's
+        # root), so an erased subject's hashes would survive here.
+        # Refuse, exactly like purge does (r12 review finding).
+        raise ValueError(
+            f"consolidate_bloom_index on {table_dir}: v_{n:08d} "
+            f"references files outside the table root (e.g. "
+            f"{external[0]}) -- this is a shallow clone; consolidate "
+            f"the source table (clones share its per-file sidecars "
+            f"by path), or deep_clone first")
     entries: dict = {}
-    for f in _data_files(table_dir, n):
+    for f in files:
         try:
             with open(_sidecar_path(os.path.join(root, f), col),
                       encoding="ascii") as fh:
@@ -255,7 +273,12 @@ def consolidate_bloom_index(table_dir: str, col: str,
 
 
 # (abs consolidated path) -> (mtime_ns, decoded files map); repeated
-# probes against an unchanged index pay ZERO file I/O after the first
+# probes against an unchanged index pay ZERO file I/O after the first.
+# Bounded two ways (r12 review finding): a stat-miss EVICTS the dead
+# entry (vacuum/purge deleted the file), and inserting a version's
+# index drops the same (table, col)'s other versions -- a long-lived
+# driver compacting hourly otherwise accumulates one full bitmap set
+# per version forever.
 _IDX_CACHE: dict = {}
 
 
@@ -266,6 +289,7 @@ def _consolidated(table_dir: str, col: str, n: int) -> dict | None:
     try:
         mt = os.stat(p).st_mtime_ns
     except OSError:
+        _IDX_CACHE.pop(p, None)  # deleted on disk: drop the bitmaps
         return None
     hit = _IDX_CACHE.get(p)
     if hit is not None and hit[0] == mt:
@@ -284,6 +308,12 @@ def _consolidated(table_dir: str, col: str, n: int) -> dict | None:
         else:
             files[f] = (sc["m_bits"], sc["n_hashes"],
                         base64.b64decode(sc["bits"]))
+    # one live version per (table, col): evict this prefix's other
+    # versions before inserting
+    prefix = p.rsplit("-v_", 1)[0] + "-v_"
+    for stale in [k for k in _IDX_CACHE
+                  if k.startswith(prefix) and k != p]:
+        _IDX_CACHE.pop(stale, None)
     _IDX_CACHE[p] = (mt, files)
     return files
 

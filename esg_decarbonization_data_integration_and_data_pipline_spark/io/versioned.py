@@ -2317,16 +2317,18 @@ def vacuum(table_dir: str, keep_last: int = 2,
         removed.append(n)
     # root-level consolidated bloom indexes (io/bloom_index) of reaped
     # versions are now dead metadata -- drop them with their version
-    for n in removed:
-        suffix = f"-v_{n:08d}.json"
-        try:
-            entries = os.listdir(table_dir)
-        except OSError:
-            break
-        for e in entries:
-            if e.startswith(".bloomidx-") and e.endswith(suffix):
+    # (one listdir for the whole removed set, matched on the same
+    # name shape consolidated_candidates centralizes)
+    if removed:
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.bloom_index import (
+            consolidated_candidates,
+        )
+
+        suffixes = tuple(f"-v_{n:08d}.json" for n in removed)
+        for p in consolidated_candidates(table_dir):
+            if p.endswith(suffixes):
                 try:
-                    os.remove(os.path.join(table_dir, e))
+                    os.remove(p)
                 except OSError:
                     pass
     return removed

@@ -235,34 +235,30 @@ def _read_change_part(part):
         yield from _read_change_file(part)
 
 
-def _plan_change_commits(path: str, s: int, e: int,
-                         schema_bytes: bytes,
-                         snapshot: bool = False) -> list:
-    """Driver-side change-feed planning over the commits in
-    ``(s, e]``: manifests only, no Spark jobs.  Append commits plan
-    one insert partition per ADDED file; a rewrite commit whose
-    recorded #base is the previous commit (compaction) is
-    row-identical and plans to nothing; any other rewrite plans ONE
-    multiset-diff partition over its removed+added files.  The
-    vacuum-retention guards match the append-tail planner: a reaped
-    version or diff base inside the range raises instead of silently
-    mis-attributing rows."""
+def _walk_commit_diffs(path: str, s: int, e: int, snapshot: bool,
+                       who: str):
+    """The shared commit walk behind the append-tail planner and the
+    change-feed planner: yields ``(n, prev_set, prev_n, cur_list,
+    cur_set)`` for each committed version in ``(s, e]``, with ONE
+    copy of the vacuum-retention guards (a reaped version or diff
+    base raises -- silently mis-attributing rows is never an option)
+    and of the diff-base resolution, including the fresh-checkpoint
+    ``snapshot`` distinction (an unreadable base at a genuine start
+    means "everything is new"; at a LAGGING checkpoint it means the
+    emitted set is unknowable)."""
     from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
-        _base_of, _data_files, committed_versions,
+        _data_files, committed_versions,
     )
 
     committed = [n for n in committed_versions(path) if s < n <= e]
-    root = os.path.abspath(path)
-    parts: list = []
     prev: set | None = None
     prev_n: int | None = None
     for n in committed:
         if not os.path.isdir(os.path.join(path, f"v_{n:08d}")):
             raise ValueError(
-                f"change feed needs v_{n} of {path} but it was "
-                f"vacuumed -- retention must outlive the consumer "
-                f"lag (restart from a fresh checkpoint/"
-                f"startingVersion)")
+                f"{who} needs v_{n} of {path} but it was vacuumed "
+                f"-- retention must outlive the checkpoint lag "
+                f"(restart from a fresh checkpoint/startingVersion)")
         if prev is None:
             base = n - 1
             if base >= 1 and os.path.isdir(
@@ -274,13 +270,33 @@ def _plan_change_commits(path: str, s: int, e: int,
                 prev_n = base
             else:
                 raise ValueError(
-                    f"change feed needs v_{base} of {path} as its "
-                    f"diff base but it was vacuumed -- retention "
-                    f"must outlive the consumer lag (restart from a "
+                    f"{who} needs v_{base} of {path} as its diff "
+                    f"base but it was vacuumed -- retention must "
+                    f"outlive the checkpoint lag (restart from a "
                     f"fresh checkpoint/startingVersion, accepting "
                     f"re-emission)")
         cur = _data_files(path, n)
-        cur_set = set(cur)
+        yield n, prev, prev_n, cur, set(cur)
+        prev, prev_n = set(cur), n
+
+
+def _plan_change_commits(path: str, s: int, e: int,
+                         schema_bytes: bytes,
+                         snapshot: bool = False) -> list:
+    """Driver-side change-feed planning over the commits in
+    ``(s, e]``: manifests only, no Spark jobs.  Append commits plan
+    one insert partition per ADDED file; a rewrite commit whose
+    recorded #base is the previous commit (compaction) is
+    row-identical and plans to nothing; any other rewrite plans ONE
+    multiset-diff partition over its removed+added files.  The
+    vacuum-retention guards live in :func:`_walk_commit_diffs`,
+    shared with the append-tail planner."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import _base_of
+
+    root = os.path.abspath(path)
+    parts: list = []
+    for n, prev, prev_n, cur, cur_set in _walk_commit_diffs(
+            path, s, e, snapshot, "change feed"):
         added = [f for f in cur if f not in prev]
         removed = sorted(prev - cur_set)
         if not removed:
@@ -295,7 +311,6 @@ def _plan_change_commits(path: str, s: int, e: int,
                 [os.path.join(root, f) for f in removed],
                 [os.path.join(root, f) for f in added],
                 schema_bytes, n))
-        prev, prev_n = cur_set, n
     return parts
 
 
@@ -477,10 +492,14 @@ class _PushdownBatchReader(_BatchReader):
                     self._pushed.append((op, attr[0], val))
         return filters  # Spark re-applies all: pruning-only contract
 
-    def _bloom_excludes(self, f: str, idx_cache: dict) -> bool:
+    def _bloom_excludes(self, f: str, idx_cache: dict,
+                        lanes_cache: dict) -> bool:
         """True when every equality probe value is provably absent
         from the file (consolidated index first, else the per-file
-        sidecar; missing index = conservative keep)."""
+        sidecar; missing index = conservative keep).  ``lanes_cache``
+        memoizes the per-value md5 lanes across the whole file loop
+        -- O(values) digests, not O(files x values) (r12 review
+        finding; lookup_files hoists identically)."""
         from esg_decarbonization_data_integration_and_data_pipline_spark.io.bloom_index import (
             _consolidated, _lanes, _maybe_contains, _positions,
         )
@@ -505,7 +524,9 @@ class _PushdownBatchReader(_BatchReader):
                         maybe = True  # unindexed at consolidation
                         break
                     m_bits, n_hashes, bits = entry
-                    h1, h2 = _lanes(v)
+                    if v not in lanes_cache:
+                        lanes_cache[v] = _lanes(v)
+                    h1, h2 = lanes_cache[v]
                     if all(bits[p >> 3] & (1 << (p & 7))
                            for p in _positions(h1, h2, n_hashes,
                                                m_bits)):
@@ -530,11 +551,12 @@ class _PushdownBatchReader(_BatchReader):
             return super().partitions()
         stats = _read_stats(self.path, self.n)
         idx_cache: dict = {}
+        lanes_cache: dict = {}
         parts = []
         for f in _data_files(self.path, self.n):
             if f in stats and _stats_exclude(stats[f], self._pushed):
                 continue
-            if self._bloom_excludes(f, idx_cache):
+            if self._bloom_excludes(f, idx_cache, lanes_cache):
                 continue
             parts.append(_FilteredFilePart(
                 os.path.join(root, f), self.schema_bytes,
@@ -624,71 +646,33 @@ class _CDFStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict
                    ) -> Sequence[InputPartition]:
-        from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
-            _data_files, committed_versions,
-        )
-
         s, e = int(start["version"]), int(end["version"])
         if e <= s:
             return []
         schema_bytes = _arrow_schema_bytes(_pinned_schema(self.path, e))
+        snapshot = bool(start.get("snapshot"))
         if self.read_change_feed:
-            return _plan_change_commits(
-                self.path, s, e, schema_bytes,
-                snapshot=bool(start.get("snapshot")))
-        committed = [n for n in committed_versions(self.path)
-                     if s < n <= e]
+            return _plan_change_commits(self.path, s, e,
+                                        schema_bytes,
+                                        snapshot=snapshot)
         root = os.path.abspath(self.path)
         parts: list[InputPartition] = []
-        prev: set[str] | None = None
-        for n in committed:
-            if not os.path.isdir(os.path.join(self.path,
-                                              f"v_{n:08d}")):
-                raise ValueError(
-                    f"stream needs v_{n} of {self.path} but it was "
-                    f"vacuumed -- retention must outlive the "
-                    f"checkpoint lag (restart from a fresh "
-                    f"checkpoint/startingVersion)")
-            if prev is None:
-                base = n - 1
-                if base >= 1 and os.path.isdir(os.path.join(
-                        self.path, f"v_{base:08d}")):
-                    prev = set(_data_files(self.path, base))
-                elif base < 1 or start.get("snapshot"):
-                    # genuine table start, or the fresh-checkpoint
-                    # initial snapshot (nothing emitted yet): every
-                    # file of this version is new by definition
-                    prev = set()
-                else:
-                    # a LAGGING checkpoint whose diff base was
-                    # vacuumed: without v_{base}'s manifest we cannot
-                    # tell which files were already emitted --
-                    # falling back to "everything is new" would
-                    # silently re-emit inherited rows, so fail like
-                    # the in-range vacuum case does
-                    raise ValueError(
-                        f"stream needs v_{base} of {self.path} as "
-                        f"its diff base but it was vacuumed -- "
-                        f"retention must outlive the checkpoint lag "
-                        f"(restart from a fresh checkpoint/"
-                        f"startingVersion, accepting re-emission)")
-            cur = _data_files(self.path, n)
-            cur_set = set(cur)
+        for n, prev, _prev_n, cur, cur_set in _walk_commit_diffs(
+                self.path, s, e, snapshot, "stream"):
             if not prev <= cur_set:
                 if self.skip_change_commits:
-                    prev = cur_set
-                    continue
+                    continue  # the walk advances its diff base anyway
                 raise ValueError(
                     f"v_{n} of {self.path} rewrote data files "
                     f"(merge/delete/compaction): an append-only "
                     f"stream cannot express it -- set "
                     f".option('skipChangeCommits', 'true') to skip "
                     f"such commits, or consume the row-level feed "
-                    f"with io.versioned.consume_changes")
+                    f"with readChangeFeed / io.versioned"
+                    f".consume_changes")
             parts.extend(
                 _FilePart(os.path.join(root, f), schema_bytes)
                 for f in cur if f not in prev)
-            prev = cur_set
         return parts
 
     def read(self, partition) -> Iterator:
@@ -743,6 +727,18 @@ class VersionedTableDataSource(DataSource):
                 LongType, StringType, StructField, StructType,
             )
 
+            clash = [c for c in (_CHANGE_TYPE, _COMMIT_VERSION)
+                     if c in st.fieldNames()]
+            if clash:
+                # the Delta contract: CDF column names are reserved.
+                # A duplicate-name schema would fail far from the
+                # cause (ambiguous reference) or silently bind
+                # positionally (r12 review finding).
+                raise ValueError(
+                    f"readChangeFeed reserves column names {clash}; "
+                    f"the table already has them -- rename the "
+                    f"business columns before consuming the change "
+                    f"feed")
             st = StructType(list(st.fields)
                             + [StructField(_CHANGE_TYPE, StringType()),
                                StructField(_COMMIT_VERSION,

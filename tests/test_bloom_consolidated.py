@@ -119,3 +119,52 @@ def test_consolidate_typod_column_errors(spark, tmp_path):
     t = _table(spark, tmp_path, n_files=1)
     with pytest.raises(ValueError, match="not a column"):
         consolidate_bloom_index(t, "nope")
+
+
+def test_consolidate_refuses_shallow_clone(spark, tmp_path):
+    """A clone-root consolidated index would hold source blooms the
+    source's purge evidence-removal can never reach -- refused, like
+    purge itself (r12 review finding)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.clone import (
+        deep_clone, shallow_clone,
+    )
+
+    t = _table(spark, tmp_path, n_files=2)
+    build_bloom_index(spark, t, "u")
+    sh = str(tmp_path / "sh")
+    shallow_clone(spark, t, sh)
+    with pytest.raises(ValueError, match="shallow clone"):
+        consolidate_bloom_index(sh, "u")
+    # the documented safe path: deep clones are self-contained
+    dp = str(tmp_path / "dp")
+    deep_clone(spark, t, dp)
+    build_bloom_index(spark, dp, "u")
+    assert consolidate_bloom_index(dp, "u") == 2
+
+
+def test_idx_cache_evicts_dead_and_stale_versions(spark, tmp_path):
+    """stat-miss evicts a deleted index's bitmaps; inserting a new
+    version's index drops the same (table, col)'s older versions."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.bloom_index import (
+        _IDX_CACHE, _consolidated_path,
+    )
+
+    t = _table(spark, tmp_path, n_files=2)
+    build_bloom_index(spark, t, "u")
+    n1 = current_version(t)
+    consolidate_bloom_index(t, "u", n=n1)
+    assert _consolidated(t, "u", n1) is not None
+    p1 = os.path.abspath(_consolidated_path(t, "u", n1))
+    assert p1 in _IDX_CACHE
+    # a later version's index evicts the older one's bitmaps
+    append_version(_df(spark, [(999, "zz")]).coalesce(1), t)
+    n2 = current_version(t)
+    build_bloom_index(spark, t, "u")
+    consolidate_bloom_index(t, "u", n=n2)
+    assert _consolidated(t, "u", n2) is not None
+    assert p1 not in _IDX_CACHE
+    # deleting the file on disk evicts on the next probe
+    p2 = os.path.abspath(_consolidated_path(t, "u", n2))
+    os.remove(p2)
+    assert _consolidated(t, "u", n2) is None
+    assert p2 not in _IDX_CACHE

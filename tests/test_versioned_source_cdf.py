@@ -167,6 +167,20 @@ def test_cdf_aligns_evolved_schema(registered, tmp_path):
     ]
 
 
+def test_cdf_reserves_change_column_names(registered, tmp_path):
+    """A table already carrying _change_type (e.g. a persisted CDF
+    read) must refuse loudly, not produce a duplicate-name schema."""
+    spark = registered
+    td = str(tmp_path / "t")
+    append_version(
+        spark.createDataFrame([(1, "insert")],
+                              "k bigint, _change_type string"), td)
+    with pytest.raises(Exception, match="reserves column names"):
+        (spark.read.format("versioned_table").option("path", td)
+         .option("readChangeFeed", "true")
+         .option("startingVersion", "0").load().collect())
+
+
 def test_cdf_matches_read_changes(registered, tmp_path):
     """The format() face and io.versioned.read_changes agree on the
     same (from, to] delta (modulo the extra _commit_version col)."""

@@ -365,10 +365,12 @@ def main() -> None:
         "fsck_verify":
             lambda s: _fsck_verify_cycle(s),
         # round-12: the same 500-probe workload through the
-        # CONSOLIDATED root-level index (built untimed in prep, like
-        # the sidecars): one mtime-cached file read total instead of
-        # one sidecar open per (probe, file) -- the r11 verdict's
-        # watch-item fix; the slope should collapse toward flat.
+        # CONSOLIDATED root-level index: one mtime-cached file read
+        # total instead of one sidecar open per (probe, file) -- the
+        # r11 verdict's watch-item fix; the slope should collapse
+        # toward flat.  The index is built lazily inside the FIRST
+        # timed sample per scale (a few ms); the recorded number is
+        # the median of 3, which excludes it.
         "bloom_lookup_consolidated":
             lambda s: _bloom_lookup_consolidated_cycle(s),
         # round-12: physical clone of the growing fixture into a
