@@ -1817,6 +1817,39 @@ def _manifest_commit(df: DataFrame, table_dir: str, txn: str | None,
             if table_constraints(table_dir):
                 enforce_on_write(
                     df.sparkSession.read.parquet(staged), table_dir)
+        return _commit_staged_dir(
+            table_dir, staged, txn, pinned_base, inherit_files,
+            max_attempts, backend, merge_schema, stats_columns,
+            inherit_drop, row_identical_base,
+            batch_schema=df.schema,
+            legacy_schema_reader=lambda cur: _read_resolved(
+                df.sparkSession, table_dir, cur).schema)
+    except BaseException:
+        shutil.rmtree(staged, ignore_errors=True)
+        raise
+
+
+def _commit_staged_dir(table_dir: str, staged: str, txn: str | None,
+                       pinned_base: int | None, inherit_files: bool,
+                       max_attempts: int,
+                       backend: CommitBackend,
+                       merge_schema: bool,
+                       stats_columns: Sequence[str],
+                       inherit_drop: frozenset[str],
+                       row_identical_base: int | None,
+                       batch_schema,
+                       legacy_schema_reader=None) -> int:
+    """The claim -> renumber -> manifest -> pointer-flip loop shared
+    by :func:`_manifest_commit` (Spark-staged batches) and the
+    DataSource write face (pyarrow-staged parts): pure file metadata,
+    NO SparkSession.  ``batch_schema`` is the staged data's Spark
+    schema; ``legacy_schema_reader(cur)`` resolves a pinned-schema-
+    less legacy base from its parquet footers (callers with a session
+    pass it; session-free callers get a loud error instead of a
+    silent wrong-schema commit).  Owns the staged dir: reaps it (and
+    any claimed-but-uncommitted dir) on every exit path."""
+    claimed: str | None = None
+    try:
         n = max(_versions(table_dir), default=0) + 1
         for _ in range(max_attempts):
             target = os.path.join(table_dir, f"v_{n:08d}")
@@ -1870,10 +1903,16 @@ def _manifest_commit(df: DataFrame, table_dir: str, txn: str | None,
             if cur is not None:
                 base_schema = table_schema(table_dir, cur)
                 if base_schema is None:
-                    base_schema = _read_resolved(
-                        df.sparkSession, table_dir, cur).schema
+                    if legacy_schema_reader is None:
+                        raise ValueError(
+                            f"{table_dir} v_{cur:08d} has no pinned "
+                            f"schema (legacy table) and this write "
+                            f"path has no SparkSession to resolve "
+                            f"footers -- append once through "
+                            f"io.versioned.append_version to pin it")
+                    base_schema = legacy_schema_reader(cur)
             _write_schema_file(claimed, _resolve_commit_schema(
-                base_schema, df.schema, merge_schema, table_dir))
+                base_schema, batch_schema, merge_schema, table_dir))
             # file-skipping stats: inherit the base's recorded stats
             # for inherited files verbatim, and record OWN-file
             # min/max (footer read, no data scan) for the union of
