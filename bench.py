@@ -110,6 +110,9 @@ HEADLINE = [
     # the clustering compaction + bloom build dominate; the five
     # pruned probes are the measured contract
     "datasource_pushdown_audit",
+    # added round 12: the write face -- three batch commits + a
+    # 2-drain exactly-once streaming sink, all Arrow-staged
+    "datasource_write_audit",
 ]
 
 

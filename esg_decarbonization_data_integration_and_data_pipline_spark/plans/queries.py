@@ -752,14 +752,14 @@ _DRIVER_HEAD = [
     # r12 block in _DRIVER_TAIL.
     "datasource_timetravel_audit", "datasource_stream_tail_audit",
     "vacuum_retention_audit",
-    # ---- round-10 new capability queries (r9 verdict task #2: the
-    # last pytest-only r9 sub-tiers get driver-graded queries):
-    # cost-routed expectations over a fixture versioned table
-    # (check_table: metadata-answered not_null/in_range/min/count +
-    # scan-routed in_set/matches/unique/avg, audited at all three
-    # committed versions) and the one-row drift summaries
-    # (KS-at-bucket-resolution + TVD beside their PSI totals)
-    "versioned_table_audit", "drift_ks_summary",
+    # ---- round-10 new capability queries (r9 verdict task #2):
+    # cost-routed expectations over the shared fixture versioned
+    # table.  drift_ks_summary rotated out in r12 (r10+r11 graded;
+    # ext-only tags, drift keeps head rep drift_orders_psi) for the
+    # NEW datasource_write_audit slot -- the write face of
+    # format('versioned_table') (batch append/overwrite/txn replay +
+    # exactly-once streaming sink).
+    "versioned_table_audit", "datasource_write_audit",
     # ---- round-9 rotations INTO the head: nine never-driver-graded
     # tail queries (burn-down per the r8 verdict tasks #1/#6; the
     # never-graded backlog drops 20 -> 11) plus the NEW
@@ -1096,6 +1096,12 @@ _DRIVER_TAIL = [
     #       in-repo and the packing/export tier keeps its pytest +
     #       scaling coverage
     "chunk_documents",
+    #   drift_ks_summary (r10-r11) -> rotated out for the NEW
+    #       datasource_write_audit head slot: no exclusive SURVEY
+    #       rows (ext:drift-summary); drift keeps head rep
+    #       drift_orders_psi and the KS/TVD summaries stay
+    #       oracle-replayed in-repo
+    "drift_ks_summary",
 ]
 _ORDERED = _DRIVER_HEAD + _DRIVER_TAIL
 assert set(_ORDERED) == set(REGISTRY) and len(_ORDERED) == len(REGISTRY), (

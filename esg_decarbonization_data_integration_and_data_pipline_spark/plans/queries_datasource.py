@@ -382,6 +382,123 @@ def datasource_pushdown_audit(spark: SparkSession,
         rows, "stage string, n_rows bigint, sum_price double")
 
 
+@register("datasource_write_audit", "ext:py-datasource-write,P3,A1",
+          oracle=_BASE_CTE + """,
+y97 AS (SELECT count(*) AS n_rows,
+               round(sum(o_totalprice), 4) AS total_price
+        FROM base WHERE yr = 1997),
+al AS (SELECT count(*) AS n_rows,
+              round(sum(o_totalprice), 4) AS total_price FROM base),
+sl AS (SELECT count(*) AS n_rows,
+              round(sum(o_totalprice), 4) AS total_price
+       FROM base WHERE yr = 1998 AND o_orderkey % 19 = 0)
+SELECT 'batch' AS stage, 1 AS version, n_rows, total_price FROM y97
+UNION ALL SELECT 'batch', 2, n_rows, total_price FROM al
+UNION ALL SELECT 'batch', 3, n_rows, total_price FROM sl
+UNION ALL SELECT 'stream', 1, n_rows, total_price FROM y97
+UNION ALL SELECT 'stream', 2, n_rows, total_price FROM al
+UNION ALL SELECT 'replay_noop', -1, CAST(1 AS BIGINT), 0.0
+UNION ALL SELECT 'stream_idempotent', -1, 1, 0.0
+""")
+def datasource_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE face of ``format("versioned_table")``
+    (sources/versioned_source _VersionedBatchWriter /
+    _VersionedStreamWriter), driver-gradable end-to-end with NO
+    function-API write in the loop:
+
+    - ``batch``: ``df.write`` appends the 1997 slice (v1, with a
+      ``txn`` marker) then the 1998 slice (v2), and
+      ``mode("overwrite")`` snapshots the %19 slice (v3 -- truncate-
+      and-load WITH history).  Every version is read back through
+      the format() read face and must match the raw parquet: v1/v2
+      prove the inheriting append manifests, v3 proves the snapshot
+      kept v2 time-travelable.
+    - ``replay_noop``: re-running the v1 write job with the SAME txn
+      marker after v3 must not create a version (markers carry
+      forward across commits) -- recorded only if current stayed 3.
+    - ``stream``: ``df.writeStream`` (txnAppId) commits one version
+      per micro-batch into a second table; two availableNow drains
+      produce v1 = the 1997 slice and v2 = +1998, and a third drain
+      with no new data must commit nothing (``stream_idempotent``).
+
+    The writers stage Arrow batches straight to parquet parts in
+    executors and commit through the SAME claim -> manifest ->
+    pointer loop as append_version (io.versioned._commit_staged_dir)
+    -- one commit protocol, graded here through its second stager."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import current_version
+    from esg_decarbonization_data_integration_and_data_pipline_spark.sources.versioned_source import (
+        register as register_ds,
+    )
+    from esg_decarbonization_data_integration_and_data_pipline_spark.tables import table
+
+    register_ds(spark)
+    root = _tmp("ds_write_aud_")
+    td, td2 = os.path.join(root, "t"), os.path.join(root, "t2")
+    base = (table(spark, sf_dir, "orders")
+            .filter(F.year("o_orderdate").isin(1997, 1998))
+            .select("o_orderkey", "o_orderstatus", "o_totalprice",
+                    "o_orderpriority", "o_custkey",
+                    F.year("o_orderdate").cast("int").alias("yr")))
+
+    def write(df, mode="append", txn=None):
+        w = (df.write.format("versioned_table").option("path", td)
+             .option("statsColumns", "o_orderkey").mode(mode))
+        if txn:
+            w = w.option("txn", txn)
+        w.save()
+
+    write(base.filter(F.col("yr") == 1997), txn="aud:1997")
+    write(base.filter(F.col("yr") == 1998))
+    write(base.filter((F.col("yr") == 1998)
+                      & (F.col("o_orderkey") % 19 == 0)),
+          mode="overwrite")
+    rows = []
+
+    def agg(stage, version, df):
+        r = df.agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum("o_totalprice"), 4).alias("s")
+                   ).collect()[0]
+        rows.append((stage, version, int(r["n"]), float(r["s"])))
+
+    for v in (1, 2, 3):
+        agg("batch", v,
+            spark.read.format("versioned_table").option("path", td)
+            .option("version", str(v)).load())
+    write(base.filter(F.col("yr") == 1997), txn="aud:1997")  # replay
+    if current_version(td) == 3:
+        rows.append(("replay_noop", -1, 1, 0.0))
+
+    src, ck = os.path.join(root, "src"), os.path.join(root, "ck")
+    (base.filter(F.col("yr") == 1997).write.mode("overwrite")
+     .parquet(os.path.join(src, "b0")))
+
+    def drain():
+        q = (spark.readStream.schema(base.schema).parquet(src + "/*")
+             .writeStream.format("versioned_table")
+             .option("path", td2).option("txnAppId", "aud-stream")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    drain()
+    agg("stream", 1,
+        spark.read.format("versioned_table").option("path", td2)
+        .option("version", "1").load())
+    (base.filter(F.col("yr") == 1998).write.mode("overwrite")
+     .parquet(os.path.join(src, "b1")))
+    drain()
+    agg("stream", 2,
+        spark.read.format("versioned_table").option("path", td2)
+        .option("version", "2").load())
+    v_before = current_version(td2)
+    drain()
+    if current_version(td2) == v_before:
+        rows.append(("stream_idempotent", -1, 1, 0.0))
+    return spark.createDataFrame(
+        rows, "stage string, version int, n_rows bigint, "
+              "total_price double")
+
+
 @register("vacuum_retention_audit", "ext:vacuum-retention,P3,A1",
           oracle=_BASE_CTE + """,
 y AS (SELECT yr, count(*) AS n_rows,

@@ -57,6 +57,22 @@ keep every version a lagging checkpoint may still need -- a reaped
 manifest inside ``(start, end]`` raises rather than silently skipping
 data.
 
+Write face (``df.write`` / ``df.writeStream`` with this format):
+append commits an inheriting version, ``mode("overwrite")`` a
+snapshot version (truncate-and-load WITH history); executors stream
+Arrow batches straight into staged parquet parts and commit() runs
+the SAME claim -> manifest -> pointer loop as append_version
+(io.versioned._commit_staged_dir -- one commit protocol, two
+stagers), entirely session-free.  Batch writes take an optional
+``txn`` idempotence marker; streaming writes REQUIRE ``txnAppId``
+and commit one version per micro-batch exactly-once (marker =
+txnAppId:batchId, the io/scd + matview foreachBatch discipline
+behind the standard sink API).  Constraint-bearing tables are
+refused loudly (no session to run the write-time scan) -- use
+append_version.  Schema enforcement/evolution (``mergeSchema``) and
+``statsColumns`` file-skipping stats work exactly as on the
+function API, because the commit path IS the function API's.
+
 Change feed (``readChangeFeed true``, Delta's CDF face): every commit
 surfaces as ROW-LEVEL changes -- the table's columns plus
 ``_change_type`` (``insert`` | ``delete``; an update is
@@ -80,13 +96,17 @@ io.versioned.read_changes, including its map-column caveat.
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 
@@ -689,6 +709,243 @@ class _CDFStreamReader(DataSourceStreamReader):
         pass  # offsets live in the engine's checkpoint
 
 
+class _PartNames(WriterCommitMessage):
+    def __init__(self, names: list):
+        self.names = names
+
+
+def _write_stage_part(iterator, stage_dir: str) -> "_PartNames":
+    """Executor-side: stream this task's Arrow batches into one
+    parquet part file under ``stage_dir``; returns the name (or
+    nothing for an empty task)."""
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    name = f"part-{uuid.uuid4().hex}.parquet"
+    writer = None
+    try:
+        for batch in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(
+                    os.path.join(stage_dir, name), batch.schema)
+            writer.write_batch(batch)
+    finally:
+        if writer is not None:
+            writer.close()
+    return _PartNames([name] if writer is not None else [])
+
+
+def _ensure_schema_part(stage_dir: str, arrow_schema_bytes: bytes
+                        ) -> None:
+    """An all-empty write still needs ONE schema-carrying part so the
+    committed version stays readable (the Spark staging path forces
+    the same)."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+    import pyarrow.parquet as pq
+
+    if any(not f.startswith(("_", "."))
+           for f in os.listdir(stage_dir)):
+        return
+    schema = ipc.read_schema(pa.BufferReader(arrow_schema_bytes))
+    pq.write_table(pa.table(
+        {f.name: pa.array([], type=f.type) for f in schema},
+        schema=schema),
+        os.path.join(stage_dir, "part-empty.parquet"))
+
+
+def _refuse_constraints(path: str, staged: str | None) -> None:
+    """The write face has no SparkSession, so it cannot run the
+    write-time constraint scan -- refuse constraint-bearing tables
+    loudly instead of silently publishing unvalidated rows (use
+    io.versioned.append_version, whose commit validates the staged
+    bytes)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.constraints import table_constraints
+
+    if table_constraints(path):
+        if staged is not None:
+            shutil.rmtree(staged, ignore_errors=True)
+        raise ValueError(
+            f"{path} declares write-time constraints; the "
+            f"format('versioned_table') write face has no "
+            f"SparkSession to validate them -- write through "
+            f"io.versioned.append_version / write_version instead")
+
+
+def _commit_stage(path: str, staged: str, schema, txn: str | None,
+                  overwrite: bool, merge_schema: bool,
+                  stats_columns: tuple) -> None:
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        _DEFAULT_BACKEND, _commit_staged_dir,
+    )
+
+    _commit_staged_dir(
+        path, staged, txn,
+        pinned_base=None, inherit_files=not overwrite,
+        max_attempts=20, backend=_DEFAULT_BACKEND,
+        merge_schema=merge_schema, stats_columns=stats_columns,
+        inherit_drop=frozenset(), row_identical_base=None,
+        batch_schema=schema)
+
+
+def _txn_already_visible(path: str, txn: str | None) -> bool:
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        _txns, current_version,
+    )
+
+    if txn is None:
+        return False
+    cur = current_version(path)
+    return cur is not None and txn in _txns(path, cur)
+
+
+class _VersionedBatchWriter(DataSourceArrowWriter):
+    """``df.write.format("versioned_table")`` -- append commits a new
+    inheriting version; ``mode("overwrite")`` commits a snapshot
+    version (only its own files -- truncate-and-load WITH history,
+    the write_version shape).  Options: ``txn`` (idempotence marker:
+    a replayed job with the same marker no-ops), ``mergeSchema``,
+    ``statsColumns`` (comma-separated file-skipping columns).
+    Executors stream Arrow batches straight into staged parquet
+    parts; commit() runs the same claim -> manifest -> pointer loop
+    as append_version (shared _commit_staged_dir), entirely
+    session-free."""
+
+    def __init__(self, options, schema, overwrite: bool):
+        import uuid
+
+        self.path = _table_path(options)
+        self.schema = schema
+        self.overwrite = overwrite
+        self.txn = options.get("txn")
+        self.merge_schema = str(options.get(
+            "mergeSchema", options.get("mergeschema",
+                                       "false"))).lower() in (
+            "true", "1", "yes")
+        sc = options.get("statsColumns", options.get("statscolumns"))
+        self.stats_columns = tuple(
+            s.strip() for s in sc.split(",") if s.strip()) if sc \
+            else ()
+        os.makedirs(self.path, exist_ok=True)
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import _STAGE_PREFIX
+
+        self.staged = os.path.join(
+            self.path,
+            f"{_STAGE_PREFIX}{os.getpid()}-{uuid.uuid4().hex}")
+        os.makedirs(self.staged)
+        self.arrow_schema_bytes = _arrow_schema_bytes(schema)
+
+    def write(self, iterator):
+        return _write_stage_part(iterator, self.staged)
+
+    def commit(self, messages) -> None:
+        _refuse_constraints(self.path, self.staged)
+        if _txn_already_visible(self.path, self.txn):
+            shutil.rmtree(self.staged, ignore_errors=True)
+            return  # replayed job: the marker is already visible
+        _ensure_schema_part(self.staged, self.arrow_schema_bytes)
+        _commit_stage(self.path, self.staged, self.schema, self.txn,
+                      self.overwrite, self.merge_schema,
+                      self.stats_columns)
+
+    def abort(self, messages) -> None:
+        shutil.rmtree(self.staged, ignore_errors=True)
+
+
+class _VersionedStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("versioned_table")`` -- every
+    micro-batch commits one appending version, EXACTLY-ONCE: the
+    required ``txnAppId`` option plus the engine's batchId form the
+    commit's transaction marker, so a crash between the version
+    commit and the checkpoint advance replays the batch into a
+    visible-marker no-op (the io/scd + matview foreachBatch
+    discipline, behind the standard sink API).
+
+    Tasks write parts into a PENDING dir named DETERMINISTICALLY
+    from txnAppId (write() does not know the batch id, and the
+    engine constructs separate writer instances for the write and
+    commit phases, so an instance-random name would dangle);
+    commit(batchId) moves exactly the messaged parts into a fresh
+    stage dir and runs the shared session-free commit loop.  A
+    crashed query's pending leftovers start with the ``.stage-``
+    prefix, so vacuum's aged-stage sweep reaps them."""
+
+    def __init__(self, options, schema, overwrite: bool):
+        import hashlib
+
+        self.path = _table_path(options)
+        self.schema = schema
+        app = options.get("txnAppId", options.get("txnappid"))
+        if not app:
+            raise ValueError(
+                "versioned_table streaming writes need .option("
+                "'txnAppId', <stable id>): it keys the per-batch "
+                "transaction marker that makes restarts exactly-once"
+                " -- without it a checkpoint replay would double-"
+                "append")
+        self.app = str(app)
+        self.merge_schema = str(options.get(
+            "mergeSchema", options.get("mergeschema",
+                                       "false"))).lower() in (
+            "true", "1", "yes")
+        sc = options.get("statsColumns", options.get("statscolumns"))
+        self.stats_columns = tuple(
+            s.strip() for s in sc.split(",") if s.strip()) if sc \
+            else ()
+        os.makedirs(self.path, exist_ok=True)
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import _STAGE_PREFIX
+
+        digest = hashlib.md5(self.app.encode("utf-8")).hexdigest()[:16]
+        self.pending = os.path.join(
+            self.path, f"{_STAGE_PREFIX}pending-{digest}")
+        os.makedirs(self.pending, exist_ok=True)
+        self.arrow_schema_bytes = _arrow_schema_bytes(schema)
+
+    def write(self, iterator):
+        return _write_stage_part(iterator, self.pending)
+
+    def _named(self, messages) -> list:
+        return [n for m in messages if m is not None
+                for n in getattr(m, "names", [])]
+
+    def _drop_parts(self, names) -> None:
+        for n in names:
+            try:
+                os.remove(os.path.join(self.pending, n))
+            except OSError:
+                pass
+
+    def commit(self, messages, batchId: int) -> None:
+        import uuid
+
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import _STAGE_PREFIX
+
+        names = self._named(messages)
+        _refuse_constraints(self.path, None)
+        txn = f"{self.app}:{batchId}"
+        if _txn_already_visible(self.path, txn):
+            # checkpoint replay of an already-committed batch: the
+            # re-written parts must go too, or they leak in pending
+            self._drop_parts(names)
+            return
+        staged = os.path.join(
+            self.path,
+            f"{_STAGE_PREFIX}{os.getpid()}-{uuid.uuid4().hex}")
+        os.makedirs(staged)
+        for n in names:
+            os.rename(os.path.join(self.pending, n),
+                      os.path.join(staged, n))
+        _ensure_schema_part(staged, self.arrow_schema_bytes)
+        _commit_stage(self.path, staged, self.schema, txn,
+                      overwrite=False,
+                      merge_schema=self.merge_schema,
+                      stats_columns=self.stats_columns)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._drop_parts(self._named(messages))
+
+
 class VersionedTableDataSource(DataSource):
     """``format("versioned_table")`` -- see the module docstring."""
 
@@ -764,6 +1021,12 @@ class VersionedTableDataSource(DataSource):
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return _CDFStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        return _VersionedBatchWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return _VersionedStreamWriter(self.options, schema, overwrite)
 
 
 def register(spark) -> None:
