@@ -67,7 +67,12 @@ stagers), entirely session-free.  Batch writes take an optional
 ``txn`` idempotence marker; streaming writes REQUIRE ``txnAppId``
 and commit one version per micro-batch exactly-once (marker =
 txnAppId:batchId, the io/scd + matview foreachBatch discipline
-behind the standard sink API).  Constraint-bearing tables are
+behind the standard sink API).  COMPLETE output mode commits each
+batch as a snapshot version (the engine passes truncate semantics;
+appending would union stale and fresh snapshots).  Batch commits
+publish exactly the parts the successful task attempts messaged --
+a failed-then-retried or speculative task's leftover partial part
+is dropped, never manifested.  Constraint-bearing tables are
 refused loudly (no session to run the write-time scan) -- use
 append_version.  Schema enforcement/evolution (``mergeSchema``) and
 ``statsColumns`` file-skipping stats work exactly as on the
@@ -755,6 +760,20 @@ def _ensure_schema_part(stage_dir: str, arrow_schema_bytes: bytes
         os.path.join(stage_dir, "part-empty.parquet"))
 
 
+def _parse_write_options(options):
+    """(path, merge_schema, stats_columns) shared by both writers --
+    one copy of the option parsing (r12 review pass 2)."""
+    path = _table_path(options)
+    merge = str(options.get("mergeSchema",
+                            options.get("mergeschema",
+                                        "false"))).lower() in (
+        "true", "1", "yes")
+    sc = options.get("statsColumns", options.get("statscolumns"))
+    stats = tuple(s.strip() for s in sc.split(",")
+                  if s.strip()) if sc else ()
+    return path, merge, stats
+
+
 def _refuse_constraints(path: str, staged: str | None) -> None:
     """The write face has no SparkSession, so it cannot run the
     write-time constraint scan -- refuse constraint-bearing tables
@@ -815,35 +834,55 @@ class _VersionedBatchWriter(DataSourceArrowWriter):
     def __init__(self, options, schema, overwrite: bool):
         import uuid
 
-        self.path = _table_path(options)
+        self.path, self.merge_schema, self.stats_columns = \
+            _parse_write_options(options)
         self.schema = schema
         self.overwrite = overwrite
         self.txn = options.get("txn")
-        self.merge_schema = str(options.get(
-            "mergeSchema", options.get("mergeschema",
-                                       "false"))).lower() in (
-            "true", "1", "yes")
-        sc = options.get("statsColumns", options.get("statscolumns"))
-        self.stats_columns = tuple(
-            s.strip() for s in sc.split(",") if s.strip()) if sc \
-            else ()
         os.makedirs(self.path, exist_ok=True)
         from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import _STAGE_PREFIX
 
         self.staged = os.path.join(
             self.path,
             f"{_STAGE_PREFIX}{os.getpid()}-{uuid.uuid4().hex}")
-        os.makedirs(self.staged)
+        # a replayed job (visible txn marker) is detected HERE, at
+        # planning time, so its tasks skip recomputing and staging
+        # the whole batch only for commit() to delete it -- the same
+        # pre-stage short-circuit append_version performs.  commit()
+        # re-checks anyway (the marker can land mid-job).
+        self._noop = _txn_already_visible(self.path, self.txn)
+        if not self._noop:
+            os.makedirs(self.staged)
         self.arrow_schema_bytes = _arrow_schema_bytes(schema)
 
     def write(self, iterator):
+        if self._noop:
+            return _PartNames([])
+        os.makedirs(self.staged, exist_ok=True)
         return _write_stage_part(iterator, self.staged)
 
     def commit(self, messages) -> None:
-        _refuse_constraints(self.path, self.staged)
-        if _txn_already_visible(self.path, self.txn):
+        # replay no-op FIRST: a replayed batch must drain even if the
+        # table gained constraints since the original commit (its
+        # rows are already published; refusing forever would wedge
+        # the retrying job -- r12 review pass 2)
+        if self._noop or _txn_already_visible(self.path, self.txn):
             shutil.rmtree(self.staged, ignore_errors=True)
-            return  # replayed job: the marker is already visible
+            return
+        _refuse_constraints(self.path, self.staged)
+        # commit EXACTLY the parts the successful task attempts
+        # messaged: a failed-then-retried or speculatively-executed
+        # task leaves a valid-footer partial part behind in the
+        # shared stage dir, and listdir-committing it would publish
+        # duplicate/partial rows (r12 review pass 2)
+        named = {n for m in messages if m is not None
+                 for n in getattr(m, "names", [])}
+        try:
+            for f in os.listdir(self.staged):
+                if not f.startswith(("_", ".")) and f not in named:
+                    os.remove(os.path.join(self.staged, f))
+        except OSError:
+            pass
         _ensure_schema_part(self.staged, self.arrow_schema_bytes)
         _commit_stage(self.path, self.staged, self.schema, self.txn,
                       self.overwrite, self.merge_schema,
@@ -874,8 +913,15 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
     def __init__(self, options, schema, overwrite: bool):
         import hashlib
 
-        self.path = _table_path(options)
+        self.path, self.merge_schema, self.stats_columns = \
+            _parse_write_options(options)
         self.schema = schema
+        # Spark passes overwrite=True per batch for COMPLETE output
+        # mode (each batch is the full result): committed as a
+        # snapshot version, exactly mode("overwrite")'s
+        # truncate-WITH-history semantics.  Silently appending would
+        # union stale and fresh snapshots (r12 review pass 2).
+        self.overwrite = overwrite
         app = options.get("txnAppId", options.get("txnappid"))
         if not app:
             raise ValueError(
@@ -885,14 +931,6 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
                 " -- without it a checkpoint replay would double-"
                 "append")
         self.app = str(app)
-        self.merge_schema = str(options.get(
-            "mergeSchema", options.get("mergeschema",
-                                       "false"))).lower() in (
-            "true", "1", "yes")
-        sc = options.get("statsColumns", options.get("statscolumns"))
-        self.stats_columns = tuple(
-            s.strip() for s in sc.split(",") if s.strip()) if sc \
-            else ()
         os.makedirs(self.path, exist_ok=True)
         from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import _STAGE_PREFIX
 
@@ -903,6 +941,12 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
         self.arrow_schema_bytes = _arrow_schema_bytes(schema)
 
     def write(self, iterator):
+        # recreate the pending dir: it is idle-empty between batches
+        # and carries the vacuum-reapable .stage- prefix, so an aged
+        # sweep under a long-idle query may have removed it (r12
+        # review pass 2 -- the write must survive that, not crash
+        # the query)
+        os.makedirs(self.pending, exist_ok=True)
         return _write_stage_part(iterator, self.pending)
 
     def _named(self, messages) -> list:
@@ -922,13 +966,21 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
         from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import _STAGE_PREFIX
 
         names = self._named(messages)
-        _refuse_constraints(self.path, None)
         txn = f"{self.app}:{batchId}"
+        # replay no-op BEFORE the constraint refusal: an
+        # already-committed batch must drain even if the table gained
+        # constraints since (its rows are published; refusing forever
+        # would wedge the query's recovery -- r12 review pass 2)
         if _txn_already_visible(self.path, txn):
             # checkpoint replay of an already-committed batch: the
             # re-written parts must go too, or they leak in pending
             self._drop_parts(names)
             return
+        try:
+            _refuse_constraints(self.path, None)
+        except BaseException:
+            self._drop_parts(names)  # no orphan parts per attempt
+            raise
         staged = os.path.join(
             self.path,
             f"{_STAGE_PREFIX}{os.getpid()}-{uuid.uuid4().hex}")
@@ -938,7 +990,7 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
                       os.path.join(staged, n))
         _ensure_schema_part(staged, self.arrow_schema_bytes)
         _commit_stage(self.path, staged, self.schema, txn,
-                      overwrite=False,
+                      overwrite=self.overwrite,
                       merge_schema=self.merge_schema,
                       stats_columns=self.stats_columns)
 

@@ -185,6 +185,143 @@ def test_stream_write_requires_txn_app_id(registered, tmp_path):
         q.awaitTermination()
 
 
+def _batch(pairs):
+    import pyarrow as pa
+
+    return pa.record_batch(
+        {"k": pa.array([k for k, _ in pairs], pa.int64()),
+         "v": pa.array([v for _, v in pairs], pa.string())})
+
+
+def test_batch_commit_publishes_only_messaged_parts(registered,
+                                                    tmp_path):
+    """A failed-then-retried / speculative task leaves a valid
+    partial part in the shared stage dir; commit() must manifest
+    exactly the messaged parts (r12 review pass 2)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.sources.versioned_source import (
+        _VersionedBatchWriter,
+    )
+
+    spark = registered
+    td = str(tmp_path / "t")
+    schema = _kv(spark, [(0, "x")]).schema
+    w = _VersionedBatchWriter({"path": td}, schema, False)
+    good = w.write(iter([_batch([(1, "a"), (2, "b")])]))
+    w.write(iter([_batch([(1, "a")])]))  # failed attempt's leftover
+    w.commit([good])
+    got = sorted((r.k, r.v) for r in read_current(spark, td).collect())
+    assert got == [(1, "a"), (2, "b")]
+
+
+def test_batch_replay_detected_at_planning(registered, tmp_path):
+    """A replayed job's writer no-ops from __init__ on: write()
+    stages nothing and commit() publishes nothing."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.sources.versioned_source import (
+        _VersionedBatchWriter,
+    )
+
+    spark = registered
+    td = str(tmp_path / "t")
+    schema = _kv(spark, [(0, "x")]).schema
+    w = _VersionedBatchWriter({"path": td, "txn": "j1"}, schema, False)
+    w.commit([w.write(iter([_batch([(1, "a")])]))])
+    assert current_version(td) == 1
+    w2 = _VersionedBatchWriter({"path": td, "txn": "j1"}, schema,
+                               False)
+    assert w2._noop
+    msg = w2.write(iter([_batch([(9, "z")])]))
+    assert msg.names == []
+    w2.commit([msg])
+    assert current_version(td) == 1
+    assert not [e for e in os.listdir(td) if e.startswith(".stage-")]
+
+
+def test_stream_complete_mode_commits_snapshots(registered, tmp_path):
+    """COMPLETE output mode (engine passes truncate semantics) must
+    snapshot per batch, not union stale and fresh aggregates."""
+    spark = registered
+    td = str(tmp_path / "t")
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    schema = "k bigint, v string"
+    (_kv(spark, [(1, "a"), (2, "a")]).coalesce(1)
+     .write.mode("overwrite").parquet(os.path.join(src, "b0")))
+
+    def drain():
+        q = (spark.readStream.schema(schema).parquet(src + "/*")
+             .groupBy("v").count()
+             .writeStream.outputMode("complete")
+             .format("versioned_table")
+             .option("path", td).option("txnAppId", "agg")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    drain()
+    assert [(r.v, r["count"]) for r in
+            read_current(spark, td).collect()] == [("a", 2)]
+    (_kv(spark, [(3, "a"), (4, "b")]).coalesce(1)
+     .write.mode("overwrite").parquet(os.path.join(src, "b1")))
+    drain()
+    got = sorted((r.v, r["count"])
+                 for r in read_current(spark, td).collect())
+    assert got == [("a", 3), ("b", 1)]  # snapshot, no stale union
+    # history is retained: the first snapshot is still time-travelable
+    assert [(r.v, r["count"]) for r in
+            read_version(spark, td, 1).collect()] == [("a", 2)]
+
+
+def test_stream_replay_drains_past_new_constraints(registered,
+                                                   tmp_path):
+    """An already-committed batch must no-op on replay even if the
+    table gained constraints since -- and a genuinely new batch is
+    refused WITHOUT leaking parts in pending (r12 review pass 2)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.constraints import (
+        set_table_constraints,
+    )
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.expectations import (
+        not_null,
+    )
+    from esg_decarbonization_data_integration_and_data_pipline_spark.sources.versioned_source import (
+        _VersionedStreamWriter,
+    )
+
+    spark = registered
+    td = str(tmp_path / "t")
+    schema = _kv(spark, [(0, "x")]).schema
+    w = _VersionedStreamWriter({"path": td, "txnAppId": "s1"},
+                               schema, False)
+    w.commit([w.write(iter([_batch([(1, "a")])]))], 0)
+    assert current_version(td) == 1
+    set_table_constraints(spark, td, [not_null("k")])
+    # replay of batch 0: drains silently, nothing new committed
+    w.commit([w.write(iter([_batch([(1, "a")])]))], 0)
+    assert current_version(td) == 1
+    # a genuinely NEW batch is refused loudly and leaks no parts
+    with pytest.raises(ValueError, match="constraints"):
+        w.commit([w.write(iter([_batch([(2, "b")])]))], 1)
+    assert not [e for e in os.listdir(w.pending)
+                if not e.startswith(("_", "."))]
+
+
+def test_stream_write_survives_pending_reap(registered, tmp_path):
+    """vacuum's aged-stage sweep may remove the idle-empty pending
+    dir under a live query; the next write must recreate it."""
+    import shutil as sh
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.sources.versioned_source import (
+        _VersionedStreamWriter,
+    )
+
+    spark = registered
+    td = str(tmp_path / "t")
+    schema = _kv(spark, [(0, "x")]).schema
+    w = _VersionedStreamWriter({"path": td, "txnAppId": "s2"},
+                               schema, False)
+    sh.rmtree(w.pending)
+    w.commit([w.write(iter([_batch([(1, "a")])]))], 0)
+    assert read_current(spark, td).count() == 1
+
+
 def test_roundtrip_write_then_read_faces(registered, tmp_path):
     """Full format() round trip: write face -> batch read face ->
     streaming tail -- no function API in the loop."""
