@@ -8,11 +8,18 @@ streaming tail -- the Delta ``spark.read.format("delta")`` /
 Why a DataSource when ``read_version`` exists: the function API needs
 our Python package on the CALLER's path and a direct call; the
 DataSource face plugs into everything that speaks ``format(...)`` --
-SQL ``CREATE TABLE ... USING``, third-party tooling, and crucially
-Structured Streaming, where the engine owns offset checkpointing so
-a restart resumes the tail exactly where it stopped without the
-consumer managing a cursor file (:func:`~..io.versioned
-.consume_changes` is the batch-side alternative).
+third-party tooling, SQL via temp views
+(``spark.read.format(...).load().createOrReplaceTempView``), and
+crucially Structured Streaming, where the engine owns offset
+checkpointing so a restart resumes the tail exactly where it stopped
+without the consumer managing a cursor file (:func:`~..io.versioned
+.consume_changes` is the batch-side alternative).  Catalog ``CREATE
+TABLE ... USING versioned_table`` is NOT usable on this Spark build:
+its table path instantiates the Python source with EMPTY options at
+read planning (verified -- the stored path never reaches reader()),
+so register SQL names as temp views over a format() read instead
+(tests/test_versioned_source_sql.py).  ``file:`` URIs in the path
+option are accepted and resolved to the local path.
 
 Throughput trade-off, measured (SCALE.md): rows cross a Python
 worker as Arrow batches instead of staying in the JVM parquet
@@ -362,6 +369,13 @@ def _table_path(options) -> str:
     if not path:
         raise ValueError(
             "versioned_table needs .option('path', <table dir>)")
+    if path.startswith("file:"):
+        # the SQL face (CREATE TABLE ... USING versioned_table)
+        # qualifies the path option into a file: URI; the manifest
+        # machinery wants the plain local path
+        from urllib.parse import unquote, urlparse
+
+        path = unquote(urlparse(path).path)
     return path
 
 
