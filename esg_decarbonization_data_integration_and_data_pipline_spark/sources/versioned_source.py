@@ -103,6 +103,12 @@ partition over its removed+added files (O(rewritten bytes) in one
 task -- commit-sized for keyed merges/deletes).  Rows are
 canonicalized in pinned-schema field order exactly like
 io.versioned.read_changes, including its map-column caveat.
+Semantics note: this face is PER-COMMIT (Delta's CDF -- a row
+inserted then deleted inside a multi-commit range surfaces as BOTH
+changes, each attributed to its commit), whereas read_changes nets a
+multi-commit range against its endpoints; their folds always agree,
+and on single-commit ranges they are row-identical
+(property-tested in tests/test_versioned_source_cdf_property.py).
 """
 
 from __future__ import annotations
