@@ -457,6 +457,12 @@ def _apply_row_filters(batch, filters: list):
             elif op == "in":
                 m = pc.is_in(c, value_set=pa.array(list(val),
                                                    type=c.type))
+            elif op == "isnull":
+                m = pc.is_null(c)
+            elif op == "notnull":
+                m = pc.is_valid(c)
+            elif op == "prefix":
+                m = pc.starts_with(c, pattern=val)
             else:
                 continue
         except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
@@ -467,6 +473,16 @@ def _apply_row_filters(batch, filters: list):
     if mask is None:
         return batch
     return batch.filter(mask)
+
+
+def _prefix_next(p: str) -> str | None:
+    """The smallest string GREATER than every string starting with
+    ``p`` (increment the last non-max char), or None when no finite
+    bound exists (trailing max code points)."""
+    for i in range(len(p) - 1, -1, -1):
+        if ord(p[i]) < 0x10FFFF:
+            return p[:i] + chr(ord(p[i]) + 1)
+    return None
 
 
 def _stats_exclude(per_file_stats: dict, filters: list) -> bool:
@@ -491,8 +507,36 @@ def _stats_exclude(per_file_stats: dict, filters: list) -> bool:
                 return True
             if op == "in" and not any(lo <= v <= hi for v in val):
                 return True
+            if op == "prefix":
+                # strings starting with val live in [val, next(val));
+                # footer string stats are true bounds even when
+                # truncated (parquet increments a truncated max)
+                if hi < val:
+                    return True
+                nxt = _prefix_next(val)
+                if nxt is not None and lo >= nxt:
+                    return True
         except TypeError:
             continue
+    return False
+
+
+def _null_exclude(per_file_rows: dict | None, filters: list) -> bool:
+    """True when the file's recorded null counts PROVE no row can
+    satisfy a pushed IsNull / IsNotNull conjunct.  ``per_file_rows``
+    is the manifest's ``{"n": rows, "nn": {col: nulls}}`` record (nn
+    only covers stats-tracked columns; absent = conservative keep)."""
+    if not per_file_rows:
+        return False
+    n = per_file_rows.get("n")
+    nn = per_file_rows.get("nn", {})
+    for op, col, _val in filters:
+        if col not in nn or n is None:
+            continue
+        if op == "isnull" and nn[col] == 0:
+            return True
+        if op == "notnull" and nn[col] == n:
+            return True
     return False
 
 
@@ -514,13 +558,15 @@ class _PushdownBatchReader(_BatchReader):
 
     def pushFilters(self, filters):
         from pyspark.sql.datasource import (
-            EqualTo, GreaterThan, GreaterThanOrEqual, In, LessThan,
-            LessThanOrEqual,
+            EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull,
+            IsNull, LessThan, LessThanOrEqual, StringStartsWith,
         )
 
         ops = {EqualTo: "eq", GreaterThan: "gt",
                GreaterThanOrEqual: "ge", LessThan: "lt",
-               LessThanOrEqual: "le", In: "in"}
+               LessThanOrEqual: "le", In: "in",
+               IsNull: "isnull", IsNotNull: "notnull",
+               StringStartsWith: "prefix"}
         for f in filters:
             op = ops.get(type(f))
             attr = getattr(f, "attribute", ())
@@ -533,7 +579,10 @@ class _PushdownBatchReader(_BatchReader):
                              isinstance(v, (int, float, str))
                              and not isinstance(v, bool)
                              for v in val))
-                if scalar_ok or in_ok:
+                null_ok = op in ("isnull", "notnull")
+                prefix_ok = op == "prefix" and isinstance(val, str) \
+                    and val
+                if scalar_ok or in_ok or null_ok or prefix_ok:
                     self._pushed.append((op, attr[0], val))
         return filters  # Spark re-applies all: pruning-only contract
 
@@ -588,18 +637,23 @@ class _PushdownBatchReader(_BatchReader):
 
     def partitions(self) -> Sequence[InputPartition]:
         from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
-            _data_files, _read_stats,
+            _data_files, _read_rowmeta, _read_stats,
         )
 
         root = os.path.abspath(self.path)
         if not self._pushed:
             return super().partitions()
         stats = _read_stats(self.path, self.n)
+        rowmeta = (_read_rowmeta(self.path, self.n)
+                   if any(op in ("isnull", "notnull")
+                          for op, _c, _v in self._pushed) else {})
         idx_cache: dict = {}
         lanes_cache: dict = {}
         parts = []
         for f in _data_files(self.path, self.n):
             if f in stats and _stats_exclude(stats[f], self._pushed):
+                continue
+            if _null_exclude(rowmeta.get(f), self._pushed):
                 continue
             if self._bloom_excludes(f, idx_cache, lanes_cache):
                 continue

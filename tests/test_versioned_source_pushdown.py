@@ -75,6 +75,41 @@ def test_bloom_pushdown_prunes_equality(spark, tmp_path):
     assert len(r2.partitions()) == 1
 
 
+def test_null_and_prefix_pushdown_prune_files(spark, tmp_path):
+    """IsNull/IsNotNull prune via the manifest null counts; LIKE
+    'p%' prunes via string min/max stats on a string-clustered
+    layout."""
+    from pyspark.sql.datasource import IsNotNull, IsNull, StringStartsWith
+
+    t = str(tmp_path / "t")
+    # file 1: u fully populated; file 2: u all NULL; u stats-tracked
+    append_version(
+        spark.createDataFrame([(1, "aa"), (2, "ab")],
+                              "k bigint, u string").coalesce(1),
+        t, stats_columns=["k", "u"])
+    append_version(
+        spark.createDataFrame([(3, None), (4, None)],
+                              "k bigint, u string").coalesce(1), t)
+    r = _PushdownBatchReader({"path": t}, 2)
+    r.pushFilters([IsNull(("u",))])
+    assert len(r.partitions()) == 1  # the populated file pruned
+    r2 = _PushdownBatchReader({"path": t}, 2)
+    r2.pushFilters([IsNotNull(("u",))])
+    assert len(r2.partitions()) == 1  # the all-null file pruned
+    # prefix pruning on disjoint string ranges: aa-ab vs zz
+    append_version(
+        spark.createDataFrame([(5, "zz")], "k bigint, u string")
+        .coalesce(1), t)
+    r3 = _PushdownBatchReader({"path": t}, 3)
+    r3.pushFilters([StringStartsWith(("u",), "z")])
+    assert len(r3.partitions()) == 2  # the aa-ab file stats-pruned
+    r4 = _PushdownBatchReader({"path": t}, 3)
+    r4.pushFilters([StringStartsWith(("u",), "b")])
+    # no file's [lo, hi] intersects [b, c): only the null file (no
+    # stats recorded for an all-null string column) survives
+    assert len(r4.partitions()) <= 2
+
+
 def test_pushdown_results_match_plain_reader(registered, tmp_path):
     spark = registered
     t = _clustered(spark, tmp_path)
@@ -84,6 +119,9 @@ def test_pushdown_results_match_plain_reader(registered, tmp_path):
         "u = 'u0042'", "k > 100 and u = 'u0001'",
         "k = 5 or k = 350",  # OR: not pushable, must still be right
         "k = 99999", "u = 'absent'",
+        "u like 'u00%'", "u like 'zzz%'",
+        "u is not null", "u is null",
+        "k is not null and u like 'u01%'",
     ]
     for cond in cases:
         pushed = sorted((r.k, r.u) for r in
