@@ -685,6 +685,38 @@ def _read_stats(table_dir: str, n: int) -> dict[str, dict[str, tuple]]:
     return out
 
 
+def _version_meta(table_dir: str, n: int
+                  ) -> tuple[list[str], dict, dict]:
+    """ONE manifest parse of ``v_n`` -> (data_files, stats, rowmeta)
+    -- the combined form of :func:`_data_files` + :func:`_read_stats`
+    + :func:`_read_rowmeta` for planners that need all three (the
+    DataSource pushdown reader opens the manifest once instead of
+    three times per read).  Falls back to the snapshot-dir listing
+    (no stats/rowmeta) exactly like ``_data_files``."""
+    import json
+
+    mf = _read_manifest(table_dir, n)
+    if mf is None:
+        return _data_files(table_dir, n), {}, {}
+    stats: dict[str, dict[str, tuple]] = {}
+    rows: dict[str, dict] = {}
+    p = os.path.join(table_dir, f"v_{n:08d}", _MANIFEST)
+    try:
+        with open(p, encoding="ascii") as fh:
+            raw = fh.read()
+    except OSError:
+        return mf[0], {}, {}
+    for line in raw.splitlines():
+        if line.startswith(_STATS_PREFIX):
+            rec = json.loads(line[len(_STATS_PREFIX):])
+            stats.setdefault(rec["f"], {})[rec["c"]] = (rec["lo"],
+                                                        rec["hi"])
+        elif line.startswith(_ROWS_PREFIX):
+            rec = json.loads(line[len(_ROWS_PREFIX):])
+            rows[rec["f"]] = {"n": rec["n"], "nn": rec.get("nn", {})}
+    return mf[0], stats, rows
+
+
 def _stats_lines(stats: dict[str, dict[str, tuple]]) -> list[str]:
     import json
 

@@ -375,13 +375,22 @@ def _table_path(options) -> str:
     if not path:
         raise ValueError(
             "versioned_table needs .option('path', <table dir>)")
-    if path.startswith("file:"):
-        # the SQL face (CREATE TABLE ... USING versioned_table)
-        # qualifies the path option into a file: URI; the manifest
-        # machinery wants the plain local path
+    if path[:5].lower() == "file:":
+        # external tooling passes qualified file: URIs (the catalog
+        # CREATE TABLE route never delivers options on this build --
+        # see the module doc); the manifest machinery wants the plain
+        # local path.  Scheme match is case-insensitive (RFC 3986)
+        # and a non-local authority is refused rather than silently
+        # resolved against the local filesystem.
         from urllib.parse import unquote, urlparse
 
-        path = unquote(urlparse(path).path)
+        u = urlparse(path)
+        if u.netloc not in ("", "localhost"):
+            raise ValueError(
+                f"versioned_table path {path!r} names a non-local "
+                f"authority {u.netloc!r}: only local file: paths are "
+                f"supported")
+        path = unquote(u.path)
     return path
 
 
@@ -508,12 +517,14 @@ def _stats_exclude(per_file_stats: dict, filters: list) -> bool:
             if op == "in" and not any(lo <= v <= hi for v in val):
                 return True
             if op == "prefix":
-                # strings starting with val live in [val, next(val));
-                # footer string stats are true bounds even when
-                # truncated (parquet increments a truncated max)
-                if hi < val:
+                # strings starting with p live in [p, next(p)); the
+                # planner pre-pairs val as (p, next(p)) so next() is
+                # derived once per filter, not once per file.  Footer
+                # string stats are true bounds even when truncated
+                # (parquet increments a truncated max).
+                p, nxt = val
+                if hi < p:
                     return True
-                nxt = _prefix_next(val)
                 if nxt is not None and lo >= nxt:
                     return True
         except TypeError:
@@ -636,24 +647,27 @@ class _PushdownBatchReader(_BatchReader):
         return False
 
     def partitions(self) -> Sequence[InputPartition]:
-        from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
-            _data_files, _read_rowmeta, _read_stats,
-        )
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import _version_meta
 
         root = os.path.abspath(self.path)
         if not self._pushed:
             return super().partitions()
-        stats = _read_stats(self.path, self.n)
-        rowmeta = (_read_rowmeta(self.path, self.n)
-                   if any(op in ("isnull", "notnull")
-                          for op, _c, _v in self._pushed) else {})
+        # ONE manifest parse serves files + stats + rowmeta (Spark
+        # pushes IsNotNull alongside nearly every column predicate,
+        # so the null branch fires on most pushdown reads)
+        files, stats, rowmeta = _version_meta(self.path, self.n)
+        # per-filter prefix upper bounds hoisted out of the file loop
+        pushed = [(op, col,
+                   (val, _prefix_next(val)) if op == "prefix"
+                   else val)
+                  for op, col, val in self._pushed]
         idx_cache: dict = {}
         lanes_cache: dict = {}
         parts = []
-        for f in _data_files(self.path, self.n):
-            if f in stats and _stats_exclude(stats[f], self._pushed):
+        for f in files:
+            if f in stats and _stats_exclude(stats[f], pushed):
                 continue
-            if _null_exclude(rowmeta.get(f), self._pushed):
+            if _null_exclude(rowmeta.get(f), pushed):
                 continue
             if self._bloom_excludes(f, idx_cache, lanes_cache):
                 continue

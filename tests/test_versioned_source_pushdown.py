@@ -105,9 +105,10 @@ def test_null_and_prefix_pushdown_prune_files(spark, tmp_path):
     assert len(r3.partitions()) == 2  # the aa-ab file stats-pruned
     r4 = _PushdownBatchReader({"path": t}, 3)
     r4.pushFilters([StringStartsWith(("u",), "b")])
-    # no file's [lo, hi] intersects [b, c): only the null file (no
+    # no file's [lo, hi] intersects [b, c): aa-ab pruned by hi < 'b',
+    # zz pruned by lo >= next('b') == 'c'; only the null file (no
     # stats recorded for an all-null string column) survives
-    assert len(r4.partitions()) <= 2
+    assert len(r4.partitions()) == 1
 
 
 def test_pushdown_results_match_plain_reader(registered, tmp_path):

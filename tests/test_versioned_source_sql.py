@@ -54,11 +54,17 @@ def test_sql_over_format_read_via_temp_view(registered, tmp_path):
 
 def test_file_uri_path_option_accepted(registered, tmp_path):
     """A file: URI in the path option (how qualified paths arrive
-    from SQL-ish tooling) resolves to the same table."""
+    from SQL-ish tooling) resolves to the same table -- scheme
+    case-insensitively; a non-local authority is refused rather than
+    silently resolved against the local filesystem."""
     spark = registered
     td = str(tmp_path / "t")
     append_version(
         spark.createDataFrame([(1, "a")], "k bigint, v string"), td)
-    got = (spark.read.format("versioned_table")
-           .option("path", f"file://{td}").load().collect())
-    assert [(r.k, r.v) for r in got] == [(1, "a")]
+    for uri in (f"file://{td}", f"file:{td}", f"FILE://{td}"):
+        got = (spark.read.format("versioned_table")
+               .option("path", uri).load().collect())
+        assert [(r.k, r.v) for r in got] == [(1, "a")], uri
+    with pytest.raises(Exception, match="non-local authority"):
+        (spark.read.format("versioned_table")
+         .option("path", f"file://otherhost{td}").load().collect())
