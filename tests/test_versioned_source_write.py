@@ -322,6 +322,30 @@ def test_stream_write_survives_pending_reap(registered, tmp_path):
     assert read_current(spark, td).count() == 1
 
 
+def test_concurrent_batch_writers_both_commit(registered, tmp_path):
+    """Two writers racing one table: the session-free commit loop
+    renumbers the loser over the winner's version -- both batches
+    land, neither is lost (the _manifest_commit rebase contract
+    through the second stager)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.sources.versioned_source import (
+        _VersionedBatchWriter,
+    )
+
+    spark = registered
+    td = str(tmp_path / "t")
+    schema = _kv(spark, [(0, "x")]).schema
+    w1 = _VersionedBatchWriter({"path": td}, schema, False)
+    w2 = _VersionedBatchWriter({"path": td}, schema, False)
+    m1 = w1.write(iter([_batch([(1, "a")])]))
+    m2 = w2.write(iter([_batch([(2, "b")])]))  # staged before either commits
+    w1.commit([m1])
+    w2.commit([m2])
+    assert committed_versions(td) == [1, 2]
+    got = sorted((r.k, r.v) for r in read_current(spark, td).collect())
+    assert got == [(1, "a"), (2, "b")]
+    assert not [e for e in os.listdir(td) if e.startswith(".stage-")]
+
+
 def test_roundtrip_write_then_read_faces(registered, tmp_path):
     """Full format() round trip: write face -> batch read face ->
     streaming tail -- no function API in the loop."""
