@@ -373,6 +373,15 @@ def main() -> None:
         # the median of 3, which excludes it.
         "bloom_lookup_consolidated":
             lambda s: _bloom_lookup_consolidated_cycle(s),
+        # round-12: row-level change feed (readChangeFeed) over ONE
+        # pre-created fixed-slice merge commit per scale (prep,
+        # untimed).  The commit rewrote the same 2k-key slice at
+        # every scale, so the executor-side multiset-diff partition
+        # reads O(rewritten bytes) -- the wall should stay flat while
+        # the table grows 30x (the "commit-sized, never table-sized"
+        # claim measured).
+        "cdf_batch_diff":
+            lambda s: _cdf_batch_cycle(s),
         # round-12: physical clone of the growing fixture into a
         # fresh dir each run (one executor task per file).  Bytes
         # copied grow 30x while the 256 KiB-targeted file count grows
@@ -612,6 +621,38 @@ def main() -> None:
         shallow_clone(spark, _merge_dir(s), dst)
         return spark.range(1)
 
+    _cdf_ranges: dict = {}
+
+    def _cdf_prep(s):
+        """One fixed-slice merge commit per scale, untimed; records
+        the (base, cur] range the timed cycle re-reads."""
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+            current_version, merge_version,
+        )
+
+        td = _merge_dir(s)
+        base = current_version(td)
+        updates = (_orders_big(1)
+                   .filter(F.col("o_orderkey") < 2000)
+                   .withColumn("o_totalprice",
+                               F.col("o_totalprice") * 1.07))
+        cur = merge_version(spark, td, updates, "o_orderkey")
+        _cdf_ranges[s] = (base, cur)
+
+    def _cdf_batch_cycle(s):
+        from esg_decarbonization_data_integration_and_data_pipline_spark.sources.versioned_source import (
+            register as register_ds,
+        )
+
+        register_ds(spark)
+        a, b = _cdf_ranges[s]
+        df = (spark.read.format("versioned_table")
+              .option("path", _merge_dir(s))
+              .option("readChangeFeed", "true")
+              .option("startingVersion", str(a))
+              .option("endingVersion", str(b)).load())
+        return df
+
     _consolidated_scales: set = set()
 
     def _bloom_lookup_consolidated_cycle(s):
@@ -785,7 +826,8 @@ def main() -> None:
     if {"merge_version", "purge_history", "compact_where",
             "bloom_build", "bloom_lookup", "constraints_audit_meta",
             "constraints_audit_scan", "shallow_clone",
-            "fsck_verify", "deep_clone"} & set(OPS):
+            "fsck_verify", "deep_clone",
+            "cdf_batch_diff"} & set(OPS):
         # same discipline: the clustered table pre-exists; only the
         # per-batch merge/erasure/audit is measured.  File counts
         # print untimed.
@@ -815,6 +857,11 @@ def main() -> None:
         # per-snapshot fold is the measured query
         for scale in scales:
             _scd_build(scale)
+    if "cdf_batch_diff" in OPS:
+        # the merge commit pre-exists; only the change-feed READ of
+        # its immutable (base, cur] range is the measured query
+        for scale in scales:
+            _cdf_prep(scale)
     for name, fn in OPS.items():
         results[name] = {}
         for scale in scales:
