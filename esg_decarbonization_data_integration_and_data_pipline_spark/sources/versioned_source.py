@@ -152,17 +152,26 @@ class _ChangeFilePart(InputPartition):
 
 class _ChangeDiffPart(InputPartition):
     """One REWRITE commit's row-level multiset diff (removed vs
-    added files), computed executor-side -- O(rewritten bytes) in one
-    task, which is the commit's own size for keyed merges/deletes
-    (compactions never reach here: row-identical #base commits plan
-    to zero partitions)."""
+    added files), computed executor-side -- O(rewritten bytes), which
+    is the commit's own size for keyed merges/deletes (compactions
+    never reach here: row-identical #base commits plan to zero
+    partitions).  A LARGE rewrite (full overwrite of a big table)
+    would hold its whole Counter in one task, so the planner shards
+    it into ``n_buckets`` partitions, each diffing only the rows
+    whose canonical-key hash lands in its ``bucket`` -- bounded
+    memory per task at the price of re-reading the commit's files
+    once per bucket (a deliberate IO-for-memory trade, and only for
+    commits past the shard threshold)."""
 
     def __init__(self, removed_abs: list[str], added_abs: list[str],
-                 arrow_schema_bytes: bytes, version: int):
+                 arrow_schema_bytes: bytes, version: int,
+                 bucket: int = 0, n_buckets: int = 1):
         self.removed_abs = removed_abs
         self.added_abs = added_abs
         self.arrow_schema_bytes = arrow_schema_bytes
         self.version = version
+        self.bucket = bucket
+        self.n_buckets = n_buckets
 
 
 def _read_aligned(abs_path: str, arrow_schema_bytes: bytes):
@@ -220,7 +229,12 @@ def _read_change_diff(part: "_ChangeDiffPart"):
     canonicalized to a JSON key in pinned-schema field order (the
     same canonicalization contract as io.versioned.read_changes,
     including its map-column caveat) and the per-side count
-    difference is emitted as |delta| copies of delete/insert."""
+    difference is emitted as |delta| copies of delete/insert.  With
+    ``n_buckets > 1`` (a sharded large commit) only the rows whose
+    key hash lands in this partition's bucket are counted -- the
+    per-key hash assignment is identical on both sides, so each
+    distinct row is diffed by exactly one partition."""
+    import hashlib
     import json
     from collections import Counter
 
@@ -230,6 +244,7 @@ def _read_change_diff(part: "_ChangeDiffPart"):
     base = ipc.read_schema(pa.BufferReader(part.arrow_schema_bytes))
     names = base.names
     out_schema = _cdf_arrow_schema(part.arrow_schema_bytes)
+    nb, mine = part.n_buckets, part.bucket
 
     def side(paths):
         cnt: Counter = Counter()
@@ -239,6 +254,10 @@ def _read_change_diff(part: "_ChangeDiffPart"):
                 for row in batch.to_pylist():
                     k = json.dumps([row.get(f) for f in names],
                                    default=str, ensure_ascii=False)
+                    if nb > 1 and int.from_bytes(
+                            hashlib.md5(k.encode("utf-8"))
+                            .digest()[:4], "little") % nb != mine:
+                        continue
                     cnt[k] += 1
                     if k not in rep:
                         rep[k] = row
@@ -345,11 +364,32 @@ def _plan_change_commits(path: str, s: int, e: int,
         elif _base_of(path, n) == prev_n:
             pass  # compaction: row-identical to the previous commit
         else:
-            parts.append(_ChangeDiffPart(
-                [os.path.join(root, f) for f in removed],
-                [os.path.join(root, f) for f in added],
-                schema_bytes, n))
+            rem_abs = [os.path.join(root, f) for f in removed]
+            add_abs = [os.path.join(root, f) for f in added]
+            nb = _diff_buckets(rem_abs + add_abs)
+            parts.extend(_ChangeDiffPart(rem_abs, add_abs,
+                                         schema_bytes, n,
+                                         bucket=b, n_buckets=nb)
+                         for b in range(nb))
     return parts
+
+
+# one diff task holds its bucket's Counter in memory; shard commits
+# whose on-disk bytes exceed this so a full-table overwrite's diff
+# stays bounded per task (IO-for-memory trade: the commit's files are
+# re-read once per bucket -- small commits keep the single-partition
+# fast path)
+_DIFF_SHARD_BYTES = 256 * 1024 * 1024
+
+
+def _diff_buckets(abs_paths: list) -> int:
+    total = 0
+    for p in abs_paths:
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            pass
+    return max(1, -(-total // _DIFF_SHARD_BYTES))
 
 
 def _arrow_schema_bytes(spark_schema) -> bytes:

@@ -167,6 +167,44 @@ def test_cdf_aligns_evolved_schema(registered, tmp_path):
     ]
 
 
+def test_cdf_large_rewrite_diff_is_sharded(registered, tmp_path,
+                                           monkeypatch):
+    """A rewrite commit past the shard threshold diffs across
+    MULTIPLE bucketed partitions with identical results -- bounded
+    per-task memory for full-table overwrites (threshold forced tiny
+    so the sharded path actually runs)."""
+    import esg_decarbonization_data_integration_and_data_pipline_spark.sources.versioned_source as vs
+
+    spark = registered
+    td = str(tmp_path / "t")
+    append_version(
+        spark.createDataFrame([(k, f"v{k}") for k in range(200)],
+                              "k bigint, v string").coalesce(1), td,
+        stats_columns=["k"])
+    delete_keys_version(
+        spark, td,
+        spark.createDataFrame([(k,) for k in range(0, 200, 3)],
+                              "k bigint"), "k")
+    expect = _changes(
+        spark.read.format("versioned_table").option("path", td)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1").load())
+    assert len(expect) == 67  # the deleted keys only
+    monkeypatch.setattr(vs, "_DIFF_SHARD_BYTES", 1024)
+    parts = vs._plan_change_commits(
+        td, 1, 2, vs._arrow_schema_bytes(
+            vs._pinned_schema(td, 2)))
+    assert len(parts) > 1  # genuinely sharded
+    assert {p.bucket for p in parts} == set(range(parts[0].n_buckets))
+    sharded = sorted(
+        (row[0].as_py(), row[1].as_py(), row[2].as_py(),
+         row[3].as_py())
+        for p in parts
+        for b in vs._read_change_part(p)
+        for row in zip(*[b.column(i) for i in range(4)]))
+    assert sharded == expect
+
+
 def test_cdf_reserves_change_column_names(registered, tmp_path):
     """A table already carrying _change_type (e.g. a persisted CDF
     read) must refuse loudly, not produce a duplicate-name schema."""
