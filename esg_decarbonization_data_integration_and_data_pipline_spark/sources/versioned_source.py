@@ -98,9 +98,11 @@ carry rewrite commits instead of refusing them
 driver-side manifest metadata: append commits plan one insert
 partition per added file; a compaction (recorded row-identical
 ``#base``) plans to NOTHING -- auto-compactions never wake the
-consumer; any other rewrite plans ONE executor-side multiset-diff
-partition over its removed+added files (O(rewritten bytes) in one
-task -- commit-sized for keyed merges/deletes).  Rows are
+consumer; any other rewrite plans executor-side multiset-diff
+partitions over its removed+added files (O(rewritten bytes) --
+commit-sized for keyed merges/deletes; a rewrite past 256 MiB shards
+into hash-bucketed partitions so even a full-table overwrite diffs
+with bounded per-task memory).  Rows are
 canonicalized in pinned-schema field order exactly like
 io.versioned.read_changes, including its map-column caveat.
 Semantics note: this face is PER-COMMIT (Delta's CDF -- a row
