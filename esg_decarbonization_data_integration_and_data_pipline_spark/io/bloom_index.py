@@ -47,6 +47,8 @@ from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned im
     _DEFAULT_BACKEND,
     CommitBackend,
     _data_files,
+    _physical_name,
+    _read_files,
     _read_stats,
     current_version,
     table_schema,
@@ -177,15 +179,21 @@ def build_bloom_index(spark: SparkSession, table_dir: str, col: str,
             f"string columns are supported -- the canonical str() "
             f"hash encoding is unstable for other types and would "
             f"yield silent false negatives")
+    # sidecars are keyed by the column's stable PHYSICAL name: a
+    # rename_column invalidates nothing (files and their sidecars are
+    # untouched); probes under the new logical name resolve the same
+    # physical
+    phys = _physical_name(st, col)
     root = os.path.abspath(table_dir)
     todo = [f for f in _data_files(table_dir, n)
             if not os.path.exists(
-                _sidecar_path(os.path.join(root, f), col))]
+                _sidecar_path(os.path.join(root, f), phys))]
     if not todo:
         return 0
     bpk = int(bits_per_key)
     spark.sparkContext.parallelize(todo, len(todo)).foreach(
-        lambda rel: _build_sidecar(os.path.join(root, rel), col, bpk))
+        lambda rel: _build_sidecar(os.path.join(root, rel), phys,
+                                   bpk))
     return len(todo)
 
 
@@ -237,6 +245,7 @@ def consolidate_bloom_index(table_dir: str, col: str,
         raise ValueError(
             f"bloom index on {col!r}: not a column of {table_dir} "
             f"v_{n:08d} (schema: {st.fieldNames()})")
+    phys = _physical_name(st, col)
     root = os.path.abspath(table_dir)
     files = _data_files(table_dir, n)
     external = [f for f in files
@@ -259,15 +268,15 @@ def consolidate_bloom_index(table_dir: str, col: str,
     entries: dict = {}
     for f in files:
         try:
-            with open(_sidecar_path(os.path.join(root, f), col),
+            with open(_sidecar_path(os.path.join(root, f), phys),
                       encoding="ascii") as fh:
                 entries[f] = json.load(fh)
         except OSError:
             entries[f] = None  # unindexed: conservative must-read
-    out = _consolidated_path(table_dir, col, n)
+    out = _consolidated_path(table_dir, phys, n)
     tmp = out + f".tmp.{os.getpid()}"
     with open(tmp, "w", encoding="ascii") as fh:
-        json.dump({"col": col, "version": n, "files": entries}, fh)
+        json.dump({"col": phys, "version": n, "files": entries}, fh)
     os.replace(tmp, out)
     return len(entries)
 
@@ -358,9 +367,12 @@ def lookup_files(table_dir: str, col: str, value,
         raise ValueError(
             f"bloom lookup on {col!r}: not a column of {table_dir} "
             f"v_{n:08d} (schema: {st.fieldNames()})")
+    # manifest stats speak LOGICAL names; sidecars and consolidated
+    # indexes are keyed by the stable PHYSICAL name
+    phys = _physical_name(st, col)
     root = os.path.abspath(table_dir)
     stats = _read_stats(table_dir, n)
-    idx = _consolidated(table_dir, col, n)
+    idx = _consolidated(table_dir, phys, n)
     h1 = h2 = None
     if idx is not None:
         h1, h2 = _lanes(value)
@@ -382,7 +394,7 @@ def lookup_files(table_dir: str, col: str, value,
                 continue
             # entry None: unindexed at consolidation time -- fall
             # through to the per-file sidecar (it may exist by now)
-        if _maybe_contains(os.path.join(root, f), col, value):
+        if _maybe_contains(os.path.join(root, f), phys, value):
             out.append(f)
     return out
 
@@ -411,6 +423,5 @@ def point_lookup(spark: SparkSession, table_dir: str, col: str,
             base = _read_resolved(spark, table_dir, n).limit(0)
         return base.filter(base[col] == value) if col in base.columns \
             else base
-    reader = spark.read.schema(st) if st is not None else spark.read
-    df = reader.parquet(*[os.path.join(table_dir, f) for f in files])
+    df = _read_files(spark, table_dir, files, st)
     return df.filter(df[col] == value)

@@ -37,6 +37,7 @@ from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned im
     _STATS_PREFIX,
     CommitBackend,
     _data_files,
+    _physical_map,
     _read_rowmeta,
     _read_stats,
     _rows_lines,
@@ -169,6 +170,9 @@ def verify_table(spark: SparkSession, table_dir: str,
         stats = _read_stats(table_dir, v)
         rowmeta = _read_rowmeta(table_dir, v)
         st = table_schema(table_dir, v)
+        # manifests speak the version's LOGICAL names; footer facts
+        # are keyed by the files' PHYSICAL names (column mapping)
+        pm = _physical_map(st) if st is not None else {}
         vr = {"missing_files": [], "unreadable_files": [],
               "rowcount_mismatch": [], "nullcount_mismatch": [],
               "stats_too_narrow": [], "deep_rowcount_mismatch": [],
@@ -191,8 +195,8 @@ def verify_table(spark: SparkSession, table_dir: str,
                     vr["rowcount_mismatch"].append(
                         (f, rm["n"], fact["n_rows"]))
                 for col, rec_nn in rm.get("nn", {}).items():
-                    true_nn = fact["cols"].get(col, [None, None,
-                                                     None])[2]
+                    true_nn = fact["cols"].get(pm.get(col, col),
+                                               [None, None, None])[2]
                     if true_nn is not None and rec_nn != true_nn:
                         vr["nullcount_mismatch"].append(
                             (f, col, rec_nn, true_nn))
@@ -203,7 +207,7 @@ def verify_table(spark: SparkSession, table_dir: str,
                 if kind in ("string", "date", "timestamp", None):
                     continue  # exactness not guaranteed -> skip
                 t_lo, t_hi, _nn = fact["cols"].get(
-                    col, (None, None, None))
+                    pm.get(col, col), (None, None, None))
                 if t_lo is None:
                     continue
                 if lo > t_lo or hi < t_hi:
@@ -282,13 +286,27 @@ def repair_table(spark: SparkSession, table_dir: str,
                     if os.path.isdir(os.path.join(table_dir,
                                                   f"v_{v:08d}"))]
         root = os.path.abspath(table_dir)
-        # column surface per file = union of what ANY manifest tracks
-        tracked: dict[str, set[str]] = {}
+        # column surface per file = union of what ANY manifest
+        # tracks, held PER VERSION (manifests speak each version's
+        # logical names; renames change them) and translated to the
+        # files' PHYSICAL names for the footer read
+        tracked: dict[int, dict[str, set[str]]] = {}
+        pmaps: dict[int, dict[str, str]] = {}
         for v in versions:
+            st_v = table_schema(table_dir, v)
+            pmaps[v] = _physical_map(st_v) if st_v is not None else {}
+            t_v: dict[str, set[str]] = {}
             for f, cols in _read_stats(table_dir, v).items():
-                tracked.setdefault(f, set()).update(cols)
+                t_v.setdefault(f, set()).update(cols)
             for f, m in _read_rowmeta(table_dir, v).items():
-                tracked.setdefault(f, set()).update(m.get("nn", {}))
+                t_v.setdefault(f, set()).update(m.get("nn", {}))
+            tracked[v] = t_v
+        phys_cols: dict[str, set[str]] = {}
+        for v in versions:
+            pm_v = pmaps[v]
+            for f, cols in tracked[v].items():
+                phys_cols.setdefault(f, set()).update(
+                    pm_v.get(c, c) for c in cols)
         uniq = sorted({f for v in versions
                        for f in _data_files(table_dir, v)})
         present = [f for f in uniq
@@ -296,7 +314,7 @@ def repair_table(spark: SparkSession, table_dir: str,
         unrepairable = [f for f in uniq if f not in set(present)]
 
         def _meta(rel: str):
-            cols = sorted(tracked.get(rel, ()))
+            cols = sorted(phys_cols.get(rel, ()))
             try:
                 st, rm = _file_meta(os.path.join(root, rel), cols)
                 return rel, (st, rm)
@@ -332,9 +350,28 @@ def repair_table(spark: SparkSession, table_dir: str,
                 kept.append(ln)
                 if not ln.startswith("#"):
                     listed.append(ln)
-            stats = {f: fresh[f][0] for f in listed
-                     if f in fresh and fresh[f][0]}
-            rows = {f: fresh[f][1] for f in listed if f in fresh}
+            st_v = table_schema(table_dir, v)
+            if st_v is None:
+                inv: dict[str, str] = {}
+                known: set[str] | None = None
+            else:
+                pm_v = pmaps[v]
+                inv = {pm_v.get(f.name, f.name): f.name
+                       for f in st_v.fields}
+                known = set(inv)
+            stats, rows = {}, {}
+            for f in listed:
+                if f not in fresh:
+                    continue
+                fs, rm = fresh[f]
+                s_v = {inv.get(c, c): val for c, val in fs.items()
+                       if known is None or c in known}
+                if s_v:
+                    stats[f] = s_v
+                rows[f] = {"n": rm["n"],
+                           "nn": {inv.get(c, c): val
+                                  for c, val in rm["nn"].items()
+                                  if known is None or c in known}}
             out = (_stats_lines(stats) + _rows_lines(rows) + kept)
             tmp = p + ".repair-tmp"
             with open(tmp, "w", encoding="ascii") as fh:

@@ -73,6 +73,9 @@ from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned im
     CommitBackend,
     VersionConflictError,
     _data_files,
+    _physical_map,
+    _physical_name,
+    _read_files,
     _read_stats,
     committed_versions,
     current_version,
@@ -135,21 +138,63 @@ def _readable_versions(table_dir: str,
             if os.path.isdir(os.path.join(table_dir, f"v_{n:08d}"))]
 
 
+def _key_physical(table_dir: str, versions: list[int],
+                  key: str) -> str:
+    """The stable PHYSICAL parquet column behind logical ``key`` --
+    resolved under the NEWEST readable schema that carries the
+    logical name (a purge may lawfully target a column already
+    dropped from current).  Identity for unmapped/legacy tables.
+    Physical names are never reused within a table (versioned.py's
+    commit guard), so filtering every historical file on this one
+    name is complete across renames."""
+    for n in reversed(versions):
+        st = table_schema(table_dir, n)
+        if st is not None and key in st.fieldNames():
+            return _physical_name(st, key)
+    return key
+
+
+def _key_logicals(table_dir: str, versions: list[int],
+                  phys: str) -> dict[int, str | None]:
+    """Per readable version, the LOGICAL name that version's pinned
+    schema uses for physical column ``phys`` (the purge subject under
+    renames: manifests speak each version's logical names).  None =
+    the column does not exist in that version's schema; identity for
+    legacy versions without a pinned schema."""
+    out: dict[int, str | None] = {}
+    for n in versions:
+        st = table_schema(table_dir, n)
+        if st is None:
+            out[n] = phys
+            continue
+        pm = _physical_map(st)
+        inv = {pm.get(f.name, f.name): f.name for f in st.fields}
+        out[n] = inv.get(phys)
+    return out
+
+
 def _candidate_files(table_dir: str, versions: list[int],
                      key: str, values: list) -> tuple[list[str],
                                                       dict[int, list[str]]]:
     """(union of maybe-containing files across ``versions``,
     per-version candidate lists).  A file with recorded stats on
-    ``key`` in ANY manifest is pruned by them (stats are inherited
+    the key in ANY manifest is pruned by them (stats are inherited
     verbatim, so every manifest agrees); a file with no recorded
-    stats anywhere is conservatively a candidate."""
+    stats anywhere is conservatively a candidate.  Stats are keyed
+    by each version's own LOGICAL name for the key (it changes
+    across renames), resolved through the stable physical name."""
+    phys = _key_physical(table_dir, versions, key)
+    logicals = _key_logicals(table_dir, versions, phys)
     stats: dict[str, tuple] = {}
     per_version_files: dict[int, list[str]] = {}
     for n in versions:
         per_version_files[n] = _data_files(table_dir, n)
+        k_n = logicals[n]
+        if k_n is None:
+            continue
         for f, cols in _read_stats(table_dir, n).items():
-            if key in cols:
-                stats[f] = cols[key]
+            if k_n in cols:
+                stats[f] = cols[k_n]
 
     def maybe(f: str) -> bool:
         if f not in stats:
@@ -369,34 +414,73 @@ def purge_keys_history(spark: SparkSession, table_dir: str, key: str,
                 os.remove(idx_path)
             except OSError:
                 pass
-        # phase 1: candidate metadata degrades to footer truth
-        tracked: dict[str, set[str]] = {}
+        # phase 1: candidate metadata degrades to footer truth.
+        # tracked columns stay PER VERSION -- each manifest records
+        # stats under that version's own logical names (renames
+        # change them)
+        tracked: dict[int, dict[str, set[str]]] = {}
         for n in versions:
-            for f, cols in _strip_meta_lines(table_dir, n,
-                                             set(union)).items():
-                tracked.setdefault(f, set()).update(cols)
+            tracked[n] = _strip_meta_lines(table_dir, n, set(union))
         # phase 2: independent per-file rewrites, one Spark job (each
-        # task streams one file through pyarrow; local == executors)
+        # task streams one file through pyarrow; local == executors).
+        # Files speak PHYSICAL names: filter on the key's stable
+        # physical column, which is what every file ever written
+        # carries regardless of renames since.
+        phys = _key_physical(table_dir, versions, key)
         vset = frozenset(vals)
         sc = spark.sparkContext
         purged_counts = (
             sc.parallelize(union, len(union))
               .map(lambda rel: (rel, _rewrite_file(
-                  os.path.join(abs_root, rel), key, vset)))
+                  os.path.join(abs_root, rel), phys, vset)))
               .collect())
         rows_purged = sum(c for _, c in purged_counts)
         rewritten = sorted(rel for rel, c in purged_counts if c > 0)
         # phase 3: re-record fresh footer metadata for every
-        # candidate (unchanged files get identical lines back)
+        # candidate (unchanged files get identical lines back).
+        # Footers are read ONCE per file under the union of PHYSICAL
+        # column names, then translated back to each version's
+        # logical names when its manifest is rewritten.
         from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import _file_meta
 
-        fresh: dict[str, tuple[dict, dict]] = {}
-        for rel in union:
-            cols = sorted(tracked.get(rel, {key}))
-            st, rm = _file_meta(os.path.join(abs_root, rel), cols)
-            fresh[rel] = (st, rm)
+        to_phys: dict[int, dict[str, str]] = {}
         for n in versions:
-            _readd_meta_lines(table_dir, n, fresh)
+            st_n = table_schema(table_dir, n)
+            to_phys[n] = _physical_map(st_n) if st_n is not None \
+                else {}
+        phys_cols: dict[str, set[str]] = {rel: set() for rel in union}
+        for n in versions:
+            pm = to_phys[n]
+            for f, cols in tracked[n].items():
+                phys_cols[f].update(pm.get(c, c) for c in cols)
+        for rel in union:
+            if not phys_cols[rel]:
+                phys_cols[rel] = {phys}
+        fresh_phys: dict[str, tuple[dict, dict]] = {}
+        for rel in union:
+            st, rm = _file_meta(os.path.join(abs_root, rel),
+                                sorted(phys_cols[rel]))
+            fresh_phys[rel] = (st, rm)
+        for n in versions:
+            st_n = table_schema(table_dir, n)
+            if st_n is None:
+                inv = {}
+                known = None  # legacy: identity, keep everything
+            else:
+                pm = to_phys[n]
+                inv = {pm.get(f.name, f.name): f.name
+                       for f in st_n.fields}
+                known = set(inv)
+            fresh_n: dict[str, tuple[dict, dict]] = {}
+            for rel, (fstats, frm) in fresh_phys.items():
+                s_n = {inv.get(c, c): v for c, v in fstats.items()
+                       if known is None or c in known}
+                r_n = {"n": frm["n"],
+                       "nn": {inv.get(c, c): v
+                              for c, v in frm["nn"].items()
+                              if known is None or c in known}}
+                fresh_n[rel] = (s_n, r_n)
+            _readd_meta_lines(table_dir, n, fresh_n)
     finally:
         try:
             os.remove(lock)
@@ -440,19 +524,25 @@ def count_keys_all_versions(spark: SparkSession, table_dir: str,
     versions = _readable_versions(table_dir, backend)
     _union, per_version = _candidate_files(table_dir, versions, key,
                                            vals)
+    phys = _key_physical(table_dir, versions, key)
+    logicals = _key_logicals(table_dir, versions, phys)
     out: dict[int, int] = {n: 0 for n in versions}
     frames = []
     for n in versions:
         cand = per_version[n]
         if not cand:
             continue
+        # the version's OWN logical name for the subject column
+        # (renames change it); None = column absent from that
+        # version's schema, so no row can match
+        k_n = logicals[n]
+        if k_n is None:
+            continue
         st = table_schema(table_dir, n)
-        reader = spark.read.schema(st) if st is not None else spark.read
-        df = reader.parquet(*[os.path.join(table_dir, f)
-                              for f in cand])
-        if key not in df.columns:
+        df = _read_files(spark, table_dir, cand, st)
+        if k_n not in df.columns:
             continue  # pre-evolution version: all-NULL, never matches
-        frames.append(df.filter(df[key].isin(vals))
+        frames.append(df.filter(df[k_n].isin(vals))
                         .select(F.lit(n).alias("__v")))
     if frames:
         u = frames[0]

@@ -482,8 +482,11 @@ def write_version(df: DataFrame, table_dir: str,
         w.parquet(staged)
         # a snapshot's read schema is the batch's own, pinned at
         # commit time (schema may change freely across snapshots --
-        # that is write_version's overwrite semantic)
-        _write_schema_file(staged, df.schema)
+        # that is write_version's overwrite semantic).  Any column-
+        # mapping metadata is STRIPPED: the snapshot's files are
+        # staged under the batch's own logical names, so a snapshot
+        # resets the table to identity mapping by construction.
+        _write_schema_file(staged, _strip_physical(df.schema))
         n = (max(_versions(table_dir), default=0)) + 1
         for _ in range(max_attempts):
             target = os.path.join(table_dir, f"v_{n:08d}")
@@ -536,10 +539,12 @@ _SCHEMA_FILE = "_SCHEMA.json"
 
 def _write_schema_file(dir_path: str, schema) -> None:
     """Pin ``schema`` (all fields forced nullable -- an evolved read
-    surfaces pre-evolution rows as NULL) as the version's read schema."""
+    surfaces pre-evolution rows as NULL) as the version's read schema.
+    Field METADATA is part of the pin: column mapping stores each
+    renamed field's stable physical name there."""
     from pyspark.sql.types import StructField, StructType
 
-    st = StructType([StructField(f.name, f.dataType, True)
+    st = StructType([StructField(f.name, f.dataType, True, f.metadata)
                      for f in schema.fields])
     tmp = os.path.join(dir_path, f".{_SCHEMA_FILE}.tmp")
     with open(tmp, "w", encoding="utf-8") as fh:
@@ -561,6 +566,71 @@ def table_schema(table_dir: str, n: int):
             return StructType.fromJson(json.load(fh))
     except OSError:
         return None
+
+
+_PHYSICAL_KEY = "physical"
+
+
+def _physical_map(st) -> dict[str, str]:
+    """logical -> physical name for the fields of a pinned schema
+    whose metadata records a non-identity physical name (the column-
+    mapping state).  Empty dict = unmapped table, where every reader
+    and writer behaves exactly as before mapping existed."""
+    out: dict[str, str] = {}
+    for f in st.fields:
+        p = (f.metadata or {}).get(_PHYSICAL_KEY)
+        if p is not None and p != f.name:
+            out[f.name] = p
+    return out
+
+
+def _physical_name(st, col: str) -> str:
+    """The parquet-file column name behind logical ``col`` under
+    pinned schema ``st`` (identity when unmapped)."""
+    if st is not None and col in st.fieldNames():
+        return (st[col].metadata or {}).get(_PHYSICAL_KEY, col)
+    return col
+
+
+def _strip_physical(st):
+    """``st`` without any column-mapping metadata -- the schema a
+    snapshot overwrite pins (its files are staged under the batch's
+    own logical names, so carrying a stale physical pin would point
+    readers at columns the new files don't have)."""
+    from pyspark.sql.types import StructField, StructType
+
+    if not _physical_map(st):
+        return st
+    return StructType([
+        StructField(f.name, f.dataType, f.nullable,
+                    {k: v for k, v in (f.metadata or {}).items()
+                     if k != _PHYSICAL_KEY})
+        for f in st.fields])
+
+
+def _read_files(spark: SparkSession, table_dir: str, rel_files,
+                st) -> DataFrame:
+    """THE schema-pinned file reader: read manifest-relative parquet
+    files under pinned schema ``st``.  On a column-mapped table the
+    scan runs under the PHYSICAL schema (the names the files carry)
+    and a projection aliases each column back to its logical name --
+    Catalyst pushes filters and pruning through the aliases, so the
+    mapped read plans identically to the unmapped one."""
+    paths = [os.path.join(table_dir, f) for f in rel_files]
+    if st is None:
+        return spark.read.parquet(*paths)
+    pmap = _physical_map(st)
+    if not pmap:
+        return spark.read.schema(st).parquet(*paths)
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    phys_st = StructType([
+        StructField(pmap.get(f.name, f.name), f.dataType, True)
+        for f in st.fields])
+    df = spark.read.schema(phys_st).parquet(*paths)
+    return df.select([F.col(pmap.get(f.name, f.name)).alias(f.name)
+                      for f in st.fields])
 
 
 def _resolve_commit_schema(base, batch, merge_schema: bool,
@@ -601,8 +671,24 @@ def _resolve_commit_schema(base, batch, merge_schema: bool,
         return base
     from pyspark.sql.types import StructField, StructType
 
+    # physical names are NEVER reused within a table: an added field
+    # whose physical (metadata-pinned, else its own name) collides
+    # with a live physical would make old files' bytes resurface
+    # under the new logical column
+    live_phys = {(f.metadata or {}).get(_PHYSICAL_KEY, f.name)
+                 for f in base.fields}
+    clash = sorted(
+        f.name for f in added
+        if (f.metadata or {}).get(_PHYSICAL_KEY, f.name) in live_phys)
+    if clash:
+        raise SchemaMismatchError(
+            f"append to {table_dir}: new column(s) {clash} would "
+            f"reuse a physical column name already live in this "
+            f"column-mapped table -- a rename may have raced this "
+            f"append; re-run it")
     return StructType(list(base.fields)
-                      + [StructField(f.name, f.dataType, True)
+                      + [StructField(f.name, f.dataType, True,
+                                     f.metadata)
                          for f in added])
 
 
@@ -816,8 +902,7 @@ def count_where(spark: SparkSession, table_dir: str, col: str,
     if not boundary:
         return meta_rows
     st = table_schema(table_dir, n)
-    reader = spark.read.schema(st) if st is not None else spark.read
-    df = reader.parquet(*[os.path.join(table_dir, f) for f in boundary])
+    df = _read_files(spark, table_dir, boundary, st)
     df = _apply_range(df, col, lo, hi)
     if lo is None and hi is None:
         df = df.filter(df[col].isNotNull())
@@ -874,8 +959,11 @@ def _null_count_plan(table_dir: str, n: int,
                      col: str) -> tuple[int, list[str]]:
     """(nulls answerable from metadata, files needing a scan) for
     ``count_nulls`` -- split out so tests can pin that a table whose
-    commits recorded #rows lines scans NOTHING."""
+    commits recorded #rows lines scans NOTHING.  Manifest rowmeta is
+    keyed by LOGICAL name; the footer fallback reads the file's
+    PHYSICAL column."""
     rowmeta = _read_rowmeta(table_dir, n)
+    phys = _physical_name(table_schema(table_dir, n), col)
     meta_nulls = 0
     scan: list[str] = []
     for f in _data_files(table_dir, n):
@@ -883,7 +971,7 @@ def _null_count_plan(table_dir: str, n: int,
         if rec is not None and col in rec["nn"]:
             meta_nulls += rec["nn"][col]
             continue
-        fc = _file_null_count(os.path.join(table_dir, f), col)
+        fc = _file_null_count(os.path.join(table_dir, f), phys)
         if fc is None:
             scan.append(f)
         else:
@@ -918,8 +1006,7 @@ def count_nulls(spark: SparkSession, table_dir: str, col: str,
     meta_nulls, scan = _null_count_plan(table_dir, n, col)
     if not scan:
         return meta_nulls
-    reader = spark.read.schema(st) if st is not None else spark.read
-    df = reader.parquet(*[os.path.join(table_dir, f) for f in scan])
+    df = _read_files(spark, table_dir, scan, st)
     return meta_nulls + df.filter(df[col].isNull()).count()
 
 
@@ -943,13 +1030,14 @@ def _minmax_plan(table_dir: str, n: int,
     predating an evolved column, which contribute nothing anyway)
     lands in the scan set."""
     stats = _read_stats(table_dir, n)
+    phys = _physical_name(table_schema(table_dir, n), col)
     lo = hi = None
     scan: list[str] = []
     for f in _data_files(table_dir, n):
         s = stats.get(f, {}).get(col)
         if s is None:
             s = _file_meta(os.path.join(table_dir, f),
-                           (col,))[0].get(col)
+                           (phys,))[0].get(phys)
         if s is None:
             scan.append(f)
             continue
@@ -1019,10 +1107,8 @@ def column_range(spark: SparkSession, table_dir: str, col: str,
     if scan:
         from pyspark.sql import functions as F
 
-        reader = spark.read.schema(st) if st is not None else spark.read
-        row = (reader.parquet(*[os.path.join(table_dir, f)
-                                for f in scan])
-                     .agg(F.min(col), F.max(col)).first())
+        row = (_read_files(spark, table_dir, scan, st)
+               .agg(F.min(col), F.max(col)).first())
         if row[0] is not None:
             lo = row[0] if lo is None or row[0] < lo else lo
             hi = row[1] if hi is None or row[1] > hi else hi
@@ -1077,8 +1163,7 @@ def read_where_all(spark: SparkSession, table_dir: str,
             for col, (lo, hi) in predicates.items():
                 df = _apply_range(df, col, lo, hi)
             return df
-    reader = spark.read.schema(st) if st is not None else spark.read
-    df = reader.parquet(*[os.path.join(table_dir, f) for f in files])
+    df = _read_files(spark, table_dir, files, st)
     for col, (lo, hi) in predicates.items():
         df = _apply_range(df, col, lo, hi)
     return df
@@ -1304,8 +1389,7 @@ def compact_where(spark: SparkSession, table_dir: str, col: str,
     cand, _total = pruned_files(table_dir, base, col, lo=lo, hi=hi)
     if not cand:
         return None
-    reader = spark.read.schema(st) if st is not None else spark.read
-    df = reader.parquet(*[os.path.join(table_dir, f) for f in cand])
+    df = _read_files(spark, table_dir, cand, st)
     total = sum(os.path.getsize(os.path.join(table_dir, f))
                 for f in cand
                 if os.path.exists(os.path.join(table_dir, f)))
@@ -1561,12 +1645,10 @@ def merge_version(spark: SparkSession, table_dir: str,
                                      match_keys, key)
     st = table_schema(table_dir, base)
     if touched:
-        reader = spark.read.schema(st) if st is not None else spark.read
         # no distinct on the anti-join's right side: left_anti is
         # insensitive to duplicates there, and the distinct's shuffle
         # is pure overhead on a small update
-        survivors = (reader.parquet(
-                        *[os.path.join(table_dir, f) for f in touched])
+        survivors = (_read_files(spark, table_dir, touched, st)
                      .join(match_keys, key, "left_anti"))
     else:
         survivors = None
@@ -1685,6 +1767,105 @@ def drop_columns(spark: SparkSession, table_dir: str, cols,
              + inherited)
     return _metadata_only_commit(table_dir, base, new_schema, lines,
                                  "drop_columns", backend)
+
+
+def rename_column(spark: SparkSession, table_dir: str, old: str,
+                  new: str,
+                  backend: CommitBackend | None = None) -> int:
+    """ZERO-COPY column rename (the Delta ``ALTER TABLE RENAME
+    COLUMN`` shape under column-mapping ``name`` mode): commit a new
+    version whose manifest inherits every data file of the current
+    one BY REFERENCE and whose pinned schema carries the field under
+    its new logical name with its stable PHYSICAL name recorded in
+    the field metadata (``{"physical": ...}``) -- no file is read or
+    rewritten, however large the table.
+
+    Contract, pinned in tests/test_column_mapping.py:
+    - manifests and every metadata query (stats, rowmeta, bloom
+      consult, pruning) speak LOGICAL names: this commit re-keys the
+      inherited stats/rowmeta lines from ``old`` to ``new``, so
+      count_where/column_range/read_where answer under the new name
+      with the same file-skipping plans as before.
+    - parquet files speak PHYSICAL names: readers resolve the map in
+      ``_read_files``; writers stage logical->physical
+      (``_manifest_commit``), so appends and compactions after the
+      rename keep the table physically consistent.  A write that was
+      staged before a rename and commits after it raises
+      :class:`VersionConflictError`.
+    - earlier versions keep THEIR schemas: time travel before the
+      rename shows the old name.
+    - a column under a declared constraint cannot be renamed (the
+      constraint would silently stop being enforced) -- drop and
+      re-declare it under the new name.
+    - re-adding ``old`` later (merge_schema append) creates a FRESH
+      physical column: pre-rename bytes never resurface (fixes the
+      unmapped format's documented drop/re-add caveat for mapped
+      tables).
+    - a ``write_version`` snapshot resets the table to identity
+      mapping (its files are rewritten under the batch's own names).
+
+    Row-identical to its base (``#base`` manifest line): the change
+    feed plans a rename to NOTHING, like a compaction.
+
+    Concurrency: pinned to the current version -- a commit landing
+    mid-rename raises :class:`VersionConflictError`; re-run."""
+    from pyspark.sql.types import StructField, StructType
+
+    backend = backend or _DEFAULT_BACKEND
+    if old == new:
+        raise ValueError(
+            f"rename_column on {table_dir}: cannot rename {old!r} to "
+            f"itself")
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.constraints import (
+        table_constraints,
+    )
+
+    referenced = [c.label for c in table_constraints(table_dir)
+                  if old in c.columns]
+    if referenced:
+        raise ValueError(
+            f"rename_column on {table_dir}: constraints {referenced} "
+            f"reference {old!r} -- drop_table_constraints and "
+            f"re-declare them under the new name first")
+    base = current_version(table_dir, backend=backend)
+    if base is None:
+        raise FileNotFoundError(
+            f"{table_dir} has no committed version")
+    st = table_schema(table_dir, base)
+    if st is None:  # legacy/snapshot base: pin from its parquet once
+        st = _read_resolved(spark, table_dir, base).schema
+    if old not in st.fieldNames():
+        raise ValueError(
+            f"rename_column on {table_dir}: {old!r} not in the "
+            f"current schema {st.fieldNames()}")
+    if new in st.fieldNames():
+        raise ValueError(
+            f"rename_column on {table_dir}: {new!r} is already a "
+            f"column ({st.fieldNames()})")
+    fields = []
+    for f in st.fields:
+        if f.name == old:
+            md = dict(f.metadata or {})
+            md[_PHYSICAL_KEY] = md.get(_PHYSICAL_KEY, old)
+            fields.append(StructField(new, f.dataType, True, md))
+        else:
+            fields.append(f)
+    new_schema = StructType(fields)
+    inherited = _data_files(table_dir, base)
+    txns = _txns(table_dir, base)
+    stats = {f: {(new if c == old else c): v
+                 for c, v in cols_.items()}
+             for f, cols_ in _read_stats(table_dir, base).items()}
+    rowmeta = {f: {"n": m["n"],
+                   "nn": {(new if c == old else c): v
+                          for c, v in m["nn"].items()}}
+               for f, m in _read_rowmeta(table_dir, base).items()}
+    lines = ([_TXN_PREFIX + t for t in sorted(txns)]
+             + [f"{_BASE_PREFIX}{base}"]
+             + _stats_lines(stats) + _rows_lines(rowmeta)
+             + inherited)
+    return _metadata_only_commit(table_dir, base, new_schema, lines,
+                                 "rename_column", backend)
 
 
 def _metadata_only_commit(table_dir: str, pinned_base: int,
@@ -1817,6 +1998,42 @@ def _manifest_commit(df: DataFrame, table_dir: str, txn: str | None,
         cur0 = current_version(table_dir, backend=backend)
         if cur0 is not None and txn in _txns(table_dir, cur0):
             return cur0  # replayed transaction -- already visible
+    # column-mapped base: stage the batch under PHYSICAL names so
+    # every file of the table stays physically consistent across
+    # renames.  New columns get fresh, never-reused physical names
+    # (uuid suffix) -- re-adding a renamed-away or dropped logical
+    # name can never resurface old files' bytes on a mapped table.
+    # The map used here is re-verified against the base at commit
+    # time (_commit_staged_dir): a rename racing this write raises
+    # VersionConflictError instead of committing misnamed files.
+    logical_schema = df.schema
+    staged_physical: dict[str, str] = {}
+    base0 = current_version(table_dir, backend=backend)
+    base_st0 = table_schema(table_dir, base0) if base0 is not None \
+        else None
+    if base_st0 is not None and _physical_map(base_st0):
+        pmap0 = _physical_map(base_st0)
+        base_names0 = set(base_st0.fieldNames())
+        for f in logical_schema.fields:
+            if f.name in base_names0:
+                staged_physical[f.name] = pmap0.get(f.name, f.name)
+            else:
+                staged_physical[f.name] = \
+                    f"{f.name}__p{uuid.uuid4().hex[:8]}"
+        if any(p != c for c, p in staged_physical.items()):
+            from pyspark.sql import functions as F
+            from pyspark.sql.types import StructField, StructType
+
+            df = df.select([F.col(c).alias(staged_physical[c])
+                            for c in df.columns])
+            logical_schema = StructType([
+                StructField(
+                    f.name, f.dataType, f.nullable,
+                    {**(f.metadata or {}),
+                     _PHYSICAL_KEY: staged_physical[f.name]}
+                    if staged_physical[f.name] != f.name
+                    else f.metadata)
+                for f in logical_schema.fields])
     staged = os.path.join(
         table_dir, f"{_STAGE_PREFIX}{os.getpid()}-{uuid.uuid4().hex}")
     claimed: str | None = None
@@ -1847,15 +2064,25 @@ def _manifest_commit(df: DataFrame, table_dir: str, txn: str | None,
             )
 
             if table_constraints(table_dir):
-                enforce_on_write(
-                    df.sparkSession.read.parquet(staged), table_dir)
+                back = df.sparkSession.read.parquet(staged)
+                if staged_physical:
+                    # constraints speak logical names; the staged
+                    # bytes are physical -- alias back for the scan
+                    from pyspark.sql import functions as F
+
+                    inv = {p: c for c, p in staged_physical.items()}
+                    back = back.select(
+                        [F.col(c).alias(inv.get(c, c))
+                         for c in back.columns])
+                enforce_on_write(back, table_dir)
         return _commit_staged_dir(
             table_dir, staged, txn, pinned_base, inherit_files,
             max_attempts, backend, merge_schema, stats_columns,
             inherit_drop, row_identical_base,
-            batch_schema=df.schema,
+            batch_schema=logical_schema,
             legacy_schema_reader=lambda cur: _read_resolved(
-                df.sparkSession, table_dir, cur).schema)
+                df.sparkSession, table_dir, cur).schema,
+            staged_physical=staged_physical)
     except BaseException:
         shutil.rmtree(staged, ignore_errors=True)
         raise
@@ -1870,7 +2097,9 @@ def _commit_staged_dir(table_dir: str, staged: str, txn: str | None,
                        inherit_drop: frozenset[str],
                        row_identical_base: int | None,
                        batch_schema,
-                       legacy_schema_reader=None) -> int:
+                       legacy_schema_reader=None,
+                       staged_physical: dict[str, str] | None = None
+                       ) -> int:
     """The claim -> renumber -> manifest -> pointer-flip loop shared
     by :func:`_manifest_commit` (Spark-staged batches) and the
     DataSource write face (pyarrow-staged parts): pure file metadata,
@@ -1943,8 +2172,32 @@ def _commit_staged_dir(table_dir: str, staged: str, txn: str | None,
                             f"footers -- append once through "
                             f"io.versioned.append_version to pin it")
                     base_schema = legacy_schema_reader(cur)
-            _write_schema_file(claimed, _resolve_commit_schema(
-                base_schema, batch_schema, merge_schema, table_dir))
+            if base_schema is not None:
+                # column-mapping race check: the physical names the
+                # batch was STAGED under must still be what the base
+                # maps those logical columns to -- a rename_column
+                # landing between stage and commit would otherwise
+                # publish files whose bytes sit under the wrong
+                # physical column
+                bmap = _physical_map(base_schema)
+                smap = staged_physical or {}
+                bnames = set(base_schema.fieldNames())
+                raced = sorted(
+                    f.name for f in batch_schema.fields
+                    if f.name in bnames
+                    and bmap.get(f.name, f.name)
+                    != smap.get(f.name, f.name))
+                if raced:
+                    raise VersionConflictError(
+                        f"append to {table_dir}: column(s) {raced} "
+                        f"were staged under a different physical "
+                        f"name than the current base maps them to "
+                        f"(a rename_column raced this write, or the "
+                        f"writer cannot stage physical names) -- "
+                        f"re-run the write")
+            commit_schema = _resolve_commit_schema(
+                base_schema, batch_schema, merge_schema, table_dir)
+            _write_schema_file(claimed, commit_schema)
             # file-skipping stats: inherit the base's recorded stats
             # for inherited files verbatim, and record OWN-file
             # min/max (footer read, no data scan) for the union of
@@ -1967,9 +2220,19 @@ def _commit_staged_dir(table_dir: str, staged: str, txn: str | None,
                          if cur is not None else {})
             rowmeta = {f: base_rows[f] for f in inherited
                        if f in base_rows}
+            # manifests speak LOGICAL names; own files speak PHYSICAL
+            # -- footer reads go through the commit schema's map and
+            # the results are re-keyed back
+            cmap = _physical_map(commit_schema)
+            inv_p = {p: c for c, p in cmap.items()}
+            want = sorted({cmap.get(c, c) for c in track})
             for rel in own:
                 fs, rm = _file_meta(os.path.join(table_dir, rel),
-                                    sorted(track))
+                                    want)
+                fs = {inv_p.get(c, c): v for c, v in fs.items()}
+                rm = {"n": rm["n"],
+                      "nn": {inv_p.get(c, c): v
+                             for c, v in rm["nn"].items()}}
                 if track and fs:
                     stats[rel] = fs
                 rowmeta[rel] = rm
@@ -2007,12 +2270,12 @@ def _read_resolved(spark: SparkSession, table_dir: str, n: int) -> DataFrame:
     # footer-merge pass over the (at scale, very long) file list --
     # the mergeSchema=true tax every read would otherwise pay
     st = table_schema(table_dir, n)
-    reader = spark.read.schema(st) if st is not None else spark.read
     mf = _read_manifest(table_dir, n)
     if mf is None:
+        reader = spark.read.schema(st) if st is not None \
+            else spark.read
         return reader.parquet(os.path.join(table_dir, f"v_{n:08d}"))
-    return reader.parquet(
-        *[os.path.join(table_dir, rel) for rel in mf[0]])
+    return _read_files(spark, table_dir, mf[0], st)
 
 
 def read_current(spark: SparkSession, table_dir: str,
@@ -2112,13 +2375,10 @@ def read_changes(spark: SparkSession, table_dir: str, from_n: int,
     t_files = _data_files(table_dir, to_n)
     if f_files <= set(t_files):
         added = [f for f in t_files if f not in f_files]
-        reader = spark.read.schema(to_schema) if to_schema \
-            else spark.read
         if not added:
             return read_changes(spark, table_dir, to_n, to_n,
                                 backend=backend)
-        return (reader.parquet(
-                    *[os.path.join(table_dir, f) for f in added])
+        return (_read_files(spark, table_dir, added, to_schema)
                 .withColumn("_change_type", F.lit("insert")))
 
     # compaction-aware tier: a compaction in (from_n, to_n] is
@@ -2139,6 +2399,27 @@ def read_changes(spark: SparkSession, table_dir: str, from_n: int,
                                 backend=backend)
             right = read_changes(spark, table_dir, c, to_n,
                                  backend=backend)
+            # a rename_column commit in (b, c] changes logical names
+            # while the physical column is continuous: re-alias the
+            # pre-split segment to the TO schema's logical names via
+            # the physical chain, so the feed speaks current names
+            # (the Delta CDF column-mapping contract) instead of
+            # unioning old- and new-named halves
+            left_st = table_schema(table_dir, b)
+            if left_st is not None and to_schema is not None:
+                lmap = _physical_map(left_st)
+                tmap = _physical_map(to_schema)
+                to_logical = {tmap.get(f.name, f.name): f.name
+                              for f in to_schema.fields}
+                ren = {}
+                for f in left_st.fields:
+                    tgt = to_logical.get(lmap.get(f.name, f.name))
+                    if tgt is not None and tgt != f.name:
+                        ren[f.name] = tgt
+                if ren:
+                    left = left.select(
+                        [F.col(c2).alias(ren.get(c2, c2))
+                         for c2 in left.columns])
             return left.unionByName(right,
                                     allowMissingColumns=True)
 

@@ -176,23 +176,37 @@ class _ChangeDiffPart(InputPartition):
         self.n_buckets = n_buckets
 
 
+def _field_physical(f) -> str:
+    """The parquet-file column behind one arrow field: the
+    column-mapping physical name the planner stored in the field's
+    arrow metadata (_arrow_schema_bytes), else the field name."""
+    md = f.metadata or {}
+    phys = md.get(b"physical")
+    return phys.decode("utf-8") if phys is not None else f.name
+
+
 def _read_aligned(abs_path: str, arrow_schema_bytes: bytes):
     """Executor-side: stream one parquet file as RecordBatches
     aligned to the pinned schema (missing columns -> NULL, extras
-    dropped, order fixed)."""
+    dropped, order fixed).  Files speak PHYSICAL column names; each
+    field's physical name travels in the arrow schema's field
+    metadata, so a column-mapped table reads correctly through every
+    face that funnels here (batch, pushdown, change feed, stream)."""
     import pyarrow as pa
     import pyarrow.ipc as ipc
     import pyarrow.parquet as pq
 
     schema = ipc.read_schema(pa.BufferReader(arrow_schema_bytes))
+    phys = {f.name: _field_physical(f) for f in schema}
     pf = pq.ParquetFile(abs_path)
-    present = [f.name for f in schema if f.name in pf.schema_arrow.names]
+    present = [phys[f.name] for f in schema
+               if phys[f.name] in pf.schema_arrow.names]
     for batch in pf.iter_batches(columns=present):
         n = batch.num_rows
         cols = []
         for f in schema:
-            if f.name in batch.schema.names:
-                cols.append(batch.column(f.name).cast(f.type))
+            if phys[f.name] in batch.schema.names:
+                cols.append(batch.column(phys[f.name]).cast(f.type))
             else:
                 cols.append(pa.nulls(n, type=f.type))
         yield pa.RecordBatch.from_arrays(cols, schema=schema)
@@ -395,10 +409,26 @@ def _diff_buckets(abs_paths: list) -> int:
 
 
 def _arrow_schema_bytes(spark_schema) -> bytes:
+    """Serialize a Spark schema for the partition payload.  The
+    Spark->arrow conversion drops StructField metadata, so the
+    column-mapping physical names are re-attached as arrow FIELD
+    metadata (arrow IPC round-trips those); executor readers resolve
+    them via _field_physical."""
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    return to_arrow_schema(spark_schema).serialize().to_pybytes()
+    sch = to_arrow_schema(spark_schema)
+    fields, changed = [], False
+    for sf, af in zip(spark_schema.fields, sch):
+        phys = (sf.metadata or {}).get("physical")
+        if phys and phys != sf.name:
+            af = af.with_metadata({b"physical":
+                                   phys.encode("utf-8")})
+            changed = True
+        fields.append(af)
+    if changed:
+        sch = pa.schema(fields)
+    return sch.serialize().to_pybytes()
 
 
 def _pinned_schema(path: str, n: int):
@@ -457,8 +487,13 @@ class _BatchReader(DataSourceReader):
         # (r11 advisor).
         self.path = _table_path(options)
         self.n = n
-        self.schema_bytes = _arrow_schema_bytes(
-            _pinned_schema(self.path, self.n))
+        st = _pinned_schema(self.path, self.n)
+        self.schema_bytes = _arrow_schema_bytes(st)
+        # logical -> physical (column mapping); bloom sidecars and
+        # consolidated indexes are keyed by the physical name
+        self._pmap = {f.name: (f.metadata or {}).get("physical",
+                                                     f.name)
+                      for f in st.fields}
 
     def partitions(self) -> Sequence[InputPartition]:
         from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import _data_files
@@ -658,9 +693,11 @@ class _PushdownBatchReader(_BatchReader):
             if not all(isinstance(v, (int, str))
                        and not isinstance(v, bool) for v in values):
                 continue
-            if col not in idx_cache:
-                idx_cache[col] = _consolidated(self.path, col, self.n)
-            idx = idx_cache[col]
+            phys = self._pmap.get(col, col)
+            if phys not in idx_cache:
+                idx_cache[phys] = _consolidated(self.path, phys,
+                                                self.n)
+            idx = idx_cache[phys]
             maybe = False
             for v in values:
                 if idx is not None and f in idx:
@@ -681,7 +718,7 @@ class _PushdownBatchReader(_BatchReader):
                         break
                 elif _maybe_contains(
                         os.path.join(os.path.abspath(self.path), f),
-                        col, v):
+                        phys, v):
                     maybe = True
                     break
             if not maybe:
@@ -904,6 +941,82 @@ def _parse_write_options(options):
     return path, merge, stats
 
 
+def _mapped_write_state(path: str, schema, seed: str | None = None):
+    """(staged_physical, physical_names | None, commit batch schema)
+    for a write landing on ``path``.  On a column-mapped base the
+    batch must stage under PHYSICAL names: existing columns keep the
+    base's physical, NEW columns (mergeSchema) get fresh never-reused
+    names -- derived from ``seed`` when given (the streaming writer's
+    txnAppId: the engine constructs SEPARATE writer instances for the
+    write and commit phases, so an instance-random name would
+    dangle), else instance-random.  On an unmapped base any stray
+    physical metadata in the incoming schema is stripped (identity
+    staging).  physical_names is None when no rename is needed."""
+    import hashlib
+    import uuid
+
+    from pyspark.sql.types import StructField, StructType
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        _physical_map,
+        _strip_physical,
+        current_version,
+        table_schema,
+    )
+
+    cur = current_version(path)
+    base_st = table_schema(path, cur) if cur is not None else None
+    if base_st is None or not _physical_map(base_st):
+        return {}, None, _strip_physical(schema)
+    pmap = _physical_map(base_st)
+    base_names = set(base_st.fieldNames())
+    staged: dict = {}
+    for f in schema.fields:
+        if f.name in base_names:
+            staged[f.name] = pmap.get(f.name, f.name)
+        elif seed is not None:
+            staged[f.name] = "{}__p{}".format(
+                f.name,
+                hashlib.md5(f"{seed}:{f.name}".encode("utf-8"))
+                .hexdigest()[:8])
+        else:
+            staged[f.name] = f"{f.name}__p{uuid.uuid4().hex[:8]}"
+    batch = StructType([
+        StructField(
+            f.name, f.dataType, f.nullable,
+            {**(f.metadata or {}), "physical": staged[f.name]}
+            if staged[f.name] != f.name
+            else {k: v for k, v in (f.metadata or {}).items()
+                  if k != "physical"})
+        for f in schema.fields])
+    names = [staged[f.name] for f in schema.fields]
+    if names == [f.name for f in schema.fields]:
+        names = None
+    return staged, names, batch
+
+
+def _physical_arrow_bytes(schema, staged: dict) -> bytes:
+    """Arrow bytes describing the STAGED (physical) part layout --
+    what _ensure_schema_part must write for an all-empty batch."""
+    from pyspark.sql.types import StructField, StructType
+
+    if not staged:
+        return _arrow_schema_bytes(schema)
+    phys = StructType([
+        StructField(staged.get(f.name, f.name), f.dataType, True)
+        for f in schema.fields])
+    return _arrow_schema_bytes(phys)
+
+
+def _remap_batches(iterator, names: list):
+    """Rename each incoming Arrow batch's columns to the staged
+    physical names (order = writer schema order)."""
+    import pyarrow as pa
+
+    for b in iterator:
+        yield pa.RecordBatch.from_arrays(list(b.columns), names=names)
+
+
 def _refuse_constraints(path: str, staged: str | None) -> None:
     """The write face has no SparkSession, so it cannot run the
     write-time constraint scan -- refuse constraint-bearing tables
@@ -924,7 +1037,8 @@ def _refuse_constraints(path: str, staged: str | None) -> None:
 
 def _commit_stage(path: str, staged: str, schema, txn: str | None,
                   overwrite: bool, merge_schema: bool,
-                  stats_columns: tuple) -> None:
+                  stats_columns: tuple,
+                  staged_physical: dict | None = None) -> None:
     from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
         _DEFAULT_BACKEND, _commit_staged_dir,
     )
@@ -935,7 +1049,7 @@ def _commit_stage(path: str, staged: str, schema, txn: str | None,
         max_attempts=20, backend=_DEFAULT_BACKEND,
         merge_schema=merge_schema, stats_columns=stats_columns,
         inherit_drop=frozenset(), row_identical_base=None,
-        batch_schema=schema)
+        batch_schema=schema, staged_physical=staged_physical)
 
 
 def _txn_already_visible(path: str, txn: str | None) -> bool:
@@ -966,7 +1080,10 @@ class _VersionedBatchWriter(DataSourceArrowWriter):
 
         self.path, self.merge_schema, self.stats_columns = \
             _parse_write_options(options)
-        self.schema = schema
+        # column-mapped base: stage under physical names, commit the
+        # logical schema with its mapping metadata
+        self._staged_physical, self._phys_names, self.schema = \
+            _mapped_write_state(self.path, schema)
         self.overwrite = overwrite
         self.txn = options.get("txn")
         os.makedirs(self.path, exist_ok=True)
@@ -983,12 +1100,15 @@ class _VersionedBatchWriter(DataSourceArrowWriter):
         self._noop = _txn_already_visible(self.path, self.txn)
         if not self._noop:
             os.makedirs(self.staged)
-        self.arrow_schema_bytes = _arrow_schema_bytes(schema)
+        self.arrow_schema_bytes = _physical_arrow_bytes(
+            self.schema, self._staged_physical)
 
     def write(self, iterator):
         if self._noop:
             return _PartNames([])
         os.makedirs(self.staged, exist_ok=True)
+        if self._phys_names is not None:
+            iterator = _remap_batches(iterator, self._phys_names)
         return _write_stage_part(iterator, self.staged)
 
     def commit(self, messages) -> None:
@@ -1016,7 +1136,8 @@ class _VersionedBatchWriter(DataSourceArrowWriter):
         _ensure_schema_part(self.staged, self.arrow_schema_bytes)
         _commit_stage(self.path, self.staged, self.schema, self.txn,
                       self.overwrite, self.merge_schema,
-                      self.stats_columns)
+                      self.stats_columns,
+                      staged_physical=self._staged_physical)
 
     def abort(self, messages) -> None:
         shutil.rmtree(self.staged, ignore_errors=True)
@@ -1046,6 +1167,9 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
         self.path, self.merge_schema, self.stats_columns = \
             _parse_write_options(options)
         self.schema = schema
+        # (self.schema is remapped below once txnAppId is known --
+        # the mapped-base physical names must be DETERMINISTIC across
+        # the engine's separate write/commit writer instances)
         # Spark passes overwrite=True per batch for COMPLETE output
         # mode (each batch is the full result): committed as a
         # snapshot version, exactly mode("overwrite")'s
@@ -1068,7 +1192,10 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
         self.pending = os.path.join(
             self.path, f"{_STAGE_PREFIX}pending-{digest}")
         os.makedirs(self.pending, exist_ok=True)
-        self.arrow_schema_bytes = _arrow_schema_bytes(schema)
+        self._staged_physical, self._phys_names, self.schema = \
+            _mapped_write_state(self.path, schema, seed=self.app)
+        self.arrow_schema_bytes = _physical_arrow_bytes(
+            self.schema, self._staged_physical)
 
     def write(self, iterator):
         # recreate the pending dir: it is idle-empty between batches
@@ -1077,6 +1204,8 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
         # review pass 2 -- the write must survive that, not crash
         # the query)
         os.makedirs(self.pending, exist_ok=True)
+        if self._phys_names is not None:
+            iterator = _remap_batches(iterator, self._phys_names)
         return _write_stage_part(iterator, self.pending)
 
     def _named(self, messages) -> list:
@@ -1122,7 +1251,8 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
         _commit_stage(self.path, staged, self.schema, txn,
                       overwrite=self.overwrite,
                       merge_schema=self.merge_schema,
-                      stats_columns=self.stats_columns)
+                      stats_columns=self.stats_columns,
+                      staged_physical=self._staged_physical)
 
     def abort(self, messages, batchId: int) -> None:
         self._drop_parts(self._named(messages))
