@@ -113,6 +113,11 @@ HEADLINE = [
     # added round 12: the write face -- three batch commits + a
     # 2-drain exactly-once streaming sink, all Arrow-staged
     "datasource_write_audit",
+    # added round 12 (late): zero-copy column rename (column
+    # mapping) -- the rename is one metadata commit; the five-version
+    # read-back plus the metadata-answered count_where per version is
+    # the measured contract
+    "rename_column_audit",
 ]
 
 

@@ -730,7 +730,18 @@ _DRIVER_HEAD = [
     # query was driver-green >= 2 rounds and every SURVEY row keeps
     # a head representative -- see the r10 block in _DRIVER_TAIL.
     "similarity_topk_batch", "vocab_top_tokens",
-    "corpus_profile_by_source", "decontaminate_embeddings_docs",
+    "corpus_profile_by_source",
+    # ---- round-12 (late) new capability: zero-copy column RENAME
+    # via Delta-style column mapping (io/versioned.rename_column:
+    # metadata-only commit, stats re-keying, physical-name staging in
+    # every writer, purge/fsck/bloom/CDF mapping).  SURVEY row P2
+    # (rename) gains a dedicated DDL-tier carrier alongside
+    # recode_region_names' projection-level rename.
+    # decontaminate_embeddings_docs rotates out for the slot (r10+r11
+    # graded; no exclusive SURVEY rows -- decontamination keeps head
+    # reps decontaminate_spans_docs + contamination_report_docs, and
+    # the semantic tier stays oracle-replayed in-repo).
+    "rename_column_audit",
     # ---- round-12 new capability: filter pushdown through the
     # DataSource face (Spark-4.1 pushFilters: stats + bloom file
     # pruning, executor-side row pre-filter).  chunk_documents
@@ -1102,6 +1113,13 @@ _DRIVER_TAIL = [
     #       drift_orders_psi and the KS/TVD summaries stay
     #       oracle-replayed in-repo
     "drift_ks_summary",
+    #   decontaminate_embeddings_docs (r10-r11) -> rotated out for
+    #       the NEW rename_column_audit head slot (zero-copy column
+    #       mapping): no exclusive SURVEY rows (ext:decontam-semantic,
+    #       ext:ann-lsh-multi); decontamination keeps head reps
+    #       decontaminate_spans_docs + contamination_report_docs and
+    #       the semantic tier stays oracle-replayed in-repo
+    "decontaminate_embeddings_docs",
 ]
 _ORDERED = _DRIVER_HEAD + _DRIVER_TAIL
 assert set(_ORDERED) == set(REGISTRY) and len(_ORDERED) == len(REGISTRY), (

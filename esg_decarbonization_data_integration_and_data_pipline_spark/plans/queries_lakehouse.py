@@ -594,3 +594,81 @@ def fsck_report_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "target string, ok int, n_versions int, "
               "total_missing bigint, total_rowcount_mismatch bigint, "
               "total_stats_too_narrow bigint")
+
+
+_COLS_V13 = ("o_orderkey,o_orderstatus,o_totalprice,"
+             "o_orderpriority,o_custkey,yr")
+_COLS_V45 = "o_orderkey,o_orderstatus,price,o_orderpriority,o_custkey,yr"
+
+
+@register("rename_column_audit", "ext:column-mapping,P2,P3,A2", oracle=_VERS_CTE + """
+  UNION ALL SELECT 4, * FROM base WHERE o_orderkey % 7 <> 0
+  UNION ALL SELECT 5, * FROM base WHERE o_orderkey % 7 <> 0
+  UNION ALL SELECT 5, * FROM base
+    WHERE yr = 1997 AND o_orderkey % 7 = 0),
+names AS (
+  SELECT 1 AS version, '""" + _COLS_V13 + """' AS cols
+  UNION ALL SELECT 2, '""" + _COLS_V13 + """'
+  UNION ALL SELECT 3, '""" + _COLS_V13 + """'
+  UNION ALL SELECT 4, '""" + _COLS_V45 + """'
+  UNION ALL SELECT 5, '""" + _COLS_V45 + """')
+SELECT n.version, CAST(6 AS INT) AS n_cols, n.cols,
+       count(*) AS n_rows,
+       round(sum(v.o_totalprice), 4) AS sum_price,
+       count(*) FILTER (WHERE v.o_totalprice
+                        BETWEEN 1000.0 AND 50000.0) AS n_mid
+FROM vers v JOIN names n ON n.version = v.version
+GROUP BY 1, 3
+""")
+def rename_column_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy column RENAME (Delta column-mapping ``name`` mode;
+    io/versioned.rename_column), driver-gradable end-to-end over a
+    copy of the shared fixture.  v4 = rename o_totalprice -> price:
+    a metadata-only commit -- no file is read or rewritten -- whose
+    readers must surface the SAME rows as v3 under the new logical
+    name while time travel to v1-v3 still shows the old one.  v5 =
+    an append UNDER the new name (the 1997 rows the fixture's keyed
+    delete removed, re-inserted): the writer must stage the batch
+    under the stable PHYSICAL name so old and new files stay
+    consistent.  Per version the result pins the column count, the
+    exact comma-joined field names (projection AND order), the
+    rowcount, the price sum, and ``n_mid`` = count_where over the
+    version's own price column -- the last answered from the
+    manifest's re-keyed file-skipping stats plus an O(boundary-file)
+    scan, so a rename that lost or mis-keyed the stats tier
+    hash-mismatches even though a full scan would agree.  The oracle
+    re-derives all five versions from raw parquet with the expected
+    schemas as literals.  Both the rename and the audit's metadata
+    count are O(1) in table size; the read-back aggregates are what
+    cost.  Reference has no DDL tier (pandas truncate-and-reload,
+    jobs/csr_etl.py:157); this grades what RENAME becomes once
+    history and file-skipping stats exist."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        append_version, count_where, read_version, rename_column,
+    )
+    from esg_decarbonization_data_integration_and_data_pipline_spark.tables import table
+
+    td = copy_fixture(orders_versioned_fixture(spark, sf_dir))
+    rename_column(spark, td, "o_totalprice", "price")
+    reinsert = (table(spark, sf_dir, "orders")
+                .filter((F.year("o_orderdate") == 1997)
+                        & (F.col("o_orderkey") % 7 == 0))
+                .select("o_orderkey", "o_orderstatus",
+                        F.col("o_totalprice").alias("price"),
+                        "o_orderpriority", "o_custkey",
+                        F.year("o_orderdate").cast("int").alias("yr")))
+    append_version(reinsert, td, stats_columns=["price"])
+    rows = []
+    for v in (1, 2, 3, 4, 5):
+        df = read_version(spark, td, v)
+        price_col = "price" if "price" in df.columns else "o_totalprice"
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(price_col), 4).alias("s")).collect()[0]
+        n_mid = count_where(spark, td, price_col,
+                            lo=1000.0, hi=50000.0, n=v)
+        rows.append((v, len(df.columns), ",".join(df.columns),
+                     int(agg["n"]), float(agg["s"]), int(n_mid)))
+    return spark.createDataFrame(
+        rows, "version int, n_cols int, cols string, n_rows bigint, "
+              "sum_price double, n_mid bigint")

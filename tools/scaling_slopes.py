@@ -391,6 +391,18 @@ def main() -> None:
         # metadata row.
         "deep_clone":
             lambda s: _deep_clone_cycle(s),
+        # round-12 (continuation): zero-copy column RENAME on the
+        # growing clustered fixture.  One cycle = rename
+        # o_totalprice -> price_tmp -> back (so the shared fixture
+        # stays name-stable for any op measured after): TWO
+        # metadata-only commits, each a stats/rowmeta line re-key +
+        # manifest + pointer write, zero files read -- the wall
+        # should be milliseconds and flat vs table bytes, like
+        # shallow_clone (the read-side cost of the mapping is pinned
+        # separately: the mapped plan is IDENTICAL to the unmapped
+        # one, tests/test_column_mapping.py plan-shape test).
+        "rename_column":
+            lambda s: _rename_cycle(s),
     }
 
     def _pii(d):
@@ -669,6 +681,16 @@ def main() -> None:
             _consolidated_scales.add(s)
         return _bloom_lookup_cycle(s)
 
+    def _rename_cycle(s):
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+            rename_column,
+        )
+
+        td = _merge_dir(s)
+        rename_column(spark, td, "o_totalprice", "price_tmp")
+        rename_column(spark, td, "price_tmp", "o_totalprice")
+        return spark.range(1)
+
     def _fsck_verify_cycle(s):
         from esg_decarbonization_data_integration_and_data_pipline_spark.io.fsck import verify_table
 
@@ -827,7 +849,7 @@ def main() -> None:
             "bloom_build", "bloom_lookup", "constraints_audit_meta",
             "constraints_audit_scan", "shallow_clone",
             "fsck_verify", "deep_clone",
-            "cdf_batch_diff"} & set(OPS):
+            "cdf_batch_diff", "rename_column"} & set(OPS):
         # same discipline: the clustered table pre-exists; only the
         # per-batch merge/erasure/audit is measured.  File counts
         # print untimed.
