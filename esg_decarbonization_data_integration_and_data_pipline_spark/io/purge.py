@@ -425,7 +425,9 @@ def purge_keys_history(spark: SparkSession, table_dir: str, key: str,
         # task streams one file through pyarrow; local == executors).
         # Files speak PHYSICAL names: filter on the key's stable
         # physical column, which is what every file ever written
-        # carries regardless of renames since.
+        # carries regardless of renames since.  (Resolved here once;
+        # _candidate_files resolved its own copy for the stats prune
+        # before any manifest was touched.)
         phys = _key_physical(table_dir, versions, key)
         vset = frozenset(vals)
         sc = spark.sparkContext

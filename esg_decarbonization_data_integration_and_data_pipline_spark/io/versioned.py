@@ -51,6 +51,23 @@ mergeSchema footer pass at read time), and time travel returns each
 version under the schema it committed with.  Type changes are never
 mergeable -- rewrite via a :func:`write_version` snapshot.
 
+Column mapping (the Delta ``name``-mode shape) rides on the pinned
+schema: :func:`rename_column` is a metadata-only commit whose field
+metadata records the renamed column's stable PHYSICAL name.
+Manifests and every metadata query keep speaking LOGICAL names (the
+rename re-keys the inherited stats/rowmeta lines); parquet files
+keep speaking physical names, resolved by :func:`_read_files` on
+every read and staged by every writer (a rename racing a staged
+write raises :class:`VersionConflictError`).  New columns on a
+mapped table get fresh never-reused physical names, so re-adding a
+renamed-away name cannot resurface old bytes.  An unmapped table --
+no rename ever -- is bit-identical to the pre-mapping format.
+Snapshots through :func:`write_version` (free-schema overwrite)
+reset to identity mapping; the format() write face's
+``mode("overwrite")`` snapshot is schema-ENFORCED against the base,
+so it keeps the base's mapping -- two deliberately different
+overwrite contracts.
+
 Data skipping is part of the commit too: appends/compactions record
 per-file min/max for requested columns (``stats_columns`` -- a
 footer read at commit time, no data scan; inherited files keep their
@@ -592,14 +609,69 @@ def _physical_name(st, col: str) -> str:
     return col
 
 
+def _is_mapped(st) -> bool:
+    """Whether the table is under column mapping: ANY field carries a
+    physical-name pin, identity ones included.  rename_column stamps
+    EVERY field (identity pins on the unrenamed ones) exactly so this
+    marker survives the renamed column's later drop -- deriving
+    mappedness from non-identity entries alone would let
+    rename -> drop -> re-add silently bind the re-added logical name
+    to the old files' physical bytes (review finding r12c-1)."""
+    return st is not None and any(
+        _PHYSICAL_KEY in (f.metadata or {}) for f in st.fields)
+
+
+def _physical_staging_plan(base_st, schema, seed: str | None = None):
+    """THE one policy for staging a batch onto a mapped base, shared
+    by the function API (_manifest_commit) and both DataSource
+    writers: (staged_physical logical->physical, batch schema with
+    the mapping pinned in field metadata).  Existing columns keep the
+    base's physical; NEW columns get fresh never-reused names --
+    ``seed``-derived when given (a caller whose write and commit
+    phases run on different instances needs determinism), salted
+    instance-random otherwise.  Returns ``({}, stripped schema)``
+    for an unmapped base: stray physical metadata in the incoming
+    schema is dropped, because the staged files carry the batch's own
+    logical names (review finding r12c-3)."""
+    import hashlib
+    import uuid
+
+    from pyspark.sql.types import StructField, StructType
+
+    if not _is_mapped(base_st):
+        return {}, _strip_physical(schema)
+    pmap = _physical_map(base_st)
+    base_names = set(base_st.fieldNames())
+    staged: dict[str, str] = {}
+    for f in schema.fields:
+        if f.name in base_names:
+            staged[f.name] = pmap.get(f.name, f.name)
+        elif seed is not None:
+            staged[f.name] = "{}__p{}".format(
+                f.name,
+                hashlib.md5(f"{seed}:{f.name}".encode("utf-8"))
+                .hexdigest()[:8])
+        else:
+            staged[f.name] = f"{f.name}__p{uuid.uuid4().hex[:8]}"
+    batch = StructType([
+        StructField(f.name, f.dataType, f.nullable,
+                    {**{k: v for k, v in (f.metadata or {}).items()
+                        if k != _PHYSICAL_KEY},
+                     _PHYSICAL_KEY: staged[f.name]})
+        for f in schema.fields])
+    return staged, batch
+
+
 def _strip_physical(st):
     """``st`` without any column-mapping metadata -- the schema a
     snapshot overwrite pins (its files are staged under the batch's
     own logical names, so carrying a stale physical pin would point
-    readers at columns the new files don't have)."""
+    readers at columns the new files don't have).  Strips IDENTITY
+    pins too: they are the mapped marker (_is_mapped), and a
+    snapshot resets the table to the unmapped format."""
     from pyspark.sql.types import StructField, StructType
 
-    if not _physical_map(st):
+    if not _is_mapped(st):
         return st
     return StructType([
         StructField(f.name, f.dataType, f.nullable,
@@ -956,14 +1028,16 @@ def _file_null_count(path: str, col: str) -> int | None:
 
 
 def _null_count_plan(table_dir: str, n: int,
-                     col: str) -> tuple[int, list[str]]:
+                     col: str, st=None) -> tuple[int, list[str]]:
     """(nulls answerable from metadata, files needing a scan) for
     ``count_nulls`` -- split out so tests can pin that a table whose
     commits recorded #rows lines scans NOTHING.  Manifest rowmeta is
     keyed by LOGICAL name; the footer fallback reads the file's
-    PHYSICAL column."""
+    PHYSICAL column.  ``st``: the version's pinned schema when the
+    caller already holds it (skips a re-parse)."""
     rowmeta = _read_rowmeta(table_dir, n)
-    phys = _physical_name(table_schema(table_dir, n), col)
+    phys = _physical_name(
+        st if st is not None else table_schema(table_dir, n), col)
     meta_nulls = 0
     scan: list[str] = []
     for f in _data_files(table_dir, n):
@@ -1003,7 +1077,7 @@ def count_nulls(spark: SparkSession, table_dir: str, col: str,
         raise ValueError(
             f"column {col!r} is not in v_{n}'s schema "
             f"({st.fieldNames()})")
-    meta_nulls, scan = _null_count_plan(table_dir, n, col)
+    meta_nulls, scan = _null_count_plan(table_dir, n, col, st=st)
     if not scan:
         return meta_nulls
     df = _read_files(spark, table_dir, scan, st)
@@ -1022,7 +1096,7 @@ _ARROW_RANGE_KINDS = {"int8": "byte", "int16": "short",
 
 
 def _minmax_plan(table_dir: str, n: int,
-                 col: str) -> tuple[tuple, list[str]]:
+                 col: str, st=None) -> tuple[tuple, list[str]]:
     """((min, max) mergeable from metadata -- (None, None) if no
     file contributed, files needing a scan) for :func:`column_range`.
     Manifest stats first, parquet-footer min/max next; a file whose
@@ -1030,7 +1104,8 @@ def _minmax_plan(table_dir: str, n: int,
     predating an evolved column, which contribute nothing anyway)
     lands in the scan set."""
     stats = _read_stats(table_dir, n)
-    phys = _physical_name(table_schema(table_dir, n), col)
+    phys = _physical_name(
+        st if st is not None else table_schema(table_dir, n), col)
     lo = hi = None
     scan: list[str] = []
     for f in _data_files(table_dir, n):
@@ -1103,7 +1178,7 @@ def column_range(spark: SparkSession, table_dir: str, col: str,
             f"column_range supports numeric/bool columns; "
             f"{col!r} is {kind} (parquet string stats may be "
             f"truncated -- aggregate over read_version instead)")
-    (lo, hi), scan = _minmax_plan(table_dir, n, col)
+    (lo, hi), scan = _minmax_plan(table_dir, n, col, st=st)
     if scan:
         from pyspark.sql import functions as F
 
@@ -1842,14 +1917,20 @@ def rename_column(spark: SparkSession, table_dir: str, old: str,
         raise ValueError(
             f"rename_column on {table_dir}: {new!r} is already a "
             f"column ({st.fieldNames()})")
+    # EVERY field gets an explicit physical pin (identity for the
+    # unrenamed ones): the mapped marker must survive a later drop of
+    # the renamed column itself, or a drop+re-add of its old name
+    # would silently bind to the old files' physical bytes
+    # (_is_mapped; review finding r12c-1)
     fields = []
     for f in st.fields:
+        md = dict(f.metadata or {})
         if f.name == old:
-            md = dict(f.metadata or {})
             md[_PHYSICAL_KEY] = md.get(_PHYSICAL_KEY, old)
             fields.append(StructField(new, f.dataType, True, md))
         else:
-            fields.append(f)
+            md[_PHYSICAL_KEY] = md.get(_PHYSICAL_KEY, f.name)
+            fields.append(StructField(f.name, f.dataType, True, md))
     new_schema = StructType(fields)
     inherited = _data_files(table_dir, base)
     txns = _txns(table_dir, base)
@@ -1994,10 +2075,10 @@ def _manifest_commit(df: DataFrame, table_dir: str, txn: str | None,
 
     backend = backend or _DEFAULT_BACKEND
     os.makedirs(table_dir, exist_ok=True)
-    if txn is not None:
-        cur0 = current_version(table_dir, backend=backend)
-        if cur0 is not None and txn in _txns(table_dir, cur0):
-            return cur0  # replayed transaction -- already visible
+    base0 = current_version(table_dir, backend=backend)
+    if txn is not None and base0 is not None \
+            and txn in _txns(table_dir, base0):
+        return base0  # replayed transaction -- already visible
     # column-mapped base: stage the batch under PHYSICAL names so
     # every file of the table stays physically consistent across
     # renames.  New columns get fresh, never-reused physical names
@@ -2006,34 +2087,20 @@ def _manifest_commit(df: DataFrame, table_dir: str, txn: str | None,
     # The map used here is re-verified against the base at commit
     # time (_commit_staged_dir): a rename racing this write raises
     # VersionConflictError instead of committing misnamed files.
-    logical_schema = df.schema
-    staged_physical: dict[str, str] = {}
-    base0 = current_version(table_dir, backend=backend)
+    # On an UNMAPPED base the plan strips stray physical metadata the
+    # incoming schema may carry (e.g. a df built from a mapped
+    # table's pinned schema) -- the staged files speak the batch's
+    # own logical names, so pinning someone else's physicals would
+    # make the column read all-NULL.
     base_st0 = table_schema(table_dir, base0) if base0 is not None \
         else None
-    if base_st0 is not None and _physical_map(base_st0):
-        pmap0 = _physical_map(base_st0)
-        base_names0 = set(base_st0.fieldNames())
-        for f in logical_schema.fields:
-            if f.name in base_names0:
-                staged_physical[f.name] = pmap0.get(f.name, f.name)
-            else:
-                staged_physical[f.name] = \
-                    f"{f.name}__p{uuid.uuid4().hex[:8]}"
-        if any(p != c for c, p in staged_physical.items()):
-            from pyspark.sql import functions as F
-            from pyspark.sql.types import StructField, StructType
+    staged_physical, logical_schema = _physical_staging_plan(
+        base_st0, df.schema)
+    if any(p != c for c, p in staged_physical.items()):
+        from pyspark.sql import functions as F
 
-            df = df.select([F.col(c).alias(staged_physical[c])
-                            for c in df.columns])
-            logical_schema = StructType([
-                StructField(
-                    f.name, f.dataType, f.nullable,
-                    {**(f.metadata or {}),
-                     _PHYSICAL_KEY: staged_physical[f.name]}
-                    if staged_physical[f.name] != f.name
-                    else f.metadata)
-                for f in logical_schema.fields])
+        df = df.select([F.col(c).alias(staged_physical[c])
+                        for c in df.columns])
     staged = os.path.join(
         table_dir, f"{_STAGE_PREFIX}{os.getpid()}-{uuid.uuid4().hex}")
     claimed: str | None = None
@@ -2182,11 +2249,19 @@ def _commit_staged_dir(table_dir: str, staged: str, txn: str | None,
                 bmap = _physical_map(base_schema)
                 smap = staged_physical or {}
                 bnames = set(base_schema.fieldNames())
+                # a batch column ABSENT from the base whose staged
+                # physical is live under a DIFFERENT logical is the
+                # other face of the same race: the column was renamed
+                # under us between stage and commit
+                live_by_phys = {bmap.get(n2, n2): n2 for n2 in bnames}
                 raced = sorted(
                     f.name for f in batch_schema.fields
-                    if f.name in bnames
-                    and bmap.get(f.name, f.name)
-                    != smap.get(f.name, f.name))
+                    if (f.name in bnames
+                        and bmap.get(f.name, f.name)
+                        != smap.get(f.name, f.name))
+                    or (f.name not in bnames
+                        and live_by_phys.get(
+                            smap.get(f.name, f.name)) is not None))
                 if raced:
                     raise VersionConflictError(
                         f"append to {table_dir}: column(s) {raced} "
@@ -2417,9 +2492,20 @@ def read_changes(spark: SparkSession, table_dir: str, from_n: int,
                     if tgt is not None and tgt != f.name:
                         ren[f.name] = tgt
                 if ren:
-                    left = left.select(
-                        [F.col(c2).alias(ren.get(c2, c2))
-                         for c2 in left.columns])
+                    # left.columns can hold STALE columns beyond
+                    # left_st's fields (a deeper allowMissingColumns
+                    # union keeps dropped-era columns null-filled);
+                    # a stale column colliding with a rename target
+                    # must be dropped, not duplicated (select with
+                    # two same-named outputs is an AnalysisException)
+                    targets = set(ren.values())
+                    sel = []
+                    for c2 in left.columns:
+                        if c2 in ren:
+                            sel.append(F.col(c2).alias(ren[c2]))
+                        elif c2 not in targets:
+                            sel.append(F.col(c2))
+                    left = left.select(sel)
             return left.unionByName(right,
                                     allowMissingColumns=True)
 
@@ -2525,6 +2611,9 @@ def describe_table(table_dir: str,
                      for f in files
                      if os.path.exists(os.path.join(table_dir, f))),
         "schema": [f.name for f in st.fields] if st else None,
+        # non-identity logical -> physical pins (column mapping);
+        # empty dict for identity-marked or unmapped tables
+        "column_mapping": _physical_map(st) if st else {},
         "stats_columns": sorted({c for per in stats.values()
                                  for c in per}),
         "txns": len(_txns(table_dir, cur)),

@@ -943,53 +943,27 @@ def _parse_write_options(options):
 
 def _mapped_write_state(path: str, schema, seed: str | None = None):
     """(staged_physical, physical_names | None, commit batch schema)
-    for a write landing on ``path``.  On a column-mapped base the
-    batch must stage under PHYSICAL names: existing columns keep the
-    base's physical, NEW columns (mergeSchema) get fresh never-reused
-    names -- derived from ``seed`` when given (the streaming writer's
-    txnAppId: the engine constructs SEPARATE writer instances for the
-    write and commit phases, so an instance-random name would
-    dangle), else instance-random.  On an unmapped base any stray
-    physical metadata in the incoming schema is stripped (identity
-    staging).  physical_names is None when no rename is needed."""
-    import hashlib
-    import uuid
-
-    from pyspark.sql.types import StructField, StructType
-
+    for a write landing on ``path`` -- a thin wrapper over
+    io.versioned._physical_staging_plan, the ONE staging policy
+    shared with the function API (review r12c-7).  ``seed`` (the
+    streaming writer's txnAppId) makes NEW-column physical names
+    deterministic across the engine's separate write/commit writer
+    instances; it is salted with the base version, so a later
+    drop + re-add of the same logical name can never reuse the
+    retired physical (review r12c-2).  physical_names is None when
+    no rename is needed."""
     from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
-        _physical_map,
-        _strip_physical,
+        _physical_staging_plan,
         current_version,
         table_schema,
     )
 
     cur = current_version(path)
     base_st = table_schema(path, cur) if cur is not None else None
-    if base_st is None or not _physical_map(base_st):
-        return {}, None, _strip_physical(schema)
-    pmap = _physical_map(base_st)
-    base_names = set(base_st.fieldNames())
-    staged: dict = {}
-    for f in schema.fields:
-        if f.name in base_names:
-            staged[f.name] = pmap.get(f.name, f.name)
-        elif seed is not None:
-            staged[f.name] = "{}__p{}".format(
-                f.name,
-                hashlib.md5(f"{seed}:{f.name}".encode("utf-8"))
-                .hexdigest()[:8])
-        else:
-            staged[f.name] = f"{f.name}__p{uuid.uuid4().hex[:8]}"
-    batch = StructType([
-        StructField(
-            f.name, f.dataType, f.nullable,
-            {**(f.metadata or {}), "physical": staged[f.name]}
-            if staged[f.name] != f.name
-            else {k: v for k, v in (f.metadata or {}).items()
-                  if k != "physical"})
-        for f in schema.fields])
-    names = [staged[f.name] for f in schema.fields]
+    staged, batch = _physical_staging_plan(
+        base_st, schema,
+        seed=None if seed is None else f"{seed}:v{cur}")
+    names = [staged.get(f.name, f.name) for f in schema.fields]
     if names == [f.name for f in schema.fields]:
         names = None
     return staged, names, batch
@@ -1006,6 +980,27 @@ def _physical_arrow_bytes(schema, staged: dict) -> bytes:
         StructField(staged.get(f.name, f.name), f.dataType, True)
         for f in schema.fields])
     return _arrow_schema_bytes(phys)
+
+
+def _attach_staged(schema, staged: dict):
+    """The commit batch schema for a write whose staged map is KNOWN
+    (read back from the write phase's marker file): every staged
+    entry pins its physical name in field metadata (identity entries
+    included -- the mapped marker must propagate); an empty map
+    strips stray physical metadata, mirroring _physical_staging_plan's
+    unmapped branch."""
+    from pyspark.sql.types import StructField, StructType
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import _strip_physical
+
+    if not staged:
+        return _strip_physical(schema)
+    return StructType([
+        StructField(f.name, f.dataType, f.nullable,
+                    {**{k: v for k, v in (f.metadata or {}).items()
+                        if k != "physical"},
+                     "physical": staged.get(f.name, f.name)})
+        for f in schema.fields])
 
 
 def _remap_batches(iterator, names: list):
@@ -1192,10 +1187,14 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
         self.pending = os.path.join(
             self.path, f"{_STAGE_PREFIX}pending-{digest}")
         os.makedirs(self.pending, exist_ok=True)
+        self._raw_schema = schema
         self._staged_physical, self._phys_names, self.schema = \
             _mapped_write_state(self.path, schema, seed=self.app)
         self.arrow_schema_bytes = _physical_arrow_bytes(
             self.schema, self._staged_physical)
+
+    def _marker_path(self) -> str:
+        return os.path.join(self.pending, "_physmap.json")
 
     def write(self, iterator):
         # recreate the pending dir: it is idle-empty between batches
@@ -1204,9 +1203,41 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
         # review pass 2 -- the write must survive that, not crash
         # the query)
         os.makedirs(self.pending, exist_ok=True)
+        # record the map these parts are ACTUALLY staged under: the
+        # engine constructs separate writer instances for the write
+        # and commit phases, so the commit side must not recompute
+        # the map from the (possibly renamed-under-us) current base
+        # -- it reads this marker instead (review r12c-5).  Written
+        # unconditionally ({} = identity-staged) so commit can tell
+        # "write saw an unmapped base" from "no information".
+        import json
+        import uuid
+
+        tmp = self._marker_path() + \
+            f".tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="ascii") as fh:
+            json.dump({"staged": self._staged_physical}, fh)
+        os.replace(tmp, self._marker_path())
         if self._phys_names is not None:
             iterator = _remap_batches(iterator, self._phys_names)
         return _write_stage_part(iterator, self.pending)
+
+    def _commit_plan(self):
+        """(staged_physical, commit schema, staged-layout arrow
+        bytes) for THIS batch: the write phase's marker wins; the
+        init-computed state is only the fallback for a batch whose
+        write phase never ran a task (zero partitions)."""
+        import json
+
+        try:
+            with open(self._marker_path(), encoding="ascii") as fh:
+                staged = json.load(fh)["staged"]
+        except (OSError, ValueError, KeyError):
+            return (self._staged_physical, self.schema,
+                    self.arrow_schema_bytes)
+        schema = _attach_staged(self._raw_schema, staged)
+        return (staged, schema,
+                _physical_arrow_bytes(schema, staged))
 
     def _named(self, messages) -> list:
         return [n for m in messages if m is not None
@@ -1240,6 +1271,7 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
         except BaseException:
             self._drop_parts(names)  # no orphan parts per attempt
             raise
+        staged_physical, schema, arrow_bytes = self._commit_plan()
         staged = os.path.join(
             self.path,
             f"{_STAGE_PREFIX}{os.getpid()}-{uuid.uuid4().hex}")
@@ -1247,12 +1279,12 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
         for n in names:
             os.rename(os.path.join(self.pending, n),
                       os.path.join(staged, n))
-        _ensure_schema_part(staged, self.arrow_schema_bytes)
-        _commit_stage(self.path, staged, self.schema, txn,
+        _ensure_schema_part(staged, arrow_bytes)
+        _commit_stage(self.path, staged, schema, txn,
                       overwrite=self.overwrite,
                       merge_schema=self.merge_schema,
                       stats_columns=self.stats_columns,
-                      staged_physical=self._staged_physical)
+                      staged_physical=staged_physical)
 
     def abort(self, messages, batchId: int) -> None:
         self._drop_parts(self._named(messages))

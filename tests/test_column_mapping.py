@@ -524,3 +524,37 @@ def test_datasource_cdf_across_rename_emits_current_names(
     # the rename commit itself plans to NOTHING (row-identical);
     # only the append's insert surfaces
     assert sorted(rows) == [(3, 30, "insert")]
+
+
+# ------------------------------------------------------ plan shape
+
+
+def test_mapped_read_plans_like_unmapped(spark, tmp_path):
+    """The alias-back projection is free: filters push down to the
+    parquet scan under the PHYSICAL name and column pruning reaches
+    the scan -- a mapped read plans identically to an unmapped one
+    (pinned on executedPlan, the canonical single-listing form)."""
+    from pyspark.sql import functions as F
+
+    td = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "x", i * 10) for i in range(100)],
+        "k bigint, s string, v bigint")
+    append_version(df, td, stats_columns=["v"])
+    rename_column(spark, td, "v", "value")
+    q = (read_current(spark, td)
+         .filter(F.col("value") > 500).select("k", "value"))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(v), GreaterThan(v,500)]" in plan
+    assert "ReadSchema: struct<k:bigint,v:bigint>" in plan  # s pruned
+    assert _rows(q) == [(i, i * 10) for i in range(51, 100)]
+
+
+def test_describe_table_surfaces_mapping(spark, tmp_path):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import describe_table
+
+    td = str(tmp_path / "t")
+    _mk(spark, td)
+    assert describe_table(td)["column_mapping"] == {}
+    rename_column(spark, td, "v", "value")
+    assert describe_table(td)["column_mapping"] == {"value": "v"}
