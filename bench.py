@@ -118,6 +118,11 @@ HEADLINE = [
     # read-back plus the metadata-answered count_where per version is
     # the measured contract
     "rename_column_audit",
+    # added round 12 (late): deletion vectors -- two sidecar-only
+    # delete commits + an append; the six-version read-back (dv
+    # anti-joins on versions 4-6) and the metadata rowcounts are the
+    # measured contract
+    "dv_delete_audit",
 ]
 
 

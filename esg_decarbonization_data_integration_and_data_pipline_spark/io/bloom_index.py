@@ -48,7 +48,7 @@ from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned im
     CommitBackend,
     _data_files,
     _physical_name,
-    _read_files,
+    _read_files_dv,
     _read_stats,
     current_version,
     table_schema,
@@ -423,5 +423,5 @@ def point_lookup(spark: SparkSession, table_dir: str, col: str,
             base = _read_resolved(spark, table_dir, n).limit(0)
         return base.filter(base[col] == value) if col in base.columns \
             else base
-    df = _read_files(spark, table_dir, files, st)
+    df = _read_files_dv(spark, table_dir, n, files, st)
     return df.filter(df[col] == value)

@@ -43,6 +43,13 @@ Shallow-clone caveats, inherent and documented (same as Delta's):
   candidate files resolve outside the table root
   (:class:`~.purge.ExternalFilesError`); purge the source, or
   deep-clone first.
+- deletion vectors (io/versioned ``#dv``) travel by REFERENCE in a
+  shallow clone, like the data files.  A purge on the SOURCE remaps
+  the shared sidecars in place but only fixes the SOURCE manifests'
+  recorded counts -- the clone's ``#dv`` counts go stale (its
+  metadata rowcount drifts until re-derived; ``verify_table`` on the
+  clone flags the count mismatch loudly).  Same remedy as the vacuum
+  caveat: deep-clone for isolation from source maintenance.
 """
 
 from __future__ import annotations
@@ -59,7 +66,9 @@ from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned im
     _TXN_PREFIX,
     CommitBackend,
     _data_files,
+    _dv_lines,
     _next_pointer,
+    _read_dvs,
     _read_rowmeta,
     _read_stats,
     _rows_lines,
@@ -187,8 +196,16 @@ def shallow_clone(spark: SparkSession, src_dir: str, dst_dir: str,
              if f in set(files)}
     rows = {ref(f): m for f, m in _read_rowmeta(src_dir, n).items()
             if f in set(files)}
+    # deletion vectors travel by reference like the data files (the
+    # sidecars are immutable; the source's purge remaps them in
+    # place, which the clone then sees too -- shared-bytes semantics,
+    # same as the data)
+    dvs = {ref(f): (ref(d), cnt)
+           for f, (d, cnt) in _read_dvs(src_dir, n).items()
+           if f in set(files)}
     lines = ([_TXN_PREFIX + t for t in sorted(_txns(src_dir, n))]
              + _stats_lines(stats) + _rows_lines(rows)
+             + _dv_lines(dvs)
              + [ref(f) for f in files])
     v = _commit_v1(dst_dir, st, lines, backend)
     _copy_constraints(src_dir, dst_dir)
@@ -227,20 +244,36 @@ def deep_clone(spark: SparkSession, src_dir: str, dst_dir: str,
     # at that moment
     staged = _clone_stage_dir(dst_dir)
     try:
+        rename = dict(names)
+        # deletion-vector sidecars are copied too: a deep clone must
+        # reproduce the source's LOGICAL rows with zero dependency on
+        # the source's dirs
+        src_dvs = {f: (d, cnt)
+                   for f, (d, cnt) in _read_dvs(src_dir, n).items()
+                   if f in rename}
+        dv_names = {f: f"dv{i}-{os.path.basename(d)}"
+                    for i, (f, (d, _c))
+                    in enumerate(sorted(src_dvs.items()))}
         pairs = [(os.path.join(src_abs, f), os.path.join(staged, name))
                  for f, name in names]
+        pairs += [(os.path.join(src_abs, src_dvs[f][0]),
+                   os.path.join(staged, dv_names[f]))
+                  for f in src_dvs]
         if pairs:
             spark.sparkContext.parallelize(pairs, len(pairs)).foreach(
                 lambda p: shutil.copyfile(p[0], p[1]))
-        rename = dict(names)
         stats = {f"v_00000001/{rename[f]}": c
                  for f, c in _read_stats(src_dir, n).items()
                  if f in rename}
         rows = {f"v_00000001/{rename[f]}": m
                 for f, m in _read_rowmeta(src_dir, n).items()
                 if f in rename}
+        dvs = {f"v_00000001/{rename[f]}":
+               (f"v_00000001/{dv_names[f]}", src_dvs[f][1])
+               for f in src_dvs}
         lines = ([_TXN_PREFIX + t for t in sorted(_txns(src_dir, n))]
                  + _stats_lines(stats) + _rows_lines(rows)
+                 + _dv_lines(dvs)
                  + [f"v_00000001/{name}" for _f, name in names])
     except BaseException:
         shutil.rmtree(staged, ignore_errors=True)

@@ -37,7 +37,9 @@ from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned im
     _STATS_PREFIX,
     CommitBackend,
     _data_files,
+    _dv_positions,
     _physical_map,
+    _read_dvs,
     _read_rowmeta,
     _read_stats,
     _rows_lines,
@@ -176,7 +178,29 @@ def verify_table(spark: SparkSession, table_dir: str,
         vr = {"missing_files": [], "unreadable_files": [],
               "rowcount_mismatch": [], "nullcount_mismatch": [],
               "stats_too_narrow": [], "deep_rowcount_mismatch": [],
+              "dv_errors": [],
               "external_refs": 0, "n_files": len(files)}
+        # deletion vectors are metadata claims about their data file:
+        # the sidecar must exist, decode, match its recorded count,
+        # and never point past the file's physical rowcount
+        for f, (d, cnt) in _read_dvs(table_dir, v).items():
+            try:
+                pos = _dv_positions(table_dir, d)
+            except (OSError, ValueError) as exc:
+                vr["dv_errors"].append(
+                    (f, f"vector {d} unreadable: "
+                        f"{type(exc).__name__}: {exc}"[:200]))
+                continue
+            if len(pos) != cnt:
+                vr["dv_errors"].append(
+                    (f, f"vector {d} holds {len(pos)} positions, "
+                        f"manifest records {cnt}"))
+            fact = facts.get(f)
+            if (fact and "error" not in fact and pos
+                    and pos[-1] >= fact["n_rows"]):
+                vr["dv_errors"].append(
+                    (f, f"vector {d} points at row {pos[-1]} of a "
+                        f"{fact['n_rows']}-row file"))
         for f in files:
             abs_f = os.path.abspath(os.path.join(root, f))
             if not abs_f.startswith(root + os.sep):
@@ -224,7 +248,7 @@ def verify_table(spark: SparkSession, table_dir: str,
         if (vr["missing_files"] or vr["unreadable_files"]
                 or vr["rowcount_mismatch"] or vr["nullcount_mismatch"]
                 or vr["stats_too_narrow"]
-                or vr["deep_rowcount_mismatch"]):
+                or vr["deep_rowcount_mismatch"] or vr["dv_errors"]):
             report["ok"] = False
         report["versions"][v] = vr
     # unreferenced data files inside readable version dirs: vacuum

@@ -216,10 +216,14 @@ def _candidate_files(table_dir: str, versions: list[int],
     return union, per_version
 
 
-def _rewrite_file(abs_path: str, key: str, values: frozenset) -> int:
+def _rewrite_file(abs_path: str, key: str,
+                  values: frozenset) -> tuple[int, list]:
     """Rewrite one parquet file without the matched rows, atomically,
-    preserving its physical schema; returns rows removed (0 = file
-    untouched).  Runs inside an executor task."""
+    preserving its physical schema; returns (rows removed, their
+    ORIGINAL file-relative row indices -- deletion-vector sidecars
+    referencing the file must remap their positions past the removed
+    rows).  (0, []) = file untouched.  Runs inside an executor
+    task."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -228,13 +232,16 @@ def _rewrite_file(abs_path: str, key: str, values: frozenset) -> int:
     if key not in t.schema.names:
         # pre-evolution file: its rows read back NULL for the key and
         # purge values are non-null by contract -- nothing to match
-        return 0
-    mask = pc.is_in(t.column(key),
-                    value_set=pa.array(sorted(values)))
+        return 0, []
+    mask = pc.fill_null(pc.is_in(t.column(key),
+                                 value_set=pa.array(sorted(values))),
+                        False)
     n_hit = pc.sum(mask).as_py() or 0
     if n_hit == 0:
-        return 0
-    kept = t.filter(pc.invert(pc.fill_null(mask, False)))
+        return 0, []
+    purged_pos = [int(i) for i in
+                  pc.indices_nonzero(mask).to_pylist()]
+    kept = t.filter(pc.invert(mask))
     d, base = os.path.split(abs_path)
     tmp = os.path.join(d, f".purge-tmp-{base}")
     pq.write_table(kept, tmp)
@@ -272,7 +279,7 @@ def _rewrite_file(abs_path: str, key: str, values: frozenset) -> int:
         except OSError:
             pass
     os.replace(tmp, abs_path)
-    return n_hit
+    return n_hit, purged_pos
 
 
 def _strip_meta_lines(table_dir: str, n: int,
@@ -346,6 +353,37 @@ def _readd_meta_lines(table_dir: str, n: int,
     tmp = p + ".purge-tmp"
     with open(tmp, "w", encoding="ascii") as fh:
         fh.write("\n".join(fresh + lines) + "\n")
+    os.replace(tmp, p)
+
+
+def _update_dv_counts(table_dir: str, n: int,
+                      new_counts: dict[str, int]) -> None:
+    """Fix the ``#dv`` lines' recorded counts in one manifest after a
+    purge remapped the named sidecars (atomic tmp + replace; missing
+    manifest = snapshot version = no-op)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import _DV_PREFIX
+
+    p = os.path.join(table_dir, f"v_{n:08d}", _MANIFEST)
+    try:
+        with open(p, encoding="ascii") as fh:
+            raw = fh.read()
+    except OSError:
+        return
+    out = []
+    changed = False
+    for line in raw.splitlines():
+        if line.startswith(_DV_PREFIX):
+            rec = json.loads(line[len(_DV_PREFIX):])
+            if rec["d"] in new_counts                     and rec["n"] != new_counts[rec["d"]]:
+                rec["n"] = new_counts[rec["d"]]
+                line = _DV_PREFIX + json.dumps(rec, sort_keys=True)
+                changed = True
+        out.append(line)
+    if not changed:
+        return
+    tmp = p + ".purge-tmp"
+    with open(tmp, "w", encoding="ascii") as fh:
+        fh.write("\n".join(out) + "\n")
     os.replace(tmp, p)
 
 
@@ -436,8 +474,43 @@ def purge_keys_history(spark: SparkSession, table_dir: str, key: str,
               .map(lambda rel: (rel, _rewrite_file(
                   os.path.join(abs_root, rel), phys, vset)))
               .collect())
-        rows_purged = sum(c for _, c in purged_counts)
-        rewritten = sorted(rel for rel, c in purged_counts if c > 0)
+        rows_purged = sum(c for _, (c, _p) in purged_counts)
+        rewritten = sorted(rel for rel, (c, _p) in purged_counts
+                           if c > 0)
+        purged_pos = {rel: pos for rel, (c, pos) in purged_counts
+                      if c > 0}
+        # deletion-vector remap: the rewrite shifted the surviving
+        # rows' file positions, so every sidecar referencing a
+        # rewritten file must drop the purged positions and shift the
+        # rest.  Sidecars are shared across versions by manifest
+        # inheritance -- remap each unique one ONCE, in place
+        # (atomic), then fix the #dv counts in every manifest.
+        import bisect
+
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+            _decode_dv, _encode_dv, _read_dvs,
+        )
+
+        new_counts: dict[str, int] = {}  # dv rel -> remapped count
+        for n in versions:
+            for f, (d, _cnt) in _read_dvs(table_dir, n).items():
+                if f not in purged_pos or d in new_counts:
+                    continue
+                P = purged_pos[f]
+                pset = set(P)
+                dpath = os.path.join(table_dir, d)
+                with open(dpath, "rb") as fh:
+                    old_pos = _decode_dv(fh.read())
+                remapped = [q - bisect.bisect_left(P, q)
+                            for q in old_pos if q not in pset]
+                tmp = dpath + ".purge-tmp"
+                with open(tmp, "wb") as fh:
+                    fh.write(_encode_dv(remapped))
+                os.replace(tmp, dpath)
+                new_counts[d] = len(remapped)
+        if new_counts:
+            for n in versions:
+                _update_dv_counts(table_dir, n, new_counts)
         # phase 3: re-record fresh footer metadata for every
         # candidate (unchanged files get identical lines back).
         # Footers are read ONCE per file under the union of PHYSICAL

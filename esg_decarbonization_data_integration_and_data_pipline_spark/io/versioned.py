@@ -85,6 +85,18 @@ the recorded key stats select the files that may contain a matched
 key, only those are rewritten, the rest inherit by reference.  On a
 key-clustered table a narrow merge rewrites O(slice) files.
 
+Deletes also come in MERGE-ON-READ form (:func:`delete_keys_dv` /
+:func:`delete_where_dv`, the Delta deletion-vector shape): the
+commit holds only per-file row-position sidecars (``#dv`` manifest
+lines), no data file is rewritten, and readers anti-filter on the
+scan's (file, row_index) identity until a compaction materializes
+the vectors.  Vectors ride manifest inheritance through every
+writer; the metadata tiers subtract recorded counts or fall back to
+scans; the change feed emits dv deltas as O(changed-rows) position
+reads; :func:`~.purge.purge_keys_history` remaps positions when it
+physically rewrites a referenced file.  DV for frequent selective
+deletes, COW for bulk -- Delta's rule of thumb.
+
 Concurrent writers are serialized optimistically: both stage, the
 first `os.rename` to claim a version number wins, the loser retries
 under the next number (bounded retries).  The pointer flip itself is
@@ -705,6 +717,97 @@ def _read_files(spark: SparkSession, table_dir: str, rel_files,
                       for f in st.fields])
 
 
+def _read_files_with_pos(spark: SparkSession, table_dir: str,
+                         rel_files, st) -> DataFrame:
+    """:func:`_read_files` plus the scan-generated row identity:
+    ``__dv_file`` (= ``_metadata.file_path``) and ``__dv_pos``
+    (= ``_metadata.row_index``) -- the coordinates deletion vectors
+    anti-filter on.  One projection straight off the scan (the
+    ``_metadata`` struct is only reachable there)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    paths = [os.path.join(table_dir, f) for f in rel_files]
+    meta = [F.col("_metadata.file_path").alias("__dv_file"),
+            F.col("_metadata.row_index").alias("__dv_pos")]
+    if st is None:
+        df = spark.read.parquet(*paths)
+        return df.select([F.col(c) for c in df.columns] + meta)
+    pmap = _physical_map(st)
+    phys_st = StructType([
+        StructField(pmap.get(f.name, f.name), f.dataType, True)
+        for f in st.fields])
+    df = spark.read.schema(phys_st).parquet(*paths)
+    return df.select(
+        [F.col(pmap.get(f.name, f.name)).alias(f.name)
+         for f in st.fields] + meta)
+
+
+def _read_files_dv(spark: SparkSession, table_dir: str, n: int,
+                   rel_files, st,
+                   dvs: dict[str, tuple[str, int]] | None = None
+                   ) -> DataFrame:
+    """THE version-aware file reader: :func:`_read_files`, minus the
+    rows version ``n``'s deletion vectors mark deleted.  Files
+    without a DV take the plain scan; dv-bearing files scan with row
+    identity and LEFT ANTI join the deleted (file, position) pairs --
+    broadcast below ``_DV_BROADCAST_ROWS`` (a deletion vector is
+    control-plane sized by contract: a delete touching a large
+    fraction of the table should be :func:`delete_keys_version`'s
+    copy-on-write rewrite instead)."""
+    dvs = _read_dvs(table_dir, n) if dvs is None else dvs
+    files = list(rel_files)
+    hit = [f for f in files if f in dvs]
+    if not hit:
+        return _read_files(spark, table_dir, files, st)
+    from pyspark.sql import functions as F
+
+    clean = [f for f in files if f not in dvs]
+    masked = _apply_dv(
+        spark, table_dir,
+        _read_files_with_pos(spark, table_dir, hit, st),
+        {f: dvs[f] for f in hit})
+    if not clean:
+        return masked
+    return _read_files(spark, table_dir, clean, st).unionByName(masked)
+
+
+_DV_BROADCAST_ROWS = 4_000_000
+
+
+def _apply_dv(spark: SparkSession, table_dir: str,
+              df_with_pos: DataFrame,
+              dvs: dict[str, tuple[str, int]]) -> DataFrame:
+    """Anti-filter ``df_with_pos`` (a ``_read_files_with_pos`` frame)
+    against the given deletion vectors and drop the row-identity
+    columns.  The (suffix-key, position) pairs frame is built
+    driver-side through Arrow (positions are control-plane sized;
+    manifest-recorded counts pick broadcast vs shuffle without
+    decoding first)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    keys, poss = [], []
+    for f, (dv_rel, _cnt) in sorted(dvs.items()):
+        sfx = _dv_suffix(f)
+        for p in _dv_positions(table_dir, dv_rel):
+            keys.append(sfx)
+            poss.append(p)
+    if not keys:  # all-empty vectors: nothing to filter
+        return df_with_pos.drop("__dv_file", "__dv_pos")
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"__dv_key": pd.Series(keys, dtype="object"),
+                      "__dv_pos": pd.Series(poss, dtype="int64")}))
+    total = sum(cnt for _d, cnt in dvs.values())
+    if total <= _DV_BROADCAST_ROWS:
+        pairs = F.broadcast(pairs)
+    out = (df_with_pos
+           .withColumn("__dv_key", F.regexp_extract(
+               "__dv_file", r"(v_\d{8}/[^/]+)$", 1))
+           .join(pairs, ["__dv_key", "__dv_pos"], "left_anti"))
+    return out.drop("__dv_file", "__dv_pos", "__dv_key")
+
+
 def _resolve_commit_schema(base, batch, merge_schema: bool,
                            table_dir: str):
     """The schema the new version commits with.  Enforcement
@@ -890,6 +993,80 @@ _ROWS_PREFIX = "#rows "
 # compactions from the neighbouring segments instead of proving the
 # empty diff with two full scans
 _BASE_PREFIX = "#base "
+# deletion vectors (the Delta DV / merge-on-read delete shape): a
+# "#dv {f, d, n}" line marks `n` rows of data file `f` as deleted,
+# their file-relative row indices stored in sidecar `d` (committed
+# inside the deleting version's dir, immutable like data files).
+# Readers anti-filter on (file, _metadata.row_index); rowmeta "n"
+# stays the PHYSICAL rowcount and every metadata tier subtracts or
+# falls back to a scan for dv-bearing files.  At most one #dv line
+# per file per manifest (deletes merge at commit time).
+_DV_PREFIX = "#dv "
+_DV_MAGIC = b"DV1\x00"
+
+
+def _encode_dv(positions) -> bytes:
+    """Sidecar bytes for a sorted iterable of file-relative row
+    indices: magic + zlib of little-endian int64s.  Positions are
+    de-duplicated and sorted (set semantics)."""
+    import zlib
+    from array import array
+
+    arr = array("q", sorted(set(int(p) for p in positions)))
+    return _DV_MAGIC + zlib.compress(arr.tobytes())
+
+
+def _decode_dv(data: bytes) -> list[int]:
+    import zlib
+    from array import array
+
+    if not data.startswith(_DV_MAGIC):
+        raise ValueError("not a DV sidecar (bad magic)")
+    arr = array("q")
+    arr.frombytes(zlib.decompress(data[len(_DV_MAGIC):]))
+    return list(arr)
+
+
+def _read_dvs(table_dir: str, n: int) -> dict[str, tuple[str, int]]:
+    """data relpath -> (dv sidecar relpath, deleted count) recorded
+    in ``v_n``'s manifest (empty for snapshots / dv-less versions)."""
+    import json
+
+    p = os.path.join(table_dir, f"v_{n:08d}", _MANIFEST)
+    try:
+        with open(p, encoding="ascii") as fh:
+            raw = fh.read()
+    except OSError:
+        return {}
+    out: dict[str, tuple[str, int]] = {}
+    for line in raw.splitlines():
+        if line.startswith(_DV_PREFIX):
+            rec = json.loads(line[len(_DV_PREFIX):])
+            out[rec["f"]] = (rec["d"], int(rec["n"]))
+    return out
+
+
+def _dv_positions(table_dir: str, dv_rel: str) -> list[int]:
+    with open(os.path.join(table_dir, dv_rel), "rb") as fh:
+        return _decode_dv(fh.read())
+
+
+def _dv_lines(dvs: dict[str, tuple[str, int]]) -> list[str]:
+    import json
+
+    return [_DV_PREFIX + json.dumps(
+                {"f": f, "d": d, "n": n}, sort_keys=True)
+            for f, (d, n) in sorted(dvs.items())]
+
+
+def _dv_suffix(rel_or_path: str) -> str:
+    """The trailing ``v_NNNNNNNN/<name>`` of a data file reference --
+    the join key between scan-side ``_metadata.file_path`` (absolute
+    URI) and manifest-relative refs (including a shallow clone's
+    ``../``-external ones).  Uniqueness rides on uuid part names,
+    the same reliance deep_clone documents."""
+    m = re.search(r"(v_\d{8}/[^/]+)$", rel_or_path)
+    return m.group(1) if m else rel_or_path
 
 
 def _file_rowmeta(path: str, columns) -> dict:
@@ -940,6 +1117,7 @@ def table_rowcount(table_dir: str, n: int | None = None,
             raise FileNotFoundError(
                 f"{table_dir} has no committed version (_CURRENT missing)")
     rowmeta = _read_rowmeta(table_dir, n)
+    dvs = _read_dvs(table_dir, n)
     total = 0
     for f in _data_files(table_dir, n):
         rec = rowmeta.get(f)
@@ -948,6 +1126,11 @@ def table_rowcount(table_dir: str, n: int | None = None,
         else:
             total += _file_rowmeta(
                 os.path.join(table_dir, f), ())["n"]
+        if f in dvs:
+            # rowmeta "n" is the PHYSICAL count; the manifest's
+            # deletion-vector line records how many of them are
+            # logically gone -- still zero data I/O
+            total -= dvs[f][1]
     return total
 
 
@@ -974,7 +1157,7 @@ def count_where(spark: SparkSession, table_dir: str, col: str,
     if not boundary:
         return meta_rows
     st = table_schema(table_dir, n)
-    df = _read_files(spark, table_dir, boundary, st)
+    df = _read_files_dv(spark, table_dir, n, boundary, st)
     df = _apply_range(df, col, lo, hi)
     if lo is None and hi is None:
         df = df.filter(df[col].isNotNull())
@@ -988,6 +1171,7 @@ def _count_where_plan(table_dir: str, n: int, col: str,
     can pin that a sorted table's boundary set is O(endpoints)."""
     stats = _read_stats(table_dir, n)
     rowmeta = _read_rowmeta(table_dir, n)
+    dvs = _read_dvs(table_dir, n)
     meta_rows = 0
     boundary: list[str] = []
     for f in _data_files(table_dir, n):
@@ -995,11 +1179,17 @@ def _count_where_plan(table_dir: str, n: int, col: str,
         rec = rowmeta.get(f)
         if s is not None and ((hi is not None and s[0] > hi)
                               or (lo is not None and s[1] < lo)):
-            continue  # provably outside
+            continue  # provably outside (dv rows are a subset:
+            #           removing rows cannot bring the file INTO
+            #           range, so dv-bearing exclusion stays valid)
         inside = (s is not None
                   and (lo is None or s[0] >= lo)
                   and (hi is None or s[1] <= hi))
-        if inside and rec is not None and col in rec["nn"]:
+        if (inside and rec is not None and col in rec["nn"]
+                and f not in dvs):
+            # a deletion vector makes the interior count unanswerable
+            # from metadata (which surviving rows are in range is
+            # unknown) -- the file joins the scanned boundary set
             meta_rows += rec["n"] - rec["nn"][col]
         else:
             boundary.append(f)
@@ -1036,11 +1226,17 @@ def _null_count_plan(table_dir: str, n: int,
     PHYSICAL column.  ``st``: the version's pinned schema when the
     caller already holds it (skips a re-parse)."""
     rowmeta = _read_rowmeta(table_dir, n)
+    dvs = _read_dvs(table_dir, n)
     phys = _physical_name(
         st if st is not None else table_schema(table_dir, n), col)
     meta_nulls = 0
     scan: list[str] = []
     for f in _data_files(table_dir, n):
+        if f in dvs:
+            # how many of the file's nulls the deletion vector
+            # removed is unknowable from metadata -- scan it
+            scan.append(f)
+            continue
         rec = rowmeta.get(f)
         if rec is not None and col in rec["nn"]:
             meta_nulls += rec["nn"][col]
@@ -1080,7 +1276,7 @@ def count_nulls(spark: SparkSession, table_dir: str, col: str,
     meta_nulls, scan = _null_count_plan(table_dir, n, col, st=st)
     if not scan:
         return meta_nulls
-    df = _read_files(spark, table_dir, scan, st)
+    df = _read_files_dv(spark, table_dir, n, scan, st)
     return meta_nulls + df.filter(df[col].isNull()).count()
 
 
@@ -1104,11 +1300,18 @@ def _minmax_plan(table_dir: str, n: int,
     predating an evolved column, which contribute nothing anyway)
     lands in the scan set."""
     stats = _read_stats(table_dir, n)
+    dvs = _read_dvs(table_dir, n)
     phys = _physical_name(
         st if st is not None else table_schema(table_dir, n), col)
     lo = hi = None
     scan: list[str] = []
     for f in _data_files(table_dir, n):
+        if f in dvs:
+            # the recorded extremum may be a deleted row -- exactness
+            # needs the scan (pruning elsewhere still uses the
+            # conservative recorded range)
+            scan.append(f)
+            continue
         s = stats.get(f, {}).get(col)
         if s is None:
             s = _file_meta(os.path.join(table_dir, f),
@@ -1182,7 +1385,7 @@ def column_range(spark: SparkSession, table_dir: str, col: str,
     if scan:
         from pyspark.sql import functions as F
 
-        row = (_read_files(spark, table_dir, scan, st)
+        row = (_read_files_dv(spark, table_dir, n, scan, st)
                .agg(F.min(col), F.max(col)).first())
         if row[0] is not None:
             lo = row[0] if lo is None or row[0] < lo else lo
@@ -1238,7 +1441,7 @@ def read_where_all(spark: SparkSession, table_dir: str,
             for col, (lo, hi) in predicates.items():
                 df = _apply_range(df, col, lo, hi)
             return df
-    df = _read_files(spark, table_dir, files, st)
+    df = _read_files_dv(spark, table_dir, n, files, st)
     for col, (lo, hi) in predicates.items():
         df = _apply_range(df, col, lo, hi)
     return df
@@ -1464,7 +1667,7 @@ def compact_where(spark: SparkSession, table_dir: str, col: str,
     cand, _total = pruned_files(table_dir, base, col, lo=lo, hi=hi)
     if not cand:
         return None
-    df = _read_files(spark, table_dir, cand, st)
+    df = _read_files_dv(spark, table_dir, base, cand, st)
     total = sum(os.path.getsize(os.path.join(table_dir, f))
                 for f in cand
                 if os.path.exists(os.path.join(table_dir, f)))
@@ -1722,8 +1925,11 @@ def merge_version(spark: SparkSession, table_dir: str,
     if touched:
         # no distinct on the anti-join's right side: left_anti is
         # insensitive to duplicates there, and the distinct's shuffle
-        # is pure overhead on a small update
-        survivors = (_read_files(spark, table_dir, touched, st)
+        # is pure overhead on a small update.  DV-aware read: a
+        # touched file's deletion-vector rows must not resurface in
+        # its rewrite (the rewrite sheds the vector with the file)
+        survivors = (_read_files_dv(spark, table_dir, base, touched,
+                                    st)
                      .join(match_keys, key, "left_anti"))
     else:
         survivors = None
@@ -1759,6 +1965,158 @@ def delete_keys_version(spark: SparkSession, table_dir: str,
                          backend=backend)
 
 
+def _dv_delete_commit(spark: SparkSession, table_dir: str,
+                      matched: DataFrame, candidates: list[str],
+                      base: int, op_name: str, txn: str | None,
+                      backend: CommitBackend) -> int | None:
+    """Shared tail of the deletion-vector delete ops: ``matched`` is
+    a (``__dv_file``, ``__dv_pos``) frame of the rows to mark
+    deleted within ``candidates`` (stats-pruned file list).  Collects
+    the positions (a delete request is control-plane sized by
+    contract -- a delete touching a large fraction of the table
+    should be the copy-on-write rewrite), merges them with the
+    base's existing vectors, and commits a metadata-only version
+    whose sidecars hold the unions.  Returns the new version, or
+    None when nothing new matched."""
+    from pyspark.sql import functions as F
+
+    hits = (matched
+            .select(F.regexp_extract("__dv_file",
+                                     r"(v_\d{8}/[^/]+)$", 1)
+                    .alias("__k"), "__dv_pos")
+            .collect())
+    sfx_to_rel = {_dv_suffix(f): f for f in candidates}
+    by_rel: dict[str, set[int]] = {}
+    for r in hits:
+        rel = sfx_to_rel.get(r["__k"])
+        if rel is None:
+            raise RuntimeError(
+                f"{op_name}: scan returned a file outside the "
+                f"candidate set ({r['__k']})")
+        by_rel.setdefault(rel, set()).add(int(r["__dv_pos"]))
+    dvs = _read_dvs(table_dir, base)
+    staged_meta: dict[str, tuple[str, int]] = {}
+    stage_files: dict[str, bytes] = {}
+    import uuid
+
+    for rel, new_pos in sorted(by_rel.items()):
+        merged = set(new_pos)
+        if rel in dvs:
+            merged |= set(_dv_positions(table_dir, dvs[rel][0]))
+        if rel in dvs and len(merged) == dvs[rel][1]:
+            continue  # nothing new for this file (idempotent replay)
+        name = f"dv-{uuid.uuid4().hex}.dv"
+        stage_files[name] = _encode_dv(merged)
+        staged_meta[rel] = (name, len(merged))
+    if not staged_meta:
+        return None  # every match was already deleted
+    inherited = _data_files(table_dir, base)
+    stats = _read_stats(table_dir, base)
+    rowmeta = _read_rowmeta(table_dir, base)
+    txns = _txns(table_dir, base)
+    if txn is not None:
+        txns = txns | {txn}
+
+    def lines_fn(vname: str) -> list[str]:
+        out_dvs = {f: d for f, d in dvs.items()
+                   if f not in staged_meta}
+        for rel, (name, cnt) in staged_meta.items():
+            out_dvs[rel] = (f"{vname}/{name}", cnt)
+        return ([_TXN_PREFIX + t for t in sorted(txns)]
+                + _stats_lines(stats) + _rows_lines(rowmeta)
+                + _dv_lines(out_dvs) + inherited)
+
+    st = table_schema(table_dir, base)
+    if st is None:  # legacy base: pin once, like the other DDL ops
+        st = _read_resolved(spark, table_dir, base).schema
+    return _metadata_only_commit(
+        table_dir, base, st, [], op_name, backend,
+        stage_files=stage_files, lines_fn=lines_fn)
+
+
+def delete_keys_dv(spark: SparkSession, table_dir: str,
+                   keys: DataFrame, key: str, txn: str | None = None,
+                   backend: CommitBackend | None = None) -> int | None:
+    """MERGE-ON-READ delete (the Delta deletion-vector shape): mark
+    every row whose ``key`` appears in ``keys`` as deleted by
+    committing per-file position sidecars -- NO data file is read
+    back, rewritten or copied, however large the table; only the
+    stats-pruned candidate files are scanned once to locate the
+    matched row positions.  The dual of
+    :func:`delete_keys_version` (copy-on-write): COW pays a file
+    rewrite per touched file at write time and nothing at read time;
+    a DV pays one tiny sidecar at write time and a broadcast
+    anti-join on the dv-bearing files at read time, until a
+    compaction (:func:`compact_table` or :func:`maybe_compact`)
+    materializes the vectors away.  Delta's rule of thumb applies:
+    DVs for frequent selective deletes, COW for bulk deletes.
+
+    NOT erasure: the deleted rows' bytes remain in the files and the
+    rows stay visible to time travel before the delete --
+    GDPR-grade removal is :func:`~.purge.purge_keys_history` (which
+    understands and remaps deletion vectors).
+
+    ``txn``: idempotence marker with :func:`append_version`
+    semantics (a replayed delete with a visible marker no-ops).
+    Returns the committed version, or None when nothing (new)
+    matched.  Pinned to the current version: a commit landing
+    mid-delete raises :class:`VersionConflictError`."""
+    backend = backend or _DEFAULT_BACKEND
+    base = current_version(table_dir, backend=backend)
+    if base is None:
+        raise FileNotFoundError(
+            f"{table_dir} has no committed version")
+    if txn is not None and txn in _txns(table_dir, base):
+        return base  # replayed transaction -- already applied
+    match_keys = keys.select(key)
+    touched, _total = _touched_files(spark, table_dir, base,
+                                     match_keys, key)
+    if not touched:
+        return None
+    st = table_schema(table_dir, base)
+    scan = _read_files_with_pos(spark, table_dir, touched, st)
+    matched = scan.join(match_keys, key, "left_semi") \
+                  .select("__dv_file", "__dv_pos")
+    return _dv_delete_commit(spark, table_dir, matched, touched,
+                             base, "delete_keys_dv", txn, backend)
+
+
+def delete_where_dv(spark: SparkSession, table_dir: str, col: str,
+                    lo=None, hi=None, txn: str | None = None,
+                    backend: CommitBackend | None = None
+                    ) -> int | None:
+    """Predicate form of :func:`delete_keys_dv`: mark every row with
+    ``lo <= col <= hi`` deleted via deletion vectors.  File
+    candidates come from the recorded min/max stats
+    (:func:`pruned_files`); only those are scanned to locate
+    positions.  Same contracts as the keyed form."""
+    from pyspark.sql import functions as F
+
+    if lo is None and hi is None:
+        raise ValueError("delete_where_dv needs lo and/or hi (an "
+                         "unbounded delete is compact/truncate work)")
+    backend = backend or _DEFAULT_BACKEND
+    base = current_version(table_dir, backend=backend)
+    if base is None:
+        raise FileNotFoundError(
+            f"{table_dir} has no committed version")
+    if txn is not None and txn in _txns(table_dir, base):
+        return base
+    cand, _total = pruned_files(table_dir, base, col, lo=lo, hi=hi)
+    if not cand:
+        return None
+    st = table_schema(table_dir, base)
+    scan = _read_files_with_pos(spark, table_dir, cand, st)
+    pred = F.lit(True)
+    if lo is not None:
+        pred = pred & (F.col(col) >= F.lit(lo))
+    if hi is not None:
+        pred = pred & (F.col(col) <= F.lit(hi))
+    matched = scan.filter(pred).select("__dv_file", "__dv_pos")
+    return _dv_delete_commit(spark, table_dir, matched, cand,
+                             base, "delete_where_dv", txn, backend)
+
+
 def drop_columns(spark: SparkSession, table_dir: str, cols,
                  backend: CommitBackend | None = None) -> int:
     """ZERO-COPY column drop (the Iceberg ``ALTER TABLE DROP COLUMN``
@@ -1789,7 +2147,7 @@ def drop_columns(spark: SparkSession, table_dir: str, cols,
     Concurrency: pinned to the current version like compaction's --
     a commit landing mid-drop raises :class:`VersionConflictError`
     (our manifest is a copy of that exact base); re-run."""
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import StructField, StructType
 
     backend = backend or _DEFAULT_BACKEND
     drop = {cols} if isinstance(cols, str) else set(cols)
@@ -1826,6 +2184,19 @@ def drop_columns(spark: SparkSession, table_dir: str, cols,
     if not keep_fields:
         raise ValueError(
             f"drop_columns would leave {table_dir} with no columns")
+    if _is_mapped(st):
+        # the mapped marker must survive even when the dropped column
+        # was the ONLY pinned field (a table renamed before identity
+        # stamping existed): stamp every kept field explicitly, or a
+        # later re-add of the dropped name would bind the old files'
+        # physical bytes (review r12d-3, closing r12c-1 for legacy
+        # mapped tables too)
+        keep_fields = [
+            StructField(f.name, f.dataType, True,
+                        {**(f.metadata or {}),
+                         _PHYSICAL_KEY: (f.metadata or {}).get(
+                             _PHYSICAL_KEY, f.name)})
+            for f in keep_fields]
     new_schema = StructType(keep_fields)
     inherited = _data_files(table_dir, base)
     txns = _txns(table_dir, base)
@@ -1839,6 +2210,7 @@ def drop_columns(spark: SparkSession, table_dir: str, cols,
     lines = ([_TXN_PREFIX + t for t in sorted(txns)]
              + [f"{_BASE_PREFIX}{base}"]
              + _stats_lines(stats) + _rows_lines(rowmeta)
+             + _dv_lines(_read_dvs(table_dir, base))
              + inherited)
     return _metadata_only_commit(table_dir, base, new_schema, lines,
                                  "drop_columns", backend)
@@ -1944,25 +2316,125 @@ def rename_column(spark: SparkSession, table_dir: str, old: str,
     lines = ([_TXN_PREFIX + t for t in sorted(txns)]
              + [f"{_BASE_PREFIX}{base}"]
              + _stats_lines(stats) + _rows_lines(rowmeta)
+             + _dv_lines(_read_dvs(table_dir, base))
              + inherited)
     return _metadata_only_commit(table_dir, base, new_schema, lines,
                                  "rename_column", backend)
 
 
+# parquet-upcast-safe widenings: Spark's vectorized reader (and
+# pyarrow's cast, which the DataSource face uses) read the narrow
+# physical type under the wider pinned schema natively -- verified
+# against Spark 4.1 in tests/test_type_widening.py.  Anything else
+# (narrowing, numeric->string, int->float reinterpretations beyond
+# these) is NOT a metadata operation: rewrite via write_version.
+_WIDENINGS = {
+    "byte": ("short", "integer", "long"),
+    "short": ("integer", "long"),
+    "integer": ("long",),
+    "float": ("double",),
+}
+
+
+def widen_column_type(spark: SparkSession, table_dir: str, col: str,
+                      new_type,
+                      backend: CommitBackend | None = None) -> int:
+    """ZERO-COPY type widening (the Delta ``ALTER TABLE ... ALTER
+    COLUMN ... TYPE`` shape, restricted to parquet-upcast-safe
+    pairs): commit a new version whose manifest inherits every data
+    file BY REFERENCE and whose pinned schema carries ``col`` under
+    the wider type -- no file is read or rewritten; readers upcast
+    the narrow physical columns in the scan (int32 under a bigint
+    schema, float under double), and files written AFTER the widening
+    carry the wide type natively (schema enforcement demands it).
+    Allowed: byte -> short/int/long, short -> int/long, int -> long,
+    float -> double.  Values never change, so the commit is
+    row-identical (``#base``): the change feed plans it to nothing,
+    and stats/rowmeta/deletion-vector lines carry verbatim (JSON
+    numbers are width-agnostic).  Earlier versions keep THEIR
+    schemas: time travel before the widening shows the narrow type.
+
+    ``new_type``: a Spark ``DataType`` or its ``typeName()`` string
+    (``"long"``, ``"double"``, ...).  Raises :class:`ValueError` for
+    a non-widening change.  Pinned to the current version
+    (:class:`VersionConflictError` on a racing commit)."""
+    from pyspark.sql import types as T
+
+    backend = backend or _DEFAULT_BACKEND
+    by_name = {"byte": T.ByteType(), "short": T.ShortType(),
+               "integer": T.IntegerType(), "int": T.IntegerType(),
+               "long": T.LongType(), "bigint": T.LongType(),
+               "float": T.FloatType(), "double": T.DoubleType()}
+    if isinstance(new_type, str):
+        if new_type.lower() not in by_name:
+            raise ValueError(
+                f"widen_column_type: unknown target type "
+                f"{new_type!r} (one of {sorted(by_name)})")
+        new_type = by_name[new_type.lower()]
+    base = current_version(table_dir, backend=backend)
+    if base is None:
+        raise FileNotFoundError(
+            f"{table_dir} has no committed version")
+    st = table_schema(table_dir, base)
+    if st is None:  # legacy/snapshot base: pin from its parquet once
+        st = _read_resolved(spark, table_dir, base).schema
+    if col not in st.fieldNames():
+        raise ValueError(
+            f"widen_column_type on {table_dir}: {col!r} not in the "
+            f"current schema {st.fieldNames()}")
+    cur_kind = st[col].dataType.typeName()
+    new_kind = new_type.typeName()
+    if new_kind == cur_kind:
+        return base  # already that type: no-op
+    if new_kind not in _WIDENINGS.get(cur_kind, ()):
+        raise ValueError(
+            f"widen_column_type on {table_dir}: {cur_kind} -> "
+            f"{new_kind} is not a parquet-upcast-safe widening "
+            f"({_WIDENINGS.get(cur_kind, ())}); a general type "
+            f"change needs a write_version snapshot rewrite")
+    from pyspark.sql.types import StructField, StructType
+
+    new_schema = StructType([
+        StructField(f.name, new_type if f.name == col else f.dataType,
+                    True, f.metadata)
+        for f in st.fields])
+    inherited = _data_files(table_dir, base)
+    lines = ([_TXN_PREFIX + t for t in sorted(_txns(table_dir, base))]
+             + [f"{_BASE_PREFIX}{base}"]
+             + _stats_lines(_read_stats(table_dir, base))
+             + _rows_lines(_read_rowmeta(table_dir, base))
+             + _dv_lines(_read_dvs(table_dir, base))
+             + inherited)
+    return _metadata_only_commit(table_dir, base, new_schema, lines,
+                                 "widen_column_type", backend)
+
+
 def _metadata_only_commit(table_dir: str, pinned_base: int,
                           schema, lines: list[str], op_name: str,
-                          backend: CommitBackend) -> int:
+                          backend: CommitBackend,
+                          stage_files: dict[str, bytes] | None = None,
+                          lines_fn=None) -> int:
     """Commit a version that holds NO data files of its own -- just a
     pinned schema and pre-built manifest lines (the DDL shape behind
-    :func:`drop_columns` and :func:`restore_table`).  Pinned to
-    ``pinned_base``: the lines are derived from that exact state, so
-    a commit landing in between raises
-    :class:`VersionConflictError`."""
+    :func:`drop_columns`, :func:`restore_table`,
+    :func:`rename_column` and the deletion-vector commits).  Pinned
+    to ``pinned_base``: the lines are derived from that exact state,
+    so a commit landing in between raises
+    :class:`VersionConflictError`.
+
+    ``stage_files``: small metadata payloads (DV sidecars) written
+    into the staged dir before the claim -- they travel with the
+    version dir through renumbering.  ``lines_fn(vname)``: manifest
+    lines that must reference the version's FINAL name (a renumbered
+    claim re-derives them); overrides ``lines`` when given."""
     import uuid
 
     staged = os.path.join(
         table_dir, f"{_STAGE_PREFIX}{os.getpid()}-{uuid.uuid4().hex}")
     os.makedirs(staged)
+    for name, payload in (stage_files or {}).items():
+        with open(os.path.join(staged, name), "wb") as fh:
+            fh.write(payload)
     claimed: str | None = None
     try:
         n = max(_versions(table_dir), default=0) + 1
@@ -1984,9 +2456,11 @@ def _metadata_only_commit(table_dir: str, pinned_base: int,
                     f"before its commit -- re-run")
             if schema is not None:
                 _write_schema_file(claimed, schema)
+            out_lines = lines_fn(f"v_{n:08d}") if lines_fn \
+                else lines
             with open(os.path.join(claimed, _MANIFEST), "w",
                       encoding="ascii") as fh:
-                fh.write("\n".join(lines) + "\n")
+                fh.write("\n".join(out_lines) + "\n")
             if backend.try_commit(table_dir,
                                   _next_pointer(raw, f"v_{n:08d}"),
                                   raw):
@@ -2049,6 +2523,7 @@ def restore_table(spark: SparkSession, table_dir: str, to_version: int,
               for t in sorted(_txns(table_dir, to_version))]
              + [f"{_BASE_PREFIX}{to_version}"]
              + _stats_lines(stats) + _rows_lines(rowmeta)
+             + _dv_lines(_read_dvs(table_dir, to_version))
              + _data_files(table_dir, to_version))
     return _metadata_only_commit(table_dir, cur, st, lines,
                                  "restore_table", backend)
@@ -2311,11 +2786,23 @@ def _commit_staged_dir(table_dir: str, staged: str, txn: str | None,
                 if track and fs:
                     stats[rel] = fs
                 rowmeta[rel] = rm
+            # deletion vectors ride the inheritance: an append/merge
+            # must carry the base's #dv lines for every file it
+            # inherits, or the deleted rows would resurface.
+            # Rewritten files (inherit_drop) shed their vectors with
+            # their data lines; a compaction (inherit_files=False)
+            # materializes them away by construction.
+            base_dvs = (_read_dvs(table_dir, cur)
+                        if cur is not None and inherit_files else {})
+            inh_set = set(inherited)
+            dv_carry = {f: d for f, d in base_dvs.items()
+                        if f in inh_set}
             lines = ([_TXN_PREFIX + t for t in sorted(txns)]
                      + ([f"{_BASE_PREFIX}{row_identical_base}"]
                         if row_identical_base is not None else [])
                      + _stats_lines(stats)
                      + _rows_lines(rowmeta)
+                     + _dv_lines(dv_carry)
                      + inherited + own)
             with open(os.path.join(claimed, _MANIFEST), "w",
                       encoding="ascii") as fh:
@@ -2350,7 +2837,7 @@ def _read_resolved(spark: SparkSession, table_dir: str, n: int) -> DataFrame:
         reader = spark.read.schema(st) if st is not None \
             else spark.read
         return reader.parquet(os.path.join(table_dir, f"v_{n:08d}"))
-    return _read_files(spark, table_dir, mf[0], st)
+    return _read_files_dv(spark, table_dir, n, mf[0], st)
 
 
 def read_current(spark: SparkSession, table_dir: str,
@@ -2408,6 +2895,62 @@ def read_version(spark: SparkSession, table_dir: str, n: int,
     return _read_resolved(spark, table_dir, n)
 
 
+def _dv_change_rows(spark: SparkSession, table_dir: str, st,
+                    from_dvs: dict, to_dvs: dict,
+                    files: list[str]) -> DataFrame:
+    """The change-feed rows of a deletion-vector-only delta: per
+    file, positions in ``to`` but not ``from`` emit as ``delete``,
+    positions in ``from`` but not ``to`` (a restore rewound past the
+    delete) as ``insert``.  Rows are fetched by (file, position)
+    semi-join against the affected files only, under the TO side's
+    schema (current logical names)."""
+    from pyspark.sql import functions as F
+
+    del_pairs: list[tuple[str, int]] = []
+    ins_pairs: list[tuple[str, int]] = []
+    affected: list[str] = []
+    for f in files:
+        a = set(_dv_positions(table_dir, from_dvs[f][0])) \
+            if f in from_dvs else set()
+        b = set(_dv_positions(table_dir, to_dvs[f][0])) \
+            if f in to_dvs else set()
+        if a == b:
+            continue
+        affected.append(f)
+        sfx = _dv_suffix(f)
+        del_pairs += [(sfx, p) for p in sorted(b - a)]
+        ins_pairs += [(sfx, p) for p in sorted(a - b)]
+    empty = (spark.createDataFrame([], st)
+             .withColumn("_change_type", F.lit("insert")))
+    if not affected:
+        return empty
+    scan = (_read_files_with_pos(spark, table_dir, affected, st)
+            .withColumn("__dv_key", F.regexp_extract(
+                "__dv_file", r"(v_\d{8}/[^/]+)$", 1)))
+    import pandas as pd
+
+    frames = []
+    for pairs, tag in ((del_pairs, "delete"), (ins_pairs, "insert")):
+        if not pairs:
+            continue
+        pdf = spark.createDataFrame(pd.DataFrame(
+            {"__dv_key": pd.Series([k for k, _ in pairs],
+                                   dtype="object"),
+             "__dv_pos": pd.Series([p for _, p in pairs],
+                                   dtype="int64")}))
+        frames.append(
+            scan.join(F.broadcast(pdf), ["__dv_key", "__dv_pos"],
+                      "left_semi")
+                .drop("__dv_file", "__dv_pos", "__dv_key")
+                .withColumn("_change_type", F.lit(tag)))
+    if not frames:
+        return empty
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
 def read_changes(spark: SparkSession, table_dir: str, from_n: int,
                  to_n: int | None = None,
                  backend: CommitBackend | None = None) -> DataFrame:
@@ -2448,13 +2991,33 @@ def read_changes(spark: SparkSession, table_dir: str, from_n: int,
         return base.withColumn("_change_type", F.lit("insert"))
     f_files = set(_data_files(table_dir, from_n))
     t_files = _data_files(table_dir, to_n)
-    if f_files <= set(t_files):
+    # deletion vectors change rows WITHOUT changing the file set, so
+    # every file-set-based tier must also compare the dv state of the
+    # COMMON files.  Equality by (sidecar rel, count) is exact:
+    # sidecars are immutable and carried verbatim through
+    # inheritance/DDL/restore; merged deletes always mint a new one.
+    from_dvs = _read_dvs(table_dir, from_n)
+    to_dvs = _read_dvs(table_dir, to_n)
+    common_dv_same = (
+        {f: from_dvs[f] for f in f_files if f in from_dvs}
+        == {f: to_dvs[f] for f in f_files if f in to_dvs})
+    if f_files <= set(t_files) and common_dv_same:
         added = [f for f in t_files if f not in f_files]
         if not added:
             return read_changes(spark, table_dir, to_n, to_n,
                                 backend=backend)
-        return (_read_files(spark, table_dir, added, to_schema)
+        return (_read_files_dv(spark, table_dir, to_n, added,
+                               to_schema)
                 .withColumn("_change_type", F.lit("insert")))
+    if f_files == set(t_files):
+        # dv-only delta: positions newly marked deleted are the
+        # deletes, positions unmarked (a restore) are the inserts --
+        # O(changed rows) position reads, never a two-sided diff
+        return _dv_change_rows(
+            spark, table_dir,
+            to_schema if to_schema is not None
+            else _read_resolved(spark, table_dir, to_n).schema,
+            from_dvs, to_dvs, sorted(f_files))
 
     # compaction-aware tier: a compaction in (from_n, to_n] is
     # row-identical to its recorded #base, so the delta splits into
@@ -2614,6 +3177,11 @@ def describe_table(table_dir: str,
         # non-identity logical -> physical pins (column mapping);
         # empty dict for identity-marked or unmapped tables
         "column_mapping": _physical_map(st) if st else {},
+        # deletion-vector load of the current version: files carrying
+        # a vector and total logically-deleted rows (metadata only)
+        "dv_files": len(_read_dvs(table_dir, cur)),
+        "dv_rows": sum(c for _d, c in
+                       _read_dvs(table_dir, cur).values()),
         "stats_columns": sorted({c for per in stats.values()
                                  for c in per}),
         "txns": len(_txns(table_dir, cur)),
@@ -2728,6 +3296,13 @@ def vacuum(table_dir: str, keep_last: int = 2,
             continue
         for rel in mf[0]:
             m = _VDIR_RE.match(rel.split("/", 1)[0])
+            if m:
+                keep.add(int(m.group(1)))
+        # deletion-vector sidecars are references into older version
+        # dirs exactly like data files -- a kept version's vectors
+        # must survive or its reads resurface the deleted rows
+        for _f, (d, _cnt) in _read_dvs(table_dir, n).items():
+            m = _VDIR_RE.match(d.split("/", 1)[0])
             if m:
                 keep.add(int(m.group(1)))
     for n in vs:

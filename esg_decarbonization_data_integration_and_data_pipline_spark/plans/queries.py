@@ -729,7 +729,7 @@ _DRIVER_HEAD = [
     # both documented in tools/grading_ledger.py).  Each rotated-out
     # query was driver-green >= 2 rounds and every SURVEY row keeps
     # a head representative -- see the r10 block in _DRIVER_TAIL.
-    "similarity_topk_batch", "vocab_top_tokens",
+    "similarity_topk_batch",
     "corpus_profile_by_source",
     # ---- round-12 (late) new capability: zero-copy column RENAME
     # via Delta-style column mapping (io/versioned.rename_column:
@@ -742,6 +742,14 @@ _DRIVER_HEAD = [
     # reps decontaminate_spans_docs + contamination_report_docs, and
     # the semantic tier stays oracle-replayed in-repo).
     "rename_column_audit",
+    # ---- round-12 (late) new capability: deletion vectors
+    # (merge-on-read deletes, the Delta DV shape: delete_keys_dv /
+    # delete_where_dv commit per-file row-position sidecars; readers
+    # anti-filter; compaction materializes; purge remaps positions).
+    # vocab_top_tokens rotates out for the slot (r10+r11 graded; A10
+    # keeps head rep pricing_summary, O3 keeps top_revenue_order, the
+    # vocab/token tier stays oracle-replayed in-repo).
+    "dv_delete_audit",
     # ---- round-12 new capability: filter pushdown through the
     # DataSource face (Spark-4.1 pushFilters: stats + bloom file
     # pruning, executor-side row pre-filter).  chunk_documents
@@ -1120,6 +1128,11 @@ _DRIVER_TAIL = [
     #       decontaminate_spans_docs + contamination_report_docs and
     #       the semantic tier stays oracle-replayed in-repo
     "decontaminate_embeddings_docs",
+    #   vocab_top_tokens (r10-r11) -> rotated out for the NEW
+    #       dv_delete_audit head slot (deletion vectors): A10 keeps
+    #       head rep pricing_summary, O3 keeps top_revenue_order, and
+    #       the vocab/token-count tier stays oracle-replayed in-repo
+    "vocab_top_tokens",
 ]
 _ORDERED = _DRIVER_HEAD + _DRIVER_TAIL
 assert set(_ORDERED) == set(REGISTRY) and len(_ORDERED) == len(REGISTRY), (

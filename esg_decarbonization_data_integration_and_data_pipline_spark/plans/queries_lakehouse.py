@@ -672,3 +672,83 @@ def rename_column_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version int, n_cols int, cols string, n_rows bigint, "
               "sum_price double, n_mid bigint")
+
+
+_DV_SURVIVOR = """o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0
+      AND o_totalprice NOT BETWEEN 900.0 AND 25000.0"""
+
+
+@register("dv_delete_audit", "ext:deletion-vectors,P3,A2", oracle=_VERS_CTE + """
+  UNION ALL SELECT 4, * FROM base
+    WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0
+  UNION ALL SELECT 5, * FROM base WHERE """ + _DV_SURVIVOR + """
+  UNION ALL SELECT 6, * FROM (
+    SELECT * FROM base WHERE """ + _DV_SURVIVOR + """
+    UNION ALL SELECT * FROM base
+      WHERE yr = 1997 AND o_orderkey % 7 = 0) t)
+SELECT version,
+       count(*) AS n_rows,
+       count(*) AS meta_rows,
+       round(sum(o_totalprice), 4) AS sum_price,
+       count(*) FILTER (WHERE o_orderkey % 11 = 0) AS n_key11
+FROM vers GROUP BY version
+""")
+def dv_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion vectors (Delta merge-on-read deletes;
+    io/versioned.delete_keys_dv / delete_where_dv), driver-gradable
+    end-to-end over a copy of the shared fixture.  v4 = a keyed DV
+    delete of every o_orderkey % 11 == 0: NO data file is read back
+    or rewritten -- the commit holds only per-file row-position
+    sidecars, and readers anti-filter on the scan's
+    (file, _metadata.row_index) identity.  v5 = a range DV delete
+    (o_totalprice in [900, 25000]) planned from the recorded min/max
+    stats.  v6 = an append AFTER the deletes (the fixture's
+    %7-deleted 1997 rows re-inserted), proving the vectors ride the
+    manifest inheritance.  Per version the result pins the scanned
+    rowcount, ``meta_rows`` = table_rowcount answered from MANIFEST
+    metadata alone (physical counts minus recorded vector sizes --
+    zero data I/O; both columns must agree with the oracle's
+    count(*)), the price sum over surviving rows, and the %11 count
+    (zero in v4/v5, non-zero again in v6's re-inserted keys).  The
+    oracle re-derives all six logical states from raw parquet.  At
+    100 TB the write cost of v4/v5 is sidecar-sized -- the COW dual
+    (delete_keys_version) would rewrite every touched file; the read
+    cost is one broadcast anti-join on dv-bearing files until a
+    compaction materializes the vectors.  Reference has no delete
+    tier at all (pandas truncate-and-reload, jobs/csr_etl.py:157)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        append_version,
+        delete_keys_dv,
+        delete_where_dv,
+        read_version,
+        table_rowcount,
+    )
+    from esg_decarbonization_data_integration_and_data_pipline_spark.tables import table
+
+    td = copy_fixture(orders_versioned_fixture(spark, sf_dir))
+    keys11 = (table(spark, sf_dir, "orders")
+              .filter(F.year("o_orderdate").isin(1997, 1998)
+                      & (F.col("o_orderkey") % 11 == 0))
+              .select("o_orderkey"))
+    delete_keys_dv(spark, td, keys11, "o_orderkey")
+    delete_where_dv(spark, td, "o_totalprice", lo=900.0, hi=25000.0)
+    reinsert = (table(spark, sf_dir, "orders")
+                .filter((F.year("o_orderdate") == 1997)
+                        & (F.col("o_orderkey") % 7 == 0))
+                .select("o_orderkey", "o_orderstatus", "o_totalprice",
+                        "o_orderpriority", "o_custkey",
+                        F.year("o_orderdate").cast("int").alias("yr")))
+    append_version(reinsert, td)
+    rows = []
+    for v in (1, 2, 3, 4, 5, 6):
+        df = read_version(spark, td, v)
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("s"),
+            F.count(F.when(F.col("o_orderkey") % 11 == 0, 1))
+             .alias("k11")).collect()[0]
+        rows.append((v, int(agg["n"]), int(table_rowcount(td, v)),
+                     float(agg["s"]), int(agg["k11"])))
+    return spark.createDataFrame(
+        rows, "version int, n_rows bigint, meta_rows bigint, "
+              "sum_price double, n_key11 bigint")

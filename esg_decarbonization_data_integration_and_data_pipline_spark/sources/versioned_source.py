@@ -56,7 +56,9 @@ Append commits emit their ADDED files' rows; a commit that REWROTE
 files (merge/delete/compaction) is not expressible as an append tail,
 so it raises by default -- set ``skipChangeCommits true`` to skip
 such commits entirely (rows arriving through them are never emitted),
-exactly Delta's streaming-source contract.  Partition planning is
+exactly Delta's streaming-source contract.  A deletion-vector delete
+(io.versioned.delete_keys_dv) counts as a rewrite here: the file set
+is unchanged but rows are gone.  Partition planning is
 deterministic from the immutable manifests, so checkpoint replays
 re-emit identical batches (exactly-once downstream with an
 idempotent/txn sink).  Retention caveat (also Delta's): vacuum must
@@ -102,7 +104,12 @@ consumer; any other rewrite plans executor-side multiset-diff
 partitions over its removed+added files (O(rewritten bytes) --
 commit-sized for keyed merges/deletes; a rewrite past 256 MiB shards
 into hash-bucketed partitions so even a full-table overwrite diffs
-with bounded per-task memory).  Rows are
+with bounded per-task memory).  Deletion vectors: every read face
+applies them executor-side (each partition carries its file's
+encoded sidecar; readers mask rows by file offset); a dv-only commit
+plans O(changed-rows) position partitions in the feed, and diff
+partitions carry per-side masks so a merge of a dv-bearing file
+never re-emits already-deleted rows as spurious deletes.  Rows are
 canonicalized in pinned-schema field order exactly like
 io.versioned.read_changes, including its map-column caveat.
 Semantics note: this face is PER-COMMIT (Delta's CDF -- a row
@@ -135,9 +142,13 @@ _COMMIT_VERSION = "_commit_version"
 
 
 class _FilePart(InputPartition):
-    def __init__(self, abs_path: str, arrow_schema_bytes: bytes):
+    def __init__(self, abs_path: str, arrow_schema_bytes: bytes,
+                 dv_bytes: bytes | None = None):
         self.abs_path = abs_path
         self.arrow_schema_bytes = arrow_schema_bytes
+        # encoded deletion-vector sidecar (io.versioned._encode_dv)
+        # for this file, or None -- decoded executor-side
+        self.dv_bytes = dv_bytes
 
 
 class _ChangeFilePart(InputPartition):
@@ -150,6 +161,60 @@ class _ChangeFilePart(InputPartition):
         self.arrow_schema_bytes = arrow_schema_bytes
         self.change_type = change_type
         self.version = version
+
+
+class _DvChangePart(InputPartition):
+    """One file's deletion-vector delta within one commit: rows at
+    positions newly marked deleted emit as ``delete``; positions
+    unmarked (a restore rewound past the delete) as ``insert``.
+    O(changed rows), no multiset diff."""
+
+    def __init__(self, abs_path: str, arrow_schema_bytes: bytes,
+                 version: int, del_pos: list, ins_pos: list):
+        self.abs_path = abs_path
+        self.arrow_schema_bytes = arrow_schema_bytes
+        self.version = version
+        self.del_pos = del_pos
+        self.ins_pos = ins_pos
+
+
+def _read_dv_change(part: "_DvChangePart"):
+    import bisect
+
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+    import pyarrow.parquet as pq
+
+    schema = ipc.read_schema(pa.BufferReader(part.arrow_schema_bytes))
+    phys = {f.name: _field_physical(f) for f in schema}
+    out_schema = _cdf_arrow_schema(part.arrow_schema_bytes)
+    pf = pq.ParquetFile(part.abs_path)
+    present = [phys[f.name] for f in schema
+               if phys[f.name] in pf.schema_arrow.names]
+    off = 0
+    for batch in pf.iter_batches(columns=present):
+        n = batch.num_rows
+        for positions, tag in ((part.del_pos, "delete"),
+                               (part.ins_pos, "insert")):
+            i = bisect.bisect_left(positions, off)
+            j = bisect.bisect_left(positions, off + n)
+            if i == j:
+                continue
+            taken = batch.take(
+                pa.array([p - off for p in positions[i:j]],
+                         pa.int64()))
+            m = taken.num_rows
+            cols = []
+            for f in schema:
+                if phys[f.name] in taken.schema.names:
+                    cols.append(taken.column(phys[f.name])
+                                .cast(f.type))
+                else:
+                    cols.append(pa.nulls(m, type=f.type))
+            yield _with_change_cols(
+                pa.RecordBatch.from_arrays(cols, schema=schema),
+                out_schema, tag, part.version)
+        off += n
 
 
 class _ChangeDiffPart(InputPartition):
@@ -167,13 +232,21 @@ class _ChangeDiffPart(InputPartition):
 
     def __init__(self, removed_abs: list[str], added_abs: list[str],
                  arrow_schema_bytes: bytes, version: int,
-                 bucket: int = 0, n_buckets: int = 1):
+                 bucket: int = 0, n_buckets: int = 1,
+                 removed_dv: dict | None = None,
+                 added_dv: dict | None = None):
         self.removed_abs = removed_abs
         self.added_abs = added_abs
         self.arrow_schema_bytes = arrow_schema_bytes
         self.version = version
         self.bucket = bucket
         self.n_buckets = n_buckets
+        # {abs_path: encoded dv sidecar} per side: each side's rows
+        # must be its LOGICAL rows (deletion-vector-filtered), or a
+        # rewrite of a dv-bearing file re-emits already-deleted rows
+        # as spurious deletes
+        self.removed_dv = removed_dv or {}
+        self.added_dv = added_dv or {}
 
 
 def _field_physical(f) -> str:
@@ -185,7 +258,26 @@ def _field_physical(f) -> str:
     return phys.decode("utf-8") if phys is not None else f.name
 
 
-def _read_aligned(abs_path: str, arrow_schema_bytes: bytes):
+def _dv_local_mask(positions, off: int, n: int):
+    """Boolean keep-mask for a batch spanning file rows
+    [off, off+n) given the file's sorted deleted positions, or None
+    when nothing in range."""
+    import bisect
+
+    i = bisect.bisect_left(positions, off)
+    j = bisect.bisect_left(positions, off + n)
+    if i == j:
+        return None
+    import numpy as np
+
+    mask = np.ones(n, dtype=bool)
+    for p in positions[i:j]:
+        mask[p - off] = False
+    return mask
+
+
+def _read_aligned(abs_path: str, arrow_schema_bytes: bytes,
+                  dv_bytes: bytes | None = None):
     """Executor-side: stream one parquet file as RecordBatches
     aligned to the pinned schema (missing columns -> NULL, extras
     dropped, order fixed).  Files speak PHYSICAL column names; each
@@ -198,18 +290,47 @@ def _read_aligned(abs_path: str, arrow_schema_bytes: bytes):
 
     schema = ipc.read_schema(pa.BufferReader(arrow_schema_bytes))
     phys = {f.name: _field_physical(f) for f in schema}
+    positions = None
+    if dv_bytes is not None:
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import _decode_dv
+
+        positions = _decode_dv(dv_bytes)
     pf = pq.ParquetFile(abs_path)
     present = [phys[f.name] for f in schema
                if phys[f.name] in pf.schema_arrow.names]
+    off = 0
     for batch in pf.iter_batches(columns=present):
         n = batch.num_rows
+        if positions is not None:
+            mask = _dv_local_mask(positions, off, n)
+            off += n
+            if mask is not None:
+                batch = batch.filter(pa.array(mask))
+                if batch.num_rows == 0:
+                    continue
+        else:
+            off += n
+        m = batch.num_rows
         cols = []
         for f in schema:
             if phys[f.name] in batch.schema.names:
                 cols.append(batch.column(phys[f.name]).cast(f.type))
             else:
-                cols.append(pa.nulls(n, type=f.type))
+                cols.append(pa.nulls(m, type=f.type))
         yield pa.RecordBatch.from_arrays(cols, schema=schema)
+
+
+def _dv_payloads(path: str, n: int) -> dict:
+    """data relpath -> ENCODED dv sidecar bytes for version ``n``
+    (empty dict when the version has no deletion vectors).  The
+    compressed sidecar travels in the partition; executors decode."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import _read_dvs
+
+    out = {}
+    for f, (d, _cnt) in _read_dvs(path, n).items():
+        with open(os.path.join(path, d), "rb") as fh:
+            out[f] = fh.read()
+    return out
 
 
 def _cdf_arrow_schema(arrow_schema_bytes: bytes):
@@ -262,11 +383,12 @@ def _read_change_diff(part: "_ChangeDiffPart"):
     out_schema = _cdf_arrow_schema(part.arrow_schema_bytes)
     nb, mine = part.n_buckets, part.bucket
 
-    def side(paths):
+    def side(paths, dv):
         cnt: Counter = Counter()
         rep: dict = {}
         for p in paths:
-            for batch in _read_aligned(p, part.arrow_schema_bytes):
+            for batch in _read_aligned(p, part.arrow_schema_bytes,
+                                       dv.get(p)):
                 for row in batch.to_pylist():
                     k = json.dumps([row.get(f) for f in names],
                                    default=str, ensure_ascii=False)
@@ -279,8 +401,10 @@ def _read_change_diff(part: "_ChangeDiffPart"):
                         rep[k] = row
         return cnt, rep
 
-    rem_cnt, rem_rep = side(part.removed_abs)
-    add_cnt, add_rep = side(part.added_abs)
+    rem_cnt, rem_rep = side(part.removed_abs,
+                            getattr(part, "removed_dv", {}))
+    add_cnt, add_rep = side(part.added_abs,
+                            getattr(part, "added_dv", {}))
     for change_type, mine, other, rep in (
             ("delete", rem_cnt, add_cnt, rem_rep),
             ("insert", add_cnt, rem_cnt, add_rep)):
@@ -304,6 +428,8 @@ def _read_change_part(part):
         return
     if isinstance(part, _ChangeDiffPart):
         yield from _read_change_diff(part)
+    elif isinstance(part, _DvChangePart):
+        yield from _read_dv_change(part)
     else:
         yield from _read_change_file(part)
 
@@ -320,12 +446,13 @@ def _walk_commit_diffs(path: str, s: int, e: int, snapshot: bool,
     means "everything is new"; at a LAGGING checkpoint it means the
     emitted set is unknowable)."""
     from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
-        _data_files, committed_versions,
+        _data_files, _read_dvs, committed_versions,
     )
 
     committed = [n for n in committed_versions(path) if s < n <= e]
     prev: set | None = None
     prev_n: int | None = None
+    prev_dvs: dict = {}
     for n in committed:
         if not os.path.isdir(os.path.join(path, f"v_{n:08d}")):
             raise ValueError(
@@ -338,9 +465,11 @@ def _walk_commit_diffs(path: str, s: int, e: int, snapshot: bool,
                     os.path.join(path, f"v_{base:08d}")):
                 prev = set(_data_files(path, base))
                 prev_n = base
+                prev_dvs = _read_dvs(path, base)
             elif base < 1 or snapshot:
                 prev = set()
                 prev_n = base
+                prev_dvs = {}
             else:
                 raise ValueError(
                     f"{who} needs v_{base} of {path} as its diff "
@@ -349,8 +478,9 @@ def _walk_commit_diffs(path: str, s: int, e: int, snapshot: bool,
                     f"fresh checkpoint/startingVersion, accepting "
                     f"re-emission)")
         cur = _data_files(path, n)
-        yield n, prev, prev_n, cur, set(cur)
-        prev, prev_n = set(cur), n
+        cur_dvs = _read_dvs(path, n)
+        yield n, prev, prev_n, cur, set(cur), prev_dvs, cur_dvs
+        prev, prev_n, prev_dvs = set(cur), n, cur_dvs
 
 
 def _plan_change_commits(path: str, s: int, e: int,
@@ -364,28 +494,73 @@ def _plan_change_commits(path: str, s: int, e: int,
     multiset-diff partition over its removed+added files.  The
     vacuum-retention guards live in :func:`_walk_commit_diffs`,
     shared with the append-tail planner."""
-    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import _base_of
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        _base_of, _decode_dv,
+    )
+
+    def _pos(dvs, f):
+        if f not in dvs:
+            return []
+        with open(os.path.join(path, dvs[f][0]), "rb") as fh:
+            return _decode_dv(fh.read())
 
     root = os.path.abspath(path)
     parts: list = []
-    for n, prev, prev_n, cur, cur_set in _walk_commit_diffs(
-            path, s, e, snapshot, "change feed"):
+    for n, prev, prev_n, cur, cur_set, prev_dvs, cur_dvs in \
+            _walk_commit_diffs(path, s, e, snapshot, "change feed"):
         added = [f for f in cur if f not in prev]
         removed = sorted(prev - cur_set)
+        # deletion-vector deltas on files COMMON to both sides: rows
+        # newly marked emit as deletes, unmarked (restore) as inserts
+        # -- O(changed rows) per file, planned from metadata
+        for f in sorted(prev & cur_set):
+            if prev_dvs.get(f) == cur_dvs.get(f):
+                continue  # sidecars immutable: (rel, n) equality is exact
+            a = set(_pos(prev_dvs, f))
+            b = set(_pos(cur_dvs, f))
+            if a == b:
+                continue
+            parts.append(_DvChangePart(
+                os.path.join(root, f), schema_bytes, n,
+                sorted(b - a), sorted(a - b)))
         if not removed:
+            dvp = _dv_payloads(path, n)
             parts.extend(
                 _ChangeFilePart(os.path.join(root, f), schema_bytes,
                                 "insert", n)
-                for f in added)
+                for f in added if f not in dvp)
+            # an added file already dv-bearing in the same range end
+            # state cannot happen from our writers; plan it as a
+            # masked diff-side if it ever does
+            for f in added:
+                if f in dvp:
+                    abs_f = os.path.join(root, f)
+                    parts.append(_ChangeDiffPart(
+                        [], [abs_f], schema_bytes, n,
+                        added_dv={abs_f: dvp[f]}))
         elif _base_of(path, n) == prev_n:
             pass  # compaction: row-identical to the previous commit
         else:
             rem_abs = [os.path.join(root, f) for f in removed]
             add_abs = [os.path.join(root, f) for f in added]
+            rem_dv = {}
+            for f in removed:
+                if f in prev_dvs:
+                    with open(os.path.join(path, prev_dvs[f][0]),
+                              "rb") as fh:
+                        rem_dv[os.path.join(root, f)] = fh.read()
+            add_dv = {}
+            for f in added:
+                if f in cur_dvs:
+                    with open(os.path.join(path, cur_dvs[f][0]),
+                              "rb") as fh:
+                        add_dv[os.path.join(root, f)] = fh.read()
             nb = _diff_buckets(rem_abs + add_abs)
             parts.extend(_ChangeDiffPart(rem_abs, add_abs,
                                          schema_bytes, n,
-                                         bucket=b, n_buckets=nb)
+                                         bucket=b, n_buckets=nb,
+                                         removed_dv=rem_dv,
+                                         added_dv=add_dv)
                          for b in range(nb))
     return parts
 
@@ -499,20 +674,24 @@ class _BatchReader(DataSourceReader):
         from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import _data_files
 
         root = os.path.abspath(self.path)
-        return [_FilePart(os.path.join(root, f), self.schema_bytes)
+        dv = _dv_payloads(self.path, self.n)
+        return [_FilePart(os.path.join(root, f), self.schema_bytes,
+                          dv.get(f))
                 for f in _data_files(self.path, self.n)]
 
     def read(self, partition: _FilePart) -> Iterator:
         yield from _read_aligned(partition.abs_path,
-                                 partition.arrow_schema_bytes)
+                                 partition.arrow_schema_bytes,
+                                 getattr(partition, "dv_bytes", None))
 
 
 class _FilteredFilePart(InputPartition):
     def __init__(self, abs_path: str, arrow_schema_bytes: bytes,
-                 filters: list):
+                 filters: list, dv_bytes: bytes | None = None):
         self.abs_path = abs_path
         self.arrow_schema_bytes = arrow_schema_bytes
         self.filters = filters  # [(op, col, value)] -- picklable
+        self.dv_bytes = dv_bytes
 
 
 def _apply_row_filters(batch, filters: list):
@@ -742,8 +921,12 @@ class _PushdownBatchReader(_BatchReader):
                   for op, col, val in self._pushed]
         idx_cache: dict = {}
         lanes_cache: dict = {}
+        dv = _dv_payloads(self.path, self.n)
         parts = []
         for f in files:
+            # stats/null/bloom exclusion stays valid on dv-bearing
+            # files: a vector only REMOVES rows, so the recorded
+            # physical ranges/counts are conservative supersets
             if f in stats and _stats_exclude(stats[f], pushed):
                 continue
             if _null_exclude(rowmeta.get(f), pushed):
@@ -752,7 +935,7 @@ class _PushdownBatchReader(_BatchReader):
                 continue
             parts.append(_FilteredFilePart(
                 os.path.join(root, f), self.schema_bytes,
-                self._pushed))
+                self._pushed, dv.get(f)))
         return parts
 
     def read(self, partition) -> Iterator:
@@ -760,7 +943,9 @@ class _PushdownBatchReader(_BatchReader):
             return  # every file pruned: engine still calls read once
         filters = getattr(partition, "filters", None)
         for batch in _read_aligned(partition.abs_path,
-                                   partition.arrow_schema_bytes):
+                                   partition.arrow_schema_bytes,
+                                   getattr(partition, "dv_bytes",
+                                           None)):
             out = _apply_row_filters(batch, filters) if filters \
                 else batch
             if out.num_rows:
@@ -849,21 +1034,27 @@ class _CDFStreamReader(DataSourceStreamReader):
                                         snapshot=snapshot)
         root = os.path.abspath(self.path)
         parts: list[InputPartition] = []
-        for n, prev, _prev_n, cur, cur_set in _walk_commit_diffs(
-                self.path, s, e, snapshot, "stream"):
-            if not prev <= cur_set:
+        for n, prev, _prev_n, cur, cur_set, prev_dvs, cur_dvs in \
+                _walk_commit_diffs(self.path, s, e, snapshot,
+                                   "stream"):
+            common = prev & cur_set
+            dv_changed = any(prev_dvs.get(f) != cur_dvs.get(f)
+                             for f in common)
+            if not prev <= cur_set or dv_changed:
                 if self.skip_change_commits:
                     continue  # the walk advances its diff base anyway
                 raise ValueError(
-                    f"v_{n} of {self.path} rewrote data files "
-                    f"(merge/delete/compaction): an append-only "
-                    f"stream cannot express it -- set "
-                    f".option('skipChangeCommits', 'true') to skip "
-                    f"such commits, or consume the row-level feed "
-                    f"with readChangeFeed / io.versioned"
+                    f"v_{n} of {self.path} rewrote data "
+                    f"(merge/delete/compaction or a deletion-vector "
+                    f"delete): an append-only stream cannot express "
+                    f"it -- set .option('skipChangeCommits', 'true') "
+                    f"to skip such commits, or consume the row-level "
+                    f"feed with readChangeFeed / io.versioned"
                     f".consume_changes")
+            dvp = _dv_payloads(self.path, n)
             parts.extend(
-                _FilePart(os.path.join(root, f), schema_bytes)
+                _FilePart(os.path.join(root, f), schema_bytes,
+                          dvp.get(f))
                 for f in cur if f not in prev)
         return parts
 
@@ -875,7 +1066,9 @@ class _CDFStreamReader(DataSourceStreamReader):
             # partitions() list (e.g. every in-range commit was
             # skipped via skipChangeCommits)
             yield from _read_aligned(partition.abs_path,
-                                     partition.arrow_schema_bytes)
+                                     partition.arrow_schema_bytes,
+                                     getattr(partition, "dv_bytes",
+                                             None))
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the engine's checkpoint
@@ -1239,6 +1432,18 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
         return (staged, schema,
                 _physical_arrow_bytes(schema, staged))
 
+    def _drop_marker(self) -> None:
+        # the marker describes THIS batch's staged parts only: every
+        # commit/replay/abort outcome consumes it, so a later
+        # ZERO-PARTITION batch (write() never runs, marker never
+        # refreshed) falls back to fresh init-computed state instead
+        # of a stale map that wedges the query with a spurious
+        # conflict after an interleaved rename (review r12d-1)
+        try:
+            os.remove(self._marker_path())
+        except OSError:
+            pass
+
     def _named(self, messages) -> list:
         return [n for m in messages if m is not None
                 for n in getattr(m, "names", [])]
@@ -1265,6 +1470,7 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
             # checkpoint replay of an already-committed batch: the
             # re-written parts must go too, or they leak in pending
             self._drop_parts(names)
+            self._drop_marker()
             return
         try:
             _refuse_constraints(self.path, None)
@@ -1285,9 +1491,11 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
                       merge_schema=self.merge_schema,
                       stats_columns=self.stats_columns,
                       staged_physical=staged_physical)
+        self._drop_marker()
 
     def abort(self, messages, batchId: int) -> None:
         self._drop_parts(self._named(messages))
+        self._drop_marker()
 
 
 class VersionedTableDataSource(DataSource):

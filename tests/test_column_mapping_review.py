@@ -108,14 +108,25 @@ def test_cdf_alias_collision_with_stale_dropped_column(
     rename_column(spark, td, "y", "x")
     ch = read_changes(spark, td, 1, 4)
     assert ch.columns.count("x") == 1
-    got = sorted((r["x"], r["_change_type"]) for r in ch.collect())
-    # v1 -> v4: row (1,'a') became 'a2', and the x column was
-    # dropped; under current names the feed nets to the delete of
-    # the old payloads and insert of the new
-    assert ("a2", "insert") in got or ("a2", "delete") not in got
-    # exactness: folding the feed onto v1 yields v4
-    cur = _rows(read_current(spark, td).select("x"))
-    assert cur == [("a2",), ("b",)]
+    # exactness: FOLD the feed onto v1's state (projected through the
+    # physical chain: v1's y IS the current x) -- the result must be
+    # exactly v4's state (review r12d-4: the prior assertion was
+    # near-vacuous)
+    from collections import Counter
+
+    state = Counter(r["y"] for r in
+                    spark.read.parquet(*[
+                        __import__("os").path.join(td, f)
+                        for f in _data_files(td, 1)]).collect())
+    for r in ch.collect():
+        if r["_change_type"] == "insert":
+            state[r["x"]] += 1
+        else:
+            state[r["x"]] -= 1
+    want = Counter(r["x"]
+                   for r in read_current(spark, td).collect())
+    assert Counter({k: c for k, c in state.items() if c}) == want
+    assert sorted(want) == ["a2", "b"]
 
 
 # ------------------------------------------- r12c-2 / r12c-5
@@ -194,3 +205,82 @@ def test_stream_writer_happy_path_on_mapped_table(spark, tmp_path):
     w2c = _VersionedStreamWriter(opts, schema, overwrite=False)
     w2c.commit([msg2], batchId=0)
     assert _rows(read_current(spark, td)) == [(1, 10), (2, 20)]
+
+
+
+# ------------------------------------------- r12d-1 / r12d-3
+
+
+def test_zero_partition_batch_after_rename_does_not_wedge(
+        spark, tmp_path):
+    """The pending-dir map marker is consumed by every commit
+    outcome: a later batch whose write phase never ran (zero
+    partitions) must fall back to fresh init-computed state, not a
+    previous batch's stale map -- a rename between batches used to
+    crash-loop the query with a spurious VersionConflictError."""
+    import pyarrow as pa
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.sources.versioned_source import (
+        _VersionedStreamWriter,
+    )
+
+    td = str(tmp_path / "t")
+    append_version(
+        spark.createDataFrame([(1, 10)], "k bigint, v bigint"), td)
+    schema = spark.createDataFrame([], "k bigint, v bigint").schema
+    opts = {"path": td, "txnAppId": "job"}
+    w0 = _VersionedStreamWriter(opts, schema, overwrite=False)
+    msg = w0.write(iter([pa.RecordBatch.from_pylist(
+        [{"k": 2, "v": 20}],
+        schema=pa.schema([("k", pa.int64()), ("v", pa.int64())]))]))
+    w0c = _VersionedStreamWriter(opts, schema, overwrite=False)
+    w0c.commit([msg], batchId=0)
+    assert not os.path.exists(w0c._marker_path())
+    rename_column(spark, td, "v", "value")
+    # batch 1: zero partitions -> write() never runs; the commit
+    # instance (built AFTER the rename, wide schema) must commit the
+    # empty batch cleanly from its own fresh state
+    schema2 = spark.createDataFrame([], "k bigint, value bigint").schema
+    w1c = _VersionedStreamWriter({"path": td, "txnAppId": "job"},
+                                 schema2, overwrite=False)
+    w1c.commit([], batchId=1)
+    assert _rows(read_current(spark, td)) == [(1, 10), (2, 20)]
+
+
+def test_drop_of_only_pinned_field_keeps_marker(spark, tmp_path):
+    """A table whose schema pins ONLY the renamed field (the
+    pre-identity-stamping layout): dropping that field must still
+    leave the table marked mapped, so a re-add of the old name binds
+    a fresh physical instead of the old files' bytes."""
+    import json
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        _SCHEMA_FILE,
+        current_version,
+        table_schema,
+    )
+
+    td = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 10), (2, 20)],
+                               "k bigint, x bigint")
+    append_version(df, td)
+    rename_column(spark, td, "x", "z")
+    # simulate the legacy single-pin layout: strip the identity pins
+    n = current_version(td)
+    p = os.path.join(td, f"v_{n:08d}", _SCHEMA_FILE)
+    with open(p, encoding="utf-8") as fh:
+        raw = json.load(fh)
+    for fld in raw["fields"]:
+        if fld["name"] != "z":
+            fld["metadata"] = {}
+    with open(p, "w", encoding="utf-8") as fh:
+        json.dump(raw, fh)
+    st = table_schema(td, n)
+    assert [f.name for f in st.fields
+            if "physical" in (f.metadata or {})] == ["z"]
+    drop_columns(spark, td, ["z"])
+    assert _is_mapped(table_schema(td, current_version(td)))
+    batch = spark.createDataFrame([(3, 99)], "k bigint, x bigint")
+    append_version(batch, td, merge_schema=True)
+    got = _rows(read_current(spark, td).select("k", "x"))
+    assert got == [(1, None), (2, None), (3, 99)]

@@ -403,6 +403,16 @@ def main() -> None:
         # one, tests/test_column_mapping.py plan-shape test).
         "rename_column":
             lambda s: _rename_cycle(s),
+        # round-12 (continuation): merge-on-read delete via deletion
+        # vectors on the growing clustered fixture.  Each run marks a
+        # fresh 3-key slice deleted: stats prune the candidate files,
+        # ONE scan of those locates the positions, and the commit is
+        # sidecar-sized -- the wall should stay flat-ish vs table
+        # bytes (the scan is O(candidate files), bounded by the
+        # clustering), the honest contrast to merge_version's
+        # rewrite-per-touched-file row.
+        "dv_delete":
+            lambda s: _dv_delete_cycle(s),
     }
 
     def _pii(d):
@@ -681,6 +691,22 @@ def main() -> None:
             _consolidated_scales.add(s)
         return _bloom_lookup_cycle(s)
 
+    _dv_runs: dict = {}
+
+    def _dv_delete_cycle(s):
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+            delete_keys_dv,
+        )
+
+        r = _dv_runs[s] = _dv_runs.get(s, 0) + 1
+        victims = [7000 + r * 3, 7001 + r * 3, 7002 + r * 3]
+        delete_keys_dv(
+            spark, _merge_dir(s),
+            spark.createDataFrame([(k,) for k in victims],
+                                  "o_orderkey bigint"),
+            "o_orderkey")
+        return spark.range(1)
+
     def _rename_cycle(s):
         from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
             rename_column,
@@ -849,7 +875,8 @@ def main() -> None:
             "bloom_build", "bloom_lookup", "constraints_audit_meta",
             "constraints_audit_scan", "shallow_clone",
             "fsck_verify", "deep_clone",
-            "cdf_batch_diff", "rename_column"} & set(OPS):
+            "cdf_batch_diff", "rename_column",
+            "dv_delete"} & set(OPS):
         # same discipline: the clustered table pre-exists; only the
         # per-batch merge/erasure/audit is measured.  File counts
         # print untimed.
