@@ -37,7 +37,7 @@ from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned im
     _STATS_PREFIX,
     CommitBackend,
     _data_files,
-    _dv_positions,
+    _decode_dv_full,
     _physical_map,
     _read_dvs,
     _read_rowmeta,
@@ -182,11 +182,17 @@ def verify_table(spark: SparkSession, table_dir: str,
               "external_refs": 0, "n_files": len(files)}
         # deletion vectors are metadata claims about their data file:
         # the sidecar must exist, decode, match its recorded count,
-        # and never point past the file's physical rowcount
+        # never point past the file's physical rowcount, and carry
+        # the rowcount WITNESS that matches the file (a purge-remap
+        # left half-applied shows up here as a witness mismatch --
+        # review r12e-1).  Any decode failure is a finding, never a
+        # crash of the scrubber (zlib.error is not a ValueError --
+        # review r12e-2).
         for f, (d, cnt) in _read_dvs(table_dir, v).items():
             try:
-                pos = _dv_positions(table_dir, d)
-            except (OSError, ValueError) as exc:
+                with open(os.path.join(table_dir, d), "rb") as fh:
+                    pos, rec_n = _decode_dv_full(fh.read())
+            except Exception as exc:  # noqa: BLE001 -- the finding
                 vr["dv_errors"].append(
                     (f, f"vector {d} unreadable: "
                         f"{type(exc).__name__}: {exc}"[:200]))
@@ -196,11 +202,18 @@ def verify_table(spark: SparkSession, table_dir: str,
                     (f, f"vector {d} holds {len(pos)} positions, "
                         f"manifest records {cnt}"))
             fact = facts.get(f)
-            if (fact and "error" not in fact and pos
-                    and pos[-1] >= fact["n_rows"]):
-                vr["dv_errors"].append(
-                    (f, f"vector {d} points at row {pos[-1]} of a "
-                        f"{fact['n_rows']}-row file"))
+            if fact and "error" not in fact:
+                if pos and pos[-1] >= fact["n_rows"]:
+                    vr["dv_errors"].append(
+                        (f, f"vector {d} points at row {pos[-1]} of "
+                            f"a {fact['n_rows']}-row file"))
+                if rec_n != fact["n_rows"]:
+                    vr["dv_errors"].append(
+                        (f, f"vector {d} was encoded against a "
+                            f"{rec_n}-row file, the file holds "
+                            f"{fact['n_rows']} rows (positions may "
+                            f"be mis-pointed; a purge remap did not "
+                            f"complete -- re-run the purge)"))
         for f in files:
             abs_f = os.path.abspath(os.path.join(root, f))
             if not abs_f.startswith(root + os.sep):
@@ -252,8 +265,13 @@ def verify_table(spark: SparkSession, table_dir: str,
             report["ok"] = False
         report["versions"][v] = vr
     # unreferenced data files inside readable version dirs: vacuum
-    # fodder (informational -- e.g. superseded pre-purge tmp files)
+    # fodder (informational -- e.g. superseded pre-purge tmp files).
+    # Live deletion-vector sidecars count as referenced (an operator
+    # deleting "vacuum fodder" must never reap one -- review r12e-3).
     referenced = {f for fs in per_version_files.values() for f in fs}
+    for v in versions:
+        for _f, (d, _cnt) in _read_dvs(table_dir, v).items():
+            referenced.add(d)
     for v in versions:
         vdir = os.path.join(table_dir, f"v_{v:08d}")
         try:

@@ -217,13 +217,20 @@ def _candidate_files(table_dir: str, versions: list[int],
 
 
 def _rewrite_file(abs_path: str, key: str,
-                  values: frozenset) -> tuple[int, list]:
+                  values: frozenset) -> int:
     """Rewrite one parquet file without the matched rows, atomically,
-    preserving its physical schema; returns (rows removed, their
-    ORIGINAL file-relative row indices -- deletion-vector sidecars
-    referencing the file must remap their positions past the removed
-    rows).  (0, []) = file untouched.  Runs inside an executor
-    task."""
+    preserving its physical schema; returns rows removed (0 = file
+    untouched).  Runs inside an executor task.
+
+    Deletion-vector coordination: BEFORE the swap, the task journals
+    the removed rows' ORIGINAL file-relative indices plus the old and
+    new physical rowcounts into ``.dvremap-<name>.json`` beside the
+    file.  Sidecars referencing the file must shift their positions
+    past the removed rows; the journal survives a crash at any point,
+    and the driver-side :func:`_apply_dv_remap_journals` applies it
+    idempotently (each sidecar carries the rowcount it was encoded
+    against, so "already remapped" vs "pending" is decidable -- the
+    crash-safety review finding r12e-1)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -232,17 +239,23 @@ def _rewrite_file(abs_path: str, key: str,
     if key not in t.schema.names:
         # pre-evolution file: its rows read back NULL for the key and
         # purge values are non-null by contract -- nothing to match
-        return 0, []
+        return 0
     mask = pc.fill_null(pc.is_in(t.column(key),
                                  value_set=pa.array(sorted(values))),
                         False)
     n_hit = pc.sum(mask).as_py() or 0
     if n_hit == 0:
-        return 0, []
+        return 0
     purged_pos = [int(i) for i in
                   pc.indices_nonzero(mask).to_pylist()]
     kept = t.filter(pc.invert(mask))
     d, base = os.path.split(abs_path)
+    jrn = os.path.join(d, f".dvremap-{base}.json")
+    jtmp = jrn + ".tmp"
+    with open(jtmp, "w", encoding="ascii") as fh:
+        json.dump({"old": t.num_rows, "new": kept.num_rows,
+                   "pos": purged_pos}, fh)
+    os.replace(jtmp, jrn)
     tmp = os.path.join(d, f".purge-tmp-{base}")
     pq.write_table(kept, tmp)
     # Sidecar cleanup happens BEFORE the swap (r10 ADVICE, medium): a
@@ -279,7 +292,99 @@ def _rewrite_file(abs_path: str, key: str,
         except OSError:
             pass
     os.replace(tmp, abs_path)
-    return n_hit, purged_pos
+    return n_hit
+
+
+def _apply_dv_remap_journals(table_dir: str,
+                             versions: list[int]) -> int:
+    """Apply every pending deletion-vector remap journal, idempotently
+    (see :func:`_rewrite_file`): for each journaled data file whose
+    swap has landed (footer rowcount == journal "new"), every
+    referencing sidecar still encoded against the OLD rowcount drops
+    the purged positions and shifts the rest; manifests' #dv counts
+    are then fixed and fully-applied journals removed.  A journal
+    whose swap never landed (crash before the replace) is left for
+    the re-run's rewrite to supersede.  Returns sidecars remapped."""
+    import bisect
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        _data_files,
+        _decode_dv_full,
+        _encode_dv,
+        _file_rowmeta,
+        _read_dvs,
+    )
+
+    journals: dict[str, tuple[str, int, int, list[int]]] = {}
+    seen: set[str] = set()
+    for n in versions:
+        for f in _data_files(table_dir, n):
+            if f in seen:
+                continue
+            seen.add(f)
+            d, base = os.path.split(os.path.join(table_dir, f))
+            jp = os.path.join(d, f".dvremap-{base}.json")
+            try:
+                with open(jp, encoding="ascii") as fh:
+                    rec = json.load(fh)
+                journals[f] = (jp, int(rec["old"]), int(rec["new"]),
+                               [int(x) for x in rec["pos"]])
+            except (OSError, ValueError, KeyError):
+                continue
+    if not journals:
+        return 0
+    swap_done: dict[str, bool] = {}
+    for f, (_jp, _old, new, _pos) in journals.items():
+        try:
+            swap_done[f] = _file_rowmeta(
+                os.path.join(table_dir, f), ())["n"] == new
+        except OSError:
+            swap_done[f] = False
+    remapped = 0
+    pending: set[str] = set()
+    new_counts: dict[str, int] = {}
+    handled: set[str] = set()
+    for n in versions:
+        for f, (d_rel, _cnt) in _read_dvs(table_dir, n).items():
+            if f not in journals or d_rel in handled:
+                continue
+            handled.add(d_rel)
+            jp, old, new, P = journals[f]
+            if not swap_done[f]:
+                pending.add(f)
+                continue
+            dpath = os.path.join(table_dir, d_rel)
+            try:
+                with open(dpath, "rb") as fh:
+                    positions, rec_n = _decode_dv_full(fh.read())
+            except (OSError, ValueError):
+                pending.add(f)  # unreadable: leave for fsck
+                continue
+            if rec_n == new:
+                new_counts[d_rel] = len(positions)
+                continue  # already remapped by an earlier run
+            if rec_n != old:
+                pending.add(f)  # unknown era: never guess
+                continue
+            pset = set(P)
+            out = [q - bisect.bisect_left(P, q)
+                   for q in positions if q not in pset]
+            tmp = dpath + ".remap-tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(_encode_dv(out, new))
+            os.replace(tmp, dpath)
+            new_counts[d_rel] = len(out)
+            remapped += 1
+    if new_counts:
+        for n in versions:
+            _update_dv_counts(table_dir, n, new_counts)
+    for f, (jp, _old, _new, _pos) in journals.items():
+        if f not in pending and swap_done[f]:
+            try:
+                os.remove(jp)
+            except OSError:
+                pass
+    return remapped
 
 
 def _strip_meta_lines(table_dir: str, n: int,
@@ -414,6 +519,9 @@ def purge_keys_history(spark: SparkSession, table_dir: str, key: str,
     lock = _acquire_purge_lock(table_dir, lock_ttl_seconds)
     try:
         versions = _readable_versions(table_dir, backend)
+        # recover any deletion-vector remap a crashed purge left
+        # half-applied BEFORE selecting candidates (idempotent)
+        _apply_dv_remap_journals(table_dir, versions)
         union, _per_version = _candidate_files(table_dir, versions,
                                                key, vals)
         if not union:
@@ -474,43 +582,13 @@ def purge_keys_history(spark: SparkSession, table_dir: str, key: str,
               .map(lambda rel: (rel, _rewrite_file(
                   os.path.join(abs_root, rel), phys, vset)))
               .collect())
-        rows_purged = sum(c for _, (c, _p) in purged_counts)
-        rewritten = sorted(rel for rel, (c, _p) in purged_counts
-                           if c > 0)
-        purged_pos = {rel: pos for rel, (c, pos) in purged_counts
-                      if c > 0}
-        # deletion-vector remap: the rewrite shifted the surviving
-        # rows' file positions, so every sidecar referencing a
-        # rewritten file must drop the purged positions and shift the
-        # rest.  Sidecars are shared across versions by manifest
-        # inheritance -- remap each unique one ONCE, in place
-        # (atomic), then fix the #dv counts in every manifest.
-        import bisect
-
-        from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
-            _decode_dv, _encode_dv, _read_dvs,
-        )
-
-        new_counts: dict[str, int] = {}  # dv rel -> remapped count
-        for n in versions:
-            for f, (d, _cnt) in _read_dvs(table_dir, n).items():
-                if f not in purged_pos or d in new_counts:
-                    continue
-                P = purged_pos[f]
-                pset = set(P)
-                dpath = os.path.join(table_dir, d)
-                with open(dpath, "rb") as fh:
-                    old_pos = _decode_dv(fh.read())
-                remapped = [q - bisect.bisect_left(P, q)
-                            for q in old_pos if q not in pset]
-                tmp = dpath + ".purge-tmp"
-                with open(tmp, "wb") as fh:
-                    fh.write(_encode_dv(remapped))
-                os.replace(tmp, dpath)
-                new_counts[d] = len(remapped)
-        if new_counts:
-            for n in versions:
-                _update_dv_counts(table_dir, n, new_counts)
+        rows_purged = sum(c for _, c in purged_counts)
+        rewritten = sorted(rel for rel, c in purged_counts if c > 0)
+        # deletion-vector remap: each rewrite journaled its removed
+        # positions BEFORE its swap; apply the journals (idempotent,
+        # crash-recoverable -- a re-run or the next purge completes
+        # any half-applied remap)
+        _apply_dv_remap_journals(table_dir, versions)
         # phase 3: re-record fresh footer metadata for every
         # candidate (unchanged files get identical lines back).
         # Footers are read ONCE per file under the union of PHYSICAL

@@ -803,7 +803,7 @@ def _apply_dv(spark: SparkSession, table_dir: str,
         pairs = F.broadcast(pairs)
     out = (df_with_pos
            .withColumn("__dv_key", F.regexp_extract(
-               "__dv_file", r"(v_\d{8}/[^/]+)$", 1))
+               "__dv_file", _DV_SUFFIX_PATTERN, 1))
            .join(pairs, ["__dv_key", "__dv_pos"], "left_anti"))
     return out.drop("__dv_file", "__dv_pos", "__dv_key")
 
@@ -1002,29 +1002,48 @@ _BASE_PREFIX = "#base "
 # falls back to a scan for dv-bearing files.  At most one #dv line
 # per file per manifest (deletes merge at commit time).
 _DV_PREFIX = "#dv "
-_DV_MAGIC = b"DV1\x00"
+_DV_MAGIC = b"DV2\x00"
+# the scan-side <-> manifest-side join key for deletion vectors: the
+# trailing version-dir/file-name of a data file reference.  ONE
+# pattern shared by _dv_suffix and every F.regexp_extract site -- a
+# drifted copy would make the anti-join silently filter nothing
+# (review r12e-5)
+_DV_SUFFIX_PATTERN = r"(v_\d{8}/[^/]+)$"
 
 
-def _encode_dv(positions) -> bytes:
+def _encode_dv(positions, nrows: int) -> bytes:
     """Sidecar bytes for a sorted iterable of file-relative row
-    indices: magic + zlib of little-endian int64s.  Positions are
-    de-duplicated and sorted (set semantics)."""
+    indices: magic + the data file's PHYSICAL rowcount at encode time
+    (int64 LE) + zlib of little-endian int64 positions.  The recorded
+    rowcount is the consistency witness: a sidecar is valid for its
+    file iff the counts agree, which makes the purge's position remap
+    idempotent and crash-recoverable and lets fsck convict a
+    mis-pointed vector (review r12e-1)."""
+    import struct
     import zlib
     from array import array
 
     arr = array("q", sorted(set(int(p) for p in positions)))
-    return _DV_MAGIC + zlib.compress(arr.tobytes())
+    return (_DV_MAGIC + struct.pack("<q", int(nrows))
+            + zlib.compress(arr.tobytes()))
 
 
-def _decode_dv(data: bytes) -> list[int]:
+def _decode_dv_full(data: bytes) -> tuple[list[int], int]:
+    """(positions, recorded physical rowcount)."""
+    import struct
     import zlib
     from array import array
 
     if not data.startswith(_DV_MAGIC):
         raise ValueError("not a DV sidecar (bad magic)")
+    nrows = struct.unpack("<q", data[4:12])[0]
     arr = array("q")
-    arr.frombytes(zlib.decompress(data[len(_DV_MAGIC):]))
-    return list(arr)
+    arr.frombytes(zlib.decompress(data[12:]))
+    return list(arr), nrows
+
+
+def _decode_dv(data: bytes) -> list[int]:
+    return _decode_dv_full(data)[0]
 
 
 def _read_dvs(table_dir: str, n: int) -> dict[str, tuple[str, int]]:
@@ -1065,7 +1084,7 @@ def _dv_suffix(rel_or_path: str) -> str:
     URI) and manifest-relative refs (including a shallow clone's
     ``../``-external ones).  Uniqueness rides on uuid part names,
     the same reliance deep_clone documents."""
-    m = re.search(r"(v_\d{8}/[^/]+)$", rel_or_path)
+    m = re.search(_DV_SUFFIX_PATTERN, rel_or_path)
     return m.group(1) if m else rel_or_path
 
 
@@ -1982,7 +2001,7 @@ def _dv_delete_commit(spark: SparkSession, table_dir: str,
 
     hits = (matched
             .select(F.regexp_extract("__dv_file",
-                                     r"(v_\d{8}/[^/]+)$", 1)
+                                     _DV_SUFFIX_PATTERN, 1)
                     .alias("__k"), "__dv_pos")
             .collect())
     sfx_to_rel = {_dv_suffix(f): f for f in candidates}
@@ -1995,6 +2014,7 @@ def _dv_delete_commit(spark: SparkSession, table_dir: str,
                 f"candidate set ({r['__k']})")
         by_rel.setdefault(rel, set()).add(int(r["__dv_pos"]))
     dvs = _read_dvs(table_dir, base)
+    rowmeta = _read_rowmeta(table_dir, base)
     staged_meta: dict[str, tuple[str, int]] = {}
     stage_files: dict[str, bytes] = {}
     import uuid
@@ -2005,14 +2025,16 @@ def _dv_delete_commit(spark: SparkSession, table_dir: str,
             merged |= set(_dv_positions(table_dir, dvs[rel][0]))
         if rel in dvs and len(merged) == dvs[rel][1]:
             continue  # nothing new for this file (idempotent replay)
+        rec = rowmeta.get(rel)
+        nrows = rec["n"] if rec is not None else _file_rowmeta(
+            os.path.join(table_dir, rel), ())["n"]
         name = f"dv-{uuid.uuid4().hex}.dv"
-        stage_files[name] = _encode_dv(merged)
+        stage_files[name] = _encode_dv(merged, nrows)
         staged_meta[rel] = (name, len(merged))
     if not staged_meta:
         return None  # every match was already deleted
     inherited = _data_files(table_dir, base)
     stats = _read_stats(table_dir, base)
-    rowmeta = _read_rowmeta(table_dir, base)
     txns = _txns(table_dir, base)
     if txn is not None:
         txns = txns | {txn}
@@ -2926,7 +2948,7 @@ def _dv_change_rows(spark: SparkSession, table_dir: str, st,
         return empty
     scan = (_read_files_with_pos(spark, table_dir, affected, st)
             .withColumn("__dv_key", F.regexp_extract(
-                "__dv_file", r"(v_\d{8}/[^/]+)$", 1)))
+                "__dv_file", _DV_SUFFIX_PATTERN, 1)))
     import pandas as pd
 
     frames = []
@@ -3163,6 +3185,7 @@ def describe_table(table_dir: str,
     files = _data_files(table_dir, cur)
     st = table_schema(table_dir, cur)
     stats = _read_stats(table_dir, cur)
+    dvs = _read_dvs(table_dir, cur)
     return {
         "current": cur,
         "committed": len(committed),
@@ -3179,9 +3202,8 @@ def describe_table(table_dir: str,
         "column_mapping": _physical_map(st) if st else {},
         # deletion-vector load of the current version: files carrying
         # a vector and total logically-deleted rows (metadata only)
-        "dv_files": len(_read_dvs(table_dir, cur)),
-        "dv_rows": sum(c for _d, c in
-                       _read_dvs(table_dir, cur).values()),
+        "dv_files": len(dvs),
+        "dv_rows": sum(c for _d, c in dvs.values()),
         "stats_columns": sorted({c for per in stats.values()
                                  for c in per}),
         "txns": len(_txns(table_dir, cur)),

