@@ -68,6 +68,7 @@ from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned im
     _data_files,
     _dv_lines,
     _next_pointer,
+    _op_line,
     _read_dvs,
     _read_rowmeta,
     _read_stats,
@@ -203,7 +204,9 @@ def shallow_clone(spark: SparkSession, src_dir: str, dst_dir: str,
     dvs = {ref(f): (ref(d), cnt)
            for f, (d, cnt) in _read_dvs(src_dir, n).items()
            if f in set(files)}
-    lines = ([_TXN_PREFIX + t for t in sorted(_txns(src_dir, n))]
+    lines = ([_op_line("CLONE", {"source_version": n,
+                                 "deep": False})]
+             + [_TXN_PREFIX + t for t in sorted(_txns(src_dir, n))]
              + _stats_lines(stats) + _rows_lines(rows)
              + _dv_lines(dvs)
              + [ref(f) for f in files])
@@ -271,7 +274,9 @@ def deep_clone(spark: SparkSession, src_dir: str, dst_dir: str,
         dvs = {f"v_00000001/{rename[f]}":
                (f"v_00000001/{dv_names[f]}", src_dvs[f][1])
                for f in src_dvs}
-        lines = ([_TXN_PREFIX + t for t in sorted(_txns(src_dir, n))]
+        lines = ([_op_line("CLONE", {"source_version": n,
+                                     "deep": True})]
+                 + [_TXN_PREFIX + t for t in sorted(_txns(src_dir, n))]
                  + _stats_lines(stats) + _rows_lines(rows)
                  + _dv_lines(dvs)
                  + [f"v_00000001/{name}" for _f, name in names])

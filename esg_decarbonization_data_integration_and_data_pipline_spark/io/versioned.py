@@ -1001,6 +1001,13 @@ _BASE_PREFIX = "#base "
 # stays the PHYSICAL rowcount and every metadata tier subtracts or
 # falls back to a scan for dv-bearing files.  At most one #dv line
 # per file per manifest (deletes merge at commit time).
+# commit provenance (the Delta DESCRIBE HISTORY shape): one
+# "#op {name, params, metrics}" line per manifest records WHICH
+# operation committed the version, its parameters, and cheap
+# metrics (file/row counts already in hand at commit time).
+# Absent on legacy manifests and on write_version snapshots (no
+# manifest); purely informational -- no reader depends on it.
+_OP_PREFIX = "#op "
 _DV_PREFIX = "#dv "
 _DV_MAGIC = b"DV2\x00"
 # the scan-side <-> manifest-side join key for deletion vectors: the
@@ -1063,6 +1070,31 @@ def _read_dvs(table_dir: str, n: int) -> dict[str, tuple[str, int]]:
             rec = json.loads(line[len(_DV_PREFIX):])
             out[rec["f"]] = (rec["d"], int(rec["n"]))
     return out
+
+
+def _read_op(table_dir: str, n: int) -> dict | None:
+    """The ``#op`` provenance record of ``v_n``'s manifest, or None
+    (legacy manifest / snapshot version)."""
+    import json
+
+    p = os.path.join(table_dir, f"v_{n:08d}", _MANIFEST)
+    try:
+        with open(p, encoding="ascii") as fh:
+            for line in fh:
+                if line.startswith(_OP_PREFIX):
+                    return json.loads(line[len(_OP_PREFIX):])
+    except OSError:
+        return None
+    return None
+
+
+def _op_line(name: str, params: dict | None = None,
+             metrics: dict | None = None) -> str:
+    import json
+
+    return _OP_PREFIX + json.dumps(
+        {"name": name, "params": params or {},
+         "metrics": metrics or {}}, sort_keys=True)
 
 
 def _dv_positions(table_dir: str, dv_rel: str) -> list[int]:
@@ -1596,7 +1628,10 @@ def append_version(df: DataFrame, table_dir: str, txn: str | None = None,
                             inherit_files=True, max_attempts=max_attempts,
                             backend=backend, merge_schema=merge_schema,
                             stats_columns=stats_columns,
-                            enforce_constraints=True)
+                            enforce_constraints=True,
+                            op_name="APPEND",
+                            op_params={"merge_schema": merge_schema}
+                            if merge_schema else None)
 
 
 def maybe_compact(spark: SparkSession, table_dir: str,
@@ -1698,7 +1733,9 @@ def compact_where(spark: SparkSession, table_dir: str, col: str,
         df, table_dir, txn=None, pinned_base=base,
         inherit_files=True, max_attempts=max_attempts,
         backend=backend, stats_columns=tuple(keys),
-        inherit_drop=frozenset(cand), row_identical_base=base)
+        inherit_drop=frozenset(cand), row_identical_base=base,
+        op_name="OPTIMIZE_WHERE",
+        op_params={"col": col, "lo": lo, "hi": hi})
 
 
 def compact_table(spark: SparkSession, table_dir: str,
@@ -1779,7 +1816,11 @@ def compact_table(spark: SparkSession, table_dir: str,
         max_attempts=max_attempts, backend=backend,
         stats_columns=(tuple(stats_columns) or tuple(sort_by)
                        or tuple(zorder_by)),
-        row_identical_base=base)
+        row_identical_base=base,
+        op_name="OPTIMIZE",
+        op_params={k: list(v) for k, v in
+                   (("sort_by", sort_by), ("zorder_by", zorder_by))
+                   if v})
 
 
 def _zorder_column(df: DataFrame, cols: Sequence[str], bits: int = 10):
@@ -1969,7 +2010,10 @@ def merge_version(spark: SparkSession, table_dir: str,
     return _manifest_commit(
         new_df, table_dir, txn=txn, pinned_base=base,
         inherit_files=True, max_attempts=max_attempts, backend=backend,
-        merge_schema=merge_schema, inherit_drop=frozenset(touched))
+        merge_schema=merge_schema, inherit_drop=frozenset(touched),
+        op_name="DELETE" if delete_only else "MERGE",
+        op_params={"key": key,
+                   "numTouchedFiles": len(touched)})
 
 
 def delete_keys_version(spark: SparkSession, table_dir: str,
@@ -2053,7 +2097,10 @@ def _dv_delete_commit(spark: SparkSession, table_dir: str,
         st = _read_resolved(spark, table_dir, base).schema
     return _metadata_only_commit(
         table_dir, base, st, [], op_name, backend,
-        stage_files=stage_files, lines_fn=lines_fn)
+        stage_files=stage_files, lines_fn=lines_fn,
+        op_metrics={"numDeletedRows": sum(
+            len(p2) for p2 in by_rel.values()),
+            "numVectorFiles": len(staged_meta)})
 
 
 def delete_keys_dv(spark: SparkSession, table_dir: str,
@@ -2100,7 +2147,7 @@ def delete_keys_dv(spark: SparkSession, table_dir: str,
     matched = scan.join(match_keys, key, "left_semi") \
                   .select("__dv_file", "__dv_pos")
     return _dv_delete_commit(spark, table_dir, matched, touched,
-                             base, "delete_keys_dv", txn, backend)
+                             base, "DELETE_DV", txn, backend)
 
 
 def delete_where_dv(spark: SparkSession, table_dir: str, col: str,
@@ -2136,7 +2183,7 @@ def delete_where_dv(spark: SparkSession, table_dir: str, col: str,
         pred = pred & (F.col(col) <= F.lit(hi))
     matched = scan.filter(pred).select("__dv_file", "__dv_pos")
     return _dv_delete_commit(spark, table_dir, matched, cand,
-                             base, "delete_where_dv", txn, backend)
+                             base, "DELETE_WHERE_DV", txn, backend)
 
 
 def drop_columns(spark: SparkSession, table_dir: str, cols,
@@ -2235,7 +2282,8 @@ def drop_columns(spark: SparkSession, table_dir: str, cols,
              + _dv_lines(_read_dvs(table_dir, base))
              + inherited)
     return _metadata_only_commit(table_dir, base, new_schema, lines,
-                                 "drop_columns", backend)
+                                 "DROP_COLUMNS", backend,
+                                 op_params={"cols": sorted(drop)})
 
 
 def rename_column(spark: SparkSession, table_dir: str, old: str,
@@ -2341,7 +2389,8 @@ def rename_column(spark: SparkSession, table_dir: str, old: str,
              + _dv_lines(_read_dvs(table_dir, base))
              + inherited)
     return _metadata_only_commit(table_dir, base, new_schema, lines,
-                                 "rename_column", backend)
+                                 "RENAME_COLUMN", backend,
+                                 op_params={"from": old, "to": new})
 
 
 # parquet-upcast-safe widenings: Spark's vectorized reader (and
@@ -2427,15 +2476,19 @@ def widen_column_type(spark: SparkSession, table_dir: str, col: str,
              + _rows_lines(_read_rowmeta(table_dir, base))
              + _dv_lines(_read_dvs(table_dir, base))
              + inherited)
-    return _metadata_only_commit(table_dir, base, new_schema, lines,
-                                 "widen_column_type", backend)
+    return _metadata_only_commit(
+        table_dir, base, new_schema, lines, "WIDEN_COLUMN_TYPE",
+        backend, op_params={"col": col, "from": cur_kind,
+                            "to": new_kind})
 
 
 def _metadata_only_commit(table_dir: str, pinned_base: int,
                           schema, lines: list[str], op_name: str,
                           backend: CommitBackend,
                           stage_files: dict[str, bytes] | None = None,
-                          lines_fn=None) -> int:
+                          lines_fn=None,
+                          op_params: dict | None = None,
+                          op_metrics: dict | None = None) -> int:
     """Commit a version that holds NO data files of its own -- just a
     pinned schema and pre-built manifest lines (the DDL shape behind
     :func:`drop_columns`, :func:`restore_table`,
@@ -2480,6 +2533,8 @@ def _metadata_only_commit(table_dir: str, pinned_base: int,
                 _write_schema_file(claimed, schema)
             out_lines = lines_fn(f"v_{n:08d}") if lines_fn \
                 else lines
+            out_lines = [_op_line(op_name, op_params,
+                                  op_metrics)] + out_lines
             with open(os.path.join(claimed, _MANIFEST), "w",
                       encoding="ascii") as fh:
                 fh.write("\n".join(out_lines) + "\n")
@@ -2548,7 +2603,8 @@ def restore_table(spark: SparkSession, table_dir: str, to_version: int,
              + _dv_lines(_read_dvs(table_dir, to_version))
              + _data_files(table_dir, to_version))
     return _metadata_only_commit(table_dir, cur, st, lines,
-                                 "restore_table", backend)
+                                 "RESTORE", backend,
+                                 op_params={"to_version": to_version})
 
 
 def _manifest_commit(df: DataFrame, table_dir: str, txn: str | None,
@@ -2559,7 +2615,9 @@ def _manifest_commit(df: DataFrame, table_dir: str, txn: str | None,
                      stats_columns: Sequence[str] = (),
                      inherit_drop: frozenset[str] = frozenset(),
                      row_identical_base: int | None = None,
-                     enforce_constraints: bool = False) -> int:
+                     enforce_constraints: bool = False,
+                     op_name: str = "WRITE",
+                     op_params: dict | None = None) -> int:
     """Shared stage -> claim -> manifest -> commit loop behind
     :func:`append_version` (``inherit_files=True``, rebases freely),
     :func:`compact_table` (``pinned_base`` set: raises
@@ -2646,7 +2704,8 @@ def _manifest_commit(df: DataFrame, table_dir: str, txn: str | None,
             batch_schema=logical_schema,
             legacy_schema_reader=lambda cur: _read_resolved(
                 df.sparkSession, table_dir, cur).schema,
-            staged_physical=staged_physical)
+            staged_physical=staged_physical,
+            op_name=op_name, op_params=op_params)
     except BaseException:
         shutil.rmtree(staged, ignore_errors=True)
         raise
@@ -2662,8 +2721,9 @@ def _commit_staged_dir(table_dir: str, staged: str, txn: str | None,
                        row_identical_base: int | None,
                        batch_schema,
                        legacy_schema_reader=None,
-                       staged_physical: dict[str, str] | None = None
-                       ) -> int:
+                       staged_physical: dict[str, str] | None = None,
+                       op_name: str = "WRITE",
+                       op_params: dict | None = None) -> int:
     """The claim -> renumber -> manifest -> pointer-flip loop shared
     by :func:`_manifest_commit` (Spark-staged batches) and the
     DataSource write face (pyarrow-staged parts): pure file metadata,
@@ -2819,7 +2879,13 @@ def _commit_staged_dir(table_dir: str, staged: str, txn: str | None,
             inh_set = set(inherited)
             dv_carry = {f: d for f, d in base_dvs.items()
                         if f in inh_set}
-            lines = ([_TXN_PREFIX + t for t in sorted(txns)]
+            lines = ([_op_line(
+                          op_name, op_params,
+                          {"numFiles": len(own),
+                           "numRows": sum(rowmeta[f]["n"]
+                                          for f in own),
+                           "numInheritedFiles": len(inherited)})]
+                     + [_TXN_PREFIX + t for t in sorted(txns)]
                      + ([f"{_BASE_PREFIX}{row_identical_base}"]
                         if row_identical_base is not None else [])
                      + _stats_lines(stats)
@@ -3240,6 +3306,7 @@ def history(table_dir: str,
         mf = _read_manifest(table_dir, n)
         inherits = mf is not None and any(
             not rel.startswith(f"{vname}/") for rel in mf[0])
+        op = _read_op(table_dir, n)
         out.append({
             "version": n,
             "kind": "append" if inherits else "snapshot",
@@ -3247,6 +3314,12 @@ def history(table_dir: str,
             "txns": sorted(mf[1]) if mf is not None else [],
             "current": n == cur,
             "committed_at": when.get(n),
+            # Delta DESCRIBE HISTORY shape: which operation committed
+            # this version, with what parameters/metrics.  None for
+            # legacy manifests and write_version snapshots.
+            "operation": op["name"] if op else None,
+            "operation_params": op.get("params") if op else None,
+            "operation_metrics": op.get("metrics") if op else None,
         })
     return out
 

@@ -1250,7 +1250,9 @@ def _commit_stage(path: str, staged: str, schema, txn: str | None,
         max_attempts=20, backend=_DEFAULT_BACKEND,
         merge_schema=merge_schema, stats_columns=stats_columns,
         inherit_drop=frozenset(), row_identical_base=None,
-        batch_schema=schema, staged_physical=staged_physical)
+        batch_schema=schema, staged_physical=staged_physical,
+        op_name="OVERWRITE" if overwrite else "WRITE",
+        op_params={"face": "format(versioned_table)"})
 
 
 def _txn_already_visible(path: str, txn: str | None) -> bool:
