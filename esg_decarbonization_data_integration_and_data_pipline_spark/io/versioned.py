@@ -3097,15 +3097,25 @@ def read_changes(spark: SparkSession, table_dir: str, from_n: int,
         return (_read_files_dv(spark, table_dir, to_n, added,
                                to_schema)
                 .withColumn("_change_type", F.lit("insert")))
-    if f_files == set(t_files):
-        # dv-only delta: positions newly marked deleted are the
-        # deletes, positions unmarked (a restore) are the inserts --
-        # O(changed rows) position reads, never a two-sided diff
-        return _dv_change_rows(
+    if f_files <= set(t_files):
+        # dv delta, possibly composed with appends (the
+        # delete-then-append stream pattern): positions newly marked
+        # on the COMMON files emit as deletes (unmarked -- a rewound
+        # restore -- as inserts) and ADDED files emit dv-filtered
+        # inserts.  Still O(changed rows + added files), never the
+        # two-sided table diff (review r12f-3).
+        dv_part = _dv_change_rows(
             spark, table_dir,
             to_schema if to_schema is not None
             else _read_resolved(spark, table_dir, to_n).schema,
             from_dvs, to_dvs, sorted(f_files))
+        added = [f for f in t_files if f not in f_files]
+        if not added:
+            return dv_part
+        ins = (_read_files_dv(spark, table_dir, to_n, added,
+                              to_schema)
+               .withColumn("_change_type", F.lit("insert")))
+        return dv_part.unionByName(ins)
 
     # compaction-aware tier: a compaction in (from_n, to_n] is
     # row-identical to its recorded #base, so the delta splits into

@@ -641,3 +641,28 @@ def test_live_sidecars_are_not_vacuum_fodder(spark, tmp_path):
     assert rep["ok"]
     assert not any(u.endswith(".dv")
                    for u in rep["unreferenced_files"]), rep
+
+
+def test_mixed_dv_and_append_range_avoids_full_diff(
+        spark, tmp_path, monkeypatch):
+    """A range mixing a DV delete with appends must stay on the
+    O(changed rows + added files) path -- the full two-sided diff
+    tier (which reads both whole versions via _read_resolved) must
+    not fire (review r12f-3)."""
+    import esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned as V
+
+    td = str(tmp_path / "t")
+    _mk(spark, td)                                       # v1, v2
+    delete_keys_dv(spark, td,
+                   spark.createDataFrame([(2,), (10,)], "k bigint"),
+                   "k")                                  # v3
+    append_version(_kv(spark, [(20, "z")]).coalesce(1), td)  # v4
+    calls = []
+    orig = V._read_resolved
+    monkeypatch.setattr(
+        V, "_read_resolved",
+        lambda *a, **k: (calls.append(a), orig(*a, **k))[1])
+    ch = V.read_changes(spark, td, 2, 4)
+    got = sorted((r.k, r._change_type) for r in ch.collect())
+    assert got == [(2, "delete"), (10, "delete"), (20, "insert")]
+    assert not calls, "fell to the full two-sided diff tier"
