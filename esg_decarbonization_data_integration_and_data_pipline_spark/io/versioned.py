@@ -1637,16 +1637,21 @@ def append_version(df: DataFrame, table_dir: str, txn: str | None = None,
 def maybe_compact(spark: SparkSession, table_dir: str,
                   max_files: int = 64,
                   backend: CommitBackend | None = None,
+                  max_dv_fraction: float | None = None,
                   **compact_kwargs) -> int | None:
     """Auto-optimize policy: :func:`compact_table` iff the CURRENT
-    version reads more than ``max_files`` data files, else do
-    nothing.  The check is pure metadata (one manifest read), so
-    calling this after every ingest batch is free until it fires --
-    the small-file compactor a long-lived streaming append chain
-    needs (each micro-batch adds its own files; reads degrade as the
-    chain grows).  Naturally crash-safe under replay: once a
-    compaction lands the file count is small again, so a re-run is a
-    no-op.  ``compact_kwargs`` pass through to :func:`compact_table`
+    version reads more than ``max_files`` data files OR (when
+    ``max_dv_fraction`` is set) its deletion vectors mark more than
+    that fraction of the physical rows deleted -- the Delta
+    tombstone-threshold hygiene: every read of a dv-heavy table pays
+    the anti-join for rows that are long gone, and a compaction
+    materializes the vectors away.  Both checks are pure metadata
+    (one manifest read), so calling this after every ingest batch or
+    delete is free until it fires -- the small-file compactor a
+    long-lived streaming append chain needs (each micro-batch adds
+    its own files; reads degrade as the chain grows).  Naturally
+    crash-safe under replay: once a compaction lands, the file count
+    is small and the dv fraction zero, so a re-run is a no-op.  ``compact_kwargs`` pass through to :func:`compact_table`
     (sort_by / zorder_by / target_file_bytes / stats_columns); when
     none of them specifies a layout, ``target_file_bytes`` defaults
     to 128 MiB so the compaction actually merges the small files it
@@ -1655,10 +1660,28 @@ def maybe_compact(spark: SparkSession, table_dir: str,
     threshold."""
     if max_files < 1:
         raise ValueError(f"max_files must be >= 1, got {max_files}")
+    if max_dv_fraction is not None \
+            and not 0.0 < max_dv_fraction < 1.0:
+        raise ValueError(
+            f"max_dv_fraction must be in (0, 1), got "
+            f"{max_dv_fraction}")
     n = current_version(table_dir, backend=backend)
     if n is None:
         return None
-    if len(_data_files(table_dir, n)) <= max_files:
+    fire = len(_data_files(table_dir, n)) > max_files
+    if not fire and max_dv_fraction is not None:
+        dvs = _read_dvs(table_dir, n)
+        if dvs:
+            deleted = sum(c for _d, c in dvs.values())
+            rowmeta = _read_rowmeta(table_dir, n)
+            physical = sum(
+                rowmeta[f]["n"] if f in rowmeta
+                else _file_rowmeta(os.path.join(table_dir, f),
+                                   ())["n"]
+                for f in _data_files(table_dir, n))
+            fire = physical > 0 \
+                and deleted / physical > max_dv_fraction
+    if not fire:
         return None
     if not any(compact_kwargs.get(k) for k in
                ("sort_by", "zorder_by", "target_file_bytes",

@@ -666,3 +666,35 @@ def test_mixed_dv_and_append_range_avoids_full_diff(
     got = sorted((r.k, r._change_type) for r in ch.collect())
     assert got == [(2, "delete"), (10, "delete"), (20, "insert")]
     assert not calls, "fell to the full two-sided diff tier"
+
+
+def test_maybe_compact_fires_on_dv_fraction(spark, tmp_path):
+    """The tombstone-threshold hygiene policy: maybe_compact fires
+    when deletion vectors mark more than max_dv_fraction of the
+    physical rows deleted, materializing the vectors away; below
+    threshold it stays a metadata-only no-op."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import maybe_compact
+
+    td = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(10)], "k bigint, v string")
+    append_version(df.coalesce(1), td, stats_columns=["k"])
+    delete_keys_dv(spark, td,
+                   spark.createDataFrame([(1,)], "k bigint"), "k")
+    # 1/10 deleted: below a 0.3 threshold -> no-op
+    assert maybe_compact(spark, td, max_files=64,
+                         max_dv_fraction=0.3) is None
+    delete_where_dv(spark, td, "k", lo=2, hi=5)
+    # 5/10 deleted: fires, vectors materialized
+    n = maybe_compact(spark, td, max_files=64, max_dv_fraction=0.3)
+    assert n is not None
+    assert _read_dvs(td, n) == {}
+    assert _rows(read_current(spark, td).select("k")) == [
+        (0,), (6,), (7,), (8,), (9,)]
+    # and a re-run is a no-op again
+    assert maybe_compact(spark, td, max_files=64,
+                         max_dv_fraction=0.3) is None
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_dv_fraction"):
+        maybe_compact(spark, td, max_dv_fraction=1.5)
