@@ -3359,10 +3359,14 @@ def history(table_dir: str,
 
 def vacuum(table_dir: str, keep_last: int = 2,
            stage_ttl_seconds: float = 6 * 3600,
-           backend: CommitBackend | None = None) -> list[int]:
+           backend: CommitBackend | None = None,
+           dry_run: bool = False) -> list[int]:
     """Remove crash leftovers (aged ``.stage-*`` dirs, orphan claimed
     versions) and versions older than the ``keep_last`` most recent;
     NEVER the current version.  Returns the removed version numbers.
+    ``dry_run=True`` (the Delta ``VACUUM ... DRY RUN`` shape) reports
+    the version numbers that WOULD be removed and touches nothing --
+    crash leftovers included.
 
     The ``stage_ttl_seconds`` age gate protects everything a LIVE
     writer may still touch: ``.stage-*`` dirs mid-write, orphan
@@ -3390,20 +3394,22 @@ def vacuum(table_dir: str, keep_last: int = 2,
             return now - os.path.getmtime(p) >= stage_ttl_seconds
         except OSError:
             return False
-    for entry in os.listdir(table_dir):
-        full = os.path.join(table_dir, entry)
-        if entry.startswith(_STAGE_PREFIX) and aged(full):
-            shutil.rmtree(full, ignore_errors=True)
-        elif entry.startswith(f".{_CURRENT}.tmp.") and aged(full):
-            try:
-                os.remove(full)  # crashed-before-flip pointer temp
-            except OSError:
-                pass
-        elif entry.startswith(f"{_FLIP_LOCK}.steal.") and aged(full):
-            try:
-                os.remove(full)  # stealer killed between rename+remove
-            except OSError:
-                pass
+    if not dry_run:
+        for entry in os.listdir(table_dir):
+            full = os.path.join(table_dir, entry)
+            if entry.startswith(_STAGE_PREFIX) and aged(full):
+                shutil.rmtree(full, ignore_errors=True)
+            elif entry.startswith(f".{_CURRENT}.tmp.") and aged(full):
+                try:
+                    os.remove(full)  # crashed-before-flip pointer temp
+                except OSError:
+                    pass
+            elif entry.startswith(f"{_FLIP_LOCK}.steal.") \
+                    and aged(full):
+                try:
+                    os.remove(full)  # killed between rename+remove
+                except OSError:
+                    pass
     vs = _versions(table_dir)
     # commit-log truth, not numbering: an orphan dir below current
     # (superseded claim / crashed appender) must not count toward
@@ -3454,16 +3460,18 @@ def vacuum(table_dir: str, keep_last: int = 2,
             # claim -- reap regardless of keep_last (no reader to
             # protect)
             if aged(full):
-                shutil.rmtree(full, ignore_errors=True)
+                if not dry_run:
+                    shutil.rmtree(full, ignore_errors=True)
                 removed.append(n)
             continue
-        shutil.rmtree(full, ignore_errors=True)
+        if not dry_run:
+            shutil.rmtree(full, ignore_errors=True)
         removed.append(n)
     # root-level consolidated bloom indexes (io/bloom_index) of reaped
     # versions are now dead metadata -- drop them with their version
     # (one listdir for the whole removed set, matched on the same
     # name shape consolidated_candidates centralizes)
-    if removed:
+    if removed and not dry_run:
         from esg_decarbonization_data_integration_and_data_pipline_spark.io.bloom_index import (
             consolidated_candidates,
         )

@@ -228,3 +228,35 @@ def test_compact_table_requires_a_committed_version(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError, match="no committed version"):
         compact_table(spark, str(tmp_path / "missing"))
+
+
+def test_vacuum_dry_run_reports_without_removing(spark, tmp_path):
+    """The Delta VACUUM DRY RUN shape: the same removal list, nothing
+    touched -- version dirs, crash leftovers and consolidated
+    indexes all survive; a real vacuum afterwards removes exactly
+    what the dry run reported."""
+    import os
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        append_version,
+        compact_table,
+        read_current,
+        vacuum,
+    )
+
+    t = str(tmp_path / "t")
+    for i in range(4):
+        append_version(
+            spark.createDataFrame([(i, "x")], "k bigint, v string"),
+            t)
+    compact_table(spark, t)
+    would = vacuum(t, keep_last=1, stage_ttl_seconds=0, dry_run=True)
+    assert would, "retention should have candidates"
+    for n in would:
+        assert os.path.isdir(os.path.join(t, f"v_{n:08d}")), \
+            "dry run must not remove anything"
+    got = vacuum(t, keep_last=1, stage_ttl_seconds=0)
+    assert got == would
+    for n in got:
+        assert not os.path.isdir(os.path.join(t, f"v_{n:08d}"))
+    assert read_current(spark, t).count() == 4
