@@ -1754,6 +1754,92 @@ def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.concat_ws(" ", "bpe_tokens").alias("bpe_text")))
 
 
+# The frozen BPE merge table for bpe_encode_docs: the 8 merges
+# train_bpe learns from the sf0.001 documents corpus, frozen as a
+# LITERAL so the encoder is graded as pure expression work against a
+# deterministic oracle (the r12 verdict's companion-query plan: the
+# iterative TRAINER stays rows-only; the ENCODER -- the part that
+# runs corpus-wide at scale -- gets a value-level hash grade).
+# Rank 7 ('p','ar') consumes rank 6's output token, making the list
+# well-formed: every pair's constituents exist before its rank, so
+# applying merges sequentially in rank order (the oracle's replace
+# chain) is equivalent to the encoder's best-rank-first greedy loop
+# (pinned by tests/test_bpe_encode_query.py).
+_BPE_FROZEN_MERGES = [
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"),
+    ("s", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+]
+
+
+def _bpe_encode_oracle() -> str:
+    """DuckDB oracle for the frozen-merge BPE encoder.
+
+    Symbol sequences are encoded as strings with each token wrapped
+    STX<tok>ETX (chr(2)/chr(3), absent from the corpus) and words
+    joined by EOT (chr(4)) so merges can never span a word boundary.
+    One merge (a, b) -> ab is then EXACTLY one left-to-right
+    non-overlapping string replace of STX a ETX STX b ETX with
+    STX ab ETX -- the same greedy-left-to-right semantics as
+    operators/bpe._merge_word -- and the 8 frozen merges chain in
+    rank order.  Token count falls out as the number of STX chars."""
+    stx, etx, eot = "chr(2)", "chr(3)", "chr(4)"
+
+    def wrap(tok: str) -> str:
+        return f"{stx}||'{tok}'||{etx}"
+
+    s = "s0"
+    for a, b in _BPE_FROZEN_MERGES:
+        s = f"replace({s}, {wrap(a)}||{wrap(b)}, {wrap(a + b)})"
+    return f"""
+WITH d AS (
+  SELECT doc_id, lower(text) AS lt FROM documents
+  WHERE text IS NOT NULL
+),
+w AS (
+  SELECT doc_id,
+    array_to_string(
+      list_transform(
+        list_filter(string_split_regex(lt, '\\s+'), t -> t != ''),
+        t -> regexp_replace(t, '(.)', {stx}||'\\1'||{etx}, 'g')),
+      {eot}) AS s0
+  FROM d
+),
+m AS (SELECT doc_id, {s} AS s FROM w)
+SELECT doc_id,
+  CAST(length(s) - length(replace(s, {stx}, '')) AS BIGINT)
+    AS n_bpe_tokens,
+  replace(replace(replace(replace(s,
+    {etx}||{eot}||{stx}, ' '), {etx}||{stx}, ' '),
+    {stx}, ''), {etx}, '') AS bpe_text
+FROM m
+"""
+
+
+@register("bpe_encode_docs", "ext:bpe-tokenizer,UD1,F5",
+          oracle=_bpe_encode_oracle())
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING under a frozen literal merge table
+    (operators/bpe.bpe_segment): every document segmented with the 8
+    merges the sf0.001 trainer produces, graded value-level against a
+    DuckDB replace-chain oracle (see ``_bpe_encode_oracle``).  This
+    is the corpus-wide half of the tokenizer -- at 100 TB the trainer
+    runs once over the vocab-sized word-frequency table while the
+    encoder streams every document, so the encoder is the path that
+    must be exact and Arrow-fast: one pandas_udf pass, merge ranks in
+    the closure (KBs), per-worker word memoization for Zipf reuse.
+    The reference has no tokenizer at all; this grades the LLM-
+    pipeline extension surface (SURVEY 2 LLM ops)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.bpe import (
+        bpe_segment,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    return (bpe_segment(d, _BPE_FROZEN_MERGES)
+            .select("doc_id", "n_bpe_tokens",
+                    F.concat_ws(" ", "bpe_tokens").alias("bpe_text")))
+
+
 @register("embedding_outliers", "ext:embedding-outliers", oracle="""
 WITH v AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
