@@ -699,20 +699,37 @@ def _read_files(spark: SparkSession, table_dir: str, rel_files,
     scan runs under the PHYSICAL schema (the names the files carry)
     and a projection aliases each column back to its logical name --
     Catalyst pushes filters and pruning through the aliases, so the
-    mapped read plans identically to the unmapped one."""
+    mapped read plans identically to the unmapped one.
+
+    Hive-partitioned layouts (``write_version(partition_by=...)``):
+    the partition column lives in the DIRECTORY name, not the file,
+    so the scan gets ``basePath = table_dir`` and Spark's partition
+    discovery re-attaches it (the non-``k=v`` ``v_N`` segment
+    terminates the upward walk, verified behavior on Spark 4.x);
+    a final projection restores pinned-schema column order, since
+    discovery appends partition columns last."""
+    rel_files = list(rel_files)
     paths = [os.path.join(table_dir, f) for f in rel_files]
+    reader = spark.read
+    partitioned = _has_partition_dirs(rel_files)
+    if partitioned:
+        reader = reader.option("basePath",
+                               os.path.abspath(table_dir))
     if st is None:
-        return spark.read.parquet(*paths)
+        return reader.parquet(*paths)
+    from pyspark.sql import functions as F
+
     pmap = _physical_map(st)
     if not pmap:
-        return spark.read.schema(st).parquet(*paths)
-    from pyspark.sql import functions as F
+        df = reader.schema(st).parquet(*paths)
+        return (df.select([F.col(f.name) for f in st.fields])
+                if partitioned else df)
     from pyspark.sql.types import StructField, StructType
 
     phys_st = StructType([
         StructField(pmap.get(f.name, f.name), f.dataType, True)
         for f in st.fields])
-    df = spark.read.schema(phys_st).parquet(*paths)
+    df = reader.schema(phys_st).parquet(*paths)
     return df.select([F.col(pmap.get(f.name, f.name)).alias(f.name)
                       for f in st.fields])
 
@@ -727,17 +744,22 @@ def _read_files_with_pos(spark: SparkSession, table_dir: str,
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructField, StructType
 
+    rel_files = list(rel_files)
     paths = [os.path.join(table_dir, f) for f in rel_files]
+    reader = spark.read
+    if _has_partition_dirs(rel_files):
+        reader = reader.option("basePath",
+                               os.path.abspath(table_dir))
     meta = [F.col("_metadata.file_path").alias("__dv_file"),
             F.col("_metadata.row_index").alias("__dv_pos")]
     if st is None:
-        df = spark.read.parquet(*paths)
+        df = reader.parquet(*paths)
         return df.select([F.col(c) for c in df.columns] + meta)
     pmap = _physical_map(st)
     phys_st = StructType([
         StructField(pmap.get(f.name, f.name), f.dataType, True)
         for f in st.fields])
-    df = spark.read.schema(phys_st).parquet(*paths)
+    df = reader.schema(phys_st).parquet(*paths)
     return df.select(
         [F.col(pmap.get(f.name, f.name)).alias(f.name)
          for f in st.fields] + meta)
@@ -1450,11 +1472,38 @@ def pruned_files(table_dir: str, n: int, col: str,
     <= hi``, total file count).  A file is skipped ONLY when its
     recorded [min, max] provably misses the range; files without
     recorded stats for ``col`` are always kept -- pruning is an
-    optimization, never a filter."""
+    optimization, never a filter.
+
+    Hive-partitioned layouts prune on the DIRECTORY value too: a
+    ``col=v`` path segment is an exact [v, v] stat for every row in
+    the file (and the null-partition marker means every row's
+    ``col`` is NULL, so any bounded range excludes the file).  The
+    path value is compared under the pinned schema's type; a type
+    with no safe parse keeps the file."""
     files = _data_files(table_dir, n)
     stats = _read_stats(table_dir, n)
+    # partition-dir lookups go by the PHYSICAL column name (the name
+    # the directory was written under); the pinned schema supplies
+    # both the mapping and the comparison type
+    part_dt, phys_col = None, col
+    if _has_partition_dirs(files):
+        st = table_schema(table_dir, n)
+        if st is not None and col in st.fieldNames():
+            fld = st[col]
+            phys_col = _physical_map(st).get(col, col)
+            part_dt = fld.dataType
     kept = []
     for f in files:
+        pv = _partition_values(f).get(phys_col)
+        if pv is not None and (lo is not None or hi is not None):
+            if pv == _NULL_PARTITION:
+                continue
+            if part_dt is not None:
+                tv = _typed_partition_value(pv, part_dt)
+                if tv is not None and (
+                        (hi is not None and tv > hi)
+                        or (lo is not None and tv < lo)):
+                    continue
         s = stats.get(f, {}).get(col)
         if s is not None and ((hi is not None and s[0] > hi)
                               or (lo is not None and s[1] < lo)):
@@ -1570,14 +1619,70 @@ def _base_of(table_dir: str, n: int) -> int | None:
 
 def _data_files(table_dir: str, n: int) -> list[str]:
     """Relative data-file paths making up version ``n``: the manifest
-    lines when one exists, else the snapshot dir's own part files."""
+    lines when one exists, else the snapshot dir's own part files --
+    walked RECURSIVELY so Hive-partitioned snapshots
+    (:func:`write_version` with ``partition_by``) list their
+    ``col=value/part-*.parquet`` leaves."""
     mf = _read_manifest(table_dir, n)
     if mf is not None:
         return mf[0]
     vname = f"v_{n:08d}"
     vdir = os.path.join(table_dir, vname)
-    return sorted(f"{vname}/{f}" for f in os.listdir(vdir)
-                  if not f.startswith(("_", ".")))
+    out = []
+    for root, dirs, fs in os.walk(vdir):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        rel = os.path.relpath(root, vdir)
+        for f in fs:
+            if f.startswith(("_", ".")):
+                continue
+            out.append(f"{vname}/{f}" if rel == "." else
+                       f"{vname}/{rel}/{f}")
+    return sorted(out)
+
+
+_NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _partition_values(rel_path: str) -> dict[str, str]:
+    """Hive-style ``col=value`` directory segments of a manifest-
+    relative data path (percent-unescaped), keyed by the column name
+    the DIRECTORY carries (= the physical name on a column-mapped
+    table).  Empty for unpartitioned layouts."""
+    from urllib.parse import unquote
+
+    out: dict[str, str] = {}
+    for seg in rel_path.split("/")[1:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            out[k] = unquote(v)
+    return out
+
+
+def _typed_partition_value(v: str, dt):
+    """The path-string partition value as a comparable Python value
+    under Spark type ``dt``, or None when the type has no safe
+    parse (pruning then keeps the file -- never a filter)."""
+    name = dt.typeName()
+    try:
+        if name in ("integer", "long", "short", "byte"):
+            return int(v)
+        if name in ("double", "float"):
+            return float(v)
+        if name == "string":
+            return v
+        if name == "boolean":
+            return v.lower() == "true"
+        if name == "date":
+            import datetime
+            return datetime.date.fromisoformat(v)
+    except ValueError:
+        return None
+    return None
+
+
+def _has_partition_dirs(rel_files) -> bool:
+    return any("=" in seg for f in rel_files
+               for seg in f.split("/")[1:-1])
 
 
 def _txns(table_dir: str, n: int) -> set[str]:
@@ -2947,7 +3052,13 @@ def _read_resolved(spark: SparkSession, table_dir: str, n: int) -> DataFrame:
     if mf is None:
         reader = spark.read.schema(st) if st is not None \
             else spark.read
-        return reader.parquet(os.path.join(table_dir, f"v_{n:08d}"))
+        df = reader.parquet(os.path.join(table_dir, f"v_{n:08d}"))
+        if st is not None and df.columns != st.fieldNames():
+            # Hive-partitioned snapshot: partition discovery appends
+            # the partition columns last -- restore pinned order
+            from pyspark.sql import functions as F
+            df = df.select([F.col(f.name) for f in st.fields])
+        return df
     return _read_files_dv(spark, table_dir, n, mf[0], st)
 
 

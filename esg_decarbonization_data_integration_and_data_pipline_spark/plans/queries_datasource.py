@@ -563,6 +563,106 @@ def datasource_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
               "total_price double")
 
 
+@register("partition_pruning_audit", "ext:partitioned-layout,P3,P5,A1",
+          oracle=_BASE_CTE + """,
+p AS (SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE yr END AS yr
+      FROM base)
+SELECT 'read_where_1997' AS stage, 1997 AS yr, count(*) AS n_rows,
+       round(sum(o_totalprice), 4) AS total_price
+FROM p WHERE yr = 1997
+UNION ALL SELECT 'format_eq_1998', 1998, count(*),
+       round(sum(o_totalprice), 4)
+FROM p WHERE yr = 1998
+UNION ALL SELECT 'format_null', -1, count(*),
+       round(sum(o_totalprice), 4)
+FROM p WHERE yr IS NULL
+UNION ALL SELECT 'prune_exact', -1, CAST(1 AS BIGINT), 0.0
+""")
+def partition_pruning_audit(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Hive-partitioned-layout pruning, driver-gradable end-to-end
+    (io/versioned.write_version ``partition_by`` + read_where +
+    sources/versioned_source pushdown).  A snapshot of the 1997-98
+    orders is written ``partition_by=('yr',)`` with every %13th key's
+    ``yr`` NULLed (so the layout carries a real
+    ``__HIVE_DEFAULT_PARTITION__`` directory), then read back three
+    ways, each stage's cells re-derived by the oracle from the raw
+    parquet alone:
+
+    - ``read_where_1997``: the function face -- pruned_files treats
+      the ``yr=v`` directory as an exact [v, v] stat, so only the
+      partition's files are planned (the ``prune_exact`` flag row is
+      recorded only if the kept set IS exactly the yr=1997 leaves and
+      strictly smaller than the table);
+    - ``format_eq_1998``: the format() pushdown face -- the planner's
+      partition-exclusion drops every other directory before stats/
+      bloom checks (planned-partition exactness pinned by
+      tests/test_partitioned_layout.py);
+    - ``format_null``: an IS NULL pushdown -- only the null-marker
+      directory survives planning, and the executor surfaces the
+      partition column as NULL for it (a mis-parsed marker would
+      inflate 1997/1998 counts and hash-mismatch).
+
+    At 100 TB partition pruning is the coarse (free, directory-
+    grained) first cut ahead of file stats and blooms; the value is
+    O(partitions touched) planning with zero data I/O.  The reference
+    truncate-and-reloads unpartitioned tables (jobs/csr_etl.py:157);
+    this is what its monthly slices become on a lakehouse layout.
+    The snapshot build is process-memoized
+    (plans/fixtures.audit_state); every read runs live."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        pruned_files, read_where,
+    )
+    from esg_decarbonization_data_integration_and_data_pipline_spark.sources.versioned_source import (
+        register as register_ds,
+    )
+    from esg_decarbonization_data_integration_and_data_pipline_spark.tables import table
+
+    def build() -> dict:
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import write_version
+
+        root = _tmp("part_aud_")
+        td = os.path.join(root, "t")
+        o = (table(spark, sf_dir, "orders")
+             .filter(F.year("o_orderdate").isin(1997, 1998))
+             .select("o_orderkey", "o_orderstatus", "o_totalprice",
+                     "o_orderpriority", "o_custkey",
+                     F.when(F.col("o_orderkey") % 13 == 0, F.lit(None))
+                      .otherwise(F.year("o_orderdate"))
+                      .cast("int").alias("yr")))
+        write_version(o, td, partition_by=("yr",))
+        return {"td": td, "dirs": (td,)}
+
+    td = audit_state("partition_pruning", sf_dir, build)["td"]
+    register_ds(spark)
+    rows = []
+
+    def add(stage, yr, agg_row):
+        rows.append((stage, yr, int(agg_row["n"]),
+                     float(agg_row["s"])))
+
+    aggs = [F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("s")]
+    add("read_where_1997", 1997,
+        read_where(spark, td, "yr", 1997, 1997).agg(*aggs)
+        .collect()[0])
+    fmt = (spark.read.format("versioned_table").option("path", td)
+           .option("pushdown", "true").load())
+    add("format_eq_1998", 1998,
+        fmt.filter("yr = 1998").agg(*aggs).collect()[0])
+    add("format_null", -1,
+        fmt.filter("yr IS NULL").agg(*aggs).collect()[0])
+    kept, total = pruned_files(td, 1, "yr", 1997, 1997)
+    if (kept and len(kept) < total
+            and all("/yr=1997/" in f"/{f}" or "yr=1997" in f
+                    for f in kept)):
+        rows.append(("prune_exact", -1, 1, 0.0))
+    return spark.createDataFrame(
+        rows, "stage string, yr int, n_rows bigint, "
+              "total_price double")
+
+
 @register("vacuum_retention_audit", "ext:vacuum-retention,P3,A1",
           oracle=_BASE_CTE + """,
 y AS (SELECT yr, count(*) AS n_rows,

@@ -204,13 +204,15 @@ def _read_dv_change(part: "_DvChangePart"):
                 pa.array([p - off for p in positions[i:j]],
                          pa.int64()))
             m = taken.num_rows
+            pv = _path_partition_values(part.abs_path)
             cols = []
             for f in schema:
                 if phys[f.name] in taken.schema.names:
                     cols.append(taken.column(phys[f.name])
                                 .cast(f.type))
                 else:
-                    cols.append(pa.nulls(m, type=f.type))
+                    cols.append(_part_column(pv, phys[f.name],
+                                             m, f.type))
             yield _with_change_cols(
                 pa.RecordBatch.from_arrays(cols, schema=schema),
                 out_schema, tag, part.version)
@@ -247,6 +249,53 @@ class _ChangeDiffPart(InputPartition):
         # as spurious deletes
         self.removed_dv = removed_dv or {}
         self.added_dv = added_dv or {}
+
+
+def _path_partition_values(abs_path: str) -> dict[str, str]:
+    """Hive-style ``col=value`` directory segments BELOW the
+    ``v_NNNNNNNN`` version dir of a data file's absolute path
+    (percent-unescaped; keys are the physical names the directories
+    were written under) -- the executor-side counterpart of
+    io.versioned._partition_values.  Parsed from the path each reader
+    already holds, so every per-file face (batch, pushdown, change
+    feed, dv delta) re-attaches partition columns of a
+    ``write_version(partition_by=...)`` snapshot without planner or
+    partition-class changes.  Segments outside the version dir never
+    match (a ``k=v`` in some unrelated ancestor directory name is
+    ignored)."""
+    import re
+    from urllib.parse import unquote
+
+    segs = abs_path.split(os.sep)
+    idx = None
+    for i, s in enumerate(segs):
+        if re.fullmatch(r"v_\d{8}", s):
+            idx = i
+    if idx is None:
+        return {}
+    out: dict[str, str] = {}
+    for seg in segs[idx + 1:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            out[k] = unquote(v)
+    return out
+
+
+_NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _part_column(pv: dict, phys_name: str, m: int, typ):
+    """A length-``m`` arrow column for a field ABSENT from the file:
+    the path's constant partition value cast to the field type, or
+    nulls (no partition dir for it / the Hive null marker).  A
+    partition value that cannot cast raises -- silently nulling a
+    known value would corrupt the read."""
+    import pyarrow as pa
+
+    v = pv.get(phys_name)
+    if v is None or v == _NULL_PARTITION:
+        return pa.nulls(m, type=typ)
+    return pa.array([v] * m, type=pa.string()).cast(typ)
 
 
 def _field_physical(f) -> str:
@@ -298,6 +347,7 @@ def _read_aligned(abs_path: str, arrow_schema_bytes: bytes,
     pf = pq.ParquetFile(abs_path)
     present = [phys[f.name] for f in schema
                if phys[f.name] in pf.schema_arrow.names]
+    pv = _path_partition_values(abs_path)
     off = 0
     for batch in pf.iter_batches(columns=present):
         n = batch.num_rows
@@ -316,7 +366,7 @@ def _read_aligned(abs_path: str, arrow_schema_bytes: bytes,
             if phys[f.name] in batch.schema.names:
                 cols.append(batch.column(phys[f.name]).cast(f.type))
             else:
-                cols.append(pa.nulls(m, type=f.type))
+                cols.append(_part_column(pv, phys[f.name], m, f.type))
         yield pa.RecordBatch.from_arrays(cols, schema=schema)
 
 
@@ -673,6 +723,9 @@ class _BatchReader(DataSourceReader):
         self._pmap = {f.name: (f.metadata or {}).get("physical",
                                                      f.name)
                       for f in st.fields}
+        # logical name -> Spark type: typed comparison for
+        # partition-directory pruning in the pushdown reader
+        self._spark_types = {f.name: f.dataType for f in st.fields}
 
     def partitions(self) -> Sequence[InputPartition]:
         from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import _data_files
@@ -908,6 +961,53 @@ class _PushdownBatchReader(_BatchReader):
                 return True
         return False
 
+    def _partition_exclude(self, f: str) -> bool:
+        """True when the file's Hive partition-directory values PROVE
+        no row can satisfy the pushed conjuncts (a ``col=v`` segment
+        is an exact constant for every row; the null marker means the
+        column is NULL throughout).  Path values compare under the
+        pinned schema's type; anything unparseable keeps the file."""
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+            _NULL_PARTITION, _partition_values, _typed_partition_value,
+        )
+
+        raw = _partition_values(f)
+        if not raw:
+            return False
+        for op, col, val in self._pushed:
+            rv = raw.get(self._pmap.get(col, col))
+            if rv is None:
+                continue
+            if rv == _NULL_PARTITION:
+                # every row's col is NULL: no comparison or prefix
+                # matches, and notnull is unsatisfiable
+                if op != "isnull":
+                    return True
+                continue
+            if op == "isnull":
+                return True  # constant non-null value
+            if op == "notnull":
+                continue
+            dt = self._spark_types.get(col)
+            tv = _typed_partition_value(rv, dt) if dt is not None \
+                else None
+            if tv is None:
+                continue
+            try:
+                if ((op == "eq" and tv != val)
+                        or (op == "in" and tv not in val)
+                        or (op == "gt" and not tv > val)
+                        or (op == "ge" and not tv >= val)
+                        or (op == "lt" and not tv < val)
+                        or (op == "le" and not tv <= val)
+                        or (op == "prefix"
+                            and isinstance(tv, str)
+                            and not tv.startswith(val))):
+                    return True
+            except TypeError:
+                continue
+        return False
+
     def partitions(self) -> Sequence[InputPartition]:
         from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import _version_meta
 
@@ -931,6 +1031,8 @@ class _PushdownBatchReader(_BatchReader):
             # stats/null/bloom exclusion stays valid on dv-bearing
             # files: a vector only REMOVES rows, so the recorded
             # physical ranges/counts are conservative supersets
+            if self._partition_exclude(f):
+                continue
             if f in stats and _stats_exclude(stats[f], pushed):
                 continue
             if _null_exclude(rowmeta.get(f), pushed):
