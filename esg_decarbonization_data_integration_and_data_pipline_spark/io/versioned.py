@@ -1245,6 +1245,7 @@ def _count_where_plan(table_dir: str, n: int, col: str,
     stats = _read_stats(table_dir, n)
     rowmeta = _read_rowmeta(table_dir, n)
     dvs = _read_dvs(table_dir, n)
+    phys = _physical_name(table_schema(table_dir, n), col)
     meta_rows = 0
     boundary: list[str] = []
     for f in _data_files(table_dir, n):
@@ -1255,9 +1256,22 @@ def _count_where_plan(table_dir: str, n: int, col: str,
             continue  # provably outside (dv rows are a subset:
             #           removing rows cannot bring the file INTO
             #           range, so dv-bearing exclusion stays valid)
-        inside = (s is not None
-                  and (lo is None or s[0] >= lo)
-                  and (hi is None or s[1] <= hi))
+        # an unbounded side needs no stat to prove containment: with
+        # both sides open EVERY non-null row is in range, so the file
+        # is interior whenever its null count is known
+        inside = ((lo is None or (s is not None and s[0] >= lo))
+                  and (hi is None or (s is not None and s[1] <= hi)))
+        if inside and rec is None and f not in dvs:
+            # no manifest rowmeta (e.g. a snapshot or pre-rows
+            # commit): one footer read still beats a scan -- and an
+            # empty part file is provably zero either way
+            frows = _file_meta(os.path.join(table_dir, f),
+                               (phys,))[1]
+            if frows["n"] == 0:
+                continue
+            if phys in frows["nn"]:
+                rec = {"n": frows["n"],
+                       "nn": {col: frows["nn"][phys]}}
         if (inside and rec is not None and col in rec["nn"]
                 and f not in dvs):
             # a deletion vector makes the interior count unanswerable
@@ -1387,8 +1401,11 @@ def _minmax_plan(table_dir: str, n: int,
             continue
         s = stats.get(f, {}).get(col)
         if s is None:
-            s = _file_meta(os.path.join(table_dir, f),
-                           (phys,))[0].get(phys)
+            fstats, frows = _file_meta(os.path.join(table_dir, f),
+                                       (phys,))
+            s = fstats.get(phys)
+            if s is None and frows["n"] == 0:
+                continue  # empty part file: contributes nothing
         if s is None:
             scan.append(f)
             continue

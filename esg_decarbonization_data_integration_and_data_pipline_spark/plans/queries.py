@@ -958,6 +958,7 @@ _DRIVER_TAIL = [
     # placeholder slot: the r13 additions register here until the r13
     # head rotation block moves them into the graded head (see below)
     "bpe_encode_docs", "partition_pruning_audit",
+    "metadata_aggregates_audit",
     # ---- round-9 rotations OUT of the head (each driver-green >= 2
     # rounds; family/SURVEY-row coverage per tools/grading_ledger.py):
     #   dedup_minhash_incremental (r7-r8) -> banded-signature family
