@@ -798,9 +798,28 @@ _DRIVER_HEAD = [
     # dimension history (io/scd).  Six r9+r10-graded heads rotated
     # out -- see the r11 block in _DRIVER_TAIL.
     "mixture_sample_docs",
-    "purge_erasure_audit", "constraints_history_audit",
-    "ddl_timetravel_audit", "bloom_point_lookup_orders",
+    "constraints_history_audit",
     "scd2_customer_history", "scd2_asof_fact_join",
+    # ---- round-13 new capabilities: the frozen-merge BPE ENCODER
+    # grade (the corpus-wide half of the tokenizer -- the trainer
+    # stays rows-only), Hive-partitioned-layout pruning through
+    # read_where AND the format() pushdown face (incl. a real
+    # __HIVE_DEFAULT_PARTITION__ directory), and metadata-answered
+    # aggregates (rowcount/min-max/bounded-count/null-count from
+    # manifests + footers -- the engine's aggregate-pushdown story,
+    # since the Python DS API has no aggregate hook).  Three r11
+    # first-grades rotate out after two graded rounds each:
+    #   purge_erasure_audit (r11-r12)   -> the purge tier keeps a
+    #       head rep via vacuum_retention_audit's
+    #       purge_external_refused stage; P3/A1 are everywhere
+    #   ddl_timetravel_audit (r11-r12)  -> time travel keeps head
+    #       reps via datasource_timetravel_audit +
+    #       versioned_table_audit
+    #   bloom_point_lookup_orders (r11-r12) -> bloom pruning keeps a
+    #       head rep via datasource_pushdown_audit's bloom_eq stage
+    #       + dedup_bloom_incremental
+    "bpe_encode_docs", "partition_pruning_audit",
+    "metadata_aggregates_audit",
     # ---- round-11 new capability: zero-copy shallow CLONE +
     # independent divergence (io/clone) -- semdedup_embeddings_ivf
     # rotates out for the slot (r9+r10 graded; no exclusive SURVEY
@@ -955,10 +974,10 @@ _DRIVER_TAIL = [
     # tests/test_bpe.py) -- documented in tools/grading_ledger.py
     # NEVER_GRADED_OK.
     "bpe_tokenize_docs",
-    # placeholder slot: the r13 additions register here until the r13
-    # head rotation block moves them into the graded head (see below)
-    "bpe_encode_docs", "partition_pruning_audit",
-    "metadata_aggregates_audit",
+    # ---- round-13 rotations OUT of the head (each driver-green
+    # r11+r12; family coverage per the r13 head comment):
+    "purge_erasure_audit", "ddl_timetravel_audit",
+    "bloom_point_lookup_orders",
     # ---- round-9 rotations OUT of the head (each driver-green >= 2
     # rounds; family/SURVEY-row coverage per tools/grading_ledger.py):
     #   dedup_minhash_incremental (r7-r8) -> banded-signature family
