@@ -46,10 +46,14 @@ Shallow-clone caveats, inherent and documented (same as Delta's):
 - deletion vectors (io/versioned ``#dv``) travel by REFERENCE in a
   shallow clone, like the data files.  A purge on the SOURCE remaps
   the shared sidecars in place but only fixes the SOURCE manifests'
-  recorded counts -- the clone's ``#dv`` counts go stale (its
-  metadata rowcount drifts until re-derived; ``verify_table`` on the
-  clone flags the count mismatch loudly).  Same remedy as the vacuum
-  caveat: deep-clone for isolation from source maintenance.
+  recorded counts -- the clone's ``#dv`` lines go stale.  The
+  metadata tiers defend themselves (r13): ``table_rowcount``
+  cross-checks each sidecar's 12-byte rowcount witness against the
+  manifest's physical count and re-derives both numbers from the
+  sidecar on mismatch, so clone-side counts stay correct; reads were
+  already correct (positions are decoded fresh).  ``verify_table``
+  still flags the stale manifest lines for repair, and deep_clone
+  remains the isolation-from-source-maintenance remedy.
 """
 
 from __future__ import annotations

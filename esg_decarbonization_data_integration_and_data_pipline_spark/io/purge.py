@@ -138,19 +138,63 @@ def _readable_versions(table_dir: str,
             if os.path.isdir(os.path.join(table_dir, f"v_{n:08d}"))]
 
 
+class AmbiguousKeyBindingError(ValueError):
+    """The logical purge key bound MORE THAN ONE physical column
+    across readable versions (rename a->b followed by re-adding a
+    fresh logical ``a``): purging under the newest binding alone
+    would silently leave the older column's historical values in
+    place -- a partial erasure.  The caller runs one purge per
+    binding, passing ``key_version`` to pin the schema that defines
+    each intended column."""
+
+
 def _key_physical(table_dir: str, versions: list[int],
-                  key: str) -> str:
+                  key: str, key_version: int | None = None) -> str:
     """The stable PHYSICAL parquet column behind logical ``key`` --
-    resolved under the NEWEST readable schema that carries the
-    logical name (a purge may lawfully target a column already
-    dropped from current).  Identity for unmapped/legacy tables.
-    Physical names are never reused within a table (versioned.py's
-    commit guard), so filtering every historical file on this one
-    name is complete across renames."""
-    for n in reversed(versions):
+    resolved across EVERY readable schema that carries the logical
+    name (a purge may lawfully target a column already dropped from
+    current).  Identity for unmapped/legacy tables.  Physical names
+    are never reused within a table (versioned.py's commit guard),
+    so filtering every historical file on this one name is complete
+    across renames -- but a logical name REBOUND to a second
+    physical column (rename + re-add) makes a single-name purge a
+    partial erasure, so that raises
+    :class:`AmbiguousKeyBindingError` instead of guessing
+    (r12 ADVICE).  ``key_version`` pins the schema that defines the
+    intended column -- the explicit disambiguator for rebound
+    names."""
+    if key_version is not None:
+        st = table_schema(table_dir, key_version)
+        if st is None or key not in st.fieldNames():
+            raise ValueError(
+                f"key {key!r} is not in v_{key_version}'s schema "
+                f"of {table_dir}")
+        return _physical_name(st, key)
+    bindings: dict[str, int] = {}  # physical -> newest version seen
+    for n in versions:
         st = table_schema(table_dir, n)
         if st is not None and key in st.fieldNames():
-            return _physical_name(st, key)
+            bindings[_physical_name(st, key)] = n
+    if len(bindings) > 1:
+        described = []
+        for phys, newest in sorted(bindings.items(),
+                                   key=lambda kv: kv[1]):
+            logi = _key_logicals(table_dir, versions, phys)
+            cur = next((logi[n] for n in reversed(versions)
+                        if logi.get(n) is not None), key)
+            described.append(
+                f"physical {phys!r} (newest schema v_{newest}, "
+                f"current logical name {cur!r})")
+        raise AmbiguousKeyBindingError(
+            f"logical key {key!r} of {table_dir} is bound to "
+            f"{len(bindings)} physical columns across readable "
+            f"versions: {'; '.join(described)}. A single-name purge "
+            f"would erase only one of them -- run one "
+            f"purge_keys_history per binding, passing "
+            f"key_version=<n> to pin the schema that defines each "
+            f"intended column")
+    if bindings:
+        return next(iter(bindings))
     return key
 
 
@@ -174,8 +218,9 @@ def _key_logicals(table_dir: str, versions: list[int],
 
 
 def _candidate_files(table_dir: str, versions: list[int],
-                     key: str, values: list) -> tuple[list[str],
-                                                      dict[int, list[str]]]:
+                     key: str, values: list,
+                     key_version: int | None = None
+                     ) -> tuple[list[str], dict[int, list[str]]]:
     """(union of maybe-containing files across ``versions``,
     per-version candidate lists).  A file with recorded stats on
     the key in ANY manifest is pruned by them (stats are inherited
@@ -183,7 +228,7 @@ def _candidate_files(table_dir: str, versions: list[int],
     stats anywhere is conservatively a candidate.  Stats are keyed
     by each version's own LOGICAL name for the key (it changes
     across renames), resolved through the stable physical name."""
-    phys = _key_physical(table_dir, versions, key)
+    phys = _key_physical(table_dir, versions, key, key_version)
     logicals = _key_logicals(table_dir, versions, phys)
     stats: dict[str, tuple] = {}
     per_version_files: dict[int, list[str]] = {}
@@ -479,7 +524,8 @@ def _update_dv_counts(table_dir: str, n: int,
     for line in raw.splitlines():
         if line.startswith(_DV_PREFIX):
             rec = json.loads(line[len(_DV_PREFIX):])
-            if rec["d"] in new_counts                     and rec["n"] != new_counts[rec["d"]]:
+            if (rec["d"] in new_counts
+                    and rec["n"] != new_counts[rec["d"]]):
                 rec["n"] = new_counts[rec["d"]]
                 line = _DV_PREFIX + json.dumps(rec, sort_keys=True)
                 changed = True
@@ -495,7 +541,8 @@ def _update_dv_counts(table_dir: str, n: int,
 def purge_keys_history(spark: SparkSession, table_dir: str, key: str,
                        values,
                        backend: CommitBackend | None = None,
-                       lock_ttl_seconds: float = 6 * 3600) -> dict:
+                       lock_ttl_seconds: float = 6 * 3600,
+                       key_version: int | None = None) -> dict:
     """Physically remove every row whose ``key`` is in ``values``
     from EVERY readable version of the table (see the module doc for
     the crash-ordered protocol).  ``values`` must be non-null
@@ -503,7 +550,13 @@ def purge_keys_history(spark: SparkSession, table_dir: str, key: str,
     One purge per table at a time (:class:`PurgeInProgressError`;
     ``lock_ttl_seconds`` bounds a crashed purger's lock).  Returns
     ``{"rows_purged", "files_rewritten", "files_candidates",
-    "versions"}``."""
+    "versions"}``.
+
+    ``key_version``: disambiguator for a logical key name bound to
+    more than one physical column across readable versions (rename +
+    re-add) -- resolution under that version's schema; without it
+    such a table raises :class:`AmbiguousKeyBindingError` rather
+    than partially erasing."""
     backend = backend or _DEFAULT_BACKEND
     vals = list(values)
     if not vals:
@@ -523,7 +576,8 @@ def purge_keys_history(spark: SparkSession, table_dir: str, key: str,
         # half-applied BEFORE selecting candidates (idempotent)
         _apply_dv_remap_journals(table_dir, versions)
         union, _per_version = _candidate_files(table_dir, versions,
-                                               key, vals)
+                                               key, vals,
+                                               key_version)
         if not union:
             # nothing can match (stats prove it): no metadata strip,
             # no manifest churn -- the common sweeping-many-tables
@@ -574,7 +628,7 @@ def purge_keys_history(spark: SparkSession, table_dir: str, key: str,
         # carries regardless of renames since.  (Resolved here once;
         # _candidate_files resolved its own copy for the stats prune
         # before any manifest was touched.)
-        phys = _key_physical(table_dir, versions, key)
+        phys = _key_physical(table_dir, versions, key, key_version)
         vset = frozenset(vals)
         sc = spark.sparkContext
         purged_counts = (
@@ -658,6 +712,7 @@ def purge_keys_history(spark: SparkSession, table_dir: str, key: str,
 def count_keys_all_versions(spark: SparkSession, table_dir: str,
                             key: str, values,
                             backend: CommitBackend | None = None,
+                            key_version: int | None = None,
                             ) -> dict[int, int]:
     """Erasure verification: per readable version, how many rows
     still match ``values`` -- the audit a DPO runs after
@@ -676,8 +731,8 @@ def count_keys_all_versions(spark: SparkSession, table_dir: str,
         raise ValueError("values must be non-empty and non-null")
     versions = _readable_versions(table_dir, backend)
     _union, per_version = _candidate_files(table_dir, versions, key,
-                                           vals)
-    phys = _key_physical(table_dir, versions, key)
+                                           vals, key_version)
+    phys = _key_physical(table_dir, versions, key, key_version)
     logicals = _key_logicals(table_dir, versions, phys)
     out: dict[int, int] = {n: 0 for n in versions}
     frames = []
@@ -708,10 +763,12 @@ def count_keys_all_versions(spark: SparkSession, table_dir: str,
 
 def assert_keys_absent(spark: SparkSession, table_dir: str, key: str,
                        values,
-                       backend: CommitBackend | None = None) -> None:
+                       backend: CommitBackend | None = None,
+                       key_version: int | None = None) -> None:
     """Raise if any readable version still holds a matching row."""
     leftover = {n: c for n, c in count_keys_all_versions(
-        spark, table_dir, key, values, backend=backend).items() if c}
+        spark, table_dir, key, values, backend=backend,
+        key_version=key_version).items() if c}
     if leftover:
         raise AssertionError(
             f"purge incomplete for {table_dir}: matching rows remain "

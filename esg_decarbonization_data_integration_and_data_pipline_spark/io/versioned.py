@@ -782,6 +782,37 @@ def _read_files_dv(spark: SparkSession, table_dir: str, n: int,
     hit = [f for f in files if f in dvs]
     if not hit:
         return _read_files(spark, table_dir, files, st)
+    # crash-window guard (r12 ADVICE): a purge journals a rewritten
+    # file's position shifts into .dvremap-<name>.json BEFORE the
+    # swap and remaps referencing sidecars AFTER it -- a crash
+    # between the two leaves this version's deletion vectors
+    # anti-filtering on mis-pointed positions, which a plain read
+    # would silently honor.  The existence check is O(dv-bearing
+    # files in this read) -- control-plane sized by contract; only a
+    # pending journal triggers the (idempotent, all-versions) apply,
+    # after which the fresh manifest state is re-read.
+    pending = [f for f in hit if os.path.exists(os.path.join(
+        table_dir, os.path.dirname(f),
+        f".dvremap-{os.path.basename(f)}.json"))]
+    if pending:
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.purge import (
+            _apply_dv_remap_journals,
+        )
+
+        try:
+            _apply_dv_remap_journals(table_dir,
+                                     committed_versions(table_dir))
+        except OSError as exc:
+            raise RuntimeError(
+                f"{table_dir} has pending deletion-vector remap "
+                f"journals from an interrupted purge ({pending}) and "
+                f"they could not be auto-applied ({exc}); re-run the "
+                f"purge or io.fsck before reading dv-bearing "
+                f"versions") from exc
+        dvs = _read_dvs(table_dir, n)
+        hit = [f for f in files if f in dvs]
+        if not hit:
+            return _read_files(spark, table_dir, files, st)
     from pyspark.sql import functions as F
 
     clean = [f for f in files if f not in dvs]
@@ -809,6 +840,7 @@ def _apply_dv(spark: SparkSession, table_dir: str,
     import pandas as pd
     from pyspark.sql import functions as F
 
+    _dv_suffix_map(dvs)  # loud failure on a scan-key collision
     keys, poss = [], []
     for f, (dv_rel, _cnt) in sorted(dvs.items()):
         sfx = _dv_suffix(f)
@@ -1075,6 +1107,23 @@ def _decode_dv(data: bytes) -> list[int]:
     return _decode_dv_full(data)[0]
 
 
+def _dv_header_rows(table_dir: str, dv_rel: str) -> int | None:
+    """The data-file rowcount WITNESS from a sidecar's 12-byte header
+    (magic + int64, no decompression) -- the count the vector was
+    encoded against.  None when the sidecar is unreadable (callers
+    fall back to the manifest record; fsck owns diagnosis)."""
+    import struct
+
+    try:
+        with open(os.path.join(table_dir, dv_rel), "rb") as fh:
+            head = fh.read(12)
+    except OSError:
+        return None
+    if len(head) < 12 or not head.startswith(_DV_MAGIC):
+        return None
+    return struct.unpack("<q", head[4:12])[0]
+
+
 def _read_dvs(table_dir: str, n: int) -> dict[str, tuple[str, int]]:
     """data relpath -> (dv sidecar relpath, deleted count) recorded
     in ``v_n``'s manifest (empty for snapshots / dv-less versions)."""
@@ -1142,6 +1191,29 @@ def _dv_suffix(rel_or_path: str) -> str:
     return m.group(1) if m else rel_or_path
 
 
+def _dv_suffix_map(rel_files) -> dict[str, str]:
+    """suffix -> manifest-relative path for every file in one
+    suffix-keyed scan, ASSERTING injectivity (r12 ADVICE): a
+    basename collision between a clone-local file and a shallow
+    clone's ``../``-external ref in the same scan would otherwise
+    silently join deletion masks onto the wrong file's rows.  UUID
+    part naming makes collisions unobserved in practice; this makes
+    one fail loudly instead of corrupting a read."""
+    out: dict[str, str] = {}
+    for f in rel_files:
+        sfx = _dv_suffix(f)
+        other = out.get(sfx)
+        if other is not None and other != f:
+            raise RuntimeError(
+                f"deletion-vector scan-key collision: {f!r} and "
+                f"{other!r} share the join suffix {sfx!r}; the "
+                f"position masks cannot be attributed safely. "
+                f"Deep-clone or compact the table so file names are "
+                f"unique within the scan")
+        out[sfx] = f
+    return out
+
+
 def _file_rowmeta(path: str, columns) -> dict:
     """``{"n": num_rows, "nn": {col: null_count}}`` of one parquet
     file (see _file_meta)."""
@@ -1194,16 +1266,32 @@ def table_rowcount(table_dir: str, n: int | None = None,
     total = 0
     for f in _data_files(table_dir, n):
         rec = rowmeta.get(f)
-        if rec is not None:
-            total += rec["n"]
-        else:
-            total += _file_rowmeta(
-                os.path.join(table_dir, f), ())["n"]
+        phys = rec["n"] if rec is not None else _file_rowmeta(
+            os.path.join(table_dir, f), ())["n"]
         if f in dvs:
             # rowmeta "n" is the PHYSICAL count; the manifest's
             # deletion-vector line records how many of them are
-            # logically gone -- still zero data I/O
-            total -= dvs[f][1]
+            # logically gone -- still zero data I/O.  Cross-check
+            # the sidecar's 12-byte rowcount witness against the
+            # recorded physical count (r12 ADVICE): a purge on a
+            # shallow clone's SOURCE remaps the SHARED sidecar in
+            # place but only fixes the source's manifests, so a
+            # stale clone-side record silently returns wrong counts
+            # until verify_table.  A witness mismatch re-derives
+            # both numbers from the sidecar itself.
+            d_rel, cnt = dvs[f]
+            witness = _dv_header_rows(table_dir, d_rel)
+            if witness is not None and witness != phys:
+                phys = witness
+                cnt = len(_dv_positions(table_dir, d_rel))
+            elif rec is None:
+                # footer-derived phys always matches the witness;
+                # the manifest's deleted count could still be stale
+                # -- a control-plane-sized decode settles it
+                cnt = len(_dv_positions(table_dir, d_rel))
+            total += phys - cnt
+        else:
+            total += phys
     return total
 
 
@@ -2193,7 +2281,7 @@ def _dv_delete_commit(spark: SparkSession, table_dir: str,
                                      _DV_SUFFIX_PATTERN, 1)
                     .alias("__k"), "__dv_pos")
             .collect())
-    sfx_to_rel = {_dv_suffix(f): f for f in candidates}
+    sfx_to_rel = _dv_suffix_map(candidates)
     by_rel: dict[str, set[int]] = {}
     for r in hits:
         rel = sfx_to_rel.get(r["__k"])
@@ -3148,6 +3236,7 @@ def _dv_change_rows(spark: SparkSession, table_dir: str, st,
     del_pairs: list[tuple[str, int]] = []
     ins_pairs: list[tuple[str, int]] = []
     affected: list[str] = []
+    _dv_suffix_map(files)  # loud failure on a scan-key collision
     for f in files:
         a = set(_dv_positions(table_dir, from_dvs[f][0])) \
             if f in from_dvs else set()

@@ -284,3 +284,75 @@ def test_rerun_purge_never_duplicates_metadata_lines(spark, tmp_path):
     assert not dupes, f"duplicate metadata lines: {dupes}"
     # and the counts stayed exact through both purges
     assert table_rowcount(t, 3) == 28
+
+
+def test_reader_heals_pending_dv_remap_journal(spark, tmp_path,
+                                               monkeypatch):
+    """r12 ADVICE crash window: a purge that swapped its rewritten
+    files but crashed BEFORE applying the .dvremap journals leaves
+    dv-bearing versions anti-filtering on mis-pointed positions.
+    The version-aware reader must detect the pending journal, apply
+    it, and return correct rows -- not silently hide/resurface the
+    wrong ones."""
+    import glob
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        delete_keys_dv,
+    )
+
+    t = str(tmp_path / "t")
+    append_version(
+        _kv(spark, [(k, f"a{k}") for k in range(10)]).coalesce(1),
+        t, stats_columns=["k"])
+    delete_keys_dv(spark, t,
+                   spark.createDataFrame([(3,)], "k bigint"), "k")
+    # simulate the crash: file swaps land, journal application does
+    # not (both purge call sites go through the module-level name)
+    monkeypatch.setattr(P, "_apply_dv_remap_journals",
+                        lambda *a, **k: 0)
+    purge_keys_history(spark, t, "k", [1])
+    monkeypatch.undo()
+    journals = glob.glob(os.path.join(t, "v_*", ".dvremap-*.json"))
+    assert journals, "purge should have left a pending journal"
+    # the dv-bearing version reads correctly (3 dv-deleted, 1 purged)
+    got = _rows(read_version(spark, t, 2))
+    assert got == sorted((k, f"a{k}") for k in range(10)
+                         if k not in (1, 3))
+    # ... and the heal consumed the journal
+    assert not glob.glob(os.path.join(t, "v_*", ".dvremap-*.json"))
+    # idempotent second read
+    assert _rows(read_version(spark, t, 2)) == got
+
+
+def test_purge_rebound_logical_key_raises(spark, tmp_path):
+    """r12 ADVICE: rename a->b then re-add a fresh logical 'a' --
+    purging key 'a' under the newest binding alone would leave the
+    original column's historical values (now logical 'b') unpurged.
+    The resolver must refuse instead of partially erasing; purging
+    each binding by its current logical name still works."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.purge import (
+        AmbiguousKeyBindingError,
+    )
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        rename_column,
+    )
+
+    t = str(tmp_path / "t")
+    append_version(
+        spark.createDataFrame([(k, f"x{k}") for k in range(5)],
+                              "a bigint, payload string")
+        .coalesce(1), t, stats_columns=["a"])
+    rename_column(spark, t, "a", "b")
+    # re-add a NEW logical 'a' (fresh physical column)
+    append_version(
+        spark.createDataFrame([(100, "y", 7)],
+                              "b bigint, payload string, a bigint")
+        .coalesce(1), t, merge_schema=True)
+    with pytest.raises(AmbiguousKeyBindingError, match="bound to 2"):
+        purge_keys_history(spark, t, "a", [2])
+    # per-binding purges are unambiguous and complete: 'b' has one
+    # binding; the re-added 'a' is pinned to the schema defining it
+    purge_keys_history(spark, t, "b", [2])
+    purge_keys_history(spark, t, "a", [7], key_version=3)
+    assert_keys_absent(spark, t, "b", [2])
+    assert_keys_absent(spark, t, "a", [7], key_version=3)
