@@ -123,6 +123,16 @@ HEADLINE = [
     # anti-joins on versions 4-6) and the metadata rowcounts are the
     # measured contract
     "dv_delete_audit",
+    # added round 13: the r13 head tiers -- the frozen-merge BPE
+    # encoder (one Arrow kernel pass over every document), Hive-
+    # partitioned layout pruning (the snapshot build is memoized;
+    # the three pruned reads are the measured contract), and the
+    # metadata-answered aggregates (zero-/boundary-scan by
+    # construction).  Totals compare on prefix17/24/26/34; the full
+    # r12 42-query set is pinned as prefix42.
+    "bpe_encode_docs",
+    "partition_pruning_audit",
+    "metadata_aggregates_audit",
 ]
 
 
@@ -220,7 +230,8 @@ def main() -> None:
     # rounds APPEND to HEADLINE and, when they grow it, declare one
     # more (length, sentinel) pair here -- one loop, no copied blocks
     PREFIXES = [(17, "events_tumbling_agg"), (24, "drift_orders_psi"),
-                (26, "drift_ks_summary"), (34, "fsck_report_audit")]
+                (26, "drift_ks_summary"), (34, "fsck_report_audit"),
+                (42, "dv_delete_audit")]
     for plen, sentinel in PREFIXES:
         assert len(HEADLINE) >= plen and HEADLINE[plen - 1] == sentinel, \
             f"HEADLINE's first {plen} entries are a cross-round " \

@@ -337,17 +337,26 @@ def _band_candidates(sig: DataFrame, n_bands: int,
                   .agg(F.count(F.lit(1)).alias("__n")))
     big = sizes.filter(F.col("__n") > max_bucket)
     # bucket-grain, capped-bucket-only -- tiny by construction; the
-    # eager report is the no-silent-caps rule made executable
+    # eager report is the no-silent-caps rule made executable (and,
+    # on a cached sig, it doubles as the cache warmer for the joins
+    # below)
     rep = big.agg(F.count(F.lit(1)).alias("nb"),
                   F.max("__n").alias("mx")).collect()[0]
-    if rep["nb"]:
-        import logging
-        logging.getLogger(__name__).warning(
-            "minhash banding: %d band bucket(s) exceed max_bucket=%d "
-            "(largest holds %d docs); collapsing each to star edges "
-            "on its min id -- near-dup clusters are preserved via "
-            "the hub, intra-cluster edge enumeration is truncated",
-            rep["nb"], max_bucket, rep["mx"])
+    if not rep["nb"]:
+        # the common healthy-corpus case: no bucket near the cap, so
+        # the guarded plan IS the exact plan -- skip the anti-join /
+        # star stages entirely (their scheduling cost is pure
+        # overhead when `big` is empty)
+        return (a.join(b, ["band", "sig"])
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "id_b").distinct())
+    import logging
+    logging.getLogger(__name__).warning(
+        "minhash banding: %d band bucket(s) exceed max_bucket=%d "
+        "(largest holds %d docs); collapsing each to star edges "
+        "on its min id -- near-dup clusters are preserved via "
+        "the hub, intra-cluster edge enumeration is truncated",
+        rep["nb"], max_bucket, rep["mx"])
     big_keys = F.broadcast(big.select("band", "sig"))
     pairs_small = (a.join(big_keys, ["band", "sig"], "left_anti")
                     .join(b.join(big_keys, ["band", "sig"],
