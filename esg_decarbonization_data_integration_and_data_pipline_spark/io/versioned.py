@@ -701,20 +701,59 @@ def _read_files(spark: SparkSession, table_dir: str, rel_files,
     Catalyst pushes filters and pruning through the aliases, so the
     mapped read plans identically to the unmapped one.
 
-    Hive-partitioned layouts (``write_version(partition_by=...)``):
-    the partition column lives in the DIRECTORY name, not the file,
-    so the scan gets ``basePath = table_dir`` and Spark's partition
+    Hive-partitioned layouts (``partition_by`` commits): the
+    partition column lives in the DIRECTORY name, not the file, so
+    the scan gets ``basePath = table_dir`` and Spark's partition
     discovery re-attaches it (the non-``k=v`` ``v_N`` segment
-    terminates the upward walk, verified behavior on Spark 4.x);
-    a final projection restores pinned-schema column order, since
-    discovery appends partition columns last."""
-    rel_files = list(rel_files)
+    terminates the upward walk, verified behavior on Spark 4.x); a
+    final projection restores pinned-schema column order, since
+    discovery appends partition columns last.  A MIXED chain (flat
+    and partitioned commits inheriting each other) cannot share one
+    discovery pass (Spark raises CONFLICTING_DIRECTORY_STRUCTURES),
+    so files group by their partition-directory signature -- one
+    scan per layout shape, unioned under the pinned schema."""
+    groups = _layout_groups(rel_files)
+    frames = [_read_files_single(spark, table_dir, fs, st,
+                                 base_rel=base)
+              for base, fs in groups]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
+
+
+def _layout_groups(rel_files) -> list[tuple[str | None, list[str]]]:
+    """Files grouped by partition-structure root -- the path prefix
+    BEFORE the first ``k=v`` segment (None = flat file, no partition
+    dirs) -- in deterministic order.  Spark's partition discovery
+    demands ONE structural root per scan (files under
+    ``v_1/yr=x`` and ``v_2/yr=x`` raise
+    CONFLICTING_DIRECTORY_STRUCTURES even though the columns agree),
+    so each version dir's partitioned files scan separately with
+    that dir as ``basePath``."""
+    groups: dict[str | None, list[str]] = {}
+    for f in rel_files:
+        segs = f.split("/")
+        base: str | None = None
+        for i, seg in enumerate(segs[:-1]):
+            if "=" in seg:
+                base = "/".join(segs[:i])
+                break
+        groups.setdefault(base, []).append(f)
+    return sorted(groups.items(),
+                  key=lambda kv: (kv[0] is not None, kv[0] or ""))
+
+
+def _read_files_single(spark: SparkSession, table_dir: str,
+                       rel_files, st,
+                       base_rel: str | None) -> DataFrame:
     paths = [os.path.join(table_dir, f) for f in rel_files]
     reader = spark.read
-    partitioned = _has_partition_dirs(rel_files)
+    partitioned = base_rel is not None
     if partitioned:
-        reader = reader.option("basePath",
-                               os.path.abspath(table_dir))
+        reader = reader.option(
+            "basePath",
+            os.path.abspath(os.path.join(table_dir, base_rel)))
     if st is None:
         return reader.parquet(*paths)
     from pyspark.sql import functions as F
@@ -744,25 +783,34 @@ def _read_files_with_pos(spark: SparkSession, table_dir: str,
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructField, StructType
 
-    rel_files = list(rel_files)
-    paths = [os.path.join(table_dir, f) for f in rel_files]
-    reader = spark.read
-    if _has_partition_dirs(rel_files):
-        reader = reader.option("basePath",
-                               os.path.abspath(table_dir))
-    meta = [F.col("_metadata.file_path").alias("__dv_file"),
-            F.col("_metadata.row_index").alias("__dv_pos")]
-    if st is None:
-        df = reader.parquet(*paths)
-        return df.select([F.col(c) for c in df.columns] + meta)
-    pmap = _physical_map(st)
-    phys_st = StructType([
-        StructField(pmap.get(f.name, f.name), f.dataType, True)
-        for f in st.fields])
-    df = reader.schema(phys_st).parquet(*paths)
-    return df.select(
-        [F.col(pmap.get(f.name, f.name)).alias(f.name)
-         for f in st.fields] + meta)
+    groups = _layout_groups(rel_files)
+    frames = []
+    for base, fs in groups:
+        paths = [os.path.join(table_dir, f) for f in fs]
+        reader = spark.read
+        if base is not None:
+            reader = reader.option(
+                "basePath",
+                os.path.abspath(os.path.join(table_dir, base)))
+        meta = [F.col("_metadata.file_path").alias("__dv_file"),
+                F.col("_metadata.row_index").alias("__dv_pos")]
+        if st is None:
+            df = reader.parquet(*paths)
+            frames.append(
+                df.select([F.col(c) for c in df.columns] + meta))
+            continue
+        pmap = _physical_map(st)
+        phys_st = StructType([
+            StructField(pmap.get(f.name, f.name), f.dataType, True)
+            for f in st.fields])
+        df = reader.schema(phys_st).parquet(*paths)
+        frames.append(df.select(
+            [F.col(pmap.get(f.name, f.name)).alias(f.name)
+             for f in st.fields] + meta))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
 
 
 def _read_files_dv(spark: SparkSession, table_dir: str, n: int,
@@ -1333,17 +1381,43 @@ def _count_where_plan(table_dir: str, n: int, col: str,
     stats = _read_stats(table_dir, n)
     rowmeta = _read_rowmeta(table_dir, n)
     dvs = _read_dvs(table_dir, n)
-    phys = _physical_name(table_schema(table_dir, n), col)
+    st = table_schema(table_dir, n)
+    phys = _physical_name(st, col)
+    part_dt = (st[col].dataType
+               if st is not None and col in st.fieldNames() else None)
     meta_rows = 0
     boundary: list[str] = []
     for f in _data_files(table_dir, n):
         s = stats.get(f, {}).get(col)
         rec = rowmeta.get(f)
+        if s is None and part_dt is not None and f not in dvs:
+            # partition-directory column: the path value is an exact
+            # [v, v] stat (and the null marker proves all-null)
+            pv = _partition_values(f).get(phys)
+            if pv == _NULL_PARTITION:
+                continue  # no row can match any range
+            if pv is not None:
+                tv = _typed_partition_value(pv, part_dt)
+                if tv is not None:
+                    s = (tv, tv)
+                    if rec is None or col not in rec["nn"]:
+                        # the path also proves zero nulls; row count
+                        # comes from rowmeta or one footer read
+                        n_rows = (rec["n"] if rec is not None else
+                                  _file_rowmeta(
+                                      os.path.join(table_dir, f),
+                                      ())["n"])
+                        rec = {"n": n_rows, "nn": {col: 0}}
         if s is not None and ((hi is not None and s[0] > hi)
                               or (lo is not None and s[1] < lo)):
             continue  # provably outside (dv rows are a subset:
             #           removing rows cannot bring the file INTO
             #           range, so dv-bearing exclusion stays valid)
+        if (rec is not None and col in rec["nn"]
+                and rec["nn"][col] == rec["n"] and f not in dvs):
+            # provably ALL-NULL for col (e.g. a null-partition
+            # directory): no row matches any range, bounded or not
+            continue
         # an unbounded side needs no stat to prove containment: with
         # both sides open EVERY non-null row is in range, so the file
         # is interior whenever its null count is known
@@ -1416,6 +1490,18 @@ def _null_count_plan(table_dir: str, n: int,
         if rec is not None and col in rec["nn"]:
             meta_nulls += rec["nn"][col]
             continue
+        # a partition-directory column lives in the PATH, not the
+        # footer: the footer's column-absent fallback would wrongly
+        # report the file all-null, when the path value proves it
+        # all-NON-null (or the null marker proves the opposite)
+        pv = _partition_values(f).get(phys)
+        if pv is not None:
+            if pv == _NULL_PARTITION:
+                meta_nulls += (rec["n"] if rec is not None else
+                               _file_rowmeta(
+                                   os.path.join(table_dir, f),
+                                   ())["n"])
+            continue
         fc = _file_null_count(os.path.join(table_dir, f), phys)
         if fc is None:
             scan.append(f)
@@ -1476,8 +1562,10 @@ def _minmax_plan(table_dir: str, n: int,
     lands in the scan set."""
     stats = _read_stats(table_dir, n)
     dvs = _read_dvs(table_dir, n)
-    phys = _physical_name(
-        st if st is not None else table_schema(table_dir, n), col)
+    st = st if st is not None else table_schema(table_dir, n)
+    phys = _physical_name(st, col)
+    part_dt = (st[col].dataType
+               if st is not None and col in st.fieldNames() else None)
     lo = hi = None
     scan: list[str] = []
     for f in _data_files(table_dir, n):
@@ -1488,6 +1576,17 @@ def _minmax_plan(table_dir: str, n: int,
             scan.append(f)
             continue
         s = stats.get(f, {}).get(col)
+        if s is None and part_dt is not None:
+            # partition-directory column: the path value IS the
+            # file's exact [v, v] stat (all-null marker contributes
+            # nothing, like an empty file)
+            pv = _partition_values(f).get(phys)
+            if pv == _NULL_PARTITION:
+                continue
+            if pv is not None:
+                tv = _typed_partition_value(pv, part_dt)
+                if tv is not None:
+                    s = (tv, tv)
         if s is None:
             fstats, frows = _file_meta(os.path.join(table_dir, f),
                                        (phys,))
@@ -1732,7 +1831,15 @@ def _data_files(table_dir: str, n: int) -> list[str]:
     if mf is not None:
         return mf[0]
     vname = f"v_{n:08d}"
-    vdir = os.path.join(table_dir, vname)
+    return sorted(f"{vname}/{f}" for f in
+                  _walk_rel_files(os.path.join(table_dir, vname)))
+
+
+def _walk_rel_files(vdir: str) -> list[str]:
+    """Data files under a version/stage dir, RELATIVE to it, walked
+    recursively so Hive-partitioned layouts (``partition_by``) list
+    their ``col=value/part-*.parquet`` leaves; ``_``/``.`` entries
+    (schema file, manifests, crcs) are skipped at every level."""
     out = []
     for root, dirs, fs in os.walk(vdir):
         dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
@@ -1740,8 +1847,7 @@ def _data_files(table_dir: str, n: int) -> list[str]:
         for f in fs:
             if f.startswith(("_", ".")):
                 continue
-            out.append(f"{vname}/{f}" if rel == "." else
-                       f"{vname}/{rel}/{f}")
+            out.append(f if rel == "." else f"{rel}/{f}")
     return sorted(out)
 
 
@@ -1799,7 +1905,8 @@ def append_version(df: DataFrame, table_dir: str, txn: str | None = None,
                    max_attempts: int = 20,
                    backend: CommitBackend | None = None,
                    merge_schema: bool = False,
-                   stats_columns: Sequence[str] = ()) -> int:
+                   stats_columns: Sequence[str] = (),
+                   partition_by: Sequence[str] = ()) -> int:
     """Commit ``df`` as a new version APPENDED to the current one --
     O(batch) per commit, not O(table): the new version dir holds only
     the batch's parquet files plus a tiny ``_MANIFEST`` listing the
@@ -1833,12 +1940,22 @@ def append_version(df: DataFrame, table_dir: str, txn: str | None = None,
     Declared write-time constraints (io/constraints) validate the
     batch FIRST -- one O(batch) scan, CheckFailedError before
     anything stages; a no-op on unconstrained tables.
+
+    ``partition_by``: stage the batch's files under Hive-style
+    ``col=value`` directories inside the version dir.  The manifest
+    lists the nested paths; partition columns get EXACT path-derived
+    [v, v] stats plus null-count rowmeta lines, so read_where / the
+    pushdown face prune appended partitions the same way they prune
+    a :func:`write_version` snapshot layout.  Mixed layouts are fine
+    -- partitioned and flat commits coexist in one chain (each
+    file's partition values resolve from its own path).
     """
     return _manifest_commit(df, table_dir, txn=txn, pinned_base=None,
                             inherit_files=True, max_attempts=max_attempts,
                             backend=backend, merge_schema=merge_schema,
                             stats_columns=stats_columns,
                             enforce_constraints=True,
+                            partition_by=partition_by,
                             op_name="APPEND",
                             op_params={"merge_schema": merge_schema}
                             if merge_schema else None)
@@ -1978,7 +2095,8 @@ def compact_table(spark: SparkSession, table_dir: str,
                   stats_columns: Sequence[str] = (),
                   sort_partitions: int | None = None,
                   zorder_by: Sequence[str] = (),
-                  target_file_bytes: int | None = None) -> int:
+                  target_file_bytes: int | None = None,
+                  partition_by: Sequence[str] = ()) -> int:
     """Snapshot the current append chain into one self-contained
     version: reads the current version, rewrites it as a new version
     whose manifest lists ONLY its own files (terminating the
@@ -1990,7 +2108,12 @@ def compact_table(spark: SparkSession, table_dir: str,
     is a copy of the base, so committing it over a newer base would
     silently drop that append): if the pointer moves past the base
     mid-compaction, :class:`VersionConflictError` raises and the
-    compaction should simply be re-run."""
+    compaction should simply be re-run.
+
+    ``partition_by`` re-lays the snapshot out under Hive-style
+    directories (composable with ``sort_by``/``zorder_by`` clustering
+    WITHIN partitions) -- the OPTIMIZE path that converts a flat
+    append chain into a partition-pruned layout in one commit."""
     base = current_version(table_dir, backend=backend)
     if base is None:
         raise FileNotFoundError(
@@ -2050,9 +2173,11 @@ def compact_table(spark: SparkSession, table_dir: str,
         stats_columns=(tuple(stats_columns) or tuple(sort_by)
                        or tuple(zorder_by)),
         row_identical_base=base,
+        partition_by=partition_by,
         op_name="OPTIMIZE",
         op_params={k: list(v) for k, v in
-                   (("sort_by", sort_by), ("zorder_by", zorder_by))
+                   (("sort_by", sort_by), ("zorder_by", zorder_by),
+                    ("partition_by", partition_by))
                    if v})
 
 
@@ -2849,6 +2974,7 @@ def _manifest_commit(df: DataFrame, table_dir: str, txn: str | None,
                      inherit_drop: frozenset[str] = frozenset(),
                      row_identical_base: int | None = None,
                      enforce_constraints: bool = False,
+                     partition_by: Sequence[str] = (),
                      op_name: str = "WRITE",
                      op_params: dict | None = None) -> int:
     """Shared stage -> claim -> manifest -> commit loop behind
@@ -2893,11 +3019,16 @@ def _manifest_commit(df: DataFrame, table_dir: str, txn: str | None,
         table_dir, f"{_STAGE_PREFIX}{os.getpid()}-{uuid.uuid4().hex}")
     claimed: str | None = None
     try:
-        df.write.mode("overwrite").parquet(staged)
-        if not any(not f.startswith(("_", "."))
-                   for f in os.listdir(staged)):
+        w = df.write.mode("overwrite")
+        if partition_by:
+            # the staged layout speaks PHYSICAL names like the files
+            w = w.partitionBy(*[staged_physical.get(c, c)
+                                for c in partition_by])
+        w.parquet(staged)
+        if not _walk_rel_files(staged):
             # an empty batch can plan away to zero part files; force
             # one schema-carrying part so the version stays readable
+            # (unpartitioned: an empty flat part needs no layout)
             df.limit(0).repartition(1).write.mode("overwrite") \
                 .parquet(staged)
         if enforce_constraints:
@@ -3002,9 +3133,8 @@ def _commit_staged_dir(table_dir: str, staged: str, txn: str | None,
                 # forbids committing n -- renumber above the new base
                 n = max(cur, max(_versions(table_dir), default=0)) + 1
                 continue
-            own = sorted(
-                f"{vname}/{f}" for f in os.listdir(claimed)
-                if not f.startswith(("_", ".")))
+            own = sorted(f"{vname}/{f}"
+                         for f in _walk_rel_files(claimed))
             inherited = ([f for f in _data_files(table_dir, cur)
                           if f not in inherit_drop]
                          if cur is not None and inherit_files else [])
@@ -3098,8 +3228,26 @@ def _commit_staged_dir(table_dir: str, staged: str, txn: str | None,
                 rm = {"n": rm["n"],
                       "nn": {inv_p.get(c, c): v
                              for c, v in rm["nn"].items()}}
+                # a Hive-partitioned own file carries its partition
+                # columns in the PATH, not the footer: record the
+                # exact [v, v] stat and the (0 or all) null count so
+                # the metadata tiers answer for partition columns
+                # exactly as for footer-backed ones
+                for pc, pv in _partition_values(rel).items():
+                    lc = inv_p.get(pc, pc)
+                    if lc not in commit_schema.fieldNames():
+                        continue
+                    if pv == _NULL_PARTITION:
+                        rm["nn"][lc] = rm["n"]
+                        continue
+                    tv = _typed_partition_value(
+                        pv, commit_schema[lc].dataType)
+                    if tv is not None and isinstance(
+                            tv, (int, float, str, bool)):
+                        stats.setdefault(rel, {})[lc] = (tv, tv)
+                    rm["nn"][lc] = 0
                 if track and fs:
-                    stats[rel] = fs
+                    stats.setdefault(rel, {}).update(fs)
                 rowmeta[rel] = rm
             # deletion vectors ride the inheritance: an append/merge
             # must carry the base's #dv lines for every file it

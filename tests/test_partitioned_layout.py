@@ -163,3 +163,95 @@ def test_multi_column_partitioning(spark, tmp_path):
     assert got.count() == 10
     kept_a, _ = pruned_files(td, 1, "a", 1, 1)
     assert all("a=1" in f for f in kept_a)
+
+
+def test_partitioned_append_chain(spark, tmp_path):
+    """append_version(partition_by=...): nested manifest paths,
+    path-derived exact stats, and pruning across an inheriting
+    chain with mixed flat/partitioned commits."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        _read_stats, append_version, count_nulls, count_where,
+        table_rowcount,
+    )
+
+    td = str(tmp_path / "ap")
+    df = spark.range(60).select(
+        F.col("id"),
+        F.when(F.col("id") % 15 == 14, F.lit(None))
+         .otherwise(2000 + F.col("id") % 3).cast("int").alias("yr"))
+    append_version(df.filter("id < 30"), td, partition_by=("yr",),
+                   stats_columns=["id"])
+    append_version(df.filter("id >= 30"), td, partition_by=("yr",))
+    # flat commit into the same chain
+    append_version(
+        spark.createDataFrame([(1000, 1999)], "id bigint, yr int"),
+        td)
+    files = _data_files(td, 3)
+    assert any("yr=" in f for f in files)
+    assert read_current(spark, td).count() == 61
+    # partition columns carry EXACT manifest stats from the path
+    stats = _read_stats(td, 3)
+    part_stats = [s["yr"] for f, s in stats.items()
+                  if "yr=2001" in f]
+    assert part_stats and all(s == (2001, 2001) or s == [2001, 2001]
+                              for s in part_stats)
+    # pruning works through the inheriting manifest
+    kept, total = pruned_files(td, 3, "yr", 2001, 2001)
+    assert kept and len(kept) < total
+    assert read_where(spark, td, "yr", 2001, 2001).count() == \
+        len([i for i in range(60) if i % 15 != 14 and i % 3 == 1])
+    # metadata tiers answer for the partition column without a scan
+    assert table_rowcount(td, 3) == 61
+    assert count_nulls(None, td, "yr", n=2) == 4
+    assert count_where(None, td, "yr", lo=2001, hi=2001, n=2) == \
+        len([i for i in range(60) if i % 15 != 14 and i % 3 == 1])
+
+
+def test_compact_into_partitioned_layout(spark, tmp_path):
+    """compact_table(partition_by=...): a flat append chain
+    re-laid out under partition directories in one commit, rows
+    identical, pruning live."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        append_version, compact_table,
+    )
+
+    td = str(tmp_path / "cp")
+    df = spark.range(90).select(
+        F.col("id"), (F.col("id") % 3).cast("int").alias("g"),
+        (F.col("id") * 0.5).alias("x"))
+    append_version(df.filter("id < 45"), td)
+    append_version(df.filter("id >= 45"), td)
+    v = compact_table(spark, td, partition_by=("g",),
+                      sort_by=["id"], sort_partitions=4,
+                      stats_columns=["id"])
+    files = _data_files(td, v)
+    assert files and all("g=" in f for f in files)
+    cur = read_current(spark, td)
+    assert cur.columns == ["id", "g", "x"]
+    assert sorted(r.id for r in cur.collect()) == list(range(90))
+    kept, total = pruned_files(td, v, "g", 2, 2)
+    assert kept and len(kept) < total and all("g=2" in f for f in kept)
+    # sort_by clustering holds within partitions: id pruning works too
+    kept_id, _ = pruned_files(td, v, "id", 0, 5)
+    assert len(kept_id) < total
+
+
+def test_partitioned_append_through_datasource_face(spark, tmp_path):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import append_version
+
+    td = str(tmp_path / "dsap")
+    df = spark.range(40).select(
+        F.col("id"), (F.col("id") % 4).cast("int").alias("b"))
+    append_version(df, td, partition_by=("b",))
+    register_ds(spark)
+    r = (spark.read.format("versioned_table").option("path", td)
+         .load())
+    assert r.count() == 40
+    assert {x[0] for x in r.select("b").distinct().collect()} \
+        == {0, 1, 2, 3}
+    rd = _PushdownBatchReader({"path": td, "pushdown": "true"}, 1)
+    all_n = len(rd.partitions())
+    rd._pushed = [("eq", "b", 2)]
+    parts = rd.partitions()
+    assert 0 < len(parts) < all_n
+    assert all("b=2" in p.abs_path for p in parts)
