@@ -1113,11 +1113,17 @@ _OP_PREFIX = "#op "
 _DV_PREFIX = "#dv "
 _DV_MAGIC = b"DV2\x00"
 # the scan-side <-> manifest-side join key for deletion vectors: the
-# trailing version-dir/file-name of a data file reference.  ONE
-# pattern shared by _dv_suffix and every F.regexp_extract site -- a
-# drifted copy would make the anti-join silently filter nothing
-# (review r12e-5)
-_DV_SUFFIX_PATTERN = r"(v_\d{8}/[^/]+)$"
+# trailing version-dir path of a data file reference, INCLUDING any
+# Hive partition segments between the version dir and the file name
+# (r13: 'v_N/yr=2000/part.parquet' must key whole, or partitioned
+# dv-deletes mis-join).  The negative lookahead anchors the match at
+# the LAST v_N segment, so an ancestor directory that happens to be
+# v_N-shaped cannot desynchronize the two sides.  ONE pattern shared
+# by _dv_suffix and every F.regexp_extract site -- a drifted copy
+# would make the anti-join silently filter nothing (review r12e-5);
+# Python re and Java regex agree on this construct (pinned by
+# tests/test_partitioned_layout.py's dv round-trip).
+_DV_SUFFIX_PATTERN = r"(v_\d{8}/(?:(?!v_\d{8}/)[^/]+/)*[^/]+)$"
 
 
 def _encode_dv(positions, nrows: int) -> bytes:

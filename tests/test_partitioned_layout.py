@@ -255,3 +255,54 @@ def test_partitioned_append_through_datasource_face(spark, tmp_path):
     parts = rd.partitions()
     assert 0 < len(parts) < all_n
     assert all("b=2" in p.abs_path for p in parts)
+
+
+def test_dv_suffix_pattern_nested_and_anchored():
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import _dv_suffix
+
+    assert _dv_suffix("v_00000001/part.parquet") \
+        == "v_00000001/part.parquet"
+    assert _dv_suffix("v_00000001/g=2/part.parquet") \
+        == "v_00000001/g=2/part.parquet"
+    # the LAST v_N segment anchors: a v_N-shaped ancestor directory
+    # cannot desynchronize scan-side URIs from manifest-side rels
+    assert _dv_suffix("/tmp/v_00000012/tbl/v_00000001/g=2/f.pq") \
+        == "v_00000001/g=2/f.pq"
+    assert _dv_suffix(
+        "file:/x/t/v_00000003/yr=__HIVE_DEFAULT_PARTITION__/p.pq") \
+        == "v_00000003/yr=__HIVE_DEFAULT_PARTITION__/p.pq"
+
+
+def test_row_level_ops_on_partitioned_table(spark, tmp_path):
+    """dv-delete, copy-on-write delete, and merge all work on a
+    Hive-partitioned snapshot (the dv join key spans the partition
+    segments; rewrites materialize the partition column into flat
+    replacement files, which mixed-layout reads handle)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        delete_keys_dv, delete_keys_version, merge_version,
+        read_version, table_rowcount, write_version,
+    )
+
+    td = str(tmp_path / "rl")
+    df = spark.range(40).select(
+        F.col("id"), (F.col("id") % 4).cast("int").alias("g"))
+    write_version(df, td, partition_by=("g",))
+    delete_keys_dv(spark, td,
+                   spark.createDataFrame([(5,), (6,)], "id bigint"),
+                   "id")
+    got = sorted(r.id for r in read_current(spark, td).collect())
+    assert len(got) == 38 and 5 not in got and 6 not in got
+    assert table_rowcount(td) == 38
+    delete_keys_version(
+        spark, td, spark.createDataFrame([(7,)], "id bigint"), "id")
+    cur = read_current(spark, td)
+    assert cur.count() == 37
+    assert cur.filter("g IS NULL").count() == 0
+    merge_version(
+        spark, td,
+        spark.range(2).select((F.col("id") + 100).alias("id"),
+                              F.lit(1).cast("int").alias("g")),
+        "id")
+    assert read_current(spark, td).count() == 39
+    # time travel back to the pristine partitioned snapshot
+    assert read_version(spark, td, 1).count() == 40
