@@ -1194,26 +1194,79 @@ class _PartNames(WriterCommitMessage):
         self.names = names
 
 
-def _write_stage_part(iterator, stage_dir: str) -> "_PartNames":
+def _hive_dir_value(v) -> str:
+    """One partition value as a Hive directory component: the null
+    marker for None, lowercase booleans, percent-escaping for
+    path-hostile characters (the reader unquotes -- io.versioned
+    ._partition_values)."""
+    if v is None:
+        return _NULL_PARTITION
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    from urllib.parse import quote
+
+    return quote(str(v), safe=" ._-")
+
+
+def _write_stage_part(iterator, stage_dir: str,
+                      part_cols: tuple = ()) -> "_PartNames":
     """Executor-side: stream this task's Arrow batches into one
-    parquet part file under ``stage_dir``; returns the name (or
-    nothing for an empty task)."""
+    parquet part file under ``stage_dir`` -- or, with ``part_cols``
+    (PHYSICAL partition column names), into one part per partition
+    value under Hive-style ``col=value`` subdirs, the partition
+    columns dropped from the file bytes like Spark's own layout.
+    Returns the stage-relative names (nothing for an empty task).
+    Memory is bounded by one open writer per partition value the
+    task touches -- writes repartitioned by the partition key touch
+    one."""
     import uuid
 
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    name = f"part-{uuid.uuid4().hex}.parquet"
-    writer = None
+    if not part_cols:
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        writer = None
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        os.path.join(stage_dir, name), batch.schema)
+                writer.write_batch(batch)
+        finally:
+            if writer is not None:
+                writer.close()
+        return _PartNames([name] if writer is not None else [])
+    writers: dict[str, object] = {}
+    names: list[str] = []
     try:
         for batch in iterator:
-            if writer is None:
-                writer = pq.ParquetWriter(
-                    os.path.join(stage_dir, name), batch.schema)
-            writer.write_batch(batch)
+            tbl = pa.Table.from_batches([batch])
+            key_rows = list(zip(*[tbl.column(c).to_pylist()
+                                  for c in part_cols]))
+            groups: dict[tuple, list[int]] = {}
+            for i, kr in enumerate(key_rows):
+                groups.setdefault(kr, []).append(i)
+            data = tbl.drop_columns(list(part_cols))
+            for kr, rows in groups.items():
+                rel_dir = "/".join(
+                    f"{c}={_hive_dir_value(v)}"
+                    for c, v in zip(part_cols, kr))
+                w = writers.get(rel_dir)
+                sub = data.take(pa.array(rows, pa.int64()))
+                if w is None:
+                    os.makedirs(os.path.join(stage_dir, rel_dir),
+                                exist_ok=True)
+                    name = f"{rel_dir}/part-{uuid.uuid4().hex}.parquet"
+                    w = pq.ParquetWriter(
+                        os.path.join(stage_dir, name), sub.schema)
+                    writers[rel_dir] = w
+                    names.append(name)
+                w.write_table(sub)
     finally:
-        if writer is not None:
-            writer.close()
-    return _PartNames([name] if writer is not None else [])
+        for w in writers.values():
+            w.close()
+    return _PartNames(names)
 
 
 def _ensure_schema_part(stage_dir: str, arrow_schema_bytes: bytes
@@ -1236,8 +1289,10 @@ def _ensure_schema_part(stage_dir: str, arrow_schema_bytes: bytes
 
 
 def _parse_write_options(options):
-    """(path, merge_schema, stats_columns) shared by both writers --
-    one copy of the option parsing (r12 review pass 2)."""
+    """(path, merge_schema, stats_columns, partition_by) shared by
+    both writers -- one copy of the option parsing (r12 review
+    pass 2).  ``partitionBy`` takes comma-separated LOGICAL column
+    names; the writers map them to staged physical names."""
     path = _table_path(options)
     merge = str(options.get("mergeSchema",
                             options.get("mergeschema",
@@ -1246,7 +1301,10 @@ def _parse_write_options(options):
     sc = options.get("statsColumns", options.get("statscolumns"))
     stats = tuple(s.strip() for s in sc.split(",")
                   if s.strip()) if sc else ()
-    return path, merge, stats
+    pb = options.get("partitionBy", options.get("partitionby"))
+    part = tuple(s.strip() for s in pb.split(",")
+                 if s.strip()) if pb else ()
+    return path, merge, stats, part
 
 
 def _mapped_write_state(path: str, schema, seed: str | None = None):
@@ -1374,7 +1432,10 @@ class _VersionedBatchWriter(DataSourceArrowWriter):
     version (only its own files -- truncate-and-load WITH history,
     the write_version shape).  Options: ``txn`` (idempotence marker:
     a replayed job with the same marker no-ops), ``mergeSchema``,
-    ``statsColumns`` (comma-separated file-skipping columns).
+    ``statsColumns`` (comma-separated file-skipping columns),
+    ``partitionBy`` (comma-separated columns: parts land under
+    Hive-style ``col=value`` dirs, the function API's
+    ``partition_by`` through the format() face).
     Executors stream Arrow batches straight into staged parquet
     parts; commit() runs the same claim -> manifest -> pointer loop
     as append_version (shared _commit_staged_dir), entirely
@@ -1383,8 +1444,8 @@ class _VersionedBatchWriter(DataSourceArrowWriter):
     def __init__(self, options, schema, overwrite: bool):
         import uuid
 
-        self.path, self.merge_schema, self.stats_columns = \
-            _parse_write_options(options)
+        (self.path, self.merge_schema, self.stats_columns,
+         self._partition_by) = _parse_write_options(options)
         # column-mapped base: stage under physical names, commit the
         # logical schema with its mapping metadata
         self._staged_physical, self._phys_names, self.schema = \
@@ -1414,7 +1475,9 @@ class _VersionedBatchWriter(DataSourceArrowWriter):
         os.makedirs(self.staged, exist_ok=True)
         if self._phys_names is not None:
             iterator = _remap_batches(iterator, self._phys_names)
-        return _write_stage_part(iterator, self.staged)
+        part_phys = tuple(self._staged_physical.get(c, c)
+                          for c in self._partition_by)
+        return _write_stage_part(iterator, self.staged, part_phys)
 
     def commit(self, messages) -> None:
         # replay no-op FIRST: a replayed batch must drain even if the
@@ -1432,9 +1495,11 @@ class _VersionedBatchWriter(DataSourceArrowWriter):
         # duplicate/partial rows (r12 review pass 2)
         named = {n for m in messages if m is not None
                  for n in getattr(m, "names", [])}
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import _walk_rel_files
+
         try:
-            for f in os.listdir(self.staged):
-                if not f.startswith(("_", ".")) and f not in named:
+            for f in _walk_rel_files(self.staged):
+                if f not in named:
                     os.remove(os.path.join(self.staged, f))
         except OSError:
             pass
@@ -1469,8 +1534,8 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
     def __init__(self, options, schema, overwrite: bool):
         import hashlib
 
-        self.path, self.merge_schema, self.stats_columns = \
-            _parse_write_options(options)
+        (self.path, self.merge_schema, self.stats_columns,
+         self._partition_by) = _parse_write_options(options)
         self.schema = schema
         # (self.schema is remapped below once txnAppId is known --
         # the mapped-base physical names must be DETERMINISTIC across
@@ -1530,7 +1595,9 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
         os.replace(tmp, self._marker_path())
         if self._phys_names is not None:
             iterator = _remap_batches(iterator, self._phys_names)
-        return _write_stage_part(iterator, self.pending)
+        part_phys = tuple(self._staged_physical.get(c, c)
+                          for c in self._partition_by)
+        return _write_stage_part(iterator, self.pending, part_phys)
 
     def _commit_plan(self):
         """(staged_physical, commit schema, staged-layout arrow
@@ -1600,8 +1667,9 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
             f"{_STAGE_PREFIX}{os.getpid()}-{uuid.uuid4().hex}")
         os.makedirs(staged)
         for n in names:
-            os.rename(os.path.join(self.pending, n),
-                      os.path.join(staged, n))
+            dst = os.path.join(staged, n)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(os.path.join(self.pending, n), dst)
         _ensure_schema_part(staged, arrow_bytes)
         _commit_stage(self.path, staged, schema, txn,
                       overwrite=self.overwrite,

@@ -306,3 +306,57 @@ def test_row_level_ops_on_partitioned_table(spark, tmp_path):
     assert read_current(spark, td).count() == 39
     # time travel back to the pristine partitioned snapshot
     assert read_version(spark, td, 1).count() == 40
+
+
+def test_datasource_write_partitionby_batch(spark, tmp_path):
+    """df.write.format('versioned_table').option('partitionBy', ...):
+    executors stage parts under col=value dirs, partition columns
+    dropped from the file bytes, read back via the path on both
+    faces, pruning live."""
+    register_ds(spark)
+    td = str(tmp_path / "wb")
+    df = spark.range(60).select(
+        F.col("id"), (F.col("id") % 3).cast("int").alias("g"),
+        (F.col("id") * 2.0).alias("x"))
+    (df.write.format("versioned_table").option("path", td)
+       .option("partitionBy", "g").option("statsColumns", "id")
+       .mode("append").save())
+    files = _data_files(td, 1)
+    assert files and all("g=" in f for f in files)
+    cur = read_current(spark, td)
+    assert cur.columns == ["id", "g", "x"]
+    assert cur.count() == 60
+    assert cur.filter("g = 1").count() == 20
+    kept, total = pruned_files(td, 1, "g", 1, 1)
+    assert kept and len(kept) < total
+    # append a second partitioned version through the same face
+    (spark.range(10).select(
+        (F.col("id") + 100).alias("id"),
+        F.lit(7).cast("int").alias("g"), F.lit(0.0).alias("x"))
+     .write.format("versioned_table").option("path", td)
+     .option("partitionBy", "g").mode("append").save())
+    assert read_current(spark, td).filter("g = 7").count() == 10
+
+
+def test_datasource_write_partitionby_stream(spark, tmp_path):
+    td = str(tmp_path / "ws")
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    df = spark.range(30).select(
+        F.col("id"), (F.col("id") % 2).cast("int").alias("g"))
+    df.write.mode("overwrite").parquet(src + "/b0")
+    register_ds(spark)
+    q = (spark.readStream.schema(df.schema).parquet(src + "/*")
+         .writeStream.format("versioned_table")
+         .option("path", td).option("txnAppId", "part-stream")
+         .option("partitionBy", "g")
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    files = _data_files(td, 1)
+    assert files and all("g=" in f for f in files)
+    cur = read_current(spark, td)
+    assert cur.count() == 30
+    assert cur.filter("g = 1").count() == 15
+    kept, total = pruned_files(td, 1, "g", 0, 0)
+    assert kept and len(kept) < total
