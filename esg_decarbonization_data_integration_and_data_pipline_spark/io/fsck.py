@@ -272,15 +272,17 @@ def verify_table(spark: SparkSession, table_dir: str,
     for v in versions:
         for _f, (d, _cnt) in _read_dvs(table_dir, v).items():
             referenced.add(d)
+    # walked RECURSIVELY (r13 review finding #2): a Hive-partitioned
+    # version's live files sit under col=value subdirs -- the flat
+    # listdir sweep reported every live partition DIRECTORY as
+    # vacuum fodder and never saw a genuine orphan nested inside one
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import _walk_rel_files
+
     for v in versions:
         vdir = os.path.join(table_dir, f"v_{v:08d}")
-        try:
-            entries = os.listdir(vdir)
-        except OSError:
+        if not os.path.isdir(vdir):
             continue
-        for e in entries:
-            if e.startswith(("_", ".")):
-                continue
+        for e in _walk_rel_files(vdir):
             rel = f"v_{v:08d}/{e}"
             if rel not in referenced:
                 report["unreferenced_files"].append(rel)

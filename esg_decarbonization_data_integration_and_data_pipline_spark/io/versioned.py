@@ -835,28 +835,8 @@ def _read_files_dv(spark: SparkSession, table_dir: str, n: int,
     # swap and remaps referencing sidecars AFTER it -- a crash
     # between the two leaves this version's deletion vectors
     # anti-filtering on mis-pointed positions, which a plain read
-    # would silently honor.  The existence check is O(dv-bearing
-    # files in this read) -- control-plane sized by contract; only a
-    # pending journal triggers the (idempotent, all-versions) apply,
-    # after which the fresh manifest state is re-read.
-    pending = [f for f in hit if os.path.exists(os.path.join(
-        table_dir, os.path.dirname(f),
-        f".dvremap-{os.path.basename(f)}.json"))]
-    if pending:
-        from esg_decarbonization_data_integration_and_data_pipline_spark.io.purge import (
-            _apply_dv_remap_journals,
-        )
-
-        try:
-            _apply_dv_remap_journals(table_dir,
-                                     committed_versions(table_dir))
-        except OSError as exc:
-            raise RuntimeError(
-                f"{table_dir} has pending deletion-vector remap "
-                f"journals from an interrupted purge ({pending}) and "
-                f"they could not be auto-applied ({exc}); re-run the "
-                f"purge or io.fsck before reading dv-bearing "
-                f"versions") from exc
+    # would silently honor.
+    if _heal_pending_dv_remaps(table_dir, hit):
         dvs = _read_dvs(table_dir, n)
         hit = [f for f in files if f in dvs]
         if not hit:
@@ -904,10 +884,41 @@ def _apply_dv(spark: SparkSession, table_dir: str,
     if total <= _DV_BROADCAST_ROWS:
         pairs = F.broadcast(pairs)
     out = (df_with_pos
-           .withColumn("__dv_key", F.regexp_extract(
-               "__dv_file", _DV_SUFFIX_PATTERN, 1))
+           .withColumn("__dv_key", _dv_key_col())
            .join(pairs, ["__dv_key", "__dv_pos"], "left_anti"))
     return out.drop("__dv_file", "__dv_pos", "__dv_key")
+
+
+def _heal_pending_dv_remaps(table_dir: str, dv_files) -> bool:
+    """Apply any pending purge ``.dvremap`` journals beside the given
+    dv-bearing files (a crash window between a purged file's atomic
+    swap and its sidecar remap -- r12 ADVICE; r13 review finding #4
+    extended the guard to the METADATA tiers, whose manifest count
+    and sidecar witness go stale TOGETHER in that window).  The
+    existence probe is O(dv-bearing files) -- control-plane sized by
+    contract; only a pending journal triggers the idempotent,
+    all-versions apply.  Returns True when an apply ran, so callers
+    re-read manifest state."""
+    pending = [f for f in dv_files if os.path.exists(os.path.join(
+        table_dir, os.path.dirname(f),
+        f".dvremap-{os.path.basename(f)}.json"))]
+    if not pending:
+        return False
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.purge import (
+        _apply_dv_remap_journals,
+    )
+
+    try:
+        _apply_dv_remap_journals(table_dir,
+                                 committed_versions(table_dir))
+    except OSError as exc:
+        raise RuntimeError(
+            f"{table_dir} has pending deletion-vector remap "
+            f"journals from an interrupted purge ({pending}) and "
+            f"they could not be auto-applied ({exc}); re-run the "
+            f"purge or io.fsck before reading dv-bearing "
+            f"versions") from exc
+    return True
 
 
 def _resolve_commit_schema(base, batch, merge_schema: bool,
@@ -1126,6 +1137,21 @@ _DV_MAGIC = b"DV2\x00"
 _DV_SUFFIX_PATTERN = r"(v_\d{8}/(?:(?!v_\d{8}/)[^/]+/)*[^/]+)$"
 
 
+def _dv_key_col(file_col: str = "__dv_file"):
+    """The SCAN-side dv join key as a Column: the trailing suffix of
+    ``_metadata.file_path``, URI-DECODED so it compares equal to the
+    literal on-disk names manifests hold.  ``file_path`` is a URI --
+    a partition directory like ``reg=north region`` surfaces as
+    ``reg=north%20region`` and would never match the manifest ref
+    (r13 review finding #1).  ``+`` is pre-escaped because
+    URLDecoder reads it as a space while URI path encoding leaves it
+    literal."""
+    from pyspark.sql import functions as F
+
+    k = F.regexp_extract(file_col, _DV_SUFFIX_PATTERN, 1)
+    return F.url_decode(F.replace(k, F.lit("+"), F.lit("%2B")))
+
+
 def _encode_dv(positions, nrows: int) -> bytes:
     """Sidecar bytes for a sorted iterable of file-relative row
     indices: magic + the data file's PHYSICAL rowcount at encode time
@@ -1317,6 +1343,9 @@ def table_rowcount(table_dir: str, n: int | None = None,
                 f"{table_dir} has no committed version (_CURRENT missing)")
     rowmeta = _read_rowmeta(table_dir, n)
     dvs = _read_dvs(table_dir, n)
+    if dvs and _heal_pending_dv_remaps(table_dir, dvs):
+        rowmeta = _read_rowmeta(table_dir, n)
+        dvs = _read_dvs(table_dir, n)
     total = 0
     for f in _data_files(table_dir, n):
         rec = rowmeta.get(f)
@@ -1387,6 +1416,10 @@ def _count_where_plan(table_dir: str, n: int, col: str,
     stats = _read_stats(table_dir, n)
     rowmeta = _read_rowmeta(table_dir, n)
     dvs = _read_dvs(table_dir, n)
+    if dvs and _heal_pending_dv_remaps(table_dir, dvs):
+        stats = _read_stats(table_dir, n)
+        rowmeta = _read_rowmeta(table_dir, n)
+        dvs = _read_dvs(table_dir, n)
     st = table_schema(table_dir, n)
     phys = _physical_name(st, col)
     part_dt = (st[col].dataType
@@ -1860,15 +1893,28 @@ def _walk_rel_files(vdir: str) -> list[str]:
 _NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
 
-def _partition_values(rel_path: str) -> dict[str, str]:
-    """Hive-style ``col=value`` directory segments of a manifest-
-    relative data path (percent-unescaped), keyed by the column name
-    the DIRECTORY carries (= the physical name on a column-mapped
-    table).  Empty for unpartitioned layouts."""
+def _partition_values(rel_or_path: str) -> dict[str, str]:
+    """Hive-style ``col=value`` directory segments BELOW the LAST
+    ``v_NNNNNNNN`` segment of a data file reference
+    (percent-unescaped), keyed by the column name the DIRECTORY
+    carries (= the physical name on a column-mapped table).  Empty
+    for unpartitioned layouts.  Anchoring below the last version dir
+    matters for shallow-clone external refs: a ``../``-relative
+    source path whose ANCESTOR chain contains a ``k=v``-shaped
+    directory must not be misread as a partition value (r13 review
+    finding #3)."""
+    import re
     from urllib.parse import unquote
 
+    segs = rel_or_path.split("/")
+    idx = None
+    for i, seg in enumerate(segs):
+        if re.fullmatch(r"v_\d{8}", seg):
+            idx = i
+    if idx is None:
+        return {}
     out: dict[str, str] = {}
-    for seg in rel_path.split("/")[1:-1]:
+    for seg in segs[idx + 1:-1]:
         if "=" in seg:
             k, _, v = seg.partition("=")
             out[k] = unquote(v)
@@ -2408,9 +2454,7 @@ def _dv_delete_commit(spark: SparkSession, table_dir: str,
     from pyspark.sql import functions as F
 
     hits = (matched
-            .select(F.regexp_extract("__dv_file",
-                                     _DV_SUFFIX_PATTERN, 1)
-                    .alias("__k"), "__dv_pos")
+            .select(_dv_key_col().alias("__k"), "__dv_pos")
             .collect())
     sfx_to_rel = _dv_suffix_map(candidates)
     by_rel: dict[str, set[int]] = {}
@@ -3407,8 +3451,7 @@ def _dv_change_rows(spark: SparkSession, table_dir: str, st,
     if not affected:
         return empty
     scan = (_read_files_with_pos(spark, table_dir, affected, st)
-            .withColumn("__dv_key", F.regexp_extract(
-                "__dv_file", _DV_SUFFIX_PATTERN, 1)))
+            .withColumn("__dv_key", _dv_key_col()))
     import pandas as pd
 
     frames = []

@@ -653,9 +653,11 @@ def partition_pruning_audit(spark: SparkSession,
         fmt.filter("yr = 1998").agg(*aggs).collect()[0])
     add("format_null", -1,
         fmt.filter("yr IS NULL").agg(*aggs).collect()[0])
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import _partition_values
+
     kept, total = pruned_files(td, 1, "yr", 1997, 1997)
     if (kept and len(kept) < total
-            and all("/yr=1997/" in f"/{f}" or "yr=1997" in f
+            and all(_partition_values(f).get("yr") == "1997"
                     for f in kept)):
         rows.append(("prune_exact", -1, 1, 0.0))
     return spark.createDataFrame(

@@ -191,6 +191,7 @@ def _read_dv_change(part: "_DvChangePart"):
     pf = pq.ParquetFile(part.abs_path)
     present = [phys[f.name] for f in schema
                if phys[f.name] in pf.schema_arrow.names]
+    pv = _path_partition_values(part.abs_path)
     off = 0
     for batch in pf.iter_batches(columns=present):
         n = batch.num_rows
@@ -204,7 +205,6 @@ def _read_dv_change(part: "_DvChangePart"):
                 pa.array([p - off for p in positions[i:j]],
                          pa.int64()))
             m = taken.num_rows
-            pv = _path_partition_values(part.abs_path)
             cols = []
             for f in schema:
                 if phys[f.name] in taken.schema.names:
@@ -252,36 +252,20 @@ class _ChangeDiffPart(InputPartition):
 
 
 def _path_partition_values(abs_path: str) -> dict[str, str]:
-    """Hive-style ``col=value`` directory segments BELOW the
-    ``v_NNNNNNNN`` version dir of a data file's absolute path
-    (percent-unescaped; keys are the physical names the directories
-    were written under) -- the executor-side counterpart of
-    io.versioned._partition_values.  Parsed from the path each reader
-    already holds, so every per-file face (batch, pushdown, change
-    feed, dv delta) re-attaches partition columns of a
-    ``write_version(partition_by=...)`` snapshot without planner or
-    partition-class changes.  Segments outside the version dir never
-    match (a ``k=v`` in some unrelated ancestor directory name is
-    ignored)."""
-    import re
-    from urllib.parse import unquote
+    """Hive-style ``col=value`` directory segments below the LAST
+    ``v_NNNNNNNN`` version dir of a data file's path -- delegates to
+    io.versioned._partition_values (ONE parser for both the planner
+    and the executors, r13 review finding #3), so every per-file
+    face (batch, pushdown, change feed, dv delta) re-attaches
+    partition columns without planner or partition-class changes."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        _partition_values,
+    )
 
-    segs = abs_path.split(os.sep)
-    idx = None
-    for i, s in enumerate(segs):
-        if re.fullmatch(r"v_\d{8}", s):
-            idx = i
-    if idx is None:
-        return {}
-    out: dict[str, str] = {}
-    for seg in segs[idx + 1:-1]:
-        if "=" in seg:
-            k, _, v = seg.partition("=")
-            out[k] = unquote(v)
-    return out
+    return _partition_values(abs_path)
 
 
-_NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+_NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"  # = io.versioned's
 
 
 def _part_column(pv: dict, phys_name: str, m: int, typ):
