@@ -1796,12 +1796,14 @@ WITH d AS (
   WHERE text IS NOT NULL
 ),
 w AS (
+  -- coalesce: DuckDB's array_to_string of an EMPTY list is NULL,
+  -- but an empty/whitespace-only doc must encode to zero tokens
   SELECT doc_id,
-    array_to_string(
+    coalesce(array_to_string(
       list_transform(
         list_filter(string_split_regex(lt, '\\s+'), t -> t != ''),
         t -> regexp_replace(t, '(.)', {stx}||'\\1'||{etx}, 'g')),
-      {eot}) AS s0
+      {eot}), '') AS s0
   FROM d
 ),
 m AS (SELECT doc_id, {s} AS s FROM w)

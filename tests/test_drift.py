@@ -172,9 +172,14 @@ def test_psi_matches_python_model(spark, old, new, n_buckets):
             return -1
         if hi == lo:
             return 0
+        raw = ((x - lo) * n_buckets) / (hi - lo)
+        if math.isinf(raw):
+            # a subnormal range width overflows the double division;
+            # the engine's floor(inf) saturates to Long.MAX and
+            # least() clamps to the top bucket (probed on Spark 4.1)
+            return n_buckets - 1 if raw > 0 else 0
         return int(min(n_buckets - 1,
-                       max(0, math.floor(((x - lo) * n_buckets)
-                                         / (hi - lo)))))
+                       max(0, math.floor(raw))))
 
     from collections import Counter
     oc, nc = Counter(map(bucket, old)), Counter(map(bucket, new))

@@ -71,7 +71,12 @@ QUERIES = ["text_repetition", "dedup_simhash64_pairs", "dedup_simhash",
            # IS a query (%83 == 0 slice), so null/empty/whitespace
            # corpus docs and the exact-dup doc flow through the
            # full idf/score/rank path on both engines
-           "bm25_retrieval_docs"]
+           "bm25_retrieval_docs",
+           # round-13: the frozen-merge BPE encoder (null text
+           # filtered identically on both sides; empty/whitespace
+           # docs encode to zero tokens; the exact-dup doc encodes
+           # identically)
+           "bpe_encode_docs"]
 
 
 @pytest.fixture(scope="module")
