@@ -2313,6 +2313,100 @@ def _touched_files(spark: SparkSession, table_dir: str, base: int,
     return [f for f in files if f in touched], len(files)
 
 
+def replace_partitions(spark: SparkSession, table_dir: str,
+                       batch: DataFrame,
+                       partition_by: Sequence[str],
+                       txn: str | None = None,
+                       merge_schema: bool = False,
+                       stats_columns: Sequence[str] = (),
+                       max_attempts: int = 20,
+                       backend: CommitBackend | None = None) -> int:
+    """DYNAMIC PARTITION OVERWRITE (the Delta ``replaceWhere`` /
+    Spark ``partitionOverwriteMode=dynamic`` shape, versioned):
+    commit ``batch`` laid out under ``partition_by`` directories,
+    REPLACING exactly the partitions the batch touches -- every
+    other partition inherits by reference, and the superseded
+    partition files stay readable through time travel.  This is the
+    idempotent month-reload the reference runs as truncate-and-load
+    (jobs/csr_etl.py:157 deletes a month then re-inserts it) made
+    atomic WITH history: re-running a slice load converges instead
+    of double-appending, and no reader ever sees the
+    deleted-but-not-yet-reloaded state.
+
+    Requirements and semantics:
+
+    - the CURRENT version must be fully laid out by ``partition_by``
+      (every data file carries ``col=value`` path segments for all
+      the columns) -- otherwise a flat file straddling partitions
+      would smuggle stale rows past the replace, so this raises with
+      guidance to ``compact_table(partition_by=...)`` first;
+    - the replaced set is the batch's DISTINCT partition tuples
+      (control-plane sized -- one tiny aggregate), compared TYPED
+      against the path values, null partition included;
+    - deletion vectors on dropped files shed with their data lines;
+      untouched files keep theirs;
+    - ``txn`` gives the same exactly-once replay contract as
+      :func:`append_version`; the base is PINNED (a concurrent
+      commit raises :class:`VersionConflictError` -- re-run).
+
+    O(batch + touched partitions) work: nothing outside the replaced
+    partitions is read or rewritten, whatever the table size."""
+    part_cols = tuple(partition_by)
+    if not part_cols:
+        raise ValueError("replace_partitions needs partition_by")
+    backend = backend or _DEFAULT_BACKEND
+    base = current_version(table_dir, backend=backend)
+    if base is None:
+        raise FileNotFoundError(
+            f"{table_dir} has no committed version; use "
+            f"append_version/write_version(partition_by=...) for the "
+            f"first load")
+    missing = [c for c in part_cols if c not in batch.columns]
+    if missing:
+        raise ValueError(
+            f"batch lacks partition columns {missing}")
+    replaced = {tuple(r[c] for c in part_cols)
+                for r in batch.select(*part_cols).distinct()
+                                .collect()}
+    st = table_schema(table_dir, base)
+    pmap = _physical_map(st) if st is not None else {}
+    dts = {c: st[c].dataType for c in part_cols
+           if st is not None and c in st.fieldNames()}
+    drop: set[str] = set()
+    for f in _data_files(table_dir, base):
+        pv = _partition_values(f)
+        key = []
+        for c in part_cols:
+            raw = pv.get(pmap.get(c, c))
+            if raw is None:
+                raise ValueError(
+                    f"current version of {table_dir} is not laid out "
+                    f"by {list(part_cols)}: {f!r} carries no "
+                    f"'{c}=' path segment, so a partition replace "
+                    f"could smuggle stale rows past the batch -- run "
+                    f"compact_table(spark, table_dir, "
+                    f"partition_by={list(part_cols)}) first")
+            if raw == _NULL_PARTITION:
+                key.append(None)
+            else:
+                dt = dts.get(c)
+                key.append(_typed_partition_value(raw, dt)
+                           if dt is not None else raw)
+        if tuple(key) in replaced:
+            drop.add(f)
+    return _manifest_commit(
+        batch, table_dir, txn=txn, pinned_base=base,
+        inherit_files=True, inherit_drop=frozenset(drop),
+        max_attempts=max_attempts, backend=backend,
+        merge_schema=merge_schema,
+        stats_columns=tuple(stats_columns),
+        enforce_constraints=True,
+        partition_by=part_cols,
+        op_name="REPLACE_PARTITIONS",
+        op_params={"partition_by": list(part_cols),
+                   "n_partitions": len(replaced)})
+
+
 def merge_version(spark: SparkSession, table_dir: str,
                   updates: DataFrame, key: str,
                   delete_only: bool = False,

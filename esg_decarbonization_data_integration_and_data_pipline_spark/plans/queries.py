@@ -978,6 +978,10 @@ _DRIVER_TAIL = [
     # r11+r12; family coverage per the r13 head comment):
     "purge_erasure_audit", "ddl_timetravel_audit",
     "bloom_point_lookup_orders",
+    # ---- round-13 LATE addition (oracle-replayed in-repo; rotate
+    # into the r14 head): dynamic partition overwrite -- the Delta
+    # replaceWhere shape over the new partitioned-layout tier
+    "replace_partitions_audit",
     # ---- round-9 rotations OUT of the head (each driver-green >= 2
     # rounds; family/SURVEY-row coverage per tools/grading_ledger.py):
     #   dedup_minhash_incremental (r7-r8) -> banded-signature family

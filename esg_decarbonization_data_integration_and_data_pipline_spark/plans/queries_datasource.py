@@ -665,6 +665,105 @@ def partition_pruning_audit(spark: SparkSession,
               "total_price double")
 
 
+@register("replace_partitions_audit", "ext:replace-partitions,P3,A1,F2",
+          oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_totalprice,
+         CAST(month(o_orderdate) AS INT) AS mon
+  FROM orders WHERE year(o_orderdate) = 1997
+               AND month(o_orderdate) <= 7),
+cur AS (
+  SELECT mon, o_orderkey,
+         CASE WHEN mon = 3 THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice
+  FROM base WHERE mon <> 3 OR o_orderkey % 2 = 0)
+SELECT 'current' AS stage, mon, count(*) AS n_rows,
+       round(sum(o_totalprice), 4) AS total_price
+FROM cur GROUP BY mon
+UNION ALL
+SELECT 'before', 3, count(*), round(sum(o_totalprice), 4)
+FROM base WHERE mon = 3
+UNION ALL
+SELECT 'replay_noop', -1, CAST(1 AS BIGINT), 0.0
+""")
+def replace_partitions_audit(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite, driver-gradable end-to-end
+    (io/versioned.replace_partitions -- the Delta ``replaceWhere``
+    shape; the reference's monthly truncate-and-reload,
+    jobs/csr_etl.py:157, made atomic WITH history).  The 1997 H1
+    orders load month-partitioned (v1); month 3 is then RELOADED
+    with a modified slice (even keys only, price doubled) under a
+    txn marker, and month 7 arrives as a brand-new partition in the
+    same call.  The oracle re-derives from raw parquet:
+
+    - ``current``: months 1-2/4-6 untouched (inherited BY REFERENCE
+      -- nothing outside the replaced partitions is rewritten),
+      month 3 = exactly the replacement slice (stale rows gone),
+      month 7 = the new slice;
+    - ``before``: time travel to v1 still shows the original month 3
+      (replace supersedes, never erases);
+    - ``replay_noop``: re-running the month-3 load with the SAME txn
+      marker must not create a version (the idempotent slice-reload
+      contract), recorded only if current stayed put.
+
+    The build is process-memoized (plans/fixtures.audit_state); the
+    graded read-back runs live."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        read_current, read_version,
+    )
+    from esg_decarbonization_data_integration_and_data_pipline_spark.tables import table
+
+    def build() -> dict:
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+            current_version, replace_partitions, write_version,
+        )
+
+        root = _tmp("repl_aud_")
+        td = os.path.join(root, "t")
+        o = (table(spark, sf_dir, "orders")
+             .filter((F.year("o_orderdate") == 1997)
+                     & (F.month("o_orderdate") <= 7))
+             .select("o_orderkey", "o_totalprice",
+                     F.month("o_orderdate").cast("int").alias("mon")))
+        # v1 loads months 1-6 only, so month 7 arrives genuinely NEW
+        # through the replace call
+        write_version(o.filter(F.col("mon") <= 6), td,
+                      partition_by=("mon",))
+        repl = (o.filter((F.col("mon") == 3)
+                         & (F.col("o_orderkey") % 2 == 0))
+                .withColumn("o_totalprice",
+                            F.col("o_totalprice") * 2)
+                .unionByName(o.filter(F.col("mon") == 7)))
+        replace_partitions(spark, td, repl, ("mon",),
+                           txn="reload:1997-03+07")
+        v = current_version(td)
+        replace_partitions(spark, td, repl, ("mon",),
+                           txn="reload:1997-03+07")  # replay
+        return {"td": td, "replay_noop": current_version(td) == v,
+                "dirs": (td,)}
+
+    st = audit_state("replace_partitions", sf_dir, build)
+    rows = []
+    for r in (read_current(spark, st["td"]).groupBy("mon")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum("o_totalprice"), 4).alias("s"))
+              .collect()):
+        rows.append(("current", int(r["mon"]), int(r["n"]),
+                     float(r["s"])))
+    b = (read_version(spark, st["td"], 1)
+         .filter(F.col("mon") == 3)
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.round(F.sum("o_totalprice"), 4).alias("s"))
+         .collect()[0])
+    rows.append(("before", 3, int(b["n"]), float(b["s"])))
+    if st["replay_noop"]:
+        rows.append(("replay_noop", -1, 1, 0.0))
+    return spark.createDataFrame(
+        rows, "stage string, mon int, n_rows bigint, "
+              "total_price double")
+
+
 @register("vacuum_retention_audit", "ext:vacuum-retention,P3,A1",
           oracle=_BASE_CTE + """,
 y AS (SELECT yr, count(*) AS n_rows,

@@ -679,6 +679,28 @@ def _table_path(options) -> str:
     return path
 
 
+def _parse_ts_option(raw: str) -> float:
+    """A ``timestampAsOf`` option value as epoch seconds: a numeric
+    string is epoch seconds directly; anything else parses as an ISO
+    timestamp (naive = UTC, the commit-clock convention --
+    io.versioned.history's committed_at is time.time())."""
+    try:
+        return float(raw)
+    except (TypeError, ValueError):
+        pass
+    import datetime
+
+    try:
+        dt = datetime.datetime.fromisoformat(str(raw))
+    except ValueError as exc:
+        raise ValueError(
+            f"timestampAsOf must be epoch seconds or an ISO "
+            f"timestamp, got {raw!r}") from exc
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=datetime.timezone.utc)
+    return dt.timestamp()
+
+
 def _cdf_requested(options) -> bool:
     raw = str(options.get("readChangeFeed",
                           options.get("readchangefeed",
@@ -1691,6 +1713,17 @@ class VersionedTableDataSource(DataSource):
                                      self.options.get("endingversion"))
             else:
                 v = self.options.get("version")
+                ts = self.options.get("timestampAsOf",
+                                      self.options.get("timestampasof"))
+                if ts is not None:
+                    if v is not None:
+                        raise ValueError(
+                            "pass version OR timestampAsOf, not both")
+                    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+                        version_as_of,
+                    )
+
+                    v = version_as_of(path, _parse_ts_option(ts))
             n = int(v) if v is not None else current_version(path)
             if n is None:
                 raise ValueError(f"{path} has no committed version")
