@@ -820,13 +820,19 @@ _DRIVER_HEAD = [
     #       + dedup_bloom_incremental
     "bpe_encode_docs", "partition_pruning_audit",
     "metadata_aggregates_audit",
+    # ---- round-13 late capability: dynamic partition overwrite
+    # (replace_partitions, the Delta replaceWhere shape over the new
+    # partitioned tier).  clone_divergence_audit (r11-r12) rotates
+    # out for the slot: the clone story keeps head reps via
+    # vacuum_retention_audit's shallow_before / deep_after_vacuum /
+    # shallow_read_fails / purge_external_refused stages, and the
+    # COW-divergence semantics stay oracle-replayed + pytest-pinned
+    "replace_partitions_audit",
     # ---- round-11 new capability: zero-copy shallow CLONE +
     # independent divergence (io/clone) -- semdedup_embeddings_ivf
-    # rotates out for the slot (r9+r10 graded; no exclusive SURVEY
-    # rows, the IVF probe/semantic-dedup pipeline stays
-    # oracle-replayed and ANN serving keeps head rep
-    # similarity_topk_batch)
-    "clone_divergence_audit",
+    # rotated out for the slot in r11; clone_divergence_audit itself
+    # rotated to the tail late in r13 (graded r11-r12) for the
+    # replace_partitions_audit slot, see the r13 head comment
     # ---- round-11 new capability: lakehouse fsck (io/fsck) --
     # pii_redact_docs rotates out for the slot (see its comment)
     "fsck_report_audit",
@@ -978,10 +984,10 @@ _DRIVER_TAIL = [
     # r11+r12; family coverage per the r13 head comment):
     "purge_erasure_audit", "ddl_timetravel_audit",
     "bloom_point_lookup_orders",
-    # ---- round-13 LATE addition (oracle-replayed in-repo; rotate
-    # into the r14 head): dynamic partition overwrite -- the Delta
-    # replaceWhere shape over the new partitioned-layout tier
-    "replace_partitions_audit",
+    # (clone_divergence_audit -- graded r11-r12 -- rotated to the
+    # tail late in r13 for the replace_partitions_audit head slot;
+    # see the r13 head comment)
+    "clone_divergence_audit",
     # ---- round-9 rotations OUT of the head (each driver-green >= 2
     # rounds; family/SURVEY-row coverage per tools/grading_ledger.py):
     #   dedup_minhash_incremental (r7-r8) -> banded-signature family
