@@ -1948,6 +1948,155 @@ def _has_partition_dirs(rel_files) -> bool:
                for seg in f.split("/")[1:-1])
 
 
+# partition column types replace_partitions compares as parsed Python
+# values (a path string that fails to parse under one of these RAISES
+# -- see _replace_partition_key)
+_REPLACE_TYPED = frozenset((
+    "integer", "long", "short", "byte", "double", "float",
+    "string", "boolean", "date"))
+
+
+def _canon_timestamp(raw: str) -> str:
+    """A timestamp partition value re-rendered in Spark's
+    CAST(ts AS STRING) form -- ``yyyy-MM-dd HH:mm:ss`` plus a
+    trailing-zero-trimmed fraction -- so path strings written by
+    EITHER writer face (Spark's partitionBy renderer, which IS the
+    string cast, or the DataSource stage's ``str(datetime)``) compare
+    equal to the batch's Spark-cast values.  Raises ValueError on
+    anything unparseable or timezone-aware (a zoned dir value cannot
+    be compared to a session-zone-rendered batch value without
+    guessing -- refuse loudly, ADVICE r13)."""
+    import datetime
+
+    v = datetime.datetime.fromisoformat(raw)
+    if v.tzinfo is not None:
+        raise ValueError(
+            f"timezone-aware partition path value {raw!r}")
+    s = v.strftime("%Y-%m-%d %H:%M:%S")
+    if v.microsecond:
+        s += ("." + format(v.microsecond, "06d")).rstrip("0")
+    return s
+
+
+def _replace_partition_key(raw: str, dt, col: str, where: str):
+    """ONE non-null partition path value as a comparable key under
+    the table's pinned type ``dt`` -- raises instead of EVER
+    returning None (ADVICE r13: the old _typed_partition_value
+    fallback returned None for timestamp/decimal and unparseable
+    values, so a timestamp-partitioned replace silently degraded to
+    an append, and with a null partition tuple in the batch the
+    None-keyed files compared equal to it and were DROPPED).
+    Pruning keeps its own tolerant parser (None there means "keep
+    the file" -- safe); a replace decides what gets deleted, so
+    every value must parse or the whole call must fail."""
+    name = dt.typeName() if dt is not None else "string"
+    cause: Exception | None = None
+    if name in _REPLACE_TYPED:
+        v = _typed_partition_value(raw, dt)
+        if v is not None:
+            return v
+    elif name in ("timestamp", "timestamp_ntz"):
+        try:
+            return _canon_timestamp(raw)
+        except ValueError as exc:
+            cause = exc
+    elif name == "decimal":
+        import decimal
+
+        try:
+            return decimal.Decimal(raw)
+        except ArithmeticError as exc:
+            cause = exc
+    else:
+        raise ValueError(
+            f"replace_partitions does not support partition "
+            f"column type {dt.simpleString()!r} for column "
+            f"{col!r}; supported: int/long/short/byte, "
+            f"float/double, string, boolean, date, timestamp, "
+            f"decimal")
+    raise ValueError(
+        f"partition path value {raw!r} for column {col!r} "
+        f"({where}) cannot be interpreted under the table's pinned "
+        f"type {name!r}; refusing to guess -- a mistyped comparison "
+        f"would silently leave stale rows in place (replace "
+        f"degrading to append) or drop the wrong files") from cause
+
+
+def _replace_batch_keys(batch: DataFrame,
+                        part_cols: Sequence[str],
+                        dts: dict) -> set[tuple]:
+    """The batch's DISTINCT partition tuples as comparable keys
+    (control-plane sized -- one tiny aggregate).  Timestamp columns
+    are cast to string IN SPARK so the rendering uses the session
+    timezone exactly like the partition-directory writer (a
+    driver-local-timezone ``collect()`` of raw timestamps would
+    shift values whenever driver tz != session tz); columns absent
+    from the pinned schema are string-cast too, matching the raw
+    path strings they will be compared against."""
+    from pyspark.sql import functions as F
+
+    canon: set[str] = set()
+    sel = []
+    for c in part_cols:
+        dt = dts.get(c)
+        name = dt.typeName() if dt is not None else None
+        if name in ("timestamp", "timestamp_ntz") or dt is None:
+            canon.add(c)
+            sel.append(F.col(c).cast("string").alias(c))
+        else:
+            sel.append(F.col(c))
+    out: set[tuple] = set()
+    for r in batch.select(*sel).distinct().collect():
+        key = []
+        for c in part_cols:
+            v = r[c]
+            if v is not None and c in canon \
+                    and dts.get(c) is not None:
+                v = _canon_timestamp(v)
+            key.append(v)
+        out.add(tuple(key))
+    return out
+
+
+def _replace_drop_set(table_dir: str, base: int,
+                      part_cols: Sequence[str],
+                      replaced: set, st) -> set[str]:
+    """The base-version data files whose TYPED partition key is in
+    ``replaced`` -- the inherit_drop set of a dynamic partition
+    overwrite.  Shared by the function face
+    (:func:`replace_partitions`) and the
+    ``format("versioned_table")`` writer's
+    ``partitionOverwriteMode=dynamic`` commit so both compare path
+    values identically.  Raises when the base is not fully laid out
+    by ``part_cols`` or any path value fails to parse under the
+    pinned type."""
+    pmap = _physical_map(st) if st is not None else {}
+    dts = {c: st[c].dataType for c in part_cols
+           if st is not None and c in st.fieldNames()}
+    drop: set[str] = set()
+    for f in _data_files(table_dir, base):
+        pv = _partition_values(f)
+        key = []
+        for c in part_cols:
+            raw = pv.get(pmap.get(c, c))
+            if raw is None:
+                raise ValueError(
+                    f"current version of {table_dir} is not laid out "
+                    f"by {list(part_cols)}: {f!r} carries no "
+                    f"'{c}=' path segment, so a partition replace "
+                    f"could smuggle stale rows past the batch -- run "
+                    f"compact_table(spark, table_dir, "
+                    f"partition_by={list(part_cols)}) first")
+            if raw == _NULL_PARTITION:
+                key.append(None)
+            else:
+                key.append(_replace_partition_key(
+                    raw, dts.get(c), c, f"data file {f!r}"))
+        if tuple(key) in replaced:
+            drop.add(f)
+    return drop
+
+
 def _txns(table_dir: str, n: int) -> set[str]:
     mf = _read_manifest(table_dir, n)
     return mf[1] if mf is not None else set()
@@ -2365,35 +2514,11 @@ def replace_partitions(spark: SparkSession, table_dir: str,
     if missing:
         raise ValueError(
             f"batch lacks partition columns {missing}")
-    replaced = {tuple(r[c] for c in part_cols)
-                for r in batch.select(*part_cols).distinct()
-                                .collect()}
     st = table_schema(table_dir, base)
-    pmap = _physical_map(st) if st is not None else {}
     dts = {c: st[c].dataType for c in part_cols
            if st is not None and c in st.fieldNames()}
-    drop: set[str] = set()
-    for f in _data_files(table_dir, base):
-        pv = _partition_values(f)
-        key = []
-        for c in part_cols:
-            raw = pv.get(pmap.get(c, c))
-            if raw is None:
-                raise ValueError(
-                    f"current version of {table_dir} is not laid out "
-                    f"by {list(part_cols)}: {f!r} carries no "
-                    f"'{c}=' path segment, so a partition replace "
-                    f"could smuggle stale rows past the batch -- run "
-                    f"compact_table(spark, table_dir, "
-                    f"partition_by={list(part_cols)}) first")
-            if raw == _NULL_PARTITION:
-                key.append(None)
-            else:
-                dt = dts.get(c)
-                key.append(_typed_partition_value(raw, dt)
-                           if dt is not None else raw)
-        if tuple(key) in replaced:
-            drop.add(f)
+    replaced = _replace_batch_keys(batch, part_cols, dts)
+    drop = _replace_drop_set(table_dir, base, part_cols, replaced, st)
     return _manifest_commit(
         batch, table_dir, txn=txn, pinned_base=base,
         inherit_files=True, inherit_drop=frozenset(drop),

@@ -682,12 +682,33 @@ def _table_path(options) -> str:
 def _parse_ts_option(raw: str) -> float:
     """A ``timestampAsOf`` option value as epoch seconds: a numeric
     string is epoch seconds directly; anything else parses as an ISO
-    timestamp (naive = UTC, the commit-clock convention --
-    io.versioned.history's committed_at is time.time())."""
+    timestamp.  A timezone-NAIVE timestamp is interpreted in the
+    system-local timezone -- Delta's timestampAsOf resolves naive
+    values in ``spark.sql.session.timeZone``, which defaults to the
+    JVM (= system) timezone, and this parser runs in the DataSource
+    planning Python worker where no SparkSession exists to probe an
+    overridden conf (r13 ADVICE: the old naive-as-UTC convention
+    silently time-traveled ported Delta workloads to a different
+    version).  Sessions that override the timezone away from the
+    system's must pass an explicit offset (``...+08:00``) or epoch
+    seconds.  Bare numerics below 1e8 (~1973) are refused: commit
+    clocks are ``time.time()`` so no real version exists down there,
+    and ``timestampAsOf=2024`` is far more plausibly a truncated
+    date than a request for 1970-01-01T00:33:44Z."""
+    num: float | None = None
     try:
-        return float(raw)
+        num = float(raw)
     except (TypeError, ValueError):
         pass
+    if num is not None:
+        if num < 1e8:
+            raise ValueError(
+                f"timestampAsOf={raw!r} parses as epoch seconds "
+                f"before 1973, where no commit clock can point -- "
+                f"this looks like a truncated date (e.g. a bare "
+                f"year); pass a full ISO timestamp or real epoch "
+                f"seconds")
+        return num
     import datetime
 
     try:
@@ -697,7 +718,8 @@ def _parse_ts_option(raw: str) -> float:
             f"timestampAsOf must be epoch seconds or an ISO "
             f"timestamp, got {raw!r}") from exc
     if dt.tzinfo is None:
-        dt = dt.replace(tzinfo=datetime.timezone.utc)
+        dt = dt.astimezone()  # system-local, matching the default
+        # spark.sql.session.timeZone (see docstring)
     return dt.timestamp()
 
 
@@ -1295,10 +1317,19 @@ def _ensure_schema_part(stage_dir: str, arrow_schema_bytes: bytes
 
 
 def _parse_write_options(options):
-    """(path, merge_schema, stats_columns, partition_by) shared by
-    both writers -- one copy of the option parsing (r12 review
-    pass 2).  ``partitionBy`` takes comma-separated LOGICAL column
-    names; the writers map them to staged physical names."""
+    """(path, merge_schema, stats_columns, partition_by, dynamic)
+    shared by both writers -- one copy of the option parsing (r12
+    review pass 2).  ``partitionBy`` takes comma-separated LOGICAL
+    column names; the writers map them to staged physical names.
+    ``partitionOverwriteMode=dynamic`` (with ``mode("overwrite")`` +
+    ``partitionBy``) selects dynamic partition overwrite -- the
+    io.versioned.replace_partitions shape through the writer face;
+    ``static`` (Spark's default) is the plain snapshot overwrite.  A
+    Delta-style ``replaceWhere`` predicate option is refused loudly:
+    this face has no expression parser, and a half-understood
+    predicate that silently replaced the wrong slice would be data
+    loss -- dynamic mode (batch-derived partitions) covers the
+    reference's idempotent month reload."""
     path = _table_path(options)
     merge = str(options.get("mergeSchema",
                             options.get("mergeschema",
@@ -1310,7 +1341,24 @@ def _parse_write_options(options):
     pb = options.get("partitionBy", options.get("partitionby"))
     part = tuple(s.strip() for s in pb.split(",")
                  if s.strip()) if pb else ()
-    return path, merge, stats, part
+    if options.get("replaceWhere",
+                   options.get("replacewhere")) is not None:
+        raise ValueError(
+            "replaceWhere is not supported on "
+            "format('versioned_table'): this write face has no "
+            "predicate parser, and guessing would risk replacing "
+            "the wrong slice -- use "
+            ".option('partitionOverwriteMode', 'dynamic') with "
+            "partitionBy (replaces exactly the partitions the batch "
+            "touches), or io.versioned.replace_partitions")
+    pom = str(options.get("partitionOverwriteMode",
+                          options.get("partitionoverwritemode",
+                                      "static"))).lower()
+    if pom not in ("static", "dynamic"):
+        raise ValueError(
+            f"partitionOverwriteMode must be 'static' or 'dynamic', "
+            f"got {pom!r}")
+    return path, merge, stats, part, pom == "dynamic"
 
 
 def _mapped_write_state(path: str, schema, seed: str | None = None):
@@ -1402,14 +1450,138 @@ def _refuse_constraints(path: str, staged: str | None) -> None:
             f"io.versioned.append_version / write_version instead")
 
 
+def _plan_dynamic_replace(path: str, partition_by: tuple, schema,
+                          overwrite: bool) -> int:
+    """Plan-time validation of ``partitionOverwriteMode=dynamic``
+    (the io.versioned.replace_partitions shape through the writer
+    face -- the reference's idempotent month reload,
+    jobs/csr_etl.py:157 / jobs/raw_to_staging.py:203, on the API a
+    Spark user actually writes).  Every refusal the function face
+    makes fires HERE, before any task stages a byte; returns the
+    PINNED base version the commit's drop set is computed against."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        _replace_drop_set, current_version, table_schema,
+    )
+
+    if not overwrite:
+        raise ValueError(
+            "partitionOverwriteMode=dynamic needs mode('overwrite') "
+            "-- with mode('append') nothing would be replaced; drop "
+            "the option or switch the save mode")
+    if not partition_by:
+        raise ValueError(
+            "partitionOverwriteMode=dynamic needs .option("
+            "'partitionBy', <cols>): the replaced set is the "
+            "batch's distinct partition tuples, so without a "
+            "partition layout there is nothing to key the replace "
+            "on (a full truncate-and-load WITH history is plain "
+            "mode('overwrite'))")
+    missing = [c for c in partition_by if c not in schema.names]
+    if missing:
+        raise ValueError(
+            f"batch lacks partition columns {missing}")
+    base = current_version(path)
+    if base is None:
+        raise FileNotFoundError(
+            f"{path} has no committed version; dynamic partition "
+            f"overwrite replaces slices of an EXISTING layout -- "
+            f"write the first load with mode('overwrite') + "
+            f"partitionBy (or write_version(partition_by=...))")
+    st = table_schema(path, base)
+    for c in partition_by:
+        dt = st[c].dataType if st is not None \
+            and c in st.fieldNames() else None
+        if dt is not None and dt.typeName() in ("timestamp",
+                                                "timestamp_ntz"):
+            raise ValueError(
+                f"partition column {c!r} is {dt.simpleString()}: "
+                f"the Arrow write face renders zoned timestamps "
+                f"ambiguously in partition paths, so a dynamic "
+                f"replace could key on the wrong instant -- use "
+                f"io.versioned.replace_partitions (session-zone "
+                f"canonical comparison) or partition by a "
+                f"date/string projection of the timestamp")
+    # empty replaced set: validates the base layout AND every path
+    # value's parseability under the pinned types up front
+    _replace_drop_set(path, base, partition_by, set(), st)
+    return base
+
+
+def _dynamic_replace_spec(path: str, base: int, staged: str,
+                          partition_by: tuple,
+                          staged_physical: dict) -> dict:
+    """The (pinned base, inherit_drop, n_partitions) of a dynamic
+    partition overwrite, derived from the STAGED layout itself: the
+    stage's ``col=value`` dirs ARE the batch's distinct partition
+    tuples (the executors grouped rows into them), so the commit
+    needs no SparkSession and no second pass over the data.  Both
+    sides -- staged values and base path values -- parse through
+    io.versioned._replace_partition_key under the base's pinned
+    types, so a value that cannot be compared raises instead of
+    silently appending (ADVICE r13)."""
+    from urllib.parse import unquote
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        _NULL_PARTITION, _replace_drop_set, _replace_partition_key,
+        _walk_rel_files, table_schema,
+    )
+
+    st = table_schema(path, base)
+    dts = {c: st[c].dataType for c in partition_by
+           if st is not None and c in st.fieldNames()}
+    phys = {c: staged_physical.get(c, c) for c in partition_by}
+    replaced: set[tuple] = set()
+    for f in _walk_rel_files(staged):
+        pv: dict[str, str] = {}
+        for seg in f.split("/")[:-1]:
+            if "=" in seg:
+                k, _, v = seg.partition("=")
+                pv[k] = unquote(v)
+        if not pv and f == "part-empty.parquet":
+            # the all-empty batch's flat schema carrier (zero rows,
+            # no partition tuple -- an empty reload replaces nothing)
+            continue
+        key = []
+        for c in partition_by:
+            raw = pv.get(phys[c])
+            if raw is None:
+                raise ValueError(
+                    f"staged part {f!r} carries no '{c}=' path "
+                    f"segment -- dynamic overwrite tasks must lay "
+                    f"every row out under the partition columns")
+            key.append(None if raw == _NULL_PARTITION
+                       else _replace_partition_key(
+                           raw, dts.get(c), c, f"staged part {f!r}"))
+        replaced.add(tuple(key))
+    drop = _replace_drop_set(path, base, partition_by, replaced, st)
+    return {"pinned_base": base, "inherit_drop": frozenset(drop),
+            "partition_by": list(partition_by),
+            "n_partitions": len(replaced)}
+
+
 def _commit_stage(path: str, staged: str, schema, txn: str | None,
                   overwrite: bool, merge_schema: bool,
                   stats_columns: tuple,
-                  staged_physical: dict | None = None) -> None:
+                  staged_physical: dict | None = None,
+                  replace: dict | None = None) -> None:
     from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
         _DEFAULT_BACKEND, _commit_staged_dir,
     )
 
+    if replace is not None:
+        _commit_staged_dir(
+            path, staged, txn,
+            pinned_base=replace["pinned_base"], inherit_files=True,
+            max_attempts=20, backend=_DEFAULT_BACKEND,
+            merge_schema=merge_schema, stats_columns=stats_columns,
+            inherit_drop=replace["inherit_drop"],
+            row_identical_base=None,
+            batch_schema=schema, staged_physical=staged_physical,
+            op_name="REPLACE_PARTITIONS",
+            op_params={"partition_by": replace["partition_by"],
+                       "n_partitions": replace["n_partitions"],
+                       "face": "format(versioned_table)"})
+        return
     _commit_staged_dir(
         path, staged, txn,
         pinned_base=None, inherit_files=not overwrite,
@@ -1451,7 +1623,8 @@ class _VersionedBatchWriter(DataSourceArrowWriter):
         import uuid
 
         (self.path, self.merge_schema, self.stats_columns,
-         self._partition_by) = _parse_write_options(options)
+         self._partition_by, self.dynamic) = \
+            _parse_write_options(options)
         # column-mapped base: stage under physical names, commit the
         # logical schema with its mapping metadata
         self._staged_physical, self._phys_names, self.schema = \
@@ -1470,6 +1643,17 @@ class _VersionedBatchWriter(DataSourceArrowWriter):
         # pre-stage short-circuit append_version performs.  commit()
         # re-checks anyway (the marker can land mid-job).
         self._noop = _txn_already_visible(self.path, self.txn)
+        # dynamic partition overwrite: validate AFTER the replay
+        # check (a replayed reload must no-op even if the table has
+        # since been compacted flat) and pin the base version the
+        # commit's drop set is computed against -- a concurrent
+        # commit raises VersionConflictError instead of silently
+        # resurrecting rows the other writer replaced.
+        self._pinned_base: int | None = None
+        if self.dynamic and not self._noop:
+            self._pinned_base = _plan_dynamic_replace(
+                self.path, self._partition_by, self.schema,
+                overwrite)
         if not self._noop:
             os.makedirs(self.staged)
         self.arrow_schema_bytes = _physical_arrow_bytes(
@@ -1510,10 +1694,16 @@ class _VersionedBatchWriter(DataSourceArrowWriter):
         except OSError:
             pass
         _ensure_schema_part(self.staged, self.arrow_schema_bytes)
+        replace = None
+        if self.dynamic:
+            replace = _dynamic_replace_spec(
+                self.path, self._pinned_base, self.staged,
+                self._partition_by, self._staged_physical)
         _commit_stage(self.path, self.staged, self.schema, self.txn,
                       self.overwrite, self.merge_schema,
                       self.stats_columns,
-                      staged_physical=self._staged_physical)
+                      staged_physical=self._staged_physical,
+                      replace=replace)
 
     def abort(self, messages) -> None:
         shutil.rmtree(self.staged, ignore_errors=True)
@@ -1541,7 +1731,17 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
         import hashlib
 
         (self.path, self.merge_schema, self.stats_columns,
-         self._partition_by) = _parse_write_options(options)
+         self._partition_by, dynamic) = _parse_write_options(options)
+        if dynamic:
+            raise ValueError(
+                "partitionOverwriteMode=dynamic is a batch-write "
+                "shape; a continuous sink replacing partitions per "
+                "micro-batch would let a restarted query replace a "
+                "partition twice with different slices -- run the "
+                "reload as a batch write "
+                "(df.write.format('versioned_table')"
+                ".mode('overwrite')) or via foreachBatch with "
+                "io.versioned.replace_partitions(txn=...)")
         self.schema = schema
         # (self.schema is remapped below once txnAppId is known --
         # the mapped-base physical names must be DETERMINISTIC across

@@ -174,3 +174,38 @@ def test_format_timestamp_as_of_iso(spark, mtable):
     r = (spark.read.format("versioned_table").option("path", mtable)
          .option("timestampAsOf", iso).load())
     assert r.count() == 4
+
+
+def test_ts_option_naive_is_system_local():
+    """r13 ADVICE: naive ISO resolves in the SYSTEM-LOCAL timezone
+    (what spark.sql.session.timeZone defaults to -- Delta's
+    timestampAsOf convention), not UTC."""
+    import datetime
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.sources.versioned_source import (
+        _parse_ts_option,
+    )
+
+    naive = datetime.datetime(2024, 6, 1, 12, 0, 0)
+    assert _parse_ts_option("2024-06-01T12:00:00") == \
+        naive.astimezone().timestamp()
+    # tz-aware stays exact regardless of system zone
+    aware = datetime.datetime(2024, 6, 1, 12, 0, 0,
+                              tzinfo=datetime.timezone.utc)
+    assert _parse_ts_option("2024-06-01T12:00:00+00:00") == \
+        aware.timestamp()
+
+
+def test_ts_option_bare_numeric_year_refused():
+    """r13 ADVICE: 'timestampAsOf=2024' is a truncated date, not a
+    request for epoch second 2024 (1970-01-01T00:33:44Z)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.sources.versioned_source import (
+        _parse_ts_option,
+    )
+
+    with pytest.raises(ValueError, match="truncated date"):
+        _parse_ts_option("2024")
+    with pytest.raises(ValueError, match="truncated date"):
+        _parse_ts_option("0")
+    # real epoch clocks pass
+    assert _parse_ts_option("1786890000.5") == 1786890000.5
