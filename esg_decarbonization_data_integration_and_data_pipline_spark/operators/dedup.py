@@ -319,9 +319,15 @@ def _band_candidates(sig: DataFrame, n_bands: int,
     bucket's min id) instead of all-pairs: fan-out drops from
     m(m-1)/2 to m-1 per bucket, the verifier still scores every
     member against the hub, and downstream duplicate CLUSTERING
-    (``duplicate_clusters`` label propagation) recovers the full
-    cluster through the hub, so no document escapes dedup -- only
-    redundant intra-cluster edges are dropped. The cap is LOGGED
+    (``duplicate_clusters`` label propagation) recovers the cluster
+    through the hub WHEN the hub edges verify.  This is an
+    APPROXIMATION (r13 ADVICE): a capped-bucket member whose
+    similarity to the hub falls below the verify threshold loses its
+    edges to OTHER members of that bucket too, so a borderline
+    near-dup can escape -- it still gets caught if ANY of its other
+    bands lands in an uncapped bucket (each band contributes edges
+    independently), which is the common case since signatures of
+    true near-dups collide across bands. The cap is LOGGED
     loudly (bucket count + largest size, via a bucket-grain eager
     action) per the no-silent-caps rule; callers on a cold
     (non-cached) ``sig`` should leave the default None, since the
@@ -414,9 +420,14 @@ def minhash_verified_pairs(df: DataFrame, threshold: float,
     which keeps BOTH the candidate broadcast and the pairwise verify
     linear on boilerplate-heavy corpora. On healthy corpora no
     bucket comes near the cap and results are bit-identical to the
-    exact plan (the graded oracle runs with the guard ON). The guard
-    costs one bucket-grain aggregation over the cached working set
-    plus an eager capped-bucket report; None disables it (exact
+    exact plan (the graded oracle runs with the guard ON). Under
+    skew the guarded result is an APPROXIMATION of the exact
+    enumeration: a capped-bucket member only keeps edges through
+    the bucket's hub, so a borderline pair whose hub edges fail the
+    verify threshold can be missed unless another band catches it
+    (see ``_band_candidates``; the cap event is always logged). The
+    guard costs one bucket-grain aggregation over the cached working
+    set plus an eager capped-bucket report; None disables it (exact
     all-pairs enumeration regardless of skew).
     """
     # ONE kernel pass computes shingle hashes + signature per doc
