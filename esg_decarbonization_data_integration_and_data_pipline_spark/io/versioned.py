@@ -469,7 +469,8 @@ def adopt_legacy_history(table_dir: str,
 def write_version(df: DataFrame, table_dir: str,
                   partition_by: Sequence[str] = (),
                   max_attempts: int = 20,
-                  backend: CommitBackend | None = None) -> int:
+                  backend: CommitBackend | None = None,
+                  stats_columns: Sequence[str] = ()) -> int:
     """Write ``df`` as the table's next immutable version and commit
     it; returns the committed version number.  If a competitor
     commits a HIGHER version between our claim and our pointer flip,
@@ -486,6 +487,18 @@ def write_version(df: DataFrame, table_dir: str,
     ``_CURRENT`` pointer flips via ``os.replace`` -- the single
     atomic operation in the protocol.  Readers concurrently holding
     the previous version keep reading its immutable dir.
+
+    The committed dir carries a manifest (the :func:`compact_table`
+    snapshot-with-manifest shape -- own-file lines only, so
+    ``history`` still reports ``kind="snapshot"``) recording per-file
+    row/null counts plus min/max for ``stats_columns`` and the exact
+    ``[v, v]`` stat for every partition-path column (r13 verdict
+    task 3: snapshots previously recorded NO manifest, so bounded
+    ``count_where``/min-max on a partitioned snapshot answered
+    metadata-flat only for the partition column and paid a
+    footer-read fan-out on everything else -- the cost that matters
+    at 100 TB).  ``table_rowcount`` is metadata-flat on every
+    snapshot as a result.
 
     ``backend`` selects the commit primitive (default: POSIX lock +
     ``os.replace``); see :class:`CommitBackend` for the object-store
@@ -515,7 +528,14 @@ def write_version(df: DataFrame, table_dir: str,
         # mapping metadata is STRIPPED: the snapshot's files are
         # staged under the batch's own logical names, so a snapshot
         # resets the table to identity mapping by construction.
-        _write_schema_file(staged, _strip_physical(df.schema))
+        schema = _strip_physical(df.schema)
+        _write_schema_file(staged, schema)
+        # footer metadata is collected ONCE against the staged layout
+        # (paths are staged-relative here; the claim loop re-prefixes
+        # them with whatever v_N the rename lands on)
+        rel_files = _walk_rel_files(staged)
+        stats, rowmeta = _snapshot_meta(staged, rel_files, schema,
+                                        stats_columns)
         n = (max(_versions(table_dir), default=0)) + 1
         for _ in range(max_attempts):
             target = os.path.join(table_dir, f"v_{n:08d}")
@@ -529,6 +549,20 @@ def write_version(df: DataFrame, table_dir: str,
                     raise
                 n += 1
                 continue
+            # the claimed dir is invisible until the pointer flips --
+            # writing the manifest here (file lines prefixed with the
+            # version name the claim actually landed on) keeps the
+            # single-atomic-op protocol intact
+            vname = f"v_{n:08d}"
+            lines = (_stats_lines(
+                         {f"{vname}/{f}": s for f, s in stats.items()})
+                     + _rows_lines(
+                         {f"{vname}/{f}": r
+                          for f, r in rowmeta.items()})
+                     + [f"{vname}/{f}" for f in rel_files])
+            with open(os.path.join(target, _MANIFEST), "w",
+                      encoding="ascii") as fh:
+                fh.write("\n".join(lines) + "\n")
             # monotonic pointer via optimistic conditional put: read
             # the pointer, reject if a HIGHER version already
             # committed (a bare blind write would flip the pointer
@@ -1038,6 +1072,51 @@ def _file_meta(path: str, columns) -> tuple[dict[str, tuple], dict]:
 def _file_stats(path: str, columns) -> dict[str, tuple]:
     """Per-column (min, max) of one parquet file (see _file_meta)."""
     return _file_meta(path, columns)[0]
+
+
+def _snapshot_meta(staged: str, rel_files, schema, stats_columns
+                   ) -> tuple[dict[str, dict[str, tuple]],
+                              dict[str, dict]]:
+    """(stats, rowmeta) of a freshly STAGED snapshot, keyed by
+    stage-relative path (:func:`write_version`'s claim loop
+    re-prefixes with the final version dir): per-file row/null
+    counts always, footer min/max for ``stats_columns``, and the
+    exact ``[v, v]`` stat + 0-or-all null count for every
+    ``col=value`` partition path segment -- the same records the
+    append path keeps for its own files, so every metadata tier
+    (``table_rowcount`` / ``count_where`` / pruning) answers
+    snapshots and appends identically.  A snapshot has no base to
+    inherit tracking from, so only the REQUESTED columns get
+    footer min/max."""
+    from urllib.parse import unquote
+
+    names = set(schema.fieldNames())
+    want = sorted(set(stats_columns) & names)
+    stats: dict[str, dict[str, tuple]] = {}
+    rowmeta: dict[str, dict] = {}
+    for rel in rel_files:
+        fs, rm = _file_meta(os.path.join(staged, rel), want)
+        # Spark's partitionBy strips partition columns from the
+        # parquet footers; their path value is an exact stat
+        for seg in rel.split("/")[:-1]:
+            if "=" not in seg:
+                continue
+            pc, _, pv = seg.partition("=")
+            if pc not in names:
+                continue
+            pv = unquote(pv)
+            if pv == _NULL_PARTITION:
+                rm["nn"][pc] = rm["n"]
+                continue
+            tv = _typed_partition_value(pv, schema[pc].dataType)
+            if tv is not None and isinstance(tv,
+                                             (int, float, str, bool)):
+                fs[pc] = (tv, tv)
+            rm["nn"][pc] = 0
+        if fs:
+            stats[rel] = fs
+        rowmeta[rel] = rm
+    return stats, rowmeta
 
 
 def _read_stats(table_dir: str, n: int) -> dict[str, dict[str, tuple]]:

@@ -768,8 +768,13 @@ _DRIVER_HEAD = [
     # tail, both oracle-derived from raw parquet) plus the
     # cross-feature vacuum/clone/stream retention contract (task #5).
     # Three r10+r11-graded heads rotated out for the slots -- see the
-    # r12 block in _DRIVER_TAIL.
-    "datasource_timetravel_audit", "datasource_stream_tail_audit",
+    # r12 block in _DRIVER_TAIL.  datasource_timetravel_audit
+    # (graded r12+r13) rotated to the tail in r14 for the
+    # writer_replace_audit slot: format() time travel keeps head reps
+    # via versioned_table_audit (function-face version reads),
+    # datasource_cdf_audit (endingVersion pinning) and
+    # writer_replace_audit's own version-1 format() read.
+    "datasource_stream_tail_audit",
     "vacuum_retention_audit",
     # ---- round-10 new capability queries (r9 verdict task #2):
     # cost-routed expectations over the shared fixture versioned
@@ -799,7 +804,20 @@ _DRIVER_HEAD = [
     # out -- see the r11 block in _DRIVER_TAIL.
     "mixture_sample_docs",
     "constraints_history_audit",
-    "scd2_customer_history", "scd2_asof_fact_join",
+    # (scd2_customer_history -- graded r11-r13 -- rotated to the tail
+    # in r14 for the bpe_tokenize_docs slot; the SCD2 tier keeps head
+    # rep scd2_asof_fact_join, whose effectivity-window as-of join
+    # consumes the SAME scd2_apply fixture, and the full history
+    # derivation stays oracle-replayed + pytest-pinned)
+    "scd2_asof_fact_join",
+    # ---- round-14 new grades: dynamic partition overwrite through
+    # the format() WRITE face (r13 verdict task 1 -- the function-face
+    # twin replace_partitions_audit stays for its second graded
+    # round), and the BPE TRAINER under an unrolled 8-round
+    # chained-CTE oracle (r13 verdict task 4: the last
+    # never-driver-graded query crosses the gate; see
+    # _bpe_trainer_oracle)
+    "writer_replace_audit", "bpe_tokenize_docs",
     # ---- round-13 new capabilities: the frozen-merge BPE ENCODER
     # grade (the corpus-wide half of the tokenizer -- the trainer
     # stays rows-only), Hive-partitioned-layout pruning through
@@ -973,13 +991,15 @@ _DRIVER_TAIL = [
     # decontaminate_embeddings_docs -- the r3-r6 additions that had
     # never crossed the driver gate -- rotated into the head in
     # round 10, finishing the burn-down but for the two below.)
-    # never-graded backlog (1): mixture_sample_docs rotated into the
+    # never-graded backlog (0): mixture_sample_docs rotated into the
     # r11 head, finishing the rotatable burn-down; bpe_tokenize_docs
-    # is rows-only by nature (iterative training loop, no SQL
-    # oracle; exactness pinned against a pure-Python reference in
-    # tests/test_bpe.py) -- documented in tools/grading_ledger.py
-    # NEVER_GRADED_OK.
-    "bpe_tokenize_docs",
+    # -- long NEVER_GRADED_OK as "rows-only by nature" -- rotated
+    # into the r14 head once its 8 deterministic merge rounds proved
+    # unrollable as chained DuckDB CTEs (r13 verdict task 4; see
+    # plans/queries_data._bpe_trainer_oracle).
+    # ---- round-14 rotations OUT of the head (family coverage per
+    # the r14 head comments):
+    "datasource_timetravel_audit", "scd2_customer_history",
     # ---- round-13 rotations OUT of the head (each driver-green
     # r11+r12; family coverage per the r13 head comment):
     "purge_erasure_audit", "ddl_timetravel_audit",

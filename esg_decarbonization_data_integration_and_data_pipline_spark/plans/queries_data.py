@@ -1735,19 +1735,122 @@ def token_budget_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "budget_tokens"))
 
 
-@register("bpe_tokenize_docs", "ext:bpe-tokenizer", oracle=None)
+def _bpe_trainer_oracle(n_merges: int = 8) -> str:
+    """DuckDB oracle for the full 8-merge BPE TRAINER + encode (r13
+    verdict task 4: the last never-driver-graded query).  The
+    trainer's merge loop is deterministic -- weighted adjacent pair
+    counts including overlaps, max count then lexicographically
+    smallest (a, b) tie-break, min_pair_count=2 early stop
+    (operators/bpe._train_bpe_driver) -- so its ``n_merges`` rounds
+    UNROLL as chained CTEs:
+
+      wf   the word-frequency table (lowercased ``\\s+`` tokens of
+           length >= 2, counted corpus-wide -- train_bpe's one scan);
+      w0   each word as an STX<sym>ETX wrapped symbol string (the
+           bpe_encode_docs encoding: chr(2)/chr(3) are absent from
+           the corpus, so one merge is EXACTLY one left-to-right
+           non-overlapping replace);
+      pK   round K's weighted pair counts: symbols re-extracted by
+           regexp, adjacent pairs (incl. overlaps) via a lateral
+           UNNEST(generate_series), HAVING >= 2;
+      bK   round K's winner (ORDER BY n DESC, a, b LIMIT 1; UTF-8
+           byte order == code-point order, matching Python tuple
+           comparison).  An EMPTY bK (early stop) flows through the
+           LEFT JOIN as a no-op for every later round;
+      wK   the word table with bK applied.
+
+    The encode side replays b1..bK in rank order over the wrapped
+    documents -- equivalent to the encoder's best-rank-first greedy
+    loop because a merged pair can never reappear (a merge only
+    concatenates; tests/test_bpe_encode_query.py pins the
+    equivalence argument for the encode face)."""
+    stx, etx, eot = "chr(2)", "chr(3)", "chr(4)"
+    sym_re = f"{stx}||'([^'||{stx}||{etx}||']*)'||{etx}"
+
+    def merged(prev: str, k: int) -> str:
+        pat = (f"{stx}||b{k}.a||{etx}||{stx}||b{k}.b||{etx}")
+        return (f"CASE WHEN b{k}.a IS NULL THEN {prev} ELSE "
+                f"replace({prev}, {pat}, {stx}||b{k}.a||b{k}.b||{etx})"
+                f" END")
+
+    parts = [f"""
+WITH d AS (
+  SELECT doc_id, lower(text) AS lt FROM documents
+  WHERE text IS NOT NULL
+),
+wf AS (
+  SELECT t AS w, count(*) AS cnt
+  FROM d, UNNEST(list_filter(string_split_regex(lt, '\\s+'),
+                             t -> t != '')) AS u(t)
+  WHERE length(t) >= 2
+  GROUP BY t
+),
+w0 AS (
+  SELECT regexp_replace(w, '(.)', {stx}||'\\1'||{etx}, 'g') AS s, cnt
+  FROM wf
+)"""]
+    for k in range(1, n_merges + 1):
+        parts.append(f""",
+p{k} AS (
+  SELECT l[i] AS a, l[i+1] AS b, sum(cnt) AS n
+  FROM (SELECT regexp_extract_all(s, {sym_re}, 1) AS l, cnt
+        FROM w{k - 1}) t,
+       UNNEST(generate_series(1, len(l) - 1)) AS g(i)
+  GROUP BY 1, 2 HAVING sum(cnt) >= 2
+),
+b{k} AS (SELECT a, b FROM p{k} ORDER BY n DESC, a, b LIMIT 1),
+w{k} AS (
+  SELECT {merged("s", k)} AS s, cnt
+  FROM w{k - 1} LEFT JOIN b{k} ON true
+)""")
+    parts.append(f""",
+e0 AS (
+  SELECT doc_id,
+    coalesce(array_to_string(
+      list_transform(
+        list_filter(string_split_regex(lt, '\\s+'), t -> t != ''),
+        t -> regexp_replace(t, '(.)', {stx}||'\\1'||{etx}, 'g')),
+      {eot}), '') AS s
+  FROM d
+)""")
+    for k in range(1, n_merges + 1):
+        parts.append(f""",
+e{k} AS (
+  SELECT doc_id, {merged("s", k)} AS s
+  FROM e{k - 1} LEFT JOIN b{k} ON true
+)""")
+    parts.append(f"""
+SELECT doc_id,
+  CAST(length(s) - length(replace(s, {stx}, '')) AS BIGINT)
+    AS n_bpe_tokens,
+  replace(replace(replace(replace(s,
+    {etx}||{eot}||{stx}, ' '), {etx}||{stx}, ' '),
+    {stx}, ''), {etx}, '') AS bpe_text
+FROM e{n_merges}
+""")
+    return "".join(parts)
+
+
+@register("bpe_tokenize_docs", "ext:bpe-tokenizer",
+          oracle=_bpe_trainer_oracle())
 def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train an 8-merge BPE vocabulary on the corpus's own
     word-frequency table, then encode every document with it
-    (operators/bpe.train_bpe / bpe_segment). Rows-only by nature:
-    the training loop is iterative driver control flow, not a SQL
-    expression -- exactness is pinned in tests/test_bpe.py against a
-    pure-Python reference implementation."""
+    (operators/bpe.train_bpe / bpe_segment).  The merge loop is
+    iterative driver control flow over the COLLECTED vocab-sized
+    word-frequency table (the scale-correct shape: one corpus scan,
+    zero Spark jobs per merge), but its 8 deterministic rounds
+    unroll as chained DuckDB CTEs -- see ``_bpe_trainer_oracle`` --
+    so the trainer is value-level graded end-to-end, completing the
+    tokenizer story bpe_encode_docs' frozen-merge grade started
+    (exactness vs a pure-Python reference is also pinned in
+    tests/test_bpe.py)."""
     from esg_decarbonization_data_integration_and_data_pipline_spark.operators.bpe import (
         bpe_segment, train_bpe,
     )
 
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
     merges = train_bpe(d, n_merges=8)
     return (bpe_segment(d, merges)
             .select("doc_id", "n_bpe_tokens",

@@ -567,7 +567,13 @@ def datasource_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
           oracle=_BASE_CTE + """,
 p AS (SELECT o_orderkey, o_totalprice,
              CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE yr END AS yr
-      FROM base)
+      FROM base),
+p2 AS (SELECT o_orderkey, o_totalprice,
+              CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                   ELSE CAST(year(o_orderdate) AS INT) END AS yr,
+              CASE WHEN o_orderkey % 17 = 0 THEN NULL
+                   ELSE CAST(month(o_orderdate) AS INT) END AS mon
+       FROM orders WHERE year(o_orderdate) IN (1997, 1998))
 SELECT 'read_where_1997' AS stage, 1997 AS yr, count(*) AS n_rows,
        round(sum(o_totalprice), 4) AS total_price
 FROM p WHERE yr = 1997
@@ -578,6 +584,13 @@ UNION ALL SELECT 'format_null', -1, count(*),
        round(sum(o_totalprice), 4)
 FROM p WHERE yr IS NULL
 UNION ALL SELECT 'prune_exact', -1, CAST(1 AS BIGINT), 0.0
+UNION ALL SELECT 'comp_eq_1997_3', 1997, count(*),
+       round(sum(o_totalprice), 4)
+FROM p2 WHERE yr = 1997 AND mon = 3
+UNION ALL SELECT 'comp_null_mon', 1998, count(*),
+       round(sum(o_totalprice), 4)
+FROM p2 WHERE yr = 1998 AND mon IS NULL
+UNION ALL SELECT 'comp_prune_exact', -1, CAST(1 AS BIGINT), 0.0
 """)
 def partition_pruning_audit(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
@@ -609,7 +622,15 @@ def partition_pruning_audit(spark: SparkSession,
     O(partitions touched) planning with zero data I/O.  The reference
     truncate-and-reloads unpartitioned tables (jobs/csr_etl.py:157);
     this is what its monthly slices become on a lakehouse layout.
-    The snapshot build is process-memoized
+
+    The ``comp_*`` stages (r13 verdict task 5) run the same contract
+    over a TWO-LEVEL ``partition_by=('yr', 'mon')`` layout -- a
+    composite equality through the format() pushdown face, an
+    ``IS NULL`` on the SECOND level (a real null-marker directory
+    nested under ``yr=1998/``), and a composite prune-exactness flag
+    (the files surviving BOTH single-column prunes are exactly the
+    ``yr=1997/mon=3`` leaves, strictly fewer than either column
+    admits alone).  The snapshot builds are process-memoized
     (plans/fixtures.audit_state); every read runs live."""
     from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
         pruned_files, read_where,
@@ -632,9 +653,23 @@ def partition_pruning_audit(spark: SparkSession,
                       .otherwise(F.year("o_orderdate"))
                       .cast("int").alias("yr")))
         write_version(o, td, partition_by=("yr",))
-        return {"td": td, "dirs": (td,)}
+        td2 = os.path.join(root, "t2")
+        o2 = (table(spark, sf_dir, "orders")
+              .filter(F.year("o_orderdate").isin(1997, 1998))
+              .select("o_orderkey", "o_totalprice",
+                      F.when(F.col("o_orderkey") % 13 == 0,
+                             F.lit(None))
+                       .otherwise(F.year("o_orderdate"))
+                       .cast("int").alias("yr"),
+                      F.when(F.col("o_orderkey") % 17 == 0,
+                             F.lit(None))
+                       .otherwise(F.month("o_orderdate"))
+                       .cast("int").alias("mon")))
+        write_version(o2, td2, partition_by=("yr", "mon"))
+        return {"td": td, "td2": td2, "dirs": (td, td2)}
 
-    td = audit_state("partition_pruning", sf_dir, build)["td"]
+    st = audit_state("partition_pruning", sf_dir, build)
+    td, td2 = st["td"], st["td2"]
     register_ds(spark)
     rows = []
 
@@ -660,6 +695,21 @@ def partition_pruning_audit(spark: SparkSession,
             and all(_partition_values(f).get("yr") == "1997"
                     for f in kept)):
         rows.append(("prune_exact", -1, 1, 0.0))
+    fmt2 = (spark.read.format("versioned_table").option("path", td2)
+            .option("pushdown", "true").load())
+    add("comp_eq_1997_3", 1997,
+        fmt2.filter("yr = 1997 AND mon = 3").agg(*aggs).collect()[0])
+    add("comp_null_mon", 1998,
+        fmt2.filter("yr = 1998 AND mon IS NULL").agg(*aggs)
+        .collect()[0])
+    kept_y, total2 = pruned_files(td2, 1, "yr", 1997, 1997)
+    kept_m, _ = pruned_files(td2, 1, "mon", 3, 3)
+    comp = set(kept_y) & set(kept_m)
+    if (comp and len(comp) < min(len(kept_y), len(kept_m))
+            and all(_partition_values(f).get("yr") == "1997"
+                    and _partition_values(f).get("mon") == "3"
+                    for f in comp)):
+        rows.append(("comp_prune_exact", -1, 1, 0.0))
     return spark.createDataFrame(
         rows, "stage string, yr int, n_rows bigint, "
               "total_price double")
@@ -759,6 +809,133 @@ def replace_partitions_audit(spark: SparkSession,
     rows.append(("before", 3, int(b["n"]), float(b["s"])))
     if st["replay_noop"]:
         rows.append(("replay_noop", -1, 1, 0.0))
+    return spark.createDataFrame(
+        rows, "stage string, mon int, n_rows bigint, "
+              "total_price double")
+
+
+@register("writer_replace_audit", "ext:replace-partitions-writer,S7,P3,A1",
+          oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_totalprice,
+         CAST(month(o_orderdate) AS INT) AS mon
+  FROM orders WHERE year(o_orderdate) = 1997
+               AND month(o_orderdate) >= 7),
+cur AS (
+  SELECT mon, o_orderkey,
+         CASE WHEN mon = 10 THEN o_totalprice * 3
+              ELSE o_totalprice END AS o_totalprice
+  FROM base WHERE mon <> 10 OR o_orderkey % 2 = 1)
+SELECT 'current' AS stage, mon, count(*) AS n_rows,
+       round(sum(o_totalprice), 4) AS total_price
+FROM cur GROUP BY mon
+UNION ALL
+SELECT 'before', 10, count(*), round(sum(o_totalprice), 4)
+FROM base WHERE mon = 10
+UNION ALL
+SELECT 'replay_noop', -1, CAST(1 AS BIGINT), 0.0
+UNION ALL
+SELECT 'append_dynamic_refused', -1, CAST(1 AS BIGINT), 0.0
+""")
+def writer_replace_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite through the ``format()`` WRITE
+    face (r13 verdict task 1: ``df.write.format("versioned_table")
+    .mode("overwrite").option("partitionOverwriteMode", "dynamic")``
+    -- the reference's idempotent month reload, jobs/csr_etl.py:157 /
+    jobs/raw_to_staging.py:203, on the API a Spark user actually
+    writes; replace_partitions_audit grades the same semantics on the
+    function face).  v1 loads the 1997 months 8-12 month-partitioned
+    THROUGH THE WRITER; the reload then replaces month 10 with a
+    modified slice (odd keys only, price tripled) and lands month 7
+    as a brand-new partition, all in one dynamic-overwrite save with
+    a txn marker.  The oracle re-derives from raw parquet:
+
+    - ``current``: months 8-9/11-12 inherited BY REFERENCE, month 10
+      = exactly the replacement slice, month 7 = the new slice;
+    - ``before``: time travel to v1 still shows the original month
+      10 (replace supersedes, never erases);
+    - ``replay_noop``: re-running the SAME save (same txn) must not
+      commit a version -- the writer detects the visible marker at
+      plan time and its tasks stage nothing;
+    - ``append_dynamic_refused``: ``mode("append")`` with the dynamic
+      option must refuse at PLAN time (nothing would be replaced --
+      a silently-appending 'replace' is the bug the option exists to
+      prevent); recorded only if the refusal actually fired and no
+      version was committed.
+
+    The build is process-memoized (plans/fixtures.audit_state); the
+    graded read-back -- two format() reads -- runs live."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.sources.versioned_source import (
+        register as register_ds,
+    )
+    from esg_decarbonization_data_integration_and_data_pipline_spark.tables import table
+
+    register_ds(spark)
+
+    def build() -> dict:
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+            current_version,
+        )
+
+        root = _tmp("wrepl_aud_")
+        td = os.path.join(root, "t")
+        o = (table(spark, sf_dir, "orders")
+             .filter((F.year("o_orderdate") == 1997)
+                     & (F.month("o_orderdate") >= 7))
+             .select("o_orderkey", "o_totalprice",
+                     F.month("o_orderdate").cast("int").alias("mon")))
+        (o.filter(F.col("mon") >= 8)
+          .write.format("versioned_table").mode("overwrite")
+          .option("path", td).option("partitionBy", "mon")
+          .option("statsColumns", "o_orderkey").save())
+        repl = (o.filter((F.col("mon") == 10)
+                         & (F.col("o_orderkey") % 2 == 1))
+                .withColumn("o_totalprice",
+                            F.col("o_totalprice") * 3)
+                .unionByName(o.filter(F.col("mon") == 7)))
+
+        def reload():
+            (repl.write.format("versioned_table").mode("overwrite")
+             .option("path", td).option("partitionBy", "mon")
+             .option("partitionOverwriteMode", "dynamic")
+             .option("txn", "reload:1997-10+07").save())
+
+        reload()
+        v = current_version(td)
+        reload()  # replayed job, same marker -> must no-op
+        replay_noop = current_version(td) == v
+        refused = False
+        try:
+            (repl.write.format("versioned_table").mode("append")
+             .option("path", td).option("partitionBy", "mon")
+             .option("partitionOverwriteMode", "dynamic").save())
+        except Exception as exc:
+            refused = "overwrite" in str(exc)
+        refused = refused and current_version(td) == v
+        return {"td": td, "replay_noop": replay_noop,
+                "refused": refused, "dirs": (td,)}
+
+    st = audit_state("writer_replace", sf_dir, build)
+    fmt = (spark.read.format("versioned_table")
+           .option("path", st["td"]).load())
+    rows = []
+    for r in (fmt.groupBy("mon")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum("o_totalprice"), 4).alias("s"))
+              .collect()):
+        rows.append(("current", int(r["mon"]), int(r["n"]),
+                     float(r["s"])))
+    b = (spark.read.format("versioned_table")
+         .option("path", st["td"]).option("version", "1").load()
+         .filter(F.col("mon") == 10)
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.round(F.sum("o_totalprice"), 4).alias("s"))
+         .collect()[0])
+    rows.append(("before", 10, int(b["n"]), float(b["s"])))
+    if st["replay_noop"]:
+        rows.append(("replay_noop", -1, 1, 0.0))
+    if st["refused"]:
+        rows.append(("append_dynamic_refused", -1, 1, 0.0))
     return spark.createDataFrame(
         rows, "stage string, mon int, n_rows bigint, "
               "total_price double")

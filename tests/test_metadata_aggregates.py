@@ -69,6 +69,60 @@ def test_count_where_boundary_scan_is_exact(spark, vtable):
     assert got == 58
 
 
+@pytest.fixture()
+def snaptable(spark, tmp_path):
+    """A PARTITIONED SNAPSHOT (write_version partition_by +
+    stats_columns -- r13 verdict task 3: snapshots previously
+    recorded no manifest, answering metadata-flat only for the
+    partition column)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import write_version
+
+    td = str(tmp_path / "s")
+    df = spark.range(200).select(
+        F.col("id"), (F.col("id") * 2.5).alias("x"),
+        F.when(F.col("id") % 7 == 0, F.lit(None))
+         .otherwise(F.col("id") % 4).cast("int").alias("p"))
+    write_version(df, td, partition_by=("p",),
+                  stats_columns=["id", "x"])
+    return td
+
+
+def test_partitioned_snapshot_rowcount_sparkless(snaptable):
+    assert table_rowcount(snaptable, 1) == 200
+
+
+def test_partitioned_snapshot_nonpartition_columns_zero_scan(snaptable):
+    # the r13 watch item: min/max, null counts and bounded counts on
+    # NON-partition columns of a partitioned snapshot must answer
+    # from the manifest alone (spark=None blows up on any scan)
+    assert column_range(None, snaptable, "x", n=1) == (0.0, 199 * 2.5)
+    assert count_nulls(None, snaptable, "x", n=1) == 0
+    assert count_where(None, snaptable, "x",
+                       lo=-1.0, hi=1e9, n=1) == 200
+    assert count_where(None, snaptable, "id", n=1) == 200
+
+
+def test_partitioned_snapshot_partition_column_zero_scan(snaptable):
+    # the path tier still answers for the partition column itself,
+    # incl. the null-marker directory's all-null proof
+    assert count_nulls(None, snaptable, "p", n=1) == len(
+        [i for i in range(200) if i % 7 == 0])
+    assert count_where(None, snaptable, "p", lo=2, hi=2, n=1) == len(
+        [i for i in range(200) if i % 7 != 0 and i % 4 == 2])
+
+
+def test_unpartitioned_snapshot_zero_scan(spark, tmp_path):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import write_version
+
+    td = str(tmp_path / "u")
+    write_version(spark.range(50).select(
+        F.col("id"), (F.col("id") % 5).alias("m")), td,
+        stats_columns=["id"])
+    assert table_rowcount(td, 1) == 50
+    assert column_range(None, td, "id", n=1) == (0, 49)
+    assert count_where(None, td, "id", lo=0, hi=100, n=1) == 50
+
+
 def test_python_ds_api_has_no_aggregate_hook():
     """The documented refusal: Spark 4.1's Python DataSource reader
     surface is partitions/pushFilters/read -- if an aggregate-
