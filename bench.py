@@ -137,6 +137,15 @@ HEADLINE = [
     # memoized build pays the partitioned load + two replace commits
     # once; the graded read-back (current + time travel) is measured
     "replace_partitions_audit",
+    # added round 14: the writer-face dynamic partition overwrite
+    # twin (memoized build: writer load + dynamic reload + replay +
+    # refusal; measured = the two format() reads) and the graded BPE
+    # TRAINER (one corpus scan -> vocab-sized driver merge loop ->
+    # one Arrow encode pass; the whole pipeline is the measured
+    # contract).  Totals compare on prefix17/24/26/34/42; the r13
+    # 46-query set is prefix46.
+    "writer_replace_audit",
+    "bpe_tokenize_docs",
 ]
 
 
@@ -235,7 +244,8 @@ def main() -> None:
     # more (length, sentinel) pair here -- one loop, no copied blocks
     PREFIXES = [(17, "events_tumbling_agg"), (24, "drift_orders_psi"),
                 (26, "drift_ks_summary"), (34, "fsck_report_audit"),
-                (42, "dv_delete_audit")]
+                (42, "dv_delete_audit"),
+                (46, "replace_partitions_audit")]
     for plen, sentinel in PREFIXES:
         assert len(HEADLINE) >= plen and HEADLINE[plen - 1] == sentinel, \
             f"HEADLINE's first {plen} entries are a cross-round " \

@@ -746,6 +746,15 @@ def _read_files(spark: SparkSession, table_dir: str, rel_files,
     discovery pass (Spark raises CONFLICTING_DIRECTORY_STRUCTURES),
     so files group by their partition-directory signature -- one
     scan per layout shape, unioned under the pinned schema."""
+    if not rel_files:
+        # a zero-file version (e.g. a snapshot of a zero-partition
+        # frame): the pinned schema IS the read, there is nothing to
+        # scan
+        if st is None:
+            raise ValueError(
+                f"version under {table_dir} lists no data files and "
+                f"pins no schema -- nothing to derive a read from")
+        return spark.createDataFrame([], st)
     groups = _layout_groups(rel_files)
     frames = [_read_files_single(spark, table_dir, fs, st,
                                  base_rel=base)
