@@ -107,6 +107,38 @@ def test_writer_dynamic_null_partition(spark, mtable):
     assert cur.count() == 5  # 4 original rows + the null reload
 
 
+def test_writer_dynamic_on_renamed_partition_column(spark, mtable):
+    """Column mapping composes with the writer-face replace: after
+    rename_column the DIRECTORIES still carry the original physical
+    name, the batch speaks the NEW logical name, and the drop set
+    must key both sides through the mapping."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import rename_column
+
+    rename_column(spark, mtable, "month", "period")
+    batch = spark.createDataFrame(
+        [(40, "2024-02", 400.0)], "id bigint, period string, amt double")
+    (batch.write.format("versioned_table").mode("overwrite")
+     .option("path", mtable).option("partitionBy", "period")
+     .option("partitionOverwriteMode", "dynamic").save())
+    cur = read_current(spark, mtable)
+    assert [r.id for r in cur.filter("period = '2024-02'")
+            .collect()] == [40]
+    assert cur.count() == 4  # months 01 (2 rows) + 03 + the reload
+
+
+def test_function_replace_on_renamed_partition_column(spark, mtable):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import rename_column
+
+    rename_column(spark, mtable, "month", "period")
+    batch = spark.createDataFrame(
+        [(41, "2024-03", 410.0)], "id bigint, period string, amt double")
+    replace_partitions(spark, mtable, batch, ("period",))
+    cur = read_current(spark, mtable)
+    assert [r.id for r in cur.filter("period = '2024-03'")
+            .collect()] == [41]
+    assert cur.count() == 4
+
+
 def test_writer_dynamic_requires_overwrite_mode(spark, mtable):
     batch = _months(spark, {"2024-01": [(9, 90.0)]})
     with pytest.raises(Exception, match="mode..overwrite.."):
