@@ -76,7 +76,13 @@ QUERIES = ["text_repetition", "dedup_simhash64_pairs", "dedup_simhash",
            # filtered identically on both sides; empty/whitespace
            # docs encode to zero tokens; the exact-dup doc encodes
            # identically)
-           "bpe_encode_docs"]
+           "bpe_encode_docs",
+           # round-14: the graded BPE TRAINER -- the crafted corpus
+           # exercises the early-stop path too (few repeated pairs),
+           # and the learned-merge encode must match the oracle's
+           # unrolled CTE chain on null/empty/whitespace/single-char
+           # docs
+           "bpe_tokenize_docs"]
 
 
 @pytest.fixture(scope="module")
