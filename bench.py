@@ -146,6 +146,11 @@ HEADLINE = [
     # 46-query set is prefix46.
     "writer_replace_audit",
     "bpe_tokenize_docs",
+    # added round 14 (late): hidden partitioning -- the two
+    # transform-layout builds are memoized; the measured contract is
+    # the three pruned reads (function range, pushdown range, bucket
+    # equality)
+    "hidden_partition_audit",
 ]
 
 

@@ -1,0 +1,263 @@
+"""Hidden (generated) partitioning -- Iceberg-style partition
+transforms for the versioned-table tier.
+
+``partition_by`` entries on :func:`io.versioned.write_version` /
+``append_version`` may be TRANSFORMS of a source column instead of
+bare column names::
+
+    write_version(df, td, partition_by=("year(o_orderdate)",))
+    append_version(df, td, partition_by=("bucket(16, doc_id)",))
+
+The derived value exists ONLY in the directory layout (Iceberg's
+hidden partitioning): the table's logical schema never gains a
+``yr`` column, writers derive the layout value per row at write
+time, and readers prune directories from predicates on the SOURCE
+column -- ``read_where(spark, td, "o_orderdate", lo, hi)`` maps the
+range through the transform and skips whole partitions, then
+re-applies the predicate row-level (pruning is an optimization,
+never a filter).  This is what the reference's hand-maintained month
+columns (jobs/csr_etl.py month slicing) become when the engine owns
+the derivation: callers can never write a row into the wrong slice,
+and repartitioning the table is a spec change, not a backfill of a
+materialized column.
+
+Transforms (the Iceberg v2 set minus void):
+
+==============  =====================  ==========================
+spec            directory value        prunes
+==============  =====================  ==========================
+``col``         identity (existing)    eq / range / null checks
+``year(c)``     int year               range on ``c`` (monotonic)
+``month(c)``    ``yyyy-MM`` string     range on ``c`` (monotonic,
+                                       zero-padded lexicographic)
+``day(c)``      ``yyyy-MM-dd`` string  range on ``c``
+``bucket(N,c)`` ``md5(c) % N`` int     equality on ``c`` only
+``truncate(N,c)``  ``c[:N]`` (string)  range on ``c`` (prefix /
+                   or ``c - c % N``    floor monotonic)
+==============  =====================  ==========================
+
+The bucket hash is the engine's OWN deterministic md5 recipe
+(first 8 hex digits mod N), implemented identically in Spark SQL
+(write side) and pure Python (spark-free pruning side) -- NOT
+Iceberg's murmur3, which pyspark has no stable Python twin for.
+NULL source values land in the ``__HIVE_DEFAULT_PARTITION__``
+directory for every transform, exactly like identity partitioning.
+
+The spec is committed as ``_PARTSPEC.json`` inside the version dir
+(next to ``_SCHEMA.json``): per-version, inherited nowhere --
+readers consult the spec of the version they read, so a table may
+evolve its layout across commits without rewriting history.
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import json
+import os
+import re
+from typing import Any
+
+_PARTSPEC_FILE = "_PARTSPEC.json"
+
+_TRANSFORM_RE = re.compile(
+    r"^\s*(year|month|day)\s*\(\s*([A-Za-z0-9_.]+)\s*\)\s*$")
+_PARAM_RE = re.compile(
+    r"^\s*(bucket|truncate)\s*\(\s*(\d+)\s*,\s*([A-Za-z0-9_.]+)\s*\)\s*$")
+
+
+def parse_partition_spec(entries, schema) -> list[dict]:
+    """``partition_by`` entries -> ordered spec dicts
+    ``{"dir", "transform", "src", "param"}``.  Bare names are
+    identity entries (dir == src).  Derived directory names are
+    ``<src>_<transform>`` and must not collide with schema columns
+    (a collision would make the discovered partition column shadow
+    a real one)."""
+    names = set(schema.fieldNames()) if schema is not None else set()
+    out: list[dict] = []
+    for e in entries:
+        e = str(e)
+        m = _TRANSFORM_RE.match(e)
+        p = _PARAM_RE.match(e) if m is None else None
+        if m is not None:
+            tf, src = m.group(1), m.group(2)
+            param = None
+        elif p is not None:
+            tf, param, src = p.group(1), int(p.group(2)), p.group(3)
+            if param <= 0:
+                raise ValueError(
+                    f"partition transform {e!r}: N must be positive")
+        else:
+            if "(" in e or ")" in e:
+                raise ValueError(
+                    f"unrecognized partition transform {e!r}; "
+                    f"supported: col, year(col), month(col), "
+                    f"day(col), bucket(N, col), truncate(N, col)")
+            out.append({"dir": e.strip(), "transform": "identity",
+                        "src": e.strip(), "param": None})
+            continue
+        if names and src not in names:
+            raise ValueError(
+                f"partition transform {e!r}: column {src!r} is not "
+                f"in the schema")
+        dir_name = f"{src}_{tf}"
+        if dir_name in names:
+            raise ValueError(
+                f"partition transform {e!r}: derived directory "
+                f"column {dir_name!r} collides with a schema column "
+                f"-- rename the column or partition by it directly")
+        out.append({"dir": dir_name, "transform": tf, "src": src,
+                    "param": param})
+    dirs = [s["dir"] for s in out]
+    if len(set(dirs)) != len(dirs):
+        raise ValueError(
+            f"duplicate partition directories in {list(entries)!r}")
+    return out
+
+
+def has_transforms(spec: list[dict]) -> bool:
+    return any(s["transform"] != "identity" for s in spec)
+
+
+def derive_columns(df, spec: list[dict], physical: dict | None = None):
+    """(df with derived layout columns attached, list of dir names
+    to partitionBy).  Identity entries pass through (mapped to their
+    physical name when the table is column-mapped); derived entries
+    compute the transform in Spark (JVM expressions, no UDF)."""
+    from pyspark.sql import functions as F
+
+    physical = physical or {}
+    part_cols: list[str] = []
+    for s in spec:
+        if s["transform"] == "identity":
+            part_cols.append(physical.get(s["src"], s["src"]))
+            continue
+        src, n = s["src"], s["param"]
+        phys_src = physical.get(src, src)
+        if s["transform"] == "year":
+            col = F.year(F.col(phys_src)).cast("int")
+        elif s["transform"] == "month":
+            col = F.date_format(F.col(phys_src), "yyyy-MM")
+        elif s["transform"] == "day":
+            col = F.date_format(F.col(phys_src), "yyyy-MM-dd")
+        elif s["transform"] == "bucket":
+            col = (F.when(F.col(phys_src).isNull(), F.lit(None))
+                    .otherwise(F.expr(
+                        f"cast(conv(substring(md5(cast("
+                        f"`{phys_src}` as string)), 1, 8), 16, 10) "
+                        f"as bigint) % {n}").cast("int")))
+        elif s["transform"] == "truncate":
+            dt = dict((f.name, f.dataType.typeName())
+                      for f in df.schema.fields).get(phys_src)
+            if dt == "string":
+                col = F.expr(f"substring(`{phys_src}`, 1, {n})")
+            elif dt in ("integer", "long", "short", "byte"):
+                col = F.expr(
+                    f"`{phys_src}` - pmod(`{phys_src}`, {n})")
+            else:
+                raise ValueError(
+                    f"truncate({n}, {src}) needs a string or "
+                    f"integer column, got {dt}")
+        else:  # pragma: no cover -- parse_partition_spec gates
+            raise ValueError(s["transform"])
+        df = df.withColumn(s["dir"], col)
+        part_cols.append(s["dir"])
+    return df, part_cols
+
+
+def bucket_value(v: Any, n: int) -> int:
+    """The Python twin of the Spark-side bucket expression: first 8
+    hex digits of md5(str(v)) mod n.  ``str`` of ints/strings
+    matches Spark's string cast for those types; bucket sources are
+    restricted to them by contract."""
+    return int(hashlib.md5(str(v).encode("utf-8"))
+               .hexdigest()[:8], 16) % n
+
+
+def _as_date(v) -> datetime.date | None:
+    if isinstance(v, datetime.datetime):
+        return v.date()
+    if isinstance(v, datetime.date):
+        return v
+    try:
+        return datetime.datetime.fromisoformat(str(v)).date()
+    except ValueError:
+        return None
+
+
+def keep_file(raw: str | None, transform: str, param, lo, hi) -> bool:
+    """May a file whose directory value is ``raw`` contain rows with
+    ``lo <= src <= hi``?  Conservative: unparseable inputs keep the
+    file (pruning is never a filter).  ``raw`` None means the file
+    carries no such directory (mixed layouts) -- kept.  The
+    null-marker directory is excluded by ANY bound (no null row can
+    satisfy a range), mirroring identity pruning."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import _NULL_PARTITION
+
+    if raw is None:
+        return True
+    if raw == _NULL_PARTITION:
+        return lo is None and hi is None
+    if transform == "bucket":
+        # only an equality probe prunes buckets
+        if lo is None or hi is None or lo != hi:
+            return True
+        try:
+            return int(raw) == bucket_value(lo, param)
+        except ValueError:
+            return True
+    if transform == "year":
+        try:
+            y = int(raw)
+        except ValueError:
+            return True
+        dlo, dhi = _as_date(lo) if lo is not None else None, \
+            _as_date(hi) if hi is not None else None
+        if lo is not None and dlo is None:
+            return True
+        if hi is not None and dhi is None:
+            return True
+        return ((dlo is None or y >= dlo.year)
+                and (dhi is None or y <= dhi.year))
+    if transform in ("month", "day"):
+        fmt = "%Y-%m" if transform == "month" else "%Y-%m-%d"
+        dlo = _as_date(lo) if lo is not None else None
+        dhi = _as_date(hi) if hi is not None else None
+        if lo is not None and dlo is None:
+            return True
+        if hi is not None and dhi is None:
+            return True
+        return ((dlo is None or raw >= dlo.strftime(fmt))
+                and (dhi is None or raw <= dhi.strftime(fmt)))
+    if transform == "truncate":
+        try:
+            int_dir = int(raw)
+        except ValueError:
+            int_dir = None
+        if int_dir is not None and (
+                isinstance(lo, (int,)) or isinstance(hi, (int,))):
+            return ((lo is None or int_dir >= lo - (lo % param))
+                    and (hi is None or int_dir <= hi - (hi % param)))
+        slo = str(lo)[:param] if lo is not None else None
+        shi = str(hi)[:param] if hi is not None else None
+        return ((slo is None or raw >= slo)
+                and (shi is None or raw <= shi))
+    return True
+
+
+def write_partspec(dir_path: str, spec: list[dict]) -> None:
+    tmp = os.path.join(dir_path, f".{_PARTSPEC_FILE}.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(spec, fh, sort_keys=True)
+    os.replace(tmp, os.path.join(dir_path, _PARTSPEC_FILE))
+
+
+def read_partspec(table_dir: str, n: int) -> list[dict]:
+    """The partition spec committed with version ``n`` (empty for
+    identity-only / pre-transform versions)."""
+    p = os.path.join(table_dir, f"v_{n:08d}", _PARTSPEC_FILE)
+    try:
+        with open(p, encoding="utf-8") as fh:
+            return json.load(fh)
+    except OSError:
+        return []

@@ -509,27 +509,40 @@ def write_version(df: DataFrame, table_dir: str,
         enforce_on_write,
     )
 
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.transforms import (
+        derive_columns, has_transforms, parse_partition_spec,
+        write_partspec,
+    )
+
     backend = backend or _DEFAULT_BACKEND
     os.makedirs(table_dir, exist_ok=True)
     # snapshot writers pass through the table's write-time
     # constraints like every other NEW-data path -- the 'every row
     # ever readable under a constraint passed it' contract
     df = enforce_on_write(df, table_dir)
+    # a snapshot's read schema is the batch's own, pinned at commit
+    # time BEFORE any hidden partition columns are derived: a
+    # transform's directory value lives only in the layout
+    # (io/transforms -- Iceberg hidden partitioning), never in the
+    # logical schema.  Any column-mapping metadata is STRIPPED: the
+    # snapshot's files are staged under the batch's own logical
+    # names, so a snapshot resets the table to identity mapping by
+    # construction.
+    schema = _strip_physical(df.schema)
+    spec = parse_partition_spec(partition_by, df.schema) \
+        if partition_by else []
+    staged_df, part_cols = derive_columns(df, spec) \
+        if spec else (df, [])
     staged = os.path.join(
         table_dir, f"{_STAGE_PREFIX}{os.getpid()}-{uuid.uuid4().hex}")
     try:
-        w = df.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
+        w = staged_df.write.mode("overwrite")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
         w.parquet(staged)
-        # a snapshot's read schema is the batch's own, pinned at
-        # commit time (schema may change freely across snapshots --
-        # that is write_version's overwrite semantic).  Any column-
-        # mapping metadata is STRIPPED: the snapshot's files are
-        # staged under the batch's own logical names, so a snapshot
-        # resets the table to identity mapping by construction.
-        schema = _strip_physical(df.schema)
         _write_schema_file(staged, schema)
+        if has_transforms(spec):
+            write_partspec(staged, spec)
         # footer metadata is collected ONCE against the staged layout
         # (paths are staged-relative here; the claim loop re-prefixes
         # them with whatever v_N the rename lands on)
@@ -1810,7 +1823,18 @@ def pruned_files(table_dir: str, n: int, col: str,
     the file (and the null-partition marker means every row's
     ``col`` is NULL, so any bounded range excludes the file).  The
     path value is compared under the pinned schema's type; a type
-    with no safe parse keeps the file."""
+    with no safe parse keeps the file.
+
+    HIDDEN partition transforms (io/transforms -- Iceberg-style
+    ``year(col)`` / ``month(col)`` / ``bucket(N, col)`` / ...)
+    prune here too: the version's ``_PARTSPEC.json`` maps the probe
+    range on the SOURCE column through each transform to a
+    directory-value check (bucket prunes equality probes only;
+    every mapping is conservative -- unparseable keeps the file)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.transforms import (
+        keep_file, read_partspec,
+    )
+
     files = _data_files(table_dir, n)
     stats = _read_stats(table_dir, n)
     # partition-dir lookups go by the PHYSICAL column name (the name
@@ -1823,6 +1847,8 @@ def pruned_files(table_dir: str, n: int, col: str,
             fld = st[col]
             phys_col = _physical_map(st).get(col, col)
             part_dt = fld.dataType
+    hidden = [s for s in read_partspec(table_dir, n)
+              if s["transform"] != "identity" and s["src"] == col]
     kept = []
     for f in files:
         pv = _partition_values(f).get(phys_col)
@@ -1835,6 +1861,12 @@ def pruned_files(table_dir: str, n: int, col: str,
                         (hi is not None and tv > hi)
                         or (lo is not None and tv < lo)):
                     continue
+        if hidden:
+            pvals = _partition_values(f)
+            if not all(keep_file(pvals.get(h["dir"]), h["transform"],
+                                 h["param"], lo, hi)
+                       for h in hidden):
+                continue
         s = stats.get(f, {}).get(col)
         if s is not None and ((hi is not None and s[0] > hi)
                               or (lo is not None and s[1] < lo)):
@@ -2591,6 +2623,15 @@ def replace_partitions(spark: SparkSession, table_dir: str,
     part_cols = tuple(partition_by)
     if not part_cols:
         raise ValueError("replace_partitions needs partition_by")
+    bad = [c for c in part_cols if "(" in str(c)]
+    if bad:
+        raise ValueError(
+            f"replace_partitions takes bare partition COLUMN names, "
+            f"got transform spec(s) {bad}: a dynamic replace over a "
+            f"hidden-transform layout (io/transforms) is not "
+            f"supported yet -- reload by the identity columns, or "
+            f"materialize the derived column and partition by it "
+            f"directly")
     backend = backend or _DEFAULT_BACKEND
     base = current_version(table_dir, backend=backend)
     if base is None:
@@ -3367,21 +3408,39 @@ def _manifest_commit(df: DataFrame, table_dir: str, txn: str | None,
         else None
     staged_physical, logical_schema = _physical_staging_plan(
         base_st0, df.schema)
+    # hidden partition transforms (io/transforms): the spec parses
+    # against the LOGICAL schema, the derived layout columns compute
+    # from the PHYSICAL ones after the aliasing below, and the spec
+    # sidecar rides the staged dir into the committed version
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.transforms import (
+        derive_columns, has_transforms, parse_partition_spec,
+        write_partspec,
+    )
+
+    spec = parse_partition_spec(partition_by, logical_schema) \
+        if partition_by else []
     if any(p != c for c, p in staged_physical.items()):
         from pyspark.sql import functions as F
 
         df = df.select([F.col(c).alias(staged_physical[c])
                         for c in df.columns])
+    if spec:
+        df, part_cols = derive_columns(df, spec,
+                                       physical=staged_physical)
+    else:
+        part_cols = []
     staged = os.path.join(
         table_dir, f"{_STAGE_PREFIX}{os.getpid()}-{uuid.uuid4().hex}")
     claimed: str | None = None
     try:
         w = df.write.mode("overwrite")
-        if partition_by:
-            # the staged layout speaks PHYSICAL names like the files
-            w = w.partitionBy(*[staged_physical.get(c, c)
-                                for c in partition_by])
+        if part_cols:
+            # identity entries speak PHYSICAL names like the files;
+            # derived entries use their spec directory names
+            w = w.partitionBy(*part_cols)
         w.parquet(staged)
+        if has_transforms(spec):
+            write_partspec(staged, spec)
         if not _walk_rel_files(staged):
             # an empty batch can plan away to zero part files; force
             # one schema-carrying part so the version stays readable

@@ -731,6 +731,16 @@ _DRIVER_HEAD = [
     # a head representative -- see the r10 block in _DRIVER_TAIL.
     "similarity_topk_batch",
     "corpus_profile_by_source",
+    # ---- round-14 new capability: HIDDEN (generated) partitioning
+    # (io/transforms -- Iceberg partition transforms year/month/day/
+    # bucket/truncate; the derived value lives only in the layout,
+    # readers prune from predicates on the SOURCE column through
+    # both the function face and the format() pushdown face).
+    # mixture_sample_docs rotates out for the slot (graded r11-r13;
+    # no exclusive SURVEY rows -- the sampling tier keeps its
+    # oracle-replayed tail cohort and the per-source accounting
+    # stays head-graded via corpus_profile_by_source)
+    "hidden_partition_audit",
     # ---- round-12 (late) new capability: zero-copy column RENAME
     # via Delta-style column mapping (io/versioned.rename_column:
     # metadata-only commit, stats re-keying, physical-name staging in
@@ -802,7 +812,8 @@ _DRIVER_HEAD = [
     # plans/fixtures.py), and the round's new capability tier: SCD2
     # dimension history (io/scd).  Six r9+r10-graded heads rotated
     # out -- see the r11 block in _DRIVER_TAIL.
-    "mixture_sample_docs",
+    # (mixture_sample_docs -- graded r11-r13 -- rotated to the tail
+    # in r14 for the hidden_partition_audit slot; see that entry)
     "constraints_history_audit",
     # (scd2_customer_history -- graded r11-r13 -- rotated to the tail
     # in r14 for the bpe_tokenize_docs slot; the SCD2 tier keeps head
@@ -1000,6 +1011,7 @@ _DRIVER_TAIL = [
     # ---- round-14 rotations OUT of the head (family coverage per
     # the r14 head comments):
     "datasource_timetravel_audit", "scd2_customer_history",
+    "mixture_sample_docs",
     # ---- round-13 rotations OUT of the head (each driver-green
     # r11+r12; family coverage per the r13 head comment):
     "purge_erasure_audit", "ddl_timetravel_audit",

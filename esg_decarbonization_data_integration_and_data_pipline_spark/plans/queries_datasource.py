@@ -941,6 +941,114 @@ def writer_replace_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
               "total_price double")
 
 
+@register("hidden_partition_audit", "ext:hidden-partitioning,P3,A1,F2",
+          oracle="""
+WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+           FROM orders)
+SELECT 'hp_year_range' AS stage, count(*) AS n_rows,
+       coalesce(round(sum(o_totalprice), 4), 0.0) AS total_price
+FROM o WHERE o_orderdate BETWEEN DATE '1996-06-01'
+                             AND DATE '1997-08-31'
+UNION ALL
+SELECT 'hp_format_range', count(*),
+       coalesce(round(sum(o_totalprice), 4), 0.0)
+FROM o WHERE o_orderdate BETWEEN DATE '1996-01-01'
+                             AND DATE '1996-09-30'
+UNION ALL
+SELECT 'hp_bucket_eq', count(*),
+       coalesce(round(sum(o_totalprice), 4), 0.0)
+FROM o WHERE o_custkey = 97
+UNION ALL SELECT 'hp_prune_exact', CAST(1 AS BIGINT), 0.0
+UNION ALL SELECT 'hp_bucket_prune', CAST(1 AS BIGINT), 0.0
+""")
+def hidden_partition_audit(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """HIDDEN (generated) partitioning, driver-gradable end-to-end
+    (io/transforms -- the Iceberg partition-transform shape:
+    ``partition_by=("year(o_orderdate)",)`` lays the table out by a
+    DERIVED value that exists only in the directory names, never in
+    the logical schema).  Two tables build memoized: the full orders
+    year-partitioned through ``year(o_orderdate)``, and
+    bucket-partitioned through ``bucket(8, o_custkey)``.  Stages,
+    each re-derived by the oracle from raw parquet:
+
+    - ``hp_year_range``: ``read_where`` on the SOURCE date column --
+      the range maps through the transform, only the 1996/1997
+      year directories are planned (``hp_prune_exact`` records that
+      the kept set is exactly those dirs and strictly smaller than
+      the table), and the predicate re-applies row-level so the
+      values are exact at the mid-year boundaries;
+    - ``hp_format_range``: the same contract through the format()
+      PUSHDOWN face (sources/versioned_source._hidden_exclude);
+    - ``hp_bucket_eq``: an equality probe on o_custkey prunes to the
+      single md5-bucket directory (``hp_bucket_prune``), then
+      re-filters exactly -- hash-bucket layout without a bucket
+      column in the schema.
+
+    At 100 TB this is Iceberg's core ingestion ergonomic: the engine
+    owns the time/bucket derivation, so a writer can never place a
+    row in the wrong slice and queries on the RAW column (not a
+    hand-maintained month column, the reference's jobs/csr_etl.py
+    shape) still prune directories for free."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.transforms import bucket_value
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        _partition_values, pruned_files, read_where,
+    )
+    from esg_decarbonization_data_integration_and_data_pipline_spark.sources.versioned_source import (
+        register as register_ds,
+    )
+    from esg_decarbonization_data_integration_and_data_pipline_spark.tables import table
+
+    def build() -> dict:
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import write_version
+
+        root = _tmp("hidden_aud_")
+        ty = os.path.join(root, "by_year")
+        tb = os.path.join(root, "by_bucket")
+        o = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        write_version(o, ty, partition_by=("year(o_orderdate)",))
+        write_version(o, tb, partition_by=("bucket(8, o_custkey)",))
+        return {"ty": ty, "tb": tb, "dirs": (ty, tb)}
+
+    import datetime
+
+    st = audit_state("hidden_partition", sf_dir, build)
+    ty, tb = st["ty"], st["tb"]
+    register_ds(spark)
+    lo = datetime.date(1996, 6, 1)
+    hi = datetime.date(1997, 8, 31)
+    rows = []
+    aggs = [F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.round(F.sum("o_totalprice"), 4),
+                       F.lit(0.0)).alias("s")]
+    a = read_where(spark, ty, "o_orderdate", lo, hi) \
+        .agg(*aggs).collect()[0]
+    rows.append(("hp_year_range", int(a["n"]), float(a["s"])))
+    fmt = (spark.read.format("versioned_table").option("path", ty)
+           .option("pushdown", "true").load())
+    b = (fmt.filter("o_orderdate >= date'1996-01-01' AND "
+                    "o_orderdate <= date'1996-09-30'")
+         .agg(*aggs).collect()[0])
+    rows.append(("hp_format_range", int(b["n"]), float(b["s"])))
+    c = read_where(spark, tb, "o_custkey", 97, 97) \
+        .agg(*aggs).collect()[0]
+    rows.append(("hp_bucket_eq", int(c["n"]), float(c["s"])))
+    kept, total = pruned_files(ty, 1, "o_orderdate", lo, hi)
+    yrs = {_partition_values(f).get("o_orderdate_year")
+           for f in kept}
+    if kept and len(kept) < total and yrs == {"1996", "1997"}:
+        rows.append(("hp_prune_exact", 1, 0.0))
+    keptb, totalb = pruned_files(tb, 1, "o_custkey", 97, 97)
+    want = str(bucket_value(97, 8))
+    if (keptb and len(keptb) < totalb
+            and all(_partition_values(f).get("o_custkey_bucket")
+                    == want for f in keptb)):
+        rows.append(("hp_bucket_prune", 1, 0.0))
+    return spark.createDataFrame(
+        rows, "stage string, n_rows bigint, total_price double")
+
+
 @register("vacuum_retention_audit", "ext:vacuum-retention,P3,A1",
           oracle=_BASE_CTE + """,
 y AS (SELECT yr, count(*) AS n_rows,

@@ -994,7 +994,14 @@ class _PushdownBatchReader(_BatchReader):
         no row can satisfy the pushed conjuncts (a ``col=v`` segment
         is an exact constant for every row; the null marker means the
         column is NULL throughout).  Path values compare under the
-        pinned schema's type; anything unparseable keeps the file."""
+        pinned schema's type; anything unparseable keeps the file.
+        HIDDEN partition transforms (io/transforms) exclude here too:
+        a pushed predicate on the SOURCE column maps through the
+        version's _PARTSPEC to a directory-value check -- year/month/
+        day/truncate handle ranges, bucket handles eq/in, and a
+        transform directory value that is not the null marker proves
+        the source column non-null (every transform null-propagates),
+        so isnull/notnull prune as well."""
         from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
             _NULL_PARTITION, _partition_values, _typed_partition_value,
         )
@@ -1002,6 +1009,8 @@ class _PushdownBatchReader(_BatchReader):
         raw = _partition_values(f)
         if not raw:
             return False
+        if self._hidden_exclude(f, raw):
+            return True
         for op, col, val in self._pushed:
             rv = raw.get(self._pmap.get(col, col))
             if rv is None:
@@ -1034,6 +1043,62 @@ class _PushdownBatchReader(_BatchReader):
                     return True
             except TypeError:
                 continue
+        return False
+
+    def _hidden_exclude(self, f: str, raw: dict) -> bool:
+        """Transform-directory exclusion for one file (see
+        ``_partition_exclude``).  The spec is read once per reader
+        from the version's _PARTSPEC sidecar."""
+        spec = getattr(self, "_hidden_spec_cache", None)
+        if spec is None:
+            from esg_decarbonization_data_integration_and_data_pipline_spark.io.transforms import (
+                read_partspec,
+            )
+
+            spec = [s for s in read_partspec(self.path, self.n)
+                    if s["transform"] != "identity"]
+            self._hidden_spec_cache = spec
+        if not spec:
+            return False
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.transforms import keep_file
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import _NULL_PARTITION
+
+        for op, col, val in self._pushed:
+            for s in spec:
+                if s["src"] != col:
+                    continue
+                rv = raw.get(s["dir"])
+                if rv is None:
+                    continue
+                if rv == _NULL_PARTITION:
+                    if op != "isnull":
+                        return True  # src NULL throughout the file
+                    continue
+                if op == "isnull":
+                    return True  # transforms null-propagate: src
+                    #              is non-null throughout
+                if op == "notnull":
+                    continue
+                try:
+                    if op == "eq":
+                        keep = keep_file(rv, s["transform"],
+                                         s["param"], val, val)
+                    elif op == "in":
+                        keep = any(keep_file(rv, s["transform"],
+                                             s["param"], v, v)
+                                   for v in val)
+                    elif op in ("ge", "gt"):
+                        keep = keep_file(rv, s["transform"],
+                                         s["param"], val, None)
+                    elif op in ("le", "lt"):
+                        keep = keep_file(rv, s["transform"],
+                                         s["param"], None, val)
+                    else:
+                        keep = True
+                except TypeError:
+                    keep = True
+                if not keep:
+                    return True
         return False
 
     def partitions(self) -> Sequence[InputPartition]:
@@ -1476,6 +1541,13 @@ def _plan_dynamic_replace(path: str, partition_by: tuple, schema,
             "partition layout there is nothing to key the replace "
             "on (a full truncate-and-load WITH history is plain "
             "mode('overwrite'))")
+    bad = [c for c in partition_by if "(" in str(c)]
+    if bad:
+        raise ValueError(
+            f"partitionOverwriteMode=dynamic takes bare partition "
+            f"COLUMN names in partitionBy, got transform spec(s) "
+            f"{bad}: a dynamic replace over a hidden-transform "
+            f"layout (io/transforms) is not supported yet")
     missing = [c for c in partition_by if c not in schema.names]
     if missing:
         raise ValueError(

@@ -1,0 +1,307 @@
+"""Hidden (generated) partitioning -- io/transforms + the
+write_version/append_version wiring: Iceberg-style partition
+transforms whose derived value lives only in the directory layout,
+with predicate-on-source-column pruning and exact reads."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from esg_decarbonization_data_integration_and_data_pipline_spark.io.transforms import (
+    bucket_value,
+    keep_file,
+    parse_partition_spec,
+    read_partspec,
+)
+from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+    _data_files,
+    append_version,
+    pruned_files,
+    read_current,
+    read_where,
+    write_version,
+)
+
+
+def _orders(spark, n=400):
+    return spark.range(n).select(
+        F.col("id"),
+        F.expr("date_add(date'1996-01-01', cast(id * 4 as int))")
+         .alias("d"),
+        (F.col("id").cast("double") * 1.5).alias("amt"),
+        F.concat(F.lit("cat_"), (F.col("id") % 7).cast("string"))
+         .alias("cat"))
+
+
+@pytest.fixture()
+def ytable(spark, tmp_path):
+    td = str(tmp_path / "y")
+    write_version(_orders(spark), td, partition_by=("year(d)",),
+                  stats_columns=["id"])
+    return td
+
+
+def test_spec_parsing_and_refusals(spark):
+    st = _orders(spark).schema
+    spec = parse_partition_spec(
+        ["year(d)", "bucket(8, id)", "truncate(4, cat)", "cat"], st)
+    assert [s["dir"] for s in spec] == [
+        "d_year", "id_bucket", "cat_truncate", "cat"]
+    assert [s["transform"] for s in spec] == [
+        "year", "bucket", "truncate", "identity"]
+    with pytest.raises(ValueError, match="not in the schema"):
+        parse_partition_spec(["year(nope)"], st)
+    with pytest.raises(ValueError, match="unrecognized"):
+        parse_partition_spec(["pow(2, d)"], st)
+    with pytest.raises(ValueError, match="N must be positive"):
+        parse_partition_spec(["bucket(0, id)"], st)
+    with pytest.raises(ValueError, match="collides"):
+        parse_partition_spec(
+            ["year(d)"],
+            _orders(spark).withColumn("d_year", F.lit(1)).schema)
+
+
+def test_year_transform_layout_and_schema(spark, ytable):
+    # the derived column lives ONLY in the layout
+    files = _data_files(ytable, 1)
+    assert files and all("d_year=" in f for f in files)
+    cur = read_current(spark, ytable)
+    assert cur.columns == ["id", "d", "amt", "cat"]  # hidden stays hidden
+    assert cur.count() == 400
+    assert read_partspec(ytable, 1) == [
+        {"dir": "d_year", "transform": "year", "src": "d",
+         "param": None}]
+
+
+def test_year_transform_prunes_source_range(spark, ytable):
+    lo = datetime.date(1997, 2, 1)
+    hi = datetime.date(1997, 11, 30)
+    kept, total = pruned_files(ytable, 1, "d", lo, hi)
+    assert kept and len(kept) < total
+    assert all("d_year=1997" in f for f in kept)
+    got = read_where(spark, ytable, "d", lo, hi)
+    exp = (_orders(spark)
+           .filter((F.col("d") >= F.lit(lo)) & (F.col("d") <= F.lit(hi))))
+    assert got.count() == exp.count() > 0
+    # exactness: pruning must not change values
+    assert (sorted(r.id for r in got.collect())
+            == sorted(r.id for r in exp.collect()))
+
+
+def test_month_transform_lexicographic_prune(spark, tmp_path):
+    td = str(tmp_path / "m")
+    write_version(_orders(spark), td, partition_by=("month(d)",))
+    lo, hi = datetime.date(1996, 5, 10), datetime.date(1996, 7, 3)
+    kept, total = pruned_files(td, 1, "d", lo, hi)
+    assert kept and len(kept) < total
+    months = {seg.split("=")[1] for f in kept
+              for seg in f.split("/") if seg.startswith("d_month=")}
+    assert months == {"1996-05", "1996-06", "1996-07"}
+    got = read_where(spark, td, "d", lo, hi).count()
+    exp = _orders(spark).filter(
+        (F.col("d") >= F.lit(lo)) & (F.col("d") <= F.lit(hi))).count()
+    assert got == exp > 0
+
+
+def test_bucket_transform_equality_prune(spark, tmp_path):
+    td = str(tmp_path / "b")
+    write_version(_orders(spark), td, partition_by=("bucket(8, id)",))
+    kept, total = pruned_files(td, 1, "id", 137, 137)
+    assert len(kept) < total
+    want = f"id_bucket={bucket_value(137, 8)}"
+    assert all(want in f for f in kept)
+    assert read_where(spark, td, "id", 137, 137).count() == 1
+    # range probes cannot prune buckets (hash is not monotonic)
+    kept_r, _ = pruned_files(td, 1, "id", 100, 200)
+    assert len(kept_r) == total
+
+
+def test_truncate_transform_string_prefix(spark, tmp_path):
+    td = str(tmp_path / "t")
+    write_version(_orders(spark), td,
+                  partition_by=("truncate(5, cat)",))
+    kept, total = pruned_files(td, 1, "cat", "cat_3", "cat_3")
+    assert kept and len(kept) < total
+    assert all("cat_truncate=cat_3" in f for f in kept)
+    assert read_where(spark, td, "cat", "cat_3", "cat_3").count() \
+        == _orders(spark).filter("cat = 'cat_3'").count()
+
+
+def test_null_source_lands_in_null_dir_and_prunes(spark, tmp_path):
+    td = str(tmp_path / "n")
+    df = _orders(spark, 50).withColumn(
+        "d", F.when(F.col("id") % 10 == 0, F.lit(None))
+              .otherwise(F.col("d")))
+    write_version(df, td, partition_by=("year(d)",))
+    assert any("__HIVE_DEFAULT_PARTITION__" in f
+               for f in _data_files(td, 1))
+    # bounded range: the null dir is excluded, rows stay exact
+    got = read_where(spark, td, "d", datetime.date(1996, 1, 1),
+                     datetime.date(1999, 1, 1))
+    assert got.count() == 45
+    assert read_current(spark, td).filter("d IS NULL").count() == 5
+
+
+def test_append_with_transform_and_mixed_chain(spark, tmp_path):
+    td = str(tmp_path / "a")
+    o = _orders(spark)
+    append_version(o.filter("id < 200"), td,
+                   partition_by=("year(d)",),
+                   stats_columns=["id"])
+    append_version(o.filter("id >= 200"), td,
+                   partition_by=("year(d)",))
+    cur = read_current(spark, td)
+    assert cur.columns == ["id", "d", "amt", "cat"]
+    assert cur.count() == 400
+    lo, hi = datetime.date(1997, 1, 1), datetime.date(1997, 12, 31)
+    got = read_where(spark, td, "d", lo, hi)
+    exp = o.filter((F.col("d") >= F.lit(lo))
+                   & (F.col("d") <= F.lit(hi)))
+    assert got.count() == exp.count() > 0
+    # v2's spec prunes across BOTH appended versions' files
+    kept, total = pruned_files(td, 2, "d", lo, hi)
+    assert kept and len(kept) < total
+    assert all("d_year=1997" in f for f in kept)
+
+
+def test_keep_file_conservative_cases():
+    # unparseable dir values keep the file
+    assert keep_file("junk", "year", None,
+                     datetime.date(1997, 1, 1), None)
+    # absent dir (mixed layout) keeps
+    assert keep_file(None, "year", None,
+                     datetime.date(1997, 1, 1), None)
+    # unbounded probe keeps the null dir, bounded excludes it
+    assert keep_file("__HIVE_DEFAULT_PARTITION__", "year", None,
+                     None, None)
+    assert not keep_file("__HIVE_DEFAULT_PARTITION__", "year", None,
+                         datetime.date(1997, 1, 1), None)
+    # int truncate maps floor ranges
+    assert keep_file("100", "truncate", 100, 137, 250)
+    assert not keep_file("0", "truncate", 100, 137, 250)
+    assert keep_file("200", "truncate", 100, 137, 250)
+    assert not keep_file("300", "truncate", 100, 137, 250)
+
+
+def test_pushdown_planner_prunes_transform_dirs(spark, ytable):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.sources.versioned_source import (
+        _PushdownBatchReader,
+    )
+
+    rd = _PushdownBatchReader({"path": ytable, "pushdown": "true"}, 1)
+    all_n = len(rd.partitions())
+    rd._pushed = [("ge", "d", datetime.date(1997, 2, 1)),
+                  ("le", "d", datetime.date(1997, 11, 30))]
+    parts = rd.partitions()
+    assert 0 < len(parts) < all_n
+    assert all("d_year=1997" in p.abs_path for p in parts)
+    # eq on a date maps through year() to one directory
+    rd2 = _PushdownBatchReader({"path": ytable, "pushdown": "true"}, 1)
+    rd2._pushed = [("eq", "d", datetime.date(1998, 3, 5))]
+    assert all("d_year=1998" in p.abs_path
+               for p in rd2.partitions())
+
+
+def test_pushdown_planner_bucket_and_null_dirs(spark, tmp_path):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.sources.versioned_source import (
+        _PushdownBatchReader,
+    )
+
+    td = str(tmp_path / "pb")
+    df = _orders(spark, 60).withColumn(
+        "d", F.when(F.col("id") % 10 == 0, F.lit(None))
+              .otherwise(F.col("d")))
+    write_version(df, td, partition_by=("year(d)", "bucket(8, id)"))
+    rd = _PushdownBatchReader({"path": td, "pushdown": "true"}, 1)
+    all_n = len(rd.partitions())
+    rd._pushed = [("eq", "id", 17)]
+    parts = rd.partitions()
+    assert 0 < len(parts) < all_n
+    want = f"id_bucket={bucket_value(17, 8)}"
+    assert all(want in p.abs_path for p in parts)
+    # isnull on the source keeps ONLY the transform null dir
+    rd3 = _PushdownBatchReader({"path": td, "pushdown": "true"}, 1)
+    rd3._pushed = [("isnull", "d", None)]
+    parts3 = rd3.partitions()
+    assert 0 < len(parts3) < all_n
+    assert all("d_year=__HIVE_DEFAULT_PARTITION__" in p.abs_path
+               for p in parts3)
+    # notnull drops only the null dir
+    rd4 = _PushdownBatchReader({"path": td, "pushdown": "true"}, 1)
+    rd4._pushed = [("notnull", "d", None)]
+    assert not any("d_year=__HIVE_DEFAULT_PARTITION__" in p.abs_path
+                   for p in rd4.partitions())
+
+
+def test_pushdown_end_to_end_values_on_transform_layout(spark, ytable):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.sources.versioned_source import (
+        register as register_ds,
+    )
+
+    register_ds(spark)
+    fmt = (spark.read.format("versioned_table").option("path", ytable)
+           .option("pushdown", "true").load())
+    got = fmt.filter("d >= date'1997-02-01' AND d <= date'1997-11-30'")
+    exp = _orders(spark).filter(
+        "d >= date'1997-02-01' AND d <= date'1997-11-30'")
+    assert got.count() == exp.count() > 0
+    assert sorted(r.id for r in got.collect()) \
+        == sorted(r.id for r in exp.collect())
+
+
+def test_compact_relayouts_flat_chain_to_hidden(spark, tmp_path):
+    """compact_table accepts transform specs too: one commit
+    re-lays a flat append chain out by year(d), after which the
+    range prune works on the whole table."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        compact_table, current_version,
+    )
+
+    td = str(tmp_path / "c")
+    o = _orders(spark)
+    append_version(o.filter("id < 200"), td)
+    append_version(o.filter("id >= 200"), td)
+    compact_table(spark, td, partition_by=("year(d)",))
+    n = current_version(td)
+    assert read_current(spark, td).count() == 400
+    lo, hi = datetime.date(1997, 1, 1), datetime.date(1997, 12, 31)
+    kept, total = pruned_files(td, n, "d", lo, hi)
+    assert kept and len(kept) < total
+    assert all("d_year=1997" in f for f in kept)
+
+
+def test_replace_refuses_transform_specs(spark, tmp_path):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        replace_partitions,
+    )
+
+    td = str(tmp_path / "r")
+    write_version(_orders(spark, 50), td, partition_by=("year(d)",))
+    with pytest.raises(ValueError, match="bare partition COLUMN"):
+        replace_partitions(spark, td, _orders(spark, 10),
+                           ("year(d)",))
+    with pytest.raises(Exception, match="bare partition COLUMN"):
+        from esg_decarbonization_data_integration_and_data_pipline_spark.sources.versioned_source import (
+            register as register_ds,
+        )
+
+        register_ds(spark)
+        (_orders(spark, 10).write.format("versioned_table")
+         .mode("overwrite").option("path", td)
+         .option("partitionBy", "year(d)")
+         .option("partitionOverwriteMode", "dynamic").save())
+
+
+def test_int_truncate_transform(spark, tmp_path):
+    td = str(tmp_path / "it")
+    write_version(_orders(spark), td,
+                  partition_by=("truncate(100, id)",))
+    kept, total = pruned_files(td, 1, "id", 137, 250)
+    assert kept and len(kept) < total
+    dirs = {seg.split("=")[1] for f in kept
+            for seg in f.split("/") if seg.startswith("id_truncate=")}
+    assert dirs == {"100", "200"}
+    assert read_where(spark, td, "id", 137, 250).count() == 114
