@@ -1479,6 +1479,60 @@ def table_rowcount(table_dir: str, n: int | None = None,
     return total
 
 
+def show_partitions(table_dir: str, n: int | None = None,
+                    backend: CommitBackend | None = None
+                    ) -> list[dict]:
+    """The partitions of version ``n`` (default: current) as
+    ``{"values": {dir_col: raw_string_or_None}, "n_files": int,
+    "n_rows": int}``, sorted by values -- Delta's
+    ``SHOW PARTITIONS`` / per-partition ``DESCRIBE DETAIL`` shape,
+    answered from METADATA alone: directory names give the grouping,
+    manifest rowmeta gives counts (parquet footers for files a
+    pre-rows commit recorded none for), and deletion-vector counts
+    subtract.  No SparkSession, no data scan -- at 100 TB this is
+    the partition inventory an orchestrator polls per cycle, priced
+    at one manifest read.  Hidden transform layouts (io/transforms)
+    list their DERIVED directories (e.g. ``{"d_month": "1996-03"}``)
+    -- the values a :func:`replace_partitions` reload would key on.
+    Unpartitioned layouts return one entry with empty values.  The
+    null-marker directory surfaces as ``None``."""
+    if n is None:
+        n = current_version(table_dir, backend=backend)
+        if n is None:
+            raise FileNotFoundError(
+                f"{table_dir} has no committed version "
+                f"(_CURRENT missing)")
+    rowmeta = _read_rowmeta(table_dir, n)
+    dvs = _read_dvs(table_dir, n)
+    if dvs and _heal_pending_dv_remaps(table_dir, dvs):
+        rowmeta = _read_rowmeta(table_dir, n)
+        dvs = _read_dvs(table_dir, n)
+    groups: dict[tuple, dict] = {}
+    for f in _data_files(table_dir, n):
+        pv = _partition_values(f)
+        key = tuple(sorted(
+            (k, None if v == _NULL_PARTITION else v)
+            for k, v in pv.items()))
+        rec = rowmeta.get(f)
+        rows = rec["n"] if rec is not None else _file_rowmeta(
+            os.path.join(table_dir, f), ())["n"]
+        if f in dvs:
+            d_rel, cnt = dvs[f]
+            witness = _dv_header_rows(table_dir, d_rel)
+            if witness is not None and witness != rows:
+                rows = witness
+                cnt = len(_dv_positions(table_dir, d_rel))
+            rows -= cnt
+        g = groups.setdefault(key, {"n_files": 0, "n_rows": 0})
+        g["n_files"] += 1
+        g["n_rows"] += rows
+    return [{"values": dict(k), **g}
+            for k, g in sorted(
+                groups.items(),
+                key=lambda kv: tuple(
+                    (c, v is None, v) for c, v in kv[0]))]
+
+
 def count_where(spark: SparkSession, table_dir: str, col: str,
                 lo=None, hi=None, n: int | None = None,
                 backend: CommitBackend | None = None) -> int:
@@ -2180,7 +2234,8 @@ def _replace_batch_keys(batch: DataFrame,
 
 def _replace_drop_set(table_dir: str, base: int,
                       part_cols: Sequence[str],
-                      replaced: set, st) -> set[str]:
+                      replaced: set, st,
+                      spec: list[dict] | None = None) -> set[str]:
     """The base-version data files whose TYPED partition key is in
     ``replaced`` -- the inherit_drop set of a dynamic partition
     overwrite.  Shared by the function face
@@ -2189,32 +2244,90 @@ def _replace_drop_set(table_dir: str, base: int,
     ``partitionOverwriteMode=dynamic`` commit so both compare path
     values identically.  Raises when the base is not fully laid out
     by ``part_cols`` or any path value fails to parse under the
-    pinned type."""
+    pinned type.  With ``spec`` (io/transforms partition spec), a
+    HIDDEN transform entry keys on its derived directory's RAW
+    string -- both sides of that comparison are rendered by the
+    engine's own transform, so string equality IS value equality."""
     pmap = _physical_map(st) if st is not None else {}
-    dts = {c: st[c].dataType for c in part_cols
-           if st is not None and c in st.fieldNames()}
+    if spec is None:
+        spec = [{"dir": c, "transform": "identity", "src": c,
+                 "param": None} for c in part_cols]
+    dts = {s["src"]: st[s["src"]].dataType for s in spec
+           if s["transform"] == "identity" and st is not None
+           and s["src"] in st.fieldNames()}
     drop: set[str] = set()
     for f in _data_files(table_dir, base):
         pv = _partition_values(f)
         key = []
-        for c in part_cols:
-            raw = pv.get(pmap.get(c, c))
+        for s in spec:
+            dname = pmap.get(s["src"], s["src"]) \
+                if s["transform"] == "identity" else s["dir"]
+            raw = pv.get(dname)
             if raw is None:
                 raise ValueError(
                     f"current version of {table_dir} is not laid out "
                     f"by {list(part_cols)}: {f!r} carries no "
-                    f"'{c}=' path segment, so a partition replace "
-                    f"could smuggle stale rows past the batch -- run "
-                    f"compact_table(spark, table_dir, "
+                    f"'{dname}=' path segment, so a partition "
+                    f"replace could smuggle stale rows past the "
+                    f"batch -- run compact_table(spark, table_dir, "
                     f"partition_by={list(part_cols)}) first")
             if raw == _NULL_PARTITION:
                 key.append(None)
-            else:
+            elif s["transform"] == "identity":
                 key.append(_replace_partition_key(
-                    raw, dts.get(c), c, f"data file {f!r}"))
+                    raw, dts.get(s["src"]), s["src"],
+                    f"data file {f!r}"))
+            else:
+                key.append(raw)
         if tuple(key) in replaced:
             drop.add(f)
     return drop
+
+
+def _replace_batch_keys_spec(batch: DataFrame, spec: list[dict],
+                             dts: dict) -> set[tuple]:
+    """The batch's DISTINCT partition tuples under a TRANSFORM spec
+    (io/transforms): derived entries compute in Spark with the SAME
+    expressions the stager lays directories out with, and key on the
+    canonical string rendering the directory will carry; identity
+    entries keep :func:`_replace_batch_keys`'s typed semantics."""
+    from pyspark.sql import functions as F
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.transforms import (
+        derive_columns,
+    )
+
+    d, _cols = derive_columns(batch, spec)
+    sel, names, canon_ts = [], [], set()
+    for s in spec:
+        if s["transform"] == "identity":
+            c = s["src"]
+            dt = dts.get(c)
+            nm = dt.typeName() if dt is not None else None
+            if nm in ("timestamp", "timestamp_ntz") or dt is None:
+                canon_ts.add(c)
+                sel.append(F.col(c).cast("string").alias(c))
+            else:
+                sel.append(F.col(c))
+            names.append(c)
+        else:
+            sel.append(F.col(s["dir"]))
+            names.append(s["dir"])
+    out: set[tuple] = set()
+    for r in d.select(*sel).distinct().collect():
+        key = []
+        for s, nmk in zip(spec, names):
+            v = r[nmk]
+            if v is None:
+                key.append(None)
+            elif s["transform"] == "identity":
+                if nmk in canon_ts and dts.get(nmk) is not None:
+                    v = _canon_timestamp(v)
+                key.append(v)
+            else:
+                key.append(str(v))
+        out.add(tuple(key))
+    return out
 
 
 def _txns(table_dir: str, n: int) -> set[str]:
@@ -2620,18 +2733,13 @@ def replace_partitions(spark: SparkSession, table_dir: str,
 
     O(batch + touched partitions) work: nothing outside the replaced
     partitions is read or rewritten, whatever the table size."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.transforms import (
+        has_transforms, parse_partition_spec,
+    )
+
     part_cols = tuple(partition_by)
     if not part_cols:
         raise ValueError("replace_partitions needs partition_by")
-    bad = [c for c in part_cols if "(" in str(c)]
-    if bad:
-        raise ValueError(
-            f"replace_partitions takes bare partition COLUMN names, "
-            f"got transform spec(s) {bad}: a dynamic replace over a "
-            f"hidden-transform layout (io/transforms) is not "
-            f"supported yet -- reload by the identity columns, or "
-            f"materialize the derived column and partition by it "
-            f"directly")
     backend = backend or _DEFAULT_BACKEND
     base = current_version(table_dir, backend=backend)
     if base is None:
@@ -2639,15 +2747,30 @@ def replace_partitions(spark: SparkSession, table_dir: str,
             f"{table_dir} has no committed version; use "
             f"append_version/write_version(partition_by=...) for the "
             f"first load")
-    missing = [c for c in part_cols if c not in batch.columns]
+    # HIDDEN transform entries (io/transforms, e.g.
+    # "month(o_orderdate)") reload the slice keyed by the DERIVED
+    # directory value -- the reference's month reload without a
+    # materialized month column; parse validates source columns and
+    # collisions against the batch's schema
+    spec = parse_partition_spec(part_cols, batch.schema)
+    missing = [s["src"] for s in spec if s["src"] not in batch.columns]
     if missing:
         raise ValueError(
             f"batch lacks partition columns {missing}")
     st = table_schema(table_dir, base)
-    dts = {c: st[c].dataType for c in part_cols
-           if st is not None and c in st.fieldNames()}
-    replaced = _replace_batch_keys(batch, part_cols, dts)
-    drop = _replace_drop_set(table_dir, base, part_cols, replaced, st)
+    if has_transforms(spec):
+        dts = {s["src"]: st[s["src"]].dataType for s in spec
+               if s["transform"] == "identity" and st is not None
+               and s["src"] in st.fieldNames()}
+        replaced = _replace_batch_keys_spec(batch, spec, dts)
+        drop = _replace_drop_set(table_dir, base, part_cols,
+                                 replaced, st, spec=spec)
+    else:
+        dts = {c: st[c].dataType for c in part_cols
+               if st is not None and c in st.fieldNames()}
+        replaced = _replace_batch_keys(batch, part_cols, dts)
+        drop = _replace_drop_set(table_dir, base, part_cols,
+                                 replaced, st)
     return _manifest_commit(
         batch, table_dir, txn=txn, pinned_base=base,
         inherit_files=True, inherit_drop=frozenset(drop),

@@ -958,6 +958,16 @@ UNION ALL
 SELECT 'hp_bucket_eq', count(*),
        coalesce(round(sum(o_totalprice), 4), 0.0)
 FROM o WHERE o_custkey = 97
+UNION ALL
+SELECT 'hp_month_reload', count(*),
+       coalesce(round(sum(o_totalprice), 4), 0.0)
+FROM (SELECT CASE WHEN month(o_orderdate) = 3
+                  THEN o_totalprice * 2 ELSE o_totalprice
+             END AS o_totalprice
+      FROM o WHERE year(o_orderdate) = 1997
+                AND month(o_orderdate) <= 6
+                AND (month(o_orderdate) <> 3
+                     OR o_orderkey % 2 = 0)) t
 UNION ALL SELECT 'hp_prune_exact', CAST(1 AS BIGINT), 0.0
 UNION ALL SELECT 'hp_bucket_prune', CAST(1 AS BIGINT), 0.0
 """)
@@ -983,13 +993,21 @@ def hidden_partition_audit(spark: SparkSession,
     - ``hp_bucket_eq``: an equality probe on o_custkey prunes to the
       single md5-bucket directory (``hp_bucket_prune``), then
       re-filters exactly -- hash-bucket layout without a bucket
-      column in the schema.
+      column in the schema;
+    - ``hp_month_reload``: dynamic partition overwrite KEYED BY THE
+      TRANSFORM -- a third table of the 1997 H1 orders laid out by
+      ``month(o_orderdate)`` has its month 3 reloaded (even keys,
+      price doubled) through ``replace_partitions(...,
+      ("month(o_orderdate)",))`` under a txn marker, replayed once
+      to prove the marker no-op; the stage reads the post-reload
+      table and the oracle re-derives it from raw parquet.
 
     At 100 TB this is Iceberg's core ingestion ergonomic: the engine
     owns the time/bucket derivation, so a writer can never place a
-    row in the wrong slice and queries on the RAW column (not a
+    row in the wrong slice, queries on the RAW column (not a
     hand-maintained month column, the reference's jobs/csr_etl.py
-    shape) still prune directories for free."""
+    shape) still prune directories for free, and the monthly reload
+    keys on the derived slice directly."""
     from esg_decarbonization_data_integration_and_data_pipline_spark.io.transforms import bucket_value
     from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
         _partition_values, pruned_files, read_where,
@@ -1000,16 +1018,36 @@ def hidden_partition_audit(spark: SparkSession,
     from esg_decarbonization_data_integration_and_data_pipline_spark.tables import table
 
     def build() -> dict:
-        from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import write_version
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+            current_version, replace_partitions, write_version,
+        )
 
         root = _tmp("hidden_aud_")
         ty = os.path.join(root, "by_year")
         tb = os.path.join(root, "by_bucket")
+        tm = os.path.join(root, "by_month")
         o = table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
         write_version(o, ty, partition_by=("year(o_orderdate)",))
         write_version(o, tb, partition_by=("bucket(8, o_custkey)",))
-        return {"ty": ty, "tb": tb, "dirs": (ty, tb)}
+        h1 = o.filter((F.year("o_orderdate") == 1997)
+                      & (F.month("o_orderdate") <= 6))
+        write_version(h1, tm,
+                      partition_by=("month(o_orderdate)",))
+        repl = (h1.filter((F.month("o_orderdate") == 3)
+                          & (F.col("o_orderkey") % 2 == 0))
+                .withColumn("o_totalprice",
+                            F.col("o_totalprice") * 2))
+        replace_partitions(spark, tm, repl,
+                           ("month(o_orderdate)",),
+                           txn="reload:1997-03")
+        v = current_version(tm)
+        replace_partitions(spark, tm, repl,
+                           ("month(o_orderdate)",),
+                           txn="reload:1997-03")  # marker no-op
+        return {"ty": ty, "tb": tb, "tm": tm,
+                "replay_ok": current_version(tm) == v,
+                "dirs": (ty, tb, tm)}
 
     import datetime
 
@@ -1034,6 +1072,11 @@ def hidden_partition_audit(spark: SparkSession,
     c = read_where(spark, tb, "o_custkey", 97, 97) \
         .agg(*aggs).collect()[0]
     rows.append(("hp_bucket_eq", int(c["n"]), float(c["s"])))
+    if st["replay_ok"]:
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import read_current
+
+        m = read_current(spark, st["tm"]).agg(*aggs).collect()[0]
+        rows.append(("hp_month_reload", int(m["n"]), float(m["s"])))
     kept, total = pruned_files(ty, 1, "o_orderdate", lo, hi)
     yrs = {_partition_values(f).get("o_orderdate_year")
            for f in kept}

@@ -273,26 +273,106 @@ def test_compact_relayouts_flat_chain_to_hidden(spark, tmp_path):
     assert all("d_year=1997" in f for f in kept)
 
 
-def test_replace_refuses_transform_specs(spark, tmp_path):
+def test_replace_by_transform_reloads_derived_slice(spark, tmp_path):
+    """The reference's month reload WITHOUT a month column: the
+    replace keys on month(d), so exactly the touched months'
+    directories are superseded and everything else inherits by
+    reference."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        current_version, read_version, replace_partitions,
+    )
+
+    td = str(tmp_path / "r")
+    o = _orders(spark)  # d spans 1996-01-01 .. +1600d
+    write_version(o, td, partition_by=("month(d)",))
+    # reload 1996-03: keep only even ids, double amt
+    repl = (o.filter("d >= date'1996-03-01' AND d <= date'1996-03-31'")
+            .filter("id % 2 = 0")
+            .withColumn("amt", F.col("amt") * 2))
+    n_repl = repl.count()
+    replace_partitions(spark, td, repl, ("month(d)",),
+                       txn="reload:1996-03")
+    v = current_version(td)
+    cur = read_current(spark, td)
+    mar = cur.filter("d >= date'1996-03-01' AND d <= date'1996-03-31'")
+    assert mar.count() == n_repl > 0
+    assert mar.filter("id % 2 = 1").count() == 0
+    # other months untouched, inherited BY REFERENCE
+    before = set(_data_files(td, 1))
+    after = set(_data_files(td, v))
+    inherited = before & after
+    assert inherited and all("d_month=1996-03" not in f
+                             for f in inherited)
+    assert cur.count() == 400 - \
+        o.filter("d >= date'1996-03-01' AND d <= date'1996-03-31'") \
+         .count() + n_repl
+    # time travel keeps the superseded month
+    assert read_version(spark, td, 1).filter(
+        "d >= date'1996-03-01' AND d <= date'1996-03-31'").count() > n_repl
+    # replay converges (txn marker)
+    replace_partitions(spark, td, repl, ("month(d)",),
+                       txn="reload:1996-03")
+    assert current_version(td) == v
+
+
+def test_replace_transform_refuses_mismatched_base_layout(
+        spark, tmp_path):
     from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
         replace_partitions,
     )
 
-    td = str(tmp_path / "r")
+    td = str(tmp_path / "rm")
     write_version(_orders(spark, 50), td, partition_by=("year(d)",))
-    with pytest.raises(ValueError, match="bare partition COLUMN"):
+    with pytest.raises(ValueError, match="not laid out"):
         replace_partitions(spark, td, _orders(spark, 10),
-                           ("year(d)",))
-    with pytest.raises(Exception, match="bare partition COLUMN"):
-        from esg_decarbonization_data_integration_and_data_pipline_spark.sources.versioned_source import (
-            register as register_ds,
-        )
+                           ("month(d)",))
 
-        register_ds(spark)
+
+def test_writer_face_still_refuses_transform_specs(spark, tmp_path):
+    td = str(tmp_path / "w")
+    write_version(_orders(spark, 50), td, partition_by=("year(d)",))
+    from esg_decarbonization_data_integration_and_data_pipline_spark.sources.versioned_source import (
+        register as register_ds,
+    )
+
+    register_ds(spark)
+    with pytest.raises(Exception, match="bare partition COLUMN"):
         (_orders(spark, 10).write.format("versioned_table")
          .mode("overwrite").option("path", td)
          .option("partitionBy", "year(d)")
          .option("partitionOverwriteMode", "dynamic").save())
+
+
+def test_show_partitions_metadata_only(spark, tmp_path):
+    """show_partitions answers from manifests alone (no session
+    passed anywhere), incl. hidden-transform layouts and the
+    null-marker directory, and subtracts DV-deleted rows."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        delete_keys_dv, show_partitions,
+    )
+
+    td = str(tmp_path / "sp")
+    df = _orders(spark, 50).withColumn(
+        "d", F.when(F.col("id") % 10 == 0, F.lit(None))
+              .otherwise(F.col("d")))
+    write_version(df, td, partition_by=("year(d)",))
+    parts = show_partitions(td)
+    vals = {p["values"]["d_year"]: p["n_rows"] for p in parts}
+    assert vals[None] == 5
+    assert sum(p["n_rows"] for p in parts) == 50
+    assert all(p["n_files"] >= 1 for p in parts)
+    # dv delete subtracts from the right partition, still metadata
+    delete_keys_dv(spark, td,
+                   spark.createDataFrame([(1,), (2,)], "id bigint"),
+                   "id")
+    parts2 = show_partitions(td)
+    assert sum(p["n_rows"] for p in parts2) == 48
+    # unpartitioned: one entry, empty values
+    td2 = str(tmp_path / "flat")
+    write_version(_orders(spark, 20).drop("d"), td2)
+    flat = show_partitions(td2)
+    assert flat == [{"values": {}, "n_files": flat[0]["n_files"],
+                     "n_rows": 20}]
 
 
 def test_int_truncate_transform(spark, tmp_path):
