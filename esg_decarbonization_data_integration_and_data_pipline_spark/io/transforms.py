@@ -66,14 +66,33 @@ _PARAM_RE = re.compile(
     r"^\s*(bucket|truncate)\s*\(\s*(\d+)\s*,\s*([A-Za-z0-9_.]+)\s*\)\s*$")
 
 
+_TRANSFORM_SRC_TYPES = {
+    # year/month/day need a temporal source; bucket and truncate are
+    # restricted to types whose Spark string cast equals Python's
+    # str() (the md5 twin's contract) / whose ordering the prune
+    # mapping understands
+    "year": ("date", "timestamp", "timestamp_ntz"),
+    "month": ("date", "timestamp", "timestamp_ntz"),
+    "day": ("date", "timestamp", "timestamp_ntz"),
+    "bucket": ("integer", "long", "short", "byte", "string"),
+    "truncate": ("integer", "long", "short", "byte", "string"),
+}
+
+
 def parse_partition_spec(entries, schema) -> list[dict]:
     """``partition_by`` entries -> ordered spec dicts
     ``{"dir", "transform", "src", "param"}``.  Bare names are
     identity entries (dir == src).  Derived directory names are
     ``<src>_<transform>`` and must not collide with schema columns
     (a collision would make the discovered partition column shadow
-    a real one)."""
+    a real one).  Source TYPES are enforced per transform: a bucket
+    over a double would hash Spark's string cast on the write side
+    but Python's str() on the prune side, and the two disagree on
+    edge renderings -- refuse at declaration instead of mis-pruning
+    at read time."""
     names = set(schema.fieldNames()) if schema is not None else set()
+    types = {f.name: f.dataType.typeName()
+             for f in schema.fields} if schema is not None else {}
     out: list[dict] = []
     for e in entries:
         e = str(e)
@@ -100,6 +119,12 @@ def parse_partition_spec(entries, schema) -> list[dict]:
             raise ValueError(
                 f"partition transform {e!r}: column {src!r} is not "
                 f"in the schema")
+        want = _TRANSFORM_SRC_TYPES[tf]
+        if src in types and types[src] not in want:
+            raise ValueError(
+                f"partition transform {e!r}: column {src!r} is "
+                f"{types[src]}, but {tf}() needs one of "
+                f"{sorted(want)}")
         dir_name = f"{src}_{tf}"
         if dir_name in names:
             raise ValueError(

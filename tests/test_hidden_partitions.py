@@ -62,6 +62,14 @@ def test_spec_parsing_and_refusals(spark):
         parse_partition_spec(
             ["year(d)"],
             _orders(spark).withColumn("d_year", F.lit(1)).schema)
+    # source-type enforcement: the md5 twin's contract only holds
+    # for int/string buckets, and year() needs a temporal source
+    with pytest.raises(ValueError, match="needs one of"):
+        parse_partition_spec(["bucket(8, amt)"], st)
+    with pytest.raises(ValueError, match="needs one of"):
+        parse_partition_spec(["year(id)"], st)
+    with pytest.raises(ValueError, match="needs one of"):
+        parse_partition_spec(["truncate(2, d)"], st)
 
 
 def test_year_transform_layout_and_schema(spark, ytable):
