@@ -131,8 +131,13 @@ def parse_partition_spec(entries, schema) -> list[dict]:
                 f"partition transform {e!r}: derived directory "
                 f"column {dir_name!r} collides with a schema column "
                 f"-- rename the column or partition by it directly")
+        # src_type rides into the committed spec: the prune mapping
+        # widens temporal probes for TIMESTAMP sources (the directory
+        # value was rendered in the WRITE session's timezone; a
+        # reader in another zone could otherwise wrongly prune a
+        # boundary file -- review pass 2)
         out.append({"dir": dir_name, "transform": tf, "src": src,
-                    "param": param})
+                    "param": param, "src_type": types.get(src)})
     dirs = [s["dir"] for s in out]
     if len(set(dirs)) != len(dirs):
         raise ValueError(
@@ -210,13 +215,26 @@ def _as_date(v) -> datetime.date | None:
         return None
 
 
-def keep_file(raw: str | None, transform: str, param, lo, hi) -> bool:
+def keep_file(raw: str | None, transform: str, param, lo, hi,
+              src_type: str | None = "date") -> bool:
     """May a file whose directory value is ``raw`` contain rows with
     ``lo <= src <= hi``?  Conservative: unparseable inputs keep the
     file (pruning is never a filter).  ``raw`` None means the file
     carries no such directory (mixed layouts) -- kept.  The
     null-marker directory is excluded by ANY bound (no null row can
-    satisfy a range), mirroring identity pruning."""
+    satisfy a range), mirroring identity pruning.
+
+    ``src_type``: the SOURCE column type recorded in the spec.  For
+    temporal transforms over anything but a plain ``date`` (i.e. a
+    timestamp, or an unknown type from a pre-src_type spec), the
+    probe window widens by one day on each side before mapping: the
+    directory value was rendered in the WRITE session's timezone,
+    and a reader probing from a different zone could otherwise
+    wrongly prune a boundary file -- |offset| < 24 h worldwide, so
+    one day is conservative and exact (the row-level predicate still
+    re-applies after the prune)."""
+    import datetime
+
     from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import _NULL_PARTITION
 
     if raw is None:
@@ -231,27 +249,25 @@ def keep_file(raw: str | None, transform: str, param, lo, hi) -> bool:
             return int(raw) == bucket_value(lo, param)
         except ValueError:
             return True
-    if transform == "year":
-        try:
-            y = int(raw)
-        except ValueError:
-            return True
-        dlo, dhi = _as_date(lo) if lo is not None else None, \
-            _as_date(hi) if hi is not None else None
-        if lo is not None and dlo is None:
-            return True
-        if hi is not None and dhi is None:
-            return True
-        return ((dlo is None or y >= dlo.year)
-                and (dhi is None or y <= dhi.year))
-    if transform in ("month", "day"):
-        fmt = "%Y-%m" if transform == "month" else "%Y-%m-%d"
+    if transform in ("year", "month", "day"):
         dlo = _as_date(lo) if lo is not None else None
         dhi = _as_date(hi) if hi is not None else None
         if lo is not None and dlo is None:
             return True
         if hi is not None and dhi is None:
             return True
+        if src_type != "date":
+            one = datetime.timedelta(days=1)
+            dlo = dlo - one if dlo is not None else None
+            dhi = dhi + one if dhi is not None else None
+        if transform == "year":
+            try:
+                y = int(raw)
+            except ValueError:
+                return True
+            return ((dlo is None or y >= dlo.year)
+                    and (dhi is None or y <= dhi.year))
+        fmt = "%Y-%m" if transform == "month" else "%Y-%m-%d"
         return ((dlo is None or raw >= dlo.strftime(fmt))
                 and (dhi is None or raw <= dhi.strftime(fmt)))
     if transform == "truncate":

@@ -1918,7 +1918,8 @@ def pruned_files(table_dir: str, n: int, col: str,
         if hidden:
             pvals = _partition_values(f)
             if not all(keep_file(pvals.get(h["dir"]), h["transform"],
-                                 h["param"], lo, hi)
+                                 h["param"], lo, hi,
+                                 src_type=h.get("src_type"))
                        for h in hidden):
                 continue
         s = stats.get(f, {}).get(col)

@@ -1079,20 +1079,25 @@ class _PushdownBatchReader(_BatchReader):
                     #              is non-null throughout
                 if op == "notnull":
                     continue
+                stype = s.get("src_type")
                 try:
                     if op == "eq":
                         keep = keep_file(rv, s["transform"],
-                                         s["param"], val, val)
+                                         s["param"], val, val,
+                                         src_type=stype)
                     elif op == "in":
                         keep = any(keep_file(rv, s["transform"],
-                                             s["param"], v, v)
+                                             s["param"], v, v,
+                                             src_type=stype)
                                    for v in val)
                     elif op in ("ge", "gt"):
                         keep = keep_file(rv, s["transform"],
-                                         s["param"], val, None)
+                                         s["param"], val, None,
+                                         src_type=stype)
                     elif op in ("le", "lt"):
                         keep = keep_file(rv, s["transform"],
-                                         s["param"], None, val)
+                                         s["param"], None, val,
+                                         src_type=stype)
                     else:
                         keep = True
                 except TypeError:

@@ -81,7 +81,7 @@ def test_year_transform_layout_and_schema(spark, ytable):
     assert cur.count() == 400
     assert read_partspec(ytable, 1) == [
         {"dir": "d_year", "transform": "year", "src": "d",
-         "param": None}]
+         "param": None, "src_type": "date"}]
 
 
 def test_year_transform_prunes_source_range(spark, ytable):
@@ -349,6 +349,51 @@ def test_writer_face_still_refuses_transform_specs(spark, tmp_path):
          .mode("overwrite").option("path", td)
          .option("partitionBy", "year(d)")
          .option("partitionOverwriteMode", "dynamic").save())
+
+
+def test_timestamp_source_prune_widens_for_timezones(spark, tmp_path):
+    """A month(ts) layout rendered in the WRITE session's timezone
+    must not wrongly prune a boundary file for a reader in another
+    zone: the prune mapping widens timestamp-sourced probes by one
+    day per side (review pass 2), and values stay exact because the
+    predicate re-applies row-level."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.transforms import read_partspec
+
+    td = str(tmp_path / "ts")
+    df = spark.range(200).select(
+        F.col("id"),
+        F.expr("timestamp_seconds(828000000 + id * 86400)")
+         .alias("ts"),
+        (F.col("id") * 1.0).alias("amt"))
+    write_version(df, td, partition_by=("month(ts)",))
+    assert read_partspec(td, 1)[0]["src_type"] == "timestamp"
+    lo = datetime.datetime(1996, 6, 1, 0, 0, 0)
+    hi = datetime.datetime(1996, 6, 30, 23, 0, 0)
+    kept, total = pruned_files(td, 1, "ts", lo, hi)
+    months = {seg.split("=")[1] for f in kept
+              for seg in f.split("/") if seg.startswith("ts_month=")}
+    # widened: the two neighbour months' boundary dirs stay kept
+    assert "1996-06" in months and len(kept) < total
+    assert months <= {"1996-05", "1996-06", "1996-07"}
+    got = read_where(spark, td, "ts", lo, hi)
+    exp = df.filter((F.col("ts") >= F.lit(lo))
+                    & (F.col("ts") <= F.lit(hi)))
+    assert got.count() == exp.count() > 0
+    # keep_file unit: date-typed source stays EXACT (no widening)
+    assert not keep_file("1996-05", "month", None,
+                         datetime.date(1996, 6, 1),
+                         datetime.date(1996, 6, 30),
+                         src_type="date")
+    # ...but a timestamp source keeps the boundary neighbour
+    assert keep_file("1996-05", "month", None,
+                     datetime.datetime(1996, 6, 1),
+                     datetime.datetime(1996, 6, 30),
+                     src_type="timestamp")
+    # and a pre-src_type spec (None) is treated as widened
+    assert keep_file("1996-05", "month", None,
+                     datetime.datetime(1996, 6, 1),
+                     datetime.datetime(1996, 6, 30),
+                     src_type=None)
 
 
 def test_show_partitions_metadata_only(spark, tmp_path):
