@@ -3816,6 +3816,37 @@ def _commit_staged_dir(table_dir: str, staged: str, txn: str | None,
             with open(os.path.join(claimed, _MANIFEST), "w",
                       encoding="ascii") as fh:
                 fh.write("\n".join(lines) + "\n")
+            # hidden partition spec rides the inheritance: an
+            # INHERITING commit (append/merge/replace) carries the
+            # base's _PARTSPEC entries forward -- a spec-less append
+            # copies it whole, a commit with its OWN spec unions in
+            # the base entries its directories do not shadow (spec
+            # EVOLUTION: inherited files laid out under the old
+            # transform keep their tight pruning; the new files
+            # keep-conservatively under the old entries since they
+            # carry no such directory).  Snapshots/compactions
+            # (inherit_files=False) RESET the spec like they reset
+            # column mapping, unless they laid out one of their own.
+            if inherit_files and cur is not None:
+                import json as _json
+
+                from esg_decarbonization_data_integration_and_data_pipline_spark.io.transforms import (
+                    _PARTSPEC_FILE, read_partspec, write_partspec,
+                )
+
+                base_spec = read_partspec(table_dir, cur)
+                if base_spec:
+                    spec_dst = os.path.join(claimed, _PARTSPEC_FILE)
+                    own_spec = []
+                    if os.path.exists(spec_dst):
+                        with open(spec_dst,
+                                  encoding="utf-8") as fh:
+                            own_spec = _json.load(fh)
+                    own_dirs = {s["dir"] for s in own_spec}
+                    merged = own_spec + [s for s in base_spec
+                                         if s["dir"] not in own_dirs]
+                    if merged != own_spec:
+                        write_partspec(claimed, merged)
             if backend.try_commit(table_dir, _next_pointer(raw, vname),
                                   raw):
                 claimed = None  # committed -- nothing to clean up

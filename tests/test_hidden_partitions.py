@@ -396,6 +396,62 @@ def test_timestamp_source_prune_widens_for_timezones(spark, tmp_path):
                      src_type=None)
 
 
+def test_spec_rides_inheritance_through_plain_appends(spark, tmp_path):
+    """A spec-less append after a transform commit carries the base's
+    _PARTSPEC forward, so pruning keeps working on the inherited
+    transform-laid files (the new flat files keep conservatively);
+    a spec-less COMPACTION resets it."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        compact_table, current_version,
+    )
+
+    td = str(tmp_path / "inh")
+    o = _orders(spark)
+    append_version(o.filter("id < 300"), td,
+                   partition_by=("year(d)",))
+    append_version(o.filter("id >= 300"), td)  # plain flat append
+    n = current_version(td)
+    assert read_partspec(td, n)  # carried forward
+    lo, hi = datetime.date(1997, 1, 1), datetime.date(1997, 12, 31)
+    kept, total = pruned_files(td, n, "d", lo, hi)
+    assert kept and len(kept) < total  # transform files still prune
+    got = read_where(spark, td, "d", lo, hi).count()
+    exp = o.filter((F.col("d") >= F.lit(lo))
+                   & (F.col("d") <= F.lit(hi))).count()
+    assert got == exp > 0
+    compact_table(spark, td)  # flat re-layout resets the spec
+    assert read_partspec(td, current_version(td)) == []
+
+
+def test_spec_evolution_unions_base_entries(spark, tmp_path):
+    """An append under a NEW transform keeps the base's entries for
+    the directories it does not shadow, so inherited files prune
+    tight under the old spec while new files prune under the new."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import current_version
+
+    td = str(tmp_path / "evo")
+    o = _orders(spark)
+    append_version(o.filter("id < 300"), td,
+                   partition_by=("year(d)",))
+    append_version(o.filter("id >= 300"), td,
+                   partition_by=("month(d)",))
+    n = current_version(td)
+    spec = read_partspec(td, n)
+    assert {s["dir"] for s in spec} == {"d_month", "d_year"}
+    lo, hi = datetime.date(1997, 2, 1), datetime.date(1997, 3, 31)
+    kept, total = pruned_files(td, n, "d", lo, hi)
+    # both eras prune: year files to d_year=1997, month files to
+    # the 1997-02/03 dirs
+    assert kept and len(kept) < total
+    for f in kept:
+        assert ("d_year=1997" in f) or ("d_month=1997-02" in f
+                                        or "d_month=1997-03" in f)
+    got = read_where(spark, td, "d", lo, hi).count()
+    exp = o.filter((F.col("d") >= F.lit(lo))
+                   & (F.col("d") <= F.lit(hi))).count()
+    assert got == exp > 0
+
+
 def test_show_partitions_metadata_only(spark, tmp_path):
     """show_partitions answers from manifests alone (no session
     passed anywhere), incl. hidden-transform layouts and the
