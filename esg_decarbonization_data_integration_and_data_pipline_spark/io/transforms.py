@@ -195,6 +195,54 @@ def derive_columns(df, spec: list[dict], physical: dict | None = None):
     return df, part_cols
 
 
+def derive_arrow(tbl, spec: list[dict], physical: dict | None = None):
+    """The pyarrow twin of :func:`derive_columns` for the Python
+    DataSource WRITE face: returns ``(table with derived layout
+    columns appended, partitionBy column list)``.  Temporal
+    transforms are restricted to DATE sources on this face (the
+    writer validates): an Arrow timestamp's wall rendering would
+    depend on the session timezone and could lay the same row out
+    differently from the JVM face.  year/month/day run as pyarrow
+    kernels; bucket/truncate-int fall back to a per-value Python
+    pass over the (single, narrow) partition column."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    physical = physical or {}
+    part_cols: list[str] = []
+    for s in spec:
+        if s["transform"] == "identity":
+            part_cols.append(physical.get(s["src"], s["src"]))
+            continue
+        src = physical.get(s["src"], s["src"])
+        col = tbl.column(src)
+        t, n = s["transform"], s["param"]
+        if t == "year":
+            vals = pc.year(col)
+        elif t in ("month", "day"):
+            fmt = "%Y-%m" if t == "month" else "%Y-%m-%d"
+            ts = col if pa.types.is_timestamp(col.type) \
+                else col.cast(pa.timestamp("us"))
+            vals = pc.strftime(ts, format=fmt)
+        elif t == "bucket":
+            vals = pa.array(
+                [None if v is None else bucket_value(v, n)
+                 for v in col.to_pylist()], type=pa.int32())
+        elif t == "truncate":
+            if pa.types.is_string(col.type) \
+                    or pa.types.is_large_string(col.type):
+                vals = pc.utf8_slice_codeunits(col, 0, n)
+            else:
+                vals = pa.array(
+                    [None if v is None else v - (v % n)
+                     for v in col.to_pylist()], type=col.type)
+        else:  # pragma: no cover -- parse_partition_spec gates
+            raise ValueError(t)
+        tbl = tbl.append_column(s["dir"], vals)
+        part_cols.append(s["dir"])
+    return tbl, part_cols
+
+
 def bucket_value(v: Any, n: int) -> int:
     """The Python twin of the Spark-side bucket expression: first 8
     hex digits of md5(str(v)) mod n.  ``str`` of ints/strings

@@ -1306,6 +1306,22 @@ def _hive_dir_value(v) -> str:
     return quote(str(v), safe=" ._-")
 
 
+def _derive_batches(iterator, spec: list[dict],
+                    physical: dict | None):
+    """Executor-side: append each Arrow batch's derived layout
+    columns (io/transforms.derive_arrow) so the partition stager
+    groups by them; the stager drops them from the file bytes like
+    every partition column."""
+    import pyarrow as pa
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.transforms import derive_arrow
+
+    for batch in iterator:
+        tbl, _cols = derive_arrow(pa.Table.from_batches([batch]),
+                                  spec, physical)
+        yield from tbl.to_batches()
+
+
 def _write_stage_part(iterator, stage_dir: str,
                       part_cols: tuple = ()) -> "_PartNames":
     """Executor-side: stream this task's Arrow batches into one
@@ -1409,8 +1425,21 @@ def _parse_write_options(options):
     stats = tuple(s.strip() for s in sc.split(",")
                   if s.strip()) if sc else ()
     pb = options.get("partitionBy", options.get("partitionby"))
-    part = tuple(s.strip() for s in pb.split(",")
-                 if s.strip()) if pb else ()
+    # paren-aware split: "year(d),bucket(4, id)" has a comma INSIDE
+    # the bucket transform's argument list
+    part: tuple = ()
+    if pb:
+        entries, buf, depth = [], [], 0
+        for ch in str(pb):
+            if ch == "," and depth == 0:
+                entries.append("".join(buf))
+                buf = []
+                continue
+            depth += ch == "("
+            depth -= ch == ")"
+            buf.append(ch)
+        entries.append("".join(buf))
+        part = tuple(s.strip() for s in entries if s.strip())
     if options.get("replaceWhere",
                    options.get("replacewhere")) is not None:
         raise ValueError(
@@ -1702,6 +1731,40 @@ class _VersionedBatchWriter(DataSourceArrowWriter):
         (self.path, self.merge_schema, self.stats_columns,
          self._partition_by, self.dynamic) = \
             _parse_write_options(options)
+        # hidden partition transforms (io/transforms) through the
+        # write face: the spec parses against the LOGICAL schema;
+        # temporal transforms are refused over TIMESTAMP sources on
+        # THIS face only -- the Arrow batches' wall rendering would
+        # depend on the session timezone and could lay the same row
+        # out differently from the JVM face (date sources are
+        # zone-free, bucket/truncate are string/int by contract)
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.transforms import (
+            has_transforms, parse_partition_spec,
+        )
+
+        self._part_spec = parse_partition_spec(
+            self._partition_by, schema) if self._partition_by else []
+        self._has_transforms = has_transforms(self._part_spec)
+        if self._has_transforms:
+            if self.dynamic:
+                raise ValueError(
+                    "partitionOverwriteMode=dynamic takes bare "
+                    "partition COLUMN names in partitionBy: a "
+                    "dynamic replace keyed by a transform goes "
+                    "through io.versioned.replace_partitions "
+                    "(supported there), not the format() face")
+            ts_src = [s["src"] for s in self._part_spec
+                      if s["transform"] in ("year", "month", "day")
+                      and s.get("src_type") != "date"]
+            if ts_src:
+                raise ValueError(
+                    f"format('versioned_table') temporal partition "
+                    f"transforms need DATE source columns, got "
+                    f"timestamp(s) {ts_src}: the Arrow write face "
+                    f"cannot render a zoned instant consistently "
+                    f"with the JVM face -- partition by a date "
+                    f"projection, or write through "
+                    f"io.versioned.write_version/append_version")
         # column-mapped base: stage under physical names, commit the
         # logical schema with its mapping metadata
         self._staged_physical, self._phys_names, self.schema = \
@@ -1742,8 +1805,16 @@ class _VersionedBatchWriter(DataSourceArrowWriter):
         os.makedirs(self.staged, exist_ok=True)
         if self._phys_names is not None:
             iterator = _remap_batches(iterator, self._phys_names)
-        part_phys = tuple(self._staged_physical.get(c, c)
-                          for c in self._partition_by)
+        if self._has_transforms:
+            part_phys = tuple(
+                self._staged_physical.get(s["src"], s["src"])
+                if s["transform"] == "identity" else s["dir"]
+                for s in self._part_spec)
+            iterator = _derive_batches(iterator, self._part_spec,
+                                       self._staged_physical)
+        else:
+            part_phys = tuple(self._staged_physical.get(c, c)
+                              for c in self._partition_by)
         return _write_stage_part(iterator, self.staged, part_phys)
 
     def commit(self, messages) -> None:
@@ -1771,6 +1842,12 @@ class _VersionedBatchWriter(DataSourceArrowWriter):
         except OSError:
             pass
         _ensure_schema_part(self.staged, self.arrow_schema_bytes)
+        if self._has_transforms:
+            from esg_decarbonization_data_integration_and_data_pipline_spark.io.transforms import (
+                write_partspec,
+            )
+
+            write_partspec(self.staged, self._part_spec)
         replace = None
         if self.dynamic:
             replace = _dynamic_replace_spec(
@@ -1809,6 +1886,14 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
 
         (self.path, self.merge_schema, self.stats_columns,
          self._partition_by, dynamic) = _parse_write_options(options)
+        if any("(" in str(c) for c in self._partition_by):
+            raise ValueError(
+                "hidden partition transforms in partitionBy are a "
+                "batch-write shape on this face; a streaming sink "
+                "deriving layout per micro-batch is not supported "
+                "yet -- partition by bare columns, or sink via "
+                "foreachBatch with io.versioned.append_version("
+                "partition_by=('year(ts)', ...))")
         if dynamic:
             raise ValueError(
                 "partitionOverwriteMode=dynamic is a batch-write "

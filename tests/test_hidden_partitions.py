@@ -452,6 +452,112 @@ def test_spec_evolution_unions_base_entries(spark, tmp_path):
     assert got == exp > 0
 
 
+def test_writer_face_transform_layout_matches_jvm_face(
+        spark, tmp_path):
+    """format('versioned_table') writes lay out hidden transforms
+    identically to the function face: same directories, same spec
+    sidecar, prunable through both read faces."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.sources.versioned_source import (
+        register as register_ds,
+    )
+
+    register_ds(spark)
+    td = str(tmp_path / "wf")
+    o = _orders(spark, 120).withColumn(
+        "d", F.when(F.col("id") % 12 == 0, F.lit(None))
+              .otherwise(F.col("d")))
+    (o.write.format("versioned_table").mode("overwrite")
+      .option("path", td)
+      .option("partitionBy", "year(d),bucket(4, id)").save())
+    files = _data_files(td, 1)
+    assert files and all("d_year=" in f and "id_bucket=" in f
+                         for f in files)
+    assert any("d_year=__HIVE_DEFAULT_PARTITION__" in f
+               for f in files)
+    spec = read_partspec(td, 1)
+    assert [s["dir"] for s in spec] == ["d_year", "id_bucket"]
+    cur = read_current(spark, td)
+    assert cur.columns == ["id", "d", "amt", "cat"]
+    assert cur.count() == 120
+    # prune through the function face on the WRITER-laid dirs
+    lo, hi = datetime.date(1997, 1, 1), datetime.date(1997, 12, 31)
+    kept, total = pruned_files(td, 1, "d", lo, hi)
+    assert kept and len(kept) < total
+    assert all("d_year=1997" in f for f in kept)
+    kb, tb = pruned_files(td, 1, "id", 37, 37)
+    assert kb and len(kb) < tb
+    assert all(f"id_bucket={bucket_value(37, 4)}" in f for f in kb)
+    got = read_where(spark, td, "d", lo, hi)
+    exp = o.filter((F.col("d") >= F.lit(lo))
+                   & (F.col("d") <= F.lit(hi)))
+    assert sorted(r.id for r in got.collect()) \
+        == sorted(r.id for r in exp.collect())
+    # and the bucket dirs are bit-compatible with the JVM face
+    td2 = str(tmp_path / "jvm")
+    write_version(o, td2, partition_by=("year(d)", "bucket(4, id)"))
+    dirs = lambda t: {seg for f in _data_files(t, 1)
+                      for seg in f.split("/") if "=" in seg}
+    assert dirs(td) == dirs(td2)
+
+
+def test_writer_face_append_transform_and_txn(spark, tmp_path):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import current_version
+    from esg_decarbonization_data_integration_and_data_pipline_spark.sources.versioned_source import (
+        register as register_ds,
+    )
+
+    register_ds(spark)
+    td = str(tmp_path / "wa")
+    o = _orders(spark, 100)
+    w = (o.write.format("versioned_table").mode("append")
+         .option("path", td).option("partitionBy", "month(d)")
+         .option("txn", "load:1"))
+    w.save()
+    v = current_version(td)
+    w.save()  # replayed txn no-ops
+    assert current_version(td) == v
+    assert read_current(spark, td).count() == 100
+    lo, hi = datetime.date(1996, 4, 1), datetime.date(1996, 5, 31)
+    kept, total = pruned_files(td, v, "d", lo, hi)
+    assert kept and len(kept) < total
+
+
+def test_writer_face_refuses_timestamp_temporal_transform(
+        spark, tmp_path):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.sources.versioned_source import (
+        register as register_ds,
+    )
+
+    register_ds(spark)
+    td = str(tmp_path / "wts")
+    df = spark.range(10).select(
+        F.col("id"),
+        F.expr("timestamp_seconds(828000000 + id)").alias("ts"))
+    with pytest.raises(Exception, match="DATE source"):
+        (df.write.format("versioned_table").mode("overwrite")
+         .option("path", td).option("partitionBy", "month(ts)")
+         .save())
+
+
+def test_stream_writer_refuses_transforms(spark, tmp_path):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.sources.versioned_source import (
+        register as register_ds,
+    )
+
+    register_ds(spark)
+    sdf = (spark.readStream.format("rate")
+           .option("rowsPerSecond", 1).load()
+           .selectExpr("value AS id", "current_date() AS d"))
+    q = (sdf.writeStream.format("versioned_table")
+         .option("path", str(tmp_path / "st"))
+         .option("txnAppId", "x")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .option("partitionBy", "year(d)")
+         .trigger(availableNow=True).start())
+    with pytest.raises(Exception, match="batch-write shape"):
+        q.awaitTermination()
+
+
 def test_show_partitions_metadata_only(spark, tmp_path):
     """show_partitions answers from manifests alone (no session
     passed anywhere), incl. hidden-transform layouts and the
