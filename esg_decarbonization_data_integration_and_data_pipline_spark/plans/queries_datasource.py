@@ -968,6 +968,10 @@ FROM (SELECT CASE WHEN month(o_orderdate) = 3
                 AND month(o_orderdate) <= 6
                 AND (month(o_orderdate) <> 3
                      OR o_orderkey % 2 = 0)) t
+UNION ALL
+SELECT 'hp_partitions', count(*),
+       CAST(count(DISTINCT year(o_orderdate)) AS DOUBLE)
+FROM o
 UNION ALL SELECT 'hp_prune_exact', CAST(1 AS BIGINT), 0.0
 UNION ALL SELECT 'hp_bucket_prune', CAST(1 AS BIGINT), 0.0
 """)
@@ -1077,6 +1081,15 @@ def hidden_partition_audit(spark: SparkSession,
 
         m = read_current(spark, st["tm"]).agg(*aggs).collect()[0]
         rows.append(("hp_month_reload", int(m["n"]), float(m["s"])))
+    # the partition INVENTORY from metadata alone (show_partitions:
+    # no session, no scan): per-partition rowcounts must total the
+    # table and the year-directory count must match the data
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import show_partitions
+
+    parts = show_partitions(ty)
+    rows.append(("hp_partitions",
+                 int(sum(p["n_rows"] for p in parts)),
+                 float(len(parts))))
     kept, total = pruned_files(ty, 1, "o_orderdate", lo, hi)
     yrs = {_partition_values(f).get("o_orderdate_year")
            for f in kept}
