@@ -151,6 +151,18 @@ HEADLINE = [
     # the three pruned reads (function range, pushdown range, bucket
     # equality)
     "hidden_partition_audit",
+    # added round 14 (late): exact-substring dedup (ExactSubstr,
+    # rolling-window) -- one gram-hash exchange (16-byte md5 keys)
+    # carrying every occurrence, then occurrence-bounded island
+    # merge; the excision variant adds the corpus-sized token-filter
+    # rebuild.  prefix49 pins the r14 set before these two.
+    "exact_substring_spans_docs",
+    "exact_substring_dedup_docs",
+    # added round 14 (late): Z-order data skipping -- the
+    # unclustered write + OPTIMIZE ZORDER build is memoized; the
+    # measured contract is the three pruned reads (two 1-D ranges +
+    # the 2-D tile conjunction)
+    "zorder_pruning_audit",
 ]
 
 
@@ -250,7 +262,8 @@ def main() -> None:
     PREFIXES = [(17, "events_tumbling_agg"), (24, "drift_orders_psi"),
                 (26, "drift_ks_summary"), (34, "fsck_report_audit"),
                 (42, "dv_delete_audit"),
-                (46, "replace_partitions_audit")]
+                (46, "replace_partitions_audit"),
+                (49, "hidden_partition_audit")]
     for plen, sentinel in PREFIXES:
         assert len(HEADLINE) >= plen and HEADLINE[plen - 1] == sentinel, \
             f"HEADLINE's first {plen} entries are a cross-round " \

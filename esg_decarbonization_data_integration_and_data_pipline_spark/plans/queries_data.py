@@ -1312,6 +1312,87 @@ def dedup_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.chunk_overlap_pairs(d, chunk_tokens=16)
 
 
+_SQL_ESUB_SPANS = f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks
+           FROM documents WHERE text IS NOT NULL),
+occ AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+               md5(array_to_string(
+                   toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) AS h
+        FROM t, UNNEST(range(1, len(toks) - 8 + 2)) AS u(i)
+        WHERE len(toks) >= 8),
+ranked AS (SELECT doc_id, i,
+                  row_number() OVER (PARTITION BY h
+                                     ORDER BY doc_id, i) AS rn
+           FROM occ),
+flagged AS (SELECT doc_id, i FROM ranked WHERE rn > 1),
+isl AS (SELECT doc_id, i,
+               CASE WHEN i > coalesce(lag(i) OVER w, -8) + 8
+                    THEN 1 ELSE 0 END AS new_isl
+        FROM flagged WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+grp AS (SELECT doc_id, i,
+               sum(new_isl) OVER (PARTITION BY doc_id
+                                  ORDER BY i) AS g
+        FROM isl),
+spans AS (SELECT doc_id, min(i) AS span_start, max(i) + 7 AS span_end,
+                 max(i) - min(i) + 8 AS span_tokens
+          FROM grp GROUP BY doc_id, g)"""
+
+
+@register("exact_substring_spans_docs", "ext:dedup-substring,W2,A1",
+          oracle=_SQL_ESUB_SPANS + """
+SELECT doc_id, span_start, span_end, span_tokens FROM spans
+""")
+def exact_substring_spans_docs(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Exact-substring duplication spans (Lee et al. 2021 ExactSubstr,
+    rolling-window re-expression): every verbatim 8-token window
+    repeated anywhere in the corpus flags all copies but the
+    corpus-first, and flagged starts merge to maximal spans
+    (operators/text.exact_substring_spans).  The oracle unrolls the
+    same keep-first rank + gaps-and-islands merge over md5'd grams."""
+    d = table(spark, sf_dir, "documents")
+    return T.exact_substring_spans(d, n=8)
+
+
+@register("exact_substring_dedup_docs", "ext:dedup-substring,F12",
+          oracle=_SQL_ESUB_SPANS + """,
+sp AS (SELECT doc_id, list(struct_pack(s := span_start,
+                                       e := span_end)) AS sps,
+              count(*) AS n_spans
+       FROM spans GROUP BY doc_id),
+alldocs AS (SELECT doc_id, text, """ + SQL_TOKS + """ AS toks
+            FROM documents),
+kept AS (SELECT d.doc_id, d.text, d.toks,
+                CASE WHEN d.text IS NULL THEN NULL
+                     ELSE [d.toks[CAST(j AS INT)]
+                           FOR j IN range(1, len(d.toks) + 1)
+                           IF len(list_filter(coalesce(s.sps, []),
+                                  x -> j >= x.s AND j <= x.e)) = 0]
+                END AS kt,
+                coalesce(s.n_spans, 0) AS n_spans
+         FROM alldocs d LEFT JOIN sp s USING (doc_id))
+SELECT doc_id,
+       CASE WHEN text IS NULL THEN NULL
+            -- array_to_string([]) is NULL in DuckDB but concat_ws
+            -- over an empty survivor set is '' in Spark
+            ELSE coalesce(array_to_string(kt, ' '), '') END
+           AS clean_text,
+       CAST(coalesce(len(toks) - len(kt), 0) AS BIGINT)
+           AS n_tokens_removed,
+       CAST(n_spans AS BIGINT) AS n_spans
+FROM kept
+""")
+def exact_substring_dedup_docs(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The excision pass over :func:`exact_substring_spans_docs`:
+    duplicated spans removed, surviving lowercased tokens rejoined
+    (token-stream semantics shared with decontaminate_spans_docs;
+    operators/text.exact_substring_dedup).  Grades the full cleaned
+    text of every doc, so the hash pins rank, merge AND rebuild."""
+    d = table(spark, sf_dir, "documents")
+    return T.exact_substring_dedup(d, n=8)
+
+
 @register("pack_sequences_docs", "ext:seq-packing,W1", oracle="""
 WITH t AS (
   SELECT doc_id,

@@ -195,6 +195,15 @@ def main() -> None:
         # gram explode + broadcast join + rebuild scale with rows
         "decontaminate_spans":
             lambda s: _spans(docs(s)),
+        # round-14 (late): exact-substring dedup -- the gram-hash
+        # exchange carries every occurrence (16-byte md5 keys), the
+        # island merge is bounded by duplicated occurrences; the
+        # token-salted replicas keep the dup rate constant so the
+        # slope tracks the occurrence shuffle, the honest 100 TB cost
+        "exact_substring_spans":
+            lambda s: T.exact_substring_spans(docs(s), n=8),
+        "exact_substring_dedup":
+            lambda s: T.exact_substring_dedup(docs(s), n=8),
         # round-8 (r7 verdict task #6): the eval-side report is the
         # same fixed-benchmark family -- its corpus-side gram explode
         # + broadcast join grows with the corpus while the output
