@@ -163,6 +163,10 @@ HEADLINE = [
     # measured contract is the three pruned reads (two 1-D ranges +
     # the 2-D tile conjunction)
     "zorder_pruning_audit",
+    # added round 14 (late): conditional multi-clause MERGE -- the
+    # snapshot + two merge commits are memoized; the measured
+    # contract is the three version read-backs
+    "merge_clauses_audit",
 ]
 
 

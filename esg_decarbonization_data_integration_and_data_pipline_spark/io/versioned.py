@@ -2898,6 +2898,233 @@ def merge_version(spark: SparkSession, table_dir: str,
                    "numTouchedFiles": len(touched)})
 
 
+class MergeCardinalityError(RuntimeError):
+    """A target row matched MULTIPLE source rows in a clause merge --
+    the update/delete outcome would be nondeterministic (which source
+    row's expressions apply?).  The Delta MERGE contract raises here;
+    de-duplicate the source on the merge key first."""
+
+
+def merge_clauses(spark: SparkSession, table_dir: str,
+                  source: DataFrame, key: str,
+                  clauses: Sequence[dict],
+                  max_attempts: int = 20,
+                  backend: CommitBackend | None = None,
+                  txn: str | None = None) -> int:
+    """Conditional multi-clause MERGE -- the full Delta ``MERGE INTO``
+    clause surface that :func:`merge_version`'s whole-row upsert
+    cannot express.  ``clauses`` is an ORDERED list; for each row the
+    FIRST clause of its class whose condition holds applies:
+
+    - ``{"when": "matched", "action": "update", "set": {col: expr},
+      "condition": expr?}`` -- partial-column update; unset columns
+      keep the target value.
+    - ``{"when": "matched", "action": "delete", "condition": expr?}``
+    - ``{"when": "not_matched", "action": "insert",
+      "values": {col: expr}?, "condition": expr?}`` -- default values
+      insert the source column of the same name (missing -> NULL).
+    - ``{"when": "not_matched_by_source", "action": "update"/"delete",
+      "set"/"condition"}`` -- conditions/sets here may reference the
+      TARGET only (``t.``): the source side of these rows is all-NULL
+      by construction, so an ``s.`` reference is refused loudly.
+
+    Expressions are SQL strings over ``s.<col>`` (source) and
+    ``t.<col>`` (target).  A row whose class has no applying clause
+    passes through unchanged (matched / by-source) or is dropped
+    (not-matched source rows without an insert clause).  A target row
+    matching MULTIPLE source rows raises
+    :class:`MergeCardinalityError` BEFORE anything is staged (the
+    Delta contract -- the outcome would be nondeterministic); source
+    duplicates on UNMATCHED keys are fine (each inserts).
+
+    Scale shape: without ``not_matched_by_source`` clauses the
+    rewrite set is :func:`_touched_files` on the source keys -- the
+    same stats-pruned O(touched) copy-on-write as
+    :func:`merge_version`, so a key-clustered table pays O(slice).
+    WITH a by-source clause every data file is rewritten (any target
+    row may change -- Delta scans the full target for these clauses
+    too); keep such merges for small dimension tables or pair them
+    with a partition-scoped pre-filter.  All clause logic runs as one
+    full-outer join + codegen'd CASE chains -- one pass, no
+    per-clause jobs.  Every update/insert value is cast to the
+    target column's pinned type, so the committed schema never
+    drifts.  Output columns are the TARGET schema (use
+    ``merge_version(merge_schema=True)`` for additive evolution).
+
+    ``txn``: same idempotence token as :func:`append_version`.
+    Concurrency: base pinned read-to-flip like :func:`merge_version`
+    (a conflicting commit raises :class:`VersionConflictError`).
+
+    The reference's closest shape is the per-key delete loop + concat
+    (jobs/staging_to_app.py) -- one unconditional replace; this is
+    what those jobs need when the reload must update some columns,
+    drop stale rows, and insert the rest in ONE atomic commit."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    backend = backend or _DEFAULT_BACKEND
+    if txn is not None:
+        cur0 = current_version(table_dir, backend=backend)
+        if cur0 is not None and txn in _txns(table_dir, cur0):
+            return cur0  # replayed transaction -- already applied
+
+    matched_cl, insert_cl, bysrc_cl = [], [], []
+    for i, c in enumerate(clauses):
+        when = c.get("when")
+        action = c.get("action")
+        if when == "matched":
+            if action not in ("update", "delete"):
+                raise ValueError(
+                    f"clause {i}: matched action must be "
+                    f"update/delete, got {action!r}")
+            matched_cl.append(c)
+        elif when == "not_matched":
+            if action != "insert":
+                raise ValueError(
+                    f"clause {i}: not_matched action must be "
+                    f"insert, got {action!r}")
+            insert_cl.append(c)
+        elif when == "not_matched_by_source":
+            if action not in ("update", "delete"):
+                raise ValueError(
+                    f"clause {i}: not_matched_by_source action must "
+                    f"be update/delete, got {action!r}")
+            for expr in ([c.get("condition") or ""]
+                         + list((c.get("set") or {}).values())):
+                if _re.search(r"\bs\s*\.", expr):
+                    raise ValueError(
+                        f"clause {i}: not_matched_by_source "
+                        f"expressions may reference the target only "
+                        f"(the source side is all-NULL there): "
+                        f"{expr!r}")
+            bysrc_cl.append(c)
+        else:
+            raise ValueError(
+                f"clause {i}: when must be matched / not_matched / "
+                f"not_matched_by_source, got {when!r}")
+    if not clauses:
+        raise ValueError("merge_clauses needs at least one clause")
+
+    base = current_version(table_dir, backend=backend)
+    if base is None:
+        raise FileNotFoundError(
+            f"{table_dir} has no committed version to merge into")
+    st = table_schema(table_dir, base)
+    if st is None:
+        raise FileNotFoundError(
+            f"{table_dir} v_{base} has no pinned schema")
+    tcols = st.fieldNames()
+    if key not in tcols or key not in source.columns:
+        raise ValueError(
+            f"merge key {key!r} must exist on both sides")
+
+    if bysrc_cl:
+        # any target row may change: every file is in the rewrite set
+        touched = _data_files(table_dir, base)
+    else:
+        touched, _total = _touched_files(spark, table_dir, base,
+                                         source.select(key), key)
+    if touched:
+        tdf = _read_files_dv(spark, table_dir, base, touched, st)
+    else:
+        tdf = spark.createDataFrame([], st)
+
+    # Delta's cardinality contract, checked eagerly: restrict to
+    # source keys that exist in the (touched slice of the) target --
+    # duplicates among unmatched keys are legal multi-inserts
+    dup = (source.select(F.col(key).alias("__k"))
+           .join(tdf.select(F.col(key).alias("__k")).distinct(),
+                 "__k")
+           .groupBy("__k").agg(F.count(F.lit(1)).alias("__c"))
+           .filter(F.col("__c") > 1).limit(1).collect())
+    if dup:
+        raise MergeCardinalityError(
+            f"source has {int(dup[0]['__c'])} rows for merge key "
+            f"{dup[0]['__k']!r}, which matches a target row -- "
+            f"de-duplicate the source first")
+
+    t = tdf.withColumn("__t_m", F.lit(True)).alias("t")
+    s = source.withColumn("__s_m", F.lit(True)).alias("s")
+    j = t.join(s, F.expr(f"t.{key} = s.{key}"), "full_outer")
+    t_here = F.col("t.__t_m").isNotNull()
+    s_here = F.col("s.__s_m").isNotNull()
+
+    def _idx(cls: list[dict]):
+        """Index of the first clause whose condition holds, else -1
+        (NULL conditions count as not-holding, per SQL)."""
+        e = F.lit(-1)
+        for i in reversed(range(len(cls))):
+            cond = cls[i].get("condition")
+            c = (F.coalesce(F.expr(cond), F.lit(False))
+                 if cond else F.lit(True))
+            e = F.when(c, F.lit(i)).otherwise(e)
+        return e
+
+    m_idx, i_idx, b_idx = _idx(matched_cl), _idx(insert_cl), _idx(bysrc_cl)
+
+    def _keep(cls: list[dict], idx):
+        """False only when the selected clause is a delete."""
+        e = F.lit(True)
+        for i, c in enumerate(cls):
+            if c["action"] == "delete":
+                e = F.when(idx == i, F.lit(False)).otherwise(e)
+        return e
+
+    keep = (F.when(t_here & s_here, _keep(matched_cl, m_idx))
+             .when(t_here, _keep(bysrc_cl, b_idx))
+             .otherwise(i_idx >= 0))  # source-only: insert iff a clause applies
+
+    scols = set(source.columns)
+    out = []
+    for f in st.fields:
+        c, dt = f.name, f.dataType.simpleString()
+        tval = F.col(f"t.{c}")
+        mval = tval
+        for i in reversed(range(len(matched_cl))):
+            cl = matched_cl[i]
+            if cl["action"] == "update" and c in (cl.get("set") or {}):
+                mval = F.when(m_idx == i,
+                              F.expr(cl["set"][c])).otherwise(mval)
+        bval = tval
+        for i in reversed(range(len(bysrc_cl))):
+            cl = bysrc_cl[i]
+            if cl["action"] == "update" and c in (cl.get("set") or {}):
+                bval = F.when(b_idx == i,
+                              F.expr(cl["set"][c])).otherwise(bval)
+        idefault = (F.col(f"s.{c}") if c in scols
+                    else F.lit(None))
+        ival = F.lit(None)
+        for i in reversed(range(len(insert_cl))):
+            vals = insert_cl[i].get("values")
+            v = (F.expr(vals[c]) if vals and c in vals
+                 else idefault if not vals else F.lit(None))
+            ival = F.when(i_idx == i, v).otherwise(ival)
+        out.append(F.when(t_here & s_here, mval)
+                    .when(t_here, bval)
+                    .otherwise(ival).cast(dt).alias(c))
+
+    new_df = j.filter(keep).select(*out)
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.constraints import (
+        enforce_on_write,
+    )
+
+    # validates the REWRITTEN rows (survivors included -- clause
+    # expressions may change any of them): O(touched + inserts),
+    # the same order as the rewrite itself
+    new_df = enforce_on_write(new_df, table_dir)
+    if touched:
+        new_df = new_df.coalesce(max(1, len(touched)))
+    return _manifest_commit(
+        new_df, table_dir, txn=txn, pinned_base=base,
+        inherit_files=True, max_attempts=max_attempts,
+        backend=backend, inherit_drop=frozenset(touched),
+        op_name="MERGE",
+        op_params={"key": key, "numTouchedFiles": len(touched),
+                   "clauses": [f"{c['when']}:{c['action']}"
+                               for c in clauses]})
+
+
 def delete_keys_version(spark: SparkSession, table_dir: str,
                         keys: DataFrame, key: str,
                         max_attempts: int = 20,

@@ -1039,6 +1039,13 @@ _DRIVER_TAIL = [
     # read_where_all 2-D tile) -- oracle-replayed in-repo this round,
     # r15 head candidate
     "zorder_pruning_audit",
+    # round-14 (late) new capability past the gate cap: conditional
+    # multi-clause MERGE (io/versioned.merge_clauses -- the Delta
+    # MERGE INTO clause surface: ordered matched update/delete,
+    # not-matched insert, not-matched-by-source update/delete with
+    # first-match-wins and the cardinality contract) -- r15 head
+    # candidate
+    "merge_clauses_audit",
     # ---- round-13 rotations OUT of the head (each driver-green
     # r11+r12; family coverage per the r13 head comment):
     "purge_erasure_audit", "ddl_timetravel_audit",

@@ -976,3 +976,119 @@ def zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(("z_unclustered_keeps_all", 1, 0.0))
     return spark.createDataFrame(
         rows, "stage string, n_rows bigint, total_price double")
+
+
+@register("merge_clauses_audit", "ext:merge-clauses,P3,P6,A2", oracle="""
+WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+                     o_totalprice AS p, o_custkey AS c
+              FROM orders WHERE year(o_orderdate) IN (1997, 1998)),
+v2 AS (
+  SELECT k, CASE WHEN k % 5 = 0 THEN 'M' ELSE st END AS st,
+         CASE WHEN k % 5 = 0 THEN p + 100000 ELSE p END AS p, c
+  FROM base WHERE NOT (k % 5 = 0 AND p < 50000)
+  UNION ALL
+  SELECT -k, 'I', p, c FROM base WHERE k % 9 = 0 AND k > 0),
+v3 AS (
+  SELECT k,
+         CASE WHEN NOT (k > 0 AND k % 3 = 0) AND c % 7 <> 0
+                   AND c % 2 = 0 THEN 'S' ELSE st END AS st,
+         p, c
+  FROM v2 WHERE (k > 0 AND k % 3 = 0) OR c % 7 <> 0)
+SELECT 1 AS version, count(*) AS n_rows,
+       round(sum(p), 4) AS sum_price,
+       count(*) FILTER (WHERE st = 'M') AS n_updated,
+       count(*) FILTER (WHERE st = 'I') AS n_inserted,
+       count(*) FILTER (WHERE st = 'S') AS n_stale
+FROM base
+UNION ALL SELECT 2, count(*), round(sum(p), 4),
+       count(*) FILTER (WHERE st = 'M'),
+       count(*) FILTER (WHERE st = 'I'),
+       count(*) FILTER (WHERE st = 'S')
+FROM v2
+UNION ALL SELECT 3, count(*), round(sum(p), 4),
+       count(*) FILTER (WHERE st = 'M'),
+       count(*) FILTER (WHERE st = 'I'),
+       count(*) FILTER (WHERE st = 'S')
+FROM v3
+""")
+def merge_clauses_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional multi-clause MERGE (io/versioned.merge_clauses --
+    the Delta ``MERGE INTO`` clause surface), driver-graded
+    end-to-end.  v1 = the 1997-98 orders snapshot.  v2 = ONE merge
+    commit whose ordered clauses exercise first-match-wins: matched
+    %5 keys DELETE when cheap (t.p < 50000) else UPDATE
+    (status 'M', price += 100000 -- additive, no intermediate
+    rounding, so both engines agree bit-for-bit), and %9 keys INSERT
+    as fresh negative-key rows (default source-column values).
+    v3 = a second merge with ONLY not_matched_by_source clauses over
+    a %3-keys source: stale target rows DELETE when c % 7 = 0
+    (listed first) else mark status 'S' when c % 2 = 0 -- the
+    sync-to-snapshot shape.  Every version's rowcount / price sum /
+    per-marker counts are re-derived by the oracle from raw parquet
+    CASE logic, so a mis-ordered clause, a wrong-class row, or a
+    cardinality leak hash-mismatches externally.  Cardinality
+    refusal, O(touched) pruning and txn replay are pytest-pinned
+    (tests/test_merge_clauses.py).  Build is process-memoized; the
+    graded version reads run live."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        read_version,
+    )
+    from esg_decarbonization_data_integration_and_data_pipline_spark.tables import table
+
+    def build() -> dict:
+        import atexit
+        import os
+        import shutil
+        import tempfile
+
+        from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+            merge_clauses, write_version,
+        )
+
+        root = tempfile.mkdtemp(prefix="mergecl_aud_")
+        atexit.register(shutil.rmtree, root, True)
+        td = os.path.join(root, "t")
+        base = (table(spark, sf_dir, "orders")
+                .filter(F.year("o_orderdate").isin(1997, 1998))
+                .select(F.col("o_orderkey").alias("k"),
+                        F.col("o_orderstatus").alias("st"),
+                        F.col("o_totalprice").alias("p"),
+                        F.col("o_custkey").alias("c")))
+        write_version(base.repartition(4), td, stats_columns=["k"])
+        m = base.filter(F.col("k") % 5 == 0)
+        # k > 0: this data's orderkeys start at 0 and -0 == 0
+        # would collide with the matched row of the same key
+        ins = (base.filter((F.col("k") % 9 == 0) & (F.col("k") > 0))
+               .select((-F.col("k")).alias("k"), F.lit("I").alias("st"),
+                       "p", "c"))
+        merge_clauses(spark, td, m.unionByName(ins), "k", [
+            {"when": "matched", "action": "delete",
+             "condition": "t.p < 50000"},
+            {"when": "matched", "action": "update",
+             "set": {"st": "'M'", "p": "t.p + 100000"}},
+            {"when": "not_matched", "action": "insert"},
+        ])
+        src2 = base.filter(F.col("k") % 3 == 0).select("k")
+        merge_clauses(spark, td, src2, "k", [
+            {"when": "not_matched_by_source", "action": "delete",
+             "condition": "t.c % 7 = 0"},
+            {"when": "not_matched_by_source", "action": "update",
+             "set": {"st": "'S'"}, "condition": "t.c % 2 = 0"},
+        ])
+        return {"td": td, "dirs": (root,)}
+
+    td = audit_state("merge_clauses", sf_dir, build)["td"]
+    rows = []
+    for v in (1, 2, 3):
+        r = (read_version(spark, td, v)
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.sum("p"), 4).alias("s"),
+                  F.count(F.when(F.col("st") == "M", 1)).alias("m"),
+                  F.count(F.when(F.col("st") == "I", 1)).alias("i"),
+                  F.count(F.when(F.col("st") == "S", 1)).alias("z"))
+             .collect()[0])
+        rows.append((v, int(r["n"]), float(r["s"]), int(r["m"]),
+                     int(r["i"]), int(r["z"])))
+    return spark.createDataFrame(
+        rows, "version int, n_rows bigint, sum_price double, "
+              "n_updated bigint, n_inserted bigint, n_stale bigint")
