@@ -2941,6 +2941,12 @@ def merge_clauses(spark: SparkSession, table_dir: str,
     rewrite set is :func:`_touched_files` on the source keys -- the
     same stats-pruned O(touched) copy-on-write as
     :func:`merge_version`, so a key-clustered table pays O(slice).
+    An INSERT-ONLY merge (no matched/by-source clause) rewrites
+    NOTHING: candidate files are read only to subtract matched keys
+    (anti-join) and the commit is a pure append of the surviving
+    source rows -- matched source rows simply do not insert, so the
+    cardinality check does not apply (the Delta contract: only a
+    source row that would MODIFY a target row must be unique).
     WITH a by-source clause every data file is rewritten (any target
     row may change -- Delta scans the full target for these clauses
     too); keep such merges for small dimension tables or pair them
@@ -2969,6 +2975,15 @@ def merge_clauses(spark: SparkSession, table_dir: str,
         if cur0 is not None and txn in _txns(table_dir, cur0):
             return cur0  # replayed transaction -- already applied
 
+    def _refs(expr: str, side: str) -> bool:
+        """Does ``expr`` reference ``side.<col>``?  String literals
+        are stripped first (a literal like 's. dept' must not
+        trigger), and the match is case-insensitive (Spark resolves
+        the s/t aliases case-insensitively, so ``S.op`` would bind
+        to the source just like ``s.op``)."""
+        bare = _re.sub(r"'(?:[^'\\]|\\.)*'", "''", expr)
+        return bool(_re.search(rf"(?i)\b{side}\s*\.", bare))
+
     matched_cl, insert_cl, bysrc_cl = [], [], []
     for i, c in enumerate(clauses):
         when = c.get("when")
@@ -2984,6 +2999,14 @@ def merge_clauses(spark: SparkSession, table_dir: str,
                 raise ValueError(
                     f"clause {i}: not_matched action must be "
                     f"insert, got {action!r}")
+            for expr in ([c.get("condition") or ""]
+                         + list((c.get("values") or {}).values())):
+                if _refs(expr, "t"):
+                    raise ValueError(
+                        f"clause {i}: not_matched expressions may "
+                        f"reference the source only (the target side "
+                        f"is all-NULL there, so the clause would "
+                        f"silently never fire): {expr!r}")
             insert_cl.append(c)
         elif when == "not_matched_by_source":
             if action not in ("update", "delete"):
@@ -2992,7 +3015,7 @@ def merge_clauses(spark: SparkSession, table_dir: str,
                     f"be update/delete, got {action!r}")
             for expr in ([c.get("condition") or ""]
                          + list((c.get("set") or {}).values())):
-                if _re.search(r"\bs\s*\.", expr):
+                if _refs(expr, "s"):
                     raise ValueError(
                         f"clause {i}: not_matched_by_source "
                         f"expressions may reference the target only "
@@ -3018,37 +3041,56 @@ def merge_clauses(spark: SparkSession, table_dir: str,
     if key not in tcols or key not in source.columns:
         raise ValueError(
             f"merge key {key!r} must exist on both sides")
+    # unresolvable assignment columns raise (the Delta analysis
+    # contract) -- a typo'd set/values key would otherwise commit a
+    # version with the intended change silently dropped
+    for i, c in enumerate(clauses):
+        for col in {**(c.get("set") or {}),
+                    **(c.get("values") or {})}:
+            if col not in tcols:
+                raise ValueError(
+                    f"clause {i}: assignment column {col!r} is not "
+                    f"a target column (target has {tcols})")
 
+    insert_only = not matched_cl and not bysrc_cl
     if bysrc_cl:
         # any target row may change: every file is in the rewrite set
         touched = _data_files(table_dir, base)
+    elif insert_only:
+        # nothing in the target changes: candidate files are read
+        # ONLY to subtract matched keys; every file inherits by
+        # reference and the commit is a pure append of the insert
+        # survivors (no copy-on-write at all)
+        touched = []
     else:
         touched, _total = _touched_files(spark, table_dir, base,
                                          source.select(key), key)
-    if touched:
+    if insert_only:
+        cand, _ = _touched_files(spark, table_dir, base,
+                                 source.select(key), key)
+        tdf = (_read_files_dv(spark, table_dir, base, cand, st)
+               if cand else spark.createDataFrame([], st))
+    elif touched:
         tdf = _read_files_dv(spark, table_dir, base, touched, st)
     else:
         tdf = spark.createDataFrame([], st)
 
     # Delta's cardinality contract, checked eagerly: restrict to
     # source keys that exist in the (touched slice of the) target --
-    # duplicates among unmatched keys are legal multi-inserts
-    dup = (source.select(F.col(key).alias("__k"))
-           .join(tdf.select(F.col(key).alias("__k")).distinct(),
-                 "__k")
-           .groupBy("__k").agg(F.count(F.lit(1)).alias("__c"))
-           .filter(F.col("__c") > 1).limit(1).collect())
-    if dup:
-        raise MergeCardinalityError(
-            f"source has {int(dup[0]['__c'])} rows for merge key "
-            f"{dup[0]['__k']!r}, which matches a target row -- "
-            f"de-duplicate the source first")
-
-    t = tdf.withColumn("__t_m", F.lit(True)).alias("t")
-    s = source.withColumn("__s_m", F.lit(True)).alias("s")
-    j = t.join(s, F.expr(f"t.{key} = s.{key}"), "full_outer")
-    t_here = F.col("t.__t_m").isNotNull()
-    s_here = F.col("s.__s_m").isNotNull()
+    # duplicates among unmatched keys are legal multi-inserts, and
+    # an insert-only merge (no matched clause) is deterministic
+    # whatever the source cardinality, so it skips the check too
+    if matched_cl:
+        dup = (source.select(F.col(key).alias("__k"))
+               .join(tdf.select(F.col(key).alias("__k")).distinct(),
+                     "__k")
+               .groupBy("__k").agg(F.count(F.lit(1)).alias("__c"))
+               .filter(F.col("__c") > 1).limit(1).collect())
+        if dup:
+            raise MergeCardinalityError(
+                f"source has {int(dup[0]['__c'])} rows for merge key "
+                f"{dup[0]['__k']!r}, which matches a target row -- "
+                f"de-duplicate the source first")
 
     def _idx(cls: list[dict]):
         """Index of the first clause whose condition holds, else -1
@@ -3061,50 +3103,73 @@ def merge_clauses(spark: SparkSession, table_dir: str,
             e = F.when(c, F.lit(i)).otherwise(e)
         return e
 
-    m_idx, i_idx, b_idx = _idx(matched_cl), _idx(insert_cl), _idx(bysrc_cl)
-
-    def _keep(cls: list[dict], idx):
-        """False only when the selected clause is a delete."""
-        e = F.lit(True)
-        for i, c in enumerate(cls):
-            if c["action"] == "delete":
-                e = F.when(idx == i, F.lit(False)).otherwise(e)
-        return e
-
-    keep = (F.when(t_here & s_here, _keep(matched_cl, m_idx))
-             .when(t_here, _keep(bysrc_cl, b_idx))
-             .otherwise(i_idx >= 0))  # source-only: insert iff a clause applies
-
     scols = set(source.columns)
-    out = []
-    for f in st.fields:
-        c, dt = f.name, f.dataType.simpleString()
-        tval = F.col(f"t.{c}")
-        mval = tval
-        for i in reversed(range(len(matched_cl))):
-            cl = matched_cl[i]
-            if cl["action"] == "update" and c in (cl.get("set") or {}):
-                mval = F.when(m_idx == i,
-                              F.expr(cl["set"][c])).otherwise(mval)
-        bval = tval
-        for i in reversed(range(len(bysrc_cl))):
-            cl = bysrc_cl[i]
-            if cl["action"] == "update" and c in (cl.get("set") or {}):
-                bval = F.when(b_idx == i,
-                              F.expr(cl["set"][c])).otherwise(bval)
-        idefault = (F.col(f"s.{c}") if c in scols
-                    else F.lit(None))
-        ival = F.lit(None)
+
+    def _ival(c: str, i_idx):
+        """Insert-clause value chain for target column ``c``."""
+        idefault = F.col(f"s.{c}") if c in scols else F.lit(None)
+        e = F.lit(None)
         for i in reversed(range(len(insert_cl))):
             vals = insert_cl[i].get("values")
             v = (F.expr(vals[c]) if vals and c in vals
                  else idefault if not vals else F.lit(None))
-            ival = F.when(i_idx == i, v).otherwise(ival)
-        out.append(F.when(t_here & s_here, mval)
-                    .when(t_here, bval)
-                    .otherwise(ival).cast(dt).alias(c))
+            e = F.when(i_idx == i, v).otherwise(e)
+        return e
 
-    new_df = j.filter(keep).select(*out)
+    if insert_only:
+        # anti-join append: matched source rows simply do not insert
+        # (the target row is never joined, so it can never duplicate)
+        s = source.alias("s")
+        j = s.join(tdf.select(F.col(key).alias("__tk")).distinct(),
+                   F.expr(f"s.{key} = __tk"), "left_anti")
+        i_idx = _idx(insert_cl)
+        new_df = j.filter(i_idx >= 0).select(
+            *[_ival(f.name, i_idx).cast(f.dataType.simpleString())
+              .alias(f.name) for f in st.fields])
+    else:
+        t = tdf.withColumn("__t_m", F.lit(True)).alias("t")
+        s = source.withColumn("__s_m", F.lit(True)).alias("s")
+        j = t.join(s, F.expr(f"t.{key} = s.{key}"), "full_outer")
+        t_here = F.col("t.__t_m").isNotNull()
+        s_here = F.col("s.__s_m").isNotNull()
+        m_idx, i_idx, b_idx = (_idx(matched_cl), _idx(insert_cl),
+                               _idx(bysrc_cl))
+
+        def _keep(cls: list[dict], idx):
+            """False only when the selected clause is a delete."""
+            e = F.lit(True)
+            for i, c in enumerate(cls):
+                if c["action"] == "delete":
+                    e = F.when(idx == i, F.lit(False)).otherwise(e)
+            return e
+
+        keep = (F.when(t_here & s_here, _keep(matched_cl, m_idx))
+                 .when(t_here, _keep(bysrc_cl, b_idx))
+                 .otherwise(i_idx >= 0))  # source-only: insert iff a clause applies
+
+        out = []
+        for f in st.fields:
+            c, dt = f.name, f.dataType.simpleString()
+            tval = F.col(f"t.{c}")
+            mval = tval
+            for i in reversed(range(len(matched_cl))):
+                cl = matched_cl[i]
+                if (cl["action"] == "update"
+                        and c in (cl.get("set") or {})):
+                    mval = F.when(m_idx == i,
+                                  F.expr(cl["set"][c])).otherwise(mval)
+            bval = tval
+            for i in reversed(range(len(bysrc_cl))):
+                cl = bysrc_cl[i]
+                if (cl["action"] == "update"
+                        and c in (cl.get("set") or {})):
+                    bval = F.when(b_idx == i,
+                                  F.expr(cl["set"][c])).otherwise(bval)
+            out.append(F.when(t_here & s_here, mval)
+                        .when(t_here, bval)
+                        .otherwise(_ival(c, i_idx)).cast(dt).alias(c))
+
+        new_df = j.filter(keep).select(*out)
     from esg_decarbonization_data_integration_and_data_pipline_spark.io.constraints import (
         enforce_on_write,
     )

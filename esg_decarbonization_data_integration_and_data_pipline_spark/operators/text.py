@@ -821,10 +821,18 @@ def exact_substring_spans(df: DataFrame, n: int = 8,
     # higher-order functions outside codegen and its O(tokens x n)
     # string assembly dominated the query (same lesson as the LSH
     # bucketing kernel; measured ~2x on the registered sf0.1 query).
-    # hashlib.md5 == F.md5 == DuckDB md5 on identical utf-8 bytes,
-    # and Python .split() matches the oracle's '\s+' on this module's
-    # token convention (the graded text_quality kernel set the
-    # precedent).
+    # hashlib.md5 == F.md5 == DuckDB md5 on identical utf-8 bytes.
+    # Tokenization is the ASCII-\s regex, NOT str.split(): the
+    # excision rebuild (and the SQL oracle) split on Java/RE2 '\s+'
+    # which is ASCII-only, while Python str.split() treats Unicode
+    # whitespace (NBSP, U+2028, ...) as boundaries too -- a corpus
+    # with such characters would shift every subsequent 1-based
+    # index and excise the wrong tokens (r14 review finding).
+    # re.ASCII's \s == [ \t\n\r\f\v] == Java's default \s.
+    import re as _re_mod
+
+    ws = _re_mod.compile(r"\s+", _re_mod.ASCII)
+
     @pandas_udf("array<struct<i: int, h: string>>")
     def _gram_hashes(texts: pd.Series) -> pd.Series:
         import hashlib
@@ -834,7 +842,7 @@ def exact_substring_spans(df: DataFrame, n: int = 8,
             if t is None:
                 out.append([])
                 continue
-            toks = t.lower().split()
+            toks = [w for w in ws.split(t.lower()) if w]
             m = len(toks) - n + 1
             if m <= 0:
                 out.append([])

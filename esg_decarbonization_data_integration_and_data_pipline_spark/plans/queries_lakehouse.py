@@ -892,11 +892,11 @@ def dv_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
 b AS (SELECT max(o_custkey) // 10 AS ckhi FROM base)
 SELECT 'z_cust' AS stage, count(*) AS n_rows,
-       round(sum(o_totalprice), 4) AS total_price
+       round(avg(o_totalprice), 4) AS avg_price
 FROM base, b WHERE o_custkey <= ckhi
-UNION ALL SELECT 'z_price', count(*), round(sum(o_totalprice), 4)
+UNION ALL SELECT 'z_price', count(*), round(avg(o_totalprice), 4)
 FROM base WHERE o_totalprice <= 50000
-UNION ALL SELECT 'z_tile', count(*), round(sum(o_totalprice), 4)
+UNION ALL SELECT 'z_tile', count(*), round(avg(o_totalprice), 4)
 FROM base, b WHERE o_custkey <= ckhi AND o_totalprice <= 50000
 UNION ALL SELECT 'z_prune_cust', CAST(1 AS BIGINT), 0.0
 UNION ALL SELECT 'z_prune_price', CAST(1 AS BIGINT), 0.0
@@ -951,8 +951,11 @@ def zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     td = audit_state("zorder_audit", sf_dir, build)["td"]
     _, ckmax = column_range(spark, td, "o_custkey", n=2)
     ckhi = int(ckmax) // 10
+    # avg, not sum: at 10x SFs the slice sums reach ~4e9 where
+    # sum-order float noise brushes the 1e-4 rounding grid; the
+    # divide pushes it to ~1e-9 (same reasoning as merge_clauses_audit)
     aggs = [F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 4).alias("s")]
+            F.round(F.avg("o_totalprice"), 4).alias("s")]
     rows = []
 
     def add(stage, df):
@@ -975,7 +978,7 @@ def zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     if total1 > 1 and len(kept1) == total1:
         rows.append(("z_unclustered_keeps_all", 1, 0.0))
     return spark.createDataFrame(
-        rows, "stage string, n_rows bigint, total_price double")
+        rows, "stage string, n_rows bigint, avg_price double")
 
 
 @register("merge_clauses_audit", "ext:merge-clauses,P3,P6,A2", oracle="""
@@ -990,22 +993,22 @@ v2 AS (
   SELECT -k, 'I', p, c FROM base WHERE k % 9 = 0 AND k > 0),
 v3 AS (
   SELECT k,
-         CASE WHEN NOT (k > 0 AND k % 3 = 0) AND c % 7 <> 0
+         CASE WHEN NOT (k >= 0 AND k % 3 = 0) AND c % 7 <> 0
                    AND c % 2 = 0 THEN 'S' ELSE st END AS st,
          p, c
-  FROM v2 WHERE (k > 0 AND k % 3 = 0) OR c % 7 <> 0)
+  FROM v2 WHERE (k >= 0 AND k % 3 = 0) OR c % 7 <> 0)
 SELECT 1 AS version, count(*) AS n_rows,
-       round(sum(p), 4) AS sum_price,
+       round(avg(p), 4) AS avg_price,
        count(*) FILTER (WHERE st = 'M') AS n_updated,
        count(*) FILTER (WHERE st = 'I') AS n_inserted,
        count(*) FILTER (WHERE st = 'S') AS n_stale
 FROM base
-UNION ALL SELECT 2, count(*), round(sum(p), 4),
+UNION ALL SELECT 2, count(*), round(avg(p), 4),
        count(*) FILTER (WHERE st = 'M'),
        count(*) FILTER (WHERE st = 'I'),
        count(*) FILTER (WHERE st = 'S')
 FROM v2
-UNION ALL SELECT 3, count(*), round(sum(p), 4),
+UNION ALL SELECT 3, count(*), round(avg(p), 4),
        count(*) FILTER (WHERE st = 'M'),
        count(*) FILTER (WHERE st = 'I'),
        count(*) FILTER (WHERE st = 'S')
@@ -1082,7 +1085,11 @@ def merge_clauses_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for v in (1, 2, 3):
         r = (read_version(spark, td, v)
              .agg(F.count(F.lit(1)).alias("n"),
-                  F.round(F.sum("p"), 4).alias("s"),
+                  # avg, not sum: at sf0.1 the two-year sum is
+                  # ~1.16e10 and sum-order float noise exceeds the
+                  # 1e-4 rounding grid; the divide pushes the noise
+                  # to ~1e-9 (r14 review follow-up)
+                  F.round(F.avg("p"), 4).alias("s"),
                   F.count(F.when(F.col("st") == "M", 1)).alias("m"),
                   F.count(F.when(F.col("st") == "I", 1)).alias("i"),
                   F.count(F.when(F.col("st") == "S", 1)).alias("z"))
@@ -1090,5 +1097,5 @@ def merge_clauses_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((v, int(r["n"]), float(r["s"]), int(r["m"]),
                      int(r["i"]), int(r["z"])))
     return spark.createDataFrame(
-        rows, "version int, n_rows bigint, sum_price double, "
+        rows, "version int, n_rows bigint, avg_price double, "
               "n_updated bigint, n_inserted bigint, n_stale bigint")

@@ -14,3 +14,18 @@ def checkpoint_identity(checkpoint: str) -> str:
     copies of the hash recipe could drift apart and silently break
     replay refusal."""
     return hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+
+
+def conflate_latest(batch, key: str, order_col: str, tie_cols):
+    """Keep the LATEST change per ``key`` in a CDC micro-batch:
+    row_number over (key) ordered by ``order_col`` desc with
+    ``tie_cols`` desc as the deterministic tie-break.  ONE definition
+    on purpose (r14 review): the keep-latest rule is shared by the
+    SCD2 and clause-merge sinks, and independently maintained copies
+    of the ordering/tie-break would silently diverge."""
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy(key).orderBy(
+        F.col(order_col).desc(), *[F.col(c).desc() for c in tie_cols])
+    return (batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))

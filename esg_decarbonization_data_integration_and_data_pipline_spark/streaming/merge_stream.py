@@ -41,7 +41,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from esg_decarbonization_data_integration_and_data_pipline_spark.streaming import checkpoint_identity
+from esg_decarbonization_data_integration_and_data_pipline_spark.streaming import (
+    checkpoint_identity, conflate_latest,
+)
 
 
 def stream_merge_apply(sdf: DataFrame, table_dir: str, key: str,
@@ -68,13 +70,9 @@ def stream_merge_apply(sdf: DataFrame, table_dir: str, key: str,
             return
         batch = batch_df
         if order_col is not None:
-            rest = [c for c in batch.columns
-                    if c not in (key, order_col)]
-            w = Window.partitionBy(key).orderBy(
-                F.col(order_col).desc(),
-                *[F.col(c).desc() for c in rest])
-            batch = (batch.withColumn("__rn", F.row_number().over(w))
-                     .filter(F.col("__rn") == 1).drop("__rn"))
+            batch = conflate_latest(
+                batch, key, order_col,
+                [c for c in batch.columns if c not in (key, order_col)])
         merge_clauses(batch_df.sparkSession, table_dir, batch, key,
                       clauses, txn=f"{ckpt_id}:{batch_id}")
 

@@ -47,7 +47,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from esg_decarbonization_data_integration_and_data_pipline_spark.streaming import checkpoint_identity
+from esg_decarbonization_data_integration_and_data_pipline_spark.streaming import (
+    checkpoint_identity, conflate_latest,
+)
 
 
 def stream_scd2_apply(sdf: DataFrame, table_dir: str, key: str,
@@ -75,11 +77,7 @@ def stream_scd2_apply(sdf: DataFrame, table_dir: str, key: str,
             eff = int(batch_id)
         batch = batch_df
         if order_col is not None:
-            w = Window.partitionBy(key).orderBy(
-                F.col(order_col).desc(), *[F.col(c).desc()
-                                           for c in tracked])
-            batch = (batch.withColumn("__rn", F.row_number().over(w))
-                     .filter(F.col("__rn") == 1).drop("__rn"))
+            batch = conflate_latest(batch, key, order_col, tracked)
         # drop the stream-only marker columns before the fold -- but
         # never the key or a tracked attribute that doubles as the
         # marker (e.g. a tracked event timestamp used as

@@ -115,3 +115,21 @@ def test_parameter_validation():
         exact_substring_spans(None, n=8, min_count=1)
     with pytest.raises(ValueError, match="n must be"):
         exact_substring_spans(None, n=0)
+
+
+def test_unicode_whitespace_tokenizes_like_the_jvm(spark):
+    """NBSP is NOT a token boundary under Java's ASCII '\\s+' (the
+    rebuild/oracle tokenizer); the gram kernel must agree or every
+    subsequent index shifts (r14 review finding)."""
+    plain = "a b c d e f g h"
+    nbsp_doc = "x\u00a0y " + plain  # 'x\u00a0y' is ONE token
+    docs = _docs(spark, [(1, plain), (2, nbsp_doc)])
+    got = _spans(exact_substring_spans(docs, n=8))
+    # doc 2's copy starts at token 2 -- NOT 3: the NBSP pair is one
+    # token, exactly as the JVM/SQL '\\s+' split sees it (Python
+    # str.split() would have split it and shifted the index)
+    assert got == [(2, 2, 9, 8)]
+    out = {r.doc_id: r for r in exact_substring_dedup(docs, n=8).collect()}
+    assert out[1].n_tokens_removed == 0
+    assert out[2].clean_text == "x\u00a0y"
+    assert out[2].n_tokens_removed == 8

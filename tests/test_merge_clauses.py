@@ -201,3 +201,66 @@ def test_refusals(spark, tmp_path):
     with pytest.raises(ValueError, match="merge key"):
         merge_clauses(spark, t, src.drop("k"), "k", [
             {"when": "matched", "action": "delete"}])
+
+
+# --- r14 review-pass regressions ------------------------------------
+
+
+def test_unknown_assignment_column_raises(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    src = _kvq(spark, [(5, "x", 0)])
+    with pytest.raises(ValueError, match="assignment column"):
+        merge_clauses(spark, t, src, "k", [
+            {"when": "matched", "action": "update",
+             "set": {"aa": "s.a"}}])  # typo'd column
+    with pytest.raises(ValueError, match="assignment column"):
+        merge_clauses(spark, t, src, "k", [
+            {"when": "not_matched", "action": "insert",
+             "values": {"k": "s.k", "nope": "1"}}])
+
+
+def test_insert_only_merge_allows_matched_duplicates(spark, tmp_path):
+    """Delta permits duplicate source keys when no matched clause
+    could apply; the matched target row must NOT duplicate and the
+    commit must be a pure append (zero files rewritten)."""
+    t = _table(spark, tmp_path)
+    before = set(_data_files(t, current_version(t)))
+    src = _kvq(spark, [(5, "d1", 0), (5, "d2", 0), (77, "new", 1)])
+    merge_clauses(spark, t, src, "k", [
+        {"when": "not_matched", "action": "insert"},
+    ])
+    after = _data_files(t, current_version(t))
+    assert before <= set(after)  # every base file inherited verbatim
+    rows = [r for r in read_current(spark, t).collect()]
+    assert len([r for r in rows if r.k == 5]) == 1   # not duplicated
+    assert {r.a for r in rows if r.k == 5} == {"old5"}  # untouched
+    assert len([r for r in rows if r.k == 77]) == 1
+
+
+def test_by_source_guard_is_case_insensitive_and_literal_safe(
+        spark, tmp_path):
+    t = _table(spark, tmp_path)
+    src = _kvq(spark, [(5, "x", 0)])
+    with pytest.raises(ValueError, match="target only"):
+        merge_clauses(spark, t, src, "k", [
+            {"when": "not_matched_by_source", "action": "delete",
+             "condition": "S.q > 0"}])  # upper-case alias still binds
+    # a string LITERAL containing 's.' must not trigger the refusal
+    merge_clauses(spark, t, src, "k", [
+        {"when": "not_matched_by_source", "action": "update",
+         "set": {"a": "'s. dept'"}, "condition": "t.k = 0"}])
+    assert {r.a for r in read_current(spark, t).filter("k = 0")
+            .collect()} == {"s. dept"}
+
+
+def test_insert_clause_referencing_target_is_refused(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    src = _kvq(spark, [(99, "x", 0)])
+    with pytest.raises(ValueError, match="source only"):
+        merge_clauses(spark, t, src, "k", [
+            {"when": "not_matched", "action": "insert",
+             "condition": "t.q > 0"}])
+    with pytest.raises(ValueError, match="source only"):
+        merge_clauses(spark, t, src, "k", [
+            {"when": "not_matched", "action": "insert",
+             "values": {"k": "s.k", "a": "T.a", "q": "0"}}])
