@@ -702,7 +702,12 @@ _DRIVER_HEAD = [
     "pricing_summary",
     "ytm_running_sum",
     "latest_order_per_customer", "share_of_nation_acctbal",
-    "interval_size_bands", "asof_latest_order_at_event",
+    # (interval_size_bands -- graded r1-r13 -- rotated to the tail
+    # late in r14 for the merge_clauses_audit slot: J6 interval-join
+    # keeps head rep scd2_asof_fact_join's effectivity-window
+    # bracket join, and the band query stays bench-prefix17 +
+    # oracle-replayed)
+    "asof_latest_order_at_event",
     "lapsed_customer_keys", "customers_with_open_orders",
     "coalescing_nation_balance", "multi_key_order_lines",
     "pivot_priority_counts",
@@ -887,11 +892,20 @@ _DRIVER_HEAD = [
     # slot; P6 keeps head reps scd2_customer_history +
     # cube_status_priority's CASE shapes, and the redaction chain
     # stays oracle-replayed + bench-headlined)
-    # ---- round-9 new capability: bloom-accelerated incremental
-    # exact dedup (operators/bloom.py); cagr_nation_revenue rotates
-    # out (driver-green r1-r8; A8 stays via irr_by_brand, F10 via
-    # forecast_revenue's compounding)
-    "dedup_bloom_incremental",
+    # ---- round-14 late capabilities, second pair: Z-order data
+    # skipping graded end-to-end (compact_table zorder_by +
+    # read_where_all 2-D tile; zorder_pruning_audit) and the
+    # conditional multi-clause MERGE tier (io/versioned.merge_clauses
+    # -- the Delta MERGE INTO clause surface; merge_clauses_audit).
+    # Both oracle-verified at sf0.001/0.01/0.1 before rotation.  Two
+    # slots: interval_size_bands (r1-r13, see its comment above) and
+    # dedup_bloom_incremental (the r9 bloom-dedup first grade, green
+    # r9-r13) rotate out -- bloom pruning keeps head reps via
+    # datasource_pushdown_audit's bloom_eq stage, J9 anti-join stays
+    # via lapsed_customer_keys, P5 via partition_pruning_audit, and
+    # the incremental-dedup family stays oracle-replayed +
+    # bench-headlined
+    "zorder_pruning_audit", "merge_clauses_audit",
     # ---- round-9 new capability: incrementally-maintained aggregate
     # materialized views over the change-data-feed (io/matview);
     # union_balance_sources rotates out (driver-green r1-r8; its U1
@@ -1034,18 +1048,11 @@ _DRIVER_TAIL = [
     # late in r14 for the two exact-substring slots; see the r14
     # head comments for family coverage)
     "versioned_table_audit", "fsck_report_audit",
-    # round-14 (late) addition past the gate cap: Z-order clustering
-    # as a graded data-skipping contract (compact_table zorder_by +
-    # read_where_all 2-D tile) -- oracle-replayed in-repo this round,
-    # r15 head candidate
-    "zorder_pruning_audit",
-    # round-14 (late) new capability past the gate cap: conditional
-    # multi-clause MERGE (io/versioned.merge_clauses -- the Delta
-    # MERGE INTO clause surface: ordered matched update/delete,
-    # not-matched insert, not-matched-by-source update/delete with
-    # first-match-wins and the cardinality contract) -- r15 head
-    # candidate
-    "merge_clauses_audit",
+    # (interval_size_bands -- graded r1-r13 -- and
+    # dedup_bloom_incremental -- graded r9-r13 -- rotated to the
+    # tail late in r14 for the zorder_pruning_audit /
+    # merge_clauses_audit head slots; see the r14 head comments)
+    "interval_size_bands", "dedup_bloom_incremental",
     # ---- round-13 rotations OUT of the head (each driver-green
     # r11+r12; family coverage per the r13 head comment):
     "purge_erasure_audit", "ddl_timetravel_audit",

@@ -82,7 +82,13 @@ QUERIES = ["text_repetition", "dedup_simhash64_pairs", "dedup_simhash",
            # and the learned-merge encode must match the oracle's
            # unrolled CTE chain on null/empty/whitespace/single-char
            # docs
-           "bpe_tokenize_docs"]
+           "bpe_tokenize_docs",
+           # round-14 (late): exact-substring dedup -- every crafted
+           # doc is under the 8-token window, so the span frame must
+           # be EMPTY on both engines (the short-doc guard) and the
+           # excision must pass null/empty/whitespace docs through
+           # with the right clean_text (None / '' / '')
+           "exact_substring_spans_docs", "exact_substring_dedup_docs"]
 
 
 @pytest.fixture(scope="module")
