@@ -2910,7 +2910,8 @@ def merge_clauses(spark: SparkSession, table_dir: str,
                   clauses: Sequence[dict],
                   max_attempts: int = 20,
                   backend: CommitBackend | None = None,
-                  txn: str | None = None) -> int:
+                  txn: str | None = None,
+                  merge_schema: bool = False) -> int:
     """Conditional multi-clause MERGE -- the full Delta ``MERGE INTO``
     clause surface that :func:`merge_version`'s whole-row upsert
     cannot express.  ``clauses`` is an ORDERED list; for each row the
@@ -2954,8 +2955,12 @@ def merge_clauses(spark: SparkSession, table_dir: str,
     full-outer join + codegen'd CASE chains -- one pass, no
     per-clause jobs.  Every update/insert value is cast to the
     target column's pinned type, so the committed schema never
-    drifts.  Output columns are the TARGET schema (use
-    ``merge_version(merge_schema=True)`` for additive evolution).
+    drifts.  Output columns are the TARGET schema; with
+    ``merge_schema=True`` source-only columns APPEND as nullable
+    (Delta's automatic schema evolution under MERGE: untouched and
+    by-source rows read NULL for them, inserts/updates may set them,
+    same-name type conflicts raise) -- without it, extra source
+    columns are simply not part of the output.
 
     ``txn``: same idempotence token as :func:`append_version`.
     Concurrency: base pinned read-to-flip like :func:`merge_version`
@@ -3037,6 +3042,13 @@ def merge_clauses(spark: SparkSession, table_dir: str,
     if st is None:
         raise FileNotFoundError(
             f"{table_dir} v_{base} has no pinned schema")
+    if merge_schema:
+        # additive evolution: source-only columns append as nullable
+        # (type conflicts raise); the evolved schema drives the file
+        # reads (pre-evolution files surface NULLs), the output
+        # projection, and the commit
+        st = _resolve_commit_schema(st, source.schema, True,
+                                    table_dir)
     tcols = st.fieldNames()
     if key not in tcols or key not in source.columns:
         raise ValueError(
@@ -3184,6 +3196,7 @@ def merge_clauses(spark: SparkSession, table_dir: str,
         new_df, table_dir, txn=txn, pinned_base=base,
         inherit_files=True, max_attempts=max_attempts,
         backend=backend, inherit_drop=frozenset(touched),
+        merge_schema=merge_schema,
         op_name="MERGE",
         op_params={"key": key, "numTouchedFiles": len(touched),
                    "clauses": [f"{c['when']}:{c['action']}"

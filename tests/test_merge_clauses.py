@@ -264,3 +264,50 @@ def test_insert_clause_referencing_target_is_refused(spark, tmp_path):
         merge_clauses(spark, t, src, "k", [
             {"when": "not_matched", "action": "insert",
              "values": {"k": "s.k", "a": "T.a", "q": "0"}}])
+
+
+def test_merge_schema_evolution_adds_source_column(spark, tmp_path):
+    """merge_schema=True: a source-only column appends as nullable --
+    untouched/by-source rows read NULL, updates and inserts may set
+    it, and pre-evolution files align on read."""
+    t = _table(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(5, "up5", 1, "extra5"), (77, "new", 2, "extra77")],
+        "k bigint, a string, q bigint, x string")
+    merge_clauses(spark, t, src, "k", [
+        {"when": "matched", "action": "update",
+         "set": {"a": "s.a", "x": "s.x"}},
+        {"when": "not_matched", "action": "insert"},
+    ], merge_schema=True)
+    df = read_current(spark, t)
+    assert dict(df.dtypes)["x"] == "string"
+    rows = {r.k: (r.a, r.x) for r in df.collect()}
+    assert rows[5] == ("up5", "extra5")
+    assert rows[77] == ("new", "extra77")
+    assert rows[0] == ("old0", None)   # pre-evolution row reads NULL
+    assert len(rows) == 31
+
+
+def test_merge_schema_type_conflict_raises(spark, tmp_path):
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        SchemaMismatchError,
+    )
+
+    t = _table(spark, tmp_path)
+    src = spark.createDataFrame([(5, 1.5)], "k bigint, a double")
+    with pytest.raises(SchemaMismatchError, match="type conflict"):
+        merge_clauses(spark, t, src, "k", [
+            {"when": "matched", "action": "update", "set": {"a": "'x'"}},
+        ], merge_schema=True)
+
+
+def test_without_merge_schema_extra_source_columns_ignored(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(5, "up5", 1, "extra")], "k bigint, a string, q bigint, x string")
+    merge_clauses(spark, t, src, "k", [
+        {"when": "matched", "action": "update", "set": {"a": "s.a"}},
+    ])
+    df = read_current(spark, t)
+    assert "x" not in df.columns
+    assert {r.a for r in df.filter("k = 5").collect()} == {"up5"}
