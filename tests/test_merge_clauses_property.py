@@ -1,0 +1,163 @@
+"""Model-based property test for the clause-merge tier: random
+ordered clause lists applied to random sources must leave
+read_current equal to a pure-Python model evaluating the same
+first-match-wins semantics, whatever the file layout, pruning, or
+insert-only fast path did underneath.  Derandomized seeds; each
+sequence also checks a mid-history time travel."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+    append_version, committed_versions, merge_clauses, read_current,
+    read_version,
+)
+
+KEYS = list(range(30))
+
+# each entry: (sql condition over s./t., python twin over (t, s))
+# t/s are dicts {"a": str, "q": int}; None = unconditional
+MATCH_CONDS = [
+    (None, lambda t, s: True),
+    ("t.q % 2 = 0", lambda t, s: t["q"] % 2 == 0),
+    ("s.q > t.q", lambda t, s: s["q"] > t["q"]),
+]
+INS_CONDS = [
+    (None, lambda s: True),
+    ("s.q > 5", lambda s: s["q"] > 5),
+]
+BYS_CONDS = [
+    (None, lambda t: True),
+    ("t.q % 3 = 0", lambda t: t["q"] % 3 == 0),
+]
+# (sql set dict, python twin producing the new (a, q) from (t, s))
+UPDATE_SETS = [
+    ({"a": "s.a"}, lambda t, s: (s["a"], t["q"])),
+    ({"a": "upper(s.a)", "q": "t.q + s.q"},
+     lambda t, s: (s["a"].upper(), t["q"] + s["q"])),
+    ({"q": "s.q * 2"}, lambda t, s: (t["a"], s["q"] * 2)),
+]
+BYS_SETS = [
+    ({"a": "'stale'"}, lambda t: ("stale", t["q"])),
+    ({"q": "t.q + 1000"}, lambda t: (t["a"], t["q"] + 1000)),
+]
+
+
+def _gen_clauses(rng):
+    """A random ordered clause list plus its python-model twin."""
+    clauses, model = [], []
+    for _ in range(rng.randint(0, 2)):
+        cond, pcond = rng.choice(MATCH_CONDS)
+        if rng.random() < 0.3:
+            c = {"when": "matched", "action": "delete"}
+            model.append(("matched", pcond, "delete", None))
+        else:
+            sets, pset = rng.choice(UPDATE_SETS)
+            c = {"when": "matched", "action": "update", "set": sets}
+            model.append(("matched", pcond, "update", pset))
+        if cond:
+            c["condition"] = cond
+        clauses.append(c)
+    if rng.random() < 0.8:
+        cond, pcond = rng.choice(INS_CONDS)
+        c = {"when": "not_matched", "action": "insert"}
+        if cond:
+            c["condition"] = cond
+        clauses.append(c)
+        model.append(("not_matched", pcond, "insert", None))
+    for _ in range(rng.randint(0, 1)):
+        cond, pcond = rng.choice(BYS_CONDS)
+        if rng.random() < 0.5:
+            c = {"when": "not_matched_by_source", "action": "delete"}
+            model.append(("by_source", pcond, "delete", None))
+        else:
+            sets, pset = rng.choice(BYS_SETS)
+            c = {"when": "not_matched_by_source", "action": "update",
+                 "set": sets}
+            model.append(("by_source", pcond, "update", pset))
+        if cond:
+            c["condition"] = cond
+        clauses.append(c)
+    return clauses, model
+
+
+def _apply_model(model_rows, clauses_model, src):
+    """Pure-Python first-match-wins evaluation."""
+    out = {}
+    src_keys = set(src)
+    for k, t in model_rows.items():
+        if k in src_keys:
+            fates = [(p, act, ps) for (w, p, act, ps) in clauses_model
+                     if w == "matched"]
+            s = src[k]
+        else:
+            fates = [(p, act, ps) for (w, p, act, ps) in clauses_model
+                     if w == "by_source"]
+            s = None
+        applied = False
+        for p, act, ps in fates:
+            holds = p(t, s) if s is not None else p(t)
+            if holds:
+                applied = True
+                if act == "update":
+                    a, q = (ps(t, s) if s is not None else ps(t))
+                    out[k] = {"a": a, "q": q}
+                # delete: drop
+                break
+        if not applied:
+            out[k] = dict(t)
+    for k, s in src.items():
+        if k in model_rows:
+            continue
+        for w, p, act, _ps in clauses_model:
+            if w != "not_matched":
+                continue
+            if p(s):
+                out[k] = dict(s)
+            break  # first insert clause decides
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_random_clause_sequences_match_model(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    t = str(tmp_path / f"t{seed}")
+    model = {k: {"a": f"v{k}", "q": k * 3 % 17}
+             for k in rng.sample(KEYS, 15)}
+    stats = ["k"] if seed % 2 == 0 else []
+    append_version(
+        spark.createDataFrame(
+            [(k, v["a"], v["q"]) for k, v in sorted(model.items())],
+            "k bigint, a string, q bigint").coalesce(2),
+        t, stats_columns=stats)
+    snapshots = []
+
+    for step in range(4):
+        clauses, cmodel = _gen_clauses(rng)
+        if not clauses:
+            continue
+        # conflated source: matched-duplicate keys would (correctly)
+        # raise the cardinality error, which is pinned elsewhere
+        src = {k: {"a": f"s{step}_{k}", "q": rng.randint(0, 20)}
+               for k in rng.sample(KEYS, rng.randint(1, 10))}
+        merge_clauses(
+            spark, t,
+            spark.createDataFrame(
+                [(k, v["a"], v["q"]) for k, v in sorted(src.items())],
+                "k bigint, a string, q bigint"),
+            "k", clauses)
+        model = _apply_model(model, cmodel, src)
+        got = {r.k: {"a": r.a, "q": r.q}
+               for r in read_current(spark, t).collect()}
+        assert got == model, (
+            f"seed {seed} step {step} clauses {clauses}")
+        snapshots.append((committed_versions(t)[-1], dict(model)))
+
+    if snapshots:
+        v, snap = snapshots[len(snapshots) // 2]
+        got = {r.k: {"a": r.a, "q": r.q}
+               for r in read_version(spark, t, v).collect()}
+        assert got == snap, f"seed {seed} travel to v{v}"
