@@ -167,6 +167,11 @@ HEADLINE = [
     # snapshot + two merge commits are memoized; the measured
     # contract is the three version read-backs
     "merge_clauses_audit",
+    # added round 14 (late): metadata-answered NDV -- the copy +
+    # per-file HLL sidecar builds are memoized; the measured
+    # contract is nine zero-job register merges + three exact
+    # count-distinct anchor jobs
+    "ndv_metadata_audit",
 ]
 
 

@@ -61,8 +61,10 @@ def _sidecar_path(abs_data_path: str, col: str) -> str:
 
 
 def sidecar_candidates(abs_data_path: str) -> list[str]:
-    """Every bloom sidecar of one data file, any column -- the purge
-    hook uses this to drop hashed evidence of erased keys.  Listing
+    """Every bloom AND ndv-sketch sidecar of one data file, any
+    column -- the purge hook uses this to drop hashed evidence of
+    erased keys (HLL registers retain value-hash evidence exactly
+    like bloom bits, so io/ndv sidecars purge together).  Listing
     + suffix match, NOT glob: glob metacharacters in the table path
     (``tables[prod]``) would silently match nothing and leave the
     erased subject's hashes behind (r10 review finding #4)."""
@@ -73,7 +75,8 @@ def sidecar_candidates(abs_data_path: str) -> list[str]:
     except OSError:
         return []
     return [os.path.join(d, e) for e in entries
-            if e.startswith(".bloom-") and e.endswith(suffix)]
+            if e.startswith((".bloom-", ".ndv-"))
+            and e.endswith(suffix)]
 
 
 def _lanes(value) -> tuple[int, int]:

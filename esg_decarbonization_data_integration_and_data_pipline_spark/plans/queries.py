@@ -726,7 +726,18 @@ _DRIVER_HEAD = [
     # ledger's row-coverage check pins them here; their 10 r8
     # cohort-mates rotated to the tail in round 10 (see the r10
     # block in _DRIVER_TAIL)
-    "decontaminate_spans_docs", "contamination_report_docs",
+    # (decontaminate_spans_docs -- graded r8-r13 -- rotated to the
+    # tail late in r14 for the ndv_metadata_audit slot: UD1 Arrow
+    # kernels keep head rep bpe_encode_docs, J10 semi-join stays via
+    # customers_with_open_orders, and decontamination keeps head rep
+    # contamination_report_docs; the span-excision family also stays
+    # head-graded via exact_substring_dedup_docs' same-shape rebuild)
+    "contamination_report_docs",
+    # ---- round-14 late capability: metadata-answered NDV
+    # (io/ndv -- per-file HyperLogLog register sidecars, the Iceberg
+    # puffin/ndv-sketch shape; engine-independent md5 recipe so the
+    # DuckDB oracle re-derives the EXACT estimate)
+    "ndv_metadata_audit",
     # ---- round-10 rotations INTO the head: nine never-driver-graded
     # tail queries (burn-down per the r9 verdict task #1; the
     # never-graded backlog drops 11 -> 2: mixture_sample_docs waits
@@ -1051,8 +1062,11 @@ _DRIVER_TAIL = [
     # (interval_size_bands -- graded r1-r13 -- and
     # dedup_bloom_incremental -- graded r9-r13 -- rotated to the
     # tail late in r14 for the zorder_pruning_audit /
-    # merge_clauses_audit head slots; see the r14 head comments)
+    # merge_clauses_audit head slots; decontaminate_spans_docs --
+    # graded r8-r13 -- for the ndv_metadata_audit slot; see the r14
+    # head comments)
     "interval_size_bands", "dedup_bloom_incremental",
+    "decontaminate_spans_docs",
     # ---- round-13 rotations OUT of the head (each driver-green
     # r11+r12; family coverage per the r13 head comment):
     "purge_erasure_audit", "ddl_timetravel_audit",

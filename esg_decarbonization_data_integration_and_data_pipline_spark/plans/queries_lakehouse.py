@@ -1099,3 +1099,95 @@ def merge_clauses_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version int, n_rows bigint, avg_price double, "
               "n_updated bigint, n_inserted bigint, n_stale bigint")
+
+
+def _hll_estimate_sql(col: str, version: int) -> str:
+    """One (version, column) cell of the ndv oracle: the EXACT
+    engine-independent HLL recipe of io/ndv (md5 -> 60-bit prefix,
+    top-12 index, 48-bit rank, bias-corrected harmonic mean with the
+    linear-counting branch), unrolled in DuckDB SQL.  Estimates are
+    deterministic given the value multiset, so the driver gate can
+    hash-compare them, not just band-check."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.ndv import HLL_ALPHA
+
+    return f"""
+SELECT {version} AS version, '{col}' AS col,
+       (SELECT CAST(round(CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+                                THEN 4096 * ln(4096.0 / zeros)
+                                ELSE raw END) AS BIGINT)
+        FROM (SELECT CAST({HLL_ALPHA!r} AS DOUBLE) * 4096 * 4096 /
+                     ((4096 - np) * 1.0 + psum) AS raw,
+                     (4096 - np) AS zeros
+              FROM (SELECT count(*) AS np,
+                           sum(power(2.0, -r)) AS psum
+                    FROM (SELECT idx,
+                                 max(CASE WHEN rest = 0 THEN 49
+                                     ELSE 49 - length(ltrim(bin(rest),
+                                                            '0'))
+                                     END) AS r
+                          FROM (SELECT h60 >> 48 AS idx,
+                                       h60 & 281474976710655 AS rest
+                                FROM (SELECT CAST('0x' ||
+                                          substring(md5(s), 1, 15)
+                                          AS BIGINT) AS h60
+                                      FROM (SELECT DISTINCT
+                                                CAST({col} AS VARCHAR)
+                                                AS s
+                                            FROM vers
+                                            WHERE version = {version}
+                                              AND {col} IS NOT NULL)))
+                          GROUP BY idx)))) AS ndv,
+       (SELECT count(DISTINCT {col}) FROM vers
+        WHERE version = {version}) AS exact_distinct
+"""
+
+
+_NDV_COLS = ("o_orderkey", "o_custkey", "o_orderpriority")
+_NDV_ORACLE = _VERS_CTE + ")" + "\nUNION ALL".join(
+    _hll_estimate_sql(c, v) for v in (1, 2, 3) for c in _NDV_COLS)
+
+
+@register("ndv_metadata_audit", "ext:ndv-sketch,A4", oracle=_NDV_ORACLE)
+def ndv_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-answered approximate distinct counts (io/ndv):
+    per-file HyperLogLog register sidecars (p=12, engine-independent
+    md5 recipe, one executor task per file at build time) merge by
+    per-register max into an estimate with ZERO Spark jobs and zero
+    data I/O -- the Iceberg puffin/ndv-sketch shape, priced like the
+    other metadata tiers.  Graded against the SAME deterministic
+    recipe unrolled in DuckDB SQL (not an error band: the register
+    multiset, and therefore the estimate, is identical by
+    construction whatever the file layout), for all three fixture
+    versions x three columns (high-cardinality int, foreign key,
+    5-value string; the COW delete's rewritten files re-sketch so v3
+    shrinks).  ``exact_distinct`` rides along as the reality anchor
+    -- both engines compute it exactly.  Coverage refusal, layout
+    independence, purge interplay and type guards are pytest-pinned
+    (tests/test_ndv.py).  The copy + sidecar builds are
+    process-memoized; the graded merges run live."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.ndv import (
+        build_ndv_index, column_ndv,
+    )
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        read_version,
+    )
+
+    def build() -> dict:
+        td = copy_fixture(orders_versioned_fixture(spark, sf_dir))
+        for v in (1, 2, 3):
+            for c in _NDV_COLS:
+                build_ndv_index(spark, td, c, n=v)
+        return {"td": td, "dirs": (td,)}
+
+    td = audit_state("ndv_audit", sf_dir, build)["td"]
+    rows = []
+    for v in (1, 2, 3):
+        exacts = (read_version(spark, td, v)
+                  .agg(*[F.count_distinct(c).alias(c)
+                         for c in _NDV_COLS]).collect()[0])
+        for c in _NDV_COLS:
+            rows.append((v, c, int(column_ndv(td, c, n=v)),
+                         int(exacts[c])))
+    return spark.createDataFrame(
+        rows, "version int, col string, ndv bigint, "
+              "exact_distinct bigint")
