@@ -184,6 +184,13 @@ def column_ndv(table_dir: str, col: str, n: int | None = None,
             raise FileNotFoundError(
                 f"{table_dir} has no committed version")
     st = table_schema(table_dir, n)
+    if st is not None and col not in st.fieldNames():
+        # a typo'd column would otherwise read as "every sidecar
+        # missing" -- a misleading FileNotFoundError, or with
+        # allow_partial a silently wrong 0 (r14 review finding)
+        raise ValueError(
+            f"ndv sketch on {col!r}: not a column of {table_dir} "
+            f"v_{n:08d} (schema: {st.fieldNames()})")
     phys = _physical_name(st, col) if st is not None else col
     root = os.path.abspath(table_dir)
     merged = bytearray(HLL_M)
@@ -197,6 +204,15 @@ def column_ndv(table_dir: str, col: str, n: int | None = None,
             missing.append(rel)
             continue
         regs = base64.b64decode(payload["regs"])
+        # the 'p' field exists to catch precision drift: merging a
+        # different-m register array would silently skew the
+        # estimate instead of demanding a rebuild
+        if payload.get("p") != HLL_P or len(regs) != HLL_M:
+            raise ValueError(
+                f"ndv sidecar {sp} has precision p="
+                f"{payload.get('p')} / {len(regs)} registers but "
+                f"this build expects p={HLL_P} / {HLL_M}; delete "
+                f"the stale sidecars and re-run build_ndv_index")
         for i, r in enumerate(regs):
             if r > merged[i]:
                 merged[i] = r

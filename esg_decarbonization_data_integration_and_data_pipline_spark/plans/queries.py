@@ -705,8 +705,8 @@ _DRIVER_HEAD = [
     # (interval_size_bands -- graded r1-r13 -- rotated to the tail
     # late in r14 for the merge_clauses_audit slot: J6 interval-join
     # keeps head rep scd2_asof_fact_join's effectivity-window
-    # bracket join, and the band query stays bench-prefix17 +
-    # oracle-replayed)
+    # bracket join, and the band query stays oracle-replayed by the
+    # in-repo suite every round)
     "asof_latest_order_at_event",
     "lapsed_customer_keys", "customers_with_open_orders",
     "coalescing_nation_balance", "multi_key_order_lines",

@@ -1108,25 +1108,35 @@ def _hll_estimate_sql(col: str, version: int) -> str:
     linear-counting branch), unrolled in DuckDB SQL.  Estimates are
     deterministic given the value multiset, so the driver gate can
     hash-compare them, not just band-check."""
-    from esg_decarbonization_data_integration_and_data_pipline_spark.io.ndv import HLL_ALPHA
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.ndv import (
+        HLL_ALPHA, HLL_M, HLL_P,
+    )
 
+    # every constant derives from the engine's HLL_P so a precision
+    # bump can never leave the oracle stale (r14 review finding):
+    m = HLL_M
+    rest_bits = 60 - HLL_P
+    mask = (1 << rest_bits) - 1
+    rank_null = rest_bits + 1
     return f"""
 SELECT {version} AS version, '{col}' AS col,
-       (SELECT CAST(round(CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
-                                THEN 4096 * ln(4096.0 / zeros)
+       (SELECT CAST(round(CASE WHEN raw <= 2.5 * {m} AND zeros > 0
+                                THEN {m} * ln({m}.0 / zeros)
                                 ELSE raw END) AS BIGINT)
-        FROM (SELECT CAST({HLL_ALPHA!r} AS DOUBLE) * 4096 * 4096 /
-                     ((4096 - np) * 1.0 + psum) AS raw,
-                     (4096 - np) AS zeros
+        FROM (SELECT CAST({HLL_ALPHA!r} AS DOUBLE) * {m} * {m} /
+                     (({m} - np) * 1.0 + psum) AS raw,
+                     ({m} - np) AS zeros
               FROM (SELECT count(*) AS np,
                            sum(power(2.0, -r)) AS psum
                     FROM (SELECT idx,
-                                 max(CASE WHEN rest = 0 THEN 49
-                                     ELSE 49 - length(ltrim(bin(rest),
-                                                            '0'))
+                                 max(CASE WHEN rest = 0
+                                          THEN {rank_null}
+                                     ELSE {rank_null} -
+                                          length(ltrim(bin(rest),
+                                                       '0'))
                                      END) AS r
-                          FROM (SELECT h60 >> 48 AS idx,
-                                       h60 & 281474976710655 AS rest
+                          FROM (SELECT h60 >> {rest_bits} AS idx,
+                                       h60 & {mask} AS rest
                                 FROM (SELECT CAST('0x' ||
                                           substring(md5(s), 1, 15)
                                           AS BIGINT) AS h60

@@ -284,7 +284,11 @@ def test_merge_schema_evolution_adds_source_column(spark, tmp_path):
     rows = {r.k: (r.a, r.x) for r in df.collect()}
     assert rows[5] == ("up5", "extra5")
     assert rows[77] == ("new", "extra77")
-    assert rows[0] == ("old0", None)   # pre-evolution row reads NULL
+    # key 15 lives in an UNTOUCHED (inherited, pre-evolution) file
+    # -- the evolved-schema read must surface NULL for it; key 0's
+    # file was rewritten by the merge, so it proves nothing here
+    assert rows[15] == ("old15", None)
+    assert rows[0] == ("old0", None)
     assert len(rows) == 31
 
 

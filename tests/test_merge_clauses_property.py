@@ -117,7 +117,7 @@ def _apply_model(model_rows, clauses_model, src):
                 continue
             if p(s):
                 out[k] = dict(s)
-            break  # first insert clause decides
+                break  # first HOLDING insert clause decides
     return out
 
 

@@ -126,3 +126,28 @@ def test_recipe_edges():
     assert hll_estimate(regs) == 1
     # int and its string form share the canonical encoding
     assert _register(42) == _register("42")
+
+
+def test_stale_precision_sidecar_refused(spark, tmp_path):
+    """A sidecar built under a different p (or truncated) must raise
+    a rebuild demand, never merge into a skewed estimate."""
+    import json
+
+    t = str(tmp_path / "t")
+    append_version(_kv(spark, 100, parts=1), t)
+    build_ndv_index(spark, t, "k")
+    sc = [os.path.join(dp, f)
+          for dp, _dn, fs in os.walk(t) for f in fs
+          if f.startswith(".ndv-")][0]
+    payload = json.load(open(sc))
+    payload["p"] = 11
+    json.dump(payload, open(sc, "w"))
+    with pytest.raises(ValueError, match="precision"):
+        column_ndv(t, "k")
+
+
+def test_typoed_column_raises_even_with_allow_partial(spark, tmp_path):
+    t = str(tmp_path / "t")
+    append_version(_kv(spark, 10, parts=1), t)
+    with pytest.raises(ValueError, match="not a column"):
+        column_ndv(t, "kk", allow_partial=True)
