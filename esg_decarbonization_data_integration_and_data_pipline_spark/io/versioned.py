@@ -2982,11 +2982,22 @@ def merge_clauses(spark: SparkSession, table_dir: str,
 
     def _refs(expr: str, side: str) -> bool:
         """Does ``expr`` reference ``side.<col>``?  String literals
-        are stripped first (a literal like 's. dept' must not
-        trigger), and the match is case-insensitive (Spark resolves
-        the s/t aliases case-insensitively, so ``S.op`` would bind
-        to the source just like ``s.op``)."""
+        are stripped first -- single-quoted AND double-quoted (the
+        default non-ANSI Spark parser reads both as strings), so a
+        literal like 's. dept' or "s. dept" must not trigger.
+        Backtick-quoted identifiers are stripped too (a column
+        literally NAMED ``s.x`` is one identifier, not a source
+        reference) UNLESS the quoted name is the alias itself:
+        ``\\`s\\`.op`` binds to the source exactly like ``s.op``.
+        The match is case-insensitive (Spark resolves the s/t
+        aliases case-insensitively, so ``S.op`` would bind to the
+        source just like ``s.op``)."""
         bare = _re.sub(r"'(?:[^'\\]|\\.)*'", "''", expr)
+        bare = _re.sub(r'"(?:[^"\\]|\\.)*"', "''", bare)
+        bare = _re.sub(
+            r"`([^`]*)`",
+            lambda m: m.group(1) if m.group(1).lower() in ("s", "t")
+            else "__qid__", bare)
         return bool(_re.search(rf"(?i)\b{side}\s*\.", bare))
 
     matched_cl, insert_cl, bysrc_cl = [], [], []
@@ -3091,8 +3102,14 @@ def merge_clauses(spark: SparkSession, table_dir: str,
     # source keys that exist in the (touched slice of the) target --
     # duplicates among unmatched keys are legal multi-inserts, and
     # an insert-only merge (no matched clause) is deterministic
-    # whatever the source cardinality, so it skips the check too
-    if matched_cl:
+    # whatever the source cardinality, so it skips the check too.
+    # Every OTHER merge runs the full-outer join, where a duplicate
+    # matched source key would silently DUPLICATE the target row even
+    # when no matched clause exists (e.g. by-source-only sync merges:
+    # the matched row "passes through" once per joined source row) --
+    # so the guard keys on the join path, not on matched_cl (r15
+    # advisor finding)
+    if not insert_only:
         dup = (source.select(F.col(key).alias("__k"))
                .join(tdf.select(F.col(key).alias("__k")).distinct(),
                      "__k")

@@ -148,6 +148,33 @@ def test_cardinality_violation_raises_before_commit(spark, tmp_path):
     assert current_version(t) == 3  # nothing committed
 
 
+def test_by_source_only_merge_still_enforces_cardinality(
+        spark, tmp_path):
+    """A merge with NO matched clause still runs the full-outer join
+    when by-source clauses exist -- a duplicate matched source key
+    there would silently duplicate the target row, so the guard must
+    fire (r15 advisor finding: the check used to gate on matched_cl,
+    letting [(1,a),(2,b)] + dup source key 1 + by-source-only clauses
+    commit [(1,a),(1,a),(2,stale)])."""
+    t = _table(spark, tmp_path)
+    dup = _kvq(spark, [(5, "a1", 0), (5, "a2", 0)])
+    with pytest.raises(MergeCardinalityError):
+        merge_clauses(spark, t, dup, "k", [
+            {"when": "not_matched_by_source", "action": "update",
+             "set": {"a": "'stale'"}},
+        ])
+    assert current_version(t) == 3  # nothing committed
+    rows = {r.k: r.a for r in read_current(spark, t).collect()}
+    assert len(rows) == 30 and rows[5] == "old5"  # no dup, no stale
+    # same guard on the mixed insert + by-source shape (still the
+    # full-outer path even though no clause touches matched rows)
+    with pytest.raises(MergeCardinalityError):
+        merge_clauses(spark, t, dup, "k", [
+            {"when": "not_matched", "action": "insert"},
+            {"when": "not_matched_by_source", "action": "delete"},
+        ])
+
+
 def test_duplicate_unmatched_source_keys_insert_twice(spark, tmp_path):
     t = _table(spark, tmp_path)
     dup = _kvq(spark, [(77, "a1", 1), (77, "a2", 2)])
@@ -251,6 +278,19 @@ def test_by_source_guard_is_case_insensitive_and_literal_safe(
          "set": {"a": "'s. dept'"}, "condition": "t.k = 0"}])
     assert {r.a for r in read_current(spark, t).filter("k = 0")
             .collect()} == {"s. dept"}
+    # DOUBLE-quoted literals are strings too under Spark's default
+    # non-ANSI parser -- "s. dept" must not be refused either (r15
+    # advisor finding), and a backtick-quoted ALIAS is still a real
+    # source reference so `s`.q must be refused
+    merge_clauses(spark, t, src, "k", [
+        {"when": "not_matched_by_source", "action": "update",
+         "set": {"a": '"s. dept2"'}, "condition": "t.k = 1"}])
+    assert {r.a for r in read_current(spark, t).filter("k = 1")
+            .collect()} == {"s. dept2"}
+    with pytest.raises(ValueError, match="target only"):
+        merge_clauses(spark, t, src, "k", [
+            {"when": "not_matched_by_source", "action": "delete",
+             "condition": "`s`.q > 0"}])
 
 
 def test_insert_clause_referencing_target_is_refused(spark, tmp_path):
