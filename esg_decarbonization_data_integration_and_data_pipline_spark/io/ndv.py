@@ -59,6 +59,11 @@ from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned im
 HLL_P = 12
 HLL_M = 1 << HLL_P          # 4096 registers
 _REST_BITS = 48             # 60-bit hex prefix minus the 12 index bits
+# the 2^-rank terms scale to EXACT integers: rank r in [0, 49]
+# contributes 2^(49-r), so the register sum is an order-insensitive
+# int64 (max 4096 * 2^49 = 2^61) that both engines convert to double
+# with ONE identical rounding -- no float-sum-order dependence
+_SCALE_BITS = _REST_BITS + 1
 # bias constant for m >= 128 (Flajolet et al. 2007)
 HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
 
@@ -83,10 +88,46 @@ def _sidecar_path(abs_data_path: str, col: str) -> str:
     return os.path.join(d, f".ndv-{col}-{base}.json")
 
 
+def _registers_from_values(values) -> bytearray:
+    """Register array for one batch of non-null canonical STRING
+    values -- bit-identical to folding :func:`_register` over
+    ``str(v)`` (property-pinned in tests/test_ndv.py), but the only
+    per-value Python left is the md5 call itself: the 60-bit prefix
+    extraction, index/rank split (exact integer bit-length, no
+    float log2), and register max all run as numpy batch ops
+    (r14 verdict watch item #2)."""
+    import numpy as np
+
+    regs = np.zeros(HLL_M, dtype=np.uint8)
+    if values:
+        md5 = hashlib.md5
+        # top 60 bits of the digest == int(hexdigest[:15], 16)
+        buf = b"".join(md5(v.encode("utf-8")).digest()[:8]
+                       for v in values)
+        h = np.frombuffer(buf, dtype=">u8").astype(np.uint64)
+        h >>= np.uint64(4)
+        idx = (h >> np.uint64(_REST_BITS)).astype(np.int64)
+        rest = h & np.uint64((1 << _REST_BITS) - 1)
+        # exact integer bit_length via shift binary search (float
+        # log2 misrounds just below large powers of two)
+        bl = np.zeros(rest.shape, dtype=np.int64)
+        for s in (32, 16, 8, 4, 2, 1):
+            m = rest >> np.uint64(s)
+            gt = m > 0
+            bl[gt] += s
+            rest = np.where(gt, m, rest)
+        bl[rest > 0] += 1
+        rank = (_REST_BITS + 1 - bl).astype(np.uint8)
+        np.maximum.at(regs, idx, rank)
+    return bytearray(regs.tobytes())
+
+
 def _build_sidecar(abs_path: str, col: str) -> None:
     """One file's register sidecar (executor task).  A file whose
     physical schema lacks the column (pre-evolution) is all-NULL
     there and contributes nothing: zeroed registers."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(abs_path)
@@ -99,12 +140,14 @@ def _build_sidecar(abs_path: str, col: str) -> None:
                 f"and string columns are supported -- the canonical "
                 f"str() hash encoding is unstable for other types")
         t = pq.read_table(abs_path, columns=[col])
-        for v in t.column(col).to_pylist():
-            if v is None:
-                continue
-            idx, rank = _register(v)
-            if rank > regs[idx]:
-                regs[idx] = rank
+        # registers depend only on the value SET, so dedup in Arrow
+        # C++ before paying the per-value md5 (on a repeat-heavy
+        # column this removes most of the hash calls); the
+        # int->string cast is the same canonical decimal rendering
+        # as Python str() for the supported types
+        vals = pc.cast(t.column(col).drop_null().unique(),
+                       pa.large_string()).to_pylist()
+        regs = _registers_from_values(vals)
     payload = {"p": HLL_P,
                "regs": base64.b64encode(bytes(regs)).decode()}
     tmp = _sidecar_path(abs_path, col) + ".tmp"
@@ -155,16 +198,27 @@ def build_ndv_index(spark: SparkSession, table_dir: str, col: str,
 def hll_estimate(regs) -> int:
     """The deterministic estimator over one merged register array:
     bias-corrected harmonic mean, linear counting below 2.5 m.
-    Rounds to int (both engines round identically: the raw estimate
-    is a double built from the same integer register multiset)."""
+
+    Cross-engine bit-determinism (r15 advisor finding): the harmonic
+    denominator is an EXACT integer sum (each 2^-r term scaled by
+    2^49 -- order-insensitive, no float accumulation), converted to
+    double once and divided by the exact power 2^49, so Python and
+    the SQL oracle build the identical double; and rounding is
+    half-up via floor(est + 0.5) -- NOT Python round()'s banker's
+    mode -- mirrored literally in the oracle (SQL round() is
+    half-away-from-zero, which differs from round() at .5 and from
+    floor(x+0.5) when x+0.5 itself rounds)."""
+    import math
+
     zeros = sum(1 for r in regs if r == 0)
-    total = sum(2.0 ** -r for r in regs)
+    total_scaled = 0
+    for r in regs:
+        total_scaled += 1 << (_SCALE_BITS - r)
+    total = float(total_scaled) / float(1 << _SCALE_BITS)
     est = HLL_ALPHA * HLL_M * HLL_M / total
     if est <= 2.5 * HLL_M and zeros:
-        import math
-
         est = HLL_M * math.log(HLL_M / zeros)
-    return int(round(est))
+    return int(math.floor(est + 0.5))
 
 
 def column_ndv(table_dir: str, col: str, n: int | None = None,

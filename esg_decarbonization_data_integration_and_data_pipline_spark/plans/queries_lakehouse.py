@@ -1109,7 +1109,7 @@ def _hll_estimate_sql(col: str, version: int) -> str:
     deterministic given the value multiset, so the driver gate can
     hash-compare them, not just band-check."""
     from esg_decarbonization_data_integration_and_data_pipline_spark.io.ndv import (
-        HLL_ALPHA, HLL_M, HLL_P,
+        HLL_ALPHA, HLL_M, HLL_P, _SCALE_BITS,
     )
 
     # every constant derives from the engine's HLL_P so a precision
@@ -1118,16 +1118,24 @@ def _hll_estimate_sql(col: str, version: int) -> str:
     rest_bits = 60 - HLL_P
     mask = (1 << rest_bits) - 1
     rank_null = rest_bits + 1
+    # bit-determinism twin of io/ndv.hll_estimate (r15 advisor
+    # finding): the 2^-r terms sum as EXACT scaled integers (one
+    # int->double conversion + one exact power-of-two division, so
+    # float-sum order cannot skew the double) and rounding is
+    # floor(est + 0.5) on BOTH sides, not each engine's round()
+    scale = 1 << _SCALE_BITS
     return f"""
 SELECT {version} AS version, '{col}' AS col,
-       (SELECT CAST(round(CASE WHEN raw <= 2.5 * {m} AND zeros > 0
-                                THEN {m} * ln({m}.0 / zeros)
-                                ELSE raw END) AS BIGINT)
+       (SELECT CAST(floor(CASE WHEN raw <= 2.5 * {m} AND zeros > 0
+                               THEN {m} * ln({m}.0 / zeros)
+                               ELSE raw END + 0.5) AS BIGINT)
         FROM (SELECT CAST({HLL_ALPHA!r} AS DOUBLE) * {m} * {m} /
-                     (({m} - np) * 1.0 + psum) AS raw,
+                     (CAST(({m} - np) * {scale} + psum AS DOUBLE)
+                      / {float(scale)!r}) AS raw,
                      ({m} - np) AS zeros
               FROM (SELECT count(*) AS np,
-                           sum(power(2.0, -r)) AS psum
+                           sum(CAST(1 AS BIGINT) <<
+                               ({_SCALE_BITS} - r)) AS psum
                     FROM (SELECT idx,
                                  max(CASE WHEN rest = 0
                                           THEN {rank_null}

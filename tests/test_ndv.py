@@ -128,6 +128,48 @@ def test_recipe_edges():
     assert _register(42) == _register("42")
 
 
+def test_vectorized_registers_match_scalar_recipe():
+    """The numpy batch build (r15: md5-digest prefix + integer
+    bit-length binary search + maximum.at) must be bit-identical to
+    folding the scalar _register recipe, across sign, width, empty,
+    unicode (incl. NBSP and astral) and long-string inputs."""
+    import random
+
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.ndv import (
+        _registers_from_values,
+    )
+
+    rng = random.Random(7)
+    vals = [str(rng.randint(-(10 ** 12), 10 ** 12))
+            for _ in range(2000)]
+    vals += ["", "héllo", "naïve nbsp",
+             "日本語", "\U0001f600", "a" * 500, "0", "-0"]
+    expect = bytearray(HLL_M)
+    for v in vals:
+        i, r = _register(v)
+        if r > expect[i]:
+            expect[i] = r
+    assert bytes(_registers_from_values(vals)) == bytes(expect)
+    assert bytes(_registers_from_values([])) == bytes(HLL_M)
+
+
+def test_estimator_rounding_is_half_up_not_bankers():
+    """floor(est + 0.5) both engines -- a synthetic register array
+    whose linear-counting estimate lands just above a .5 boundary
+    must round UP (Python round() would banker's-round an exact .5
+    and the two engines would disagree near the boundary)."""
+    import math
+
+    # pick zeros so est = m * ln(m/zeros) straddles k + 0.5 upward
+    for zeros in (4095, 4000, 3000, 100, 1):
+        est = HLL_M * math.log(HLL_M / zeros)
+        regs = bytearray(HLL_M)
+        n_filled = HLL_M - zeros
+        for i in range(n_filled):
+            regs[i] = 1
+        assert hll_estimate(regs) == int(math.floor(est + 0.5))
+
+
 def test_stale_precision_sidecar_refused(spark, tmp_path):
     """A sidecar built under a different p (or truncated) must raise
     a rebuild demand, never merge into a skewed estimate."""
