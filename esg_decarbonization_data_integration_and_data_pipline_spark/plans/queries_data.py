@@ -1312,29 +1312,38 @@ def dedup_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.chunk_overlap_pairs(d, chunk_tokens=16)
 
 
+# ONE window-length constant drives BOTH the Spark queries (n=...)
+# and every derived literal in the oracle SQL -- a future n change
+# cannot desync engine and oracle (r15 advisor finding; the ndv
+# oracle's derive-from-HLL_P discipline)
+_ESUB_N = 8
+
 _SQL_ESUB_SPANS = f"""
 WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks
            FROM documents WHERE text IS NOT NULL),
 occ AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
                md5(array_to_string(
-                   toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) AS h
-        FROM t, UNNEST(range(1, len(toks) - 8 + 2)) AS u(i)
-        WHERE len(toks) >= 8),
+                   toks[CAST(i AS INT):CAST(i + {_ESUB_N - 1} AS INT)],
+                   ' ')) AS h
+        FROM t, UNNEST(range(1, len(toks) - {_ESUB_N} + 2)) AS u(i)
+        WHERE len(toks) >= {_ESUB_N}),
 ranked AS (SELECT doc_id, i,
                   row_number() OVER (PARTITION BY h
                                      ORDER BY doc_id, i) AS rn
            FROM occ),
 flagged AS (SELECT doc_id, i FROM ranked WHERE rn > 1),
 isl AS (SELECT doc_id, i,
-               CASE WHEN i > coalesce(lag(i) OVER w, -8) + 8
+               CASE WHEN i > coalesce(lag(i) OVER w, {-_ESUB_N})
+                             + {_ESUB_N}
                     THEN 1 ELSE 0 END AS new_isl
         FROM flagged WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
 grp AS (SELECT doc_id, i,
                sum(new_isl) OVER (PARTITION BY doc_id
                                   ORDER BY i) AS g
         FROM isl),
-spans AS (SELECT doc_id, min(i) AS span_start, max(i) + 7 AS span_end,
-                 max(i) - min(i) + 8 AS span_tokens
+spans AS (SELECT doc_id, min(i) AS span_start,
+                 max(i) + {_ESUB_N - 1} AS span_end,
+                 max(i) - min(i) + {_ESUB_N} AS span_tokens
           FROM grp GROUP BY doc_id, g)"""
 
 
@@ -1351,7 +1360,7 @@ def exact_substring_spans_docs(spark: SparkSession,
     (operators/text.exact_substring_spans).  The oracle unrolls the
     same keep-first rank + gaps-and-islands merge over md5'd grams."""
     d = table(spark, sf_dir, "documents")
-    return T.exact_substring_spans(d, n=8)
+    return T.exact_substring_spans(d, n=_ESUB_N)
 
 
 @register("exact_substring_dedup_docs", "ext:dedup-substring,F12",
@@ -1390,7 +1399,7 @@ def exact_substring_dedup_docs(spark: SparkSession,
     operators/text.exact_substring_dedup).  Grades the full cleaned
     text of every doc, so the hash pins rank, merge AND rebuild."""
     d = table(spark, sf_dir, "documents")
-    return T.exact_substring_dedup(d, n=8)
+    return T.exact_substring_dedup(d, n=_ESUB_N)
 
 
 @register("pack_sequences_docs", "ext:seq-packing,W1", oracle="""
