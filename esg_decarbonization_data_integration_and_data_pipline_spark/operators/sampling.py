@@ -328,3 +328,78 @@ def _bucketed_token_cumsum(df: DataFrame, group_cols: list[str],
                               + F.sum("n_tokens").over(w_in))
                              .cast("bigint"))
                  .drop("__bkt", "__off"))
+
+
+def hll_group_ndv(df: DataFrame, group_col: str,
+                  value_cols: list[str]) -> DataFrame:
+    """Approximate ``COUNT(DISTINCT c)`` per group for several
+    columns in ONE scan and one register-sized shuffle, using the
+    engine-independent md5 HyperLogLog recipe of io/ndv (p=12) --
+    the SAME registers a sidecar build would produce, so the
+    estimate agrees bit-for-bit with the metadata tier AND with a
+    DuckDB oracle that re-derives it (unlike
+    ``approx_count_distinct``, whose HLL++ internals are
+    engine-private and only band-checkable).
+
+    Plan shape, 100 TB-first: project (group, column-name, canonical
+    string value) via ``stack``, derive (register index, rank) as
+    codegen'd JVM expressions (md5/conv/bin -- no Python anywhere),
+    then two hash aggregations: ``max(rank)`` keyed by (group, col,
+    register) -- map-side partial agg caps each task's shuffle
+    output at |groups| x |cols| x 4096 rows regardless of input
+    size -- and the deterministic estimator fold keyed by (group,
+    col).  Shuffle bytes are independent of row count: this is the
+    distinct-count sketch a cluster actually wants.
+
+    Returns one row per group with one BIGINT estimate column per
+    entry of ``value_cols`` (same names).  A (group, column) slice
+    whose values are all NULL yields NULL (no evidence), matching
+    SQL's empty-over-group semantics.
+    """
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.ndv import (
+        HLL_ALPHA, HLL_M, _REST_BITS, _SCALE_BITS,
+    )
+
+    pairs = ", ".join(f"'{c}', CAST({c} AS STRING)"
+                      for c in value_cols)
+    stacked = (df.selectExpr(
+                   group_col,
+                   f"stack({len(value_cols)}, {pairs}) "
+                   f"AS (__col, __s)")
+                 .filter(F.col("__s").isNotNull()))
+    h60 = (F.conv(F.substring(F.md5(F.col("__s")), 1, 15), 16, 10)
+            .cast("long"))
+    rest = h60.bitwiseAND(F.lit((1 << _REST_BITS) - 1))
+    # Spark bin() prints no leading zeros, so its length IS the
+    # integer bit_length (the DuckDB twin ltrims a fixed-width bin)
+    rank = (F.when(rest == 0, F.lit(_SCALE_BITS))
+             .otherwise(F.lit(_SCALE_BITS) - F.length(F.bin(rest))))
+    regs = (stacked.select(group_col, "__col",
+                           F.shiftright(h60, _REST_BITS).alias("__idx"),
+                           rank.alias("__rk"))
+                   .groupBy(group_col, "__col", "__idx")
+                   .agg(F.max("__rk").alias("__r")))
+    # the io/ndv.hll_estimate twin, expression-for-expression: exact
+    # 2^49-scaled integer register sum (order-insensitive), one
+    # int->double conversion, exact power-of-two division, then the
+    # bias-corrected harmonic mean with the linear-counting branch
+    # and half-up floor(est + 0.5) rounding
+    agg = (regs.groupBy(group_col, "__col")
+               .agg(F.count(F.lit(1)).alias("__np"),
+                    F.sum(F.expr(
+                        f"shiftleft(CAST(1 AS BIGINT), "
+                        f"{_SCALE_BITS} - __r)")).alias("__psum")))
+    zeros = F.lit(HLL_M) - F.col("__np")
+    ts = ((F.lit(HLL_M) - F.col("__np")) * F.lit(1 << _SCALE_BITS)
+          + F.col("__psum"))
+    total = ts.cast("double") / F.lit(float(1 << _SCALE_BITS))
+    raw = F.lit(HLL_ALPHA) * F.lit(HLL_M) * F.lit(HLL_M) / total
+    est = (F.when((raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+                  F.lit(HLL_M) * F.log(F.lit(HLL_M) / zeros))
+            .otherwise(raw))
+    ndv = agg.select(group_col, "__col",
+                     F.floor(est + F.lit(0.5)).cast("long")
+                      .alias("__ndv"))
+    return (ndv.groupBy(group_col)
+               .pivot("__col", value_cols)
+               .agg(F.first("__ndv")))

@@ -167,22 +167,102 @@ def greedy_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("cum_allocated", 6).alias("cum_allocated"))
 
 
-@register("approx_sketches", "ext:sketches,A9")
+def _sql_approx_sketches() -> str:
+    """The grouped twin of queries_lakehouse._hll_estimate_sql:
+    every literal derives from io/ndv's constants (HLL_P discipline)
+    and the estimator mirrors hll_estimate expression-for-expression
+    -- exact 2^49-scaled integer register sums, one int->double
+    conversion, exact power-of-two division, floor(est+0.5)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.ndv import (
+        HLL_ALPHA, HLL_M, HLL_P, _SCALE_BITS,
+    )
+
+    m = HLL_M
+    rest_bits = 60 - HLL_P
+    mask = (1 << rest_bits) - 1
+    scale = 1 << _SCALE_BITS
+    branches = "\n  UNION ALL\n".join(
+        f"  SELECT l_returnflag AS g, '{c}' AS c, "
+        f"CAST({c} AS VARCHAR) AS s FROM lineitem "
+        f"WHERE {c} IS NOT NULL"
+        for c in ("l_partkey", "l_orderkey"))
+    return f"""
+WITH vals AS (
+{branches}),
+h AS (SELECT g, c, CAST('0x' || substring(md5(s), 1, 15) AS BIGINT)
+             AS h60
+      FROM vals),
+rr AS (SELECT g, c, h60 >> {rest_bits} AS idx,
+              CASE WHEN (h60 & {mask}) = 0 THEN {_SCALE_BITS}
+                   ELSE {_SCALE_BITS} -
+                        length(ltrim(bin(h60 & {mask}), '0'))
+              END AS rk
+       FROM h),
+regs AS (SELECT g, c, idx, max(rk) AS r FROM rr GROUP BY g, c, idx),
+agg AS (SELECT g, c, count(*) AS np,
+               sum(CAST(1 AS BIGINT) << ({_SCALE_BITS} - r)) AS psum
+        FROM regs GROUP BY g, c),
+est AS (SELECT g, c,
+               CAST(floor(CASE WHEN raw <= 2.5 * {m} AND zeros > 0
+                               THEN {m} * ln({m}.0 / zeros)
+                               ELSE raw END + 0.5) AS BIGINT) AS ndv
+        FROM (SELECT g, c,
+                     CAST({HLL_ALPHA!r} AS DOUBLE) * {m} * {m} /
+                     (CAST(({m} - np) * {scale} + psum AS DOUBLE)
+                      / {float(scale)!r}) AS raw,
+                     ({m} - np) AS zeros
+              FROM agg)),
+q AS (SELECT l_returnflag AS g,
+             count(DISTINCT l_partkey) AS exact_parts,
+             count(DISTINCT l_orderkey) AS exact_orders,
+             round(quantile_cont(l_extendedprice, 0.5), 4)
+                 AS median_price,
+             round(quantile_cont(l_extendedprice, 0.9), 4)
+                 AS p90_price
+      FROM lineitem GROUP BY 1)
+SELECT q.g AS l_returnflag,
+       p.ndv AS hll_parts, o.ndv AS hll_orders,
+       q.exact_parts, q.exact_orders, q.median_price, q.p90_price
+FROM q JOIN est p ON p.g = q.g AND p.c = 'l_partkey'
+       JOIN est o ON o.g = q.g AND o.c = 'l_orderkey'
+"""
+
+
+@register("approx_sketches", "ext:sketches,A4,A9",
+          oracle=_sql_approx_sketches())
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch aggregates for the 100 TB path: HyperLogLog++ distinct
-    counts and quantile sketches per group. Rows-only check by
-    design -- HLL/quantile-sketch internals are engine-specific so no
-    cross-engine value oracle exists; tests/test_sketches.py bounds
-    the error against the exact aggregates instead (the meaningful
-    contract for an approximate operator)."""
+    """Sketch aggregates for the 100 TB path, HASH-graded since r15:
+    per-group distinct-count estimates via the engine-independent
+    md5 HyperLogLog recipe shared with io/ndv
+    (operators/sampling.hll_group_ndv -- one scan, register-sized
+    shuffle, codegen'd JVM kernel), so the DuckDB oracle re-derives
+    the EXACT estimates instead of the r3-r14 rows-only band check.
+    The quantile half grades as exact interpolated percentiles
+    (percentile == quantile_cont, the quantile_acctbal pairing);
+    exact distinct counts ride along as the reality anchor --
+    tests/test_sketches.py still bounds the HLL error against them
+    (the meaningful contract for an approximate operator)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.sampling import (
+        hll_group_ndv,
+    )
+
     li = table(spark, sf_dir, "lineitem")
-    return (li.groupBy("l_returnflag")
-              .agg(F.approx_count_distinct("l_partkey", rsd=0.02)
-                    .alias("approx_parts"),
-                   F.approx_count_distinct("l_orderkey", rsd=0.02)
-                    .alias("approx_orders"),
-                   F.round(F.percentile_approx("l_extendedprice", 0.5, 10000), 4)
-                    .alias("approx_median_price")))
+    hll = (hll_group_ndv(li, "l_returnflag",
+                         ["l_partkey", "l_orderkey"])
+           .select("l_returnflag",
+                   F.col("l_partkey").alias("hll_parts"),
+                   F.col("l_orderkey").alias("hll_orders")))
+    exact = (li.groupBy("l_returnflag")
+               .agg(F.countDistinct("l_partkey").alias("exact_parts"),
+                    F.countDistinct("l_orderkey").alias("exact_orders"),
+                    F.round(F.expr("percentile(l_extendedprice, 0.5)"),
+                            4).alias("median_price"),
+                    F.round(F.expr("percentile(l_extendedprice, 0.9)"),
+                            4).alias("p90_price")))
+    return (exact.join(F.broadcast(hll), "l_returnflag")
+                 .select("l_returnflag", "hll_parts", "hll_orders",
+                         "exact_parts", "exact_orders",
+                         "median_price", "p90_price"))
 
 
 @register("cube_status_priority", "A6", oracle="""
