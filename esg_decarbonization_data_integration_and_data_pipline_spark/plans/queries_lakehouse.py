@@ -996,23 +996,36 @@ v3 AS (
          CASE WHEN NOT (k >= 0 AND k % 3 = 0) AND c % 7 <> 0
                    AND c % 2 = 0 THEN 'S' ELSE st END AS st,
          p, c
-  FROM v2 WHERE (k >= 0 AND k % 3 = 0) OR c % 7 <> 0)
+  FROM v2 WHERE (k >= 0 AND k % 3 = 0) OR c % 7 <> 0),
+v4 AS (
+  SELECT k, st, p, c,
+         CASE WHEN k % 4 = 0 THEN 'T' || CAST(k AS VARCHAR) END AS tag
+  FROM v3)
 SELECT 1 AS version, count(*) AS n_rows,
        round(avg(p), 4) AS avg_price,
        count(*) FILTER (WHERE st = 'M') AS n_updated,
        count(*) FILTER (WHERE st = 'I') AS n_inserted,
-       count(*) FILTER (WHERE st = 'S') AS n_stale
+       count(*) FILTER (WHERE st = 'S') AS n_stale,
+       CAST(0 AS BIGINT) AS n_tagged, CAST(0 AS BIGINT) AS tag_chars
 FROM base
 UNION ALL SELECT 2, count(*), round(avg(p), 4),
        count(*) FILTER (WHERE st = 'M'),
        count(*) FILTER (WHERE st = 'I'),
-       count(*) FILTER (WHERE st = 'S')
+       count(*) FILTER (WHERE st = 'S'),
+       0, 0
 FROM v2
 UNION ALL SELECT 3, count(*), round(avg(p), 4),
        count(*) FILTER (WHERE st = 'M'),
        count(*) FILTER (WHERE st = 'I'),
-       count(*) FILTER (WHERE st = 'S')
+       count(*) FILTER (WHERE st = 'S'),
+       0, 0
 FROM v3
+UNION ALL SELECT 4, count(*), round(avg(p), 4),
+       count(*) FILTER (WHERE st = 'M'),
+       count(*) FILTER (WHERE st = 'I'),
+       count(*) FILTER (WHERE st = 'S'),
+       count(tag), CAST(coalesce(sum(length(tag)), 0) AS BIGINT)
+FROM v4
 """)
 def merge_clauses_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional multi-clause MERGE (io/versioned.merge_clauses --
@@ -1026,13 +1039,18 @@ def merge_clauses_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     v3 = a second merge with ONLY not_matched_by_source clauses over
     a %3-keys source: stale target rows DELETE when c % 7 = 0
     (listed first) else mark status 'S' when c % 2 = 0 -- the
-    sync-to-snapshot shape.  Every version's rowcount / price sum /
+    sync-to-snapshot shape.  v4 = automatic schema evolution under
+    MERGE (merge_schema=True, graded since r15): the source appends
+    a NEW nullable `tag` column, matched %4 keys set it, and every
+    other row -- including untouched pre-evolution files read
+    through the evolved schema -- surfaces NULL, pinned externally
+    by n_tagged / tag_chars.  Every version's rowcount / price sum /
     per-marker counts are re-derived by the oracle from raw parquet
-    CASE logic, so a mis-ordered clause, a wrong-class row, or a
-    cardinality leak hash-mismatches externally.  Cardinality
-    refusal, O(touched) pruning and txn replay are pytest-pinned
-    (tests/test_merge_clauses.py).  Build is process-memoized; the
-    graded version reads run live."""
+    CASE logic, so a mis-ordered clause, a wrong-class row, a
+    cardinality leak, or an evolution mis-read hash-mismatches
+    externally.  Cardinality refusal, O(touched) pruning and txn
+    replay are pytest-pinned (tests/test_merge_clauses.py).  Build
+    is process-memoized; the graded version reads run live."""
     from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
         read_version,
     )
@@ -1078,27 +1096,49 @@ def merge_clauses_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"when": "not_matched_by_source", "action": "update",
              "set": {"st": "'S'"}, "condition": "t.c % 2 = 0"},
         ])
+        # v4 = automatic schema evolution under MERGE (r15: grades
+        # the merge_schema=True path externally): the source carries
+        # a NEW column `tag`; matched %4 keys set it, every other
+        # row -- including rows in untouched pre-evolution files --
+        # reads NULL for it through the evolved schema
+        src3 = (read_version(spark, td, 3)
+                .filter(F.col("k") % 4 == 0)
+                .select("k", F.concat(F.lit("T"),
+                                      F.col("k").cast("string"))
+                             .alias("tag")))
+        merge_clauses(spark, td, src3, "k", [
+            {"when": "matched", "action": "update",
+             "set": {"tag": "s.tag"}},
+        ], merge_schema=True)
         return {"td": td, "dirs": (root,)}
 
     td = audit_state("merge_clauses", sf_dir, build)["td"]
     rows = []
-    for v in (1, 2, 3):
-        r = (read_version(spark, td, v)
-             .agg(F.count(F.lit(1)).alias("n"),
-                  # avg, not sum: at sf0.1 the two-year sum is
-                  # ~1.16e10 and sum-order float noise exceeds the
-                  # 1e-4 rounding grid; the divide pushes the noise
-                  # to ~1e-9 (r14 review follow-up)
-                  F.round(F.avg("p"), 4).alias("s"),
-                  F.count(F.when(F.col("st") == "M", 1)).alias("m"),
-                  F.count(F.when(F.col("st") == "I", 1)).alias("i"),
-                  F.count(F.when(F.col("st") == "S", 1)).alias("z"))
+    for v in (1, 2, 3, 4):
+        df = read_version(spark, td, v)
+        tagged = (F.count("tag") if "tag" in df.columns
+                  else F.lit(0).cast("long"))
+        tchars = (F.coalesce(F.sum(F.length("tag")), F.lit(0))
+                  .cast("long") if "tag" in df.columns
+                  else F.lit(0).cast("long"))
+        r = (df.agg(F.count(F.lit(1)).alias("n"),
+                    # avg, not sum: at sf0.1 the two-year sum is
+                    # ~1.16e10 and sum-order float noise exceeds the
+                    # 1e-4 rounding grid; the divide pushes the noise
+                    # to ~1e-9 (r14 review follow-up)
+                    F.round(F.avg("p"), 4).alias("s"),
+                    F.count(F.when(F.col("st") == "M", 1)).alias("m"),
+                    F.count(F.when(F.col("st") == "I", 1)).alias("i"),
+                    F.count(F.when(F.col("st") == "S", 1)).alias("z"),
+                    tagged.alias("t"), tchars.alias("tc"))
              .collect()[0])
         rows.append((v, int(r["n"]), float(r["s"]), int(r["m"]),
-                     int(r["i"]), int(r["z"])))
+                     int(r["i"]), int(r["z"]), int(r["t"]),
+                     int(r["tc"])))
     return spark.createDataFrame(
         rows, "version int, n_rows bigint, avg_price double, "
-              "n_updated bigint, n_inserted bigint, n_stale bigint")
+              "n_updated bigint, n_inserted bigint, n_stale bigint, "
+              "n_tagged bigint, tag_chars bigint")
 
 
 def _hll_estimate_sql(col: str, version: int) -> str:
