@@ -31,10 +31,20 @@ spec            directory value        prunes
 ``month(c)``    ``yyyy-MM`` string     range on ``c`` (monotonic,
                                        zero-padded lexicographic)
 ``day(c)``      ``yyyy-MM-dd`` string  range on ``c``
+``hour(c)``     int hours since epoch  range on ``c`` (monotonic)
 ``bucket(N,c)`` ``md5(c) % N`` int     equality on ``c`` only
 ``truncate(N,c)``  ``c[:N]`` (string)  range on ``c`` (prefix /
                    or ``c - c % N``    floor monotonic)
 ==============  =====================  ==========================
+
+``hour(c)`` (Iceberg v2 parity; the layout a streaming events table
+wants) is INSTANT-based like Iceberg's: the directory value is the
+exact floor of microseconds-since-epoch / 3600e6 -- a property of
+the UTC instant, so the committed layout is identical whatever the
+write session's timezone (DST-free by construction; no wall-clock
+rendering anywhere).  It therefore accepts only TIMESTAMP (instant)
+sources: a TIMESTAMP_NTZ's hour index would depend on the session
+zone used to reinterpret the wall time, and is refused loudly.
 
 The bucket hash is the engine's OWN deterministic md5 recipe
 (first 8 hex digits mod N), implemented identically in Spark SQL
@@ -61,7 +71,7 @@ from typing import Any
 _PARTSPEC_FILE = "_PARTSPEC.json"
 
 _TRANSFORM_RE = re.compile(
-    r"^\s*(year|month|day)\s*\(\s*([A-Za-z0-9_.]+)\s*\)\s*$")
+    r"^\s*(year|month|day|hour)\s*\(\s*([A-Za-z0-9_.]+)\s*\)\s*$")
 _PARAM_RE = re.compile(
     r"^\s*(bucket|truncate)\s*\(\s*(\d+)\s*,\s*([A-Za-z0-9_.]+)\s*\)\s*$")
 
@@ -74,6 +84,10 @@ _TRANSFORM_SRC_TYPES = {
     "year": ("date", "timestamp", "timestamp_ntz"),
     "month": ("date", "timestamp", "timestamp_ntz"),
     "day": ("date", "timestamp", "timestamp_ntz"),
+    # hour is instant-based (hours since epoch): only a TIMESTAMP
+    # carries an instant; an NTZ's hour index would depend on the
+    # session zone reinterpreting the wall time
+    "hour": ("timestamp",),
     "bucket": ("integer", "long", "short", "byte", "string"),
     "truncate": ("integer", "long", "short", "byte", "string"),
 }
@@ -170,6 +184,15 @@ def derive_columns(df, spec: list[dict], physical: dict | None = None):
             col = F.date_format(F.col(phys_src), "yyyy-MM")
         elif s["transform"] == "day":
             col = F.date_format(F.col(phys_src), "yyyy-MM-dd")
+        elif s["transform"] == "hour":
+            # exact integer floor-div of epoch micros (pmod keeps
+            # negatives floored; the / result is an exact small
+            # integer in double) -- instant-based, so no session-zone
+            # rendering anywhere
+            col = F.expr(
+                f"cast((unix_micros(`{phys_src}`) - "
+                f"pmod(unix_micros(`{phys_src}`), 3600000000)) "
+                f"/ 3600000000 as int)")
         elif s["transform"] == "bucket":
             col = (F.when(F.col(phys_src).isNull(), F.lit(None))
                     .otherwise(F.expr(
@@ -224,6 +247,19 @@ def derive_arrow(tbl, spec: list[dict], physical: dict | None = None):
             ts = col if pa.types.is_timestamp(col.type) \
                 else col.cast(pa.timestamp("us"))
             vals = pc.strftime(ts, format=fmt)
+        elif t == "hour":
+            if not (pa.types.is_timestamp(col.type)
+                    and col.type.tz is not None):
+                raise ValueError(
+                    "hour() on the Arrow write face needs an "
+                    "instant-typed (tz-aware) timestamp column -- a "
+                    "zone-less Arrow timestamp is a wall time whose "
+                    "hour index would depend on the session zone")
+            micros = col.cast(pa.timestamp("us", tz="UTC")) \
+                        .cast(pa.int64()).to_pylist()
+            vals = pa.array(
+                [None if v is None else v // 3_600_000_000
+                 for v in micros], type=pa.int32())
         elif t == "bucket":
             vals = pa.array(
                 [None if v is None else bucket_value(v, n)
@@ -263,6 +299,19 @@ def _as_date(v) -> datetime.date | None:
         return None
 
 
+def _as_dt(v) -> datetime.datetime | None:
+    """Probe value -> datetime KEEPING time-of-day (the hour
+    transform needs sub-day precision where _as_date truncates)."""
+    if isinstance(v, datetime.datetime):
+        return v
+    if isinstance(v, datetime.date):
+        return datetime.datetime(v.year, v.month, v.day)
+    try:
+        return datetime.datetime.fromisoformat(str(v))
+    except ValueError:
+        return None
+
+
 def keep_file(raw: str | None, transform: str, param, lo, hi,
               src_type: str | None = "date") -> bool:
     """May a file whose directory value is ``raw`` contain rows with
@@ -297,6 +346,41 @@ def keep_file(raw: str | None, transform: str, param, lo, hi,
             return int(raw) == bucket_value(lo, param)
         except ValueError:
             return True
+    if transform == "hour":
+        import math
+
+        try:
+            h = int(raw)
+        except ValueError:
+            return True
+        tlo = _as_dt(lo) if lo is not None else None
+        thi = _as_dt(hi) if hi is not None else None
+        if lo is not None and tlo is None:
+            return True
+        if hi is not None and thi is None:
+            return True
+        epoch = datetime.datetime(1970, 1, 1,
+                                  tzinfo=datetime.timezone.utc)
+
+        def _hours(t: datetime.datetime, pad: float) -> int:
+            if t.tzinfo is None:
+                # a naive probe's zone is unknown (the reader's
+                # row-level predicate will bind it to the READ
+                # session zone while the directory index is
+                # instant-exact): widen one day (|offset| < 24 h
+                # worldwide), the day()-transform doctrine --
+                # pruning stays an optimization, never a filter
+                t = t.replace(tzinfo=datetime.timezone.utc)
+            else:
+                pad = 0.0
+            return math.floor(
+                ((t - epoch).total_seconds() + pad) / 3600.0)
+
+        if tlo is not None and h < _hours(tlo, -86400.0):
+            return False
+        if thi is not None and h > _hours(thi, 86400.0):
+            return False
+        return True
     if transform in ("year", "month", "day"):
         dlo = _as_date(lo) if lo is not None else None
         dhi = _as_date(hi) if hi is not None else None

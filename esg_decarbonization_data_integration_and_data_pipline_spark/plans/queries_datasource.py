@@ -972,8 +972,16 @@ UNION ALL
 SELECT 'hp_partitions', count(*),
        CAST(count(DISTINCT year(o_orderdate)) AS DOUBLE)
 FROM o
+UNION ALL
+SELECT 'hp_hour_range', count(*),
+       coalesce(round(sum(o_totalprice), 4), 0.0)
+FROM o WHERE o_orderkey % 13 <> 0
+  AND 1672531200000000 + (o_orderkey % 48) * 3600000000
+      + (o_orderkey % 59) * 60000000
+      BETWEEN 1672574400000000 AND 1672615800000000
 UNION ALL SELECT 'hp_prune_exact', CAST(1 AS BIGINT), 0.0
 UNION ALL SELECT 'hp_bucket_prune', CAST(1 AS BIGINT), 0.0
+UNION ALL SELECT 'hp_hour_prune', CAST(1 AS BIGINT), 0.0
 """)
 def hidden_partition_audit(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
@@ -1004,7 +1012,15 @@ def hidden_partition_audit(spark: SparkSession,
       price doubled) through ``replace_partitions(...,
       ("month(o_orderdate)",))`` under a txn marker, replayed once
       to prove the marker no-op; the stage reads the post-reload
-      table and the oracle re-derives it from raw parquet.
+      table and the oracle re-derives it from raw parquet;
+    - ``hp_hour_range`` (r15): the ``hour(ts)`` transform --
+      Iceberg-v2 parity, INSTANT-based (exact epoch-hour floor of
+      the micros, no wall rendering, so the layout is identical in
+      any session zone) -- over synthetic deterministic instants
+      (``o_orderkey``-derived, %13 keys NULL into the null-marker
+      dir); a tz-AWARE probe window prunes exactly to the covered
+      hour directories (``hp_hour_prune``) and the re-applied
+      row predicate keeps boundary minutes exact.
 
     At 100 TB this is Iceberg's core ingestion ergonomic: the engine
     owns the time/bucket derivation, so a writer can never place a
@@ -1049,9 +1065,21 @@ def hidden_partition_audit(spark: SparkSession,
         replace_partitions(spark, tm, repl,
                            ("month(o_orderdate)",),
                            txn="reload:1997-03")  # marker no-op
-        return {"ty": ty, "tb": tb, "tm": tm,
+        th = os.path.join(root, "by_hour")
+        base_us = 1_672_531_200_000_000  # 2023-01-01T00:00:00Z
+        oh = o.select(
+            "o_orderkey", "o_totalprice",
+            F.when(F.col("o_orderkey") % 13 == 0,
+                   F.lit(None).cast("timestamp"))
+             .otherwise(F.timestamp_micros(
+                 F.lit(base_us)
+                 + (F.col("o_orderkey") % 48) * F.lit(3_600_000_000)
+                 + (F.col("o_orderkey") % 59) * F.lit(60_000_000)))
+             .alias("ts"))
+        write_version(oh, th, partition_by=("hour(ts)",))
+        return {"ty": ty, "tb": tb, "tm": tm, "th": th,
                 "replay_ok": current_version(tm) == v,
-                "dirs": (ty, tb, tm)}
+                "dirs": (ty, tb, tm, th)}
 
     import datetime
 
@@ -1090,6 +1118,12 @@ def hidden_partition_audit(spark: SparkSession,
     rows.append(("hp_partitions",
                  int(sum(p["n_rows"] for p in parts)),
                  float(len(parts))))
+    utc = datetime.timezone.utc
+    hlo = datetime.datetime(2023, 1, 1, 12, tzinfo=utc)
+    hhi = datetime.datetime(2023, 1, 1, 23, 30, tzinfo=utc)
+    d = read_where(spark, st["th"], "ts", hlo, hhi) \
+        .agg(*aggs).collect()[0]
+    rows.append(("hp_hour_range", int(d["n"]), float(d["s"])))
     kept, total = pruned_files(ty, 1, "o_orderdate", lo, hi)
     yrs = {_partition_values(f).get("o_orderdate_year")
            for f in kept}
@@ -1101,6 +1135,13 @@ def hidden_partition_audit(spark: SparkSession,
             and all(_partition_values(f).get("o_custkey_bucket")
                     == want for f in keptb)):
         rows.append(("hp_bucket_prune", 1, 0.0))
+    kepth, totalh = pruned_files(st["th"], 1, "ts", hlo, hhi)
+    base_h = 1_672_531_200_000_000 // 3_600_000_000
+    wanth = {str(h) for h in range(base_h + 12, base_h + 24)}
+    if (kepth and len(kepth) < totalh
+            and {_partition_values(f).get("ts_hour")
+                 for f in kepth} == wanth):
+        rows.append(("hp_hour_prune", 1, 0.0))
     return spark.createDataFrame(
         rows, "stage string, n_rows bigint, total_price double")
 

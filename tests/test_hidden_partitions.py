@@ -600,3 +600,141 @@ def test_int_truncate_transform(spark, tmp_path):
             for seg in f.split("/") if seg.startswith("id_truncate=")}
     assert dirs == {"100", "200"}
     assert read_where(spark, td, "id", 137, 250).count() == 114
+
+
+def test_hour_transform_layout_prune_and_zone_independence(
+        spark, tmp_path):
+    """hour(ts) (r15, Iceberg v2 parity): the directory value is the
+    exact epoch-hour index of the INSTANT -- identical whatever the
+    write session's timezone (the DST-free UTC contract) -- and a
+    tz-aware probe prunes exactly, no widening needed."""
+    td = str(tmp_path / "h")
+    base = 1_672_531_200_000_000  # 2023-01-01T00:00:00Z in micros
+    base_h = base // 3_600_000_000
+    df = spark.range(200).select(
+        F.col("id"),
+        F.when(F.col("id") % 13 == 0,
+               F.lit(None).cast("timestamp"))
+         .otherwise(F.timestamp_micros(
+             F.lit(base)
+             + (F.col("id") % 48) * F.lit(3_600_000_000)
+             + (F.col("id") % 59) * F.lit(60_000_000))).alias("ts"),
+        (F.col("id") * 1.0).alias("amt"))
+    write_version(df, td, partition_by=("hour(ts)",))
+    assert read_partspec(td, 1)[0]["transform"] == "hour"
+    dirs = {seg for f in _data_files(td, 1)
+            for seg in f.split("/") if seg.startswith("ts_hour=")}
+    assert f"ts_hour={base_h}" in dirs
+    assert f"ts_hour={base_h + 47}" in dirs
+    assert "ts_hour=__HIVE_DEFAULT_PARTITION__" in dirs
+    # the logical schema never gains the derived column
+    assert read_current(spark, td).columns == ["id", "ts", "amt"]
+    # the SAME frame written under another session zone lays out
+    # identically -- the hour index is instant math, not rendering
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Taipei")
+    try:
+        td2 = str(tmp_path / "h2")
+        write_version(df, td2, partition_by=("hour(ts)",))
+        assert {seg for f in _data_files(td2, 1)
+                for seg in f.split("/")
+                if seg.startswith("ts_hour=")} == dirs
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    # tz-aware probes prune EXACTLY to the covered hour directories
+    utc = datetime.timezone.utc
+    lo = datetime.datetime(2023, 1, 1, 12, tzinfo=utc)
+    hi = datetime.datetime(2023, 1, 1, 23, 30, tzinfo=utc)
+    kept, total = pruned_files(td, 1, "ts", lo, hi)
+    hours = {int(seg.split("=")[1]) for f in kept
+             for seg in f.split("/") if seg.startswith("ts_hour=")}
+    assert hours == set(range(base_h + 12, base_h + 24))
+    assert len(kept) < total
+    got = {r.id for r in
+           read_where(spark, td, "ts", lo, hi).collect()}
+    want = {i for i in range(200)
+            if i % 13 != 0 and 12 <= i % 48 <= 23
+            and not (i % 48 == 23 and i % 59 > 30)}
+    assert got == want
+
+
+def test_hour_transform_refusals(spark):
+    st = _orders(spark).schema  # d is DATE
+    with pytest.raises(ValueError, match="hour"):
+        parse_partition_spec(["hour(d)"], st)
+    ntz = spark.range(1).select(
+        F.col("id"),
+        F.expr("cast(timestamp_micros(0) as timestamp_ntz)")
+         .alias("t"))
+    with pytest.raises(ValueError, match="hour"):
+        parse_partition_spec(["hour(t)"], ntz.schema)
+
+
+def test_hour_keep_file_probe_mapping():
+    h = "464592"  # 2023-01-01T00:00Z
+    naive = datetime.datetime(2023, 1, 1, 0, 30)
+    # a naive probe's zone is unknown: widen one day per side
+    assert keep_file(h, "hour", None, naive, naive,
+                     src_type="timestamp")
+    far = datetime.datetime(2023, 1, 2, 2, 30)  # 26.5 h later
+    assert not keep_file(h, "hour", None, far, None,
+                         src_type="timestamp")
+    # tz-aware probes are exact instants: the very next hour prunes
+    aware = datetime.datetime(2023, 1, 1, 1,
+                              tzinfo=datetime.timezone.utc)
+    assert not keep_file(h, "hour", None, aware, None,
+                         src_type="timestamp")
+    assert keep_file(h, "hour", None, None, aware,
+                     src_type="timestamp")
+    # conservative: unparseable directory or probe keeps the file
+    assert keep_file("garbage", "hour", None, naive, naive,
+                     src_type="timestamp")
+    assert keep_file(h, "hour", None, "not-a-time", None,
+                     src_type="timestamp")
+    # the null marker is excluded by any bounded range
+    assert not keep_file("__HIVE_DEFAULT_PARTITION__", "hour", None,
+                         naive, None, src_type="timestamp")
+    assert keep_file("__HIVE_DEFAULT_PARTITION__", "hour", None,
+                     None, None, src_type="timestamp")
+
+
+def test_writer_face_hour_transform_matches_jvm_face(
+        spark, tmp_path):
+    """hour(ts) through format('versioned_table') (the Arrow write
+    face) must lay out identically to write_version -- Spark hands
+    the DataSource tz-AWARE Arrow timestamps (instants), and the
+    face UTC-casts before the exact epoch-hour floor-div, so a
+    non-UTC session zone cannot skew either face."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.sources.versioned_source import (
+        register as register_ds,
+    )
+
+    register_ds(spark)
+    df = spark.range(30).select(
+        F.col("id"),
+        F.when(F.col("id") % 9 == 0,
+               F.lit(None).cast("timestamp"))
+         .otherwise(F.timestamp_micros(
+             F.lit(1_672_531_200_000_000)
+             + (F.col("id") % 5) * F.lit(3_600_000_000))).alias("ts"))
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Taipei")
+    try:
+        ta = str(tmp_path / "arrow")
+        (df.write.format("versioned_table").mode("overwrite")
+           .option("path", ta).option("partitionBy", "hour(ts)")
+           .save())
+        tj = str(tmp_path / "jvm")
+        write_version(df, tj, partition_by=("hour(ts)",))
+        dirs = {seg for f in _data_files(ta, 1)
+                for seg in f.split("/")
+                if seg.startswith("ts_hour=")}
+        assert dirs == {seg for f in _data_files(tj, 1)
+                        for seg in f.split("/")
+                        if seg.startswith("ts_hour=")}
+        assert "ts_hour=__HIVE_DEFAULT_PARTITION__" in dirs
+        assert "ts_hour=464592" in dirs
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    a = {(r.id,) for r in read_current(spark, ta).collect()}
+    assert a == {(r.id,) for r in read_current(spark, tj).collect()}
