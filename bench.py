@@ -172,6 +172,14 @@ HEADLINE = [
     # contract is nine zero-job register merges + three exact
     # count-distinct anchor jobs
     "ndv_metadata_audit",
+    # added round 15: the now-hash-graded sketch query (one-scan
+    # distributed HLL via hll_group_ndv + exact percentiles) and the
+    # histogram metadata tier (copy + sidecar builds memoized; the
+    # measured contract is eighteen zero-job quantile/range walks +
+    # three exact range-count anchor jobs).  prefix54 pins the r14
+    # close set ahead of these two.
+    "approx_sketches",
+    "histogram_quantile_audit",
 ]
 
 
@@ -272,7 +280,8 @@ def main() -> None:
                 (26, "drift_ks_summary"), (34, "fsck_report_audit"),
                 (42, "dv_delete_audit"),
                 (46, "replace_partitions_audit"),
-                (49, "hidden_partition_audit")]
+                (49, "hidden_partition_audit"),
+                (54, "ndv_metadata_audit")]
     for plen, sentinel in PREFIXES:
         assert len(HEADLINE) >= plen and HEADLINE[plen - 1] == sentinel, \
             f"HEADLINE's first {plen} entries are a cross-round " \

@@ -61,13 +61,15 @@ def _sidecar_path(abs_data_path: str, col: str) -> str:
 
 
 def sidecar_candidates(abs_data_path: str) -> list[str]:
-    """Every bloom AND ndv-sketch sidecar of one data file, any
-    column -- the purge hook uses this to drop hashed evidence of
+    """Every bloom, ndv-sketch AND histogram sidecar of one data
+    file, any column -- the purge hook uses this to drop evidence of
     erased keys (HLL registers retain value-hash evidence exactly
-    like bloom bits, so io/ndv sidecars purge together).  Listing
-    + suffix match, NOT glob: glob metacharacters in the table path
-    (``tables[prod]``) would silently match nothing and leave the
-    erased subject's hashes behind (r10 review finding #4)."""
+    like bloom bits, and histogram bucket counts retain value-
+    distribution evidence, so io/ndv and io/histogram sidecars purge
+    together).  Listing + suffix match, NOT glob: glob
+    metacharacters in the table path (``tables[prod]``) would
+    silently match nothing and leave the erased subject's hashes
+    behind (r10 review finding #4)."""
     d, base = os.path.split(abs_data_path)
     suffix = f"-{base}.json"
     try:
@@ -75,7 +77,7 @@ def sidecar_candidates(abs_data_path: str) -> list[str]:
     except OSError:
         return []
     return [os.path.join(d, e) for e in entries
-            if e.startswith((".bloom-", ".ndv-"))
+            if e.startswith((".bloom-", ".ndv-", ".hist-"))
             and e.endswith(suffix)]
 
 

@@ -745,8 +745,21 @@ _DRIVER_HEAD = [
     # both documented in tools/grading_ledger.py).  Each rotated-out
     # query was driver-green >= 2 rounds and every SURVEY row keeps
     # a head representative -- see the r10 block in _DRIVER_TAIL.
-    "similarity_topk_batch",
+    # (similarity_topk_batch -- graded r10-r14, 5 rounds -- rotated
+    # to the tail in r15 for the approx_sketches head slot: W2 keeps
+    # head rep greedy_allocation, the brute/ANN serving tier stays
+    # bench-headlined (similarity_topk / similarity_ivf_topk /
+    # similarity_lsh_buckets) and oracle-replayed in-repo every
+    # round)
     "corpus_profile_by_source",
+    # ---- round-15: approx_sketches returns to the head HASH-GRADED
+    # (it rotated out in r3 as the registry's one rows-only entry;
+    # the r14 io/ndv work proved the engine-independent md5 HLL
+    # recipe re-derivable in DuckDB SQL, and the query now computes
+    # its distinct estimates with that exact recipe distributed via
+    # operators/sampling.hll_group_ndv, plus exact interpolated
+    # percentiles -- so the last rows-only residue is gone)
+    "approx_sketches",
     # ---- round-14 new capability: HIDDEN (generated) partitioning
     # (io/transforms -- Iceberg partition transforms year/month/day/
     # bucket/truncate; the derived value lives only in the layout,
@@ -837,7 +850,18 @@ _DRIVER_HEAD = [
     # out -- see the r11 block in _DRIVER_TAIL.
     # (mixture_sample_docs -- graded r11-r13 -- rotated to the tail
     # in r14 for the hidden_partition_audit slot; see that entry)
-    "constraints_history_audit",
+    # (constraints_history_audit -- graded r11-r14, 4 rounds --
+    # rotated to the tail in r15 for the histogram_quantile_audit
+    # head slot: A2/P3 keep multiple head reps, constraint
+    # enforcement stays exercised through every merge/writer audit's
+    # enforce_on_write path, and the expectations tier stays
+    # oracle-replayed + pytest-pinned)
+    # ---- round-15 new capability: metadata-answered QUANTILES and
+    # range selectivities (io/histogram -- per-file fixed-grid
+    # bucket-count sidecars, the fourth metadata tier after stats /
+    # bloom / ndv; integer-exact recipe so the DuckDB oracle
+    # re-derives the estimates and the gate hash-compares them)
+    "histogram_quantile_audit",
     # (scd2_customer_history -- graded r11-r13 -- rotated to the tail
     # in r14 for the bpe_tokenize_docs slot; the SCD2 tier keeps head
     # rep scd2_asof_fact_join, whose effectivity-window as-of join
@@ -942,12 +966,21 @@ _DRIVER_HEAD = [
     "drift_orders_psi",
 ]
 _DRIVER_TAIL = [
-    # approx_sketches is rows-only by design (no exact SQL oracle for
-    # HLL/KLL estimates); in the graded head it permanently costs one
-    # slot, so it rotates to the tail in favor of the oracle-backed
-    # dedup_clusters. Its error-bound guarantees stay pinned by
-    # tests/test_sketches.py.
-    "approx_sketches",
+    # (approx_sketches sat here r3-r14 as the one rows-only entry --
+    # no exact SQL oracle existed for engine-private HLL/KLL
+    # estimates; it returned to the HEAD in r15 re-based on the
+    # engine-independent io/ndv HLL recipe, hash-graded)
+    # ---- round-15 rotations OUT of the head (slots for the
+    # returning approx_sketches and the new histogram tier):
+    #   similarity_topk_batch (r10-r14, 5 graded rounds) -> W2 keeps
+    #       head rep greedy_allocation; ANN serving stays
+    #       bench-headlined (similarity_topk / similarity_ivf_topk /
+    #       similarity_lsh_buckets) and oracle-replayed in-repo
+    #   constraints_history_audit (r11-r14, 4 graded rounds) ->
+    #       A2/P3 keep multiple head reps; enforce_on_write stays on
+    #       every merge/writer audit's commit path and the
+    #       expectations tier stays oracle-replayed + pytest-pinned
+    "similarity_topk_batch", "constraints_history_audit",
     # round-5 rotations INTO the head (each was driver-green for >= 2
     # rounds before rotating out, and each family keeps a head rep):
     #   dedup_simhash_pairs   -> dedup_simhash64_pairs (production cfg)

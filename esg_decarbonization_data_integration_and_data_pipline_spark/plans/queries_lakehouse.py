@@ -1249,3 +1249,155 @@ def ndv_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version int, col string, ndv bigint, "
               "exact_distinct bigint")
+
+
+def _hist_cell_sql(col: str, vq_expr: str, version: int,
+                   lo_q: int, hi_q: int) -> str:
+    """One (version, column) row of the histogram oracle: the EXACT
+    integer recipe of io/histogram unrolled in DuckDB SQL -- the
+    grid derives from version 2's quantized min/max (the audit's
+    build order), bucket = clamped floor-div, the quantile walk
+    answers the first bucket whose cumulative count reaches
+    ``max(1, ceil(q * total))``, and the range bounds mirror the
+    engine's clamp-aware edge-bucket rules (including the
+    outside-the-grid early answers)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.histogram import HIST_NB
+
+    nb = HIST_NB
+    return f"""
+SELECT {version} AS version, '{col}' AS col,
+       CAST(t.p25q AS BIGINT) AS p25q, CAST(t.p50q AS BIGINT) AS p50q,
+       CAST(t.p90q AS BIGINT) AS p90q, CAST(t.rc_lb AS BIGINT) AS rc_lb,
+       CAST(t.rc_ub AS BIGINT) AS rc_ub,
+       CAST(t.exact_in_range AS BIGINT) AS exact_in_range
+FROM (
+  WITH vq2 AS (SELECT {vq_expr} AS vq FROM vers WHERE version = 2),
+  g AS (SELECT min(vq) AS glo,
+               (max(vq) - min(vq)) // {nb} + 1 AS w
+        FROM vq2),
+  vqv AS (SELECT {vq_expr} AS vq FROM vers
+          WHERE version = {version}),
+  bc AS (SELECT LEAST({nb - 1},
+                      GREATEST(0, (vq - g.glo) // g.w)) AS b,
+                count(*) AS c
+         FROM vqv, g GROUP BY 1),
+  tot AS (SELECT sum(c) AS total FROM bc),
+  cum AS (SELECT b, sum(c) OVER (ORDER BY b) AS cum FROM bc),
+  rng AS (SELECT
+      CASE WHEN {lo_q} < g.glo THEN 0
+           ELSE LEAST({nb - 1}, ({lo_q} - g.glo) // g.w) END AS blo,
+      CASE WHEN {hi_q} > g.glo + {nb} * g.w - 1 THEN {nb - 1}
+           ELSE GREATEST(0, ({hi_q} - g.glo) // g.w) END AS bhi,
+      g.glo AS glo, g.w AS w FROM g)
+  SELECT
+    (SELECT g.glo + g.w * (SELECT min(b) FROM cum, tot
+       WHERE cum >= GREATEST(1, CAST(ceil(0.25 * total) AS BIGINT)))
+     FROM g) AS p25q,
+    (SELECT g.glo + g.w * (SELECT min(b) FROM cum, tot
+       WHERE cum >= GREATEST(1, CAST(ceil(0.5 * total) AS BIGINT)))
+     FROM g) AS p50q,
+    (SELECT g.glo + g.w * (SELECT min(b) FROM cum, tot
+       WHERE cum >= GREATEST(1, CAST(ceil(0.9 * total) AS BIGINT)))
+     FROM g) AS p90q,
+    (SELECT coalesce(sum(bc.c), 0) FROM bc, rng
+     WHERE bc.b >= rng.blo AND bc.b <= rng.bhi
+       AND bc.b > 0 AND bc.b < {nb - 1}
+       AND rng.glo + bc.b * rng.w >= {lo_q}
+       AND rng.glo + (bc.b + 1) * rng.w - 1 <= {hi_q}) AS rc_lb,
+    (SELECT coalesce(sum(bc.c), 0) FROM bc, rng
+     WHERE bc.b >= rng.blo AND bc.b <= rng.bhi) AS rc_ub,
+    (SELECT count(*) FROM vqv
+     WHERE vq BETWEEN {lo_q} AND {hi_q}) AS exact_in_range
+) t
+"""
+
+
+# (column, quantize scale, raw probe lo, raw probe hi, SQL vq expr)
+_HIST_COLS = (
+    ("o_totalprice", 2, 50000.0, 150000.0,
+     "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"),
+    ("o_custkey", 0, 100, 800, "CAST(o_custkey AS BIGINT)"),
+)
+
+
+def _hist_oracle() -> str:
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.histogram import quantize
+
+    return _VERS_CTE + ")" + "\nUNION ALL".join(
+        _hist_cell_sql(c, vq, v, quantize(lo, s), quantize(hi, s))
+        for v in (1, 2, 3) for (c, s, lo, hi, vq) in _HIST_COLS)
+
+
+@register("histogram_quantile_audit", "ext:hist-sketch,A9,O2",
+          oracle=_hist_oracle())
+def histogram_quantile_audit(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Metadata-answered quantiles and range selectivities
+    (io/histogram, NEW r15): per-file fixed-grid bucket-count
+    sidecars -- the fourth metadata tier after file stats, bloom
+    point lookups and the HLL distinct sketches -- merge by
+    bucket-wise sum into (a) an approximate quantile whose error is
+    bounded by one bucket width and (b) LOWER and UPPER bounds on a
+    range count (the join planner's selectivity question), all with
+    ZERO Spark jobs and zero data I/O at query time.
+
+    Everything is INTEGER arithmetic over a shared grid (values
+    quantize as ``floor(v * 10^scale + 0.5)``, grid from version
+    2's quantized span -- the build order -- reused by every other
+    version), so the DuckDB oracle re-derives the EXACT estimates
+    and the gate hash-compares them: 3 versions x 2 columns (cents-
+    quantized price, raw integer key), p25/p50/p90 walks, the
+    clamp-aware range bounds, and ``exact_in_range`` as the reality
+    anchor the ``lb <= exact <= ub`` contract is visible against.
+    Coverage/mixed-grid refusals, layout independence, edge-bucket
+    clamping and purge interplay are pytest-pinned
+    (tests/test_histogram.py).  The copy + sidecar builds are
+    process-memoized; the graded merges run live."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.histogram import (
+        build_histogram_index, column_hist_quantile,
+        column_hist_range_count,
+    )
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        read_version,
+    )
+
+    def build() -> dict:
+        td = copy_fixture(orders_versioned_fixture(spark, sf_dir))
+        # grid derives ONCE from v2 (the full 1997-98 span); the
+        # v1/v3 builds reuse it, so every version merges under one
+        # well-defined grid (v1's files are a subset of v2's, v3
+        # adds only the COW delete's rewritten files)
+        for c, s, _lo, _hi, _vq in _HIST_COLS:
+            for v in (2, 1, 3):
+                build_histogram_index(spark, td, c, scale=s, n=v)
+        return {"td": td, "dirs": (td,)}
+
+    td = audit_state("hist_audit", sf_dir, build)["td"]
+    rows = []
+    for v in (1, 2, 3):
+        df = read_version(spark, td, v)
+        exacts = df.agg(*[
+            F.count(F.when(
+                (F.col(c) if s == 0
+                 else F.floor(F.col(c) * (10 ** s) + 0.5))
+                .cast("long").between(
+                    __import__(
+                        "esg_decarbonization_data_integration_and_data_pipline_spark.io.histogram",
+                        fromlist=["quantize"]).quantize(lo, s),
+                    __import__(
+                        "esg_decarbonization_data_integration_and_data_pipline_spark.io.histogram",
+                        fromlist=["quantize"]).quantize(hi, s)),
+                1)).alias(c)
+            for c, s, lo, hi, _vq in _HIST_COLS]).collect()[0]
+        for c, s, lo, hi, _vq in _HIST_COLS:
+            lb, ub = column_hist_range_count(td, c, lo, hi, n=v)
+            rows.append((
+                v, c,
+                int(column_hist_quantile(td, c, 0.25, n=v)),
+                int(column_hist_quantile(td, c, 0.5, n=v)),
+                int(column_hist_quantile(td, c, 0.9, n=v)),
+                int(lb), int(ub), int(exacts[c])))
+    return spark.createDataFrame(
+        rows, "version int, col string, p25q bigint, p50q bigint, "
+              "p90q bigint, rc_lb bigint, rc_ub bigint, "
+              "exact_in_range bigint")
