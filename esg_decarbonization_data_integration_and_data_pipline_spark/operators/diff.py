@@ -189,8 +189,17 @@ def psi_drift(old: DataFrame, new: DataFrame, column: str,
         return (df.groupBy(b.cast("int").alias("__bkey"))
                   .agg(F.count(F.lit(1)).alias(out)))
 
-    scored = _psi_score(bucketed(old, "n_old"),
-                        bucketed(new, "n_new"), n_buckets + 1)
+    # materialize the O(n_buckets) count frames ONCE
+    # (localCheckpoint): _psi_score reuses each side in the join AND
+    # its own total-aggregate subtree, and the DataFrame API has no
+    # common-subexpression reuse across those, so without truncation
+    # every reuse re-runs the corpus-sized bucket scan (measured:
+    # drift_ks_summary's single plan held 84 Exchanges / ~10 scans
+    # of the input; r15 optimization, guide section 7.2).  The
+    # checkpointed frames are bucket-sized control-plane rows.
+    scored = _psi_score(bucketed(old, "n_old").localCheckpoint(),
+                        bucketed(new, "n_new").localCheckpoint(),
+                        n_buckets + 1)
     return scored.withColumnRenamed("__bkey", "bucket")
 
 
@@ -267,7 +276,12 @@ def category_drift(old: DataFrame, new: DataFrame,
         return (df.groupBy(key.alias("__bkey"))
                   .agg(F.count(F.lit(1)).alias(out)))
 
-    o, n = counts(old, "n_old"), counts(new, "n_new")
+    # materialize the O(#categories) count frames once (the
+    # psi_drift localCheckpoint rationale): each side feeds the
+    # scored join, its own total subtree AND the k-frame below --
+    # four corpus scans per side otherwise
+    o = counts(old, "n_old").localCheckpoint()
+    n = counts(new, "n_new").localCheckpoint()
     # k is data-dependent; thread it through the smoothing as a
     # broadcast 1-row frame instead of a Python int (no collect)
     k = (o.join(n, "__bkey", "full_outer")
