@@ -114,20 +114,35 @@ def datasource_timetravel_audit(spark: SparkSession,
 
     td = audit_state("ds_timetravel", sf_dir, build)["td"]
     register_ds(spark)
-    rows = []
+    # the four per-version reads union into ONE Spark job (the
+    # bloom_point_lookup r12 pattern) instead of paying four rounds
+    # of job scheduling; each read still plans against its own PINNED
+    # schema (v1-v3 genuinely lack `note` -- the NULL column is
+    # attached above the scan, so count("note")=0 for them exactly as
+    # the per-version frames produced)
+    frames = []
     for v in (1, 2, 3, 4):
         df = (spark.read.format("versioned_table")
               .option("path", td).option("version", str(v)).load())
-        n_note = (F.count("note") if "note" in df.columns
-                  else F.lit(0).cast("long"))
-        agg = df.agg(F.count(F.lit(1)).alias("n"),
-                     F.round(F.sum("o_totalprice"), 4).alias("s"),
-                     n_note.alias("nn")).collect()[0]
-        rows.append((v, int(agg["n"]), float(agg["s"]),
-                     int(agg["nn"])))
+        note = (F.col("note") if "note" in df.columns
+                else F.lit(None).cast("string"))
+        frames.append(df.select(
+            F.lit(v).cast("int").alias("version"),
+            "o_totalprice", note.alias("note")))
+    u = frames[0]
+    for f in frames[1:]:
+        u = u.unionByName(f)
+    rows = [(int(r["version"]), int(r["n"]), float(r["s"]),
+             int(r["nn"]))
+            for r in (u.groupBy("version")
+                      .agg(F.count(F.lit(1)).alias("n"),
+                           F.round(F.sum("o_totalprice"), 4)
+                            .alias("s"),
+                           F.count("note").alias("nn"))).collect()]
     return spark.createDataFrame(
-        rows, "version int, n_rows bigint, total_price double, "
-              "n_note bigint")
+        sorted(rows),
+        "version int, n_rows bigint, total_price double, "
+        "n_note bigint")
 
 
 @register("datasource_stream_tail_audit", "ext:py-datasource,P3,A1",
@@ -228,21 +243,25 @@ def datasource_stream_tail_audit(spark: SparkSession,
 
     st = audit_state("ds_stream_tail", sf_dir, build)
     out1, out2 = st["out1"], st["out2"]
-    rows = []
-
-    def agg(stage, df):
-        for r in (df.groupBy("yr")
-                  .agg(F.count(F.lit(1)).alias("n"),
-                       F.round(F.sum("o_totalprice"), 4).alias("s"))
-                  .collect()):
-            rows.append((stage, int(r["yr"]), int(r["n"]),
-                         float(r["s"])))
-
-    delivered = spark.read.parquet(out1)
-    agg("initial", delivered.filter(F.col("o_orderstatus") != "T4"))
-    agg("resume", delivered.filter(F.col("o_orderstatus") == "T4"))
-    agg("from_v3", spark.read.parquet(out2))
-
+    # one Spark job, one scan of each drained directory (the
+    # bloom_point_lookup r12 pattern): the initial/resume split is a
+    # row-level tag over the SAME out1 scan (T4 stamps exactly the
+    # resumed slice), instead of two filtered re-scans plus a third
+    # job for out2
+    u = (spark.read.parquet(out1)
+         .select(F.when(F.col("o_orderstatus") == "T4", "resume")
+                  .otherwise("initial").alias("stage"),
+                 "yr", "o_totalprice")
+         .unionByName(
+             spark.read.parquet(out2)
+             .select(F.lit("from_v3").alias("stage"), "yr",
+                     "o_totalprice")))
+    rows = [(r["stage"], int(r["yr"]), int(r["n"]), float(r["s"]))
+            for r in (u.groupBy("stage", "yr")
+                      .agg(F.count(F.lit(1)).alias("n"),
+                           F.round(F.sum("o_totalprice"), 4)
+                            .alias("s"))).collect()]
+    rows.sort()
     if st["refused"]:
         rows.append(("rewrite_refused", -1, 1, 0.0))
     return spark.createDataFrame(
@@ -315,24 +334,30 @@ def datasource_cdf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return {"out": out, "dirs": (td, out)}
 
     out = audit_state("ds_cdf", sf_dir, build)["out"]
-    rows = []
-
-    def agg(stage, df):
-        for r in (df.groupBy("_commit_version", "_change_type", "yr")
-                  .agg(F.count(F.lit(1)).alias("n"),
-                       F.round(F.sum("o_totalprice"), 4).alias("s"))
-                  .collect()):
-            rows.append((stage, int(r["_commit_version"]),
-                         r["_change_type"], int(r["yr"]),
-                         int(r["n"]), float(r["s"])))
-
-    agg("stream", spark.read.parquet(out))
-    agg("batch", spark.read.format("versioned_table")
-        .option("path", td).option("readChangeFeed", "true")
-        .option("startingVersion", "2").load())
+    # both derivations union into ONE Spark job (the
+    # bloom_point_lookup r12 pattern): the drained-parquet replay and
+    # the live batch CDF read (the executor-side multiset diff) each
+    # keep their own scan; one groupBy serves both stages
+    cols = ["_commit_version", "_change_type", "yr", "o_totalprice"]
+    u = (spark.read.parquet(out)
+         .select(F.lit("stream").alias("stage"), *cols)
+         .unionByName(
+             spark.read.format("versioned_table")
+             .option("path", td).option("readChangeFeed", "true")
+             .option("startingVersion", "2").load()
+             .select(F.lit("batch").alias("stage"), *cols)))
+    rows = [(r["stage"], int(r["_commit_version"]),
+             r["_change_type"], int(r["yr"]), int(r["n"]),
+             float(r["s"]))
+            for r in (u.groupBy("stage", "_commit_version",
+                                "_change_type", "yr")
+                      .agg(F.count(F.lit(1)).alias("n"),
+                           F.round(F.sum("o_totalprice"), 4)
+                            .alias("s"))).collect()]
     return spark.createDataFrame(
-        rows, "stage string, version int, change_type string, "
-              "yr int, n_rows bigint, total_price double")
+        sorted(rows),
+        "stage string, version int, change_type string, "
+        "yr int, n_rows bigint, total_price double")
 
 
 @register("datasource_pushdown_audit", "ext:py-datasource-pushdown,P3,A1",
@@ -416,16 +441,30 @@ def datasource_pushdown_audit(spark: SparkSession,
         ("range_head", f"o_orderkey <= {lo + 1000}"),
         ("in_three", f"o_orderkey in ({lo}, {hi}, 1000000007)"),
     ]
-    rows = []
+    # the five pushdown probes union into ONE Spark job (the
+    # bloom_point_lookup r12 pattern): pushdown planning is per scan
+    # node, so each probe still prunes its own partition list;
+    # stages whose probe prunes to zero rows (eq_absent plans an
+    # EMPTY partition list) vanish from the groupBy and are filled
+    # driver-side with the same (0, 0.0) the per-probe coalesce
+    # produced
+    frames = []
     for stage, cond in cases:
-        r = (spark.read.format("versioned_table")
-             .option("path", td).option("pushdown", "true").load()
-             .filter(cond)
-             .agg(F.count(F.lit(1)).alias("n"),
-                  F.round(F.coalesce(F.sum("o_totalprice"),
-                                     F.lit(0.0)), 4).alias("s"))
-             .collect()[0])
-        rows.append((stage, int(r["n"]), float(r["s"])))
+        frames.append(
+            spark.read.format("versioned_table")
+            .option("path", td).option("pushdown", "true").load()
+            .filter(cond)
+            .select(F.lit(stage).alias("stage"), "o_totalprice"))
+    u = frames[0]
+    for f in frames[1:]:
+        u = u.unionByName(f)
+    got = {r["stage"]: (int(r["n"]), float(r["s"]))
+           for r in (u.groupBy("stage")
+                     .agg(F.count(F.lit(1)).alias("n"),
+                          F.round(F.sum("o_totalprice"), 4)
+                           .alias("s"))).collect()}
+    rows = [(stage, *got.get(stage, (0, 0.0)))
+            for stage, _cond in cases]
     return spark.createDataFrame(
         rows, "stage string, n_rows bigint, sum_price double")
 
@@ -538,24 +577,32 @@ def datasource_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     st = audit_state("ds_write", sf_dir, build)
     td, td2 = st["td"], st["td2"]
-    rows = []
-
-    def agg(stage, version, df):
-        r = df.agg(F.count(F.lit(1)).alias("n"),
-                   F.round(F.sum("o_totalprice"), 4).alias("s")
-                   ).collect()[0]
-        rows.append((stage, version, int(r["n"]), float(r["s"])))
-
-    for v in (1, 2, 3):
-        agg("batch", v,
-            spark.read.format("versioned_table").option("path", td)
-            .option("version", str(v)).load())
+    # the five committed-version read-backs union into ONE Spark job
+    # (the bloom_point_lookup r12 pattern) instead of five rounds of
+    # job scheduling; every version is still read through its own
+    # format() scan against its own manifest
+    frames = []
+    for stage, path, versions in (("batch", td, (1, 2, 3)),
+                                  ("stream", td2, (1, 2))):
+        for v in versions:
+            frames.append(
+                spark.read.format("versioned_table")
+                .option("path", path).option("version", str(v)).load()
+                .select(F.lit(stage).alias("stage"),
+                        F.lit(v).cast("int").alias("version"),
+                        "o_totalprice"))
+    u = frames[0]
+    for f in frames[1:]:
+        u = u.unionByName(f)
+    rows = [(r["stage"], int(r["version"]), int(r["n"]),
+             float(r["s"]))
+            for r in (u.groupBy("stage", "version")
+                      .agg(F.count(F.lit(1)).alias("n"),
+                           F.round(F.sum("o_totalprice"), 4)
+                            .alias("s"))
+                      .orderBy("stage", "version")).collect()]
     if st["replay_noop"]:
         rows.append(("replay_noop", -1, 1, 0.0))
-    for v in (1, 2):
-        agg("stream", v,
-            spark.read.format("versioned_table").option("path", td2)
-            .option("version", str(v)).load())
     if st["stream_idempotent"]:
         rows.append(("stream_idempotent", -1, 1, 0.0))
     return spark.createDataFrame(
