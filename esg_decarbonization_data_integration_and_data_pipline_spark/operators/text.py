@@ -403,14 +403,27 @@ def bm25_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      F.avg("dl").alias("avgdl"))
     t = base.select("doc_id", "dl",
                     F.explode("__toks").alias("token"))
+    # materialize the query-vocab frame ONCE (localCheckpoint): q
+    # feeds both the broadcast token pre-filter and the final hits
+    # join, and without truncation each reuse re-runs the query-side
+    # scan + tokenize + distinct exchange (r15 optimization, guide
+    # sections 3.3/5 -- q is query-workload-sized by this plan's
+    # stated contract)
     q = (queries.select(F.col(qid_col).alias("query_id"),
                         F.explode(tokens(qtext_col)).alias("token"))
-                .distinct())
+                .distinct().localCheckpoint())
     qtok = q.select("token").distinct()
+    # likewise tf: reused by dfreq AND term, which otherwise re-runs
+    # the corpus-sized tokenize + explode + shuffle a second time --
+    # the single most expensive subtree in the plan.  tf is
+    # postings-sized (query vocab x matching docs): exactly the rows
+    # its exchange already carried, so materializing it adds no new
+    # scale risk
     tf = (t.join(F.broadcast(qtok), "token")
            .groupBy("doc_id", "token")
            .agg(F.count(F.lit(1)).alias("tf"),
-                F.max("dl").alias("dl")))
+                F.max("dl").alias("dl"))
+           .localCheckpoint())
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
     idf = (dfreq.crossJoin(F.broadcast(stats))
                 .select("token",
