@@ -186,15 +186,41 @@ def report(df: DataFrame, checks: list[Check]) -> DataFrame:
 
     row_level = [c for c in checks if c.kind in _ROW_LEVEL]
     agg_checks = [c for c in checks if c.kind == "agg_between"]
-    if row_level or agg_checks:
+    fk_checks = [c for c in checks if c.kind == "foreign_key"]
+    if row_level or agg_checks or fk_checks:
+        # foreign keys fold into the SAME single-scan aggregate: each
+        # ref is deduplicated and broadcast-left-joined onto df (no
+        # row multiplication -- ref keys are distinct), so N foreign
+        # keys no longer cost N extra full scans of df (r15
+        # optimization, guide sections 2.4/3.1; report previously
+        # built one corpus-scan frame per FK)
+        src = df
+        fk_flags: list[Column] = []
+        for fi, c in enumerate(fk_checks):
+            ref_keys = (c.ref.select(*[F.col(r).alias(f"__fk{fi}_{i}")
+                                       for i, r in
+                                       enumerate(c.ref_columns)])
+                           .dropDuplicates())
+            cond = reduce(lambda a, b: a & b,
+                          [src[x].eqNullSafe(F.col(f"__fk{fi}_{i}"))
+                           for i, x in enumerate(c.columns)])
+            src = src.join(F.broadcast(ref_keys), cond, "left")
+            key_present = reduce(lambda a, b: a & b,
+                                 [F.col(x).isNotNull()
+                                  for x in c.columns])
+            fk_flags.append(key_present
+                            & F.col(f"__fk{fi}_0").isNull())
         aggs = [F.sum(F.when(_violated(c), 1).otherwise(0))
                  .alias(f"__v{i}")
                 for i, c in enumerate(row_level)]
         aggs += [getattr(F, c.fn)(F.col(c.columns[0]))
                  .alias(f"__a{i}")
                  for i, c in enumerate(agg_checks)]
+        aggs += [F.coalesce(F.sum(F.when(flag, 1)), F.lit(0))
+                  .alias(f"__f{i}")
+                 for i, flag in enumerate(fk_flags)]
         aggs.append(F.count(F.lit(1)).alias("__n"))
-        one = df.agg(*aggs)
+        one = src.agg(*aggs)
         # unpivot the single agg row into one report row per check;
         # stack is JVM-side, so no collect and no Python-RDD frame
         stack_args: list[Column] = []
@@ -215,7 +241,11 @@ def report(df: DataFrame, checks: list[Check]) -> DataFrame:
                            F.lit(c.columns[0]),
                            F.when(bad, 1).otherwise(0)
                             .cast("bigint")]
-        n_stacked = len(row_level) + len(agg_checks)
+        for i, c in enumerate(fk_checks):
+            stack_args += [F.lit(c.label), F.lit(c.kind),
+                           F.lit(",".join(c.columns)),
+                           F.col(f"__f{i}").cast("bigint")]
+        n_stacked = len(row_level) + len(agg_checks) + len(fk_checks)
         frames.append(one.select(
             F.stack(F.lit(n_stacked), *stack_args)
              .alias("check_name", "kind", "target", "n_violations"),
@@ -242,25 +272,8 @@ def report(df: DataFrame, checks: list[Check]) -> DataFrame:
                 F.coalesce(F.sum(F.when(bad_group, F.col("__cnt"))),
                            F.lit(0)),
                 F.coalesce(F.sum("__cnt"), F.lit(0)))))
-        elif c.kind == "foreign_key":
-            ref_keys = (c.ref.select(*[F.col(r).alias(f"__r{i}")
-                                       for i, r in
-                                       enumerate(c.ref_columns)])
-                           .dropDuplicates())
-            cond = reduce(lambda a, b: a & b,
-                          [df[x].eqNullSafe(F.col(f"__r{i}"))
-                           for i, x in enumerate(c.columns)])
-            joined = df.join(F.broadcast(ref_keys), cond, "left")
-            key_present = reduce(lambda a, b: a & b,
-                                 [F.col(x).isNotNull()
-                                  for x in c.columns])
-            frames.append(joined.agg(*_report_cols(
-                c.label, c.kind, ",".join(c.columns),
-                F.coalesce(F.sum(F.when(
-                    key_present & F.col("__r0").isNull(), 1)),
-                    F.lit(0)),
-                F.count(F.lit(1)))))
-        elif c.kind not in _ROW_LEVEL + ("agg_between",):
+        elif c.kind not in _ROW_LEVEL + ("agg_between",
+                                         "foreign_key"):
             raise ValueError(f"unknown check kind: {c.kind}")
 
     out = reduce(DataFrame.unionByName, frames)

@@ -791,11 +791,12 @@ FROM r
 """)
 def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative constraint suite over orders (operators/
-    expectations.report): 4 row-level checks AND 2 table-level
-    aggregate SLA bounds share ONE aggregate scan, uniqueness and
-    the k-anonymity check each reuse their own groupBy for both
-    counts, and the two referential checks each left-join the
-    broadcast customer key set -- 5 scans total for 10 checks.  The
+    expectations.report): 4 row-level checks, 2 table-level
+    aggregate SLA bounds AND (since r15) the two referential checks
+    share ONE aggregate scan -- each FK's broadcast customer key set
+    left-joins onto that scan instead of paying its own corpus pass
+    -- while uniqueness and the k-anonymity check each reuse their
+    own groupBy for both counts: 3 scans total for 10 checks.  The
     range / set / fk-subset / k-anonymity / volume-SLA checks are
     chosen to FAIL on the fixtures (non-zero violation counts prove
     the counting paths; the avg-price band passes, proving the

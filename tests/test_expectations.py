@@ -180,16 +180,17 @@ def test_agg_between_bounds_and_vacuous_pass(spark, frame):
 
 
 def test_scan_discipline_on_registry_query(spark, sf_dir):
-    """10 checks -> exactly 5 scans of orders (row-level AND
-    agg-bound checks share one; unique, k-anonymity and each fk get
-    their own) + 2 broadcast customer key scans; no sort-merge join
-    anywhere."""
+    """10 checks -> exactly 3 scans of orders (row-level, agg-bound
+    AND both fk checks share one since r15 -- each fk's broadcast
+    key set left-joins onto the shared aggregate scan; unique and
+    k-anonymity keep their own groupBy scans) + 2 broadcast customer
+    key scans; no sort-merge join anywhere."""
     from esg_decarbonization_data_integration_and_data_pipline_spark.plans.queries import REGISTRY
 
     df = REGISTRY["data_quality_report"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Scan parquet") == 7
-    assert plan.count("orders.parquet") == 5
+    assert plan.count("Scan parquet") == 5
+    assert plan.count("orders.parquet") == 3
     assert plan.count("customer.parquet") == 2
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") == 2
