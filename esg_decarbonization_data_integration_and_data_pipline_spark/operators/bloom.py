@@ -248,7 +248,15 @@ def bloom_new_docs_indexed(batch: DataFrame, fp_index: DataFrame,
     corpus text -- the continuous-ingest shape: per batch, the index
     contributes a narrow single-column scan, and only when the bloom
     actually flagged suspects."""
-    probed = bloom_probe(batch, bloom, text_col, n_buckets)
+    # materialize the probe verdicts ONCE (localCheckpoint): probed
+    # feeds both the certain-new and the suspect branch, and without
+    # truncation each branch re-runs the whole probe subtree --
+    # including the corpus-sized bloom build feeding the cogroup
+    # (measured r15: two FlatMapCoGroupsInPandas nodes, zero reuse).
+    # probed is batch-sized, which is exactly this operator's
+    # documented per-ingest budget.
+    probed = bloom_probe(batch, bloom, text_col,
+                         n_buckets).localCheckpoint()
     certain_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     verified_new = (suspects
