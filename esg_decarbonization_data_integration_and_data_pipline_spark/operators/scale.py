@@ -36,8 +36,16 @@ KERNEL_PARTITION_BYTES = 512 << 10
 # n-gram stages: each input byte fans out into ~n gram-string bytes
 # built OUTSIDE whole-stage codegen, so useful parallelism arrives at
 # ~8x smaller inputs than the Arrow kernels (measured at sf0.1:
-# boilerplate 3-grams 4.0 s on 1 partition vs 0.8 s on 32)
-NGRAM_PARTITION_BYTES = 64 << 10
+# boilerplate 3-grams 4.0 s on 1 partition vs 0.8 s on 32).  8 KB,
+# not 64 KB: the gram/rolling-window kernels run ~100+ ms of
+# interpreted/Arrow work per 64 KB of text while a task wave costs
+# ~10 ms, so the old target left 7/8 of the cores idle on small
+# corpora (r15 interleaved floors, 64K -> 8K: exact_substring_spans
+# 1.29 -> 0.95 s, text_fingerprint 1.34 -> 0.92, decontaminate_spans
+# 3.90 -> 3.65, exact_substring_dedup neutral).  Scale behavior is
+# unchanged: the rescue is skipped entirely for multi-file inputs or
+# > SMALL_INPUT_BYTES estimates.
+NGRAM_PARTITION_BYTES = 8 << 10
 
 
 def plan_size_bytes(df: DataFrame) -> int | None:
