@@ -18,11 +18,13 @@ Scan discipline -- the part that matters at 100 TB:
   the SAME aggregation yields both the violation count (rows in
   offending key groups) and the row count (sum of group sizes), so
   no extra count(*) pass.
-- each ``foreign_key`` check is one scan left-joining the BROADCAST
-  reference key set; violations and row count come from the same
-  aggregate.
-Total scans = 1 + #grouped + #foreign_key, regardless of how many
-row-level checks are declared. The report itself is O(#checks) rows.
+- ``foreign_key`` checks fold into that SAME single-scan aggregate:
+  each reference key set is deduplicated and broadcast-left-joined
+  onto the frame before the aggregate, so N foreign keys add N
+  broadcast builds but ZERO extra scans of the checked data.
+Total scans = 1 + #grouped, regardless of how many row-level,
+aggregate-bound or foreign-key checks are declared. The report
+itself is O(#checks) rows.
 
 NULL semantics: ``not_null`` counts nulls; ``in_range`` / ``in_set``
 / ``matches`` / ``foreign_key`` / ``unique`` skip null values (SQL
@@ -436,7 +438,30 @@ def check_table(spark, table_dir: str, checks: list[Check],
     Returns the combined rows in DECLARATION order (both halves see
     the same version, resolved once up front)."""
     from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
-        RANGE_STAT_KINDS, current_version, read_version, table_schema,
+        current_version,
+    )
+
+    if n is None:
+        n = current_version(table_dir, backend=backend)
+        if n is None:
+            raise FileNotFoundError(
+                f"{table_dir} has no committed version")
+    return check_table_versions(spark, table_dir, checks, (n,),
+                                backend=backend)[n]
+
+
+def check_table_versions(spark, table_dir: str, checks: list[Check],
+                         versions, backend=None) -> dict[int, list[dict]]:
+    """Batched :func:`check_table` over several versions of ONE
+    table: routing and the metadata half stay per-version (both are
+    zero-Spark-job), but the scan halves of ALL versions union into
+    ONE Spark job with a single collect, instead of paying a
+    job-scheduling round per version (r15; an N-version audit's
+    collect latency was N x one control-plane fetch for O(#checks)
+    rows per version).  Rows per version are identical to calling
+    check_table(n=v) -- check_table itself delegates here."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        RANGE_STAT_KINDS, read_version, table_schema,
     )
 
     if not checks:
@@ -447,14 +472,8 @@ def check_table(spark, table_dir: str, checks: list[Check],
         # would catch scan-half duplicates but a meta/scan split pair
         # would silently collapse to one row
         raise ValueError(f"duplicate check names in {labels}")
-    if n is None:
-        n = current_version(table_dir, backend=backend)
-        if n is None:
-            raise FileNotFoundError(
-                f"{table_dir} has no committed version")
-    st = table_schema(table_dir, n)
 
-    def routable(c: Check) -> bool:
+    def routable(c: Check, st) -> bool:
         if not _metadata_answerable(c):
             return False
         if c.kind == "agg_between" and c.fn in ("min", "max"):
@@ -468,19 +487,30 @@ def check_table(spark, table_dir: str, checks: list[Check],
                     in RANGE_STAT_KINDS)
         return True
 
-    meta = [c for c in checks if routable(c)]
-    scan = [c for c in checks if not routable(c)]
-    rows: dict[str, dict] = {}
-    if meta:
-        for r in metadata_report(spark, table_dir, meta, n=n,
-                                 backend=backend):
-            rows[r["check_name"]] = r
-    if scan:
-        for r in report(read_version(spark, table_dir, n,
-                                     backend=backend),
-                        scan).collect():
-            rows[r["check_name"]] = r.asDict()
-    return [rows[c.label] for c in checks]
+    rows_by_ver: dict[int, dict[str, dict]] = {}
+    scan_frames: list[DataFrame] = []
+    for n in versions:
+        st = table_schema(table_dir, n)
+        meta = [c for c in checks if routable(c, st)]
+        scan = [c for c in checks if not routable(c, st)]
+        rows: dict[str, dict] = {}
+        if meta:
+            for r in metadata_report(spark, table_dir, meta, n=n,
+                                     backend=backend):
+                rows[r["check_name"]] = r
+        if scan:
+            scan_frames.append(
+                report(read_version(spark, table_dir, n,
+                                    backend=backend), scan)
+                .withColumn("__version", F.lit(int(n))))
+        rows_by_ver[n] = rows
+    if scan_frames:
+        for r in reduce(DataFrame.unionByName, scan_frames).collect():
+            d = r.asDict()
+            v = d.pop("__version")
+            rows_by_ver[v][d["check_name"]] = d
+    return {n: [rows_by_ver[n][c.label] for c in checks]
+            for n in versions}
 
 
 class CheckFailedError(Exception):

@@ -1529,10 +1529,13 @@ def versioned_table_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     r11: the 3-commit fixture build (which dominated this query's
     2.4 s bench floor) moved to the memoized shared builder in
     plans/fixtures.py -- check_table only READS, so no copy is
-    taken; the four queries_lakehouse audits share the same build."""
+    taken; the four queries_lakehouse audits share the same build.
+    r15: the three versions' scan halves batch through
+    check_table_versions -- ONE Spark job / one collect instead of
+    three (the metadata half was already zero-job per version)."""
     from esg_decarbonization_data_integration_and_data_pipline_spark.operators.expectations import (
-        agg_between, check_table, in_range, in_set, matches, not_null,
-        unique,
+        agg_between, check_table_versions, in_range, in_set, matches,
+        not_null, unique,
     )
     from esg_decarbonization_data_integration_and_data_pipline_spark.plans.fixtures import (
         orders_versioned_fixture,
@@ -1549,12 +1552,13 @@ def versioned_table_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         unique("o_orderkey"),
         agg_between("o_totalprice", "avg", lo=1.0),  # scan-routed
     ]
+    per_version = check_table_versions(spark, td, suite, (1, 2, 3))
     rows = [
         (v, r["check_name"], r["kind"], r["target"],
          int(r["n_violations"]), int(r["n_rows"]),
          int(bool(r["passed"])))
         for v in (1, 2, 3)
-        for r in check_table(spark, td, suite, n=v)
+        for r in per_version[v]
     ]
     return spark.createDataFrame(
         rows, "version int, check_name string, kind string, "

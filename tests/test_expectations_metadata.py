@@ -177,3 +177,32 @@ def test_check_table_routes_nonnumeric_sla_to_scan_half(spark,
             E.agg_between("k", "max", hi=10, name="dup"),
             E.agg_between("s", "min", lo="a", name="dup"),
         ])
+
+
+def test_check_table_versions_matches_per_version_calls(spark,
+                                                        tmp_path):
+    """r15: the batched multi-version entry point returns the exact
+    rows of calling check_table(n=v) per version, while its scan
+    halves share one unioned job -- mixed metadata/scan routing,
+    including a version where every check routes to metadata."""
+    t = str(tmp_path / "t")
+    d1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", -3.0), (None, "a", 70.0)],
+        "k bigint, cat string, x double")
+    append_version(d1.coalesce(1), t, stats_columns=["k", "x"])
+    d2 = spark.createDataFrame([(4, "z", 20.0)],
+                               "k bigint, cat string, x double")
+    append_version(d2.coalesce(1), t, stats_columns=["k", "x"])
+    mixed = [E.not_null("k"), E.in_range("x", 0, 50),
+             E.unique("k"), E.in_set("cat", ["a", "b"])]
+    got = E.check_table_versions(spark, t, mixed, (1, 2))
+    for v in (1, 2):
+        assert got[v] == E.check_table(spark, t, mixed, n=v)
+    # in_set catches v2's 'z' only in version 2
+    assert got[1][3]["n_violations"] == 0
+    assert got[2][3]["n_violations"] == 1
+    # an all-metadata suite must not build any scan frame
+    meta_only = [E.not_null("k"), E.agg_between("k", "max", hi=10)]
+    got_meta = E.check_table_versions(spark, t, meta_only, (1, 2))
+    for v in (1, 2):
+        assert got_meta[v] == E.check_table(spark, t, meta_only, n=v)
