@@ -720,21 +720,50 @@ def partition_pruning_audit(spark: SparkSession,
     register_ds(spark)
     rows = []
 
-    def add(stage, yr, agg_row):
-        rows.append((stage, yr, int(agg_row["n"]),
-                     float(agg_row["s"])))
-
     aggs = [F.count(F.lit(1)).alias("n"),
             F.round(F.sum("o_totalprice"), 4).alias("s")]
-    add("read_where_1997", 1997,
-        read_where(spark, td, "yr", 1997, 1997).agg(*aggs)
-        .collect()[0])
-    fmt = (spark.read.format("versioned_table").option("path", td)
-           .option("pushdown", "true").load())
-    add("format_eq_1998", 1998,
-        fmt.filter("yr = 1998").agg(*aggs).collect()[0])
-    add("format_null", -1,
-        fmt.filter("yr IS NULL").agg(*aggs).collect()[0])
+
+    def fmt(path):
+        # a FRESH load() per differently-filtered probe: two filters
+        # over one shared load() in a single action make Spark's
+        # Python-DS scan planning collapse the per-scan pushdown
+        # state (observed r15: the second probe's pruned file set
+        # replaced the first's, 226 rows -> 0), while per-probe
+        # relations plan independently
+        return (spark.read.format("versioned_table")
+                .option("path", path).option("pushdown", "true")
+                .load())
+
+    # the five pruned probes run as ONE unioned Spark job (r15; each
+    # probe previously paid its own collect round-trip) -- per-scan
+    # pushdown/pruning is planned per scan node, so unioning changes
+    # scheduling, not what each probe reads
+    probes = [
+        ("read_where_1997", 1997,
+         read_where(spark, td, "yr", 1997, 1997)),
+        ("format_eq_1998", 1998, fmt(td).filter("yr = 1998")),
+        ("format_null", -1, fmt(td).filter("yr IS NULL")),
+        ("comp_eq_1997_3", 1997,
+         fmt(td2).filter("yr = 1997 AND mon = 3")),
+        ("comp_null_mon", 1998,
+         fmt(td2).filter("yr = 1998 AND mon IS NULL")),
+    ]
+    from functools import reduce as _reduce
+
+    got = {r["stage"]: r for r in _reduce(
+        DataFrame.unionByName,
+        [df.agg(*aggs).select(F.lit(stg).alias("stage"),
+                              F.lit(yr).alias("yr"), "n", "s")
+         for stg, yr, df in probes]).collect()}
+
+    def add(stage):
+        r = got[stage]
+        rows.append((stage, int(r["yr"]), int(r["n"]),
+                     float(r["s"])))
+
+    add("read_where_1997")
+    add("format_eq_1998")
+    add("format_null")
     from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import _partition_values
 
     kept, total = pruned_files(td, 1, "yr", 1997, 1997)
@@ -742,13 +771,8 @@ def partition_pruning_audit(spark: SparkSession,
             and all(_partition_values(f).get("yr") == "1997"
                     for f in kept)):
         rows.append(("prune_exact", -1, 1, 0.0))
-    fmt2 = (spark.read.format("versioned_table").option("path", td2)
-            .option("pushdown", "true").load())
-    add("comp_eq_1997_3", 1997,
-        fmt2.filter("yr = 1997 AND mon = 3").agg(*aggs).collect()[0])
-    add("comp_null_mon", 1998,
-        fmt2.filter("yr = 1998 AND mon IS NULL").agg(*aggs)
-        .collect()[0])
+    add("comp_eq_1997_3")
+    add("comp_null_mon")
     kept_y, total2 = pruned_files(td2, 1, "yr", 1997, 1997)
     kept_m, _ = pruned_files(td2, 1, "mon", 3, 3)
     comp = set(kept_y) & set(kept_m)
@@ -1139,23 +1163,46 @@ def hidden_partition_audit(spark: SparkSession,
     aggs = [F.count(F.lit(1)).alias("n"),
             F.coalesce(F.round(F.sum("o_totalprice"), 4),
                        F.lit(0.0)).alias("s")]
-    a = read_where(spark, ty, "o_orderdate", lo, hi) \
-        .agg(*aggs).collect()[0]
-    rows.append(("hp_year_range", int(a["n"]), float(a["s"])))
     fmt = (spark.read.format("versioned_table").option("path", ty)
            .option("pushdown", "true").load())
-    b = (fmt.filter("o_orderdate >= date'1996-01-01' AND "
-                    "o_orderdate <= date'1996-09-30'")
-         .agg(*aggs).collect()[0])
-    rows.append(("hp_format_range", int(b["n"]), float(b["s"])))
-    c = read_where(spark, tb, "o_custkey", 97, 97) \
-        .agg(*aggs).collect()[0]
-    rows.append(("hp_bucket_eq", int(c["n"]), float(c["s"])))
+    utc = datetime.timezone.utc
+    hlo = datetime.datetime(2023, 1, 1, 12, tzinfo=utc)
+    hhi = datetime.datetime(2023, 1, 1, 23, 30, tzinfo=utc)
+    # all transform-pruned probes run as ONE unioned Spark job (r15;
+    # previously one collect round-trip per probe) -- pruning is
+    # planned per scan node, so each probe still reads its own file
+    # subset
+    probes = [
+        ("hp_year_range",
+         read_where(spark, ty, "o_orderdate", lo, hi)),
+        ("hp_format_range",
+         fmt.filter("o_orderdate >= date'1996-01-01' AND "
+                    "o_orderdate <= date'1996-09-30'")),
+        ("hp_bucket_eq", read_where(spark, tb, "o_custkey", 97, 97)),
+        ("hp_hour_range",
+         read_where(spark, st["th"], "ts", hlo, hhi)),
+    ]
     if st["replay_ok"]:
         from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import read_current
 
-        m = read_current(spark, st["tm"]).agg(*aggs).collect()[0]
-        rows.append(("hp_month_reload", int(m["n"]), float(m["s"])))
+        probes.append(("hp_month_reload",
+                       read_current(spark, st["tm"])))
+    from functools import reduce as _reduce
+
+    got = {r["stage"]: r for r in _reduce(
+        DataFrame.unionByName,
+        [df.agg(*aggs).select(F.lit(stg).alias("stage"), "n", "s")
+         for stg, df in probes]).collect()}
+
+    def add(stage):
+        r = got[stage]
+        rows.append((stage, int(r["n"]), float(r["s"])))
+
+    add("hp_year_range")
+    add("hp_format_range")
+    add("hp_bucket_eq")
+    if st["replay_ok"]:
+        add("hp_month_reload")
     # the partition INVENTORY from metadata alone (show_partitions:
     # no session, no scan): per-partition rowcounts must total the
     # table and the year-directory count must match the data
@@ -1165,12 +1212,7 @@ def hidden_partition_audit(spark: SparkSession,
     rows.append(("hp_partitions",
                  int(sum(p["n_rows"] for p in parts)),
                  float(len(parts))))
-    utc = datetime.timezone.utc
-    hlo = datetime.datetime(2023, 1, 1, 12, tzinfo=utc)
-    hhi = datetime.datetime(2023, 1, 1, 23, 30, tzinfo=utc)
-    d = read_where(spark, st["th"], "ts", hlo, hhi) \
-        .agg(*aggs).collect()[0]
-    rows.append(("hp_hour_range", int(d["n"]), float(d["s"])))
+    add("hp_hour_range")
     kept, total = pruned_files(ty, 1, "o_orderdate", lo, hi)
     yrs = {_partition_values(f).get("o_orderdate_year")
            for f in kept}

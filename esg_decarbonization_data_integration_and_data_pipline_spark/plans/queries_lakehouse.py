@@ -1087,17 +1087,28 @@ def zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs = [F.count(F.lit(1)).alias("n"),
             F.round(F.avg("o_totalprice"), 4).alias("s")]
     rows = []
+    # the three pruned reads run as ONE unioned Spark job (r15;
+    # previously one collect round-trip each) -- file skipping is
+    # planned per scan node, so each probe still reads its own
+    # pruned subset
+    probes = [
+        ("z_cust", read_where(spark, td, "o_custkey", None, ckhi,
+                              n=2)),
+        ("z_price", read_where(spark, td, "o_totalprice", None,
+                               50000.0, n=2)),
+        ("z_tile", read_where_all(
+            spark, td, {"o_custkey": (None, ckhi),
+                        "o_totalprice": (None, 50000.0)}, n=2)),
+    ]
+    from functools import reduce as _reduce
 
-    def add(stage, df):
-        r = df.agg(*aggs).collect()[0]
-        rows.append((stage, int(r["n"]), float(r["s"])))
-
-    add("z_cust", read_where(spark, td, "o_custkey", None, ckhi, n=2))
-    add("z_price", read_where(spark, td, "o_totalprice", None,
-                              50000.0, n=2))
-    add("z_tile", read_where_all(
-        spark, td, {"o_custkey": (None, ckhi),
-                    "o_totalprice": (None, 50000.0)}, n=2))
+    got = {r["stage"]: r for r in _reduce(
+        DataFrame.unionByName,
+        [df.agg(*aggs).select(F.lit(stg).alias("stage"), "n", "s")
+         for stg, df in probes]).collect()}
+    for stg, _df in probes:
+        r = got[stg]
+        rows.append((stg, int(r["n"]), float(r["s"])))
     kept_c, total = pruned_files(td, 2, "o_custkey", None, ckhi)
     if kept_c and len(kept_c) < total:
         rows.append(("z_prune_cust", 1, 0.0))
@@ -1243,7 +1254,9 @@ def merge_clauses_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return {"td": td, "dirs": (root,)}
 
     td = audit_state("merge_clauses", sf_dir, build)["td"]
-    rows = []
+    # the four version read-backs run as ONE unioned Spark job (r15;
+    # previously one collect round-trip per version)
+    frames = []
     for v in (1, 2, 3, 4):
         df = read_version(spark, td, v)
         tagged = (F.count("tag") if "tag" in df.columns
@@ -1251,20 +1264,25 @@ def merge_clauses_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         tchars = (F.coalesce(F.sum(F.length("tag")), F.lit(0))
                   .cast("long") if "tag" in df.columns
                   else F.lit(0).cast("long"))
-        r = (df.agg(F.count(F.lit(1)).alias("n"),
-                    # avg, not sum: at sf0.1 the two-year sum is
-                    # ~1.16e10 and sum-order float noise exceeds the
-                    # 1e-4 rounding grid; the divide pushes the noise
-                    # to ~1e-9 (r14 review follow-up)
-                    F.round(F.avg("p"), 4).alias("s"),
-                    F.count(F.when(F.col("st") == "M", 1)).alias("m"),
-                    F.count(F.when(F.col("st") == "I", 1)).alias("i"),
-                    F.count(F.when(F.col("st") == "S", 1)).alias("z"),
-                    tagged.alias("t"), tchars.alias("tc"))
-             .collect()[0])
-        rows.append((v, int(r["n"]), float(r["s"]), int(r["m"]),
-                     int(r["i"]), int(r["z"]), int(r["t"]),
-                     int(r["tc"])))
+        frames.append(
+            df.agg(F.count(F.lit(1)).alias("n"),
+                   # avg, not sum: at sf0.1 the two-year sum is
+                   # ~1.16e10 and sum-order float noise exceeds the
+                   # 1e-4 rounding grid; the divide pushes the noise
+                   # to ~1e-9 (r14 review follow-up)
+                   F.round(F.avg("p"), 4).alias("s"),
+                   F.count(F.when(F.col("st") == "M", 1)).alias("m"),
+                   F.count(F.when(F.col("st") == "I", 1)).alias("i"),
+                   F.count(F.when(F.col("st") == "S", 1)).alias("z"),
+                   tagged.alias("t"), tchars.alias("tc"))
+            .select(F.lit(v).alias("v"), "*"))
+    from functools import reduce as _reduce
+
+    got = {r["v"]: r for r in _reduce(
+        DataFrame.unionByName, frames).collect()}
+    rows = [(v, int(r["n"]), float(r["s"]), int(r["m"]),
+             int(r["i"]), int(r["z"]), int(r["t"]), int(r["tc"]))
+            for v in (1, 2, 3, 4) for r in (got[v],)]
     return spark.createDataFrame(
         rows, "version int, n_rows bigint, avg_price double, "
               "n_updated bigint, n_inserted bigint, n_stale bigint, "

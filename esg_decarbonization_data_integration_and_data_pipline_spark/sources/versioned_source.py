@@ -902,7 +902,17 @@ class _PushdownBatchReader(_BatchReader):
     Selected by reader() only when
     ``spark.sql.python.filterPushdown.enabled`` is true (a reader
     that defines pushFilters under a false conf is a hard error in
-    Spark 4.1, so the plain reader stays the default)."""
+    Spark 4.1, so the plain reader stays the default).
+
+    Sharp edge (observed r15, pinned by
+    tests/test_versioned_source_pushdown.py::
+    test_unioned_probes_need_one_load_per_filter): two DIFFERENTLY
+    filtered scans of ONE shared ``.load()`` relation inside a
+    single action can collapse to a single pushdown scan -- the
+    second probe's pruned file set replaces the first's and
+    under-reads it.  Callers that union several filtered probes
+    must take a fresh ``.load()`` per probe so each scan plans its
+    own pushdown state."""
 
     def __init__(self, options, n: int):
         super().__init__(options, n)

@@ -172,3 +172,30 @@ def test_plain_session_without_conf_still_reads(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled",
                        "true")
+
+
+def test_unioned_probes_need_one_load_per_filter(registered,
+                                                 tmp_path):
+    """r15 sharp edge: two DIFFERENTLY-filtered probes over one
+    shared .load() relation, unioned into a single action, can
+    collapse to one pushdown scan (the second probe's pruned file
+    set replaces the first's, under-reading it to 0 rows).  The
+    supported pattern -- a fresh .load() per probe -- must plan each
+    scan independently and return exactly the per-probe results;
+    the r15 audit unions rely on it."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame, functions as F
+
+    t = _clustered(registered, tmp_path)
+
+    def probe(cond):
+        return (_fmt(registered, t).load().filter(cond)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.lit(cond).alias("c"), "n"))
+
+    conds = ["k <= 150", "k > 250", "k = 5"]
+    got = {r["c"]: r["n"] for r in reduce(
+        DataFrame.unionByName,
+        [probe(c) for c in conds]).collect()}
+    assert got == {"k <= 150": 151, "k > 250": 149, "k = 5": 1}
