@@ -865,18 +865,26 @@ def replace_partitions_audit(spark: SparkSession,
                 "dirs": (td,)}
 
     st = audit_state("replace_partitions", sf_dir, build)
-    rows = []
-    for r in (read_current(spark, st["td"]).groupBy("mon")
-              .agg(F.count(F.lit(1)).alias("n"),
-                   F.round(F.sum("o_totalprice"), 4).alias("s"))
-              .collect()):
-        rows.append(("current", int(r["mon"]), int(r["n"]),
-                     float(r["s"])))
-    b = (read_version(spark, st["td"], 1)
-         .filter(F.col("mon") == 3)
-         .agg(F.count(F.lit(1)).alias("n"),
-              F.round(F.sum("o_totalprice"), 4).alias("s"))
-         .collect()[0])
+    # both read-backs (current per-month groupBy + the v1 time
+    # travel) run as ONE unioned Spark job (r15)
+    from functools import reduce as _reduce
+
+    cur = (read_current(spark, st["td"]).groupBy("mon")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("o_totalprice"), 4).alias("s"))
+           .select(F.lit("current").alias("stage"), "mon", "n", "s"))
+    bef = (read_version(spark, st["td"], 1)
+           .filter(F.col("mon") == 3)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("o_totalprice"), 4).alias("s"))
+           .select(F.lit("before").alias("stage"),
+                   F.lit(3).alias("mon"), "n", "s"))
+    got = _reduce(DataFrame.unionByName, [cur, bef]).collect()
+    rows = [("current", int(r["mon"]), int(r["n"]), float(r["s"]))
+            for r in sorted((r for r in got
+                             if r["stage"] == "current"),
+                            key=lambda r: r["mon"])]
+    b = next(r for r in got if r["stage"] == "before")
     rows.append(("before", 3, int(b["n"]), float(b["s"])))
     if st["replay_noop"]:
         rows.append(("replay_noop", -1, 1, 0.0))
@@ -987,21 +995,30 @@ def writer_replace_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "refused": refused, "dirs": (td,)}
 
     st = audit_state("writer_replace", sf_dir, build)
-    fmt = (spark.read.format("versioned_table")
-           .option("path", st["td"]).load())
-    rows = []
-    for r in (fmt.groupBy("mon")
-              .agg(F.count(F.lit(1)).alias("n"),
-                   F.round(F.sum("o_totalprice"), 4).alias("s"))
-              .collect()):
-        rows.append(("current", int(r["mon"]), int(r["n"]),
-                     float(r["s"])))
-    b = (spark.read.format("versioned_table")
-         .option("path", st["td"]).option("version", "1").load()
-         .filter(F.col("mon") == 10)
-         .agg(F.count(F.lit(1)).alias("n"),
-              F.round(F.sum("o_totalprice"), 4).alias("s"))
-         .collect()[0])
+    # both format() read-backs run as ONE unioned Spark job (r15);
+    # each keeps its own .load() relation (one-load-per-filter
+    # pushdown contract, sources/versioned_source.py)
+    from functools import reduce as _reduce
+
+    cur = (spark.read.format("versioned_table")
+           .option("path", st["td"]).load()
+           .groupBy("mon")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("o_totalprice"), 4).alias("s"))
+           .select(F.lit("current").alias("stage"), "mon", "n", "s"))
+    bef = (spark.read.format("versioned_table")
+           .option("path", st["td"]).option("version", "1").load()
+           .filter(F.col("mon") == 10)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("o_totalprice"), 4).alias("s"))
+           .select(F.lit("before").alias("stage"),
+                   F.lit(10).alias("mon"), "n", "s"))
+    got = _reduce(DataFrame.unionByName, [cur, bef]).collect()
+    rows = [("current", int(r["mon"]), int(r["n"]), float(r["s"]))
+            for r in sorted((r for r in got
+                             if r["stage"] == "current"),
+                            key=lambda r: r["mon"])]
+    b = next(r for r in got if r["stage"] == "before")
     rows.append(("before", 10, int(b["n"]), float(b["s"])))
     if st["replay_noop"]:
         rows.append(("replay_noop", -1, 1, 0.0))
@@ -1354,24 +1371,38 @@ def vacuum_retention_audit(spark: SparkSession,
 
     st = audit_state("vacuum_retention", sf_dir, build)
     rows = []
+    # the three per-table groupBy read-backs run as ONE unioned
+    # Spark job (r15); the stranded-clone probe stays separate --
+    # it must RAISE, which a union would poison
+    from functools import reduce as _reduce
 
-    def agg(stage, df):
-        for r in (df.groupBy("yr")
-                  .agg(F.count(F.lit(1)).alias("n"),
-                       F.round(F.sum("o_totalprice"), 4).alias("s"))
-                  .collect()):
+    probes = [
+        ("shallow_before", read_version(spark, st["sh_pre"], 1)),
+        ("source_after_vacuum", read_current(spark, st["src"])),
+        ("deep_after_vacuum", read_version(spark, st["dp"], 1)),
+    ]
+    got = _reduce(DataFrame.unionByName, [
+        df.groupBy("yr")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("o_totalprice"), 4).alias("s"))
+        .select(F.lit(stg).alias("stage"), "yr", "n", "s")
+        for stg, df in probes]).collect()
+
+    def agg(stage):
+        for r in sorted((r for r in got if r["stage"] == stage),
+                        key=lambda r: r["yr"]):
             rows.append((stage, int(r["yr"]), int(r["n"]),
                          float(r["s"])))
 
-    agg("shallow_before", read_version(spark, st["sh_pre"], 1))
+    agg("shallow_before")
     if st["purge_refused"]:
         rows.append(("purge_external_refused", -1, 1, 0.0))
-    agg("source_after_vacuum", read_current(spark, st["src"]))
+    agg("source_after_vacuum")
     try:
         read_version(spark, st["sh"], 1).count()
     except Exception:  # noqa: BLE001 -- stranded-clone contract
         rows.append(("shallow_read_fails", -1, 1, 0.0))
-    agg("deep_after_vacuum", read_version(spark, st["dp"], 1))
+    agg("deep_after_vacuum")
     if st["stream_reaped"]:
         rows.append(("stream_base_reaped", -1, 1, 0.0))
     return spark.createDataFrame(

@@ -1386,14 +1386,21 @@ def ndv_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return {"td": td, "dirs": (td,)}
 
     td = audit_state("ndv_audit", sf_dir, build)["td"]
+    # the three exact-distinct anchor jobs union into ONE Spark job
+    # (r15); the nine register merges stay zero-job metadata
+    from functools import reduce as _reduce
+
+    exact_by_v = {r["v"]: r for r in _reduce(
+        DataFrame.unionByName,
+        [read_version(spark, td, v)
+         .agg(*[F.count_distinct(c).alias(c) for c in _NDV_COLS])
+         .select(F.lit(v).alias("v"), "*")
+         for v in (1, 2, 3)]).collect()}
     rows = []
     for v in (1, 2, 3):
-        exacts = (read_version(spark, td, v)
-                  .agg(*[F.count_distinct(c).alias(c)
-                         for c in _NDV_COLS]).collect()[0])
         for c in _NDV_COLS:
             rows.append((v, c, int(column_ndv(td, c, n=v)),
-                         int(exacts[c])))
+                         int(exact_by_v[v][c])))
     return spark.createDataFrame(
         rows, "version int, col string, ndv bigint, "
               "exact_distinct bigint")
@@ -1521,22 +1528,27 @@ def histogram_quantile_audit(spark: SparkSession,
         return {"td": td, "dirs": (td,)}
 
     td = audit_state("hist_audit", sf_dir, build)["td"]
-    rows = []
-    for v in (1, 2, 3):
-        df = read_version(spark, td, v)
-        exacts = df.agg(*[
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.histogram import quantize
+
+    # the three exact-in-range anchor jobs union into ONE Spark job
+    # (r15); the eighteen quantile/range walks stay zero-job metadata
+    from functools import reduce as _reduce
+
+    exact_by_v = {r["v"]: r for r in _reduce(
+        DataFrame.unionByName,
+        [read_version(spark, td, v).agg(*[
             F.count(F.when(
                 (F.col(c) if s == 0
                  else F.floor(F.col(c) * (10 ** s) + 0.5))
-                .cast("long").between(
-                    __import__(
-                        "esg_decarbonization_data_integration_and_data_pipline_spark.io.histogram",
-                        fromlist=["quantize"]).quantize(lo, s),
-                    __import__(
-                        "esg_decarbonization_data_integration_and_data_pipline_spark.io.histogram",
-                        fromlist=["quantize"]).quantize(hi, s)),
+                .cast("long").between(quantize(lo, s),
+                                      quantize(hi, s)),
                 1)).alias(c)
-            for c, s, lo, hi, _vq in _HIST_COLS]).collect()[0]
+            for c, s, lo, hi, _vq in _HIST_COLS])
+         .select(F.lit(v).alias("v"), "*")
+         for v in (1, 2, 3)]).collect()}
+    rows = []
+    for v in (1, 2, 3):
+        exacts = exact_by_v[v]
         for c, s, lo, hi, _vq in _HIST_COLS:
             lb, ub = column_hist_range_count(td, c, lo, hi, n=v)
             rows.append((
