@@ -228,7 +228,7 @@ def audit_constraints(spark, table_dir: str,
         committed_versions, table_rowcount, table_schema,
     )
     from esg_decarbonization_data_integration_and_data_pipline_spark.operators.expectations import (
-        check_table,
+        check_table_versions,
     )
 
     checks = table_constraints(table_dir)
@@ -239,7 +239,13 @@ def audit_constraints(spark, table_dir: str,
                                                   backend=backend)
                     if os.path.isdir(os.path.join(table_dir,
                                                   f"v_{n:08d}"))]
-    out: list[dict] = []
+    # r15: versions sharing the same applicable check set batch
+    # through check_table_versions, so their scan halves run as ONE
+    # unioned Spark job instead of one job per version (a 100-
+    # version audit pays one collect, not 100)
+    applicable_by_v: dict[int, list] = {}
+    missing_by_v: dict[int, list] = {}
+    groups: dict[tuple, list[int]] = {}
     for n in versions:
         st = table_schema(table_dir, n)
         known = set(st.fieldNames()) if st is not None else None
@@ -247,12 +253,20 @@ def audit_constraints(spark, table_dir: str,
         def absent(c) -> bool:
             return known is not None and c.columns[0] not in known
 
-        applicable = [c for c in checks if not absent(c)]
-        rows: list[dict] = []
-        if applicable:
-            rows = check_table(spark, table_dir, applicable, n=n,
-                               backend=backend)
-        missing = [c for c in checks if absent(c)]
+        applicable_by_v[n] = [c for c in checks if not absent(c)]
+        missing_by_v[n] = [c for c in checks if absent(c)]
+        groups.setdefault(
+            tuple(c.label for c in applicable_by_v[n]), []).append(n)
+    checked: dict[int, list[dict]] = {}
+    for key, vs in groups.items():
+        if key:
+            checked.update(check_table_versions(
+                spark, table_dir, applicable_by_v[vs[0]], vs,
+                backend=backend))
+    out: list[dict] = []
+    for n in versions:
+        rows = list(checked.get(n, []))
+        missing = missing_by_v[n]
         if missing:
             # pre-evolution version: the column does not exist there;
             # every row violates not_null, nothing violates the rest.
