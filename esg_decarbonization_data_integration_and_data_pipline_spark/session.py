@@ -27,7 +27,6 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.shuffle.partitions": "32",
     "spark.sql.parquet.compression.codec": "zstd",
     # dynamic partition overwrite backs the idempotent
     # delete-slice-then-append write pattern (see io/writers.py)
@@ -54,4 +53,27 @@ def get_spark(app_name: str = "decarb-spark", master: str | None = None,
         merged.update(conf)
     for k, v in merged.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # shuffle parallelism is SCALE-ADAPTIVE, not a constant (r15,
+    # guide section 2.2): AQE only coalesces DOWN from the static
+    # number, so a local-mode constant (the old "32") becomes an
+    # under-partitioning ceiling on a real cluster.  The default
+    # upper bound derives from the session's actual core count
+    # (identical to the old value on local[32], so bench numbers
+    # stay comparable; ~one wave per core elsewhere), floored at 32
+    # so tiny local sessions keep enough split granularity for AQE
+    # to work with.  Production jobs that know their shuffle BYTES
+    # should size partitions at 100-1000 MB each instead, via the
+    # explicit conf / SPARK_GRAFT_SHUFFLE_PARTITIONS override --
+    # this is a parallelism bound, not a data-size tune.  Runtime-
+    # mutable SQL conf, so it also applies when getOrCreate reuses
+    # an existing session.
+    explicit = conf and "spark.sql.shuffle.partitions" in conf
+    env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if env:
+        spark.conf.set("spark.sql.shuffle.partitions", env)
+    elif not explicit:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(32, spark.sparkContext.defaultParallelism)))
+    return spark
