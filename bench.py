@@ -298,6 +298,10 @@ def main() -> None:
         "queries_min": minimums,     # per-query best sample
         "samples": samples,          # raw per-query sample lists
         "sf": sf_val,
+        # annotation only (r15): the driver also runs this bench at
+        # lower core counts, and a BENCH_LOG line without the core
+        # count is not comparable round-over-round
+        "cpus": int(cpus) if str(cpus).isdigit() else str(cpus),
     }
     for plen, _sentinel in PREFIXES:
         prefix = HEADLINE[:plen]
