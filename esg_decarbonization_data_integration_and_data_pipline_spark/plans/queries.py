@@ -875,7 +875,15 @@ _DRIVER_HEAD = [
     # chained-CTE oracle (r13 verdict task 4: the last
     # never-driver-graded query crosses the gate; see
     # _bpe_trainer_oracle)
-    "writer_replace_audit", "bpe_tokenize_docs",
+    # (writer_replace_audit -- graded r14-r15, 2 rounds -- rotated to
+    # the tail in r16 so constraints_history_audit can RE-CROSS the
+    # external gate: the r15 rotation left that pair with no fresh
+    # driver grade, and the r15 verdict ordered them back through the
+    # head.  The format() write face keeps head rep
+    # datasource_write_audit, dynamic partition overwrite keeps the
+    # function-face twin replace_partitions_audit, and S7 is
+    # coverage-exempt)
+    "constraints_history_audit", "bpe_tokenize_docs",
     # ---- round-13 new capabilities: the frozen-merge BPE ENCODER
     # grade (the corpus-wide half of the tokenizer -- the trainer
     # stays rows-only), Hive-partitioned-layout pruning through
@@ -921,7 +929,14 @@ _DRIVER_HEAD = [
     # (tests/test_fsck.py) and its repair/GC semantics exercised
     # through vacuum_retention_audit's retention stages; neither
     # carried exclusive SURVEY rows
-    "exact_substring_spans_docs", "exact_substring_dedup_docs",
+    # (exact_substring_spans_docs -- graded r14-r15, 2 rounds --
+    # rotated to the tail in r16 so similarity_topk_batch can
+    # RE-CROSS the external gate per the r15 verdict: the span
+    # family keeps head rep exact_substring_dedup_docs, whose
+    # cleaned-text rebuild derives from the SAME span frame, W2
+    # returns via similarity_topk_batch itself + greedy_allocation,
+    # and the span query stays bench-headlined + oracle-replayed)
+    "similarity_topk_batch", "exact_substring_dedup_docs",
     # (pii_redact_docs -- the r9 PII first-grade -- rotated to the
     # tail in r11 after two graded rounds for the fsck_report_audit
     # slot; P6 keeps head reps scd2_customer_history +
@@ -972,15 +987,23 @@ _DRIVER_TAIL = [
     # engine-independent io/ndv HLL recipe, hash-graded)
     # ---- round-15 rotations OUT of the head (slots for the
     # returning approx_sketches and the new histogram tier):
-    #   similarity_topk_batch (r10-r14, 5 graded rounds) -> W2 keeps
-    #       head rep greedy_allocation; ANN serving stays
-    #       bench-headlined (similarity_topk / similarity_ivf_topk /
-    #       similarity_lsh_buckets) and oracle-replayed in-repo
-    #   constraints_history_audit (r11-r14, 4 graded rounds) ->
-    #       A2/P3 keep multiple head reps; enforce_on_write stays on
-    #       every merge/writer audit's commit path and the
-    #       expectations tier stays oracle-replayed + pytest-pinned
-    "similarity_topk_batch", "constraints_history_audit",
+    # similarity_topk_batch (r10-r14) and constraints_history_audit
+    # (r11-r14) sat here for r15 only -- the r15 verdict ordered both
+    # back through the head (no fresh external grade existed for the
+    # pair), so they RETURNED to the head in r16; see the r16 head
+    # comments at their entries.
+    # ---- round-16 rotations OUT of the head (the slots for that
+    # returning pair; both graded r14-r15, 2 rounds):
+    #   writer_replace_audit -> the format() write face keeps head
+    #       rep datasource_write_audit; dynamic partition overwrite
+    #       keeps the function-face twin replace_partitions_audit;
+    #       stays bench-headlined + oracle-replayed
+    #   exact_substring_spans_docs -> the ExactSubstr family keeps
+    #       head rep exact_substring_dedup_docs (same span frame,
+    #       plus the rebuild); W2 window-rank stays via
+    #       greedy_allocation + the returning similarity_topk_batch;
+    #       stays bench-headlined + oracle-replayed
+    "writer_replace_audit", "exact_substring_spans_docs",
     # round-5 rotations INTO the head (each was driver-green for >= 2
     # rounds before rotating out, and each family keeps a head rep):
     #   dedup_simhash_pairs   -> dedup_simhash64_pairs (production cfg)
