@@ -103,6 +103,81 @@ def schema_diff(old: DataFrame, new: DataFrame) -> list[dict]:
     return out
 
 
+_LOCAL_COUNTS_CAP = 100_000
+
+
+def _merged_counts(o_counts: DataFrame, n_counts: DataFrame,
+                   cap: int | None = None):
+    """Compute both sides' per-key counts with ONE Spark job and
+    full-outer-merge them on the driver.
+
+    The r15 shape eagerly ``localCheckpoint``-ed each side (two jobs)
+    so the corpus-sized bucket scans would not re-run once per
+    consumer (the r15 plans held up to 40 scans of the input without
+    truncation).  That kept the 0-rescan property but charged a fixed
+    two-job materialization even on tiny inputs, and the downstream
+    full-outer join + total aggregates + crossJoins still planned ~12
+    exchanges over the checkpointed control-plane rows (the r15
+    verdict's drift watch item).  Both sides now union into a single
+    side-tagged aggregate action -- one job, each snapshot scanned
+    once -- and the merge/total bookkeeping happens on the collected
+    rows (control-plane-sized: O(buckets) or O(categories); exact
+    integer arithmetic, so nothing float-sensitive moves here).  The
+    PSI scoring itself stays in Spark expressions over one local
+    frame (:func:`_psi_score_rows`), which keeps results
+    bit-identical while the final plan collapses to a projection.
+
+    ``cap`` bounds the driver transfer for callers whose key domain
+    is not bounded by construction: when the union exceeds it, the
+    caller falls back to the executor-resident checkpoint path.
+    Returns (merged, tot_old, tot_new) where ``merged`` is
+    [(key, n_old, n_new)] sorted by key -- or None when over cap.
+    """
+    o_cnt = [c for c in o_counts.columns if c != "__bkey"][0]
+    n_cnt = [c for c in n_counts.columns if c != "__bkey"][0]
+    u = (o_counts.select(F.lit("o").alias("__side"), "__bkey",
+                         F.col(o_cnt).alias("__n"))
+         .unionByName(
+             n_counts.select(F.lit("n").alias("__side"), "__bkey",
+                             F.col(n_cnt).alias("__n"))))
+    rows = u.take(cap + 1) if cap is not None else u.collect()
+    if cap is not None and len(rows) > cap:
+        return None
+    by_key: dict = {}
+    for r in rows:
+        slot = by_key.setdefault(r["__bkey"], [0, 0])
+        slot[0 if r["__side"] == "o" else 1] = r["__n"]
+    merged = [(k, v[0], v[1]) for k, v in sorted(by_key.items())]
+    tot_o = sum(v[0] for v in by_key.values())
+    tot_n = sum(v[1] for v in by_key.values())
+    return merged, tot_o, tot_n
+
+
+def _psi_score_rows(spark, merged, tot_o: int, tot_n: int,
+                    k_smooth: float, key_field) -> DataFrame:
+    """:func:`_psi_score` over driver-merged counts: one local frame,
+    one projection -- no join, no aggregate, no exchange.  The
+    smoothing arithmetic is the SAME Spark expression tree evaluated
+    over the same values (totals/k enter as literals exactly where
+    the aggregate/count columns did), so p/q/psi_term are
+    bit-identical to the distributed scorer's."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    st = StructType([key_field,
+                     StructField("n_old", LongType(), False),
+                     StructField("n_new", LongType(), False)])
+    df = spark.createDataFrame(merged, schema=st)
+    key = key_field.name
+    k = F.lit(float(k_smooth))
+    p = (F.col("n_old") + 1.0) / (F.lit(tot_o) + k)
+    q = (F.col("n_new") + 1.0) / (F.lit(tot_n) + k)
+    return df.select(
+        key, "n_old", "n_new",
+        F.round(p, 6).alias("p_old"),
+        F.round(q, 6).alias("p_new"),
+        F.round((q - p) * F.log(q / p), 6).alias("psi_term"))
+
+
 def _psi_score(o_counts: DataFrame, n_counts: DataFrame,
                k_smooth) -> DataFrame:
     """Join per-bucket counts of the two snapshots and score each
@@ -189,18 +264,24 @@ def psi_drift(old: DataFrame, new: DataFrame, column: str,
         return (df.groupBy(b.cast("int").alias("__bkey"))
                   .agg(F.count(F.lit(1)).alias(out)))
 
-    # materialize the O(n_buckets) count frames ONCE
-    # (localCheckpoint): _psi_score reuses each side in the join AND
-    # its own total-aggregate subtree, and the DataFrame API has no
-    # common-subexpression reuse across those, so without truncation
-    # every reuse re-runs the corpus-sized bucket scan (measured:
-    # drift_ks_summary's single plan held 84 Exchanges / ~10 scans
-    # of the input; r15 optimization, guide section 7.2).  The
-    # checkpointed frames are bucket-sized control-plane rows.
-    scored = _psi_score(bucketed(old, "n_old").localCheckpoint(),
-                        bucketed(new, "n_new").localCheckpoint(),
-                        n_buckets + 1)
-    return scored.withColumnRenamed("__bkey", "bucket")
+    # materialize the O(n_buckets) count frames ONCE: the scorer
+    # reuses each side in the join AND its own total-aggregate
+    # subtree, and the DataFrame API has no common-subexpression
+    # reuse across those, so without truncation every reuse re-runs
+    # the corpus-sized bucket scan (measured: drift_ks_summary's
+    # single plan held 84 Exchanges / ~10 scans of the input; r15,
+    # guide section 7.2).  Both sides collect through ONE union job
+    # and the scoring runs as a projection over one local frame
+    # (r16; bounded at n_buckets + 1 rows per side by construction,
+    # so no cap is needed) -- see _merged_counts for why this beats
+    # the r15 per-side eager localCheckpoint pair.
+    from pyspark.sql.types import IntegerType, StructField
+
+    merged, tot_o, tot_n = _merged_counts(bucketed(old, "n_old"),
+                                          bucketed(new, "n_new"))
+    return _psi_score_rows(old.sparkSession, merged, tot_o, tot_n,
+                           n_buckets + 1,
+                           StructField("bucket", IntegerType(), False))
 
 
 def drift_summary(drift: DataFrame) -> DataFrame:
@@ -277,17 +358,36 @@ def category_drift(old: DataFrame, new: DataFrame,
                   .agg(F.count(F.lit(1)).alias(out)))
 
     # materialize the O(#categories) count frames once (the
-    # psi_drift localCheckpoint rationale): each side feeds the
-    # scored join, its own total subtree AND the k-frame below --
-    # four corpus scans per side otherwise
-    o = counts(old, "n_old").localCheckpoint()
-    n = counts(new, "n_new").localCheckpoint()
-    # k is data-dependent; thread it through the smoothing as a
-    # broadcast 1-row frame instead of a Python int (no collect)
-    k = (o.join(n, "__bkey", "full_outer")
-          .agg(F.count(F.lit(1)).alias("__k")))
+    # psi_drift rationale): each side feeds the scored join, its own
+    # total subtree AND the k-frame -- four corpus scans per side
+    # otherwise.  One union job merges both sides on the driver and
+    # the smoothing k (= observed-category count) is exact integer
+    # bookkeeping over the merged rows; a column whose category
+    # domain is NOT control-plane-sized (cardinality above the cap
+    # -- misuse of a categorical-drift operator, but it must stay
+    # safe) falls back to the executor-resident r15 checkpoint path
+    # instead of shipping an unbounded frame to the driver.
+    both = _merged_counts(counts(old, "n_old"),
+                          counts(new, "n_new"),
+                          cap=_LOCAL_COUNTS_CAP)
+    if both is not None:
+        from pyspark.sql.types import StringType, StructField
+
+        merged, tot_o, tot_n = both
+        scored = _psi_score_rows(old.sparkSession, merged, tot_o,
+                                 tot_n, len(merged),
+                                 StructField("__bkey", StringType(),
+                                             False))
+    else:
+        o = counts(old, "n_old").localCheckpoint()
+        n = counts(new, "n_new").localCheckpoint()
+        # k is data-dependent; thread it through the smoothing as a
+        # broadcast 1-row frame instead of a Python int (no collect)
+        k = (o.join(n, "__bkey", "full_outer")
+              .agg(F.count(F.lit(1)).alias("__k")))
+        scored = _psi_score(o, n, k)
     category = F.when(F.col("__bkey").startswith("V"),
                       F.expr("substring(__bkey, 2)"))
-    return (_psi_score(o, n, k)
+    return (scored
             .select(category.alias("category"),
                     "n_old", "n_new", "p_old", "p_new", "psi_term"))

@@ -238,3 +238,41 @@ def test_category_drift_summary_psi_and_tvd(spark):
     same = category_drift_summary(category_drift(old, old, "c"))
     r2 = same.collect()[0]
     assert r2["psi_total"] == 0.0 and r2["tvd"] == 0.0
+
+
+def test_category_drift_overcap_fallback_matches_local(spark,
+                                                       monkeypatch):
+    """The r16 driver-merge path (one union job, local scoring) and
+    the executor-resident checkpoint fallback (key domain above the
+    transfer cap) must produce identical frames -- the fallback is
+    the 100 TB safety valve for a non-control-plane-sized category
+    domain, not a different operator."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators import diff
+
+    def cat(xs):
+        return spark.createDataFrame([(x,) for x in xs], "c string")
+
+    old = cat(["a", "a", "b", None, "d"])
+    new = cat(["a", "c", "c", None, "", "d", "d"])
+    local = {r["category"]: r for r in
+             category_drift(old, new, "c").collect()}
+    monkeypatch.setattr(diff, "_LOCAL_COUNTS_CAP", 1)
+    fallback = {r["category"]: r for r in
+                category_drift(old, new, "c").collect()}
+    assert set(local) == set(fallback)
+    for k in local:
+        assert tuple(local[k]) == tuple(fallback[k]), k
+
+
+def test_psi_drift_plan_has_no_exchange_or_scan(spark):
+    """r16 contract: the PSI frame is a projection over ONE local
+    frame -- the corpus is scanned exactly once per side inside the
+    counts job, and the returned plan carries no join/aggregate
+    exchanges and no rescan of the inputs (the r15 plans re-derived
+    the bucket-count subtree per consumer; guide section 2.4)."""
+    old = _num(spark, [1, 2, 3, 4, None])
+    new = _num(spark, [2, 3, 5])
+    plan = (psi_drift(old, new, "x", n_buckets=4)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "Scan parquet" not in plan
