@@ -33,6 +33,11 @@ from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned im
     table_schema,
 )
 
+
+# long-tail suite: skipped by the default run (pytest.ini addopts -m "not slow");
+# select with `-m slow`
+pytestmark = pytest.mark.slow
+
 KEYS = list(range(40))
 NAMES = ["v", "val", "value", "amount"]
 

@@ -6,9 +6,16 @@ invariant layer the scan-count pins can't give.
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from esg_decarbonization_data_integration_and_data_pipline_spark.operators import expectations as E
+
+
+# long-tail suite: skipped by the default run (pytest.ini addopts -m "not slow");
+# select with `-m slow`
+pytestmark = pytest.mark.slow
 
 SETTINGS = settings(max_examples=10, deadline=None,
                     suppress_health_check=[

@@ -16,6 +16,11 @@ from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned im
     read_version,
 )
 
+
+# long-tail suite: skipped by the default run (pytest.ini addopts -m "not slow");
+# select with `-m slow`
+pytestmark = pytest.mark.slow
+
 KEYS = list(range(30))
 
 # each entry: (sql condition over s./t., python twin over (t, s))

@@ -129,6 +129,11 @@ def test_asof_join_matches_bruteforce(spark, left, right):
 import pytest
 
 
+
+# long-tail suite: skipped by the default run (pytest.ini addopts -m "not slow");
+# select with `-m slow`
+pytestmark = pytest.mark.slow
+
 @given(site_amounts=st.lists(st.floats(1.0, 1e6), min_size=1, max_size=6),
        splits=st.lists(st.floats(0.05, 1.0), min_size=1, max_size=5))
 @settings(max_examples=15, deadline=None,

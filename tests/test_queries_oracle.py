@@ -16,6 +16,11 @@ import pytest
 from esg_decarbonization_data_integration_and_data_pipline_spark.plans.queries import REGISTRY
 
 
+
+# long-tail suite: skipped by the default run (pytest.ini addopts -m "not slow");
+# select with `-m slow`
+pytestmark = pytest.mark.slow
+
 def _canon_cell(v) -> str:
     if v is None:
         return "<NULL>"

@@ -8,10 +8,17 @@ Same dict-model discipline as the versioned-table property suite.
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from esg_decarbonization_data_integration_and_data_pipline_spark.io.scd import scd2_apply
 from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import read_current
+
+
+# long-tail suite: skipped by the default run (pytest.ini addopts -m "not slow");
+# select with `-m slow`
+pytestmark = pytest.mark.slow
 
 KEYS = [1, 2, 3]
 SEGS = ["A", "B", None]

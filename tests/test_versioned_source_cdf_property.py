@@ -34,6 +34,11 @@ from esg_decarbonization_data_integration_and_data_pipline_spark.sources.version
     register,
 )
 
+
+# long-tail suite: skipped by the default run (pytest.ini addopts -m "not slow");
+# select with `-m slow`
+pytestmark = pytest.mark.slow
+
 KEYS = list(range(30))
 
 
