@@ -73,9 +73,12 @@ from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned im
     CommitBackend,
     VersionConflictError,
     _data_files,
+    _dv_key_col,
+    _dv_suffix,
     _physical_map,
     _physical_name,
     _read_files,
+    _read_files_with_pos,
     _read_stats,
     committed_versions,
     current_version,
@@ -718,11 +721,13 @@ def count_keys_all_versions(spark: SparkSession, table_dir: str,
     still match ``values`` -- the audit a DPO runs after
     :func:`purge_keys_history` (all-zero = forgotten).  Scans only
     the stats-pruned candidate files of each version, and all
-    versions in ONE Spark job: each version's candidate read gets a
-    version-literal column and the union aggregates by it, so a
-    100-version table pays one job (shared files still read once
-    per REFERENCING version -- the per-version counts are the
-    contract)."""
+    versions in ONE Spark job: shared candidate files are scanned
+    ONCE and attributed to every referencing version through a
+    broadcast (file-suffix -> versions) map + explode (r16; the
+    prior union shape re-read a file once per referencing version,
+    ~Nx the I/O on a 100-version append history), then one count
+    keyed by the exploded version.  Versions whose schema or
+    subject-column logical name differ read in their own group."""
     from pyspark.sql import functions as F
 
     backend = backend or _DEFAULT_BACKEND
@@ -735,10 +740,12 @@ def count_keys_all_versions(spark: SparkSession, table_dir: str,
     phys = _key_physical(table_dir, versions, key, key_version)
     logicals = _key_logicals(table_dir, versions, phys)
     out: dict[int, int] = {n: 0 for n in versions}
-    frames = []
+    # group versions by (pinned schema, logical key name); within a
+    # group every shared candidate file scans once
+    groups: dict[tuple, list[int]] = {}
+    sts: dict[int, object] = {}
     for n in versions:
-        cand = per_version[n]
-        if not cand:
+        if not per_version[n]:
             continue
         # the version's OWN logical name for the subject column
         # (renames change it); None = column absent from that
@@ -747,11 +754,49 @@ def count_keys_all_versions(spark: SparkSession, table_dir: str,
         if k_n is None:
             continue
         st = table_schema(table_dir, n)
-        df = _read_files(spark, table_dir, cand, st)
-        if k_n not in df.columns:
+        if st is not None and k_n not in st.fieldNames():
             continue  # pre-evolution version: all-NULL, never matches
+        sts[n] = st
+        sj = st.json() if st is not None else None
+        groups.setdefault((sj, k_n), []).append(n)
+    frames = []
+    for (_sj, k_n), vs in groups.items():
+        by_sfx: dict[str, list[int]] = {}
+        sfx_rel: dict[str, str] = {}
+        collision = False
+        for n in vs:
+            for f in per_version[n]:
+                sfx = _dv_suffix(f)
+                prev = sfx_rel.get(sfx)
+                if prev is not None and prev != f:
+                    collision = True
+                    break
+                sfx_rel[sfx] = f
+                by_sfx.setdefault(sfx, []).append(n)
+            if collision:
+                break
+        if collision:
+            # suffix-key collision (clone-external refs sharing a
+            # basename): fall back to one read per version for this
+            # group -- slower, never wrong
+            for n in vs:
+                df = _read_files(spark, table_dir, per_version[n],
+                                 sts[n])
+                frames.append(df.filter(df[k_n].isin(vals))
+                                .select(F.lit(n).alias("__v")))
+            continue
+        vmap = spark.createDataFrame(
+            sorted(by_sfx.items()),
+            "__rv_sfx string, __rv_versions array<int>")
+        df = (_read_files_with_pos(spark, table_dir,
+                                   sorted(set(sfx_rel.values())),
+                                   sts[vs[0]])
+              .withColumn("__rv_sfx", _dv_key_col("__dv_file"))
+              .drop("__dv_file", "__dv_pos")
+              .join(F.broadcast(vmap), "__rv_sfx"))
         frames.append(df.filter(df[k_n].isin(vals))
-                        .select(F.lit(n).alias("__v")))
+                        .select(F.explode("__rv_versions")
+                                 .alias("__v")))
     if frames:
         u = frames[0]
         for f in frames[1:]:

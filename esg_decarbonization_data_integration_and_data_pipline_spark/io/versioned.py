@@ -4263,6 +4263,145 @@ def read_version(spark: SparkSession, table_dir: str, n: int,
     return _read_resolved(spark, table_dir, n)
 
 
+def read_versions(spark: SparkSession, table_dir: str, versions,
+                  version_col: str = "__version",
+                  backend: CommitBackend | None = None) -> DataFrame:
+    """Multi-version read with BY-FILE dedup: every physical data
+    file is scanned ONCE, not once per referencing version, and each
+    row is attributed to every version that contains it through a
+    broadcast (file-suffix -> versions) map + explode.  Returns the
+    versions' shared pinned schema prefixed with ``version_col``
+    (int); rows per version are identical to
+    ``read_version(n).withColumn(version_col, lit(n))``.
+
+    Why: the multi-version audits union per-version reads into one
+    job, and on a manifest-append history version N+1 re-lists every
+    file of version N -- a 3-version union read shared files three
+    times (~2x wasted scan I/O on append-heavy histories; the r15
+    round's top known gap).  Here the shuffle/aggregate volume above
+    the scan is unchanged (the explode emits exactly the rows the
+    per-version union emitted), but each file's bytes are read and
+    decoded once.
+
+    Scope guards (each falls back to correctness, never silently
+    misreads):
+    - every requested version must pin the SAME schema (field names,
+      types, and physical mapping); a schema-changing history raises
+      ``SchemaMismatchError`` -- callers group versions by schema
+      first (the :func:`read_version` semantics of "this version's
+      pinned schema drives its read" cannot hold across differing
+      schemas in one scan);
+    - a file carrying a DELETION VECTOR in some referencing version
+      reads through the per-version DV path for those versions (its
+      live row set differs by version); only DV-free attributions
+      share a scan.
+    """
+    from pyspark.sql import functions as F
+
+    versions = list(versions)
+    if not versions:
+        raise ValueError("read_versions: no versions requested")
+    if len(set(versions)) != len(versions):
+        raise ValueError(f"read_versions: duplicate versions in "
+                         f"{versions}")
+    committed = committed_versions(table_dir, backend=backend)
+    if not committed:
+        raise FileNotFoundError(
+            f"{table_dir} has no committed version (_CURRENT missing)")
+    for n in versions:
+        if n not in committed:
+            raise ValueError(
+                f"version v_{n:08d} of {table_dir} was never "
+                f"committed (committed versions: {committed})")
+        if not os.path.isdir(os.path.join(table_dir, f"v_{n:08d}")):
+            raise FileNotFoundError(
+                f"version v_{n:08d} of {table_dir} was committed but "
+                f"has been vacuumed")
+
+    sts = {n: table_schema(table_dir, n) for n in versions}
+    st = sts[versions[0]]
+    ref_json = st.json() if st is not None else None
+    for n in versions[1:]:
+        other = sts[n].json() if sts[n] is not None else None
+        if other != ref_json:
+            raise SchemaMismatchError(
+                f"read_versions needs one shared pinned schema; "
+                f"v_{versions[0]:08d} and v_{n:08d} of {table_dir} "
+                f"differ -- group versions by schema and read each "
+                f"group separately")
+
+    # (suffix -> referencing versions) for DV-free attributions;
+    # DV-bearing (version, file) pairs read through the masked path
+    by_sfx: dict[str, list[int]] = {}
+    sfx_to_rel: dict[str, str] = {}
+    dv_per_version: dict[int, list[str]] = {}
+    dvs_by_version: dict[int, dict] = {}
+    for n in versions:
+        rel_files = _data_files(table_dir, n)
+        dvs = _read_dvs(table_dir, n)
+        dvs_by_version[n] = dvs
+        for f in rel_files:
+            if f in dvs:
+                dv_per_version.setdefault(n, []).append(f)
+                continue
+            sfx = _dv_suffix(f)
+            prev = sfx_to_rel.get(sfx)
+            if prev is not None and prev != f:
+                raise RuntimeError(
+                    f"read_versions scan-key collision: {f!r} and "
+                    f"{prev!r} share the join suffix {sfx!r}; rows "
+                    f"cannot be attributed safely. Deep-clone or "
+                    f"compact the table so file names are unique "
+                    f"within the scan")
+            sfx_to_rel[sfx] = f
+            by_sfx.setdefault(sfx, []).append(n)
+
+    cols = ([F.col(version_col)] +
+            [F.col(f.name) for f in st.fields]) if st is not None \
+        else None
+    frames: list[DataFrame] = []
+    if sfx_to_rel:
+        shared_files = sorted(set(sfx_to_rel.values()))
+        vmap = spark.createDataFrame(
+            sorted(by_sfx.items()),
+            "__rv_sfx string, __rv_versions array<int>")
+        shared = (_read_files_with_pos(spark, table_dir,
+                                       shared_files, st)
+                  .withColumn("__rv_sfx", _dv_key_col("__dv_file"))
+                  .drop("__dv_file", "__dv_pos")
+                  .join(F.broadcast(vmap), "__rv_sfx")
+                  .withColumn(version_col,
+                              F.explode("__rv_versions"))
+                  .drop("__rv_sfx", "__rv_versions"))
+        frames.append(shared.select(cols) if cols is not None
+                      else shared)
+    for n in sorted(dv_per_version):
+        fs = dv_per_version[n]
+        masked = (_read_files_dv(
+                      spark, table_dir, n, fs, st,
+                      dvs={f: dvs_by_version[n][f] for f in fs})
+                  .withColumn(version_col,
+                              F.lit(int(n)).cast("int")))
+        frames.append(masked.select(cols) if cols is not None
+                      else masked)
+    if not frames:
+        # zero data files in every requested version: the pinned
+        # schema (+ version col) IS the read
+        if st is None:
+            raise ValueError(
+                f"read_versions: no data files and no pinned schema "
+                f"under {table_dir} -- nothing to derive a read from")
+        from pyspark.sql.types import IntegerType, StructField, StructType
+        empty_st = StructType(
+            [StructField(version_col, IntegerType(), False)]
+            + list(st.fields))
+        return spark.createDataFrame([], empty_st)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def _dv_change_rows(spark: SparkSession, table_dir: str, st,
                     from_dvs: dict, to_dvs: dict,
                     files: list[str]) -> DataFrame:

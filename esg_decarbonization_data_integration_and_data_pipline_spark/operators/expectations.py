@@ -175,15 +175,27 @@ def _report_cols(label: str, kind: str, target: str,
             n.cast("bigint").alias("n_rows")]
 
 
-def report(df: DataFrame, checks: list[Check]) -> DataFrame:
+def report(df: DataFrame, checks: list[Check],
+           group: str | None = None) -> DataFrame:
     """Tidy report frame: (check_name, kind, target, n_violations,
     n_rows, passed), one row per declared check.  Lazy -- the scans
-    run when the report is consumed."""
+    run when the report is consumed.
+
+    ``group`` (r16): report PER VALUE of an existing column instead
+    of over the whole frame -- the output gains that column and every
+    check row repeats per group.  This is what lets a multi-version
+    audit run ONE by-file-deduped scan (io/versioned.read_versions)
+    and still get per-version rows: same aggregate tree, keyed by the
+    version column.  Note groupBy drops empty groups, so a group with
+    ZERO rows yields no rows here (callers synthesize the empty-input
+    report -- 0 violations / 0 rows / passed -- per absent group;
+    check_table_versions does)."""
     if not checks:
         raise ValueError("no checks declared")
     labels = [c.label for c in checks]
     if len(set(labels)) != len(labels):
         raise ValueError(f"duplicate check names in {labels}")
+    gcols = [group] if group is not None else []
     frames: list[DataFrame] = []
 
     row_level = [c for c in checks if c.kind in _ROW_LEVEL]
@@ -222,7 +234,8 @@ def report(df: DataFrame, checks: list[Check]) -> DataFrame:
                   .alias(f"__f{i}")
                  for i, flag in enumerate(fk_flags)]
         aggs.append(F.count(F.lit(1)).alias("__n"))
-        one = src.agg(*aggs)
+        one = (src.groupBy(*gcols).agg(*aggs) if gcols
+               else src.agg(*aggs))
         # unpivot the single agg row into one report row per check;
         # stack is JVM-side, so no collect and no Python-RDD frame
         stack_args: list[Column] = []
@@ -249,9 +262,11 @@ def report(df: DataFrame, checks: list[Check]) -> DataFrame:
                            F.col(f"__f{i}").cast("bigint")]
         n_stacked = len(row_level) + len(agg_checks) + len(fk_checks)
         frames.append(one.select(
+            *gcols,
             F.stack(F.lit(n_stacked), *stack_args)
              .alias("check_name", "kind", "target", "n_violations"),
             F.col("__n").alias("n_rows")).select(
+            *gcols,
             "check_name", "kind", "target",
             F.col("n_violations").cast("bigint").alias("n_violations"),
             F.col("n_rows").cast("bigint").alias("n_rows")))
@@ -267,13 +282,16 @@ def report(df: DataFrame, checks: list[Check]) -> DataFrame:
                 (F.col("__cnt") > 1) & keys_nonnull
                 if c.kind == "unique"
                 else F.col("__cnt") < F.lit(c.lo))
-            grouped = (df.groupBy(*[F.col(x) for x in c.columns])
+            grouped = (df.groupBy(*gcols,
+                                  *[F.col(x) for x in c.columns])
                          .agg(F.count(F.lit(1)).alias("__cnt")))
-            frames.append(grouped.agg(*_report_cols(
+            rep_cols = _report_cols(
                 c.label, c.kind, ",".join(c.columns),
                 F.coalesce(F.sum(F.when(bad_group, F.col("__cnt"))),
                            F.lit(0)),
-                F.coalesce(F.sum("__cnt"), F.lit(0)))))
+                F.coalesce(F.sum("__cnt"), F.lit(0)))
+            frames.append(grouped.groupBy(*gcols).agg(*rep_cols)
+                          if gcols else grouped.agg(*rep_cols))
         elif c.kind not in _ROW_LEVEL + ("agg_between",
                                          "foreign_key"):
             raise ValueError(f"unknown check kind: {c.kind}")
@@ -458,10 +476,16 @@ def check_table_versions(spark, table_dir: str, checks: list[Check],
     ONE Spark job with a single collect, instead of paying a
     job-scheduling round per version (r15; an N-version audit's
     collect latency was N x one control-plane fetch for O(#checks)
-    rows per version).  Rows per version are identical to calling
+    rows per version).  r16: within each same-schema version group
+    the scan half reads through :func:`read_versions` -- every
+    physical file scanned ONCE and attributed to its referencing
+    versions -- so an N-version audit over a manifest-append history
+    no longer re-reads shared files N times (the grouped
+    :func:`report` keys the same aggregate tree by the version
+    column).  Rows per version are identical to calling
     check_table(n=v) -- check_table itself delegates here."""
     from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
-        RANGE_STAT_KINDS, read_version, table_schema,
+        RANGE_STAT_KINDS, read_version, read_versions, table_schema,
     )
 
     if not checks:
@@ -488,9 +512,11 @@ def check_table_versions(spark, table_dir: str, checks: list[Check],
         return True
 
     rows_by_ver: dict[int, dict[str, dict]] = {}
-    scan_frames: list[DataFrame] = []
+    scan_by_ver: dict[int, list[Check]] = {}
+    st_by_ver: dict[int, object] = {}
     for n in versions:
         st = table_schema(table_dir, n)
+        st_by_ver[n] = st
         meta = [c for c in checks if routable(c, st)]
         scan = [c for c in checks if not routable(c, st)]
         rows: dict[str, dict] = {}
@@ -499,16 +525,51 @@ def check_table_versions(spark, table_dir: str, checks: list[Check],
                                      backend=backend):
                 rows[r["check_name"]] = r
         if scan:
-            scan_frames.append(
-                report(read_version(spark, table_dir, n,
-                                    backend=backend), scan)
-                .withColumn("__version", F.lit(int(n))))
+            scan_by_ver[n] = scan
         rows_by_ver[n] = rows
+    # group the scan halves by pinned schema (within one group the
+    # routing -- and so the scan check list -- is identical) and read
+    # each group through the by-file-deduped multi-version reader
+    groups: dict[str | None, list[int]] = {}
+    for n in scan_by_ver:
+        sj = st_by_ver[n].json() if st_by_ver[n] is not None else None
+        groups.setdefault(sj, []).append(n)
+    scan_frames: list[DataFrame] = []
+    for vs in groups.values():
+        scan = scan_by_ver[vs[0]]
+        try:
+            rv = read_versions(spark, table_dir, vs,
+                               backend=backend)
+            scan_frames.append(report(rv, scan, group="__version"))
+        except RuntimeError:
+            # scan-key collision (clone-external refs sharing a
+            # suffix): fall back to the r15 per-version union --
+            # slower, never wrong
+            for n in vs:
+                scan_frames.append(
+                    report(read_version(spark, table_dir, n,
+                                        backend=backend), scan)
+                    .withColumn("__version", F.lit(int(n))))
     if scan_frames:
         for r in reduce(DataFrame.unionByName, scan_frames).collect():
             d = r.asDict()
             v = d.pop("__version")
             rows_by_ver[v][d["check_name"]] = d
+    # a ZERO-ROW version forms no group in the grouped report --
+    # synthesize the empty-input rows (0 violations / 0 rows /
+    # passed), which is exactly what report() returns on an empty
+    # frame
+    for n, scan in scan_by_ver.items():
+        for c in scan:
+            if c.label not in rows_by_ver[n]:
+                target = (",".join(c.columns)
+                          if c.kind in ("unique", "min_group_size",
+                                        "foreign_key")
+                          else c.columns[0])
+                rows_by_ver[n][c.label] = {
+                    "check_name": c.label, "kind": c.kind,
+                    "target": target, "n_violations": 0,
+                    "n_rows": 0, "passed": True}
     return {n: [rows_by_ver[n][c.label] for c in checks]
             for n in versions}
 

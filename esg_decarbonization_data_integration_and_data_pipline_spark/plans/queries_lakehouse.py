@@ -369,7 +369,7 @@ def ddl_timetravel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(1) DDL); the graded five-version read-back re-runs every
     call.  Results unchanged."""
     from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
-        drop_columns, read_version, restore_table,
+        drop_columns, read_versions, restore_table, table_schema,
     )
 
     def build() -> dict:
@@ -379,14 +379,31 @@ def ddl_timetravel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return {"td": td, "dirs": (td,)}
 
     td = audit_state("ddl_timetravel", sf_dir, build)["td"]
-    rows = []
-    for v in (1, 2, 3, 4, 5):
-        df = read_version(spark, td, v)
-        agg = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 4).alias("s")).collect()[0]
-        rows.append((v, len(df.columns), ",".join(df.columns),
-                     int(agg["n"]), float(agg["s"])))
+    # r16: the five per-version aggregates still run as ONE Spark
+    # job, but within each same-schema version group the read goes
+    # through read_versions -- shared physical files scan once (the
+    # unioned shape re-read v1's file in v1, v2, v3 and v5; the
+    # drop-columns commit v4 reads in its own schema group).  The
+    # schema pinning (column count, exact comma-joined names) stays
+    # a driver-side metadata read of each version's pinned schema.
+    versions = (1, 2, 3, 4, 5)
+    sts = {v: table_schema(td, v) for v in versions}
+    schemas = {v: sts[v].fieldNames() for v in versions}
+    groups: dict[str, list[int]] = {}
+    for v in versions:
+        groups.setdefault(sts[v].json(), []).append(v)
+    u = None
+    for vs in groups.values():
+        f = (read_versions(spark, td, vs, version_col="version")
+             .select("version", "o_totalprice"))
+        u = f if u is None else u.unionByName(f)
+    got = {int(r["version"]): (int(r["n"]), float(r["s"]))
+           for r in (u.groupBy("version")
+                     .agg(F.count(F.lit(1)).alias("n"),
+                          F.round(F.sum("o_totalprice"), 4)
+                           .alias("s"))).collect()}
+    rows = [(v, len(schemas[v]), ",".join(schemas[v]),
+             got[v][0], got[v][1]) for v in versions]
     return spark.createDataFrame(
         rows, "version int, n_cols int, cols string, n_rows bigint, "
               "sum_price double")
@@ -686,15 +703,20 @@ def clone_divergence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return {"dirs": [src, dst], "src": src, "dst": dst}
 
     st = audit_state("clone_divergence", sf_dir, build)
+    # r16: each table's per-version aggregates read through
+    # read_versions -- physical files shared by several versions
+    # (the source's append chain; the clone's untouched files across
+    # its two versions, including the ``../``-external refs a
+    # shallow clone holds) scan ONCE and attribute by version
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import read_versions
     probes = [
-        read_version(spark, td, v)
+        read_versions(spark, td, vers, version_col="v")
+        .groupBy("v")
         .agg(F.count(F.lit(1)).alias("n"),
              F.round(F.sum("o_totalprice"), 4).alias("s"))
-        .select(F.lit(side).alias("side"), F.lit(v).alias("v"),
-                "n", "s")
+        .select(F.lit(side).alias("side"), "v", "n", "s")
         for side, td, vers in (("source", st["src"], (1, 2, 3)),
                                ("clone", st["dst"], (1, 2)))
-        for v in vers
     ]
     from functools import reduce
     got = {(r["side"], r["v"]): r
@@ -852,7 +874,8 @@ def rename_column_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     jobs/csr_etl.py:157); this grades what RENAME becomes once
     history and file-skipping stats exist."""
     from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
-        append_version, count_where, read_version, rename_column,
+        append_version, count_where, read_versions, rename_column,
+        table_schema,
     )
     from esg_decarbonization_data_integration_and_data_pipline_spark.tables import table
 
@@ -879,27 +902,32 @@ def rename_column_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the five per-version aggregates union into ONE Spark job (the
     # bloom_point_lookup r12 pattern); schema pinning (column count,
     # exact comma-joined names incl. order) stays a driver-side read
-    # of each version's resolved schema, and count_where stays the
-    # graded metadata+boundary path per version
-    frames, schemas = [], {}
-    for v in (1, 2, 3, 4, 5):
-        df = read_version(spark, td, v)
-        schemas[v] = list(df.columns)
-        price_col = ("price" if "price" in df.columns
+    # of each version's pinned schema, and count_where stays the
+    # graded metadata+boundary path per version.  r16: within each
+    # same-schema version group the read goes through read_versions
+    # -- shared physical files scan once (the pre-rename group
+    # re-read v1's file three times, the post-rename group v3's
+    # files twice)
+    versions = (1, 2, 3, 4, 5)
+    sts = {v: table_schema(td, v) for v in versions}
+    schemas = {v: sts[v].fieldNames() for v in versions}
+    groups: dict[str, list[int]] = {}
+    for v in versions:
+        groups.setdefault(sts[v].json(), []).append(v)
+    u = None
+    for vs in groups.values():
+        price_col = ("price" if "price" in schemas[vs[0]]
                      else "o_totalprice")
-        frames.append(df.select(
-            F.lit(v).cast("int").alias("version"),
-            F.col(price_col).alias("p")))
-    u = frames[0]
-    for f in frames[1:]:
-        u = u.unionByName(f)
+        f = (read_versions(spark, td, vs, version_col="version")
+             .select("version", F.col(price_col).alias("p")))
+        u = f if u is None else u.unionByName(f)
     got = {int(r["version"]): (int(r["n"]), float(r["s"]))
            for r in (u.groupBy("version")
                      .agg(F.count(F.lit(1)).alias("n"),
                           F.round(F.sum("p"), 4).alias("s"))
                      ).collect()}
     rows = []
-    for v in (1, 2, 3, 4, 5):
+    for v in versions:
         price_col = ("price" if "price" in schemas[v]
                      else "o_totalprice")
         n_mid = count_where(spark, td, price_col,
@@ -960,7 +988,7 @@ def dv_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     six versioned reads + the metadata rowcounts -- runs live every
     call."""
     from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
-        read_version,
+        read_versions,
         table_rowcount,
     )
 
@@ -993,14 +1021,15 @@ def dv_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the six versioned reads union into ONE Spark job (the
     # bloom_point_lookup r12 pattern) -- each version still plans its
     # own manifest + DV anti-filter; table_rowcount stays a pure
-    # driver-side metadata walk (zero jobs)
-    frames = [read_version(spark, td, v)
-              .select(F.lit(v).cast("int").alias("version"),
-                      "o_orderkey", "o_totalprice")
-              for v in (1, 2, 3, 4, 5, 6)]
-    u = frames[0]
-    for f in frames[1:]:
-        u = u.unionByName(f)
+    # driver-side metadata walk (zero jobs).  r16: the six reads go
+    # through read_versions -- every DV-free physical file is
+    # scanned ONCE and attributed to its referencing versions (the
+    # unioned shape re-read files shared by N versions N times);
+    # DV-bearing (version, file) pairs keep the per-version masked
+    # path, since their live row sets differ by version
+    u = (read_versions(spark, td, (1, 2, 3, 4, 5, 6),
+                       version_col="version")
+         .select("version", "o_orderkey", "o_totalprice"))
     got = {int(r["version"]): (int(r["n"]), float(r["s"]),
                                int(r["k11"]))
            for r in (u.groupBy("version")
@@ -1193,7 +1222,7 @@ def merge_clauses_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay are pytest-pinned (tests/test_merge_clauses.py).  Build
     is process-memoized; the graded version reads run live."""
     from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
-        read_version,
+        read_version, read_versions, table_schema,
     )
     from esg_decarbonization_data_integration_and_data_pipline_spark.tables import table
 
@@ -1255,17 +1284,28 @@ def merge_clauses_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     td = audit_state("merge_clauses", sf_dir, build)["td"]
     # the four version read-backs run as ONE unioned Spark job (r15;
-    # previously one collect round-trip per version)
+    # previously one collect round-trip per version).  r16: within
+    # each same-schema version group the read goes through
+    # read_versions, so files untouched by a merge commit scan once
+    # across the versions that share them (the v4 schema-evolution
+    # commit reads in its own group)
+    versions = (1, 2, 3, 4)
+    sts = {v: table_schema(td, v) for v in versions}
+    groups: dict[str, list[int]] = {}
+    for v in versions:
+        groups.setdefault(sts[v].json(), []).append(v)
     frames = []
-    for v in (1, 2, 3, 4):
-        df = read_version(spark, td, v)
-        tagged = (F.count("tag") if "tag" in df.columns
+    for vs in groups.values():
+        cols = sts[vs[0]].fieldNames()
+        df = read_versions(spark, td, vs, version_col="v")
+        tagged = (F.count("tag") if "tag" in cols
                   else F.lit(0).cast("long"))
         tchars = (F.coalesce(F.sum(F.length("tag")), F.lit(0))
-                  .cast("long") if "tag" in df.columns
+                  .cast("long") if "tag" in cols
                   else F.lit(0).cast("long"))
         frames.append(
-            df.agg(F.count(F.lit(1)).alias("n"),
+            df.groupBy("v")
+              .agg(F.count(F.lit(1)).alias("n"),
                    # avg, not sum: at sf0.1 the two-year sum is
                    # ~1.16e10 and sum-order float noise exceeds the
                    # 1e-4 rounding grid; the divide pushes the noise
@@ -1274,8 +1314,7 @@ def merge_clauses_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.count(F.when(F.col("st") == "M", 1)).alias("m"),
                    F.count(F.when(F.col("st") == "I", 1)).alias("i"),
                    F.count(F.when(F.col("st") == "S", 1)).alias("z"),
-                   tagged.alias("t"), tchars.alias("tc"))
-            .select(F.lit(v).alias("v"), "*"))
+                   tagged.alias("t"), tchars.alias("tc")))
     from functools import reduce as _reduce
 
     got = {r["v"]: r for r in _reduce(
@@ -1387,15 +1426,16 @@ def ndv_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     td = audit_state("ndv_audit", sf_dir, build)["td"]
     # the three exact-distinct anchor jobs union into ONE Spark job
-    # (r15); the nine register merges stay zero-job metadata
-    from functools import reduce as _reduce
+    # (r15); the nine register merges stay zero-job metadata.  r16:
+    # the anchors read through read_versions -- shared files scan
+    # once, one grouped multi-distinct agg
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import read_versions
 
-    exact_by_v = {r["v"]: r for r in _reduce(
-        DataFrame.unionByName,
-        [read_version(spark, td, v)
-         .agg(*[F.count_distinct(c).alias(c) for c in _NDV_COLS])
-         .select(F.lit(v).alias("v"), "*")
-         for v in (1, 2, 3)]).collect()}
+    exact_by_v = {r["v"]: r for r in (
+        read_versions(spark, td, (1, 2, 3), version_col="v")
+        .groupBy("v")
+        .agg(*[F.count_distinct(c).alias(c) for c in _NDV_COLS])
+        ).collect()}
     rows = []
     for v in (1, 2, 3):
         for c in _NDV_COLS:
@@ -1513,7 +1553,7 @@ def histogram_quantile_audit(spark: SparkSession,
         column_hist_range_count,
     )
     from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
-        read_version,
+        read_versions,
     )
 
     def build() -> dict:
@@ -1531,21 +1571,19 @@ def histogram_quantile_audit(spark: SparkSession,
     from esg_decarbonization_data_integration_and_data_pipline_spark.io.histogram import quantize
 
     # the three exact-in-range anchor jobs union into ONE Spark job
-    # (r15); the eighteen quantile/range walks stay zero-job metadata
-    from functools import reduce as _reduce
-
-    exact_by_v = {r["v"]: r for r in _reduce(
-        DataFrame.unionByName,
-        [read_version(spark, td, v).agg(*[
+    # (r15); the eighteen quantile/range walks stay zero-job
+    # metadata.  r16: the anchors read through read_versions --
+    # shared files (v1's subset of v2) scan once, one grouped agg
+    exact_by_v = {r["v"]: r for r in (
+        read_versions(spark, td, (1, 2, 3), version_col="v")
+        .groupBy("v").agg(*[
             F.count(F.when(
                 (F.col(c) if s == 0
                  else F.floor(F.col(c) * (10 ** s) + 0.5))
                 .cast("long").between(quantize(lo, s),
                                       quantize(hi, s)),
                 1)).alias(c)
-            for c, s, lo, hi, _vq in _HIST_COLS])
-         .select(F.lit(v).alias("v"), "*")
-         for v in (1, 2, 3)]).collect()}
+            for c, s, lo, hi, _vq in _HIST_COLS])).collect()}
     rows = []
     for v in (1, 2, 3):
         exacts = exact_by_v[v]

@@ -1332,19 +1332,18 @@ def versioned_quarter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_version(o.filter(F.col("o_quarter") == q), table_dir,
                        txn=f"1997:q{q}")
     compact_table(spark, table_dir)
-    parts = [
-        read_version(spark, table_dir, v)
-        .groupBy("o_quarter")
-        .agg(F.count(F.lit(1)).alias("n_orders"),
-             F.round(F.sum("o_totalprice"), 4).alias("total_price"))
-        .select(F.lit(v).cast("int").alias("version"),
-                "o_quarter", "n_orders", "total_price")
-        for v in (1, 2, 3, 4)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # r16: the four versions read through read_versions -- q1's file
+    # is referenced by v1, v2 and v3 but scans once (the compacted v4
+    # has its own files), one grouped agg instead of four
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import read_versions
+    return (read_versions(spark, table_dir, (1, 2, 3, 4),
+                          version_col="version")
+            .groupBy("version", "o_quarter")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 4)
+                  .alias("total_price"))
+            .select("version", "o_quarter", "n_orders",
+                    "total_price"))
 
 
 @register("matview_incremental_orders", "ext:matview-incremental,U1,P9,A2", oracle="""

@@ -206,3 +206,58 @@ def test_check_table_versions_matches_per_version_calls(spark,
     got_meta = E.check_table_versions(spark, t, meta_only, (1, 2))
     for v in (1, 2):
         assert got_meta[v] == E.check_table(spark, t, meta_only, n=v)
+
+
+def test_check_table_versions_dedup_dv_schema_and_empty(spark,
+                                                        tmp_path):
+    """r16: the by-file-deduped scan half must return the exact
+    per-version rows across the awkward histories -- a deletion-
+    vector version (per-version row masks over shared files), a
+    schema-changing commit (splits the read into schema groups), and
+    a version whose scan group is EMPTY after routing (the grouped
+    report drops empty groups; the synthesized empty-input rows must
+    fill in)."""
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        delete_keys_dv, drop_columns,
+    )
+
+    t = str(tmp_path / "t")
+    d1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", -3.0), (3, "a", 70.0)],
+        "k bigint, cat string, x double")
+    append_version(d1.coalesce(1), t, stats_columns=["k", "x"])
+    append_version(
+        spark.createDataFrame([(4, "z", 20.0), (4, "b", 1.0)],
+                              "k bigint, cat string, x double")
+        .coalesce(1), t, stats_columns=["k", "x"])
+    # v3: DV delete -- same files as v2, masked rows
+    delete_keys_dv(spark, t,
+                   spark.createDataFrame([(2,), (4,)], "k bigint"),
+                   "k")
+    # v4: schema change -- its reads must not share v1-v3's scan
+    drop_columns(spark, t, ["x"])
+    suite_v123 = [E.in_set("cat", ["a", "b"]), E.unique("k"),
+                  E.agg_between("x", "avg", lo=0.0)]
+    got = E.check_table_versions(spark, t, suite_v123, (1, 2, 3))
+    for v in (1, 2, 3):
+        assert got[v] == E.check_table(spark, t, suite_v123, n=v)
+    # the DV version dropped one dup of k=4: unique violations differ
+    assert got[2][1]["n_violations"] == 2
+    assert got[3][1]["n_violations"] == 0
+    suite_all = [E.in_set("cat", ["a", "b"])]
+    got_all = E.check_table_versions(spark, t, suite_all,
+                                     (1, 2, 3, 4))
+    for v in (1, 2, 3, 4):
+        assert got_all[v] == E.check_table(spark, t, suite_all, n=v)
+    # an all-rows-deleted version exercises the synthesized
+    # empty-group rows (alive keys at v4 are 1 and 3: v3's DV
+    # removed k=2 and both k=4 rows)
+    delete_keys_dv(spark, t,
+                   spark.createDataFrame([(1,), (3,)], "k bigint"),
+                   "k")
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import read_version
+    assert read_version(spark, t, 5).count() == 0
+    got_e = E.check_table_versions(spark, t, suite_all, (1, 5))
+    assert got_e[5] == E.check_table(spark, t, suite_all, n=5)
+    assert got_e[5][0]["n_rows"] == 0
+    assert got_e[5][0]["passed"] is True
