@@ -214,9 +214,33 @@ def main() -> None:
 
     names = [n for n in HEADLINE if n in REGISTRY]
     extra = os.environ.get("BENCH_QUERIES")
+    subset = bool(extra)
     if extra:
         names = [n for n in extra.split(",") if n in REGISTRY]
     n_samples = max(1, int(os.environ.get("BENCH_SAMPLES", "3")))
+
+    # Pre-build the process-memoized SHARED fixtures in the warmup
+    # phase (r16; r15 verdict item 4 -- a declared measurement fix):
+    # whichever audit ran first paid the whole cohort's fixture build
+    # in its sample 1 (versioned_table_audit's driver samples were
+    # [7.6, 3.0, 6.0] -- build cost, not read cost, drowning its
+    # median).  Every cold process still pays the build, just outside
+    # the per-query timed samples -- the same setup-vs-read split the
+    # per-query audit_state builders already apply.  Per-query
+    # audit_state mutation phases still land in their own query's
+    # sample 1, unchanged.
+    _FIXTURE_USERS = {"versioned_table_audit", "purge_erasure_audit",
+                      "constraints_history_audit",
+                      "ddl_timetravel_audit",
+                      "bloom_point_lookup_orders",
+                      "clone_divergence_audit", "fsck_report_audit",
+                      "dv_delete_audit", "rename_column_audit",
+                      "ndv_metadata_audit", "histogram_quantile_audit"}
+    from esg_decarbonization_data_integration_and_data_pipline_spark.plans import fixtures as _fx
+    if _FIXTURE_USERS & set(names):
+        _fx.orders_versioned_fixture(spark, sf_dir)
+    if {"scd2_customer_history", "scd2_asof_fact_join"} & set(names):
+        _fx.scd2_customer_fixture(spark, sf_dir)
 
     # n=3 samples per query with the cache cleared in between:
     # BENCH_LOG shows +/-30% single-sample noise on untouched code
@@ -232,11 +256,21 @@ def main() -> None:
     timings: dict[str, float] = {}
     minimums: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
+    jobs: dict[str, int] = {}
     errors: dict[str, str] = {}
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
     for name in names:
         runs: list[float] = []
-        for _ in range(n_samples):
+        for i in range(n_samples):
             spark.catalog.clearCache()
+            # job-count evidence (r16; r15 verdict item 7): each
+            # sample runs under its own job group so the recorded
+            # count is machine-checkable, not prose.  The LAST
+            # sample's count is recorded -- sample 1 may carry
+            # one-time memoized fixture builds.
+            group = f"bench:{name}:{i}"
+            sc.setJobGroup(group, name)
             t0 = time.time()
             try:
                 REGISTRY[name].fn(spark, sf_dir).write.format("noop") \
@@ -247,6 +281,10 @@ def main() -> None:
                       file=sys.stderr)
                 break
             runs.append(round(time.time() - t0, 3))
+            try:
+                jobs[name] = len(tracker.getJobIdsForGroup(group))
+            except Exception:  # noqa: BLE001 -- annotation only
+                pass
         if not runs or name in errors:
             continue
         runs_sorted = sorted(runs)
@@ -290,19 +328,34 @@ def main() -> None:
     spreads = sorted(
         100.0 * (max(r) - min(r)) / (sorted(r)[len(r) // 2] or 1.0)
         for r in samples.values() if len(r) > 1)
+    # the printed ONE-LINE JSON must stay well inside the driver's
+    # capture limit -- BENCH_r14's captured output truncated mid-JSON
+    # and cost round 15 its whole cross-round PERF comparison (r15
+    # verdict item 8).  Raw per-sample lists (~6 KB and growing with
+    # the headline set) now live only in the repo-side BENCH_LOG.jsonl
+    # line; the printed line keeps medians, mins and job counts.
+    # Declared measurement-format fix: no timing or methodology
+    # change, keys are only dropped from stdout, never from the log.
     out: dict = {
-        "metric": "headline_queries_total",
+        # a subset run (BENCH_QUERIES) is not a headline total; a
+        # distinct metric name + flag keep trend readers honest
+        # (r15 ADVICE)
+        "metric": ("headline_queries_subset" if subset
+                   else "headline_queries_total"),
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,          # per-query MEDIAN of n samples
         "queries_min": minimums,     # per-query best sample
-        "samples": samples,          # raw per-query sample lists
+        "jobs": jobs,                # Spark jobs in the LAST sample
         "sf": sf_val,
         # annotation only (r15): the driver also runs this bench at
         # lower core counts, and a BENCH_LOG line without the core
-        # count is not comparable round-over-round
-        "cpus": int(cpus) if str(cpus).isdigit() else str(cpus),
+        # count is not comparable round-over-round.  Stable type
+        # (r15 ADVICE): int when numeric, null otherwise.
+        "cpus": int(cpus) if str(cpus).isdigit() else None,
     }
+    if subset:
+        out["subset"] = True
     for plen, _sentinel in PREFIXES:
         prefix = HEADLINE[:plen]
         if all(q in timings for q in prefix):
@@ -325,7 +378,8 @@ def main() -> None:
     # driver's own heartbeat file.)
     try:
         with open(os.path.join(REPO, "BENCH_LOG.jsonl"), "a") as fh:
-            fh.write(json.dumps({"ts": round(time.time()), **out}) + "\n")
+            fh.write(json.dumps({"ts": round(time.time()), **out,
+                                 "samples": samples}) + "\n")
     except OSError:
         pass  # never let journaling break the bench contract
 

@@ -73,12 +73,9 @@ from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned im
     CommitBackend,
     VersionConflictError,
     _data_files,
-    _dv_key_col,
-    _dv_suffix,
     _physical_map,
     _physical_name,
     _read_files,
-    _read_files_with_pos,
     _read_stats,
     committed_versions,
     current_version,
@@ -722,12 +719,12 @@ def count_keys_all_versions(spark: SparkSession, table_dir: str,
     :func:`purge_keys_history` (all-zero = forgotten).  Scans only
     the stats-pruned candidate files of each version, and all
     versions in ONE Spark job: shared candidate files are scanned
-    ONCE and attributed to every referencing version through a
-    broadcast (file-suffix -> versions) map + explode (r16; the
-    prior union shape re-read a file once per referencing version,
-    ~Nx the I/O on a 100-version append history), then one count
-    keyed by the exploded version.  Versions whose schema or
-    subject-column logical name differ read in their own group."""
+    ONCE -- files group by their version-MEMBERSHIP signature, each
+    group explodes a literal version array (r16; the prior union
+    shape re-read a file once per referencing version, ~Nx the I/O
+    on a 100-version append history) -- then one count keyed by the
+    exploded version.  Versions whose schema or subject-column
+    logical name differ read in their own group."""
     from pyspark.sql import functions as F
 
     backend = backend or _DEFAULT_BACKEND
@@ -759,44 +756,46 @@ def count_keys_all_versions(spark: SparkSession, table_dir: str,
         sts[n] = st
         sj = st.json() if st is not None else None
         groups.setdefault((sj, k_n), []).append(n)
+    from esg_decarbonization_data_integration_and_data_pipline_spark.io.versioned import (
+        READ_DEDUP_MIN_BYTES,
+    )
+
+    min_dup = int(os.environ.get("SPARK_GRAFT_READ_DEDUP_MIN_BYTES",
+                                 READ_DEDUP_MIN_BYTES))
     frames = []
     for (_sj, k_n), vs in groups.items():
-        by_sfx: dict[str, list[int]] = {}
-        sfx_rel: dict[str, str] = {}
-        collision = False
+        membership: dict[str, list[int]] = {}
         for n in vs:
             for f in per_version[n]:
-                sfx = _dv_suffix(f)
-                prev = sfx_rel.get(sfx)
-                if prev is not None and prev != f:
-                    collision = True
-                    break
-                sfx_rel[sfx] = f
-                by_sfx.setdefault(sfx, []).append(n)
-            if collision:
-                break
-        if collision:
-            # suffix-key collision (clone-external refs sharing a
-            # basename): fall back to one read per version for this
-            # group -- slower, never wrong
+                membership.setdefault(f, []).append(n)
+        dup_bytes = 0
+        for f, fvs in membership.items():
+            if len(fvs) > 1:
+                try:
+                    size = os.path.getsize(os.path.join(table_dir, f))
+                except OSError:
+                    size = 0
+                dup_bytes += (len(fvs) - 1) * size
+        if dup_bytes < min_dup:
+            # cost gate (see versioned.read_versions): tiny shared
+            # candidates re-read faster than the explode costs
             for n in vs:
                 df = _read_files(spark, table_dir, per_version[n],
                                  sts[n])
                 frames.append(df.filter(df[k_n].isin(vals))
                                 .select(F.lit(n).alias("__v")))
             continue
-        vmap = spark.createDataFrame(
-            sorted(by_sfx.items()),
-            "__rv_sfx string, __rv_versions array<int>")
-        df = (_read_files_with_pos(spark, table_dir,
-                                   sorted(set(sfx_rel.values())),
-                                   sts[vs[0]])
-              .withColumn("__rv_sfx", _dv_key_col("__dv_file"))
-              .drop("__dv_file", "__dv_pos")
-              .join(F.broadcast(vmap), "__rv_sfx"))
-        frames.append(df.filter(df[k_n].isin(vals))
-                        .select(F.explode("__rv_versions")
-                                 .alias("__v")))
+        by_sig: dict[tuple, list[str]] = {}
+        for f, fvs in membership.items():
+            by_sig.setdefault(tuple(sorted(fvs)), []).append(f)
+        for sig in sorted(by_sig):
+            df = _read_files(spark, table_dir, sorted(by_sig[sig]),
+                             sts[vs[0]])
+            ver = (F.lit(int(sig[0])) if len(sig) == 1
+                   else F.explode(F.lit(list(sig))
+                                  .cast("array<int>")))
+            frames.append(df.filter(df[k_n].isin(vals))
+                            .select(ver.alias("__v")))
     if frames:
         u = frames[0]
         for f in frames[1:]:

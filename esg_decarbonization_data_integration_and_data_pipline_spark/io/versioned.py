@@ -911,6 +911,14 @@ def _read_files_dv(spark: SparkSession, table_dir: str, n: int,
 
 _DV_BROADCAST_ROWS = 4_000_000
 
+# read_versions cost gate: by-file dedup engages only when the
+# duplicated scan bytes (sum over files of (refs - 1) x size) exceed
+# this; below it the per-(version, file) union re-reads page-cached
+# data faster than the explode attribution costs (interleaved A/B,
+# r16).  Env-overridable (SPARK_GRAFT_READ_DEDUP_MIN_BYTES) so tests
+# and deployments can pin either path; both are result-identical.
+READ_DEDUP_MIN_BYTES = 256 * 1024 * 1024
+
 
 def _apply_dv(spark: SparkSession, table_dir: str,
               df_with_pos: DataFrame,
@@ -4283,6 +4291,27 @@ def read_versions(spark: SparkSession, table_dir: str, versions,
     per-version union emitted), but each file's bytes are read and
     decoded once.
 
+    How: files group by their version-MEMBERSHIP signature (the
+    sorted tuple of referencing versions); each group scans once and
+    explodes a LITERAL version array -- no per-row file-path
+    decoding, no join (a first cut attributed via a broadcast
+    (_metadata.file_path-suffix -> versions) map, and the per-row
+    regexp+url_decode+join cost measurably exceeded the scan savings
+    on small inputs).  A multi-version group costs one
+    `explode(lit(array))` per row; a single-version group attaches
+    `lit(version)` directly.
+
+    Cost gate: the dedup only engages when the DUPLICATED bytes (sum
+    over files of (refs - 1) x file size) exceed
+    ``SPARK_GRAFT_READ_DEDUP_MIN_BYTES`` (default 256 MB).  Below it
+    -- small tables whose shared files sit in the page cache -- the
+    read keeps the r15 one-scan-per-(version, file) union, which
+    interleaved A/Bs floor ~10-20% faster there (the explode is pure
+    overhead when re-reading is ~free); above it the re-read I/O
+    dominates and each file scans once.  Both paths return identical
+    rows (pinned by tests/test_versioned_multiread.py), so the gate
+    is a cost decision, never a semantic one.
+
     Scope guards (each falls back to correctness, never silently
     misreads):
     - every requested version must pin the SAME schema (field names,
@@ -4330,51 +4359,63 @@ def read_versions(spark: SparkSession, table_dir: str, versions,
                 f"differ -- group versions by schema and read each "
                 f"group separately")
 
-    # (suffix -> referencing versions) for DV-free attributions;
+    # membership signature -> files, for DV-free attributions;
     # DV-bearing (version, file) pairs read through the masked path
-    by_sfx: dict[str, list[int]] = {}
-    sfx_to_rel: dict[str, str] = {}
+    membership: dict[str, list[int]] = {}
+    files_by_version: dict[int, list[str]] = {}
     dv_per_version: dict[int, list[str]] = {}
     dvs_by_version: dict[int, dict] = {}
     for n in versions:
         rel_files = _data_files(table_dir, n)
+        files_by_version[n] = rel_files
         dvs = _read_dvs(table_dir, n)
         dvs_by_version[n] = dvs
         for f in rel_files:
             if f in dvs:
                 dv_per_version.setdefault(n, []).append(f)
-                continue
-            sfx = _dv_suffix(f)
-            prev = sfx_to_rel.get(sfx)
-            if prev is not None and prev != f:
-                raise RuntimeError(
-                    f"read_versions scan-key collision: {f!r} and "
-                    f"{prev!r} share the join suffix {sfx!r}; rows "
-                    f"cannot be attributed safely. Deep-clone or "
-                    f"compact the table so file names are unique "
-                    f"within the scan")
-            sfx_to_rel[sfx] = f
-            by_sfx.setdefault(sfx, []).append(n)
+            else:
+                membership.setdefault(f, []).append(n)
 
     cols = ([F.col(version_col)] +
             [F.col(f.name) for f in st.fields]) if st is not None \
         else None
     frames: list[DataFrame] = []
-    if sfx_to_rel:
-        shared_files = sorted(set(sfx_to_rel.values()))
-        vmap = spark.createDataFrame(
-            sorted(by_sfx.items()),
-            "__rv_sfx string, __rv_versions array<int>")
-        shared = (_read_files_with_pos(spark, table_dir,
-                                       shared_files, st)
-                  .withColumn("__rv_sfx", _dv_key_col("__dv_file"))
-                  .drop("__dv_file", "__dv_pos")
-                  .join(F.broadcast(vmap), "__rv_sfx")
-                  .withColumn(version_col,
-                              F.explode("__rv_versions"))
-                  .drop("__rv_sfx", "__rv_versions"))
-        frames.append(shared.select(cols) if cols is not None
-                      else shared)
+
+    dup_bytes = 0
+    for f, vs in membership.items():
+        if len(vs) > 1:
+            try:
+                size = os.path.getsize(os.path.join(table_dir, f))
+            except OSError:
+                size = 0
+            dup_bytes += (len(vs) - 1) * size
+    min_dup = int(os.environ.get("SPARK_GRAFT_READ_DEDUP_MIN_BYTES",
+                                 READ_DEDUP_MIN_BYTES))
+    if dup_bytes < min_dup:
+        # cost gate: re-reading this little duplicated data is
+        # cheaper than the explode attribution -- keep the r15
+        # one-scan-per-(version, file) union
+        for n in versions:
+            f = (_read_files_dv(spark, table_dir, n,
+                                files_by_version[n], st,
+                                dvs=dvs_by_version[n])
+                 .withColumn(version_col,
+                             F.lit(int(n)).cast("int")))
+            frames.append(f.select(cols) if cols is not None else f)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    by_sig: dict[tuple, list[str]] = {}
+    for f, vs in membership.items():
+        by_sig.setdefault(tuple(sorted(vs)), []).append(f)
+    for sig in sorted(by_sig):
+        grp = _read_files(spark, table_dir, sorted(by_sig[sig]), st)
+        ver = (F.lit(int(sig[0])).cast("int") if len(sig) == 1
+               else F.explode(F.lit(list(sig)).cast("array<int>")))
+        grp = grp.withColumn(version_col, ver)
+        frames.append(grp.select(cols) if cols is not None else grp)
     for n in sorted(dv_per_version):
         fs = dv_per_version[n]
         masked = (_read_files_dv(
