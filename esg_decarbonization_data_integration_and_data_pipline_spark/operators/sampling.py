@@ -367,6 +367,18 @@ def hll_group_ndv(df: DataFrame, group_col: str,
                    f"stack({len(value_cols)}, {pairs}) "
                    f"AS (__col, __s)")
                  .filter(F.col("__s").isNotNull()))
+    # small-input parallelism rescue (r16, guide section 2.5): a
+    # single-file input plans 1-3 scan partitions and the whole
+    # md5/conv/bin register chain runs near-serial (measured at
+    # sf0.1: the HLL half floored at 1.89 s on 3 partitions vs
+    # 0.84 s redistributed -- results identical).  ensure_parallelism
+    # is metadata-gated: multi-file or > SMALL_INPUT_BYTES inputs
+    # skip the extra shuffle entirely, so 100 TB behavior is
+    # unchanged.
+    from esg_decarbonization_data_integration_and_data_pipline_spark.operators.scale import (
+        ensure_parallelism,
+    )
+    stacked = ensure_parallelism(stacked, F.col("__s"))
     h60 = (F.conv(F.substring(F.md5(F.col("__s")), 1, 15), 16, 10)
             .cast("long"))
     rest = h60.bitwiseAND(F.lit((1 << _REST_BITS) - 1))
