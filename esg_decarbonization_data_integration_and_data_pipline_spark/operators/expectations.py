@@ -542,8 +542,10 @@ def check_table_versions(spark, table_dir: str, checks: list[Check],
                                backend=backend)
             scan_frames.append(report(rv, scan, group="__version"))
         except RuntimeError:
-            # scan-key collision (clone-external refs sharing a
-            # suffix): fall back to the r15 per-version union --
+            # safety valve: any multi-version resolution surprise
+            # (e.g. a SchemaMismatchError from a history whose pinned
+            # schemas differ in ways the json-grouping above did not
+            # capture) falls back to the r15 per-version union --
             # slower, never wrong
             for n in vs:
                 scan_frames.append(
